@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Fixture-table loaders (schemas in /root/repo/FIXTURES.md).
+  *
+  * Mirrors the reference's source stage — a Parquet scan
+  * (`infra/scripts/process_tsv.py:62-64`) — generalized to the driver's
+  * TPC-H-ish star schema. Keeping one accessor per table makes column
+  * pruning / filter pushdown visible at each call site: callers `.select`
+  * immediately, so the parquet reader only materializes needed columns.
+  */
+object Tables {
+  private def p(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame   = p(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame   = p(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = p(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = p(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame     = p(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame   = p(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = p(s, d, "lineitem")
+  def documents(s: SparkSession, d: String): DataFrame = p(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = p(s, d, "embeddings")
+
+  /** `events.ts` is physically parquet timestamp[ns], which Spark's vectorized
+    * reader rejects ([PARQUET_TYPE_ILLEGAL]). We read it as a raw long
+    * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to Spark-native
+    * microsecond timestamps (`ts div 1000`), keeping UTC session time. The
+    * DuckDB oracle reads the same file at ns precision, so every oracled
+    * query formats/truncates `ts` before it reaches a result column
+    * (FIXTURES.md gotchas).
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import org.apache.spark.sql.functions._
+    p(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+}

@@ -1,0 +1,137 @@
+package graft.ops
+
+import graft.Tables
+import graft.util.Det._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scan / project / filter / sort / set-op family.
+  *
+  * Generalizes the reference's only dataflow chain — TSV scan → split →
+  * explode → groupBy.count → orderBy (`infra/scripts/demo-etl-2a-notebook.py:53-56`,
+  * SURVEY.md R1,R5–R10) — plus the relational surface its Athena-SQL spec
+  * declares (`reqdef.yaml:69-73`, SURVEY.md R20).
+  *
+  * Scale notes: every query here is a single scan with filters/projections
+  * pushed to the parquet reader by Catalyst; `q_word_count` shuffles once on
+  * `word` (map-side partial count first); `q_sort_limit` compiles to
+  * `TakeOrderedAndProject` (per-partition top-k, no global sort).
+  */
+object Relational {
+
+  /** Flagship: the reference's word-frequency ETL (demo-etl-2a-notebook.py:53-56).
+    * Empty tokens are dropped on both sides (Java split keeps no trailing
+    * empties but DuckDB keeps all; the filter makes them agree). */
+  def wordCount(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word").asc)
+
+  def scanProject(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        floor(col("l_quantity")).as("qty_int"),
+        col("l_extendedprice"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("disc_price"))
+      // lineitem has no unique key in the fixtures — order by every output
+      // column so the only remaining ties are fully identical rows
+      .orderBy("l_orderkey", "l_linenumber", "qty_int", "l_extendedprice", "disc_price")
+
+  def filterPred(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(
+        col("l_quantity").between(10, 40) &&
+        col("l_returnflag").isin("A", "R") &&
+        (col("l_discount") > 0.05 || col("l_tax") <= 0.02) &&
+        col("l_linestatus").like("F%") &&
+        col("l_shipdate").isNotNull)
+      .select(
+        col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_returnflag"), fmtDate(col("l_shipdate")).as("ship_date"))
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "ship_date")
+
+  def sortLimit(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(100)
+
+  /** UNION ALL with a provenance tag so the total order is unambiguous. */
+  def unionAll(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).select(col("c_custkey").as("k"), lit("c").as("src"))
+    val o = Tables.orders(s, d).select(col("o_custkey").as("k"), lit("o").as("src"))
+    c.union(o).orderBy("k", "src")
+  }
+
+  def intersectKeys(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(col("c_custkey").as("k"))
+      .intersect(Tables.orders(s, d).select(col("o_custkey").as("k")))
+      .orderBy("k")
+
+  /** Customers with no in-progress ('P') order — non-empty at every sf
+    * (plain customers-without-orders is empty in the fixtures). */
+  def exceptKeys(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(col("c_custkey").as("k"))
+      .except(Tables.orders(s, d).filter(col("o_orderstatus") === "P")
+        .select(col("o_custkey").as("k")))
+      .orderBy("k")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_word_count"   -> (wordCount _),
+    "q_scan_project" -> (scanProject _),
+    "q_filter_pred"  -> (filterPred _),
+    "q_sort_limit"   -> (sortLimit _),
+    "q_union"        -> (unionAll _),
+    "q_intersect"    -> (intersectKeys _),
+    "q_except"       -> (exceptKeys _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_word_count" ->
+      """SELECT word, count(*) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+        |WHERE word <> ''
+        |GROUP BY word
+        |ORDER BY cnt DESC, word ASC""".stripMargin,
+    "q_scan_project" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       CAST(floor(l_quantity) AS BIGINT) AS qty_int,
+        |       l_extendedprice,
+        |       l_extendedprice * (1.0 - l_discount) AS disc_price
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, qty_int, l_extendedprice, disc_price""".stripMargin,
+    "q_filter_pred" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,
+        |       strftime(l_shipdate, '%Y-%m-%d') AS ship_date
+        |FROM lineitem
+        |WHERE l_quantity BETWEEN 10 AND 40
+        |  AND l_returnflag IN ('A', 'R')
+        |  AND (l_discount > 0.05 OR l_tax <= 0.02)
+        |  AND l_linestatus LIKE 'F%'
+        |  AND l_shipdate IS NOT NULL
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag, ship_date""".stripMargin,
+    "q_sort_limit" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC
+        |LIMIT 100""".stripMargin,
+    "q_union" ->
+      """SELECT c_custkey AS k, 'c' AS src FROM customer
+        |UNION ALL
+        |SELECT o_custkey AS k, 'o' AS src FROM orders
+        |ORDER BY k, src""".stripMargin,
+    "q_intersect" ->
+      """SELECT c_custkey AS k FROM customer
+        |INTERSECT
+        |SELECT o_custkey AS k FROM orders
+        |ORDER BY k""".stripMargin,
+    "q_except" ->
+      """SELECT c_custkey AS k FROM customer
+        |EXCEPT
+        |SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'P'
+        |ORDER BY k""".stripMargin,
+  )
+}

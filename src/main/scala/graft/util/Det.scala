@@ -1,0 +1,33 @@
+package graft.util
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Determinism helpers shared by every oracled query (SURVEY.md §2b footer).
+  *
+  * Oracle parity rules:
+  *  - Sums of doubles are order-dependent, so distributed partial aggregation
+  *    would not reproduce DuckDB's single-threaded fold bit-for-bit. We cast
+  *    to DECIMAL(24,6) first: exact arithmetic, order-independent, identical
+  *    in both engines; scale 6 is fine-grained enough that the cast of the
+  *    2-dp-generated fixture doubles is rounding-mode-independent.
+  *  - Timestamps leave result sets as formatted strings: `events.ts` is ns in
+  *    parquet but µs in Spark, and engines disagree on sub-second repr.
+  */
+object Det {
+  /** Order-independent exact sum of a double column, surfaced as double.
+    * SQL mirror: `CAST(SUM(CAST(x AS DECIMAL(24,6))) AS DOUBLE)`. */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(24, 6))).cast("double")
+
+  /** Exact mean: decimal sum divided by count, in double at the end.
+    * SQL mirror: `CAST(SUM(CAST(x AS DECIMAL(24,6))) AS DOUBLE) / COUNT(x)`. */
+  def davg(c: Column): Column = dsum(c) / count(c)
+
+  /** Timestamp → second-precision string. SQL mirror:
+    * `strftime(ts, '%Y-%m-%d %H:%M:%S')`. */
+  def fmtTs(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
+
+  /** Timestamp → date string. SQL mirror: `strftime(ts, '%Y-%m-%d')`. */
+  def fmtDate(c: Column): Column = date_format(c, "yyyy-MM-dd")
+}
