@@ -17,6 +17,11 @@ object SparkEntry {
   private def modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (ops.Relational.queries, ops.Relational.oracle),
+      (ops.Scalars.queries, ops.Scalars.oracle),
+      (ops.Aggregations.queries, ops.Aggregations.oracle),
+      (ops.Joins.queries, ops.Joins.oracle),
+      (ops.Windows.queries, ops.Windows.oracle),
+      (ops.EventTime.queries, ops.EventTime.oracle),
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,165 @@
+package graft.ops
+
+import graft.Tables
+import graft.util.Det._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Aggregation family (SURVEY.md §2b: q_agg_pricing, q_agg_distinct,
+  * q_agg_rollup / q_agg_cube / q_grouping_sets, q_approx_distinct, q_pivot).
+  *
+  * Generalizes the reference's single hash aggregate —
+  * `groupBy("word").count()` (`demo-etl-2a-notebook.py:56`, SURVEY.md R8) —
+  * and the pandas-style "statistics" its spec declares (`reqdef.yaml:44-45`,
+  * R21).
+  *
+  * Scale notes: every query is one scan + one shuffle on the grouping keys;
+  * Spark plans partial (map-side) aggregation before the exchange, so the
+  * shuffle carries one row per (partition × key), not per input row.
+  * Distinct aggregation adds the usual expand/two-phase plan. All double
+  * sums go through DECIMAL(24,6) (`Det.dsum`) — exact, order-independent,
+  * required for cross-engine equality and a good idea at 1000 executors
+  * anyway (no non-associative float accumulation).
+  */
+object Aggregations {
+
+  /** TPC-H Q1 shape over the fixture lineitem. */
+  def aggPricing(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(DecimalType(24, 6))).cast("double").as("sum_disc"),
+        davg(col("l_quantity")).as("avg_qty"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  def aggDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy("o_orderstatus")
+      .agg(
+        countDistinct(col("o_custkey")).as("n_cust"),
+        countDistinct(year(col("o_orderdate"))).as("n_years"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderstatus")
+
+  private def multiDim(df: DataFrame, mode: String): DataFrame = {
+    val grouped = mode match {
+      case "rollup" => df.rollup(col("o_orderstatus"), col("o_orderpriority"))
+      case "cube"   => df.cube(col("o_orderstatus"), col("o_orderpriority"))
+    }
+    grouped
+      .agg(
+        grouping(col("o_orderstatus")).cast("int").as("g_status"),
+        grouping(col("o_orderpriority")).cast("int").as("g_prio"),
+        count(lit(1)).as("cnt"),
+        dsum(col("o_totalprice")).as("sum_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+        coalesce(col("o_orderpriority"), lit("(all)")).as("prio"),
+        col("g_status"), col("g_prio"), col("cnt"), col("sum_price"))
+      .orderBy("g_status", "g_prio", "status", "prio")
+  }
+
+  def aggRollup(s: SparkSession, d: String): DataFrame =
+    multiDim(Tables.orders(s, d), "rollup")
+
+  def aggCube(s: SparkSession, d: String): DataFrame =
+    multiDim(Tables.orders(s, d), "cube")
+
+  /** GROUPING SETS ((status, priority), (status), ()) via SQL — the
+    * DataFrame-side rollup/cube above are the API variants of the same
+    * Expand-based plan. */
+  def groupingSets(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders_gs")
+    s.sql(
+      """SELECT COALESCE(o_orderstatus, '(all)') AS status,
+        |       COALESCE(o_orderpriority, '(all)') AS prio,
+        |       CAST(grouping(o_orderstatus) AS INT) AS g_status,
+        |       CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+        |       COUNT(1) AS cnt,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(24,6))) AS DOUBLE) AS sum_price
+        |FROM orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        |ORDER BY g_status, g_prio, status, prio""".stripMargin)
+  }
+
+  /** HLL++ sketch counts — no oracle (approx; tolerance-tested in the
+    * scalatest suite instead, SURVEY.md §5.4). */
+  def approxDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        count(lit(1)).as("cnt"))
+      .orderBy("event_type")
+
+  private val EventTypes = Seq("click", "view", "purchase", "signup", "error")
+
+  def pivotEvents(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(fmtDate(col("ts")).as("day"), col("event_type"), col("value"))
+      .groupBy("day")
+      .pivot("event_type", EventTypes)
+      .agg(sum(col("value").cast(DecimalType(24, 6))).cast("double"))
+      .orderBy("day")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_pricing"     -> (aggPricing _),
+    "q_agg_distinct"    -> (aggDistinct _),
+    "q_agg_rollup"      -> (aggRollup _),
+    "q_agg_cube"        -> (aggCube _),
+    "q_grouping_sets"   -> (groupingSets _),
+    "q_approx_distinct" -> (approxDistinct _),
+    "q_pivot"           -> (pivotEvents _),
+  )
+
+  private def multiDimSql(clause: String): String =
+    s"""SELECT COALESCE(o_orderstatus, '(all)') AS status,
+       |       COALESCE(o_orderpriority, '(all)') AS prio,
+       |       CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+       |       CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_prio,
+       |       COUNT(*) AS cnt,
+       |       CAST(SUM(CAST(o_totalprice AS DECIMAL(24,6))) AS DOUBLE) AS sum_price
+       |FROM orders
+       |GROUP BY $clause
+       |ORDER BY g_status, g_prio, status, prio""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(24,6))) AS DOUBLE) AS sum_qty,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,6))) AS DOUBLE) AS sum_base,
+        |       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS sum_disc,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(24,6))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+        |       COUNT(*) AS cnt
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_agg_distinct" ->
+      """SELECT o_orderstatus,
+        |       COUNT(DISTINCT o_custkey) AS n_cust,
+        |       COUNT(DISTINCT year(o_orderdate)) AS n_years,
+        |       COUNT(*) AS n_orders
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+    "q_agg_rollup" -> multiDimSql("ROLLUP (o_orderstatus, o_orderpriority)"),
+    "q_agg_cube"   -> multiDimSql("CUBE (o_orderstatus, o_orderpriority)"),
+    "q_grouping_sets" -> multiDimSql(
+      "GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())"),
+    "q_pivot" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |       CAST(SUM(CASE WHEN event_type = 'click'    THEN CAST(value AS DECIMAL(24,6)) END) AS DOUBLE) AS click,
+        |       CAST(SUM(CASE WHEN event_type = 'view'     THEN CAST(value AS DECIMAL(24,6)) END) AS DOUBLE) AS view,
+        |       CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(24,6)) END) AS DOUBLE) AS purchase,
+        |       CAST(SUM(CASE WHEN event_type = 'signup'   THEN CAST(value AS DECIMAL(24,6)) END) AS DOUBLE) AS signup,
+        |       CAST(SUM(CASE WHEN event_type = 'error'    THEN CAST(value AS DECIMAL(24,6)) END) AS DOUBLE) AS error
+        |FROM events
+        |GROUP BY day
+        |ORDER BY day""".stripMargin,
+  )
+}

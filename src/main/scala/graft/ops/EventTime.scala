@@ -1,0 +1,119 @@
+package graft.ops
+
+import graft.Tables
+import graft.util.Det._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Event-time analytics over the `events` fixture (SURVEY.md §2b:
+  * q_tumbling_window, q_session_window, q_anomaly_filter).
+  *
+  * The reference declares but never implements event-driven processing
+  * (raw bucket `eventBridgeEnabled: true`, `demo2a-stack.ts:19`; SNS anomaly
+  * notification, `reqdef.yaml:11,15` — SURVEY.md R22). These are the batch
+  * formulations with event-time semantics; `graft.streaming.Streams` carries
+  * the Structured Streaming equivalents (watermark + windowed aggs).
+  *
+  * Session windows use the gaps-and-islands formulation (lag + cumulative
+  * flag) rather than `session_window(...)` so the Spark plan and the DuckDB
+  * oracle run the *same algorithm* — and it's one shuffle + one
+  * per-partition sort, which also scales (no per-key state server needed in
+  * batch). All timestamp comparisons happen at µs precision on both engines
+  * (Spark truncates the ns fixtures on read; the oracle CASTs to µs).
+  */
+object EventTime {
+
+  def tumblingWindow(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("value").cast(DecimalType(24, 6))).cast("double").as("sum_value"))
+      .select(
+        fmtTs(col("window.start")).as("hour_start"),
+        col("event_type"), col("cnt"), col("sum_value"))
+      .orderBy("hour_start", "event_type")
+
+  private val GapMicros = 1800L * 1000 * 1000 // 30 min
+
+  def sessionWindow(s: SparkSession, d: String): DataFrame = {
+    val wOrd = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(wOrd))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          (unix_micros(col("ts")) - col("prev_us")) > GapMicros, 1).otherwise(0))
+      .withColumn("sess_id", sum(col("new_sess")).over(wRun).cast("int"))
+      .groupBy("user_id", "sess_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("sess_start"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("sess_end"))
+      .orderBy("user_id", "sess_id")
+  }
+
+  /** R22: events whose value exceeds 3× the per-type mean — the "alerts"
+    * DataFrame the reference's SNS notification objective implies. The
+    * per-type stats are a 5-row broadcast, so the filter is one scan. */
+  def anomalyFilter(s: SparkSession, d: String): DataFrame = {
+    val stats = Tables.events(s, d)
+      .groupBy(col("event_type").as("t"))
+      .agg(davg(col("value")).as("avg_v"))
+    Tables.events(s, d)
+      .join(broadcast(stats), col("event_type") === col("t"))
+      .filter(col("value") > lit(3.0) * col("avg_v"))
+      .select(col("event_id"), col("event_type"), col("value"))
+      .orderBy("event_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tumbling_window" -> (tumblingWindow _),
+    "q_session_window"  -> (sessionWindow _),
+    "q_anomaly_filter"  -> (anomalyFilter _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_tumbling_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+        |       event_type, COUNT(*) AS cnt,
+        |       CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY hour_start, event_type
+        |ORDER BY hour_start, event_type""".stripMargin,
+    "q_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+        |), g AS (
+        |  SELECT *,
+        |         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |              THEN 1 ELSE 0 END AS new_sess
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |), st AS (
+        |  SELECT *, CAST(SUM(new_sess) OVER (
+        |    PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INTEGER) AS sess_id
+        |  FROM g
+        |)
+        |SELECT user_id, sess_id, COUNT(*) AS n_events,
+        |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sess_start,
+        |       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS sess_end
+        |FROM st
+        |GROUP BY user_id, sess_id
+        |ORDER BY user_id, sess_id""".stripMargin,
+    "q_anomaly_filter" ->
+      """SELECT event_id, event_type, value
+        |FROM events
+        |JOIN (SELECT event_type AS t,
+        |             CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE) / COUNT(value) AS avg_v
+        |      FROM events GROUP BY event_type) st
+        |  ON event_type = t
+        |WHERE value > 3.0 * avg_v
+        |ORDER BY event_id""".stripMargin,
+  )
+}

@@ -1,0 +1,185 @@
+package graft.ops
+
+import graft.Tables
+import graft.util.Det._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join family (SURVEY.md §2b: inner / broadcast / left / full / semi /
+  * anti / theta-range / as-of).
+  *
+  * The reference never joins (SURVEY.md §2a negative findings) — this family
+  * implements the relational surface its Athena spec (`reqdef.yaml:69-73`)
+  * licenses, sized for Spark's join strategies:
+  *
+  *  - dimension tables (region/nation/supplier, and the literal band table)
+  *    are `broadcast()` — no shuffle of the fact side;
+  *  - fact⋈fact equi-joins shuffle both sides on the key (sort-merge or
+  *    shuffled-hash under AQE) — correct plan at 100 TB;
+  *  - the as-of join deliberately avoids the O(|events|·|orders per user|)
+  *    blow-up of a naive range join: it is a tagged union + one window pass,
+  *    i.e. a single shuffle on the key and a per-partition sort — the
+  *    scalable formulation of "nearest prior timestamp".
+  */
+object Joins {
+
+  def joinInner(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"), "inner")
+      .select(col("o_orderkey"), col("c_custkey"), col("c_mktsegment"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+
+  def joinBroadcast(s: SparkSession, d: String): DataFrame =
+    Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"), col("r_name"))
+      .orderBy("s_suppkey")
+
+  /** LEFT join against the 'P'-status subset so unmatched rows (nulls)
+    * actually occur; null join columns sort NULLS FIRST explicitly on both
+    * engines (Spark's ASC default, but NOT DuckDB's). */
+  def joinLeft(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(
+        Tables.orders(s, d).filter(col("o_orderstatus") === "P"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("c_custkey").asc, col("o_orderkey").asc_nulls_first)
+
+  /** FULL join of per-customer 'F' vs 'P' order counts. */
+  def joinFull(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val f = o.filter(col("o_orderstatus") === "F")
+      .groupBy(col("o_custkey").as("fk")).agg(count(lit(1)).as("f_cnt"))
+    val p = o.filter(col("o_orderstatus") === "P")
+      .groupBy(col("o_custkey").as("pk")).agg(count(lit(1)).as("p_cnt"))
+    f.join(p, col("fk") === col("pk"), "full")
+      .select(coalesce(col("fk"), col("pk")).as("custkey"), col("f_cnt"), col("p_cnt"))
+      .orderBy("custkey")
+  }
+
+  def joinSemi(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(
+        Tables.orders(s, d).filter(col("o_totalprice") > 400000.0),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy("c_custkey")
+
+  def joinAnti(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(
+        Tables.orders(s, d).filter(col("o_totalprice") > 400000.0),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy("c_custkey")
+
+  /** Non-equi band join against a tiny literal dimension — broadcast
+    * nested-loop with a 4-row build side, the only sane plan for a theta
+    * join at scale. */
+  def joinThetaRange(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bands = Seq(
+      (0.0, 10.0, "low"), (10.0, 25.0, "mid"),
+      (25.0, 40.0, "high"), (40.0, 100.0, "xl")).toDF("lo", "hi", "band")
+    Tables.lineitem(s, d)
+      .join(broadcast(bands), col("l_quantity") >= col("lo") && col("l_quantity") < col("hi"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("cnt"), dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy("band")
+  }
+
+  /** As-of join: for each event, the most recent order date of the same
+    * customer at-or-before the event timestamp. Implemented as a tagged
+    * union + running `last(ignoreNulls)` window — one shuffle on the key,
+    * no row explosion (SURVEY.md §7.4). Order rows sort before event rows
+    * at equal timestamps (tag 0 < 1) giving inclusive `<=` semantics, which
+    * is what the naive oracle join computes. */
+  def joinAsof(s: SparkSession, d: String): DataFrame = {
+    val od = Tables.orders(s, d).select(
+      col("o_custkey").as("k"), col("o_orderdate").as("t"),
+      lit(null).cast("long").as("event_id"),
+      col("o_orderdate").as("odate"), lit(0).as("tag"))
+    val ev = Tables.events(s, d).select(
+      col("user_id").as("k"), col("ts").as("t"),
+      col("event_id"),
+      lit(null).cast("timestamp").as("odate"), lit(1).as("tag"))
+    val w = Window.partitionBy("k")
+      .orderBy(col("t").asc, col("tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    od.unionByName(ev)
+      .withColumn("asof", last(col("odate"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("event_id"), fmtTs(col("asof")).as("asof_date"))
+      .orderBy("event_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_inner"       -> (joinInner _),
+    "q_join_broadcast"   -> (joinBroadcast _),
+    "q_join_left"        -> (joinLeft _),
+    "q_join_full"        -> (joinFull _),
+    "q_join_semi"        -> (joinSemi _),
+    "q_join_anti"        -> (joinAnti _),
+    "q_join_theta_range" -> (joinThetaRange _),
+    "q_join_asof"        -> (joinAsof _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_join_inner" ->
+      """SELECT o_orderkey, c_custkey, c_mktsegment, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_join_broadcast" ->
+      """SELECT s_suppkey, s_name, n_name, r_name
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY s_suppkey""".stripMargin,
+    "q_join_left" ->
+      """SELECT c_custkey, o_orderkey, o_totalprice
+        |FROM customer
+        |LEFT JOIN (SELECT * FROM orders WHERE o_orderstatus = 'P') o
+        |  ON c_custkey = o.o_custkey
+        |ORDER BY c_custkey ASC, o_orderkey ASC NULLS FIRST""".stripMargin,
+    "q_join_full" ->
+      """SELECT COALESCE(f.fk, p.pk) AS custkey, f.f_cnt, p.p_cnt
+        |FROM (SELECT o_custkey AS fk, COUNT(*) AS f_cnt FROM orders
+        |      WHERE o_orderstatus = 'F' GROUP BY o_custkey) f
+        |FULL JOIN (SELECT o_custkey AS pk, COUNT(*) AS p_cnt FROM orders
+        |      WHERE o_orderstatus = 'P' GROUP BY o_custkey) p
+        |  ON f.fk = p.pk
+        |ORDER BY custkey""".stripMargin,
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name, c_acctbal
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name, c_acctbal
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_theta_range" ->
+      """SELECT band, COUNT(*) AS cnt,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,6))) AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |JOIN (VALUES (0.0, 10.0, 'low'), (10.0, 25.0, 'mid'),
+        |             (25.0, 40.0, 'high'), (40.0, 100.0, 'xl')) AS b(lo, hi, band)
+        |  ON l_quantity >= lo AND l_quantity < hi
+        |GROUP BY band
+        |ORDER BY band""".stripMargin,
+    "q_join_asof" ->
+      """SELECT e.event_id,
+        |       strftime(max(o.o_orderdate), '%Y-%m-%d %H:%M:%S') AS asof_date
+        |FROM events e
+        |LEFT JOIN orders o
+        |  ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        |GROUP BY e.event_id
+        |ORDER BY e.event_id""".stripMargin,
+  )
+}

@@ -1,0 +1,140 @@
+package graft.ops
+
+import graft.Tables
+import graft.util.Det._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scalar function families (SURVEY.md §2b: q_string_funcs, q_date_funcs,
+  * q_math_funcs, q_json_funcs, q_array_funcs).
+  *
+  * Generalizes the reference's scalar surface — string split + alias
+  * (`demo-etl-2a-notebook.py:53`), key concat / int cast at the DynamoDB sink
+  * (`process_tsv.py:81-87`) — into the full built-in function families.
+  * Everything here is a single parquet scan + codegen'd projection: no
+  * shuffle except the final presentation sort.
+  *
+  * Cross-engine parity notes (vs the DuckDB oracle):
+  *  - Spark `length`/`year`/... return INT where DuckDB returns BIGINT → the
+  *    oracle casts to INTEGER.
+  *  - float array elements are widened to double before arithmetic, and
+  *    results rounded to 4dp (both engines do IEEE-exact widening).
+  */
+object Scalars {
+
+  def stringFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select(
+        col("c_custkey"),
+        lower(col("c_name")).as("lname"),
+        upper(col("c_mktsegment")).as("useg"),
+        substring(col("c_name"), 10, 6).as("name_id"),
+        regexp_extract(col("c_name"), "([0-9]+)", 1).as("digits"),
+        concat_ws("-", col("c_mktsegment"), col("c_custkey")).as("seg_key"),
+        length(col("c_name")).as("name_len"),
+        trim(concat(lit("  "), col("c_mktsegment"), lit("  "))).as("trimmed"))
+      .orderBy("c_custkey")
+
+  def dateFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        fmtTs(date_trunc("month", col("o_orderdate"))).as("month_start"),
+        datediff(lit("2002-01-01").cast("date"), col("o_orderdate")).as("days_to_02"),
+        fmtDate(date_add(col("o_orderdate"), 30)).as("plus30"))
+      .orderBy("o_orderkey")
+
+  def mathFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice"), 1).as("r1"),
+        abs(col("l_discount") - 0.05).as("absd"),
+        ceil(col("l_quantity")).as("cl"),
+        floor(col("l_tax") * 100).as("fl"),
+        round(pow(col("l_quantity"), 2.0), 4).as("q2"),
+        round(log(col("l_extendedprice")), 4).as("lnp"))
+      .orderBy("l_orderkey", "l_linenumber", "r1", "absd", "cl", "fl", "q2", "lnp")
+
+  def jsonFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(
+        col("event_id"),
+        col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k_int"))
+      .withColumn("k_bucket", col("k_int") % 10)
+      .orderBy("event_id")
+
+  def arrayFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        round(element_at(col("embedding"), 1).cast("double"), 4).as("e1"),
+        round(
+          aggregate(
+            transform(col("embedding"), x => x.cast("double")),
+            lit(0.0), (acc, x) => acc + x),
+          4).as("ssum"),
+        round(array_max(col("embedding")).cast("double"), 4).as("emax"),
+        size(slice(col("embedding"), 1, 8)).as("first8"))
+      .orderBy("vec_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_string_funcs" -> (stringFuncs _),
+    "q_date_funcs"   -> (dateFuncs _),
+    "q_math_funcs"   -> (mathFuncs _),
+    "q_json_funcs"   -> (jsonFuncs _),
+    "q_array_funcs"  -> (arrayFuncs _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_string_funcs" ->
+      """SELECT c_custkey,
+        |       lower(c_name) AS lname,
+        |       upper(c_mktsegment) AS useg,
+        |       substring(c_name, 10, 6) AS name_id,
+        |       regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+        |       concat_ws('-', c_mktsegment, c_custkey) AS seg_key,
+        |       CAST(length(c_name) AS INTEGER) AS name_len,
+        |       trim('  ' || c_mktsegment || '  ') AS trimmed
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin,
+    "q_date_funcs" ->
+      """SELECT o_orderkey,
+        |       CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |       CAST(month(o_orderdate) AS INTEGER) AS mo,
+        |       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d %H:%M:%S') AS month_start,
+        |       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INTEGER) AS days_to_02,
+        |       strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       round(l_extendedprice, 1) AS r1,
+        |       abs(l_discount - 0.05) AS absd,
+        |       CAST(ceil(l_quantity) AS BIGINT) AS cl,
+        |       CAST(floor(l_tax * 100) AS BIGINT) AS fl,
+        |       round(pow(l_quantity, 2.0), 4) AS q2,
+        |       round(ln(l_extendedprice), 4) AS lnp
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, r1, absd, cl, fl, q2, lnp""".stripMargin,
+    "q_json_funcs" ->
+      """SELECT event_id, event_type,
+        |       CAST(props->>'$.k' AS INTEGER) AS k_int,
+        |       CAST(props->>'$.k' AS INTEGER) % 10 AS k_bucket
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
+    "q_array_funcs" ->
+      """SELECT vec_id,
+        |       CAST(len(embedding) AS INTEGER) AS dim,
+        |       round(CAST(embedding[1] AS DOUBLE), 4) AS e1,
+        |       round(list_sum(CAST(embedding AS DOUBLE[])), 4) AS ssum,
+        |       round(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 4) AS emax,
+        |       CAST(len(embedding[1:8]) AS INTEGER) AS first8
+        |FROM embeddings
+        |ORDER BY vec_id""".stripMargin,
+  )
+}

@@ -1,0 +1,108 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Window-function family (SURVEY.md §2b: q_window_rank, q_window_running,
+  * q_window_lag_lead, q_topk_per_group).
+  *
+  * Not present in the reference (SURVEY.md §2a negative findings); part of
+  * the declared Athena-SQL surface (R20) and the pandas-stats comparison
+  * (R21). Each query is one shuffle on the partition key + per-partition
+  * sort — the minimal plan for windowed analytics at scale. Running sums go
+  * through DECIMAL so the frame accumulation is order-exact across engines.
+  *
+  * Window orderings use `event_id` / `o_orderkey` (unique) rather than raw
+  * timestamps: `events.ts` is ns in parquet but µs in Spark, so a ts-only
+  * ordering could tie-break differently across engines.
+  */
+object Windows {
+
+  def windowRank(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("rk", rank().over(w))
+      .withColumn("drk", dense_rank().over(w))
+      .orderBy("o_custkey", "rn")
+  }
+
+  def windowRunning(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("value"))
+      .withColumn("running",
+        sum(col("value").cast(DecimalType(24, 6))).over(w).cast("double"))
+      .orderBy("user_id", "event_id")
+  }
+
+  def windowLagLead(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("value"))
+      .withColumn("prev", lag("value", 1).over(w))
+      .withColumn("next", lead("value", 1).over(w))
+      .withColumn("delta", col("value") - col("prev"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Top-3 lineitems by extended price per supplier — the window-rank
+    * formulation of top-k (no global sort; per-group short-circuit). */
+  def topkPerGroup(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+    Tables.lineitem(s, d)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .orderBy("l_suppkey", "rn")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_window_rank"     -> (windowRank _),
+    "q_window_running"  -> (windowRunning _),
+    "q_window_lag_lead" -> (windowLagLead _),
+    "q_topk_per_group"  -> (topkPerGroup _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |       CAST(row_number() OVER w AS INTEGER) AS rn,
+        |       CAST(rank() OVER w AS INTEGER) AS rk,
+        |       CAST(dense_rank() OVER w AS INTEGER) AS drk
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+        |ORDER BY o_custkey, rn""".stripMargin,
+    "q_window_running" ->
+      """SELECT user_id, event_id, value,
+        |       CAST(SUM(CAST(value AS DECIMAL(24,6))) OVER (
+        |         PARTITION BY user_id ORDER BY event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running
+        |FROM events
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q_window_lag_lead" ->
+      """SELECT user_id, event_id, value,
+        |       lag(value, 1) OVER w AS prev,
+        |       lead(value, 1) OVER w AS next,
+        |       value - lag(value, 1) OVER w AS delta
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q_topk_per_group" ->
+      """SELECT * FROM (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+        |         CAST(row_number() OVER (
+        |           PARTITION BY l_suppkey
+        |           ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC) AS INTEGER) AS rn
+        |  FROM lineitem) t
+        |WHERE rn <= 3
+        |ORDER BY l_suppkey, rn""".stripMargin,
+  )
+}
