@@ -22,6 +22,10 @@ object SparkEntry {
       (ops.Joins.queries, ops.Joins.oracle),
       (ops.Windows.queries, ops.Windows.oracle),
       (ops.EventTime.queries, ops.EventTime.oracle),
+      (ops.TextAnalysis.queries, ops.TextAnalysis.oracle),
+      (ops.Dedup.queries, ops.Dedup.oracle),
+      (ops.Similarity.queries, ops.Similarity.oracle),
+      (ops.Multimodal.queries, ops.Multimodal.oracle),
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,41 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text featurization used by the text-analysis and dedup
+  * families (SURVEY.md §2b north-star rows).
+  *
+  * Everything here is built-in higher-order functions — codegen'd, no UDFs
+  * (builder-prompt preference order (a)) — so the whole featurization stays
+  * inside WholeStageCodegen and is expressible 1:1 in the DuckDB oracle.
+  */
+object TextFeatures {
+
+  /** Whitespace tokenization (the reference's tokenizer:
+    * `split(df.review_body, " ")`, demo-etl-2a-notebook.py:53). */
+  def words(text: Column): Column = split(text, " ")
+
+  /** Adjacent word pairs; empty array for single-word docs.
+    * `slice(w, 1, 0)` is the typed empty-array literal. */
+  def bigrams(w: Column): Column =
+    when(size(w) > 1,
+      transform(sequence(lit(1), size(w) - 1),
+        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
+      .otherwise(slice(w, 1, 0))
+
+  /** 3-word shingles; docs shorter than 3 words contribute themselves as a
+    * single shingle (keeps every doc represented in minhash signatures). */
+  def shingles3(w: Column, text: Column): Column =
+    when(size(w) >= 3,
+      transform(sequence(lit(1), size(w) - 2),
+        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))
+      .otherwise(array(text))
+
+  /** Seeded string minhash: MIN over md5(shingle + "#" + seed). Lexicographic
+    * MIN over the hex digest == numeric MIN over the 128-bit hash (hex
+    * preserves order), so this is a portable minhash needing no custom hash
+    * function — identical bytes in any engine with md5. */
+  def minhash(shingle: Column, seed: Int): Column =
+    md5(concat(shingle, lit("#" + seed)))
+}

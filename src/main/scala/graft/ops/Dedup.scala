@@ -1,0 +1,214 @@
+package graft.ops
+
+import graft.Tables
+import graft.functions.TextFeatures._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication family over `documents` (north-star: exact, fuzzy,
+  * MinHash+LSH, SimHash, n-gram Jaccard).
+  *
+  * The fixture corpus contains ~24 planted near-duplicate docs (shared long
+  * prefixes; bigram-Jaccard up to 0.97), so each strategy below actually
+  * drops/flags rows.
+  *
+  * Scale design:
+  *  - exact/fuzzy dedup: shuffle on the (hashed) key only — at 100 TB the
+  *    key is a digest, never the document body, and `row_number() = 1` keeps
+  *    a deterministic survivor (min doc_id), unlike `dropDuplicates` whose
+  *    survivor is partition-order-dependent;
+  *  - MinHash+LSH: signatures are 4 aggregated mins per doc (one shuffle on
+  *    doc_id-partitioned shingles), candidates meet through band buckets —
+  *    never an all-pairs comparison;
+  *  - SimHash: 16 conditional sums per doc, one shuffle; near-dups collide
+  *    on the fingerprint;
+  *  - n-gram Jaccard: the pair search is an equi-join on (bigram, lang,
+  *    source) — i.e. blocked by content overlap, not a cross join.
+  */
+object Dedup {
+
+  def dedupExact(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("text").orderBy("doc_id")
+    Tables.documents(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  /** Fuzzy dedup: normalize to the first 8 words (content-prefix chunk),
+    * md5 it, keep the lowest doc_id per chunk hash. */
+  def dedupFuzzy(s: SparkSession, d: String): DataFrame = {
+    val key = md5(concat_ws(" ", slice(words(col("text")), 1, 8)))
+    val w = Window.partitionBy("key").orderBy("doc_id")
+    Tables.documents(s, d)
+      .withColumn("key", key)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
+  }
+
+  private val Seeds = 0 until 4
+
+  /** MinHash + LSH with 4 hash seeds in 2 bands of 2 (r=2, b=2): docs
+    * sharing any band bucket (both minhashes of the band equal) are
+    * duplicate candidates; each doc reports the minimum doc_id it shares a
+    * bucket with (`keeper`). Band size 1 flags ~half the corpus on this
+    * small-vocabulary fixture; r=2 flags 26 ≈ the ~24 planted near-dups.
+    * String-min over md5 == numeric minhash (TextFeatures.minhash). */
+  def dedupMinhash(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(shingles3(words(col("text")), col("text"))).as("shingle"))
+    val sig = sh.groupBy("doc_id")
+      .agg(
+        min(minhash(col("shingle"), Seeds.head)).as(s"mh${Seeds.head}"),
+        Seeds.tail.map(i => min(minhash(col("shingle"), i)).as(s"mh$i")): _*)
+    val buckets = sig.select(col("doc_id"),
+      explode(array(
+        concat(lit("0|"), col("mh0"), col("mh1")),
+        concat(lit("1|"), col("mh2"), col("mh3")))).as("bkey"))
+    val keeper = buckets.groupBy("bkey").agg(min("doc_id").as("bmin"))
+    buckets.join(keeper, "bkey")
+      .groupBy("doc_id").agg(min("bmin").as("keeper"))
+      .withColumn("is_dup", (col("keeper") < col("doc_id")).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  private val SimBits = 16
+
+  /** SimHash: one md5 per word; each of the first 16 hex digits contributes
+    * ±1 to a bit depending on whether it is >= '8' (an even split of the
+    * hex alphabet); the sign vector is the fingerprint. Fingerprint
+    * collisions are near-duplicates. */
+  def dedupSimhash(s: SparkSession, d: String): DataFrame = {
+    val wd = Tables.documents(s, d)
+      .select(col("doc_id"), explode(words(col("text"))).as("wd"))
+      .withColumn("h", md5(col("wd")))
+    val sums = (1 to SimBits).map(i =>
+      sum(when(substring(col("h"), i, 1) >= "8", 1).otherwise(-1)).as(s"s$i"))
+    val fp = concat((1 to SimBits).map(i =>
+      when(col(s"s$i") >= 0, lit("1")).otherwise(lit("0"))): _*)
+    val sig = wd.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"), fp.as("fp"))
+    val keeper = sig.groupBy("fp").agg(min("doc_id").as("keeper"))
+    sig.join(keeper, "fp")
+      .select(col("doc_id"), col("fp"), col("keeper"),
+        (col("keeper") < col("doc_id")).cast("int").as("is_dup"))
+      .orderBy("doc_id")
+  }
+
+  /** Pairwise bigram-set Jaccard similarity, blocked by (lang, source) and
+    * met through shared bigrams (equi-join, no cross product). */
+  def ngramJaccard(s: SparkSession, d: String): DataFrame = {
+    val bg = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(array_distinct(bigrams(words(col("text"))))).as("bg"))
+    val sizes = bg.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = bg.select(col("doc_id").as("d1"), col("lang").as("lg"), col("source").as("sc"), col("bg"))
+    val b = bg.select(col("doc_id").as("d2"), col("lang").as("lg2"), col("source").as("sc2"), col("bg").as("bg2"))
+    val inter = a.join(b,
+        col("bg") === col("bg2") && col("lg") === col("lg2") && col("sc") === col("sc2") &&
+        col("d1") < col("d2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+      .withColumn("jaccard", round(col("inter") / (col("n1") + col("n2") - col("inter")), 4))
+      .filter(col("jaccard") >= 0.05)
+      .select(col("d1"), col("d2"), col("inter"), col("jaccard"))
+      .orderBy("d1", "d2")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact"    -> (dedupExact _),
+    "q_dedup_fuzzy"    -> (dedupFuzzy _),
+    "q_dedup_minhash"  -> (dedupMinhash _),
+    "q_dedup_simhash"  -> (dedupSimhash _),
+    "q_ngram_jaccard"  -> (ngramJaccard _),
+  )
+
+  private val WordsSql = "string_split(text, ' ')"
+  private val ShinglesSql =
+    s"""CASE WHEN len($WordsSql) >= 3
+       | THEN list_transform(range(1, len($WordsSql) - 1),
+       |        i -> $WordsSql[i] || ' ' || $WordsSql[i+1] || ' ' || $WordsSql[i+2])
+       | ELSE [text] END""".stripMargin
+  private val BigramsSql =
+    s"list_distinct(list_transform(range(1, len($WordsSql)), i -> $WordsSql[i] || ' ' || $WordsSql[i+1]))"
+
+  private val simhashSums = (1 to SimBits)
+    .map(i => s"sum(CASE WHEN substring(h, $i, 1) >= '8' THEN 1 ELSE -1 END) AS s$i")
+    .mkString(",\n         ")
+  private val simhashFp = (1 to SimBits)
+    .map(i => s"(CASE WHEN s$i >= 0 THEN '1' ELSE '0' END)")
+    .mkString(" || ")
+
+  val oracle: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT doc_id, lang, source, n_chars
+        |FROM (SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |      FROM documents) t
+        |WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
+    "q_dedup_fuzzy" ->
+      s"""SELECT doc_id, lang, source
+         |FROM (SELECT *, row_number() OVER (
+         |        PARTITION BY md5(array_to_string($WordsSql[1:8], ' '))
+         |        ORDER BY doc_id) AS rn
+         |      FROM documents) t
+         |WHERE rn = 1
+         |ORDER BY doc_id""".stripMargin,
+    "q_dedup_minhash" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest($ShinglesSql) AS shingle FROM documents
+         |), sig AS (
+         |  SELECT doc_id,
+         |         min(md5(shingle || '#0')) AS mh0, min(md5(shingle || '#1')) AS mh1,
+         |         min(md5(shingle || '#2')) AS mh2, min(md5(shingle || '#3')) AS mh3
+         |  FROM sh GROUP BY doc_id
+         |), b AS (
+         |  SELECT doc_id, unnest(['0|'||mh0||mh1, '1|'||mh2||mh3]) AS bkey FROM sig
+         |), k AS (
+         |  SELECT bkey, min(doc_id) AS bmin FROM b GROUP BY bkey
+         |)
+         |SELECT doc_id, keeper, CAST(keeper < doc_id AS INTEGER) AS is_dup
+         |FROM (SELECT b.doc_id, min(k.bmin) AS keeper
+         |      FROM b JOIN k USING (bkey) GROUP BY b.doc_id) t
+         |ORDER BY doc_id""".stripMargin,
+    "q_dedup_simhash" ->
+      s"""WITH wd AS (
+         |  SELECT doc_id, md5(unnest($WordsSql)) AS h FROM documents
+         |), sums AS (
+         |  SELECT doc_id,
+         |         $simhashSums
+         |  FROM wd GROUP BY doc_id
+         |), f AS (
+         |  SELECT doc_id, $simhashFp AS fp FROM sums
+         |), k AS (
+         |  SELECT fp, min(doc_id) AS keeper FROM f GROUP BY fp
+         |)
+         |SELECT f.doc_id, f.fp, k.keeper, CAST(k.keeper < f.doc_id AS INTEGER) AS is_dup
+         |FROM f JOIN k USING (fp)
+         |ORDER BY doc_id""".stripMargin,
+    "q_ngram_jaccard" ->
+      s"""WITH bg AS (
+         |  SELECT doc_id, lang, source, unnest($BigramsSql) AS b FROM documents
+         |), sz AS (
+         |  SELECT doc_id, count(*) AS n FROM bg GROUP BY doc_id
+         |), p AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+         |  FROM bg a JOIN bg b
+         |    ON a.b = b.b AND a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT d1, d2, inter, jaccard FROM (
+         |  SELECT d1, d2, inter,
+         |         round(inter / (sa.n + sb.n - inter), 4) AS jaccard
+         |  FROM p JOIN sz sa ON p.d1 = sa.doc_id JOIN sz sb ON p.d2 = sb.doc_id) t
+         |WHERE jaccard >= 0.05
+         |ORDER BY d1, d2""".stripMargin,
+  )
+}

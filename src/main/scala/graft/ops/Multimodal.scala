@@ -1,0 +1,88 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (north-star): image/audio/video payloads as
+  * opaque `binary` columns with typed metadata.
+  *
+  * The container has no image/audio codecs, so the *decode* step is a
+  * clearly-marked deterministic stub ([[Multimodal.decodeStub]]); the
+  * Spark-side plumbing — binary column schema, typed `Dataset` encoders,
+  * per-partition batched iteration (the JVM analogue of a
+  * `mapInPandas`/Arrow-batch UDF), partitioning — is real and oracle-tested.
+  *
+  * Scale design: decode runs per partition with no shuffle at all; a real
+  * deployment swaps `decodeStub` for a codec call and keys partitioning by
+  * storage locality. Metadata extraction stays in codegen'd expressions
+  * (`q_multimodal_meta`); only the opaque decode leaves codegen
+  * (`q_media_decode`), mirroring preference order (b) before (d).
+  */
+object Multimodal {
+
+  /** A media row: opaque payload + its id. The fixtures carry no binary
+    * columns, so payloads are synthesized from `documents.text` (utf-8). */
+  case class MediaRecord(doc_id: Long, payload: Array[Byte])
+
+  /** Typed metadata a decoder would produce. */
+  case class MediaMeta(doc_id: Long, n_bytes: Int, content_md5: String,
+                       fake_width: Int, fake_height: Int)
+
+  /** STUB decoder — stands in for an image-header parse. Deterministic
+    * function of the payload bytes only, so the DuckDB oracle can reproduce
+    * it; a real deployment replaces this body with an actual codec. */
+  private def decodeStub(id: Long, bytes: Array[Byte]): MediaMeta = {
+    val md = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    val hex = md.map(b => f"$b%02x").mkString
+    MediaMeta(id, bytes.length, hex,
+      bytes.length % 640 + 1, (bytes.length * 7) % 480 + 1)
+  }
+
+  def mediaFromDocuments(s: SparkSession, d: String): Dataset[MediaRecord] =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as(Encoders.product[MediaRecord])
+
+  /** Batched per-partition decode — the `mapPartitions` path (one decoder
+    * instance per partition, streaming iteration, no per-row setup cost). */
+  def decodeMeta(media: Dataset[MediaRecord]): Dataset[MediaMeta] =
+    media.mapPartitions { it =>
+      // per-partition setup would go here (codec handles, model weights…)
+      it.map(r => decodeStub(r.doc_id, r.payload))
+    }(Encoders.product[MediaMeta])
+
+  /** Metadata extraction as pure codegen'd expressions (no decode). */
+  def multimodalMeta(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        octet_length(col("text")).as("n_bytes"),
+        md5(col("text")).as("content_md5"),
+        (octet_length(col("text")) % 640 + 1).as("fake_width"),
+        (octet_length(col("text")) * 7 % 480 + 1).as("fake_height"))
+      .orderBy("doc_id")
+
+  /** The same metadata via the opaque per-partition decode path. */
+  def mediaDecode(s: SparkSession, d: String): DataFrame =
+    decodeMeta(mediaFromDocuments(s, d)).toDF().orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_multimodal_meta" -> (multimodalMeta _),
+    "q_media_decode"    -> (mediaDecode _),
+  )
+
+  private val MetaSql =
+    """SELECT doc_id,
+      |       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+      |       md5(text) AS content_md5,
+      |       CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS fake_width,
+      |       CAST(octet_length(encode(text)) * 7 % 480 + 1 AS INTEGER) AS fake_height
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q_multimodal_meta" -> MetaSql,
+    "q_media_decode"    -> MetaSql,
+  )
+}

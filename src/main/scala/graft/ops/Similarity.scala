@@ -1,0 +1,142 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` fixture (north-star:
+  * brute-force cosine top-k baseline + LSH-bucketed scale path +
+  * embedding near-dup).
+  *
+  * Vector arithmetic is higher-order functions over `array<float>` widened
+  * to double — codegen'd, no UDFs. Results order by the *rounded* cosine
+  * (4dp) with a vec_id tie-break so rank order is robust to last-ulp
+  * summation differences across engines.
+  *
+  * Scale design: the brute-force path broadcasts only the query set (top-k
+  * per query is a window over candidates, never a global collect). The LSH
+  * path buckets the corpus by sign bits — at 100 TB the corpus side
+  * shuffles once on the bucket key and each query only meets its bucket,
+  * the standard hash-partitioned ANN layout (a custom Catalyst strategy is
+  * deliberately unnecessary — SURVEY.md §7.5).
+  */
+object Similarity {
+
+  /** Widen float vector to double (IEEE-exact, identical in DuckDB). */
+  private def dvec(c: Column): Column = transform(c, x => x.cast("double"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def withNorm(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), col("label"), dvec(col("embedding")).as("v"))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+
+  /** Every 50th vector is a query; brute-force cosine against the full
+    * corpus, top-10 per query. */
+  def cosineTopk(s: SparkSession, d: String): DataFrame = {
+    val n = withNorm(Tables.embeddings(s, d))
+    val q = n.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qn"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
+    n.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", round(dot(col("v"), col("qv")) / (col("norm") * col("qn")), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .select(col("qid"), col("rn"), col("vec_id"), col("cos"))
+      .orderBy("qid", "rn")
+  }
+
+  private val LshBits = 8
+
+  /** Sign-bit LSH bucketing (random-hyperplane LSH specialized to axis
+    * planes): bucket = sign pattern of the first 8 dimensions; queries only
+    * compare within their bucket. The scale path for `cosineTopk`. */
+  def annLsh(s: SparkSession, d: String): DataFrame = {
+    val bucket = concat((1 to LshBits).map(i =>
+      when(element_at(col("embedding"), i) >= 0f, lit("1")).otherwise(lit("0"))): _*)
+    val n = withNorm(Tables.embeddings(s, d).withColumn("bucket", bucket)
+      .select(col("vec_id"), col("label"), col("embedding"), col("bucket")))
+    val base = Tables.embeddings(s, d).withColumn("bucket", bucket)
+      .select(col("vec_id"), dvec(col("embedding")).as("v"), col("bucket"))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+    val q = base.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qn"), col("bucket").as("qb"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
+    base.join(broadcast(q), col("bucket") === col("qb") && col("vec_id") =!= col("qid"))
+      .withColumn("cos", round(dot(col("v"), col("qv")) / (col("norm") * col("qn")), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("rn"), col("vec_id"), col("cos"))
+      .orderBy("qid", "rn")
+  }
+
+  /** Embedding near-dup: same-label pairs inside a sliding id-window whose
+    * cosine exceeds 0.3 (the fixture corpus has no planted vector dups —
+    * max pairwise cosine ≈ 0.51 — so the threshold is calibrated to flag
+    * the heavy tail). */
+  def embedNeardup(s: SparkSession, d: String): DataFrame = {
+    val n = withNorm(Tables.embeddings(s, d))
+    val a = n.select(col("vec_id").as("id1"), col("label").as("lb"), col("v").as("v1"), col("norm").as("n1"))
+    val b = n.select(col("vec_id").as("id2"), col("label").as("lb2"), col("v").as("v2"), col("norm").as("n2"))
+    a.join(b,
+        col("lb") === col("lb2") && col("id2") > col("id1") && col("id2") <= col("id1") + 50)
+      .withColumn("cos", round(dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 4))
+      .filter(col("cos") >= 0.3)
+      .select(col("id1"), col("id2"), col("lb").as("label"), col("cos"))
+      .orderBy("id1", "id2")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cosine_topk"   -> (cosineTopk _),
+    "q_ann_lsh"       -> (annLsh _),
+    "q_embed_neardup" -> (embedNeardup _),
+  )
+
+  private val NormCte =
+    """n AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+      |           sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS norm
+      |      FROM embeddings)""".stripMargin
+
+  private val LshBucketSql = (1 to LshBits)
+    .map(i => s"(CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END)")
+    .mkString(" || ")
+
+  val oracle: Map[String, String] = Map(
+    "q_cosine_topk" ->
+      s"""WITH $NormCte,
+         |q AS (SELECT vec_id AS qid, v AS qv, norm AS qn FROM n WHERE vec_id % 50 = 0),
+         |sc AS (SELECT qid, vec_id,
+         |              round(list_dot_product(v, qv) / (norm * qn), 4) AS cos
+         |       FROM n, q WHERE vec_id <> qid),
+         |r AS (SELECT qid, vec_id, cos,
+         |             CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rn
+         |      FROM sc)
+         |SELECT qid, rn, vec_id, cos FROM r WHERE rn <= 10
+         |ORDER BY qid, rn""".stripMargin,
+    "q_ann_lsh" ->
+      s"""WITH nb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |            sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS norm,
+         |            $LshBucketSql AS bucket
+         |     FROM embeddings),
+         |q AS (SELECT vec_id AS qid, v AS qv, norm AS qn, bucket AS qb FROM nb WHERE vec_id % 50 = 0),
+         |sc AS (SELECT qid, vec_id,
+         |              round(list_dot_product(v, qv) / (norm * qn), 4) AS cos
+         |       FROM nb JOIN q ON bucket = qb AND vec_id <> qid),
+         |r AS (SELECT qid, vec_id, cos,
+         |             CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rn
+         |      FROM sc)
+         |SELECT qid, rn, vec_id, cos FROM r WHERE rn <= 5
+         |ORDER BY qid, rn""".stripMargin,
+    "q_embed_neardup" ->
+      s"""WITH $NormCte
+         |SELECT a.vec_id AS id1, b.vec_id AS id2, a.label AS label,
+         |       round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 4) AS cos
+         |FROM n a JOIN n b
+         |  ON a.label = b.label AND b.vec_id > a.vec_id AND b.vec_id <= a.vec_id + 50
+         |WHERE round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 4) >= 0.3
+         |ORDER BY id1, id2""".stripMargin,
+  )
+}

@@ -1,0 +1,177 @@
+package graft.ops
+
+import graft.Tables
+import graft.functions.TextFeatures._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis family over `documents` (north-star: language-ID, quality
+  * scoring, token counting, fingerprinting, n-gram stats).
+  *
+  * Extends the reference's word-frequency flagship
+  * (`demo-etl-2a-notebook.py:53-56`) with the per-document text features a
+  * training-data pipeline needs. All per-doc features are higher-order
+  * functions inside one codegen'd projection — zero shuffles except
+  * `q_ngram_stats`' final group-count; at 100 TB these are embarrassingly
+  * parallel map stages.
+  */
+object TextAnalysis {
+
+  def ngramStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(bigrams(words(col("text")))).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("bigram").asc)
+
+  private val Markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a"),
+    "fr" -> Seq("le", "la", "et"),
+    "es" -> Seq("el", "los", "y"),
+    "de" -> Seq("der", "und"),
+    "zh" -> Seq("de", "le"), // pinyin-ish particles; zh fixtures are word soup
+  )
+
+  /** Marker-word language-ID heuristic: count stopword hits per language,
+    * argmax with a fixed precedence for ties. (The fixture texts are a
+    * shared synthetic vocabulary, so this measures the *operator*, not a
+    * real classifier — deterministic and oracle-comparable.) */
+  def langId(s: SparkSession, d: String): DataFrame = {
+    val w = words(col("text"))
+    def score(ms: Seq[String]): Column =
+      size(filter(w, x => x.isin(ms.map(m => m: Any): _*)))
+    val scored = Tables.documents(s, d).select(
+      (col("doc_id") +: col("lang") +:
+        Markers.map { case (l, ms) => score(ms).as(s"s_$l") }): _*)
+    val best = Markers.map { case (l, _) => col(s"s_$l") }
+    val pred = Markers.foldLeft(lit(null).cast("string")) { case (acc, (l, _)) =>
+      when(acc.isNotNull, acc).otherwise(
+        when(col(s"s_$l") === greatest(best: _*), lit(l)))
+    }
+    scored
+      .withColumn("pred", pred)
+      .withColumn("correct", (col("pred") === col("lang")).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  private val Stopwords = Seq("the", "a", "of")
+
+  /** Quality scoring: stopword ratio, avg word length, length saturation —
+    * the length/punct/stopword heuristics of C4-style corpus filtering. */
+  def qualityScore(s: SparkSession, d: String): DataFrame = {
+    val w = words(col("text"))
+    val nWords = size(w)
+    val nCharsNoSpace = length(regexp_replace(col("text"), " ", ""))
+    val stopCnt = size(filter(w, x => x.isin(Stopwords.map(m => m: Any): _*)))
+    val avgWl = nCharsNoSpace / nWords
+    val stopRatio = stopCnt / nWords
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      nWords.as("n_words"),
+      stopCnt.as("stop_cnt"),
+      round(avgWl, 4).as("avg_word_len"),
+      round(stopRatio, 4).as("stop_ratio"),
+      round(
+        lit(0.4) * stopRatio
+          + lit(0.3) / (lit(1.0) + abs(avgWl - lit(5.0)))
+          + lit(0.3) * least(lit(1.0), nWords / lit(100.0)),
+        4).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Token counting: whitespace tokens, BPE-ish regex tokens, distinct
+    * token (vocabulary) count. */
+  def tokenCount(s: SparkSession, d: String): DataFrame = {
+    val w = words(col("text"))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(w).as("ws_tokens"),
+      size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+        .as("re_tokens"),
+      size(array_distinct(w)).as("vocab"))
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprinting: min-hash-of-shingles (winnowing-style content
+    * fingerprint) + a prefix hash. */
+  def docFingerprint(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles3(words(col("text")), col("text"))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      array_min(transform(sh, x => md5(x))).as("fp_min"),
+      md5(substring(col("text"), 1, 64)).as("fp_prefix"),
+      size(sh).as("n_shingles"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ngram_stats"     -> (ngramStats _),
+    "q_lang_id"         -> (langId _),
+    "q_quality_score"   -> (qualityScore _),
+    "q_token_count"     -> (tokenCount _),
+    "q_doc_fingerprint" -> (docFingerprint _),
+  )
+
+  private val WordsSql = "string_split(text, ' ')"
+  private val BigramsSql =
+    s"list_transform(range(1, len($WordsSql)), i -> $WordsSql[i] || ' ' || $WordsSql[i+1])"
+  private val ShinglesSql =
+    s"""CASE WHEN len($WordsSql) >= 3
+       | THEN list_transform(range(1, len($WordsSql) - 1),
+       |        i -> $WordsSql[i] || ' ' || $WordsSql[i+1] || ' ' || $WordsSql[i+2])
+       | ELSE [text] END""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q_ngram_stats" ->
+      s"""SELECT bigram, count(*) AS cnt
+         |FROM (SELECT unnest($BigramsSql) AS bigram FROM documents) t
+         |GROUP BY bigram
+         |ORDER BY cnt DESC, bigram ASC""".stripMargin,
+    "q_lang_id" ->
+      s"""WITH sc AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(list_filter($WordsSql, w -> w IN ('the','a'))) AS INTEGER) AS s_en,
+         |    CAST(len(list_filter($WordsSql, w -> w IN ('le','la','et'))) AS INTEGER) AS s_fr,
+         |    CAST(len(list_filter($WordsSql, w -> w IN ('el','los','y'))) AS INTEGER) AS s_es,
+         |    CAST(len(list_filter($WordsSql, w -> w IN ('der','und'))) AS INTEGER) AS s_de,
+         |    CAST(len(list_filter($WordsSql, w -> w IN ('de','le'))) AS INTEGER) AS s_zh
+         |  FROM documents)
+         |SELECT doc_id, lang, s_en, s_fr, s_es, s_de, s_zh,
+         |  CASE WHEN s_en = greatest(s_en, s_fr, s_es, s_de, s_zh) THEN 'en'
+         |       WHEN s_fr = greatest(s_en, s_fr, s_es, s_de, s_zh) THEN 'fr'
+         |       WHEN s_es = greatest(s_en, s_fr, s_es, s_de, s_zh) THEN 'es'
+         |       WHEN s_de = greatest(s_en, s_fr, s_es, s_de, s_zh) THEN 'de'
+         |       ELSE 'zh' END AS pred,
+         |  CAST((CASE WHEN s_en = greatest(s_en, s_fr, s_es, s_de, s_zh) THEN 'en'
+         |       WHEN s_fr = greatest(s_en, s_fr, s_es, s_de, s_zh) THEN 'fr'
+         |       WHEN s_es = greatest(s_en, s_fr, s_es, s_de, s_zh) THEN 'es'
+         |       WHEN s_de = greatest(s_en, s_fr, s_es, s_de, s_zh) THEN 'de'
+         |       ELSE 'zh' END) = lang AS INTEGER) AS correct
+         |FROM sc
+         |ORDER BY doc_id""".stripMargin,
+    "q_quality_score" ->
+      s"""SELECT doc_id,
+         |  CAST(len($WordsSql) AS INTEGER) AS n_words,
+         |  CAST(len(list_filter($WordsSql, w -> w IN ('the','a','of'))) AS INTEGER) AS stop_cnt,
+         |  round(length(replace(text, ' ', '')) / len($WordsSql), 4) AS avg_word_len,
+         |  round(len(list_filter($WordsSql, w -> w IN ('the','a','of'))) / len($WordsSql), 4) AS stop_ratio,
+         |  round(0.4 * (len(list_filter($WordsSql, w -> w IN ('the','a','of'))) / len($WordsSql))
+         |      + 0.3 / (1.0 + abs(length(replace(text, ' ', '')) / len($WordsSql) - 5.0))
+         |      + 0.3 * least(1.0, len($WordsSql) / 100.0), 4) AS quality
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin,
+    "q_token_count" ->
+      s"""SELECT doc_id,
+         |  CAST(len($WordsSql) AS INTEGER) AS ws_tokens,
+         |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS re_tokens,
+         |  CAST(len(list_distinct($WordsSql)) AS INTEGER) AS vocab
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin,
+    "q_doc_fingerprint" ->
+      s"""SELECT doc_id,
+         |  list_aggregate(list_transform($ShinglesSql, x -> md5(x)), 'min') AS fp_min,
+         |  md5(substring(text, 1, 64)) AS fp_prefix,
+         |  CAST(len($ShinglesSql) AS INTEGER) AS n_shingles
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin,
+  )
+}
