@@ -2,8 +2,9 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev-only probe main: checks Spark can read the ns-precision events
-  * parquet and prints schemas. Not part of the driver contract.
+/** Dev-only probe main: drives the non-query library surfaces (pipeline,
+  * streaming) end-to-end the way a consumer of the package would. Not part
+  * of the driver contract.
   */
 object Probe {
   def main(args: Array[String]): Unit = {
@@ -15,14 +16,22 @@ object Probe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val d = "/root/testdata/sf0.001"
-    try {
-      val ev = Tables.events(spark, d)
-      ev.printSchema()
-      ev.show(3, truncate = false)
-      println("events read OK, count=" + ev.count())
-    } catch {
-      case e: Throwable => println("EVENTS READ FAILED: " + e)
-    }
+
+    // two-stage manifest pipeline → KV sink
+    val work = java.nio.file.Files.createTempDirectory("graft_probe").toString
+    val n = pipeline.Pipeline.runWordCountPipeline(spark, d, work, "20240101_120000")
+    println(s"pipeline: $n kv items written under $work/kv_table")
+    println("latest run: " + pipeline.Pipeline.latestRun(s"$work/analysis_results"))
+    val kv = java.nio.file.Files.list(java.nio.file.Paths.get(s"$work/kv_table"))
+    println("kv files: " + kv.count())
+
+    // streaming tumbling counts via memory sink
+    val q = streaming.Streams.tumblingCounts(streaming.Streams.eventsStream(spark, d))
+      .writeStream.outputMode("complete").format("memory").queryName("probe_out").start()
+    q.processAllAvailable(); q.stop()
+    println("streaming rows: " + spark.table("probe_out").count())
+    spark.table("probe_out").orderBy("hour_start", "event_type").show(5, truncate = false)
+
     spark.stop()
   }
 }

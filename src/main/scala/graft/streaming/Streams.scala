@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (SURVEY.md §1.1 "time-series/streaming" row).
+  *
+  * The reference never streams — its raw bucket has EventBridge enabled but
+  * unwired (`demo2a-stack.ts:19`), so streaming is declared headroom. These
+  * are the `readStream` formulations of the batch event-time queries in
+  * [[graft.ops.EventTime]]: same logical plans, incremental execution, with
+  * watermarked state cleanup so state size is bounded at 100 TB/day rates.
+  * Verified in batch-equivalence smoke tests (memory sink +
+  * `processAllAvailable`), per SURVEY.md §2b footer — the batch queries are
+  * the oracle.
+  */
+object Streams {
+
+  /** The events schema as physically stored (ts is int64 nanos in parquet;
+    * streaming reads require an explicit schema, which also sidesteps the
+    * TIMESTAMP(NANOS) rejection the batch reader needs a conf for). */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming source over the events directory, ts converted to a proper
+    * microsecond timestamp. */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventsRawSchema)
+      .option("pathGlobFilter", "events.parquet") // the fixture dir holds one file per table
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling 1-hour counts with a 1-hour watermark — the streaming twin of
+    * `EventTime.tumblingWindow`. Watermark bounds the state store: windows
+    * older than (max event time − 1h) are finalized and evicted. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast(DecimalType(24, 6))).cast("double").as("sum_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("cnt"), col("sum_value"))
+
+  case class UserEvent(user_id: Long, event_id: Long, tsMicros: Long)
+  case class UserSessionState(sessionStartMicros: Long, lastMicros: Long, nEvents: Long)
+  case class SessionSummary(user_id: Long, n_events: Long,
+                            start_micros: Long, end_micros: Long)
+
+  private val GapMicros = 1800L * 1000 * 1000
+
+  /** Custom sessionization state machine via flatMapGroupsWithState — the
+    * streaming twin of `EventTime.sessionWindow` (gap = 30 min). Emits a
+    * summary each time a gap closes a session; with `idleTimeout` set, a
+    * processing-time timeout flushes the trailing open session (production
+    * mode — leave unset for deterministic batch-driven tests, where
+    * timeout-due batches would keep `processAllAvailable` spinning). */
+  def sessionize(events: Dataset[UserEvent],
+                 idleTimeout: Option[String] = None): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserSessionState, SessionSummary](
+        OutputMode.Append(), timeoutConf) {
+        (userId: Long, rows: Iterator[UserEvent], state: GroupState[UserSessionState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(st =>
+              SessionSummary(userId, st.nEvents, st.sessionStartMicros, st.lastMicros))
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.tsMicros, e.event_id))
+            var st = state.getOption.orNull
+            val closed = Seq.newBuilder[SessionSummary]
+            sorted.foreach { e =>
+              st match {
+                case null =>
+                  st = UserSessionState(e.tsMicros, e.tsMicros, 1)
+                case s if e.tsMicros - s.lastMicros > GapMicros =>
+                  closed += SessionSummary(userId, s.nEvents, s.sessionStartMicros, s.lastMicros)
+                  st = UserSessionState(e.tsMicros, e.tsMicros, 1)
+                case s =>
+                  st = s.copy(lastMicros = e.tsMicros, nEvents = s.nEvents + 1)
+              }
+            }
+            if (st != null) {
+              state.update(st)
+              idleTimeout.foreach(state.setTimeoutDuration)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

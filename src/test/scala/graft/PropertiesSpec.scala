@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Oracle-free invariants (SURVEY.md §5.3): conservation laws, ordering
+  * laws, and tolerance checks that hold regardless of data. */
+class PropertiesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.session
+  private val sf = TestSpark.Sf
+
+  test("word_count conserves total token count") {
+    val wc = ops.Relational.wordCount(spark, sf)
+    val sumCounts = wc.agg(sum("cnt")).head.getLong(0)
+    val totalTokens = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "").count()
+    assert(sumCounts === totalTokens)
+  }
+
+  test("sort_limit is a prefix of the full descending sort") {
+    val top = ops.Relational.sortLimit(spark, sf).collect().map(_.getDouble(2))
+    assert(top.length === 100)
+    assert(top.sameElements(top.sortBy(-_)), "limit output not sorted desc")
+    val globalMax = Tables.orders(spark, sf).agg(max("o_totalprice")).head.getDouble(0)
+    assert(top.head === globalMax)
+  }
+
+  test("set-operation cardinality laws") {
+    val nc = Tables.customer(spark, sf).count()
+    val no = Tables.orders(spark, sf).count()
+    assert(ops.Relational.unionAll(spark, sf).count() === nc + no)
+    assert(ops.Relational.intersectKeys(spark, sf).count() <= nc)
+    val exceptKeys = ops.Relational.exceptKeys(spark, sf)
+    val pCust = Tables.orders(spark, sf).filter(col("o_orderstatus") === "P")
+      .select(col("o_custkey").as("k")).distinct()
+    assert(exceptKeys.join(pCust, "k", "inner").count() === 0)
+  }
+
+  test("dedup outputs have unique keys and minimal survivors") {
+    val exact = ops.Dedup.dedupExact(spark, sf)
+    assert(exact.count() === exact.select("doc_id").distinct().count())
+    val mh = ops.Dedup.dedupMinhash(spark, sf)
+    assert(mh.filter(col("keeper") > col("doc_id")).count() === 0,
+      "keeper must be <= doc_id")
+    assert(mh.filter(col("is_dup") === 0 && col("keeper") =!= col("doc_id")).count() === 0)
+    val sh = ops.Dedup.dedupSimhash(spark, sf)
+    assert(sh.filter(length(col("fp")) =!= 16).count() === 0)
+  }
+
+  test("cosine results are valid similarities with dense ranks") {
+    val topk = ops.Similarity.cosineTopk(spark, sf)
+    assert(topk.filter(col("cos") > 1.0001 || col("cos") < -1.0001).count() === 0)
+    assert(topk.filter(col("qid") === col("vec_id")).count() === 0, "query matched itself")
+    val ranks = topk.groupBy("qid").agg(max("rn").as("mx"), count(lit(1)).as("n"))
+    assert(ranks.filter(col("mx") =!= col("n")).count() === 0, "ranks not consecutive")
+  }
+
+  test("approx_count_distinct within 5% of exact") {
+    val approx = ops.Aggregations.approxDistinct(spark, sf)
+      .select("event_type", "approx_users").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.events(spark, sf)
+      .groupBy("event_type").agg(countDistinct("user_id").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (t, n) =>
+      val a = approx(t)
+      assert(math.abs(a - n).toDouble / n <= 0.05, s"$t: approx $a vs exact $n")
+    }
+  }
+
+  test("session windows conserve events per user") {
+    val sessions = ops.EventTime.sessionWindow(spark, sf)
+    val perUserSessions = sessions.groupBy("user_id").agg(sum("n_events").as("n"))
+    val perUserEvents = Tables.events(spark, sf).groupBy("user_id").agg(count(lit(1)).as("m"))
+    val joined = perUserSessions.join(perUserEvents, "user_id")
+    assert(joined.filter(col("n") =!= col("m")).count() === 0)
+  }
+
+  test("topk_per_group returns at most 3 per group, correctly ordered") {
+    val tk = ops.Windows.topkPerGroup(spark, sf)
+    val over = tk.groupBy("l_suppkey").agg(count(lit(1)).as("n")).filter(col("n") > 3)
+    assert(over.count() === 0)
+    val bad = tk.filter(col("rn") > 3)
+    assert(bad.count() === 0)
+  }
+}

@@ -1,0 +1,50 @@
+package graft
+
+import graft.streaming.Streams
+import graft.streaming.Streams.{SessionSummary, UserEvent}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming-vs-batch equivalence (SURVEY.md §2b footer: the batch
+  * event-time queries are the oracle for the streaming twins). */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.session
+  private val sf = TestSpark.Sf
+
+  test("streaming tumbling counts equal the batch formulation") {
+    val agg = Streams.tumblingCounts(Streams.eventsStream(spark, sf))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("tumbling_out").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("tumbling_out")
+      .select(date_format(col("hour_start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("event_type"), col("cnt"), col("sum_value"))
+      .collect().map(_.toSeq).toSet
+    val batch = ops.EventTime.tumblingWindow(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(streamed === batch)
+  }
+
+  test("flatMapGroupsWithState sessionization closes sessions on gaps") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[UserEvent]
+    val hour = 3600L * 1000 * 1000
+    ms.addData(
+      UserEvent(1, 1, 0), UserEvent(1, 2, 10 * 60 * 1000 * 1000L), // session 1: 2 events
+      UserEvent(1, 3, 2 * hour),                                   // closes s1, opens s2
+      UserEvent(1, 4, 5 * hour),                                   // closes s2, opens s3
+      UserEvent(2, 5, 0))                                          // user 2, stays open
+    val out = Streams.sessionize(ms.toDS())
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sessions_out").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val closed = spark.table("sessions_out").as[SessionSummary].collect().toSet
+    assert(closed === Set(
+      SessionSummary(1, 2, 0, 10 * 60 * 1000 * 1000L),
+      SessionSummary(1, 1, 2 * hour, 2 * hour)))
+  }
+}
