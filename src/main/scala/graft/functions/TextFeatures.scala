@@ -16,21 +16,15 @@ object TextFeatures {
     * `split(df.review_body, " ")`, demo-etl-2a-notebook.py:53). */
   def words(text: Column): Column = split(text, " ")
 
-  /** Adjacent word pairs; empty array for single-word docs.
-    * `slice(w, 1, 0)` is the typed empty-array literal. */
-  def bigrams(w: Column): Column =
-    when(size(w) > 1,
-      transform(sequence(lit(1), size(w) - 1),
-        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
-      .otherwise(slice(w, 1, 0))
+  /** Adjacent word pairs; empty array for single-word docs. Compiled
+    * [[StringNgrams]] expression — the interpreted HOF formulation was the
+    * dominant cost of every documents-table query. */
+  def bigrams(w: Column): Column = StringNgrams.ngrams(w, 2)
 
   /** 3-word shingles; docs shorter than 3 words contribute themselves as a
     * single shingle (keeps every doc represented in minhash signatures). */
   def shingles3(w: Column, text: Column): Column =
-    when(size(w) >= 3,
-      transform(sequence(lit(1), size(w) - 2),
-        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))
-      .otherwise(array(text))
+    when(size(w) >= 3, StringNgrams.ngrams(w, 3)).otherwise(array(text))
 
   /** Seeded string minhash: MIN over md5(shingle + "#" + seed). Lexicographic
     * MIN over the hex digest == numeric MIN over the 128-bit hash (hex

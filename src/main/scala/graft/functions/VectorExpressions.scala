@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst expression for float-vector dot products (builder-prompt
+  * preference order (b): a codegen'd `Expression` beats the interpreted
+  * higher-order-function formulation `aggregate(zip_with(...))`, which
+  * evaluates a lambda per element per row).
+  *
+  * Semantics: each float is widened to double (IEEE-exact) and products are
+  * accumulated left-to-right — bit-identical to the HOF fold it replaces and
+  * to the DuckDB oracle's `list_dot_product(CAST(v AS DOUBLE[]), ...)`, so
+  * swapping it in changes plans, not results. Null if either array is null;
+  * array lengths are expected equal (fixture vectors are fixed-dim 64).
+  */
+case class FloatVectorDot(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FloatVectorDot =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorExpressions {
+  /** Dot product of two `array<float>` columns, accumulated in double. */
+  def floatDot(a: Column, b: Column): Column =
+    Bridge.column(FloatVectorDot(Bridge.expression(a), Bridge.expression(b)))
+}

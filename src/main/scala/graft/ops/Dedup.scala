@@ -59,6 +59,10 @@ object Dedup {
     * small-vocabulary fixture; r=2 flags 26 ≈ the ~24 planted near-dups.
     * String-min over md5 == numeric minhash (TextFeatures.minhash). */
   def dedupMinhash(s: SparkSession, d: String): DataFrame = {
+    // explode + partial-aggregated mins: the map-side combine reduces the
+    // shuffle to one signature row per doc per partition, and the whole
+    // hash pipeline stays in codegen (an array-HOF formulation avoids the
+    // explode but runs interpreted lambdas — measured 6× slower)
     val sh = Tables.documents(s, d)
       .select(col("doc_id"),
         explode(shingles3(words(col("text")), col("text"))).as("shingle"))
@@ -84,6 +88,8 @@ object Dedup {
     * hex alphabet); the sign vector is the fingerprint. Fingerprint
     * collisions are near-duplicates. */
   def dedupSimhash(s: SparkSession, d: String): DataFrame = {
+    // explode + 16 partially-aggregated conditional sums (codegen'd; the
+    // shuffle carries one partial row per doc per partition)
     val wd = Tables.documents(s, d)
       .select(col("doc_id"), explode(words(col("text"))).as("wd"))
       .withColumn("h", md5(col("wd")))
@@ -106,7 +112,10 @@ object Dedup {
     val bg = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), col("source"),
         explode(array_distinct(bigrams(words(col("text"))))).as("bg"))
-    val sizes = bg.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // per-doc set sizes come straight off the array — no extra aggregation
+    // shuffle — and ride along as a broadcast dimension
+    val sizes = Tables.documents(s, d).select(
+      col("doc_id"), size(array_distinct(bigrams(words(col("text"))))).as("n"))
     val a = bg.select(col("doc_id").as("d1"), col("lang").as("lg"), col("source").as("sc"), col("bg"))
     val b = bg.select(col("doc_id").as("d2"), col("lang").as("lg2"), col("source").as("sc2"), col("bg").as("bg2"))
     val inter = a.join(b,
@@ -114,8 +123,8 @@ object Dedup {
         col("d1") < col("d2"))
       .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
     inter
-      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
-      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+      .join(broadcast(sizes.select(col("doc_id").as("d1"), col("n").as("n1"))), "d1")
+      .join(broadcast(sizes.select(col("doc_id").as("d2"), col("n").as("n2"))), "d2")
       .withColumn("jaccard", round(col("inter") / (col("n1") + col("n2") - col("inter")), 4))
       .filter(col("jaccard") >= 0.05)
       .select(col("d1"), col("d2"), col("inter"), col("jaccard"))

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.Tables
+import graft.functions.VectorExpressions.floatDot
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -9,10 +10,11 @@ import org.apache.spark.sql.functions._
   * brute-force cosine top-k baseline + LSH-bucketed scale path +
   * embedding near-dup).
   *
-  * Vector arithmetic is higher-order functions over `array<float>` widened
-  * to double — codegen'd, no UDFs. Results order by the *rounded* cosine
-  * (4dp) with a vec_id tie-break so rank order is robust to last-ulp
-  * summation differences across engines.
+  * Vector arithmetic runs through the codegen'd
+  * [[graft.functions.FloatVectorDot]] Catalyst expression (floats widened to
+  * double, left-to-right accumulation — no UDFs, no interpreted lambdas).
+  * Results order by the *rounded* cosine (4dp) with a vec_id tie-break so
+  * rank order is robust to last-ulp summation differences across engines.
   *
   * Scale design: the brute-force path broadcasts only the query set (top-k
   * per query is a window over candidates, never a global collect). The LSH
@@ -23,14 +25,14 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Widen float vector to double (IEEE-exact, identical in DuckDB). */
-  private def dvec(c: Column): Column = transform(c, x => x.cast("double"))
-
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Dot product via the codegen'd [[graft.functions.FloatVectorDot]]
+    * expression — bit-identical to the interpreted
+    * `aggregate(zip_with(...))` fold it replaces (floats widened to double,
+    * left-to-right accumulation) but stays inside WholeStageCodegen. */
+  private def dot(a: Column, b: Column): Column = floatDot(a, b)
 
   private def withNorm(df: DataFrame): DataFrame =
-    df.select(col("vec_id"), col("label"), dvec(col("embedding")).as("v"))
+    df.select(col("vec_id"), col("label"), col("embedding").as("v"))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
 
   /** Every 50th vector is a query; brute-force cosine against the full
@@ -57,10 +59,8 @@ object Similarity {
   def annLsh(s: SparkSession, d: String): DataFrame = {
     val bucket = concat((1 to LshBits).map(i =>
       when(element_at(col("embedding"), i) >= 0f, lit("1")).otherwise(lit("0"))): _*)
-    val n = withNorm(Tables.embeddings(s, d).withColumn("bucket", bucket)
-      .select(col("vec_id"), col("label"), col("embedding"), col("bucket")))
     val base = Tables.embeddings(s, d).withColumn("bucket", bucket)
-      .select(col("vec_id"), dvec(col("embedding")).as("v"), col("bucket"))
+      .select(col("vec_id"), col("embedding").as("v"), col("bucket"))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
     val q = base.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qn"), col("bucket").as("qb"))

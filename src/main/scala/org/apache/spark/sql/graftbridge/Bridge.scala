@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ⇄ Expression bridge. Spark 4 made `ExpressionUtils` (and the
+  * Column(ColumnNode) constructor path) `private[sql]`, so extension
+  * libraries embedding custom Catalyst expressions expose them through a
+  * shim inside the `org.apache.spark.sql` package namespace — the standard
+  * pattern for Spark-native extension jars.
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
