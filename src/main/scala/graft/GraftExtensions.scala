@@ -1,0 +1,51 @@
+package graft
+
+import graft.functions.{FloatVectorDot, StringNgrams}
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graftbridge.Bridge
+
+/** SparkSessionExtensions entry point: exposes the engine's native Catalyst
+  * expressions to SQL users.
+  *
+  * Build-time: `--conf spark.sql.extensions=graft.GraftExtensions` (or
+  * `.withExtensions(new GraftExtensions)`). Live sessions (tests, the
+  * driver-owned Verify/Bench sessions) use [[GraftExtensions.register]].
+  *
+  *  - `float_dot(a, b)` — codegen'd float-vector dot product in double.
+  *  - `ngrams_ws(words, n)` — space-joined word n-grams (compiled loop).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((FunctionIdentifier("float_dot"),
+      GraftExtensions.info("float_dot", "float_dot(a, b) - dot product of two float arrays, accumulated in double"),
+      GraftExtensions.floatDotBuilder))
+    e.injectFunction((FunctionIdentifier("ngrams_ws"),
+      GraftExtensions.info("ngrams_ws", "ngrams_ws(words, n) - space-joined word n-grams"),
+      GraftExtensions.ngramsBuilder))
+  }
+}
+
+object GraftExtensions {
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  private val floatDotBuilder: Seq[Expression] => Expression =
+    args => FloatVectorDot(args(0), args(1))
+
+  private val ngramsBuilder: Seq[Expression] => Expression = args => {
+    val n = args(1).eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => sys.error(s"ngrams_ws: n must be a literal integer, got $other")
+    }
+    StringNgrams(args(0), n)
+  }
+
+  /** Register both functions on an already-built session. */
+  def register(spark: SparkSession): Unit = {
+    Bridge.registerFunction(spark, "float_dot", floatDotBuilder)
+    Bridge.registerFunction(spark, "ngrams_ws", ngramsBuilder)
+  }
+}

@@ -25,6 +25,19 @@ object Probe {
     val kv = java.nio.file.Files.list(java.nio.file.Paths.get(s"$work/kv_table"))
     println("kv files: " + kv.count())
 
+    // SQL surface of the native expressions
+    GraftExtensions.register(spark)
+    Tables.embeddings(spark, d).createOrReplaceTempView("emb")
+    spark.sql("SELECT vec_id, round(float_dot(embedding, embedding), 4) AS sq FROM emb ORDER BY vec_id LIMIT 3").show()
+    Tables.documents(spark, d).createOrReplaceTempView("docs")
+    spark.sql("SELECT doc_id, ngrams_ws(split(text, ' '), 3)[1] AS first_trigram FROM docs ORDER BY doc_id LIMIT 3").show(truncate = false)
+
+    // TSV ingestion path (reference R1): write then re-read with inference
+    val tsvDir = work + "/docs_tsv"
+    sources.Formats.writeTsv(Tables.documents(spark, d).select("doc_id", "lang"), tsvDir)
+    val back = sources.Formats.readTsvInferred(spark, tsvDir)
+    println("tsv roundtrip rows: " + back.count() + ", schema: " + back.schema.simpleString)
+
     // streaming tumbling counts via memory sink
     val q = streaming.Streams.tumblingCounts(streaming.Streams.eventsStream(spark, d))
       .writeStream.outputMode("complete").format("memory").queryName("probe_out").start()

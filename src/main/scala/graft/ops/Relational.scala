@@ -79,8 +79,15 @@ object Relational {
         .select(col("o_custkey").as("k")))
       .orderBy("k")
 
+  /** R16/R17 sink shape: word counts as key-value items
+    * (`process_tsv.py:81-87`), minus the wall-clock timestamp for
+    * determinism (SURVEY.md §7.4). */
+  def kvItems(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.Pipeline.kvItems(wordCount(s, d)).orderBy("id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_word_count"   -> (wordCount _),
+    "q_kv_items"     -> (kvItems _),
     "q_scan_project" -> (scanProject _),
     "q_filter_pred"  -> (filterPred _),
     "q_sort_limit"   -> (sortLimit _),
@@ -96,6 +103,12 @@ object Relational {
         |WHERE word <> ''
         |GROUP BY word
         |ORDER BY cnt DESC, word ASC""".stripMargin,
+    "q_kv_items" ->
+      """SELECT 'word_' || word AS id, word, CAST(cnt AS INTEGER) AS count
+        |FROM (SELECT word, count(*) AS cnt
+        |      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+        |      WHERE word <> '' GROUP BY word)
+        |ORDER BY id""".stripMargin,
     "q_scan_project" ->
       """SELECT l_orderkey, l_linenumber,
         |       CAST(floor(l_quantity) AS BIGINT) AS qty_int,

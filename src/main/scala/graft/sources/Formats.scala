@@ -1,0 +1,48 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink formats (SURVEY.md R1/R10/R11/R13).
+  *
+  * The reference ingests tab-separated text with a header and an inferred
+  * all-string schema (`demo-etl-2a-notebook.py:25-35`) and persists Parquet
+  * (`:86`). This module carries both the reference's inference path and the
+  * production path (explicit `StructType` — at 100 TB schema inference is a
+  * full extra pass over the data and is never what you want).
+  */
+object Formats {
+
+  /** R1, reference-faithful: header + tab separator, all columns read as
+    * strings via inference (Glue's csv DynamicFrame behavior). */
+  def readTsvInferred(s: SparkSession, path: String): DataFrame =
+    s.read.option("header", "true").option("sep", "\t")
+      .option("inferSchema", "true").csv(path)
+
+  /** R1, production: explicit schema — single pass, no inference job. */
+  def readTsv(s: SparkSession, path: String, schema: StructType): DataFrame =
+    s.read.option("header", "true").option("sep", "\t").schema(schema).csv(path)
+
+  def writeTsv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("header", "true").option("sep", "\t").csv(path)
+
+  /** JSON-lines source with explicit schema (no inference pass). */
+  def readJsonl(s: SparkSession, path: String, schema: StructType): DataFrame =
+    s.read.schema(schema).json(path)
+
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  /** R10/R13: columnar at rest. */
+  def readParquet(s: SparkSession, path: String): DataFrame = s.read.parquet(path)
+
+  def writeParquet(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** ORC round-trip — second columnar format for source breadth. */
+  def readOrc(s: SparkSession, path: String): DataFrame = s.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+}

@@ -1,0 +1,63 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.Formats
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** TSV/JSONL/ORC source round-trips (SURVEY.md R1) and the SQL surface of
+  * the native expressions. */
+class SourcesAndExtensionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.session
+  private val sf = TestSpark.Sf
+
+  test("TSV round-trip preserves documents (reference ingestion path)") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text", "lang")
+    val dir = Files.createTempDirectory("graft_tsv").toString + "/docs"
+    Formats.writeTsv(docs, dir)
+
+    val inferred = Formats.readTsvInferred(spark, dir)
+    assert(inferred.count() === docs.count())
+    assert(inferred.columns.toSeq === Seq("doc_id", "text", "lang"))
+
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType), StructField("lang", StringType)))
+    val explicit = Formats.readTsv(spark, dir, schema)
+    val back = explicit.orderBy("doc_id").collect().map(_.toSeq)
+    val orig = docs.orderBy("doc_id").collect().map(_.toSeq)
+    assert(back.sameElements(orig))
+  }
+
+  test("JSONL and ORC round-trips preserve rows") {
+    val ev = Tables.events(spark, sf).select("event_id", "event_type", "value")
+    val base = Files.createTempDirectory("graft_fmt").toString
+    Formats.writeJsonl(ev, s"$base/jsonl")
+    val schema = StructType(Seq(StructField("event_id", LongType),
+      StructField("event_type", StringType), StructField("value", DoubleType)))
+    assert(Formats.readJsonl(spark, s"$base/jsonl", schema).count() === ev.count())
+    Formats.writeOrc(ev, s"$base/orc")
+    assert(Formats.readOrc(spark, s"$base/orc").count() === ev.count())
+  }
+
+  test("float_dot and ngrams_ws are callable from SQL and match the Column API") {
+    GraftExtensions.register(spark)
+    Tables.embeddings(spark, sf).createOrReplaceTempView("emb_ext")
+    val viaSql = spark.sql(
+      "SELECT vec_id, float_dot(embedding, embedding) AS d FROM emb_ext ORDER BY vec_id LIMIT 5")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val viaApi = Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        graft.functions.VectorExpressions.floatDot(col("embedding"), col("embedding")).as("d"))
+      .orderBy("vec_id").limit(5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(viaSql.sameElements(viaApi))
+
+    Tables.documents(spark, sf).createOrReplaceTempView("docs_ext")
+    val tri = spark.sql(
+      "SELECT ngrams_ws(split(text, ' '), 3) AS g FROM docs_ext WHERE doc_id = 0")
+      .head.getSeq[String](0)
+    assert(tri.nonEmpty && tri.head.split(" ").length === 3)
+  }
+}
