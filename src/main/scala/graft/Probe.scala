@@ -38,6 +38,20 @@ object Probe {
     val back = sources.Formats.readTsvInferred(spark, tsvDir)
     println("tsv roundtrip rows: " + back.count() + ", schema: " + back.schema.simpleString)
 
+    // partitioning strategies: salted skew join + bucketed co-located join
+    import org.apache.spark.sql.functions.col
+    val ordersK = Tables.orders(spark, d).select(col("o_custkey").as("k"), col("o_orderkey"))
+    val custK = Tables.customer(spark, d).select(col("c_custkey").as("k"), col("c_mktsegment"))
+    println("salted join rows: " + ops.Partitioning.saltedJoin(ordersK, custK, "k", 4).count()
+      + " (plain: " + ordersK.join(custK, Seq("k")).count() + ")")
+    ops.Partitioning.writeBucketed(ordersK, "probe_orders", s"$work/bo", "k", 4)
+    ops.Partitioning.writeBucketed(custK, "probe_cust", s"$work/bc", "k", 4)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val bj = ops.Partitioning.bucketedJoin(spark, "probe_orders", "probe_cust", "k")
+    println("bucketed join rows: " + bj.count() + ", shuffle-free: "
+      + !bj.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
     // streaming tumbling counts via memory sink
     val q = streaming.Streams.tumblingCounts(streaming.Streams.eventsStream(spark, d))
       .writeStream.outputMode("complete").format("memory").queryName("probe_out").start()

@@ -1,0 +1,67 @@
+package graft
+
+import graft.functions.{FloatVectorDot, StringNgrams}
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, FloatType, StringType}
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+/** Property-based checks (SURVEY.md §5.3) for the native Catalyst
+  * expressions, evaluated directly against naive reference implementations —
+  * no SparkSession needed. */
+object ExpressionProps extends Properties("graft.expressions") {
+
+  private val word: Gen[String] = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+  private val wordsGen: Gen[List[String]] = Gen.listOfN(30, word).flatMap(l =>
+    Gen.choose(0, 30).map(l.take))
+
+  private def ngramsNaive(ws: List[String], n: Int): List[String] =
+    if (ws.length < n) Nil else ws.sliding(n).map(_.mkString(" ")).toList
+
+  property("StringNgrams equals naive sliding join") =
+    forAll(wordsGen, Gen.choose(1, 4)) { (ws, n) =>
+      val lit = Literal.create(ws.toArray, ArrayType(StringType))
+      val got = StringNgrams(lit, n).eval(null).asInstanceOf[ArrayData]
+        .toObjectArray(StringType).map(_.toString).toList
+      got == ngramsNaive(ws, n)
+    }
+
+  property("StringNgrams output count is max(0, len - n + 1)") =
+    forAll(wordsGen, Gen.choose(1, 4)) { (ws, n) =>
+      val lit = Literal.create(ws.toArray, ArrayType(StringType))
+      val got = StringNgrams(lit, n).eval(null).asInstanceOf[ArrayData]
+      got.numElements() == math.max(0, ws.length - n + 1)
+    }
+
+  private val vecGen: Gen[Array[Float]] =
+    Gen.listOfN(64, Gen.choose(-10.0f, 10.0f)).map(_.toArray)
+
+  private def dotNaive(a: Array[Float], b: Array[Float]): Double = {
+    var acc = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+    acc
+  }
+
+  property("FloatVectorDot equals the naive double fold bit-for-bit") =
+    forAll(vecGen, vecGen) { (a, b) =>
+      val la = Literal.create(a, ArrayType(FloatType))
+      val lb = Literal.create(b, ArrayType(FloatType))
+      val got = FloatVectorDot(la, lb).eval(null).asInstanceOf[Double]
+      java.lang.Double.doubleToLongBits(got) ==
+        java.lang.Double.doubleToLongBits(dotNaive(a, b))
+    }
+
+  property("FloatVectorDot self-dot is non-negative") =
+    forAll(vecGen) { a =>
+      val la = Literal.create(a, ArrayType(FloatType))
+      FloatVectorDot(la, la).eval(null).asInstanceOf[Double] >= 0.0
+    }
+
+  property("FloatVectorDot of empty arrays is 0") = Prop {
+    val e = Literal.create(Array.empty[Float], ArrayType(FloatType))
+    FloatVectorDot(e, e).eval(null).asInstanceOf[Double] == 0.0
+  }
+}
