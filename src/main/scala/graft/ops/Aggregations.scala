@@ -97,6 +97,37 @@ object Aggregations {
         count(lit(1)).as("cnt"))
       .orderBy("event_type")
 
+  /** Exact linear-interpolation percentiles (Spark `percentile` == DuckDB
+    * `quantile_cont`; both index p·(n−1) with linear interpolation). */
+  def percentiles(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy("o_orderstatus")
+      .agg(
+        round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"))
+      .orderBy("o_orderstatus")
+
+  /** Mean/variance/stddev from decimal-exact power sums — the built-in
+    * `stddev_samp` accumulates doubles in partition order (not reproducible
+    * across engines or executor counts); Σx and Σx² through DECIMAL are
+    * exact, and the final double arithmetic is the same expression on both
+    * sides. */
+  def statsMoments(s: SparkSession, d: String): DataFrame = {
+    val n = count(col("value"))
+    val sx = dsum(col("value"))
+    val sxx = sum((col("value") * col("value")).cast(DecimalType(30, 8))).cast("double")
+    val variance = (sxx - sx * sx / n) / (n - lit(1))
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(
+        n.as("n"),
+        round(sx / n, 4).as("mean"),
+        round(variance, 4).as("var_samp"),
+        round(sqrt(variance), 4).as("stddev_samp"))
+      .orderBy("event_type")
+  }
+
   private val EventTypes = Seq("click", "view", "purchase", "signup", "error")
 
   def pivotEvents(s: SparkSession, d: String): DataFrame =
@@ -115,6 +146,8 @@ object Aggregations {
     "q_grouping_sets"   -> (groupingSets _),
     "q_approx_distinct" -> (approxDistinct _),
     "q_pivot"           -> (pivotEvents _),
+    "q_percentiles"     -> (percentiles _),
+    "q_stats_moments"   -> (statsMoments _),
   )
 
   private def multiDimSql(clause: String): String =
@@ -147,6 +180,29 @@ object Aggregations {
         |FROM orders
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+    "q_percentiles" ->
+      """SELECT o_orderstatus,
+        |       round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+        |       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |       round(quantile_cont(o_totalprice, 0.9), 4) AS p90
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+    "q_stats_moments" ->
+      """SELECT event_type,
+        |       COUNT(value) AS n,
+        |       round(CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE) / COUNT(value), 4) AS mean,
+        |       round((CAST(SUM(CAST(value * value AS DECIMAL(30,8))) AS DOUBLE)
+        |              - CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE)
+        |                * CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE) / COUNT(value))
+        |             / (COUNT(value) - 1), 4) AS var_samp,
+        |       round(sqrt((CAST(SUM(CAST(value * value AS DECIMAL(30,8))) AS DOUBLE)
+        |              - CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE)
+        |                * CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE) / COUNT(value))
+        |             / (COUNT(value) - 1)), 4) AS stddev_samp
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     "q_agg_rollup" -> multiDimSql("ROLLUP (o_orderstatus, o_orderpriority)"),
     "q_agg_cube"   -> multiDimSql("CUBE (o_orderstatus, o_orderpriority)"),
     "q_grouping_sets" -> multiDimSql(

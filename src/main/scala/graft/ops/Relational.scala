@@ -85,9 +85,22 @@ object Relational {
   def kvItems(s: SparkSession, d: String): DataFrame =
     graft.pipeline.Pipeline.kvItems(wordCount(s, d)).orderBy("id")
 
+  /** Scalar-subquery filter: orders above 2× the global mean price. The
+    * scalar aggregate is a 1-row broadcast cross join — no shuffle of the
+    * fact side. */
+  def scalarSubquery(s: SparkSession, d: String): DataFrame = {
+    val avgPrice = Tables.orders(s, d).agg(davg(col("o_totalprice")).as("avg_p"))
+    Tables.orders(s, d)
+      .crossJoin(broadcast(avgPrice))
+      .filter(col("o_totalprice") > lit(2.0) * col("avg_p"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_word_count"   -> (wordCount _),
     "q_kv_items"     -> (kvItems _),
+    "q_scalar_subquery" -> (scalarSubquery _),
     "q_scan_project" -> (scanProject _),
     "q_filter_pred"  -> (filterPred _),
     "q_sort_limit"   -> (sortLimit _),
@@ -109,6 +122,13 @@ object Relational {
         |      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
         |      WHERE word <> '' GROUP BY word)
         |ORDER BY id""".stripMargin,
+    "q_scalar_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |WHERE o_totalprice > 2.0 * (
+        |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(24,6))) AS DOUBLE) / COUNT(o_totalprice)
+        |  FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
     "q_scan_project" ->
       """SELECT l_orderkey, l_linenumber,
         |       CAST(floor(l_quantity) AS BIGINT) AS qty_int,

@@ -82,8 +82,25 @@ object Scalars {
         size(slice(col("embedding"), 1, 8)).as("first8"))
       .orderBy("vec_id")
 
+  /** Null-handling family: nullif / coalesce / nvl2-style CASE over a
+    * genuinely nullable join result. */
+  def nullHandling(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(
+        Tables.orders(s, d).filter(col("o_orderstatus") === "P")
+          .groupBy(col("o_custkey")).agg(count(lit(1)).as("p_cnt")),
+        col("c_custkey") === col("o_custkey"), "left")
+      .select(
+        col("c_custkey"),
+        coalesce(col("p_cnt"), lit(0L)).as("p_orders"),
+        nullif(col("c_mktsegment"), lit("BUILDING")).as("seg_or_null"),
+        coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("(hidden)")).as("seg_shown"),
+        when(col("p_cnt").isNull, lit("none")).otherwise(lit("some")).as("has_p"))
+      .orderBy("c_custkey")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_string_funcs" -> (stringFuncs _),
+    "q_null_handling" -> (nullHandling _),
     "q_date_funcs"   -> (dateFuncs _),
     "q_math_funcs"   -> (mathFuncs _),
     "q_json_funcs"   -> (jsonFuncs _),
@@ -101,6 +118,17 @@ object Scalars {
         |       CAST(length(c_name) AS INTEGER) AS name_len,
         |       trim('  ' || c_mktsegment || '  ') AS trimmed
         |FROM customer
+        |ORDER BY c_custkey""".stripMargin,
+    "q_null_handling" ->
+      """SELECT c_custkey,
+        |       COALESCE(p_cnt, 0) AS p_orders,
+        |       NULLIF(c_mktsegment, 'BUILDING') AS seg_or_null,
+        |       COALESCE(NULLIF(c_mktsegment, 'BUILDING'), '(hidden)') AS seg_shown,
+        |       CASE WHEN p_cnt IS NULL THEN 'none' ELSE 'some' END AS has_p
+        |FROM customer
+        |LEFT JOIN (SELECT o_custkey, COUNT(*) AS p_cnt FROM orders
+        |           WHERE o_orderstatus = 'P' GROUP BY o_custkey) p
+        |  ON c_custkey = o_custkey
         |ORDER BY c_custkey""".stripMargin,
     "q_date_funcs" ->
       """SELECT o_orderkey,

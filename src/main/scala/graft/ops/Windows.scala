@@ -64,8 +64,23 @@ object Windows {
       .orderBy("l_suppkey", "rn")
   }
 
+  /** RANGE frame: per-type sum of all events within 50.0 below the current
+    * value. Range frames are defined by value bounds, not row positions, so
+    * the result is order-independent even across tied sort keys (what makes
+    * this oracle-safe for a double ordering). Expressed via SQL window
+    * syntax — the Scala `Window.rangeBetween` API takes long offsets only. */
+  def windowRange(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .selectExpr(
+        "event_id", "event_type", "value",
+        """CAST(SUM(CAST(value AS DECIMAL(24,6))) OVER (
+          |  PARTITION BY event_type ORDER BY value
+          |  RANGE BETWEEN 50.0 PRECEDING AND CURRENT ROW) AS DOUBLE) AS near_sum""".stripMargin)
+      .orderBy("event_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_window_rank"     -> (windowRank _),
+    "q_window_range"    -> (windowRange _),
     "q_window_running"  -> (windowRunning _),
     "q_window_lag_lead" -> (windowLagLead _),
     "q_topk_per_group"  -> (topkPerGroup _),
@@ -80,6 +95,13 @@ object Windows {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
         |ORDER BY o_custkey, rn""".stripMargin,
+    "q_window_range" ->
+      """SELECT event_id, event_type, value,
+        |       CAST(SUM(CAST(value AS DECIMAL(24,6))) OVER (
+        |         PARTITION BY event_type ORDER BY value
+        |         RANGE BETWEEN 50.0 PRECEDING AND CURRENT ROW) AS DOUBLE) AS near_sum
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
     "q_window_running" ->
       """SELECT user_id, event_id, value,
         |       CAST(SUM(CAST(value AS DECIMAL(24,6))) OVER (
