@@ -85,14 +85,14 @@ object Relational {
   def kvItems(s: SparkSession, d: String): DataFrame =
     graft.pipeline.Pipeline.kvItems(wordCount(s, d)).orderBy("id")
 
-  /** Scalar-subquery filter: orders above 2× the global mean price. The
+  /** Scalar-subquery filter: orders above 1.5× the global mean price. The
     * scalar aggregate is a 1-row broadcast cross join — no shuffle of the
     * fact side. */
   def scalarSubquery(s: SparkSession, d: String): DataFrame = {
     val avgPrice = Tables.orders(s, d).agg(davg(col("o_totalprice")).as("avg_p"))
     Tables.orders(s, d)
       .crossJoin(broadcast(avgPrice))
-      .filter(col("o_totalprice") > lit(2.0) * col("avg_p"))
+      .filter(col("o_totalprice") > lit(1.5) * col("avg_p"))
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
       .orderBy("o_orderkey")
   }
@@ -125,7 +125,7 @@ object Relational {
     "q_scalar_subquery" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders
-        |WHERE o_totalprice > 2.0 * (
+        |WHERE o_totalprice > 1.5 * (
         |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(24,6))) AS DOUBLE) / COUNT(o_totalprice)
         |  FROM orders)
         |ORDER BY o_orderkey""".stripMargin,
