@@ -116,8 +116,21 @@ object Joins {
       .orderBy("event_id")
   }
 
+  /** The same as-of semantics through the native custom operator
+    * ([[graft.plans.AsOfJoin]]: logical node + strategy + streaming-merge
+    * physical plan) — checked against the identical DuckDB oracle as
+    * `q_join_asof`, which proves the custom operator end-to-end. */
+  def joinAsofNative(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_id"), col("user_id"), col("ts"))
+    val od = Tables.orders(s, d).select(col("o_custkey"), col("o_orderdate"))
+    graft.plans.AsOfJoin.nearestPrior(ev, od, "user_id", "ts", "o_custkey", "o_orderdate")
+      .select(col("event_id"), fmtTs(col("asof_t")).as("asof_date"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_join_inner"       -> (joinInner _),
+    "q_join_asof_native" -> (joinAsofNative _),
     "q_join_broadcast"   -> (joinBroadcast _),
     "q_join_left"        -> (joinLeft _),
     "q_join_full"        -> (joinFull _),
@@ -173,6 +186,14 @@ object Joins {
         |  ON l_quantity >= lo AND l_quantity < hi
         |GROUP BY band
         |ORDER BY band""".stripMargin,
+    "q_join_asof_native" ->
+      """SELECT e.event_id,
+        |       strftime(max(o.o_orderdate), '%Y-%m-%d %H:%M:%S') AS asof_date
+        |FROM events e
+        |LEFT JOIN orders o
+        |  ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        |GROUP BY e.event_id
+        |ORDER BY e.event_id""".stripMargin,
     "q_join_asof" ->
       """SELECT e.event_id,
         |       strftime(max(o.o_orderdate), '%Y-%m-%d %H:%M:%S') AS asof_date

@@ -14,6 +14,13 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Wrap an (analyzed) logical plan as a DataFrame — `Dataset.ofRows` is
+    * `private[sql]` in Spark 4. */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** Register a function builder on a live session (sessionState is
     * `private[sql]`; at build time use `GraftExtensions` via
     * `spark.sql.extensions` instead). */
