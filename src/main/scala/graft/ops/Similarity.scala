@@ -89,9 +89,45 @@ object Similarity {
       .orderBy("id1", "id2")
   }
 
+  /** IVF-style ANN: a deterministic coarse quantizer (every 100th vector is
+    * a centroid), vectors assigned to their max-cosine centroid, queries
+    * probing their 2 nearest centroid cells. All assignment ranks order by
+    * the *rounded* cosine with centroid-id tie-breaks, so the partition of
+    * the corpus is deterministic and oracle-reproducible. At 100 TB the
+    * centroid set stays a broadcast and the corpus shuffles once on its
+    * assigned cell — the standard IVF layout. */
+  def annIvf(s: SparkSession, d: String): DataFrame = {
+    val n = withNorm(Tables.embeddings(s, d)).select("vec_id", "v", "norm")
+    val cents = n.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("norm").as("cn"))
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid").asc)
+    val assigned = n.crossJoin(broadcast(cents))
+      .withColumn("ccos", round(dot(col("v"), col("cv")) / (col("norm") * col("cn")), 4))
+      .withColumn("crn", row_number().over(wAssign))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("v"), col("norm"), col("cid"))
+    val wProbe = Window.partitionBy("qid").orderBy(col("ccos").desc, col("cid").asc)
+    val probes = n.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qn"))
+      .crossJoin(broadcast(cents))
+      .withColumn("ccos", round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 4))
+      .withColumn("crn", row_number().over(wProbe))
+      .filter(col("crn") <= 2)
+      .select(col("qid"), col("qv"), col("qn"), col("cid"))
+    val wTop = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
+    assigned.join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", round(dot(col("v"), col("qv")) / (col("norm") * col("qn")), 4))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("rn"), col("vec_id"), col("cos"))
+      .orderBy("qid", "rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cosine_topk"   -> (cosineTopk _),
     "q_ann_lsh"       -> (annLsh _),
+    "q_ann_ivf"       -> (annIvf _),
     "q_embed_neardup" -> (embedNeardup _),
   )
 
@@ -125,6 +161,33 @@ object Similarity {
          |sc AS (SELECT qid, vec_id,
          |              round(list_dot_product(v, qv) / (norm * qn), 4) AS cos
          |       FROM nb JOIN q ON bucket = qb AND vec_id <> qid),
+         |r AS (SELECT qid, vec_id, cos,
+         |             CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rn
+         |      FROM sc)
+         |SELECT qid, rn, vec_id, cos FROM r WHERE rn <= 5
+         |ORDER BY qid, rn""".stripMargin,
+    "q_ann_ivf" ->
+      s"""WITH $NormCte,
+         |c AS (SELECT vec_id AS cid, v AS cv, norm AS cn FROM n WHERE vec_id % 100 = 0),
+         |asg AS (
+         |  SELECT vec_id, v, norm, cid FROM (
+         |    SELECT n.vec_id, n.v, n.norm, c.cid,
+         |           row_number() OVER (PARTITION BY n.vec_id
+         |             ORDER BY round(list_dot_product(n.v, c.cv) / (n.norm * c.cn), 4) DESC, c.cid ASC) AS crn
+         |    FROM n, c) t
+         |  WHERE crn = 1),
+         |pr AS (
+         |  SELECT qid, qv, qn, cid FROM (
+         |    SELECT n.vec_id AS qid, n.v AS qv, n.norm AS qn, c.cid,
+         |           row_number() OVER (PARTITION BY n.vec_id
+         |             ORDER BY round(list_dot_product(n.v, c.cv) / (n.norm * c.cn), 4) DESC, c.cid ASC) AS crn
+         |    FROM n, c WHERE n.vec_id % 50 = 0) t
+         |  WHERE crn <= 2),
+         |sc AS (
+         |  SELECT pr.qid, asg.vec_id,
+         |         round(list_dot_product(asg.v, pr.qv) / (asg.norm * pr.qn), 4) AS cos
+         |  FROM asg JOIN pr USING (cid)
+         |  WHERE asg.vec_id <> pr.qid),
          |r AS (SELECT qid, vec_id, cos,
          |             CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rn
          |      FROM sc)

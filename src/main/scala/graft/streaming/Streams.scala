@@ -52,6 +52,16 @@ object Streams {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("cnt"), col("sum_value"))
 
+  /** Streaming exact dedup: keep the first occurrence of each `event_id`,
+    * with the watermark bounding the dedup state store (events older than
+    * the watermark are evicted — at-least-once sources stay exactly-once
+    * within the watermark horizon, the streaming twin of
+    * `graft.ops.Dedup.dedupExact`). */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
   case class UserEvent(user_id: Long, event_id: Long, tsMicros: Long)
   case class UserSessionState(sessionStartMicros: Long, lastMicros: Long, nEvents: Long)
   case class SessionSummary(user_id: Long, n_events: Long,
