@@ -111,9 +111,14 @@ object Pipeline {
       val latest = latestRun(s"$workDir/analysis_results")
         .getOrElse(sys.error("no completed run found")) // process_tsv.py:57-59
       val wc = spark.read.parquet(s"$latest/word_counts")
-      val items = kvItems(wc)
-      kvSink(items, s"$workDir/kv_table")
-      items.count()
+      // cache before the sink + count pair — the reference recomputes the
+      // whole plan for its second count() (process_tsv.py:65,130), an
+      // anti-pattern SURVEY.md §4 explicitly does not replicate
+      val items = kvItems(wc).cache()
+      try {
+        kvSink(items, s"$workDir/kv_table")
+        items.count()
+      } finally items.unpersist()
     }
   }
 }

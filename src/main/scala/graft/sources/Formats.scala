@@ -45,4 +45,19 @@ object Formats {
 
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).orc(path)
+
+  val FixtureTables: Seq[String] = Seq("region", "nation", "customer",
+    "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** R20 (SQL-over-Parquet, the reference's declared Athena analysis,
+    * `reqdef.yaml:69-73`): register every fixture table as a temp view so
+    * `spark.sql` works against the warehouse by name. */
+  def registerAll(s: SparkSession, dir: String): Unit =
+    FixtureTables.foreach { t =>
+      val df = t match {
+        case "events" => graft.Tables.events(s, dir)
+        case _ => s.read.parquet(s"$dir/$t.parquet")
+      }
+      df.createOrReplaceTempView(t)
+    }
 }

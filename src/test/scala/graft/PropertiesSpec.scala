@@ -56,6 +56,39 @@ class PropertiesSpec extends AnyFunSuite {
     assert(ranks.filter(col("mx") =!= col("n")).count() === 0, "ranks not consecutive")
   }
 
+  test("ANN paths are consistent with brute force and achieve recall") {
+    val bf = ops.Similarity.cosineTopk(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    for ((name, df) <- Seq(
+        "lsh" -> ops.Similarity.annLsh(spark, sf),
+        "ivf" -> ops.Similarity.annIvf(spark, sf))) {
+      val approx = df.collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3))
+      // any (query, candidate) pair also present in brute force must carry
+      // the identical rounded cosine
+      approx.foreach { case (pair, cos) =>
+        bf.get(pair).foreach(expected => assert(cos === expected, s"$name pair $pair"))
+      }
+    }
+    // IVF with 2 probes must recover at least half the brute-force top-5
+    val bf5 = ops.Similarity.cosineTopk(spark, sf).filter(col("rn") <= 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = ops.Similarity.annIvf(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (bf5 & ivf).size.toDouble / bf5.size
+    assert(recall >= 0.5, s"IVF recall@5 too low: $recall")
+  }
+
+  test("SQL-over-parquet views answer the flagship query") {
+    sources.Formats.registerAll(spark, sf)
+    val viaSql = spark.sql(
+      """SELECT word, count(*) AS cnt
+        |FROM (SELECT explode(split(text, ' ')) AS word FROM documents)
+        |WHERE word <> '' GROUP BY word ORDER BY cnt DESC, word ASC""".stripMargin)
+      .collect().map(_.toSeq)
+    val viaApi = ops.Relational.wordCount(spark, sf).collect().map(_.toSeq)
+    assert(viaSql.sameElements(viaApi))
+  }
+
   test("approx_count_distinct within 5% of exact") {
     val approx = ops.Aggregations.approxDistinct(spark, sf)
       .select("event_type", "approx_users").collect()
