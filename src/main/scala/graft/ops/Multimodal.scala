@@ -67,9 +67,36 @@ object Multimodal {
   def mediaDecode(s: SparkSession, d: String): DataFrame =
     decodeMeta(mediaFromDocuments(s, d)).toDF().orderBy("doc_id")
 
+  /** One sampled "frame" record. */
+  case class FrameMeta(doc_id: Long, frame_idx: Int, byte_offset: Int,
+                       frame_md5: String)
+
+  private val FrameBytes = 100
+  private val MaxFrames = 8
+
+  /** Frame sampling — the one-to-many decode shape (video → frames, audio →
+    * windows): each payload yields up to 8 fixed-stride 100-byte "frames",
+    * fingerprinted with the STUB hash in place of a real frame decode.
+    * flatMap keeps it a single no-shuffle pass. */
+  def sampleFrames(media: Dataset[MediaRecord]): Dataset[FrameMeta] =
+    media.flatMap { r =>
+      val nFrames = math.min(MaxFrames, math.max(1, r.payload.length / FrameBytes))
+      (0 until nFrames).iterator.map { i =>
+        val off = i * FrameBytes
+        val end = math.min(off + FrameBytes, r.payload.length)
+        val slice = java.util.Arrays.copyOfRange(r.payload, off, end)
+        val md = java.security.MessageDigest.getInstance("MD5").digest(slice)
+        FrameMeta(r.doc_id, i, off, md.map(b => f"$b%02x").mkString)
+      }
+    }(Encoders.product[FrameMeta])
+
+  def frameSample(s: SparkSession, d: String): DataFrame =
+    sampleFrames(mediaFromDocuments(s, d)).toDF().orderBy("doc_id", "frame_idx")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_meta" -> (multimodalMeta _),
     "q_media_decode"    -> (mediaDecode _),
+    "q_frame_sample"    -> (frameSample _),
   )
 
   private val MetaSql =
@@ -84,5 +111,15 @@ object Multimodal {
   val oracle: Map[String, String] = Map(
     "q_multimodal_meta" -> MetaSql,
     "q_media_decode"    -> MetaSql,
+    // ASCII fixture text ⇒ byte slicing == char slicing, so the frame md5s
+    // are reproducible from substring in SQL
+    "q_frame_sample" ->
+      """SELECT doc_id,
+        |       CAST(i AS INTEGER) AS frame_idx,
+        |       CAST(i * 100 AS INTEGER) AS byte_offset,
+        |       md5(substring(text, i * 100 + 1, 100)) AS frame_md5
+        |FROM documents,
+        |     unnest(range(least(8, greatest(1, octet_length(encode(text)) // 100)))) AS t(i)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
   )
 }

@@ -17,4 +17,14 @@ class MultimodalSpec extends AnyFunSuite {
     assert(a === b)
     assert(a.nonEmpty)
   }
+
+  test("frame sampling yields 1..8 stride-aligned frames per doc") {
+    val frames = ops.Multimodal.frameSample(spark, sf)
+    import org.apache.spark.sql.functions._
+    val perDoc = frames.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), max("frame_idx").as("mx"), min("frame_idx").as("mn"))
+    assert(perDoc.filter(col("n") < 1 || col("n") > 8).count() === 0)
+    assert(perDoc.filter(col("mn") =!= 0 || col("mx") =!= col("n") - 1).count() === 0)
+    assert(frames.filter(col("byte_offset") =!= col("frame_idx") * 100).count() === 0)
+  }
 }
