@@ -32,7 +32,11 @@ object Scalars {
         regexp_extract(col("c_name"), "([0-9]+)", 1).as("digits"),
         concat_ws("-", col("c_mktsegment"), col("c_custkey")).as("seg_key"),
         length(col("c_name")).as("name_len"),
-        trim(concat(lit("  "), col("c_mktsegment"), lit("  "))).as("trimmed"))
+        trim(concat(lit("  "), col("c_mktsegment"), lit("  "))).as("trimmed"),
+        split_part(col("c_name"), lit("#"), lit(2)).as("id_part"),
+        translate(col("c_mktsegment"), "AEIOU", "aeiou").as("xlated"),
+        lpad(col("c_custkey").cast("string"), 10, "0").as("padded"),
+        reverse(col("c_mktsegment")).as("revseg"))
       .orderBy("c_custkey")
 
   def dateFuncs(s: SparkSession, d: String): DataFrame =
@@ -116,7 +120,11 @@ object Scalars {
         |       regexp_extract(c_name, '([0-9]+)', 1) AS digits,
         |       concat_ws('-', c_mktsegment, c_custkey) AS seg_key,
         |       CAST(length(c_name) AS INTEGER) AS name_len,
-        |       trim('  ' || c_mktsegment || '  ') AS trimmed
+        |       trim('  ' || c_mktsegment || '  ') AS trimmed,
+        |       split_part(c_name, '#', 2) AS id_part,
+        |       translate(c_mktsegment, 'AEIOU', 'aeiou') AS xlated,
+        |       lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
+        |       reverse(c_mktsegment) AS revseg
         |FROM customer
         |ORDER BY c_custkey""".stripMargin,
     "q_null_handling" ->

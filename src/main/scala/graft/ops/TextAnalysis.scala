@@ -103,8 +103,24 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Edit distance between each doc's 20-char prefix and its predecessor's
+    * (classic near-dup triage signal; levenshtein is identically defined in
+    * both engines). */
+  def editDistance(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+    Tables.documents(s, d)
+      .select(col("doc_id"), substring(col("text"), 1, 20).as("prefix"))
+      .withColumn("prev_prefix", lag("prefix", 1).over(w))
+      .withColumn("edit_dist",
+        when(col("prev_prefix").isNotNull,
+          levenshtein(col("prefix"), col("prev_prefix"))).otherwise(lit(null)))
+      .select(col("doc_id"), col("edit_dist"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ngram_stats"     -> (ngramStats _),
+    "q_edit_distance"   -> (editDistance _),
     "q_lang_id"         -> (langId _),
     "q_quality_score"   -> (qualityScore _),
     "q_token_count"     -> (tokenCount _),
@@ -121,6 +137,13 @@ object TextAnalysis {
        | ELSE [text] END""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_edit_distance" ->
+      """SELECT doc_id,
+        |       CAST(levenshtein(substring(text, 1, 20),
+        |                        lag(substring(text, 1, 20)) OVER (ORDER BY doc_id))
+        |            AS INTEGER) AS edit_dist
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
     "q_ngram_stats" ->
       s"""SELECT bigram, count(*) AS cnt
          |FROM (SELECT unnest($BigramsSql) AS bigram FROM documents) t
