@@ -46,6 +46,13 @@ object Formats {
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).orc(path)
 
+  /** Hive-style partitioned parquet layout — the at-rest organization that
+    * turns `WHERE lang = 'en'` into partition pruning (only matching
+    * directories scanned) instead of a full-corpus scan. The default layout
+    * choice for any 100 TB corpus with a low-cardinality filter column. */
+  def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(path)
+
   val FixtureTables: Seq[String] = Seq("region", "nation", "customer",
     "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings")
 

@@ -52,6 +52,24 @@ object Streams {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("cnt"), col("sum_value"))
 
+  /** Streaming anomaly alerts (the reference's declared SNS-on-anomaly
+    * objective, `reqdef.yaml:11,15` — SURVEY.md R22, streaming shape):
+    * events whose value exceeds a per-type threshold, delivered per
+    * micro-batch through `foreachBatch` so any batch sink (the KV store,
+    * a topic) can receive them. Thresholds arrive as a plain map — in
+    * production they'd be refreshed from the batch stats job. */
+  def anomalyAlerts(events: DataFrame, thresholds: Map[String, Double])
+                   (onBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val thresholdCol = thresholds.foldLeft(lit(Double.MaxValue)) {
+      case (acc, (t, v)) => when(col("event_type") === t, lit(v)).otherwise(acc)
+    }
+    events
+      .filter(col("value") > thresholdCol)
+      .select(col("event_id"), col("event_type"), col("value"), col("ts"))
+      .writeStream
+      .foreachBatch(onBatch)
+  }
+
   /** Streaming exact dedup: keep the first occurrence of each `event_id`,
     * with the watermark bounding the dedup state store (events older than
     * the watermark are evicted — at-least-once sources stay exactly-once

@@ -41,6 +41,36 @@ class SourcesAndExtensionsSpec extends AnyFunSuite {
     assert(Formats.readOrc(spark, s"$base/orc").count() === ev.count())
   }
 
+  test("partitioned writes prune partitions on read") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text", "lang")
+    val dir = Files.createTempDirectory("graft_part").toString + "/docs"
+    Formats.writePartitioned(docs, dir, "lang")
+
+    val filtered = spark.read.parquet(dir).filter(col("lang") === "en")
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("lang"),
+      s"no partition pruning in:\n$plan")
+    val expected = docs.filter(col("lang") === "en").count()
+    assert(filtered.count() === expected)
+  }
+
+  test("streaming anomaly alerts deliver per-batch above-threshold events") {
+    val seen = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    val q = streaming.Streams.anomalyAlerts(
+        streaming.Streams.eventsStream(spark, sf),
+        Map("error" -> 150.0, "click" -> 200.0)) { (batch, _) =>
+        seen ++= batch.collect().map(r => (r.getLong(0), r.getString(1)))
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val expected = Tables.events(spark, sf)
+      .filter(col("event_type") === "error" && col("value") > 150.0 ||
+              col("event_type") === "click" && col("value") > 200.0)
+      .collect().map(r => (r.getLong(0), r.getString(3))).toSet
+    assert(seen.toSet === expected)
+    assert(seen.nonEmpty)
+  }
+
   test("float_dot and ngrams_ws are callable from SQL and match the Column API") {
     GraftExtensions.register(spark)
     Tables.embeddings(spark, sf).createOrReplaceTempView("emb_ext")
