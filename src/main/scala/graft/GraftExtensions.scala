@@ -18,6 +18,8 @@ import org.apache.spark.sql.graftbridge.Bridge
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => graft.plans.CollapseNgramCount)
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     e.injectFunction((FunctionIdentifier("float_dot"),
       GraftExtensions.info("float_dot", "float_dot(a, b) - dot product of two float arrays, accumulated in double"),
       GraftExtensions.floatDotBuilder))

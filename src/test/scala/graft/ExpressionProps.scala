@@ -60,6 +60,19 @@ object ExpressionProps extends Properties("graft.expressions") {
       FloatVectorDot(la, la).eval(null).asInstanceOf[Double] >= 0.0
     }
 
+  property("CollapseNgramCount rewrite matches the materialized count") =
+    forAll(wordsGen, Gen.choose(1, 4)) { (ws, n) =>
+      import org.apache.spark.sql.catalyst.expressions.{Alias, Size}
+      import org.apache.spark.sql.catalyst.plans.logical.{OneRowRelation, Project}
+      val lit = Literal.create(ws.toArray, ArrayType(StringType))
+      val original = Size(StringNgrams(lit, n), legacySizeOfNull = false)
+      val plan = Project(Seq(Alias(original, "c")()), OneRowRelation())
+      val rewritten = graft.plans.CollapseNgramCount(plan)
+      val rewrittenExpr = rewritten.expressions.head.asInstanceOf[Alias].child
+      !rewrittenExpr.exists(_.isInstanceOf[StringNgrams]) &&
+        rewrittenExpr.eval(null) == original.eval(null)
+    }
+
   property("FloatVectorDot of empty arrays is 0") = Prop {
     val e = Literal.create(Array.empty[Float], ArrayType(FloatType))
     FloatVectorDot(e, e).eval(null).asInstanceOf[Double] == 0.0
