@@ -100,11 +100,20 @@ object Similarity {
     val n = withNorm(Tables.embeddings(s, d)).select("vec_id", "v", "norm")
     val cents = n.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("norm").as("cn"))
-    val wAssign = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid").asc)
-    val assigned = n.crossJoin(broadcast(cents))
-      .withColumn("ccos", round(dot(col("v"), col("cv")) / (col("norm") * col("cn")), 4))
-      .withColumn("crn", row_number().over(wAssign))
-      .filter(col("crn") === 1)
+    // cell assignment as a max-struct aggregation over NARROW rows
+    // (vec_id, ccos, cid): the argmax is map-side combinable and the
+    // vectors never ride the shuffle — the window formulation would carry
+    // the 64-float payload once per centroid. max(struct(ccos, -cid))
+    // picks the same (highest rounded cosine, lowest cid) cell the
+    // row_number()=1 rank would.
+    val best = n.crossJoin(broadcast(cents))
+      .select(col("vec_id"),
+        round(dot(col("v"), col("cv")) / (col("norm") * col("cn")), 4).as("ccos"),
+        col("cid"))
+      .groupBy("vec_id")
+      .agg(max(struct(col("ccos"), (-col("cid")).as("negcid"))).as("b"))
+      .select(col("vec_id"), (-col("b.negcid")).as("cid"))
+    val assigned = n.join(best, "vec_id")
       .select(col("vec_id"), col("v"), col("norm"), col("cid"))
     val wProbe = Window.partitionBy("qid").orderBy(col("ccos").desc, col("cid").asc)
     val probes = n.filter(col("vec_id") % 50 === 0)
