@@ -87,6 +87,21 @@ object Aggregations {
         |ORDER BY g_status, g_prio, status, prio""".stripMargin)
   }
 
+  /** Aggregate FILTER clauses (conditional aggregation without CASE
+    * scaffolding) — via SQL, like `groupingSets`. */
+  def filteredAgg(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders_fa")
+    s.sql(
+      """SELECT o_orderpriority,
+        |       COUNT(*) AS n_all,
+        |       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(24,6)))
+        |            FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS sum_open
+        |FROM orders_fa
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
   /** HLL++ sketch counts — no oracle (approx; tolerance-tested in the
     * scalatest suite instead, SURVEY.md §5.4). */
   def approxDistinct(s: SparkSession, d: String): DataFrame =
@@ -148,6 +163,7 @@ object Aggregations {
     "q_pivot"           -> (pivotEvents _),
     "q_percentiles"     -> (percentiles _),
     "q_stats_moments"   -> (statsMoments _),
+    "q_filtered_agg"    -> (filteredAgg _),
   )
 
   private def multiDimSql(clause: String): String =
@@ -180,6 +196,15 @@ object Aggregations {
         |FROM orders
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+    "q_filtered_agg" ->
+      """SELECT o_orderpriority,
+        |       COUNT(*) AS n_all,
+        |       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(24,6)))
+        |            FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS sum_open
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "q_percentiles" ->
       """SELECT o_orderstatus,
         |       round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
