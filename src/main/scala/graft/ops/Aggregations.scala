@@ -164,7 +164,19 @@ object Aggregations {
     "q_percentiles"     -> (percentiles _),
     "q_stats_moments"   -> (statsMoments _),
     "q_filtered_agg"    -> (filteredAgg _),
+    "q_listagg"         -> (listAgg _),
   )
+
+  /** Ordered string aggregation: collect_set → sort → join gives the same
+    * string DuckDB's `string_agg(DISTINCT … ORDER BY …)` produces, without
+    * depending on collect order (collect_list order is partition-dependent). */
+  def listAgg(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(
+        array_join(array_sort(collect_set(col("o_orderstatus"))), ",").as("statuses"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
 
   private def multiDimSql(clause: String): String =
     s"""SELECT COALESCE(o_orderstatus, '(all)') AS status,
@@ -196,6 +208,13 @@ object Aggregations {
         |FROM orders
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+    "q_listagg" ->
+      """SELECT o_orderpriority,
+        |       string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+        |       COUNT(*) AS n
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "q_filtered_agg" ->
       """SELECT o_orderpriority,
         |       COUNT(*) AS n_all,

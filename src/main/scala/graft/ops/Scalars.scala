@@ -102,9 +102,31 @@ object Scalars {
         when(col("p_cnt").isNull, lit("none")).otherwise(lit("some")).as("has_p"))
       .orderBy("c_custkey")
 
+  /** Bitwise family over event ids (hash-bucketing arithmetic). */
+  def bitwiseFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(
+        col("event_id"),
+        col("event_id").bitwiseAND(lit(255L)).as("lo_byte"),
+        col("event_id").bitwiseOR(lit(4096L)).as("with_flag"),
+        col("event_id").bitwiseXOR(col("user_id")).as("xored"),
+        shiftleft(col("event_id"), 2).as("shl2"),
+        shiftright(col("event_id"), 3).as("shr3"))
+      .orderBy("event_id")
+
+  /** Generator: one row per step of a per-row sequence (explode over
+    * `sequence`, the generator shape beyond the flagship's explode-split). */
+  def generateSeries(s: SparkSession, d: String): DataFrame =
+    Tables.region(s, d)
+      .select(col("r_regionkey"), col("r_name"),
+        explode(sequence(lit(0), col("r_regionkey"))).as("i"))
+      .orderBy("r_regionkey", "i")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_string_funcs" -> (stringFuncs _),
     "q_null_handling" -> (nullHandling _),
+    "q_bitwise"      -> (bitwiseFuncs _),
+    "q_generate_series" -> (generateSeries _),
     "q_date_funcs"   -> (dateFuncs _),
     "q_math_funcs"   -> (mathFuncs _),
     "q_json_funcs"   -> (jsonFuncs _),
@@ -127,6 +149,19 @@ object Scalars {
         |       reverse(c_mktsegment) AS revseg
         |FROM customer
         |ORDER BY c_custkey""".stripMargin,
+    "q_bitwise" ->
+      """SELECT event_id,
+        |       event_id & 255 AS lo_byte,
+        |       event_id | 4096 AS with_flag,
+        |       xor(event_id, user_id) AS xored,
+        |       event_id << 2 AS shl2,
+        |       event_id >> 3 AS shr3
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
+    "q_generate_series" ->
+      """SELECT r_regionkey, r_name, CAST(i AS INTEGER) AS i
+        |FROM region, unnest(range(r_regionkey + 1)) AS t(i)
+        |ORDER BY r_regionkey, i""".stripMargin,
     "q_null_handling" ->
       """SELECT c_custkey,
         |       COALESCE(p_cnt, 0) AS p_orders,

@@ -118,9 +118,26 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Array set algebra between consecutive docs' bigram sets — intersect /
+    * union / except cardinalities (the building blocks of overlap
+    * coefficients beyond Jaccard). */
+  def arraySetOps(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+    Tables.documents(s, d)
+      .select(col("doc_id"), array_distinct(bigrams(words(col("text")))).as("bg"))
+      .withColumn("prev", lag("bg", 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("doc_id"),
+        size(array_intersect(col("bg"), col("prev"))).as("n_inter"),
+        size(array_union(col("bg"), col("prev"))).as("n_union"),
+        size(array_except(col("bg"), col("prev"))).as("n_except"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ngram_stats"     -> (ngramStats _),
     "q_edit_distance"   -> (editDistance _),
+    "q_array_setops"    -> (arraySetOps _),
     "q_lang_id"         -> (langId _),
     "q_quality_score"   -> (qualityScore _),
     "q_token_count"     -> (tokenCount _),
@@ -137,6 +154,19 @@ object TextAnalysis {
        | ELSE [text] END""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_array_setops" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, list_distinct($BigramsSql) AS bg FROM documents
+         |), l AS (
+         |  SELECT doc_id, bg, lag(bg) OVER (ORDER BY doc_id) AS prev FROM b
+         |)
+         |SELECT doc_id,
+         |  CAST(len(list_filter(bg, x -> list_contains(prev, x))) AS INTEGER) AS n_inter,
+         |  CAST(len(bg) + len(prev)
+         |       - len(list_filter(bg, x -> list_contains(prev, x))) AS INTEGER) AS n_union,
+         |  CAST(len(bg) - len(list_filter(bg, x -> list_contains(prev, x))) AS INTEGER) AS n_except
+         |FROM l WHERE prev IS NOT NULL
+         |ORDER BY doc_id""".stripMargin,
     "q_edit_distance" ->
       """SELECT doc_id,
         |       CAST(levenshtein(substring(text, 1, 20),
