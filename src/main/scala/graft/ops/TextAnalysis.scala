@@ -104,17 +104,19 @@ object TextAnalysis {
   }
 
   /** Edit distance between each doc's 20-char prefix and its predecessor's
-    * (classic near-dup triage signal; levenshtein is identically defined in
-    * both engines). */
+    * within the same language block (classic near-dup triage signal;
+    * levenshtein is identically defined in both engines). Partitioning the
+    * lag by `lang` keeps the window parallel — a global-order lag would
+    * funnel the corpus through one partition. */
   def editDistance(s: SparkSession, d: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("lang").orderBy("doc_id")
     Tables.documents(s, d)
-      .select(col("doc_id"), substring(col("text"), 1, 20).as("prefix"))
+      .select(col("doc_id"), col("lang"), substring(col("text"), 1, 20).as("prefix"))
       .withColumn("prev_prefix", lag("prefix", 1).over(w))
       .withColumn("edit_dist",
         when(col("prev_prefix").isNotNull,
           levenshtein(col("prefix"), col("prev_prefix"))).otherwise(lit(null)))
-      .select(col("doc_id"), col("edit_dist"))
+      .select(col("doc_id"), col("lang"), col("edit_dist"))
       .orderBy("doc_id")
   }
 
@@ -122,9 +124,9 @@ object TextAnalysis {
     * union / except cardinalities (the building blocks of overlap
     * coefficients beyond Jaccard). */
   def arraySetOps(s: SparkSession, d: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("lang").orderBy("doc_id")
     Tables.documents(s, d)
-      .select(col("doc_id"), array_distinct(bigrams(words(col("text")))).as("bg"))
+      .select(col("doc_id"), col("lang"), array_distinct(bigrams(words(col("text")))).as("bg"))
       .withColumn("prev", lag("bg", 1).over(w))
       .filter(col("prev").isNotNull)
       .select(col("doc_id"),
@@ -156,9 +158,9 @@ object TextAnalysis {
   val oracle: Map[String, String] = Map(
     "q_array_setops" ->
       s"""WITH b AS (
-         |  SELECT doc_id, list_distinct($BigramsSql) AS bg FROM documents
+         |  SELECT doc_id, lang, list_distinct($BigramsSql) AS bg FROM documents
          |), l AS (
-         |  SELECT doc_id, bg, lag(bg) OVER (ORDER BY doc_id) AS prev FROM b
+         |  SELECT doc_id, bg, lag(bg) OVER (PARTITION BY lang ORDER BY doc_id) AS prev FROM b
          |)
          |SELECT doc_id,
          |  CAST(len(list_filter(bg, x -> list_contains(prev, x))) AS INTEGER) AS n_inter,
@@ -168,9 +170,9 @@ object TextAnalysis {
          |FROM l WHERE prev IS NOT NULL
          |ORDER BY doc_id""".stripMargin,
     "q_edit_distance" ->
-      """SELECT doc_id,
+      """SELECT doc_id, lang,
         |       CAST(levenshtein(substring(text, 1, 20),
-        |                        lag(substring(text, 1, 20)) OVER (ORDER BY doc_id))
+        |                        lag(substring(text, 1, 20)) OVER (PARTITION BY lang ORDER BY doc_id))
         |            AS INTEGER) AS edit_dist
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
