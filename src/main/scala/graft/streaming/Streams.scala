@@ -52,6 +52,19 @@ object Streams {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("cnt"), col("sum_value"))
 
+  /** Stream-static enrichment join: each micro-batch of events joins the
+    * static customer dimension (broadcast per batch — the dimension never
+    * shuffles the stream). The standard streaming join shape; stream-stream
+    * joins add watermarked state on both sides and are out of the
+    * reference's declared surface. */
+  def enrichedStream(events: DataFrame, customers: DataFrame): DataFrame =
+    events.join(
+      org.apache.spark.sql.functions.broadcast(
+        customers.select(col("c_custkey"), col("c_mktsegment"))),
+      events("user_id") === col("c_custkey"), "left")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("c_mktsegment"))
+
   /** Streaming anomaly alerts (the reference's declared SNS-on-anomaly
     * objective, `reqdef.yaml:11,15` — SURVEY.md R22, streaming shape):
     * events whose value exceeds a per-type threshold, delivered per

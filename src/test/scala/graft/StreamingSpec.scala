@@ -27,6 +27,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("stream-static join enriches events with the customer dimension") {
+    val enriched = Streams.enrichedStream(
+      Streams.eventsStream(spark, sf), Tables.customer(spark, sf))
+    val q = enriched.writeStream.outputMode("append")
+      .format("memory").queryName("enriched_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("enriched_out")
+    assert(got.count() === Tables.events(spark, sf).count())
+    // all users 0..149 exist in customer at sf0.001 → no null segments
+    assert(got.filter(col("c_mktsegment").isNull).count() === 0)
+    val batch = Tables.events(spark, sf)
+      .join(Tables.customer(spark, sf),
+        col("user_id") === col("c_custkey"), "left")
+      .select("event_id", "c_mktsegment")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val streamed = got.select("event_id", "c_mktsegment")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(streamed === batch)
+  }
+
   test("streaming dedup drops duplicate event ids within the watermark") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
