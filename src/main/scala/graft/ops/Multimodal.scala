@@ -67,6 +67,38 @@ object Multimodal {
   def mediaDecode(s: SparkSession, d: String): DataFrame =
     decodeMeta(mediaFromDocuments(s, d)).toDF().orderBy("doc_id")
 
+  /** Resize plan for a decoded medium: pure arithmetic on metadata (aspect
+    * ratio preserved, longest side capped), so unlike the decode itself it
+    * needs no stub — and is oracle-checkable end-to-end. */
+  def resizePlan(meta: DataFrame, maxSide: Int): DataFrame = {
+    val longest = greatest(col("fake_width"), col("fake_height"))
+    val scale = when(longest > maxSide,
+      lit(maxSide).cast("double") / longest).otherwise(lit(1.0))
+    meta.select(
+      col("doc_id"), col("fake_width"), col("fake_height"),
+      round(scale, 4).as("scale"),
+      floor(col("fake_width") * scale).cast("int").as("out_w"),
+      floor(col("fake_height") * scale).cast("int").as("out_h"))
+  }
+
+  def mediaResize(s: SparkSession, d: String): DataFrame =
+    resizePlan(multimodalMeta(s, d), maxSide = 256).orderBy("doc_id")
+
+  /** Feature vector extracted per payload — STUB: 8 doubles derived from
+    * the md5 digest bytes (a real deployment runs an image/audio encoder
+    * here). Demonstrates the batched feature-extraction shape: opaque bytes
+    * in, fixed-dim vector out, one encoder instance per partition. */
+  def extractFeatures(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val digest = java.security.MessageDigest.getInstance("MD5")
+      it.map { r =>
+        val md = digest.digest(r.payload)
+        (r.doc_id, md.take(8).map(b => (b & 0xff) / 255.0))
+      }
+    }.toDF("doc_id", "features")
+  }
+
   /** One sampled "frame" record. */
   case class FrameMeta(doc_id: Long, frame_idx: Int, byte_offset: Int,
                        frame_md5: String)
@@ -97,6 +129,7 @@ object Multimodal {
     "q_multimodal_meta" -> (multimodalMeta _),
     "q_media_decode"    -> (mediaDecode _),
     "q_frame_sample"    -> (frameSample _),
+    "q_media_resize"    -> (mediaResize _),
   )
 
   private val MetaSql =
@@ -121,5 +154,24 @@ object Multimodal {
         |FROM documents,
         |     unnest(range(least(8, greatest(1, octet_length(encode(text)) // 100)))) AS t(i)
         |ORDER BY doc_id, frame_idx""".stripMargin,
+    "q_media_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS fake_width,
+        |         CAST(octet_length(encode(text)) * 7 % 480 + 1 AS INTEGER) AS fake_height
+        |  FROM documents
+        |), sc AS (
+        |  SELECT *,
+        |         CASE WHEN greatest(fake_width, fake_height) > 256
+        |              THEN CAST(256 AS DOUBLE) / greatest(fake_width, fake_height)
+        |              ELSE 1.0 END AS raw_scale
+        |  FROM m
+        |)
+        |SELECT doc_id, fake_width, fake_height,
+        |       round(raw_scale, 4) AS scale,
+        |       CAST(floor(fake_width * raw_scale) AS INTEGER) AS out_w,
+        |       CAST(floor(fake_height * raw_scale) AS INTEGER) AS out_h
+        |FROM sc
+        |ORDER BY doc_id""".stripMargin,
   )
 }

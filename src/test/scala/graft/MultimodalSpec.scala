@@ -18,6 +18,15 @@ class MultimodalSpec extends AnyFunSuite {
     assert(a.nonEmpty)
   }
 
+  test("feature extraction yields fixed-dim unit-range vectors") {
+    val feats = ops.Multimodal.extractFeatures(ops.Multimodal.mediaFromDocuments(spark, sf))
+    import org.apache.spark.sql.functions._
+    assert(feats.count() === 500)
+    assert(feats.filter(size(col("features")) =!= 8).count() === 0)
+    val flat = feats.select(explode(col("features")).as("f"))
+    assert(flat.filter(col("f") < 0.0 || col("f") > 1.0).count() === 0)
+  }
+
   test("frame sampling yields 1..8 stride-aligned frames per doc") {
     val frames = ops.Multimodal.frameSample(spark, sf)
     import org.apache.spark.sql.functions._
