@@ -26,6 +26,7 @@ object SparkEntry {
       (ops.Dedup.queries, ops.Dedup.oracle),
       (ops.Similarity.queries, ops.Similarity.oracle),
       (ops.Multimodal.queries, ops.Multimodal.oracle),
+      (ops.Structured.queries, ops.Structured.oracle),
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */
