@@ -27,6 +27,7 @@ object SparkEntry {
       (ops.Similarity.queries, ops.Similarity.oracle),
       (ops.Multimodal.queries, ops.Multimodal.oracle),
       (ops.Structured.queries, ops.Structured.oracle),
+      (ops.Statistics.queries, ops.Statistics.oracle),
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

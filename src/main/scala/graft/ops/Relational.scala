@@ -97,8 +97,20 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  /** Deterministic ~10% sample: keep rows whose salted key-hash falls under
+    * a hex threshold ('1a'/'100' ≈ 10.2%). Unlike TABLESAMPLE this is
+    * reproducible across engines, runs, and partitionings — the property a
+    * training pipeline needs for held-out splits — and it's a pure filter:
+    * scan-local, no shuffle, evaluated inside whole-stage codegen. */
+  def hashSample(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(md5(concat(lit("sample:"), col("o_orderkey").cast("string"))) < "1a")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_word_count"   -> (wordCount _),
+    "q_sample_hash"  -> (hashSample _),
     "q_kv_items"     -> (kvItems _),
     "q_scalar_subquery" -> (scalarSubquery _),
     "q_scan_project" -> (scanProject _),
@@ -110,6 +122,11 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_sample_hash" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |WHERE md5('sample:' || o_orderkey) < '1a'
+        |ORDER BY o_orderkey""".stripMargin,
     "q_word_count" ->
       """SELECT word, count(*) AS cnt
         |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
