@@ -15,10 +15,24 @@ object Bench {
     // change to what is measured
     try {
       spark.range(1000000L).selectExpr("sum(id)").collect()
-      spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1000)
-        .groupBy("l_returnflag").count().collect()
+      // touch every fixture table once so no measured query absorbs the
+      // one-time cold scan (OS page cache + parquet footer decode)
+      Seq("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings").foreach { t =>
+        val p = s"$sfDir/$t.parquet"
+        if (new java.io.File(p).exists()) {
+          // .rdd.count() materializes every column — a plain count() would
+          // short-circuit to parquet metadata and warm nothing
+          if (t == "events") Tables.events(spark, sfDir).rdd.count()
+          else spark.read.parquet(p).rdd.count()
+        }
+      }
     } catch { case _: Throwable => }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // dev-only subset filter (comma-separated names); driver leaves it unset
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -32,4 +32,10 @@ object TextFeatures {
     * function — identical bytes in any engine with md5. */
   def minhash(shingle: Column, seed: Int): Column =
     md5(concat(shingle, lit("#" + seed)))
+
+  /** The i-th of four 32-bit sub-hashes sliced from ONE md5 digest (hex
+    * chars 1-8, 9-16, 17-24, 25-32). MIN over a slice is still a valid
+    * minhash estimator, and one digest per shingle replaces four salted
+    * digests — the md5 was the dominant cost of the signature scan. */
+  def minhashSlice(h: Column, i: Int): Column = substring(h, 1 + 8 * i, 8)
 }

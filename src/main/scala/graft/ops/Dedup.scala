@@ -57,7 +57,9 @@ object Dedup {
     * duplicate candidates; each doc reports the minimum doc_id it shares a
     * bucket with (`keeper`). Band size 1 flags ~half the corpus on this
     * small-vocabulary fixture; r=2 flags 26 ≈ the ~24 planted near-dups.
-    * String-min over md5 == numeric minhash (TextFeatures.minhash). */
+    * The four hashes are 8-hex-char slices of ONE md5 per shingle
+    * (TextFeatures.minhashSlice) — string-min over a hex slice == numeric
+    * minhash, at a quarter of the digest cost. */
   def dedupMinhash(s: SparkSession, d: String): DataFrame = {
     // explode + partial-aggregated mins: the map-side combine reduces the
     // shuffle to one signature row per doc per partition, and the whole
@@ -66,16 +68,19 @@ object Dedup {
     val sh = Tables.documents(s, d)
       .select(col("doc_id"),
         explode(shingles3(words(col("text")), col("text"))).as("shingle"))
+      .withColumn("h", md5(col("shingle")))
     val sig = sh.groupBy("doc_id")
       .agg(
-        min(minhash(col("shingle"), Seeds.head)).as(s"mh${Seeds.head}"),
-        Seeds.tail.map(i => min(minhash(col("shingle"), i)).as(s"mh$i")): _*)
+        min(minhashSlice(col("h"), Seeds.head)).as(s"mh${Seeds.head}"),
+        Seeds.tail.map(i => min(minhashSlice(col("h"), i)).as(s"mh$i")): _*)
     val buckets = sig.select(col("doc_id"),
       explode(array(
         concat(lit("0|"), col("mh0"), col("mh1")),
         concat(lit("1|"), col("mh2"), col("mh3")))).as("bkey"))
-    val keeper = buckets.groupBy("bkey").agg(min("doc_id").as("bmin"))
-    buckets.join(keeper, "bkey")
+    // keeper per bucket as a window min: one shuffle on bkey, instead of
+    // the groupBy + re-join formulation (two shuffles + a join)
+    val wb = Window.partitionBy("bkey")
+    buckets.withColumn("bmin", min("doc_id").over(wb))
       .groupBy("doc_id").agg(min("bmin").as("keeper"))
       .withColumn("is_dup", (col("keeper") < col("doc_id")).cast("int"))
       .orderBy("doc_id")
@@ -175,8 +180,10 @@ object Dedup {
          |  SELECT doc_id, unnest($ShinglesSql) AS shingle FROM documents
          |), sig AS (
          |  SELECT doc_id,
-         |         min(md5(shingle || '#0')) AS mh0, min(md5(shingle || '#1')) AS mh1,
-         |         min(md5(shingle || '#2')) AS mh2, min(md5(shingle || '#3')) AS mh3
+         |         min(substring(md5(shingle), 1, 8))  AS mh0,
+         |         min(substring(md5(shingle), 9, 8))  AS mh1,
+         |         min(substring(md5(shingle), 17, 8)) AS mh2,
+         |         min(substring(md5(shingle), 25, 8)) AS mh3
          |  FROM sh GROUP BY doc_id
          |), b AS (
          |  SELECT doc_id, unnest(['0|'||mh0||mh1, '1|'||mh2||mh3]) AS bkey FROM sig
