@@ -84,4 +84,26 @@ class StreamingSpec extends AnyFunSuite {
       SessionSummary(1, 2, 0, 10 * 60 * 1000 * 1000L),
       SessionSummary(1, 1, 2 * hour, 2 * hour)))
   }
+
+  test("stream-stream interval join matches clicks within 30min of a view") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val views = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val clicks = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    // view 10 at t0 for user 1; clicks at +5min (match), +45min (too late);
+    // user 2 clicks at +5min with no view (no match)
+    views.addData((10L, 1L, ts(0)), (11L, 3L, ts(1)))
+    clicks.addData((20L, 1L, ts(5)), (21L, 1L, ts(45)), (22L, 2L, ts(5)))
+    val joined = Streams.viewClickJoin(
+      views.toDF().toDF("event_id", "user_id", "ts"),
+      clicks.toDF().toDF("event_id", "user_id", "ts"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("viewclick_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val pairs = spark.table("viewclick_out")
+      .select("view_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((10L, 20L)))
+  }
 }
