@@ -153,8 +153,23 @@ object Aggregations {
       .agg(sum(col("value").cast(DecimalType(24, 6))).cast("double"))
       .orderBy("day")
 
+  /** Arg-min/max + boolean aggregates: who produced the first/last event of
+    * each type (selector key = unique event_id, so deterministic), plus
+    * FILTER-style counts and bool_and/bool_or predicates. */
+  def argMinMax(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(
+        min_by(col("user_id"), col("event_id")).as("first_user"),
+        max_by(col("user_id"), col("event_id")).as("last_user"),
+        count_if(col("value") > 100.0).as("n_big"),
+        bool_or(col("value") > 400.0).as("any_huge"),
+        bool_and(col("value") >= 0.0).as("all_nonneg"))
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_agg_pricing"     -> (aggPricing _),
+    "q_arg_minmax"      -> (argMinMax _),
     "q_agg_distinct"    -> (aggDistinct _),
     "q_agg_rollup"      -> (aggRollup _),
     "q_agg_cube"        -> (aggCube _),
@@ -190,6 +205,16 @@ object Aggregations {
        |ORDER BY g_status, g_prio, status, prio""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_arg_minmax" ->
+      """SELECT event_type,
+        |       arg_min(user_id, event_id) AS first_user,
+        |       arg_max(user_id, event_id) AS last_user,
+        |       count(*) FILTER (WHERE value > 100.0) AS n_big,
+        |       bool_or(value > 400.0) AS any_huge,
+        |       bool_and(value >= 0.0) AS all_nonneg
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     "q_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |       CAST(SUM(CAST(l_quantity AS DECIMAL(24,6))) AS DOUBLE) AS sum_qty,

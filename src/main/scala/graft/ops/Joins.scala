@@ -128,8 +128,53 @@ object Joins {
       .orderBy("event_id")
   }
 
+  /** TPC-H Q3-shaped 3-way pipeline: selective dimension filter broadcast
+    * against two fact tables, aggregate, top-10. The filtered customer side
+    * is broadcast explicitly (it is the selective side); orders⋈lineitem is
+    * the fact⋈fact shuffle on the order key. Revenue goes through the
+    * decimal-exact sum so the top-10 cutoff is reproducible. */
+  def joinPipelineTop(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .join(broadcast(Tables.customer(s, d)
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select("c_custkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderpriority"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .withColumn("revenue", round(col("revenue"), 4))
+      .orderBy(col("revenue").desc, col("o_orderkey").asc)
+      .limit(10)
+
+  /** TPC-H Q5-shaped 6-way star: broadcast dimension chains
+    * (supplier→nation→region) hanging off an orders⋈lineitem fact spine,
+    * grouped by nation. True dimensions carry explicit broadcast hints;
+    * customer (which scales with the facts) is left to AQE. */
+  def joinStarSchema(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      // no broadcast hint on customer: it scales with the fact side, so the
+      // right plan is SF-dependent — AQE broadcasts it while it fits and
+      // falls back to a shuffled join beyond that
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, d)),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .withColumn("revenue", round(col("revenue"), 4))
+      .orderBy("n_name")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_join_inner"       -> (joinInner _),
+    "q_join_pipeline_top" -> (joinPipelineTop _),
+    "q_join_star"        -> (joinStarSchema _),
     "q_join_asof_native" -> (joinAsofNative _),
     "q_join_broadcast"   -> (joinBroadcast _),
     "q_join_left"        -> (joinLeft _),
@@ -141,6 +186,30 @@ object Joins {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_join_pipeline_top" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |       round(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))) AS DOUBLE), 4) AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY o_orderkey, o_orderpriority
+        |ORDER BY revenue DESC, o_orderkey ASC
+        |LIMIT 10""".stripMargin,
+    "q_join_star" ->
+      """SELECT n_name,
+        |       round(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))) AS DOUBLE), 4) AS revenue,
+        |       COUNT(*) AS n_items
+        |FROM orders
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
     "q_join_inner" ->
       """SELECT o_orderkey, c_custkey, c_mktsegment, o_totalprice
         |FROM orders JOIN customer ON o_custkey = c_custkey

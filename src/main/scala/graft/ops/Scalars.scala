@@ -122,8 +122,23 @@ object Scalars {
         explode(sequence(lit(0), col("r_regionkey"))).as("i"))
       .orderBy("r_regionkey", "i")
 
+  /** Regex family: replace / extract-all / match over document prefixes.
+    * Patterns stick to greedy character classes, which evaluate identically
+    * under Java regex (Spark) and RE2 (DuckDB). */
+  def regexpFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        regexp_replace(substring(col("text"), 1, 80), "[aeiou]", "_").as("devowel"),
+        size(regexp_extract_all(substring(col("text"), 1, 200),
+          lit("[a-z]{6,}"), lit(0))).as("n_long_words"),
+        col("text").rlike("data").as("mentions_data"),
+        regexp_extract(substring(col("text"), 1, 120), "([a-z]+) join", 1).as("before_join"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_string_funcs" -> (stringFuncs _),
+    "q_regexp_funcs" -> (regexpFuncs _),
     "q_null_handling" -> (nullHandling _),
     "q_bitwise"      -> (bitwiseFuncs _),
     "q_generate_series" -> (generateSeries _),
@@ -134,6 +149,14 @@ object Scalars {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_regexp_funcs" ->
+      """SELECT doc_id,
+        |       regexp_replace(substring(text, 1, 80), '[aeiou]', '_', 'g') AS devowel,
+        |       CAST(len(regexp_extract_all(substring(text, 1, 200), '[a-z]{6,}')) AS INTEGER) AS n_long_words,
+        |       regexp_matches(text, 'data') AS mentions_data,
+        |       regexp_extract(substring(text, 1, 120), '([a-z]+) join', 1) AS before_join
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
     "q_string_funcs" ->
       """SELECT c_custkey,
         |       lower(c_name) AS lname,

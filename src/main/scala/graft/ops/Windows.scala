@@ -78,8 +78,29 @@ object Windows {
           |  RANGE BETWEEN 50.0 PRECEDING AND CURRENT ROW) AS DOUBLE) AS near_sum""".stripMargin)
       .orderBy("event_id")
 
+  /** Distribution / navigation window family: ntile, percent_rank,
+    * cume_dist, first/last/nth value. The ORDER BY carries the unique
+    * o_orderkey tie-break, so peer groups are singletons and every
+    * distribution value is deterministic. */
+  def windowDistribution(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, d)
+      .select(
+        col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 4).as("pct_rank"),
+        round(cume_dist().over(w), 4).as("cdist"),
+        first(col("o_totalprice")).over(w).as("first_price"),
+        last(col("o_totalprice")).over(wf).as("last_price"),
+        nth_value(col("o_orderkey"), 2).over(wf).as("second_key"))
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_window_rank"     -> (windowRank _),
+    "q_window_distribution" -> (windowDistribution _),
     "q_window_range"    -> (windowRange _),
     "q_window_running"  -> (windowRunning _),
     "q_window_lag_lead" -> (windowLagLead _),
@@ -87,6 +108,19 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_window_distribution" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |       CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |       round(percent_rank() OVER w, 4) AS pct_rank,
+        |       round(cume_dist() OVER w, 4) AS cdist,
+        |       first_value(o_totalprice) OVER w AS first_price,
+        |       last_value(o_totalprice) OVER wf AS last_price,
+        |       nth_value(o_orderkey, 2) OVER wf AS second_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice ASC, o_orderkey ASC),
+        |       wf AS (PARTITION BY o_orderstatus ORDER BY o_totalprice ASC, o_orderkey ASC
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_orderkey""".stripMargin,
     "q_window_rank" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
         |       CAST(row_number() OVER w AS INTEGER) AS rn,
