@@ -70,13 +70,61 @@ object EventTime {
       .orderBy("event_id")
   }
 
+  /** Conversion funnel view → click → purchase: per user, the first view,
+    * the first click at-or-after it, and the first purchase at-or-after
+    * that click. Each stage is one conditional min over a key-partitioned
+    * aggregate (counts-only shuffles); stage outputs are user-cardinality
+    * and join back by key. The event-sequence analysis a training-data
+    * pipeline runs over interaction logs. */
+  def funnelSteps(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("first_view"))
+    val c = ev.join(v, "user_id")
+      .filter(col("event_type") === "click" && col("ts") >= col("first_view"))
+      .groupBy("user_id").agg(min("ts").as("first_click"))
+    val p = ev.join(c, "user_id")
+      .filter(col("event_type") === "purchase" && col("ts") >= col("first_click"))
+      .groupBy("user_id").agg(min("ts").as("first_purchase"))
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .select(col("user_id"),
+        fmtTs(col("first_view")).as("first_view"),
+        fmtTs(col("first_click")).as("first_click"),
+        fmtTs(col("first_purchase")).as("first_purchase"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tumbling_window" -> (tumblingWindow _),
+    "q_funnel"          -> (funnelSteps _),
     "q_session_window"  -> (sessionWindow _),
     "q_anomaly_filter"  -> (anomalyFilter _),
   )
 
   val oracle: Map[String, String] = Map(
+    "q_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+        |), v AS (
+        |  SELECT user_id, min(ts) AS first_view FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id
+        |), c AS (
+        |  SELECT e.user_id, min(e.ts) AS first_click
+        |  FROM e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts >= v.first_view
+        |  GROUP BY e.user_id
+        |), p AS (
+        |  SELECT e.user_id, min(e.ts) AS first_purchase
+        |  FROM e JOIN c USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts >= c.first_click
+        |  GROUP BY e.user_id
+        |)
+        |SELECT v.user_id,
+        |       strftime(v.first_view, '%Y-%m-%d %H:%M:%S') AS first_view,
+        |       strftime(c.first_click, '%Y-%m-%d %H:%M:%S') AS first_click,
+        |       strftime(p.first_purchase, '%Y-%m-%d %H:%M:%S') AS first_purchase
+        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+        |ORDER BY v.user_id""".stripMargin,
     "q_tumbling_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
         |       event_type, COUNT(*) AS cnt,

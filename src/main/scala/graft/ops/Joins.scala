@@ -128,6 +128,22 @@ object Joins {
       .orderBy("event_id")
   }
 
+  /** Tolerance-bounded as-of join through the native operator: the nearest
+    * prior order counts only if it landed within 9131 days (~25 years —
+    * the fixture's order/event epochs are decades apart, so this horizon
+    * genuinely splits the population) of the event, pandas
+    * `merge_asof(tolerance=...)` semantics. Same merge pass, one extra
+    * comparison — the oracle nulls matches beyond the horizon. */
+  def joinAsofTolerance(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_id"), col("user_id"), col("ts"))
+    val od = Tables.orders(s, d).select(col("o_custkey"), col("o_orderdate"))
+    val toleranceMicros = 9131L * 86400 * 1000 * 1000
+    graft.plans.AsOfJoin.nearestPrior(ev, od, "user_id", "ts",
+        "o_custkey", "o_orderdate", toleranceMicros = Some(toleranceMicros))
+      .select(col("event_id"), fmtTs(col("asof_t")).as("asof_date"))
+      .orderBy("event_id")
+  }
+
   /** TPC-H Q3-shaped 3-way pipeline: selective dimension filter broadcast
     * against two fact tables, aggregate, top-10. The filtered customer side
     * is broadcast explicitly (it is the selective side); orders⋈lineitem is
@@ -173,6 +189,7 @@ object Joins {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_join_inner"       -> (joinInner _),
+    "q_join_asof_tol"    -> (joinAsofTolerance _),
     "q_join_pipeline_top" -> (joinPipelineTop _),
     "q_join_star"        -> (joinStarSchema _),
     "q_join_asof_native" -> (joinAsofNative _),
@@ -262,6 +279,17 @@ object Joins {
         |LEFT JOIN orders o
         |  ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
         |GROUP BY e.event_id
+        |ORDER BY e.event_id""".stripMargin,
+    "q_join_asof_tol" ->
+      """SELECT e.event_id,
+        |       strftime(
+        |         CASE WHEN max(o.o_orderdate) >= CAST(e.ts AS TIMESTAMP) - INTERVAL 9131 DAY
+        |              THEN max(o.o_orderdate) END,
+        |         '%Y-%m-%d %H:%M:%S') AS asof_date
+        |FROM events e
+        |LEFT JOIN orders o
+        |  ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        |GROUP BY e.event_id, e.ts
         |ORDER BY e.event_id""".stripMargin,
     "q_join_asof" ->
       """SELECT e.event_id,

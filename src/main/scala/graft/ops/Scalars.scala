@@ -136,9 +136,28 @@ object Scalars {
         regexp_extract(substring(col("text"), 1, 120), "([a-z]+) join", 1).as("before_join"))
       .orderBy("doc_id")
 
+  /** Calendar arithmetic beyond q_date_funcs: month-stepping, month-end,
+    * day-of-week (Spark: 1=Sunday; the oracle shifts DuckDB's 0=Sunday),
+    * ISO week, quarter, and fractional months_between (mirrored in SQL via
+    * Spark's documented (day1-day2)/31 rule, simplified by the day-1
+    * anchor). */
+  def dateArith(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(
+        col("o_orderkey"),
+        fmtDate(add_months(col("o_orderdate"), 3)).as("plus3mo"),
+        fmtDate(last_day(col("o_orderdate"))).as("month_end"),
+        dayofweek(col("o_orderdate")).as("dow"),
+        weekofyear(col("o_orderdate")).as("iso_week"),
+        quarter(col("o_orderdate")).as("qtr"),
+        round(months_between(lit("2000-01-01").cast("timestamp"),
+          col("o_orderdate")), 4).as("mo_to_2000"))
+      .orderBy("o_orderkey")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_string_funcs" -> (stringFuncs _),
     "q_regexp_funcs" -> (regexpFuncs _),
+    "q_date_arith"   -> (dateArith _),
     "q_null_handling" -> (nullHandling _),
     "q_bitwise"      -> (bitwiseFuncs _),
     "q_generate_series" -> (generateSeries _),
@@ -157,6 +176,18 @@ object Scalars {
         |       regexp_extract(substring(text, 1, 120), '([a-z]+) join', 1) AS before_join
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+    "q_date_arith" ->
+      """SELECT o_orderkey,
+        |       strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3mo,
+        |       strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+        |       CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+        |       CAST(weekofyear(o_orderdate) AS INTEGER) AS iso_week,
+        |       CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+        |       round((2000 - year(o_orderdate)) * 12 + (1 - month(o_orderdate))
+        |             + CASE WHEN day(o_orderdate) = 1 THEN 0.0
+        |                    ELSE (1 - day(o_orderdate)) / 31.0 END, 4) AS mo_to_2000
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
     "q_string_funcs" ->
       """SELECT c_custkey,
         |       lower(c_name) AS lname,

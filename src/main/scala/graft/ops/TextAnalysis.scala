@@ -136,8 +136,34 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** TF-IDF: top-3 most characteristic terms per document. Term and
+    * document frequencies partial-aggregate (counts only ride the
+    * shuffles); the corpus size is a 1-row broadcast. Ranking orders by the
+    * ROUNDED score — a raw-double ordering could flip on last-ulp `ln`
+    * differences between engines — with a term tie-break. At 100 TB the
+    * document-frequency side is vocabulary-sized, which AQE broadcasts. */
+  def tfidf(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(words(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nd = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("tfidf").desc, col("term").asc)
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(nd))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("rn"), col("term"), col("tf"), col("tfidf"))
+      .orderBy("doc_id", "rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ngram_stats"     -> (ngramStats _),
+    "q_tfidf"           -> (tfidf _),
     "q_edit_distance"   -> (editDistance _),
     "q_array_setops"    -> (arraySetOps _),
     "q_lang_id"         -> (langId _),
@@ -156,6 +182,26 @@ object TextAnalysis {
        | ELSE [text] END""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_tfidf" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, unnest($WordsSql) AS term FROM documents
+         |), tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM t WHERE term <> '' GROUP BY 1, 2
+         |), df AS (
+         |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+         |), nd AS (
+         |  SELECT count(*) AS n_docs FROM documents
+         |), x AS (
+         |  SELECT doc_id, term, tf,
+         |         round(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS tfidf
+         |  FROM tf JOIN df USING (term), nd
+         |), r AS (
+         |  SELECT *, CAST(row_number() OVER (
+         |    PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS INTEGER) AS rn
+         |  FROM x
+         |)
+         |SELECT doc_id, rn, term, tf, tfidf FROM r WHERE rn <= 3
+         |ORDER BY doc_id, rn""".stripMargin,
     "q_array_setops" ->
       s"""WITH b AS (
          |  SELECT doc_id, lang, list_distinct($BigramsSql) AS bg FROM documents

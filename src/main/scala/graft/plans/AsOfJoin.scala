@@ -33,7 +33,8 @@ import org.apache.spark.sql.types.TimestampType
 case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
                         leftKey: Attribute, leftTime: Attribute,
                         rightKey: Attribute, rightTime: Attribute,
-                        asOfAttr: AttributeReference) extends BinaryNode {
+                        asOfAttr: AttributeReference,
+                        toleranceMicros: Option[Long] = None) extends BinaryNode {
   // the output attribute is a constructor parameter (not minted here) so its
   // exprId survives plan copies and matches the physical node exactly
   override val output: Seq[Attribute] = left.output :+ asOfAttr
@@ -47,8 +48,8 @@ case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, lt, rk, rt, attr) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, lt, rk, rt, attr) :: Nil
+    case AsOfJoinPlan(l, r, lk, lt, rk, rt, attr, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, lt, rk, rt, attr, tol) :: Nil
     case _ => Nil
   }
 }
@@ -56,7 +57,8 @@ object AsOfJoinStrategy extends SparkStrategy {
 case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
                         leftKey: Attribute, leftTime: Attribute,
                         rightKey: Attribute, rightTime: Attribute,
-                        asOfAttr: AttributeReference) extends BinaryExecNode {
+                        asOfAttr: AttributeReference,
+                        toleranceMicros: Option[Long] = None) extends BinaryExecNode {
 
   override val output: Seq[Attribute] = left.output :+ asOfAttr
 
@@ -114,7 +116,11 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
               } else advance = false
             }
           }
-          if (trackValid && trackKey == lk) asOf = java.lang.Long.valueOf(lastTime)
+          // the nearest prior is the only tolerance candidate: anything
+          // earlier is strictly farther from lt
+          if (trackValid && trackKey == lk &&
+              toleranceMicros.forall(lt - lastTime <= _))
+            asOf = java.lang.Long.valueOf(lastTime)
         }
         asOfRow.update(0, asOf)
         proj(joined(lRow, asOfRow))
@@ -130,11 +136,14 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
 object AsOfJoin {
   /** DataFrame API for the native operator: appends `asOfName` — the
     * nearest prior `rightTime` of the matching `rightKey` — to `left`.
+    * With `toleranceMicros`, a prior observation farther than the tolerance
+    * yields null instead (pandas `merge_asof(tolerance=...)` semantics).
     * Installs the planner strategy on the session (idempotent). */
   def nearestPrior(leftDf: DataFrame, rightDf: DataFrame,
                    leftKey: String, leftTime: String,
                    rightKey: String, rightTime: String,
-                   asOfName: String = "asof_t"): DataFrame = {
+                   asOfName: String = "asof_t",
+                   toleranceMicros: Option[Long] = None): DataFrame = {
     val spark = leftDf.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
       spark.experimental.extraStrategies =
@@ -148,6 +157,7 @@ object AsOfJoin {
     Bridge.ofRows(spark,
       AsOfJoinPlan(lp, rp, attr(lp, leftKey), attr(lp, leftTime),
         attr(rp, rightKey), attr(rp, rightTime),
-        AttributeReference(asOfName, TimestampType, nullable = true)()))
+        AttributeReference(asOfName, TimestampType, nullable = true)(),
+        toleranceMicros))
   }
 }

@@ -38,4 +38,20 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out === Map(
       1L -> Some("10:00"), 2L -> None, 3L -> None, 4L -> Some("11:00")))
   }
+
+  test("tolerance nulls matches farther than the horizon, keeps the rest") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 1L, "2024-01-01 10:00:00"), // prior at 09:30 → within 1h
+      (2L, 1L, "2024-01-01 12:00:00")  // prior at 09:30 → beyond 1h → null
+    ).toDF("id", "k", "t_str").withColumn("t", to_timestamp(col("t_str")))
+    val right = Seq((1L, "2024-01-01 09:30:00"))
+      .toDF("k", "rt_str").withColumn("rt", to_timestamp(col("rt_str")))
+    val out = AsOfJoin.nearestPrior(left.select("id", "k", "t"),
+        right.select("k", "rt"), "k", "t", "k", "rt",
+        toleranceMicros = Some(3600L * 1000 * 1000))
+      .select(col("id"), date_format(col("asof_t"), "HH:mm").as("asof"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out === Map(1L -> Some("09:30"), 2L -> None))
+  }
 }
