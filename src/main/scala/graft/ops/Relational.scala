@@ -108,9 +108,26 @@ object Relational {
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
       .orderBy("o_orderkey")
 
+  /** Correlated EXISTS through the SQL surface (the Athena-style entry,
+    * SURVEY.md R20): Catalyst decorrelates the subquery into a left-semi
+    * join — same physical plan as q_join_semi, arrived at from SQL. The
+    * NOT EXISTS arm lands in the same query as an anti-join count. */
+  def existsSubquery(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("customer_ex")
+    Tables.orders(s, d).createOrReplaceTempView("orders_ex")
+    s.sql(
+      """SELECT c_custkey, c_mktsegment,
+        |       EXISTS (SELECT 1 FROM orders_ex o
+        |               WHERE o.o_custkey = c.c_custkey
+        |                 AND o.o_totalprice > 400000.0) AS has_big_order
+        |FROM customer_ex c
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_word_count"   -> (wordCount _),
     "q_sample_hash"  -> (hashSample _),
+    "q_exists_subquery" -> (existsSubquery _),
     "q_kv_items"     -> (kvItems _),
     "q_scalar_subquery" -> (scalarSubquery _),
     "q_scan_project" -> (scanProject _),
@@ -122,6 +139,13 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_exists_subquery" ->
+      """SELECT c_custkey, c_mktsegment,
+        |       EXISTS (SELECT 1 FROM orders o
+        |               WHERE o.o_custkey = c.c_custkey
+        |                 AND o.o_totalprice > 400000.0) AS has_big_order
+        |FROM customer c
+        |ORDER BY c_custkey""".stripMargin,
     "q_sample_hash" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders

@@ -154,10 +154,23 @@ object Scalars {
           col("o_orderdate")), 4).as("mo_to_2000"))
       .orderBy("o_orderkey")
 
+  /** Generator variants beyond plain explode: posexplode (element +
+    * 1-based position) and explode_outer (rows with an empty array
+    * survive with nulls). The long-word filter makes genuinely empty
+    * arrays so the outer semantics are exercised. */
+  def explodeVariants(s: SparkSession, d: String): DataFrame = {
+    val longWords = filter(split(col("text"), " "), w => length(w) >= 8)
+    Tables.documents(s, d)
+      .select(col("doc_id"), posexplode_outer(longWords).as(Seq("pos", "word")))
+      .select(col("doc_id"), (col("pos") + 1).as("pos1"), col("word"))
+      .orderBy(col("doc_id").asc, col("pos1").asc_nulls_first)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_string_funcs" -> (stringFuncs _),
     "q_regexp_funcs" -> (regexpFuncs _),
     "q_date_arith"   -> (dateArith _),
+    "q_explode_variants" -> (explodeVariants _),
     "q_null_handling" -> (nullHandling _),
     "q_bitwise"      -> (bitwiseFuncs _),
     "q_generate_series" -> (generateSeries _),
@@ -176,6 +189,17 @@ object Scalars {
         |       regexp_extract(substring(text, 1, 120), '([a-z]+) join', 1) AS before_join
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+    "q_explode_variants" ->
+      """WITH l AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split(text, ' '), w -> length(w) >= 8) AS lw
+        |  FROM documents
+        |)
+        |SELECT doc_id, CAST(i AS INTEGER) AS pos1, lw[i] AS word
+        |FROM l, unnest(range(1, len(lw) + 1)) AS t(i)
+        |UNION ALL
+        |SELECT doc_id, CAST(NULL AS INTEGER), NULL FROM l WHERE len(lw) = 0
+        |ORDER BY doc_id ASC, pos1 ASC NULLS FIRST""".stripMargin,
     "q_date_arith" ->
       """SELECT o_orderkey,
         |       strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3mo,

@@ -147,11 +147,13 @@ object TextAnalysis {
       .select(col("doc_id"), explode(words(col("text"))).as("term"))
       .filter(col("term") =!= "")
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // document frequency as a count window over term: one shuffle on term,
+    // versus the groupBy-then-rejoin formulation's two shuffles + join
+    val wDf = org.apache.spark.sql.expressions.Window.partitionBy("term")
     val nd = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("tfidf").desc, col("term").asc)
-    tf.join(dfreq, "term")
+    tf.withColumn("df", count(lit(1)).over(wDf))
       .crossJoin(broadcast(nd))
       .withColumn("tfidf",
         round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))

@@ -98,9 +98,26 @@ object Windows {
       .orderBy("o_orderkey")
   }
 
+  /** Time-interval RANGE frame: per-user rolling 1-hour event count and
+    * value sum — the batch twin of a sliding stream aggregation. Value
+    * bounds (not row positions) make it deterministic across ties, and the
+    * frame is evaluated in one pass over each key partition. */
+  def windowTimeRange(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .selectExpr(
+        "event_id", "user_id", "value",
+        """COUNT(*) OVER (
+          |  PARTITION BY user_id ORDER BY ts
+          |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS n_last_hour""".stripMargin,
+        """CAST(SUM(CAST(value AS DECIMAL(24,6))) OVER (
+          |  PARTITION BY user_id ORDER BY ts
+          |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum_last_hour""".stripMargin)
+      .orderBy("event_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_window_rank"     -> (windowRank _),
     "q_window_distribution" -> (windowDistribution _),
+    "q_window_time_range" -> (windowTimeRange _),
     "q_window_range"    -> (windowRange _),
     "q_window_running"  -> (windowRunning _),
     "q_window_lag_lead" -> (windowLagLead _),
@@ -108,6 +125,17 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_window_time_range" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, value, CAST(ts AS TIMESTAMP) AS ts FROM events
+        |)
+        |SELECT event_id, user_id, value,
+        |       COUNT(*) OVER w AS n_last_hour,
+        |       CAST(SUM(CAST(value AS DECIMAL(24,6))) OVER w AS DOUBLE) AS sum_last_hour
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "q_window_distribution" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice,
         |       CAST(ntile(4) OVER w AS INTEGER) AS quartile,
