@@ -128,6 +128,19 @@ object Joins {
       .orderBy("event_id")
   }
 
+  /** Skew-salted join surfaced as a query: events (the skewed fact — only 5
+    * distinct event_type keys) against a per-type dimension, through
+    * [[graft.ops.Partitioning.saltedJoin]]. Salting randomizes only the
+    * physical placement; the logical result is exactly the plain inner
+    * join, which is what the oracle states. */
+  def joinSalted(s: SparkSession, d: String): DataFrame = {
+    val typeDim = Tables.events(s, d)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("type_cnt"))
+    Partitioning.saltedJoin(Tables.events(s, d), typeDim, "event_type", salts = 8)
+      .select(col("event_id"), col("event_type"), col("type_cnt"))
+      .orderBy("event_id")
+  }
+
   /** Tolerance-bounded as-of join through the native operator: the nearest
     * prior order counts only if it landed within 9131 days (~25 years —
     * the fixture's order/event epochs are decades apart, so this horizon
@@ -190,6 +203,7 @@ object Joins {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_join_inner"       -> (joinInner _),
     "q_join_asof_tol"    -> (joinAsofTolerance _),
+    "q_join_salted"      -> (joinSalted _),
     "q_join_pipeline_top" -> (joinPipelineTop _),
     "q_join_star"        -> (joinStarSchema _),
     "q_join_asof_native" -> (joinAsofNative _),
@@ -279,6 +293,12 @@ object Joins {
         |LEFT JOIN orders o
         |  ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
         |GROUP BY e.event_id
+        |ORDER BY e.event_id""".stripMargin,
+    "q_join_salted" ->
+      """SELECT e.event_id, e.event_type, t.type_cnt
+        |FROM events e
+        |JOIN (SELECT event_type, count(*) AS type_cnt
+        |      FROM events GROUP BY event_type) t USING (event_type)
         |ORDER BY e.event_id""".stripMargin,
     "q_join_asof_tol" ->
       """SELECT e.event_id,

@@ -124,10 +124,32 @@ object Relational {
         |ORDER BY c_custkey""".stripMargin)
   }
 
+  /** Grand aggregate with no grouping: a partial-aggregate tree to a
+    * single row (no key shuffle — the exchange carries one row per
+    * partition). */
+  def globalAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        dsum(col("l_quantity")).as("total_qty"),
+        round(min(col("l_extendedprice")), 4).as("min_price"),
+        round(max(col("l_extendedprice")), 4).as("max_price"))
+
+  /** Multi-column DISTINCT (projection-level dedup — `q_dedup_exact` is the
+    * row-level variant with survivor control). */
+  def distinctRows(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("lang"), col("source"))
+      .distinct()
+      .orderBy("lang", "source")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_word_count"   -> (wordCount _),
     "q_sample_hash"  -> (hashSample _),
     "q_exists_subquery" -> (existsSubquery _),
+    "q_global_agg"   -> (globalAgg _),
+    "q_distinct_rows" -> (distinctRows _),
     "q_kv_items"     -> (kvItems _),
     "q_scalar_subquery" -> (scalarSubquery _),
     "q_scan_project" -> (scanProject _),
@@ -146,6 +168,16 @@ object Relational {
         |                 AND o.o_totalprice > 400000.0) AS has_big_order
         |FROM customer c
         |ORDER BY c_custkey""".stripMargin,
+    "q_global_agg" ->
+      """SELECT count(*) AS n_rows,
+        |       count(DISTINCT l_orderkey) AS n_orders,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(24,6))) AS DOUBLE) AS total_qty,
+        |       round(min(l_extendedprice), 4) AS min_price,
+        |       round(max(l_extendedprice), 4) AS max_price
+        |FROM lineitem""".stripMargin,
+    "q_distinct_rows" ->
+      """SELECT DISTINCT lang, source FROM documents
+        |ORDER BY lang, source""".stripMargin,
     "q_sample_hash" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders

@@ -53,6 +53,23 @@ object Formats {
   def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(path)
 
+  /** Small-file compaction: rewrite a parquet directory into files of
+    * roughly `targetFileBytes`. Streaming ingestion and over-parallel
+    * writers leave 100 TB corpora as millions of KB-sized files whose
+    * open/footer overhead dominates scans; periodic compaction is part of
+    * any production table's maintenance loop. File count derives from the
+    * scan statistics (sum of file sizes), and the rewrite is a round-robin
+    * repartition — no shuffle key, every output file near-equal size. */
+  def compact(s: SparkSession, inPath: String, outPath: String,
+              targetFileBytes: Long = 128L << 20): Int = {
+    val df = s.read.parquet(inPath)
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val parts = math.max(1L,
+      ((bytes + targetFileBytes - 1) / targetFileBytes).toLong).toInt
+    df.repartition(parts).write.mode(SaveMode.Overwrite).parquet(outPath)
+    parts
+  }
+
   val FixtureTables: Seq[String] = Seq("region", "nation", "customer",
     "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings")
 

@@ -54,6 +54,22 @@ class SourcesAndExtensionsSpec extends AnyFunSuite {
     assert(filtered.count() === expected)
   }
 
+  test("compaction collapses a many-file table without changing its rows") {
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("graft_compact").toString
+    val frag = s"$base/fragmented"
+    val out = s"$base/compacted"
+    Tables.documents(spark, TestSpark.Sf).repartition(32).write.parquet(frag)
+    def files(p: String) =
+      new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files(frag) === 32)
+    graft.sources.Formats.compact(spark, frag, out, targetFileBytes = 1L << 30)
+    assert(files(out) === 1)
+    val a = spark.read.parquet(frag).collect().map(_.toSeq).toSet
+    val b = spark.read.parquet(out).collect().map(_.toSeq).toSet
+    assert(a === b)
+  }
+
   test("streaming anomaly alerts deliver per-batch above-threshold events") {
     val seen = scala.collection.mutable.ArrayBuffer[(Long, String)]()
     val q = streaming.Streams.anomalyAlerts(
