@@ -61,26 +61,14 @@ object Dedup {
     * (TextFeatures.minhashSlice) — string-min over a hex slice == numeric
     * minhash, at a quarter of the digest cost. */
   def dedupMinhash(s: SparkSession, d: String): DataFrame = {
-    // explode + partial-aggregated mins: the map-side combine reduces the
-    // shuffle to one signature row per doc per partition, and the whole
-    // hash pipeline stays in codegen (an array-HOF formulation avoids the
-    // explode but runs interpreted lambdas — measured 6× slower)
-    val sh = Tables.documents(s, d)
-      .select(col("doc_id"),
-        explode(shingles3(words(col("text")), col("text"))).as("shingle"))
-      .withColumn("h", md5(col("shingle")))
-    val sig = sh.groupBy("doc_id")
-      .agg(
-        min(minhashSlice(col("h"), Seeds.head)).as(s"mh${Seeds.head}"),
-        Seeds.tail.map(i => min(minhashSlice(col("h"), i)).as(s"mh$i")): _*)
-    val buckets = sig.select(col("doc_id"),
-      explode(array(
-        concat(lit("0|"), col("mh0"), col("mh1")),
-        concat(lit("1|"), col("mh2"), col("mh3")))).as("bkey"))
-    // keeper per bucket as a window min: one shuffle on bkey, instead of
-    // the groupBy + re-join formulation (two shuffles + a join)
+    // bandBuckets: explode + partial-aggregated mins — the map-side combine
+    // reduces the shuffle to one signature row per doc per partition, and
+    // the whole hash pipeline stays in codegen (an array-HOF formulation
+    // avoids the explode but runs interpreted lambdas — measured 6× slower).
+    // Keeper per bucket as a window min: one shuffle on bkey, instead of
+    // the groupBy + re-join formulation (two shuffles + a join).
     val wb = Window.partitionBy("bkey")
-    buckets.withColumn("bmin", min("doc_id").over(wb))
+    bandBuckets(s, d).withColumn("bmin", min("doc_id").over(wb))
       .groupBy("doc_id").agg(min("bmin").as("keeper"))
       .withColumn("is_dup", (col("keeper") < col("doc_id")).cast("int"))
       .orderBy("doc_id")
@@ -108,6 +96,61 @@ object Dedup {
     sig.join(keeper, "fp")
       .select(col("doc_id"), col("fp"), col("keeper"),
         (col("keeper") < col("doc_id")).cast("int").as("is_dup"))
+      .orderBy("doc_id")
+  }
+
+  /** The doc→LSH-band-bucket incidence used by both the pairwise minhash
+    * query and the cluster closure. */
+  private def bandBuckets(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(shingles3(words(col("text")), col("text"))).as("shingle"))
+      .withColumn("h", md5(col("shingle")))
+    val sig = sh.groupBy("doc_id")
+      .agg(
+        min(minhashSlice(col("h"), Seeds.head)).as(s"mh${Seeds.head}"),
+        Seeds.tail.map(i => min(minhashSlice(col("h"), i)).as(s"mh$i")): _*)
+    sig.select(col("doc_id"),
+      explode(array(
+        concat(lit("0|"), col("mh0"), col("mh1")),
+        concat(lit("1|"), col("mh2"), col("mh3")))).as("bkey"))
+  }
+
+  /** Duplicate CLUSTERS (not just pairs): connected components of the
+    * doc↔band-bucket graph via iterative min-label propagation — label(doc)
+    * = min doc_id reachable through shared buckets. This is the step a
+    * production dedup actually needs (pick one survivor per transitive
+    * cluster; pairwise flags over-delete chains A~B~C where A≁C).
+    *
+    * Scale shape: each round is two key-partitioned aggregates (labels
+    * never carry document bodies), and `localCheckpoint` truncates the
+    * lineage each round — the standard Spark iterative-algorithm pattern
+    * (what GraphX does internally). Rounds needed = graph diameter in
+    * doc→bucket→doc hops; near-dup clusters are shallow (planted chains
+    * converge in 2-3), with a hard cap as a safety net. The driver-side
+    * loop holds only a changed-row COUNT, never data. */
+  def dedupClusters(s: SparkSession, d: String): DataFrame = {
+    val buckets = bandBuckets(s, d).localCheckpoint(true)
+    var labels = buckets.select(col("doc_id")).distinct()
+      .withColumn("label", col("doc_id")).localCheckpoint(true)
+    var rounds = 0
+    var changed = 1L
+    while (changed > 0 && rounds < 20) {
+      val bucketMin = buckets.join(labels, "doc_id")
+        .groupBy("bkey").agg(min("label").as("bl"))
+      val next = buckets.join(bucketMin, "bkey")
+        .groupBy("doc_id").agg(min("bl").as("nl"))
+        .join(labels, "doc_id")
+        .select(col("doc_id"), least(col("nl"), col("label")).as("label"),
+          (col("nl") < col("label")).cast("int").as("chg"))
+        .localCheckpoint(true)
+      changed = next.agg(sum("chg")).collect()(0).getLong(0)
+      labels = next.select("doc_id", "label")
+      rounds += 1
+    }
+    labels
+      .withColumn("is_dup", (col("label") < col("doc_id")).cast("int"))
+      .withColumnRenamed("label", "cluster")
       .orderBy("doc_id")
   }
 
@@ -140,6 +183,7 @@ object Dedup {
     "q_dedup_exact"    -> (dedupExact _),
     "q_dedup_fuzzy"    -> (dedupFuzzy _),
     "q_dedup_minhash"  -> (dedupMinhash _),
+    "q_dedup_clusters" -> (dedupClusters _),
     "q_dedup_simhash"  -> (dedupSimhash _),
     "q_ngram_jaccard"  -> (ngramJaccard _),
   )
@@ -193,6 +237,30 @@ object Dedup {
          |SELECT doc_id, keeper, CAST(keeper < doc_id AS INTEGER) AS is_dup
          |FROM (SELECT b.doc_id, min(k.bmin) AS keeper
          |      FROM b JOIN k USING (bkey) GROUP BY b.doc_id) t
+         |ORDER BY doc_id""".stripMargin,
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE sh AS (
+         |  SELECT doc_id, unnest($ShinglesSql) AS shingle FROM documents
+         |), sig AS (
+         |  SELECT doc_id,
+         |         min(substring(md5(shingle), 1, 8))  AS mh0,
+         |         min(substring(md5(shingle), 9, 8))  AS mh1,
+         |         min(substring(md5(shingle), 17, 8)) AS mh2,
+         |         min(substring(md5(shingle), 25, 8)) AS mh3
+         |  FROM sh GROUP BY doc_id
+         |), b AS (
+         |  SELECT doc_id, unnest(['0|'||mh0||mh1, '1|'||mh2||mh3]) AS bkey FROM sig
+         |), edge AS (
+         |  SELECT DISTINCT a.doc_id AS x, c.doc_id AS y
+         |  FROM b a JOIN b c USING (bkey)
+         |), reach(x, y) AS (
+         |  SELECT x, y FROM edge
+         |  UNION
+         |  SELECT r.x, e.y FROM reach r JOIN edge e ON r.y = e.x
+         |)
+         |SELECT x AS doc_id, min(y) AS cluster,
+         |       CAST(min(y) < x AS INTEGER) AS is_dup
+         |FROM reach GROUP BY x
          |ORDER BY doc_id""".stripMargin,
     "q_dedup_simhash" ->
       s"""WITH wd AS (
