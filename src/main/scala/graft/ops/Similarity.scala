@@ -133,8 +133,34 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
+  /** Symmetric int8 quantization audit: per vector, the max-abs scale, the
+    * reconstruction MSE, and how many of the 255 levels are used — the
+    * compression step an embedding store runs before ANN serving. Exploded
+    * (codegen) rather than HOF (interpreted); quantization via
+    * floor(x+0.5), identical IEEE arithmetic in both engines (round()'s
+    * half-handling on negatives is the only engine-divergent alternative);
+    * the error sum runs through DECIMAL so it is order-independent. */
+  def embedQuantize(s: SparkSession, d: String): DataFrame = {
+    val wv = Window.partitionBy("vec_id")
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "xf")))
+      .withColumn("x", col("xf").cast("double"))
+      .withColumn("maxabs", max(abs(col("x"))).over(wv))
+      .withColumn("q", floor(col("x") * 127.0 / col("maxabs") + 0.5))
+      .withColumn("err", col("x") - col("q") * col("maxabs") / 127.0)
+      .groupBy("vec_id")
+      .agg(
+        round(max(col("maxabs")), 4).as("maxabs"),
+        round(sum((col("err") * col("err"))
+          .cast(org.apache.spark.sql.types.DecimalType(30, 12))).cast("double")
+          / count(lit(1)), 8).as("mse"),
+        countDistinct(col("q")).as("n_levels"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cosine_topk"   -> (cosineTopk _),
+    "q_embed_quantize" -> (embedQuantize _),
     "q_ann_lsh"       -> (annLsh _),
     "q_ann_ivf"       -> (annIvf _),
     "q_embed_neardup" -> (embedNeardup _),
@@ -150,6 +176,24 @@ object Similarity {
     .mkString(" || ")
 
   val oracle: Map[String, String] = Map(
+    "q_embed_quantize" ->
+      """WITH ex AS (
+        |  SELECT vec_id, CAST(x AS DOUBLE) AS x
+        |  FROM embeddings, unnest(CAST(embedding AS DOUBLE[])) AS t(x)
+        |), m AS (
+        |  SELECT *, max(abs(x)) OVER (PARTITION BY vec_id) AS maxabs FROM ex
+        |), e AS (
+        |  SELECT *, x - floor(x * 127.0 / maxabs + 0.5) * maxabs / 127.0 AS err,
+        |         floor(x * 127.0 / maxabs + 0.5) AS q
+        |  FROM m
+        |)
+        |SELECT vec_id,
+        |       round(max(maxabs), 4) AS maxabs,
+        |       round(CAST(SUM(CAST(err * err AS DECIMAL(30,12))) AS DOUBLE)
+        |             / count(*), 8) AS mse,
+        |       count(DISTINCT q) AS n_levels
+        |FROM e GROUP BY vec_id
+        |ORDER BY vec_id""".stripMargin,
     "q_cosine_topk" ->
       s"""WITH $NormCte,
          |q AS (SELECT vec_id AS qid, v AS qv, norm AS qn FROM n WHERE vec_id % 50 = 0),
