@@ -128,6 +128,16 @@ object Joins {
       .orderBy("event_id")
   }
 
+  /** Explicit cartesian product — only ever sane when one side is tiny, and
+    * then it should be the broadcast side (BroadcastNestedLoopJoin, no
+    * shuffle). Region×nation grid with a membership flag. */
+  def crossJoinGrid(s: SparkSession, d: String): DataFrame =
+    Tables.nation(s, d)
+      .crossJoin(broadcast(Tables.region(s, d)))
+      .select(col("n_name"), col("r_name"),
+        (col("n_regionkey") === col("r_regionkey")).as("is_home"))
+      .orderBy("n_name", "r_name")
+
   /** Skew-salted join surfaced as a query: events (the skewed fact — only 5
     * distinct event_type keys) against a per-type dimension, through
     * [[graft.ops.Partitioning.saltedJoin]]. Salting randomizes only the
@@ -204,6 +214,7 @@ object Joins {
     "q_join_inner"       -> (joinInner _),
     "q_join_asof_tol"    -> (joinAsofTolerance _),
     "q_join_salted"      -> (joinSalted _),
+    "q_join_cross"       -> (crossJoinGrid _),
     "q_join_pipeline_top" -> (joinPipelineTop _),
     "q_join_star"        -> (joinStarSchema _),
     "q_join_asof_native" -> (joinAsofNative _),
@@ -294,6 +305,10 @@ object Joins {
         |  ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
         |GROUP BY e.event_id
         |ORDER BY e.event_id""".stripMargin,
+    "q_join_cross" ->
+      """SELECT n_name, r_name, n_regionkey = r_regionkey AS is_home
+        |FROM nation CROSS JOIN region
+        |ORDER BY n_name, r_name""".stripMargin,
     "q_join_salted" ->
       """SELECT e.event_id, e.event_type, t.type_cnt
         |FROM events e

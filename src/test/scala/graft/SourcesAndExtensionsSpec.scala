@@ -54,6 +54,23 @@ class SourcesAndExtensionsSpec extends AnyFunSuite {
     assert(filtered.count() === expected)
   }
 
+  test("schema evolution: mergeSchema unions columns across file generations") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_evolve").toString + "/t"
+    // generation 1: (doc_id, lang); generation 2 adds quality
+    Tables.documents(spark, TestSpark.Sf).filter(col("doc_id") < 100)
+      .select("doc_id", "lang").write.parquet(dir)
+    Tables.documents(spark, TestSpark.Sf).filter(col("doc_id") >= 100)
+      .select(col("doc_id"), col("lang"), (col("n_chars") > 500).as("quality"))
+      .write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq === Seq("doc_id", "lang", "quality"))
+    assert(merged.count() === Tables.documents(spark, TestSpark.Sf).count())
+    // old-generation rows surface the new column as null
+    assert(merged.filter(col("doc_id") < 100 && col("quality").isNotNull).count() === 0)
+  }
+
   test("compaction collapses a many-file table without changing its rows") {
     import java.nio.file.Files
     val base = Files.createTempDirectory("graft_compact").toString
