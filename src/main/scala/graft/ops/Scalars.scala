@@ -166,11 +166,29 @@ object Scalars {
       .orderBy(col("doc_id").asc, col("pos1").asc_nulls_first)
   }
 
+  /** Error-tolerant casting over a deliberately dirty column — the typed
+    * normalization stage after an all-string TSV ingest (the reference's R1
+    * schema). Every third id is corrupted with a non-numeric prefix;
+    * try_cast yields null there instead of failing the job, and the
+    * downstream coalesce shows the standard quarantine-or-default split. */
+  def tryCastDirty(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .withColumn("raw_id",
+        when(col("c_custkey") % 3 === 0, concat(lit("x"), split_part(col("c_name"), lit("#"), lit(2))))
+          .otherwise(split_part(col("c_name"), lit("#"), lit(2))))
+      .select(
+        col("c_custkey"), col("raw_id"),
+        expr("try_cast(raw_id AS BIGINT)").as("parsed_id"),
+        coalesce(expr("try_cast(raw_id AS BIGINT)"), lit(-1L)).as("id_or_default"),
+        expr("try_cast(raw_id AS BIGINT)").isNull.as("quarantined"))
+      .orderBy("c_custkey")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_string_funcs" -> (stringFuncs _),
     "q_regexp_funcs" -> (regexpFuncs _),
     "q_date_arith"   -> (dateArith _),
     "q_explode_variants" -> (explodeVariants _),
+    "q_try_cast"     -> (tryCastDirty _),
     "q_null_handling" -> (nullHandling _),
     "q_bitwise"      -> (bitwiseFuncs _),
     "q_generate_series" -> (generateSeries _),
@@ -189,6 +207,20 @@ object Scalars {
         |       regexp_extract(substring(text, 1, 120), '([a-z]+) join', 1) AS before_join
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+    "q_try_cast" ->
+      """WITH r AS (
+        |  SELECT c_custkey,
+        |         CASE WHEN c_custkey % 3 = 0
+        |              THEN 'x' || split_part(c_name, '#', 2)
+        |              ELSE split_part(c_name, '#', 2) END AS raw_id
+        |  FROM customer
+        |)
+        |SELECT c_custkey, raw_id,
+        |       TRY_CAST(raw_id AS BIGINT) AS parsed_id,
+        |       coalesce(TRY_CAST(raw_id AS BIGINT), -1) AS id_or_default,
+        |       TRY_CAST(raw_id AS BIGINT) IS NULL AS quarantined
+        |FROM r
+        |ORDER BY c_custkey""".stripMargin,
     "q_explode_variants" ->
       """WITH l AS (
         |  SELECT doc_id,

@@ -85,6 +85,31 @@ class StreamingSpec extends AnyFunSuite {
       SessionSummary(1, 1, 2 * hour, 2 * hour)))
   }
 
+  test("streaming parquet file sink with checkpoint persists exactly the input") {
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("graft_sink").toString
+    val enriched = Streams.enrichedStream(
+      Streams.eventsStream(spark, sf), Tables.customer(spark, sf))
+    val q = enriched.writeStream
+      .format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val written = spark.read.parquet(s"$base/out")
+    assert(written.count() === Tables.events(spark, sf).count())
+    // restart with the same checkpoint: no source data is reprocessed
+    val q2 = enriched.writeStream
+      .format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append")
+      .start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(spark.read.parquet(s"$base/out").count() === Tables.events(spark, sf).count())
+  }
+
   test("stream-stream interval join matches clicks within 30min of a view") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
