@@ -144,7 +144,8 @@ object Dedup {
         .select(col("doc_id"), least(col("nl"), col("label")).as("label"),
           (col("nl") < col("label")).cast("int").as("chg"))
         .localCheckpoint(true)
-      changed = next.agg(sum("chg")).collect()(0).getLong(0)
+      // coalesce: sum over an empty label set is null (empty input corpus)
+      changed = next.agg(coalesce(sum("chg"), lit(0L))).collect()(0).getLong(0)
       labels = next.select("doc_id", "label")
       rounds += 1
     }

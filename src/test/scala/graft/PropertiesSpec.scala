@@ -9,6 +9,28 @@ class PropertiesSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.session
   private val sf = TestSpark.Sf
 
+  test("cluster dedup terminates and returns empty on an empty corpus") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_empty").toString
+    Tables.documents(spark, sf).filter(lit(false))
+      .write.parquet(s"$dir/documents.parquet")
+    assert(ops.Dedup.dedupClusters(spark, dir).count() === 0)
+  }
+
+  test("cluster labels refine the pairwise minhash keepers") {
+    // every pairwise-flagged dup must also be flagged by the transitive
+    // closure, and cluster ids can only be <= the pairwise keeper
+    val pairs = ops.Dedup.dedupMinhash(spark, sf)
+      .select(col("doc_id"), col("keeper")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val clusters = ops.Dedup.dedupClusters(spark, sf)
+      .select(col("doc_id"), col("cluster")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pairs.keySet === clusters.keySet)
+    pairs.foreach { case (doc, keeper) =>
+      assert(clusters(doc) <= keeper, s"doc $doc: cluster above keeper") }
+  }
+
   test("word_count conserves total token count") {
     val wc = ops.Relational.wordCount(spark, sf)
     val sumCounts = wc.agg(sum("cnt")).head.getLong(0)
