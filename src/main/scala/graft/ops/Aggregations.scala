@@ -167,9 +167,30 @@ object Aggregations {
         bool_and(col("value") >= 0.0).as("all_nonneg"))
       .orderBy("event_type")
 
+  /** Discrete percentiles (the value AT rank ceil(p·n), never interpolated)
+    * by explicit rank selection — integer ceil-division rank targets make
+    * the pick identical in any engine, with a unique tie-break so equal
+    * prices cannot swap. The continuous variant is q_percentiles. */
+  def percentileDisc(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("o_orderstatus")
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    Tables.orders(s, d)
+      .select(col("o_orderstatus"), col("o_totalprice"), col("o_orderkey"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("o_orderstatus")))
+      .groupBy("o_orderstatus")
+      .agg(
+        max(when(col("rn") === floor((col("n") + 3) / 4), col("o_totalprice"))).as("p25_disc"),
+        max(when(col("rn") === floor((col("n") + 1) / 2), col("o_totalprice"))).as("p50_disc"),
+        max(when(col("rn") === floor((col("n") * 9 + 9) / 10), col("o_totalprice"))).as("p90_disc"))
+      .orderBy("o_orderstatus")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_agg_pricing"     -> (aggPricing _),
     "q_arg_minmax"      -> (argMinMax _),
+    "q_percentile_disc" -> (percentileDisc _),
     "q_agg_distinct"    -> (aggDistinct _),
     "q_agg_rollup"      -> (aggRollup _),
     "q_agg_cube"        -> (aggCube _),
@@ -205,6 +226,21 @@ object Aggregations {
        |ORDER BY g_status, g_prio, status, prio""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_percentile_disc" ->
+      """WITH r AS (
+        |  SELECT o_orderstatus, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_orderstatus
+        |                            ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn,
+        |         count(*) OVER (PARTITION BY o_orderstatus) AS n
+        |  FROM orders
+        |)
+        |SELECT o_orderstatus,
+        |       max(CASE WHEN rn = floor((n + 3) / 4) THEN o_totalprice END) AS p25_disc,
+        |       max(CASE WHEN rn = floor((n + 1) / 2) THEN o_totalprice END) AS p50_disc,
+        |       max(CASE WHEN rn = floor((n * 9 + 9) / 10) THEN o_totalprice END) AS p90_disc
+        |FROM r
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     "q_arg_minmax" ->
       """SELECT event_type,
         |       arg_min(user_id, event_id) AS first_user,

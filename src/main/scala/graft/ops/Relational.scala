@@ -108,6 +108,21 @@ object Relational {
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
       .orderBy("o_orderkey")
 
+  /** Stratified fixed-size sample: exactly 5 documents per language, chosen
+    * by salted-hash order (reproducible across engines/runs, unlike
+    * orderBy(rand)). The eval-set construction shape: one shuffle on the
+    * stratum key, per-stratum heads. */
+  def stratifiedSample(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+      .orderBy(md5(concat(lit("strat:"), col("doc_id").cast("string"))).asc,
+        col("doc_id").asc)
+    Tables.documents(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("lang"), col("rn"), col("doc_id"))
+      .orderBy("lang", "rn")
+  }
+
   /** Correlated EXISTS through the SQL surface (the Athena-style entry,
     * SURVEY.md R20): Catalyst decorrelates the subquery into a left-semi
     * join — same physical plan as q_join_semi, arrived at from SQL. The
@@ -148,6 +163,7 @@ object Relational {
     "q_word_count"   -> (wordCount _),
     "q_sample_hash"  -> (hashSample _),
     "q_exists_subquery" -> (existsSubquery _),
+    "q_stratified_sample" -> (stratifiedSample _),
     "q_global_agg"   -> (globalAgg _),
     "q_distinct_rows" -> (distinctRows _),
     "q_kv_items"     -> (kvItems _),
@@ -161,6 +177,14 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_stratified_sample" ->
+      """SELECT lang, rn, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |         CAST(row_number() OVER (PARTITION BY lang
+        |           ORDER BY md5('strat:' || doc_id) ASC, doc_id ASC) AS INTEGER) AS rn
+        |  FROM documents) t
+        |WHERE rn <= 5
+        |ORDER BY lang, rn""".stripMargin,
     "q_exists_subquery" ->
       """SELECT c_custkey, c_mktsegment,
         |       EXISTS (SELECT 1 FROM orders o
