@@ -115,6 +115,26 @@ object Streams {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** The reference's whole ETL as one streaming job (Jobs A+B fused):
+    * incremental word counts over a document stream in update mode, each
+    * micro-batch's changed rows pushed through the KV-item transform into
+    * the batched KV sink (`graft.pipeline.Pipeline.kvItems`/`kvSink`).
+    * Complete-mode would rewrite the world every batch; update mode emits
+    * only keys whose counts changed — the scalable contract for a KV store
+    * that upserts. */
+  def wordCountToKv(docs: DataFrame, outDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val counts = docs
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    counts.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.pipeline.Pipeline.kvSink(
+          graft.pipeline.Pipeline.kvItems(batch), s"$outDir/batch_$batchId")
+      }
+  }
+
   case class UserEvent(user_id: Long, event_id: Long, tsMicros: Long)
   case class UserSessionState(sessionStartMicros: Long, lastMicros: Long, nEvents: Long)
   case class SessionSummary(user_id: Long, n_events: Long,

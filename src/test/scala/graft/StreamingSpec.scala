@@ -85,6 +85,26 @@ class StreamingSpec extends AnyFunSuite {
       SessionSummary(1, 1, 2 * hour, 2 * hour)))
   }
 
+  test("streaming word-count-to-KV emits updated counts per micro-batch") {
+    import java.nio.file.Files
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val outDir = Files.createTempDirectory("graft_kvstream").toString
+    val ms = MemoryStream[String]
+    val q = Streams.wordCountToKv(ms.toDF().toDF("text"), outDir).start()
+    try {
+      ms.addData("a b a")
+      q.processAllAvailable()
+      ms.addData("b c")
+      q.processAllAvailable()
+    } finally q.stop()
+    // batch 0: a=2, b=1; batch 1 updates b=2 and introduces c=1
+    val all = spark.read.json(s"$outDir/batch_*/part-*.jsonl")
+    val last = all.groupBy("word").agg(max("count").as("c")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(last === Map("a" -> 2L, "b" -> 2L, "c" -> 1L))
+  }
+
   test("streaming parquet file sink with checkpoint persists exactly the input") {
     import java.nio.file.Files
     val base = Files.createTempDirectory("graft_sink").toString
