@@ -158,13 +158,14 @@ object Dedup {
   /** Pairwise bigram-set Jaccard similarity, blocked by (lang, source) and
     * met through shared bigrams (equi-join, no cross product). */
   def ngramJaccard(s: SparkSession, d: String): DataFrame = {
+    // materialized once (localCheckpoint): the bigram explode feeds both
+    // self-join branches and the size dimension — without it the ngram
+    // computation runs three times
     val bg = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), col("source"),
         explode(array_distinct(bigrams(words(col("text"))))).as("bg"))
-    // per-doc set sizes come straight off the array — no extra aggregation
-    // shuffle — and ride along as a broadcast dimension
-    val sizes = Tables.documents(s, d).select(
-      col("doc_id"), size(array_distinct(bigrams(words(col("text"))))).as("n"))
+      .localCheckpoint(true)
+    val sizes = bg.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = bg.select(col("doc_id").as("d1"), col("lang").as("lg"), col("source").as("sc"), col("bg"))
     val b = bg.select(col("doc_id").as("d2"), col("lang").as("lg2"), col("source").as("sc2"), col("bg").as("bg2"))
     val inter = a.join(b,

@@ -35,10 +35,15 @@ object Similarity {
     df.select(col("vec_id"), col("label"), col("embedding").as("v"))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
 
+  /** Materialize a subtree used by several plan branches exactly once.
+    * Without it Spark recomputes the scan+norm per branch (the corpus is
+    * read 3× in the IVF query); localCheckpoint also truncates lineage. */
+  private def once(df: DataFrame): DataFrame = df.localCheckpoint(true)
+
   /** Every 50th vector is a query; brute-force cosine against the full
     * corpus, top-10 per query. */
   def cosineTopk(s: SparkSession, d: String): DataFrame = {
-    val n = withNorm(Tables.embeddings(s, d))
+    val n = once(withNorm(Tables.embeddings(s, d)))
     val q = n.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qn"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
@@ -59,9 +64,9 @@ object Similarity {
   def annLsh(s: SparkSession, d: String): DataFrame = {
     val bucket = concat((1 to LshBits).map(i =>
       when(element_at(col("embedding"), i) >= 0f, lit("1")).otherwise(lit("0"))): _*)
-    val base = Tables.embeddings(s, d).withColumn("bucket", bucket)
+    val base = once(Tables.embeddings(s, d).withColumn("bucket", bucket)
       .select(col("vec_id"), col("embedding").as("v"), col("bucket"))
-      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+      .withColumn("norm", sqrt(dot(col("v"), col("v")))))
     val q = base.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qn"), col("bucket").as("qb"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
@@ -78,7 +83,7 @@ object Similarity {
     * max pairwise cosine ≈ 0.51 — so the threshold is calibrated to flag
     * the heavy tail). */
   def embedNeardup(s: SparkSession, d: String): DataFrame = {
-    val n = withNorm(Tables.embeddings(s, d))
+    val n = once(withNorm(Tables.embeddings(s, d)))
     val a = n.select(col("vec_id").as("id1"), col("label").as("lb"), col("v").as("v1"), col("norm").as("n1"))
     val b = n.select(col("vec_id").as("id2"), col("label").as("lb2"), col("v").as("v2"), col("norm").as("n2"))
     a.join(b,
@@ -97,7 +102,7 @@ object Similarity {
     * centroid set stays a broadcast and the corpus shuffles once on its
     * assigned cell — the standard IVF layout. */
   def annIvf(s: SparkSession, d: String): DataFrame = {
-    val n = withNorm(Tables.embeddings(s, d)).select("vec_id", "v", "norm")
+    val n = once(withNorm(Tables.embeddings(s, d)).select("vec_id", "v", "norm"))
     val cents = n.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("norm").as("cn"))
     // cell assignment as a max-struct aggregation over NARROW rows
