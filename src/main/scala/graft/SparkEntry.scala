@@ -28,6 +28,7 @@ object SparkEntry {
       (ops.Multimodal.queries, ops.Multimodal.oracle),
       (ops.Structured.queries, ops.Structured.oracle),
       (ops.Statistics.queries, ops.Statistics.oracle),
+      (ops.Maintenance.queries, ops.Maintenance.oracle),
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */
