@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, shiftleft}
 import org.apache.spark.sql.types.StructType
 
 /** Source/sink formats (SURVEY.md R1/R10/R11/R13).
@@ -52,6 +53,48 @@ object Formats {
     * choice for any 100 TB corpus with a low-cardinality filter column. */
   def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(path)
+
+  /** 64-bit Morton (Z-order) value from two 32-bit keys — closed-form bit
+    * spreading, all codegen'd builtins. */
+  def zValue(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def spread(c: org.apache.spark.sql.Column) = {
+      var x = c.bitwiseAND(lit(0xFFFFFFFFL))
+      x = (x.bitwiseOR(shiftleft(x, 16))).bitwiseAND(lit(0x0000FFFF0000FFFFL))
+      x = (x.bitwiseOR(shiftleft(x, 8))).bitwiseAND(lit(0x00FF00FF00FF00FFL))
+      x = (x.bitwiseOR(shiftleft(x, 4))).bitwiseAND(lit(0x0F0F0F0F0F0F0F0FL))
+      x = (x.bitwiseOR(shiftleft(x, 2))).bitwiseAND(lit(0x3333333333333333L))
+      (x.bitwiseOR(shiftleft(x, 1))).bitwiseAND(lit(0x5555555555555555L))
+    }
+    spread(a).bitwiseOR(shiftleft(spread(b), 1))
+  }
+
+  /** Z-ordered parquet layout: range-partition + sort on the Morton value
+    * of two filter columns, so each output file covers a small rectangle in
+    * BOTH dimensions. Parquet min/max row-group stats then skip most files
+    * for a predicate on either column — multi-dimensional data skipping,
+    * where a plain sort only clusters its leading column. At 100 TB this is
+    * the difference between reading one file and reading the table.
+    *
+    * Both columns are min/max-normalized to 16 bits before interleaving (a
+    * cheap stats pass) — raw interleaving of unequal key ranges puts every
+    * significant bit in one dimension and degenerates to a 1-D sort. */
+  def writeZOrdered(df: DataFrame, path: String,
+                    col1: String, col2: String, files: Int): Unit = {
+    import org.apache.spark.sql.functions.{min => fmin, max => fmax, floor}
+    val r = df.agg(
+      fmin(col(col1)).cast("double"), fmax(col(col1)).cast("double"),
+      fmin(col(col2)).cast("double"), fmax(col(col2)).cast("double")).head
+    def scale(c: org.apache.spark.sql.Column, lo: Double, hi: Double) =
+      floor((c.cast("double") - lit(lo)) / lit(math.max(hi - lo, 1e-12)) * 65535.0)
+        .cast("long")
+    val z = zValue(scale(col(col1), r.getDouble(0), r.getDouble(1)),
+                   scale(col(col2), r.getDouble(2), r.getDouble(3)))
+    df.withColumn("__z", z)
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
 
   /** Small-file compaction: rewrite a parquet directory into files of
     * roughly `targetFileBytes`. Streaming ingestion and over-parallel

@@ -54,6 +54,30 @@ class SourcesAndExtensionsSpec extends AnyFunSuite {
     assert(filtered.count() === expected)
   }
 
+  test("z-ordered layout narrows per-file ranges in both dimensions") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions._
+    val base = Files.createTempDirectory("graft_zorder").toString
+    val li = Tables.lineitem(spark, TestSpark.Sf)
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    graft.sources.Formats.writeZOrdered(li, s"$base/z", "l_orderkey", "l_partkey", 8)
+    li.repartition(8).write.parquet(s"$base/rr")
+    def spanSum(dir: String, c: String): Double =
+      new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+        .map { f =>
+          val r = spark.read.parquet(f.getPath)
+            .agg(min(col(c)).cast("double"), max(col(c)).cast("double")).head
+          r.getDouble(1) - r.getDouble(0)
+        }.sum
+    // round-robin files each span ~the full key range; z-ordered files
+    // cover rectangles-with-jumps — total span must shrink in BOTH
+    // dimensions (a 1-D sort would shrink only its leading column)
+    assert(spanSum(s"$base/z", "l_orderkey") < spanSum(s"$base/rr", "l_orderkey") * 0.7)
+    assert(spanSum(s"$base/z", "l_partkey") < spanSum(s"$base/rr", "l_partkey") * 0.7)
+    // and the data itself is unchanged
+    assert(spark.read.parquet(s"$base/z").count() === li.count())
+  }
+
   test("schema evolution: mergeSchema unions columns across file generations") {
     import java.nio.file.Files
     import org.apache.spark.sql.functions._
