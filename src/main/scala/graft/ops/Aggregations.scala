@@ -112,6 +112,19 @@ object Aggregations {
         count(lit(1)).as("cnt"))
       .orderBy("event_type")
 
+  /** Sketch quantiles (Greenwald-Khanna `percentile_approx`) beside exact
+    * counts — the single-pass bounded-memory path when exact percentiles
+    * (a full sort per group) are too expensive. No oracle (sketch results
+    * are engine-specific); the unit test bounds the error against the
+    * exact percentile. */
+  def approxQuantile(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(
+        percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50_approx"),
+        count(lit(1)).as("cnt"))
+      .orderBy("event_type")
+
   /** Exact linear-interpolation percentiles (Spark `percentile` == DuckDB
     * `quantile_cont`; both index p·(n−1) with linear interpolation). */
   def percentiles(s: SparkSession, d: String): DataFrame =
@@ -196,6 +209,7 @@ object Aggregations {
     "q_agg_cube"        -> (aggCube _),
     "q_grouping_sets"   -> (groupingSets _),
     "q_approx_distinct" -> (approxDistinct _),
+    "q_approx_quantile" -> (approxQuantile _),
     "q_pivot"           -> (pivotEvents _),
     "q_percentiles"     -> (percentiles _),
     "q_stats_moments"   -> (statsMoments _),

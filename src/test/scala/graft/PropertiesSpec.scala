@@ -124,6 +124,20 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("percentile_approx within 5% of the exact median") {
+    val approx = ops.Aggregations.approxQuantile(spark, sf)
+      .select("event_type", "p50_approx").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exact = Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(expr("percentile(value, 0.5)").as("p50")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    exact.foreach { case (t, e) =>
+      assert(math.abs(approx(t) - e) / math.abs(e) <= 0.05,
+        s"$t: approx ${approx(t)} vs exact $e")
+    }
+  }
+
   test("session windows conserve events per user") {
     val sessions = ops.EventTime.sessionWindow(spark, sf)
     val perUserSessions = sessions.groupBy("user_id").agg(sum("n_events").as("n"))
