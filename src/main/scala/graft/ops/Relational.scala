@@ -123,6 +123,17 @@ object Relational {
       .orderBy("lang", "rn")
   }
 
+  /** Provenance via the hidden `_metadata` columns: which physical file
+    * each row came from — the scan-time lineage a multi-source 100 TB
+    * ingest records for per-source quality triage (the reference tracks
+    * the same thing as `metadata.json.input_files`). Row counts per file,
+    * zero extra I/O. */
+  def fileLineage(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"$d/documents.parquet")
+      .select(col("_metadata.file_name").as("src_file"))
+      .groupBy("src_file").agg(count(lit(1)).as("n_rows"))
+      .orderBy("src_file")
+
   /** Correlated EXISTS through the SQL surface (the Athena-style entry,
     * SURVEY.md R20): Catalyst decorrelates the subquery into a left-semi
     * join — same physical plan as q_join_semi, arrived at from SQL. The
@@ -163,6 +174,7 @@ object Relational {
     "q_word_count"   -> (wordCount _),
     "q_sample_hash"  -> (hashSample _),
     "q_exists_subquery" -> (existsSubquery _),
+    "q_file_lineage" -> (fileLineage _),
     "q_stratified_sample" -> (stratifiedSample _),
     "q_global_agg"   -> (globalAgg _),
     "q_distinct_rows" -> (distinctRows _),
@@ -177,6 +189,10 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_file_lineage" ->
+      """SELECT 'documents.parquet' AS src_file, count(*) AS n_rows
+        |FROM documents
+        |ORDER BY src_file""".stripMargin,
     "q_stratified_sample" ->
       """SELECT lang, rn, doc_id FROM (
         |  SELECT lang, doc_id,
