@@ -49,4 +49,22 @@ class PipelineSpec extends AnyFunSuite {
       Pipeline.retry(2)(sys.error("always"))
     }
   }
+
+  test("observe() collects pipeline metrics in the same pass as the action") {
+    import org.apache.spark.sql.functions._
+    // production shape: the ETL stage observes row counts / sums while
+    // writing, so the run manifest records metrics with ZERO extra jobs
+    val obs = org.apache.spark.sql.Observation("etl_metrics")
+    val observed = Tables.lineitem(spark, sf)
+      .observe(obs,
+        count(lit(1)).as("rows_read"),
+        sum(col("l_quantity").cast("decimal(24,6)")).cast("double").as("qty_sum"))
+      .filter(col("l_quantity") > 10.0)
+    val kept = observed.count()
+    val metrics = obs.get
+    val total = metrics("rows_read").asInstanceOf[Long]
+    assert(total === Tables.lineitem(spark, sf).count())
+    assert(kept < total)
+    assert(metrics("qty_sum").asInstanceOf[Double] > 0.0)
+  }
 }

@@ -85,6 +85,23 @@ class StreamingSpec extends AnyFunSuite {
       SessionSummary(1, 1, 2 * hour, 2 * hour)))
   }
 
+  test("Trigger.AvailableNow drains the source then stops on its own") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.streaming.Trigger
+    val base = Files.createTempDirectory("graft_availnow").toString
+    val q = Streams.tumblingCounts(Streams.eventsStream(spark, sf))
+      .writeStream
+      .outputMode("complete")
+      .format("memory").queryName("availnow_out")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    // the incremental-batch deployment shape: process everything available,
+    // terminate, resume from the checkpoint on the next scheduled run
+    assert(q.awaitTermination(120000), "query did not self-terminate")
+    assert(spark.table("availnow_out").count() > 0)
+  }
+
   test("streaming word-count-to-KV emits updated counts per micro-batch") {
     import java.nio.file.Files
     import spark.implicits._
