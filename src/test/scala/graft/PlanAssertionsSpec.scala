@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the plan-level claims SCALE.md makes: filters reach the parquet
+  * scan, projections prune the read schema, top-k compiles to
+  * TakeOrderedAndProject, dimensions broadcast. A regression here is a
+  * silent 100 TB cost explosion that correctness tests cannot see. */
+class PlanAssertionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.session
+  private val sf = TestSpark.Sf
+
+  // sparkPlan (pre-AQE wrapping): AdaptiveSparkPlanExec hides its subtree
+  // from collect() until execution
+  private def scans(df: DataFrame): Seq[FileSourceScanExec] =
+    df.queryExecution.sparkPlan.collect { case s: FileSourceScanExec => s }
+
+  test("filter predicates are pushed to the parquet scan") {
+    val scan = scans(ops.Relational.filterPred(spark, sf))
+      .find(_.metadata.get("Location").exists(_.contains("lineitem"))).get
+    val pushed = scan.metadata("PushedFilters")
+    assert(pushed.contains("GreaterThanOrEqual(l_quantity,10.0)"), pushed)
+    assert(pushed.contains("In(l_returnflag"), pushed)
+  }
+
+  test("projection prunes the read schema to referenced columns only") {
+    val scan = scans(ops.Relational.scanProject(spark, sf)).head
+    val readCols = scan.metadata("ReadSchema")
+    assert(readCols.contains("l_orderkey") && readCols.contains("l_discount"))
+    // the 11-column table must NOT be read wholesale for a 5-column query
+    assert(!readCols.contains("l_shipdate") && !readCols.contains("l_returnflag"),
+      readCols)
+  }
+
+  test("sort+limit compiles to TakeOrderedAndProject (no global sort)") {
+    val plan = ops.Relational.sortLimit(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(500))
+  }
+
+  test("dimension joins broadcast instead of shuffling the fact side") {
+    val plan = ops.Joins.joinBroadcast(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(500))
+    assert(!plan.contains("SortMergeJoin"), plan.take(500))
+  }
+
+  test("partition-column filters prune partitions at planning time") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft_prune").toString + "/docs"
+    graft.sources.Formats.writePartitioned(
+      Tables.documents(spark, sf), dir, "lang")
+    val pruned = spark.read.parquet(dir).filter(col("lang") === "en")
+    val scan = scans(pruned).head
+    // the predicate must land in partitionFilters (directory-level skip),
+    // not dataFilters (row-level evaluation over every file)
+    assert(scan.partitionFilters.exists(_.toString.contains("lang")),
+      scan.partitionFilters.toString)
+    assert(scan.metadata("PartitionFilters").contains("lang"),
+      scan.metadata("PartitionFilters"))
+  }
+}
