@@ -128,6 +128,21 @@ object Joins {
       .orderBy("event_id")
   }
 
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): null keys
+    * match EACH OTHER instead of vanishing — the semantics a dimension
+    * join over a nullable column actually needs (a plain `=` silently
+    * drops every null-keyed row). Joined over deduplicated key sets, so
+    * the null⋈null match is a single row, not a cross blow-up. */
+  def joinNullSafe(s: SparkSession, d: String): DataFrame = {
+    val keyed = Tables.events(s, d)
+      .select(nullif(col("event_type"), lit("error")).as("k"))
+    val a = keyed.distinct().withColumnRenamed("k", "ka")
+    val b = keyed.distinct().withColumnRenamed("k", "kb")
+    a.join(b, col("ka") <=> col("kb"))
+      .select(coalesce(col("ka"), lit("(null)")).as("matched_key"))
+      .orderBy("matched_key")
+  }
+
   /** Explicit cartesian product — only ever sane when one side is tiny, and
     * then it should be the broadcast side (BroadcastNestedLoopJoin, no
     * shuffle). Region×nation grid with a membership flag. */
@@ -215,6 +230,7 @@ object Joins {
     "q_join_asof_tol"    -> (joinAsofTolerance _),
     "q_join_salted"      -> (joinSalted _),
     "q_join_cross"       -> (crossJoinGrid _),
+    "q_join_null_safe"   -> (joinNullSafe _),
     "q_join_pipeline_top" -> (joinPipelineTop _),
     "q_join_star"        -> (joinStarSchema _),
     "q_join_asof_native" -> (joinAsofNative _),
@@ -305,6 +321,13 @@ object Joins {
         |  ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
         |GROUP BY e.event_id
         |ORDER BY e.event_id""".stripMargin,
+    "q_join_null_safe" ->
+      """WITH k AS (
+        |  SELECT DISTINCT nullif(event_type, 'error') AS k FROM events
+        |)
+        |SELECT coalesce(a.k, '(null)') AS matched_key
+        |FROM k a JOIN k b ON a.k IS NOT DISTINCT FROM b.k
+        |ORDER BY matched_key""".stripMargin,
     "q_join_cross" ->
       """SELECT n_name, r_name, n_regionkey = r_regionkey AS is_home
         |FROM nation CROSS JOIN region
