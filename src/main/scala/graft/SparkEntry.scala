@@ -29,6 +29,7 @@ object SparkEntry {
       (ops.Structured.queries, ops.Structured.oracle),
       (ops.Statistics.queries, ops.Statistics.oracle),
       (ops.Maintenance.queries, ops.Maintenance.oracle),
+      (ops.ScaleOps.queries, ops.ScaleOps.oracle),
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

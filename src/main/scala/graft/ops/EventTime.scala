@@ -94,7 +94,27 @@ object EventTime {
       .orderBy("user_id")
   }
 
+  /** Time-interval self-join: same-user event pairs at most 2 hours apart —
+    * the batch twin of a stream-stream interval join (and the shape of
+    * sequence-mining / co-occurrence feature extraction). The equality key
+    * (`user_id`) drives the hash join and the time band is a post-join
+    * filter, so each user's events meet only each other — per-key bounded
+    * work at any corpus size. Gap surfaces as exact integer microseconds
+    * (both engines' µs-truncated timestamp domain). */
+  def joinIntervalTime(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d).select(col("event_id"), col("user_id"), col("ts"))
+    val a = e.select(col("event_id").as("a_id"), col("user_id"), col("ts").as("a_ts"))
+    val b = e.select(col("event_id").as("b_id"), col("user_id").as("u2"), col("ts").as("b_ts"))
+    a.join(b, col("user_id") === col("u2") &&
+        col("b_ts") > col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr("INTERVAL 2 HOURS"))
+      .select(col("user_id"), col("a_id"), col("b_id"),
+        (unix_micros(col("b_ts")) - unix_micros(col("a_ts"))).as("gap_us"))
+      .orderBy("a_id", "b_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_interval_time" -> (joinIntervalTime _),
     "q_tumbling_window" -> (tumblingWindow _),
     "q_funnel"          -> (funnelSteps _),
     "q_session_window"  -> (sessionWindow _),
@@ -102,6 +122,15 @@ object EventTime {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_join_interval_time" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+        |)
+        |SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+        |       epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+        |FROM e a JOIN e b
+        |  ON a.user_id = b.user_id AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 2 HOUR
+        |ORDER BY a_id, b_id""".stripMargin,
     "q_funnel" ->
       """WITH e AS (
         |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events

@@ -63,6 +63,19 @@ object Statistics {
     * weighted mean unit price per return flag. Inputs are converted to the
     * integer domain (cents / whole units) at the scan so the custom
     * aggregation is exact and order-independent. */
+  /** Equi-width bucketing via `width_bucket` (PostgreSQL semantics:
+    * `[lo,hi)` split into n equal cells, bucket 0 / n+1 for out-of-range).
+    * The fixture's quantities are integral 1..50, so every cell boundary is
+    * exact in IEEE double and the oracle's floor-arithmetic emulation
+    * (DuckDB ships no width_bucket) lands identically. */
+  def widthBucket(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_quantity"), col("l_extendedprice"))
+      .withColumn("bucket", expr("width_bucket(l_quantity, 1.0, 51.0, 10)"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), round(dsum(col("l_extendedprice")), 4).as("sum_price"))
+      .orderBy("bucket")
+
   def weightedAvgUdaf(s: SparkSession, d: String): DataFrame = {
     val wavg = udaf(graft.functions.WeightedAvg,
       org.apache.spark.sql.Encoders.product[graft.functions.WeightedItem])
@@ -79,6 +92,7 @@ object Statistics {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_corr_regr" -> (corrRegr _),
     "q_histogram" -> (histogram _),
+    "q_width_bucket" -> (widthBucket _),
     "q_weighted_avg_udaf" -> (weightedAvgUdaf _),
   )
 
@@ -102,6 +116,13 @@ object Statistics {
         |       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 4) AS intercept
         |FROM s
         |ORDER BY l_returnflag""".stripMargin,
+    "q_width_bucket" ->
+      """SELECT CAST(floor((l_quantity - 1.0) / 5.0) AS BIGINT) + 1 AS bucket,
+        |       count(*) AS n,
+        |       round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,6))) AS DOUBLE), 4) AS sum_price
+        |FROM lineitem
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
     "q_weighted_avg_udaf" ->
       """SELECT l_returnflag,
         |       round((SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0)

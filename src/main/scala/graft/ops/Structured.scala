@@ -76,9 +76,37 @@ object Structured {
     "q_map_funcs"    -> (mapFuncs _),
     "q_struct_funcs" -> (structFuncs _),
     "q_unpivot"      -> (unpivotMeasures _),
+    "q_variant_json" -> (variantJson _),
   )
 
+  /** Semi-structured access through Spark's VARIANT type (the open binary
+    * JSON encoding, Spark 4): `parse_json` once, then typed `variant_get`
+    * path extraction — at scale this beats per-path `get_json_object`
+    * re-parsing, the reason engines grew a variant type at all. Missing
+    * paths surface as SQL NULL. The oracle states the same paths over
+    * DuckDB's JSON reader. */
+  def variantJson(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .selectExpr(
+        "event_id",
+        "parse_json(props) AS vj")
+      .selectExpr(
+        "event_id",
+        "variant_get(vj, '$.k', 'bigint') AS k_num",
+        "variant_get(vj, '$.k', 'string') AS k_str",
+        "variant_get(vj, '$.missing', 'string') AS missing_val")
+      .withColumn("k_bucket", col("k_num") % 10)
+      .orderBy("event_id")
+
   val oracle: Map[String, String] = Map(
+    "q_variant_json" ->
+      """SELECT event_id,
+        |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
+        |       json_extract_string(props, '$.k') AS k_str,
+        |       json_extract_string(props, '$.missing') AS missing_val,
+        |       CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
     "q_map_funcs" ->
       """SELECT user_id,
         |       CAST(count(DISTINCT event_type) AS INTEGER) AS n_types,

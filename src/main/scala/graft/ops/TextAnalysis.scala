@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.Tables
+import graft.functions.StringNgrams
 import graft.functions.TextFeatures._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -163,7 +164,54 @@ object TextAnalysis {
       .orderBy("doc_id", "rn")
   }
 
+  /** Train/test decontamination (the GPT-3-style exact n-gram overlap
+    * check): `src0` documents play the eval set, everything else the
+    * training corpus; a test doc is contaminated when any of its word
+    * 5-grams appears verbatim in the training side. Both gram sets
+    * deduplicate before the membership join, so at 100 TB the shuffle
+    * carries distinct grams (vocabulary-sized), never the corpus — and the
+    * join is the one unavoidable gram-key shuffle. Zero-gram test docs stay
+    * in the report via the left join from the doc list. */
+  def contamination(s: SparkSession, d: String): DataFrame = {
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        explode(StringNgrams.ngrams(words(col("text")), 5)).as("gram"))
+    val testG = grams.filter(col("source") === "src0")
+      .select("doc_id", "gram").distinct()
+    val train = grams.filter(col("source") =!= "src0")
+      .select("gram").distinct().withColumn("in_train", lit(true))
+    val perDoc = testG.join(train, Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), count(col("in_train")).as("n_shared"))
+    Tables.documents(s, d).filter(col("source") === "src0").select("doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("contaminated", col("n_shared") > 0)
+      .orderBy("doc_id")
+  }
+
+  /** Gopher-style repetition signal: the fraction of a document's word
+    * bigrams that are repeats (1 − distinct/total). One explode + two
+    * partial-aggregating shuffles, both on (doc_id[, gram]) keys — fully
+    * parallel at corpus scale. */
+  def repetitionRatio(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(bigrams(words(col("text")))).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("cnt")).as("n_bigrams"),
+        count(lit(1)).as("n_distinct"),
+        max(col("cnt")).as("top_cnt"))
+      .withColumn("rep_ratio", round(lit(1.0) - col("n_distinct") / col("n_bigrams"), 4))
+      .withColumn("repetitive", col("rep_ratio") >= 0.05)
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_contamination"   -> (contamination _),
+    "q_repetition_ratio" -> (repetitionRatio _),
     "q_ngram_stats"     -> (ngramStats _),
     "q_tfidf"           -> (tfidf _),
     "q_edit_distance"   -> (editDistance _),
@@ -224,6 +272,43 @@ object TextAnalysis {
         |            AS INTEGER) AS edit_dist
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+    "q_contamination" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, source, unnest(
+         |    list_transform(range(1, len($WordsSql) - 3),
+         |      i -> $WordsSql[i] || ' ' || $WordsSql[i+1] || ' ' || $WordsSql[i+2]
+         |           || ' ' || $WordsSql[i+3] || ' ' || $WordsSql[i+4])) AS gram
+         |  FROM documents
+         |), tg AS (
+         |  SELECT DISTINCT doc_id, gram FROM g WHERE source = 'src0'
+         |), tr AS (
+         |  SELECT DISTINCT gram FROM g WHERE source <> 'src0'
+         |), cnt AS (
+         |  SELECT doc_id, count(*) AS n_grams,
+         |         count(*) FILTER (WHERE gram IN (SELECT gram FROM tr)) AS n_shared
+         |  FROM tg GROUP BY doc_id
+         |)
+         |SELECT d.doc_id,
+         |       CAST(coalesce(c.n_grams, 0) AS BIGINT) AS n_grams,
+         |       CAST(coalesce(c.n_shared, 0) AS BIGINT) AS n_shared,
+         |       coalesce(c.n_shared, 0) > 0 AS contaminated
+         |FROM (SELECT doc_id FROM documents WHERE source = 'src0') d
+         |LEFT JOIN cnt c USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    "q_repetition_ratio" ->
+      s"""WITH bg AS (
+         |  SELECT doc_id, unnest($BigramsSql) AS g FROM documents
+         |), c AS (
+         |  SELECT doc_id, g, count(*) AS cnt FROM bg GROUP BY doc_id, g
+         |)
+         |SELECT doc_id,
+         |       CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+         |       count(*) AS n_distinct,
+         |       CAST(max(cnt) AS BIGINT) AS top_cnt,
+         |       round(1.0 - count(*) / CAST(sum(cnt) AS DOUBLE), 4) AS rep_ratio,
+         |       round(1.0 - count(*) / CAST(sum(cnt) AS DOUBLE), 4) >= 0.05 AS repetitive
+         |FROM c GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
     "q_ngram_stats" ->
       s"""SELECT bigram, count(*) AS cnt
          |FROM (SELECT unnest($BigramsSql) AS bigram FROM documents) t

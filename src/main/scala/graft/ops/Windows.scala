@@ -114,7 +114,24 @@ object Windows {
           |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum_last_hour""".stripMargin)
       .orderBy("event_id")
 
+  /** IGNORE NULLS navigation: error events null out their measurement, and
+    * the window forward-fills the last valid reading (LOCF — the standard
+    * sensor/feature-pipeline gap repair) plus the previous valid value.
+    * Same one-pass-per-partition execution as any other frame. */
+  def windowIgnoreNulls(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        when(col("event_type") === "error", lit(null).cast("double"))
+          .otherwise(col("value")).as("v"))
+      .withColumn("filled", last(col("v"), ignoreNulls = true).over(wf))
+      .withColumn("prev_valid", lag(col("v"), 1, null, ignoreNulls = true).over(w))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_window_ignore_nulls" -> (windowIgnoreNulls _),
     "q_window_rank"     -> (windowRank _),
     "q_window_distribution" -> (windowDistribution _),
     "q_window_time_range" -> (windowTimeRange _),
@@ -125,6 +142,20 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_window_ignore_nulls" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |         CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+        |  FROM events
+        |)
+        |SELECT user_id, event_id, v,
+        |       last_value(v IGNORE NULLS) OVER (
+        |         PARTITION BY user_id ORDER BY event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
+        |       lag(v, 1 IGNORE NULLS) OVER (
+        |         PARTITION BY user_id ORDER BY event_id) AS prev_valid
+        |FROM e
+        |ORDER BY event_id""".stripMargin,
     "q_window_time_range" ->
       """WITH e AS (
         |  SELECT event_id, user_id, value, CAST(ts AS TIMESTAMP) AS ts FROM events

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics of the round-2 scale-pattern and pipeline operators beyond the
+  * oracle gate: physical rewrites (salting, Bloom prefilter) must be
+  * result-invariant, and the text/window/variant additions must satisfy
+  * their defining invariants on the fixtures. */
+class ScaleAndPipelineOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.session
+  private val sf = TestSpark.Sf
+
+  private def rows(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().toSeq.map(_.toSeq)
+
+  test("salted aggregation equals the single-phase groupBy") {
+    val plain = Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast(org.apache.spark.sql.types.DecimalType(24, 6)))
+          .cast("double"), 4).as("total_value"))
+      .orderBy("event_type")
+    assert(rows(ops.ScaleOps.saltedAgg(spark, sf)) == rows(plain))
+  }
+
+  test("bloom prejoin equals the plain join and actually prefilters the fact scan") {
+    val result = ops.ScaleOps.bloomPrejoin(spark, sf)
+    val plain = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf).filter(col("o_totalprice") > 480000.0),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        round(graft.util.Det.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+          .as("revenue"))
+      .orderBy("o_orderpriority")
+    assert(rows(result) == rows(plain))
+    // the predicate is the native Catalyst might_contain, not a UDF
+    assert(result.queryExecution.executedPlan.toString.contains("might_contain"))
+    // the sketch genuinely thins the fact side before the join (~3.5% + FPs)
+    val dim = Tables.orders(spark, sf).filter(col("o_totalprice") > 480000.0)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val bf = dim.stat.bloomFilter("o_orderkey", 1000000L, 0.01)
+    val li = Tables.lineitem(spark, sf)
+    val kept = li.filter(udf((k: Long) => bf.mightContain(k)).apply(col("l_orderkey"))).count()
+    assert(kept < li.count() / 5, s"prefilter kept $kept rows")
+  }
+
+  test("contamination: planted near-dups are flagged, counts are consistent") {
+    val df = ops.TextAnalysis.contamination(spark, sf).cache()
+    val bad = df.filter(col("contaminated")).count()
+    assert(bad >= 1, "expected at least one contaminated src0 doc (planted dups)")
+    assert(df.filter(col("n_shared") > col("n_grams")).count() == 0)
+    assert(df.filter(col("contaminated") =!= (col("n_shared") > 0)).count() == 0)
+  }
+
+  test("repetition ratio is a valid fraction and matches its definition") {
+    val df = ops.TextAnalysis.repetitionRatio(spark, sf).cache()
+    assert(df.filter(col("rep_ratio") < 0.0 || col("rep_ratio") > 1.0).count() == 0)
+    assert(df.filter(col("n_distinct") > col("n_bigrams")).count() == 0)
+    assert(df.filter(col("top_cnt") > col("n_bigrams")).count() == 0)
+  }
+
+  test("interval self-join keeps gaps strictly inside (0, 2h]") {
+    val df = ops.EventTime.joinIntervalTime(spark, sf)
+    val agg = df.agg(min("gap_us"), max("gap_us"), count(lit(1))).head()
+    assert(agg.getLong(2) > 0)
+    assert(agg.getLong(0) > 0L)
+    assert(agg.getLong(1) <= 2L * 3600 * 1000000)
+  }
+
+  test("ignore-nulls window forward-fills every gap after the first reading") {
+    val df = ops.Windows.windowIgnoreNulls(spark, sf).cache()
+    // filled is null only while a user has seen no valid reading yet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("event_id")
+    val withSeen = df.withColumn("seen_valid",
+      count(col("v")).over(w.rowsBetween(Long.MinValue, 0)))
+    assert(withSeen.filter(col("filled").isNull && col("seen_valid") > 0).count() == 0)
+    assert(withSeen.filter(col("filled").isNotNull && col("seen_valid") === 0).count() == 0)
+  }
+
+  test("width_bucket partitions every lineitem row into cells 1..10") {
+    val df = ops.Statistics.widthBucket(spark, sf)
+    val buckets = df.select("bucket").collect().map(_.getLong(0))
+    assert(buckets.forall(b => b >= 1 && b <= 10))
+    val total = df.agg(sum("n")).head().getLong(0)
+    assert(total == Tables.lineitem(spark, sf).count())
+  }
+
+  test("variant path extraction round-trips the JSON payload") {
+    val df = ops.Structured.variantJson(spark, sf).cache()
+    assert(df.filter(col("missing_val").isNotNull).count() == 0)
+    assert(df.filter(col("k_str") =!= col("k_num").cast("string")).count() == 0)
+    assert(df.filter(col("k_bucket") =!= col("k_num") % 10).count() == 0)
+  }
+}
