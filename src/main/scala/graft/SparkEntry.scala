@@ -30,6 +30,7 @@ object SparkEntry {
       (ops.Statistics.queries, ops.Statistics.oracle),
       (ops.Maintenance.queries, ops.Maintenance.oracle),
       (ops.ScaleOps.queries, ops.ScaleOps.oracle),
+      (ops.TrainingPrep.queries, ops.TrainingPrep.oracle),
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -74,7 +74,11 @@ object ScaleOps {
     val dim = Tables.orders(s, d)
       .filter(col("o_totalprice") > 480000.0)
       .select(col("o_orderkey"), col("o_orderpriority"))
-    val bf = dim.stat.bloomFilter("o_orderkey", expectedNumItems = 1000000L, fpp = 0.01)
+    // capacity sized to the *filtered* dimension (~3.5% of orders), not the
+    // table: an oversized sketch just inflates the literal every task
+    // deserializes. ~120 KB at fpp 0.01; a real deployment would size from
+    // the filter's observed cardinality.
+    val bf = dim.stat.bloomFilter("o_orderkey", expectedNumItems = 100000L, fpp = 0.01)
     val bytes = {
       val bos = new java.io.ByteArrayOutputStream()
       bf.writeTo(bos)

@@ -1,0 +1,103 @@
+package graft.ops
+
+import graft.Tables
+import graft.functions.TextFeatures.words
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Training-set preparation: the two corpus-level transforms that sit
+  * between a cleaned document store and a pretraining run.
+  *
+  * - [[sourceMix]]: temperature-scaled source mixing — the multinomial
+  *   sampling weights (wᵢ ∝ nᵢ^α) data recipes use to keep giant crawl
+  *   slices from drowning small high-quality sources. α = 0.5 so the
+  *   up-weighting goes through IEEE `sqrt` (correctly rounded, identical
+  *   in every engine — `pow(x, 0.7)` would be libm-dependent); the
+  *   normalizing sum runs in DECIMAL so it is order-independent.
+  *
+  * - [[tokenPack]]: greedy sequence packing — assign each document a shard
+  *   and offset inside a fixed token budget, by running token count in
+  *   stable doc order. Packing is per-source (each source's cumsum is an
+  *   independent window partition), the hierarchical layout that keeps the
+  *   running sum parallel at corpus scale — a single global cumsum would
+  *   funnel 100 TB through one partition.
+  *
+  * Both are pure integer/decimal arithmetic end-to-end: byte-stable across
+  * engines, partition counts, and retries.
+  */
+object TrainingPrep {
+
+  /** Tokens per packed training shard. */
+  private val ShardTokens = 8192L
+
+  /** Per-source doc/token counts and α=0.5 temperature-scaled sampling
+    * weights, plus the expected per-source draw count of a 10k-doc epoch. */
+  def sourceMix(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(words(col("text"))).cast("long")).as("n_tokens"))
+      .withColumn("ws", sqrt(col("n_docs")).cast(DecimalType(24, 6)))
+    val tot = per.agg(sum(col("ws")).as("tot"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("weight", round(col("ws").cast("double") / col("tot").cast("double"), 6))
+      .withColumn("epoch_docs", floor(col("weight") * 10000).cast("long"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("weight"), col("epoch_docs"))
+      .orderBy("source")
+  }
+
+  /** Greedy in-order packing: each doc's shard id and token offset within
+    * its source's 8192-token shard sequence. */
+  def tokenPack(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), size(words(col("text"))).as("n_tokens"))
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tokens").cast("long")).over(w), lit(0L)))
+      .withColumn("shard", expr(s"cum_before div $ShardTokens"))
+      .withColumn("offset_in_shard", col("cum_before") % ShardTokens)
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_source_mix" -> (sourceMix _),
+    "q_token_pack" -> (tokenPack _),
+  )
+
+  private val WordsSql = "string_split(text, ' ')"
+
+  val oracle: Map[String, String] = Map(
+    "q_source_mix" ->
+      s"""WITH per AS (
+         |  SELECT source, count(*) AS n_docs,
+         |         CAST(sum(len($WordsSql)) AS BIGINT) AS n_tokens,
+         |         CAST(sqrt(count(*)) AS DECIMAL(24,6)) AS ws
+         |  FROM documents GROUP BY source
+         |), t AS (SELECT sum(ws) AS tot FROM per)
+         |SELECT source, n_docs, n_tokens,
+         |       round(CAST(ws AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS weight,
+         |       CAST(floor(round(CAST(ws AS DOUBLE) / CAST(tot AS DOUBLE), 6) * 10000) AS BIGINT) AS epoch_docs
+         |FROM per, t
+         |ORDER BY source""".stripMargin,
+    "q_token_pack" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source, CAST(len($WordsSql) AS INTEGER) AS n_tokens
+         |  FROM documents
+         |), c AS (
+         |  SELECT doc_id, source, n_tokens,
+         |         CAST(coalesce(sum(n_tokens) OVER (
+         |           PARTITION BY source ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+         |  FROM d
+         |)
+         |SELECT doc_id, source, n_tokens, cum_before,
+         |       cum_before // $ShardTokens AS shard,
+         |       cum_before % $ShardTokens AS offset_in_shard
+         |FROM c
+         |ORDER BY doc_id""".stripMargin,
+  )
+}
