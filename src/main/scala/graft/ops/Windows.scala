@@ -130,8 +130,22 @@ object Windows {
       .orderBy("event_id")
   }
 
+  /** The same top-3-per-supplier selection as [[topkPerGroup]], through the
+    * native bounded-selection operator (`graft.plans.TopKPerGroup`) instead
+    * of a window: the shuffle carries at most k rows per (supplier × map
+    * partition) rather than the whole table. Same oracle as the window
+    * formulation — the operator must be result-invisible. */
+  def topkNative(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.lineitem(s, d)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+    graft.plans.TopKPerGroup.topK(base, Seq("l_suppkey"),
+      Seq("l_extendedprice" -> true, "l_orderkey" -> false, "l_linenumber" -> false), 3)
+      .orderBy("l_suppkey", "rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_window_ignore_nulls" -> (windowIgnoreNulls _),
+    "q_topk_native"     -> (topkNative _),
     "q_window_rank"     -> (windowRank _),
     "q_window_distribution" -> (windowDistribution _),
     "q_window_time_range" -> (windowTimeRange _),
@@ -210,6 +224,15 @@ object Windows {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
         |ORDER BY user_id, event_id""".stripMargin,
+    "q_topk_native" ->
+      """SELECT * FROM (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+        |         CAST(row_number() OVER (
+        |           PARTITION BY l_suppkey
+        |           ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC) AS INTEGER) AS rn
+        |  FROM lineitem) t
+        |WHERE rn <= 3
+        |ORDER BY l_suppkey, rn""".stripMargin,
     "q_topk_per_group" ->
       """SELECT * FROM (
         |  SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,

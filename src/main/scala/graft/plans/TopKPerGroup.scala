@@ -1,0 +1,178 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, AttributeSet, Descending, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.IntegerType
+
+/** Native top-k-per-group operator — the second full custom-operator stack
+  * (builder prompt preference (c)), built because Spark has no bounded
+  * per-group selection: the `row_number() OVER (PARTITION BY g ORDER BY o)
+  * <= k` formulation shuffles EVERY row to its group's partition and sorts
+  * the whole partition, only to discard all but k rows per group.
+  *
+  * Physical shape (mirrors partial/final hash aggregation):
+  *
+  *   TopKPerGroupFinalExec   — requires clustering on the group key; exact
+  *        ↑ shuffle           per-group top-k + rank over ≤ k·P candidates
+  *   TopKPerGroupPartialExec — runs on the scan partitions; bounded heap of
+  *                             k rows per group per partition
+  *
+  * The shuffle therefore carries at most k rows per (group × map
+  * partition) instead of the full table — at 100 TB with k=3 that is the
+  * difference between shuffling 100 TB and shuffling a few GB. State is
+  * O(groups-per-partition × k) rows, the same per-partition profile as
+  * partial hash aggregation (very high group cardinality would want the
+  * same spill path hash agg has; not needed at fixture scale and noted in
+  * SCALE.md).
+  *
+  * The caller's ordering must be total (tie-broken) for deterministic
+  * output — the same contract as the window formulation and the oracle.
+  */
+case class TopKPerGroupPlan(groupCols: Seq[Attribute], ordering: Seq[SortOrder],
+                            k: Int, rankAttr: AttributeReference,
+                            child: LogicalPlan) extends UnaryNode {
+  override val output: Seq[Attribute] = child.output :+ rankAttr
+  override def producedAttributes: AttributeSet = AttributeSet(rankAttr :: Nil)
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerGroupPlan =
+    copy(child = newChild)
+}
+
+object TopKPerGroupStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerGroupPlan(g, o, k, rank, child) =>
+      TopKPerGroupFinalExec(g, o, k, rank,
+        TopKPerGroupPartialExec(g, o, k, planLater(child))) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Shared bounded-selection pass: per input partition, a max-heap of the k
+  * best rows for each group key seen in that partition. */
+private[plans] object BoundedTopK {
+  def perPartition(iter: Iterator[InternalRow],
+                   groupProj: UnsafeProjection,
+                   ord: Ordering[InternalRow],
+                   k: Int): Iterator[(InternalRow, Array[InternalRow])] = {
+    val heaps = new java.util.HashMap[InternalRow, java.util.PriorityQueue[InternalRow]]()
+    // PriorityQueue head = the WORST retained row (reverse ordering), so a
+    // better incoming row evicts it in O(log k)
+    val heapOrd = ord.reverse
+    iter.foreach { row =>
+      val key = groupProj(row)
+      var heap = heaps.get(key)
+      if (heap == null) {
+        heap = new java.util.PriorityQueue[InternalRow](k + 1, heapOrd)
+        heaps.put(key.copy(), heap)
+      }
+      if (heap.size() < k) heap.add(row.copy())
+      else if (ord.lt(row, heap.peek())) { heap.poll(); heap.add(row.copy()) }
+    }
+    val out = scala.collection.mutable.ArrayBuffer[(InternalRow, Array[InternalRow])]()
+    heaps.forEach { (key, heap) =>
+      val arr = new Array[InternalRow](heap.size())
+      var i = arr.length - 1
+      while (i >= 0) { arr(i) = heap.poll(); i -= 1 } // drain worst-first → arr best-first
+      out += ((key, arr))
+    }
+    out.iterator
+  }
+}
+
+/** Map-side bounded selection; no distribution requirement, output stays on
+  * the child's partitioning. */
+case class TopKPerGroupPartialExec(groupCols: Seq[Attribute], ordering: Seq[SortOrder],
+                                   k: Int, child: SparkPlan) extends UnaryExecNode {
+  override val output: Seq[Attribute] = child.output
+  override def requiredChildDistribution: Seq[Distribution] = Seq(UnspecifiedDistribution)
+
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val groups = groupCols
+    val order = ordering
+    val kk = k
+    val numOutputRows = longMetric("numOutputRows")
+    child.execute().mapPartitions { iter =>
+      val proj = UnsafeProjection.create(groups, childOutput)
+      val ord = RowOrdering.create(order, childOutput)
+      BoundedTopK.perPartition(iter, proj, ord, kk).flatMap(_._2)
+        .map { r => numOutputRows += 1; r }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupPartialExec =
+    copy(child = newChild)
+}
+
+/** Reduce-side exact selection + rank assignment; requires the group key to
+  * be clustered (EnsureRequirements inserts the shuffle over the partial
+  * operator's ≤ k·P-row output). */
+case class TopKPerGroupFinalExec(groupCols: Seq[Attribute], ordering: Seq[SortOrder],
+                                 k: Int, rankAttr: AttributeReference,
+                                 child: SparkPlan) extends UnaryExecNode {
+  override val output: Seq[Attribute] = child.output :+ rankAttr
+  override def producedAttributes: AttributeSet = AttributeSet(rankAttr :: Nil)
+  override def requiredChildDistribution: Seq[Distribution] =
+    Seq(ClusteredDistribution(groupCols))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val outputAttrs = output
+    val groups = groupCols
+    val order = ordering
+    val kk = k
+    child.execute().mapPartitions { iter =>
+      val proj = UnsafeProjection.create(groups, childOutput)
+      val ord = RowOrdering.create(order, childOutput)
+      val outProj = UnsafeProjection.create(outputAttrs, outputAttrs)
+      val joined = new JoinedRow
+      val rankRow = new GenericInternalRow(1)
+      BoundedTopK.perPartition(iter, proj, ord, kk).flatMap { case (_, best) =>
+        best.iterator.zipWithIndex.map { case (row, i) =>
+          rankRow.update(0, i + 1)
+          outProj(joined(row, rankRow))
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupFinalExec =
+    copy(child = newChild)
+}
+
+object TopKPerGroup {
+  /** DataFrame API: the k best rows of each group under `orderKeys` —
+    * (column, descending?) pairs forming a total order for determinism —
+    * with a 1-based `rankName` column. Catalyst `SortOrder`s are built
+    * directly over the child's resolved attributes (a `Column.desc` object
+    * carries an unresolved, lazily-bridged node that cannot ship to
+    * executors). Installs the planner strategy on the session
+    * (idempotent). */
+  def topK(df: DataFrame, groupCols: Seq[String], orderKeys: Seq[(String, Boolean)],
+           k: Int, rankName: String = "rn"): DataFrame = {
+    val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.contains(TopKPerGroupStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKPerGroupStrategy
+    }
+    val lp = df.queryExecution.analyzed
+    def attr(n: String): Attribute =
+      lp.output.find(_.name == n).getOrElse(
+        sys.error(s"column $n not found in ${lp.output.map(_.name).mkString(",")}"))
+    val ordering = orderKeys.map { case (name, desc) =>
+      SortOrder(attr(name), if (desc) Descending else Ascending)
+    }
+    Bridge.ofRows(spark,
+      TopKPerGroupPlan(groupCols.map(attr), ordering, k,
+        AttributeReference(rankName, IntegerType, nullable = false)(), lp))
+  }
+}
