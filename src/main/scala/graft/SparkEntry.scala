@@ -31,6 +31,7 @@ object SparkEntry {
       (ops.Maintenance.queries, ops.Maintenance.oracle),
       (ops.ScaleOps.queries, ops.ScaleOps.oracle),
       (ops.TrainingPrep.queries, ops.TrainingPrep.oracle),
+      (ops.TypedOps.queries, ops.TypedOps.oracle),
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */
