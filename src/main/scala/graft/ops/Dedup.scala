@@ -131,8 +131,15 @@ object Dedup {
     * loop holds only a changed-row COUNT, never data. */
   def dedupClusters(s: SparkSession, d: String): DataFrame = {
     val buckets = bandBuckets(s, d).localCheckpoint(true)
-    var labels = buckets.select(col("doc_id")).distinct()
-      .withColumn("label", col("doc_id")).localCheckpoint(true)
+    // seed with one propagation round already applied: label(doc) = min
+    // doc_id over the doc's buckets (each doc is in its own buckets, so the
+    // seed is ≤ doc_id). Equivalent to initializing label=doc_id and
+    // running the loop body once, but without the loop's join against the
+    // previous labels — saves a full round on shallow graphs.
+    var labels = buckets
+      .join(buckets.groupBy("bkey").agg(min("doc_id").as("bl")), "bkey")
+      .groupBy("doc_id").agg(min("bl").as("label"))
+      .localCheckpoint(true)
     var rounds = 0
     var changed = 1L
     while (changed > 0 && rounds < 20) {

@@ -152,14 +152,16 @@ object TextAnalysis {
     // versus the groupBy-then-rejoin formulation's two shuffles + join
     val wDf = org.apache.spark.sql.expressions.Window.partitionBy("term")
     val nd = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy(col("tfidf").desc, col("term").asc)
-    tf.withColumn("df", count(lit(1)).over(wDf))
+    val scored = tf.withColumn("df", count(lit(1)).over(wDf))
       .crossJoin(broadcast(nd))
       .withColumn("tfidf",
         round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("tfidf"))
+    // top-3 terms per doc through the native bounded-selection operator
+    // (graft.plans.TopKPerGroup): same result as the row_number window, but
+    // the rank shuffle carries ≤ 3 rows per doc per partition
+    graft.plans.TopKPerGroup
+      .topK(scored, Seq("doc_id"), Seq("tfidf" -> true, "term" -> false), 3)
       .select(col("doc_id"), col("rn"), col("term"), col("tf"), col("tfidf"))
       .orderBy("doc_id", "rn")
   }
