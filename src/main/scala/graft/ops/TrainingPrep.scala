@@ -8,7 +8,11 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 /** Training-set preparation: the two corpus-level transforms that sit
-  * between a cleaned document store and a pretraining run.
+  * between a cleaned document store and a pretraining run (north-star
+  * extension per `/root/repo/BASELINE.json` — the reference's corpus stage
+  * stops at per-word frequencies, `infra/scripts/demo-etl-2a-notebook.py:
+  * 53-56`; these are the next steps a training pipeline runs on the same
+  * documents).
   *
   * - [[sourceMix]]: temperature-scaled source mixing — the multinomial
   *   sampling weights (wᵢ ∝ nᵢ^α) data recipes use to keep giant crawl

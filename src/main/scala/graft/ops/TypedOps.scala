@@ -7,7 +7,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Typed `Dataset[T]` operators (SURVEY.md §1.3: case-class/tuple Encoders
-  * where type safety helps). The query surface here is the co-grouped
+  * where type safety helps). The reference's Job B re-reads the upstream
+  * aggregate and casts/validates each record per row as it loads
+  * (`infra/scripts/process_tsv.py:62-87`); generalized here to a
+  * two-source consistency audit. The query surface is the co-grouped
   * reconciliation pass — `KeyValueGroupedDataset.cogroup`, the typed
   * operator with no single-DataFrame equivalent: both inputs hash-cluster
   * on the key and each key's two row groups meet exactly once, the shape a
