@@ -15,11 +15,18 @@ import org.apache.spark.sql.graftbridge.Bridge
   *
   *  - `float_dot(a, b)` — codegen'd float-vector dot product in double.
   *  - `ngrams_ws(words, n)` — space-joined word n-grams (compiled loop).
+  *
+  * Also injects the optimizer rules (`CollapseNgramCount`,
+  * `RewriteTopKWindow` — the row_number()≤k idiom becomes the native
+  * bounded top-k operator) and the planner strategies for both custom
+  * operators (`AsOfJoinStrategy`, `TopKPerGroupStrategy`).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => graft.plans.CollapseNgramCount)
+    e.injectOptimizerRule(_ => graft.plans.RewriteTopKWindow)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    e.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
     e.injectFunction((FunctionIdentifier("float_dot"),
       GraftExtensions.info("float_dot", "float_dot(a, b) - dot product of two float arrays, accumulated in double"),
       GraftExtensions.floatDotBuilder))
