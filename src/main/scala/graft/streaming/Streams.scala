@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming surface (SURVEY.md §1.1 "time-series/streaming" row).
@@ -186,5 +186,49 @@ object Streams {
             closed.result().iterator
           }
       }
+  }
+
+  case class UserRunning(user_id: Long, n_events: Long, max_value: Double)
+
+  /** Per-user running statistics through `transformWithState` — Spark 4's
+    * arbitrary-state operator (the successor to flatMapGroupsWithState:
+    * typed named state slots, independent TTLs, timers). Emits the updated
+    * (count, max) pair for each user touched by a micro-batch. Requires the
+    * RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass`), which is also the
+    * right store at 100 TB/day state sizes — changelog checkpointing and
+    * out-of-heap state. */
+  class RunningUserStats
+      extends StatefulProcessor[Long, (Long, Double), UserRunning] {
+    @transient private var count: org.apache.spark.sql.streaming.ValueState[Long] = _
+    @transient private var maxV: org.apache.spark.sql.streaming.ValueState[Double] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      count = getHandle.getValueState[Long]("count",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+      maxV = getHandle.getValueState[Double]("max_value",
+        org.apache.spark.sql.Encoders.scalaDouble, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+                                 timers: org.apache.spark.sql.streaming.TimerValues): Iterator[UserRunning] = {
+      var c = if (count.exists()) count.get() else 0L
+      var m = if (maxV.exists()) maxV.get() else Double.NegativeInfinity
+      rows.foreach { case (_, v) => c += 1; if (v > m) m = v }
+      count.update(c)
+      maxV.update(m)
+      Iterator(UserRunning(key, c, m))
+    }
+  }
+
+  /** `transformWithState` wiring for [[RunningUserStats]]: update-mode
+    * per-user running (count, max) over a (user_id, value) stream. */
+  def runningUserStats(events: Dataset[(Long, Double)]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._1)
+      .transformWithState(new RunningUserStats,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
   }
 }

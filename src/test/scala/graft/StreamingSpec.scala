@@ -85,6 +85,38 @@ class StreamingSpec extends AnyFunSuite {
       SessionSummary(1, 1, 2 * hour, 2 * hour)))
   }
 
+  test("transformWithState keeps running per-user stats across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    // transformWithState requires the RocksDB state store
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[(Long, Double)]
+      val out = Streams.runningUserStats(ms.toDS())
+      val q = out.writeStream.outputMode("update")
+        .format("memory").queryName("tws_out").start()
+      try {
+        ms.addData((1L, 10.0), (1L, 5.0), (2L, 7.0))
+        q.processAllAvailable()
+        ms.addData((1L, 20.0), (2L, 1.0))
+        q.processAllAvailable()
+      } finally q.stop()
+      val rows = spark.table("tws_out")
+        .as[Streams.UserRunning].collect().toSeq
+      // latest emission per user reflects state carried across batches
+      val latest = rows.groupBy(_.user_id).map { case (u, rs) => u -> rs.maxBy(_.n_events) }
+      assert(latest(1L) == Streams.UserRunning(1L, 3, 20.0))
+      assert(latest(2L) == Streams.UserRunning(2L, 2, 7.0))
+    } finally {
+      prior match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("Trigger.AvailableNow drains the source then stops on its own") {
     import java.nio.file.Files
     import org.apache.spark.sql.streaming.Trigger
