@@ -40,7 +40,8 @@ object Bench {
     // 3-decimal rounding keeps the whole JSON line well under the driver's
     // captured-output tail (a full-precision line with ~100 queries overflowed
     // it in round 1 and the driver recorded parsed:null)
-    def r3(v: Double): String = "%.3f".format(v)
+    // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
+    def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

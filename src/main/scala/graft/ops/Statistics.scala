@@ -59,10 +59,6 @@ object Statistics {
         round(max(col("l_extendedprice")), 4).as("hi"))
       .orderBy("bucket")
 
-  /** Custom typed-Aggregator UDAF (graft.functions.WeightedAvg): quantity-
-    * weighted mean unit price per return flag. Inputs are converted to the
-    * integer domain (cents / whole units) at the scan so the custom
-    * aggregation is exact and order-independent. */
   /** Equi-width bucketing via `width_bucket` (PostgreSQL semantics:
     * `[lo,hi)` split into n equal cells, bucket 0 / n+1 for out-of-range).
     * The fixture's quantities are integral 1..50, so every cell boundary is
@@ -76,6 +72,10 @@ object Statistics {
       .agg(count(lit(1)).as("n"), round(dsum(col("l_extendedprice")), 4).as("sum_price"))
       .orderBy("bucket")
 
+  /** Custom typed-Aggregator UDAF (graft.functions.WeightedAvg): quantity-
+    * weighted mean unit price per return flag. Inputs are converted to the
+    * integer domain (cents / whole units) at the scan so the custom
+    * aggregation is exact and order-independent. */
   def weightedAvgUdaf(s: SparkSession, d: String): DataFrame = {
     val wavg = udaf(graft.functions.WeightedAvg,
       org.apache.spark.sql.Encoders.product[graft.functions.WeightedItem])

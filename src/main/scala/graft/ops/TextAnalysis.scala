@@ -175,9 +175,12 @@ object TextAnalysis {
     * join is the one unavoidable gram-key shuffle. Zero-gram test docs stay
     * in the report via the left join from the doc list. */
   def contamination(s: SparkSession, d: String): DataFrame = {
+    // materialized once: the tokenize+5-gram explode feeds both the test
+    // and train branches (same pattern as Dedup.ngramJaccard)
     val grams = Tables.documents(s, d)
       .select(col("doc_id"), col("source"),
         explode(StringNgrams.ngrams(words(col("text")), 5)).as("gram"))
+      .localCheckpoint(true)
     val testG = grams.filter(col("source") === "src0")
       .select("doc_id", "gram").distinct()
     val train = grams.filter(col("source") =!= "src0")

@@ -48,8 +48,11 @@ object TypedOps {
           ls.foreach { case (_, price, disc) =>
             n += 1
             // product in IEEE double first (what both engines' SQL does),
-            // THEN the exact-decimal accumulation
-            rev = rev.add(new JBigDecimal(price * (1.0 - disc))
+            // THEN the exact-decimal accumulation. valueOf (shortest decimal
+            // repr) is the conversion Spark's CAST(double AS DECIMAL) and
+            // DuckDB's cast perform — new BigDecimal(double) would take the
+            // exact binary expansion and can round differently at scale 6
+            rev = rev.add(JBigDecimal.valueOf(price * (1.0 - disc))
               .setScale(6, RoundingMode.HALF_UP))
           }
           val revenue = JBigDecimal.valueOf(rev.doubleValue())

@@ -145,10 +145,7 @@ object AsOfJoin {
                    asOfName: String = "asof_t",
                    toleranceMicros: Option[Long] = None): DataFrame = {
     val spark = leftDf.sparkSession
-    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ AsOfJoinStrategy
-    }
+    Bridge.ensureStrategy(spark, AsOfJoinStrategy)
     val lp = leftDf.queryExecution.analyzed
     val rp = rightDf.queryExecution.analyzed
     def attr(p: LogicalPlan, n: String): Attribute =

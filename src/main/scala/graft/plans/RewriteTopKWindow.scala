@@ -30,6 +30,22 @@ object RewriteTopKWindow extends Rule[LogicalPlan] {
   private val RowNumberFrame =
     SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow)
 
+  /** Group-key types the bounded operator may hash raw: floating types are
+    * excluded (the window path normalizes -0.0/0.0 and NaN bit patterns via
+    * NormalizeFloatingNumbers, which runs AFTER this rule — raw UnsafeRow
+    * hashing would split those into distinct groups), as are nested types
+    * that could embed a float. */
+  private def safeKeyType(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case FloatType | DoubleType => false
+      case BooleanType | ByteType | ShortType | IntegerType | LongType |
+           StringType | BinaryType | DateType | TimestampType |
+           TimestampNTZType | _: DecimalType => true
+      case _ => false
+    }
+  }
+
   /** (rank attribute, group attributes, ordering) when the window is the
     * exact row_number shape. */
   private def rowNumberWindow(w: Window): Option[(AttributeReference, Seq[Attribute], Seq[SortOrder])] =
@@ -37,7 +53,8 @@ object RewriteTopKWindow extends Rule[LogicalPlan] {
       case Window(Seq(a @ Alias(
             WindowExpression(RowNumber(), WindowSpecDefinition(part, order, RowNumberFrame)),
             _)), _, _, _, _)
-          if part.nonEmpty && part.forall(_.isInstanceOf[Attribute]) &&
+          if part.nonEmpty &&
+            part.forall(e => e.isInstanceOf[Attribute] && safeKeyType(e.dataType)) &&
             order.nonEmpty && order.forall(_.child.isInstanceOf[Attribute]) =>
         Some((a.toAttribute.asInstanceOf[AttributeReference],
           part.map(_.asInstanceOf[Attribute]), order))
@@ -47,7 +64,8 @@ object RewriteTopKWindow extends Rule[LogicalPlan] {
   /** k for conditions equivalent to `rank <= k` on the given attribute. */
   private def boundFor(cond: Expression, rank: Attribute): Option[Int] = cond match {
     case LessThanOrEqual(r: Attribute, Literal(k: Int, IntegerType)) if r.semanticEquals(rank) => Some(k)
-    case LessThan(r: Attribute, Literal(k: Int, IntegerType)) if r.semanticEquals(rank) => Some(k - 1)
+    case LessThan(r: Attribute, Literal(k: Int, IntegerType))
+        if r.semanticEquals(rank) && k > Int.MinValue => Some(k - 1)
     case EqualTo(r: Attribute, Literal(1, IntegerType)) if r.semanticEquals(rank) => Some(1)
     case _ => None
   }

@@ -160,10 +160,7 @@ object TopKPerGroup {
   def topK(df: DataFrame, groupCols: Seq[String], orderKeys: Seq[(String, Boolean)],
            k: Int, rankName: String = "rn"): DataFrame = {
     val spark = df.sparkSession
-    if (!spark.experimental.extraStrategies.contains(TopKPerGroupStrategy)) {
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ TopKPerGroupStrategy
-    }
+    Bridge.ensureStrategy(spark, TopKPerGroupStrategy)
     val lp = df.queryExecution.analyzed
     def attr(n: String): Attribute =
       lp.output.find(_.name == n).getOrElse(
