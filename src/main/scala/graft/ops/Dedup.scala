@@ -37,6 +37,26 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Survivorship-policy dedup: per content-prefix group (first 8 words,
+    * the same blocking key as [[dedupFuzzy]]), keep the HIGHEST-quality
+    * member — longest doc, doc_id tie-break — instead of the arbitrary
+    * lowest id. This is the policy choice a production dedup actually
+    * makes (min-id keeps whatever crawled first; quality survivorship
+    * keeps the best copy). max(struct(...)) aggregates the argmax
+    * map-side — deterministic, unlike `max_by` under ties. */
+  def dedupSurvivor(s: SparkSession, d: String): DataFrame = {
+    val key = md5(concat_ws(" ", slice(words(col("text")), 1, 8)))
+    Tables.documents(s, d)
+      .select(key.as("key"), col("doc_id"), col("n_chars"))
+      .groupBy("key")
+      .agg(
+        count(lit(1)).as("n_members"),
+        max(struct(col("n_chars"), col("doc_id"))).as("best"))
+      .select(col("best.doc_id").as("doc_id"), col("best.n_chars").as("n_chars"),
+        col("n_members"))
+      .orderBy("doc_id")
+  }
+
   /** Fuzzy dedup: normalize to the first 8 words (content-prefix chunk),
     * md5 it, keep the lowest doc_id per chunk hash. */
   def dedupFuzzy(s: SparkSession, d: String): DataFrame = {
@@ -190,6 +210,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact"    -> (dedupExact _),
+    "q_dedup_survivor" -> (dedupSurvivor _),
     "q_dedup_fuzzy"    -> (dedupFuzzy _),
     "q_dedup_minhash"  -> (dedupMinhash _),
     "q_dedup_clusters" -> (dedupClusters _),
@@ -220,6 +241,21 @@ object Dedup {
         |      FROM documents) t
         |WHERE rn = 1
         |ORDER BY doc_id""".stripMargin,
+    "q_dedup_survivor" ->
+      s"""WITH k AS (
+         |  SELECT md5(array_to_string($WordsSql[1:8], ' ')) AS key,
+         |         doc_id, n_chars
+         |  FROM documents
+         |), r AS (
+         |  SELECT key, doc_id, n_chars,
+         |         count(*) OVER (PARTITION BY key) AS n_members,
+         |         row_number() OVER (PARTITION BY key
+         |           ORDER BY n_chars DESC, doc_id DESC) AS rn
+         |  FROM k
+         |)
+         |SELECT doc_id, n_chars, CAST(n_members AS BIGINT) AS n_members
+         |FROM r WHERE rn = 1
+         |ORDER BY doc_id""".stripMargin,
     "q_dedup_fuzzy" ->
       s"""SELECT doc_id, lang, source
          |FROM (SELECT *, row_number() OVER (

@@ -95,9 +95,28 @@ object ScaleOps {
       .orderBy("o_orderpriority")
   }
 
+  /** Join-key skew diagnosis — the report run before sizing a shuffle: the
+    * top-10 heaviest o_custkey values on the orders fact, each with its
+    * share of the table and its ratio to the mean key load. One partial-
+    * aggregating shuffle on the key plus a 10-row global top-k; the numbers
+    * decide between AQE skew handling and an explicit salted join. */
+  def keySkew(s: SparkSession, d: String): DataFrame = {
+    val perKey = Tables.orders(s, d)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
+    val totals = perKey.agg(
+      sum(col("cnt")).as("total"), count(lit(1)).as("n_keys"))
+    perKey.crossJoin(broadcast(totals))
+      .withColumn("share", round(col("cnt") / col("total"), 6))
+      .withColumn("skew", round(col("cnt") * col("n_keys") / col("total"), 4))
+      .select(col("o_custkey"), col("cnt"), col("share"), col("skew"))
+      .orderBy(col("cnt").desc, col("o_custkey").asc)
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_agg_salted"    -> (saltedAgg _),
     "q_bloom_prejoin" -> (bloomPrejoin _),
+    "q_key_skew"      -> (keySkew _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -109,6 +128,18 @@ object ScaleOps {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+    "q_key_skew" ->
+      """WITH k AS (
+        |  SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey
+        |), t AS (
+        |  SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS n_keys FROM k
+        |)
+        |SELECT o_custkey, cnt,
+        |       round(cnt / CAST(total AS DOUBLE), 6) AS share,
+        |       round(cnt * n_keys / CAST(total AS DOUBLE), 4) AS skew
+        |FROM k, t
+        |ORDER BY cnt DESC, o_custkey ASC
+        |LIMIT 10""".stripMargin,
     // The Bloom prefilter only drops rows the exact join would drop anyway.
     "q_bloom_prejoin" ->
       """SELECT o_orderpriority,
