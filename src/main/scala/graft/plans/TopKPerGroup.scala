@@ -67,7 +67,9 @@ private[plans] object BoundedTopK {
       val key = groupProj(row)
       var heap = heaps.get(key)
       if (heap == null) {
-        heap = new java.util.PriorityQueue[InternalRow](k + 1, heapOrd)
+        // initial capacity only — the queue grows; the cap keeps a huge k
+        // (e.g. Int.MaxValue) from overflowing or preallocating wastefully
+        heap = new java.util.PriorityQueue[InternalRow](math.min(k, 64) + 1, heapOrd)
         heaps.put(key.copy(), heap)
       }
       if (heap.size() < k) heap.add(row.copy())
