@@ -113,7 +113,34 @@ object EventTime {
       .orderBy("a_id", "b_id")
   }
 
+  /** Calendar-spine gap filling through a RECURSIVE CTE (Spark 4 SQL
+    * surface): generate every month between the orders table's own min and
+    * max order date — the bound rides along in the recursion so no
+    * subquery appears in the recursive arm — and LEFT JOIN per-month order
+    * counts so empty months surface as zeros. The spine is tiny (one row
+    * per month) however large the fact table; the count side is one
+    * partial-aggregated shuffle. */
+  def recursiveCalendar(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders_rc")
+    s.sql(
+      """WITH RECURSIVE m(mon, last_mon) AS (
+        |  SELECT date_trunc('month', min(o_orderdate)),
+        |         date_trunc('month', max(o_orderdate))
+        |  FROM orders_rc
+        |  UNION ALL
+        |  SELECT mon + INTERVAL 1 MONTH, last_mon FROM m WHERE mon < last_mon
+        |), per AS (
+        |  SELECT date_trunc('month', o_orderdate) AS mon, count(*) AS n_orders
+        |  FROM orders_rc GROUP BY 1
+        |)
+        |SELECT date_format(m.mon, 'yyyy-MM-dd') AS month_start,
+        |       coalesce(per.n_orders, 0) AS n_orders
+        |FROM m LEFT JOIN per ON m.mon = per.mon
+        |ORDER BY month_start""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_recursive_cte"      -> (recursiveCalendar _),
     "q_join_interval_time" -> (joinIntervalTime _),
     "q_tumbling_window" -> (tumblingWindow _),
     "q_funnel"          -> (funnelSteps _),
@@ -122,6 +149,21 @@ object EventTime {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_recursive_cte" ->
+      """WITH RECURSIVE m(mon, last_mon) AS (
+        |  SELECT date_trunc('month', min(o_orderdate)),
+        |         date_trunc('month', max(o_orderdate))
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT mon + INTERVAL 1 MONTH, last_mon FROM m WHERE mon < last_mon
+        |), per AS (
+        |  SELECT date_trunc('month', o_orderdate) AS mon, count(*) AS n_orders
+        |  FROM orders GROUP BY 1
+        |)
+        |SELECT strftime(m.mon, '%Y-%m-%d') AS month_start,
+        |       CAST(coalesce(per.n_orders, 0) AS BIGINT) AS n_orders
+        |FROM m LEFT JOIN per ON m.mon = per.mon
+        |ORDER BY month_start""".stripMargin,
     "q_join_interval_time" ->
       """WITH e AS (
         |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
