@@ -183,7 +183,28 @@ object Scalars {
         expr("try_cast(raw_id AS BIGINT)").isNull.as("quarantined"))
       .orderBy("c_custkey")
 
+  /** Collated comparison (Spark 4 collation support): deterministically
+    * re-case half the corpus's 12-char prefixes, then count distinct
+    * values under binary vs `UTF8_LCASE` collation per language — the
+    * case-insensitive count collapses the synthesized case variants. The
+    * fixture text is pure ASCII, where UTF8_LCASE equality coincides with
+    * `lower()` equality — which is exactly what the oracle states (DuckDB
+    * has no Spark collations). Scalar counts keep the result deterministic
+    * (a collated groupBy's representative value would not be). */
+  def collation(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        when(col("doc_id") % 2 === 0, upper(substring(col("text"), 1, 12)))
+          .otherwise(substring(col("text"), 1, 12)).as("pfx"))
+      .selectExpr("lang", "pfx", "collate(pfx, 'UTF8_LCASE') AS pfx_ci")
+      .groupBy("lang")
+      .agg(
+        countDistinct(col("pfx")).as("n_case_sensitive"),
+        countDistinct(col("pfx_ci")).as("n_case_insensitive"))
+      .orderBy("lang")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_collation"    -> (collation _),
     "q_string_funcs" -> (stringFuncs _),
     "q_regexp_funcs" -> (regexpFuncs _),
     "q_date_arith"   -> (dateArith _),
@@ -244,6 +265,18 @@ object Scalars {
         |                    ELSE (1 - day(o_orderdate)) / 31.0 END, 4) AS mo_to_2000
         |FROM orders
         |ORDER BY o_orderkey""".stripMargin,
+    "q_collation" ->
+      """WITH p AS (
+        |  SELECT lang,
+        |         CASE WHEN doc_id % 2 = 0 THEN upper(substring(text, 1, 12))
+        |              ELSE substring(text, 1, 12) END AS pfx
+        |  FROM documents
+        |)
+        |SELECT lang,
+        |       count(DISTINCT pfx) AS n_case_sensitive,
+        |       count(DISTINCT lower(pfx)) AS n_case_insensitive
+        |FROM p GROUP BY lang
+        |ORDER BY lang""".stripMargin,
     "q_string_funcs" ->
       """SELECT c_custkey,
         |       lower(c_name) AS lname,

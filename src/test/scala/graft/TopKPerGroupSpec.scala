@@ -87,6 +87,25 @@ class TopKPerGroupSpec extends AnyFunSuite {
     assert(perGroup.filter(col("mx") =!= col("n")).count() == 0)
   }
 
+  test("null group keys and null order values match the window formulation") {
+    // synthesize nulls: error events lose their value, odd users lose their id
+    val base = Tables.events(spark, sf)
+      .select(
+        when(col("user_id") % 2 === 1, lit(null)).otherwise(col("user_id")).as("g"),
+        when(col("event_type") === "error", lit(null).cast("double"))
+          .otherwise(col("value")).as("v"),
+        col("event_id"))
+    val native = TopKPerGroup.topK(base, Seq("g"), Seq("v" -> true, "event_id" -> false), 2)
+      .orderBy(col("g").asc_nulls_first, col("rn"))
+      .collect().toSeq.map(_.toSeq)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy(col("v").desc, col("event_id").asc)
+    val window = base.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+      .orderBy(col("g").asc_nulls_first, col("rn"))
+      .collect().toSeq.map(_.toSeq)
+    assert(native == window)
+  }
+
   test("empty input yields an empty result") {
     val base = Tables.lineitem(spark, sf)
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
