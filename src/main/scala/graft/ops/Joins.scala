@@ -116,6 +116,32 @@ object Joins {
       .orderBy("event_id")
   }
 
+  /** Forward as-of (pandas `merge_asof(direction='forward')`): for each
+    * event, the EARLIEST order date of the same customer at-or-after the
+    * event timestamp. Same tagged-union shape as [[joinAsof]], with the
+    * window running from the other end (`first` over current-row..
+    * unbounded-following); event rows sort before order rows at equal
+    * timestamps (tag asc with event tag < order tag) so `>=` stays
+    * inclusive. Still one shuffle on the key, no row explosion. */
+  def joinAsofForward(s: SparkSession, d: String): DataFrame = {
+    val od = Tables.orders(s, d).select(
+      col("o_custkey").as("k"), col("o_orderdate").as("t"),
+      lit(null).cast("long").as("event_id"),
+      col("o_orderdate").as("odate"), lit(1).as("tag"))
+    val ev = Tables.events(s, d).select(
+      col("user_id").as("k"), col("ts").as("t"),
+      col("event_id"),
+      lit(null).cast("timestamp").as("odate"), lit(0).as("tag"))
+    val w = Window.partitionBy("k")
+      .orderBy(col("t").asc, col("tag").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    od.unionByName(ev)
+      .withColumn("asof", first(col("odate"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 0)
+      .select(col("event_id"), fmtTs(col("asof")).as("next_date"))
+      .orderBy("event_id")
+  }
+
   /** The same as-of semantics through the native custom operator
     * ([[graft.plans.AsOfJoin]]: logical node + strategy + streaming-merge
     * physical plan) — checked against the identical DuckDB oracle as
@@ -241,6 +267,7 @@ object Joins {
     "q_join_anti"        -> (joinAnti _),
     "q_join_theta_range" -> (joinThetaRange _),
     "q_join_asof"        -> (joinAsof _),
+    "q_join_asof_fwd"    -> (joinAsofForward _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -355,6 +382,14 @@ object Joins {
         |FROM events e
         |LEFT JOIN orders o
         |  ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        |GROUP BY e.event_id
+        |ORDER BY e.event_id""".stripMargin,
+    "q_join_asof_fwd" ->
+      """SELECT e.event_id,
+        |       strftime(min(o.o_orderdate), '%Y-%m-%d %H:%M:%S') AS next_date
+        |FROM events e
+        |LEFT JOIN orders o
+        |  ON o.o_custkey = e.user_id AND o.o_orderdate >= e.ts
         |GROUP BY e.event_id
         |ORDER BY e.event_id""".stripMargin,
   )
