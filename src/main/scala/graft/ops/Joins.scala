@@ -118,26 +118,27 @@ object Joins {
 
   /** Forward as-of (pandas `merge_asof(direction='forward')`): for each
     * event, the EARLIEST order date of the same customer at-or-after the
-    * event timestamp. Same tagged-union shape as [[joinAsof]], with the
-    * window running from the other end (`first` over current-row..
-    * unbounded-following); event rows sort before order rows at equal
-    * timestamps (tag asc with event tag < order tag) so `>=` stays
-    * inclusive. Still one shuffle on the key, no row explosion. */
+    * event timestamp. Same tagged-union shape as [[joinAsof]] scanned from
+    * the other END of time: descending sort with the running
+    * `last(ignoreNulls)` over (unbounded preceding, current row) — the
+    * O(m) growing frame; a (current row, unbounded following) frame would
+    * re-scan the partition tail per row, O(m²) on a hot key. Order rows
+    * sort before event rows at equal timestamps so `>=` stays inclusive. */
   def joinAsofForward(s: SparkSession, d: String): DataFrame = {
     val od = Tables.orders(s, d).select(
       col("o_custkey").as("k"), col("o_orderdate").as("t"),
       lit(null).cast("long").as("event_id"),
-      col("o_orderdate").as("odate"), lit(1).as("tag"))
+      col("o_orderdate").as("odate"), lit(0).as("tag"))
     val ev = Tables.events(s, d).select(
       col("user_id").as("k"), col("ts").as("t"),
       col("event_id"),
-      lit(null).cast("timestamp").as("odate"), lit(0).as("tag"))
+      lit(null).cast("timestamp").as("odate"), lit(1).as("tag"))
     val w = Window.partitionBy("k")
-      .orderBy(col("t").asc, col("tag").asc)
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      .orderBy(col("t").desc, col("tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     od.unionByName(ev)
-      .withColumn("asof", first(col("odate"), ignoreNulls = true).over(w))
-      .filter(col("tag") === 0)
+      .withColumn("asof", last(col("odate"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
       .select(col("event_id"), fmtTs(col("asof")).as("next_date"))
       .orderBy("event_id")
   }
@@ -384,12 +385,15 @@ object Joins {
         |  ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
         |GROUP BY e.event_id
         |ORDER BY e.event_id""".stripMargin,
+    // CAST truncates the ns event ts to µs exactly as the Spark read path
+    // does — required here because flooring ts can flip `>=` (it can never
+    // flip the backward join's `<=`)
     "q_join_asof_fwd" ->
       """SELECT e.event_id,
         |       strftime(min(o.o_orderdate), '%Y-%m-%d %H:%M:%S') AS next_date
         |FROM events e
         |LEFT JOIN orders o
-        |  ON o.o_custkey = e.user_id AND o.o_orderdate >= e.ts
+        |  ON o.o_custkey = e.user_id AND o.o_orderdate >= CAST(e.ts AS TIMESTAMP)
         |GROUP BY e.event_id
         |ORDER BY e.event_id""".stripMargin,
   )

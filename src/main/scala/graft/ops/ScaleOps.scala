@@ -15,12 +15,14 @@ import org.apache.spark.sql.types.{BinaryType, DecimalType}
   * runtime-filter handling — at its 149k-row scale none is needed; these are
   * the forms its two jobs take once inputs stop fitting a G.1X worker pair.
   *
-  * - [[saltedAgg]]: two-phase (salted) aggregation. `events` has 5 distinct
-  *   `event_type` keys, so a single-phase shuffle would hash 100 TB onto 5
-  *   reducers. Phase 1 fans each key out over 16 salts and combines
-  *   map-side; phase 2 merges 5×16 partial rows — the classic skew-proof
-  *   agg. (Spark's partial aggregation already map-side-combines; the salt
-  *   additionally splits the *reduce* side, which partial agg alone cannot.)
+  * - [[saltedAgg]]: two-phase (salted) aggregation, the skew-proof shape
+  *   demonstrated on a 5-key table. For combinable aggregates like the
+  *   count/sum here, Spark's partial aggregation already collapses each
+  *   map partition to ≤ 5 rows, so the salt is not load-bearing — it
+  *   becomes load-bearing when per-key reduce state does NOT collapse
+  *   map-side (exact distinct sets, collect_list/percentile state), where
+  *   a single hot key's state must be split across reducers and merged in
+  *   a second phase. The query pins the pattern and its result-invariance.
   *
   * - [[bloomPrejoin]]: runtime-filter join. The selective dimension's join
   *   keys are sketched into a Bloom filter (driver-side, ~100 KB — the same
@@ -107,7 +109,11 @@ object ScaleOps {
       sum(col("cnt")).as("total"), count(lit(1)).as("n_keys"))
     perKey.crossJoin(broadcast(totals))
       .withColumn("share", round(col("cnt") / col("total"), 6))
-      .withColumn("skew", round(col("cnt") * col("n_keys") / col("total"), 4))
+      // divide by the mean key load rather than multiplying cnt * n_keys:
+      // the integer product can exceed Long range at the very scales this
+      // diagnostic exists for (Spark would wrap silently in non-ANSI mode)
+      .withColumn("skew",
+        round(col("cnt") / (col("total") / col("n_keys").cast("double")), 4))
       .select(col("o_custkey"), col("cnt"), col("share"), col("skew"))
       .orderBy(col("cnt").desc, col("o_custkey").asc)
       .limit(10)
@@ -136,7 +142,7 @@ object ScaleOps {
         |)
         |SELECT o_custkey, cnt,
         |       round(cnt / CAST(total AS DOUBLE), 6) AS share,
-        |       round(cnt * n_keys / CAST(total AS DOUBLE), 4) AS skew
+        |       round(cnt / (CAST(total AS DOUBLE) / n_keys), 4) AS skew
         |FROM k, t
         |ORDER BY cnt DESC, o_custkey ASC
         |LIMIT 10""".stripMargin,

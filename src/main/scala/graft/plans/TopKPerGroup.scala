@@ -161,6 +161,9 @@ object TopKPerGroup {
     * (idempotent). */
   def topK(df: DataFrame, groupCols: Seq[String], orderKeys: Seq[(String, Boolean)],
            k: Int, rankName: String = "rn"): DataFrame = {
+    // k = 0 would NPE on heap.peek() in the selection loop; the equivalent
+    // window filter returns empty, so reject rather than silently differ
+    require(k >= 1, s"topK requires k >= 1, got $k")
     val spark = df.sparkSession
     Bridge.ensureStrategy(spark, TopKPerGroupStrategy)
     val lp = df.queryExecution.analyzed

@@ -21,18 +21,18 @@ object Bridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
-  /** Idempotently register a planner strategy on a live session. Checks the
-    * session's full strategy list (which includes `spark.sql.extensions`-
-    * injected strategies, invisible to `experimental.extraStrategies`
-    * alone) and synchronizes the check-then-append so concurrent callers
-    * cannot double-register. */
+  /** Idempotently register a planner strategy on a live session.
+    * `planner.strategies` is the full list — it prepends
+    * `experimental.extraStrategies` and includes `spark.sql.extensions`-
+    * injected strategies (which a bare `extraStrategies.contains` check
+    * would miss). Synchronized so concurrent callers cannot both pass the
+    * check and double-register. */
   def ensureStrategy(spark: org.apache.spark.sql.SparkSession,
                      strategy: org.apache.spark.sql.execution.SparkStrategy): Unit =
     spark.synchronized {
       val planner = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
         .sessionState.planner
-      if (!planner.strategies.contains(strategy) &&
-          !spark.experimental.extraStrategies.contains(strategy)) {
+      if (!planner.strategies.contains(strategy)) {
         spark.experimental.extraStrategies =
           spark.experimental.extraStrategies :+ strategy
       }
