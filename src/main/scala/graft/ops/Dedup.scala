@@ -101,17 +101,13 @@ object Dedup {
     * hex alphabet); the sign vector is the fingerprint. Fingerprint
     * collisions are near-duplicates. */
   def dedupSimhash(s: SparkSession, d: String): DataFrame = {
-    // explode + 16 partially-aggregated conditional sums (codegen'd; the
-    // shuffle carries one partial row per doc per partition)
-    val wd = Tables.documents(s, d)
-      .select(col("doc_id"), explode(words(col("text"))).as("wd"))
-      .withColumn("h", md5(col("wd")))
-    val sums = (1 to SimBits).map(i =>
-      sum(when(substring(col("h"), i, 1) >= "8", 1).otherwise(-1)).as(s"s$i"))
-    val fp = concat((1 to SimBits).map(i =>
-      when(col(s"s$i") >= 0, lit("1")).otherwise(lit("0"))): _*)
-    val sig = wd.groupBy("doc_id").agg(sums.head, sums.tail: _*)
-      .select(col("doc_id"), fp.as("fp"))
+    // one compiled pass per document (graft.functions.SimHash16) — the
+    // explode + 16-partial-sums formulation it replaced spent its time
+    // materializing a words-cardinality row expansion; the expression is
+    // bit-identical to that formulation and to the oracle's SQL
+    val sig = Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.functions.SimHash16.simhash(words(col("text"))).as("fp"))
     val keeper = sig.groupBy("fp").agg(min("doc_id").as("keeper"))
     sig.join(keeper, "fp")
       .select(col("doc_id"), col("fp"), col("keeper"),

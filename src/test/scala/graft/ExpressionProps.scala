@@ -77,4 +77,24 @@ object ExpressionProps extends Properties("graft.expressions") {
     val e = Literal.create(Array.empty[Float], ArrayType(FloatType))
     FloatVectorDot(e, e).eval(null).asInstanceOf[Double] == 0.0
   }
+
+  private def simhashNaive(ws: List[String]): String = {
+    // the SQL formulation the expression replaced: per word md5 hex,
+    // digit i >= '8' contributes +1 to bit i else -1; bit = (sum >= 0)
+    val counts = new Array[Int](16)
+    ws.foreach { w =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (0 until 16).foreach { i =>
+        counts(i) += (if (hex.charAt(i) >= '8') 1 else -1)
+      }
+    }
+    counts.map(c => if (c >= 0) '1' else '0').mkString
+  }
+
+  property("SimHash16 equals the per-digit md5 sign-sum formulation") =
+    forAll(wordsGen) { ws =>
+      val lit = Literal.create(ws.toArray, ArrayType(StringType))
+      graft.functions.SimHash16(lit).eval(null).toString == simhashNaive(ws)
+    }
 }
