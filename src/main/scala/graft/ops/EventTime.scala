@@ -139,7 +139,27 @@ object EventTime {
         |ORDER BY month_start""".stripMargin)
   }
 
+  /** The [[graft.streaming.Streams.sessionize]] typed state machine
+    * (flatMapGroupsWithState) run in BATCH mode over the events table —
+    * proving the streaming session logic against a SQL oracle. Batch
+    * execution delivers each user's full history in one group call; the
+    * machine emits every session a gap CLOSED, and the trailing open
+    * session stays in state — so the oracle is gaps-and-islands minus
+    * each user's last island. */
+  def sessionizeState(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tsMicros"))
+      .as[graft.streaming.Streams.UserEvent]
+    graft.streaming.Streams.sessionize(ev).toDF()
+      .select(col("user_id"), col("n_events"),
+        fmtTs(timestamp_micros(col("start_micros"))).as("sess_start"),
+        fmtTs(timestamp_micros(col("end_micros"))).as("sess_end"))
+      .orderBy("user_id", "sess_start")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sessionize_state"   -> (sessionizeState _),
     "q_recursive_cte"      -> (recursiveCalendar _),
     "q_join_interval_time" -> (joinIntervalTime _),
     "q_tumbling_window" -> (tumblingWindow _),
@@ -149,6 +169,31 @@ object EventTime {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_sessionize_state" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+        |), g AS (
+        |  SELECT *,
+        |         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |              THEN 1 ELSE 0 END AS new_sess
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |), st AS (
+        |  SELECT *, SUM(new_sess) OVER (
+        |    PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM g
+        |), sess AS (
+        |  SELECT user_id, sess_id, COUNT(*) AS n_events,
+        |         strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sess_start,
+        |         strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS sess_end
+        |  FROM st GROUP BY user_id, sess_id
+        |)
+        |SELECT user_id, n_events, sess_start, sess_end
+        |FROM (SELECT *, max(sess_id) OVER (PARTITION BY user_id) AS last_sess FROM sess) t
+        |WHERE sess_id < last_sess
+        |ORDER BY user_id, sess_start""".stripMargin,
     "q_recursive_cte" ->
       """WITH RECURSIVE m(mon, last_mon) AS (
         |  SELECT date_trunc('month', min(o_orderdate)),
