@@ -62,4 +62,22 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(scan.metadata("PartitionFilters").contains("lang"),
       scan.metadata("PartitionFilters"))
   }
+
+  test("simhash runs as a per-row expression, not a word explode") {
+    val plan = ops.Dedup.dedupSimhash(spark, sf).queryExecution.sparkPlan.toString
+    assert(!plan.contains("Generate"), plan.take(800))
+    assert(plan.contains("simhash16"), plan.take(800))
+  }
+
+  test("bloom prejoin filters the fact scan below the join") {
+    val plan = ops.ScaleOps.bloomPrejoin(spark, sf).queryExecution.sparkPlan
+    // find the join, then assert a might_contain filter exists in its
+    // subtree (the prefilter must run BEFORE the shuffle/join, not after)
+    val joins = plan.collect {
+      case j if j.nodeName.contains("Join") => j
+    }
+    assert(joins.nonEmpty, plan.toString.take(500))
+    val belowJoin = joins.head.children.map(_.toString).mkString
+    assert(belowJoin.contains("might_contain"), belowJoin.take(800))
+  }
 }
