@@ -24,25 +24,41 @@ case class SimHash16(child: Expression)
 
   override def dataType: DataType = StringType
 
+  // null also for EMPTY word arrays: the explode formulation emits no row
+  // for a wordless doc, so no fingerprint is the faithful scalar analogue
+  // (an all-zero count vector would silently cluster empty docs together)
+  override def nullable: Boolean = true
+
+  // per-task instance (plans deserialize per task; eval is single-threaded
+  // there) — per-row getInstance would pay a JCA lookup in the hot loop.
+  // digest() resets the instance, so no explicit reset is needed.
+  @transient private lazy val md = java.security.MessageDigest.getInstance("MD5")
+
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
-    val counts = new Array[Int](16)
-    val md = java.security.MessageDigest.getInstance("MD5")
-    var i = 0
     val n = arr.numElements()
+    if (n == 0) return null
+    val counts = new Array[Int](16)
+    var i = 0
     while (i < n) {
-      val digest = md.digest(arr.getUTF8String(i).getBytes)
-      // first 16 hex digits = first 8 digest bytes, high nibble first;
-      // hex digit >= '8' ⟺ nibble >= 8 (ASCII: '8'..'9' < 'a'..'f')
-      var j = 0
-      while (j < 16) {
-        val nibble =
-          if ((j & 1) == 0) (digest(j >> 1) >> 4) & 0xF
-          else digest(j >> 1) & 0xF
-        counts(j) += (if (nibble >= 8) 1 else -1)
-        j += 1
+      if (arr.isNullAt(i)) {
+        // mirror the SQL formulation's `when(digit >= '8', 1).otherwise(-1)`:
+        // a null word's null digits all fall to the otherwise(-1) arm
+        var j = 0
+        while (j < 16) { counts(j) -= 1; j += 1 }
+      } else {
+        val digest = md.digest(arr.getUTF8String(i).getBytes)
+        // first 16 hex digits = first 8 digest bytes, high nibble first;
+        // hex digit >= '8' ⟺ nibble >= 8 (ASCII: '8'..'9' < 'a'..'f')
+        var j = 0
+        while (j < 16) {
+          val nibble =
+            if ((j & 1) == 0) (digest(j >> 1) >> 4) & 0xF
+            else digest(j >> 1) & 0xF
+          counts(j) += (if (nibble >= 8) 1 else -1)
+          j += 1
+        }
       }
-      md.reset()
       i += 1
     }
     val out = new Array[Byte](16)

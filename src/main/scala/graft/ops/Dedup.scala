@@ -21,8 +21,10 @@ import org.apache.spark.sql.functions._
   *  - MinHash+LSH: signatures are 4 aggregated mins per doc (one shuffle on
   *    doc_id-partitioned shingles), candidates meet through band buckets —
   *    never an all-pairs comparison;
-  *  - SimHash: 16 conditional sums per doc, one shuffle; near-dups collide
-  *    on the fingerprint;
+  *  - SimHash: one compiled pass per doc (the native
+  *    [[graft.functions.SimHash16]] expression — no word explosion); the
+  *    only shuffle is the one-row-per-doc fingerprint groupBy, and
+  *    near-dups collide on the fingerprint;
   *  - n-gram Jaccard: the pair search is an equi-join on (bigram, lang,
   *    source) — i.e. blocked by content overlap, not a cross join.
   */

@@ -78,23 +78,37 @@ object ExpressionProps extends Properties("graft.expressions") {
     FloatVectorDot(e, e).eval(null).asInstanceOf[Double] == 0.0
   }
 
-  private def simhashNaive(ws: List[String]): String = {
+  private def simhashNaive(ws: List[String]): Option[String] = {
     // the SQL formulation the expression replaced: per word md5 hex,
-    // digit i >= '8' contributes +1 to bit i else -1; bit = (sum >= 0)
+    // digit i >= '8' contributes +1 to bit i else -1 (null words take the
+    // otherwise(-1) arm for every digit); bit = (sum >= 0); no words → no
+    // fingerprint (explode emits no row)
+    if (ws.isEmpty) return None
     val counts = new Array[Int](16)
-    ws.foreach { w =>
-      val hex = java.security.MessageDigest.getInstance("MD5")
-        .digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      (0 until 16).foreach { i =>
-        counts(i) += (if (hex.charAt(i) >= '8') 1 else -1)
-      }
+    ws.foreach {
+      case null => (0 until 16).foreach(counts(_) -= 1)
+      case w =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        (0 until 16).foreach { i =>
+          counts(i) += (if (hex.charAt(i) >= '8') 1 else -1)
+        }
     }
-    counts.map(c => if (c >= 0) '1' else '0').mkString
+    Some(counts.map(c => if (c >= 0) '1' else '0').mkString)
   }
 
+  // empty tokens (split() yields them on doubled separators), multi-byte
+  // UTF-8, and null elements all exercise the byte-level digest path
+  private val simhashWord: Gen[String] = Gen.oneOf(
+    word, Gen.const(""), Gen.const(null: String),
+    Gen.nonEmptyListOf(Gen.oneOf('é', '語', 'ß', 'α', '€')).map(_.mkString))
+  private val simhashWordsGen: Gen[List[String]] =
+    Gen.choose(0, 25).flatMap(n => Gen.listOfN(n, simhashWord))
+
   property("SimHash16 equals the per-digit md5 sign-sum formulation") =
-    forAll(wordsGen) { ws =>
+    forAll(simhashWordsGen) { ws =>
       val lit = Literal.create(ws.toArray, ArrayType(StringType))
-      graft.functions.SimHash16(lit).eval(null).toString == simhashNaive(ws)
+      val got = Option(graft.functions.SimHash16(lit).eval(null)).map(_.toString)
+      got == simhashNaive(ws)
     }
 }
