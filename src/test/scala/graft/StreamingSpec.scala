@@ -85,6 +85,36 @@ class StreamingSpec extends AnyFunSuite {
       SessionSummary(1, 1, 2 * hour, 2 * hour)))
   }
 
+  test("watermark finalizes windows and drops data later than the horizon") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, String, Double)]
+    val agg = Streams.tumblingCounts(
+      ms.toDS().toDF("ts", "event_type", "value"))
+    // append mode emits a window only once its watermark passes — the
+    // finalization semantics `complete` mode never exercises
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("wm_out").start()
+    def t(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    try {
+      ms.addData((t(10, 15), "click", 1.0), (t(10, 45), "click", 2.0))
+      q.processAllAvailable()
+      // advance event time far enough that the 10:00 window finalizes
+      ms.addData((t(13, 0), "view", 1.0))
+      q.processAllAvailable()
+      val afterAdvance = spark.table("wm_out").as[(Timestamp, String, Long, Double)].collect()
+      assert(afterAdvance.toSeq == Seq((t(10, 0), "click", 2L, 3.0)),
+        afterAdvance.mkString(","))
+      // a straggler behind the watermark (13:00 − 1h) must be dropped, not
+      // reopen the finalized 10:00 window
+      ms.addData((t(10, 30), "click", 100.0))
+      q.processAllAvailable()
+      val afterLate = spark.table("wm_out").as[(Timestamp, String, Long, Double)].collect()
+      assert(afterLate.toSeq == afterAdvance.toSeq, afterLate.mkString(","))
+    } finally q.stop()
+  }
+
   test("transformWithState keeps running per-user stats across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
