@@ -79,6 +79,28 @@ object Relational {
         .select(col("o_custkey").as("k")))
       .orderBy("k")
 
+  /** Bag-semantics set ops (INTERSECT ALL / EXCEPT ALL): per duplicate
+    * occurrence, not per distinct value — event types per user on odd vs
+    * even days keep their multiplicities, so the result counts how many
+    * occurrences survive the bag intersection/difference. Spark plans both
+    * as an aggregate + join on replicated counts (no row-at-a-time
+    * matching); the count-summary output keeps the oracle deterministic. */
+  def setOpsAll(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), dayofmonth(col("ts")).as("dom"))
+    val odd = e.filter(col("dom") % 2 === 1).select("user_id", "event_type")
+    val even = e.filter(col("dom") % 2 === 0).select("user_id", "event_type")
+    val inter = odd.intersectAll(even)
+      .groupBy("event_type").agg(count(lit(1)).as("n_inter_all"))
+    val exc = odd.exceptAll(even)
+      .groupBy("event_type").agg(count(lit(1)).as("n_except_all"))
+    inter.join(exc, Seq("event_type"), "full")
+      .select(col("event_type"),
+        coalesce(col("n_inter_all"), lit(0L)).as("n_inter_all"),
+        coalesce(col("n_except_all"), lit(0L)).as("n_except_all"))
+      .orderBy("event_type")
+  }
+
   /** R16/R17 sink shape: word counts as key-value items
     * (`process_tsv.py:81-87`), minus the wall-clock timestamp for
     * determinism (SURVEY.md §7.4). */
@@ -186,6 +208,7 @@ object Relational {
     "q_union"        -> (unionAll _),
     "q_intersect"    -> (intersectKeys _),
     "q_except"       -> (exceptKeys _),
+    "q_setops_all"   -> (setOpsAll _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -274,6 +297,25 @@ object Relational {
         |INTERSECT
         |SELECT o_custkey AS k FROM orders
         |ORDER BY k""".stripMargin,
+    "q_setops_all" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, day(CAST(ts AS TIMESTAMP)) AS dom FROM events
+        |), o AS (
+        |  SELECT user_id, event_type FROM e WHERE dom % 2 = 1
+        |), v AS (
+        |  SELECT user_id, event_type FROM e WHERE dom % 2 = 0
+        |), i AS (
+        |  SELECT event_type, count(*) AS n_inter_all
+        |  FROM (SELECT * FROM o INTERSECT ALL SELECT * FROM v) t GROUP BY 1
+        |), x AS (
+        |  SELECT event_type, count(*) AS n_except_all
+        |  FROM (SELECT * FROM o EXCEPT ALL SELECT * FROM v) t GROUP BY 1
+        |)
+        |SELECT event_type,
+        |       CAST(coalesce(i.n_inter_all, 0) AS BIGINT) AS n_inter_all,
+        |       CAST(coalesce(x.n_except_all, 0) AS BIGINT) AS n_except_all
+        |FROM i FULL JOIN x USING (event_type)
+        |ORDER BY event_type""".stripMargin,
     "q_except" ->
       """SELECT c_custkey AS k FROM customer
         |EXCEPT
