@@ -79,6 +79,24 @@ object Relational {
         .select(col("o_custkey").as("k")))
       .orderBy("k")
 
+  /** Correlated LATERAL subquery (Spark 4 SQL surface): for each nation,
+    * the top-2 suppliers by account balance — the lateral runs once per
+    * outer row with the outer's columns in scope, the SQL-standard spelling
+    * of a dependent top-n. Catalyst decorrelates it into a ranked join
+    * rather than executing per-row, so the shape survives scale. Nations
+    * with no supplier drop out (inner lateral), identically in DuckDB. */
+  def lateralTopN(s: SparkSession, d: String): DataFrame = {
+    Tables.nation(s, d).createOrReplaceTempView("nation_lt")
+    Tables.supplier(s, d).createOrReplaceTempView("supplier_lt")
+    s.sql(
+      """SELECT n_name, t.s_name, t.s_acctbal
+        |FROM nation_lt, LATERAL (
+        |  SELECT s_name, s_acctbal FROM supplier_lt
+        |  WHERE s_nationkey = n_nationkey
+        |  ORDER BY s_acctbal DESC, s_name ASC LIMIT 2) t
+        |ORDER BY n_name, s_acctbal DESC, s_name""".stripMargin)
+  }
+
   /** Bag-semantics set ops (INTERSECT ALL / EXCEPT ALL): per duplicate
     * occurrence, not per distinct value — event types per user on odd vs
     * even days keep their multiplicities, so the result counts how many
@@ -209,6 +227,7 @@ object Relational {
     "q_intersect"    -> (intersectKeys _),
     "q_except"       -> (exceptKeys _),
     "q_setops_all"   -> (setOpsAll _),
+    "q_lateral_topn" -> (lateralTopN _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -297,6 +316,13 @@ object Relational {
         |INTERSECT
         |SELECT o_custkey AS k FROM orders
         |ORDER BY k""".stripMargin,
+    "q_lateral_topn" ->
+      """SELECT n_name, t.s_name, t.s_acctbal
+        |FROM nation, LATERAL (
+        |  SELECT s_name, s_acctbal FROM supplier
+        |  WHERE s_nationkey = n_nationkey
+        |  ORDER BY s_acctbal DESC, s_name ASC LIMIT 2) t
+        |ORDER BY n_name, s_acctbal DESC, s_name""".stripMargin,
     "q_setops_all" ->
       """WITH e AS (
         |  SELECT user_id, event_type, day(CAST(ts AS TIMESTAMP)) AS dom FROM events
