@@ -158,7 +158,24 @@ object EventTime {
       .orderBy("user_id", "sess_start")
   }
 
+  /** Hopping (sliding) event-time window: 1-hour windows every 15 minutes,
+    * so each event contributes to exactly 4 overlapping windows — the
+    * smoothing aggregation dashboards run. Spark expands each row to its
+    * windows and partial-aggregates before the shuffle (the shuffle
+    * carries per-(window, type) partials, ~4× tumbling, never 4× rows).
+    * Windows are epoch-aligned on the slide grid, matching DuckDB's
+    * `time_bucket` in the oracle. */
+  def hoppingWindow(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        round(graft.util.Det.dsum(col("value")), 4).as("sum_value"))
+      .select(fmtTs(col("window.start")).as("win_start"), col("event_type"),
+        col("cnt"), col("sum_value"))
+      .orderBy("win_start", "event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hopping_window"     -> (hoppingWindow _),
     "q_sessionize_state"   -> (sessionizeState _),
     "q_recursive_cte"      -> (recursiveCalendar _),
     "q_join_interval_time" -> (joinIntervalTime _),
@@ -169,6 +186,22 @@ object EventTime {
   )
 
   val oracle: Map[String, String] = Map(
+    // size/slide = 4, so every event is in exactly the 4 windows whose
+    // starts are its 15-min bucket minus 0..3 slides — no filter needed
+    "q_hopping_window" ->
+      """WITH e AS (
+        |  SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events
+        |), x AS (
+        |  SELECT time_bucket(INTERVAL 15 MINUTE, ts) - k * INTERVAL 15 MINUTE AS win_start,
+        |         event_type, value
+        |  FROM e, unnest([0, 1, 2, 3]) AS t(k)
+        |)
+        |SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
+        |       count(*) AS cnt,
+        |       round(CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE), 4) AS sum_value
+        |FROM x
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
     "q_sessionize_state" ->
       """WITH e AS (
         |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
