@@ -174,7 +174,41 @@ object EventTime {
         col("cnt"), col("sum_value"))
       .orderBy("win_start", "event_type")
 
+  /** Cohort retention: users grouped by first-activity day, counted on
+    * each later day they return — the (cohort, offset) retention matrix
+    * (day grain: the fixture's whole event stream spans one month). Two
+    * partial-aggregated shuffles (first-day per user, then matrix cells);
+    * day arithmetic stays in integer epoch-day space so offsets are exact
+    * in both engines. */
+  def cohortRetention(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("dd"))
+    val firstD = ev.groupBy("user_id").agg(min(col("dd")).as("cohort_day"))
+    val active = ev.distinct()
+    active.join(firstD, "user_id")
+      .groupBy(col("cohort_day"), (col("dd") - col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  /** Cumulative distinct users by first-seen hour: each user counts once;
+    * the running sum turns hourly first-appearances into the
+    * cumulative-audience curve. The expensive distinct collapses to a
+    * per-user aggregate; only the tiny per-hour series rides the final
+    * single-partition window. */
+  def cumulativeUsers(s: SparkSession, d: String): DataFrame = {
+    val firstHour = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(min(fmtTs(date_trunc("hour", col("ts")))).as("hour"))
+    val w = Window.orderBy("hour").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    firstHour.groupBy("hour").agg(count(lit(1)).as("n_new_users"))
+      .withColumn("cum_users", sum(col("n_new_users")).over(w))
+      .orderBy("hour")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cohort_retention"   -> (cohortRetention _),
+    "q_cumulative_users"   -> (cumulativeUsers _),
     "q_hopping_window"     -> (hoppingWindow _),
     "q_sessionize_state"   -> (sessionizeState _),
     "q_recursive_cte"      -> (recursiveCalendar _),
@@ -186,6 +220,31 @@ object EventTime {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_cohort_retention" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS dd
+        |  FROM events
+        |), f AS (
+        |  SELECT user_id, min(dd) AS cohort_day FROM e GROUP BY user_id
+        |), a AS (
+        |  SELECT DISTINCT user_id, dd FROM e
+        |)
+        |SELECT cohort_day, dd - cohort_day AS day_offset,
+        |       count(DISTINCT user_id) AS n_users
+        |FROM a JOIN f USING (user_id)
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+    "q_cumulative_users" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |         min(strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S')) AS hour
+        |  FROM events GROUP BY user_id
+        |)
+        |SELECT hour, count(*) AS n_new_users,
+        |       CAST(sum(count(*)) OVER (
+        |         ORDER BY hour ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+        |FROM f GROUP BY hour
+        |ORDER BY hour""".stripMargin,
     // size/slide = 4, so every event is in exactly the 4 windows whose
     // starts are its 15-min bucket minus 0..3 slides — no filter needed
     "q_hopping_window" ->
