@@ -96,6 +96,52 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Production LSH parameters for [[dedupMinhashWide]]: b=16 bands of r=4
+    * rows = 64 permutations. The S-curve threshold is (1/b)^(1/r) ≈ 0.5
+    * 3-shingle Jaccard — pairs above ~0.8 are caught with probability
+    * 1-(1-0.8⁴)¹⁶ ≈ 0.9998, pairs below ~0.2 with ≤ 2.5%.
+    * [[DedupRecallSpec]] measures recall/false-flag rate against exact
+    * shingle-Jaccard ground truth on the planted near-duplicates. */
+  private[ops] val WideR = 4
+  private[ops] val WideB = 16
+
+  /** Doc→band-bucket incidence at configurable (r, b): r·b permutations,
+    * permutation p = 8-hex-char slice p%4 of md5(shingle || "#" || p/4)
+    * (each digest yields four independent 32-bit minhash functions —
+    * string-min over a hex slice == numeric minhash). Scale shape is the
+    * narrow one: the only wide thing on the shuffle is the 64-slot
+    * signature row, one per doc per map partition (map-side combined), and
+    * candidates meet strictly through band-bucket equi-joins. */
+  private[ops] def bandBucketsParam(s: SparkSession, d: String, r: Int, b: Int): DataFrame = {
+    val nPerms = r * b
+    val nDigests = (nPerms + 3) / 4
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(shingles3(words(col("text")), col("text"))).as("shingle"))
+    val withDigests = sh.select(
+      col("doc_id") +: (0 until nDigests).map(i => minhash(col("shingle"), i).as(s"h$i")): _*)
+    val mins = (0 until nPerms).map(p =>
+      min(minhashSlice(col(s"h${p / 4}"), p % 4)).as(s"mh$p"))
+    val sig = withDigests.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    val bands = (0 until b).map { j =>
+      concat(lit(s"$j|") +: (0 until r).map(i => col(s"mh${j * r + i}")): _*)
+    }
+    sig.select(col("doc_id"), explode(array(bands: _*)).as("bkey"))
+  }
+
+  /** MinHash+LSH dedup at production parameters (64 permutations, r=4,
+    * b=16) — the wide-signature variant of [[dedupMinhash]]. Same keeper
+    * semantics: a doc is flagged when any of its 16 band buckets contains a
+    * lower doc_id. */
+  def dedupMinhashWide(s: SparkSession, d: String): DataFrame = {
+    val wb = Window.partitionBy("bkey")
+    bandBucketsParam(s, d, WideR, WideB)
+      .withColumn("bmin", min("doc_id").over(wb))
+      .groupBy("doc_id").agg(min("bmin").as("keeper"))
+      .withColumn("is_dup", (col("keeper") < col("doc_id")).cast("int"))
+      .orderBy("doc_id")
+  }
+
   private val SimBits = 16
 
   /** SimHash: one md5 per word; each of the first 16 hex digits contributes
@@ -211,6 +257,7 @@ object Dedup {
     "q_dedup_survivor" -> (dedupSurvivor _),
     "q_dedup_fuzzy"    -> (dedupFuzzy _),
     "q_dedup_minhash"  -> (dedupMinhash _),
+    "q_dedup_minhash_wide" -> (dedupMinhashWide _),
     "q_dedup_clusters" -> (dedupClusters _),
     "q_dedup_simhash"  -> (dedupSimhash _),
     "q_ngram_jaccard"  -> (ngramJaccard _),
@@ -224,6 +271,33 @@ object Dedup {
        | ELSE [text] END""".stripMargin
   private val BigramsSql =
     s"list_distinct(list_transform(range(1, len($WordsSql)), i -> $WordsSql[i] || ' ' || $WordsSql[i+1]))"
+
+  /** The wide-minhash oracle is generated from the same (r, b) constants as
+    * the Spark plan — 64 min-slice aggregates and 16 band concatenations. */
+  private def wideMinhashOracle: String = {
+    val nPerms = WideR * WideB
+    val mins = (0 until nPerms).map { p =>
+      s"min(substring(md5(shingle || '#${p / 4}'), ${1 + 8 * (p % 4)}, 8)) AS mh$p"
+    }.mkString(",\n         ")
+    val bands = (0 until WideB).map { j =>
+      s"'$j|'||" + (0 until WideR).map(i => s"mh${j * WideR + i}").mkString("||")
+    }.mkString(",\n            ")
+    s"""WITH sh AS (
+       |  SELECT doc_id, unnest($ShinglesSql) AS shingle FROM documents
+       |), sig AS (
+       |  SELECT doc_id,
+       |         $mins
+       |  FROM sh GROUP BY doc_id
+       |), b AS (
+       |  SELECT doc_id, unnest([$bands]) AS bkey FROM sig
+       |), k AS (
+       |  SELECT bkey, min(doc_id) AS bmin FROM b GROUP BY bkey
+       |)
+       |SELECT doc_id, keeper, CAST(keeper < doc_id AS INTEGER) AS is_dup
+       |FROM (SELECT b.doc_id, min(k.bmin) AS keeper
+       |      FROM b JOIN k USING (bkey) GROUP BY b.doc_id) t
+       |ORDER BY doc_id""".stripMargin
+  }
 
   private val simhashSums = (1 to SimBits)
     .map(i => s"sum(CASE WHEN substring(h, $i, 1) >= '8' THEN 1 ELSE -1 END) AS s$i")
@@ -281,6 +355,7 @@ object Dedup {
          |FROM (SELECT b.doc_id, min(k.bmin) AS keeper
          |      FROM b JOIN k USING (bkey) GROUP BY b.doc_id) t
          |ORDER BY doc_id""".stripMargin,
+    "q_dedup_minhash_wide" -> wideMinhashOracle,
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE sh AS (
          |  SELECT doc_id, unnest($ShinglesSql) AS shingle FROM documents

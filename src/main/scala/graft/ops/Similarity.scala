@@ -78,6 +78,79 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
+  private val RpBits = 8
+  private val RpDim = 64
+
+  /** Seeded random hyperplanes for [[annLshRp]]: RpBits planes of RpDim
+    * small-integer coordinates. Integer entries are exact in both float and
+    * double, so each projection term is an exact IEEE product in BOTH
+    * engines and the only cross-engine freedom is summation rounding —
+    * removed by the 4-dp round before the sign is taken (the same recipe
+    * every cosine query uses). Generated once from a fixed seed; the DuckDB
+    * oracle states the identical literal matrix. */
+  private[graft] val rpPlanes: Array[Array[Int]] = {
+    val rng = new scala.util.Random(2026)
+    Array.fill(RpBits)(Array.fill(RpDim)(rng.nextInt(9) - 4))
+  }
+
+  private def rpProj(v: Column, i: Int): Column =
+    round(dot(v, array(rpPlanes(i).map(x => lit(x.toFloat)): _*)), 4)
+
+  /** `bucket` with the bit at 1-based `pos` flipped. */
+  private def flipAt(bucket: Column, pos: Column): Column =
+    concat(bucket.substr(lit(1), pos - 1),
+      when(bucket.substr(pos, lit(1)) === "1", lit("0")).otherwise(lit("1")),
+      bucket.substr(pos + 1, lit(RpBits) - pos))
+
+  /** Adds to a (…, v, …) frame: `bucket` (the RpBits sign-bit string of the
+    * hyperplane projections) and `flip_wi` (the bucket with the
+    * weakest-margin bit — the projection of smallest |value| — flipped:
+    * the single most likely neighboring bucket, i.e. classic multi-probe
+    * with probe budget 2). */
+  private[graft] def rpFeatures(df: DataFrame): DataFrame = {
+    val keep = df.columns.map(col)
+    val withP = df.select(keep ++ (0 until RpBits).map(i => rpProj(col("v"), i).as(s"p$i")): _*)
+    val bucket = concat((0 until RpBits).map(i =>
+      when(col(s"p$i") >= 0, lit("1")).otherwise(lit("0"))): _*)
+    val absArr = array((0 until RpBits).map(i => abs(col(s"p$i"))): _*)
+    withP
+      .withColumn("bucket", bucket)
+      .withColumn("wi", array_position(absArr, array_min(absArr)).cast("int"))
+      .withColumn("flip_wi", flipAt(col("bucket"), col("wi")))
+      .drop("wi")
+      .drop((0 until RpBits).map(i => s"p$i"): _*)
+  }
+
+  /** All probe buckets within Hamming distance 1 (bucket + every
+    * single-bit flip) — the wider probe set the recall harness uses. */
+  private[graft] def rpProbesRadius1(bucket: Column): Column =
+    array(bucket +: (1 to RpBits).map(i => flipAt(bucket, lit(i))): _*)
+
+  /** Random-hyperplane multi-probe LSH ANN (VERDICT round-2 item 2): the
+    * corpus is bucketed by the sign pattern of 8 seeded hyperplane
+    * projections (unbiased under rotation, unlike the axis-aligned
+    * [[annLsh]] which keys on correlated raw coordinates); each query
+    * probes its own bucket plus its weakest-margin flip. At 100 TB the
+    * corpus shuffles once on the bucket key and each query meets only its
+    * 2 probed buckets — candidate volume is probes/2^bits of the corpus,
+    * tunable entirely by (bits, probes). [[RpLshRecallSpec]] measures
+    * recall against brute-force ground truth. */
+  def annLshRp(s: SparkSession, d: String): DataFrame = {
+    val base = once(rpFeatures(
+      Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
+        .withColumn("norm", sqrt(dot(col("v"), col("v"))))))
+    val q = base.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qn"),
+        explode(array(col("bucket"), col("flip_wi"))).as("qb"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
+    base.join(broadcast(q), col("bucket") === col("qb") && col("vec_id") =!= col("qid"))
+      .withColumn("cos", round(dot(col("v"), col("qv")) / (col("norm") * col("qn")), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("rn"), col("vec_id"), col("cos"))
+      .orderBy("qid", "rn")
+  }
+
   /** Embedding near-dup: same-label pairs inside a sliding id-window whose
     * cosine exceeds 0.3 (the fixture corpus has no planted vector dups —
     * max pairwise cosine ≈ 0.51 — so the threshold is calibrated to flag
@@ -165,6 +238,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cosine_topk"   -> (cosineTopk _),
+    "q_ann_lsh_rp"    -> (annLshRp _),
     "q_embed_quantize" -> (embedQuantize _),
     "q_ann_lsh"       -> (annLsh _),
     "q_ann_ivf"       -> (annIvf _),
@@ -180,7 +254,49 @@ object Similarity {
     .map(i => s"(CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END)")
     .mkString(" || ")
 
+  /** RP-LSH oracle, generated from the same seeded plane matrix as the
+    * Spark plan (integer literals are exact in both engines). */
+  private def rpOracle: String = {
+    val planes = rpPlanes.zipWithIndex.map { case (p, i) =>
+      s"round(list_dot_product(v, CAST(${p.mkString("[", ", ", "]")} AS DOUBLE[])), 4) AS p$i"
+    }.mkString(",\n         ")
+    val bucketSql = (0 until RpBits).map(i => s"(CASE WHEN p$i >= 0 THEN '1' ELSE '0' END)").mkString(" || ")
+    val absList = (0 until RpBits).map(i => s"abs(p$i)").mkString("[", ", ", "]")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS norm
+       |  FROM embeddings
+       |), p AS (
+       |  SELECT vec_id, v, norm,
+       |         $planes
+       |  FROM e
+       |), b AS (
+       |  SELECT vec_id, v, norm, $bucketSql AS bucket,
+       |         list_position($absList, list_aggregate($absList, 'min')) AS wi
+       |  FROM p
+       |), pb AS (
+       |  SELECT vec_id, v, norm, bucket,
+       |         substring(bucket, 1, wi - 1)
+       |           || (CASE WHEN substring(bucket, wi, 1) = '1' THEN '0' ELSE '1' END)
+       |           || substring(bucket, wi + 1, $RpBits - wi) AS probe
+       |  FROM b
+       |), q AS (
+       |  SELECT vec_id AS qid, v AS qv, norm AS qn, unnest([bucket, probe]) AS qb
+       |  FROM pb WHERE vec_id % 50 = 0
+       |), sc AS (
+       |  SELECT qid, vec_id, round(list_dot_product(v, qv) / (norm * qn), 4) AS cos
+       |  FROM pb JOIN q ON bucket = qb AND vec_id <> qid
+       |), r AS (
+       |  SELECT qid, vec_id, cos,
+       |         CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rn
+       |  FROM sc
+       |)
+       |SELECT qid, rn, vec_id, cos FROM r WHERE rn <= 5
+       |ORDER BY qid, rn""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_ann_lsh_rp" -> rpOracle,
     "q_embed_quantize" ->
       """WITH ex AS (
         |  SELECT vec_id, CAST(x AS DOUBLE) AS x

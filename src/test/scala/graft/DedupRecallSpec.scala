@@ -1,0 +1,71 @@
+package graft
+
+import graft.functions.TextFeatures._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Recall/precision harness for the production-parameter MinHash dedup
+  * (r=4, b=16, 64 permutations) against exact 3-shingle-Jaccard ground
+  * truth on the fixture's planted near-duplicates (VERDICT round-2 item 1).
+  *
+  * The S-curve at (r=4, b=16) has its 50% point at (1/16)^(1/4) ≈ 0.5
+  * Jaccard: pairs at ≥ 0.8 collide in some band with p ≈ 0.9998, pairs at
+  * ≤ 0.2 with p ≤ 2.5% — so the assertions below (≥95% recall of ≥0.8
+  * pairs, ≤5% false-flag rate among docs whose best match is < 0.2) hold
+  * with wide margin in expectation and are stable across md5's fixed hash
+  * values (everything here is deterministic — no RNG at run time).
+  */
+class DedupRecallSpec extends AnyFunSuite {
+  private val spark = TestSpark.session
+  private val sf01 = "/root/testdata/sf0.01"
+
+  test("minhash-wide recall >= 95% on >=0.8-Jaccard planted dups, false-flag <= 5% below 0.2") {
+    // exact ground truth: distinct-3-shingle Jaccard for every pair that
+    // shares at least one shingle (pairs sharing none have Jaccard 0)
+    val sh = Tables.documents(spark, sf01)
+      .select(col("doc_id"),
+        explode(array_distinct(shingles3(words(col("text")), col("text")))).as("s"))
+      .localCheckpoint(true)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.select(col("doc_id").as("d1"), col("s"))
+      .join(sh.select(col("doc_id").as("d2"), col("s")), "s")
+      .filter(col("d1") < col("d2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("i"))
+    // per doc: the best Jaccard against any LOWER doc_id (the keeper side)
+    val bestLower = inter
+      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+      .withColumn("j", col("i") / (col("n1") + col("n2") - col("i")))
+      .groupBy("d2").agg(max("j").as("mj"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    val allDocs = Tables.documents(spark, sf01)
+      .select("doc_id").collect().map(_.getLong(0))
+    val flagged = ops.Dedup.dedupMinhashWide(spark, sf01)
+      .filter(col("is_dup") === 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    val trueDups = allDocs.filter(d => bestLower.getOrElse(d, 0.0) >= 0.8)
+    val clean = allDocs.filter(d => bestLower.getOrElse(d, 0.0) < 0.2)
+    assert(trueDups.nonEmpty, "fixture should contain planted >=0.8-Jaccard near-dups")
+    val recall = trueDups.count(flagged) .toDouble / trueDups.length
+    val falseFlag = clean.count(flagged).toDouble / clean.length
+    info(f"planted(>=0.8)=${trueDups.length} recall=$recall%.3f  clean(<0.2)=${clean.length} falseFlag=$falseFlag%.4f")
+    assert(recall >= 0.95, s"recall $recall < 0.95")
+    assert(falseFlag <= 0.05, s"false-flag rate $falseFlag > 0.05")
+  }
+
+  test("minhash-wide flags a superset of exact-duplicate docs") {
+    // identical texts have Jaccard 1 and must always share every band
+    val exactDups = ops.Dedup.dedupExact(spark, TestSpark.Sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val all = Tables.documents(spark, TestSpark.Sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val droppedByExact = all -- exactDups // docs removed as exact dups
+    val flagged = ops.Dedup.dedupMinhashWide(spark, TestSpark.Sf)
+      .filter(col("is_dup") === 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(droppedByExact.subsetOf(flagged),
+      s"exact dups not flagged: ${(droppedByExact -- flagged).take(5)}")
+  }
+}
