@@ -1,5 +1,23 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.util.Locale
+
+/** Driver-run benchmark: times every SparkEntry query at
+  * `SPARK_GRAFT_SF_DIR`, prints machine-readable JSON.
+  *
+  * Output contract (VERDICT round-3 item 3 — the driver's output tail is
+  * size-bounded and truncates from the FRONT, which dropped ~40 of 123
+  * per-query times in round 3):
+  *  - stdout line 1: the full per-query map (may be long);
+  *  - stdout line 2 (LAST, guaranteed short): a summary with total, query
+  *    count, error count, and the 5 slowest queries — whatever tail window
+  *    the driver keeps, the final line always fits and always parses;
+  *  - `BENCH_FULL.json` (or `$SPARK_GRAFT_BENCH_OUT`): full-precision
+  *    per-query timings plus per-query error messages.
+  *
+  * Query failures are recorded per-name and counted in both stdout lines —
+  * never silently folded into a sentinel timing.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -30,22 +48,46 @@ object Bench {
     } catch { case _: Throwable => }
     // dev-only subset filter (comma-separated names); driver leaves it unset
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.contains(n)) }
-      .map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
-    // 3-decimal rounding keeps the whole JSON line well under the driver's
-    // captured-output tail (a full-precision line with ~100 queries overflowed
-    // it in round 1 and the driver recorded parsed:null)
+    val results: Seq[(String, Double, Option[String])] =
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (n, _) => only.forall(_.contains(n)) }
+        .map { case (name, fn) =>
+          val t0 = System.nanoTime()
+          val err = try { fn(spark, sfDir).count(); None }
+            catch { case e: Throwable =>
+              Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(160)}")
+            }
+          (name, (System.nanoTime() - t0) / 1e9, err)
+        }
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
-    def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + r3(v) }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def r3(v: Double): String = "%.3f".formatLocal(Locale.ROOT, v)
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      } + "\""
+    val total = results.map(_._2).sum
+    val errors = results.collect { case (n, _, Some(e)) => n -> e }
+    errors.foreach { case (n, e) => System.err.println(s"[bench] FAILED $n: $e") }
+    val fullQs = results.map { case (k, v, _) => s"\"$k\":${r3(v)}" }.mkString("{", ",", "}")
+    val top5 = results.sortBy(-_._2).take(5)
+      .map { case (k, v, _) => s"\"$k\":${r3(v)}" }.mkString("{", ",", "}")
+    // full-precision timings + error messages → file (judge-readable even
+    // when the driver's tail window drops stdout line 1)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    val fileJson = new StringBuilder()
+      .append(s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":${jstr(sfDir)},""")
+      .append(s""""n_queries":${results.size},"n_errors":${errors.size},""")
+      .append(s""""queries":$fullQs,""")
+      .append("\"errors\":")
+      .append(errors.map { case (n, e) => s"${jstr(n)}:${jstr(e)}" }.mkString("{", ",", "}"))
+      .append("}")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      fileJson.toString.getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] could not write $outPath: $e") }
+    // line 1: full map (historical shape); line 2 LAST: short, truncation-safe
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$fullQs,"sf":${jstr(sfDir)},"n_errors":${errors.size}}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$top5,"sf":${jstr(sfDir)},"n_queries":${results.size},"n_errors":${errors.size},"full":${jstr(outPath)}}""")
     spark.stop()
   }
 }

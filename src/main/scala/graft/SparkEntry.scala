@@ -28,6 +28,7 @@ object SparkEntry {
       (ops.Multimodal.queries, ops.Multimodal.oracle),
       (ops.Structured.queries, ops.Structured.oracle),
       (ops.Statistics.queries, ops.Statistics.oracle),
+      (ops.Sketches.queries, ops.Sketches.oracle),
       (ops.Maintenance.queries, ops.Maintenance.oracle),
       (ops.ScaleOps.queries, ops.ScaleOps.oracle),
       (ops.TrainingPrep.queries, ops.TrainingPrep.oracle),

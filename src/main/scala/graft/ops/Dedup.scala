@@ -105,26 +105,46 @@ object Dedup {
   private[ops] val WideR = 4
   private[ops] val WideB = 16
 
-  /** Doc→band-bucket incidence at configurable (r, b): r·b permutations,
-    * permutation p = 8-hex-char slice p%4 of md5(shingle || "#" || p/4)
-    * (each digest yields four independent 32-bit minhash functions —
-    * string-min over a hex slice == numeric minhash). Scale shape is the
-    * narrow one: the only wide thing on the shuffle is the 64-slot
-    * signature row, one per doc per map partition (map-side combined), and
-    * candidates meet strictly through band-bucket equi-joins. */
+  /** The single-hash affine permutation family for wide MinHash: one
+    * md5 per shingle, truncated to its first 8 hex chars (a 32-bit
+    * integer h), then permutation p is the affine transform
+    * `(A(p)·h + B(p)) mod MinhashPrime` — 64 integer ops instead of 16
+    * digests per shingle, the cost term that dominates MinHash dedup at
+    * 100 TB. MinhashPrime = 2⁶¹−1 (Mersenne); A(p) < 2³⁰ keeps
+    * A·h < 2⁶² so the arithmetic is exact signed-64-bit in both Spark
+    * and the DuckDB oracle (which errors on BIGINT overflow — staying
+    * under 2⁶³ is load-bearing, not just tidy). The A/B constants come
+    * from a fixed SplitMix64 mix of the permutation index, inlined as
+    * literals into the Spark plan and the generated oracle SQL alike. */
+  private[ops] val MinhashPrime = 2305843009213693951L // 2^61 - 1
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+  private[ops] def affineA(p: Int): Long = ((mix64(2L * p) & Long.MaxValue) % ((1L << 30) - 1)) + 1
+  private[ops] def affineB(p: Int): Long = (mix64(2L * p + 1) & Long.MaxValue) % MinhashPrime
+
+  /** Doc→band-bucket incidence at configurable (r, b): r·b permutations
+    * derived from ONE md5 per shingle via the affine family above. Scale
+    * shape is the narrow one: the only wide thing on the shuffle is the
+    * r·b-slot signature row, one per doc per map partition (map-side
+    * combined), and candidates meet strictly through band-bucket
+    * equi-joins. Band keys are "|"-separated so variable-width integer
+    * minhashes can never alias across slot boundaries. */
   private[ops] def bandBucketsParam(s: SparkSession, d: String, r: Int, b: Int): DataFrame = {
     val nPerms = r * b
-    val nDigests = (nPerms + 3) / 4
     val sh = Tables.documents(s, d)
       .select(col("doc_id"),
         explode(shingles3(words(col("text")), col("text"))).as("shingle"))
-    val withDigests = sh.select(
-      col("doc_id") +: (0 until nDigests).map(i => minhash(col("shingle"), i).as(s"h$i")): _*)
+    val h = conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast("long")
+    val withH = sh.select(col("doc_id"), h.as("h"))
     val mins = (0 until nPerms).map(p =>
-      min(minhashSlice(col(s"h${p / 4}"), p % 4)).as(s"mh$p"))
-    val sig = withDigests.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      min((col("h") * affineA(p) + affineB(p)) % MinhashPrime).as(s"mh$p"))
+    val sig = withH.groupBy("doc_id").agg(mins.head, mins.tail: _*)
     val bands = (0 until b).map { j =>
-      concat(lit(s"$j|") +: (0 until r).map(i => col(s"mh${j * r + i}")): _*)
+      concat_ws("|", lit(s"$j") +: (0 until r).map(i => col(s"mh${j * r + i}")): _*)
     }
     sig.select(col("doc_id"), explode(array(bands: _*)).as("bkey"))
   }
@@ -272,22 +292,27 @@ object Dedup {
   private val BigramsSql =
     s"list_distinct(list_transform(range(1, len($WordsSql)), i -> $WordsSql[i] || ' ' || $WordsSql[i+1]))"
 
-  /** The wide-minhash oracle is generated from the same (r, b) constants as
-    * the Spark plan — 64 min-slice aggregates and 16 band concatenations. */
+  /** The wide-minhash oracle is generated from the same (r, b) constants
+    * and the same affine A/B literals as the Spark plan — one hex→BIGINT
+    * hash per shingle, 64 affine-min aggregates, 16 band concatenations.
+    * DuckDB does the identical exact signed-64-bit integer arithmetic. */
   private def wideMinhashOracle: String = {
     val nPerms = WideR * WideB
     val mins = (0 until nPerms).map { p =>
-      s"min(substring(md5(shingle || '#${p / 4}'), ${1 + 8 * (p % 4)}, 8)) AS mh$p"
+      s"min((h * ${affineA(p)} + ${affineB(p)}) % $MinhashPrime) AS mh$p"
     }.mkString(",\n         ")
     val bands = (0 until WideB).map { j =>
-      s"'$j|'||" + (0 until WideR).map(i => s"mh${j * WideR + i}").mkString("||")
+      s"concat_ws('|', '$j', " +
+        (0 until WideR).map(i => s"mh${j * WideR + i}").mkString(", ") + ")"
     }.mkString(",\n            ")
     s"""WITH sh AS (
        |  SELECT doc_id, unnest($ShinglesSql) AS shingle FROM documents
+       |), hv AS (
+       |  SELECT doc_id, CAST('0x' || substring(md5(shingle), 1, 8) AS BIGINT) AS h FROM sh
        |), sig AS (
        |  SELECT doc_id,
        |         $mins
-       |  FROM sh GROUP BY doc_id
+       |  FROM hv GROUP BY doc_id
        |), b AS (
        |  SELECT doc_id, unnest([$bands]) AS bkey FROM sig
        |), k AS (
