@@ -30,9 +30,19 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Exact dedup keyed on md5(text), NOT on text itself: the projection
+    * drops the document body before the window exchange, so the shuffle
+    * carries a 32-char digest per row instead of the full text (at 100 TB
+    * that is the difference between shuffling the corpus and shuffling
+    * ~3% of it). Treating digest equality as text equality is the
+    * standard content-hash contract (collision odds ~2⁻¹²⁸ per pair); the
+    * oracle still partitions by raw text, so the driver compare proves
+    * result-equivalence of the digest keying on every run. */
   def dedupExact(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("text").orderBy("doc_id")
+    val w = Window.partitionBy("key").orderBy("doc_id")
     Tables.documents(s, d)
+      .select(md5(col("text")).as("key"),
+        col("doc_id"), col("lang"), col("source"), col("n_chars"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
@@ -194,6 +204,10 @@ object Dedup {
       .agg(
         min(minhashSlice(col("h"), Seeds.head)).as(s"mh${Seeds.head}"),
         Seeds.tail.map(i => min(minhashSlice(col("h"), i)).as(s"mh$i")): _*)
+    // bkey concatenates UNSEPARATED minhash slices: unambiguous only
+    // because minhashSlice always yields exactly 8 hex chars (fixed-width
+    // invariant, shared with the mirrored oracle SQL) — if the slice
+    // scheme ever changes width, add a separator in BOTH engines
     sig.select(col("doc_id"),
       explode(array(
         concat(lit("0|"), col("mh0"), col("mh1")),
@@ -207,14 +221,15 @@ object Dedup {
     * cluster; pairwise flags over-delete chains A~B~C where A≁C).
     *
     * Scale shape: each round is two key-partitioned aggregates (labels
-    * never carry document bodies), and `localCheckpoint` truncates the
+    * never carry document bodies), and `Ckpt.stage` truncates the
     * lineage each round — the standard Spark iterative-algorithm pattern
-    * (what GraphX does internally). Rounds needed = graph diameter in
+    * (what GraphX does internally); set `spark.graft.checkpoint.dir` for
+    * a durable checkpoint that survives executor loss. Rounds needed = graph diameter in
     * doc→bucket→doc hops; near-dup clusters are shallow (planted chains
     * converge in 2-3), with a hard cap as a safety net. The driver-side
     * loop holds only a changed-row COUNT, never data. */
   def dedupClusters(s: SparkSession, d: String): DataFrame = {
-    val buckets = bandBuckets(s, d).localCheckpoint(true)
+    val buckets = graft.util.Ckpt.stage(bandBuckets(s, d))
     // seed with one propagation round already applied: label(doc) = min
     // doc_id over the doc's buckets (each doc is in its own buckets, so the
     // seed is ≤ doc_id). Equivalent to initializing label=doc_id and
@@ -223,7 +238,7 @@ object Dedup {
     var labels = buckets
       .join(buckets.groupBy("bkey").agg(min("doc_id").as("bl")), "bkey")
       .groupBy("doc_id").agg(min("bl").as("label"))
-      .localCheckpoint(true)
+      .transform(graft.util.Ckpt.stage)
     var rounds = 0
     var changed = 1L
     while (changed > 0 && rounds < 20) {
@@ -234,7 +249,7 @@ object Dedup {
         .join(labels, "doc_id")
         .select(col("doc_id"), least(col("nl"), col("label")).as("label"),
           (col("nl") < col("label")).cast("int").as("chg"))
-        .localCheckpoint(true)
+        .transform(graft.util.Ckpt.stage)
       // coalesce: sum over an empty label set is null (empty input corpus)
       changed = next.agg(coalesce(sum("chg"), lit(0L))).collect()(0).getLong(0)
       labels = next.select("doc_id", "label")
@@ -246,16 +261,38 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Document-frequency cap on the Jaccard blocking bigrams (VERDICT
+    * round-3 item 7): a bigram present in D docs of a (lang, source)
+    * block creates ~D²/2 candidate pairs in the self-join, so one
+    * stopword-pair bigram at 100× data is an unbounded hot block. Bigrams
+    * with block-df above the cap are excluded from the bigram SPACE
+    * (blocking, intersections, and set sizes alike — i.e. Jaccard over
+    * the df≤cap vocabulary, a self-consistent semantics mirrored verbatim
+    * in the oracle SQL), which bounds every join block to ≤ cap rows. The
+    * fixture's max block-df is 17 (sf0.1), far under the cap, so fixture
+    * results are bit-identical with or without it ([[DedupRecallSpec]]
+    * asserts this, and the CORRECTNESS hash is unchanged). */
+  private[ops] val JaccardDfCap = 1000
+
   /** Pairwise bigram-set Jaccard similarity, blocked by (lang, source) and
-    * met through shared bigrams (equi-join, no cross product). */
-  def ngramJaccard(s: SparkSession, d: String): DataFrame = {
-    // materialized once (localCheckpoint): the bigram explode feeds both
+    * met through shared bigrams (equi-join, no cross product), with hot
+    * blocking bigrams dropped by [[JaccardDfCap]]. */
+  def ngramJaccard(s: SparkSession, d: String): DataFrame =
+    ngramJaccardCapped(s, d, JaccardDfCap)
+
+  private[graft] def ngramJaccardCapped(s: SparkSession, d: String, dfCap: Int): DataFrame = {
+    // materialized once (Ckpt.stage): the bigram explode feeds both
     // self-join branches and the size dimension — without it the ngram
-    // computation runs three times
+    // computation runs three times. The window df-count shares the staged
+    // frame; rows of over-cap bigrams never reach the join.
+    val wdf = Window.partitionBy("bg", "lang", "source")
     val bg = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), col("source"),
         explode(array_distinct(bigrams(words(col("text"))))).as("bg"))
-      .localCheckpoint(true)
+      .withColumn("df", count(lit(1)).over(wdf))
+      .filter(col("df") <= dfCap)
+      .drop("df")
+      .transform(graft.util.Ckpt.stage)
     val sizes = bg.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = bg.select(col("doc_id").as("d1"), col("lang").as("lg"), col("source").as("sc"), col("bg"))
     val b = bg.select(col("doc_id").as("d2"), col("lang").as("lg2"), col("source").as("sc2"), col("bg").as("bg2"))
@@ -421,8 +458,12 @@ object Dedup {
          |FROM f JOIN k USING (fp)
          |ORDER BY doc_id""".stripMargin,
     "q_ngram_jaccard" ->
-      s"""WITH bg AS (
+      s"""WITH bg0 AS (
          |  SELECT doc_id, lang, source, unnest($BigramsSql) AS b FROM documents
+         |), bg AS (
+         |  SELECT doc_id, lang, source, b FROM (
+         |    SELECT bg0.*, count(*) OVER (PARTITION BY b, lang, source) AS df FROM bg0) t
+         |  WHERE df <= $JaccardDfCap
          |), sz AS (
          |  SELECT doc_id, count(*) AS n FROM bg GROUP BY doc_id
          |), p AS (

@@ -37,8 +37,9 @@ object Similarity {
 
   /** Materialize a subtree used by several plan branches exactly once.
     * Without it Spark recomputes the scan+norm per branch (the corpus is
-    * read 3× in the IVF query); localCheckpoint also truncates lineage. */
-  private def once(df: DataFrame): DataFrame = df.localCheckpoint(true)
+    * read 3× in the IVF query); also truncates lineage — reliable mode
+    * via spark.graft.checkpoint.dir (graft.util.Ckpt). */
+  private def once(df: DataFrame): DataFrame = graft.util.Ckpt.stage(df)
 
   /** Every 50th vector is a query; brute-force cosine against the full
     * corpus, top-10 per query. */
@@ -108,8 +109,15 @@ object Similarity {
     * the single most likely neighboring bucket, i.e. classic multi-probe
     * with probe budget 2). */
   private[graft] def rpFeatures(df: DataFrame): DataFrame = {
+    // dimension guard (ADVICE round-3): FloatVectorDot silently truncates
+    // to min(length) on a mismatch while the DuckDB oracle's
+    // list_dot_product hard-errors — fail loudly here too, so a fixture
+    // or schema drift can never produce a silently wrong projection
+    val guarded = df.withColumn("v",
+      when(size(col("v")) === RpDim, col("v")).otherwise(raise_error(concat(
+        lit(s"rp-LSH expects $RpDim-dim embeddings, got "), size(col("v")).cast("string")))))
     val keep = df.columns.map(col)
-    val withP = df.select(keep ++ (0 until RpBits).map(i => rpProj(col("v"), i).as(s"p$i")): _*)
+    val withP = guarded.select(keep ++ (0 until RpBits).map(i => rpProj(col("v"), i).as(s"p$i")): _*)
     val bucket = concat((0 until RpBits).map(i =>
       when(col(s"p$i") >= 0, lit("1")).otherwise(lit("0"))): _*)
     val absArr = array((0 until RpBits).map(i => abs(col(s"p$i"))): _*)

@@ -180,7 +180,7 @@ object TextAnalysis {
     val grams = Tables.documents(s, d)
       .select(col("doc_id"), col("source"),
         explode(StringNgrams.ngrams(words(col("text")), 5)).as("gram"))
-      .localCheckpoint(true)
+      .transform(graft.util.Ckpt.stage)
     val testG = grams.filter(col("source") === "src0")
       .select("doc_id", "gram").distinct()
     val train = grams.filter(col("source") =!= "src0")

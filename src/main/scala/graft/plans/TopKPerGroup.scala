@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, MapType, StructType}
 
 /** Native top-k-per-group operator — the second full custom-operator stack
   * (builder prompt preference (c)), built because Spark has no bounded
@@ -25,11 +25,18 @@ import org.apache.spark.sql.types.IntegerType
   *
   * The shuffle therefore carries at most k rows per (group × map
   * partition) instead of the full table — at 100 TB with k=3 that is the
-  * difference between shuffling 100 TB and shuffling a few GB. State is
-  * O(groups-per-partition × k) rows, the same per-partition profile as
-  * partial hash aggregation (very high group cardinality would want the
-  * same spill path hash agg has; not needed at fixture scale and noted in
-  * SCALE.md).
+  * difference between shuffling 100 TB and shuffling a few GB.
+  *
+  * Memory guard (VERDICT round-3 item 4): the partial stage's heap map is
+  * capped at `spark.graft.topk.maxPartialGroups` distinct groups per
+  * partition (default 2¹⁸). Beyond the cap, rows of UNSEEN groups pass
+  * through unpruned — the partial prune is only a shuffle-volume
+  * optimization, so correctness is untouched (the final stage recomputes
+  * the exact top-k from whatever candidates arrive) and the degradation
+  * under pathological group cardinality is graceful: bounded memory,
+  * window-formulation shuffle volume for the overflow groups only. This
+  * mirrors what partial hash aggregation does when its map spills — emit
+  * partial state and let the reduce side finish.
   *
   * The caller's ordering must be total (tie-broken) for deterministic
   * output — the same contract as the window formulation and the oracle.
@@ -84,6 +91,40 @@ private[plans] object BoundedTopK {
     }
     out.iterator
   }
+
+  /** Partial-stage variant with a hard cap on tracked groups: rows whose
+    * group is not yet tracked once the cap is reached stream through
+    * UNPRUNED (correct — the final stage re-selects exactly), so partial
+    * state never exceeds maxGroups × k rows regardless of input group
+    * cardinality. Pass-through rows are emitted during the input scan
+    * (never buffered); heap contents follow once the input is exhausted
+    * (`++` evaluates its right side lazily). */
+  def partialBounded(iter: Iterator[InternalRow],
+                     groupProj: UnsafeProjection,
+                     ord: Ordering[InternalRow],
+                     k: Int, maxGroups: Int): Iterator[InternalRow] = {
+    val heaps = new java.util.HashMap[InternalRow, java.util.PriorityQueue[InternalRow]]()
+    val heapOrd = ord.reverse
+    val scan = iter.flatMap { row =>
+      val key = groupProj(row)
+      var heap = heaps.get(key)
+      if (heap == null && heaps.size() < maxGroups) {
+        heap = new java.util.PriorityQueue[InternalRow](math.min(k, 64) + 1, heapOrd)
+        heaps.put(key.copy(), heap)
+      }
+      if (heap == null) Iterator.single(row) // over cap: ship unpruned
+      else {
+        if (heap.size() < k) heap.add(row.copy())
+        else if (ord.lt(row, heap.peek())) { heap.poll(); heap.add(row.copy()) }
+        Iterator.empty
+      }
+    }
+    scan ++ {
+      val out = scala.collection.mutable.ArrayBuffer[InternalRow]()
+      heaps.forEach { (_, heap) => heap.forEach(out += _) }
+      out.iterator
+    }
+  }
 }
 
 /** Map-side bounded selection; no distribution requirement, output stays on
@@ -102,11 +143,14 @@ case class TopKPerGroupPartialExec(groupCols: Seq[Attribute], ordering: Seq[Sort
     val groups = groupCols
     val order = ordering
     val kk = k
+    val maxGroups = conf.getConfString("spark.graft.topk.maxPartialGroups",
+      TopKPerGroup.DefaultMaxPartialGroups.toString).toInt
+    require(maxGroups >= 1, s"spark.graft.topk.maxPartialGroups must be >= 1, got $maxGroups")
     val numOutputRows = longMetric("numOutputRows")
     child.execute().mapPartitions { iter =>
       val proj = UnsafeProjection.create(groups, childOutput)
       val ord = RowOrdering.create(order, childOutput)
-      BoundedTopK.perPartition(iter, proj, ord, kk).flatMap(_._2)
+      BoundedTopK.partialBounded(iter, proj, ord, kk, maxGroups)
         .map { r => numOutputRows += 1; r }
     }
   }
@@ -152,6 +196,18 @@ case class TopKPerGroupFinalExec(groupCols: Seq[Attribute], ordering: Seq[SortOr
 }
 
 object TopKPerGroup {
+  /** Partial-stage group cap default (2¹⁸ groups × k rows per partition);
+    * override with `spark.graft.topk.maxPartialGroups`. */
+  val DefaultMaxPartialGroups: Int = 1 << 18
+
+  private def containsFloat(dt: DataType): Boolean = dt match {
+    case FloatType | DoubleType => true
+    case s: StructType => s.fields.exists(f => containsFloat(f.dataType))
+    case a: ArrayType => containsFloat(a.elementType)
+    case m: MapType => containsFloat(m.keyType) || containsFloat(m.valueType)
+    case _ => false
+  }
+
   /** DataFrame API: the k best rows of each group under `orderKeys` —
     * (column, descending?) pairs forming a total order for determinism —
     * with a 1-based `rankName` column. Catalyst `SortOrder`s are built
@@ -167,9 +223,21 @@ object TopKPerGroup {
     val spark = df.sparkSession
     Bridge.ensureStrategy(spark, TopKPerGroupStrategy)
     val lp = df.queryExecution.analyzed
-    def attr(n: String): Attribute =
-      lp.output.find(_.name == n).getOrElse(
-        sys.error(s"column $n not found in ${lp.output.map(_.name).mkString(",")}"))
+    def attr(n: String): Attribute = lp.output.filter(_.name == n) match {
+      case Seq(a) => a
+      case Seq() => sys.error(s"column $n not found in ${lp.output.map(_.name).mkString(",")}")
+      case dup => sys.error(
+        s"column name $n is ambiguous (${dup.size} matches) — alias the inputs before topK")
+    }
+    groupCols.map(attr).foreach { a =>
+      // grouping happens on raw binary keys (UnsafeProjection), which does
+      // NOT normalize -0.0/0.0 or NaN bit patterns the way Spark's own
+      // aggregation does (NormalizeFloatingNumbers) — reject rather than
+      // group float keys subtly differently from the window formulation
+      require(!containsFloat(a.dataType),
+        s"topK group key ${a.name}: ${a.dataType.simpleString} — float/double " +
+          "(incl. nested) group keys are not supported; cast or hash the key first")
+    }
     val ordering = orderKeys.map { case (name, desc) =>
       SortOrder(attr(name), if (desc) Descending else Ascending)
     }

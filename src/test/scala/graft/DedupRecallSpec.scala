@@ -48,11 +48,26 @@ class DedupRecallSpec extends AnyFunSuite {
     val trueDups = allDocs.filter(d => bestLower.getOrElse(d, 0.0) >= 0.8)
     val clean = allDocs.filter(d => bestLower.getOrElse(d, 0.0) < 0.2)
     assert(trueDups.nonEmpty, "fixture should contain planted >=0.8-Jaccard near-dups")
+    assert(clean.nonEmpty, "fixture should contain docs with no near-duplicate (best Jaccard < 0.2)")
     val recall = trueDups.count(flagged) .toDouble / trueDups.length
     val falseFlag = clean.count(flagged).toDouble / clean.length
     info(f"planted(>=0.8)=${trueDups.length} recall=$recall%.3f  clean(<0.2)=${clean.length} falseFlag=$falseFlag%.4f")
     assert(recall >= 0.95, s"recall $recall < 0.95")
     assert(falseFlag <= 0.05, s"false-flag rate $falseFlag > 0.05")
+  }
+
+  test("jaccard df-cap is result-invariant on the fixture and bounds hot blocks") {
+    // invariance: the production cap (1000) changes nothing vs an
+    // unbounded run — fixture max block-df is 17 — so the CORRECTNESS
+    // hash is untouched by the skew guard
+    val capped = ops.Dedup.ngramJaccard(spark, sf01).collect().toSeq.map(_.toSeq)
+    val unbounded = ops.Dedup.ngramJaccardCapped(spark, sf01, Int.MaxValue)
+      .collect().toSeq.map(_.toSeq)
+    assert(capped == unbounded)
+    assert(capped.nonEmpty)
+    // engagement: cap=1 keeps only single-doc blocks, which cannot form a
+    // pair — the filter provably bounds every join block at <= cap docs
+    assert(ops.Dedup.ngramJaccardCapped(spark, sf01, 1).count() === 0)
   }
 
   test("minhash-wide flags a superset of exact-duplicate docs") {

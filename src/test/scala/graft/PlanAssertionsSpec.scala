@@ -69,6 +69,41 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(plan.contains("simhash16"), plan.take(800))
   }
 
+  test("exact dedup exchanges on the md5 digest, never the document body") {
+    // exchanges only exist post-EnsureRequirements: execute, then walk
+    // through the adaptive wrapper to the materialized stages
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val df = ops.Dedup.dedupExact(spark, sf)
+    df.collect()
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+      val buf = scala.collection.mutable.ArrayBuffer[SparkPlan]()
+      def go(n: SparkPlan): Unit = {
+        buf += n; n.children.foreach(go)
+        n match {
+          case a: AdaptiveSparkPlanExec => go(a.executedPlan)
+          case q: QueryStageExec => go(q.plan)
+          case _ =>
+        }
+      }
+      go(p); buf.toSeq
+    }
+    val exchanges = allNodes(df.queryExecution.executedPlan).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    assert(exchanges.nonEmpty, df.queryExecution.executedPlan.toString.take(500))
+    // no exchange (window shuffle or final sort) may ship the body...
+    exchanges.foreach { e =>
+      assert(!e.child.output.exists(_.name == "text"),
+        s"exchange ships document bodies: ${e.child.output.map(_.name)}")
+    }
+    // ...and the window's hash exchange must key on the digest
+    assert(exchanges.exists(e =>
+      e.outputPartitioning.toString.startsWith("hashpartitioning") &&
+        e.outputPartitioning.toString.contains("key")),
+      exchanges.map(_.outputPartitioning.toString).mkString("; "))
+  }
+
   test("bloom prejoin filters the fact scan below the join") {
     val plan = ops.ScaleOps.bloomPrejoin(spark, sf).queryExecution.sparkPlan
     // find the join, then assert a might_contain filter exists in its

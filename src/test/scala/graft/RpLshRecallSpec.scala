@@ -45,6 +45,12 @@ class RpLshRecallSpec extends AnyFunSuite {
       .select(col("vec_id"), col("embedding").as("v"))
     val base = fixture.collect().map(r =>
       r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    // fixture-shape guards (ADVICE round-3): the query ids must exist, and
+    // planted ids start past the max fixture id instead of a hard-coded
+    // 10000 — a regenerated fixture can neither NPE the lookup nor collide
+    (0 until QueryN).foreach(q => assert(base.contains(q.toLong),
+      s"fixture lacks vec_id $q — expected contiguous query ids 0..${QueryN - 1}"))
+    val plantBase = base.keys.max + 1
     val rng = new scala.util.Random(7)
     // plant 5 neighbors of each query vector at noise ratios 0.05–0.2 of
     // the per-dimension RMS → cosine ≈ 1/sqrt(1+ratio²) ∈ [0.98, 0.999]
@@ -57,7 +63,7 @@ class RpLshRecallSpec extends AnyFunSuite {
       val rms = math.sqrt(src.map(x => x.toDouble * x).sum / src.length)
       val ratio = 0.05 + 0.15 * k / (PlantPerQuery - 1)
       val noisy = src.map(x => (x + (rng.nextGaussian() * ratio * rms).toFloat))
-      HarnessVec(10000L + q * 10 + k, noisy)
+      HarnessVec(plantBase + q * PlantPerQuery + k, noisy)
     }
     val corpus = fixture.union(
       spark.createDataset(planted).select(col("vec_id"), col("v")))

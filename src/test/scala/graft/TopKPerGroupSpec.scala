@@ -113,4 +113,56 @@ class TopKPerGroupSpec extends AnyFunSuite {
     val df = TopKPerGroup.topK(base, Seq("l_suppkey"), Seq("l_extendedprice" -> true), 3)
     assert(df.count() == 0)
   }
+
+  test("float/double group keys are rejected (raw-binary grouping skips float normalization)") {
+    val base = Tables.lineitem(spark, sf)
+      .select(col("l_extendedprice"), col("l_orderkey"))
+    val e = intercept[IllegalArgumentException] {
+      TopKPerGroup.topK(base, Seq("l_extendedprice"), Seq("l_orderkey" -> false), 2)
+    }
+    assert(e.getMessage.contains("float/double"))
+    val nested = base.select(struct(col("l_extendedprice")).as("s"), col("l_orderkey"))
+    assert(intercept[IllegalArgumentException] {
+      TopKPerGroup.topK(nested, Seq("s"), Seq("l_orderkey" -> false), 2)
+    }.getMessage.contains("float/double"))
+  }
+
+  test("ambiguous column names are rejected instead of silently resolving") {
+    val a = Tables.nation(spark, sf).select(col("n_nationkey"), col("n_name"))
+    val b = Tables.nation(spark, sf).select(col("n_nationkey").as("k2"), col("n_name"))
+    val joined = a.join(b, col("n_nationkey") === col("k2")) // two n_name columns
+    val e = intercept[RuntimeException] {
+      TopKPerGroup.topK(joined, Seq("n_name"), Seq("n_nationkey" -> false), 1)
+    }
+    assert(e.getMessage.contains("ambiguous"))
+  }
+
+  test("partial-group cap: 1M distinct groups pass through bounded state, result exact") {
+    // every row its own group (worst case for the heap map) with the cap
+    // forced tiny: partial state holds <= 512 heaps, everything else
+    // streams through unpruned, and the final stage still ranks exactly
+    val s = spark
+    s.conf.set("spark.graft.topk.maxPartialGroups", "512")
+    try {
+      val base = s.range(1000000L).toDF("g")
+        .withColumn("v", (col("g") * 7919) % 1000003)
+      val out = TopKPerGroup.topK(base, Seq("g"), Seq("v" -> false), 1)
+      assert(out.count() === 1000000L)
+      assert(out.filter(col("rn") =!= 1).count() === 0)
+    } finally s.conf.unset("spark.graft.topk.maxPartialGroups")
+  }
+
+  test("capped and uncapped runs produce identical results") {
+    val s = spark
+    val base = Tables.lineitem(s, sf)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+    def run(): Seq[Seq[Any]] =
+      TopKPerGroup.topK(base, Seq("l_suppkey"),
+        Seq("l_extendedprice" -> true, "l_orderkey" -> false, "l_linenumber" -> false), 3)
+        .orderBy("l_suppkey", "rn").collect().toSeq.map(_.toSeq)
+    val uncapped = run()
+    s.conf.set("spark.graft.topk.maxPartialGroups", "1")
+    val capped = try run() finally s.conf.unset("spark.graft.topk.maxPartialGroups")
+    assert(capped == uncapped)
+  }
 }
