@@ -13,13 +13,13 @@ import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ShuffleEx
   */
 object PlanAudit {
 
-  private def finalPlan(p: SparkPlan): SparkPlan = p match {
+  private[graft] def finalPlan(p: SparkPlan): SparkPlan = p match {
     case a: AdaptiveSparkPlanExec => finalPlan(a.executedPlan)
     case other => other
   }
 
   /** Collect across AQE stage boundaries (collect() stops at QueryStageExec). */
-  private def nodes(p: SparkPlan): Seq[SparkPlan] = {
+  private[graft] def nodes(p: SparkPlan): Seq[SparkPlan] = {
     val buf = scala.collection.mutable.ArrayBuffer[SparkPlan]()
     val seen = java.util.Collections.newSetFromMap(
       new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]())

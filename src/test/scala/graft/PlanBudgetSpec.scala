@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ShuffleExchangeLike}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Exchange budgets for the engine's most expensive queries (VERDICT
+  * round-3 item 10): the shuffle count of the FINAL adaptive plan is
+  * pinned at today's audited value, so a refactor that introduces a
+  * surprise exchange — invisible to correctness tests, a cluster-bill
+  * explosion at 100 TB — fails the build instead. Budgets are upper
+  * bounds (an improvement that removes an exchange passes; update the
+  * budget when intentional). For the TPC-H join shapes the broadcast
+  * count is also a lower bound — a dimension silently falling back to a
+  * shuffled join must fail here even if the total shuffle count stays
+  * within budget. */
+class PlanBudgetSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.session
+  private val sf = TestSpark.Sf
+
+  private def counts(name: String): (Int, Int) = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect() // materialize THIS plan so AQE finalizes
+    val all = PlanAudit.nodes(PlanAudit.finalPlan(df.queryExecution.executedPlan))
+    (all.count(_.isInstanceOf[ShuffleExchangeLike]),
+      all.count(_.isInstanceOf[BroadcastExchangeLike]))
+  }
+
+  // (query, max shuffles, min broadcasts) — audited via graft.PlanAudit
+  // at sf0.001; min-broadcast 0 = not asserted
+  private val budgets = Seq(
+    ("q_word_count", 2, 0),
+    ("q_cosine_topk", 2, 1),          // the one broadcast is the query set
+    ("q_ann_lsh_rp", 2, 1),           // corpus never exchanged; probes broadcast
+    ("q_ann_ivf", 4, 3),              // centroid set broadcast 3×, never shuffled
+    ("q_cogroup_reconcile", 3, 0),
+    ("q_dedup_minhash_wide", 4, 0),
+    ("q_ngram_jaccard", 3, 2),        // size dims broadcast
+    ("q_tfidf", 5, 1),
+    ("q_join_interval_time", 1, 1),
+    ("q_join_pipeline_top", 1, 2),    // TPC-H Q3: both dims must broadcast
+    ("q_join_star", 1, 5),            // TPC-H Q5: all five dims must broadcast
+  )
+
+  budgets.foreach { case (name, maxShuffles, minBcasts) =>
+    test(s"$name stays within its exchange budget (<=$maxShuffles shuffles" +
+      (if (minBcasts > 0) s", >=$minBcasts broadcasts)" else ")")) {
+      val (shuffles, bcasts) = counts(name)
+      assert(shuffles <= maxShuffles,
+        s"$name grew a surprise exchange: $shuffles shuffles > budget $maxShuffles")
+      if (minBcasts > 0)
+        assert(bcasts >= minBcasts,
+          s"$name lost a broadcast: $bcasts < expected $minBcasts — a dimension is being shuffled")
+    }
+  }
+}
