@@ -69,9 +69,15 @@ object Bench {
     val total = results.map(_._2).sum
     val errors = results.collect { case (n, _, Some(e)) => n -> e }
     errors.foreach { case (n, e) => System.err.println(s"[bench] FAILED $n: $e") }
-    val fullQs = results.map { case (k, v, _) => s"\"$k\":${r3(v)}" }.mkString("{", ",", "}")
-    val top5 = results.sortBy(-_._2).take(5)
-      .map { case (k, v, _) => s"\"$k\":${r3(v)}" }.mkString("{", ",", "}")
+    // the `queries` timing maps carry ONLY successful runs — a failed
+    // query's time-to-exception is not a benchmark number and must not
+    // rank; failures report duration separately under `failed`
+    val ok = results.collect { case (n, t, None) => n -> t }
+    val fullQs = ok.map { case (k, v) => s"\"$k\":${r3(v)}" }.mkString("{", ",", "}")
+    val failedQs = results.collect { case (n, t, Some(_)) => s"\"$n\":${r3(t)}" }
+      .mkString("{", ",", "}")
+    val top5 = ok.sortBy(-_._2).take(5)
+      .map { case (k, v) => s"\"$k\":${r3(v)}" }.mkString("{", ",", "}")
     // full-precision timings + error messages → file (judge-readable even
     // when the driver's tail window drops stdout line 1)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
@@ -79,6 +85,7 @@ object Bench {
       .append(s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":${jstr(sfDir)},""")
       .append(s""""n_queries":${results.size},"n_errors":${errors.size},""")
       .append(s""""queries":$fullQs,""")
+      .append(s""""failed":$failedQs,""")
       .append("\"errors\":")
       .append(errors.map { case (n, e) => s"${jstr(n)}:${jstr(e)}" }.mkString("{", ",", "}"))
       .append("}")
@@ -86,7 +93,7 @@ object Bench {
       fileJson.toString.getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] could not write $outPath: $e") }
     // line 1: full map (historical shape); line 2 LAST: short, truncation-safe
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$fullQs,"sf":${jstr(sfDir)},"n_errors":${errors.size}}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$fullQs,"failed":$failedQs,"sf":${jstr(sfDir)},"n_errors":${errors.size}}""")
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$top5,"sf":${jstr(sfDir)},"n_queries":${results.size},"n_errors":${errors.size},"full":${jstr(outPath)}}""")
     spark.stop()
   }

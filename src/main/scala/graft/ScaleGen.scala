@@ -10,8 +10,13 @@ import org.apache.spark.sql.functions._
   *
   * Shard construction preserves what the bench measures:
   *  - every foreign-key domain shifts by the same base across tables
-  *    (orders.o_custkey and customer.c_custkey move together), so join
-  *    selectivities and fan-outs are unchanged per shard;
+  *    (orders.o_custkey, customer.c_custkey AND events.user_id — all in
+  *    the custkey domain — move together), so join selectivities and
+  *    fan-outs are unchanged per shard;
+  *  - embeddings rotate cyclically per shard (shard 0 verbatim):
+  *    intra-shard dot products are exactly preserved, but shards are not
+  *    bit-copies, so ANN candidate volume grows linearly, not
+  *    quadratically in identical copies;
   *  - document text gets a per-shard word prefix (shard 0 verbatim), so
   *    the shingle/bigram vocabularies of shards are disjoint — dedup and
   *    Jaccard blocks stay shard-local and the workload scales like more
@@ -76,8 +81,12 @@ object ScaleGen {
       "lineitem")
 
     val ev = load("events")
+    // user_id lives in the CUSTKEY domain (the as-of/funnel joins are
+    // `o_custkey = user_id`), so it must shift by custS — shifting by its
+    // own max would park every shard's events inside shard 0's custkey
+    // range and break per-shard join selectivity
     save(shards(ev, Map(
-      "event_id" -> base(ev, "event_id"), "user_id" -> base(ev, "user_id"))),
+      "event_id" -> base(ev, "event_id"), "user_id" -> custS)),
       "events")
 
     val docs = load("documents")
@@ -88,8 +97,20 @@ object ScaleGen {
           transform(split(col("text"), " "), w => concat(lit(s"r$i"), w))))
         .withColumn("n_chars", length(col("text")))), "documents")
 
+    // embeddings: cyclically rotate each vector by the shard index
+    // (shard 0 verbatim). Rotation preserves norms and pairwise dot
+    // products WITHIN a shard — each shard keeps the fixture's exact
+    // neighbor geometry — while shards stop being bit-copies of each
+    // other, so LSH/IVF buckets don't fill with factor-many identical
+    // vectors (the exact-copy pathology that would grow ANN candidate
+    // volume quadratically instead of linearly).
     val emb = load("embeddings")
-    save(shards(emb, Map("vec_id" -> base(emb, "vec_id"))), "embeddings")
+    val dim = 64
+    save(shards(emb, Map("vec_id" -> base(emb, "vec_id")), (d, i) =>
+      if (i == 0) d
+      else d.withColumn("embedding", concat(
+        slice(col("embedding"), i + 1, dim - i),
+        slice(col("embedding"), 1, i)))), "embeddings")
 
     println(s"scaled $src -> $out x$factor")
     spark.stop()

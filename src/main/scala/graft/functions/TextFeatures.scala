@@ -26,13 +26,6 @@ object TextFeatures {
   def shingles3(w: Column, text: Column): Column =
     when(size(w) >= 3, StringNgrams.ngrams(w, 3)).otherwise(array(text))
 
-  /** Seeded string minhash: MIN over md5(shingle + "#" + seed). Lexicographic
-    * MIN over the hex digest == numeric MIN over the 128-bit hash (hex
-    * preserves order), so this is a portable minhash needing no custom hash
-    * function — identical bytes in any engine with md5. */
-  def minhash(shingle: Column, seed: Int): Column =
-    md5(concat(shingle, lit("#" + seed)))
-
   /** The i-th of four 32-bit sub-hashes sliced from ONE md5 digest (hex
     * chars 1-8, 9-16, 17-24, 25-32). MIN over a slice is still a valid
     * minhash estimator, and one digest per shingle replaces four salted

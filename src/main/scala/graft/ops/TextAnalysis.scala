@@ -56,6 +56,23 @@ object TextAnalysis {
 
   private val Stopwords = Seq("the", "a", "of")
 
+  /** The composite quality score of [[qualityScore]] as a reusable
+    * expression over a `text` column (also consumed by
+    * `Curation.qualityQuantile`). Mirrored in SQL by [[QualityExprSql]]. */
+  private[ops] def qualityExpr: Column = {
+    val w = words(col("text"))
+    val nWords = size(w)
+    val nCharsNoSpace = length(regexp_replace(col("text"), " ", ""))
+    val stopCnt = size(filter(w, x => x.isin(Stopwords.map(m => m: Any): _*)))
+    val avgWl = nCharsNoSpace / nWords
+    val stopRatio = stopCnt / nWords
+    round(
+      lit(0.4) * stopRatio
+        + lit(0.3) / (lit(1.0) + abs(avgWl - lit(5.0)))
+        + lit(0.3) * least(lit(1.0), nWords / lit(100.0)),
+      4)
+  }
+
   /** Quality scoring: stopword ratio, avg word length, length saturation —
     * the length/punct/stopword heuristics of C4-style corpus filtering. */
   def qualityScore(s: SparkSession, d: String): DataFrame = {
@@ -71,11 +88,7 @@ object TextAnalysis {
       stopCnt.as("stop_cnt"),
       round(avgWl, 4).as("avg_word_len"),
       round(stopRatio, 4).as("stop_ratio"),
-      round(
-        lit(0.4) * stopRatio
-          + lit(0.3) / (lit(1.0) + abs(avgWl - lit(5.0)))
-          + lit(0.3) * least(lit(1.0), nWords / lit(100.0)),
-        4).as("quality"))
+      qualityExpr.as("quality"))
       .orderBy("doc_id")
   }
 

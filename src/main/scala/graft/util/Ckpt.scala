@@ -18,14 +18,35 @@ import org.apache.spark.sql.DataFrame
   * just pays a durable write per stage for fault tolerance.
   */
 object Ckpt {
+  /** The configured dir we last pinned via `setCheckpointDir` —
+    * `SparkContext.getCheckpointDir` returns a random CHILD of the
+    * configured path, so it can't be compared against the conf directly.
+    * One SparkContext per JVM, so a plain volatile is enough. */
+  @volatile private var pinnedDir: String = null
+
   /** Materialize `df` once and truncate its lineage, in the
-    * session-configured mode. */
-  def stage(df: DataFrame): DataFrame =
-    df.sparkSession.conf.getOption("spark.graft.checkpoint.dir") match {
+    * session-configured mode.
+    *
+    * `spark.graft.stage.disable=true` makes this a no-op (the frame is
+    * recomputed per consumer) — set ONLY by plan-audit tooling
+    * ([[graft.PlanBudgetSpec]], `graft.PlanAudit`) so exchanges upstream
+    * of a stage boundary stay visible in the executed plan; checkpoint
+    * truncation would otherwise hide them from the audit. */
+  def stage(df: DataFrame): DataFrame = {
+    val conf = df.sparkSession.conf
+    if (conf.getOption("spark.graft.stage.disable").contains("true")) df
+    else conf.getOption("spark.graft.checkpoint.dir") match {
       case Some(dir) =>
         val sc = df.sparkSession.sparkContext
-        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+        // (re-)pin whenever the configured dir changes mid-session, not
+        // just on first use — otherwise later checkpoints silently land
+        // in the stale directory
+        if (pinnedDir != dir || sc.getCheckpointDir.isEmpty) {
+          sc.setCheckpointDir(dir)
+          pinnedDir = dir
+        }
         df.checkpoint(eager = true)
       case None => df.localCheckpoint(eager = true)
     }
+  }
 }
