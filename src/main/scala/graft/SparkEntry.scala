@@ -32,6 +32,7 @@ object SparkEntry {
       (ops.Maintenance.queries, ops.Maintenance.oracle),
       (ops.ScaleOps.queries, ops.ScaleOps.oracle),
       (ops.TrainingPrep.queries, ops.TrainingPrep.oracle),
+      (ops.Curation.queries, ops.Curation.oracle),
       (ops.TypedOps.queries, ops.TypedOps.oracle),
     )
 

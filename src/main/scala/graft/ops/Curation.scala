@@ -1,0 +1,321 @@
+package graft.ops
+
+import graft.Tables
+import graft.functions.TextFeatures.words
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus curation: the selection / layout / privacy passes that run
+  * between dedup-and-score and training-set packing in an LLM data
+  * pipeline (north-star extensions; the reference's pipeline stops at
+  * per-word frequencies, `infra/scripts/demo-etl-2a-notebook.py:53-56`).
+  *
+  *  - [[clusterRep]]: pick ONE representative per near-duplicate cluster
+  *    (highest quality proxy, deterministic tie-break) — what a dedup
+  *    actually ships downstream, layered on [[Dedup.dedupClusters]].
+  *  - [[spanDedup]]: span(paragraph)-level exact dedup — the CCNet/Dolma
+  *    granularity that removes boilerplate repeated ACROSS documents
+  *    without dropping whole docs.
+  *  - [[qualityQuantile]]: per-source top-quartile quality filter — the
+  *    "keep the best X% of each source" selection rule, exact
+  *    rank-based (no approximate percentile drift across engines).
+  *  - [[piiRedact]]: regexp PII masking (emails/phones) with per-doc
+  *    redaction counts, on deterministically planted PII so the fixture
+  *    actually exercises the masking.
+  *  - [[shardAssign]]: hash-sharded output layout + balance audit — the
+  *    step that decides which of the N output files each doc lands in.
+  *  - [[mixMaterialize]]: turn [[TrainingPrep.sourceMix]]'s temperature
+  *    weights into an actual epoch — per-doc copy counts materialized to
+  *    (doc, copy) rows, integer-exact largest-remainder allocation.
+  *
+  * Scale notes per operator are on each method; none shuffles document
+  * bodies except the scan-local redaction pass (which shuffles nothing).
+  */
+object Curation {
+
+  /** Output shards for [[shardAssign]]. */
+  private[graft] val NShards = 64
+  /** Epoch size (total draws) for [[mixMaterialize]]. */
+  private[graft] val EpochDocs = 10000L
+  /** Span width (words) for [[spanDedup]]. */
+  private[ops] val SpanWords = 10
+
+  // Java and RE2 agree on these (no lookaround, no anchors-in-group):
+  private[ops] val EmailRe = "[a-z0-9_.]+@[a-z0-9.]+\\.[a-z]+"
+  private[ops] val PhoneRe = "555-[0-9]{4}"
+
+  /** One representative per near-duplicate cluster: the
+    * [[Dedup.dedupClusters]] assignment joined back to the corpus, keeper
+    * = max `n_chars` (quality proxy), ties to the smallest doc_id.
+    *
+    * Scale: the cluster labels are (id, label) pairs; the join back to
+    * documents is keyed on doc_id and carries only `n_chars` — bodies
+    * never ride an exchange. The per-cluster argmax is a window over
+    * narrow rows hash-partitioned by cluster. */
+  def clusterRep(s: SparkSession, d: String): DataFrame = {
+    val labels = Dedup.dedupClusters(s, d).select("doc_id", "cluster")
+    val sized = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+    val w = Window.partitionBy("cluster")
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    labels.join(sized, "doc_id")
+      .withColumn("rep_rank", row_number().over(w))
+      .select(col("doc_id"), col("cluster"), col("n_chars"),
+        (col("rep_rank") === 1).cast("int").as("is_rep"))
+      .orderBy("doc_id")
+  }
+
+  /** Span-level exact dedup: each document is cut into fixed 10-word
+    * spans; a span is a duplicate iff the same text occurred at a
+    * lexicographically earlier (doc_id, span_idx) anywhere in the corpus.
+    * Reports per-doc span counts and the retained fraction — the
+    * paragraph-dedup decision a Dolma/CCNet-style pipeline applies before
+    * token packing.
+    *
+    * Scale: spans explode to ~tokens/10 rows; the only exchange is
+    * hash-partitioned on the span's md5 (digest + two ids per row, no
+    * span text), and first-occurrence is a per-digest window — the same
+    * digest-shuffle discipline as [[Dedup.dedupExact]]. */
+  def spanDedup(s: SparkSession, d: String): DataFrame = {
+    val w = words(col("text"))
+    val spanArr = transform(
+      sequence(lit(0), (size(w) + lit(SpanWords - 1)).divide(lit(SpanWords)).cast("int") - 1),
+      i => concat_ws(" ", slice(w, i * SpanWords + 1, lit(SpanWords))))
+    val spans = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(spanArr).as(Seq("span_idx", "span")))
+      .select(col("doc_id"), col("span_idx"), md5(col("span")).as("h"))
+    val firstW = Window.partitionBy("h").orderBy("doc_id", "span_idx")
+    spans
+      .withColumn("occ", row_number().over(firstW))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum((col("occ") > 1).cast("long")).as("n_dup_spans"))
+      .withColumn("retained",
+        round((col("n_spans") - col("n_dup_spans")) / col("n_spans"), 4))
+      .orderBy("doc_id")
+  }
+
+  /** Per-source top-quartile quality filter: rank docs by
+    * [[TextAnalysis.qualityExpr]] within each source (ties to the
+    * smallest doc_id) and keep rank ≤ ceil(n/4). Exact — rank-based
+    * selection is reproducible across engines and partitionings, where a
+    * percentile THRESHOLD on ties is not.
+    *
+    * Scale: one shuffle on source; rows are (ids, one double). The
+    * per-source sort is the unavoidable cost of exact selection — when
+    * approximate is acceptable at 100 TB, `approx_percentile` per source
+    * is the cheaper pre-filter, but the selection RULE stays this. */
+  def qualityQuantile(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("source")
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), TextAnalysis.qualityExpr.as("quality"))
+      .withColumn("q_rank", row_number().over(w))
+      .withColumn("n_src", count(lit(1)).over(Window.partitionBy("source")))
+      .filter(col("q_rank") <= ceil(col("n_src") / 4))
+      .select(col("doc_id"), col("source"), col("quality"), col("q_rank"))
+      .orderBy("source", "q_rank")
+  }
+
+  /** PII redaction: mask emails and phone-shaped strings, count
+    * redactions per doc. The fixture word soup contains no PII, so it is
+    * planted deterministically (every 7th doc an email, every 11th a
+    * phone number, derived from doc_id) — the query then finds exactly
+    * what was planted, verifiable cross-engine.
+    *
+    * Scale: entirely scan-local (regexp in codegen'd expressions, no
+    * exchange but the presentation sort); at 100 TB this runs at scan
+    * throughput like any C4-style cleaning pass. */
+  def piiRedact(s: SparkSession, d: String): DataFrame = {
+    val planted = Tables.documents(s, d)
+      .withColumn("t1",
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" contact_"), col("doc_id"), lit("@example.com")))
+          .otherwise(col("text")))
+      .withColumn("t2",
+        when(col("doc_id") % 11 === 0,
+          concat(col("t1"), lit(" call 555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(col("t1")))
+    planted
+      .select(
+        col("doc_id"),
+        regexp_count(col("t2"), lit(EmailRe)).as("n_emails"),
+        regexp_count(col("t2"), lit(PhoneRe)).as("n_phones"),
+        md5(regexp_replace(regexp_replace(col("t2"), EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>")).as("redacted_md5"))
+      .filter(col("n_emails") + col("n_phones") > 0)
+      .orderBy("doc_id")
+  }
+
+  /** Portable hash shard id: the first 4 hex chars of md5("doc"||id)
+    * parsed as an integer, mod [[NShards]] — DuckDB's `'0x'||…::BIGINT`
+    * cast does the identical parse. */
+  private def shardOf(id: Column): Column =
+    (conv(substring(md5(concat(lit("doc"), id)), 1, 4), 16, 10)
+      .cast("long") % NShards).as("shard")
+
+  /** Hash-sharded output layout + balance audit: assign every doc a shard
+    * by content-independent key hash and report per-shard doc/token
+    * totals — the write-layout decision (and its skew check) for
+    * publishing a curated corpus as N stable files.
+    *
+    * Scale: one map-side-combined aggregate to [[NShards]] rows; the
+    * shard id doubles as the `repartition(col)` / partitionBy key for the
+    * actual write. */
+  def shardAssign(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(shardOf(col("doc_id")), size(words(col("text"))).cast("long").as("n_tokens"))
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"))
+      .orderBy("shard")
+
+  /** Materialize [[TrainingPrep.sourceMix]]'s α=0.5 temperature weights
+    * into one concrete [[EpochDocs]]-draw epoch: each source's target
+    * count is allocated to its docs largest-remainder style — every doc
+    * gets floor(target/n) copies and the first (target mod n) docs by
+    * doc_id get one extra — then exploded to (doc_id, copy_idx) rows.
+    * Integer-exact end to end: sum of copies = Σ floor(weightᵢ·epoch)
+    * exactly, in any engine.
+    *
+    * Scale: per-source targets are a broadcast-sized dimension; the
+    * explode multiplies rows by the average epoch multiplicity only
+    * (here ≲ 3 — an epoch is at most a small multiple of the corpus). */
+  def mixMaterialize(s: SparkSession, d: String): DataFrame = {
+    val targets = TrainingPrep.sourceMix(s, d)
+      .select(col("source"), col("n_docs"),
+        floor(col("weight") * EpochDocs).cast("long").as("target"))
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"))
+      .join(broadcast(targets), "source")
+      .withColumn("pos", row_number().over(w))
+      .withColumn("n_copies",
+        expr("target div n_docs")
+          + (col("pos") <= col("target") % col("n_docs")).cast("long"))
+      .filter(col("n_copies") >= 1)
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(1L), col("n_copies"))).as("copy_idx"))
+      .orderBy("doc_id", "copy_idx")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cluster_rep"      -> (clusterRep _),
+    "q_span_dedup"       -> (spanDedup _),
+    "q_quality_quantile" -> (qualityQuantile _),
+    "q_pii_redact"       -> (piiRedact _),
+    "q_shard_assign"     -> (shardAssign _),
+    "q_mix_materialize"  -> (mixMaterialize _),
+  )
+
+  private val WordsSql = "string_split(text, ' ')"
+
+  /** [[TextAnalysis.qualityExpr]] in DuckDB SQL (kept in sync with the
+    * q_quality_score oracle). */
+  private val QualitySql =
+    s"""round(0.4 * (len(list_filter($WordsSql, w -> w IN ('the','a','of'))) / len($WordsSql))
+       |    + 0.3 / (1.0 + abs(length(replace(text, ' ', '')) / len($WordsSql) - 5.0))
+       |    + 0.3 * least(1.0, len($WordsSql) / 100.0), 4)""".stripMargin
+
+  private val SpansSql =
+    s"""list_transform(range(0, CAST(ceil(len($WordsSql) / ${SpanWords}.0) AS INT)),
+       |  i -> array_to_string(list_slice($WordsSql, i*$SpanWords + 1, i*$SpanWords + $SpanWords), ' '))""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q_cluster_rep" ->
+      s"""${Dedup.ClustersCteSql}
+         |SELECT c.doc_id, c.cluster, d.n_chars,
+         |       CAST(row_number() OVER (
+         |         PARTITION BY c.cluster
+         |         ORDER BY d.n_chars DESC, c.doc_id ASC) = 1 AS INTEGER) AS is_rep
+         |FROM clusters c JOIN documents d USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    "q_span_dedup" ->
+      s"""WITH sp AS (
+         |  -- parallel unnests zip in DuckDB: position and value together
+         |  SELECT doc_id,
+         |         unnest(range(1, len($SpansSql) + 1)) - 1 AS span_idx,
+         |         md5(unnest($SpansSql)) AS h
+         |  FROM documents
+         |), occ AS (
+         |  SELECT doc_id,
+         |         row_number() OVER (PARTITION BY h ORDER BY doc_id, span_idx) AS rn
+         |  FROM sp
+         |)
+         |SELECT doc_id, count(*) AS n_spans,
+         |       CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+         |       round((count(*) - sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)) / count(*), 4) AS retained
+         |FROM occ GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
+    "q_quality_quantile" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, source, $QualitySql AS quality FROM documents
+         |), r AS (
+         |  SELECT doc_id, source, quality,
+         |         CAST(row_number() OVER (
+         |           PARTITION BY source ORDER BY quality DESC, doc_id ASC) AS INTEGER) AS q_rank,
+         |         count(*) OVER (PARTITION BY source) AS n_src
+         |  FROM q
+         |)
+         |SELECT doc_id, source, quality, q_rank
+         |FROM r WHERE q_rank <= ceil(n_src / 4.0)
+         |ORDER BY source, q_rank""".stripMargin,
+    "q_pii_redact" ->
+      s"""WITH p AS (
+         |  SELECT doc_id,
+         |         CASE WHEN doc_id % 7 = 0
+         |           THEN text || ' contact_' || CAST(doc_id AS VARCHAR) || '@example.com'
+         |           ELSE text END AS t1
+         |  FROM documents
+         |), p2 AS (
+         |  SELECT doc_id,
+         |         CASE WHEN doc_id % 11 = 0
+         |           THEN t1 || ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |           ELSE t1 END AS t2
+         |  FROM p
+         |)
+         |SELECT doc_id,
+         |       CAST(len(regexp_extract_all(t2, '$EmailRe')) AS INTEGER) AS n_emails,
+         |       CAST(len(regexp_extract_all(t2, '$PhoneRe')) AS INTEGER) AS n_phones,
+         |       md5(regexp_replace(regexp_replace(t2, '$EmailRe', '<EMAIL>', 'g'),
+         |           '$PhoneRe', '<PHONE>', 'g')) AS redacted_md5
+         |FROM p2
+         |WHERE len(regexp_extract_all(t2, '$EmailRe')) + len(regexp_extract_all(t2, '$PhoneRe')) > 0
+         |ORDER BY doc_id""".stripMargin,
+    "q_shard_assign" ->
+      s"""WITH d AS (
+         |  SELECT CAST('0x' || substr(md5('doc' || CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT)
+         |           % $NShards AS shard,
+         |         CAST(len($WordsSql) AS BIGINT) AS n_tokens
+         |  FROM documents
+         |)
+         |SELECT shard, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+         |FROM d GROUP BY shard
+         |ORDER BY shard""".stripMargin,
+    "q_mix_materialize" ->
+      s"""WITH per AS (
+         |  SELECT source, count(*) AS n_docs,
+         |         CAST(sqrt(count(*)) AS DECIMAL(24,6)) AS ws
+         |  FROM documents GROUP BY source
+         |), t AS (SELECT sum(ws) AS tot FROM per
+         |), tgt AS (
+         |  SELECT source, n_docs,
+         |         CAST(floor(round(CAST(ws AS DOUBLE) / CAST(tot AS DOUBLE), 6) * $EpochDocs) AS BIGINT) AS target
+         |  FROM per, t
+         |), pos AS (
+         |  SELECT d.doc_id, d.source, g.target, g.n_docs,
+         |         row_number() OVER (PARTITION BY d.source ORDER BY d.doc_id) AS pos
+         |  FROM documents d JOIN tgt g USING (source)
+         |), copies AS (
+         |  SELECT doc_id, source,
+         |         target // n_docs
+         |           + CASE WHEN pos <= target % n_docs THEN 1 ELSE 0 END AS n_copies
+         |  FROM pos
+         |)
+         |SELECT doc_id, source, CAST(unnest(generate_series(1, n_copies)) AS BIGINT) AS copy_idx
+         |FROM copies WHERE n_copies >= 1
+         |ORDER BY doc_id, copy_idx""".stripMargin,
+  )
+}

@@ -320,6 +320,34 @@ object Dedup {
     "q_ngram_jaccard"  -> (ngramJaccard _),
   )
 
+  /** The [[dedupClusters]] transitive closure as a reusable CTE prefix
+    * (ends with `clusters(doc_id, cluster)`): DuckDB's WITH RECURSIVE
+    * replays the min-label propagation exactly. Shared with
+    * `Curation.clusterRep`'s oracle so representative selection is layered
+    * on the identical cluster assignment in both engines. */
+  private[ops] lazy val ClustersCteSql: String =
+    s"""WITH RECURSIVE sh AS (
+       |  SELECT doc_id, unnest($ShinglesSql) AS shingle FROM documents
+       |), sig AS (
+       |  SELECT doc_id,
+       |         min(substring(md5(shingle), 1, 8))  AS mh0,
+       |         min(substring(md5(shingle), 9, 8))  AS mh1,
+       |         min(substring(md5(shingle), 17, 8)) AS mh2,
+       |         min(substring(md5(shingle), 25, 8)) AS mh3
+       |  FROM sh GROUP BY doc_id
+       |), b AS (
+       |  SELECT doc_id, unnest(['0|'||mh0||mh1, '1|'||mh2||mh3]) AS bkey FROM sig
+       |), edge AS (
+       |  SELECT DISTINCT a.doc_id AS x, c.doc_id AS y
+       |  FROM b a JOIN b c USING (bkey)
+       |), reach(x, y) AS (
+       |  SELECT x, y FROM edge
+       |  UNION
+       |  SELECT r.x, e.y FROM reach r JOIN edge e ON r.y = e.x
+       |), clusters AS (
+       |  SELECT x AS doc_id, min(y) AS cluster FROM reach GROUP BY x
+       |)""".stripMargin
+
   private val WordsSql = "string_split(text, ' ')"
   private val ShinglesSql =
     s"""CASE WHEN len($WordsSql) >= 3
@@ -419,28 +447,10 @@ object Dedup {
          |ORDER BY doc_id""".stripMargin,
     "q_dedup_minhash_wide" -> wideMinhashOracle,
     "q_dedup_clusters" ->
-      s"""WITH RECURSIVE sh AS (
-         |  SELECT doc_id, unnest($ShinglesSql) AS shingle FROM documents
-         |), sig AS (
-         |  SELECT doc_id,
-         |         min(substring(md5(shingle), 1, 8))  AS mh0,
-         |         min(substring(md5(shingle), 9, 8))  AS mh1,
-         |         min(substring(md5(shingle), 17, 8)) AS mh2,
-         |         min(substring(md5(shingle), 25, 8)) AS mh3
-         |  FROM sh GROUP BY doc_id
-         |), b AS (
-         |  SELECT doc_id, unnest(['0|'||mh0||mh1, '1|'||mh2||mh3]) AS bkey FROM sig
-         |), edge AS (
-         |  SELECT DISTINCT a.doc_id AS x, c.doc_id AS y
-         |  FROM b a JOIN b c USING (bkey)
-         |), reach(x, y) AS (
-         |  SELECT x, y FROM edge
-         |  UNION
-         |  SELECT r.x, e.y FROM reach r JOIN edge e ON r.y = e.x
-         |)
-         |SELECT x AS doc_id, min(y) AS cluster,
-         |       CAST(min(y) < x AS INTEGER) AS is_dup
-         |FROM reach GROUP BY x
+      s"""$ClustersCteSql
+         |SELECT doc_id, cluster,
+         |       CAST(cluster < doc_id AS INTEGER) AS is_dup
+         |FROM clusters
          |ORDER BY doc_id""".stripMargin,
     "q_dedup_simhash" ->
       s"""WITH wd AS (

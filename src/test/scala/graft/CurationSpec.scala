@@ -1,0 +1,98 @@
+package graft
+
+import graft.ops.{Curation, Dedup}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants of the corpus-curation operators — properties the
+  * DuckDB hash-compare can't express (it proves engine parity, not that
+  * the result means what the operator claims). */
+class CurationSpec extends AnyFunSuite {
+  private val spark = TestSpark.session
+  private val sf = TestSpark.Sf
+
+  test("clusterRep picks exactly one representative per cluster, and it has the cluster's max n_chars") {
+    val rep = Curation.clusterRep(spark, sf).cache()
+    val perCluster = rep.groupBy("cluster")
+      .agg(sum("is_rep").as("n_reps"),
+        max("n_chars").as("max_chars"),
+        max(when(col("is_rep") === 1, col("n_chars"))).as("rep_chars"))
+    assert(perCluster.filter(col("n_reps") =!= 1).count() === 0)
+    assert(perCluster.filter(col("rep_chars") =!= col("max_chars")).count() === 0)
+    // every doc is assigned, exactly once
+    val docs = Tables.documents(spark, sf).count()
+    assert(rep.count() === docs)
+    rep.unpersist()
+  }
+
+  test("spanDedup: span counts match ceil(words/10); dup total equals spans minus distinct") {
+    val sd = Curation.spanDedup(spark, sf).cache()
+    val withWords = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        ceil(size(split(col("text"), " ")) / 10.0).cast("long").as("want"))
+      .join(sd, "doc_id")
+    assert(withWords.filter(col("n_spans") =!= col("want")).count() === 0)
+    sd.unpersist()
+    // sf0.01's planted near-duplicate docs share 10-word spans across
+    // docs; "duplicate = every occurrence beyond the corpus-wide first"
+    // means total dup spans == total spans − distinct span texts, which an
+    // independent distinct-count confirms
+    val sf2 = "/root/testdata/sf0.01"
+    val sd2 = Curation.spanDedup(spark, sf2).cache()
+    val dupTotal = sd2.agg(sum("n_dup_spans")).head().getLong(0)
+    val spanTotal = sd2.agg(sum("n_spans")).head().getLong(0)
+    assert(dupTotal > 0, "sf0.01's near-dup docs should share spans")
+    val ws = split(col("text"), " ")
+    val distinctSpans = Tables.documents(spark, sf2)
+      .select(explode(transform(
+        sequence(lit(0), (size(ws) + lit(9)).divide(lit(10)).cast("int") - 1),
+        i => concat_ws(" ", slice(ws, i * 10 + 1, lit(10))))).as("span"))
+      .distinct().count()
+    assert(dupTotal === spanTotal - distinctSpans)
+    sd2.unpersist()
+  }
+
+  test("qualityQuantile keeps exactly ceil(n/4) docs per source") {
+    val kept = Curation.qualityQuantile(spark, sf)
+      .groupBy("source").agg(count(lit(1)).as("n_kept"))
+    val want = Tables.documents(spark, sf)
+      .groupBy("source").agg(ceil(count(lit(1)) / 4.0).cast("long").as("n_want"))
+    assert(kept.join(want, "source").filter(col("n_kept") =!= col("n_want")).count() === 0)
+    assert(kept.count() === Tables.documents(spark, sf).select("source").distinct().count())
+  }
+
+  test("piiRedact finds exactly the planted PII: every 7th doc one email, every 11th one phone") {
+    val r = Curation.piiRedact(spark, sf).cache()
+    val docs = Tables.documents(spark, sf).select("doc_id")
+    val expected = docs.filter(col("doc_id") % 7 === 0 || col("doc_id") % 11 === 0).count()
+    assert(r.count() === expected)
+    assert(r.filter(col("doc_id") % 7 === 0).filter(col("n_emails") =!= 1).count() === 0)
+    assert(r.filter(col("doc_id") % 11 === 0).filter(col("n_phones") =!= 1).count() === 0)
+    assert(r.filter(col("doc_id") % 7 =!= 0).filter(col("n_emails") =!= 0).count() === 0)
+    r.unpersist()
+  }
+
+  test("shardAssign partitions the corpus completely and roughly evenly") {
+    val sh = Curation.shardAssign(spark, sf).cache()
+    val docs = Tables.documents(spark, sf).count()
+    assert(sh.agg(sum("n_docs")).head().getLong(0) === docs)
+    val ids = sh.select("shard").collect().map(_.getLong(0))
+    assert(ids.forall(i => i >= 0 && i < Curation.NShards))
+    // md5 balance: with ~500 docs over 64 shards (mean ~8), a hot shard
+    // of > 4x mean would indicate a broken hash, not randomness
+    val maxDocs = sh.agg(max("n_docs")).head().getLong(0)
+    assert(maxDocs <= 4 * (docs / Curation.NShards).max(1),
+      s"shard skew: max $maxDocs for mean ${docs / Curation.NShards}")
+    sh.unpersist()
+  }
+
+  test("mixMaterialize allocates exactly each source's floor(weight*epoch) target") {
+    val copies = Curation.mixMaterialize(spark, sf)
+      .groupBy("source").agg(count(lit(1)).as("n_copies"))
+    val targets = graft.ops.TrainingPrep.sourceMix(spark, sf)
+      .select(col("source"),
+        floor(col("weight") * Curation.EpochDocs).cast("long").as("target"))
+    val joined = copies.join(targets, "source")
+    assert(joined.filter(col("n_copies") =!= col("target")).count() === 0)
+  }
+}
