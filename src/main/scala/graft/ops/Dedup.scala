@@ -309,6 +309,34 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
+  /** Incremental dedup: flag each INCOMING document (the fixture's
+    * `src19` plays the new crawl batch) that LSH-band-collides with any
+    * document already in the corpus (every other source) — the
+    * batch-over-existing-index shape a production dedup runs daily,
+    * where re-clustering the whole corpus per batch would be absurd.
+    * `first_match` is the smallest colliding corpus doc (the evidence
+    * row a triage UI shows).
+    *
+    * Scale: both sides reduce to (doc_id, bkey) incidence; the corpus
+    * side pre-aggregates to one row per bucket (its signature index —
+    * at 100 TB this is the precomputed, stored artifact, rebuilt
+    * incrementally), and the join is bucket-keyed — incoming docs never
+    * meet corpus docs directly, only through O(batch × bands) bucket
+    * rows. */
+  def incrementalDedup(s: SparkSession, d: String): DataFrame = {
+    val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    val bk = graft.util.Ckpt.stage(bandBuckets(s, d).join(src, "doc_id"))
+    val corpusIdx = bk.filter(col("source") =!= "src19")
+      .groupBy("bkey").agg(min("doc_id").as("hit"))
+    bk.filter(col("source") === "src19")
+      .join(corpusIdx, Seq("bkey"), "left")
+      .groupBy("doc_id")
+      .agg(min("hit").as("first_match"))
+      .select(col("doc_id"), col("first_match"),
+        col("first_match").isNotNull.cast("int").as("is_dup_vs_corpus"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact"    -> (dedupExact _),
     "q_dedup_survivor" -> (dedupSurvivor _),
@@ -318,6 +346,7 @@ object Dedup {
     "q_dedup_clusters" -> (dedupClusters _),
     "q_dedup_simhash"  -> (dedupSimhash _),
     "q_ngram_jaccard"  -> (ngramJaccard _),
+    "q_dedup_incremental" -> (incrementalDedup _),
   )
 
   /** The [[dedupClusters]] transitive closure as a reusable CTE prefix
@@ -325,8 +354,11 @@ object Dedup {
     * replays the min-label propagation exactly. Shared with
     * `Curation.clusterRep`'s oracle so representative selection is layered
     * on the identical cluster assignment in both engines. */
-  private[ops] lazy val ClustersCteSql: String =
-    s"""WITH RECURSIVE sh AS (
+  /** The doc→LSH-band-bucket incidence (CTEs `sh`/`sig`/`b`, ending at
+    * `b(doc_id, bkey)`) — the SQL twin of [[bandBuckets]], shared by the
+    * cluster closure and the incremental-dedup oracle. */
+  private[ops] lazy val BandBucketsCteBody: String =
+    s"""sh AS (
        |  SELECT doc_id, unnest($ShinglesSql) AS shingle FROM documents
        |), sig AS (
        |  SELECT doc_id,
@@ -337,7 +369,10 @@ object Dedup {
        |  FROM sh GROUP BY doc_id
        |), b AS (
        |  SELECT doc_id, unnest(['0|'||mh0||mh1, '1|'||mh2||mh3]) AS bkey FROM sig
-       |), edge AS (
+       |)""".stripMargin
+
+  private[ops] lazy val ClustersCteSql: String =
+    s"""WITH RECURSIVE $BandBucketsCteBody, edge AS (
        |  SELECT DISTINCT a.doc_id AS x, c.doc_id AS y
        |  FROM b a JOIN b c USING (bkey)
        |), reach(x, y) AS (
@@ -451,6 +486,19 @@ object Dedup {
          |SELECT doc_id, cluster,
          |       CAST(cluster < doc_id AS INTEGER) AS is_dup
          |FROM clusters
+         |ORDER BY doc_id""".stripMargin,
+    "q_dedup_incremental" ->
+      s"""WITH $BandBucketsCteBody, ws AS (
+         |  SELECT b.doc_id, b.bkey, d.source
+         |  FROM b JOIN documents d USING (doc_id)
+         |), corp AS (
+         |  SELECT bkey, min(doc_id) AS hit FROM ws WHERE source <> 'src19' GROUP BY bkey
+         |)
+         |SELECT i.doc_id, min(c.hit) AS first_match,
+         |       CAST(min(c.hit) IS NOT NULL AS INTEGER) AS is_dup_vs_corpus
+         |FROM ws i LEFT JOIN corp c USING (bkey)
+         |WHERE i.source = 'src19'
+         |GROUP BY i.doc_id
          |ORDER BY doc_id""".stripMargin,
     "q_dedup_simhash" ->
       s"""WITH wd AS (

@@ -244,6 +244,75 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** SemDeDup-style semantic dedup: connected components over the
+    * [[embedNeardup]] similarity pairs, min-id label per component —
+    * near-duplicates by MEANING (embedding cosine) rather than by
+    * surface n-grams, the companion to [[Dedup.dedupClusters]] on the
+    * vector side.
+    *
+    * Scale: per round, one (edge ⋈ label) join + two key aggregates over
+    * (id, label) pairs — vectors never ride the loop's exchanges; edges
+    * come from the blocked similarity join (never all-pairs). Rounds =
+    * component diameter; `Ckpt.stage` truncates lineage per round. */
+  def semanticDedup(s: SparkSession, d: String): DataFrame = {
+    val pairs = once(embedNeardup(s, d).select("id1", "id2"))
+    val edges = pairs
+      .unionAll(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+      .toDF("src", "dst")
+    var labels = once(Tables.embeddings(s, d)
+      .select(col("vec_id"), col("vec_id").as("label")))
+    var rounds = 0
+    var changed = 1L
+    while (changed > 0 && rounds < 30) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("vec_id"))
+        .groupBy("src").agg(min("label").as("nl"))
+      val next = labels.join(nbrMin, labels("vec_id") === nbrMin("src"), "left")
+        .select(labels("vec_id"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"),
+          (coalesce(col("nl"), col("label")) < col("label")).cast("int").as("chg"))
+        .transform(once)
+      changed = next.agg(coalesce(sum("chg"), lit(0L))).collect()(0).getLong(0)
+      labels = next.select("vec_id", "label")
+      rounds += 1
+    }
+    labels
+      .withColumn("is_dup", (col("label") < col("vec_id")).cast("int"))
+      .withColumnRenamed("label", "cluster")
+      .orderBy("vec_id")
+  }
+
+  /** One Lloyd (k-means) update step for the [[annIvf]] coarse quantizer:
+    * assign every vector to its max-cosine centroid (the identical
+    * assignment rule IVF uses), then emit the recomputed centroid matrix
+    * long-form — (cell, dim, mean, member count) — the iteration a
+    * pipeline runs to TRAIN the quantizer it serves ANN from.
+    *
+    * Scale: centroids broadcast; assignment is the same narrow
+    * map-side-combinable argmax as IVF; the mean recompute shuffles
+    * (cell, dim, partial decimal sum) — 64·k cells of state regardless of
+    * corpus size, and the decimal sum makes the means bit-stable under
+    * any partitioning. */
+  def kmeansStep(s: SparkSession, d: String): DataFrame = {
+    val n = once(withNorm(Tables.embeddings(s, d)).select("vec_id", "v", "norm"))
+    val cents = n.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("norm").as("cn"))
+    val best = n.crossJoin(broadcast(cents))
+      .select(col("vec_id"),
+        round(dot(col("v"), col("cv")) / (col("norm") * col("cn")), 4).as("ccos"),
+        col("cid"))
+      .groupBy("vec_id")
+      .agg(max(struct(col("ccos"), (-col("cid")).as("negcid"))).as("b"))
+      .select(col("vec_id"), (-col("b.negcid")).as("cid"))
+    val members = n.join(best, "vec_id")
+      .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+    members
+      .groupBy("cid", "dim")
+      .agg(count(lit(1)).as("n_members"),
+        round(graft.util.Det.davg(col("x")), 4).as("dim_mean"))
+      .select(col("cid"), col("dim"), col("dim_mean"), col("n_members"))
+      .orderBy("cid", "dim")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cosine_topk"   -> (cosineTopk _),
     "q_ann_lsh_rp"    -> (annLshRp _),
@@ -251,6 +320,8 @@ object Similarity {
     "q_ann_lsh"       -> (annLsh _),
     "q_ann_ivf"       -> (annIvf _),
     "q_embed_neardup" -> (embedNeardup _),
+    "q_dedup_semantic" -> (semanticDedup _),
+    "q_kmeans_step"    -> (kmeansStep _),
   )
 
   private val NormCte =
@@ -383,5 +454,46 @@ object Similarity {
          |  ON a.label = b.label AND b.vec_id > a.vec_id AND b.vec_id <= a.vec_id + 50
          |WHERE round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 4) >= 0.3
          |ORDER BY id1, id2""".stripMargin,
+    // the transitive closure over the same similarity pairs the
+    // q_embed_neardup oracle produces; undirected + reflexive edges so
+    // every vector gets a component label
+    "q_dedup_semantic" ->
+      s"""WITH RECURSIVE $NormCte, e0 AS (
+         |  SELECT a.vec_id AS id1, b.vec_id AS id2
+         |  FROM n a JOIN n b
+         |    ON a.label = b.label AND b.vec_id > a.vec_id AND b.vec_id <= a.vec_id + 50
+         |  WHERE round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 4) >= 0.3
+         |), edge AS (
+         |  SELECT id1 AS x, id2 AS y FROM e0
+         |  UNION SELECT id2, id1 FROM e0
+         |  UNION SELECT vec_id, vec_id FROM embeddings
+         |), reach(x, y) AS (
+         |  SELECT x, y FROM edge
+         |  UNION
+         |  SELECT r.x, e.y FROM reach r JOIN edge e ON r.y = e.x
+         |)
+         |SELECT x AS vec_id, min(y) AS cluster,
+         |       CAST(min(y) < x AS INTEGER) AS is_dup
+         |FROM reach GROUP BY x
+         |ORDER BY vec_id""".stripMargin,
+    "q_kmeans_step" ->
+      s"""WITH $NormCte,
+         |c AS (SELECT vec_id AS cid, v AS cv, norm AS cn FROM n WHERE vec_id % 100 = 0),
+         |asg AS (
+         |  SELECT vec_id, v, cid FROM (
+         |    SELECT n.vec_id, n.v, c.cid,
+         |           row_number() OVER (PARTITION BY n.vec_id
+         |             ORDER BY round(list_dot_product(n.v, c.cv) / (n.norm * c.cn), 4) DESC, c.cid ASC) AS crn
+         |    FROM n, c) t
+         |  WHERE crn = 1),
+         |m AS (
+         |  -- parallel unnests zip: (dim, value) pairs per assigned vector
+         |  SELECT cid, unnest(range(1, len(v) + 1)) - 1 AS dim, unnest(v) AS x FROM asg
+         |)
+         |SELECT cid, CAST(dim AS INTEGER) AS dim,
+         |       round(CAST(sum(CAST(x AS DECIMAL(24,6))) AS DOUBLE) / count(*), 4) AS dim_mean,
+         |       count(*) AS n_members
+         |FROM m GROUP BY cid, dim
+         |ORDER BY cid, dim""".stripMargin,
   )
 }

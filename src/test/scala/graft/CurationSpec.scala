@@ -86,6 +86,46 @@ class CurationSpec extends AnyFunSuite {
     sh.unpersist()
   }
 
+  test("semanticDedup: every similarity pair lands in one cluster; labels are component minima") {
+    val clusters = graft.ops.Similarity.semanticDedup(spark, sf).cache()
+    // cluster label never exceeds the member id (it is a reachable min)
+    assert(clusters.filter(col("cluster") > col("vec_id")).count() === 0)
+    // both endpoints of every near-dup pair share a cluster
+    val pairs = graft.ops.Similarity.embedNeardup(spark, sf).select("id1", "id2")
+    val l1 = clusters.select(col("vec_id").as("id1"), col("cluster").as("c1"))
+    val l2 = clusters.select(col("vec_id").as("id2"), col("cluster").as("c2"))
+    assert(pairs.join(l1, "id1").join(l2, "id2")
+      .filter(col("c1") =!= col("c2")).count() === 0)
+    // every vector is labeled exactly once
+    assert(clusters.count() === Tables.embeddings(spark, sf).count())
+    clusters.unpersist()
+  }
+
+  test("kmeansStep: every cell-dim mean has the full membership; members total the corpus") {
+    val km = graft.ops.Similarity.kmeansStep(spark, sf).cache()
+    val n = Tables.embeddings(spark, sf).count()
+    // per dim, members across cells sum to the corpus size
+    val perDim = km.groupBy("dim").agg(sum("n_members").as("tot"))
+    assert(perDim.filter(col("tot") =!= n).count() === 0)
+    // all 64 dims present for every cell
+    val perCell = km.groupBy("cid").agg(count(lit(1)).as("dims"))
+    assert(perCell.filter(col("dims") =!= 64).count() === 0)
+    km.unpersist()
+  }
+
+  test("incrementalDedup flags exactly the incoming docs sharing a band bucket with the corpus") {
+    val inc = graft.ops.Dedup.incrementalDedup(spark, sf).cache()
+    val incoming = Tables.documents(spark, sf).filter(col("source") === "src19")
+    assert(inc.count() === incoming.count())
+    // first_match is never an incoming doc and only set when flagged
+    val srcOf = Tables.documents(spark, sf).select(col("doc_id").as("first_match"), col("source").as("msrc"))
+    assert(inc.filter(col("is_dup_vs_corpus") === 1).join(srcOf, "first_match")
+      .filter(col("msrc") === "src19").count() === 0)
+    assert(inc.filter(col("is_dup_vs_corpus") === 0)
+      .filter(col("first_match").isNotNull).count() === 0)
+    inc.unpersist()
+  }
+
   test("mixMaterialize allocates exactly each source's floor(weight*epoch) target") {
     val copies = Curation.mixMaterialize(spark, sf)
       .groupBy("source").agg(count(lit(1)).as("n_copies"))
