@@ -206,7 +206,58 @@ object EventTime {
       .orderBy("hour")
   }
 
+  /** Resample to a dense hourly grid + linear interpolation: per event
+    * type, the observed hourly mean rides a generated hour spine (the
+    * type's own [min, max] — interior gaps only, no extrapolation), and
+    * missing hours are linearly interpolated between the surrounding
+    * observations — the standard time-series regularization before any
+    * windowed model sees the data. ~5% of hours are absent per type in
+    * the fixture, so the interpolation path is genuinely exercised.
+    *
+    * Determinism: observed means are decimal-exact then rounded; the
+    * interpolation is one IEEE expression over those rounded values and
+    * integer epoch-second gaps — identical in any engine.
+    *
+    * Scale: one partial-aggregated shuffle to (type, hour) grain —
+    * everything after runs on series-sized data (rows = hours × types,
+    * independent of event volume); the spine explode is per type. The
+    * LOCF/NOCB window pair is the gaps-and-islands formulation, not a
+    * self-join. */
+  def resampleInterp(s: SparkSession, d: String): DataFrame = {
+    val obs = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(round(graft.util.Det.davg(col("value")), 4).as("obs"))
+    val spine = obs.groupBy("event_type")
+      .agg(min("h").as("h0"), max("h").as("h1"))
+      .select(col("event_type"),
+        explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+    val wPrev = Window.partitionBy("event_type").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy("event_type").orderBy("h")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    spine.join(obs, Seq("event_type", "h"), "left")
+      .withColumn("pv", last(col("obs"), ignoreNulls = true).over(wPrev))
+      .withColumn("ph", last(when(col("obs").isNotNull, col("h")), ignoreNulls = true).over(wPrev))
+      .withColumn("nv", first(col("obs"), ignoreNulls = true).over(wNext))
+      .withColumn("nh", first(when(col("obs").isNotNull, col("h")), ignoreNulls = true).over(wNext))
+      .withColumn("raw",
+        when(col("obs").isNotNull, col("obs")).otherwise(
+          col("pv") + (col("nv") - col("pv")) *
+            ((unix_timestamp(col("h")) - unix_timestamp(col("ph"))) /
+              (unix_timestamp(col("nh")) - unix_timestamp(col("ph"))))))
+      .select(
+        col("event_type"), fmtTs(col("h")).as("hour"),
+        // explicit floor-quantize, NOT round(): the two engines' round()
+        // implementations disagree by 1 ulp exactly at .00005 boundaries
+        // of computed doubles; floor(x·10⁴ + 0.5)/10⁴ is the same IEEE
+        // op sequence in both
+        (floor(col("raw") * 10000 + 0.5) / 10000).as("value"),
+        col("obs").isNull.cast("int").as("is_interp"))
+      .orderBy("event_type", "hour")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_resample_interp"    -> (resampleInterp _),
     "q_cohort_retention"   -> (cohortRetention _),
     "q_cumulative_users"   -> (cumulativeUsers _),
     "q_hopping_window"     -> (hoppingWindow _),
@@ -220,6 +271,40 @@ object EventTime {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_resample_interp" ->
+      """WITH obs AS (
+        |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+        |         round(CAST(sum(CAST(value AS DECIMAL(24,6))) AS DOUBLE) / count(value), 4) AS obs
+        |  FROM events GROUP BY 1, 2
+        |), spine AS (
+        |  SELECT event_type, unnest(generate_series(min(h), max(h), INTERVAL 1 HOUR)) AS h
+        |  FROM obs GROUP BY event_type
+        |), j AS (
+        |  SELECT s.event_type, s.h, o.obs
+        |  FROM spine s LEFT JOIN obs o USING (event_type, h)
+        |), f AS (
+        |  SELECT *,
+        |    last_value(obs IGNORE NULLS) OVER (
+        |      PARTITION BY event_type ORDER BY h
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |    last_value(CASE WHEN obs IS NOT NULL THEN h END IGNORE NULLS) OVER (
+        |      PARTITION BY event_type ORDER BY h
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+        |    first_value(obs IGNORE NULLS) OVER (
+        |      PARTITION BY event_type ORDER BY h
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |    first_value(CASE WHEN obs IS NOT NULL THEN h END IGNORE NULLS) OVER (
+        |      PARTITION BY event_type ORDER BY h
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+        |  FROM j
+        |)
+        |SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+        |       floor((CASE WHEN obs IS NOT NULL THEN obs
+        |              ELSE pv + (nv - pv) * ((epoch(h) - epoch(ph)) / (epoch(nh) - epoch(ph))) END)
+        |             * 10000 + 0.5) / 10000 AS value,
+        |       CAST(obs IS NULL AS INTEGER) AS is_interp
+        |FROM f
+        |ORDER BY event_type, hour""".stripMargin,
     "q_cohort_retention" ->
       """WITH e AS (
         |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS dd

@@ -45,6 +45,8 @@ class PlanBudgetSpec extends AnyFunSuite {
     // execution runs it once — 5 is the audit-mode upper bound
     ("q_ngram_jaccard", 5, 2),
     ("q_tfidf", 5, 1),
+    ("q_dedup_incremental", 6, 0),    // incidence recomputed per branch in audit mode
+    ("q_kmeans_step", 4, 2),          // centroids broadcast to assign + probe
     ("q_join_interval_time", 1, 1),
     ("q_join_pipeline_top", 1, 2),    // TPC-H Q3: both dims must broadcast
     ("q_join_star", 1, 5),            // TPC-H Q5: all five dims must broadcast
