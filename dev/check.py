@@ -34,8 +34,20 @@ def main():
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sfdir, f"{t}.parquet")
-        if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        if not os.path.exists(p):
+            continue
+        if os.path.isdir(p):  # Spark-written dataset (ScaleGen output)
+            p = os.path.join(p, "*.parquet")
+        src = f"read_parquet('{p}')"
+        if t == "events":
+            # ScaleGen writes ts as raw int64 nanos (no logical type);
+            # mirror Tables.events' ns→µs truncation so the oracle SQL's
+            # CAST(ts AS TIMESTAMP) sees a timestamp either way
+            (ty,) = con.execute(
+                f"SELECT typeof(ts) FROM {src} LIMIT 1").fetchone()
+            if ty == "BIGINT":
+                src = f"(SELECT * REPLACE (make_timestamp(ts // 1000) AS ts) FROM {src})"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
     oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
     names = sys.argv[3:] or sorted(oracle)
     n_pass = n_fail = 0
