@@ -33,6 +33,7 @@ object SparkEntry {
       (ops.ScaleOps.queries, ops.ScaleOps.oracle),
       (ops.TrainingPrep.queries, ops.TrainingPrep.oracle),
       (ops.Curation.queries, ops.Curation.oracle),
+      (ops.Graph.queries, ops.Graph.oracle),
       (ops.TypedOps.queries, ops.TypedOps.oracle),
     )
 

@@ -1,0 +1,316 @@
+package graft.functions
+
+import org.apache.datasketches.common.SketchesStateException
+import org.apache.datasketches.kll.KllDoublesSketch
+import org.apache.datasketches.memory.Memory
+import org.apache.datasketches.theta.{CompactSketch, Intersection, SetOperation, Union}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+
+/** Mergeable-sketch aggregate functions beyond Spark's built-in HLL
+  * family: KLL quantile sketches and Theta set-operation sketches, both
+  * Apache DataSketches blobs (readable by any DataSketches binding), both
+  * implemented as native Catalyst `TypedImperativeAggregate`s — the same
+  * execution contract as Spark's own `hll_sketch_agg` (SPARK-16484
+  * family): an arbitrary on-heap sketch object rides the aggregation
+  * buffer and is serialized ONLY at partial/final shuffle boundaries,
+  * so per-row update cost is the sketch update, not a deserialize cycle
+  * (which an `Aggregator`-with-binary-buffer formulation would pay on
+  * every row).
+  *
+  * Why these two complete the story ([[graft.ops.Sketches]] holds the
+  * query surface):
+  *  - HLL answers distinct-count rollups but cannot answer quantiles;
+  *    KLL gives mergeable rank/quantile state with a priori error bounds
+  *    (±1.65% rank error at k=200, independent of data size).
+  *  - HLL unions but cannot intersect; Theta sketches support full set
+  *    algebra (A ∩ B, A ∖ B) over pre-aggregated segment sketches — the
+  *    "customers in BOTH segments" question that otherwise needs a rescan.
+  */
+object SketchAggs {
+
+  // ---------------------------------------------------------------- KLL
+
+  /** Aggregates a double column into a KLL(k) quantile sketch blob. */
+  case class KllSketchAgg(
+      child: Expression,
+      k: Int,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[KllDoublesSketch] {
+
+    override def createAggregationBuffer(): KllDoublesSketch =
+      KllDoublesSketch.newHeapInstance(k)
+
+    override def update(buf: KllDoublesSketch, input: InternalRow): KllDoublesSketch = {
+      val v = child.eval(input)
+      if (v != null) buf.update(v.asInstanceOf[Double])
+      buf
+    }
+
+    override def merge(buf: KllDoublesSketch, other: KllDoublesSketch): KllDoublesSketch = {
+      buf.merge(other); buf
+    }
+
+    override def eval(buf: KllDoublesSketch): Any = buf.toByteArray
+
+    override def serialize(buf: KllDoublesSketch): Array[Byte] = buf.toByteArray
+    override def deserialize(bytes: Array[Byte]): KllDoublesSketch =
+      KllDoublesSketch.heapify(Memory.wrap(bytes))
+
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = false
+    override def children: Seq[Expression] = Seq(child)
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+      copy(child = c.head)
+    override def withNewMutableAggBufferOffset(o: Int): KllSketchAgg =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): KllSketchAgg =
+      copy(inputAggBufferOffset = o)
+    override def prettyName: String = "kll_sketch_agg"
+  }
+
+  /** Merges pre-aggregated KLL blobs (the rollup side: day → month). */
+  case class KllMergeAgg(
+      child: Expression,
+      k: Int,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[KllDoublesSketch] {
+
+    override def createAggregationBuffer(): KllDoublesSketch =
+      KllDoublesSketch.newHeapInstance(k)
+
+    override def update(buf: KllDoublesSketch, input: InternalRow): KllDoublesSketch = {
+      val v = child.eval(input)
+      if (v != null)
+        buf.merge(KllDoublesSketch.heapify(Memory.wrap(v.asInstanceOf[Array[Byte]])))
+      buf
+    }
+
+    override def merge(buf: KllDoublesSketch, other: KllDoublesSketch): KllDoublesSketch = {
+      buf.merge(other); buf
+    }
+
+    override def eval(buf: KllDoublesSketch): Any = buf.toByteArray
+    override def serialize(buf: KllDoublesSketch): Array[Byte] = buf.toByteArray
+    override def deserialize(bytes: Array[Byte]): KllDoublesSketch =
+      KllDoublesSketch.heapify(Memory.wrap(bytes))
+
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = false
+    override def children: Seq[Expression] = Seq(child)
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+      copy(child = c.head)
+    override def withNewMutableAggBufferOffset(o: Int): KllMergeAgg =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): KllMergeAgg =
+      copy(inputAggBufferOffset = o)
+    override def prettyName: String = "kll_merge_agg"
+  }
+
+  /** Scalar: quantile estimate at rank `q` from a KLL blob. Evaluated on
+    * rolled-up rows (one per group), so the per-row heapify is off the
+    * hot path by construction. */
+  case class KllQuantile(child: Expression, q: Double)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def nullSafeEval(input: Any): Any = {
+      val sk = KllDoublesSketch.heapify(Memory.wrap(input.asInstanceOf[Array[Byte]]))
+      if (sk.isEmpty) null else sk.getQuantile(q)
+    }
+    override protected def withNewChildInternal(c: Expression): KllQuantile =
+      copy(child = c)
+    override def prettyName: String = "kll_quantile"
+  }
+
+  // -------------------------------------------------------------- Theta
+
+  /** Aggregates a long column into a Theta sketch blob (lgK nominal
+    * entries; exact below 2^lgK distinct values, unbiased sample above). */
+  case class ThetaSketchAgg(
+      child: Expression,
+      lgK: Int,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Union] {
+
+    // a theta Union accepts raw updates through its internal gadget and
+    // merges other sketches — one buffer type serves both phases
+    override def createAggregationBuffer(): Union =
+      SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
+
+    override def update(buf: Union, input: InternalRow): Union = {
+      val v = child.eval(input)
+      if (v != null) buf.update(v.asInstanceOf[Long])
+      buf
+    }
+
+    override def merge(buf: Union, other: Union): Union = {
+      buf.union(other.getResult); buf
+    }
+
+    override def eval(buf: Union): Any = buf.getResult.toByteArray
+
+    override def serialize(buf: Union): Array[Byte] = buf.toByteArray
+    override def deserialize(bytes: Array[Byte]): Union =
+      SetOperation.heapify(Memory.wrap(bytes)).asInstanceOf[Union]
+
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = false
+    override def children: Seq[Expression] = Seq(child)
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+      copy(child = c.head)
+    override def withNewMutableAggBufferOffset(o: Int): ThetaSketchAgg =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): ThetaSketchAgg =
+      copy(inputAggBufferOffset = o)
+    override def prettyName: String = "theta_sketch_agg"
+  }
+
+  /** Unions pre-aggregated Theta blobs. */
+  case class ThetaUnionAgg(
+      child: Expression,
+      lgK: Int,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Union] {
+
+    override def createAggregationBuffer(): Union =
+      SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
+
+    override def update(buf: Union, input: InternalRow): Union = {
+      val v = child.eval(input)
+      if (v != null)
+        buf.union(CompactSketch.wrap(Memory.wrap(v.asInstanceOf[Array[Byte]])))
+      buf
+    }
+
+    override def merge(buf: Union, other: Union): Union = {
+      buf.union(other.getResult); buf
+    }
+
+    override def eval(buf: Union): Any = buf.getResult.toByteArray
+    override def serialize(buf: Union): Array[Byte] = buf.toByteArray
+    override def deserialize(bytes: Array[Byte]): Union =
+      SetOperation.heapify(Memory.wrap(bytes)).asInstanceOf[Union]
+
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = false
+    override def children: Seq[Expression] = Seq(child)
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+      copy(child = c.head)
+    override def withNewMutableAggBufferOffset(o: Int): ThetaUnionAgg =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): ThetaUnionAgg =
+      copy(inputAggBufferOffset = o)
+    override def prettyName: String = "theta_union_agg"
+  }
+
+  /** Intersects pre-aggregated Theta blobs — the set operation HLL cannot
+    * express. The identity of intersection is the universal set, which has
+    * no sketch representation: the buffer starts in a "no input yet"
+    * state ([[Intersection.hasResult]] false) and an empty group
+    * evaluates to SQL null. */
+  case class ThetaIntersectAgg(
+      child: Expression,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Intersection] {
+
+    override def createAggregationBuffer(): Intersection =
+      SetOperation.builder().buildIntersection()
+
+    override def update(buf: Intersection, input: InternalRow): Intersection = {
+      val v = child.eval(input)
+      if (v != null)
+        buf.intersect(CompactSketch.wrap(Memory.wrap(v.asInstanceOf[Array[Byte]])))
+      buf
+    }
+
+    override def merge(buf: Intersection, other: Intersection): Intersection = {
+      if (other.hasResult) buf.intersect(other.getResult)
+      buf
+    }
+
+    override def eval(buf: Intersection): Any =
+      if (buf.hasResult) buf.getResult.toByteArray else null
+
+    override def serialize(buf: Intersection): Array[Byte] = buf.toByteArray
+    override def deserialize(bytes: Array[Byte]): Intersection =
+      SetOperation.heapify(Memory.wrap(bytes)).asInstanceOf[Intersection]
+
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+    override def children: Seq[Expression] = Seq(child)
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+      copy(child = c.head)
+    override def withNewMutableAggBufferOffset(o: Int): ThetaIntersectAgg =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): ThetaIntersectAgg =
+      copy(inputAggBufferOffset = o)
+    override def prettyName: String = "theta_intersect_agg"
+  }
+
+  /** Scalar: intersection of two Theta blobs (for pairwise overlap over
+    * window-lagged sketch columns; group-wise intersection is
+    * [[ThetaIntersectAgg]]). */
+  case class ThetaPairIntersect(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val inter = SetOperation.builder().buildIntersection()
+      inter.intersect(CompactSketch.wrap(Memory.wrap(l.asInstanceOf[Array[Byte]])))
+      inter.intersect(CompactSketch.wrap(Memory.wrap(r.asInstanceOf[Array[Byte]])))
+      inter.getResult.toByteArray
+    }
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): ThetaPairIntersect =
+      copy(left = newLeft, right = newRight)
+    override def prettyName: String = "theta_pair_intersect"
+  }
+
+  /** Scalar: distinct-count estimate from a Theta blob. Exact (an
+    * integer) while every input sketch stayed below its nominal entry
+    * count — the property the oracled query relies on at fixture scale. */
+  case class ThetaEstimate(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def nullSafeEval(input: Any): Any =
+      CompactSketch.wrap(Memory.wrap(input.asInstanceOf[Array[Byte]])).getEstimate
+    override protected def withNewChildInternal(c: Expression): ThetaEstimate =
+      copy(child = c)
+    override def prettyName: String = "theta_estimate"
+  }
+
+  // ------------------------------------------------------- Column sugar
+
+  private def agg(e: TypedImperativeAggregate[_]): Column =
+    Bridge.column(e.toAggregateExpression())
+
+  def kllAgg(c: Column, k: Int = 200): Column =
+    agg(KllSketchAgg(Bridge.expression(c), k))
+  def kllMergeAgg(c: Column, k: Int = 200): Column =
+    agg(KllMergeAgg(Bridge.expression(c), k))
+  def kllQuantile(c: Column, q: Double): Column =
+    Bridge.column(KllQuantile(Bridge.expression(c), q))
+
+  def thetaAgg(c: Column, lgK: Int = 16): Column =
+    agg(ThetaSketchAgg(Bridge.expression(c), lgK))
+  def thetaUnionAgg(c: Column, lgK: Int = 16): Column =
+    agg(ThetaUnionAgg(Bridge.expression(c), lgK))
+  def thetaIntersectAgg(c: Column): Column =
+    agg(ThetaIntersectAgg(Bridge.expression(c)))
+  def thetaPairIntersect(a: Column, b: Column): Column =
+    Bridge.column(ThetaPairIntersect(Bridge.expression(a), Bridge.expression(b)))
+  def thetaEstimate(c: Column): Column =
+    Bridge.column(ThetaEstimate(Bridge.expression(c)))
+}

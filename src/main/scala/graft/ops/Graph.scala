@@ -1,0 +1,182 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over a derived relational graph (north-star extension:
+  * the reference's pipeline stops at flat aggregates; production data
+  * platforms run link analysis on exactly this kind of derived graph —
+  * entity-influence ranking, reachability/lineage hops).
+  *
+  * The graph: nation-level trade edges. `lineitem ⋈ orders` (the one big
+  * shuffle join — at 100 TB this derivation IS the expensive stage) maps
+  * each line item to (supplier nation → customer nation) through the two
+  * broadcast dims, then aggregates to a weighted edge list that is tiny
+  * (≤ |nations|²) no matter the input scale. The iterative algorithms run
+  * on the aggregated edges: the scale-correct layout, since rank/distance
+  * state never exceeds the node count, while all per-row work stays in the
+  * one aggregation pass.
+  *
+  * Determinism: PageRank is computed in scaled fixed-point BIGINT
+  * (rank × 10¹²) with floor division — no floating-point aggregate exists
+  * anywhere, so Spark and the DuckDB oracle (same integer ops, `//`) agree
+  * bit-for-bit regardless of partitioning or summation order. Dividing the
+  * rank by out-weight BEFORE multiplying by the edge weight keeps every
+  * intermediate ≤ the total rank mass (≈ |nodes| × 10¹² ≪ 2⁶³): overflow-
+  * free by construction at any scale factor.
+  */
+object Graph {
+
+  /** Fixed-point scale: 1 unit of rank = 10⁻¹². */
+  private[ops] val Scale = 1000000000000L
+  /** Damping factor 0.85 as an integer percentage. */
+  private[ops] val DampPct = 85L
+  private[ops] val PrIters = 5
+
+  /** Weighted directed trade edges: supplier nation → customer nation,
+    * weight = number of line items shipped on that lane. */
+  private def tradeEdges(s: SparkSession, d: String): DataFrame = {
+    val li   = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+    val ord  = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+    val supp = Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+    val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("s_nationkey").as("src"), col("c_nationkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
+  }
+
+  /** Weighted PageRank over the trade graph, [[PrIters]] synchronous
+    * iterations in fixed-point: rankᵢ₊₁(v) = 0.15·Scale +
+    * 0.85 · Σ_{u→v} (rankᵢ(u) div outw(u)) · w(u,v). Nations with no
+    * outgoing lane leak their mass (standard dangling-node behavior,
+    * identical in the oracle). The edge list is staged once and reused by
+    * all iterations; per-iteration state is one row per nation. */
+  def pagerank(s: SparkSession, d: String): DataFrame = {
+    val teleport = (100L - DampPct) * Scale / 100L
+    val ew = graft.util.Ckpt.stage(
+      tradeEdges(s, d)
+        .join(tradeEdges(s, d).groupBy("src").agg(sum("w").as("outw")), "src"))
+    val nodes = Tables.nation(s, d)
+      .select(col("n_nationkey").as("node"), col("n_name").as("nation"))
+    var ranks = nodes.select(col("node"), lit(Scale).as("rank"))
+    for (_ <- 1 to PrIters) {
+      val inflow = ew.join(ranks, col("src") === col("node"))
+        .select(col("dst"), expr("(rank div outw) * w").as("c"))
+        .groupBy("dst").agg(sum("c").as("inflow"))
+      ranks = nodes.select(col("node"))
+        .join(inflow, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (lit(teleport) + expr(s"($DampPct * coalesce(inflow, 0L)) div 100"))
+            .as("rank"))
+    }
+    nodes.join(ranks, "node")
+      .select(col("node"), col("nation"), col("rank"))
+      .orderBy("node")
+  }
+
+  /** Hop distance from the hub nation (node 0) over UNDIRECTED trade
+    * lanes: iterative min-distance relaxation to convergence (graph
+    * diameter rounds; ≤ |nodes| hard cap), the same loop shape as
+    * [[Dedup.dedupClusters]]. Unreachable nations report null. The
+    * relaxation state is one (node, dist) row per nation per round —
+    * at 100 TB the derivation pass dominates and the loop is free. */
+  def bfsHops(s: SparkSession, d: String): DataFrame = {
+    val und = tradeEdges(s, d).select(col("src"), col("dst"))
+      .union(tradeEdges(s, d).select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val edges = graft.util.Ckpt.stage(und)
+    val nodes = Tables.nation(s, d)
+      .select(col("n_nationkey").as("node"), col("n_name").as("nation"))
+    var dist = nodes.select(col("node"),
+      when(col("node") === 0, lit(0L)).otherwise(lit(null).cast("long")).as("dist"))
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 30) {
+      val relaxed = edges.join(dist.withColumnRenamed("node", "src"), "src")
+        .filter(col("dist").isNotNull)
+        .groupBy(col("dst").as("node")).agg(min(col("dist") + 1).as("nd"))
+      val next = dist.join(relaxed, Seq("node"), "left")
+        .select(col("node"), least(col("dist"), col("nd")).as("dist2"),
+          (col("nd") < coalesce(col("dist"), lit(Long.MaxValue))).cast("int").as("chg"))
+        .transform(graft.util.Ckpt.stage)
+      changed = next.agg(coalesce(sum("chg"), lit(0L))).collect()(0).getLong(0)
+      dist = next.select(col("node"), col("dist2").as("dist"))
+      rounds += 1
+    }
+    nodes.join(dist, "node")
+      .select(col("node"), col("nation"), col("dist"))
+      .orderBy("node")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pagerank"  -> (pagerank _),
+    "q_graph_bfs" -> (bfsHops _),
+  )
+
+  /** Shared edge-derivation CTE (the SQL twin of [[tradeEdges]]).
+    * `sum(w)` is HUGEINT in DuckDB — cast back to BIGINT so `//` and the
+    * result column match Spark's long arithmetic exactly. */
+  private val EdgeCte =
+    """e AS (
+      |  SELECT s_nationkey AS src, c_nationkey AS dst, count(*) AS w
+      |  FROM lineitem
+      |  JOIN orders   ON l_orderkey = o_orderkey
+      |  JOIN supplier ON l_suppkey  = s_suppkey
+      |  JOIN customer ON o_custkey  = c_custkey
+      |  GROUP BY 1, 2
+      |)""".stripMargin
+
+  /** The PageRank oracle unrolls [[PrIters]] iterations as generated CTEs
+    * from the same Scale/DampPct constants as the Spark plan. */
+  private def pagerankOracle: String = {
+    val teleport = (100L - DampPct) * Scale / 100L
+    val iters = (1 to PrIters).map { i =>
+      s"""r$i AS (
+         |  SELECT n.node,
+         |         CAST($teleport + ($DampPct * coalesce(inf.i, 0)) // 100 AS BIGINT) AS rank
+         |  FROM n LEFT JOIN (
+         |    SELECT ew.dst, CAST(sum((r.rank // ew.outw) * ew.w) AS BIGINT) AS i
+         |    FROM ew JOIN r${i - 1} r ON ew.src = r.node
+         |    GROUP BY ew.dst) inf
+         |  ON n.node = inf.dst
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH $EdgeCte, ow AS (
+       |  SELECT src, CAST(sum(w) AS BIGINT) AS outw FROM e GROUP BY src
+       |), ew AS (
+       |  SELECT e.src, e.dst, CAST(e.w AS BIGINT) AS w, ow.outw
+       |  FROM e JOIN ow USING (src)
+       |), n AS (
+       |  SELECT n_nationkey AS node, n_name AS nation FROM nation
+       |), r0 AS (
+       |  SELECT node, CAST($Scale AS BIGINT) AS rank FROM n
+       |), $iters
+       |SELECT n.node, n.nation, r.rank
+       |FROM n JOIN r$PrIters r USING (node)
+       |ORDER BY n.node""".stripMargin
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q_pagerank" -> pagerankOracle,
+    "q_graph_bfs" ->
+      s"""WITH RECURSIVE $EdgeCte, und AS (
+         |  SELECT src, dst FROM e UNION SELECT dst, src FROM e
+         |), n AS (
+         |  SELECT n_nationkey AS node, n_name AS nation FROM nation
+         |), reach(node, dist) AS (
+         |  SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+         |  UNION
+         |  SELECT und.dst, r.dist + 1
+         |  FROM reach r JOIN und ON und.src = r.node
+         |  WHERE r.dist < 30
+         |), best AS (
+         |  SELECT node, min(dist) AS dist FROM reach GROUP BY node
+         |)
+         |SELECT n.node, n.nation, best.dist
+         |FROM n LEFT JOIN best USING (node)
+         |ORDER BY n.node""".stripMargin,
+  )
+}

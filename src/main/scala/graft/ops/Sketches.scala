@@ -52,11 +52,91 @@ object Sketches {
       .orderBy("month")
   }
 
+  /** Per-day KLL(200) quantile sketches of order totals, rolled up to
+    * month by sketch MERGE: the mergeable-quantile companion of
+    * [[sketchUnion]] (HLL cannot answer "p95 over any ad-hoc rollup"; KLL
+    * can, from the same kind of kilobyte-per-day blobs, with ±1.65% rank
+    * error at k=200 regardless of input size). Reports the merged p50/p95
+    * next to exact references. Rows-only driver check like q_sketch_union
+    * (DuckDB has no KLL); the exactness-below-capacity, merge-law, and
+    * error-bound properties are asserted in [[SketchSpec]]. */
+  def sketchQuantile(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.SketchAggs._
+    val daily = Tables.orders(s, d)
+      .groupBy(col("o_orderdate").as("day"))
+      .agg(kllAgg(col("o_totalprice")).as("sk"))
+    daily
+      .groupBy(date_format(col("day"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_days"), kllMergeAgg(col("sk")).as("msk"))
+      .select(col("month"), col("n_days"),
+        round(kllQuantile(col("msk"), 0.5), 2).as("p50_est"),
+        round(kllQuantile(col("msk"), 0.95), 2).as("p95_est"))
+      .orderBy("month")
+  }
+
+  /** Month-over-month retained customers via Theta sketch INTERSECTION —
+    * the set operation HLL fundamentally cannot express. One pass builds a
+    * theta sketch of the ordering customer set per month; each adjacent
+    * month pair is answered by intersecting two kilobyte blobs (at 100 TB:
+    * the monthly sketches are the stored artifact; every cohort/overlap
+    * question after that never rescans the fact table).
+    *
+    * ORACLED, exactly: below the nominal entry count (lgK=16 → 65,536 ≫
+    * any fixture month) a theta sketch retains every distinct hash, so
+    * estimate = true distinct count as an exact integer, and intersection
+    * of exact sketches is the exact set intersection. The DuckDB oracle
+    * computes the same retained-customer counts relationally. At
+    * estimation scale the same query returns unbiased estimates — that
+    * regime is [[SketchSpec]]'s tolerance test. */
+  def thetaRetention(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.SketchAggs._
+    // unpartitioned lag window: runs AFTER the monthly aggregation, over
+    // one kilobyte-blob row per month — bounded by the calendar, not the
+    // data, so the single-partition sort is safe at any input scale
+    val w = org.apache.spark.sql.expressions.Window.orderBy("month")
+    val monthly = Tables.orders(s, d)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(thetaAgg(col("o_custkey")).as("sk"))
+      .withColumn("prev_sk", lag("sk", 1).over(w))
+      .filter(col("prev_sk").isNotNull)
+    monthly.select(col("month"),
+        round(thetaEstimate(col("sk"))).cast("long").as("n_customers"),
+        round(thetaEstimate(thetaPairIntersect(col("sk"), col("prev_sk"))))
+          .cast("long").as("n_retained"))
+      .orderBy("month")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_sketch_union" -> (sketchUnion _),
+    "q_sketch_union"    -> (sketchUnion _),
+    "q_sketch_quantile" -> (sketchQuantile _),
+    "q_theta_retention" -> (thetaRetention _),
   )
 
-  // rows-only driver check by design (see object doc) — tolerance +
-  // merge-law tests live in SketchSpec
-  val oracle: Map[String, String] = Map.empty
+  // q_sketch_union / q_sketch_quantile: rows-only driver check by design
+  // (see object doc) — tolerance + merge-law tests live in SketchSpec.
+  // q_theta_retention IS oracled: exact-mode theta estimates are integers
+  // equal to the true distinct counts (see thetaRetention doc).
+  val oracle: Map[String, String] = Map(
+    "q_theta_retention" ->
+      """WITH mc AS (
+        |  SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS month, o_custkey
+        |  FROM orders
+        |), m AS (
+        |  SELECT month, lag(month) OVER (ORDER BY month) AS prev
+        |  FROM (SELECT DISTINCT month FROM mc) t
+        |), counts AS (
+        |  SELECT month, count(*) AS n_customers FROM mc GROUP BY month
+        |), ret AS (
+        |  SELECT m.month, count(*) AS n_retained
+        |  FROM m
+        |  JOIN mc a ON a.month = m.month
+        |  JOIN mc b ON b.month = m.prev AND b.o_custkey = a.o_custkey
+        |  GROUP BY m.month
+        |)
+        |SELECT m.month, counts.n_customers,
+        |       coalesce(ret.n_retained, 0) AS n_retained
+        |FROM m JOIN counts USING (month) LEFT JOIN ret USING (month)
+        |WHERE m.prev IS NOT NULL
+        |ORDER BY month""".stripMargin,
+  )
 }

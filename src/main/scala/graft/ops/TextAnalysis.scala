@@ -227,7 +227,47 @@ object TextAnalysis {
       .withColumn("repetitive", col("rep_ratio") >= 0.05)
       .orderBy("doc_id")
 
+  /** Unigram-LM quality scoring (the CCNet/Dolma perplexity-proxy filter):
+    * each document scored by the mean surprisal −ln p(token) of its tokens
+    * under the corpus's own unigram distribution — word-soup docs made of
+    * rare tokens score high, stopword-heavy boilerplate scores low. The
+    * per-token surprisal is quantized to DECIMAL(18,6) BEFORE the per-doc
+    * sum, so the aggregate is exact decimal addition — order-independent
+    * across partitions and engines (a raw double sum would depend on
+    * partition order); `round(ln(x), 6)` parity is the same cross-engine
+    * contract q_math_funcs pins on 60k rows.
+    *
+    * Scale shape: occurrences reduce to per-(doc, term) tf FIRST, so both
+    * exchanges are partial-aggregated counts — the (doc, term) shuffle
+    * carries distinct pairs (never repeated tokens) and the vocabulary
+    * rollup is Zipf-bounded; the per-token surprisal then rides a
+    * broadcast of the vocabulary (at a scale where the vocabulary outgrows
+    * broadcast, the same plan degrades to a term-keyed shuffle of the
+    * already-tf-reduced side — still never raw occurrences). A count
+    * window over term would instead ship every occurrence through the
+    * exchange. */
+  def unigramLm(s: SparkSession, d: String): DataFrame = {
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), explode(words(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val vocab = tf.groupBy("term").agg(sum("tf").as("ct"))
+    val n = vocab.agg(sum("ct").as("n_total"))
+    tf.join(broadcast(vocab), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("sur",
+        round(log(col("n_total").cast("double") / col("ct")), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_tokens"), sum(col("sur") * col("tf")).as("ssum"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("ssum").cast("double"), 4).as("sum_nats"),
+        round(col("ssum").cast("double") / col("n_tokens"), 4).as("avg_nats"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_unigram_lm"      -> (unigramLm _),
     "q_contamination"   -> (contamination _),
     "q_repetition_ratio" -> (repetitionRatio _),
     "q_ngram_stats"     -> (ngramStats _),
@@ -250,6 +290,24 @@ object TextAnalysis {
        | ELSE [text] END""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_unigram_lm" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, unnest($WordsSql) AS term FROM documents
+         |), tk AS (
+         |  SELECT doc_id, term FROM t WHERE term <> ''
+         |), wct AS (
+         |  SELECT doc_id, count(*) OVER (PARTITION BY term) AS ct FROM tk
+         |), n AS (
+         |  SELECT count(*) AS n_total FROM tk
+         |), sur AS (
+         |  SELECT doc_id,
+         |         CAST(round(ln(CAST(n_total AS DOUBLE) / ct), 6) AS DECIMAL(18,6)) AS sur
+         |  FROM wct, n
+         |)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |       round(CAST(sum(sur) AS DOUBLE), 4) AS sum_nats,
+         |       round(CAST(sum(sur) AS DOUBLE) / count(*), 4) AS avg_nats
+         |FROM sur GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_tfidf" ->
       s"""WITH t AS (
          |  SELECT doc_id, unnest($WordsSql) AS term FROM documents

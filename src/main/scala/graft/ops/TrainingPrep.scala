@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import graft.functions.TextFeatures.words
+import graft.functions.TextFeatures.{bigrams, words}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -67,14 +67,89 @@ object TrainingPrep {
       .orderBy("doc_id")
   }
 
+  /** Hash-feature space for [[dsirWeights]]: bigrams bucketed to 1024
+    * slots via an md5-prefix hash (the repo's standard cross-engine-exact
+    * hash construction). */
+  private val DsirBuckets = 1024L
+
+  /** DSIR-style importance weights (Data Selection via Importance
+    * Resampling — hashed n-gram features scored target-vs-raw): each
+    * document's log importance weight log w = Σ_f ln p̂_target(f)/p̂_raw(f)
+    * over its hashed-bigram feature occurrences, with add-one smoothing
+    * over the [[DsirBuckets]] buckets. The `en` slice plays the target
+    * distribution, the whole corpus the raw distribution — the selection
+    * pass a pretraining recipe runs to up-sample data that "looks like"
+    * a high-quality reference set.
+    *
+    * Determinism: per-occurrence log ratios are quantized to
+    * DECIMAL(18,6) before the per-doc sum (exact, order-independent);
+    * `selected` compares the exact decimal sum against zero. Scale shape:
+    * the bucket-stats table is exactly 1024 rows — broadcast back to the
+    * feature stream — and the only corpus-wide exchange is the bucket
+    * groupBy, which partial-aggregates to ≤1024 rows per map partition. */
+  def dsirWeights(s: SparkSession, d: String): DataFrame = {
+    val feats = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        explode(bigrams(words(col("text")))).as("bg"))
+      .withColumn("bucket",
+        conv(substring(md5(col("bg")), 1, 6), 16, 10).cast("long") % DsirBuckets)
+    val stats = feats.groupBy("bucket").agg(
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct_t"),
+      count(lit(1)).as("ct_r"))
+    val tot = stats.agg(sum("ct_t").as("n_t"), sum("ct_r").as("n_r"))
+    val ratio = round(
+      log((col("ct_t") + 1).cast("double") / (col("n_t") + DsirBuckets)) -
+        log((col("ct_r") + 1).cast("double") / (col("n_r") + DsirBuckets)), 6)
+      .cast(DecimalType(18, 6))
+    feats
+      .join(broadcast(stats.crossJoin(tot).select(col("bucket"), ratio.as("lr"))),
+        "bucket")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"), sum("lr").as("lsum"))
+      .select(col("doc_id"), col("n_feats"),
+        round(col("lsum").cast("double"), 4).as("log_w"),
+        (col("lsum") > 0).cast("int").as("selected"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_source_mix" -> (sourceMix _),
     "q_token_pack" -> (tokenPack _),
+    "q_dsir_weights" -> (dsirWeights _),
   )
 
   private val WordsSql = "string_split(text, ' ')"
+  private val BigramsSql =
+    s"list_transform(range(1, len($WordsSql)), i -> $WordsSql[i] || ' ' || $WordsSql[i+1])"
 
   val oracle: Map[String, String] = Map(
+    "q_dsir_weights" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, lang, unnest($BigramsSql) AS bg FROM documents
+         |), fb AS (
+         |  SELECT doc_id, lang,
+         |         CAST('0x' || substring(md5(bg), 1, 6) AS BIGINT) % $DsirBuckets AS bucket
+         |  FROM f
+         |), st AS (
+         |  SELECT bucket,
+         |         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct_t,
+         |         count(*) AS ct_r
+         |  FROM fb GROUP BY bucket
+         |), tot AS (
+         |  SELECT CAST(sum(ct_t) AS BIGINT) AS n_t,
+         |         CAST(sum(ct_r) AS BIGINT) AS n_r FROM st
+         |), lr AS (
+         |  SELECT bucket,
+         |         CAST(round(ln(CAST(ct_t + 1 AS DOUBLE) / (n_t + $DsirBuckets))
+         |                  - ln(CAST(ct_r + 1 AS DOUBLE) / (n_r + $DsirBuckets)), 6)
+         |              AS DECIMAL(18,6)) AS lr
+         |  FROM st, tot
+         |)
+         |SELECT doc_id, count(*) AS n_feats,
+         |       round(CAST(sum(lr) AS DOUBLE), 4) AS log_w,
+         |       CAST(sum(lr) > 0 AS INTEGER) AS selected
+         |FROM fb JOIN lr USING (bucket)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_source_mix" ->
       s"""WITH per AS (
          |  SELECT source, count(*) AS n_docs,

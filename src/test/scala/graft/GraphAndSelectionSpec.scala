@@ -1,0 +1,92 @@
+package graft
+
+import graft.ops.{Graph, TextAnalysis, TrainingPrep}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants for the round-4 graph-analytics and data-selection
+  * operators — the oracle proves cross-engine equality; these prove the
+  * numbers mean what they claim.
+  */
+class GraphAndSelectionSpec extends AnyFunSuite {
+  private val spark = TestSpark.session
+  private val sf = "/root/testdata/sf0.01"
+
+  private val Scale = 1000000000000L
+
+  test("pagerank: teleport floor, mass bound, and trade-volume signal") {
+    val rows = Graph.pagerank(spark, sf).collect()
+    assert(rows.length == 25)
+    val ranks = rows.map(_.getLong(2))
+    val teleport = 15L * Scale / 100L
+    // every node holds at least the teleport mass; floor division only
+    // leaks mass, so the total never exceeds the initial |V|·Scale
+    assert(ranks.forall(_ >= teleport))
+    assert(ranks.sum <= 25L * Scale)
+    // the trade graph is non-trivial: some nation accumulates rank well
+    // above a uniform stationary share
+    assert(ranks.max > Scale, s"max rank ${ranks.max} suspiciously uniform")
+  }
+
+  test("bfs hops: root at 0, neighbors at 1, distances only reachable") {
+    val dist = Graph.bfsHops(spark, sf).collect()
+      .map(r => r.getAs[Number](0).longValue ->
+        (if (r.isNullAt(2)) None else Some(r.getAs[Number](2).longValue)))
+      .toMap
+    assert(dist(0L).contains(0L))
+    // every direct trade partner of nation 0 (either direction) is at hop 1
+    val e = Tables.lineitem(spark, sf).select("l_orderkey", "l_suppkey")
+      .join(Tables.orders(spark, sf).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.supplier(spark, sf).select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.customer(spark, sf).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("s_nationkey").as("src"), col("c_nationkey").as("dst"))
+      .distinct().collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue))
+    val nbr0 = (e.collect { case (0L, d) => d } ++ e.collect { case (s, 0L) => s })
+      .toSet - 0L
+    nbr0.foreach(n => assert(dist(n).contains(1L), s"nation $n should be 1 hop"))
+    // triangle inequality across every edge of the undirected graph
+    e.foreach { case (a, b) =>
+      (dist(a), dist(b)) match {
+        case (Some(da), Some(db)) => assert(math.abs(da - db) <= 1)
+        case (None, None)         => // both unreachable: consistent
+        case other => fail(s"edge ($a,$b) half-reachable: $other")
+      }
+    }
+  }
+
+  test("unigram LM: surprisal bounds and rare-token monotonicity") {
+    val rows = TextAnalysis.unigramLm(spark, sf).collect()
+    assert(rows.length == 500)
+    val nTotal = rows.map(_.getLong(1)).sum
+    val lnMax = math.log(nTotal.toDouble)
+    rows.foreach { r =>
+      val avg = r.getDouble(3)
+      assert(avg > 0 && avg <= lnMax + 1e-6,
+        s"doc ${r.getLong(0)} avg surprisal $avg outside (0, ln N]")
+    }
+    // a document's summed surprisal is consistent with its mean
+    rows.foreach { r =>
+      val (n, sum, avg) = (r.getLong(1), r.getDouble(2), r.getDouble(3))
+      assert(math.abs(sum / n - avg) < 1e-3)
+    }
+  }
+
+  test("DSIR weights: target-language documents score and select higher") {
+    val w = TrainingPrep.dsirWeights(spark, sf)
+      .join(Tables.documents(spark, sf).select("doc_id", "lang"), "doc_id")
+    val byLang = w.groupBy(col("lang") === "en")
+      .agg(avg("log_w").as("mean_w"), avg("selected").as("sel_rate"))
+      .collect().map(r => r.getBoolean(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val (enW, enSel) = byLang(true)
+    val (otherW, otherSel) = byLang(false)
+    // the measured fixture gap is ~2.5 nats and 0.44-vs-0.035 selection;
+    // assert at half that margin so regeneration noise can't flake it
+    assert(enW > otherW + 1.0, f"en mean $enW%.3f vs other $otherW%.3f")
+    assert(enSel > 0.2 && otherSel < 0.15,
+      f"selection rates en=$enSel%.3f other=$otherSel%.3f")
+  }
+}

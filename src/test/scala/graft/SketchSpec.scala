@@ -50,4 +50,114 @@ class SketchSpec extends AnyFunSuite {
       spark.newSession(), sf).collect().toSeq
     assert(a.map(_.toString) === b.map(_.toString))
   }
+
+  // ------------------------------------------------ KLL quantile sketches
+
+  test("KLL: below capacity the merged rollup returns exact discrete quantiles") {
+    // sf0.01: months hold ~15-20 orders, far below k=200, so neither the
+    // daily sketches nor the monthly merge ever compacts — getQuantile is
+    // the exact inclusive-rank selection (smallest value whose rank ≥ q)
+    val sf01 = "/root/testdata/sf0.01"
+    val est = ops.Sketches.sketchQuantile(spark, sf01).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    val byMonth = Tables.orders(spark, sf01)
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        col("o_totalprice"))
+      .collect().groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getDouble(1)).sorted).toMap
+    def discq(vs: Array[Double], q: Double): Double =
+      vs(math.max(0, math.ceil(q * vs.length).toInt - 1))
+    assert(est.nonEmpty && est.keySet == byMonth.keySet)
+    var nExact = 0
+    est.foreach { case (m, (p50, p95)) =>
+      val vs = byMonth(m)
+      if (vs.length < 200) {
+        // strictly below capacity: no compaction anywhere, exact answers
+        nExact += 1
+        assert(p50 == math.rint(discq(vs, 0.5) * 100) / 100,
+          s"$m p50 est $p50 vs exact ${discq(vs, 0.5)}")
+        assert(p95 == math.rint(discq(vs, 0.95) * 100) / 100,
+          s"$m p95 est $p95 vs exact ${discq(vs, 0.95)}")
+      } else {
+        // a handful of months exceed k and may compact once: the
+        // published ±1.65% rank-error bound applies instead
+        Seq(p50 -> 0.5, p95 -> 0.95).foreach { case (v, q) =>
+          val r = vs.count(_ <= v).toDouble / vs.length
+          assert(math.abs(r - q) <= 0.0165 * 2 + 1.0 / vs.length,
+            s"$m q=$q answered value at rank $r")
+        }
+      }
+    }
+    assert(nExact > 50, s"only $nExact months exercised the exactness regime")
+  }
+
+  test("KLL merge law: per-half merge matches the whole within rank error") {
+    import graft.functions.SketchAggs._
+    // merge MAY compact (KLL compaction triggers on merge even below k),
+    // so the law is the published ±1.65% rank-error bound at k=200, not
+    // byte equality; both paths must answer within that band of each other
+    val o = Tables.orders(spark, sf).select(col("o_totalprice"), col("o_orderkey"))
+    val halves = o.withColumn("h", (col("o_orderkey") % 2).cast("int"))
+      .groupBy("h").agg(kllAgg(col("o_totalprice")).as("sk"))
+      .agg(kllMergeAgg(col("sk")).as("m"))
+      .select(kllQuantile(col("m"), 0.5), kllQuantile(col("m"), 0.95))
+      .head()
+    val values = o.select("o_totalprice").collect().map(_.getDouble(0)).sorted
+    def rankOf(v: Double): Double =
+      values.count(_ <= v).toDouble / values.length
+    Seq(0 -> 0.5, 1 -> 0.95).foreach { case (i, q) =>
+      val r = rankOf(halves.getDouble(i))
+      assert(math.abs(r - q) <= 0.0165 * 2 + 1.0 / values.length,
+        s"merged q=$q answered value at rank $r")
+    }
+  }
+
+  // ------------------------------------------------- Theta set operations
+
+  test("theta: exact-mode estimates equal true distinct counts as integers") {
+    import graft.functions.SketchAggs._
+    val got = Tables.orders(spark, sf)
+      .agg(thetaEstimate(thetaAgg(col("o_custkey"))).as("est"))
+      .head().getDouble(0)
+    val exact = Tables.orders(spark, sf)
+      .select(countDistinct(col("o_custkey"))).head().getLong(0)
+    assert(got == exact.toDouble, s"exact-mode theta $got != $exact")
+  }
+
+  test("theta: pairwise intersect == aggregate intersect == relational answer") {
+    import graft.functions.SketchAggs._
+    // customer sets of the two order-status segments
+    val seg = Tables.orders(spark, sf)
+      .groupBy(col("o_orderstatus")).agg(thetaAgg(col("o_custkey")).as("sk"))
+    val twoSegs = seg.orderBy("o_orderstatus").limit(2)
+    val viaAgg = twoSegs
+      .agg(thetaEstimate(thetaIntersectAgg(col("sk"))).as("est"))
+      .head().getDouble(0)
+    val pair = twoSegs.collect()
+    val viaPairDf = twoSegs
+      .agg(collect_list(col("sk")).as("sks"))
+      .select(thetaEstimate(graft.functions.SketchAggs.thetaPairIntersect(
+        element_at(col("sks"), 1), element_at(col("sks"), 2))).as("est"))
+      .head().getDouble(0)
+    val statuses = pair.map(_.getString(0))
+    val a = Tables.orders(spark, sf).filter(col("o_orderstatus") === statuses(0))
+      .select("o_custkey").distinct()
+    val b = Tables.orders(spark, sf).filter(col("o_orderstatus") === statuses(1))
+      .select("o_custkey").distinct()
+    val exact = a.intersect(b).count()
+    assert(viaAgg == exact.toDouble, s"agg intersect $viaAgg != $exact")
+    assert(viaPairDf == exact.toDouble, s"pair intersect $viaPairDf != $exact")
+  }
+
+  test("theta union merge law mirrors HLL: parts == whole, exactly") {
+    import graft.functions.SketchAggs._
+    val o = Tables.orders(spark, sf).select(col("o_custkey"), col("o_orderkey"))
+    val parts = o.withColumn("h", (col("o_orderkey") % 4).cast("int"))
+      .groupBy("h").agg(thetaAgg(col("o_custkey")).as("sk"))
+      .agg(thetaEstimate(thetaUnionAgg(col("sk"))).as("est"))
+      .head().getDouble(0)
+    val whole = o.agg(thetaEstimate(thetaAgg(col("o_custkey"))).as("est"))
+      .head().getDouble(0)
+    assert(parts == whole)
+  }
 }
