@@ -60,9 +60,37 @@ object Maintenance {
       .orderBy("o_orderkey")
   }
 
+  /** SCD Type-2 dimension build: the per-customer order-status history
+    * compressed to effective-dated versions — consecutive same-status
+    * orders collapse, each surviving change opens a version row
+    * [valid_from, valid_to) with the successor's start as the close and
+    * NULL (is_current=1) on the latest. Two key-partitioned window passes
+    * over (custkey | orderdate, orderkey) — one exchange on the customer
+    * key, no joins; at 100 TB the change-filter drops most rows BEFORE the
+    * second pass materializes version numbers. Validity bounds are emitted
+    * as formatted strings so both engines hash identically. */
+  def scd2Dim(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val day = (c: org.apache.spark.sql.Column) => date_format(c, "yyyy-MM-dd")
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_orderstatus"))
+      .withColumn("prev", lag("o_orderstatus", 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("o_orderstatus"))
+      .withColumn("valid_to", day(lead("o_orderdate", 1).over(w)))
+      .withColumn("version", row_number().over(w))
+      .select(col("o_custkey").as("custkey"),
+        col("o_orderstatus").as("status"),
+        day(col("o_orderdate")).as("valid_from"),
+        col("valid_to"), col("version"),
+        col("valid_to").isNull.cast("int").as("is_current"))
+      .orderBy("custkey", "version")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dq_report" -> (dqReport _),
     "q_upsert"    -> (upsertSnapshot _),
+    "q_scd2_dim"  -> (scd2Dim _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -100,5 +128,25 @@ object Maintenance {
         |            ELSE 'updated' END AS provenance
         |FROM base FULL JOIN incoming ON k = uk
         |ORDER BY o_orderkey""".stripMargin,
+    "q_scd2_dim" ->
+      """WITH h AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus,
+        |         lag(o_orderstatus) OVER
+        |           (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev
+        |  FROM orders
+        |), c AS (
+        |  SELECT * FROM h WHERE prev IS NULL OR prev <> o_orderstatus
+        |)
+        |SELECT o_custkey AS custkey, o_orderstatus AS status,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+        |       strftime(lead(o_orderdate) OVER
+        |         (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), '%Y-%m-%d') AS valid_to,
+        |       row_number() OVER
+        |         (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS version,
+        |       CASE WHEN lead(o_orderdate) OVER
+        |         (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) IS NULL
+        |         THEN 1 ELSE 0 END AS is_current
+        |FROM c
+        |ORDER BY custkey, version""".stripMargin,
   )
 }

@@ -266,7 +266,55 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Chunk window / stride (words): 32-word chunks every 24 words → 8-word
+    * overlap between consecutive chunks. Shared with the oracle SQL. */
+  private[ops] val ChunkW = 32
+  private[ops] val ChunkS = 24
+
+  /** Overlapping fixed-window chunking (RAG / context-window prep): each
+    * document becomes ⌈n/S⌉ chunks of ≤ W words starting every S words,
+    * final partial chunk kept. Pure per-row flatMap — no shuffle except
+    * the presentation sort; at 100 TB this is an embarrassingly parallel
+    * map stage whose output feeds the embedding/packing passes. */
+  def chunkOverlap(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"),
+        posexplode(sequence(lit(0), size(col("ws")) - 1, lit(ChunkS))),
+        col("ws"))
+      .select(col("doc_id"), col("pos").as("chunk_id"),
+        slice(col("ws"), col("col") + 1, lit(ChunkW)).as("chunk"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("chunk")).as("n_tokens"),
+        array_join(col("chunk"), " ").as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+
+  /** Inverted index: sorted doc-id posting list per mid-frequency term —
+    * singletons (df < 2) are noise, near-ubiquitous terms (df > 80% of
+    * the corpus) are stop-words AND a skew hazard, so both ends are cut.
+    * The cap is a corpus FRACTION, not an absolute count, so the same
+    * band holds at any scale factor. Occurrences dedup to (doc, term)
+    * per document BEFORE the term shuffle (array_distinct inside the
+    * row), so the exchange carries distinct pairs only; posting lists
+    * build via map-side partial collect_list and are bounded by the df
+    * cap. */
+  def invertedIndex(s: SparkSession, d: String): DataFrame = {
+    val nd = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(array_distinct(words(col("text")))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"),
+        array_join(sort_array(collect_list(col("doc_id"))), ",").as("postings"))
+      .crossJoin(broadcast(nd))
+      .filter(col("df") >= 2 && col("df") <= col("n_docs") * 0.8)
+      .select(col("term"), col("df"), col("postings"))
+      .orderBy("term")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_chunk_overlap"   -> (chunkOverlap _),
+    "q_inverted_index"  -> (invertedIndex _),
     "q_unigram_lm"      -> (unigramLm _),
     "q_contamination"   -> (contamination _),
     "q_repetition_ratio" -> (repetitionRatio _),
@@ -290,6 +338,28 @@ object TextAnalysis {
        | ELSE [text] END""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_chunk_overlap" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, $WordsSql AS ws FROM documents
+         |), st AS (
+         |  SELECT doc_id, ws, unnest(range(0, len(ws), $ChunkS)) AS start FROM w
+         |)
+         |SELECT doc_id, start // $ChunkS AS chunk_id,
+         |       len(list_slice(ws, start + 1, start + $ChunkW)) AS n_tokens,
+         |       array_to_string(list_slice(ws, start + 1, start + $ChunkW), ' ') AS chunk_text
+         |FROM st
+         |ORDER BY doc_id, chunk_id""".stripMargin,
+    "q_inverted_index" ->
+      s"""WITH t AS (
+         |  SELECT DISTINCT doc_id, unnest($WordsSql) AS term FROM documents
+         |)
+         |SELECT term, count(*) AS df,
+         |       array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
+         |FROM t WHERE term <> ''
+         |GROUP BY term
+         |HAVING count(*) >= 2
+         |   AND count(*) <= (SELECT count(*) FROM documents) * 0.8
+         |ORDER BY term""".stripMargin,
     "q_unigram_lm" ->
       s"""WITH t AS (
          |  SELECT doc_id, unnest($WordsSql) AS term FROM documents
