@@ -291,6 +291,135 @@ object SketchAggs {
     override def prettyName: String = "theta_estimate"
   }
 
+  // -------------------------------------------------- Frequent items
+
+  private def stringSerDe = new org.apache.datasketches.common.ArrayOfStringsSerDe()
+
+  /** Aggregates a string column into a Misra-Gries frequent-items sketch
+    * (DataSketches `ItemsSketch`): mergeable heavy-hitter state with a
+    * deterministic error bound (≤ streamLength / maxMapSize), EXACT while
+    * the distinct-item count stays under the map size — the frequency leg
+    * of the sketch family (HLL=distinct, KLL=quantiles, Theta=set algebra,
+    * FI=heavy hitters). */
+  case class FreqSketchAgg(
+      child: Expression,
+      lgMaxMapSize: Int,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[org.apache.datasketches.frequencies.ItemsSketch[String]] {
+    import org.apache.datasketches.frequencies.ItemsSketch
+
+    override def createAggregationBuffer(): ItemsSketch[String] =
+      new ItemsSketch[String](1 << lgMaxMapSize)
+
+    override def update(buf: ItemsSketch[String], input: InternalRow): ItemsSketch[String] = {
+      val v = child.eval(input)
+      if (v != null) buf.update(v.toString)
+      buf
+    }
+
+    override def merge(buf: ItemsSketch[String], other: ItemsSketch[String]): ItemsSketch[String] = {
+      buf.merge(other); buf
+    }
+
+    override def eval(buf: ItemsSketch[String]): Any = buf.toByteArray(stringSerDe)
+    override def serialize(buf: ItemsSketch[String]): Array[Byte] = buf.toByteArray(stringSerDe)
+    override def deserialize(bytes: Array[Byte]): ItemsSketch[String] =
+      ItemsSketch.getInstance(Memory.wrap(bytes), stringSerDe)
+
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = false
+    override def children: Seq[Expression] = Seq(child)
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+      copy(child = c.head)
+    override def withNewMutableAggBufferOffset(o: Int): FreqSketchAgg =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): FreqSketchAgg =
+      copy(inputAggBufferOffset = o)
+    override def prettyName: String = "freq_sketch_agg"
+  }
+
+  /** Merges pre-aggregated frequent-items blobs (the rollup side). */
+  case class FreqMergeAgg(
+      child: Expression,
+      lgMaxMapSize: Int,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[org.apache.datasketches.frequencies.ItemsSketch[String]] {
+    import org.apache.datasketches.frequencies.ItemsSketch
+
+    override def createAggregationBuffer(): ItemsSketch[String] =
+      new ItemsSketch[String](1 << lgMaxMapSize)
+
+    override def update(buf: ItemsSketch[String], input: InternalRow): ItemsSketch[String] = {
+      val v = child.eval(input)
+      if (v != null)
+        buf.merge(ItemsSketch.getInstance(
+          Memory.wrap(v.asInstanceOf[Array[Byte]]), stringSerDe))
+      buf
+    }
+
+    override def merge(buf: ItemsSketch[String], other: ItemsSketch[String]): ItemsSketch[String] = {
+      buf.merge(other); buf
+    }
+
+    override def eval(buf: ItemsSketch[String]): Any = buf.toByteArray(stringSerDe)
+    override def serialize(buf: ItemsSketch[String]): Array[Byte] = buf.toByteArray(stringSerDe)
+    override def deserialize(bytes: Array[Byte]): ItemsSketch[String] =
+      ItemsSketch.getInstance(Memory.wrap(bytes), stringSerDe)
+
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = false
+    override def children: Seq[Expression] = Seq(child)
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+      copy(child = c.head)
+    override def withNewMutableAggBufferOffset(o: Int): FreqMergeAgg =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): FreqMergeAgg =
+      copy(inputAggBufferOffset = o)
+    override def prettyName: String = "freq_merge_agg"
+  }
+
+  /** Scalar: the sketch's frequent items (no-false-positives policy) as
+    * array<struct<term, est, lb, ub>> for DataFrame-side explode;
+    * evaluated on rolled-up rows, off the hot path by construction. */
+  case class FreqItems(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    import org.apache.datasketches.frequencies.{ErrorType, ItemsSketch}
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("term", StringType),
+      StructField("est", LongType),
+      StructField("lb", LongType),
+      StructField("ub", LongType))))
+    override def nullable: Boolean = true
+    override def nullSafeEval(input: Any): Any = {
+      val sk = ItemsSketch.getInstance(
+        Memory.wrap(input.asInstanceOf[Array[Byte]]), stringSerDe)
+      val rows = sk.getFrequentItems(ErrorType.NO_FALSE_POSITIVES).map { r =>
+        InternalRow(org.apache.spark.unsafe.types.UTF8String.fromString(r.getItem),
+          r.getEstimate, r.getLowerBound, r.getUpperBound)
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(rows.asInstanceOf[Array[Any]])
+    }
+    override protected def withNewChildInternal(c: Expression): FreqItems =
+      copy(child = c)
+    override def prettyName: String = "freq_items"
+  }
+
+  /** Scalar: total stream length recorded by a frequent-items blob. */
+  case class FreqStreamLength(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    import org.apache.datasketches.frequencies.ItemsSketch
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def nullSafeEval(input: Any): Any =
+      ItemsSketch.getInstance(
+        Memory.wrap(input.asInstanceOf[Array[Byte]]), stringSerDe).getStreamLength
+    override protected def withNewChildInternal(c: Expression): FreqStreamLength =
+      copy(child = c)
+    override def prettyName: String = "freq_stream_length"
+  }
+
   // ------------------------------------------------------- Column sugar
 
   private def agg(e: TypedImperativeAggregate[_]): Column =
@@ -313,4 +442,13 @@ object SketchAggs {
     Bridge.column(ThetaPairIntersect(Bridge.expression(a), Bridge.expression(b)))
   def thetaEstimate(c: Column): Column =
     Bridge.column(ThetaEstimate(Bridge.expression(c)))
+
+  def freqAgg(c: Column, lgMaxMapSize: Int = 10): Column =
+    agg(FreqSketchAgg(Bridge.expression(c), lgMaxMapSize))
+  def freqMergeAgg(c: Column, lgMaxMapSize: Int = 10): Column =
+    agg(FreqMergeAgg(Bridge.expression(c), lgMaxMapSize))
+  def freqItems(c: Column): Column =
+    Bridge.column(FreqItems(Bridge.expression(c)))
+  def freqStreamLength(c: Column): Column =
+    Bridge.column(FreqStreamLength(Bridge.expression(c)))
 }

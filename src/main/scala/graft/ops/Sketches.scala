@@ -106,10 +106,41 @@ object Sketches {
       .orderBy("month")
   }
 
+  /** Corpus heavy-hitter terms via mergeable frequent-items sketches
+    * (Misra-Gries `ItemsSketch`) — the frequency leg of the family: one
+    * sketch per language partition, merged to corpus level, frequent
+    * items ≥ 2% of the stream reported. At 100 TB the per-partition
+    * sketches are the stored artifact (kilobytes each, bounded by map
+    * size not vocabulary); any later "top terms over an ad-hoc slice" is
+    * a blob merge, never a token rescan.
+    *
+    * ORACLED, exactly: below the map size (2^10 entries ≫ the fixture
+    * vocabulary) Misra-Gries never purges, so every estimate is the true
+    * count and the threshold filter is exact — same exact-regime
+    * discipline as [[thetaRetention]]. The purged regime's error bounds
+    * (est−lb ≤ streamLen/mapSize, no false negatives) are [[SketchSpec]]
+    * territory. */
+  def heavyHitters(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.SketchAggs._
+    import graft.functions.TextFeatures.words
+    val toks = Tables.documents(s, d)
+      .select(col("lang"), explode(words(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+    val perLang = toks.groupBy("lang").agg(freqAgg(col("term"), 10).as("sk"))
+    perLang
+      .agg(freqMergeAgg(col("sk"), 10).as("sk"))
+      .select(freqStreamLength(col("sk")).as("total"),
+        explode(freqItems(col("sk"))).as("f"))
+      .filter(col("f.est") >= col("total") * 0.02)
+      .select(col("f.term").as("term"), col("f.est").as("est"))
+      .orderBy("term")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sketch_union"    -> (sketchUnion _),
     "q_sketch_quantile" -> (sketchQuantile _),
     "q_theta_retention" -> (thetaRetention _),
+    "q_heavy_hitters"   -> (heavyHitters _),
   )
 
   // q_sketch_union / q_sketch_quantile: rows-only driver check by design
@@ -138,5 +169,16 @@ object Sketches {
         |FROM m JOIN counts USING (month) LEFT JOIN ret USING (month)
         |WHERE m.prev IS NOT NULL
         |ORDER BY month""".stripMargin,
+    "q_heavy_hitters" ->
+      """WITH t AS (
+        |  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+        |), tk AS (
+        |  SELECT term FROM t WHERE term <> ''
+        |)
+        |SELECT term, count(*) AS est
+        |FROM tk
+        |GROUP BY term
+        |HAVING count(*) >= (SELECT count(*) FROM tk) * 0.02
+        |ORDER BY term""".stripMargin,
   )
 }

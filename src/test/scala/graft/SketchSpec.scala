@@ -160,4 +160,61 @@ class SketchSpec extends AnyFunSuite {
       .head().getDouble(0)
     assert(parts == whole)
   }
+
+  test("frequent items: exact below map size, whole == merged parts") {
+    import graft.functions.SketchAggs._
+    val toks = Tables.documents(spark, sf)
+      .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val truth = toks.groupBy("term").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // vocabulary ≪ 2^10 map entries → no purge ever → exact estimates
+    val whole = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .agg(freqItems(freqAgg(col("term"), 10)).as("f"))
+      .select(explode(col("f")).as("f"))
+      .select(col("f.term"), col("f.est"), col("f.lb"), col("f.ub"))
+      .collect()
+    assert(whole.nonEmpty)
+    whole.foreach { r =>
+      val (t, est, lb, ub) = (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(est == truth(t), s"$t: est $est != exact ${truth(t)}")
+      assert(lb == est && ub == est, s"$t: exact regime must have lb==est==ub")
+    }
+    // merge law in the exact regime: per-lang sketches merged == whole
+    val merged = toks.groupBy("lang").agg(freqAgg(col("term"), 10).as("sk"))
+      .agg(freqItems(freqMergeAgg(col("sk"), 10)).as("f"))
+      .select(explode(col("f")).as("f"))
+      .select(col("f.term"), col("f.est")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged == truth)
+  }
+
+  test("frequent items: purged regime brackets the truth within the error bound") {
+    import graft.functions.SketchAggs._
+    // Zipf-shaped synthetic stream: one term at 50% share, a long tail of
+    // singletons — 2^3 = 8 map slots against 1501 distinct terms forces
+    // constant purging; Misra-Gries still guarantees lb ≤ true ≤ ub and
+    // the reported set (no-false-positives policy) contains the heavy term
+    val streamLen = 3000L
+    val toks = spark.range(streamLen).select(
+      when(col("id") % 2 === 0, lit("alpha"))
+        .otherwise(concat(lit("tail_"), col("id"))).as("term"))
+    val rows = toks.agg(freqItems(freqAgg(col("term"), 3)).as("f"))
+      .select(explode(col("f")).as("f"))
+      .select(col("f.term"), col("f.est"), col("f.lb"), col("f.ub"))
+      .collect()
+    assert(rows.nonEmpty, "heavy hitters must survive the purge")
+    val truth: String => Long = t => if (t == "alpha") streamLen / 2 else 1L
+    rows.foreach { r =>
+      val (t, lb, ub) = (r.getString(0), r.getLong(2), r.getLong(3))
+      assert(lb <= truth(t) && truth(t) <= ub,
+        s"$t: true ${truth(t)} outside [$lb, $ub]")
+      assert(ub - lb <= streamLen * 3.5 / 8,
+        s"$t: bound width ${ub - lb} exceeds the a-priori error")
+    }
+    assert(rows.exists(_.getString(0) == "alpha"),
+      "the 50%-share term must be reported")
+  }
 }
