@@ -50,6 +50,17 @@ class PlanBudgetSpec extends AnyFunSuite {
     ("q_join_interval_time", 1, 1),
     ("q_join_pipeline_top", 1, 2),    // TPC-H Q3: both dims must broadcast
     ("q_join_star", 1, 5),            // TPC-H Q5: all five dims must broadcast
+    // round-4 additions (audit-mode = staged subtrees recomputed inline)
+    ("q_pagerank", 10, 1),            // 5 unrolled iterations over the staged edge list
+                                      // (10 at sf0.001 where AQE skips some reuse; 8 at sf0.01)
+    ("q_dsir_weights", 5, 2),         // feature log-ratios broadcast, tf pre-reduced
+    ("q_unigram_lm", 5, 2),           // vocabulary + total broadcast, tf pre-reduced
+    ("q_heavy_hitters", 2, 0),        // per-lang sketches -> 1-row merge
+    ("q_scd2_dim", 2, 0),             // one customer-key exchange + final sort
+    ("q_inverted_index", 3, 1),       // term shuffle + corpus-size broadcast
+    ("q_chunk_overlap", 1, 0),        // pure flatMap; the sort is the only exchange
+    ("q_cluster_rep", 7, 1),          // audit mode exposes the label-propagation
+                                      // loop's full lineage (rounds × 2 aggregates)
   )
 
   budgets.foreach { case (name, maxShuffles, minBcasts) =>
