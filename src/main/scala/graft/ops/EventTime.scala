@@ -256,7 +256,48 @@ object EventTime {
       .orderBy("event_type", "hour")
   }
 
+  /** Interval-overlap join with NO equi key, made scale-safe by RANGE
+    * BINNING. The workload: match every event to the "hot windows" it
+    * falls in (per hour, the ±30-minute window around that hour's peak
+    * minute — windows are NOT hour-aligned, may dip into the previous
+    * hour, and share no key with the probe side). The naive plan is a
+    * broadcast-nested-loop over every (event, window) pair — quadratic,
+    * a scale-killer once the window side outgrows a broadcast. The
+    * binned plan: each window explodes into the ≤2 hour bins it covers,
+    * events key by their own hour, and the non-equi overlap becomes an
+    * equi join on bin plus a cheap residual — shuffle-partitionable on
+    * both sides at any scale, candidate volume = windows × bins-spanned,
+    * never |events| × |windows|.
+    *
+    * The DuckDB oracle runs the NAIVE formulation, so the driver's hash
+    * compare proves the binned rewrite is semantics-preserving — same
+    * discipline as `q_topk_native` vs the window form. */
+  def joinRangeBinned(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_id"), col("ts"))
+    val hm = ev
+      .groupBy(date_trunc("hour", col("ts")).as("h"), minute(col("ts")).as("m"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("h").orderBy(col("cnt").desc, col("m").asc)
+    val win = hm.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        (col("h") + expr("make_dt_interval(0, 0, m - 30, 0)")).as("ws"),
+        (col("h") + expr("make_dt_interval(0, 0, m + 30, 0)")).as("we"))
+    val binnedWin = win.select(col("ws"), col("we"),
+      explode(sequence(
+        date_trunc("hour", col("ws")),
+        date_trunc("hour", col("we") - expr("INTERVAL 1 MICROSECOND")),
+        expr("INTERVAL 1 HOUR"))).as("bin"))
+    ev.withColumn("bin", date_trunc("hour", col("ts")))
+      .join(binnedWin, "bin")
+      .filter(col("ts") >= col("ws") && col("ts") < col("we"))
+      .select(col("event_id"),
+        date_format(col("ws"), "yyyy-MM-dd HH:mm:ss").as("window_start"))
+      .orderBy("event_id", "window_start")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_range_binned"  -> (joinRangeBinned _),
     "q_resample_interp"    -> (resampleInterp _),
     "q_cohort_retention"   -> (cohortRetention _),
     "q_cumulative_users"   -> (cumulativeUsers _),
@@ -271,6 +312,29 @@ object EventTime {
   )
 
   val oracle: Map[String, String] = Map(
+    // the NAIVE range-join formulation on purpose: hash parity with the
+    // binned Spark plan proves the rewrite preserves semantics
+    "q_join_range_binned" ->
+      """WITH e AS (
+        |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+        |), hm AS (
+        |  SELECT date_trunc('hour', ts) AS h, minute(ts) AS m, count(*) AS cnt
+        |  FROM e GROUP BY 1, 2
+        |), peak AS (
+        |  SELECT h, m FROM (
+        |    SELECT h, m,
+        |           row_number() OVER (PARTITION BY h ORDER BY cnt DESC, m ASC) AS rn
+        |    FROM hm) t
+        |  WHERE rn = 1
+        |), win AS (
+        |  SELECT h + (m - 30) * INTERVAL 1 MINUTE AS ws,
+        |         h + (m + 30) * INTERVAL 1 MINUTE AS we
+        |  FROM peak
+        |)
+        |SELECT e.event_id,
+        |       strftime(w.ws, '%Y-%m-%d %H:%M:%S') AS window_start
+        |FROM e JOIN win w ON e.ts >= w.ws AND e.ts < w.we
+        |ORDER BY event_id, window_start""".stripMargin,
     "q_resample_interp" ->
       """WITH obs AS (
         |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,

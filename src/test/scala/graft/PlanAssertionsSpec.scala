@@ -47,6 +47,18 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan.take(500))
   }
 
+  test("binned range join plans as an equi join, never a nested loop") {
+    val plan = ops.EventTime.joinRangeBinned(spark, sf)
+      .queryExecution.sparkPlan.toString
+    // the whole point of the binning rewrite: the event×window overlap
+    // must meet through hash/merge machinery on the bin key — a
+    // BroadcastNestedLoopJoin here means the rewrite silently degraded
+    // to the quadratic plan it exists to avoid
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      plan.take(800))
+  }
+
   test("partition-column filters prune partitions at planning time") {
     import java.nio.file.Files
     import org.apache.spark.sql.functions.col
