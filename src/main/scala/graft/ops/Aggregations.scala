@@ -200,7 +200,27 @@ object Aggregations {
       .orderBy("o_orderstatus")
   }
 
+  /** Deterministic statistical mode of quantity per return flag: the
+    * built-in `mode()` (both engines) picks an ARBITRARY value among tied
+    * maxima, so it can never be oracle-checked — this formulation pins the
+    * tie-break (highest count, then smallest value) with a count aggregate
+    * plus a row_number pick. Two shuffles, both on (flag, qty) /(flag)
+    * group keys whose cardinality is the distinct-value space, not the
+    * row count. */
+  def modeDet(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("l_returnflag")
+      .orderBy(col("cnt").desc, col("l_quantity").asc)
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag", "l_quantity")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("l_returnflag"), col("l_quantity").as("mode_qty"), col("cnt"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mode"            -> (modeDet _),
     "q_agg_pricing"     -> (aggPricing _),
     "q_arg_minmax"      -> (argMinMax _),
     "q_percentile_disc" -> (percentileDisc _),
@@ -240,6 +260,19 @@ object Aggregations {
        |ORDER BY g_status, g_prio, status, prio""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_mode" ->
+      """WITH c AS (
+        |  SELECT l_returnflag, l_quantity, count(*) AS cnt
+        |  FROM lineitem GROUP BY 1, 2
+        |), r AS (
+        |  SELECT l_returnflag, l_quantity, cnt,
+        |         row_number() OVER (PARTITION BY l_returnflag
+        |                            ORDER BY cnt DESC, l_quantity ASC) AS rn
+        |  FROM c
+        |)
+        |SELECT l_returnflag, l_quantity AS mode_qty, cnt
+        |FROM r WHERE rn = 1
+        |ORDER BY l_returnflag""".stripMargin,
     "q_percentile_disc" ->
       """WITH r AS (
         |  SELECT o_orderstatus, o_totalprice,

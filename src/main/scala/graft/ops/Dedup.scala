@@ -280,19 +280,26 @@ object Dedup {
   def ngramJaccard(s: SparkSession, d: String): DataFrame =
     ngramJaccardCapped(s, d, JaccardDfCap)
 
-  private[graft] def ngramJaccardCapped(s: SparkSession, d: String, dfCap: Int): DataFrame = {
-    // materialized once (Ckpt.stage): the bigram explode feeds both
-    // self-join branches and the size dimension — without it the ngram
-    // computation runs three times. The window df-count shares the staged
-    // frame; rows of over-cap bigrams never reach the join.
+  /** (doc_id, lang, source, bg) incidence of distinct bigrams with
+    * block-df > dfCap removed — the shared front end of the pairwise
+    * set-similarity queries ([[ngramJaccardCapped]], [[containmentCapped]]).
+    * Materialized once (Ckpt.stage): the explode feeds both self-join
+    * branches and the size dimension — without it the ngram computation
+    * runs three times. The window df-count shares the staged frame; rows
+    * of over-cap bigrams never reach the join. */
+  private def cappedBigramIncidence(s: SparkSession, d: String, dfCap: Int): DataFrame = {
     val wdf = Window.partitionBy("bg", "lang", "source")
-    val bg = Tables.documents(s, d)
+    Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), col("source"),
         explode(array_distinct(bigrams(words(col("text"))))).as("bg"))
       .withColumn("df", count(lit(1)).over(wdf))
       .filter(col("df") <= dfCap)
       .drop("df")
       .transform(graft.util.Ckpt.stage)
+  }
+
+  private[graft] def ngramJaccardCapped(s: SparkSession, d: String, dfCap: Int): DataFrame = {
+    val bg = cappedBigramIncidence(s, d, dfCap)
     val sizes = bg.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = bg.select(col("doc_id").as("d1"), col("lang").as("lg"), col("source").as("sc"), col("bg"))
     val b = bg.select(col("doc_id").as("d2"), col("lang").as("lg2"), col("source").as("sc2"), col("bg").as("bg2"))
@@ -306,6 +313,36 @@ object Dedup {
       .withColumn("jaccard", round(col("inter") / (col("n1") + col("n2") - col("inter")), 4))
       .filter(col("jaccard") >= 0.05)
       .select(col("d1"), col("d2"), col("inter"), col("jaccard"))
+      .orderBy("d1", "d2")
+  }
+
+  /** Asymmetric bigram-set containment, |A∩B|/|A| in each direction —
+    * the subset-duplication detector Jaccard structurally misses: a short
+    * document quoted whole inside a long one has Jaccard ≈ |A|/|B| (→ 0
+    * as B grows) but containment(A,B) = 1. Same blocked, df-capped
+    * equi-join skeleton as [[ngramJaccard]] (shared front end, no
+    * all-pairs anywhere); both directed ratios are emitted and a pair
+    * surfaces when either direction reaches 0.5. */
+  def containment(s: SparkSession, d: String): DataFrame =
+    containmentCapped(s, d, JaccardDfCap)
+
+  private[graft] def containmentCapped(s: SparkSession, d: String, dfCap: Int): DataFrame = {
+    val bg = cappedBigramIncidence(s, d, dfCap)
+    val sizes = bg.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = bg.select(col("doc_id").as("d1"), col("lang").as("lg"), col("source").as("sc"), col("bg"))
+    val b = bg.select(col("doc_id").as("d2"), col("lang").as("lg2"), col("source").as("sc2"), col("bg").as("bg2"))
+    val inter = a.join(b,
+        col("bg") === col("bg2") && col("lg") === col("lg2") && col("sc") === col("sc2") &&
+        col("d1") < col("d2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes.select(col("doc_id").as("d1"), col("n").as("n1"))), "d1")
+      .join(broadcast(sizes.select(col("doc_id").as("d2"), col("n").as("n2"))), "d2")
+      .withColumn("cont_a_in_b", round(col("inter") / col("n1"), 4))
+      .withColumn("cont_b_in_a", round(col("inter") / col("n2"), 4))
+      .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= 0.5)
+      .select(col("d1"), col("d2"), col("inter"), col("n1"), col("n2"),
+        col("cont_a_in_b"), col("cont_b_in_a"))
       .orderBy("d1", "d2")
   }
 
@@ -346,6 +383,7 @@ object Dedup {
     "q_dedup_clusters" -> (dedupClusters _),
     "q_dedup_simhash"  -> (dedupSimhash _),
     "q_ngram_jaccard"  -> (ngramJaccard _),
+    "q_containment"    -> (containment _),
     "q_dedup_incremental" -> (incrementalDedup _),
   )
 
@@ -535,6 +573,28 @@ object Dedup {
          |         round(inter / (sa.n + sb.n - inter), 4) AS jaccard
          |  FROM p JOIN sz sa ON p.d1 = sa.doc_id JOIN sz sb ON p.d2 = sb.doc_id) t
          |WHERE jaccard >= 0.05
+         |ORDER BY d1, d2""".stripMargin,
+    "q_containment" ->
+      s"""WITH bg0 AS (
+         |  SELECT doc_id, lang, source, unnest($BigramsSql) AS b FROM documents
+         |), bg AS (
+         |  SELECT doc_id, lang, source, b FROM (
+         |    SELECT bg0.*, count(*) OVER (PARTITION BY b, lang, source) AS df FROM bg0) t
+         |  WHERE df <= $JaccardDfCap
+         |), sz AS (
+         |  SELECT doc_id, count(*) AS n FROM bg GROUP BY doc_id
+         |), p AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+         |  FROM bg a JOIN bg b
+         |    ON a.b = b.b AND a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT d1, d2, inter, n1, n2, cont_a_in_b, cont_b_in_a FROM (
+         |  SELECT d1, d2, inter, sa.n AS n1, sb.n AS n2,
+         |         round(inter / sa.n, 4) AS cont_a_in_b,
+         |         round(inter / sb.n, 4) AS cont_b_in_a
+         |  FROM p JOIN sz sa ON p.d1 = sa.doc_id JOIN sz sb ON p.d2 = sb.doc_id) t
+         |WHERE greatest(cont_a_in_b, cont_b_in_a) >= 0.5
          |ORDER BY d1, d2""".stripMargin,
   )
 }

@@ -3,6 +3,7 @@ package graft.ops
 import graft.Tables
 import graft.util.Det._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -89,11 +90,131 @@ object Statistics {
       .orderBy("l_returnflag")
   }
 
+  /** Robust (median/MAD) outlier detection per event type — the
+    * mean/stddev gate `q_anomaly_filter` uses is itself dragged by the
+    * outliers it hunts; median ± k·MAD is the standard robust alternative
+    * (k·1.4826 rescales MAD to σ under normality). Two exact-percentile
+    * passes over a (type)-keyed aggregate, stats broadcast back — the
+    * events table is never shuffled. Every derived quantity is rounded to
+    * 4 dp BEFORE the threshold comparison so the outlier count is
+    * bit-deterministic across engines. */
+  def outlierMad(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+    val med = ev.groupBy(col("event_type").as("t"))
+      .agg(round(expr("percentile(value, 0.5)"), 4).as("med"))
+    val dev = ev.join(broadcast(med), col("event_type") === col("t"))
+      .withColumn("dev", round(abs(col("value") - col("med")), 4))
+    val mad = dev.groupBy(col("t").as("t2"))
+      .agg(round(expr("percentile(dev, 0.5)"), 4).as("mad"))
+    dev.join(broadcast(mad), col("t") === col("t2"))
+      .withColumn("thr", round(lit(3.0) * lit(1.4826) * col("mad"), 4))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        first("med").as("med"),
+        first("mad").as("mad"),
+        first("thr").as("thr"),
+        sum((col("dev") > col("thr")).cast("long")).as("n_outliers"),
+        round(max(col("dev")), 4).as("max_dev"))
+      .orderBy("event_type")
+  }
+
+  /** Two-sample Kolmogorov-Smirnov distance between the `value`
+    * distributions of click vs view events — the drift test a pipeline
+    * runs between yesterday's and today's feature distributions. The
+    * supremum is taken over INTEGER-scaled ECDF gaps
+    * (|cum1·n2 − cum2·n1|, exact in BIGINT), so the argmax is
+    * order-independent and engine-exact; the one division happens once at
+    * the end.
+    *
+    * Scale shape: a naive ECDF needs one globally-ordered cumulative
+    * window — a single-partition sort of every distinct value. Here the
+    * prefix sums are two-phase instead: values are range-bucketed by a
+    * broadcast (min, max), per-bucket totals (KsBuckets rows) turn into
+    * bucket prefix OFFSETS with a driver-scale window, and the big
+    * cumulative window runs PER BUCKET (`partitionBy(bkt)`), so the
+    * largest sort partition is one bucket, not the whole value space —
+    * the distributed prefix-sum decomposition cum(v) = offset(bucket(v))
+    * + within-bucket cum(v). */
+  def ksDrift(s: SparkSession, d: String): DataFrame = {
+    val nb = KsBuckets
+    val ev = Tables.events(s, d)
+      .filter(col("event_type").isin("click", "view"))
+      .groupBy("value")
+      .agg(
+        sum((col("event_type") === "click").cast("long")).as("c1"),
+        sum((col("event_type") === "view").cast("long")).as("c2"))
+    val ext = ev.agg(min("value").as("lo"), max("value").as("hi"))
+    val bucketed = ev.crossJoin(broadcast(ext))
+      .withColumn("bkt",
+        when(col("hi") === col("lo"), lit(0)).otherwise(
+          least(lit(nb - 1),
+            floor((col("value") - col("lo")) * nb / (col("hi") - col("lo"))).cast("int"))))
+      .drop("lo", "hi")
+    val wb = Window.orderBy("bkt") // KsBuckets rows — driver-scale
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offs = bucketed.groupBy("bkt")
+      .agg(sum("c1").as("s1"), sum("c2").as("s2"))
+      .select(col("bkt"),
+        (sum("s1").over(wb) - col("s1")).as("off1"),
+        (sum("s2").over(wb) - col("s2")).as("off2"))
+    val tot = bucketed.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+    val w = Window.partitionBy("bkt").orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gaps = bucketed
+      .join(broadcast(offs), "bkt")
+      .crossJoin(broadcast(tot))
+      .withColumn("cum1", col("off1") + sum("c1").over(w))
+      .withColumn("cum2", col("off2") + sum("c2").over(w))
+      .withColumn("gap", abs(col("cum1") * col("n2") - col("cum2") * col("n1")))
+    val dmax = gaps.groupBy("n1", "n2").agg(max("gap").as("d_scaled"))
+    gaps.join(broadcast(dmax), Seq("n1", "n2"))
+      .filter(col("gap") === col("d_scaled"))
+      .groupBy("n1", "n2", "d_scaled")
+      .agg(min("value").as("at_value"))
+      .select(col("n1"), col("n2"), col("d_scaled"), col("at_value"),
+        round(col("d_scaled").cast("double") / (col("n1") * col("n2")).cast("double"), 6)
+          .as("ks"))
+  }
+
+  /** Range-bucket count for [[ksDrift]]'s two-phase prefix sums: sized so
+    * per-bucket sort partitions stay small while the offset table stays
+    * trivially broadcastable. */
+  private[ops] val KsBuckets = 32
+
+  /** Winsorized mean per document source: clamp `n_chars` into the exact
+    * [P05, P95] band, report the mean before/after — the robust location
+    * estimate quality dashboards track per corpus slice. Percentile
+    * bounds are rounded to 4 dp before clamping (cross-engine
+    * determinism); means are decimal-exact sums. One aggregate for the
+    * bounds (broadcast back) + one for the means. */
+  def winsorize(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("source"), col("n_chars"))
+    val bounds = docs.groupBy(col("source").as("src"))
+      .agg(
+        round(expr("percentile(n_chars, 0.05)"), 4).as("p05"),
+        round(expr("percentile(n_chars, 0.95)"), 4).as("p95"))
+    docs.join(broadcast(bounds), col("source") === col("src"))
+      .withColumn("w",
+        greatest(col("p05"), least(col("p95"), col("n_chars").cast("double"))))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n"),
+        first("p05").as("p05"),
+        first("p95").as("p95"),
+        round(davg(col("n_chars")), 4).as("mean_raw"),
+        round(davg(col("w")), 4).as("mean_wins"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_corr_regr" -> (corrRegr _),
     "q_histogram" -> (histogram _),
     "q_width_bucket" -> (widthBucket _),
     "q_weighted_avg_udaf" -> (weightedAvgUdaf _),
+    "q_outlier_mad" -> (outlierMad _),
+    "q_ks_drift" -> (ksDrift _),
+    "q_winsorize" -> (winsorize _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -138,5 +259,69 @@ object Statistics {
         |FROM lineitem
         |GROUP BY 1
         |ORDER BY bucket""".stripMargin,
+    "q_outlier_mad" ->
+      """WITH m AS (
+        |  SELECT event_type AS t, round(quantile_cont(value, 0.5), 4) AS med
+        |  FROM events GROUP BY 1
+        |), dv AS (
+        |  SELECT e.event_type, e.value, m.med,
+        |         round(abs(e.value - m.med), 4) AS dev
+        |  FROM events e JOIN m ON e.event_type = m.t
+        |), md AS (
+        |  SELECT event_type AS t2, round(quantile_cont(dev, 0.5), 4) AS mad
+        |  FROM dv GROUP BY 1
+        |)
+        |SELECT dv.event_type,
+        |       count(*) AS n,
+        |       min(dv.med) AS med,
+        |       min(md.mad) AS mad,
+        |       min(round(3.0 * 1.4826 * md.mad, 4)) AS thr,
+        |       SUM(CASE WHEN dv.dev > round(3.0 * 1.4826 * md.mad, 4)
+        |                THEN 1 ELSE 0 END) AS n_outliers,
+        |       round(max(dv.dev), 4) AS max_dev
+        |FROM dv JOIN md ON dv.event_type = md.t2
+        |GROUP BY dv.event_type
+        |ORDER BY dv.event_type""".stripMargin,
+    "q_ks_drift" ->
+      """WITH ev AS (
+        |  SELECT value,
+        |         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
+        |         SUM(CASE WHEN event_type = 'view'  THEN 1 ELSE 0 END) AS c2
+        |  FROM events WHERE event_type IN ('click', 'view') GROUP BY value
+        |), g AS (
+        |  SELECT value,
+        |         SUM(c1) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+        |         SUM(c2) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2,
+        |         SUM(c1) OVER () AS n1,
+        |         SUM(c2) OVER () AS n2
+        |  FROM ev
+        |), gg AS (
+        |  SELECT *, abs(cum1 * n2 - cum2 * n1) AS gap FROM g
+        |), d AS (
+        |  SELECT n1, n2, max(gap) AS d_scaled FROM gg GROUP BY 1, 2
+        |)
+        |SELECT CAST(gg.n1 AS BIGINT) AS n1,
+        |       CAST(gg.n2 AS BIGINT) AS n2,
+        |       CAST(d.d_scaled AS BIGINT) AS d_scaled,
+        |       min(gg.value) AS at_value,
+        |       round(CAST(d.d_scaled AS DOUBLE) / CAST(gg.n1 * gg.n2 AS DOUBLE), 6) AS ks
+        |FROM gg JOIN d ON gg.n1 = d.n1 AND gg.n2 = d.n2 AND gg.gap = d.d_scaled
+        |GROUP BY gg.n1, gg.n2, d.d_scaled""".stripMargin,
+    "q_winsorize" ->
+      """WITH b AS (
+        |  SELECT source AS src,
+        |         round(quantile_cont(n_chars, 0.05), 4) AS p05,
+        |         round(quantile_cont(n_chars, 0.95), 4) AS p95
+        |  FROM documents GROUP BY 1
+        |)
+        |SELECT d.source,
+        |       count(*) AS n,
+        |       min(b.p05) AS p05,
+        |       min(b.p95) AS p95,
+        |       round(CAST(SUM(CAST(d.n_chars AS DECIMAL(24,6))) AS DOUBLE) / count(*), 4) AS mean_raw,
+        |       round(CAST(SUM(CAST(greatest(b.p05, least(b.p95, CAST(d.n_chars AS DOUBLE))) AS DECIMAL(24,6))) AS DOUBLE) / count(*), 4) AS mean_wins
+        |FROM documents d JOIN b ON d.source = b.src
+        |GROUP BY d.source
+        |ORDER BY d.source""".stripMargin,
   )
 }

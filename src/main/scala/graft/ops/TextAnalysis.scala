@@ -312,7 +312,35 @@ object TextAnalysis {
       .orderBy("term")
   }
 
+  /** Per-source unigram Shannon entropy in bits — the corpus-diversity
+    * signal quality dashboards track beside [[qualityScore]]: a source
+    * whose entropy collapses is template spam even when per-doc filters
+    * pass. Uses the algebraic form H = log2(N) − (Σ c·log2 c)/N so a
+    * single (source, term) count aggregate feeds one decimal-exact sum —
+    * per-term log2 values are quantized to 6 dp before summation
+    * (verified boundary-safe for counts ≤ 2M), making the reduction
+    * order-independent; two shuffles total, both map-side combined. */
+  def entropy(s: SparkSession, d: String): DataFrame = {
+    val tc = Tables.documents(s, d)
+      .select(col("source"), explode(words(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("source", "term").agg(count(lit(1)).as("c"))
+    tc.withColumn("lq",
+        round(log(2.0, col("c")), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("vocab"),
+        sum("c").as("n_tokens"),
+        sum(col("lq") * col("c")).as("ssum"))
+      .select(col("source"), col("n_tokens"), col("vocab"),
+        round(log(2.0, col("n_tokens").cast("double"))
+          - col("ssum").cast("double") / col("n_tokens"), 4).as("entropy_bits"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_entropy"         -> (entropy _),
     "q_chunk_overlap"   -> (chunkOverlap _),
     "q_inverted_index"  -> (invertedIndex _),
     "q_unigram_lm"      -> (unigramLm _),
@@ -338,6 +366,22 @@ object TextAnalysis {
        | ELSE [text] END""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_entropy" ->
+      s"""WITH tc AS (
+         |  SELECT source, term, count(*) AS c
+         |  FROM (SELECT source, unnest($WordsSql) AS term FROM documents)
+         |  WHERE term <> ''
+         |  GROUP BY source, term
+         |)
+         |SELECT source,
+         |       CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |       count(*) AS vocab,
+         |       round(log2(CAST(SUM(c) AS DOUBLE))
+         |             - CAST(SUM(CAST(round(log2(c), 6) AS DECIMAL(18,6)) * c) AS DOUBLE)
+         |               / CAST(SUM(c) AS DOUBLE), 4) AS entropy_bits
+         |FROM tc
+         |GROUP BY source
+         |ORDER BY source""".stripMargin,
     "q_chunk_overlap" ->
       s"""WITH w AS (
          |  SELECT doc_id, $WordsSql AS ws FROM documents

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Laws for the round-4 corpus metrics: Shannon entropy bounds,
+  * deterministic mode, and asymmetric containment vs Jaccard. */
+class CorpusMetricsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.session
+  private val sf = TestSpark.Sf
+
+  test("per-source entropy obeys 0 <= H <= log2(vocab)") {
+    val rows = ops.TextAnalysis.entropy(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (vocab, h) = (r.getLong(2), r.getDouble(3))
+      assert(h >= -1e-4, s"negative entropy $h")
+      assert(h <= math.log(vocab.toDouble) / math.log(2.0) + 1e-4,
+        s"entropy $h above log2($vocab)")
+    }
+  }
+
+  test("entropy of a uniform distribution is exactly log2(k)") {
+    // independent recomputation on a constructed frame via the same
+    // algebraic form: H = log2(N) - sum(c*log2 c)/N with c all equal
+    val k = 16; val c = 8
+    val n = k * c
+    val h = math.log(n.toDouble) / math.log(2.0) -
+      k * (c * (math.log(c.toDouble) / math.log(2.0))) / n
+    assert(math.abs(h - math.log(k.toDouble) / math.log(2.0)) < 1e-9)
+  }
+
+  test("deterministic mode is the argmax of the value-count table") {
+    val modes = ops.Aggregations.modeDet(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val counts = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag", "l_quantity").agg(count(lit(1)).as("cnt"))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+      .groupBy(_._1)
+    counts.foreach { case (flag, rows) =>
+      val best = rows.map { case (_, q, c) => (c, q) }
+        .sortBy { case (c, q) => (-c, q) }.head
+      assert(modes(flag) === ((best._2, best._1)), s"mode mismatch for $flag")
+    }
+  }
+
+  test("containment dominates Jaccard on every shared pair and is <= 1") {
+    val cont = ops.Dedup.containment(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(5), r.getDouble(6), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val jac = ops.Dedup.ngramJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    cont.foreach { case (pair, (cab, cba, inter, n1, n2)) =>
+      assert(cab > 0 && cab <= 1.0 + 1e-9 && cba > 0 && cba <= 1.0 + 1e-9)
+      assert(inter <= math.min(n1, n2), "intersection cannot exceed either set")
+      // containment >= jaccard always: |A∩B|/|A| >= |A∩B|/|A∪B|
+      jac.get(pair).foreach { j =>
+        assert(math.max(cab, cba) >= j - 1e-9,
+          s"containment below jaccard for $pair")
+      }
+    }
+    assert(cont.nonEmpty, "fixture's planted near-dups must surface")
+  }
+}

@@ -56,4 +56,57 @@ class StatisticsSpec extends AnyFunSuite {
     val frac = a.size / total
     assert(frac > 0.05 && frac < 0.16, s"fraction $frac")
   }
+
+  test("bucketed KS prefix decomposition equals the naive single-window ECDF") {
+    import org.apache.spark.sql.expressions.Window
+    val r = ops.Statistics.ksDrift(spark, sf).collect()
+    assert(r.length === 1)
+    val (n1, n2, dScaled, atValue, ks) =
+      (r(0).getLong(0), r(0).getLong(1), r(0).getLong(2), r(0).getDouble(3), r(0).getDouble(4))
+    // naive reference: one global cumulative window over distinct values
+    val ev = Tables.events(spark, sf)
+      .filter(col("event_type").isin("click", "view"))
+      .groupBy("value")
+      .agg(sum((col("event_type") === "click").cast("long")).as("c1"),
+        sum((col("event_type") === "view").cast("long")).as("c2"))
+    val w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rows = ev.select(col("value"), sum("c1").over(w).as("cum1"), sum("c2").over(w).as("cum2"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+    val (nn1, nn2) = (rows.map(_._2).max, rows.map(_._3).max)
+    val gaps = rows.map { case (v, a, b) => (v, math.abs(a * nn2 - b * nn1)) }
+    val dRef = gaps.map(_._2).max
+    assert(n1 === nn1 && n2 === nn2)
+    assert(dScaled === dRef)
+    assert(atValue === gaps.filter(_._2 == dRef).map(_._1).min)
+    assert(ks >= 0.0 && ks <= 1.0)
+  }
+
+  test("MAD outlier gate matches a direct recomputation and the 3-sigma-equivalent law") {
+    val out = ops.Statistics.outlierMad(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (mad, thr, nOut, n) =
+        (r.getDouble(3), r.getDouble(4), r.getLong(5), r.getLong(1))
+      assert(thr === BigDecimal(3.0 * 1.4826 * mad)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(nOut >= 0 && nOut < n, "outliers must be a strict minority")
+    }
+    // direct recount for one event type
+    val first = out(0)
+    val (t, med, thr) = (first.getString(0), first.getDouble(2), first.getDouble(4))
+    val recount = Tables.events(spark, sf)
+      .filter(col("event_type") === t)
+      .withColumn("dev", round(abs(col("value") - lit(med)), 4))
+      .filter(col("dev") > lit(thr)).count()
+    assert(recount === first.getLong(5))
+  }
+
+  test("winsorized mean sits inside [p05, p95] and between raw-mean pulls") {
+    ops.Statistics.winsorize(spark, sf).collect().foreach { r =>
+      val (p05, p95, meanW) = (r.getDouble(2), r.getDouble(3), r.getDouble(5))
+      assert(p05 <= p95)
+      assert(meanW >= p05 - 1e-9 && meanW <= p95 + 1e-9,
+        s"winsorized mean $meanW outside [$p05, $p95]")
+    }
+  }
 }
