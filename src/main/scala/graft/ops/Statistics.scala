@@ -138,12 +138,14 @@ object Statistics {
     * + within-bucket cum(v). */
   def ksDrift(s: SparkSession, d: String): DataFrame = {
     val nb = KsBuckets
-    val ev = Tables.events(s, d)
+    // staged: ev feeds extent + bucketing + totals, gaps feeds the argmax
+    // join twice — without staging each consumer re-runs the whole subtree
+    val ev = graft.util.Ckpt.stage(Tables.events(s, d)
       .filter(col("event_type").isin("click", "view"))
       .groupBy("value")
       .agg(
         sum((col("event_type") === "click").cast("long")).as("c1"),
-        sum((col("event_type") === "view").cast("long")).as("c2"))
+        sum((col("event_type") === "view").cast("long")).as("c2")))
     val ext = ev.agg(min("value").as("lo"), max("value").as("hi"))
     val bucketed = ev.crossJoin(broadcast(ext))
       .withColumn("bkt",
@@ -161,12 +163,12 @@ object Statistics {
     val tot = bucketed.agg(sum("c1").as("n1"), sum("c2").as("n2"))
     val w = Window.partitionBy("bkt").orderBy("value")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val gaps = bucketed
+    val gaps = graft.util.Ckpt.stage(bucketed
       .join(broadcast(offs), "bkt")
       .crossJoin(broadcast(tot))
       .withColumn("cum1", col("off1") + sum("c1").over(w))
       .withColumn("cum2", col("off2") + sum("c2").over(w))
-      .withColumn("gap", abs(col("cum1") * col("n2") - col("cum2") * col("n1")))
+      .withColumn("gap", abs(col("cum1") * col("n2") - col("cum2") * col("n1"))))
     val dmax = gaps.groupBy("n1", "n2").agg(max("gap").as("d_scaled"))
     gaps.join(broadcast(dmax), Seq("n1", "n2"))
       .filter(col("gap") === col("d_scaled"))

@@ -61,6 +61,14 @@ class PlanBudgetSpec extends AnyFunSuite {
     ("q_chunk_overlap", 1, 0),        // pure flatMap; the sort is the only exchange
     ("q_cluster_rep", 7, 1),          // audit mode exposes the label-propagation
                                       // loop's full lineage (rounds × 2 aggregates)
+    // round-4 robust-stats / corpus-metric additions
+    ("q_containment", 5, 2),          // shares the jaccard skeleton: same audit-mode bound
+    ("q_ks_drift", 10, 3),            // audit mode re-runs ev per consumer (3×) and
+                                      // gaps twice; staged execution runs 2 data shuffles
+    ("q_entropy", 3, 0),              // term agg + source agg + presentation sort
+    ("q_outlier_mad", 4, 2),          // both percentile passes broadcast back
+    ("q_winsorize", 3, 1),            // bounds broadcast; events never shuffled
+    ("q_mode", 3, 0),                 // value-count agg + flag window + sort
   )
 
   budgets.foreach { case (name, maxShuffles, minBcasts) =>
