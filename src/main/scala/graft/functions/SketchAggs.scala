@@ -293,7 +293,8 @@ object SketchAggs {
 
   // -------------------------------------------------- Frequent items
 
-  private def stringSerDe = new org.apache.datasketches.common.ArrayOfStringsSerDe()
+  // stateless — one shared instance, not one per (de)serialized blob
+  private val stringSerDe = new org.apache.datasketches.common.ArrayOfStringsSerDe()
 
   /** Aggregates a string column into a Misra-Gries frequent-items sketch
     * (DataSketches `ItemsSketch`): mergeable heavy-hitter state with a

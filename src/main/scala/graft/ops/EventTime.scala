@@ -291,8 +291,7 @@ object EventTime {
     ev.withColumn("bin", date_trunc("hour", col("ts")))
       .join(binnedWin, "bin")
       .filter(col("ts") >= col("ws") && col("ts") < col("we"))
-      .select(col("event_id"),
-        date_format(col("ws"), "yyyy-MM-dd HH:mm:ss").as("window_start"))
+      .select(col("event_id"), fmtTs(col("ws")).as("window_start"))
       .orderBy("event_id", "window_start")
   }
 

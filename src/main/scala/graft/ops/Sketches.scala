@@ -131,7 +131,10 @@ object Sketches {
       .agg(freqMergeAgg(col("sk"), 10).as("sk"))
       .select(freqStreamLength(col("sk")).as("total"),
         explode(freqItems(col("sk"))).as("f"))
-      .filter(col("f.est") >= col("total") * 0.02)
+      // integer-safe 2% share test (est*50 >= total): `total * 0.02` is
+      // IEEE double in Spark but exact DECIMAL in DuckDB, so a count
+      // landing exactly on the boundary would diverge between engines
+      .filter(col("f.est") * 50 >= col("total"))
       .select(col("f.term").as("term"), col("f.est").as("est"))
       .orderBy("term")
   }
@@ -178,7 +181,7 @@ object Sketches {
         |SELECT term, count(*) AS est
         |FROM tk
         |GROUP BY term
-        |HAVING count(*) >= (SELECT count(*) FROM tk) * 0.02
+        |HAVING count(*) * 50 >= (SELECT count(*) FROM tk)
         |ORDER BY term""".stripMargin,
   )
 }

@@ -61,6 +61,8 @@ class PlanBudgetSpec extends AnyFunSuite {
     ("q_chunk_overlap", 1, 0),        // pure flatMap; the sort is the only exchange
     ("q_cluster_rep", 7, 1),          // audit mode exposes the label-propagation
                                       // loop's full lineage (rounds × 2 aggregates)
+    ("q_join_range_binned", 4, 0),    // bin-keyed equi-join (broadcast allowed when
+                                      // the window side is small; never required)
     // round-4 robust-stats / corpus-metric additions
     ("q_containment", 5, 2),          // shares the jaccard skeleton: same audit-mode bound
     ("q_ks_drift", 10, 3),            // audit mode re-runs ev per consumer (3×) and
