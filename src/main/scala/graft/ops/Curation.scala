@@ -201,7 +201,67 @@ object Curation {
       .orderBy("doc_id", "copy_idx")
   }
 
+  /** Fixed quality-gate threshold for [[curationPipeline]] — sits near
+    * the fixture's P25 so the gate actually cuts (~30%) without starving
+    * the later stages. Quality scores are 4-dp-rounded in both engines
+    * before the comparison, so the gate is boundary-deterministic. */
+  private[ops] val QualityGate = 0.35
+
+  /** The whole curation pass as ONE composed dataflow — exact dedup →
+    * quality gate → LSH near-dup removal — reported as a per-source
+    * funnel (rows surviving each stage + final token mass). This is the
+    * query that proves the stage operators COMPOSE: each stage consumes
+    * the previous stage's survivor frame, not the raw table, and the
+    * DuckDB oracle chains the same CTEs, so the hash compare checks the
+    * full 3-stage pipeline semantics end-to-end.
+    *
+    * Scale shape: stage 1 shuffles digests (never bodies); stage 2 is
+    * scan-local; stage 3 runs banding over the (smaller) survivor set —
+    * band keys only on the exchange. The funnel aggregates are
+    * source-cardinality rows. Survivor frames that feed two consumers
+    * ([[graft.util.Ckpt.stage]]) materialize once. */
+  def curationPipeline(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.{Dedup, TextAnalysis}
+    val raw = Tables.documents(s, d).select(col("doc_id"), col("source"), col("text"))
+    // stage 1: exact dedup keyed on content digest
+    val wk = Window.partitionBy("key").orderBy("doc_id")
+    val exact = graft.util.Ckpt.stage(raw
+      .withColumn("key", md5(col("text")))
+      .withColumn("rn", row_number().over(wk))
+      .filter(col("rn") === 1).drop("key", "rn"))
+    // stage 2: fixed-threshold quality gate
+    val good = graft.util.Ckpt.stage(
+      exact.withColumn("quality", TextAnalysis.qualityExpr)
+        .filter(col("quality") >= QualityGate))
+    // stage 3: near-dup removal — band collision against a smaller
+    // SURVIVING doc_id (bands computed over survivors, the real order)
+    val wb = Window.partitionBy("bkey")
+    val keepers = Dedup.bandBucketsOf(good)
+      .withColumn("bmin", min("doc_id").over(wb))
+      .groupBy("doc_id").agg(min("bmin").as("keeper"))
+      .filter(col("keeper") === col("doc_id"))
+      .select("doc_id")
+    val fin = good.join(keepers, "doc_id")
+    // funnel report per source
+    raw.groupBy("source").agg(count(lit(1)).as("n_raw"))
+      .join(exact.groupBy("source").agg(count(lit(1)).as("n_exact")), Seq("source"), "left")
+      .join(good.groupBy("source").agg(count(lit(1)).as("n_quality")), Seq("source"), "left")
+      .join(fin.groupBy("source").agg(
+          count(lit(1)).as("n_final"),
+          sum(size(words(col("text")))).as("tokens_final"),
+          round(graft.util.Det.davg(col("quality")), 4).as("avg_q_final")),
+        Seq("source"), "left")
+      .select(col("source"), col("n_raw"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        coalesce(col("n_quality"), lit(0L)).as("n_quality"),
+        coalesce(col("n_final"), lit(0L)).as("n_final"),
+        coalesce(col("tokens_final"), lit(0L)).as("tokens_final"),
+        col("avg_q_final"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_curation_pipeline" -> (curationPipeline _),
     "q_cluster_rep"      -> (clusterRep _),
     "q_span_dedup"       -> (spanDedup _),
     "q_quality_quantile" -> (qualityQuantile _),
@@ -224,6 +284,39 @@ object Curation {
        |  i -> array_to_string(list_slice($WordsSql, i*$SpanWords + 1, i*$SpanWords + $SpanWords), ' '))""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_curation_pipeline" ->
+      s"""WITH ex AS (
+         |  SELECT doc_id, source, text FROM (
+         |    SELECT doc_id, source, text,
+         |           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         |    FROM documents) t
+         |  WHERE rn = 1
+         |), gd AS (
+         |  SELECT doc_id, source, text, $QualitySql AS quality
+         |  FROM ex
+         |  WHERE $QualitySql >= $QualityGate
+         |), ${Dedup.bandBucketsCteBodyFrom("gd")}, k AS (
+         |  SELECT bkey, min(doc_id) AS bmin FROM b GROUP BY bkey
+         |), surv AS (
+         |  SELECT b.doc_id FROM b JOIN k USING (bkey)
+         |  GROUP BY b.doc_id HAVING min(k.bmin) = b.doc_id
+         |), fin AS (
+         |  SELECT gd.* FROM gd JOIN surv USING (doc_id)
+         |)
+         |SELECT r.source, r.n_raw,
+         |       coalesce(e.n_exact, 0) AS n_exact,
+         |       coalesce(g.n_quality, 0) AS n_quality,
+         |       coalesce(f.n_final, 0) AS n_final,
+         |       coalesce(f.tokens_final, 0) AS tokens_final,
+         |       f.avg_q_final
+         |FROM (SELECT source, count(*) AS n_raw FROM documents GROUP BY 1) r
+         |LEFT JOIN (SELECT source, count(*) AS n_exact FROM ex GROUP BY 1) e USING (source)
+         |LEFT JOIN (SELECT source, count(*) AS n_quality FROM gd GROUP BY 1) g USING (source)
+         |LEFT JOIN (SELECT source, count(*) AS n_final,
+         |                  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens_final,
+         |                  round(CAST(SUM(CAST(quality AS DECIMAL(24,6))) AS DOUBLE) / count(*), 4) AS avg_q_final
+         |           FROM fin GROUP BY 1) f USING (source)
+         |ORDER BY r.source""".stripMargin,
     "q_cluster_rep" ->
       s"""${Dedup.ClustersCteSql}
          |SELECT c.doc_id, c.cluster, d.n_chars,

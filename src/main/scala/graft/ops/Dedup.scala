@@ -195,8 +195,14 @@ object Dedup {
 
   /** The doc→LSH-band-bucket incidence used by both the pairwise minhash
     * query and the cluster closure. */
-  private def bandBuckets(s: SparkSession, d: String): DataFrame = {
-    val sh = Tables.documents(s, d)
+  private def bandBuckets(s: SparkSession, d: String): DataFrame =
+    bandBucketsOf(Tables.documents(s, d))
+
+  /** [[bandBuckets]] over an arbitrary (doc_id, text, …) frame — lets a
+    * composed pipeline (e.g. `Curation.curationPipeline`) run LSH banding
+    * over an already-filtered survivor set instead of the raw table. */
+  private[ops] def bandBucketsOf(docs: DataFrame): DataFrame = {
+    val sh = docs
       .select(col("doc_id"),
         explode(shingles3(words(col("text")), col("text"))).as("shingle"))
       .withColumn("h", md5(col("shingle")))
@@ -395,9 +401,13 @@ object Dedup {
   /** The doc→LSH-band-bucket incidence (CTEs `sh`/`sig`/`b`, ending at
     * `b(doc_id, bkey)`) — the SQL twin of [[bandBuckets]], shared by the
     * cluster closure and the incremental-dedup oracle. */
-  private[ops] lazy val BandBucketsCteBody: String =
+  private[ops] lazy val BandBucketsCteBody: String = bandBucketsCteBodyFrom("documents")
+
+  /** [[BandBucketsCteBody]] parameterized by source relation — the SQL
+    * twin of [[bandBucketsOf]]; the relation must expose (doc_id, text). */
+  private[ops] def bandBucketsCteBodyFrom(rel: String): String =
     s"""sh AS (
-       |  SELECT doc_id, unnest($ShinglesSql) AS shingle FROM documents
+       |  SELECT doc_id, unnest($ShinglesSql) AS shingle FROM $rel
        |), sig AS (
        |  SELECT doc_id,
        |         min(substring(md5(shingle), 1, 8))  AS mh0,

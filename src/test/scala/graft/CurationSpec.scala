@@ -135,4 +135,19 @@ class CurationSpec extends AnyFunSuite {
     val joined = copies.join(targets, "source")
     assert(joined.filter(col("n_copies") =!= col("target")).count() === 0)
   }
+
+  test("curation pipeline funnel is monotone and stages agree with standalone ops") {
+    val f = Curation.curationPipeline(spark, sf).collect()
+    assert(f.nonEmpty)
+    f.foreach { r =>
+      val (raw, ex, q, fin) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(raw >= ex && ex >= q && q >= fin,
+        s"funnel not monotone for ${r.getString(0)}: $raw/$ex/$q/$fin")
+      assert(fin >= 0 && (r.getLong(5) >= 0))
+    }
+    // stage-1 totals must equal the standalone exact dedup's survivor count
+    val exTotal = f.map(_.getLong(2)).sum
+    assert(exTotal === graft.ops.Dedup.dedupExact(spark, sf).count(),
+      "composed stage 1 must match standalone dedupExact")
+  }
 }
