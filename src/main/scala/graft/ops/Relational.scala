@@ -190,6 +190,29 @@ object Relational {
         |ORDER BY c_custkey""".stripMargin)
   }
 
+  /** Correlated scalar-AGGREGATE subquery (the TPC-H Q17 shape): revenue
+    * of lineitems whose quantity sits below 20% of their part's average
+    * quantity. Exercises Catalyst's subquery decorrelation — the
+    * correlated avg rewrites to a per-partkey aggregate joined back to
+    * the outer scan (no per-row re-execution), visible as one aggregate +
+    * one join in the plan. Quantities are integral, so the per-part
+    * double avg is an exact sum / count in both engines and the 0.2×
+    * threshold compares identically. */
+  def correlatedAgg(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem_ca")
+    Tables.part(s, d).createOrReplaceTempView("part_ca")
+    s.sql(
+      """SELECT p.p_brand,
+        |       count(*) AS n_small,
+        |       round(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(24,6))) AS DOUBLE), 4) AS revenue
+        |FROM lineitem_ca l JOIN part_ca p ON l.l_partkey = p.p_partkey
+        |WHERE l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+        |                      FROM lineitem_ca l2
+        |                      WHERE l2.l_partkey = l.l_partkey)
+        |GROUP BY p.p_brand
+        |ORDER BY p.p_brand""".stripMargin)
+  }
+
   /** Grand aggregate with no grouping: a partial-aggregate tree to a
     * single row (no key shuffle — the exchange carries one row per
     * partition). */
@@ -228,9 +251,20 @@ object Relational {
     "q_except"       -> (exceptKeys _),
     "q_setops_all"   -> (setOpsAll _),
     "q_lateral_topn" -> (lateralTopN _),
+    "q_correlated_agg" -> (correlatedAgg _),
   )
 
   val oracle: Map[String, String] = Map(
+    "q_correlated_agg" ->
+      """SELECT p.p_brand,
+        |       count(*) AS n_small,
+        |       round(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(24,6))) AS DOUBLE), 4) AS revenue
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+        |                      FROM lineitem l2
+        |                      WHERE l2.l_partkey = l.l_partkey)
+        |GROUP BY p.p_brand
+        |ORDER BY p.p_brand""".stripMargin,
     "q_file_lineage" ->
       """SELECT 'documents.parquet' AS src_file, count(*) AS n_rows
         |FROM documents

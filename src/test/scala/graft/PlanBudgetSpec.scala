@@ -71,6 +71,11 @@ class PlanBudgetSpec extends AnyFunSuite {
     ("q_outlier_mad", 4, 2),          // both percentile passes broadcast back
     ("q_winsorize", 3, 1),            // bounds broadcast; events never shuffled
     ("q_mode", 3, 0),                 // value-count agg + flag window + sort
+    ("q_correlated_agg", 3, 1),       // decorrelated to one per-part aggregate +
+                                      // broadcast join — never a per-row subquery
+    // audit mode re-runs each staged survivor frame per consumer; the
+    // staged execution materializes exact/good once (8 shuffles at sf0.01)
+    ("q_curation_pipeline", 14, 0),
   )
 
   budgets.foreach { case (name, maxShuffles, minBcasts) =>
