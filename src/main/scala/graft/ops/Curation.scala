@@ -221,7 +221,6 @@ object Curation {
     * source-cardinality rows. Survivor frames that feed two consumers
     * ([[graft.util.Ckpt.stage]]) materialize once. */
   def curationPipeline(s: SparkSession, d: String): DataFrame = {
-    import graft.ops.{Dedup, TextAnalysis}
     val raw = Tables.documents(s, d).select(col("doc_id"), col("source"), col("text"))
     // stage 1: exact dedup keyed on content digest
     val wk = Window.partitionBy("key").orderBy("doc_id")

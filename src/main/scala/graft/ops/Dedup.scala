@@ -304,23 +304,30 @@ object Dedup {
       .transform(graft.util.Ckpt.stage)
   }
 
-  private[graft] def ngramJaccardCapped(s: SparkSession, d: String, dfCap: Int): DataFrame = {
+  /** (d1 < d2, inter, n1, n2) — blocked pair-intersection counts with both
+    * docs' set sizes, over the df-capped bigram incidence: the shared tail
+    * of every pairwise set-similarity metric ([[ngramJaccardCapped]],
+    * [[containmentCapped]]). One equi-join through shared bigrams (never
+    * all-pairs), one pair aggregate, two broadcast size joins. */
+  private def pairsWithSizes(s: SparkSession, d: String, dfCap: Int): DataFrame = {
     val bg = cappedBigramIncidence(s, d, dfCap)
     val sizes = bg.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = bg.select(col("doc_id").as("d1"), col("lang").as("lg"), col("source").as("sc"), col("bg"))
     val b = bg.select(col("doc_id").as("d2"), col("lang").as("lg2"), col("source").as("sc2"), col("bg").as("bg2"))
-    val inter = a.join(b,
+    a.join(b,
         col("bg") === col("bg2") && col("lg") === col("lg2") && col("sc") === col("sc2") &&
         col("d1") < col("d2"))
       .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
-    inter
       .join(broadcast(sizes.select(col("doc_id").as("d1"), col("n").as("n1"))), "d1")
       .join(broadcast(sizes.select(col("doc_id").as("d2"), col("n").as("n2"))), "d2")
+  }
+
+  private[graft] def ngramJaccardCapped(s: SparkSession, d: String, dfCap: Int): DataFrame =
+    pairsWithSizes(s, d, dfCap)
       .withColumn("jaccard", round(col("inter") / (col("n1") + col("n2") - col("inter")), 4))
       .filter(col("jaccard") >= 0.05)
       .select(col("d1"), col("d2"), col("inter"), col("jaccard"))
       .orderBy("d1", "d2")
-  }
 
   /** Asymmetric bigram-set containment, |A∩B|/|A| in each direction —
     * the subset-duplication detector Jaccard structurally misses: a short
@@ -332,25 +339,14 @@ object Dedup {
   def containment(s: SparkSession, d: String): DataFrame =
     containmentCapped(s, d, JaccardDfCap)
 
-  private[graft] def containmentCapped(s: SparkSession, d: String, dfCap: Int): DataFrame = {
-    val bg = cappedBigramIncidence(s, d, dfCap)
-    val sizes = bg.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val a = bg.select(col("doc_id").as("d1"), col("lang").as("lg"), col("source").as("sc"), col("bg"))
-    val b = bg.select(col("doc_id").as("d2"), col("lang").as("lg2"), col("source").as("sc2"), col("bg").as("bg2"))
-    val inter = a.join(b,
-        col("bg") === col("bg2") && col("lg") === col("lg2") && col("sc") === col("sc2") &&
-        col("d1") < col("d2"))
-      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
-    inter
-      .join(broadcast(sizes.select(col("doc_id").as("d1"), col("n").as("n1"))), "d1")
-      .join(broadcast(sizes.select(col("doc_id").as("d2"), col("n").as("n2"))), "d2")
+  private[graft] def containmentCapped(s: SparkSession, d: String, dfCap: Int): DataFrame =
+    pairsWithSizes(s, d, dfCap)
       .withColumn("cont_a_in_b", round(col("inter") / col("n1"), 4))
       .withColumn("cont_b_in_a", round(col("inter") / col("n2"), 4))
       .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= 0.5)
       .select(col("d1"), col("d2"), col("inter"), col("n1"), col("n2"),
         col("cont_a_in_b"), col("cont_b_in_a"))
       .orderBy("d1", "d2")
-  }
 
   /** Incremental dedup: flag each INCOMING document (the fixture's
     * `src19` plays the new crawl batch) that LSH-band-collides with any
@@ -564,20 +560,7 @@ object Dedup {
          |FROM f JOIN k USING (fp)
          |ORDER BY doc_id""".stripMargin,
     "q_ngram_jaccard" ->
-      s"""WITH bg0 AS (
-         |  SELECT doc_id, lang, source, unnest($BigramsSql) AS b FROM documents
-         |), bg AS (
-         |  SELECT doc_id, lang, source, b FROM (
-         |    SELECT bg0.*, count(*) OVER (PARTITION BY b, lang, source) AS df FROM bg0) t
-         |  WHERE df <= $JaccardDfCap
-         |), sz AS (
-         |  SELECT doc_id, count(*) AS n FROM bg GROUP BY doc_id
-         |), p AS (
-         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-         |  FROM bg a JOIN bg b
-         |    ON a.b = b.b AND a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2
-         |)
+      s"""WITH $PairCtesSql
          |SELECT d1, d2, inter, jaccard FROM (
          |  SELECT d1, d2, inter,
          |         round(inter / (sa.n + sb.n - inter), 4) AS jaccard
@@ -585,20 +568,7 @@ object Dedup {
          |WHERE jaccard >= 0.05
          |ORDER BY d1, d2""".stripMargin,
     "q_containment" ->
-      s"""WITH bg0 AS (
-         |  SELECT doc_id, lang, source, unnest($BigramsSql) AS b FROM documents
-         |), bg AS (
-         |  SELECT doc_id, lang, source, b FROM (
-         |    SELECT bg0.*, count(*) OVER (PARTITION BY b, lang, source) AS df FROM bg0) t
-         |  WHERE df <= $JaccardDfCap
-         |), sz AS (
-         |  SELECT doc_id, count(*) AS n FROM bg GROUP BY doc_id
-         |), p AS (
-         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-         |  FROM bg a JOIN bg b
-         |    ON a.b = b.b AND a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2
-         |)
+      s"""WITH $PairCtesSql
          |SELECT d1, d2, inter, n1, n2, cont_a_in_b, cont_b_in_a FROM (
          |  SELECT d1, d2, inter, sa.n AS n1, sb.n AS n2,
          |         round(inter / sa.n, 4) AS cont_a_in_b,
@@ -607,4 +577,24 @@ object Dedup {
          |WHERE greatest(cont_a_in_b, cont_b_in_a) >= 0.5
          |ORDER BY d1, d2""".stripMargin,
   )
+
+  /** SQL twin of [[pairsWithSizes]] minus the size joins (CTEs
+    * `bg0`/`bg`/`sz`/`p`): df-capped bigram incidence, per-doc sizes, and
+    * blocked pair-intersection counts — shared by the jaccard and
+    * containment oracles so the blocking semantics live in one place. */
+  private lazy val PairCtesSql: String =
+    s"""bg0 AS (
+       |  SELECT doc_id, lang, source, unnest($BigramsSql) AS b FROM documents
+       |), bg AS (
+       |  SELECT doc_id, lang, source, b FROM (
+       |    SELECT bg0.*, count(*) OVER (PARTITION BY b, lang, source) AS df FROM bg0) t
+       |  WHERE df <= $JaccardDfCap
+       |), sz AS (
+       |  SELECT doc_id, count(*) AS n FROM bg GROUP BY doc_id
+       |), p AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+       |  FROM bg a JOIN bg b
+       |    ON a.b = b.b AND a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |)""".stripMargin
 }

@@ -102,8 +102,11 @@ object Statistics {
     val ev = Tables.events(s, d).select(col("event_type"), col("value"))
     val med = ev.groupBy(col("event_type").as("t"))
       .agg(round(expr("percentile(value, 0.5)"), 4).as("med"))
-    val dev = ev.join(broadcast(med), col("event_type") === col("t"))
-      .withColumn("dev", round(abs(col("value") - col("med")), 4))
+    // staged: dev feeds both the MAD percentile pass and the final
+    // aggregate — without it the scan + median join runs per consumer
+    val dev = graft.util.Ckpt.stage(
+      ev.join(broadcast(med), col("event_type") === col("t"))
+        .withColumn("dev", round(abs(col("value") - col("med")), 4)))
     val mad = dev.groupBy(col("t").as("t2"))
       .agg(round(expr("percentile(dev, 0.5)"), 4).as("mad"))
     dev.join(broadcast(mad), col("t") === col("t2"))

@@ -54,9 +54,10 @@ class CorpusMetricsSpec extends AnyFunSuite {
     cont.foreach { case (pair, (cab, cba, inter, n1, n2)) =>
       assert(cab > 0 && cab <= 1.0 + 1e-9 && cba > 0 && cba <= 1.0 + 1e-9)
       assert(inter <= math.min(n1, n2), "intersection cannot exceed either set")
-      // containment >= jaccard always: |A∩B|/|A| >= |A∩B|/|A∪B|
+      // containment >= jaccard always: |A∩B|/|A| >= |A∩B|/|A∪B|.
+      // Tolerance is two half-ulps of the 4-dp rounding both values carry.
       jac.get(pair).foreach { j =>
-        assert(math.max(cab, cba) >= j - 1e-9,
+        assert(math.max(cab, cba) >= j - 1e-4,
           s"containment below jaccard for $pair")
       }
     }
