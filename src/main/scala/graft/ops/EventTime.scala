@@ -226,7 +226,11 @@ object EventTime {
   def resampleInterp(s: SparkSession, d: String): DataFrame = {
     val obs = Tables.events(s, d)
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
-      .agg(round(graft.util.Det.davg(col("value")), 4).as("obs"))
+      // floor-quantize like the final value column, NOT round(): obs is a
+      // double DIVISION result, and the engines' round() implementations
+      // disagree by 1 ulp exactly at .00005 boundaries (observed at sf1);
+      // floor(x·10⁴ + 0.5)/10⁴ is the same IEEE op sequence in both
+      .agg((floor(graft.util.Det.davg(col("value")) * 10000 + lit(0.5)) / 10000).as("obs"))
     val spine = obs.groupBy("event_type")
       .agg(min("h").as("h0"), max("h").as("h1"))
       .select(col("event_type"),
@@ -337,7 +341,8 @@ object EventTime {
     "q_resample_interp" ->
       """WITH obs AS (
         |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
-        |         round(CAST(sum(CAST(value AS DECIMAL(24,6))) AS DOUBLE) / count(value), 4) AS obs
+        |         floor((CAST(sum(CAST(value AS DECIMAL(24,6))) AS DOUBLE) / count(value))
+        |               * 10000 + 0.5) / 10000 AS obs
         |  FROM events GROUP BY 1, 2
         |), spine AS (
         |  SELECT event_type, unnest(generate_series(min(h), max(h), INTERVAL 1 HOUR)) AS h

@@ -253,16 +253,28 @@ object TextAnalysis {
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val vocab = tf.groupBy("term").agg(sum("tf").as("ct"))
     val n = vocab.agg(sum("ct").as("n_total"))
+    // surprisal split into logs of INTEGERS (ln N − ln ct), each quantized
+    // to 6 dp BEFORE the decimal-exact subtraction: ln of a ratio double
+    // differs between engine libm implementations by a few ulps, which at
+    // corpus scale lands some value on a 6-dp rounding boundary (observed
+    // 10/19k cells at sf1); ln over the integer count domain is verified
+    // bit-identical at 6 dp across Spark and DuckDB for counts ≤ 2M
+    val qln = (c: org.apache.spark.sql.Column) =>
+      round(log(c.cast("double")), 6)
+        .cast(org.apache.spark.sql.types.DecimalType(18, 6))
     tf.join(broadcast(vocab), "term")
       .crossJoin(broadcast(n))
-      .withColumn("sur",
-        round(log(col("n_total").cast("double") / col("ct")), 6)
-          .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+      .withColumn("sur", qln(col("n_total")) - qln(col("ct")))
       .groupBy("doc_id")
       .agg(sum("tf").as("n_tokens"), sum(col("sur") * col("tf")).as("ssum"))
       .select(col("doc_id"), col("n_tokens"),
-        round(col("ssum").cast("double"), 4).as("sum_nats"),
-        round(col("ssum").cast("double") / col("n_tokens"), 4).as("avg_nats"))
+        // ssum is an exact multiple of 1e-6, so x.xxxx50 FINAL-round
+        // boundaries are common — round in DECIMAL (exact, identical in
+        // both engines), never through double; the avg (a double
+        // division) floor-quantizes like every computed-double output
+        round(col("ssum"), 4).cast("double").as("sum_nats"),
+        (floor(col("ssum").cast("double") / col("n_tokens") * 10000 + lit(0.5)) / 10000)
+          .as("avg_nats"))
       .orderBy("doc_id")
   }
 
@@ -415,12 +427,13 @@ object TextAnalysis {
          |  SELECT count(*) AS n_total FROM tk
          |), sur AS (
          |  SELECT doc_id,
-         |         CAST(round(ln(CAST(n_total AS DOUBLE) / ct), 6) AS DECIMAL(18,6)) AS sur
+         |         CAST(round(ln(CAST(n_total AS DOUBLE)), 6) AS DECIMAL(18,6))
+         |           - CAST(round(ln(CAST(ct AS DOUBLE)), 6) AS DECIMAL(18,6)) AS sur
          |  FROM wct, n
          |)
          |SELECT doc_id, count(*) AS n_tokens,
-         |       round(CAST(sum(sur) AS DOUBLE), 4) AS sum_nats,
-         |       round(CAST(sum(sur) AS DOUBLE) / count(*), 4) AS avg_nats
+         |       CAST(round(sum(sur), 4) AS DOUBLE) AS sum_nats,
+         |       floor(CAST(sum(sur) AS DOUBLE) / count(*) * 10000 + 0.5) / 10000 AS avg_nats
          |FROM sur GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_tfidf" ->
       s"""WITH t AS (

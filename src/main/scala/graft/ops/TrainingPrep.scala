@@ -97,17 +97,26 @@ object TrainingPrep {
       sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct_t"),
       count(lit(1)).as("ct_r"))
     val tot = stats.agg(sum("ct_t").as("n_t"), sum("ct_r").as("n_r"))
-    val ratio = round(
-      log((col("ct_t") + 1).cast("double") / (col("n_t") + DsirBuckets)) -
-        log((col("ct_r") + 1).cast("double") / (col("n_r") + DsirBuckets)), 6)
-      .cast(DecimalType(18, 6))
+    // each smoothed ratio's log splits into logs of INTEGERS, quantized to
+    // 6 dp before the decimal-exact combination — ratio-double ln differs
+    // across engine libms by ulps that can straddle a rounding boundary
+    // at corpus scale (observed at sf1); integer-domain ln is verified
+    // bit-identical at 6 dp across Spark and DuckDB for counts ≤ 2M
+    def qln(c: org.apache.spark.sql.Column) =
+      round(log(c.cast("double")), 6).cast(DecimalType(18, 6))
+    val ratio =
+      (qln(col("ct_t") + 1) - qln(col("n_t") + DsirBuckets)) -
+        (qln(col("ct_r") + 1) - qln(col("n_r") + DsirBuckets))
     feats
       .join(broadcast(stats.crossJoin(tot).select(col("bucket"), ratio.as("lr"))),
         "bucket")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_feats"), sum("lr").as("lsum"))
       .select(col("doc_id"), col("n_feats"),
-        round(col("lsum").cast("double"), 4).as("log_w"),
+        // lsum is an exact multiple of 1e-6 — round in DECIMAL (identical
+        // in both engines), never through double (x.xxxx50 boundaries are
+        // common for quantized-log sums)
+        round(col("lsum"), 4).cast("double").as("log_w"),
         (col("lsum") > 0).cast("int").as("selected"))
       .orderBy("doc_id")
   }
@@ -140,13 +149,14 @@ object TrainingPrep {
          |         CAST(sum(ct_r) AS BIGINT) AS n_r FROM st
          |), lr AS (
          |  SELECT bucket,
-         |         CAST(round(ln(CAST(ct_t + 1 AS DOUBLE) / (n_t + $DsirBuckets))
-         |                  - ln(CAST(ct_r + 1 AS DOUBLE) / (n_r + $DsirBuckets)), 6)
-         |              AS DECIMAL(18,6)) AS lr
+         |         (CAST(round(ln(CAST(ct_t + 1 AS DOUBLE)), 6) AS DECIMAL(18,6))
+         |           - CAST(round(ln(CAST(n_t + $DsirBuckets AS DOUBLE)), 6) AS DECIMAL(18,6)))
+         |         - (CAST(round(ln(CAST(ct_r + 1 AS DOUBLE)), 6) AS DECIMAL(18,6))
+         |           - CAST(round(ln(CAST(n_r + $DsirBuckets AS DOUBLE)), 6) AS DECIMAL(18,6))) AS lr
          |  FROM st, tot
          |)
          |SELECT doc_id, count(*) AS n_feats,
-         |       round(CAST(sum(lr) AS DOUBLE), 4) AS log_w,
+         |       CAST(round(sum(lr), 4) AS DOUBLE) AS log_w,
          |       CAST(sum(lr) > 0 AS INTEGER) AS selected
          |FROM fb JOIN lr USING (bucket)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
