@@ -74,15 +74,15 @@ object Aggregations {
     * DataFrame-side rollup/cube above are the API variants of the same
     * Expand-based plan. */
   def groupingSets(s: SparkSession, d: String): DataFrame = {
-    Tables.orders(s, d).createOrReplaceTempView("orders_gs")
+    val orders = graft.util.Views.forDir("orders_gs", d, Tables.orders(s, d))
     s.sql(
-      """SELECT COALESCE(o_orderstatus, '(all)') AS status,
+      s"""SELECT COALESCE(o_orderstatus, '(all)') AS status,
         |       COALESCE(o_orderpriority, '(all)') AS prio,
         |       CAST(grouping(o_orderstatus) AS INT) AS g_status,
         |       CAST(grouping(o_orderpriority) AS INT) AS g_prio,
         |       COUNT(1) AS cnt,
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(24,6))) AS DOUBLE) AS sum_price
-        |FROM orders_gs
+        |FROM $orders
         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
         |ORDER BY g_status, g_prio, status, prio""".stripMargin)
   }
@@ -90,14 +90,14 @@ object Aggregations {
   /** Aggregate FILTER clauses (conditional aggregation without CASE
     * scaffolding) — via SQL, like `groupingSets`. */
   def filteredAgg(s: SparkSession, d: String): DataFrame = {
-    Tables.orders(s, d).createOrReplaceTempView("orders_fa")
+    val orders = graft.util.Views.forDir("orders_fa", d, Tables.orders(s, d))
     s.sql(
-      """SELECT o_orderpriority,
+      s"""SELECT o_orderpriority,
         |       COUNT(*) AS n_all,
         |       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(24,6)))
         |            FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS sum_open
-        |FROM orders_fa
+        |FROM $orders
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin)
   }

@@ -121,17 +121,17 @@ object EventTime {
     * per month) however large the fact table; the count side is one
     * partial-aggregated shuffle. */
   def recursiveCalendar(s: SparkSession, d: String): DataFrame = {
-    Tables.orders(s, d).createOrReplaceTempView("orders_rc")
+    val orders = graft.util.Views.forDir("orders_rc", d, Tables.orders(s, d))
     s.sql(
-      """WITH RECURSIVE m(mon, last_mon) AS (
+      s"""WITH RECURSIVE m(mon, last_mon) AS (
         |  SELECT date_trunc('month', min(o_orderdate)),
         |         date_trunc('month', max(o_orderdate))
-        |  FROM orders_rc
+        |  FROM $orders
         |  UNION ALL
         |  SELECT mon + INTERVAL 1 MONTH, last_mon FROM m WHERE mon < last_mon
         |), per AS (
         |  SELECT date_trunc('month', o_orderdate) AS mon, count(*) AS n_orders
-        |  FROM orders_rc GROUP BY 1
+        |  FROM $orders GROUP BY 1
         |)
         |SELECT date_format(m.mon, 'yyyy-MM-dd') AS month_start,
         |       coalesce(per.n_orders, 0) AS n_orders

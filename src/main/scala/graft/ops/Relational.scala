@@ -86,12 +86,12 @@ object Relational {
     * rather than executing per-row, so the shape survives scale. Nations
     * with no supplier drop out (inner lateral), identically in DuckDB. */
   def lateralTopN(s: SparkSession, d: String): DataFrame = {
-    Tables.nation(s, d).createOrReplaceTempView("nation_lt")
-    Tables.supplier(s, d).createOrReplaceTempView("supplier_lt")
+    val nation = graft.util.Views.forDir("nation_lt", d, Tables.nation(s, d))
+    val supplier = graft.util.Views.forDir("supplier_lt", d, Tables.supplier(s, d))
     s.sql(
-      """SELECT n_name, t.s_name, t.s_acctbal
-        |FROM nation_lt, LATERAL (
-        |  SELECT s_name, s_acctbal FROM supplier_lt
+      s"""SELECT n_name, t.s_name, t.s_acctbal
+        |FROM $nation, LATERAL (
+        |  SELECT s_name, s_acctbal FROM $supplier
         |  WHERE s_nationkey = n_nationkey
         |  ORDER BY s_acctbal DESC, s_name ASC LIMIT 2) t
         |ORDER BY n_name, s_acctbal DESC, s_name""".stripMargin)
@@ -179,14 +179,14 @@ object Relational {
     * join — same physical plan as q_join_semi, arrived at from SQL. The
     * NOT EXISTS arm lands in the same query as an anti-join count. */
   def existsSubquery(s: SparkSession, d: String): DataFrame = {
-    Tables.customer(s, d).createOrReplaceTempView("customer_ex")
-    Tables.orders(s, d).createOrReplaceTempView("orders_ex")
+    val customer = graft.util.Views.forDir("customer_ex", d, Tables.customer(s, d))
+    val orders = graft.util.Views.forDir("orders_ex", d, Tables.orders(s, d))
     s.sql(
-      """SELECT c_custkey, c_mktsegment,
-        |       EXISTS (SELECT 1 FROM orders_ex o
+      s"""SELECT c_custkey, c_mktsegment,
+        |       EXISTS (SELECT 1 FROM $orders o
         |               WHERE o.o_custkey = c.c_custkey
         |                 AND o.o_totalprice > 400000.0) AS has_big_order
-        |FROM customer_ex c
+        |FROM $customer c
         |ORDER BY c_custkey""".stripMargin)
   }
 
@@ -199,15 +199,15 @@ object Relational {
     * double avg is an exact sum / count in both engines and the 0.2×
     * threshold compares identically. */
   def correlatedAgg(s: SparkSession, d: String): DataFrame = {
-    Tables.lineitem(s, d).createOrReplaceTempView("lineitem_ca")
-    Tables.part(s, d).createOrReplaceTempView("part_ca")
+    val lineitem = graft.util.Views.forDir("lineitem_ca", d, Tables.lineitem(s, d))
+    val part = graft.util.Views.forDir("part_ca", d, Tables.part(s, d))
     s.sql(
-      """SELECT p.p_brand,
+      s"""SELECT p.p_brand,
         |       count(*) AS n_small,
         |       round(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(24,6))) AS DOUBLE), 4) AS revenue
-        |FROM lineitem_ca l JOIN part_ca p ON l.l_partkey = p.p_partkey
+        |FROM $lineitem l JOIN $part p ON l.l_partkey = p.p_partkey
         |WHERE l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
-        |                      FROM lineitem_ca l2
+        |                      FROM $lineitem l2
         |                      WHERE l2.l_partkey = l.l_partkey)
         |GROUP BY p.p_brand
         |ORDER BY p.p_brand""".stripMargin)
