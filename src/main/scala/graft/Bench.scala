@@ -57,7 +57,12 @@ object Bench {
             catch { case e: Throwable =>
               Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(160)}")
             }
-          (name, (System.nanoTime() - t0) / 1e9, err)
+          val t = (System.nanoTime() - t0) / 1e9
+          // untimed: drop the query's staged checkpoint blocks so later
+          // queries aren't degraded by dead-block storage/GC pressure
+          // (each query is an independent job; see Ckpt.release)
+          util.Ckpt.release(spark)
+          (name, t, err)
         }
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
     def r3(v: Double): String = "%.3f".formatLocal(Locale.ROOT, v)

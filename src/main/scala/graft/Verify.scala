@@ -25,6 +25,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // each query's staged checkpoint blocks are dead once its parquet is
+      // written; free them so the dump doesn't accumulate storage pressure
+      util.Ckpt.release(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -49,4 +49,25 @@ object Ckpt {
       case None => df.localCheckpoint(eager = true)
     }
   }
+
+  /** Drop every persisted block in the context: staged checkpoints from
+    * [[stage]], plus any `cache()`/`persist()` entries.
+    *
+    * Staged frames are per-query temporaries — nothing outside the query
+    * that built them ever reads them again — but `localCheckpoint` pins
+    * their blocks in executor storage memory for the lifetime of the
+    * session. A long-lived session running many queries (the bench, the
+    * verify dump, a notebook, a query service) therefore accumulates dead
+    * blocks without bound: storage eviction churn and GC pressure degrade
+    * every later query, and at cluster scale the session eventually OOMs.
+    * Callers that consume one query at a time MUST call this between
+    * queries, after the result is fully consumed (the staged blocks are
+    * the materialization the still-unconsumed frame would read).
+    *
+    * Non-blocking unpersist: removal proceeds in the background and does
+    * not stall the caller. */
+  def release(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.sharedState.cacheManager.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+  }
 }
