@@ -60,8 +60,9 @@ object Bench {
           val t = (System.nanoTime() - t0) / 1e9
           // untimed: drop the query's staged checkpoint blocks so later
           // queries aren't degraded by dead-block storage/GC pressure
-          // (each query is an independent job; see Ckpt.release)
-          util.Ckpt.release(spark)
+          // (each query is an independent job; see Ckpt.release).
+          // blocking — otherwise removal overlaps the next timed window
+          util.Ckpt.release(spark, blocking = true)
           (name, t, err)
         }
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON

@@ -64,10 +64,11 @@ object Ckpt {
     * queries, after the result is fully consumed (the staged blocks are
     * the materialization the still-unconsumed frame would read).
     *
-    * Non-blocking unpersist: removal proceeds in the background and does
-    * not stall the caller. */
-  def release(spark: org.apache.spark.sql.SparkSession): Unit = {
+    * `blocking = true` waits for block removal before returning — the
+    * bench uses it so background cleanup never bleeds into the next
+    * query's timed window; throughput callers (Verify) pass false. */
+  def release(spark: org.apache.spark.sql.SparkSession, blocking: Boolean = false): Unit = {
     spark.sharedState.cacheManager.clearCache()
-    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking))
   }
 }
