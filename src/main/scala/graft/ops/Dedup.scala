@@ -193,6 +193,49 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Hamming radius for [[simhashHamming]]. With the 16-bit fixture
+    * fingerprint split into 2 blocks of 8, the pigeonhole principle
+    * guarantees every pair within hamming ≤ 1 shares at least one intact
+    * block — so block-equality candidate generation is EXACT for k=1. (A
+    * production 64-bit simhash uses 4 blocks of 16 for k ≤ 3 — same
+    * structure, wider fingerprint.) */
+  private[ops] val HammingK = 1
+
+  /** SimHash near-dup at hamming distance ≤ [[HammingK]] — the operator
+    * [[dedupSimhash]]'s exact-collision groupBy structurally misses: two
+    * docs one flipped bit apart never share a fingerprint but ARE
+    * near-duplicates. Candidates meet ONLY through 8-bit block-equality
+    * buckets (never all-pairs; the oracle's brute-force pair join is
+    * oracle-only), then the true distance is verified with one
+    * `bit_count(xor)` per candidate and each doc reports its nearest
+    * earlier neighbor — min (distance, doc_id) — so output stays one row
+    * per document at any scale. A pair colliding on both blocks enters the
+    * aggregate twice with the same distance; min() absorbs the duplicate
+    * without a distinct shuffle. */
+  def simhashHamming(s: SparkSession, d: String): DataFrame = {
+    val sig = graft.util.Ckpt.stage(
+      Tables.documents(s, d).select(col("doc_id"),
+        graft.functions.SimHash16.simhash(words(col("text"))).as("fp")))
+    val blocks = sig.select(col("doc_id"), col("fp"),
+      posexplode(array(substring(col("fp"), 1, 8), substring(col("fp"), 9, 8))))
+      .withColumnRenamed("pos", "bidx").withColumnRenamed("col", "bval")
+    val a = blocks.select(col("doc_id").as("d1"), col("fp").as("fp1"),
+      col("bidx"), col("bval"))
+    val b = blocks.select(col("doc_id").as("d2"), col("fp").as("fp2"),
+      col("bidx").as("bidx2"), col("bval").as("bval2"))
+    val hd = expr("bit_count(cast(conv(fp1, 2, 10) as bigint) ^ cast(conv(fp2, 2, 10) as bigint))")
+    val nn = a.join(b,
+        col("bidx") === col("bidx2") && col("bval") === col("bval2") &&
+        col("d1") < col("d2"))
+      .withColumn("hd", hd).filter(col("hd") <= HammingK)
+      .groupBy("d2").agg(min(struct(col("hd"), col("d1"))).as("best"))
+    sig.select(col("doc_id"))
+      .join(nn, col("doc_id") === col("d2"), "left")
+      .select(col("doc_id"), col("best.d1").as("nn_doc"), col("best.hd").as("nn_hd"),
+        col("best").isNotNull.cast("int").as("has_neardup"))
+      .orderBy("doc_id")
+  }
+
   /** The doc→LSH-band-bucket incidence used by both the pairwise minhash
     * query and the cluster closure. */
   private def bandBuckets(s: SparkSession, d: String): DataFrame =
@@ -384,6 +427,7 @@ object Dedup {
     "q_dedup_minhash_wide" -> (dedupMinhashWide _),
     "q_dedup_clusters" -> (dedupClusters _),
     "q_dedup_simhash"  -> (dedupSimhash _),
+    "q_simhash_hamming" -> (simhashHamming _),
     "q_ngram_jaccard"  -> (ngramJaccard _),
     "q_containment"    -> (containment _),
     "q_dedup_incremental" -> (incrementalDedup _),
@@ -543,6 +587,28 @@ object Dedup {
          |FROM ws i LEFT JOIN corp c USING (bkey)
          |WHERE i.source = 'src19'
          |GROUP BY i.doc_id
+         |ORDER BY doc_id""".stripMargin,
+    "q_simhash_hamming" ->
+      s"""WITH wd AS (
+         |  SELECT doc_id, md5(unnest($WordsSql)) AS h FROM documents
+         |), sums AS (
+         |  SELECT doc_id,
+         |         $simhashSums
+         |  FROM wd GROUP BY doc_id
+         |), f AS (
+         |  SELECT doc_id, $simhashFp AS fp FROM sums
+         |), p AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |         CAST(hamming(a.fp, b.fp) AS INTEGER) AS hd
+         |  FROM f a JOIN f b ON a.doc_id < b.doc_id
+         |), nn AS (
+         |  SELECT d2, d1, hd,
+         |         row_number() OVER (PARTITION BY d2 ORDER BY hd, d1) AS rn
+         |  FROM p WHERE hd <= $HammingK
+         |)
+         |SELECT f.doc_id, nn.d1 AS nn_doc, nn.hd AS nn_hd,
+         |       CAST(nn.d1 IS NOT NULL AS INTEGER) AS has_neardup
+         |FROM f LEFT JOIN nn ON f.doc_id = nn.d2 AND nn.rn = 1
          |ORDER BY doc_id""".stripMargin,
     "q_dedup_simhash" ->
       s"""WITH wd AS (

@@ -278,6 +278,62 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** BM25 retrieval terms + parameters (k1 = 1.2, b = 0.75 — the standard
+    * Robertson defaults, encoded as exact rationals below). Mirrored in
+    * the oracle SQL. */
+  private[ops] val Bm25Terms = Seq("data", "join", "hash")
+
+  /** BM25 document ranking against a fixed query-term set — the retrieval
+    * scorer TF-IDF approximates ([[tfidf]]'s sibling): idf(t) ·
+    * tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)), top 20 docs.
+    *
+    * Cross-engine float parity, same contract as [[unigramLm]]:
+    *  - idf = ln((N−df+½)/(df+½)+1) algebraically reduced to
+    *    ln(2N+2) − ln(2df+1) — logs of INTEGERS only, each quantized to
+    *    6 dp DECIMAL before the exact decimal subtraction (ln of an
+    *    integer is verified boundary-safe at 6 dp; ln of a ratio is not);
+    *  - the tf/length normalization is an exact integer rational:
+    *    with k1 = 6/5, b = 3/4, multiplying through by 10·total gives
+    *    22·tf·total / (10·tf·total + 3·total + 9·dl·N) — BIGINT
+    *    numerator and denominator, one deterministic double division;
+    *  - per-term scores floor-quantize to 4 dp DECIMAL before the per-doc
+    *    sum, so the aggregation is order-independent across partitions.
+    *
+    * Scale shape: the explode filters to the query terms BEFORE the
+    * (doc, term) aggregate, so the tf shuffle carries query-term hits
+    * only — never the corpus vocabulary; dl is row-local; N/total ride a
+    * 1-row broadcast; df is a count window over the already-tiny tf
+    * frame. The final global top-20 is a TakeOrdered, not a full sort. */
+  def bm25(s: SparkSession, d: String): DataFrame = {
+    val dlc = size(filter(words(col("text")), x => x =!= ""))
+    val docs = Tables.documents(s, d).select(col("doc_id"), dlc.as("dl"))
+    val n = docs.agg(count(lit(1)).as("nd"), sum("dl").as("total"))
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), dlc.as("dl"), explode(words(col("text"))).as("term"))
+      .filter(col("term").isin(Bm25Terms.map(t => t: Any): _*))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val wDf = org.apache.spark.sql.expressions.Window.partitionBy("term")
+    val qln = (c: Column) =>
+      round(log(c.cast("double")), 6)
+        .cast(org.apache.spark.sql.types.DecimalType(18, 6))
+    val idf = (qln(lit(2) * col("nd") + lit(2)) - qln(lit(2) * col("df") + lit(1)))
+      .cast("double")
+    val ratio = (lit(22.0) * col("tf") * col("total")) /
+      (lit(10L) * col("tf") * col("total") + lit(3L) * col("total")
+        + lit(9L) * col("dl") * col("nd"))
+    val perTerm = tf.withColumn("df", count(lit(1)).over(wDf))
+      .crossJoin(broadcast(n))
+      .withColumn("s",
+        (floor(idf * ratio * 10000 + lit(0.5)) / 10000)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+    perTerm.groupBy("doc_id", "dl")
+      .agg(count(lit(1)).as("n_hit"), sum("s").as("ssum"))
+      .select(col("doc_id"), col("dl"), col("n_hit"),
+        col("ssum").cast("double").as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(20)
+  }
+
   /** Chunk window / stride (words): 32-word chunks every 24 words → 8-word
     * overlap between consecutive chunks. Shared with the oracle SQL. */
   private[ops] val ChunkW = 32
@@ -352,6 +408,7 @@ object TextAnalysis {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bm25"            -> (bm25 _),
     "q_entropy"         -> (entropy _),
     "q_chunk_overlap"   -> (chunkOverlap _),
     "q_inverted_index"  -> (invertedIndex _),
@@ -378,6 +435,32 @@ object TextAnalysis {
        | ELSE [text] END""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_bm25" ->
+      s"""WITH dl AS (
+         |  SELECT doc_id, CAST(len(list_filter($WordsSql, w -> w <> '')) AS INTEGER) AS dl
+         |  FROM documents
+         |), n AS (
+         |  SELECT count(*) AS nd, CAST(sum(dl) AS BIGINT) AS total FROM dl
+         |), tf AS (
+         |  SELECT doc_id, term, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest($WordsSql) AS term FROM documents)
+         |  WHERE term IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})
+         |  GROUP BY doc_id, term
+         |), wdf AS (
+         |  SELECT tf.*, count(*) OVER (PARTITION BY term) AS df FROM tf
+         |), sc AS (
+         |  SELECT w.doc_id, dl.dl,
+         |    CAST(floor(
+         |      CAST(CAST(round(ln(CAST(2 * nd + 2 AS DOUBLE)), 6) AS DECIMAL(18,6))
+         |           - CAST(round(ln(CAST(2 * df + 1 AS DOUBLE)), 6) AS DECIMAL(18,6)) AS DOUBLE)
+         |      * ((22e0 * tf * total) / (10 * tf * total + 3 * total + 9 * dl.dl * nd))
+         |      * 10000 + 0.5) / 10000 AS DECIMAL(18,4)) AS s
+         |  FROM wdf w JOIN dl ON w.doc_id = dl.doc_id, n
+         |)
+         |SELECT doc_id, dl, count(*) AS n_hit, CAST(sum(s) AS DOUBLE) AS bm25
+         |FROM sc GROUP BY doc_id, dl
+         |ORDER BY bm25 DESC, doc_id
+         |LIMIT 20""".stripMargin,
     "q_entropy" ->
       s"""WITH tc AS (
          |  SELECT source, term, count(*) AS c
