@@ -121,10 +121,46 @@ object TrainingPrep {
       .orderBy("doc_id")
   }
 
+  /** Deterministic weighted sampling (Efraimidis–Spirakis A-Res): each
+    * doc draws u ~ Uniform(0,1) from a content-seeded hash and ranks by
+    * u^(1/w), w = n_chars — the top 5 keys per source are the sample, and
+    * P(doc in sample) ∝ w. This is the weighted variant of
+    * `q_sample_hash`'s uniform hash-threshold sampling: the selection a
+    * data recipe runs when longer/higher-quality documents should be
+    * proportionally favored, reproducible across runs and engines because
+    * the "randomness" is md5(doc_id).
+    *
+    * Ranking uses the monotone transform ln(u)/w (u^(1/w) and ln(u)/w
+    * order identically since ln is increasing), and ln(u) with
+    * u = (h+½)/2³² reduces to ln(2h+1) − ln(2³³) — logs of INTEGERS,
+    * quantized at 6 dp like every log in the engine, combined exactly in
+    * DECIMAL, then one deterministic double division by the weight.
+    *
+    * Scale shape: the key is row-local; per-source top-5 runs through the
+    * native bounded-heap TopKPerGroup operator, so the selection shuffle
+    * carries ≤ 5 rows per source per map partition — never the corpus. */
+  def weightedSample(s: SparkSession, d: String): DataFrame = {
+    val hv = conv(substring(md5(concat(lit("ws:"), col("doc_id"))), 1, 8), 16, 10)
+      .cast("long")
+    def qln(c: org.apache.spark.sql.Column) =
+      round(log(c.cast("double")), 6).cast(DecimalType(18, 6))
+    val scored = Tables.documents(s, d)
+      .select(col("source"), col("doc_id"), col("n_chars"), hv.as("hv"))
+      .withColumn("skey",
+        (qln(lit(2L) * col("hv") + lit(1L)) - qln(lit(1L << 33))).cast("double")
+          / col("n_chars"))
+      .select("source", "doc_id", "n_chars", "skey")
+    graft.plans.TopKPerGroup
+      .topK(scored, Seq("source"), Seq("skey" -> true, "doc_id" -> false), 5)
+      .select(col("source"), col("rn"), col("doc_id"), col("n_chars"), col("skey"))
+      .orderBy("source", "rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_source_mix" -> (sourceMix _),
     "q_token_pack" -> (tokenPack _),
     "q_dsir_weights" -> (dsirWeights _),
+    "q_weighted_sample" -> (weightedSample _),
   )
 
   private val WordsSql = "string_split(text, ' ')"
@@ -132,6 +168,24 @@ object TrainingPrep {
     s"list_transform(range(1, len($WordsSql)), i -> $WordsSql[i] || ' ' || $WordsSql[i+1])"
 
   val oracle: Map[String, String] = Map(
+    "q_weighted_sample" ->
+      s"""WITH h AS (
+         |  SELECT source, doc_id, n_chars,
+         |         CAST('0x' || substring(md5('ws:' || doc_id), 1, 8) AS BIGINT) AS hv
+         |  FROM documents
+         |), k AS (
+         |  SELECT source, doc_id, n_chars,
+         |         CAST(CAST(round(ln(CAST(2 * hv + 1 AS DOUBLE)), 6) AS DECIMAL(18,6))
+         |            - CAST(round(ln(CAST(${1L << 33} AS DOUBLE)), 6) AS DECIMAL(18,6)) AS DOUBLE)
+         |           / n_chars AS skey
+         |  FROM h
+         |), r AS (
+         |  SELECT *, CAST(row_number() OVER (
+         |    PARTITION BY source ORDER BY skey DESC, doc_id) AS INTEGER) AS rn
+         |  FROM k
+         |)
+         |SELECT source, rn, doc_id, n_chars, skey FROM r WHERE rn <= 5
+         |ORDER BY source, rn""".stripMargin,
     "q_dsir_weights" ->
       s"""WITH f AS (
          |  SELECT doc_id, lang, unnest($BigramsSql) AS bg FROM documents

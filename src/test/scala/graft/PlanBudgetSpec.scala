@@ -76,6 +76,12 @@ class PlanBudgetSpec extends AnyFunSuite {
     // audit mode re-runs each staged survivor frame per consumer; the
     // staged execution materializes exact/good once (8 shuffles at sf0.01)
     ("q_curation_pipeline", 14, 0),
+    ("q_bm25", 4, 1),                 // tf/df/doc aggregates + TakeOrdered;
+                                      // N/total must broadcast
+    ("q_simhash_hamming", 4, 0),      // simhash is row-local (no shuffle);
+                                      // block join + nn agg + final sort
+    ("q_weighted_sample", 2, 0),      // key is row-local; TopKPerGroup
+                                      // partial + final, then the sort
   )
 
   budgets.foreach { case (name, maxShuffles, minBcasts) =>
