@@ -259,7 +259,41 @@ object Curation {
       .orderBy("source")
   }
 
+  /** Inter-source overlap matrix: distinct-bigram Jaccard for every
+    * source pair — the contamination dashboard a curator reads to find
+    * sources that duplicate each other (a mirrored crawl, a re-scrape, a
+    * vendor reselling another vendor's data) BEFORE per-document dedup
+    * runs. Source-level overlap is invisible to per-doc tools when the
+    * duplication is spread thin across many near-but-not-identical docs.
+    *
+    * Scale shape: the exploded incidence dedups to distinct (source,
+    * bigram) FIRST — bounded by vocabulary × n_sources, never corpus
+    * size — and the pair meet is an equi-join through shared bigrams
+    * whose fan-out per bigram is ≤ n_sources (a fixed, small number at
+    * any corpus scale); per-source totals broadcast back. The matrix is
+    * n_sources², tiny by construction. */
+  def sourceOverlap(s: SparkSession, d: String): DataFrame = {
+    val inc = Tables.documents(s, d)
+      .select(col("source"),
+        explode(array_distinct(graft.functions.TextFeatures.bigrams(
+          graft.functions.TextFeatures.words(col("text"))))).as("bg"))
+      .distinct()
+      .transform(graft.util.Ckpt.stage)
+    val sizes = inc.groupBy("source").agg(count(lit(1)).as("n"))
+    val a = inc.select(col("source").as("s1"), col("bg"))
+    val b = inc.select(col("source").as("s2"), col("bg").as("bg2"))
+    a.join(b, col("bg") === col("bg2") && col("s1") < col("s2"))
+      .groupBy("s1", "s2").agg(count(lit(1)).as("shared"))
+      .join(broadcast(sizes.select(col("source").as("s1"), col("n").as("n1"))), "s1")
+      .join(broadcast(sizes.select(col("source").as("s2"), col("n").as("n2"))), "s2")
+      .withColumn("jaccard",
+        round(col("shared") / (col("n1") + col("n2") - col("shared")), 4))
+      .select(col("s1"), col("s2"), col("shared"), col("n1"), col("n2"), col("jaccard"))
+      .orderBy("s1", "s2")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_source_overlap" -> (sourceOverlap _),
     "q_curation_pipeline" -> (curationPipeline _),
     "q_cluster_rep"      -> (clusterRep _),
     "q_span_dedup"       -> (spanDedup _),
@@ -282,7 +316,25 @@ object Curation {
     s"""list_transform(range(0, CAST(ceil(len($WordsSql) / ${SpanWords}.0) AS INT)),
        |  i -> array_to_string(list_slice($WordsSql, i*$SpanWords + 1, i*$SpanWords + $SpanWords), ' '))""".stripMargin
 
+  private val BigramsSql =
+    s"list_distinct(list_transform(range(1, len($WordsSql)), i -> $WordsSql[i] || ' ' || $WordsSql[i+1]))"
+
   val oracle: Map[String, String] = Map(
+    "q_source_overlap" ->
+      s"""WITH inc AS (
+         |  SELECT DISTINCT source, bg
+         |  FROM (SELECT source, unnest($BigramsSql) AS bg FROM documents)
+         |), sz AS (
+         |  SELECT source, count(*) AS n FROM inc GROUP BY source
+         |), p AS (
+         |  SELECT a.source AS s1, b.source AS s2, count(*) AS shared
+         |  FROM inc a JOIN inc b ON a.bg = b.bg AND a.source < b.source
+         |  GROUP BY 1, 2
+         |)
+         |SELECT s1, s2, shared, sa.n AS n1, sb.n AS n2,
+         |       round(shared / (sa.n + sb.n - shared), 4) AS jaccard
+         |FROM p JOIN sz sa ON p.s1 = sa.source JOIN sz sb ON p.s2 = sb.source
+         |ORDER BY s1, s2""".stripMargin,
     "q_curation_pipeline" ->
       s"""WITH ex AS (
          |  SELECT doc_id, source, text FROM (

@@ -82,6 +82,9 @@ class PlanBudgetSpec extends AnyFunSuite {
                                       // block join + nn agg + final sort
     ("q_weighted_sample", 2, 0),      // key is row-local; TopKPerGroup
                                       // partial + final, then the sort
+    ("q_source_overlap", 6, 2),       // audit mode recomputes the staged
+                                      // incidence per branch (3x distinct);
+                                      // per-source totals must broadcast
   )
 
   budgets.foreach { case (name, maxShuffles, minBcasts) =>
