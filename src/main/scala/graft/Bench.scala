@@ -5,13 +5,11 @@ import java.util.Locale
 /** Driver-run benchmark: times every SparkEntry query at
   * `SPARK_GRAFT_SF_DIR`, prints machine-readable JSON.
   *
-  * Output contract (VERDICT round-3 item 3 — the driver's output tail is
-  * size-bounded and truncates from the FRONT, which dropped ~40 of 123
-  * per-query times in round 3):
-  *  - stdout line 1: the full per-query map (may be long);
-  *  - stdout line 2 (LAST, guaranteed short): a summary with total, query
-  *    count, error count, and the 5 slowest queries — whatever tail window
-  *    the driver keeps, the final line always fits and always parses;
+  * Output contract (VERDICT round-4 item 2 — the driver's stdout capture is
+  * size-bounded; a long line overflowed it in rounds 3 AND 4 regardless of
+  * print order, so the full map no longer goes to stdout at all):
+  *  - stdout: ONE guaranteed-short JSON line — total, query count, error
+  *    count, the 5 slowest queries, and the path of the full dump;
   *  - `BENCH_FULL.json` (or `$SPARK_GRAFT_BENCH_OUT`): full-precision
   *    per-query timings plus per-query error messages.
   *
@@ -45,9 +43,18 @@ object Bench {
           else spark.read.parquet(p).rdd.count()
         }
       }
-    } catch { case _: Throwable => }
+    } catch { case e: Throwable =>
+      // warm-up failure is non-fatal but must not be silent: a broken fixture
+      // path here would cold-cache every measured query (VERDICT round 4)
+      System.err.println(s"[bench] warm-up failed (cold-cache run): $e")
+    }
     // dev-only subset filter (comma-separated names); driver leaves it unset
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // cumulative time spent in per-query staged-block cleanup — excluded
+    // from per-query/total timings (each query models an independent job;
+    // SCALE.md documents the boundary) but reported in BENCH_FULL.json so
+    // the boundary choice stays auditable (ADVICE round 4)
+    var releaseSec = 0.0
     val results: Seq[(String, Double, Option[String])] =
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (n, _) => only.forall(_.contains(n)) }
@@ -62,7 +69,9 @@ object Bench {
           // queries aren't degraded by dead-block storage/GC pressure
           // (each query is an independent job; see Ckpt.release).
           // blocking — otherwise removal overlaps the next timed window
+          val r0 = System.nanoTime()
           util.Ckpt.release(spark, blocking = true)
+          releaseSec += (System.nanoTime() - r0) / 1e9
           (name, t, err)
         }
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
@@ -90,6 +99,7 @@ object Bench {
     val fileJson = new StringBuilder()
       .append(s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":${jstr(sfDir)},""")
       .append(s""""n_queries":${results.size},"n_errors":${errors.size},""")
+      .append(s""""release_sec":${r3(releaseSec)},""")
       .append(s""""queries":$fullQs,""")
       .append(s""""failed":$failedQs,""")
       .append("\"errors\":")
@@ -98,8 +108,10 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       fileJson.toString.getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] could not write $outPath: $e") }
-    // line 1: full map (historical shape); line 2 LAST: short, truncation-safe
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$fullQs,"failed":$failedQs,"sf":${jstr(sfDir)},"n_errors":${errors.size}}""")
+    // stdout carries ONLY the guaranteed-short summary line (VERDICT round-4
+    // item 2): the full 157-query map overflowed the driver's tail window in
+    // rounds 3 AND 4 whichever end it printed from, so the full map now lives
+    // exclusively in BENCH_FULL.json and the one stdout line always parses.
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$top5,"sf":${jstr(sfDir)},"n_queries":${results.size},"n_errors":${errors.size},"full":${jstr(outPath)}}""")
     spark.stop()
   }

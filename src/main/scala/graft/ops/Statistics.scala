@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.Tables
 import graft.util.Det._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -95,22 +95,28 @@ object Statistics {
     * outliers it hunts; median ± k·MAD is the standard robust alternative
     * (k·1.4826 rescales MAD to σ under normality). Two exact-percentile
     * passes over a (type)-keyed aggregate, stats broadcast back — the
-    * events table is never shuffled. Every derived quantity is rounded to
-    * 4 dp BEFORE the threshold comparison so the outlier count is
-    * bit-deterministic across engines. */
+    * events table is never shuffled. Every derived quantity is
+    * floor-quantized (`floor(x·10⁴+0.5)/10⁴` — the same IEEE op sequence
+    * in both engines, unlike `round()` whose half-way tie-break diverges
+    * between Spark's BigDecimal HALF_UP and DuckDB's C-double round)
+    * BEFORE the threshold comparison so the outlier count is
+    * bit-deterministic across engines. An even-count median averages two
+    * 4-dp values and lands exactly on `x.xxxx5` half-way points, so this
+    * family is the worst case for cross-engine round() parity. */
   def outlierMad(s: SparkSession, d: String): DataFrame = {
+    def q4(c: Column): Column = floor(c * 10000 + lit(0.5)) / 10000
     val ev = Tables.events(s, d).select(col("event_type"), col("value"))
     val med = ev.groupBy(col("event_type").as("t"))
-      .agg(round(expr("percentile(value, 0.5)"), 4).as("med"))
+      .agg(q4(expr("percentile(value, 0.5)")).as("med"))
     // staged: dev feeds both the MAD percentile pass and the final
     // aggregate — without it the scan + median join runs per consumer
     val dev = graft.util.Ckpt.stage(
       ev.join(broadcast(med), col("event_type") === col("t"))
-        .withColumn("dev", round(abs(col("value") - col("med")), 4)))
+        .withColumn("dev", q4(abs(col("value") - col("med")))))
     val mad = dev.groupBy(col("t").as("t2"))
-      .agg(round(expr("percentile(dev, 0.5)"), 4).as("mad"))
+      .agg(q4(expr("percentile(dev, 0.5)")).as("mad"))
     dev.join(broadcast(mad), col("t") === col("t2"))
-      .withColumn("thr", round(lit(3.0) * lit(1.4826) * col("mad"), 4))
+      .withColumn("thr", q4(lit(3.0) * lit(1.4826) * col("mad")))
       .groupBy("event_type")
       .agg(
         count(lit(1)).as("n"),
@@ -118,7 +124,7 @@ object Statistics {
         first("mad").as("mad"),
         first("thr").as("thr"),
         sum((col("dev") > col("thr")).cast("long")).as("n_outliers"),
-        round(max(col("dev")), 4).as("max_dev"))
+        q4(max(col("dev"))).as("max_dev"))
       .orderBy("event_type")
   }
 
@@ -266,24 +272,26 @@ object Statistics {
         |ORDER BY bucket""".stripMargin,
     "q_outlier_mad" ->
       """WITH m AS (
-        |  SELECT event_type AS t, round(quantile_cont(value, 0.5), 4) AS med
+        |  SELECT event_type AS t,
+        |         floor(quantile_cont(value, 0.5) * 10000 + 0.5) / 10000 AS med
         |  FROM events GROUP BY 1
         |), dv AS (
         |  SELECT e.event_type, e.value, m.med,
-        |         round(abs(e.value - m.med), 4) AS dev
+        |         floor(abs(e.value - m.med) * 10000 + 0.5) / 10000 AS dev
         |  FROM events e JOIN m ON e.event_type = m.t
         |), md AS (
-        |  SELECT event_type AS t2, round(quantile_cont(dev, 0.5), 4) AS mad
+        |  SELECT event_type AS t2,
+        |         floor(quantile_cont(dev, 0.5) * 10000 + 0.5) / 10000 AS mad
         |  FROM dv GROUP BY 1
         |)
         |SELECT dv.event_type,
         |       count(*) AS n,
         |       min(dv.med) AS med,
         |       min(md.mad) AS mad,
-        |       min(round(3.0 * 1.4826 * md.mad, 4)) AS thr,
-        |       SUM(CASE WHEN dv.dev > round(3.0 * 1.4826 * md.mad, 4)
+        |       min(floor(3.0 * 1.4826 * md.mad * 10000 + 0.5) / 10000) AS thr,
+        |       SUM(CASE WHEN dv.dev > floor(3.0 * 1.4826 * md.mad * 10000 + 0.5) / 10000
         |                THEN 1 ELSE 0 END) AS n_outliers,
-        |       round(max(dv.dev), 4) AS max_dev
+        |       floor(max(dv.dev) * 10000 + 0.5) / 10000 AS max_dev
         |FROM dv JOIN md ON dv.event_type = md.t2
         |GROUP BY dv.event_type
         |ORDER BY dv.event_type""".stripMargin,

@@ -144,7 +144,12 @@ object TrainingPrep {
       .cast("long")
     def qln(c: org.apache.spark.sql.Column) =
       round(log(c.cast("double")), 6).cast(DecimalType(18, 6))
+    // n_chars > 0 guard (ADVICE round 4): a zero-length document would
+    // divide by zero — NULL under Spark non-ANSI, version-dependent in
+    // DuckDB. Weight-0 docs are never sampled under A-Res anyway, so the
+    // filter (mirrored in the oracle) changes no sampled output.
     val scored = Tables.documents(s, d)
+      .filter(col("n_chars") > 0)
       .select(col("source"), col("doc_id"), col("n_chars"), hv.as("hv"))
       .withColumn("skey",
         (qln(lit(2L) * col("hv") + lit(1L)) - qln(lit(1L << 33))).cast("double")
@@ -172,7 +177,7 @@ object TrainingPrep {
       s"""WITH h AS (
          |  SELECT source, doc_id, n_chars,
          |         CAST('0x' || substring(md5('ws:' || doc_id), 1, 8) AS BIGINT) AS hv
-         |  FROM documents
+         |  FROM documents WHERE n_chars > 0
          |), k AS (
          |  SELECT source, doc_id, n_chars,
          |         CAST(CAST(round(ln(CAST(2 * hv + 1 AS DOUBLE)), 6) AS DECIMAL(18,6))

@@ -1,6 +1,7 @@
 package graft.util
 
 import org.apache.spark.sql.DataFrame
+import scala.jdk.CollectionConverters._
 
 /** Materialization / lineage-truncation for iterative and multi-branch
   * plans (VERDICT round-3 item 6).
@@ -16,6 +17,14 @@ import org.apache.spark.sql.DataFrame
   * staged frame pins the SparkContext's checkpoint dir; both modes
   * produce bit-identical frames ([[CheckpointModeSpec]]), reliable mode
   * just pays a durable write per stage for fault tolerance.
+  *
+  * [[stage]] RECORDS what it materialized (persisted-RDD ids in local
+  * mode, `rdd-*` checkpoint directories in reliable mode) so [[release]]
+  * can drop exactly the graft-staged state and nothing else — a user's
+  * own `cache()`/`persist()` entries and SQL-cached relations survive a
+  * release untouched (ADVICE round 4: the previous release was a
+  * session-wide clear, which destroyed locally-checkpointed data whose
+  * truncated lineage cannot recompute).
   */
 object Ckpt {
   /** The configured dir we last pinned via `setCheckpointDir` —
@@ -23,6 +32,24 @@ object Ckpt {
     * configured path, so it can't be compared against the conf directly.
     * One SparkContext per JVM, so a plain volatile is enough. */
   @volatile private var pinnedDir: String = null
+
+  /** Persisted-RDD ids created by [[stage]] in localCheckpoint mode,
+    * pending [[release]]. Attribution is by before/after diff of
+    * `getPersistentRDDs`, which is exact for the single-threaded
+    * query-at-a-time callers this serves (Bench, Verify); a concurrent
+    * caller persisting in the same instant could be swept too — the
+    * documented contract (release only after results are consumed) makes
+    * that harmless. */
+  private val stagedIds =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+
+  /** `rdd-*` checkpoint directories written by [[stage]] in reliable
+    * mode, pending [[release]] — without this a long-lived reliable-mode
+    * session accumulates checkpoint files without bound (ADVICE round 4),
+    * the storage-side twin of the dead-block leak release was added to
+    * fix. */
+  private val stagedDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** Materialize `df` once and truncate its lineage, in the
     * session-configured mode.
@@ -35,31 +62,46 @@ object Ckpt {
   def stage(df: DataFrame): DataFrame = {
     val conf = df.sparkSession.conf
     if (conf.getOption("spark.graft.stage.disable").contains("true")) df
-    else conf.getOption("spark.graft.checkpoint.dir") match {
-      case Some(dir) =>
-        val sc = df.sparkSession.sparkContext
-        // (re-)pin whenever the configured dir changes mid-session, not
-        // just on first use — otherwise later checkpoints silently land
-        // in the stale directory
-        if (pinnedDir != dir || sc.getCheckpointDir.isEmpty) {
-          sc.setCheckpointDir(dir)
-          pinnedDir = dir
-        }
-        df.checkpoint(eager = true)
-      case None => df.localCheckpoint(eager = true)
+    else {
+      val sc = df.sparkSession.sparkContext
+      conf.getOption("spark.graft.checkpoint.dir") match {
+        case Some(dir) =>
+          // (re-)pin whenever the configured dir changes mid-session, not
+          // just on first use — otherwise later checkpoints silently land
+          // in the stale directory
+          if (pinnedDir != dir || sc.getCheckpointDir.isEmpty) {
+            sc.setCheckpointDir(dir)
+            pinnedDir = dir
+          }
+          val root = new org.apache.hadoop.fs.Path(sc.getCheckpointDir.get)
+          val fs = root.getFileSystem(sc.hadoopConfiguration)
+          def rddDirs(): Set[String] =
+            if (fs.exists(root))
+              fs.listStatus(root).map(_.getPath.toString).toSet
+            else Set.empty[String]
+          val before = rddDirs()
+          val out = df.checkpoint(eager = true)
+          (rddDirs() -- before).foreach(stagedDirs.add)
+          out
+        case None =>
+          val before = sc.getPersistentRDDs.keySet
+          val out = df.localCheckpoint(eager = true)
+          (sc.getPersistentRDDs.keySet -- before).foreach(stagedIds.add(_))
+          out
+      }
     }
   }
 
-  /** Drop every persisted block in the context: staged checkpoints from
-    * [[stage]], plus any `cache()`/`persist()` entries.
+  /** Drop every block/file [[stage]] materialized — and ONLY those.
     *
     * Staged frames are per-query temporaries — nothing outside the query
     * that built them ever reads them again — but `localCheckpoint` pins
-    * their blocks in executor storage memory for the lifetime of the
-    * session. A long-lived session running many queries (the bench, the
-    * verify dump, a notebook, a query service) therefore accumulates dead
-    * blocks without bound: storage eviction churn and GC pressure degrade
-    * every later query, and at cluster scale the session eventually OOMs.
+    * their blocks in executor storage memory (and reliable `checkpoint`
+    * its files on the durable store) for the lifetime of the session. A
+    * long-lived session running many queries (the bench, the verify
+    * dump, a notebook, a query service) therefore accumulates dead state
+    * without bound: storage eviction churn and GC pressure degrade every
+    * later query, and at cluster scale the session eventually OOMs.
     * Callers that consume one query at a time MUST call this between
     * queries, after the result is fully consumed (the staged blocks are
     * the materialization the still-unconsumed frame would read).
@@ -68,7 +110,19 @@ object Ckpt {
     * bench uses it so background cleanup never bleeds into the next
     * query's timed window; throughput callers (Verify) pass false. */
   def release(spark: org.apache.spark.sql.SparkSession, blocking: Boolean = false): Unit = {
-    spark.sharedState.cacheManager.clearCache()
-    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking))
+    val sc = spark.sparkContext
+    val persisted = sc.getPersistentRDDs
+    stagedIds.asScala.toList.foreach { id =>
+      persisted.get(id).foreach(_.unpersist(blocking))
+      stagedIds.remove(id)
+    }
+    stagedDirs.asScala.toList.foreach { p =>
+      val path = new org.apache.hadoop.fs.Path(p)
+      try path.getFileSystem(sc.hadoopConfiguration).delete(path, true)
+      catch { case e: java.io.IOException =>
+        System.err.println(s"[ckpt] could not remove checkpoint dir $p: $e")
+      }
+      stagedDirs.remove(p)
+    }
   }
 }
