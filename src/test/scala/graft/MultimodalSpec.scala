@@ -2,20 +2,33 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** The mapPartitions decode-stub path must agree with the pure-expression
-  * metadata path (same deterministic fake decode). */
+/** The mapPartitions header-parse path must agree with the pure-expression
+  * metadata path: the decoder really reads the planted GRFT header bytes,
+  * so agreement means pack → parse round-trips exactly. */
 class MultimodalSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.session
   private val sf = TestSpark.Sf
 
   test("mediaDecode (mapPartitions) equals multimodalMeta (expressions)") {
-    val cols = Seq("doc_id", "n_bytes", "content_md5", "fake_width", "fake_height")
+    val cols = Seq("doc_id", "n_bytes", "content_md5", "width", "height")
     val a = ops.Multimodal.mediaDecode(spark, sf)
       .selectExpr(cols: _*).collect().map(_.toSeq).toSet
     val b = ops.Multimodal.multimodalMeta(spark, sf)
       .selectExpr(cols: _*).collect().map(_.toSeq).toSet
     assert(a === b)
     assert(a.nonEmpty)
+  }
+
+  test("decode fails loudly on a payload without the GRFT header") {
+    import org.apache.spark.sql.Encoders
+    val bad = spark.createDataset(Seq(
+      ops.Multimodal.MediaRecord(1L, "not a media payload".getBytes("UTF-8"))
+    ))(Encoders.product[ops.Multimodal.MediaRecord])
+    val e = intercept[org.apache.spark.SparkException] {
+      ops.Multimodal.decodeMeta(bad).collect()
+    }
+    assert(e.getMessage.contains("GRFT") ||
+      Option(e.getCause).exists(_.getMessage.contains("GRFT")))
   }
 
   test("feature extraction yields fixed-dim unit-range vectors") {
