@@ -58,8 +58,55 @@ case class FloatVectorDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** [[FloatVectorDot]]'s `array<double>` sibling, for vectors DERIVED in
+  * the engine (iterated k-means centroids are 4-dp doubles — narrowing
+  * them to float would diverge from the DuckDB oracle's `DOUBLE[]`
+  * arithmetic). Same left-to-right accumulation, same codegen shape. */
+case class DoubleVectorDot(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DoubleVectorDot =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   /** Dot product of two `array<float>` columns, accumulated in double. */
   def floatDot(a: Column, b: Column): Column =
     Bridge.column(FloatVectorDot(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Dot product of two `array<double>` columns. */
+  def doubleDot(a: Column, b: Column): Column =
+    Bridge.column(DoubleVectorDot(Bridge.expression(a), Bridge.expression(b)))
 }

@@ -113,6 +113,27 @@ class CurationSpec extends AnyFunSuite {
     km.unpersist()
   }
 
+  test("kmeansTrain: trained matrix is a valid partition and differs from the single step") {
+    val km = graft.ops.Similarity.kmeansTrain(spark, sf).cache()
+    val n = Tables.embeddings(spark, sf).count()
+    // still a partition of the corpus after iteration: per dim, members
+    // across cells sum to the corpus size; every surviving cell has all
+    // 64 dims
+    val perDim = km.groupBy("dim").agg(sum("n_members").as("tot"))
+    assert(perDim.filter(col("tot") =!= n).count() === 0)
+    val perCell = km.groupBy("cid").agg(count(lit(1)).as("dims"))
+    assert(perCell.filter(col("dims") =!= 64).count() === 0)
+    // the loop actually moved: at least one (cid, dim) mean changed vs
+    // the single Lloyd step (if this ever fails the fixture converged in
+    // one step — then the train query is pointless and should say so)
+    val step1 = graft.ops.Similarity.kmeansStep(spark, sf)
+      .select(col("cid"), col("dim"), col("dim_mean").as("m1"))
+    assert(km.join(step1, Seq("cid", "dim"), "left")
+      .filter(col("m1").isNull || col("dim_mean") =!= col("m1"))
+      .count() > 0)
+    km.unpersist()
+  }
+
   test("incrementalDedup flags exactly the incoming docs sharing a band bucket with the corpus") {
     val inc = graft.ops.Dedup.incrementalDedup(spark, sf).cache()
     val incoming = Tables.documents(spark, sf).filter(col("source") === "src19")
