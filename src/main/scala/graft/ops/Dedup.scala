@@ -201,23 +201,31 @@ object Dedup {
     * structure, wider fingerprint.) */
   private[ops] val HammingK = 1
 
-  /** SimHash near-dup at hamming distance ≤ [[HammingK]] — the operator
-    * [[dedupSimhash]]'s exact-collision groupBy structurally misses: two
-    * docs one flipped bit apart never share a fingerprint but ARE
-    * near-duplicates. Candidates meet ONLY through 8-bit block-equality
-    * buckets (never all-pairs; the oracle's brute-force pair join is
-    * oracle-only), then the true distance is verified with one
-    * `bit_count(xor)` per candidate and each doc reports its nearest
+  /** Fixture fingerprint width ([[graft.functions.SimHash16]]). */
+  private[ops] val SimhashBits = 16
+
+  /** Pigeonhole block-LSH hamming-≤k neighbors over an arbitrary
+    * (doc_id, fp) frame of fpBits-wide bit-string fingerprints —
+    * PARAMETERIZED in fingerprint and radius (ADVICE round 4) so the
+    * production shape (64-bit fp, 4×16-bit blocks, k ≤ 3) is this same
+    * code path, not a rewrite. The fingerprint splits into k+1 equal
+    * blocks: any pair within hamming ≤ k differs in at most k blocks, so
+    * it shares at least one intact block (pigeonhole) — candidate
+    * generation through block-equality buckets is EXACT for radius k,
+    * never all-pairs. The true distance is then verified with one
+    * `bit_count(xor)` per candidate, and each doc reports its nearest
     * earlier neighbor — min (distance, doc_id) — so output stays one row
-    * per document at any scale. A pair colliding on both blocks enters the
-    * aggregate twice with the same distance; min() absorbs the duplicate
-    * without a distinct shuffle. */
-  def simhashHamming(s: SparkSession, d: String): DataFrame = {
-    val sig = graft.util.Ckpt.stage(
-      Tables.documents(s, d).select(col("doc_id"),
-        graft.functions.SimHash16.simhash(words(col("text"))).as("fp")))
+    * per document at any scale. A pair colliding on several blocks enters
+    * the aggregate that many times with the same distance; min() absorbs
+    * the duplicates without a distinct shuffle. */
+  private[graft] def simhashNeighbors(sigIn: DataFrame, fpBits: Int, k: Int): DataFrame = {
+    require(fpBits % (k + 1) == 0,
+      s"fpBits=$fpBits must split into ${k + 1} equal pigeonhole blocks")
+    val bb = fpBits / (k + 1)
+    val sig = graft.util.Ckpt.stage(sigIn)
     val blocks = sig.select(col("doc_id"), col("fp"),
-      posexplode(array(substring(col("fp"), 1, 8), substring(col("fp"), 9, 8))))
+      posexplode(array((0 until k + 1).map(i =>
+        substring(col("fp"), i * bb + 1, bb)): _*)))
       .withColumnRenamed("pos", "bidx").withColumnRenamed("col", "bval")
     val a = blocks.select(col("doc_id").as("d1"), col("fp").as("fp1"),
       col("bidx"), col("bval"))
@@ -227,7 +235,7 @@ object Dedup {
     val nn = a.join(b,
         col("bidx") === col("bidx2") && col("bval") === col("bval2") &&
         col("d1") < col("d2"))
-      .withColumn("hd", hd).filter(col("hd") <= HammingK)
+      .withColumn("hd", hd).filter(col("hd") <= k)
       .groupBy("d2").agg(min(struct(col("hd"), col("d1"))).as("best"))
     sig.select(col("doc_id"))
       .join(nn, col("doc_id") === col("d2"), "left")
@@ -235,6 +243,18 @@ object Dedup {
         col("best").isNotNull.cast("int").as("has_neardup"))
       .orderBy("doc_id")
   }
+
+  /** SimHash near-dup at hamming distance ≤ [[HammingK]] — the operator
+    * [[dedupSimhash]]'s exact-collision groupBy structurally misses: two
+    * docs one flipped bit apart never share a fingerprint but ARE
+    * near-duplicates. The [[simhashNeighbors]] block-LSH instantiated at
+    * the fixture shape (16-bit fp, 2×8-bit blocks, k=1); the oracle's
+    * brute-force pair join is oracle-only. */
+  def simhashHamming(s: SparkSession, d: String): DataFrame =
+    simhashNeighbors(
+      Tables.documents(s, d).select(col("doc_id"),
+        graft.functions.SimHash16.simhash(words(col("text"))).as("fp")),
+      SimhashBits, HammingK)
 
   /** The doc→LSH-band-bucket incidence used by both the pairwise minhash
     * query and the cluster closure. */

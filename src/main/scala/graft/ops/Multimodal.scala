@@ -43,6 +43,20 @@ object Multimodal {
   /** magic + 4-digit width + 4-digit height, all single-byte ASCII. */
   private val HeaderLen = Magic.length + 8
 
+  /** Lowercase hex of a digest. A per-byte `f"$b%02x"` here costs a format
+    * parse + boxing per BYTE — at sf1 that was the hottest frame in the
+    * whole verify sweep (6.4M format calls for frame sampling alone). */
+  private def hex(bytes: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder(bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      sb.append(Character.forDigit((bytes(i) >> 4) & 0xf, 16))
+        .append(Character.forDigit(bytes(i) & 0xf, 16))
+      i += 1
+    }
+    sb.toString
+  }
+
   /** Planted "true" dimensions, derived deterministically from the content
     * length so the oracle can restate them; at ingest they are serialized
     * INTO the header bytes and everything downstream must parse them back. */
@@ -61,7 +75,8 @@ object Multimodal {
     * magic, extract the ASCII-digit dimensions, hash the payload. Fails
     * loudly on a non-media payload (magic mismatch / corrupt digits)
     * rather than emitting garbage metadata. */
-  private def parseHeader(id: Long, bytes: Array[Byte]): MediaMeta = {
+  private def parseHeader(id: Long, bytes: Array[Byte],
+      md5: java.security.MessageDigest): MediaMeta = {
     require(bytes.length >= HeaderLen,
       s"doc $id: payload shorter than the $HeaderLen-byte $Magic header")
     var m = 0
@@ -79,8 +94,8 @@ object Multimodal {
       }
       v
     }
-    val md = java.security.MessageDigest.getInstance("MD5").digest(bytes)
-    MediaMeta(id, bytes.length, md.map(b => f"$b%02x").mkString,
+    // digest() resets the instance, so one per partition is safe to reuse
+    MediaMeta(id, bytes.length, hex(md5.digest(bytes)),
       digits4(Magic.length), digits4(Magic.length + 4))
   }
 
@@ -93,8 +108,9 @@ object Multimodal {
     * instance per partition, streaming iteration, no per-row setup cost). */
   def decodeMeta(media: Dataset[MediaRecord]): Dataset[MediaMeta] =
     media.mapPartitions { it =>
-      // per-partition setup would go here (codec handles, model weights…)
-      it.map(r => parseHeader(r.doc_id, r.payload))
+      // per-partition setup (a codec would open its handles here)
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+      it.map(r => parseHeader(r.doc_id, r.payload, md5))
     }(Encoders.product[MediaMeta])
 
   /** Metadata extraction as pure codegen'd expressions (no decode): states
@@ -159,15 +175,17 @@ object Multimodal {
     * fingerprinted with a hash in place of a real frame decode; offsets are
     * stream-relative. flatMap keeps it a single no-shuffle pass. */
   def sampleFrames(media: Dataset[MediaRecord]): Dataset[FrameMeta] =
-    media.flatMap { r =>
-      val streamLen = r.payload.length - HeaderLen
-      val nFrames = math.min(MaxFrames, math.max(1, streamLen / FrameBytes))
-      (0 until nFrames).iterator.map { i =>
-        val off = i * FrameBytes
-        val end = math.min(HeaderLen + off + FrameBytes, r.payload.length)
-        val slice = java.util.Arrays.copyOfRange(r.payload, HeaderLen + off, end)
-        val md = java.security.MessageDigest.getInstance("MD5").digest(slice)
-        FrameMeta(r.doc_id, i, off, md.map(b => f"$b%02x").mkString)
+    media.mapPartitions { it =>
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+      it.flatMap { r =>
+        val streamLen = r.payload.length - HeaderLen
+        val nFrames = math.min(MaxFrames, math.max(1, streamLen / FrameBytes))
+        (0 until nFrames).iterator.map { i =>
+          val off = i * FrameBytes
+          val end = math.min(HeaderLen + off + FrameBytes, r.payload.length)
+          val slice = java.util.Arrays.copyOfRange(r.payload, HeaderLen + off, end)
+          FrameMeta(r.doc_id, i, off, hex(md5.digest(slice)))
+        }
       }
     }(Encoders.product[FrameMeta])
 

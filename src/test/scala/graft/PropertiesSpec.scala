@@ -70,6 +70,30 @@ class PropertiesSpec extends AnyFunSuite {
     assert(sh.filter(length(col("fp")) =!= 16).count() === 0)
   }
 
+  test("simhashNeighbors pigeonhole blocking is exact at the production radius shape (k=3)") {
+    // the parameterized path at a DIFFERENT shape than the oracled query
+    // (4 blocks of 4 bits, radius 3): block-LSH candidates must reproduce
+    // the brute-force hamming<=3 nearest-earlier-neighbor exactly
+    val sig = Tables.documents(spark, sf).select(col("doc_id"),
+      graft.functions.SimHash16.simhash(split(col("text"), " ")).as("fp"))
+    val fps = sig.collect().map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1)
+    val expected = fps.map { case (id, fp) =>
+      val cands = fps.filter { case (id2, fp2) =>
+        id2 < id && Integer.bitCount(Integer.parseInt(fp, 2) ^ Integer.parseInt(fp2, 2)) <= 3
+      }
+      val best = cands.map { case (id2, fp2) =>
+        (Integer.bitCount(Integer.parseInt(fp, 2) ^ Integer.parseInt(fp2, 2)), id2)
+      }.sorted.headOption
+      (id, best.map(_._2), best.map(_._1))
+    }.toSeq
+    val got = ops.Dedup.simhashNeighbors(sig, 16, 3)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getAs[Number](2).intValue))).toSeq.sortBy(_._1)
+    assert(got === expected)
+    assert(expected.exists(_._2.nonEmpty), "fixture should contain hamming<=3 pairs")
+  }
+
   test("cosine results are valid similarities with dense ranks") {
     val topk = ops.Similarity.cosineTopk(spark, sf)
     assert(topk.filter(col("cos") > 1.0001 || col("cos") < -1.0001).count() === 0)
