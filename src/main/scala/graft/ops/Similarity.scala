@@ -405,6 +405,51 @@ object Similarity {
       .orderBy("cid", "dim")
   }
 
+  /** IVF search served from the TRAINED quantizer — the train→serve
+    * composition a real ANN deployment runs ([[kmeansTrain]] produces the
+    * coarse centroids, then the [[annIvf]] search shape probes them).
+    * Everything downstream of training uses [[DoubleVectorDot]] and
+    * floor-quantized cosines, inheriting the training loop's parity
+    * discipline; the plan is the IVF layout — centroids broadcast, corpus
+    * shuffled once on its assigned cell. */
+  def annIvfTrained(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.VectorExpressions.doubleDot
+    def q4(c: Column): Column = floor(c * 10000 + lit(0.5)) / 10000
+    val cents = once(kmeansTrain(s, d).groupBy("cid")
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("dim_mean")))),
+        t => t.getField("dim_mean")).as("cv"))
+      .withColumn("cn", sqrt(doubleDot(col("cv"), col("cv")))))
+    val n = once(Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(doubleDot(col("v"), col("v")))))
+    val best = n.crossJoin(broadcast(cents))
+      .select(col("vec_id"),
+        q4(doubleDot(col("v"), col("cv")) / (col("norm") * col("cn"))).as("ccos"),
+        col("cid"))
+      .groupBy("vec_id")
+      .agg(max(struct(col("ccos"), (-col("cid")).as("negcid"))).as("b"))
+      .select(col("vec_id"), (-col("b.negcid")).as("cid"))
+    val assigned = n.join(best, "vec_id")
+      .select(col("vec_id"), col("v"), col("norm"), col("cid"))
+    val wProbe = Window.partitionBy("qid").orderBy(col("ccos").desc, col("cid").asc)
+    val probes = n.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qn"))
+      .crossJoin(broadcast(cents))
+      .withColumn("ccos", q4(doubleDot(col("qv"), col("cv")) / (col("qn") * col("cn"))))
+      .withColumn("crn", row_number().over(wProbe))
+      .filter(col("crn") <= 2)
+      .select(col("qid"), col("qv"), col("qn"), col("cid"))
+    val wTop = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
+    assigned.join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", q4(doubleDot(col("v"), col("qv")) / (col("norm") * col("qn"))))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("rn"), col("vec_id"), col("cos"))
+      .orderBy("qid", "rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cosine_topk"   -> (cosineTopk _),
     "q_ann_lsh_rp"    -> (annLshRp _),
@@ -415,6 +460,7 @@ object Similarity {
     "q_dedup_semantic" -> (semanticDedup _),
     "q_kmeans_step"    -> (kmeansStep _),
     "q_kmeans_train"   -> (kmeansTrain _),
+    "q_ann_ivf_trained" -> (annIvfTrained _),
   )
 
   private val NormCte =
@@ -467,11 +513,13 @@ object Similarity {
        |ORDER BY qid, rn""".stripMargin
   }
 
-  /** [[kmeansTrain]]'s oracle: the Lloyd loop unrolled to exactly
-    * [[KmIters]] steps (converged steps are exact no-ops, so the unroll
-    * agrees with the engine's early stop — see kmeansTrain's doc). The
-    * CTE chain is GENERATED from the same constants as the Spark plan. */
-  private def kmeansTrainOracle: String = {
+  /** The Lloyd loop unrolled to exactly [[KmIters]] steps as a CTE chain
+    * (converged steps are exact no-ops, so the unroll agrees with the
+    * engine's early stop — see kmeansTrain's doc), GENERATED from the
+    * same constants as the Spark plan. Ends with `m<KmIters>` (long-form
+    * matrix) and `c<KmIters>` (list-form centroids + norms) for
+    * downstream composition. */
+  private def kmeansCteChain: String = {
     val steps = (1 to KmIters).map { i =>
       s"""a$i AS (
          |  SELECT vec_id, v, cid FROM (
@@ -492,17 +540,53 @@ object Similarity {
          |  SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM (
          |    SELECT cid, list(dim_mean ORDER BY dim) AS cv FROM m$i GROUP BY cid) q)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $NormCte,
+    s"""$NormCte,
        |c0 AS (SELECT vec_id AS cid, v AS cv, norm AS cn FROM n WHERE vec_id % 100 = 0),
-       |$steps
+       |$steps""".stripMargin
+  }
+
+  private def kmeansTrainOracle: String =
+    s"""WITH $kmeansCteChain
        |SELECT cid, CAST(dim AS INTEGER) AS dim, dim_mean, n_members
        |FROM m$KmIters
        |ORDER BY cid, dim""".stripMargin
-  }
+
+  /** [[annIvfTrained]]'s oracle: the kmeans chain composed with the IVF
+    * search SQL, reading centroids from `c<KmIters>` instead of the raw
+    * seed rows. */
+  private def ivfTrainedOracle: String =
+    s"""WITH $kmeansCteChain,
+       |asg AS (
+       |  SELECT vec_id, v, norm, cid FROM (
+       |    SELECT n.vec_id, n.v, n.norm, c.cid,
+       |           row_number() OVER (PARTITION BY n.vec_id
+       |             ORDER BY floor(list_dot_product(n.v, c.cv) / (n.norm * c.cn) * 10000 + 0.5) / 10000 DESC,
+       |                      c.cid ASC) AS crn
+       |    FROM n, c$KmIters c) t
+       |  WHERE crn = 1),
+       |pr AS (
+       |  SELECT qid, qv, qn, cid FROM (
+       |    SELECT n.vec_id AS qid, n.v AS qv, n.norm AS qn, c.cid,
+       |           row_number() OVER (PARTITION BY n.vec_id
+       |             ORDER BY floor(list_dot_product(n.v, c.cv) / (n.norm * c.cn) * 10000 + 0.5) / 10000 DESC,
+       |                      c.cid ASC) AS crn
+       |    FROM n, c$KmIters c WHERE n.vec_id % 50 = 0) t
+       |  WHERE crn <= 2),
+       |sc AS (
+       |  SELECT pr.qid, asg.vec_id,
+       |         floor(list_dot_product(asg.v, pr.qv) / (asg.norm * pr.qn) * 10000 + 0.5) / 10000 AS cos
+       |  FROM asg JOIN pr USING (cid)
+       |  WHERE asg.vec_id <> pr.qid),
+       |r AS (SELECT qid, vec_id, cos,
+       |             CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rn
+       |      FROM sc)
+       |SELECT qid, rn, vec_id, cos FROM r WHERE rn <= 5
+       |ORDER BY qid, rn""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q_ann_lsh_rp" -> rpOracle,
     "q_kmeans_train" -> kmeansTrainOracle,
+    "q_ann_ivf_trained" -> ivfTrainedOracle,
     "q_embed_quantize" ->
       """WITH ex AS (
         |  SELECT vec_id, CAST(x AS DOUBLE) AS x
