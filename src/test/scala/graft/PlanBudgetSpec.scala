@@ -85,12 +85,18 @@ class PlanBudgetSpec extends AnyFunSuite {
     ("q_source_overlap", 6, 2),       // audit mode recomputes the staged
                                       // incidence per branch (3x distinct);
                                       // per-source totals must broadcast
+    // round-5 additions: audit mode unrolls the full 6-pass Lloyd lineage
+    ("q_kmeans_train", 18, 6),        // 3 shuffles/pass (argmax, means, rebuild)
+                                      // x6 passes; centroids broadcast each pass
+    ("q_ann_ivf_trained", 23, 9),     // training lineage + IVF serve (assign/
+                                      // probe/search broadcasts, cell shuffle)
   )
 
   budgets.foreach { case (name, maxShuffles, minBcasts) =>
     test(s"$name stays within its exchange budget (<=$maxShuffles shuffles" +
       (if (minBcasts > 0) s", >=$minBcasts broadcasts)" else ")")) {
       val (shuffles, bcasts) = counts(name)
+      info(s"$name: $shuffles shuffles, $bcasts broadcasts")
       assert(shuffles <= maxShuffles,
         s"$name grew a surprise exchange: $shuffles shuffles > budget $maxShuffles")
       if (minBcasts > 0)
