@@ -439,6 +439,64 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Estimator-quality audit for the wide MinHash family: for every LSH
+    * candidate pair (docs sharing ≥ 1 of the 16 band buckets), the
+    * signature-estimated Jaccard (matching permutations / 64) against the
+    * EXACT distinct-shingle Jaccard, with the absolute error — the
+    * measurement that justifies trusting [[dedupMinhashWide]]'s flags at
+    * scale, run on the same engine that serves them.
+    *
+    * Scale shape: exact Jaccard is computed ONLY for LSH candidates (the
+    * S-curve bounds candidate volume — never all-pairs) via a
+    * pair×shingle equi-join on the candidate set; signatures ride the
+    * pair join as 64-slot arrays, compared with a 64-term codegen'd sum
+    * (no interpreted HOF lambdas); the match count /64 is a power-of-two
+    * division, exact in IEEE in both engines. */
+  def minhashEstimate(s: SparkSession, d: String): DataFrame = {
+    def q4(c: org.apache.spark.sql.Column) = floor(c * 10000 + lit(0.5)) / 10000
+    val nPerms = WideR * WideB
+    val sh = Tables.documents(s, d).select(col("doc_id"),
+      explode(shingles3(words(col("text")), col("text"))).as("shingle"))
+    val h = conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast("long")
+    val mins = (0 until nPerms).map(p =>
+      min((col("h") * affineA(p) + affineB(p)) % MinhashPrime).as(s"mh$p"))
+    val sig = graft.util.Ckpt.stage(
+      sh.select(col("doc_id"), h.as("h")).groupBy("doc_id")
+        .agg(mins.head, mins.tail: _*)
+        .select(col("doc_id"),
+          array((0 until nPerms).map(p => col(s"mh$p")): _*).as("sig")))
+    val bk = bandBucketsParam(s, d, WideR, WideB)
+    val pairs = graft.util.Ckpt.stage(
+      bk.select(col("doc_id").as("d1"), col("bkey"))
+        .join(bk.select(col("doc_id").as("d2"), col("bkey").as("bk2")),
+          col("bkey") === col("bk2") && col("d1") < col("d2"))
+        .select("d1", "d2").distinct())
+    val nMatch = (0 until nPerms)
+      .map(p => (col("s1").getItem(p) === col("s2").getItem(p)).cast("int"))
+      .reduce(_ + _)
+    val est = pairs
+      .join(sig.select(col("doc_id").as("d1"), col("sig").as("s1")), "d1")
+      .join(sig.select(col("doc_id").as("d2"), col("sig").as("s2")), "d2")
+      .select(col("d1"), col("d2"), nMatch.cast("long").as("n_match"))
+    val ds = graft.util.Ckpt.stage(sh.distinct())
+    val sizes = ds.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(ds.select(col("doc_id").as("d1"), col("shingle")), "d1")
+      .join(ds.select(col("doc_id").as("did2"), col("shingle").as("sh2")),
+        col("d2") === col("did2") && col("shingle") === col("sh2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+    est
+      .join(inter, Seq("d1", "d2"), "left")
+      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+      .withColumn("inter", coalesce(col("inter"), lit(0L)))
+      .select(col("d1"), col("d2"), col("n_match"),
+        q4(col("n_match") / lit(64.0)).as("est_j"),
+        q4(col("inter") / (col("n1") + col("n2") - col("inter"))).as("exact_j"))
+      .withColumn("abs_err", q4(abs(col("est_j") - col("exact_j"))))
+      .orderBy("d1", "d2")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact"    -> (dedupExact _),
     "q_dedup_survivor" -> (dedupSurvivor _),
@@ -451,6 +509,7 @@ object Dedup {
     "q_ngram_jaccard"  -> (ngramJaccard _),
     "q_containment"    -> (containment _),
     "q_dedup_incremental" -> (incrementalDedup _),
+    "q_minhash_est"    -> (minhashEstimate _),
   )
 
   /** The [[dedupClusters]] transitive closure as a reusable CTE prefix
@@ -532,6 +591,62 @@ object Dedup {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** [[minhashEstimate]]'s oracle, generated from the same (r, b) and
+    * affine constants: wide signatures as 64 per-doc min aggregates,
+    * candidate pairs through the same band keys, the 64-term match count,
+    * and the exact distinct-shingle Jaccard — floor-quantized like the
+    * Spark plan. */
+  private def minhashEstOracle: String = {
+    val nPerms = WideR * WideB
+    val mins = (0 until nPerms).map { p =>
+      s"min((h * ${affineA(p)} + ${affineB(p)}) % $MinhashPrime) AS mh$p"
+    }.mkString(",\n         ")
+    val bands = (0 until WideB).map { j =>
+      s"concat_ws('|', '$j', " +
+        (0 until WideR).map(i => s"mh${j * WideR + i}").mkString(", ") + ")"
+    }.mkString(",\n            ")
+    val matchSum = (0 until nPerms)
+      .map(p => s"CASE WHEN g1.mh$p = g2.mh$p THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH shd AS (
+       |  SELECT DISTINCT doc_id, unnest($ShinglesSql) AS shingle FROM documents
+       |), hv AS (
+       |  SELECT doc_id, CAST('0x' || substring(md5(shingle), 1, 8) AS BIGINT) AS h FROM shd
+       |), sig AS (
+       |  SELECT doc_id,
+       |         $mins
+       |  FROM hv GROUP BY doc_id
+       |), b AS (
+       |  SELECT doc_id, unnest([$bands]) AS bkey FROM sig
+       |), p AS (
+       |  SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2
+       |  FROM b a JOIN b c ON a.bkey = c.bkey AND a.doc_id < c.doc_id
+       |), est AS (
+       |  SELECT p.d1, p.d2, CAST($matchSum AS BIGINT) AS n_match
+       |  FROM p JOIN sig g1 ON g1.doc_id = p.d1 JOIN sig g2 ON g2.doc_id = p.d2
+       |), szs AS (
+       |  SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id
+       |), iv AS (
+       |  SELECT p.d1, p.d2, count(*) AS inter
+       |  FROM p JOIN shd s1 ON s1.doc_id = p.d1
+       |         JOIN shd s2 ON s2.doc_id = p.d2 AND s2.shingle = s1.shingle
+       |  GROUP BY p.d1, p.d2
+       |), r AS (
+       |  SELECT est.d1, est.d2, est.n_match,
+       |         floor(est.n_match / 64.0 * 10000 + 0.5) / 10000 AS est_j,
+       |         floor(coalesce(iv.inter, 0)
+       |               / (z1.n + z2.n - coalesce(iv.inter, 0)) * 10000 + 0.5) / 10000 AS exact_j
+       |  FROM est
+       |  LEFT JOIN iv ON iv.d1 = est.d1 AND iv.d2 = est.d2
+       |  JOIN szs z1 ON z1.doc_id = est.d1
+       |  JOIN szs z2 ON z2.doc_id = est.d2
+       |)
+       |SELECT d1, d2, n_match, est_j, exact_j,
+       |       floor(abs(est_j - exact_j) * 10000 + 0.5) / 10000 AS abs_err
+       |FROM r
+       |ORDER BY d1, d2""".stripMargin
+  }
+
   private val simhashSums = (1 to SimBits)
     .map(i => s"sum(CASE WHEN substring(h, $i, 1) >= '8' THEN 1 ELSE -1 END) AS s$i")
     .mkString(",\n         ")
@@ -589,6 +704,7 @@ object Dedup {
          |      FROM b JOIN k USING (bkey) GROUP BY b.doc_id) t
          |ORDER BY doc_id""".stripMargin,
     "q_dedup_minhash_wide" -> wideMinhashOracle,
+    "q_minhash_est" -> minhashEstOracle,
     "q_dedup_clusters" ->
       s"""$ClustersCteSql
          |SELECT doc_id, cluster,

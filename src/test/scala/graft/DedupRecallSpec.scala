@@ -70,6 +70,21 @@ class DedupRecallSpec extends AnyFunSuite {
     assert(ops.Dedup.ngramJaccardCapped(spark, sf01, 1).count() === 0)
   }
 
+  test("minhash estimator tracks exact Jaccard within theory bounds on candidate pairs") {
+    // std error of a 64-permutation estimate is sqrt(J(1-J)/64) <= 0.0625;
+    // 0.25 is a 4-sigma envelope — deterministic here (md5-fixed), so the
+    // assertion is stable, not flaky
+    val rows = ops.Dedup.minhashEstimate(spark, sf01)
+      .select("est_j", "exact_j", "abs_err").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getDouble(2) <= 0.25),
+      s"estimator off by > 0.25: ${rows.filter(_.getDouble(2) > 0.25).take(3).mkString}")
+    val meanErr = rows.map(_.getDouble(2)).sum / rows.length
+    assert(meanErr <= 0.08, s"mean estimator error $meanErr > 0.08")
+    // exact duplicates (J = 1) must estimate exactly 1 (all minima equal)
+    assert(rows.filter(_.getDouble(1) >= 0.9999).forall(_.getDouble(0) >= 0.9999))
+  }
+
   test("minhash-wide flags a superset of exact-duplicate docs") {
     // identical texts have Jaccard 1 and must always share every band
     val exactDups = ops.Dedup.dedupExact(spark, TestSpark.Sf)
