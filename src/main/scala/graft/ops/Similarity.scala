@@ -355,12 +355,22 @@ object Similarity {
     * scanned once per pass, never collected; the one driver-side scalar
     * per pass is the 1-row changed-assignment count (the loop
     * condition). */
-  def kmeansTrain(s: SparkSession, d: String): DataFrame = {
+  def kmeansTrain(s: SparkSession, d: String): DataFrame =
+    kmeansTrainFrom(kmeansCorpus(s, d))
+
+  /** The staged double-cast normalized corpus both training and the
+    * trained-serve path read — built once per query so the composed
+    * [[annIvfTrained]] does not scan and stage it twice. */
+  private def kmeansCorpus(s: SparkSession, d: String): DataFrame = {
     import graft.functions.VectorExpressions.doubleDot
-    def q4(c: Column): Column = floor(c * 10000 + lit(0.5)) / 10000
-    val n = once(Tables.embeddings(s, d)
+    once(Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("norm", sqrt(doubleDot(col("v"), col("v")))))
+  }
+
+  private def kmeansTrainFrom(n: DataFrame): DataFrame = {
+    import graft.functions.VectorExpressions.doubleDot
+    def q4(c: Column): Column = floor(c * 10000 + lit(0.5)) / 10000
     var cents = n.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("norm").as("cn"))
     var prevAsg: DataFrame = null
@@ -415,14 +425,12 @@ object Similarity {
   def annIvfTrained(s: SparkSession, d: String): DataFrame = {
     import graft.functions.VectorExpressions.doubleDot
     def q4(c: Column): Column = floor(c * 10000 + lit(0.5)) / 10000
-    val cents = once(kmeansTrain(s, d).groupBy("cid")
+    val n = kmeansCorpus(s, d)
+    val cents = once(kmeansTrainFrom(n).groupBy("cid")
       .agg(transform(
         array_sort(collect_list(struct(col("dim"), col("dim_mean")))),
         t => t.getField("dim_mean")).as("cv"))
       .withColumn("cn", sqrt(doubleDot(col("cv"), col("cv")))))
-    val n = once(Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("norm", sqrt(doubleDot(col("v"), col("v")))))
     val best = n.crossJoin(broadcast(cents))
       .select(col("vec_id"),
         q4(doubleDot(col("v"), col("cv")) / (col("norm") * col("cn"))).as("ccos"),
