@@ -90,6 +90,9 @@ class PlanBudgetSpec extends AnyFunSuite {
                                       // x6 passes; centroids broadcast each pass
     ("q_ann_ivf_trained", 23, 9),     // training lineage + IVF serve (assign/
                                       // probe/search broadcasts, cell shuffle)
+    ("q_minhash_est", 7, 6),          // audit mode recomputes the staged sig/
+                                      // pair frames per branch; candidate set
+                                      // and sizes broadcast into the pair joins
   )
 
   budgets.foreach { case (name, maxShuffles, minBcasts) =>
