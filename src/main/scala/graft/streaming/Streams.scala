@@ -40,6 +40,43 @@ object Streams {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Streaming embeddings source — the file-stream formulation of the
+    * embeddings table (new part files arriving in the directory become new
+    * micro-batches: the "index newly ingested vectors" feed of an ANN
+    * service). */
+  def embeddingsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)),
+        StructField("label", IntegerType))))
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(dir)
+
+  /** Quantizer-cell assignment for one micro-batch of ingested embeddings
+    * against a static (cid, cv array&lt;double&gt;, cn) centroid frame — e.g.
+    * [[graft.ops.Similarity.kmeansTrain]]'s output reshaped to lists. Run
+    * inside `foreachBatch`, where the batch is a plain DataFrame, so the
+    * SAME broadcast-argmax aggregation the batch ANN path uses applies
+    * unchanged — the standard pattern for reusing batch logic on a stream.
+    * Stateless by design: no watermark, no state store; each vector's cell
+    * depends only on its own row and the broadcast centroids, so the
+    * streaming ingestion side of an IVF index scales with batch size, not
+    * stream history. */
+  def assignCells(batch: DataFrame, cents: DataFrame): DataFrame = {
+    import graft.functions.VectorExpressions.doubleDot
+    def q4(c: org.apache.spark.sql.Column) = floor(c * 10000 + lit(0.5)) / 10000
+    val n = batch.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(doubleDot(col("v"), col("v"))))
+    n.crossJoin(broadcast(cents))
+      .select(col("vec_id"),
+        q4(doubleDot(col("v"), col("cv")) / (col("norm") * col("cn"))).as("ccos"),
+        col("cid"))
+      .groupBy("vec_id")
+      .agg(max(struct(col("ccos"), (-col("cid")).as("negcid"))).as("b"))
+      .select(col("vec_id"), (-col("b.negcid")).as("cid"), col("b.ccos").as("ccos"))
+  }
+
   /** Tumbling 1-hour counts with a 1-hour watermark — the streaming twin of
     * `EventTime.tumblingWindow`. Watermark bounds the state store: windows
     * older than (max event time − 1h) are finalized and evicted. */

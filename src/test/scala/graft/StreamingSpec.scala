@@ -47,6 +47,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("streaming quantizer assignment per micro-batch equals the batch assignment") {
+    import graft.functions.VectorExpressions.doubleDot
+    val cents = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("cid"), col("embedding").cast("array<double>").as("cv"))
+      .withColumn("cn", sqrt(doubleDot(col("cv"), col("cv"))))
+      .localCheckpoint(true)
+    val got = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val fn: (org.apache.spark.sql.DataFrame, Long) => Unit = (batch, _) =>
+      got.synchronized {
+        got ++= Streams.assignCells(batch, cents)
+          .select("vec_id", "cid").collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        ()
+      }
+    val q = Streams.embeddingsStream(spark, sf).writeStream
+      .foreachBatch(fn)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(120000) finally q.stop()
+    val expected = Streams.assignCells(Tables.embeddings(spark, sf), cents)
+      .select("vec_id", "cid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.nonEmpty)
+    assert(got.size === expected.size, "each vector assigned exactly once")
+    assert(got.toSet === expected)
+  }
+
   test("streaming dedup drops duplicate event ids within the watermark") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
