@@ -4,6 +4,7 @@ import graft.Tables
 import graft.functions.StringNgrams
 import graft.functions.TextFeatures._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis family over `documents` (north-star: language-ID, quality
@@ -407,8 +408,51 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Zipf exponent per source: OLS slope of ln(freq) on ln(rank) over
+    * the top-100 tokens — the standard corpus-health diagnostic (natural
+    * text sits near −1; templated/boilerplate corpora flatten the curve,
+    * spammy repetition steepens it). Both regression coordinates are
+    * 6-dp-quantized integer logs in DECIMAL (exact and engine-identical —
+    * the [[unigramLm]] discipline) and the normal equations run over
+    * DECIMAL power sums (the `Statistics.corrRegr` discipline), so the
+    * fitted slope is bit-stable across engines; computed doubles are
+    * floor-quantized on output.
+    *
+    * Scale shape: token counting is the map-side-combined (source, term)
+    * aggregate; the rank window is per-source over its distinct VOCAB
+    * (vocabulary-bounded, never corpus-bounded), rank ≤ 100 truncates
+    * before the regression, and the per-source OLS is a ≤100-row
+    * aggregate. */
+  def zipfSlope(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val qln = (c: Column) =>
+      round(log(c.cast("double")), 6).cast(DecimalType(18, 6))
+    def q4(c: Column) = floor(c * 10000 + lit(0.5)) / 10000
+    def dsum(c: Column) = sum(c.cast(DecimalType(30, 12))).cast("double")
+    val tc = Tables.documents(s, d)
+      .select(col("source"), explode(words(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("source", "term").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("source").orderBy(col("c").desc, col("term").asc)
+    val ranked = tc.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 100)
+      .select(col("source"), qln(col("rank")).as("x"), qln(col("c")).as("y"))
+    val slopeExpr = (col("n_ranked") * col("sxy") - col("sx") * col("sy")) /
+      (col("n_ranked") * col("sxx") - col("sx") * col("sx"))
+    ranked.groupBy("source")
+      .agg(count(lit(1)).as("n_ranked"),
+        dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
+        dsum(col("x") * col("x")).as("sxx"),
+        dsum(col("x") * col("y")).as("sxy"))
+      .select(col("source"), col("n_ranked"),
+        q4(slopeExpr).as("slope"),
+        q4((col("sy") - slopeExpr * col("sx")) / col("n_ranked")).as("intercept"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bm25"            -> (bm25 _),
+    "q_zipf_slope"      -> (zipfSlope _),
     "q_entropy"         -> (entropy _),
     "q_chunk_overlap"   -> (chunkOverlap _),
     "q_inverted_index"  -> (invertedIndex _),
@@ -435,6 +479,35 @@ object TextAnalysis {
        | ELSE [text] END""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_zipf_slope" ->
+      s"""WITH tc AS (
+         |  SELECT source, term, count(*) AS c
+         |  FROM (SELECT source, unnest($WordsSql) AS term FROM documents)
+         |  WHERE term <> '' GROUP BY source, term
+         |), r AS (
+         |  SELECT source,
+         |         CAST(round(ln(CAST(rnk AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
+         |         CAST(round(ln(CAST(c AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y
+         |  FROM (SELECT source, term, c,
+         |               row_number() OVER (PARTITION BY source
+         |                                  ORDER BY c DESC, term ASC) AS rnk
+         |        FROM tc) t
+         |  WHERE rnk <= 100
+         |), s AS (
+         |  SELECT source, count(*) AS n_ranked,
+         |         CAST(SUM(CAST(x AS DECIMAL(30,12))) AS DOUBLE) AS sx,
+         |         CAST(SUM(CAST(y AS DECIMAL(30,12))) AS DOUBLE) AS sy,
+         |         CAST(SUM(CAST(x * x AS DECIMAL(30,12))) AS DOUBLE) AS sxx,
+         |         CAST(SUM(CAST(x * y AS DECIMAL(30,12))) AS DOUBLE) AS sxy
+         |  FROM r GROUP BY source
+         |)
+         |SELECT source, n_ranked,
+         |       floor((n_ranked * sxy - sx * sy) / (n_ranked * sxx - sx * sx)
+         |             * 10000 + 0.5) / 10000 AS slope,
+         |       floor((sy - (n_ranked * sxy - sx * sy) / (n_ranked * sxx - sx * sx) * sx)
+         |             / n_ranked * 10000 + 0.5) / 10000 AS intercept
+         |FROM s
+         |ORDER BY source""".stripMargin,
     "q_bm25" ->
       s"""WITH dl AS (
          |  SELECT doc_id, CAST(len(list_filter($WordsSql, w -> w <> '')) AS INTEGER) AS dl
