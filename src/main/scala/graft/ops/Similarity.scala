@@ -415,6 +415,62 @@ object Similarity {
       .orderBy("cid", "dim")
   }
 
+  /** Lloyd-loop convergence trace: for each pass i ∈ 2..[[KmIters]], how
+    * many vectors changed cell between assignment i−1 and i — the
+    * convergence observability a quantizer-training pipeline monitors,
+    * and (because the DuckDB oracle recomputes every per-pass diff from
+    * its own unrolled chain) a cross-engine proof that the ITERATION
+    * STATE matches at every step, not just the final matrix. Once a pass
+    * reports 0 the loop is a fixpoint and later passes are emitted as 0
+    * without computation (the same exact-no-op argument as
+    * [[kmeansTrain]]). */
+  def kmeansConvergence(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.VectorExpressions.doubleDot
+    import s.implicits._
+    def q4(c: Column): Column = floor(c * 10000 + lit(0.5)) / 10000
+    val n = kmeansCorpus(s, d)
+    var cents = n.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("norm").as("cn"))
+    var prevAsg: DataFrame = null
+    var converged = false
+    val changes = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    for (i <- 1 to KmIters) {
+      if (converged) {
+        if (i >= 2) changes += ((i, 0L))
+      } else {
+        val asg = once(n.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("v"),
+            q4(doubleDot(col("v"), col("cv")) / (col("norm") * col("cn"))).as("ccos"),
+            col("cid"))
+          .groupBy("vec_id")
+          .agg(max(struct(col("ccos"), (-col("cid")).as("negcid"))).as("b"),
+            first("v").as("v"))
+          .select(col("vec_id"), (-col("b.negcid")).as("cid"), col("v")))
+        if (prevAsg != null) {
+          val chg = asg.join(prevAsg.drop("v").withColumnRenamed("cid", "pcid"), "vec_id")
+            .filter(col("cid") =!= col("pcid")).count()
+          changes += ((i, chg))
+          converged = chg == 0
+        }
+        if (!converged) {
+          if (i < KmIters) {
+            val means = asg
+              .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+              .groupBy("cid", "dim")
+              .agg(q4(graft.util.Det.davg(col("x"))).as("dim_mean"))
+            cents = means.groupBy("cid")
+              .agg(transform(
+                array_sort(collect_list(struct(col("dim"), col("dim_mean")))),
+                t => t.getField("dim_mean")).as("cv"))
+              .withColumn("cn", sqrt(doubleDot(col("cv"), col("cv"))))
+          }
+          prevAsg = asg
+        }
+      }
+    }
+    changes.toSeq.toDF("pass", "n_changed").orderBy("pass")
+  }
+
   /** IVF search served from the TRAINED quantizer — the train→serve
     * composition a real ANN deployment runs ([[kmeansTrain]] produces the
     * coarse centroids, then the [[annIvf]] search shape probes them).
@@ -469,6 +525,7 @@ object Similarity {
     "q_kmeans_step"    -> (kmeansStep _),
     "q_kmeans_train"   -> (kmeansTrain _),
     "q_ann_ivf_trained" -> (annIvfTrained _),
+    "q_kmeans_convergence" -> (kmeansConvergence _),
   )
 
   private val NormCte =
@@ -591,10 +648,25 @@ object Similarity {
        |SELECT qid, rn, vec_id, cos FROM r WHERE rn <= 5
        |ORDER BY qid, rn""".stripMargin
 
+  /** [[kmeansConvergence]]'s oracle: per-pass assignment diffs computed
+    * from the unrolled chain — every row cross-checks the loop STATE at
+    * that step. */
+  private def kmeansConvergenceOracle: String = {
+    val diffs = (2 to KmIters).map { i =>
+      s"""SELECT CAST($i AS INTEGER) AS pass,
+         |       (SELECT count(*) FROM a$i x JOIN a${i - 1} y USING (vec_id)
+         |        WHERE x.cid <> y.cid) AS n_changed""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $kmeansCteChain
+       |$diffs
+       |ORDER BY pass""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q_ann_lsh_rp" -> rpOracle,
     "q_kmeans_train" -> kmeansTrainOracle,
     "q_ann_ivf_trained" -> ivfTrainedOracle,
+    "q_kmeans_convergence" -> kmeansConvergenceOracle,
     "q_embed_quantize" ->
       """WITH ex AS (
         |  SELECT vec_id, CAST(x AS DOUBLE) AS x
