@@ -292,8 +292,30 @@ object Curation {
       .orderBy("s1", "s2")
   }
 
+  /** Minimum group size for [[kAnonymity]] — the k in k-anonymity. */
+  private val KAnonThreshold = 10
+
+  /** k-anonymity audit over the release quasi-identifiers (source, lang,
+    * 100-char length bucket): group sizes and the below-k flag — the
+    * privacy gate a corpus release runs beside [[piiRedact]]. Any
+    * quasi-identifier combination matching fewer than k documents is a
+    * re-identification risk: an adversary who knows those attributes of
+    * a target pins it to < k candidates, so the group must be
+    * generalized (coarser buckets) or suppressed before release.
+    *
+    * Scale shape: one map-side-combined aggregate; the QI space is
+    * bounded (sources × langs × length buckets), never corpus-sized. */
+  def kAnonymity(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(col("source"), col("lang"),
+        floor(col("n_chars") / lit(100)).cast("long").as("len_bucket"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("below_k", (col("n") < KAnonThreshold).cast("int"))
+      .orderBy("source", "lang", "len_bucket")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_source_overlap" -> (sourceOverlap _),
+    "q_k_anonymity"    -> (kAnonymity _),
     "q_curation_pipeline" -> (curationPipeline _),
     "q_cluster_rep"      -> (clusterRep _),
     "q_span_dedup"       -> (spanDedup _),
@@ -320,6 +342,14 @@ object Curation {
     s"list_distinct(list_transform(range(1, len($WordsSql)), i -> $WordsSql[i] || ' ' || $WordsSql[i+1]))"
 
   val oracle: Map[String, String] = Map(
+    "q_k_anonymity" ->
+      """SELECT source, lang,
+        |       CAST(floor(n_chars / 100.0) AS BIGINT) AS len_bucket,
+        |       count(*) AS n,
+        |       CAST(count(*) < 10 AS INTEGER) AS below_k
+        |FROM documents
+        |GROUP BY 1, 2, 3
+        |ORDER BY source, lang, len_bucket""".stripMargin,
     "q_source_overlap" ->
       s"""WITH inc AS (
          |  SELECT DISTINCT source, bg
