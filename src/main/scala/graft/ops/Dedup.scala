@@ -497,8 +497,42 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
+  /** Dedup method-agreement matrix: per-document duplicate flags from the
+    * four families (exact text, demo MinHash r=2·b=2, production MinHash
+    * r=4·b=16, SimHash exact-collision) joined into one row of totals and
+    * pairwise overlaps — the diagnostic a pipeline owner reads to pick a
+    * method and threshold (what the near-dup methods flag beyond the
+    * exact set is the fuzzy surplus; disagreement between the two MinHash
+    * parameterizations is the S-curve moving). Four flag frames of
+    * (doc_id, 0/1) join on the key and collapse into ONE row — the joins
+    * carry two narrow columns regardless of corpus size, and each input
+    * is itself a scale-shaped dedup query. */
+  def dedupMethodCompare(s: SparkSession, d: String): DataFrame = {
+    val fe = Tables.documents(s, d).select(col("doc_id"))
+      .join(dedupExact(s, d).select(col("doc_id"), lit(1).as("surv")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("surv").isNull.cast("int").as("f_exact"))
+    val fm = dedupMinhash(s, d).select(col("doc_id"), col("is_dup").as("f_mh"))
+    val fw = dedupMinhashWide(s, d).select(col("doc_id"), col("is_dup").as("f_mhw"))
+    val fs = dedupSimhash(s, d).select(col("doc_id"), col("is_dup").as("f_sh"))
+    fe.join(fm, "doc_id").join(fw, "doc_id").join(fs, "doc_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("f_exact").as("n_exact"),
+        sum("f_mh").as("n_minhash"),
+        sum("f_mhw").as("n_minhash_wide"),
+        sum("f_sh").as("n_simhash"),
+        sum(col("f_exact") * col("f_mh")).as("exact_and_minhash"),
+        sum(col("f_exact") * col("f_mhw")).as("exact_and_wide"),
+        sum(col("f_exact") * col("f_sh")).as("exact_and_simhash"),
+        sum(col("f_mh") * col("f_mhw")).as("minhash_and_wide"),
+        sum(col("f_mh") * col("f_sh")).as("minhash_and_simhash"),
+        sum(col("f_mhw") * col("f_sh")).as("wide_and_simhash"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact"    -> (dedupExact _),
+    "q_dedup_compare"  -> (dedupMethodCompare _),
     "q_dedup_survivor" -> (dedupSurvivor _),
     "q_dedup_fuzzy"    -> (dedupFuzzy _),
     "q_dedup_minhash"  -> (dedupMinhash _),
@@ -647,6 +681,67 @@ object Dedup {
        |ORDER BY d1, d2""".stripMargin
   }
 
+  /** [[dedupMethodCompare]]'s oracle: the four per-method flag CTEs
+    * composed from the same SQL bodies their standalone oracles use
+    * (demo bands via [[BandBucketsCteBody]], wide bands generated from
+    * the affine constants, simhash from the per-digit sign sums), then
+    * one row of totals and pairwise overlaps. */
+  private def dedupCompareOracle: String = {
+    val nPerms = WideR * WideB
+    val mins = (0 until nPerms).map { p =>
+      s"min((h * ${affineA(p)} + ${affineB(p)}) % $MinhashPrime) AS mh$p"
+    }.mkString(",\n         ")
+    val bands = (0 until WideB).map { j =>
+      s"concat_ws('|', '$j', " +
+        (0 until WideR).map(i => s"mh${j * WideR + i}").mkString(", ") + ")"
+    }.mkString(",\n            ")
+    s"""WITH $BandBucketsCteBody,
+       |k AS (SELECT bkey, min(doc_id) AS bmin FROM b GROUP BY bkey),
+       |fm AS (
+       |  SELECT b.doc_id, CAST(min(k.bmin) < b.doc_id AS INTEGER) AS f_mh
+       |  FROM b JOIN k USING (bkey) GROUP BY b.doc_id),
+       |hv AS (
+       |  SELECT doc_id, CAST('0x' || substring(md5(shingle), 1, 8) AS BIGINT) AS h FROM sh),
+       |wsig AS (
+       |  SELECT doc_id,
+       |         $mins
+       |  FROM hv GROUP BY doc_id),
+       |wb AS (SELECT doc_id, unnest([$bands]) AS bkey FROM wsig),
+       |wk AS (SELECT bkey, min(doc_id) AS bmin FROM wb GROUP BY bkey),
+       |fw AS (
+       |  SELECT wb.doc_id, CAST(min(wk.bmin) < wb.doc_id AS INTEGER) AS f_mhw
+       |  FROM wb JOIN wk USING (bkey) GROUP BY wb.doc_id),
+       |sw AS (
+       |  SELECT doc_id, md5(w) AS h
+       |  FROM (SELECT doc_id, unnest($WordsSql) AS w FROM documents)),
+       |ssum AS (
+       |  SELECT doc_id,
+       |         $simhashSums
+       |  FROM sw GROUP BY doc_id),
+       |sfp AS (SELECT doc_id, $simhashFp AS fp FROM ssum),
+       |fsim AS (
+       |  SELECT doc_id,
+       |         CAST(min(doc_id) OVER (PARTITION BY fp) < doc_id AS INTEGER) AS f_sh
+       |  FROM sfp),
+       |fe AS (
+       |  SELECT doc_id, CAST(rn > 1 AS INTEGER) AS f_exact
+       |  FROM (SELECT doc_id,
+       |               row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+       |        FROM documents) t)
+       |SELECT count(*) AS n_docs,
+       |       CAST(sum(f_exact) AS BIGINT) AS n_exact,
+       |       CAST(sum(f_mh) AS BIGINT) AS n_minhash,
+       |       CAST(sum(f_mhw) AS BIGINT) AS n_minhash_wide,
+       |       CAST(sum(f_sh) AS BIGINT) AS n_simhash,
+       |       CAST(sum(f_exact * f_mh) AS BIGINT) AS exact_and_minhash,
+       |       CAST(sum(f_exact * f_mhw) AS BIGINT) AS exact_and_wide,
+       |       CAST(sum(f_exact * f_sh) AS BIGINT) AS exact_and_simhash,
+       |       CAST(sum(f_mh * f_mhw) AS BIGINT) AS minhash_and_wide,
+       |       CAST(sum(f_mh * f_sh) AS BIGINT) AS minhash_and_simhash,
+       |       CAST(sum(f_mhw * f_sh) AS BIGINT) AS wide_and_simhash
+       |FROM fe JOIN fm USING (doc_id) JOIN fw USING (doc_id) JOIN fsim USING (doc_id)""".stripMargin
+  }
+
   private val simhashSums = (1 to SimBits)
     .map(i => s"sum(CASE WHEN substring(h, $i, 1) >= '8' THEN 1 ELSE -1 END) AS s$i")
     .mkString(",\n         ")
@@ -705,6 +800,7 @@ object Dedup {
          |ORDER BY doc_id""".stripMargin,
     "q_dedup_minhash_wide" -> wideMinhashOracle,
     "q_minhash_est" -> minhashEstOracle,
+    "q_dedup_compare" -> dedupCompareOracle,
     "q_dedup_clusters" ->
       s"""$ClustersCteSql
          |SELECT doc_id, cluster,
