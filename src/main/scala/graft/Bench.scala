@@ -29,12 +29,18 @@ object Bench {
     // JVM/codegen/IO warm-up so the first measured query doesn't absorb
     // one-time session costs (~5s); standard benchmarking practice, not a
     // change to what is measured
-    try {
-      spark.range(1000000L).selectExpr("sum(id)").collect()
-      // touch every fixture table once so no measured query absorbs the
-      // one-time cold scan (OS page cache + parquet footer decode)
-      Seq("region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings").foreach { t =>
+    try spark.range(1000000L).selectExpr("sum(id)").collect()
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] JVM warm-up failed: $e")
+    }
+    // touch every fixture table once so no measured query absorbs the
+    // one-time cold scan (OS page cache + parquet footer decode); each
+    // table warms independently — one corrupt table must not leave the
+    // REST of the fixtures cold (that would skew exactly the per-query
+    // comparisons SCALE.md reasons about) and must not be silent
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings").foreach { t =>
+      try {
         val p = s"$sfDir/$t.parquet"
         if (new java.io.File(p).exists()) {
           // .rdd.count() materializes every column — a plain count() would
@@ -42,11 +48,9 @@ object Bench {
           if (t == "events") Tables.events(spark, sfDir).rdd.count()
           else spark.read.parquet(p).rdd.count()
         }
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] warm-up failed for $t (cold scans ahead): $e")
       }
-    } catch { case e: Throwable =>
-      // warm-up failure is non-fatal but must not be silent: a broken fixture
-      // path here would cold-cache every measured query (VERDICT round 4)
-      System.err.println(s"[bench] warm-up failed (cold-cache run): $e")
     }
     // dev-only subset filter (comma-separated names); driver leaves it unset
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)

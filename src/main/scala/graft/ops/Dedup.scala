@@ -231,7 +231,13 @@ object Dedup {
       col("bidx"), col("bval"))
     val b = blocks.select(col("doc_id").as("d2"), col("fp").as("fp2"),
       col("bidx").as("bidx2"), col("bval").as("bval2"))
-    val hd = expr("bit_count(cast(conv(fp1, 2, 10) as bigint) ^ cast(conv(fp2, 2, 10) as bigint))")
+    // SIGNED conv (negative toBase): unsigned conv renders fingerprints
+    // ≥ 2⁶³ as decimal strings that overflow the bigint cast to NULL —
+    // at the 64-bit production width that silently dropped ~75% of
+    // candidate pairs. Signed keeps the exact bit pattern, and XOR /
+    // bit_count are bit-pattern operations, so distances are unchanged
+    // at every width.
+    val hd = expr("bit_count(cast(conv(fp1, 2, -10) as bigint) ^ cast(conv(fp2, 2, -10) as bigint))")
     val nn = a.join(b,
         col("bidx") === col("bidx2") && col("bval") === col("bval2") &&
         col("d1") < col("d2"))
@@ -450,22 +456,28 @@ object Dedup {
     * S-curve bounds candidate volume — never all-pairs) via a
     * pair×shingle equi-join on the candidate set; signatures ride the
     * pair join as 64-slot arrays, compared with a 64-term codegen'd sum
-    * (no interpreted HOF lambdas); the match count /64 is a power-of-two
-    * division, exact in IEEE in both engines. */
+    * (no interpreted HOF lambdas); the match count / nPerms division is
+    * by a power of two, exact in IEEE in both engines. The ONE staged
+    * 64-column signature frame feeds both the per-pair arrays and the
+    * band keys — per-shingle hashing is the dominant cost at scale and
+    * must not run twice. */
   def minhashEstimate(s: SparkSession, d: String): DataFrame = {
-    def q4(c: org.apache.spark.sql.Column) = floor(c * 10000 + lit(0.5)) / 10000
+    val q4 = graft.util.Det.q4 _
     val nPerms = WideR * WideB
     val sh = Tables.documents(s, d).select(col("doc_id"),
       explode(shingles3(words(col("text")), col("text"))).as("shingle"))
     val h = conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast("long")
     val mins = (0 until nPerms).map(p =>
       min((col("h") * affineA(p) + affineB(p)) % MinhashPrime).as(s"mh$p"))
-    val sig = graft.util.Ckpt.stage(
+    val sigWide = graft.util.Ckpt.stage(
       sh.select(col("doc_id"), h.as("h")).groupBy("doc_id")
-        .agg(mins.head, mins.tail: _*)
-        .select(col("doc_id"),
-          array((0 until nPerms).map(p => col(s"mh$p")): _*).as("sig")))
-    val bk = bandBucketsParam(s, d, WideR, WideB)
+        .agg(mins.head, mins.tail: _*))
+    val sig = sigWide.select(col("doc_id"),
+      array((0 until nPerms).map(p => col(s"mh$p")): _*).as("sig"))
+    val bandCols = (0 until WideB).map { j =>
+      concat_ws("|", lit(s"$j") +: (0 until WideR).map(i => col(s"mh${j * WideR + i}")): _*)
+    }
+    val bk = sigWide.select(col("doc_id"), explode(array(bandCols: _*)).as("bkey"))
     val pairs = graft.util.Ckpt.stage(
       bk.select(col("doc_id").as("d1"), col("bkey"))
         .join(bk.select(col("doc_id").as("d2"), col("bkey").as("bk2")),
@@ -491,7 +503,7 @@ object Dedup {
       .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
       .withColumn("inter", coalesce(col("inter"), lit(0L)))
       .select(col("d1"), col("d2"), col("n_match"),
-        q4(col("n_match") / lit(64.0)).as("est_j"),
+        q4(col("n_match") / lit(nPerms.toDouble)).as("est_j"),
         q4(col("inter") / (col("n1") + col("n2") - col("inter"))).as("exact_j"))
       .withColumn("abs_err", q4(abs(col("est_j") - col("exact_j"))))
       .orderBy("d1", "d2")
@@ -667,7 +679,7 @@ object Dedup {
        |  GROUP BY p.d1, p.d2
        |), r AS (
        |  SELECT est.d1, est.d2, est.n_match,
-       |         floor(est.n_match / 64.0 * 10000 + 0.5) / 10000 AS est_j,
+       |         floor(est.n_match / $nPerms.0 * 10000 + 0.5) / 10000 AS est_j,
        |         floor(coalesce(iv.inter, 0)
        |               / (z1.n + z2.n - coalesce(iv.inter, 0)) * 10000 + 0.5) / 10000 AS exact_j
        |  FROM est

@@ -167,9 +167,9 @@ object Relational {
     * each row came from — the scan-time lineage a multi-source 100 TB
     * ingest records for per-source quality triage (the reference tracks
     * the same thing as `metadata.json.input_files`). The per-file grouping
-    * is the real lineage work; the OUTPUT is reduced to layout-invariant
-    * facts (total rows round-tripped through the per-file counts, plus
-    * file-set invariants) so the identical oracle SQL holds on a 1-file
+    * is the real lineage work; the OUTPUT is reduced to the one
+    * layout-invariant fact (total rows round-tripped through the
+    * per-file counts) so the identical oracle SQL holds on a 1-file
     * sf0.01 fixture and a sharded sf1 fixture alike (VERDICT round-4
     * item 3 — file NAMES are fixture-layout artifacts, row accounting is
     * not). Zero extra I/O either way. */
@@ -177,10 +177,11 @@ object Relational {
     s.read.parquet(s"$d/documents.parquet")
       .select(col("_metadata.file_name").as("src_file"))
       .groupBy("src_file").agg(count(lit(1)).as("file_rows"))
-      .agg(
-        sum("file_rows").as("n_rows"),
-        (count(lit(1)) >= 1).as("has_files"),
-        (min("file_rows") > 0).as("all_files_nonempty"))
+      // the one genuinely layout-invariant output is the total row count
+      // round-tripped through the per-file grouping; coalesce keeps the
+      // empty-table case equal to the oracle's count(*) = 0 (an empty
+      // grouped agg sums to NULL)
+      .agg(coalesce(sum("file_rows"), lit(0L)).as("n_rows"))
 
   /** Correlated EXISTS through the SQL surface (the Athena-style entry,
     * SURVEY.md R20): Catalyst decorrelates the subquery into a left-semi
@@ -274,10 +275,7 @@ object Relational {
         |GROUP BY p.p_brand
         |ORDER BY p.p_brand""".stripMargin,
     "q_file_lineage" ->
-      """SELECT count(*) AS n_rows,
-        |       true AS has_files,
-        |       true AS all_files_nonempty
-        |FROM documents""".stripMargin,
+      """SELECT count(*) AS n_rows FROM documents""".stripMargin,
     "q_stratified_sample" ->
       """SELECT lang, rn, doc_id FROM (
         |  SELECT lang, doc_id,

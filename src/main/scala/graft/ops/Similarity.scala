@@ -368,52 +368,78 @@ object Similarity {
       .withColumn("norm", sqrt(doubleDot(col("v"), col("v")))))
   }
 
-  private def kmeansTrainFrom(n: DataFrame): DataFrame = {
+  /** Long-form (cid, dim, dim_mean) means reshaped to list-form centroids
+    * with norms — the ONE definition of the reshape all three consumers
+    * (training loop, convergence loop, trained-IVF serve) share, so a
+    * future change to the ordering or quantization discipline cannot
+    * desynchronize them from each other or from the unrolled oracle. */
+  private def centroidList(means: DataFrame): DataFrame = {
     import graft.functions.VectorExpressions.doubleDot
-    def q4(c: Column): Column = floor(c * 10000 + lit(0.5)) / 10000
+    means.groupBy("cid")
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("dim_mean")))),
+        t => t.getField("dim_mean")).as("cv"))
+      .withColumn("cn", sqrt(doubleDot(col("cv"), col("cv"))))
+  }
+
+  /** THE Lloyd loop — the single implementation behind [[kmeansTrain]]
+    * and [[kmeansConvergence]]: assignment-argmax, fixpoint early stop,
+    * per-pass mean recompute. Returns the final long-form means AND the
+    * per-pass changed-assignment counts (passes after convergence padded
+    * with exact-no-op zeros). Everything is lazily composed: the means of
+    * the final pass only execute if the caller consumes them, and the
+    * convergence counts are the loop's own stop condition, so neither
+    * caller pays for the other's output. */
+  private def lloydRun(n: DataFrame): (DataFrame, Seq[(Int, Long)]) = {
+    import graft.functions.VectorExpressions.doubleDot
+    val q4 = graft.util.Det.q4 _
     var cents = n.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("norm").as("cn"))
     var prevAsg: DataFrame = null
     var means: DataFrame = null
     var converged = false
-    var pass = 0
-    while (pass < KmIters && !converged) {
-      // v rides the aggregation (first(v) — constant within a vec_id
-      // group, so deterministic) so the means pass needs no re-join with
-      // the corpus: one shuffle saved per pass, and the argmax struct
-      // stays 2 scalar fields
-      val asg = once(n.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("v"),
-          q4(doubleDot(col("v"), col("cv")) / (col("norm") * col("cn"))).as("ccos"),
-          col("cid"))
-        .groupBy("vec_id")
-        .agg(max(struct(col("ccos"), (-col("cid")).as("negcid"))).as("b"),
-          first("v").as("v"))
-        .select(col("vec_id"), (-col("b.negcid")).as("cid"), col("v")))
-      converged = prevAsg != null &&
-        asg.join(prevAsg.withColumnRenamed("cid", "pcid"), "vec_id")
-          .filter(col("cid") =!= col("pcid")).count() == 0
-      if (!converged) {
-        // not staged: one consumer per pass (cents) — the final pass's
-        // output re-derives from the STAGED asg, so nothing recomputes
-        // the corpus scan either way
-        means = asg
-          .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
-          .groupBy("cid", "dim")
-          .agg(count(lit(1)).as("n_members"),
-            q4(graft.util.Det.davg(col("x"))).as("dim_mean"))
-        cents = means.groupBy("cid")
-          .agg(transform(
-            array_sort(collect_list(struct(col("dim"), col("dim_mean")))),
-            t => t.getField("dim_mean")).as("cv"))
-          .withColumn("cn", sqrt(doubleDot(col("cv"), col("cv"))))
-        prevAsg = asg
-        pass += 1
+    val changes = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    for (i <- 1 to KmIters) {
+      if (converged) {
+        changes += ((i, 0L))
+      } else {
+        // v rides the aggregation (first(v) — constant within a vec_id
+        // group, so deterministic) so the means pass needs no re-join
+        // with the corpus: one shuffle saved per pass, and the argmax
+        // struct stays 2 scalar fields
+        val asg = once(n.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("v"),
+            q4(doubleDot(col("v"), col("cv")) / (col("norm") * col("cn"))).as("ccos"),
+            col("cid"))
+          .groupBy("vec_id")
+          .agg(max(struct(col("ccos"), (-col("cid")).as("negcid"))).as("b"),
+            first("v").as("v"))
+          .select(col("vec_id"), (-col("b.negcid")).as("cid"), col("v")))
+        if (prevAsg != null) {
+          val chg = asg.join(prevAsg.withColumnRenamed("cid", "pcid"), "vec_id")
+            .filter(col("cid") =!= col("pcid")).count()
+          changes += ((i, chg))
+          converged = chg == 0
+        }
+        if (!converged) {
+          // not staged: one consumer per pass (cents) — the final pass's
+          // output re-derives from the STAGED asg, so nothing recomputes
+          // the corpus scan either way
+          means = asg
+            .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+            .groupBy("cid", "dim")
+            .agg(count(lit(1)).as("n_members"),
+              q4(graft.util.Det.davg(col("x"))).as("dim_mean"))
+          cents = centroidList(means)
+          prevAsg = asg
+        }
       }
     }
-    means.select(col("cid"), col("dim"), col("dim_mean"), col("n_members"))
-      .orderBy("cid", "dim")
+    (means.select(col("cid"), col("dim"), col("dim_mean"), col("n_members"))
+      .orderBy("cid", "dim"), changes.toSeq)
   }
+
+  private def kmeansTrainFrom(n: DataFrame): DataFrame = lloydRun(n)._1
 
   /** Lloyd-loop convergence trace: for each pass i ∈ 2..[[KmIters]], how
     * many vectors changed cell between assignment i−1 and i — the
@@ -425,50 +451,9 @@ object Similarity {
     * without computation (the same exact-no-op argument as
     * [[kmeansTrain]]). */
   def kmeansConvergence(s: SparkSession, d: String): DataFrame = {
-    import graft.functions.VectorExpressions.doubleDot
     import s.implicits._
-    def q4(c: Column): Column = floor(c * 10000 + lit(0.5)) / 10000
-    val n = kmeansCorpus(s, d)
-    var cents = n.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("cid"), col("v").as("cv"), col("norm").as("cn"))
-    var prevAsg: DataFrame = null
-    var converged = false
-    val changes = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
-    for (i <- 1 to KmIters) {
-      if (converged) {
-        if (i >= 2) changes += ((i, 0L))
-      } else {
-        val asg = once(n.crossJoin(broadcast(cents))
-          .select(col("vec_id"), col("v"),
-            q4(doubleDot(col("v"), col("cv")) / (col("norm") * col("cn"))).as("ccos"),
-            col("cid"))
-          .groupBy("vec_id")
-          .agg(max(struct(col("ccos"), (-col("cid")).as("negcid"))).as("b"),
-            first("v").as("v"))
-          .select(col("vec_id"), (-col("b.negcid")).as("cid"), col("v")))
-        if (prevAsg != null) {
-          val chg = asg.join(prevAsg.drop("v").withColumnRenamed("cid", "pcid"), "vec_id")
-            .filter(col("cid") =!= col("pcid")).count()
-          changes += ((i, chg))
-          converged = chg == 0
-        }
-        if (!converged) {
-          if (i < KmIters) {
-            val means = asg
-              .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
-              .groupBy("cid", "dim")
-              .agg(q4(graft.util.Det.davg(col("x"))).as("dim_mean"))
-            cents = means.groupBy("cid")
-              .agg(transform(
-                array_sort(collect_list(struct(col("dim"), col("dim_mean")))),
-                t => t.getField("dim_mean")).as("cv"))
-              .withColumn("cn", sqrt(doubleDot(col("cv"), col("cv"))))
-          }
-          prevAsg = asg
-        }
-      }
-    }
-    changes.toSeq.toDF("pass", "n_changed").orderBy("pass")
+    lloydRun(kmeansCorpus(s, d))._2
+      .toDF("pass", "n_changed").orderBy("pass")
   }
 
   /** IVF search served from the TRAINED quantizer — the train→serve
@@ -480,13 +465,9 @@ object Similarity {
     * shuffled once on its assigned cell. */
   def annIvfTrained(s: SparkSession, d: String): DataFrame = {
     import graft.functions.VectorExpressions.doubleDot
-    def q4(c: Column): Column = floor(c * 10000 + lit(0.5)) / 10000
+    val q4 = graft.util.Det.q4 _
     val n = kmeansCorpus(s, d)
-    val cents = once(kmeansTrainFrom(n).groupBy("cid")
-      .agg(transform(
-        array_sort(collect_list(struct(col("dim"), col("dim_mean")))),
-        t => t.getField("dim_mean")).as("cv"))
-      .withColumn("cn", sqrt(doubleDot(col("cv"), col("cv")))))
+    val cents = once(centroidList(kmeansTrainFrom(n)))
     val best = n.crossJoin(broadcast(cents))
       .select(col("vec_id"),
         q4(doubleDot(col("v"), col("cv")) / (col("norm") * col("cn"))).as("ccos"),

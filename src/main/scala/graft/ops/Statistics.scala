@@ -104,7 +104,7 @@ object Statistics {
     * 4-dp values and lands exactly on `x.xxxx5` half-way points, so this
     * family is the worst case for cross-engine round() parity. */
   def outlierMad(s: SparkSession, d: String): DataFrame = {
-    def q4(c: Column): Column = floor(c * 10000 + lit(0.5)) / 10000
+    val q4 = graft.util.Det.q4 _
     val ev = Tables.events(s, d).select(col("event_type"), col("value"))
     val med = ev.groupBy(col("event_type").as("t"))
       .agg(q4(expr("percentile(value, 0.5)")).as("med"))

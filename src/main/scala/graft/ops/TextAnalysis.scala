@@ -427,7 +427,7 @@ object TextAnalysis {
     import org.apache.spark.sql.types.DecimalType
     val qln = (c: Column) =>
       round(log(c.cast("double")), 6).cast(DecimalType(18, 6))
-    def q4(c: Column) = floor(c * 10000 + lit(0.5)) / 10000
+    val q4 = graft.util.Det.q4 _
     def dsum(c: Column) = sum(c.cast(DecimalType(30, 12))).cast("double")
     val tc = Tables.documents(s, d)
       .select(col("source"), explode(words(col("text"))).as("term"))

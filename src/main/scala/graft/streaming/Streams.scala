@@ -65,7 +65,7 @@ object Streams {
     * stream history. */
   def assignCells(batch: DataFrame, cents: DataFrame): DataFrame = {
     import graft.functions.VectorExpressions.doubleDot
-    def q4(c: org.apache.spark.sql.Column) = floor(c * 10000 + lit(0.5)) / 10000
+    val q4 = graft.util.Det.q4 _
     val n = batch.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("norm", sqrt(doubleDot(col("v"), col("v"))))
     n.crossJoin(broadcast(cents))

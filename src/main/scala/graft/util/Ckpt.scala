@@ -30,8 +30,28 @@ object Ckpt {
   /** The configured dir we last pinned via `setCheckpointDir` —
     * `SparkContext.getCheckpointDir` returns a random CHILD of the
     * configured path, so it can't be compared against the conf directly.
-    * One SparkContext per JVM, so a plain volatile is enough. */
+    * One SparkContext at a time per JVM, so a plain volatile is enough. */
   @volatile private var pinnedDir: String = null
+
+  /** The applicationId the tracked state belongs to. RDD ids restart at 0
+    * with every new SparkContext, so staged ids recorded in an earlier
+    * context could alias a LATER context's unrelated persisted RDDs — a
+    * release() would then destroy data it never staged (exactly the
+    * failure scoped release exists to prevent). Any context change clears
+    * the tracked state; stale local blocks died with their context, and
+    * stale reliable-mode dirs belong to a run whose frames might still be
+    * readable, so leaving them is the safe side. */
+  @volatile private var trackedApp: String = null
+
+  private def resetIfNewContext(sc: org.apache.spark.SparkContext): Unit = {
+    val app = sc.applicationId
+    if (trackedApp != app) {
+      stagedIds.clear()
+      stagedDirs.clear()
+      pinnedDir = null
+      trackedApp = app
+    }
+  }
 
   /** Persisted-RDD ids created by [[stage]] in localCheckpoint mode,
     * pending [[release]]. Attribution is by before/after diff of
@@ -64,6 +84,7 @@ object Ckpt {
     if (conf.getOption("spark.graft.stage.disable").contains("true")) df
     else {
       val sc = df.sparkSession.sparkContext
+      resetIfNewContext(sc)
       conf.getOption("spark.graft.checkpoint.dir") match {
         case Some(dir) =>
           // (re-)pin whenever the configured dir changes mid-session, not
@@ -111,6 +132,7 @@ object Ckpt {
     * query's timed window; throughput callers (Verify) pass false. */
   def release(spark: org.apache.spark.sql.SparkSession, blocking: Boolean = false): Unit = {
     val sc = spark.sparkContext
+    resetIfNewContext(sc)
     val persisted = sc.getPersistentRDDs
     stagedIds.asScala.toList.foreach { id =>
       persisted.get(id).foreach(_.unpersist(blocking))

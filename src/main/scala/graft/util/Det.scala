@@ -24,6 +24,13 @@ object Det {
     * SQL mirror: `CAST(SUM(CAST(x AS DECIMAL(24,6))) AS DOUBLE) / COUNT(x)`. */
   def davg(c: Column): Column = dsum(c) / count(c)
 
+  /** Floor-quantize a computed double to 4 dp: `floor(x·10⁴+0.5)/10⁴` —
+    * the SAME IEEE op sequence in both engines, unlike `round(x, 4)`
+    * whose half-way tie-break diverges between Spark's BigDecimal
+    * HALF_UP and DuckDB's C-double round (the f68354c parity class).
+    * SQL mirror: `floor(x * 10000 + 0.5) / 10000`. */
+  def q4(c: Column): Column = floor(c * 10000 + lit(0.5)) / 10000
+
   /** Timestamp → second-precision string. SQL mirror:
     * `strftime(ts, '%Y-%m-%d %H:%M:%S')`. */
   def fmtTs(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
