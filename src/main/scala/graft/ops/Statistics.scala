@@ -90,41 +90,77 @@ object Statistics {
       .orderBy("l_returnflag")
   }
 
+  /** Sum of the two middle order statistics (= 2·median, exact) of the
+    * integer column `v` per `key` — the rank-selection discipline
+    * (q_percentile_disc) applied to the continuous median: for n rows the
+    * middle ranks are r1 = ⌊(n+1)/2⌋ and r2 = ⌊(n+2)/2⌋ (equal when n is
+    * odd), and quantile_cont(0.5) = (v[r1] + v[r2]) / 2. Returning the
+    * SUM keeps everything in BIGINT — no half-way point, no IEEE, no
+    * engine divergence. The per-key rank window runs over DISTINCT values
+    * of `v` (bounded by the value domain, not the row count), so the sort
+    * partition stays small even when the fact table doesn't. */
+  private def medianX2(df: DataFrame, key: String, v: String, out: String): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(v)
+    val ranked = df.groupBy(col(key), col(v)).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(w))
+      .withColumn("n", sum("cnt").over(Window.partitionBy(key)))
+      .withColumn("prev", col("cum") - col("cnt"))
+      .withColumn("r1", expr("(n + 1) div 2"))
+      .withColumn("r2", expr("(n + 2) div 2"))
+    ranked.groupBy(key)
+      .agg((sum(when(col("prev") < col("r1") && col("r1") <= col("cum"), col(v))) +
+            sum(when(col("prev") < col("r2") && col("r2") <= col("cum"), col(v)))).as(out))
+  }
+
   /** Robust (median/MAD) outlier detection per event type — the
     * mean/stddev gate `q_anomaly_filter` uses is itself dragged by the
     * outliers it hunts; median ± k·MAD is the standard robust alternative
-    * (k·1.4826 rescales MAD to σ under normality). Two exact-percentile
-    * passes over a (type)-keyed aggregate, stats broadcast back — the
-    * events table is never shuffled. Every derived quantity is
-    * floor-quantized (`floor(x·10⁴+0.5)/10⁴` — the same IEEE op sequence
-    * in both engines, unlike `round()` whose half-way tie-break diverges
-    * between Spark's BigDecimal HALF_UP and DuckDB's C-double round)
-    * BEFORE the threshold comparison so the outlier count is
-    * bit-deterministic across engines. An even-count median averages two
-    * 4-dp values and lands exactly on `x.xxxx5` half-way points, so this
-    * family is the worst case for cross-engine round() parity. */
+    * (k·1.4826 rescales MAD to σ under normality).
+    *
+    * Cross-engine exactness: this family is the worst case for IEEE
+    * parity — an even-count median of 2-dp data lands exactly on a
+    * `x.xx5` half-way point, where even the floor-quantize recipe flips
+    * on a 1-ulp `quantile_cont` interpolation difference between engine
+    * builds. So no IEEE arithmetic happens at all until the final
+    * display projection: `value` enters the exact integer domain as
+    * cents (`CAST(value AS DECIMAL(18,2)) · 100` — the decimal cast
+    * absorbs the double's 1-ulp noise identically in both engines, where
+    * `floor(value·100)` would not), the median is a rank-selected SUM of
+    * the two middle order statistics ([[medianX2]]: med2 = 2·median in
+    * cents), deviations dev2 = |2c − med2| are exact half-cent integers,
+    * the MAD repeats the same selection (mad4 = 2·MAD in half-cents),
+    * and the threshold test `dev > 3·1.4826·mad` becomes the BIGINT
+    * comparison `dev2·20000 > 3·14826·mad4` (both sides scaled to
+    * quarter-cents·10⁴; 1.4826 = 14826/10⁴ exactly). The reported
+    * doubles are each ONE IEEE division of identical integers — bitwise
+    * identical across engines by IEEE-754 exact rounding.
+    *
+    * Scale shape: two rank-selection passes over (type, distinct-value)
+    * aggregates, stats broadcast back — the events table is never
+    * shuffled. */
   def outlierMad(s: SparkSession, d: String): DataFrame = {
-    val q4 = graft.util.Det.q4 _
-    val ev = Tables.events(s, d).select(col("event_type"), col("value"))
-    val med = ev.groupBy(col("event_type").as("t"))
-      .agg(q4(expr("percentile(value, 0.5)")).as("med"))
-    // staged: dev feeds both the MAD percentile pass and the final
+    val ev = Tables.events(s, d).select(
+      col("event_type"),
+      (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("c"))
+    val med = medianX2(ev, "event_type", "c", "med2")
+      .withColumnRenamed("event_type", "t")
+    // staged: dev feeds both the MAD rank-selection pass and the final
     // aggregate — without it the scan + median join runs per consumer
     val dev = graft.util.Ckpt.stage(
       ev.join(broadcast(med), col("event_type") === col("t"))
-        .withColumn("dev", q4(abs(col("value") - col("med")))))
-    val mad = dev.groupBy(col("t").as("t2"))
-      .agg(q4(expr("percentile(dev, 0.5)")).as("mad"))
-    dev.join(broadcast(mad), col("t") === col("t2"))
-      .withColumn("thr", q4(lit(3.0) * lit(1.4826) * col("mad")))
+        .withColumn("dev2", abs(col("c") * 2 - col("med2"))))
+    val mad = medianX2(dev, "event_type", "dev2", "mad4")
+      .withColumnRenamed("event_type", "t2")
+    dev.join(broadcast(mad), col("event_type") === col("t2"))
+      .withColumn("thr4e4", lit(3L) * lit(14826L) * col("mad4"))
       .groupBy("event_type")
       .agg(
         count(lit(1)).as("n"),
-        first("med").as("med"),
-        first("mad").as("mad"),
-        first("thr").as("thr"),
-        sum((col("dev") > col("thr")).cast("long")).as("n_outliers"),
-        q4(max(col("dev"))).as("max_dev"))
+        (first("med2").cast("double") / lit(200.0)).as("med"),
+        (first("mad4").cast("double") / lit(400.0)).as("mad"),
+        (first("thr4e4").cast("double") / lit(4000000.0)).as("thr"),
+        sum((col("dev2") * 20000 > col("thr4e4")).cast("long")).as("n_outliers"),
+        (max(col("dev2")).cast("double") / lit(200.0)).as("max_dev"))
       .orderBy("event_type")
   }
 
@@ -271,27 +307,44 @@ object Statistics {
         |GROUP BY 1
         |ORDER BY bucket""".stripMargin,
     "q_outlier_mad" ->
-      """WITH m AS (
+      """WITH ev AS (
+        |  SELECT event_type, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events
+        |), cg AS (
+        |  SELECT event_type, c, count(*) AS cnt FROM ev GROUP BY 1, 2
+        |), cr AS (
+        |  SELECT event_type, c, cnt,
+        |         SUM(cnt) OVER (PARTITION BY event_type ORDER BY c) AS cum,
+        |         SUM(cnt) OVER (PARTITION BY event_type) AS n
+        |  FROM cg
+        |), m AS (
         |  SELECT event_type AS t,
-        |         floor(quantile_cont(value, 0.5) * 10000 + 0.5) / 10000 AS med
-        |  FROM events GROUP BY 1
+        |         SUM(CASE WHEN cum - cnt < (n + 1) // 2 AND (n + 1) // 2 <= cum THEN c END)
+        |       + SUM(CASE WHEN cum - cnt < (n + 2) // 2 AND (n + 2) // 2 <= cum THEN c END) AS med2
+        |  FROM cr GROUP BY 1
         |), dv AS (
-        |  SELECT e.event_type, e.value, m.med,
-        |         floor(abs(e.value - m.med) * 10000 + 0.5) / 10000 AS dev
-        |  FROM events e JOIN m ON e.event_type = m.t
+        |  SELECT ev.event_type, ev.c, m.med2, abs(ev.c * 2 - m.med2) AS dev2
+        |  FROM ev JOIN m ON ev.event_type = m.t
+        |), dg AS (
+        |  SELECT event_type, dev2, count(*) AS cnt FROM dv GROUP BY 1, 2
+        |), dr AS (
+        |  SELECT event_type, dev2, cnt,
+        |         SUM(cnt) OVER (PARTITION BY event_type ORDER BY dev2) AS cum,
+        |         SUM(cnt) OVER (PARTITION BY event_type) AS n
+        |  FROM dg
         |), md AS (
         |  SELECT event_type AS t2,
-        |         floor(quantile_cont(dev, 0.5) * 10000 + 0.5) / 10000 AS mad
-        |  FROM dv GROUP BY 1
+        |         SUM(CASE WHEN cum - cnt < (n + 1) // 2 AND (n + 1) // 2 <= cum THEN dev2 END)
+        |       + SUM(CASE WHEN cum - cnt < (n + 2) // 2 AND (n + 2) // 2 <= cum THEN dev2 END) AS mad4
+        |  FROM dr GROUP BY 1
         |)
         |SELECT dv.event_type,
         |       count(*) AS n,
-        |       min(dv.med) AS med,
-        |       min(md.mad) AS mad,
-        |       min(floor(3.0 * 1.4826 * md.mad * 10000 + 0.5) / 10000) AS thr,
-        |       SUM(CASE WHEN dv.dev > floor(3.0 * 1.4826 * md.mad * 10000 + 0.5) / 10000
-        |                THEN 1 ELSE 0 END) AS n_outliers,
-        |       floor(max(dv.dev) * 10000 + 0.5) / 10000 AS max_dev
+        |       CAST(min(dv.med2) AS DOUBLE) / 200.0 AS med,
+        |       CAST(min(md.mad4) AS DOUBLE) / 400.0 AS mad,
+        |       CAST(min(3 * 14826 * md.mad4) AS DOUBLE) / 4000000.0 AS thr,
+        |       SUM(CASE WHEN dv.dev2 * 20000 > 3 * 14826 * md.mad4 THEN 1 ELSE 0 END) AS n_outliers,
+        |       CAST(max(dv.dev2) AS DOUBLE) / 200.0 AS max_dev
         |FROM dv JOIN md ON dv.event_type = md.t2
         |GROUP BY dv.event_type
         |ORDER BY dv.event_type""".stripMargin,

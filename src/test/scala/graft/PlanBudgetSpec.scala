@@ -68,7 +68,10 @@ class PlanBudgetSpec extends AnyFunSuite {
     ("q_ks_drift", 10, 3),            // audit mode re-runs ev per consumer (3×) and
                                       // gaps twice; staged execution runs 2 data shuffles
     ("q_entropy", 3, 0),              // term agg + source agg + presentation sort
-    ("q_outlier_mad", 4, 2),          // both percentile passes broadcast back
+    ("q_outlier_mad", 6, 2),          // 2 rank-selection passes (distinct-value
+                                      // agg + per-type window each), both
+                                      // medians broadcast back; events table
+                                      // itself never shuffled
     ("q_winsorize", 3, 1),            // bounds broadcast; events never shuffled
     ("q_mode", 3, 0),                 // value-count agg + flag window + sort
     ("q_correlated_agg", 3, 1),       // decorrelated to one per-part aggregate +

@@ -87,17 +87,22 @@ class StatisticsSpec extends AnyFunSuite {
     out.foreach { r =>
       val (mad, thr, nOut, n) =
         (r.getDouble(3), r.getDouble(4), r.getLong(5), r.getLong(1))
-      assert(thr === BigDecimal(3.0 * 1.4826 * mad)
-        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      // thr = 3·1.4826·mad holds exactly in the integer domain; the
+      // reported doubles are each one division, so compare to 1 ulp-scale
+      assert(math.abs(thr - 3.0 * 1.4826 * mad) <= 1e-9 * math.max(1.0, thr))
       assert(nOut >= 0 && nOut < n, "outliers must be a strict minority")
     }
-    // direct recount for one event type
+    // direct recount for one event type, in the same integer domain the
+    // operator uses (cents / half-cents / quarter-cents·10⁴)
     val first = out(0)
     val (t, med, thr) = (first.getString(0), first.getDouble(2), first.getDouble(4))
+    val med2 = math.round(med * 200.0)
+    val thr4e4 = math.round(thr * 4000000.0)
     val recount = Tables.events(spark, sf)
       .filter(col("event_type") === t)
-      .withColumn("dev", round(abs(col("value") - lit(med)), 4))
-      .filter(col("dev") > lit(thr)).count()
+      .select((col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+        .cast("long").as("c"))
+      .filter(abs(col("c") * 2 - lit(med2)) * 20000 > lit(thr4e4)).count()
     assert(recount === first.getLong(5))
   }
 
