@@ -207,25 +207,30 @@ object Dedup {
   /** Pigeonhole block-LSH hamming-≤k neighbors over an arbitrary
     * (doc_id, fp) frame of fpBits-wide bit-string fingerprints —
     * PARAMETERIZED in fingerprint and radius (ADVICE round 4) so the
-    * production shape (64-bit fp, 4×16-bit blocks, k ≤ 3) is this same
-    * code path, not a rewrite. The fingerprint splits into k+1 equal
-    * blocks: any pair within hamming ≤ k differs in at most k blocks, so
-    * it shares at least one intact block (pigeonhole) — candidate
-    * generation through block-equality buckets is EXACT for radius k,
-    * never all-pairs. The true distance is then verified with one
+    * production shape (64-bit fp, 4 blocks, k ≤ 3) is this same code
+    * path, not a rewrite. The fingerprint splits into k+1 contiguous
+    * blocks — a ceil/floor split when fpBits doesn't divide evenly, so
+    * ANY radius k ≤ fpBits−1 is supported (e.g. k=2 at 64 bits gives
+    * blocks of 22/21/21). The pigeonhole argument needs only that the
+    * k+1 blocks are nonempty and disjoint, not equal-width: a pair
+    * within hamming ≤ k differs in at most k blocks, so it shares at
+    * least one intact block — candidate generation through
+    * block-equality buckets is EXACT for radius k, never all-pairs. The true distance is then verified with one
     * `bit_count(xor)` per candidate, and each doc reports its nearest
     * earlier neighbor — min (distance, doc_id) — so output stays one row
     * per document at any scale. A pair colliding on several blocks enters
     * the aggregate that many times with the same distance; min() absorbs
     * the duplicates without a distinct shuffle. */
   private[graft] def simhashNeighbors(sigIn: DataFrame, fpBits: Int, k: Int): DataFrame = {
-    require(fpBits % (k + 1) == 0,
-      s"fpBits=$fpBits must split into ${k + 1} equal pigeonhole blocks")
-    val bb = fpBits / (k + 1)
+    require(k + 1 <= fpBits,
+      s"radius k=$k needs ${k + 1} nonempty pigeonhole blocks out of $fpBits bits")
+    val nb = k + 1
+    val widths = (0 until nb).map(i => fpBits / nb + (if (i < fpBits % nb) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
     val sig = graft.util.Ckpt.stage(sigIn)
     val blocks = sig.select(col("doc_id"), col("fp"),
-      posexplode(array((0 until k + 1).map(i =>
-        substring(col("fp"), i * bb + 1, bb)): _*)))
+      posexplode(array((0 until nb).map(i =>
+        substring(col("fp"), offsets(i) + 1, widths(i))): _*)))
       .withColumnRenamed("pos", "bidx").withColumnRenamed("col", "bval")
     val a = blocks.select(col("doc_id").as("d1"), col("fp").as("fp1"),
       col("bidx"), col("bval"))

@@ -94,6 +94,39 @@ class PropertiesSpec extends AnyFunSuite {
     assert(expected.exists(_._2.nonEmpty), "fixture should contain hamming<=3 pairs")
   }
 
+  test("simhashNeighbors pigeonhole split is exact at the 64-bit production width (k=2, k=3)") {
+    // controlled 64-bit fingerprints with dense near-dup structure: 8
+    // random base patterns, each doc flips one distinct bit of its base,
+    // so same-base pairs sit at hamming 1-2 and cross-base pairs far away.
+    // k=2 exercises the UNEQUAL ceil/floor split (22/21/21 — rejected by
+    // the old equal-blocks require); k=3 is the documented 4x16 shape.
+    val rnd = new scala.util.Random(7)
+    val bases = Array.fill(8)(Array.fill(64)(if (rnd.nextBoolean()) '1' else '0').mkString)
+    val fps: Seq[(Long, String)] = (0L until 160L).map { id =>
+      val b = bases((id % 8).toInt).toCharArray
+      val flip = (id / 8).toInt
+      if (flip > 0) { val pos = (flip * 7) % 64; b(pos) = if (b(pos) == '1') '0' else '1' }
+      (id, new String(b))
+    }
+    val sig = spark.createDataFrame(fps).toDF("doc_id", "fp")
+    def dist(a: String, b: String): Int = java.lang.Long.bitCount(
+      java.lang.Long.parseUnsignedLong(a, 2) ^ java.lang.Long.parseUnsignedLong(b, 2))
+    for (k <- Seq(2, 3)) {
+      val expected = fps.map { case (id, fp) =>
+        val best = fps.filter(_._1 < id)
+          .map { case (id2, fp2) => (dist(fp, fp2), id2) }
+          .filter(_._1 <= k).sorted.headOption
+        (id, best.map(_._2), best.map(_._1))
+      }
+      val got = ops.Dedup.simhashNeighbors(sig, 64, k)
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          if (r.isNullAt(2)) None else Some(r.getAs[Number](2).intValue))).toSeq.sortBy(_._1)
+      assert(got === expected, s"k=$k")
+      assert(expected.count(_._2.nonEmpty) > 50, s"fixture must contain hamming<=$k pairs")
+    }
+  }
+
   test("cosine results are valid similarities with dense ranks") {
     val topk = ops.Similarity.cosineTopk(spark, sf)
     assert(topk.filter(col("cos") > 1.0001 || col("cos") < -1.0001).count() === 0)
