@@ -514,37 +514,53 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
-  /** Dedup method-agreement matrix: per-document duplicate flags from the
-    * four families (exact text, demo MinHash r=2·b=2, production MinHash
-    * r=4·b=16, SimHash exact-collision) joined into one row of totals and
-    * pairwise overlaps — the diagnostic a pipeline owner reads to pick a
-    * method and threshold (what the near-dup methods flag beyond the
-    * exact set is the fuzzy surplus; disagreement between the two MinHash
-    * parameterizations is the S-curve moving). Four flag frames of
-    * (doc_id, 0/1) join on the key and collapse into ONE row — the joins
-    * carry two narrow columns regardless of corpus size, and each input
-    * is itself a scale-shaped dedup query. */
+  /** Dedup method-agreement matrix: per-document duplicate flags from
+    * all SIX families — exact text, demo MinHash r=2·b=2, production
+    * MinHash r=4·b=16, SimHash exact-collision, SemDeDup semantic
+    * components, and embedding near-dup — joined into one row of totals
+    * and pairwise overlaps: the complete method dashboard a pipeline
+    * owner reads to pick a method and threshold (near-dup surplus over
+    * the exact set, S-curve movement between MinHash parameterizations,
+    * and how far the MEANING-side families diverge from the surface-text
+    * ones). Flags LEFT-join from the full documents key set with
+    * coalesce(flag, 0) — a document too short to shingle (absent from
+    * both minhash frames) still counts in n_docs and can still be an
+    * exact duplicate (ADVICE round 5). The embedding families key on the
+    * fixture's 1:1 vec_id = doc_id correspondence. The joins carry two
+    * narrow columns regardless of corpus size, and each input is itself
+    * a scale-shaped dedup query. */
   def dedupMethodCompare(s: SparkSession, d: String): DataFrame = {
     val fe = Tables.documents(s, d).select(col("doc_id"))
       .join(dedupExact(s, d).select(col("doc_id"), lit(1).as("surv")),
         Seq("doc_id"), "left")
       .select(col("doc_id"), col("surv").isNull.cast("int").as("f_exact"))
-    val fm = dedupMinhash(s, d).select(col("doc_id"), col("is_dup").as("f_mh"))
-    val fw = dedupMinhashWide(s, d).select(col("doc_id"), col("is_dup").as("f_mhw"))
-    val fs = dedupSimhash(s, d).select(col("doc_id"), col("is_dup").as("f_sh"))
-    fe.join(fm, "doc_id").join(fw, "doc_id").join(fs, "doc_id")
-      .agg(
-        count(lit(1)).as("n_docs"),
-        sum("f_exact").as("n_exact"),
-        sum("f_mh").as("n_minhash"),
-        sum("f_mhw").as("n_minhash_wide"),
-        sum("f_sh").as("n_simhash"),
-        sum(col("f_exact") * col("f_mh")).as("exact_and_minhash"),
-        sum(col("f_exact") * col("f_mhw")).as("exact_and_wide"),
-        sum(col("f_exact") * col("f_sh")).as("exact_and_simhash"),
-        sum(col("f_mh") * col("f_mhw")).as("minhash_and_wide"),
-        sum(col("f_mh") * col("f_sh")).as("minhash_and_simhash"),
-        sum(col("f_mhw") * col("f_sh")).as("wide_and_simhash"))
+    // (family label, flag column, total column) — pairwise overlap names
+    // derive from the label order, so keep appends at the end
+    val fams = Seq(
+      ("exact", "f_exact", "n_exact"),
+      ("minhash", "f_mh", "n_minhash"),
+      ("wide", "f_mhw", "n_minhash_wide"),
+      ("simhash", "f_sh", "n_simhash"),
+      ("semantic", "f_sem", "n_semantic"),
+      ("embed", "f_emb", "n_embed"))
+    val flagFrames = Seq(
+      dedupMinhash(s, d).select(col("doc_id"), col("is_dup").as("f_mh")),
+      dedupMinhashWide(s, d).select(col("doc_id"), col("is_dup").as("f_mhw")),
+      dedupSimhash(s, d).select(col("doc_id"), col("is_dup").as("f_sh")),
+      Similarity.semanticDedup(s, d)
+        .select(col("vec_id").as("doc_id"), col("is_dup").as("f_sem")),
+      Similarity.embedNeardup(s, d)
+        .select(col("id2").as("doc_id")).distinct()
+        .withColumn("f_emb", lit(1)))
+    val joined = flagFrames.foldLeft(fe)((acc, f) => acc.join(f, Seq("doc_id"), "left"))
+      .select(col("doc_id") +: fams.map { case (_, c, _) =>
+        coalesce(col(c), lit(0)).as(c) }: _*)
+    val totals = fams.map { case (_, c, nm) => sum(col(c)).as(nm) }
+    val overlaps = for {
+      i <- fams.indices; j <- fams.indices if i < j
+    } yield sum(col(fams(i)._2) * col(fams(j)._2))
+      .as(s"${fams(i)._1}_and_${fams(j)._1}")
+    joined.agg(count(lit(1)).as("n_docs"), (totals ++ overlaps): _*)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -698,11 +714,14 @@ object Dedup {
        |ORDER BY d1, d2""".stripMargin
   }
 
-  /** [[dedupMethodCompare]]'s oracle: the four per-method flag CTEs
+  /** [[dedupMethodCompare]]'s oracle: the six per-method flag CTEs
     * composed from the same SQL bodies their standalone oracles use
     * (demo bands via [[BandBucketsCteBody]], wide bands generated from
-    * the affine constants, simhash from the per-digit sign sums), then
-    * one row of totals and pairwise overlaps. */
+    * the affine constants, simhash from the per-digit sign sums,
+    * semantic components via the same recursive closure as
+    * q_dedup_semantic, embed flags from the blocked near-dup pairs),
+    * LEFT-joined from the full documents key set with COALESCE(flag, 0),
+    * then one row of totals and pairwise overlaps. */
   private def dedupCompareOracle: String = {
     val nPerms = WideR * WideB
     val mins = (0 until nPerms).map { p =>
@@ -712,7 +731,7 @@ object Dedup {
       s"concat_ws('|', '$j', " +
         (0 until WideR).map(i => s"mh${j * WideR + i}").mkString(", ") + ")"
     }.mkString(",\n            ")
-    s"""WITH $BandBucketsCteBody,
+    s"""WITH RECURSIVE $BandBucketsCteBody,
        |k AS (SELECT bkey, min(doc_id) AS bmin FROM b GROUP BY bkey),
        |fm AS (
        |  SELECT b.doc_id, CAST(min(k.bmin) < b.doc_id AS INTEGER) AS f_mh
@@ -744,20 +763,68 @@ object Dedup {
        |  SELECT doc_id, CAST(rn > 1 AS INTEGER) AS f_exact
        |  FROM (SELECT doc_id,
        |               row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
-       |        FROM documents) t)
+       |        FROM documents) t),
+       |$NormCteSql,
+       |e0 AS (
+       |  SELECT a.vec_id AS id1, b.vec_id AS id2
+       |  FROM n a JOIN n b
+       |    ON a.label = b.label AND b.vec_id > a.vec_id AND b.vec_id <= a.vec_id + 50
+       |  WHERE round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 4) >= 0.3),
+       |edge AS (
+       |  SELECT id1 AS x, id2 AS y FROM e0
+       |  UNION SELECT id2, id1 FROM e0
+       |  UNION SELECT vec_id, vec_id FROM embeddings),
+       |reach(x, y) AS (
+       |  SELECT x, y FROM edge
+       |  UNION
+       |  SELECT r.x, e.y FROM reach r JOIN edge e ON r.y = e.x),
+       |fsem AS (
+       |  SELECT x AS doc_id, CAST(min(y) < x AS INTEGER) AS f_sem
+       |  FROM reach GROUP BY x),
+       |femb AS (
+       |  SELECT DISTINCT id2 AS doc_id, 1 AS f_emb FROM e0),
+       |j AS (
+       |  SELECT fe.doc_id, fe.f_exact,
+       |         COALESCE(fm.f_mh, 0) AS f_mh,
+       |         COALESCE(fw.f_mhw, 0) AS f_mhw,
+       |         COALESCE(fsim.f_sh, 0) AS f_sh,
+       |         COALESCE(fsem.f_sem, 0) AS f_sem,
+       |         COALESCE(femb.f_emb, 0) AS f_emb
+       |  FROM fe
+       |  LEFT JOIN fm USING (doc_id)
+       |  LEFT JOIN fw USING (doc_id)
+       |  LEFT JOIN fsim USING (doc_id)
+       |  LEFT JOIN fsem USING (doc_id)
+       |  LEFT JOIN femb USING (doc_id))
        |SELECT count(*) AS n_docs,
        |       CAST(sum(f_exact) AS BIGINT) AS n_exact,
        |       CAST(sum(f_mh) AS BIGINT) AS n_minhash,
        |       CAST(sum(f_mhw) AS BIGINT) AS n_minhash_wide,
        |       CAST(sum(f_sh) AS BIGINT) AS n_simhash,
+       |       CAST(sum(f_sem) AS BIGINT) AS n_semantic,
+       |       CAST(sum(f_emb) AS BIGINT) AS n_embed,
        |       CAST(sum(f_exact * f_mh) AS BIGINT) AS exact_and_minhash,
        |       CAST(sum(f_exact * f_mhw) AS BIGINT) AS exact_and_wide,
        |       CAST(sum(f_exact * f_sh) AS BIGINT) AS exact_and_simhash,
+       |       CAST(sum(f_exact * f_sem) AS BIGINT) AS exact_and_semantic,
+       |       CAST(sum(f_exact * f_emb) AS BIGINT) AS exact_and_embed,
        |       CAST(sum(f_mh * f_mhw) AS BIGINT) AS minhash_and_wide,
        |       CAST(sum(f_mh * f_sh) AS BIGINT) AS minhash_and_simhash,
-       |       CAST(sum(f_mhw * f_sh) AS BIGINT) AS wide_and_simhash
-       |FROM fe JOIN fm USING (doc_id) JOIN fw USING (doc_id) JOIN fsim USING (doc_id)""".stripMargin
+       |       CAST(sum(f_mh * f_sem) AS BIGINT) AS minhash_and_semantic,
+       |       CAST(sum(f_mh * f_emb) AS BIGINT) AS minhash_and_embed,
+       |       CAST(sum(f_mhw * f_sh) AS BIGINT) AS wide_and_simhash,
+       |       CAST(sum(f_mhw * f_sem) AS BIGINT) AS wide_and_semantic,
+       |       CAST(sum(f_mhw * f_emb) AS BIGINT) AS wide_and_embed,
+       |       CAST(sum(f_sh * f_sem) AS BIGINT) AS simhash_and_semantic,
+       |       CAST(sum(f_sh * f_emb) AS BIGINT) AS simhash_and_embed,
+       |       CAST(sum(f_sem * f_emb) AS BIGINT) AS semantic_and_embed
+       |FROM j""".stripMargin
   }
+
+  /** [[Similarity.NormCte]] (normalized embeddings CTE) — shared so the
+    * agreement-matrix oracle states the embedding families from the same
+    * SQL body their standalone oracles use. */
+  private def NormCteSql: String = Similarity.NormCte
 
   private val simhashSums = (1 to SimBits)
     .map(i => s"sum(CASE WHEN substring(h, $i, 1) >= '8' THEN 1 ELSE -1 END) AS s$i")

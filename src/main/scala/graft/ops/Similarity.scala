@@ -509,7 +509,7 @@ object Similarity {
     "q_kmeans_convergence" -> (kmeansConvergence _),
   )
 
-  private val NormCte =
+  private[ops] val NormCte =
     """n AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
       |           sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS norm
       |      FROM embeddings)""".stripMargin

@@ -96,9 +96,12 @@ class PlanBudgetSpec extends AnyFunSuite {
     ("q_minhash_est", 7, 6),          // audit mode recomputes the staged sig/
                                       // pair frames per branch; candidate set
                                       // and sizes broadcast into the pair joins
-    ("q_dedup_compare", 9, 5),        // four dedup flag subplans + the final
+    ("q_dedup_compare", 16, 5),       // six dedup flag subplans + the final
                                       // 1-row agg; flag frames broadcast into
-                                      // the narrow doc_id joins
+                                      // the narrow doc_id joins. The embed
+                                      // families add the blocked near-dup
+                                      // pair join (+ distinct) and the
+                                      // semantic closure's staged lineage
   )
 
   budgets.foreach { case (name, maxShuffles, minBcasts) =>
