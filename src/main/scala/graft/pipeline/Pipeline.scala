@@ -40,6 +40,14 @@ object Pipeline {
   /** Stage-A sink: results as Parquet + manifest beside them (R10+R11). */
   def writeWithManifest(df: DataFrame, runDir: String, manifest: RunManifest): Unit = {
     df.write.mode("overwrite").parquet(s"$runDir/word_counts")
+    writeManifest(runDir, manifest)
+  }
+
+  /** Manifest-only writer (R11) for sinks whose payload isn't word_counts —
+    * e.g. the materialized IVF quantizer ([[graft.ops.Similarity]]): write
+    * the payload parquet first, then the manifest, so [[latestRun]] never
+    * discovers a half-written run. */
+  def writeManifest(runDir: String, manifest: RunManifest): Unit = {
     Files.createDirectories(Paths.get(runDir))
     Files.writeString(Paths.get(s"$runDir/metadata.json"), manifestJson(manifest))
   }

@@ -134,6 +134,15 @@ class CurationSpec extends AnyFunSuite {
     km.unpersist()
   }
 
+  test("annIvfServed from the materialized model is bit-identical to the inline train+serve") {
+    val served = graft.ops.Similarity.annIvfServed(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val trained = graft.ops.Similarity.annIvfTrained(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(served === trained)
+    assert(served.nonEmpty)
+  }
+
   test("incrementalDedup flags exactly the incoming docs sharing a band bucket with the corpus") {
     val inc = graft.ops.Dedup.incrementalDedup(spark, sf).cache()
     val incoming = Tables.documents(spark, sf).filter(col("source") === "src19")

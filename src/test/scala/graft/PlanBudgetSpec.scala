@@ -91,6 +91,10 @@ class PlanBudgetSpec extends AnyFunSuite {
     // round-5 additions: audit mode unrolls the full 6-pass Lloyd lineage
     ("q_kmeans_train", 18, 6),        // 3 shuffles/pass (argmax, means, rebuild)
                                       // x6 passes; centroids broadcast each pass
+    ("q_ann_ivf_served", 4, 3),       // serve-only from the materialized
+                                      // quantizer: ZERO training lineage —
+                                      // centroids are a k-row parquet scan,
+                                      // broadcast into assign + probe
     ("q_ann_ivf_trained", 23, 9),     // training lineage + IVF serve (assign/
                                       // probe/search broadcasts, cell shuffle)
     ("q_minhash_est", 7, 6),          // audit mode recomputes the staged sig/
