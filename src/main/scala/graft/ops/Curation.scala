@@ -313,9 +313,54 @@ object Curation {
       .withColumn("below_k", (col("n") < KAnonThreshold).cast("int"))
       .orderBy("source", "lang", "len_bucket")
 
+  /** k-anonymity ENFORCEMENT — the action [[kAnonymity]]'s audit calls
+    * for, as its oracled twin: per document, release / generalize /
+    * suppress its quasi-identifier tuple so every released equivalence
+    * class has ≥ k members.
+    *
+    * Rule (classes stay clean by construction): a fine QI group
+    * (source, lang, 100-char bucket) with ≥ k members releases as-is;
+    * the below-k residue falls back to the 500-char generalization, and
+    * a coarse class formed ONLY of that residue releases when the
+    * residue alone reaches k (counting fine-released docs into the
+    * coarse class would overstate its anonymity — those docs are
+    * identifiable at the finer value); anything still below k is
+    * suppressed (NULL bounds). Output: one row per document with the
+    * released [bucket_lo, bucket_hi) bounds and the action taken.
+    *
+    * Scale shape: two bounded-domain QI aggregates broadcast back onto
+    * the document stream; documents shuffle only for the presentation
+    * sort. [[CurationSpec]] asserts the k-anonymity law on the output:
+    * every released equivalence class has ≥ k members. */
+  def kAnonymityEnforce(s: SparkSession, d: String): DataFrame = {
+    val k = KAnonThreshold
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+      .withColumn("b1", floor(col("n_chars") / 100).cast("long"))
+      .withColumn("b2", floor(col("n_chars") / 500).cast("long"))
+    val fine = docs.groupBy("source", "lang", "b1").agg(count(lit(1)).as("n1"))
+    val coarseResidue = docs
+      .join(broadcast(fine), Seq("source", "lang", "b1"))
+      .filter(col("n1") < k)
+      .groupBy("source", "lang", "b2").agg(count(lit(1)).as("n2"))
+    docs
+      .join(broadcast(fine), Seq("source", "lang", "b1"))
+      .join(broadcast(coarseResidue), Seq("source", "lang", "b2"), "left")
+      .select(col("doc_id"), col("source"), col("lang"),
+        when(col("n1") >= k, col("b1") * 100)
+          .when(col("n2") >= k, col("b2") * 500).as("bucket_lo"),
+        when(col("n1") >= k, col("b1") * 100 + 100)
+          .when(col("n2") >= k, col("b2") * 500 + 500).as("bucket_hi"),
+        when(col("n1") >= k, lit("release"))
+          .when(col("n2") >= k, lit("generalize"))
+          .otherwise(lit("suppress")).as("action"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_source_overlap" -> (sourceOverlap _),
     "q_k_anonymity"    -> (kAnonymity _),
+    "q_k_anon_enforce" -> (kAnonymityEnforce _),
     "q_curation_pipeline" -> (curationPipeline _),
     "q_cluster_rep"      -> (clusterRep _),
     "q_span_dedup"       -> (spanDedup _),
@@ -350,6 +395,32 @@ object Curation {
         |FROM documents
         |GROUP BY 1, 2, 3
         |ORDER BY source, lang, len_bucket""".stripMargin,
+    "q_k_anon_enforce" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, lang,
+        |         CAST(floor(n_chars / 100.0) AS BIGINT) AS b1,
+        |         CAST(floor(n_chars / 500.0) AS BIGINT) AS b2
+        |  FROM documents
+        |), f AS (
+        |  SELECT source, lang, b1, count(*) AS n1 FROM d GROUP BY 1, 2, 3
+        |), c AS (
+        |  SELECT d.source, d.lang, d.b2, count(*) AS n2
+        |  FROM d JOIN f USING (source, lang, b1)
+        |  WHERE f.n1 < 10
+        |  GROUP BY 1, 2, 3
+        |)
+        |SELECT d.doc_id, d.source, d.lang,
+        |       CASE WHEN f.n1 >= 10 THEN d.b1 * 100
+        |            WHEN c.n2 >= 10 THEN d.b2 * 500 END AS bucket_lo,
+        |       CASE WHEN f.n1 >= 10 THEN d.b1 * 100 + 100
+        |            WHEN c.n2 >= 10 THEN d.b2 * 500 + 500 END AS bucket_hi,
+        |       CASE WHEN f.n1 >= 10 THEN 'release'
+        |            WHEN c.n2 >= 10 THEN 'generalize'
+        |            ELSE 'suppress' END AS action
+        |FROM d
+        |JOIN f USING (source, lang, b1)
+        |LEFT JOIN c USING (source, lang, b2)
+        |ORDER BY doc_id""".stripMargin,
     "q_source_overlap" ->
       s"""WITH inc AS (
          |  SELECT DISTINCT source, bg

@@ -134,6 +134,29 @@ class CurationSpec extends AnyFunSuite {
     km.unpersist()
   }
 
+  test("kAnonymityEnforce releases only equivalence classes of size >= k") {
+    val docs = Tables.documents(spark, sf)
+    val out = graft.ops.Curation.kAnonymityEnforce(spark, sf).cache()
+    // partition: one decision per document
+    assert(out.count() === docs.count())
+    // THE k-anonymity law: every released QI value identifies >= 10 docs
+    val classes = out.filter(col("action") =!= "suppress")
+      .groupBy("source", "lang", "bucket_lo", "bucket_hi")
+      .agg(count(lit(1)).as("n"))
+    assert(classes.filter(col("n") < 10).count() === 0)
+    // suppressed rows carry no bounds; released rows carry both, at the
+    // width their action implies
+    assert(out.filter(col("action") === "suppress")
+      .filter(col("bucket_lo").isNotNull || col("bucket_hi").isNotNull).count() === 0)
+    assert(out.filter(col("action") =!= "suppress")
+      .filter(col("bucket_lo").isNull || col("bucket_hi").isNull).count() === 0)
+    assert(out.filter(col("action") === "release")
+      .filter(col("bucket_hi") - col("bucket_lo") =!= 100).count() === 0)
+    assert(out.filter(col("action") === "generalize")
+      .filter(col("bucket_hi") - col("bucket_lo") =!= 500).count() === 0)
+    out.unpersist()
+  }
+
   test("annIvfServed from the materialized model is bit-identical to the inline train+serve") {
     val served = graft.ops.Similarity.annIvfServed(spark, sf)
       .collect().map(_.toSeq).toSeq
