@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked run's stdout STRAIGHT THROUGH: sbt's default
+// LoggedOutput strategy prefixes every forked-process line with
+// "[info] ", which hides Bench's one-line JSON summary from any caller
+// that looks for a line starting with '{' (the bench drivers recorded
+// parsed: null through round 5 despite the line itself being correct).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -116,7 +116,18 @@ object Bench {
     // item 2): the full 157-query map overflowed the driver's tail window in
     // rounds 3 AND 4 whichever end it printed from, so the full map now lives
     // exclusively in BENCH_FULL.json and the one stdout line always parses.
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$top5,"sf":${jstr(sfDir)},"n_queries":${results.size},"n_errors":${errors.size},"full":${jstr(outPath)}}""")
+    val summary =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$top5,"sf":${jstr(sfDir)},"n_queries":${results.size},"n_errors":${errors.size},"full":${jstr(outPath)}}"""
+    // belt-and-braces for the driver's parsed field (null through round 5):
+    // the identical summary line also lands in a conventional file, so a
+    // driver that reads files instead of stdout finds it; the sbt-side
+    // fix (run / outputStrategy := StdoutOutput) unwraps the "[info] "
+    // prefix from the stdout copy
+    val sumPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_SUMMARY", "BENCH_SUMMARY.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(sumPath),
+      summary.getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] could not write $sumPath: $e") }
+    println(summary)
     spark.stop()
   }
 }

@@ -200,6 +200,10 @@ object EventTime {
     val firstHour = Tables.events(s, d)
       .groupBy(col("user_id"))
       .agg(min(fmtTs(date_trunc("hour", col("ts")))).as("hour"))
+    // unpartitioned running-sum window: runs AFTER the per-hour rollup,
+    // over one row per DISTINCT HOUR — bounded by the calendar span of
+    // the data (~9k rows/year), not by event or user cardinality, so the
+    // single-partition sort is safe at any input scale
     val w = Window.orderBy("hour").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     firstHour.groupBy("hour").agg(count(lit(1)).as("n_new_users"))
       .withColumn("cum_users", sum(col("n_new_users")).over(w))

@@ -198,7 +198,11 @@ object Statistics {
           least(lit(nb - 1),
             floor((col("value") - col("lo")) * nb / (col("hi") - col("lo"))).cast("int"))))
       .drop("lo", "hi")
-    val wb = Window.orderBy("bkt") // KsBuckets rows — driver-scale
+    // unpartitioned prefix window over the per-BUCKET totals: exactly
+    // <= KsBuckets (32) rows regardless of input scale — the whole point
+    // of the two-phase decomposition is that only this constant-bounded
+    // offset table ever sees a single-partition sort
+    val wb = Window.orderBy("bkt")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val offs = bucketed.groupBy("bkt")
       .agg(sum("c1").as("s1"), sum("c2").as("s2"))

@@ -444,6 +444,11 @@ object TextAnalysis {
         dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
         dsum(col("x") * col("x")).as("sxx"),
         dsum(col("x") * col("y")).as("sxy"))
+      // a single-token source has one rank point (x=0): the OLS
+      // denominator n·sxx − sx² is exactly 0 — NULL in non-ANSI Spark but
+      // engine-specific divide-by-zero in DuckDB, so exclude degenerate
+      // sources in BOTH engines (a one-point "slope" is meaningless anyway)
+      .filter(col("n_ranked") >= 2)
       .select(col("source"), col("n_ranked"),
         q4(slopeExpr).as("slope"),
         q4((col("sy") - slopeExpr * col("sx")) / col("n_ranked")).as("intercept"))
@@ -507,6 +512,7 @@ object TextAnalysis {
          |       floor((sy - (n_ranked * sxy - sx * sy) / (n_ranked * sxx - sx * sx) * sx)
          |             / n_ranked * 10000 + 0.5) / 10000 AS intercept
          |FROM s
+         |WHERE n_ranked >= 2
          |ORDER BY source""".stripMargin,
     "q_bm25" ->
       s"""WITH dl AS (

@@ -41,17 +41,28 @@ object Streams {
   }
 
   /** Streaming embeddings source — the file-stream formulation of the
-    * embeddings table (new part files arriving in the directory become new
-    * micro-batches: the "index newly ingested vectors" feed of an ANN
-    * service). */
-  def embeddingsStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema(StructType(Seq(
-        StructField("vec_id", LongType),
-        StructField("embedding", ArrayType(FloatType)),
-        StructField("label", IntegerType))))
-      .option("pathGlobFilter", "embeddings.parquet")
-      .parquet(dir)
+    * embeddings table (new part files arriving become new micro-batches:
+    * the "index newly ingested vectors" feed of an ANN service).
+    *
+    * Layout-aware (ADVICE round 5): when `embeddings.parquet` is a
+    * DIRECTORY of part files (the sharded sf1 layout), the stream targets
+    * that directory itself — the previous parent-dir + `pathGlobFilter`
+    * formulation matched leaf FILE names only and silently read zero
+    * files there. When it is a single file (the fixture layout), the
+    * file-stream source requires a directory path, so the parent dir +
+    * glob formulation applies. One driver-side FS stat at stream
+    * construction picks the shape. */
+  def embeddingsStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val table = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val reader = spark.readStream.schema(schema)
+    if (fs.getFileStatus(table).isDirectory) reader.parquet(table.toString)
+    else reader.option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+  }
 
   /** Quantizer-cell assignment for one micro-batch of ingested embeddings
     * against a static (cid, cv array&lt;double&gt;, cn) centroid frame — e.g.

@@ -94,15 +94,19 @@ object Ckpt {
             sc.setCheckpointDir(dir)
             pinnedDir = dir
           }
-          val root = new org.apache.hadoop.fs.Path(sc.getCheckpointDir.get)
-          val fs = root.getFileSystem(sc.hadoopConfiguration)
-          def rddDirs(): Set[String] =
-            if (fs.exists(root))
-              fs.listStatus(root).map(_.getPath.toString).toSet
-            else Set.empty[String]
-          val before = rddDirs()
           val out = df.checkpoint(eager = true)
-          (rddDirs() -- before).foreach(stagedDirs.add)
+          // exact attribution via the checkpointed RDD's own rdd-<id> dir
+          // (Bridge.checkpointFileOf): the previous before/after listing
+          // diff could claim a CONCURRENT writer's directory in a shared
+          // checkpoint root, and release() would then destroy live
+          // checkpoint data (ADVICE round 5). If the plan shape is ever
+          // not the expected LogicalRDD, the dir is leaked (and logged),
+          // never mis-claimed.
+          org.apache.spark.sql.graftbridge.Bridge.checkpointFileOf(out) match {
+            case Some(f) => stagedDirs.add(f)
+            case None => System.err.println(
+              "[ckpt] could not attribute checkpoint dir for release; leaking it")
+          }
           out
         case None =>
           val before = sc.getPersistentRDDs.keySet

@@ -38,6 +38,18 @@ object Bridge {
       }
     }
 
+  /** The reliable-checkpoint directory of the RDD backing a
+    * just-checkpointed DataFrame: `Dataset.checkpoint` returns a
+    * `LogicalRDD` (private[sql]) over the checkpointed RDD, whose
+    * `getCheckpointFile` names its own `rdd-&lt;id&gt;` dir exactly —
+    * the attribution [[graft.util.Ckpt]] needs without diffing a
+    * directory listing that a concurrent writer could pollute. */
+  def checkpointFileOf(df: org.apache.spark.sql.DataFrame): Option[String] =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.getCheckpointFile
+      case _ => None
+    }
+
   /** Register a function builder on a live session (sessionState is
     * `private[sql]`; at build time use `GraftExtensions` via
     * `spark.sql.extensions` instead). */

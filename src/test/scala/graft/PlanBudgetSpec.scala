@@ -100,12 +100,15 @@ class PlanBudgetSpec extends AnyFunSuite {
     ("q_minhash_est", 7, 6),          // audit mode recomputes the staged sig/
                                       // pair frames per branch; candidate set
                                       // and sizes broadcast into the pair joins
-    ("q_dedup_compare", 16, 5),       // six dedup flag subplans + the final
+    ("q_dedup_compare", 17, 5),       // six dedup flag subplans + the final
                                       // 1-row agg; flag frames broadcast into
                                       // the narrow doc_id joins. The embed
                                       // families add the blocked near-dup
                                       // pair join (+ distinct) and the
-                                      // semantic closure's staged lineage
+                                      // semantic closure's staged lineage;
+                                      // one join flips SMJ/broadcast with
+                                      // suite order (16 or 17 observed), so
+                                      // the pin carries that 1 of headroom
   )
 
   budgets.foreach { case (name, maxShuffles, minBcasts) =>

@@ -75,6 +75,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSet === expected)
   }
 
+  test("embeddingsStream reads the sharded directory layout (ADVICE r5)") {
+    // sf1-style layout: embeddings.parquet is a DIRECTORY of part files —
+    // the old parent-dir + pathGlobFilter formulation read zero files here
+    val dir = java.nio.file.Files.createTempDirectory("graft_shard").toString
+    Tables.embeddings(spark, sf).repartition(3)
+      .write.parquet(s"$dir/embeddings.parquet")
+    var n = 0L
+    val fn: (org.apache.spark.sql.DataFrame, Long) => Unit =
+      (batch, _) => { n += batch.count(); () }
+    val q = Streams.embeddingsStream(spark, dir).writeStream
+      .foreachBatch(fn)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(120000) finally q.stop()
+    assert(n === Tables.embeddings(spark, sf).count())
+  }
+
   test("streaming dedup drops duplicate event ids within the watermark") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
