@@ -139,7 +139,12 @@ object Statistics {
     * aggregates, stats broadcast back — the events table is never
     * shuffled. */
   def outlierMad(s: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(s, d).select(
+    // NULLs excluded EXPLICITLY (mirrored in the oracle): the old
+    // percentile() aggregate skipped them implicitly, but rank selection
+    // would count them into n — and Spark windows sort nulls first while
+    // DuckDB sorts them last, so their mere presence would shift every
+    // rank cross-engine
+    val ev = Tables.events(s, d).filter(col("value").isNotNull).select(
       col("event_type"),
       (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("c"))
     val med = medianX2(ev, "event_type", "c", "med2")
@@ -313,7 +318,7 @@ object Statistics {
     "q_outlier_mad" ->
       """WITH ev AS (
         |  SELECT event_type, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
-        |  FROM events
+        |  FROM events WHERE value IS NOT NULL
         |), cg AS (
         |  SELECT event_type, c, count(*) AS cnt FROM ev GROUP BY 1, 2
         |), cr AS (
