@@ -261,6 +261,49 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Number of product-quantization subspaces for [[embedPq]] — the
+    * 64-dim fixture splits into 8 subvectors of 8 dims. */
+  private[ops] val PqM = 8
+
+  /** Product-quantization encode + per-subspace reconstruction audit —
+    * the PQ half of the production IVF-PQ ANN layout ([[annIvf]] is the
+    * IVF half): each vector's M=8 subvectors are encoded as the id of
+    * their nearest codebook entry, compressing a 64-float payload to M
+    * small codes (8 bytes instead of 256 at serving time — at 100 TB the
+    * difference between an index that fits executor memory and one that
+    * doesn't). Codebooks use the same deterministic coarse sampling as
+    * the IVF quantizer (every 100th vector's subvectors), so the encode
+    * is a pure argmin — no training loop in the oracle. Squared L2 is
+    * computed via the 3-dot identity (`⟨a,a⟩ − 2⟨a,b⟩ + ⟨b,b⟩` — each
+    * dot is the codegen'd [[graft.functions.VectorExpressions.DoubleVectorDot]]
+    * whose sequential fold DuckDB's `list_dot_product` reproduces
+    * bit-for-bit, and the combining ops are the same IEEE sequence in
+    * both engines), floor-quantized, ties broken on codebook id.
+    *
+    * Scale shape: codebooks broadcast (M·k rows); the candidate stream
+    * is n·M·k narrow rows reduced by a map-side-combinable min-struct
+    * argmin; vectors shuffle only for the final presentation sort. */
+  def embedPq(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.VectorExpressions.doubleDot
+    val q4 = graft.util.Det.q4 _
+    val dim = 64 / PqM
+    val sv = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"), posexplode(array((0 until PqM).map(m =>
+        slice(col("v"), m * dim + 1, dim)): _*)).as(Seq("sub", "sv")))
+    val cb = sv.filter(col("vec_id") % 100 === 0)
+      .select(col("sub").as("csub"), col("vec_id").as("cid"), col("sv").as("cv"))
+    sv.join(broadcast(cb), col("sub") === col("csub"))
+      .withColumn("d2", q4(doubleDot(col("sv"), col("sv"))
+        - lit(2.0) * doubleDot(col("sv"), col("cv"))
+        + doubleDot(col("cv"), col("cv"))))
+      .groupBy("vec_id", "sub")
+      .agg(min(struct(col("d2"), col("cid"))).as("b"))
+      .select(col("vec_id"), col("sub"),
+        col("b.cid").as("code"), col("b.d2").as("dist2"))
+      .orderBy("vec_id", "sub")
+  }
+
   /** SemDeDup-style semantic dedup: connected components over the
     * [[embedNeardup]] similarity pairs, min-id label per component —
     * near-duplicates by MEANING (embedding cosine) rather than by
@@ -571,6 +614,7 @@ object Similarity {
     "q_ann_ivf_trained" -> (annIvfTrained _),
     "q_ann_ivf_served" -> (annIvfServed _),
     "q_kmeans_convergence" -> (kmeansConvergence _),
+    "q_embed_pq" -> (embedPq _),
   )
 
   private[ops] val NormCte =
@@ -715,6 +759,31 @@ object Similarity {
     // deterministic training output — the oracle re-derives them from the
     // same unrolled chain, proving storage round-trip changes nothing
     "q_ann_ivf_served" -> ivfTrainedOracle,
+    "q_embed_pq" ->
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), sv AS (
+        |  SELECT vec_id, CAST(m AS INTEGER) AS sub,
+        |         list_slice(v, m * 8 + 1, m * 8 + 8) AS sv
+        |  FROM v, (SELECT unnest(range(0, 8)) AS m)
+        |), cb AS (
+        |  SELECT sub AS csub, vec_id AS cid, sv AS cv
+        |  FROM sv WHERE vec_id % 100 = 0
+        |), d AS (
+        |  SELECT sv.vec_id, sv.sub, cb.cid,
+        |         floor((list_dot_product(sv.sv, sv.sv)
+        |                - 2.0 * list_dot_product(sv.sv, cb.cv)
+        |                + list_dot_product(cb.cv, cb.cv)) * 10000 + 0.5) / 10000 AS d2
+        |  FROM sv JOIN cb ON sv.sub = cb.csub
+        |), r AS (
+        |  SELECT vec_id, sub, cid, d2,
+        |         row_number() OVER (PARTITION BY vec_id, sub
+        |                            ORDER BY d2 ASC, cid ASC) AS rn
+        |  FROM d
+        |)
+        |SELECT vec_id, sub, cid AS code, d2 AS dist2
+        |FROM r WHERE rn = 1
+        |ORDER BY vec_id, sub""".stripMargin,
     "q_kmeans_convergence" -> kmeansConvergenceOracle,
     "q_embed_quantize" ->
       """WITH ex AS (

@@ -157,6 +157,24 @@ class PropertiesSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall@5 too low: $recall")
   }
 
+  test("PQ encode: valid codes, self-encoding codebook vectors, nonneg errors") {
+    val pq = ops.Similarity.embedPq(spark, sf).cache()
+    val nVec = Tables.embeddings(spark, sf).count()
+    // exactly M codes per vector, one per subspace
+    assert(pq.count() === nVec * 8)
+    assert(pq.groupBy("vec_id").count().filter(col("count") =!= 8).count() === 0)
+    // codes reference codebook members (the %100 coarse sample) and
+    // reconstruction error is a nonnegative squared distance
+    assert(pq.filter(col("code") % 100 =!= 0).count() === 0)
+    assert(pq.filter(col("dist2") < 0).count() === 0)
+    // a vector that IS a codebook member encodes each subspace to itself
+    // with zero error (distance to its own subvector is exactly 0)
+    val self = pq.filter(col("vec_id") % 100 === 0)
+    assert(self.filter(col("code") =!= col("vec_id")).count() === 0)
+    assert(self.filter(col("dist2") =!= 0.0).count() === 0)
+    pq.unpersist()
+  }
+
   test("SQL-over-parquet views answer the flagship query") {
     sources.Formats.registerAll(spark, sf)
     val viaSql = spark.sql(
