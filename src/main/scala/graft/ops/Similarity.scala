@@ -283,25 +283,80 @@ object Similarity {
     * Scale shape: codebooks broadcast (M·k rows); the candidate stream
     * is n·M·k narrow rows reduced by a map-side-combinable min-struct
     * argmin; vectors shuffle only for the final presentation sort. */
-  def embedPq(s: SparkSession, d: String): DataFrame = {
-    import graft.functions.VectorExpressions.doubleDot
-    val q4 = graft.util.Det.q4 _
+  /** Long-form (vec_id, sub, sv) subvector frame shared by the PQ
+    * encode and the ADC serve. */
+  private def pqSubvectors(s: SparkSession, d: String): DataFrame = {
     val dim = 64 / PqM
-    val sv = Tables.embeddings(s, d)
+    Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .select(col("vec_id"), posexplode(array((0 until PqM).map(m =>
         slice(col("v"), m * dim + 1, dim)): _*)).as(Seq("sub", "sv")))
-    val cb = sv.filter(col("vec_id") % 100 === 0)
+  }
+
+  /** Per-subspace codebook from the deterministic coarse sample. */
+  private def pqCodebook(sv: DataFrame): DataFrame =
+    sv.filter(col("vec_id") % 100 === 0)
       .select(col("sub").as("csub"), col("vec_id").as("cid"), col("sv").as("cv"))
-    sv.join(broadcast(cb), col("sub") === col("csub"))
-      .withColumn("d2", q4(doubleDot(col("sv"), col("sv"))
-        - lit(2.0) * doubleDot(col("sv"), col("cv"))
-        + doubleDot(col("cv"), col("cv"))))
+
+  /** Raw (unquantized) squared L2 via the 3-dot identity — the same IEEE
+    * op sequence DuckDB states, on dot products that are bit-identical
+    * across engines. */
+  private def pqDist2(a: Column, b: Column): Column = {
+    import graft.functions.VectorExpressions.doubleDot
+    doubleDot(a, a) - lit(2.0) * doubleDot(a, b) + doubleDot(b, b)
+  }
+
+  def embedPq(s: SparkSession, d: String): DataFrame = {
+    val q4 = graft.util.Det.q4 _
+    val sv = pqSubvectors(s, d)
+    sv.join(broadcast(pqCodebook(sv)), col("sub") === col("csub"))
+      .withColumn("d2", q4(pqDist2(col("sv"), col("cv"))))
       .groupBy("vec_id", "sub")
       .agg(min(struct(col("d2"), col("cid"))).as("b"))
       .select(col("vec_id"), col("sub"),
         col("b.cid").as("code"), col("b.d2").as("dist2"))
       .orderBy("vec_id", "sub")
+  }
+
+  /** Asymmetric-distance top-k over the PQ codes — the SERVE half of
+    * product quantization, and the reason the codes exist: each query
+    * computes its distance to every codebook entry ONCE (an M·k lookup
+    * table, floor-quantized to integer ten-thousandths so the M-term
+    * sums are exact BIGINT arithmetic in both engines), then every
+    * candidate's approximate distance is the sum of M table lookups
+    * keyed by its codes — the 64-float dot product never happens per
+    * candidate. Top-5 per query by (distance, vec_id).
+    *
+    * Scale shape: the LUT is queries×M×k narrow rows, broadcast; the
+    * candidate stream is the CODES table (M small ints per vector, the
+    * 32× compression [[embedPq]] buys), reduced by a map-side-combinable
+    * sum; a production deployment composes this with [[annIvf]]'s cell
+    * probe so the scan covers probed cells only — the fixture serves the
+    * whole corpus to keep the oracle one clean SQL statement. */
+  def pqAdc(s: SparkSession, d: String): DataFrame = {
+    val sv = pqSubvectors(s, d)
+    val cb = pqCodebook(sv)
+    val codes = sv.join(broadcast(cb), col("sub") === col("csub"))
+      .withColumn("pd",
+        floor(pqDist2(col("sv"), col("cv")) * 10000 + lit(0.5)).cast("long"))
+      .groupBy("vec_id", "sub")
+      .agg(min(struct(col("pd"), col("cid"))).as("b"))
+      .select(col("vec_id"), col("sub"), col("b.cid").as("code"))
+    val lut = sv.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("sub").as("qsub"), col("sv").as("qv"))
+      .join(broadcast(cb), col("qsub") === col("csub"))
+      .select(col("qid"), col("csub"), col("cid"),
+        floor(pqDist2(col("qv"), col("cv")) * 10000 + lit(0.5)).cast("long").as("pd"))
+    val w = Window.partitionBy("qid").orderBy(col("ad").asc, col("vec_id").asc)
+    codes.join(broadcast(lut),
+        col("sub") === col("csub") && col("code") === col("cid"))
+      .groupBy("qid", "vec_id").agg(sum("pd").as("ad"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("rn"), col("vec_id"),
+        (col("ad").cast("double") / lit(10000.0)).as("adist"))
+      .orderBy("qid", "rn")
   }
 
   /** SemDeDup-style semantic dedup: connected components over the
@@ -615,6 +670,7 @@ object Similarity {
     "q_ann_ivf_served" -> (annIvfServed _),
     "q_kmeans_convergence" -> (kmeansConvergence _),
     "q_embed_pq" -> (embedPq _),
+    "q_pq_adc" -> (pqAdc _),
   )
 
   private[ops] val NormCte =
@@ -784,6 +840,46 @@ object Similarity {
         |SELECT vec_id, sub, cid AS code, d2 AS dist2
         |FROM r WHERE rn = 1
         |ORDER BY vec_id, sub""".stripMargin,
+    "q_pq_adc" ->
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), sv AS (
+        |  SELECT vec_id, CAST(m AS INTEGER) AS sub,
+        |         list_slice(v, m * 8 + 1, m * 8 + 8) AS sv
+        |  FROM v, (SELECT unnest(range(0, 8)) AS m)
+        |), cb AS (
+        |  SELECT sub AS csub, vec_id AS cid, sv AS cv
+        |  FROM sv WHERE vec_id % 100 = 0
+        |), cd AS (
+        |  SELECT sv.vec_id, sv.sub, cb.cid,
+        |         CAST(floor((list_dot_product(sv.sv, sv.sv)
+        |                     - 2.0 * list_dot_product(sv.sv, cb.cv)
+        |                     + list_dot_product(cb.cv, cb.cv)) * 10000 + 0.5) AS BIGINT) AS pd
+        |  FROM sv JOIN cb ON sv.sub = cb.csub
+        |), codes AS (
+        |  SELECT vec_id, sub, cid AS code FROM (
+        |    SELECT vec_id, sub, cid,
+        |           row_number() OVER (PARTITION BY vec_id, sub
+        |                              ORDER BY pd ASC, cid ASC) AS rn
+        |    FROM cd) t
+        |  WHERE rn = 1
+        |), lut AS (
+        |  SELECT vec_id AS qid, sub AS csub, cid, pd
+        |  FROM cd WHERE vec_id % 50 = 0
+        |), sc AS (
+        |  SELECT lut.qid, codes.vec_id, SUM(lut.pd) AS ad
+        |  FROM codes JOIN lut ON codes.sub = lut.csub AND codes.code = lut.cid
+        |  WHERE codes.vec_id <> lut.qid
+        |  GROUP BY 1, 2
+        |), t AS (
+        |  SELECT qid, vec_id, ad,
+        |         CAST(row_number() OVER (PARTITION BY qid
+        |                                 ORDER BY ad ASC, vec_id ASC) AS INTEGER) AS rn
+        |  FROM sc
+        |)
+        |SELECT qid, rn, vec_id, CAST(ad AS DOUBLE) / 10000.0 AS adist
+        |FROM t WHERE rn <= 5
+        |ORDER BY qid, rn""".stripMargin,
     "q_kmeans_convergence" -> kmeansConvergenceOracle,
     "q_embed_quantize" ->
       """WITH ex AS (

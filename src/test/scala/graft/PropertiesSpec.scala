@@ -175,6 +175,37 @@ class PropertiesSpec extends AnyFunSuite {
     pq.unpersist()
   }
 
+  test("ADC distances reconstruct exactly from the PQ codes") {
+    val adc = ops.Similarity.pqAdc(spark, sf).collect()
+    assert(adc.nonEmpty)
+    adc.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Number](1).intValue).sorted.toSeq === (1 to rows.length),
+        "ranks must be consecutive per query")
+    }
+    assert(adc.forall(_.getDouble(3) >= 0.0), "squared distances are nonnegative")
+    // cross-query consistency law: ADC(q, c) = Σ_m quantized d2 between
+    // q's subvector m and c's ASSIGNED codebook entry — recomputed here
+    // from q_embed_pq's codes and the raw vectors (same sequential dot
+    // fold as the codegen'd expression, so the doubles match bitwise)
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val codes = ops.Similarity.embedPq(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    def sub(v: Array[Double], m: Int) = v.slice(m * 8, m * 8 + 8)
+    def dot(x: Array[Double], y: Array[Double]) =
+      x.indices.foldLeft(0.0)((s, i) => s + x(i) * y(i))
+    def d2(a: Array[Double], b: Array[Double]) =
+      dot(a, a) - 2.0 * dot(a, b) + dot(b, b)
+    adc.take(20).foreach { r =>
+      val (q, c, ad) = (r.getLong(0), r.getLong(2), r.getDouble(3))
+      val expect = (0 until 8).map { m =>
+        math.floor(d2(sub(vecs(q), m), sub(vecs(codes((c, m))), m)) * 10000 + 0.5).toLong
+      }.sum
+      assert(ad === expect / 10000.0, s"q=$q c=$c")
+    }
+  }
+
   test("SQL-over-parquet views answer the flagship query") {
     sources.Formats.registerAll(spark, sf)
     val viaSql = spark.sql(
