@@ -359,6 +359,72 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
+  /** The composed IVF-PQ serve — the production ANN layout whole:
+    * queries probe their 2 nearest coarse cells ([[annIvf]]'s quantizer
+    * and probe rule, unchanged), and the candidates inside probed cells
+    * are scored by ASYMMETRIC DISTANCE over their PQ codes
+    * ([[pqAdc]]'s integer lookup tables) instead of exact dot products.
+    * This is what a 100 TB ANN service actually executes: the coarse
+    * probe bounds the scan to probes/k of the corpus, and inside the
+    * scan each candidate costs M BIGINT lookups against an 8-byte code
+    * row — the full-precision vectors never leave storage. The exact
+    * [[cosineTopk]], cell-probed [[annIvf]], and whole-corpus
+    * [[pqAdc]] queries are this layout's accuracy ladder, all four
+    * oracled on the same fixture.
+    *
+    * Scale shape: centroids and per-query LUTs broadcast; the corpus
+    * shuffles once on its assigned cell and once on vec_id to meet its
+    * codes; every aggregate is map-side combinable. */
+  def annIvfPq(s: SparkSession, d: String): DataFrame = {
+    val n = once(withNorm(Tables.embeddings(s, d)).select("vec_id", "v", "norm"))
+    val cents = n.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("ccid"), col("v").as("ccv"), col("norm").as("ccn"))
+    // cell assignment + probes: identical semantics to annIvf
+    val assigned = n.crossJoin(broadcast(cents))
+      .select(col("vec_id"),
+        round(dot(col("v"), col("ccv")) / (col("norm") * col("ccn")), 4).as("ccos"),
+        col("ccid"))
+      .groupBy("vec_id")
+      .agg(max(struct(col("ccos"), (-col("ccid")).as("negcid"))).as("b"))
+      .select(col("vec_id"), (-col("b.negcid")).as("cell"))
+    val wProbe = Window.partitionBy("qid").orderBy(col("ccos").desc, col("ccid").asc)
+    val probes = n.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qn"))
+      .crossJoin(broadcast(cents))
+      .withColumn("ccos", round(dot(col("qv"), col("ccv")) / (col("qn") * col("ccn")), 4))
+      .withColumn("crn", row_number().over(wProbe))
+      .filter(col("crn") <= 2)
+      .select(col("qid"), col("ccid").as("cell"))
+    // PQ codes + per-query integer LUT: identical semantics to pqAdc
+    val sv = pqSubvectors(s, d)
+    val cb = pqCodebook(sv)
+    val codes = sv.join(broadcast(cb), col("sub") === col("csub"))
+      .withColumn("pd",
+        floor(pqDist2(col("sv"), col("cv")) * 10000 + lit(0.5)).cast("long"))
+      .groupBy("vec_id", "sub")
+      .agg(min(struct(col("pd"), col("cid"))).as("b"))
+      .select(col("vec_id"), col("sub"), col("b.cid").as("code"))
+    val lut = sv.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("lqid"), col("sub").as("lsub"), col("sv").as("qsv"))
+      .join(broadcast(cb), col("lsub") === col("csub"))
+      .select(col("lqid"), col("lsub"), col("cid"),
+        floor(pqDist2(col("qsv"), col("cv")) * 10000 + lit(0.5)).cast("long").as("pd"))
+    val cand = assigned.join(broadcast(probes), "cell")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"))
+    val w = Window.partitionBy("qid").orderBy(col("ad").asc, col("vec_id").asc)
+    cand.join(codes, "vec_id")
+      .join(broadcast(lut),
+        col("qid") === col("lqid") && col("sub") === col("lsub") &&
+        col("code") === col("cid"))
+      .groupBy("qid", "vec_id").agg(sum("pd").as("ad"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("rn"), col("vec_id"),
+        (col("ad").cast("double") / lit(10000.0)).as("adist"))
+      .orderBy("qid", "rn")
+  }
+
   /** SemDeDup-style semantic dedup: connected components over the
     * [[embedNeardup]] similarity pairs, min-id label per component —
     * near-duplicates by MEANING (embedding cosine) rather than by
@@ -671,6 +737,7 @@ object Similarity {
     "q_kmeans_convergence" -> (kmeansConvergence _),
     "q_embed_pq" -> (embedPq _),
     "q_pq_adc" -> (pqAdc _),
+    "q_ann_ivfpq" -> (annIvfPq _),
   )
 
   private[ops] val NormCte =
@@ -880,6 +947,68 @@ object Similarity {
         |SELECT qid, rn, vec_id, CAST(ad AS DOUBLE) / 10000.0 AS adist
         |FROM t WHERE rn <= 5
         |ORDER BY qid, rn""".stripMargin,
+    // composed from q_ann_ivf's probe CTEs and q_pq_adc's code/LUT CTEs —
+    // the candidate set is cell-probed, the scoring is ADC
+    "q_ann_ivfpq" ->
+      s"""WITH $NormCte,
+         |c AS (SELECT vec_id AS cid, v AS cv, norm AS cn FROM n WHERE vec_id % 100 = 0),
+         |asg AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT n.vec_id, c.cid,
+         |           row_number() OVER (PARTITION BY n.vec_id
+         |             ORDER BY round(list_dot_product(n.v, c.cv) / (n.norm * c.cn), 4) DESC, c.cid ASC) AS crn
+         |    FROM n, c) t
+         |  WHERE crn = 1),
+         |pr AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT n.vec_id AS qid, c.cid,
+         |           row_number() OVER (PARTITION BY n.vec_id
+         |             ORDER BY round(list_dot_product(n.v, c.cv) / (n.norm * c.cn), 4) DESC, c.cid ASC) AS crn
+         |    FROM n, c WHERE n.vec_id % 50 = 0) t
+         |  WHERE crn <= 2),
+         |sv AS (
+         |  SELECT vec_id, CAST(m AS INTEGER) AS sub,
+         |         list_slice(v, m * 8 + 1, m * 8 + 8) AS sv
+         |  FROM (SELECT vec_id, CAST(v AS DOUBLE[]) AS v FROM n),
+         |       (SELECT unnest(range(0, 8)) AS m)),
+         |cb AS (
+         |  SELECT sub AS csub, vec_id AS pcid, sv AS cv
+         |  FROM sv WHERE vec_id % 100 = 0),
+         |cd AS (
+         |  SELECT sv.vec_id, sv.sub, cb.pcid,
+         |         CAST(floor((list_dot_product(sv.sv, sv.sv)
+         |                     - 2.0 * list_dot_product(sv.sv, cb.cv)
+         |                     + list_dot_product(cb.cv, cb.cv)) * 10000 + 0.5) AS BIGINT) AS pd
+         |  FROM sv JOIN cb ON sv.sub = cb.csub),
+         |codes AS (
+         |  SELECT vec_id, sub, pcid AS code FROM (
+         |    SELECT vec_id, sub, pcid,
+         |           row_number() OVER (PARTITION BY vec_id, sub
+         |                              ORDER BY pd ASC, pcid ASC) AS rn
+         |    FROM cd) t
+         |  WHERE rn = 1),
+         |lut AS (
+         |  SELECT vec_id AS qid, sub AS csub, pcid, pd
+         |  FROM cd WHERE vec_id % 50 = 0),
+         |cand AS (
+         |  SELECT pr.qid, asg.vec_id
+         |  FROM asg JOIN pr USING (cid)
+         |  WHERE asg.vec_id <> pr.qid),
+         |sc AS (
+         |  SELECT cand.qid, cand.vec_id, SUM(lut.pd) AS ad
+         |  FROM cand
+         |  JOIN codes ON codes.vec_id = cand.vec_id
+         |  JOIN lut ON lut.qid = cand.qid AND lut.csub = codes.sub
+         |          AND lut.pcid = codes.code
+         |  GROUP BY 1, 2),
+         |t AS (
+         |  SELECT qid, vec_id, ad,
+         |         CAST(row_number() OVER (PARTITION BY qid
+         |                                 ORDER BY ad ASC, vec_id ASC) AS INTEGER) AS rn
+         |  FROM sc)
+         |SELECT qid, rn, vec_id, CAST(ad AS DOUBLE) / 10000.0 AS adist
+         |FROM t WHERE rn <= 5
+         |ORDER BY qid, rn""".stripMargin,
     "q_kmeans_convergence" -> kmeansConvergenceOracle,
     "q_embed_quantize" ->
       """WITH ex AS (

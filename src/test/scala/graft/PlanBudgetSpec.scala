@@ -91,6 +91,10 @@ class PlanBudgetSpec extends AnyFunSuite {
     // round-5 additions: audit mode unrolls the full 6-pass Lloyd lineage
     ("q_kmeans_train", 18, 6),        // 3 shuffles/pass (argmax, means, rebuild)
                                       // x6 passes; centroids broadcast each pass
+    ("q_ann_ivfpq", 6, 5),            // composed IVF probe + ADC scoring:
+                                      // centroids/probes/LUT broadcast,
+                                      // corpus shuffles on cell + vec_id
+                                      // (5 measured + 1 AQE headroom)
     ("q_ann_ivf_served", 4, 3),       // serve-only from the materialized
                                       // quantizer: ZERO training lineage —
                                       // centroids are a k-row parquet scan,

@@ -206,6 +206,20 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF-PQ scores agree with whole-corpus ADC on shared pairs") {
+    // same codes, same LUTs — a (query, candidate) pair surviving both
+    // the cell probe and the whole-corpus top-5 must carry the identical
+    // asymmetric distance
+    val ivfpq = ops.Similarity.annIvfPq(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val adc = ops.Similarity.pqAdc(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    assert(ivfpq.nonEmpty)
+    val shared = ivfpq.keySet intersect adc.keySet
+    assert(shared.nonEmpty, "probe cells should retain some global top-5 pairs")
+    shared.foreach(p => assert(ivfpq(p) === adc(p), s"pair $p"))
+  }
+
   test("SQL-over-parquet views answer the flagship query") {
     sources.Formats.registerAll(spark, sf)
     val viaSql = spark.sql(
