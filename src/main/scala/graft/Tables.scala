@@ -24,17 +24,36 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = p(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = p(s, d, "embeddings")
 
-  /** `events.ts` is physically parquet timestamp[ns], which Spark's vectorized
-    * reader rejects ([PARQUET_TYPE_ILLEGAL]). We read it as a raw long
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to Spark-native
-    * microsecond timestamps (`ts div 1000`), keeping UTC session time. The
-    * DuckDB oracle reads the same file at ns precision, so every oracled
+  /** `events.ts` normalized to a session-timezone (UTC) microsecond
+    * timestamp regardless of the fixture generation's physical layout:
+    *
+    *  - parquet timestamp[ns]: Spark's vectorized reader rejects it
+    *    ([PARQUET_TYPE_ILLEGAL]), so we read the raw long
+    *    (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to micros
+    *    (`ts div 1000`) — the original fixture layout.
+    *  - parquet timestamp[us] without isAdjustedToUTC: Spark infers
+    *    TIMESTAMP_NTZ; cast to TimestampType is wall-clock-preserving
+    *    under the UTC session timezone every entry point sets — the
+    *    regenerated fixture layout.
+    *
+    * The DuckDB oracle reads the same file natively, so every oracled
     * query formats/truncates `ts` before it reaches a result column
     * (FIXTURES.md gotchas).
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    normalizeTs(p(s, d, "events"))
+  }
+
+  /** See [[events]]; shared with the streaming source so both read shapes
+    * produce the identical TimestampType column. */
+  def normalizeTs(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    p(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
   }
 }

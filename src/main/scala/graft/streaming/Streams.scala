@@ -18,26 +18,21 @@ import org.apache.spark.sql.types._
   */
 object Streams {
 
-  /** The events schema as physically stored (ts is int64 nanos in parquet;
-    * streaming reads require an explicit schema, which also sidesteps the
-    * TIMESTAMP(NANOS) rejection the batch reader needs a conf for). */
-  val eventsRawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
-  /** Streaming source over the events directory, ts converted to a proper
-    * microsecond timestamp. */
+  /** Streaming source over the events directory, ts normalized to a proper
+    * microsecond timestamp. Streaming reads require an explicit schema; we
+    * take it from a one-footer batch read of the same file so the stream
+    * tracks the fixture's physical layout (int64 nanos in the original
+    * generation, timestamp[us]/NTZ in the regenerated one — see
+    * [[graft.Tables.events]]), then apply the same normalization the batch
+    * loader uses so both shapes yield an identical TimestampType column. */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventsRawSchema)
-      .option("pathGlobFilter", "events.parquet") // the fixture dir holds one file per table
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val physical = spark.read.parquet(s"$dir/events.parquet").schema
+    graft.Tables.normalizeTs(
+      spark.readStream
+        .schema(physical)
+        .option("pathGlobFilter", "events.parquet") // the fixture dir holds one file per table
+        .parquet(dir))
   }
 
   /** Streaming embeddings source — the file-stream formulation of the
