@@ -263,6 +263,114 @@ object Statistics {
       .orderBy("source")
   }
 
+  /** Two-sample chi-square homogeneity test of the event-type mix between
+    * the early (day-of-month ≤ 15) and late halves of the event stream —
+    * the categorical companion to [[ksDrift]]'s continuous two-sample
+    * test: KS watches a numeric distribution drift, this watches a label
+    * distribution drift (event mix, language mix, source mix — the
+    * monitors every ingest pipeline runs between snapshots).
+    *
+    * Determinism: with e = r·c/N, each cell's (o−e)²/e equals
+    * (o·N − r·c)² / (N·r·c) — an all-integer numerator and denominator.
+    * The square is exact in DECIMAL(38,0), the single division is one
+    * correctly-rounded IEEE op on integer-valued operands (identical in
+    * both engines), and per-cell contributions are 6-dp-quantized into
+    * DECIMAL before the total sums — no accumulated float error anywhere.
+    *
+    * Scale shape: one map-side-combined groupBy over event_type (k ≤ 5
+    * rows out regardless of input scale), a 1-row total broadcast back,
+    * and all chi-square arithmetic on the k-row frame. The fact table is
+    * scanned once and never shuffled wide. */
+  def chisqDrift(s: SparkSession, d: String): DataFrame = {
+    val dec0 = DecimalType(38, 0)
+    val cells = graft.util.Ckpt.stage(
+      Tables.events(s, d)
+        .select(col("event_type"),
+          (dayofmonth(col("ts")) <= 15).cast("long").as("early"))
+        .groupBy("event_type")
+        .agg(sum(col("early")).as("o1"),
+          sum(lit(1L) - col("early")).as("o2")))
+    val tot = cells.agg(
+      sum("o1").as("c1"), sum("o2").as("c2"),
+      sum(col("o1") + col("o2")).as("n"),
+      count(lit(1)).as("k"))
+    def contrib(o: Column, c: Column, n: Column, r: Column) = {
+      val num = (o * n - r * c).cast(dec0)
+      round((num * num).cast("double") / (n * r * c).cast("double"), 6)
+        .cast(DecimalType(18, 6))
+    }
+    val perType = cells.crossJoin(broadcast(tot))
+      .withColumn("r", col("o1") + col("o2"))
+      .withColumn("contrib",
+        contrib(col("o1"), col("c1"), col("n"), col("r")) +
+          contrib(col("o2"), col("c2"), col("n"), col("r")))
+    val chi2 = perType.agg(
+      sum("contrib").as("chi2_d"), first("k").as("kk"))
+    perType.crossJoin(broadcast(chi2))
+      .select(col("event_type"),
+        col("o1").as("n_early"), col("o2").as("n_late"),
+        col("contrib").cast("double").as("contrib"),
+        col("chi2_d").cast("double").as("chi2"),
+        (col("kk") - 1).as("df"))
+      .orderBy("event_type")
+  }
+
+  /** Population Stability Index of `value` between the same early/late
+    * halves as [[chisqDrift]], over [[PsiBins]] equal-width bins of the
+    * pooled extent — the score-drift monitor model-serving pipelines alarm
+    * on (PSI < 0.1 stable, > 0.25 action). Counts are Laplace-smoothed
+    * (+1 per bin) so empty bins stay finite — the standard practice, and
+    * the smoothing is part of the published metric definition here.
+    *
+    * Determinism: with smoothed counts o'ᵢ and totals n', each bin's
+    * (p−q)·ln(p/q) factors as diff · L / (n1'·n2') where
+    * diff = o1'·n2' − o2'·n1' (exact integer) and
+    * L = ln((o1'·n2')/(o2'·n1')) is the log of one integer ratio —
+    * 6-dp-quantized into DECIMAL, multiplied exactly, one final division.
+    *
+    * Scale shape: the [[ksDrift]] two-phase discipline — extent as a 1-row
+    * broadcast, binning inside the first map-side-combined aggregate
+    * (PsiBins rows out), all PSI arithmetic on the bin-count frame. */
+  def psiDrift(s: SparkSession, d: String): DataFrame = {
+    val nb = PsiBins
+    val ev = graft.util.Ckpt.stage(
+      Tables.events(s, d)
+        .select(col("value"),
+          (dayofmonth(col("ts")) <= 15).cast("long").as("early")))
+    val ext = ev.agg(min("value").as("lo"), max("value").as("hi"))
+    val binned = graft.util.Ckpt.stage(ev.crossJoin(broadcast(ext))
+      .withColumn("bkt",
+        when(col("hi") === col("lo"), lit(0)).otherwise(
+          least(lit(nb - 1),
+            floor((col("value") - col("lo")) * nb / (col("hi") - col("lo"))).cast("int"))))
+      .groupBy("bkt")
+      .agg(sum(col("early")).as("r1"), sum(lit(1L) - col("early")).as("r2"))
+      // Laplace smoothing: +1 per OBSERVED bin (empty bins never enter the
+      // frame, so both engines smooth the identical bin set)
+      .select(col("bkt"), (col("r1") + 1).as("o1"), (col("r2") + 1).as("o2")))
+    val tot = binned.agg(sum("o1").as("n1"), sum("o2").as("n2"))
+    val perBin = binned.crossJoin(broadcast(tot))
+      .withColumn("diff", col("o1") * col("n2") - col("o2") * col("n1"))
+      .withColumn("lq",
+        round(log((col("o1") * col("n2")).cast("double") /
+          (col("o2") * col("n1")).cast("double")), 6).cast(DecimalType(18, 6)))
+      .withColumn("contrib",
+        round((col("diff").cast(DecimalType(38, 6)) * col("lq")).cast("double") /
+          (col("n1") * col("n2")).cast("double"), 6).cast(DecimalType(18, 6)))
+    val psi = perBin.agg(sum("contrib").as("psi_d"))
+    perBin.crossJoin(broadcast(psi))
+      .select(col("bkt"), (col("o1") - 1).as("n_early"), (col("o2") - 1).as("n_late"),
+        col("contrib").cast("double").as("contrib"),
+        col("psi_d").cast("double").as("psi"))
+      .orderBy("bkt")
+  }
+
+  /** Bin count for [[psiDrift]] — ten bins is the industry-standard PSI
+    * decile convention; equal-width over the pooled extent keeps the bin
+    * edges engine-exact (quantile edges would reopen the interpolation
+    * knife-edge q_outlier_mad closed). */
+  private[graft] val PsiBins = 10
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_corr_regr" -> (corrRegr _),
     "q_histogram" -> (histogram _),
@@ -270,6 +378,8 @@ object Statistics {
     "q_weighted_avg_udaf" -> (weightedAvgUdaf _),
     "q_outlier_mad" -> (outlierMad _),
     "q_ks_drift" -> (ksDrift _),
+    "q_chisq_drift" -> (chisqDrift _),
+    "q_psi_drift" -> (psiDrift _),
     "q_winsorize" -> (winsorize _),
   )
 
@@ -382,6 +492,57 @@ object Statistics {
         |       round(CAST(d.d_scaled AS DOUBLE) / CAST(gg.n1 * gg.n2 AS DOUBLE), 6) AS ks
         |FROM gg JOIN d ON gg.n1 = d.n1 AND gg.n2 = d.n2 AND gg.gap = d.d_scaled
         |GROUP BY gg.n1, gg.n2, d.d_scaled""".stripMargin,
+    "q_chisq_drift" ->
+      """WITH cells AS (
+        |  SELECT event_type,
+        |         SUM(CASE WHEN day(CAST(ts AS TIMESTAMP)) <= 15 THEN 1 ELSE 0 END) AS o1,
+        |         SUM(CASE WHEN day(CAST(ts AS TIMESTAMP)) <= 15 THEN 0 ELSE 1 END) AS o2
+        |  FROM events GROUP BY event_type
+        |), tot AS (
+        |  SELECT SUM(o1) AS c1, SUM(o2) AS c2, SUM(o1 + o2) AS n, COUNT(*) AS k FROM cells
+        |), per AS (
+        |  SELECT event_type, o1, o2, k,
+        |         CAST(round(CAST(CAST(o1*n - (o1+o2)*c1 AS HUGEINT) * CAST(o1*n - (o1+o2)*c1 AS HUGEINT) AS DOUBLE)
+        |                    / CAST(n * (o1+o2) * c1 AS DOUBLE), 6) AS DECIMAL(18,6))
+        |       + CAST(round(CAST(CAST(o2*n - (o1+o2)*c2 AS HUGEINT) * CAST(o2*n - (o1+o2)*c2 AS HUGEINT) AS DOUBLE)
+        |                    / CAST(n * (o1+o2) * c2 AS DOUBLE), 6) AS DECIMAL(18,6)) AS contrib
+        |  FROM cells, tot
+        |), t2 AS (SELECT SUM(contrib) AS chi2_d, min(k) AS kk FROM per)
+        |SELECT per.event_type,
+        |       CAST(per.o1 AS BIGINT) AS n_early,
+        |       CAST(per.o2 AS BIGINT) AS n_late,
+        |       CAST(per.contrib AS DOUBLE) AS contrib,
+        |       CAST(t2.chi2_d AS DOUBLE) AS chi2,
+        |       CAST(per.k - 1 AS BIGINT) AS df
+        |FROM per, t2
+        |ORDER BY per.event_type""".stripMargin,
+    "q_psi_drift" ->
+      """WITH ev AS (
+        |  SELECT value,
+        |         CASE WHEN day(CAST(ts AS TIMESTAMP)) <= 15 THEN 1 ELSE 0 END AS early
+        |  FROM events
+        |), ext AS (SELECT min(value) AS lo, max(value) AS hi FROM ev
+        |), b AS (
+        |  SELECT CASE WHEN hi = lo THEN 0
+        |              ELSE least(9, CAST(floor((value - lo) * 10 / (hi - lo)) AS INT)) END AS bkt,
+        |         SUM(early) AS r1, SUM(1 - early) AS r2
+        |  FROM ev, ext GROUP BY 1
+        |), sm AS (SELECT bkt, r1 + 1 AS o1, r2 + 1 AS o2 FROM b
+        |), tot AS (SELECT SUM(o1) AS n1, SUM(o2) AS n2 FROM sm
+        |), per AS (
+        |  SELECT bkt, o1, o2,
+        |         CAST(round(CAST(CAST(o1*n2 - o2*n1 AS DECIMAL(38,6))
+        |                         * CAST(round(ln(CAST(o1*n2 AS DOUBLE) / CAST(o2*n1 AS DOUBLE)), 6) AS DECIMAL(18,6)) AS DOUBLE)
+        |                    / CAST(n1 * n2 AS DOUBLE), 6) AS DECIMAL(18,6)) AS contrib
+        |  FROM sm, tot
+        |), t AS (SELECT SUM(contrib) AS psi_d FROM per)
+        |SELECT per.bkt,
+        |       CAST(per.o1 - 1 AS BIGINT) AS n_early,
+        |       CAST(per.o2 - 1 AS BIGINT) AS n_late,
+        |       CAST(per.contrib AS DOUBLE) AS contrib,
+        |       CAST(t.psi_d AS DOUBLE) AS psi
+        |FROM per, t
+        |ORDER BY per.bkt""".stripMargin,
     "q_winsorize" ->
       """WITH b AS (
         |  SELECT source AS src,

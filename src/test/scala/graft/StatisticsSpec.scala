@@ -114,4 +114,30 @@ class StatisticsSpec extends AnyFunSuite {
         s"winsorized mean $meanW outside [$p05, $p95]")
     }
   }
+
+  test("chi-square drift: contributions are non-negative, total them, df = k-1") {
+    val rows = ops.Statistics.chisqDrift(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val chi2 = rows.head.getDouble(4)
+    assert(rows.forall(_.getDouble(4) == chi2), "total repeated on every row")
+    rows.foreach(r => assert(r.getDouble(3) >= 0.0, s"negative cell contribution: $r"))
+    assert(math.abs(rows.map(_.getDouble(3)).sum - chi2) < 1e-6)
+    assert(rows.forall(_.getLong(5) == rows.length - 1), "df = k - 1")
+    // both halves of the split are populated (the statistic is undefined otherwise)
+    assert(rows.map(_.getLong(1)).sum > 0 && rows.map(_.getLong(2)).sum > 0)
+  }
+
+  test("PSI drift: non-negative total, per-bin contributions total it, counts conserve") {
+    val rows = ops.Statistics.psiDrift(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= ops.Statistics.PsiBins)
+    val psi = rows.head.getDouble(4)
+    assert(rows.forall(_.getDouble(4) == psi), "total repeated on every row")
+    // PSI = sum over bins of (p-q)ln(p/q); each term has matching signs, so
+    // every contribution (and the total) is >= 0 up to the 6-dp quantization
+    rows.foreach(r => assert(r.getDouble(3) >= -1e-6, s"negative PSI term: $r"))
+    assert(psi >= 0.0)
+    assert(math.abs(rows.map(_.getDouble(3)).sum - psi) < 1e-6)
+    val n = Tables.events(spark, sf).count()
+    assert(rows.map(r => r.getLong(1) + r.getLong(2)).sum === n, "bins partition the stream")
+  }
 }
