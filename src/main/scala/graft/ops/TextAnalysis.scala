@@ -455,7 +455,74 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Pairwise Jensen-Shannon divergence (bits) between the per-source
+    * unigram distributions — the source-similarity dashboard a mixture
+    * designer reads next to [[contamination]]'s bigram-overlap matrix:
+    * JSD is a bounded ([0,1] in bits), symmetric metric of how differently
+    * two corpus slices use their vocabulary, where overlap only counts
+    * shared n-grams.
+    *
+    * Algebra (what makes this one inner join instead of a 190-way full
+    * outer): for a term absent from source B, the JSD integrand for A
+    * reduces to (ca/na)·log₂2 = ca/na exactly. So
+    * 2·JSD = (Sa + (na − Ca))/na + (Sb + (nb − Cb))/nb with Sa = Σ ca·la,
+    * Ca = Σ ca over SHARED terms only, la = log₂(2·ca·nb/(ca·nb + cb·na))
+    * — a log of one integer ratio, 6-dp-quantized into DECIMAL (the
+    * [[entropy]] discipline), multiplied by integer counts exactly. Pairs
+    * sharing no vocabulary (JSD exactly 1) enter via the left join from
+    * the complete pair frame.
+    *
+    * Scale shape: the (source, term) frame is vocabulary-bounded and
+    * map-side-combined; the self-join shuffles on term (never on docs);
+    * per-source totals and the S²-row pair frame are broadcasts. Sources
+    * are tens, so the pair count is a constant, not a scale axis. */
+  def jsDivergence(s: SparkSession, d: String): DataFrame =
+    jsDivergenceFrom(Tables.documents(s, d))
+
+  /** [[jsDivergence]] over an explicit documents frame (test seam for the
+    * self-divergence identity law). */
+  private[graft] def jsDivergenceFrom(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val tc = graft.util.Ckpt.stage(docs
+      .select(col("source"), explode(words(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("source", "term").agg(count(lit(1)).as("c")))
+    val tot = tc.groupBy("source").agg(sum("c").as("n"))
+    val a = tc.select(col("source").as("sa"), col("term"), col("c").as("ca"))
+    val b = tc.select(col("source").as("sb"), col("term"), col("c").as("cb"))
+    def qlog2(num: Column, den: Column) =
+      round(log(2.0, num.cast("double") / den.cast("double")), 6)
+        .cast(DecimalType(18, 6))
+    val mix = col("ca") * col("nb") + col("cb") * col("na")
+    val shared = a.join(b, Seq("term")).filter(col("sa") < col("sb"))
+      .join(broadcast(tot.select(col("source").as("sa"), col("n").as("na"))), "sa")
+      .join(broadcast(tot.select(col("source").as("sb"), col("n").as("nb"))), "sb")
+      .groupBy("sa", "sb")
+      .agg(
+        count(lit(1)).as("shared_terms"),
+        sum("ca").as("ca_sh"), sum("cb").as("cb_sh"),
+        sum(col("ca").cast(DecimalType(18, 0)) *
+          qlog2(col("ca") * col("nb") * 2, mix)).as("sla"),
+        sum(col("cb").cast(DecimalType(18, 0)) *
+          qlog2(col("cb") * col("na") * 2, mix)).as("slb"))
+    val pairFrame = tot.select(col("source").as("sa"), col("n").as("na"))
+      .crossJoin(tot.select(col("source").as("sb"), col("n").as("nb")))
+      .filter(col("sa") < col("sb"))
+    pairFrame.join(broadcast(shared), Seq("sa", "sb"), "left")
+      .select(col("sa").as("src_a"), col("sb").as("src_b"),
+        coalesce(col("shared_terms"), lit(0L)).as("shared_terms"),
+        round((
+          (coalesce(col("sla"), lit(0).cast(DecimalType(18, 6))) +
+            (col("na") - coalesce(col("ca_sh"), lit(0L))).cast(DecimalType(38, 6)))
+            .cast("double") / col("na").cast("double") +
+          (coalesce(col("slb"), lit(0).cast(DecimalType(18, 6))) +
+            (col("nb") - coalesce(col("cb_sh"), lit(0L))).cast(DecimalType(38, 6)))
+            .cast("double") / col("nb").cast("double")) / 2, 6).as("jsd_bits"))
+      .orderBy("src_a", "src_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_js_divergence"   -> (jsDivergence _),
     "q_bm25"            -> (bm25 _),
     "q_zipf_slope"      -> (zipfSlope _),
     "q_entropy"         -> (entropy _),
@@ -484,6 +551,39 @@ object TextAnalysis {
        | ELSE [text] END""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_js_divergence" ->
+      s"""WITH tc AS (
+         |  SELECT source, term, count(*) AS c
+         |  FROM (SELECT source, unnest($WordsSql) AS term FROM documents)
+         |  WHERE term <> ''
+         |  GROUP BY source, term
+         |), tot AS (
+         |  SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM tc GROUP BY source
+         |), sh AS (
+         |  SELECT a.source AS sa, b.source AS sb,
+         |         count(*) AS shared_terms,
+         |         SUM(a.c) AS ca_sh, SUM(b.c) AS cb_sh,
+         |         SUM(CAST(a.c AS DECIMAL(18,0))
+         |             * CAST(round(log2(CAST(a.c * tb.n * 2 AS DOUBLE)
+         |                               / CAST(a.c * tb.n + b.c * ta.n AS DOUBLE)), 6) AS DECIMAL(18,6))) AS sla,
+         |         SUM(CAST(b.c AS DECIMAL(18,0))
+         |             * CAST(round(log2(CAST(b.c * ta.n * 2 AS DOUBLE)
+         |                               / CAST(a.c * tb.n + b.c * ta.n AS DOUBLE)), 6) AS DECIMAL(18,6))) AS slb
+         |  FROM tc a
+         |  JOIN tc b ON a.term = b.term AND a.source < b.source
+         |  JOIN tot ta ON ta.source = a.source
+         |  JOIN tot tb ON tb.source = b.source
+         |  GROUP BY 1, 2
+         |), pairs AS (
+         |  SELECT ta.source AS sa, tb.source AS sb, ta.n AS na, tb.n AS nb
+         |  FROM tot ta JOIN tot tb ON ta.source < tb.source
+         |)
+         |SELECT p.sa AS src_a, p.sb AS src_b,
+         |       CAST(COALESCE(sh.shared_terms, 0) AS BIGINT) AS shared_terms,
+         |       round((CAST(COALESCE(sh.sla, 0) + (p.na - COALESCE(sh.ca_sh, 0)) AS DOUBLE) / CAST(p.na AS DOUBLE)
+         |            + CAST(COALESCE(sh.slb, 0) + (p.nb - COALESCE(sh.cb_sh, 0)) AS DOUBLE) / CAST(p.nb AS DOUBLE)) / 2, 6) AS jsd_bits
+         |FROM pairs p LEFT JOIN sh ON p.sa = sh.sa AND p.sb = sh.sb
+         |ORDER BY src_a, src_b""".stripMargin,
     "q_zipf_slope" ->
       s"""WITH tc AS (
          |  SELECT source, term, count(*) AS c

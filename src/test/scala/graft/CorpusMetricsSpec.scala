@@ -63,4 +63,29 @@ class CorpusMetricsSpec extends AnyFunSuite {
     }
     assert(cont.nonEmpty, "fixture's planted near-dups must surface")
   }
+
+  test("JSD: bounded in [0,1] bits, complete pair frame, self-divergence is 0") {
+    val rows = ops.TextAnalysis.jsDivergence(spark, sf).collect()
+    val srcs = Tables.documents(spark, sf).select("source").distinct().count()
+    assert(rows.length === (srcs * (srcs - 1) / 2).toInt, "one row per unordered pair")
+    rows.foreach { r =>
+      val jsd = r.getDouble(3)
+      // 1e-4 headroom: each of the ~vocab quantized log terms carries a
+      // half-ulp of its 6-dp round, so the aggregate can poke past the
+      // analytic bound by the accumulated quantization, never more
+      assert(jsd >= -1e-4 && jsd <= 1.0 + 1e-4, s"JSD out of [0,1]: $r")
+      assert(r.getLong(2) >= 0)
+    }
+    // identity law, via the same quantized pipeline run source-vs-twin:
+    // a distribution against an identical copy has la = lb = log2(1) = 0
+    // on every shared term and no exclusive mass, so jsd must be exactly 0
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+    val twin = docs.union(docs.withColumn("source", concat(col("source"), lit("_twin"))))
+    val selfRows = ops.TextAnalysis.jsDivergenceFrom(twin)
+      .filter(col("src_b") === concat(col("src_a"), lit("_twin")))
+      .collect()
+    assert(selfRows.nonEmpty)
+    selfRows.foreach(r => assert(r.getDouble(3) === 0.0, s"self-JSD nonzero: $r"))
+  }
 }
