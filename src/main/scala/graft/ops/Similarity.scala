@@ -722,7 +722,70 @@ object Similarity {
     ivfServe(kmeansCorpus(s, d), s.read.parquet(s"$runDir/centroids"))
   }
 
+  /** Selection depth and relevance weight for [[mmrSelect]]. λ = 0.7 is
+    * the standard MMR relevance/diversity mix; exact decimal literals so
+    * the score arithmetic never leaves the decimal domain. */
+  private val MmrK = 5
+  private val MmrL7 = lit(new java.math.BigDecimal("0.7"))
+  private val MmrL3 = lit(new java.math.BigDecimal("0.3"))
+
+  /** Maximal Marginal Relevance: for each probe, select [[MmrK]] results
+    * that trade off relevance to the probe against redundancy with what is
+    * already selected — argmax of λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s) per
+    * round. The diverse-sampling primitive of RAG re-ranking and
+    * training-set selection (pick informative AND non-duplicative docs) —
+    * the selection-side complement of SemDeDup's removal-side clustering.
+    *
+    * Determinism: rel and every pairwise sim are 4-dp-quantized into
+    * DECIMAL(8,4) on creation ([[cosineTopk]]'s cosine discipline); the
+    * MMR score 0.7·rel − 0.3·ms is exact decimal arithmetic on that grid,
+    * so the per-round argmax (score desc, vec_id asc) is engine-exact.
+    * The oracle is the same K rounds unrolled as chained CTEs — every
+    * round's pick is cross-engine-checked, the [[kmeansTrain]] pattern.
+    *
+    * Scale shape: K is a constant, so this is K linear passes, not a
+    * quadratic candidate join: each round scores candidates in place
+    * (narrow per-probe frame, staged so lineage stays flat), takes top-1
+    * per probe with one bounded window, and broadcasts the K-row pick
+    * frame back to update running max-sims. The corpus never self-joins;
+    * probe count (1 in 50) bounds the working set at corpus × probes/50.
+    */
+  def mmrSelect(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def q4d(c: Column) = round(c, 4).cast(DecimalType(8, 4))
+    val base = once(withNorm(Tables.embeddings(s, d)))
+    val probes = base.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qn"))
+    var cand = once(base.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), col("v"), col("norm"),
+        q4d(dot(col("v"), col("qv")) / (col("norm") * col("qn"))).as("rel"))
+      .withColumn("ms", lit(java.math.BigDecimal.ZERO).cast(DecimalType(8, 4))))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("vec_id").asc)
+    var out: Option[DataFrame] = None
+    for (i <- 1 to MmrK) {
+      val pick = once(cand
+        .withColumn("score", MmrL7 * col("rel") - MmrL3 * col("ms"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .drop("rn"))
+      val res = pick.select(col("qid"), lit(i).as("rank"), col("vec_id"),
+        col("rel").cast("double").as("rel"), col("score").cast("double").as("score"))
+      out = Some(out.map(_.union(res)).getOrElse(res))
+      if (i < MmrK)
+        cand = once(cand.join(
+            broadcast(pick.select(col("qid").as("pq"), col("vec_id").as("pid"),
+              col("v").as("pv"), col("norm").as("pn"))),
+            col("qid") === col("pq") && col("vec_id") =!= col("pid"))
+          .withColumn("ms",
+            greatest(col("ms"), q4d(dot(col("v"), col("pv")) / (col("norm") * col("pn")))))
+          .drop("pq", "pid", "pv", "pn"))
+    }
+    out.get.orderBy("qid", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mmr_select"    -> (mmrSelect _),
     "q_cosine_topk"   -> (cosineTopk _),
     "q_ann_lsh_rp"    -> (annLshRp _),
     "q_embed_quantize" -> (embedQuantize _),
@@ -874,7 +937,42 @@ object Similarity {
        |ORDER BY pass""".stripMargin
   }
 
+  /** [[mmrSelect]]'s K rounds unrolled as chained CTEs — every round's
+    * pick and max-sim update cross-engine-checked (the kmeans oracle
+    * pattern). */
+  private def mmrOracle: String = {
+    val score = "CAST(0.7 AS DECIMAL(2,1)) * rel - CAST(0.3 AS DECIMAL(2,1)) * ms"
+    def pick(i: Int) =
+      s"""p$i AS (SELECT * FROM (
+         |  SELECT qid, vec_id, v, norm, rel, ms, $score AS score,
+         |         row_number() OVER (PARTITION BY qid ORDER BY $score DESC, vec_id ASC) AS rn
+         |  FROM s$i) t WHERE rn = 1)""".stripMargin
+    // CASE, not greatest(): DuckDB's greatest() promotes DECIMAL args to
+    // DOUBLE, which would leak the running max-sim (and so the score
+    // arithmetic) out of the exact decimal domain
+    val newSim = "CAST(round(list_dot_product(c.v, p.v) / (c.norm * p.norm), 4) AS DECIMAL(8,4))"
+    def step(i: Int) =
+      s"""s${i + 1} AS (SELECT c.qid, c.vec_id, c.v, c.norm, c.rel,
+         |  CASE WHEN $newSim > c.ms THEN $newSim ELSE c.ms END AS ms
+         |  FROM s$i c JOIN p$i p ON c.qid = p.qid AND c.vec_id <> p.vec_id)""".stripMargin
+    val rounds = (1 to MmrK)
+      .map(i => if (i < MmrK) pick(i) + ",\n" + step(i) else pick(i))
+      .mkString(",\n")
+    val sel = (1 to MmrK)
+      .map(i => s"SELECT qid, $i AS rank, vec_id, CAST(rel AS DOUBLE) AS rel, CAST(score AS DOUBLE) AS score FROM p$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH $NormCte,
+       |q AS (SELECT vec_id AS qid, v AS qv, norm AS qn FROM n WHERE vec_id % 50 = 0),
+       |s1 AS (SELECT qid, n.vec_id, n.v, n.norm,
+       |       CAST(round(list_dot_product(n.v, qv) / (n.norm * qn), 4) AS DECIMAL(8,4)) AS rel,
+       |       CAST(0 AS DECIMAL(8,4)) AS ms
+       |       FROM n, q WHERE n.vec_id <> qid),
+       |$rounds
+       |SELECT * FROM ($sel) u ORDER BY qid, rank""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_mmr_select" -> mmrOracle,
     "q_ann_lsh_rp" -> rpOracle,
     "q_kmeans_train" -> kmeansTrainOracle,
     "q_ann_ivf_trained" -> ivfTrainedOracle,

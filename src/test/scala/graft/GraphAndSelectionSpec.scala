@@ -89,4 +89,29 @@ class GraphAndSelectionSpec extends AnyFunSuite {
     assert(enSel > 0.2 && otherSel < 0.15,
       f"selection rates en=$enSel%.3f other=$otherSel%.3f")
   }
+
+  test("MMR: rank-1 is the relevance argmax, picks distinct, scores non-increasing") {
+    val rows = ops.Similarity.mmrSelect(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    val byQ = rows.groupBy(_._1)
+    // plain brute-force cosine ranking for cross-checking round 1
+    val top1 = ops.Similarity.cosineTopk(spark, sf).filter(col("rn") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    byQ.foreach { case (qid, sel) =>
+      val ordered = sel.sortBy(_._2)
+      assert(ordered.map(_._2).toSeq === (1 to ordered.length), s"ranks contiguous for $qid")
+      assert(ordered.map(_._3).distinct.length === ordered.length, s"picks distinct for $qid")
+      assert(!ordered.exists(_._3 == qid), s"probe $qid selected itself")
+      // with nothing selected, round 1's score is 0.7*rel: argmax = top cosine
+      top1.get(qid).foreach(t => assert(ordered.head._3 === t,
+        s"rank-1 for $qid is ${ordered.head._3}, cosine argmax is $t"))
+      // each round shrinks candidates and only grows max-sims, so the
+      // selected score sequence cannot increase
+      ordered.map(_._5).toSeq.sliding(2).foreach {
+        case Seq(a, b) => assert(b <= a + 1e-9, s"score increased for $qid")
+        case _ =>
+      }
+    }
+  }
 }

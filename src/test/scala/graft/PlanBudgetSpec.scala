@@ -113,6 +113,20 @@ class PlanBudgetSpec extends AnyFunSuite {
                                       // one join flips SMJ/broadcast with
                                       // suite order (16 or 17 observed), so
                                       // the pin carries that 1 of headroom
+    // round-6 additions (audit mode recomputes staged frames per branch,
+    // so loop/staged queries count their full unrolled lineage here)
+    ("q_chisq_drift", 5, 3),          // fact-table agg to k rows (recomputed
+                                      // for cells + totals branches); 1-row
+                                      // total and chi2 sum broadcast back
+    ("q_psi_drift", 5, 3),            // extent + bin-count aggs over the
+                                      // staged event frame; 1-row extent and
+                                      // totals broadcast into the bin frame
+    ("q_js_divergence", 4, 4),        // vocab-bounded term self-join; totals
+                                      // and shared-pair aggregates broadcast
+    ("q_mmr_select", 10, 5),          // 2 shuffles per selection round x5
+                                      // (probe-partitioned score window +
+                                      // round output); the K-row pick frame
+                                      // broadcasts back each round
   )
 
   budgets.foreach { case (name, maxShuffles, minBcasts) =>
