@@ -729,6 +729,11 @@ object Similarity {
   private val MmrL7 = lit(new java.math.BigDecimal("0.7"))
   private val MmrL3 = lit(new java.math.BigDecimal("0.3"))
 
+  /** Retrieval-set size for [[mmrSelect]]: MMR re-ranks the top-C
+    * candidates by relevance, so the selection rounds run on a
+    * probes × C frame no matter how large the corpus is. */
+  private val MmrC = 50
+
   /** Maximal Marginal Relevance: for each probe, select [[MmrK]] results
     * that trade off relevance to the probe against redundancy with what is
     * already selected — argmax of λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s) per
@@ -743,12 +748,15 @@ object Similarity {
     * The oracle is the same K rounds unrolled as chained CTEs — every
     * round's pick is cross-engine-checked, the [[kmeansTrain]] pattern.
     *
-    * Scale shape: K is a constant, so this is K linear passes, not a
-    * quadratic candidate join: each round scores candidates in place
-    * (narrow per-probe frame, staged so lineage stays flat), takes top-1
-    * per probe with one bounded window, and broadcasts the K-row pick
-    * frame back to update running max-sims. The corpus never self-joins;
-    * probe count (1 in 50) bounds the working set at corpus × probes/50.
+    * Scale shape: retrieve-then-rerank, the production MMR deployment.
+    * MMR never runs over the corpus — it re-ranks a RETRIEVAL SET: one
+    * relevance pass (the [[cosineTopk]] shape) keeps the top-[[MmrC]]
+    * candidates per probe, and the K selection rounds then operate on a
+    * probes × C frame whose size is independent of corpus scale. Each
+    * round scores that bounded frame in place (staged so lineage stays
+    * flat), takes top-1 per probe with one bounded window, and broadcasts
+    * the pick frame back to update running max-sims. The corpus is
+    * scanned once and never self-joins.
     */
   def mmrSelect(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
@@ -756,10 +764,14 @@ object Similarity {
     val base = once(withNorm(Tables.embeddings(s, d)))
     val probes = base.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qn"))
+    val wr = Window.partitionBy("qid").orderBy(col("rel").desc, col("vec_id").asc)
     var cand = once(base.crossJoin(broadcast(probes))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"), col("v"), col("norm"),
         q4d(dot(col("v"), col("qv")) / (col("norm") * col("qn"))).as("rel"))
+      .withColumn("rr", row_number().over(wr))
+      .filter(col("rr") <= MmrC)
+      .drop("rr")
       .withColumn("ms", lit(java.math.BigDecimal.ZERO).cast(DecimalType(8, 4))))
     val w = Window.partitionBy("qid").orderBy(col("score").desc, col("vec_id").asc)
     var out: Option[DataFrame] = None
@@ -963,10 +975,15 @@ object Similarity {
       .mkString("\nUNION ALL ")
     s"""WITH $NormCte,
        |q AS (SELECT vec_id AS qid, v AS qv, norm AS qn FROM n WHERE vec_id % 50 = 0),
-       |s1 AS (SELECT qid, n.vec_id, n.v, n.norm,
-       |       CAST(round(list_dot_product(n.v, qv) / (n.norm * qn), 4) AS DECIMAL(8,4)) AS rel,
-       |       CAST(0 AS DECIMAL(8,4)) AS ms
+       |s0 AS (SELECT qid, n.vec_id,
+       |       CAST(round(list_dot_product(n.v, qv) / (n.norm * qn), 4) AS DECIMAL(8,4)) AS rel
        |       FROM n, q WHERE n.vec_id <> qid),
+       |top AS (SELECT qid, vec_id, rel FROM (
+       |       SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, vec_id ASC) AS rr
+       |       FROM s0) t WHERE rr <= $MmrC),
+       |s1 AS (SELECT t.qid, t.vec_id, n.v, n.norm, t.rel,
+       |       CAST(0 AS DECIMAL(8,4)) AS ms
+       |       FROM top t JOIN n ON n.vec_id = t.vec_id),
        |$rounds
        |SELECT * FROM ($sel) u ORDER BY qid, rank""".stripMargin
   }

@@ -123,10 +123,12 @@ class PlanBudgetSpec extends AnyFunSuite {
                                       // totals broadcast into the bin frame
     ("q_js_divergence", 4, 4),        // vocab-bounded term self-join; totals
                                       // and shared-pair aggregates broadcast
-    ("q_mmr_select", 10, 5),          // 2 shuffles per selection round x5
-                                      // (probe-partitioned score window +
-                                      // round output); the K-row pick frame
-                                      // broadcasts back each round
+    ("q_mmr_select", 4, 5),           // retrieve-then-rerank: one corpus
+                                      // relevance pass, then K rounds over
+                                      // the probes x C retrieval frame whose
+                                      // windows reuse the qid exchange; the
+                                      // pick frame broadcasts back each round
+                                      // (audited 3, +1 AQE/suite headroom)
   )
 
   budgets.foreach { case (name, maxShuffles, minBcasts) =>
