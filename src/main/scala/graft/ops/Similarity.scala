@@ -796,7 +796,58 @@ object Similarity {
     out.get.orderBy("qid", "rank")
   }
 
+  /** Number of greedy picks for [[kcenterInit]]. */
+  private val KcK = 8
+
+  /** Greedy k-center selection (farthest-first traversal): seed at the
+    * deterministic vec 0, then [[KcK]] rounds each pick the point FARTHEST
+    * from every center chosen so far (max-min cosine distance). The
+    * 2-approximation coreset sampler — diverse subset selection for
+    * training-data curation, and the classic k-means++/quantizer seeding
+    * discipline ([[kmeansTrain]] currently seeds from a hash sample; this
+    * is the principled alternative a user composes in front of it).
+    *
+    * Determinism: distances are 1 − cos with the cosine 4-dp-quantized
+    * into DECIMAL(8,4) on creation, running minima stay in DECIMAL, and
+    * every round's argmax tie-breaks on vec_id — engine-exact against a
+    * K-round unrolled CTE oracle (the [[mmrSelect]] pattern with max-min
+    * in place of score).
+    *
+    * Scale shape: K linear passes over a narrow (vec_id, v, norm, mind)
+    * frame — no self-join, no per-probe multiplier. Each round is one
+    * broadcast of the 1-row pick, one map to update running minima
+    * (staged so lineage stays flat), and one global top-1
+    * (TakeOrderedAndProject, never a full sort). */
+  def kcenterInit(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def distTo(v: Column, n: Column, pv: Column, pn: Column): Column =
+      (lit(1.0) - round(dot(v, pv) / (n * pn), 4)).cast(DecimalType(8, 4))
+    val base = once(withNorm(Tables.embeddings(s, d)))
+    val seed = base.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("pid"), col("v").as("pv"), col("norm").as("pn"))
+    var cand = once(base.crossJoin(broadcast(seed))
+      .filter(col("vec_id") =!= col("pid"))
+      .select(col("vec_id"), col("v"), col("norm"),
+        distTo(col("v"), col("norm"), col("pv"), col("pn")).as("mind")))
+    var out: Option[DataFrame] = None
+    for (i <- 1 to KcK) {
+      val pick = once(cand.orderBy(col("mind").desc, col("vec_id").asc).limit(1))
+      val res = pick.select(lit(i).as("rank"), col("vec_id"),
+        col("mind").cast("double").as("d_min"))
+      out = Some(out.map(_.union(res)).getOrElse(res))
+      if (i < KcK)
+        cand = once(cand.crossJoin(broadcast(
+            pick.select(col("vec_id").as("pid"), col("v").as("pv"), col("norm").as("pn"))))
+          .filter(col("vec_id") =!= col("pid"))
+          .withColumn("mind",
+            least(col("mind"), distTo(col("v"), col("norm"), col("pv"), col("pn"))))
+          .drop("pid", "pv", "pn"))
+    }
+    out.get.orderBy("rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kcenter_init"  -> (kcenterInit _),
     "q_mmr_select"    -> (mmrSelect _),
     "q_cosine_topk"   -> (cosineTopk _),
     "q_ann_lsh_rp"    -> (annLshRp _),
@@ -988,7 +1039,37 @@ object Similarity {
        |SELECT * FROM ($sel) u ORDER BY qid, rank""".stripMargin
   }
 
+  /** [[kcenterInit]]'s K rounds unrolled as chained CTEs. CASE instead of
+    * least() for the running minimum — DuckDB's least(), like greatest(),
+    * promotes DECIMAL args to DOUBLE. */
+  private def kcenterOracle: String = {
+    def d(cv: String, cn: String, pv: String, pn: String) =
+      s"CAST(1 - round(list_dot_product($cv, $pv) / ($cn * $pn), 4) AS DECIMAL(8,4))"
+    def pick(i: Int) =
+      s"p$i AS (SELECT * FROM s$i ORDER BY mind DESC, vec_id ASC LIMIT 1)"
+    def step(i: Int) = {
+      val nd = d("c.v", "c.norm", "p.v", "p.norm")
+      s"""s${i + 1} AS (SELECT c.vec_id, c.v, c.norm,
+         |  CASE WHEN $nd < c.mind THEN $nd ELSE c.mind END AS mind
+         |  FROM s$i c, p$i p WHERE c.vec_id <> p.vec_id)""".stripMargin
+    }
+    val rounds = (1 to KcK)
+      .map(i => if (i < KcK) pick(i) + ",\n" + step(i) else pick(i))
+      .mkString(",\n")
+    val sel = (1 to KcK)
+      .map(i => s"SELECT $i AS rank, vec_id, CAST(mind AS DOUBLE) AS d_min FROM p$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH $NormCte,
+       |seed AS (SELECT v AS pv, norm AS pn FROM n WHERE vec_id = 0),
+       |s1 AS (SELECT n.vec_id, n.v, n.norm,
+       |       ${d("n.v", "n.norm", "pv", "pn")} AS mind
+       |       FROM n, seed WHERE n.vec_id <> 0),
+       |$rounds
+       |SELECT * FROM ($sel) u ORDER BY rank""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_kcenter_init" -> kcenterOracle,
     "q_mmr_select" -> mmrOracle,
     "q_ann_lsh_rp" -> rpOracle,
     "q_kmeans_train" -> kmeansTrainOracle,

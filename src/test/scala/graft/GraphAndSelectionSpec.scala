@@ -114,4 +114,20 @@ class GraphAndSelectionSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("k-center: farthest-first distances non-increasing, picks distinct, seed excluded") {
+    val rows = ops.Similarity.kcenterInit(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).toSeq === (1 to rows.length), "ranks contiguous")
+    assert(rows.map(_._2).distinct.length === rows.length, "picks distinct")
+    assert(!rows.exists(_._2 == 0L), "seed vec 0 must not re-pick itself")
+    rows.foreach(r => assert(r._3 >= 0.0 && r._3 <= 2.0 + 1e-9, s"cosine distance out of [0,2]: $r"))
+    // the classic farthest-first invariant: each pick's max-min distance
+    // cannot exceed any earlier pick's (centers only accumulate)
+    rows.map(_._3).toSeq.sliding(2).foreach {
+      case Seq(a, b) => assert(b <= a + 1e-9, s"farthest-first distance increased")
+      case _ =>
+    }
+  }
 }

@@ -129,6 +129,10 @@ class PlanBudgetSpec extends AnyFunSuite {
                                       // windows reuse the qid exchange; the
                                       // pick frame broadcasts back each round
                                       // (audited 3, +1 AQE/suite headroom)
+    ("q_kcenter_init", 1, 8),         // K linear passes, no self-join: each
+                                      // round broadcasts its 1-row pick and
+                                      // takes a global TakeOrdered top-1; the
+                                      // one shuffle is the final rank sort
   )
 
   budgets.foreach { case (name, maxShuffles, minBcasts) =>
