@@ -27,12 +27,18 @@ object Streams {
     * loader uses so both shapes yield an identical TimestampType column. */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val physical = spark.read.parquet(s"$dir/events.parquet").schema
+    val table = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+    val physical = spark.read.parquet(table.toString).schema
+    val reader = spark.readStream.schema(physical)
+    // layout-aware (the embeddingsStream fix): when the table is a
+    // DIRECTORY of part files (sharded sf1 layout) the stream must target
+    // it directly — pathGlobFilter matches leaf FILE names only and would
+    // silently read zero files; when it is a single file, the file-stream
+    // source requires a directory, so parent dir + glob applies
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
     graft.Tables.normalizeTs(
-      spark.readStream
-        .schema(physical)
-        .option("pathGlobFilter", "events.parquet") // the fixture dir holds one file per table
-        .parquet(dir))
+      if (fs.getFileStatus(table).isDirectory) reader.parquet(table.toString)
+      else reader.option("pathGlobFilter", "events.parquet").parquet(dir))
   }
 
   /** Streaming embeddings source — the file-stream formulation of the

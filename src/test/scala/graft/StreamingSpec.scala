@@ -92,6 +92,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(n === Tables.embeddings(spark, sf).count())
   }
 
+  test("eventsStream reads the sharded directory layout and normalizes ts") {
+    // sf1-style layout: events.parquet is a DIRECTORY of part files; the
+    // stream must target it directly (pathGlobFilter matches file names
+    // only) and still produce the same normalized TimestampType column
+    val dir = java.nio.file.Files.createTempDirectory("graft_evshard").toString
+    Tables.events(spark, sf).repartition(3)
+      .write.parquet(s"$dir/events.parquet")
+    var n = 0L
+    var tsType: org.apache.spark.sql.types.DataType = null
+    val fn: (org.apache.spark.sql.DataFrame, Long) => Unit =
+      (batch, _) => { n += batch.count(); tsType = batch.schema("ts").dataType; () }
+    val q = Streams.eventsStream(spark, dir).writeStream
+      .foreachBatch(fn)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(120000) finally q.stop()
+    assert(n === Tables.events(spark, sf).count())
+    assert(tsType === org.apache.spark.sql.types.TimestampType)
+  }
+
   test("streaming dedup drops duplicate event ids within the watermark") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
