@@ -357,7 +357,35 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Per-source rank-based quantile normalization of the quality score:
+    * qnorm = (rank − 1)/(n − 1) ∈ [0, 1] with rank ascending in (quality,
+    * doc_id) — the transform that makes quality scores COMPARABLE ACROSS
+    * SOURCES before a global threshold or mixing policy reads them (raw
+    * scores are source-scale-dependent; the [[qualityQuantile]] keep-gate
+    * and [[mixMaterialize]] both become source-fair on qnorm). Exact by
+    * construction: the score is 4-dp-quantized, ranks are integers, and
+    * qnorm is one integer-ratio division rounded at 6 dp — no estimator,
+    * no interpolation (the q_outlier_mad lesson).
+    *
+    * Scale shape: one window partitioned by source over (doc_id, quality)
+    * — corpus-parallel, no global sort; singleton sources pin qnorm to 0
+    * in both engines (the 0/0 guard). */
+  def quantileNorm(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("source")
+      .orderBy(col("quality").asc, col("doc_id").asc)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), TextAnalysis.qualityExpr.as("quality"))
+      .withColumn("rank", row_number().over(w))
+      .withColumn("n_src", count(lit(1)).over(Window.partitionBy("source")))
+      .withColumn("qnorm",
+        when(col("n_src") === 1, lit(0.0)).otherwise(
+          round((col("rank") - 1).cast("double") / (col("n_src") - 1).cast("double"), 6)))
+      .select(col("doc_id"), col("source"), col("quality"), col("rank"), col("qnorm"))
+      .orderBy("source", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quantile_norm"  -> (quantileNorm _),
     "q_source_overlap" -> (sourceOverlap _),
     "q_k_anonymity"    -> (kAnonymity _),
     "q_k_anon_enforce" -> (kAnonymityEnforce _),
@@ -387,6 +415,20 @@ object Curation {
     s"list_distinct(list_transform(range(1, len($WordsSql)), i -> $WordsSql[i] || ' ' || $WordsSql[i+1]))"
 
   val oracle: Map[String, String] = Map(
+    "q_quantile_norm" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, source, $QualitySql AS quality FROM documents
+         |), r AS (
+         |  SELECT *,
+         |         CAST(row_number() OVER (PARTITION BY source ORDER BY quality ASC, doc_id ASC) AS INTEGER) AS rank,
+         |         count(*) OVER (PARTITION BY source) AS n_src
+         |  FROM q
+         |)
+         |SELECT doc_id, source, quality, rank,
+         |       CASE WHEN n_src = 1 THEN 0.0
+         |            ELSE round(CAST(rank - 1 AS DOUBLE) / CAST(n_src - 1 AS DOUBLE), 6) END AS qnorm
+         |FROM r
+         |ORDER BY source, rank""".stripMargin,
     "q_k_anonymity" ->
       """SELECT source, lang,
         |       CAST(floor(n_chars / 100.0) AS BIGINT) AS len_bucket,

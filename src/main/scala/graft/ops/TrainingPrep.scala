@@ -161,9 +161,50 @@ object TrainingPrep {
       .orderBy("source", "rn")
   }
 
+  /** Token budget apportioned in [[tokenApportion]]. */
+  private val ApportionBudget = 1000000L
+
+  /** Largest-remainder (Hamilton) apportionment of a fixed token budget
+    * across sources, weighted by each source's token share — the exact
+    * integer answer to "this run trains on 1M tokens; how many come from
+    * each source?" that a float share × budget never gives (floats
+    * under/overshoot the budget by a few tokens; the remainder
+    * distribution restores Σ alloc = budget EXACTLY).
+    *
+    * Pure integer arithmetic end to end: quota = (budget·tokensᵢ) div
+    * total, remainder rank by (budget·tokensᵢ) mod total with a source
+    * tie-break, and the top (budget − Σ quota) sources get +1 — nothing
+    * to quantize, bit-equal in any engine.
+    *
+    * Scale shape: one map-side-combined per-source aggregate (tens of
+    * rows), a 1-row total broadcast back, and the remainder rank runs on
+    * the source-bounded frame — the unpartitioned window is over ≤
+    * |sources| rows by construction, never data-scale. */
+  def tokenApportion(s: SparkSession, d: String): DataFrame = {
+    val b = ApportionBudget
+    val per = Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(sum(size(words(col("text"))).cast("long")).as("n_tokens"))
+    val tot = per.agg(sum("n_tokens").as("total"))
+    val quotas = per.crossJoin(broadcast(tot))
+      .withColumn("quota", expr(s"($b * n_tokens) div total"))
+      .withColumn("rem", expr(s"($b * n_tokens) % total"))
+    val short = quotas.agg((lit(b) - sum("quota")).as("r"))
+    // bounded global window: exactly one row per SOURCE (≤ tens), never
+    // corpus rows — the remainder rank is constant-size by construction
+    val wr = Window.orderBy(col("rem").desc, col("source").asc)
+    quotas.crossJoin(broadcast(short))
+      .withColumn("rr", row_number().over(wr))
+      .withColumn("extra", (col("rr") <= col("r")).cast("long"))
+      .select(col("source"), col("n_tokens"), col("quota"), col("extra"),
+        (col("quota") + col("extra")).as("alloc"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_source_mix" -> (sourceMix _),
     "q_token_pack" -> (tokenPack _),
+    "q_token_apportion" -> (tokenApportion _),
     "q_dsir_weights" -> (dsirWeights _),
     "q_weighted_sample" -> (weightedSample _),
   )
@@ -173,6 +214,26 @@ object TrainingPrep {
     s"list_transform(range(1, len($WordsSql)), i -> $WordsSql[i] || ' ' || $WordsSql[i+1])"
 
   val oracle: Map[String, String] = Map(
+    "q_token_apportion" ->
+      s"""WITH per AS (
+         |  SELECT source, CAST(SUM(len($WordsSql)) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY source
+         |), tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM per
+         |), q AS (
+         |  SELECT source, n_tokens,
+         |         (1000000 * n_tokens) // total AS quota,
+         |         (1000000 * n_tokens) % total AS rem
+         |  FROM per, tot
+         |), sh AS (SELECT CAST(1000000 - SUM(quota) AS BIGINT) AS r FROM q
+         |), rr AS (
+         |  SELECT *, row_number() OVER (ORDER BY rem DESC, source ASC) AS rn FROM q
+         |)
+         |SELECT rr.source, rr.n_tokens,
+         |       CAST(rr.quota AS BIGINT) AS quota,
+         |       CAST(CASE WHEN rr.rn <= sh.r THEN 1 ELSE 0 END AS BIGINT) AS extra,
+         |       CAST(rr.quota + CASE WHEN rr.rn <= sh.r THEN 1 ELSE 0 END AS BIGINT) AS alloc
+         |FROM rr, sh
+         |ORDER BY rr.source""".stripMargin,
     "q_weighted_sample" ->
       s"""WITH h AS (
          |  SELECT source, doc_id, n_chars,

@@ -203,4 +203,26 @@ class CurationSpec extends AnyFunSuite {
     assert(exTotal === graft.ops.Dedup.dedupExact(spark, sf).count(),
       "composed stage 1 must match standalone dedupExact")
   }
+
+  test("quantile normalization: uniform [0,1] marginals per source, monotone in quality") {
+    val bySrc = ops.Curation.quantileNorm(spark, sf).collect()
+      .map(r => (r.getString(1), r.getDouble(2), r.getInt(3), r.getDouble(4)))
+      .groupBy(_._1)
+    assert(bySrc.nonEmpty)
+    bySrc.foreach { case (src, rows) =>
+      val ordered = rows.sortBy(_._3)
+      assert(ordered.head._4 === 0.0, s"$src: lowest rank must normalize to 0")
+      assert(math.abs(ordered.last._4 - 1.0) < 1e-9, s"$src: highest rank must normalize to 1")
+      // qnorm strictly increases with rank; quality non-decreasing along it
+      ordered.toSeq.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(b._4 > a._4, s"$src: qnorm not strictly increasing")
+          assert(b._2 >= a._2, s"$src: quality not sorted along ranks")
+        case _ =>
+      }
+      // rank-based normalization has an exactly uniform mean: 1/2
+      val mean = ordered.map(_._4).sum / ordered.length
+      assert(math.abs(mean - 0.5) < 1e-6, s"$src: mean qnorm $mean != 0.5")
+    }
+  }
 }

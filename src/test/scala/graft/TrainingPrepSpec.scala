@@ -37,4 +37,23 @@ class TrainingPrepSpec extends AnyFunSuite {
       .filter(col("shard") < col("prev_shard"))
     assert(bad.count() == 0)
   }
+
+  test("token apportionment: allocations sum EXACTLY to the budget, each within 1 of its quota") {
+    val rows = ops.TrainingPrep.tokenApportion(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val budget = 1000000L
+    assert(rows.map(_.getLong(4)).sum === budget, "largest-remainder must restore the exact budget")
+    rows.foreach { r =>
+      val (quota, extra, alloc) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(extra == 0L || extra == 1L)
+      assert(alloc === quota + extra)
+    }
+    // quota-monotone in token mass: a strictly larger source never gets a
+    // smaller base quota (floor of a monotone function)
+    val byTokens = rows.sortBy(_.getLong(1))
+    byTokens.map(_.getLong(2)).toSeq.sliding(2).foreach {
+      case Seq(a, b) => assert(a <= b, "base quota not monotone in source size")
+      case _ =>
+    }
+  }
 }
