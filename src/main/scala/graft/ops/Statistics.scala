@@ -90,15 +90,19 @@ object Statistics {
       .orderBy("l_returnflag")
   }
 
-  /** Sum of the two middle order statistics (= 2·median, exact) of the
-    * integer column `v` per `key` — the rank-selection discipline
+  /** Sum of the two middle order statistics (= 2·median) of the numeric
+    * column `v` per `key` — the rank-selection discipline
     * (q_percentile_disc) applied to the continuous median: for n rows the
     * middle ranks are r1 = ⌊(n+1)/2⌋ and r2 = ⌊(n+2)/2⌋ (equal when n is
     * odd), and quantile_cont(0.5) = (v[r1] + v[r2]) / 2. Returning the
-    * SUM keeps everything in BIGINT — no half-way point, no IEEE, no
-    * engine divergence. The per-key rank window runs over DISTINCT values
-    * of `v` (bounded by the value domain, not the row count), so the sort
-    * partition stays small even when the fact table doesn't. */
+    * SUM m1+m2 avoids the half-way point: for BIGINT inputs it is exact;
+    * for DOUBLE inputs each rank-selected SUM has exactly ONE non-null
+    * term (the cumulative ranges partition the ranks), so the only IEEE
+    * op is the final m1+m2 add — correctly rounded on identical inputs
+    * in every engine, no interpolation anywhere. The per-key rank window
+    * runs over DISTINCT values of `v` (bounded by the value domain, not
+    * the row count), so the sort partition stays small even when the
+    * fact table doesn't. */
   private def medianX2(df: DataFrame, key: String, v: String, out: String): DataFrame = {
     val w = Window.partitionBy(key).orderBy(v)
     val ranked = df.groupBy(col(key), col(v)).agg(count(lit(1)).as("cnt"))
@@ -119,53 +123,56 @@ object Statistics {
     *
     * Cross-engine exactness: this family is the worst case for IEEE
     * parity — an even-count median of 2-dp data lands exactly on a
-    * `x.xx5` half-way point, where even the floor-quantize recipe flips
-    * on a 1-ulp `quantile_cont` interpolation difference between engine
-    * builds. So no IEEE arithmetic happens at all until the final
-    * display projection: `value` enters the exact integer domain as
-    * cents (`CAST(value AS DECIMAL(18,2)) · 100` — the decimal cast
-    * absorbs the double's 1-ulp noise identically in both engines, where
-    * `floor(value·100)` would not), the median is a rank-selected SUM of
-    * the two middle order statistics ([[medianX2]]: med2 = 2·median in
-    * cents), deviations dev2 = |2c − med2| are exact half-cent integers,
-    * the MAD repeats the same selection (mad4 = 2·MAD in half-cents),
-    * and the threshold test `dev > 3·1.4826·mad` becomes the BIGINT
-    * comparison `dev2·20000 > 3·14826·mad4` (both sides scaled to
-    * quarter-cents·10⁴; 1.4826 = 14826/10⁴ exactly). The reported
-    * doubles are each ONE IEEE division of identical integers — bitwise
-    * identical across engines by IEEE-754 exact rounding.
+    * `x.xx5` half-way point, where `quantile_cont` interpolation and
+    * even a double→DECIMAL(18,2) quantization cast can each flip on a
+    * 1-ulp difference between engine BUILDS (the r6 driver's DuckDB
+    * resolved at least one fixture value's cents differently from both
+    * Spark and local DuckDB — the cast itself was the knife-edge). So
+    * this path performs NO quantization at all: the raw parquet doubles
+    * are the domain. The distinct-value group key is the exact double
+    * (bit equality — both engines read identical bits from the same
+    * file), the median is rank-selected as the two middle order
+    * statistics m1, m2 (r1 = ⌊(n+1)/2⌋, r2 = ⌊(n+2)/2⌋; [[medianX2]]
+    * returns m1+m2, one correctly-rounded IEEE add of identical
+    * inputs), and every derived quantity is a single elementary IEEE
+    * op on identical operands — med = (m1+m2)·0.5 (exact scaling),
+    * dev = |v − med| (one subtraction), mad likewise rank-selected
+    * from the exact dev doubles, thr = (3.0·1.4826)·mad (the constant
+    * folds to the same double in both engines — the oracle pins DOUBLE
+    * literals with `e0` so DuckDB cannot route through DECIMAL), and
+    * the gate `dev > thr` compares identical bit patterns. IEEE-754
+    * mandates correct rounding for each of +, −, ×, so no
+    * engine-version freedom remains anywhere on the path.
     *
     * Scale shape: two rank-selection passes over (type, distinct-value)
     * aggregates, stats broadcast back — the events table is never
     * shuffled. */
   def outlierMad(s: SparkSession, d: String): DataFrame = {
-    // NULLs excluded EXPLICITLY (mirrored in the oracle): the old
-    // percentile() aggregate skipped them implicitly, but rank selection
+    // NULLs excluded EXPLICITLY (mirrored in the oracle): rank selection
     // would count them into n — and Spark windows sort nulls first while
     // DuckDB sorts them last, so their mere presence would shift every
     // rank cross-engine
-    val ev = Tables.events(s, d).filter(col("value").isNotNull).select(
-      col("event_type"),
-      (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("c"))
-    val med = medianX2(ev, "event_type", "c", "med2")
-      .withColumnRenamed("event_type", "t")
+    val ev = Tables.events(s, d).filter(col("value").isNotNull)
+      .select(col("event_type"), col("value").as("v"))
+    val med = medianX2(ev, "event_type", "v", "med2")
+      .select(col("event_type").as("t"), (col("med2") * lit(0.5)).as("med"))
     // staged: dev feeds both the MAD rank-selection pass and the final
     // aggregate — without it the scan + median join runs per consumer
     val dev = graft.util.Ckpt.stage(
       ev.join(broadcast(med), col("event_type") === col("t"))
-        .withColumn("dev2", abs(col("c") * 2 - col("med2"))))
-    val mad = medianX2(dev, "event_type", "dev2", "mad4")
-      .withColumnRenamed("event_type", "t2")
+        .withColumn("dev", abs(col("v") - col("med"))))
+    val mad = medianX2(dev, "event_type", "dev", "mad2")
+      .select(col("event_type").as("t2"), (col("mad2") * lit(0.5)).as("mad"))
     dev.join(broadcast(mad), col("event_type") === col("t2"))
-      .withColumn("thr4e4", lit(3L) * lit(14826L) * col("mad4"))
+      .withColumn("thr", lit(3.0) * lit(1.4826) * col("mad"))
       .groupBy("event_type")
       .agg(
         count(lit(1)).as("n"),
-        (first("med2").cast("double") / lit(200.0)).as("med"),
-        (first("mad4").cast("double") / lit(400.0)).as("mad"),
-        (first("thr4e4").cast("double") / lit(4000000.0)).as("thr"),
-        sum((col("dev2") * 20000 > col("thr4e4")).cast("long")).as("n_outliers"),
-        (max(col("dev2")).cast("double") / lit(200.0)).as("max_dev"))
+        first("med").as("med"),
+        first("mad").as("mad"),
+        first("thr").as("thr"),
+        sum((col("dev") > col("thr")).cast("long")).as("n_outliers"),
+        max("dev").as("max_dev"))
       .orderBy("event_type")
   }
 
@@ -272,10 +279,13 @@ object Statistics {
     *
     * Determinism: with e = r·c/N, each cell's (o−e)²/e equals
     * (o·N − r·c)² / (N·r·c) — an all-integer numerator and denominator.
-    * The square is exact in DECIMAL(38,0), the single division is one
-    * correctly-rounded IEEE op on integer-valued operands (identical in
-    * both engines), and per-cell contributions are 6-dp-quantized into
-    * DECIMAL before the total sums — no accumulated float error anywhere.
+    * The square AND the denominator product are exact in DECIMAL(38,0)
+    * (HUGEINT in the oracle) — n³ would silently wrap a BIGINT product
+    * past ~2.1M events, so the factors promote before multiplying. The
+    * single division is one correctly-rounded IEEE op on integer-valued
+    * operands (identical in both engines), and per-cell contributions are
+    * 6-dp-quantized into DECIMAL before the total sums — no accumulated
+    * float error anywhere.
     *
     * Scale shape: one map-side-combined groupBy over event_type (k ≤ 5
     * rows out regardless of input scale), a 1-row total broadcast back,
@@ -296,7 +306,13 @@ object Statistics {
       count(lit(1)).as("k"))
     def contrib(o: Column, c: Column, n: Column, r: Column) = {
       val num = (o * n - r * c).cast(dec0)
-      round((num * num).cast("double") / (n * r * c).cast("double"), 6)
+      // denominator factors promoted to DECIMAL(38,0) BEFORE multiplying
+      // (ADVICE r6): a LongType product n·r·c wraps silently past ~2.1M
+      // events (n³ > Long.MaxValue) while the oracle's HUGEINT product
+      // stays exact — the decimal product keeps both engines exact and
+      // loud at any input scale
+      val den = n.cast(dec0) * r.cast(dec0) * c.cast(dec0)
+      round((num * num).cast("double") / den.cast("double"), 6)
         .cast(DecimalType(18, 6))
     }
     val perType = cells.crossJoin(broadcast(tot))
@@ -319,8 +335,11 @@ object Statistics {
     * halves as [[chisqDrift]], over [[PsiBins]] equal-width bins of the
     * pooled extent — the score-drift monitor model-serving pipelines alarm
     * on (PSI < 0.1 stable, > 0.25 action). Counts are Laplace-smoothed
-    * (+1 per bin) so empty bins stay finite — the standard practice, and
-    * the smoothing is part of the published metric definition here.
+    * (+1 per bin) over the FULL 0..PsiBins−1 spine (ADVICE r6): a bin
+    * empty in both halves still contributes its smoothed term whenever
+    * n1' ≠ n2', exactly as the published fixed-bin smoothed PSI
+    * prescribes — the spine is generated, not observed, so both engines
+    * smooth the identical bin set by construction.
     *
     * Determinism: with smoothed counts o'ᵢ and totals n', each bin's
     * (p−q)·ln(p/q) factors as diff · L / (n1'·n2') where
@@ -338,16 +357,22 @@ object Statistics {
         .select(col("value"),
           (dayofmonth(col("ts")) <= 15).cast("long").as("early")))
     val ext = ev.agg(min("value").as("lo"), max("value").as("hi"))
-    val binned = graft.util.Ckpt.stage(ev.crossJoin(broadcast(ext))
+    val counts = ev.crossJoin(broadcast(ext))
       .withColumn("bkt",
         when(col("hi") === col("lo"), lit(0)).otherwise(
           least(lit(nb - 1),
             floor((col("value") - col("lo")) * nb / (col("hi") - col("lo"))).cast("int"))))
       .groupBy("bkt")
       .agg(sum(col("early")).as("r1"), sum(lit(1L) - col("early")).as("r2"))
-      // Laplace smoothing: +1 per OBSERVED bin (empty bins never enter the
-      // frame, so both engines smooth the identical bin set)
-      .select(col("bkt"), (col("r1") + 1).as("o1"), (col("r2") + 1).as("o2")))
+    // Laplace smoothing over the GENERATED 0..nb−1 spine: bins empty in
+    // both halves still smooth to (1,1) and contribute whenever the
+    // smoothed totals differ — the published fixed-bin metric. The spine
+    // is a nb-row local range; the join is a broadcast hash join.
+    val spine = s.range(0, nb).select(col("id").cast("int").as("bkt"))
+    val binned = graft.util.Ckpt.stage(spine.join(counts, Seq("bkt"), "left")
+      .select(col("bkt"),
+        (coalesce(col("r1"), lit(0L)) + 1).as("o1"),
+        (coalesce(col("r2"), lit(0L)) + 1).as("o2")))
     val tot = binned.agg(sum("o1").as("n1"), sum("o2").as("n2"))
     val perBin = binned.crossJoin(broadcast(tot))
       .withColumn("diff", col("o1") * col("n2") - col("o2") * col("n1"))
@@ -425,45 +450,49 @@ object Statistics {
         |FROM lineitem
         |GROUP BY 1
         |ORDER BY bucket""".stripMargin,
+    // NOTE the e0 suffixes: 0.5e0/3.0e0/1.4826e0 force DOUBLE literals in
+    // DuckDB (a bare 1.4826 parses as DECIMAL(5,4), whose product with
+    // 3.0 would round through decimal arithmetic and need not equal the
+    // IEEE double fl(3.0*1.4826) Spark's constant folding produces)
     "q_outlier_mad" ->
       """WITH ev AS (
-        |  SELECT event_type, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  SELECT event_type, value AS v
         |  FROM events WHERE value IS NOT NULL
         |), cg AS (
-        |  SELECT event_type, c, count(*) AS cnt FROM ev GROUP BY 1, 2
+        |  SELECT event_type, v, count(*) AS cnt FROM ev GROUP BY 1, 2
         |), cr AS (
-        |  SELECT event_type, c, cnt,
-        |         SUM(cnt) OVER (PARTITION BY event_type ORDER BY c) AS cum,
+        |  SELECT event_type, v, cnt,
+        |         SUM(cnt) OVER (PARTITION BY event_type ORDER BY v) AS cum,
         |         SUM(cnt) OVER (PARTITION BY event_type) AS n
         |  FROM cg
         |), m AS (
         |  SELECT event_type AS t,
-        |         SUM(CASE WHEN cum - cnt < (n + 1) // 2 AND (n + 1) // 2 <= cum THEN c END)
-        |       + SUM(CASE WHEN cum - cnt < (n + 2) // 2 AND (n + 2) // 2 <= cum THEN c END) AS med2
+        |         (SUM(CASE WHEN cum - cnt < (n + 1) // 2 AND (n + 1) // 2 <= cum THEN v END)
+        |        + SUM(CASE WHEN cum - cnt < (n + 2) // 2 AND (n + 2) // 2 <= cum THEN v END)) * 0.5e0 AS med
         |  FROM cr GROUP BY 1
         |), dv AS (
-        |  SELECT ev.event_type, ev.c, m.med2, abs(ev.c * 2 - m.med2) AS dev2
+        |  SELECT ev.event_type, ev.v, m.med, abs(ev.v - m.med) AS dev
         |  FROM ev JOIN m ON ev.event_type = m.t
         |), dg AS (
-        |  SELECT event_type, dev2, count(*) AS cnt FROM dv GROUP BY 1, 2
+        |  SELECT event_type, dev, count(*) AS cnt FROM dv GROUP BY 1, 2
         |), dr AS (
-        |  SELECT event_type, dev2, cnt,
-        |         SUM(cnt) OVER (PARTITION BY event_type ORDER BY dev2) AS cum,
+        |  SELECT event_type, dev, cnt,
+        |         SUM(cnt) OVER (PARTITION BY event_type ORDER BY dev) AS cum,
         |         SUM(cnt) OVER (PARTITION BY event_type) AS n
         |  FROM dg
         |), md AS (
         |  SELECT event_type AS t2,
-        |         SUM(CASE WHEN cum - cnt < (n + 1) // 2 AND (n + 1) // 2 <= cum THEN dev2 END)
-        |       + SUM(CASE WHEN cum - cnt < (n + 2) // 2 AND (n + 2) // 2 <= cum THEN dev2 END) AS mad4
+        |         (SUM(CASE WHEN cum - cnt < (n + 1) // 2 AND (n + 1) // 2 <= cum THEN dev END)
+        |        + SUM(CASE WHEN cum - cnt < (n + 2) // 2 AND (n + 2) // 2 <= cum THEN dev END)) * 0.5e0 AS mad
         |  FROM dr GROUP BY 1
         |)
         |SELECT dv.event_type,
         |       count(*) AS n,
-        |       CAST(min(dv.med2) AS DOUBLE) / 200.0 AS med,
-        |       CAST(min(md.mad4) AS DOUBLE) / 400.0 AS mad,
-        |       CAST(min(3 * 14826 * md.mad4) AS DOUBLE) / 4000000.0 AS thr,
-        |       SUM(CASE WHEN dv.dev2 * 20000 > 3 * 14826 * md.mad4 THEN 1 ELSE 0 END) AS n_outliers,
-        |       CAST(max(dv.dev2) AS DOUBLE) / 200.0 AS max_dev
+        |       min(dv.med) AS med,
+        |       min(md.mad) AS mad,
+        |       min(3.0e0 * 1.4826e0 * md.mad) AS thr,
+        |       SUM(CASE WHEN dv.dev > 3.0e0 * 1.4826e0 * md.mad THEN 1 ELSE 0 END) AS n_outliers,
+        |       max(dv.dev) AS max_dev
         |FROM dv JOIN md ON dv.event_type = md.t2
         |GROUP BY dv.event_type
         |ORDER BY dv.event_type""".stripMargin,
@@ -503,9 +532,9 @@ object Statistics {
         |), per AS (
         |  SELECT event_type, o1, o2, k,
         |         CAST(round(CAST(CAST(o1*n - (o1+o2)*c1 AS HUGEINT) * CAST(o1*n - (o1+o2)*c1 AS HUGEINT) AS DOUBLE)
-        |                    / CAST(n * (o1+o2) * c1 AS DOUBLE), 6) AS DECIMAL(18,6))
+        |                    / CAST(CAST(n AS HUGEINT) * (o1+o2) * c1 AS DOUBLE), 6) AS DECIMAL(18,6))
         |       + CAST(round(CAST(CAST(o2*n - (o1+o2)*c2 AS HUGEINT) * CAST(o2*n - (o1+o2)*c2 AS HUGEINT) AS DOUBLE)
-        |                    / CAST(n * (o1+o2) * c2 AS DOUBLE), 6) AS DECIMAL(18,6)) AS contrib
+        |                    / CAST(CAST(n AS HUGEINT) * (o1+o2) * c2 AS DOUBLE), 6) AS DECIMAL(18,6)) AS contrib
         |  FROM cells, tot
         |), t2 AS (SELECT SUM(contrib) AS chi2_d, min(k) AS kk FROM per)
         |SELECT per.event_type,
@@ -527,7 +556,10 @@ object Statistics {
         |              ELSE least(9, CAST(floor((value - lo) * 10 / (hi - lo)) AS INT)) END AS bkt,
         |         SUM(early) AS r1, SUM(1 - early) AS r2
         |  FROM ev, ext GROUP BY 1
-        |), sm AS (SELECT bkt, r1 + 1 AS o1, r2 + 1 AS o2 FROM b
+        |), sp AS (SELECT CAST(i AS INT) AS bkt FROM range(10) t(i)
+        |), sm AS (
+        |  SELECT sp.bkt, COALESCE(b.r1, 0) + 1 AS o1, COALESCE(b.r2, 0) + 1 AS o2
+        |  FROM sp LEFT JOIN b ON sp.bkt = b.bkt
         |), tot AS (SELECT SUM(o1) AS n1, SUM(o2) AS n2 FROM sm
         |), per AS (
         |  SELECT bkt, o1, o2,

@@ -87,22 +87,19 @@ class StatisticsSpec extends AnyFunSuite {
     out.foreach { r =>
       val (mad, thr, nOut, n) =
         (r.getDouble(3), r.getDouble(4), r.getLong(5), r.getLong(1))
-      // thr = 3·1.4826·mad holds exactly in the integer domain; the
-      // reported doubles are each one division, so compare to 1 ulp-scale
-      assert(math.abs(thr - 3.0 * 1.4826 * mad) <= 1e-9 * math.max(1.0, thr))
+      // thr = (3.0·1.4826)·mad is the exact expression the operator
+      // evaluates (left-associated IEEE ops), so equality is BITWISE
+      assert(thr === 3.0 * 1.4826 * mad)
       assert(nOut >= 0 && nOut < n, "outliers must be a strict minority")
     }
-    // direct recount for one event type, in the same integer domain the
-    // operator uses (cents / half-cents / quarter-cents·10⁴)
+    // direct recount for one event type, in the same raw-double domain
+    // the operator uses (dev = |value − med|, gate dev > thr — both
+    // single IEEE ops, so the recount must agree EXACTLY)
     val first = out(0)
     val (t, med, thr) = (first.getString(0), first.getDouble(2), first.getDouble(4))
-    val med2 = math.round(med * 200.0)
-    val thr4e4 = math.round(thr * 4000000.0)
     val recount = Tables.events(spark, sf)
-      .filter(col("event_type") === t)
-      .select((col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
-        .cast("long").as("c"))
-      .filter(abs(col("c") * 2 - lit(med2)) * 20000 > lit(thr4e4)).count()
+      .filter(col("event_type") === t && col("value").isNotNull)
+      .filter(abs(col("value") - lit(med)) > lit(thr)).count()
     assert(recount === first.getLong(5))
   }
 
