@@ -15,6 +15,13 @@ import java.util.Locale
   *
   * Query failures are recorded per-name and counted in both stdout lines —
   * never silently folded into a sentinel timing.
+  *
+  * Timing protocol (VERDICT round-6 item 3): every query runs
+  * `SPARK_GRAFT_BENCH_PASSES` times (default 3); the reported per-query
+  * number and the total are per-query MINIMA, the standard estimator that
+  * rejects external machine load (the recorded r4/r5 confound: 147 s
+  * loaded vs 109 s idle for the same binary). Raw pass times are kept in
+  * BENCH_FULL.json's `runs` so cross-pass variance stays auditable.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -54,29 +61,50 @@ object Bench {
     }
     // dev-only subset filter (comma-separated names); driver leaves it unset
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // repeated-measure protocol (VERDICT round-6 item 3): rounds 4/5 showed
+    // ±35% total-time noise from leftover machine load (147 s loaded vs
+    // 109 s idle, same binary), so a single pass cannot support cross-round
+    // comparisons. Each query now runs SPARK_GRAFT_BENCH_PASSES times
+    // (default 3) and reports the per-query MIN — the standard
+    // load-rejection estimator (min is the run least perturbed by external
+    // load; the work itself is deterministic). All raw pass times land in
+    // BENCH_FULL.json under `runs` so the variance stays visible.
+    val passes = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt)
     // cumulative time spent in per-query staged-block cleanup — excluded
     // from per-query/total timings (each query models an independent job;
     // SCALE.md documents the boundary) but reported in BENCH_FULL.json so
     // the boundary choice stays auditable (ADVICE round 4)
     var releaseSec = 0.0
-    val results: Seq[(String, Double, Option[String])] =
+    val results: Seq[(String, Double, Seq[Double], Option[String])] =
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (n, _) => only.forall(_.contains(n)) }
         .map { case (name, fn) =>
-          val t0 = System.nanoTime()
-          val err = try { fn(spark, sfDir).count(); None }
+          val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+          var err: Option[String] = None
+          var failDur = 0.0
+          var p = 0
+          // a pass that throws ends the query's measurement — reruns of a
+          // deterministically-failing query would triple the error path's
+          // cost for no information
+          while (p < passes && err.isEmpty) {
+            val t0 = System.nanoTime()
+            try { fn(spark, sfDir).count(); times += (System.nanoTime() - t0) / 1e9 }
             catch { case e: Throwable =>
-              Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(160)}")
+              failDur = (System.nanoTime() - t0) / 1e9
+              err = Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(160)}")
             }
-          val t = (System.nanoTime() - t0) / 1e9
-          // untimed: drop the query's staged checkpoint blocks so later
-          // queries aren't degraded by dead-block storage/GC pressure
-          // (each query is an independent job; see Ckpt.release).
-          // blocking — otherwise removal overlaps the next timed window
-          val r0 = System.nanoTime()
-          util.Ckpt.release(spark, blocking = true)
-          releaseSec += (System.nanoTime() - r0) / 1e9
-          (name, t, err)
+            // untimed: drop the query's staged checkpoint blocks so later
+            // passes/queries aren't degraded by dead-block storage/GC
+            // pressure (each query is an independent job; see Ckpt.release).
+            // blocking — otherwise removal overlaps the next timed window
+            val r0 = System.nanoTime()
+            util.Ckpt.release(spark, blocking = true)
+            releaseSec += (System.nanoTime() - r0) / 1e9
+            p += 1
+          }
+          val t = if (times.nonEmpty) times.min else failDur
+          (name, t, times.toSeq, err)
         }
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
     def r3(v: Double): String = "%.3f".formatLocal(Locale.ROOT, v)
@@ -86,14 +114,17 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
     val total = results.map(_._2).sum
-    val errors = results.collect { case (n, _, Some(e)) => n -> e }
+    val errors = results.collect { case (n, _, _, Some(e)) => n -> e }
     errors.foreach { case (n, e) => System.err.println(s"[bench] FAILED $n: $e") }
     // the `queries` timing maps carry ONLY successful runs — a failed
     // query's time-to-exception is not a benchmark number and must not
     // rank; failures report duration separately under `failed`
-    val ok = results.collect { case (n, t, None) => n -> t }
+    val ok = results.collect { case (n, t, _, None) => n -> t }
     val fullQs = ok.map { case (k, v) => s"\"$k\":${r3(v)}" }.mkString("{", ",", "}")
-    val failedQs = results.collect { case (n, t, Some(_)) => s"\"$n\":${r3(t)}" }
+    val runs = results.collect { case (n, _, ts, None) =>
+      s"\"$n\":${ts.map(r3).mkString("[", ",", "]")}"
+    }.mkString("{", ",", "}")
+    val failedQs = results.collect { case (n, t, _, Some(_)) => s"\"$n\":${r3(t)}" }
       .mkString("{", ",", "}")
     val top5 = ok.sortBy(-_._2).take(5)
       .map { case (k, v) => s"\"$k\":${r3(v)}" }.mkString("{", ",", "}")
@@ -103,8 +134,10 @@ object Bench {
     val fileJson = new StringBuilder()
       .append(s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":${jstr(sfDir)},""")
       .append(s""""n_queries":${results.size},"n_errors":${errors.size},""")
+      .append(s""""protocol":"per-query min of $passes passes; raw pass times under runs","passes":$passes,""")
       .append(s""""release_sec":${r3(releaseSec)},""")
       .append(s""""queries":$fullQs,""")
+      .append(s""""runs":$runs,""")
       .append(s""""failed":$failedQs,""")
       .append("\"errors\":")
       .append(errors.map { case (n, e) => s"${jstr(n)}:${jstr(e)}" }.mkString("{", ",", "}"))
