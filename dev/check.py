@@ -29,7 +29,66 @@ def norm(df):
         # duckdb hugeint / decimal → float-safe compare via object
     return df
 
+def castscan(sfdirs):
+    """Fixture sweep for the double→DECIMAL knife-edge (VERDICT r6 item 5).
+
+    For every double column an oracled query has ever quantized
+    (events.value historically; l_extendedprice/l_quantity/acctbals as a
+    margin), compare THIS DuckDB build's CAST(x AS DECIMAL(18,2)) cents
+    against Java/Spark's BigDecimal.valueOf(x).setScale(2, HALF_UP) rule
+    (reproduced exactly here: round-half-up on the SHORTEST decimal repr,
+    which is what BigDecimal.valueOf uses). Any disagreement is a value on
+    which a decimal-cast query would go driver-red even when the local
+    gate is green — the r4–r6 q_outlier_mad failure class. Fixtures
+    regenerate between rounds, so run this every round.
+    """
+    import decimal
+    cols = [("events", "value"), ("lineitem", "l_extendedprice"),
+            ("lineitem", "l_quantity"), ("customer", "c_acctbal"),
+            ("supplier", "s_acctbal"), ("orders", "o_totalprice"),
+            ("part", "p_retailprice")]
+    total_bad = 0
+    for sfdir in sfdirs:
+        for tbl, col in cols:
+            p = os.path.join(sfdir, f"{tbl}.parquet")
+            if not os.path.exists(p):
+                continue
+            if os.path.isdir(p):
+                p = os.path.join(p, "*.parquet")
+            # scale 2 = the retired q_outlier_mad cents cast; scale 6 = the
+            # DECIMAL(24,6) quantum every dsum() ingestion cast uses
+            rows = duckdb.sql(
+                f"SELECT DISTINCT {col} AS v, "
+                f"CAST(CAST({col} AS DECIMAL(18,2)) * 100 AS BIGINT), "
+                f"CAST(CAST({col} AS DECIMAL(24,6)) * 1000000 AS BIGINT) "
+                f"FROM read_parquet('{p}') WHERE {col} IS NOT NULL").fetchall()
+            bad = []
+            for v, duck2, duck6 in rows:
+                # BigDecimal.valueOf(double) = Double.toString shortest repr;
+                # repr(float) in py3 is the same shortest round-trip decimal
+                dv = decimal.Decimal(repr(v))
+                java2 = int(dv.scaleb(2).to_integral_value(rounding=decimal.ROUND_HALF_UP))
+                java6 = int(dv.scaleb(6).to_integral_value(rounding=decimal.ROUND_HALF_UP))
+                if java2 != duck2 or java6 != duck6:
+                    bad.append((v, duck2, java2, duck6, java6))
+            tag = f"{sfdir} {tbl}.{col}"
+            if bad:
+                total_bad += len(bad)
+                print(f"CASTSCAN DISAGREE {tag}: {len(bad)}/{len(rows)} values")
+                for v, d2, j2, d6, j6 in bad[:5]:
+                    print(f"  value={v!r} scale2 duck={d2} java={j2} | scale6 duck={d6} java={j6}")
+            else:
+                print(f"CASTSCAN OK {tag}: {len(rows)} distinct values agree (scales 2 and 6)")
+    print(f"== castscan: {total_bad} disagreeing values ==")
+    print("(disagreements mean: never CAST this column to DECIMAL inside an"
+          " oracled query — this DuckDB build and Spark's HALF_UP differ;"
+          " the driver's build can differ even when this one agrees)")
+    sys.exit(1 if total_bad else 0)
+
 def main():
+    if sys.argv[1] == "--castscan":
+        castscan(sys.argv[2:] or sorted(glob.glob("/root/testdata/sf*")))
+        return
     sfdir, outdir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
     for t in TABLES:

@@ -24,7 +24,14 @@ object Streams {
     * tracks the fixture's physical layout (int64 nanos in the original
     * generation, timestamp[us]/NTZ in the regenerated one — see
     * [[graft.Tables.events]]), then apply the same normalization the batch
-    * loader uses so both shapes yield an identical TimestampType column. */
+    * loader uses so both shapes yield an identical TimestampType column.
+    *
+    * Failure mode (ADVICE r6): source binding is EAGER — the footer read
+    * and FS stat run at stream construction, so a missing events.parquet
+    * throws FileNotFoundException here rather than defining a stream that
+    * silently emits nothing (the pre-layout-aware behavior). Loud-early is
+    * intentional; callers expecting lazy binding should existence-check
+    * the path first. */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val table = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
