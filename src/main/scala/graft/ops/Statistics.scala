@@ -193,16 +193,21 @@ object Statistics {
     * largest sort partition is one bucket, not the whole value space —
     * the distributed prefix-sum decomposition cum(v) = offset(bucket(v))
     * + within-bucket cum(v). */
-  def ksDrift(s: SparkSession, d: String): DataFrame = {
-    val nb = KsBuckets
-    // staged: ev feeds extent + bucketing + totals, gaps feeds the argmax
-    // join twice — without staging each consumer re-runs the whole subtree
-    val ev = graft.util.Ckpt.stage(Tables.events(s, d)
+  def ksDrift(s: SparkSession, d: String): DataFrame =
+    ksFromAgg(graft.util.Ckpt.stage(Tables.events(s, d)
       .filter(col("event_type").isin("click", "view"))
       .groupBy("value")
       .agg(
         sum((col("event_type") === "click").cast("long")).as("c1"),
-        sum((col("event_type") === "view").cast("long")).as("c2")))
+        sum((col("event_type") === "view").cast("long")).as("c2"))))
+
+  /** [[ksDrift]] body downstream of the per-value count frame `ev`
+    * (pre-staged (value, c1, c2)) — shared with [[driftReport]], which
+    * derives `ev` from its single staged scan of events. */
+  private def ksFromAgg(ev: DataFrame): DataFrame = {
+    val nb = KsBuckets
+    // staged input: ev feeds extent + bucketing + totals, gaps feeds the
+    // argmax join twice — without staging each consumer re-runs the subtree
     val ext = ev.agg(min("value").as("lo"), max("value").as("hi"))
     val bucketed = ev.crossJoin(broadcast(ext))
       .withColumn("bkt",
@@ -292,14 +297,29 @@ object Statistics {
     * and all chi-square arithmetic on the k-row frame. The fact table is
     * scanned once and never shuffled wide. */
   def chisqDrift(s: SparkSession, d: String): DataFrame = {
-    val dec0 = DecimalType(38, 0)
-    val cells = graft.util.Ckpt.stage(
+    val perType = chisqPerType(graft.util.Ckpt.stage(
       Tables.events(s, d)
         .select(col("event_type"),
           (dayofmonth(col("ts")) <= 15).cast("long").as("early"))
         .groupBy("event_type")
         .agg(sum(col("early")).as("o1"),
-          sum(lit(1L) - col("early")).as("o2")))
+          sum(lit(1L) - col("early")).as("o2"))))
+    val chi2 = perType.agg(
+      sum("contrib").as("chi2_d"), first("k").as("kk"))
+    perType.crossJoin(broadcast(chi2))
+      .select(col("event_type"),
+        col("o1").as("n_early"), col("o2").as("n_late"),
+        col("contrib").cast("double").as("contrib"),
+        col("chi2_d").cast("double").as("chi2"),
+        (col("kk") - 1).as("df"))
+      .orderBy("event_type")
+  }
+
+  /** [[chisqDrift]]'s per-cell arithmetic over a pre-staged contingency
+    * frame `cells` = (event_type, o1, o2) — shared with [[driftReport]].
+    * Returns one row per event_type with (o1, o2, k, contrib). */
+  private def chisqPerType(cells: DataFrame): DataFrame = {
+    val dec0 = DecimalType(38, 0)
     val tot = cells.agg(
       sum("o1").as("c1"), sum("o2").as("c2"),
       sum(col("o1") + col("o2")).as("n"),
@@ -315,20 +335,11 @@ object Statistics {
       round((num * num).cast("double") / den.cast("double"), 6)
         .cast(DecimalType(18, 6))
     }
-    val perType = cells.crossJoin(broadcast(tot))
+    cells.crossJoin(broadcast(tot))
       .withColumn("r", col("o1") + col("o2"))
       .withColumn("contrib",
         contrib(col("o1"), col("c1"), col("n"), col("r")) +
           contrib(col("o2"), col("c2"), col("n"), col("r")))
-    val chi2 = perType.agg(
-      sum("contrib").as("chi2_d"), first("k").as("kk"))
-    perType.crossJoin(broadcast(chi2))
-      .select(col("event_type"),
-        col("o1").as("n_early"), col("o2").as("n_late"),
-        col("contrib").cast("double").as("contrib"),
-        col("chi2_d").cast("double").as("chi2"),
-        (col("kk") - 1).as("df"))
-      .orderBy("event_type")
   }
 
   /** Population Stability Index of `value` between the same early/late
@@ -350,12 +361,21 @@ object Statistics {
     * Scale shape: the [[ksDrift]] two-phase discipline — extent as a 1-row
     * broadcast, binning inside the first map-side-combined aggregate
     * (PsiBins rows out), all PSI arithmetic on the bin-count frame. */
-  def psiDrift(s: SparkSession, d: String): DataFrame = {
-    val nb = PsiBins
-    val ev = graft.util.Ckpt.stage(
+  def psiDrift(s: SparkSession, d: String): DataFrame =
+    psiPerBin(s, graft.util.Ckpt.stage(
       Tables.events(s, d)
         .select(col("value"),
-          (dayofmonth(col("ts")) <= 15).cast("long").as("early")))
+          (dayofmonth(col("ts")) <= 15).cast("long").as("early"))))
+      .select(col("bkt"), (col("o1") - 1).as("n_early"), (col("o2") - 1).as("n_late"),
+        col("contrib").cast("double").as("contrib"),
+        col("psi_d").cast("double").as("psi"))
+      .orderBy("bkt")
+
+  /** [[psiDrift]] body over a pre-staged (value, early) frame `ev` —
+    * shared with [[driftReport]]. Returns one row per spine bin with
+    * (bkt, o1, o2, contrib, psi_d). */
+  private def psiPerBin(s: SparkSession, ev: DataFrame): DataFrame = {
+    val nb = PsiBins
     val ext = ev.agg(min("value").as("lo"), max("value").as("hi"))
     val counts = ev.crossJoin(broadcast(ext))
       .withColumn("bkt",
@@ -384,10 +404,6 @@ object Statistics {
           (col("n1") * col("n2")).cast("double"), 6).cast(DecimalType(18, 6)))
     val psi = perBin.agg(sum("contrib").as("psi_d"))
     perBin.crossJoin(broadcast(psi))
-      .select(col("bkt"), (col("o1") - 1).as("n_early"), (col("o2") - 1).as("n_late"),
-        col("contrib").cast("double").as("contrib"),
-        col("psi_d").cast("double").as("psi"))
-      .orderBy("bkt")
   }
 
   /** Bin count for [[psiDrift]] — ten bins is the industry-standard PSI
@@ -395,6 +411,47 @@ object Statistics {
     * edges engine-exact (quantile edges would reopen the interpolation
     * knife-edge q_outlier_mad closed). */
   private[graft] val PsiBins = 10
+
+  /** Composed drift report: the three monitors ([[ksDrift]] continuous,
+    * [[chisqDrift]] categorical, [[psiDrift]] binned-score) reduced to one
+    * row each — (monitor, n_a, n_b, stat) — off a SINGLE staged scan of
+    * events, the way a scheduled snapshot-vs-snapshot check actually runs
+    * (one pass over the day's partition, one alarm row per monitor;
+    * mirrors q_dq_report's one-pass/many-checks design).
+    *
+    * Sharing shape: the staged base (event_type, value, early) feeds all
+    * three derivations; each monitor's arithmetic is the SAME private
+    * helper its standalone query uses ([[chisqPerType]], [[psiPerBin]],
+    * [[ksFromAgg]]), so the composed stats are cell-identical to the
+    * standalone queries' by construction, and the events table is read
+    * once instead of three times. Every reduction below the base is over
+    * constant-bounded frames (≤5 types, 10 bins, 32 buckets), so the
+    * report's incremental cost over one events scan is trivial at any
+    * input scale. */
+  def driftReport(s: SparkSession, d: String): DataFrame = {
+    val base = graft.util.Ckpt.stage(
+      Tables.events(s, d).select(
+        col("event_type"), col("value"),
+        (dayofmonth(col("ts")) <= 15).cast("long").as("early")))
+    val chi = chisqPerType(graft.util.Ckpt.stage(
+      base.groupBy("event_type")
+        .agg(sum(col("early")).as("o1"), sum(lit(1L) - col("early")).as("o2"))))
+      .agg(sum("o1").as("n_a"), sum("o2").as("n_b"),
+        sum("contrib").cast("double").as("stat"))
+      .select(lit("chisq").as("monitor"), col("n_a"), col("n_b"), col("stat"))
+    val ks = ksFromAgg(graft.util.Ckpt.stage(
+      base.filter(col("event_type").isin("click", "view"))
+        .groupBy("value")
+        .agg(sum((col("event_type") === "click").cast("long")).as("c1"),
+          sum((col("event_type") === "view").cast("long")).as("c2"))))
+      .select(lit("ks").as("monitor"),
+        col("n1").as("n_a"), col("n2").as("n_b"), col("ks").as("stat"))
+    val psi = psiPerBin(s, base.select(col("value"), col("early")))
+      .agg(sum(col("o1") - 1).as("n_a"), sum(col("o2") - 1).as("n_b"),
+        min("psi_d").cast("double").as("stat"))
+      .select(lit("psi").as("monitor"), col("n_a"), col("n_b"), col("stat"))
+    chi.unionByName(ks).unionByName(psi).orderBy("monitor")
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_corr_regr" -> (corrRegr _),
@@ -405,6 +462,7 @@ object Statistics {
     "q_ks_drift" -> (ksDrift _),
     "q_chisq_drift" -> (chisqDrift _),
     "q_psi_drift" -> (psiDrift _),
+    "q_drift_report" -> (driftReport _),
     "q_winsorize" -> (winsorize _),
   )
 
@@ -575,6 +633,74 @@ object Statistics {
         |       CAST(t.psi_d AS DOUBLE) AS psi
         |FROM per, t
         |ORDER BY per.bkt""".stripMargin,
+    // scalar reductions of the SAME CTE bodies as the three standalone
+    // monitor oracles — the composed report must be cell-identical to its
+    // parts, so the SQL reuses their arithmetic verbatim
+    "q_drift_report" ->
+      """WITH cells AS (
+        |  SELECT event_type,
+        |         SUM(CASE WHEN day(CAST(ts AS TIMESTAMP)) <= 15 THEN 1 ELSE 0 END) AS o1,
+        |         SUM(CASE WHEN day(CAST(ts AS TIMESTAMP)) <= 15 THEN 0 ELSE 1 END) AS o2
+        |  FROM events GROUP BY event_type
+        |), ctot AS (
+        |  SELECT SUM(o1) AS c1, SUM(o2) AS c2, SUM(o1 + o2) AS n FROM cells
+        |), cper AS (
+        |  SELECT o1, o2,
+        |         CAST(round(CAST(CAST(o1*n - (o1+o2)*c1 AS HUGEINT) * CAST(o1*n - (o1+o2)*c1 AS HUGEINT) AS DOUBLE)
+        |                    / CAST(CAST(n AS HUGEINT) * (o1+o2) * c1 AS DOUBLE), 6) AS DECIMAL(18,6))
+        |       + CAST(round(CAST(CAST(o2*n - (o1+o2)*c2 AS HUGEINT) * CAST(o2*n - (o1+o2)*c2 AS HUGEINT) AS DOUBLE)
+        |                    / CAST(CAST(n AS HUGEINT) * (o1+o2) * c2 AS DOUBLE), 6) AS DECIMAL(18,6)) AS contrib
+        |  FROM cells, ctot
+        |), c_row AS (
+        |  SELECT CAST(SUM(o1) AS BIGINT) AS n_a, CAST(SUM(o2) AS BIGINT) AS n_b,
+        |         CAST(SUM(contrib) AS DOUBLE) AS stat
+        |  FROM cper
+        |), kev AS (
+        |  SELECT value,
+        |         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
+        |         SUM(CASE WHEN event_type = 'view'  THEN 1 ELSE 0 END) AS c2
+        |  FROM events WHERE event_type IN ('click', 'view') GROUP BY value
+        |), kg AS (
+        |  SELECT SUM(c1) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+        |         SUM(c2) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2,
+        |         SUM(c1) OVER () AS n1,
+        |         SUM(c2) OVER () AS n2
+        |  FROM kev
+        |), k_row AS (
+        |  SELECT CAST(min(n1) AS BIGINT) AS n_a, CAST(min(n2) AS BIGINT) AS n_b,
+        |         round(CAST(max(abs(cum1 * n2 - cum2 * n1)) AS DOUBLE)
+        |               / CAST(min(n1) * min(n2) AS DOUBLE), 6) AS stat
+        |  FROM kg
+        |), pev AS (
+        |  SELECT value,
+        |         CASE WHEN day(CAST(ts AS TIMESTAMP)) <= 15 THEN 1 ELSE 0 END AS early
+        |  FROM events
+        |), pext AS (SELECT min(value) AS lo, max(value) AS hi FROM pev
+        |), pb AS (
+        |  SELECT CASE WHEN hi = lo THEN 0
+        |              ELSE least(9, CAST(floor((value - lo) * 10 / (hi - lo)) AS INT)) END AS bkt,
+        |         SUM(early) AS r1, SUM(1 - early) AS r2
+        |  FROM pev, pext GROUP BY 1
+        |), psp AS (SELECT CAST(i AS INT) AS bkt FROM range(10) t(i)
+        |), psm AS (
+        |  SELECT psp.bkt, COALESCE(pb.r1, 0) + 1 AS o1, COALESCE(pb.r2, 0) + 1 AS o2
+        |  FROM psp LEFT JOIN pb ON psp.bkt = pb.bkt
+        |), ptot AS (SELECT SUM(o1) AS n1, SUM(o2) AS n2 FROM psm
+        |), pper AS (
+        |  SELECT o1, o2,
+        |         CAST(round(CAST(CAST(o1*n2 - o2*n1 AS DECIMAL(38,6))
+        |                         * CAST(round(ln(CAST(o1*n2 AS DOUBLE) / CAST(o2*n1 AS DOUBLE)), 6) AS DECIMAL(18,6)) AS DOUBLE)
+        |                    / CAST(n1 * n2 AS DOUBLE), 6) AS DECIMAL(18,6)) AS contrib
+        |  FROM psm, ptot
+        |), p_row AS (
+        |  SELECT CAST(SUM(o1 - 1) AS BIGINT) AS n_a, CAST(SUM(o2 - 1) AS BIGINT) AS n_b,
+        |         CAST(SUM(contrib) AS DOUBLE) AS stat
+        |  FROM pper
+        |)
+        |SELECT 'chisq' AS monitor, n_a, n_b, stat FROM c_row
+        |UNION ALL SELECT 'ks', n_a, n_b, stat FROM k_row
+        |UNION ALL SELECT 'psi', n_a, n_b, stat FROM p_row
+        |ORDER BY monitor""".stripMargin,
     "q_winsorize" ->
       """WITH b AS (
         |  SELECT source AS src,

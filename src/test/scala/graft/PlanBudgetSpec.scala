@@ -121,6 +121,15 @@ class PlanBudgetSpec extends AnyFunSuite {
     ("q_psi_drift", 5, 3),            // extent + bin-count aggs over the
                                       // staged event frame; 1-row extent and
                                       // totals broadcast into the bin frame
+    ("q_drift_report", 19, 6),        // composed ks+chisq+psi off one staged
+                                      // base scan: audit mode recomputes that
+                                      // base per monitor branch, so the full
+                                      // unrolled lineage counts 19 — still
+                                      // under the sum of its parts' audit
+                                      // budgets (5+5+10=20); the staged
+                                      // execution reads events ONCE (the
+                                      // composition test pins cell-equality,
+                                      // this pins no-regression)
     ("q_js_divergence", 4, 4),        // vocab-bounded term self-join; totals
                                       // and shared-pair aggregates broadcast
     ("q_mmr_select", 4, 5),           // retrieve-then-rerank: one corpus

@@ -137,4 +137,20 @@ class StatisticsSpec extends AnyFunSuite {
     val n = Tables.events(spark, sf).count()
     assert(rows.map(r => r.getLong(1) + r.getLong(2)).sum === n, "bins partition the stream")
   }
+
+  test("composed drift report is cell-identical to its three standalone monitors") {
+    val rep = ops.Statistics.driftReport(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(rep.keySet === Set("chisq", "ks", "psi"))
+    // the report shares the monitors' arithmetic helpers, so equality must
+    // be EXACT — any tolerance here would mask a divergence in composition
+    val chi = ops.Statistics.chisqDrift(spark, sf).collect()
+    assert(rep("chisq") === ((chi.map(_.getLong(1)).sum, chi.map(_.getLong(2)).sum,
+      chi.head.getDouble(4))))
+    val ks = ops.Statistics.ksDrift(spark, sf).collect().head
+    assert(rep("ks") === ((ks.getLong(0), ks.getLong(1), ks.getDouble(4))))
+    val psi = ops.Statistics.psiDrift(spark, sf).collect()
+    assert(rep("psi") === ((psi.map(_.getLong(1)).sum, psi.map(_.getLong(2)).sum,
+      psi.head.getDouble(4))))
+  }
 }
