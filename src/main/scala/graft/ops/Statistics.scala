@@ -393,6 +393,15 @@ object Statistics {
       .select(col("bkt"),
         (coalesce(col("r1"), lit(0L)) + 1).as("o1"),
         (coalesce(col("r2"), lit(0L)) + 1).as("o2")))
+    psiFromSmoothed(binned)
+  }
+
+  /** PSI arithmetic over an already-smoothed bin frame (bkt, o1, o2) —
+    * the piece [[psiPerBin]] and the streaming twin
+    * ([[graft.streaming.Streams.psiVsBaseline]]) share, so batch and
+    * micro-batch monitors compute the metric identically by construction.
+    * Returns one row per bin with (bkt, o1, o2, contrib, psi_d). */
+  private[graft] def psiFromSmoothed(binned: DataFrame): DataFrame = {
     val tot = binned.agg(sum("o1").as("n1"), sum("o2").as("n2"))
     val perBin = binned.crossJoin(broadcast(tot))
       .withColumn("diff", col("o1") * col("n2") - col("o2") * col("n1"))

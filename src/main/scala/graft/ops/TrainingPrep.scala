@@ -201,12 +201,54 @@ object TrainingPrep {
       .orderBy("source")
   }
 
+  /** Deterministic train/val/test split with a per-source audit — the
+    * assignment every training run makes before anything else, done the
+    * only way that survives re-ingestion: by KEY HASH, not by row order
+    * or `rand()`. Each document's split is `md5("split:" || doc_id)`
+    * against fixed hex thresholds ("05" → ~2.0% test, "0a" → next ~2.0%
+    * val, rest train), so the assignment is a pure row-local projection —
+    * stable across engines, runs, partitionings, and appends (a new
+    * ingest can't move an old document between splits, which would leak
+    * eval data into training). In production the hash key is the
+    * DEDUP-FAMILY key (URL/domain/cluster id) rather than the raw doc id,
+    * so near-duplicates land in the same split; the fixture has no family
+    * key, so doc_id stands in.
+    *
+    * The output is the audit a pipeline actually gates on: per
+    * source × split document and character counts plus each split's share
+    * within its source — imbalance here means a source's key space
+    * correlates with the hash (it must not).
+    *
+    * Scale shape: assignment is scan-local (inside whole-stage codegen,
+    * no exchange); the audit is one map-side-combined groupBy to
+    * ≤ |sources|·3 rows plus a per-source total broadcast join on that
+    * constant-bounded frame. At 100 TB the split column is written with
+    * the shard, and this query is its (free) verification. */
+  def trainSplit(s: SparkSession, d: String): DataFrame = {
+    val split = Tables.documents(s, d)
+      .withColumn("h", md5(concat(lit("split:"), col("doc_id").cast("string"))))
+      .withColumn("split",
+        when(col("h") < "05", lit("test"))
+          .when(col("h") < "0a", lit("val"))
+          .otherwise(lit("train")))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
+    val per = split.groupBy(col("source").as("src"))
+      .agg(sum("n_docs").as("n_src"))
+    split.join(broadcast(per), col("source") === col("src"))
+      .select(col("source"), col("split"), col("n_docs"), col("n_chars"),
+        round(col("n_docs").cast("double") / col("n_src").cast("double"), 4)
+          .as("frac"))
+      .orderBy("source", "split")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_source_mix" -> (sourceMix _),
     "q_token_pack" -> (tokenPack _),
     "q_token_apportion" -> (tokenApportion _),
     "q_dsir_weights" -> (dsirWeights _),
     "q_weighted_sample" -> (weightedSample _),
+    "q_train_split" -> (trainSplit _),
   )
 
   private val WordsSql = "string_split(text, ' ')"
@@ -214,6 +256,25 @@ object TrainingPrep {
     s"list_transform(range(1, len($WordsSql)), i -> $WordsSql[i] || ' ' || $WordsSql[i+1])"
 
   val oracle: Map[String, String] = Map(
+    "q_train_split" ->
+      """WITH sp AS (
+        |  SELECT source, n_chars,
+        |         CASE WHEN md5('split:' || doc_id) < '05' THEN 'test'
+        |              WHEN md5('split:' || doc_id) < '0a' THEN 'val'
+        |              ELSE 'train' END AS split
+        |  FROM documents
+        |), g AS (
+        |  SELECT source, split, count(*) AS n_docs,
+        |         CAST(SUM(n_chars) AS BIGINT) AS n_chars
+        |  FROM sp GROUP BY 1, 2
+        |), per AS (
+        |  SELECT source AS src, CAST(SUM(n_docs) AS BIGINT) AS n_src
+        |  FROM g GROUP BY 1
+        |)
+        |SELECT g.source, g.split, g.n_docs, g.n_chars,
+        |       round(CAST(g.n_docs AS DOUBLE) / CAST(per.n_src AS DOUBLE), 4) AS frac
+        |FROM g JOIN per ON g.source = per.src
+        |ORDER BY g.source, g.split""".stripMargin,
     "q_token_apportion" ->
       s"""WITH per AS (
          |  SELECT source, CAST(SUM(len($WordsSql)) AS BIGINT) AS n_tokens

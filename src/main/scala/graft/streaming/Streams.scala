@@ -96,6 +96,68 @@ object Streams {
       .select(col("vec_id"), (-col("b.negcid")).as("cid"), col("b.ccos").as("ccos"))
   }
 
+  /** Micro-batch PSI drift against a broadcast baseline histogram — the
+    * streaming twin of [[graft.ops.Statistics.psiDrift]], completing the
+    * monitoring-in-flight story: the batch stats job publishes yesterday's
+    * histogram (bkt, cnt) over FIXED bin edges [lo, hi), and each
+    * micro-batch inside `foreachBatch` scores its own value distribution
+    * against it — an alarm fires while data is still landing, not at the
+    * next batch audit.
+    *
+    * Same shape discipline as [[assignCells]]: stateless (no watermark, no
+    * state store — each batch's PSI depends only on that batch and the
+    * broadcast baseline), so the monitor scales with batch size, not
+    * stream history. The PSI arithmetic is
+    * [[graft.ops.Statistics.psiFromSmoothed]] — the SAME code path the
+    * batch monitor runs, so batch and streaming scores are identical by
+    * construction on identical input (pinned by `StreamingSpec`).
+    *
+    * Two deliberate deviations from the batch query's binning, both
+    * forced by streaming semantics: edges come from the BASELINE (a
+    * batch's own extent would make its bins incomparable to the
+    * baseline's), and values below `lo` clamp into bin 0 (the batch
+    * query never sees them — its extent is derived from the data;
+    * a stream scoring against yesterday's edges can). */
+  def psiVsBaseline(batch: DataFrame, baseline: DataFrame,
+                    lo: Double, hi: Double): DataFrame = {
+    val nb = graft.ops.Statistics.PsiBins
+    val counts = batch.select(col("value"))
+      .withColumn("bkt",
+        when(lit(hi) === lit(lo), lit(0)).otherwise(
+          least(lit(nb - 1), greatest(lit(0),
+            floor((col("value") - lit(lo)) * nb / (lit(hi) - lit(lo))).cast("int")))))
+      .groupBy("bkt").agg(count(lit(1)).as("r1"))
+    val spine = batch.sparkSession.range(0, nb)
+      .select(col("id").cast("int").as("bkt"))
+    val binned = spine
+      .join(counts, Seq("bkt"), "left")
+      .join(broadcast(baseline.select(col("bkt"), col("cnt").as("r2"))),
+        Seq("bkt"), "left")
+      .select(col("bkt"),
+        (coalesce(col("r1"), lit(0L)) + 1).as("o1"),
+        (coalesce(col("r2"), lit(0L)) + 1).as("o2"))
+    graft.ops.Statistics.psiFromSmoothed(binned)
+      .select(col("bkt"),
+        (col("o1") - 1).as("n_batch"), (col("o2") - 1).as("n_base"),
+        col("contrib").cast("double").as("contrib"),
+        col("psi_d").cast("double").as("psi"))
+      .orderBy("bkt")
+  }
+
+  /** Fixed-edge histogram of `value` over [lo, hi) with [[graft.ops.
+    * Statistics.PsiBins]] bins — the baseline builder for
+    * [[psiVsBaseline]] (the batch stats job publishes this alongside its
+    * PSI report; same clamped binning expression as the streaming side). */
+  def valueHistogram(events: DataFrame, lo: Double, hi: Double): DataFrame = {
+    val nb = graft.ops.Statistics.PsiBins
+    events.select(col("value"))
+      .withColumn("bkt",
+        when(lit(hi) === lit(lo), lit(0)).otherwise(
+          least(lit(nb - 1), greatest(lit(0),
+            floor((col("value") - lit(lo)) * nb / (lit(hi) - lit(lo))).cast("int")))))
+      .groupBy("bkt").agg(count(lit(1)).as("cnt"))
+  }
+
   /** Tumbling 1-hour counts with a 1-hour watermark — the streaming twin of
     * `EventTime.tumblingWindow`. Watermark bounds the state store: windows
     * older than (max event time − 1h) are finalized and evicted. */

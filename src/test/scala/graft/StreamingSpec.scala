@@ -75,6 +75,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSet === expected)
   }
 
+  test("streaming PSI vs broadcast baseline equals the batch computation; self-PSI is zero") {
+    val ev = Tables.events(spark, sf)
+    val ext = ev.agg(min(col("value")), max(col("value"))).head
+    val (lo, hi) = (ext.getDouble(0), ext.getDouble(1))
+    val baseline = Streams.valueHistogram(
+      ev.filter(col("event_type") === "view"), lo, hi).localCheckpoint(true)
+    val got = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
+    var nBatches = 0
+    val fn: (org.apache.spark.sql.DataFrame, Long) => Unit = (batch, _) =>
+      got.synchronized {
+        nBatches += 1
+        got ++= Streams.psiVsBaseline(batch, baseline, lo, hi)
+          .collect().map(_.toSeq)
+        ()
+      }
+    val q = Streams.eventsStream(spark, sf).writeStream
+      .foreachBatch(fn)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(120000) finally q.stop()
+    // the fixture is one file -> one micro-batch, so per-batch PSI must be
+    // cell-identical to the same monitor run on the batch table (the PSI
+    // arithmetic is literally shared; this pins the streaming plumbing)
+    assert(nBatches === 1, "fixture file arrives as one micro-batch")
+    val expected = Streams.psiVsBaseline(ev, baseline, lo, hi)
+      .collect().map(_.toSeq)
+    assert(got.toSeq === expected.toSeq)
+    // law: a batch scored against ITS OWN histogram has o1=o2 in every
+    // bin, so diff=0 and ln(ratio)=0 -> every contrib and the total are
+    // EXACTLY zero (no tolerance)
+    val self = Streams.psiVsBaseline(
+      ev, Streams.valueHistogram(ev, lo, hi), lo, hi).collect()
+    assert(self.length === ops.Statistics.PsiBins)
+    assert(self.forall(r => r.getDouble(3) == 0.0 && r.getDouble(4) == 0.0))
+  }
+
   test("embeddingsStream reads the sharded directory layout (ADVICE r5)") {
     // sf1-style layout: embeddings.parquet is a DIRECTORY of part files —
     // the old parent-dir + pathGlobFilter formulation read zero files here

@@ -56,4 +56,27 @@ class TrainingPrepSpec extends AnyFunSuite {
       case _ =>
     }
   }
+
+  test("train split partitions every document exactly once, near the designed fractions") {
+    val rows = ops.TrainingPrep.trainSplit(spark, sf).collect()
+    val total = Tables.documents(spark, sf).count()
+    // exhaustive + disjoint: split is a single CASE over one hash — the
+    // audit's doc counts must reconstruct the corpus exactly
+    assert(rows.map(_.getLong(2)).sum === total)
+    assert(rows.map(r => (r.getString(0), r.getString(1))).distinct.length === rows.length)
+    val bySplit = rows.groupBy(_.getString(1)).view.mapValues(_.map(_.getLong(2)).sum)
+    assert(bySplit.keySet.subsetOf(Set("train", "val", "test")))
+    // designed shares: test = 5/256, val = 5/256, train = 246/256 of the
+    // hash space; a 4-sigma binomial envelope bounds the realized counts
+    val p = 5.0 / 256
+    val sd = math.sqrt(total * p * (1 - p))
+    Seq("test", "val").foreach { s =>
+      val n = bySplit.getOrElse(s, 0L).toDouble
+      assert(math.abs(n - total * p) <= 4 * sd + 1,
+        s"$s split ${n.toLong} outside 4-sigma of ${total * p}")
+    }
+    // determinism: the assignment is a pure key hash — rerun must be equal
+    val again = ops.TrainingPrep.trainSplit(spark, sf).collect()
+    assert(rows.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
 }
