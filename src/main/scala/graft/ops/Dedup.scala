@@ -275,7 +275,7 @@ object Dedup {
   /** [[bandBuckets]] over an arbitrary (doc_id, text, …) frame — lets a
     * composed pipeline (e.g. `Curation.curationPipeline`) run LSH banding
     * over an already-filtered survivor set instead of the raw table. */
-  private[ops] def bandBucketsOf(docs: DataFrame): DataFrame = {
+  private[graft] def bandBucketsOf(docs: DataFrame): DataFrame = {
     val sh = docs
       .select(col("doc_id"),
         explode(shingles3(words(col("text")), col("text"))).as("shingle"))

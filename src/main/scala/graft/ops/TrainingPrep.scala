@@ -224,13 +224,18 @@ object TrainingPrep {
     * ≤ |sources|·3 rows plus a per-source total broadcast join on that
     * constant-bounded frame. At 100 TB the split column is written with
     * the shard, and this query is its (free) verification. */
+  /** The split-assignment rule shared by [[trainSplit]] and
+    * [[splitLeakage]]: fixed hex thresholds over md5 of the salted key —
+    * one expression, so the audit and the leakage check can never
+    * disagree about where a document lives. */
+  private def splitOf(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val h = md5(concat(lit("split:"), key.cast("string")))
+    when(h < "05", lit("test")).when(h < "0a", lit("val")).otherwise(lit("train"))
+  }
+
   def trainSplit(s: SparkSession, d: String): DataFrame = {
     val split = Tables.documents(s, d)
-      .withColumn("h", md5(concat(lit("split:"), col("doc_id").cast("string"))))
-      .withColumn("split",
-        when(col("h") < "05", lit("test"))
-          .when(col("h") < "0a", lit("val"))
-          .otherwise(lit("train")))
+      .withColumn("split", splitOf(col("doc_id")))
       .groupBy("source", "split")
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
     val per = split.groupBy(col("source").as("src"))
@@ -242,6 +247,39 @@ object TrainingPrep {
       .orderBy("source", "split")
   }
 
+  /** Near-duplicate leakage across the train/val/test boundary — the
+    * eval-contamination audit: if two near-identical documents land in
+    * different splits, held-out metrics are inflated by memorization, so
+    * the split gate counts LSH candidate pairs whose endpoints disagree
+    * on [[splitOf]]. Uses the SAME banding as the dedup family
+    * ([[Dedup.bandBucketsOf]]: 3-shingle minhash, 2 bands) and the SAME
+    * split rule as [[trainSplit]], so the audit can never drift from
+    * either producer. Any row with split_a ≠ split_b is a leak; the fix
+    * is hashing the dedup-cluster key instead of the doc id (see
+    * [[trainSplit]]'s scaladoc).
+    *
+    * Scale shape: identical to dedup candidate generation — band-bucket
+    * equi-join over narrow (doc_id, bkey) rows, never all-pairs, never
+    * bodies; split labels attach by doc-key join; output is ≤ 9 rows
+    * (split-pair grid). The leakage audit costs what the dedup pass
+    * already costs. */
+  def splitLeakage(s: SparkSession, d: String): DataFrame = {
+    val b = Dedup.bandBucketsOf(Tables.documents(s, d))
+    val pairs = b.as("x").join(b.as("y"),
+        col("x.bkey") === col("y.bkey") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("ida"), col("y.doc_id").as("idb"))
+      .distinct()
+    pairs
+      .withColumn("split_a", splitOf(col("ida")))
+      .withColumn("split_b", splitOf(col("idb")))
+      .groupBy("split_a", "split_b")
+      .agg(count(lit(1)).as("n_pairs"), min("ida").as("example_a"))
+      .select(col("split_a"), col("split_b"), col("n_pairs"),
+        (col("split_a") =!= col("split_b")).cast("int").as("is_leak"),
+        col("example_a"))
+      .orderBy("split_a", "split_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_source_mix" -> (sourceMix _),
     "q_token_pack" -> (tokenPack _),
@@ -249,6 +287,7 @@ object TrainingPrep {
     "q_dsir_weights" -> (dsirWeights _),
     "q_weighted_sample" -> (weightedSample _),
     "q_train_split" -> (trainSplit _),
+    "q_split_leakage" -> (splitLeakage _),
   )
 
   private val WordsSql = "string_split(text, ' ')"
@@ -256,6 +295,26 @@ object TrainingPrep {
     s"list_transform(range(1, len($WordsSql)), i -> $WordsSql[i] || ' ' || $WordsSql[i+1])"
 
   val oracle: Map[String, String] = Map(
+    "q_split_leakage" ->
+      s"""WITH ${Dedup.bandBucketsCteBodyFrom("documents")}, pr AS (
+         |  SELECT DISTINCT a.doc_id AS ida, c.doc_id AS idb
+         |  FROM b a JOIN b c USING (bkey) WHERE a.doc_id < c.doc_id
+         |), lab AS (
+         |  SELECT ida, idb,
+         |         CASE WHEN md5('split:' || ida) < '05' THEN 'test'
+         |              WHEN md5('split:' || ida) < '0a' THEN 'val'
+         |              ELSE 'train' END AS split_a,
+         |         CASE WHEN md5('split:' || idb) < '05' THEN 'test'
+         |              WHEN md5('split:' || idb) < '0a' THEN 'val'
+         |              ELSE 'train' END AS split_b
+         |  FROM pr
+         |)
+         |SELECT split_a, split_b, count(*) AS n_pairs,
+         |       CAST(split_a <> split_b AS INTEGER) AS is_leak,
+         |       min(ida) AS example_a
+         |FROM lab
+         |GROUP BY split_a, split_b
+         |ORDER BY split_a, split_b""".stripMargin,
     "q_train_split" ->
       """WITH sp AS (
         |  SELECT source, n_chars,

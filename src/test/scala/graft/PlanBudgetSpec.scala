@@ -121,6 +121,10 @@ class PlanBudgetSpec extends AnyFunSuite {
     ("q_psi_drift", 5, 3),            // extent + bin-count aggs over the
                                       // staged event frame; 1-row extent and
                                       // totals broadcast into the bin frame
+    ("q_split_leakage", 4, 0),        // dedup-band self-join over narrow
+                                      // (doc_id, bkey) rows + split-pair agg
+                                      // (audited 3 — AQE broadcasts one join
+                                      // side — +1 headroom)
     ("q_drift_report", 19, 6),        // composed ks+chisq+psi off one staged
                                       // base scan: audit mode recomputes that
                                       // base per monitor branch, so the full

@@ -79,4 +79,26 @@ class TrainingPrepSpec extends AnyFunSuite {
     val again = ops.TrainingPrep.trainSplit(spark, sf).collect()
     assert(rows.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
   }
+
+  test("split leakage flags exactly the cross-split cells and conserves candidate pairs") {
+    val rows = ops.TrainingPrep.splitLeakage(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // is_leak is definitionally split_a != split_b, per row
+    rows.foreach { r =>
+      assert((r.getString(0) != r.getString(1)) === (r.getInt(3) == 1), r.toString)
+    }
+    // ordered split-pair cells are unique and pair counts are positive
+    assert(rows.map(r => (r.getString(0), r.getString(1))).distinct.length === rows.length)
+    assert(rows.forall(_.getLong(2) > 0))
+    // conservation: the audit's cells must total the dedup family's own
+    // candidate-pair count — the audit rides the same banding, so a
+    // mismatch means the split labels dropped or duplicated pairs
+    val nPairs = graft.ops.Dedup.bandBucketsOf(Tables.documents(spark, sf)).as("x")
+      .join(graft.ops.Dedup.bandBucketsOf(Tables.documents(spark, sf)).as("y"),
+        org.apache.spark.sql.functions.col("x.bkey") === org.apache.spark.sql.functions.col("y.bkey") &&
+          org.apache.spark.sql.functions.col("x.doc_id") < org.apache.spark.sql.functions.col("y.doc_id"))
+      .select(org.apache.spark.sql.functions.col("x.doc_id"),
+        org.apache.spark.sql.functions.col("y.doc_id")).distinct().count()
+    assert(rows.map(_.getLong(2)).sum === nPairs)
+  }
 }
