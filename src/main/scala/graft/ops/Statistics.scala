@@ -316,9 +316,13 @@ object Statistics {
   }
 
   /** [[chisqDrift]]'s per-cell arithmetic over a pre-staged contingency
-    * frame `cells` = (event_type, o1, o2) — shared with [[driftReport]].
-    * Returns one row per event_type with (o1, o2, k, contrib). */
-  private def chisqPerType(cells: DataFrame): DataFrame = {
+    * frame `cells` = (event_type, o1, o2) — shared with [[driftReport]]
+    * and the streaming twin
+    * ([[graft.streaming.Streams.chisqVsBaseline]]), so batch and
+    * micro-batch monitors compute the statistic identically by
+    * construction. Returns one row per event_type with (o1, o2, k,
+    * contrib). */
+  private[graft] def chisqPerType(cells: DataFrame): DataFrame = {
     val dec0 = DecimalType(38, 0)
     val tot = cells.agg(
       sum("o1").as("c1"), sum("o2").as("c2"),

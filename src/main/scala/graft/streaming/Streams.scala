@@ -144,6 +144,38 @@ object Streams {
       .orderBy("bkt")
   }
 
+  /** Micro-batch chi-square homogeneity against a broadcast baseline
+    * label distribution — the categorical companion to [[psiVsBaseline]]
+    * (PSI watches a numeric distribution in flight, this watches the
+    * event-type/language/source mix). The baseline is (event_type, cnt)
+    * from the batch stats job; each micro-batch's type counts become the
+    * other sample of the two-sample test. Stateless like [[assignCells]];
+    * the arithmetic is [[graft.ops.Statistics.chisqPerType]] — the SAME
+    * code path the batch monitor runs, so scores are identical by
+    * construction on identical input (pinned by `StreamingSpec`).
+    * Types absent from one side get a zero cell via the full outer union
+    * of the two key sets — both sides always score the same k cells.
+    * Returns one row per type with (event_type, n_batch, n_base, contrib,
+    * chi2, df). */
+  def chisqVsBaseline(batch: DataFrame, baseline: DataFrame): DataFrame = {
+    val counts = batch.groupBy("event_type").agg(count(lit(1)).as("o1"))
+    val cells = counts
+      .join(broadcast(baseline.select(col("event_type"), col("cnt").as("o2"))),
+        Seq("event_type"), "full")
+      .select(col("event_type"),
+        coalesce(col("o1"), lit(0L)).as("o1"),
+        coalesce(col("o2"), lit(0L)).as("o2"))
+    val perType = graft.ops.Statistics.chisqPerType(cells)
+    val chi2 = perType.agg(sum("contrib").as("chi2_d"), first("k").as("kk"))
+    perType.crossJoin(broadcast(chi2))
+      .select(col("event_type"),
+        col("o1").as("n_batch"), col("o2").as("n_base"),
+        col("contrib").cast("double").as("contrib"),
+        col("chi2_d").cast("double").as("chi2"),
+        (col("kk") - 1).as("df"))
+      .orderBy("event_type")
+  }
+
   /** Fixed-edge histogram of `value` over [lo, hi) with [[graft.ops.
     * Statistics.PsiBins]] bins — the baseline builder for
     * [[psiVsBaseline]] (the batch stats job publishes this alongside its

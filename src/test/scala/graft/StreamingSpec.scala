@@ -111,6 +111,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(self.forall(r => r.getDouble(3) == 0.0 && r.getDouble(4) == 0.0))
   }
 
+  test("streaming chi-square vs broadcast baseline equals the batch computation; self-chi2 is zero") {
+    val ev = Tables.events(spark, sf)
+    // baseline: the view-heavy early half's type mix
+    val baseline = ev.filter(dayofmonth(col("ts")) <= 15)
+      .groupBy("event_type").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    val got = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
+    var nBatches = 0
+    val fn: (org.apache.spark.sql.DataFrame, Long) => Unit = (batch, _) =>
+      got.synchronized {
+        nBatches += 1
+        got ++= Streams.chisqVsBaseline(batch, baseline).collect().map(_.toSeq)
+        ()
+      }
+    val q = Streams.eventsStream(spark, sf).writeStream
+      .foreachBatch(fn)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(120000) finally q.stop()
+    assert(nBatches === 1, "fixture file arrives as one micro-batch")
+    val expected = Streams.chisqVsBaseline(ev, baseline).collect().map(_.toSeq)
+    assert(got.toSeq === expected.toSeq)
+    // law: a batch scored against ITS OWN counts has o1=o2 per cell, so
+    // every o·N - r·c numerator is exactly zero -> chi2 EXACTLY 0
+    val self = Streams.chisqVsBaseline(
+      ev, ev.groupBy("event_type").agg(count(lit(1)).as("cnt"))).collect()
+    assert(self.nonEmpty)
+    assert(self.forall(r => r.getDouble(3) == 0.0 && r.getDouble(4) == 0.0))
+  }
+
   test("embeddingsStream reads the sharded directory layout (ADVICE r5)") {
     // sf1-style layout: embeddings.parquet is a DIRECTORY of part files —
     // the old parent-dir + pathGlobFilter formulation read zero files here
