@@ -336,17 +336,34 @@ object Similarity {
   def pqAdc(s: SparkSession, d: String): DataFrame = {
     val sv = pqSubvectors(s, d)
     val cb = pqCodebook(sv)
-    val codes = sv.join(broadcast(cb), col("sub") === col("csub"))
+    adcTopk(pqCodesOf(sv, cb), pqLutOf(sv, cb))
+  }
+
+  /** PQ code assignment (vec_id, sub, code): integer-quantized argmin over
+    * the broadcast codebook — shared by [[pqAdc]] (inline) and
+    * [[pqModelMaterialize]] (persisted). */
+  private def pqCodesOf(sv: DataFrame, cb: DataFrame): DataFrame =
+    sv.join(broadcast(cb), col("sub") === col("csub"))
       .withColumn("pd",
         floor(pqDist2(col("sv"), col("cv")) * 10000 + lit(0.5)).cast("long"))
       .groupBy("vec_id", "sub")
       .agg(min(struct(col("pd"), col("cid"))).as("b"))
       .select(col("vec_id"), col("sub"), col("b.cid").as("code"))
-    val lut = sv.filter(col("vec_id") % 50 === 0)
+
+  /** Per-query integer distance LUT (qid, csub, cid, pd) against a
+    * codebook frame — computed at query time in BOTH the inline and the
+    * served deployment (the LUT depends on the incoming query vector; only
+    * codes and codebook are index-time artifacts). */
+  private def pqLutOf(sv: DataFrame, cb: DataFrame): DataFrame =
+    sv.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("qid"), col("sub").as("qsub"), col("sv").as("qv"))
       .join(broadcast(cb), col("qsub") === col("csub"))
       .select(col("qid"), col("csub"), col("cid"),
         floor(pqDist2(col("qv"), col("cv")) * 10000 + lit(0.5)).cast("long").as("pd"))
+
+  /** ADC top-5 per query over (codes, LUT): M BIGINT lookups per
+    * candidate, map-side-combinable sum, bounded rank window. */
+  private def adcTopk(codes: DataFrame, lut: DataFrame): DataFrame = {
     val w = Window.partitionBy("qid").orderBy(col("ad").asc, col("vec_id").asc)
     codes.join(broadcast(lut),
         col("sub") === col("csub") && col("code") === col("cid"))
@@ -357,6 +374,56 @@ object Similarity {
       .select(col("qid"), col("rn"), col("vec_id"),
         (col("ad").cast("double") / lit(10000.0)).as("adist"))
       .orderBy("qid", "rn")
+  }
+
+  /** Version tag for [[pqModelBase]] — bump when the encode or the
+    * materialized schema changes, so codes written by older code are
+    * never served. */
+  private val PqModelVersion = "v1"
+
+  /** Materialized-PQ base dir, keyed like [[ivfModelBase]]. */
+  private def pqModelBase(d: String): String = {
+    val canon = java.nio.file.Paths.get(d).toAbsolutePath.normalize.toString
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(canon.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    s"${System.getProperty("java.io.tmpdir")}/graft_pq_model_$PqModelVersion/$key"
+  }
+
+  /** Encode-once: persist the PQ index artifacts — the codebook (M·k rows,
+    * coalesced to one file) and the CODES table (M small ints per vector,
+    * the 32× payload compression) — under the R11 run-manifest convention,
+    * mirroring [[ivfModelMaterialize]]. */
+  def pqModelMaterialize(s: SparkSession, d: String): String = {
+    val base = pqModelBase(d)
+    graft.pipeline.Pipeline.latestRun(base) match {
+      case Some(p) => p.toString
+      case None =>
+        val runDir = s"$base/run_00000001"
+        val sv = pqSubvectors(s, d)
+        val cb = pqCodebook(sv)
+        cb.coalesce(1).write.mode("overwrite").parquet(s"$runDir/codebook")
+        pqCodesOf(sv, cb).write.mode("overwrite").parquet(s"$runDir/codes")
+        graft.pipeline.Pipeline.writeManifest(runDir,
+          graft.pipeline.Pipeline.RunManifest("00000001", Seq(s"$d/embeddings.parquet")))
+        runDir
+    }
+  }
+
+  /** ADC serve from the MATERIALIZED PQ index — the encode-once/serve-many
+    * split of [[pqAdc]], completing the serving story [[annIvfServed]]
+    * started: at 100 TB the codes and codebook are index-time artifacts
+    * read from storage; a serving query touches the raw 64-float vectors
+    * only for ITSELF (its LUT), never per candidate. The serve plan
+    * contains ZERO encode lineage — codes enter as a parquet scan of M
+    * ints per vector, the codebook as an M·k-row scan feeding the
+    * broadcast LUT. Results are bit-identical to [[pqAdc]] (same oracle):
+    * the encode is deterministic and both artifacts are integers/exact
+    * doubles that round-trip parquet. */
+  def pqAdcServed(s: SparkSession, d: String): DataFrame = {
+    val runDir = pqModelMaterialize(s, d)
+    val cb = s.read.parquet(s"$runDir/codebook")
+    val codes = s.read.parquet(s"$runDir/codes")
+    adcTopk(codes, pqLutOf(pqSubvectors(s, d), cb))
   }
 
   /** The composed IVF-PQ serve — the production ANN layout whole:
@@ -863,6 +930,7 @@ object Similarity {
     "q_kmeans_convergence" -> (kmeansConvergence _),
     "q_embed_pq" -> (embedPq _),
     "q_pq_adc" -> (pqAdc _),
+    "q_pq_adc_served" -> (pqAdcServed _),
     "q_ann_ivfpq" -> (annIvfPq _),
   )
 
@@ -1103,7 +1171,15 @@ object Similarity {
         |SELECT vec_id, sub, cid AS code, d2 AS dist2
         |FROM r WHERE rn = 1
         |ORDER BY vec_id, sub""".stripMargin,
-    "q_pq_adc" ->
+    "q_pq_adc" -> pqAdcOracle,
+    // the served twin is bit-identical to the inline composition (the
+    // encode is deterministic; codes/codebook round-trip parquet exactly),
+    // so it shares the oracle — the ivfTrainedOracle/q_ann_ivf_served
+    // pattern
+    "q_pq_adc_served" -> pqAdcOracle,
+  ) ++ oracle2
+
+  private def pqAdcOracle: String =
       """WITH v AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
         |), sv AS (
@@ -1142,7 +1218,9 @@ object Similarity {
         |)
         |SELECT qid, rn, vec_id, CAST(ad AS DOUBLE) / 10000.0 AS adist
         |FROM t WHERE rn <= 5
-        |ORDER BY qid, rn""".stripMargin,
+        |ORDER BY qid, rn""".stripMargin
+
+  private def oracle2: Map[String, String] = Map(
     // composed from q_ann_ivf's probe CTEs and q_pq_adc's code/LUT CTEs —
     // the candidate set is cell-probed, the scoring is ADC
     "q_ann_ivfpq" ->

@@ -166,6 +166,15 @@ class CurationSpec extends AnyFunSuite {
     assert(served.nonEmpty)
   }
 
+  test("pqAdcServed from the materialized codes is bit-identical to the inline encode+serve") {
+    val served = graft.ops.Similarity.pqAdcServed(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val inline = graft.ops.Similarity.pqAdc(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(served === inline)
+    assert(served.nonEmpty)
+  }
+
   test("incrementalDedup flags exactly the incoming docs sharing a band bucket with the corpus") {
     val inc = graft.ops.Dedup.incrementalDedup(spark, sf).cache()
     val incoming = Tables.documents(spark, sf).filter(col("source") === "src19")

@@ -99,6 +99,10 @@ class PlanBudgetSpec extends AnyFunSuite {
                                       // quantizer: ZERO training lineage —
                                       // centroids are a k-row parquet scan,
                                       // broadcast into assign + probe
+    ("q_pq_adc_served", 4, 2),        // serve-only from materialized PQ
+                                      // codes: ZERO encode lineage — codes
+                                      // are a parquet scan, codebook feeds
+                                      // the broadcast per-query LUT
     ("q_ann_ivf_trained", 23, 9),     // training lineage + IVF serve (assign/
                                       // probe/search broadcasts, cell shuffle)
     ("q_minhash_est", 7, 6),          // audit mode recomputes the staged sig/
