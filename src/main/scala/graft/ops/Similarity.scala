@@ -444,38 +444,57 @@ object Similarity {
     * codes; every aggregate is map-side combinable. */
   def annIvfPq(s: SparkSession, d: String): DataFrame = {
     val n = once(withNorm(Tables.embeddings(s, d)).select("vec_id", "v", "norm"))
-    val cents = n.filter(col("vec_id") % 100 === 0)
+    val cents = ivfPqCentroidsOf(n)
+    val sv = pqSubvectors(s, d)
+    val cb = pqCodebook(sv)
+    ivfPqScore(
+      ivfPqCellsOf(n, cents),
+      ivfPqProbesOf(n, cents),
+      pqCodesOf(sv, cb),
+      ivfPqLutOf(sv, cb))
+  }
+
+  /** Coarse sample centroids for the IVF-PQ layout — identical rule to
+    * [[annIvf]]'s quantizer sample. */
+  private def ivfPqCentroidsOf(n: DataFrame): DataFrame =
+    n.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("ccid"), col("v").as("ccv"), col("norm").as("ccn"))
-    // cell assignment + probes: identical semantics to annIvf
-    val assigned = n.crossJoin(broadcast(cents))
+
+  /** Corpus cell assignment (vec_id, cell) — the INVERTED LISTS of the
+    * IVF-PQ index; an index-time artifact ([[ivfPqModelMaterialize]]). */
+  private def ivfPqCellsOf(n: DataFrame, cents: DataFrame): DataFrame =
+    n.crossJoin(broadcast(cents))
       .select(col("vec_id"),
         round(dot(col("v"), col("ccv")) / (col("norm") * col("ccn")), 4).as("ccos"),
         col("ccid"))
       .groupBy("vec_id")
       .agg(max(struct(col("ccos"), (-col("ccid")).as("negcid"))).as("b"))
       .select(col("vec_id"), (-col("b.negcid")).as("cell"))
+
+  /** Per-query 2-nearest-cell probes (qid, cell) — query-time, computed
+    * against the (materialized or inline) centroid frame. */
+  private def ivfPqProbesOf(n: DataFrame, cents: DataFrame): DataFrame = {
     val wProbe = Window.partitionBy("qid").orderBy(col("ccos").desc, col("ccid").asc)
-    val probes = n.filter(col("vec_id") % 50 === 0)
+    n.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qn"))
       .crossJoin(broadcast(cents))
       .withColumn("ccos", round(dot(col("qv"), col("ccv")) / (col("qn") * col("ccn")), 4))
       .withColumn("crn", row_number().over(wProbe))
       .filter(col("crn") <= 2)
       .select(col("qid"), col("ccid").as("cell"))
-    // PQ codes + per-query integer LUT: identical semantics to pqAdc
-    val sv = pqSubvectors(s, d)
-    val cb = pqCodebook(sv)
-    val codes = sv.join(broadcast(cb), col("sub") === col("csub"))
-      .withColumn("pd",
-        floor(pqDist2(col("sv"), col("cv")) * 10000 + lit(0.5)).cast("long"))
-      .groupBy("vec_id", "sub")
-      .agg(min(struct(col("pd"), col("cid"))).as("b"))
-      .select(col("vec_id"), col("sub"), col("b.cid").as("code"))
-    val lut = sv.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("lqid"), col("sub").as("lsub"), col("sv").as("qsv"))
-      .join(broadcast(cb), col("lsub") === col("csub"))
-      .select(col("lqid"), col("lsub"), col("cid"),
-        floor(pqDist2(col("qsv"), col("cv")) * 10000 + lit(0.5)).cast("long").as("pd"))
+  }
+
+  /** [[pqLutOf]] with the IVF-PQ join-side column names. */
+  private def ivfPqLutOf(sv: DataFrame, cb: DataFrame): DataFrame =
+    pqLutOf(sv, cb)
+      .select(col("qid").as("lqid"), col("csub").as("lsub"), col("cid"), col("pd"))
+
+  /** Cell-probed ADC scoring: candidates from the inverted lists ×
+    * broadcast probes, distances as M BIGINT LUT lookups, top-5 per
+    * query — the serve block shared by [[annIvfPq]] (inline) and
+    * [[annIvfPqServed]] (from artifacts). */
+  private def ivfPqScore(assigned: DataFrame, probes: DataFrame,
+                         codes: DataFrame, lut: DataFrame): DataFrame = {
     val cand = assigned.join(broadcast(probes), "cell")
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"))
@@ -490,6 +509,59 @@ object Similarity {
       .select(col("qid"), col("rn"), col("vec_id"),
         (col("ad").cast("double") / lit(10000.0)).as("adist"))
       .orderBy("qid", "rn")
+  }
+
+  /** Version tag for [[ivfPqModelBase]]. */
+  private val IvfPqModelVersion = "v1"
+
+  private def ivfPqModelBase(d: String): String = {
+    val canon = java.nio.file.Paths.get(d).toAbsolutePath.normalize.toString
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(canon.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_model_$IvfPqModelVersion/$key"
+  }
+
+  /** Index-once: persist ALL FOUR IVF-PQ artifacts — centroids (k rows),
+    * inverted lists (vec_id → cell), PQ codebook (M·k rows), and the
+    * CODES table — under the run-manifest convention. This is the full
+    * index build a 100 TB deployment runs once per corpus snapshot. */
+  def ivfPqModelMaterialize(s: SparkSession, d: String): String = {
+    val base = ivfPqModelBase(d)
+    graft.pipeline.Pipeline.latestRun(base) match {
+      case Some(p) => p.toString
+      case None =>
+        val runDir = s"$base/run_00000001"
+        val n = once(withNorm(Tables.embeddings(s, d)).select("vec_id", "v", "norm"))
+        val cents = ivfPqCentroidsOf(n)
+        val sv = pqSubvectors(s, d)
+        val cb = pqCodebook(sv)
+        cents.coalesce(1).write.mode("overwrite").parquet(s"$runDir/centroids")
+        ivfPqCellsOf(n, cents).write.mode("overwrite").parquet(s"$runDir/cells")
+        cb.coalesce(1).write.mode("overwrite").parquet(s"$runDir/codebook")
+        pqCodesOf(sv, cb).write.mode("overwrite").parquet(s"$runDir/codes")
+        graft.pipeline.Pipeline.writeManifest(runDir,
+          graft.pipeline.Pipeline.RunManifest("00000001", Seq(s"$d/embeddings.parquet")))
+        runDir
+    }
+  }
+
+  /** The composed IVF-PQ serve FROM ARTIFACTS — what the ANN service's
+    * query path actually executes at 100 TB: centroids, inverted lists,
+    * codebook, and codes all enter as parquet scans of index-time
+    * artifacts; the only work touching raw vectors is the QUERY's own
+    * probe cosines and LUT. Zero assignment lineage, zero encode lineage
+    * (plan-pinned); bit-identical to [[annIvfPq]] (deterministic
+    * index build, exact parquet round-trip), so it shares the oracle —
+    * the third rung of the serve ladder after [[annIvfServed]] and
+    * [[pqAdcServed]]. */
+  def annIvfPqServed(s: SparkSession, d: String): DataFrame = {
+    val runDir = ivfPqModelMaterialize(s, d)
+    val nq = once(withNorm(Tables.embeddings(s, d)).select("vec_id", "v", "norm"))
+    ivfPqScore(
+      s.read.parquet(s"$runDir/cells"),
+      ivfPqProbesOf(nq, s.read.parquet(s"$runDir/centroids")),
+      s.read.parquet(s"$runDir/codes"),
+      ivfPqLutOf(pqSubvectors(s, d), s.read.parquet(s"$runDir/codebook")))
   }
 
   /** SemDeDup-style semantic dedup: connected components over the
@@ -932,6 +1004,7 @@ object Similarity {
     "q_pq_adc" -> (pqAdc _),
     "q_pq_adc_served" -> (pqAdcServed _),
     "q_ann_ivfpq" -> (annIvfPq _),
+    "q_ann_ivfpq_served" -> (annIvfPqServed _),
   )
 
   private[ops] val NormCte =
@@ -1223,7 +1296,13 @@ object Similarity {
   private def oracle2: Map[String, String] = Map(
     // composed from q_ann_ivf's probe CTEs and q_pq_adc's code/LUT CTEs —
     // the candidate set is cell-probed, the scoring is ADC
-    "q_ann_ivfpq" ->
+    "q_ann_ivfpq" -> annIvfPqOracle,
+    // serve-from-artifacts twin is bit-identical to the inline
+    // composition (deterministic index build, exact parquet round-trip)
+    "q_ann_ivfpq_served" -> annIvfPqOracle,
+  ) ++ oracle3
+
+  private def annIvfPqOracle: String =
       s"""WITH $NormCte,
          |c AS (SELECT vec_id AS cid, v AS cv, norm AS cn FROM n WHERE vec_id % 100 = 0),
          |asg AS (
@@ -1282,7 +1361,9 @@ object Similarity {
          |  FROM sc)
          |SELECT qid, rn, vec_id, CAST(ad AS DOUBLE) / 10000.0 AS adist
          |FROM t WHERE rn <= 5
-         |ORDER BY qid, rn""".stripMargin,
+         |ORDER BY qid, rn""".stripMargin
+
+  private def oracle3: Map[String, String] = Map(
     "q_kmeans_convergence" -> kmeansConvergenceOracle,
     "q_embed_quantize" ->
       """WITH ex AS (

@@ -175,6 +175,15 @@ class CurationSpec extends AnyFunSuite {
     assert(served.nonEmpty)
   }
 
+  test("annIvfPqServed from all four materialized artifacts is bit-identical to the inline composition") {
+    val served = graft.ops.Similarity.annIvfPqServed(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val inline = graft.ops.Similarity.annIvfPq(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(served === inline)
+    assert(served.nonEmpty)
+  }
+
   test("incrementalDedup flags exactly the incoming docs sharing a band bucket with the corpus") {
     val inc = graft.ops.Dedup.incrementalDedup(spark, sf).cache()
     val incoming = Tables.documents(spark, sf).filter(col("source") === "src19")

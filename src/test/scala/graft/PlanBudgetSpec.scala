@@ -103,6 +103,10 @@ class PlanBudgetSpec extends AnyFunSuite {
                                       // codes: ZERO encode lineage — codes
                                       // are a parquet scan, codebook feeds
                                       // the broadcast per-query LUT
+    ("q_ann_ivfpq_served", 5, 3),     // full serve from all four artifacts
+                                      // (centroids/cells/codebook/codes as
+                                      // scans); only the query's own probe
+                                      // cosines + LUT touch raw vectors
     ("q_ann_ivf_trained", 23, 9),     // training lineage + IVF serve (assign/
                                       // probe/search broadcasts, cell shuffle)
     ("q_minhash_est", 7, 6),          // audit mode recomputes the staged sig/
