@@ -285,13 +285,32 @@ object Similarity {
     * argmin; vectors shuffle only for the final presentation sort. */
   /** Long-form (vec_id, sub, sv) subvector frame shared by the PQ
     * encode and the ADC serve. */
-  private def pqSubvectors(s: SparkSession, d: String): DataFrame = {
+  private def pqSubvectors(s: SparkSession, d: String): DataFrame =
+    pqSubvectorsOf(Tables.embeddings(s, d))
+
+  /** [[pqSubvectors]] over an arbitrary (vec_id, embedding) frame — lets
+    * the streaming encode path ([[graft.streaming.Streams]]) reshape a
+    * micro-batch with the identical slicing expression. */
+  private[graft] def pqSubvectorsOf(embeddings: DataFrame): DataFrame = {
     val dim = 64 / PqM
-    Tables.embeddings(s, d)
+    embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .select(col("vec_id"), posexplode(array((0 until PqM).map(m =>
         slice(col("v"), m * dim + 1, dim)): _*)).as(Seq("sub", "sv")))
   }
+
+  /** PQ-encode an arbitrary embeddings frame against a codebook frame —
+    * the batch-reusable encode [[graft.streaming.Streams.encodePqBatch]]
+    * runs per micro-batch (the PQ half of streaming index maintenance;
+    * [[graft.streaming.Streams.assignCells]] is the IVF half). */
+  private[graft] def pqEncodeOf(embeddings: DataFrame, cb: DataFrame): DataFrame =
+    pqCodesOf(pqSubvectorsOf(embeddings), cb)
+
+  /** The (csub, cid, cv) codebook frame for `d`'s corpus — exposed so
+    * streaming encode tests and foreachBatch wiring can build the static
+    * side once. */
+  private[graft] def pqCodebookFor(s: SparkSession, d: String): DataFrame =
+    pqCodebook(pqSubvectors(s, d))
 
   /** Per-subspace codebook from the deterministic coarse sample. */
   private def pqCodebook(sv: DataFrame): DataFrame =

@@ -190,6 +190,20 @@ object Streams {
       .groupBy("bkt").agg(count(lit(1)).as("cnt"))
   }
 
+  /** PQ-encode one micro-batch of ingested embeddings against a static
+    * codebook frame — the PQ half of streaming index maintenance
+    * ([[assignCells]] is the IVF half): new vectors arriving on the
+    * embeddings stream become CODES rows appended to the materialized
+    * index that `Similarity.pqAdcServed`/`annIvfPqServed` serve from.
+    * Run inside `foreachBatch`; the encode is
+    * [[graft.ops.Similarity.pqEncodeOf]] — the SAME argmin the batch
+    * index build runs, so streamed codes are bit-identical to a batch
+    * re-encode (pinned in `StreamingSpec`). Stateless: each vector's
+    * codes depend only on its own row and the broadcast codebook, so
+    * ingestion scales with batch size, not stream history. */
+  def encodePqBatch(batch: DataFrame, codebook: DataFrame): DataFrame =
+    graft.ops.Similarity.pqEncodeOf(batch, codebook)
+
   /** Tumbling 1-hour counts with a 1-hour watermark — the streaming twin of
     * `EventTime.tumblingWindow`. Watermark bounds the state store: windows
     * older than (max event time − 1h) are finalized and evicted. */

@@ -75,6 +75,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSet === expected)
   }
 
+  test("streaming PQ encode per micro-batch is bit-identical to the batch index build") {
+    val cb = graft.ops.Similarity.pqCodebookFor(spark, sf).localCheckpoint(true)
+    val got = scala.collection.mutable.ArrayBuffer[(Long, Int, Long)]()
+    val fn: (org.apache.spark.sql.DataFrame, Long) => Unit = (batch, _) =>
+      got.synchronized {
+        got ++= Streams.encodePqBatch(batch, cb)
+          .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        ()
+      }
+    val q = Streams.embeddingsStream(spark, sf).writeStream
+      .foreachBatch(fn)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(120000) finally q.stop()
+    val expected = graft.ops.Similarity
+      .pqEncodeOf(Tables.embeddings(spark, sf), cb)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got.nonEmpty)
+    assert(got.size === expected.size, "each (vector, subspace) encoded exactly once")
+    assert(got.toSet === expected)
+  }
+
   test("streaming PSI vs broadcast baseline equals the batch computation; self-PSI is zero") {
     val ev = Tables.events(spark, sf)
     val ext = ev.agg(min(col("value")), max(col("value"))).head
