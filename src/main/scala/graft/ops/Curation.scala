@@ -384,7 +384,53 @@ object Curation {
       .orderBy("source", "rank")
   }
 
+  /** Rule-based hard quality gate — the Gopher-rules complement of the
+    * SCORED [[TextAnalysis.qualityScore]] (production pipelines run both:
+    * scores feed quantile-style selection, hard rules reject outright).
+    * Four rules, each an integer-exact comparison (rationals
+    * cross-multiplied — ZERO float arithmetic anywhere, so cross-engine
+    * parity is unconditional):
+    *   - r_len:       10 ≤ n_words ≤ 1000
+    *   - r_wordlen:   3·n_words ≤ n_letters ≤ 10·n_words  (mean word length ∈ [3,10])
+    *   - r_maxrep:    5·max_tf ≤ n_words                   (top word under 20%)
+    *   - r_diversity: 2·n_distinct ≥ n_words               (type-token ratio ≥ ½)
+    * `keep` = conjunction. Flags surface as 0/1 INTs (the
+    * q_dedup_compare convention).
+    *
+    * Scale shape: n_words / n_letters are row-local; max_tf and
+    * n_distinct reduce at the (doc, term) grain FIRST, so the only
+    * exchange carries distinct pairs — never repeated tokens, never
+    * bodies. The stats join back on doc_id (left join + coalesce keeps
+    * degenerate all-empty docs in the audit with failing flags). */
+  def qualityRules(s: SparkSession, d: String): DataFrame = {
+    val wf = filter(words(col("text")), x => x =!= "")
+    val base = Tables.documents(s, d).select(col("doc_id"),
+      size(wf).cast("long").as("n_words"),
+      length(translate(col("text"), " ", "")).cast("long").as("n_letters"))
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), explode(wf).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val stats = tf.groupBy("doc_id")
+      .agg(max("tf").as("max_tf"), count(lit(1)).as("n_distinct"))
+    base.join(stats, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"), col("n_letters"),
+        coalesce(col("max_tf"), lit(0L)).as("max_tf"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"))
+      .select(col("doc_id"), col("n_words"), col("n_letters"),
+        col("max_tf"), col("n_distinct"),
+        (col("n_words") >= 10 && col("n_words") <= 1000).cast("int").as("r_len"),
+        (lit(3) * col("n_words") <= col("n_letters") &&
+          col("n_letters") <= lit(10) * col("n_words")).cast("int").as("r_wordlen"),
+        (lit(5) * col("max_tf") <= col("n_words")).cast("int").as("r_maxrep"),
+        (lit(2) * col("n_distinct") >= col("n_words")).cast("int").as("r_diversity"))
+      .withColumn("keep",
+        (col("r_len") === 1 && col("r_wordlen") === 1 &&
+          col("r_maxrep") === 1 && col("r_diversity") === 1).cast("int"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quality_rules"  -> (qualityRules _),
     "q_quantile_norm"  -> (quantileNorm _),
     "q_source_overlap" -> (sourceOverlap _),
     "q_k_anonymity"    -> (kAnonymity _),
@@ -415,6 +461,39 @@ object Curation {
     s"list_distinct(list_transform(range(1, len($WordsSql)), i -> $WordsSql[i] || ' ' || $WordsSql[i+1]))"
 
   val oracle: Map[String, String] = Map(
+    "q_quality_rules" ->
+      s"""WITH ws AS (
+         |  SELECT doc_id,
+         |         CAST(len(list_filter($WordsSql, x -> x <> '')) AS BIGINT) AS n_words,
+         |         CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_letters
+         |  FROM documents
+         |), tf AS (
+         |  SELECT doc_id, term, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest(list_filter($WordsSql, x -> x <> '')) AS term
+         |        FROM documents)
+         |  GROUP BY doc_id, term
+         |), st AS (
+         |  SELECT doc_id, CAST(max(tf) AS BIGINT) AS max_tf,
+         |         CAST(count(*) AS BIGINT) AS n_distinct
+         |  FROM tf GROUP BY doc_id
+         |), f AS (
+         |  SELECT ws.doc_id, n_words, n_letters,
+         |         COALESCE(max_tf, 0) AS max_tf,
+         |         COALESCE(n_distinct, 0) AS n_distinct
+         |  FROM ws LEFT JOIN st ON ws.doc_id = st.doc_id
+         |)
+         |SELECT doc_id, n_words, n_letters, max_tf, n_distinct,
+         |       CASE WHEN n_words >= 10 AND n_words <= 1000 THEN 1 ELSE 0 END AS r_len,
+         |       CASE WHEN 3 * n_words <= n_letters AND n_letters <= 10 * n_words
+         |            THEN 1 ELSE 0 END AS r_wordlen,
+         |       CASE WHEN 5 * max_tf <= n_words THEN 1 ELSE 0 END AS r_maxrep,
+         |       CASE WHEN 2 * n_distinct >= n_words THEN 1 ELSE 0 END AS r_diversity,
+         |       CASE WHEN n_words >= 10 AND n_words <= 1000
+         |              AND 3 * n_words <= n_letters AND n_letters <= 10 * n_words
+         |              AND 5 * max_tf <= n_words
+         |              AND 2 * n_distinct >= n_words
+         |            THEN 1 ELSE 0 END AS keep
+         |FROM f ORDER BY doc_id""".stripMargin,
     "q_quantile_norm" ->
       s"""WITH q AS (
          |  SELECT doc_id, source, $QualitySql AS quality FROM documents

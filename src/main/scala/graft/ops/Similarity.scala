@@ -445,6 +445,33 @@ object Similarity {
     adcTopk(codes, pqLutOf(pqSubvectors(s, d), cb))
   }
 
+  /** Index-quality recall audit — the measurement a production ANN
+    * deployment runs before trusting its approximate index: per probe,
+    * how many of the PQ/ADC top-5 ([[pqAdc]]) appear in the EXACT
+    * cosine top-5 ([[cosineTopk]] truncated to rank ≤ 5)?
+    * recall@5 = hits/5. Both legs are the contract's own oracled
+    * queries, so the audit's ground truth is itself cross-engine
+    * verified; the oracle SQL embeds those two queries' oracle texts
+    * verbatim as CTEs (single-sourced — the audit cannot drift from
+    * what it audits).
+    *
+    * Scale shape: both legs end at probes×k narrow rows, so the audit
+    * join is trivially broadcastable regardless of corpus size — the
+    * expensive exact leg is the piece a 100 TB deployment runs on a
+    * SAMPLE of probes, which is exactly what the `% 50` probe rule is. */
+  def annRecall(s: SparkSession, d: String): DataFrame = {
+    val exact = cosineTopk(s, d).filter(col("rn") <= 5)
+      .select(col("qid").as("eqid"), col("vec_id").as("evid"), lit(1L).as("hit"))
+    pqAdc(s, d).select(col("qid"), col("vec_id"))
+      .join(broadcast(exact),
+        col("qid") === col("eqid") && col("vec_id") === col("evid"), "left")
+      .groupBy("qid")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("qid"), col("n_hits"),
+        (col("n_hits").cast("double") / lit(5.0)).as("recall"))
+      .orderBy("qid")
+  }
+
   /** The composed IVF-PQ serve — the production ANN layout whole:
     * queries probe their 2 nearest coarse cells ([[annIvf]]'s quantizer
     * and probe rule, unchanged), and the candidates inside probed cells
@@ -1024,6 +1051,7 @@ object Similarity {
     "q_pq_adc_served" -> (pqAdcServed _),
     "q_ann_ivfpq" -> (annIvfPq _),
     "q_ann_ivfpq_served" -> (annIvfPqServed _),
+    "q_ann_recall" -> (annRecall _),
   )
 
   private[ops] val NormCte =
@@ -1271,6 +1299,18 @@ object Similarity {
     "q_pq_adc_served" -> pqAdcOracle,
   ) ++ oracle2
 
+  private def cosineTopkOracle: String =
+      s"""WITH $NormCte,
+         |q AS (SELECT vec_id AS qid, v AS qv, norm AS qn FROM n WHERE vec_id % 50 = 0),
+         |sc AS (SELECT qid, vec_id,
+         |              round(list_dot_product(v, qv) / (norm * qn), 4) AS cos
+         |       FROM n, q WHERE vec_id <> qid),
+         |r AS (SELECT qid, vec_id, cos,
+         |             CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rn
+         |      FROM sc)
+         |SELECT qid, rn, vec_id, cos FROM r WHERE rn <= 10
+         |ORDER BY qid, rn""".stripMargin
+
   private def pqAdcOracle: String =
       """WITH v AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -1402,17 +1442,22 @@ object Similarity {
         |       count(DISTINCT q) AS n_levels
         |FROM e GROUP BY vec_id
         |ORDER BY vec_id""".stripMargin,
-    "q_cosine_topk" ->
-      s"""WITH $NormCte,
-         |q AS (SELECT vec_id AS qid, v AS qv, norm AS qn FROM n WHERE vec_id % 50 = 0),
-         |sc AS (SELECT qid, vec_id,
-         |              round(list_dot_product(v, qv) / (norm * qn), 4) AS cos
-         |       FROM n, q WHERE vec_id <> qid),
-         |r AS (SELECT qid, vec_id, cos,
-         |             CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rn
-         |      FROM sc)
-         |SELECT qid, rn, vec_id, cos FROM r WHERE rn <= 10
-         |ORDER BY qid, rn""".stripMargin,
+    "q_cosine_topk" -> cosineTopkOracle,
+    // recall audit: both legs are the very oracles of q_cosine_topk and
+    // q_pq_adc, embedded verbatim as CTEs — the composition cannot drift
+    // from the queries it audits
+    "q_ann_recall" ->
+      s"""WITH exact_t AS (
+         |$cosineTopkOracle
+         |), adc_t AS (
+         |$pqAdcOracle
+         |)
+         |SELECT a.qid, CAST(count(e.vec_id) AS BIGINT) AS n_hits,
+         |       CAST(count(e.vec_id) AS DOUBLE) / 5.0 AS recall
+         |FROM adc_t a
+         |LEFT JOIN (SELECT qid, vec_id FROM exact_t WHERE rn <= 5) e
+         |  ON a.qid = e.qid AND a.vec_id = e.vec_id
+         |GROUP BY a.qid ORDER BY a.qid""".stripMargin,
     "q_ann_lsh" ->
       s"""WITH nb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
          |            sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS norm,

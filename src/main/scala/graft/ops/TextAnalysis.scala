@@ -279,6 +279,86 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Bigram language model with add-one smoothing — the CCNet-style
+    * perplexity filter one rung above [[unigramLm]] (condition on the
+    * previous word): P(w₂|w₁) = (c(w₁w₂)+1) / (c(w₁·)+V), so each bigram
+    * occurrence's surprisal is ln(c(w₁·)+V) − ln(c(w₁w₂)+1) — logs of
+    * INTEGERS only, each quantized to 6 dp DECIMAL before the exact
+    * decimal subtraction (the [[unigramLm]] parity contract: ln over the
+    * integer count domain is boundary-safe at 6 dp across engines; ln of
+    * a ratio double is not). Per-doc totals accumulate in exact DECIMAL;
+    * the mean is the one final double division, floor-quantized to 4 dp.
+    * Docs with fewer than two words have no bigrams and drop out.
+    *
+    * Scale shape: occurrences reduce to per-(doc, bigram) tf FIRST, the
+    * corpus bigram table and its first-word (history) rollup are
+    * vocabulary-bounded (Zipf-truncated in practice) and ride broadcasts;
+    * beyond broadcast scale the same plan degrades to bigram-keyed
+    * shuffles of the already-tf-reduced side — never raw occurrences.
+    * V is a 1-row broadcast. */
+  def bigramLm(s: SparkSession, d: String): DataFrame = {
+    val wf = filter(words(col("text")), x => x =!= "")
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), explode(StringNgrams.ngrams(wf, 2)).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("tf"))
+    val c12 = tf.groupBy("bg").agg(sum("tf").as("c12"))
+    val c1 = c12.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum("c12").as("c1"))
+    val v = Tables.documents(s, d)
+      .select(explode(wf).as("term"))
+      .agg(countDistinct("term").as("v"))
+    val qln = (c: Column) =>
+      round(log(c.cast("double")), 6)
+        .cast(org.apache.spark.sql.types.DecimalType(18, 6))
+    tf.join(broadcast(c12), "bg")
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(broadcast(c1), "w1")
+      .crossJoin(broadcast(v))
+      .withColumn("sur", qln(col("c1") + col("v")) - qln(col("c12") + lit(1L)))
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_bigrams"), sum(col("sur") * col("tf")).as("ssum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("ssum"), 4).cast("double").as("sum_nats"),
+        (floor(col("ssum").cast("double") / col("n_bigrams") * 10000 + lit(0.5)) / 10000)
+          .as("avg_nats"))
+      .orderBy("doc_id")
+  }
+
+  /** Document-frequency threshold above which a trigram counts as
+    * boilerplate in [[boilerplateNgrams]] (df ≥ 3 distinct docs; chosen
+    * against the fixture's trigram-df distribution — max 7, mean 1.6 at
+    * sf0.01 — so both classes are populated). Mirrored in the oracle. */
+  private val BoilerDf = 3
+
+  /** Cross-document boilerplate n-gram audit (the Gopher/C4 cleanup
+    * signal: spans repeated across many documents are chrome —
+    * headers, footers, navigation — not content): a trigram is
+    * *boilerplate* when it appears in ≥ [[BoilerDf]] DISTINCT documents;
+    * each doc reports its distinct-trigram count, how many are
+    * boilerplate, and the boilerplate fraction (removal = filter docs or
+    * splice spans on this flag downstream). All counting is integer; the
+    * fraction is one floor-quantized double division.
+    *
+    * Scale shape: trigrams reduce to the per-doc DISTINCT grain in the
+    * first aggregate; the document-frequency table is vocabulary-bounded
+    * and broadcast back onto the (doc_id, trigram) pairs (beyond
+    * broadcast scale: a trigram-keyed shuffle of those narrow pairs) —
+    * document bodies are never exchanged. */
+  def boilerplateNgrams(s: SparkSession, d: String): DataFrame = {
+    val tri = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(array_distinct(StringNgrams.ngrams(words(col("text")), 3))).as("g"))
+    val tdf = tri.groupBy("g").agg(count(lit(1)).as("df"))
+    tri.join(broadcast(tdf), "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tri"),
+        sum(when(col("df") >= BoilerDf, 1L).otherwise(0L)).as("n_boiler"))
+      .select(col("doc_id"), col("n_tri"), col("n_boiler"),
+        (floor(col("n_boiler").cast("double") / col("n_tri") * 10000 + lit(0.5)) / 10000)
+          .as("boiler_frac"))
+      .orderBy("doc_id")
+  }
+
   /** BM25 retrieval terms + parameters (k1 = 1.2, b = 0.75 — the standard
     * Robertson defaults, encoded as exact rationals below). Mirrored in
     * the oracle SQL. */
@@ -539,6 +619,8 @@ object TextAnalysis {
     "q_quality_score"   -> (qualityScore _),
     "q_token_count"     -> (tokenCount _),
     "q_doc_fingerprint" -> (docFingerprint _),
+    "q_bigram_lm"       -> (bigramLm _),
+    "q_boilerplate"     -> (boilerplateNgrams _),
   )
 
   private val WordsSql = "string_split(text, ' ')"
@@ -550,7 +632,56 @@ object TextAnalysis {
        |        i -> $WordsSql[i] || ' ' || $WordsSql[i+1] || ' ' || $WordsSql[i+2])
        | ELSE [text] END""".stripMargin
 
+  private val FWordsSql = s"list_filter($WordsSql, x -> x <> '')"
+
   val oracle: Map[String, String] = Map(
+    "q_bigram_lm" ->
+      s"""WITH ws AS (
+         |  SELECT doc_id, $FWordsSql AS w FROM documents
+         |), bgr AS (
+         |  SELECT doc_id,
+         |         unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bg
+         |  FROM ws
+         |), tf AS (
+         |  SELECT doc_id, bg, count(*) AS tf FROM bgr GROUP BY doc_id, bg
+         |), c12 AS (
+         |  SELECT bg, CAST(sum(tf) AS BIGINT) AS c12 FROM tf GROUP BY bg
+         |), c1 AS (
+         |  SELECT string_split(bg, ' ')[1] AS w1, CAST(sum(c12) AS BIGINT) AS c1
+         |  FROM c12 GROUP BY 1
+         |), v AS (
+         |  SELECT count(DISTINCT term) AS v
+         |  FROM (SELECT unnest($FWordsSql) AS term FROM documents)
+         |), sur AS (
+         |  SELECT tf.doc_id, tf.tf,
+         |         CAST(round(ln(CAST(c1.c1 + v.v AS DOUBLE)), 6) AS DECIMAL(18,6))
+         |       - CAST(round(ln(CAST(c12.c12 + 1 AS DOUBLE)), 6) AS DECIMAL(18,6)) AS sur
+         |  FROM tf
+         |  JOIN c12 USING (bg)
+         |  JOIN c1 ON string_split(tf.bg, ' ')[1] = c1.w1, v
+         |)
+         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+         |       CAST(round(sum(sur * tf), 4) AS DOUBLE) AS sum_nats,
+         |       floor(CAST(sum(sur * tf) AS DOUBLE) / sum(tf) * 10000 + 0.5) / 10000 AS avg_nats
+         |FROM sur GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_boilerplate" ->
+      s"""WITH ws AS (
+         |  SELECT doc_id, $WordsSql AS w FROM documents
+         |), tri AS (
+         |  SELECT DISTINCT doc_id, g FROM (
+         |    SELECT doc_id,
+         |           unnest(list_transform(range(1, len(w) - 1),
+         |                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+         |    FROM ws) t
+         |), tdf AS (
+         |  SELECT g, CAST(count(*) AS BIGINT) AS df FROM tri GROUP BY g
+         |)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tri,
+         |       CAST(sum(CASE WHEN df >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+         |       floor(CAST(sum(CASE WHEN df >= 3 THEN 1 ELSE 0 END) AS DOUBLE)
+         |             / count(*) * 10000 + 0.5) / 10000 AS boiler_frac
+         |FROM tri JOIN tdf USING (g)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_js_divergence" ->
       s"""WITH tc AS (
          |  SELECT source, term, count(*) AS c

@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Laws for the round-7 additions: the bigram LM, the cross-document
+  * boilerplate audit, the rule-based quality gate, and the ANN recall
+  * audit. Each law is an independent recomputation or an algebraic
+  * invariant — never a comparison of the query against itself. */
+class RulesAndRecallSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.session
+  private val sf = TestSpark.Sf
+
+  test("bigram LM: every surprisal sum is positive and consistent with its mean") {
+    val rows = ops.TextAnalysis.bigramLm(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, sumN, avgN) = (r.getLong(1), r.getDouble(2), r.getDouble(3))
+      assert(n >= 1)
+      // add-one smoothing guarantees c12 + 1 <= c1 + V strictly when V > 1,
+      // so every bigram's surprisal is positive
+      assert(sumN > 0, s"non-positive surprisal sum $sumN")
+      // avg is the floor-quantized sum/n — reproducible from the row itself
+      // only up to the two quantizations; bound the drift by one 4-dp step
+      assert(math.abs(avgN - sumN / n) <= 1e-4 + 1e-9,
+        s"avg $avgN inconsistent with $sumN / $n")
+    }
+  }
+
+  test("bigram LM: per-doc bigram count equals word count minus one") {
+    val lm = ops.TextAnalysis.bigramLm(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val words = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(filter(split(col("text"), " "), x => x =!= "")).cast("long").as("nw"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    words.foreach { case (id, nw) =>
+      if (nw >= 2) assert(lm(id) === nw - 1, s"doc $id: ${lm.get(id)} vs ${nw - 1}")
+      else assert(!lm.contains(id), s"doc $id with $nw words should have no bigrams")
+    }
+  }
+
+  test("boilerplate: counts bound the fraction and match an independent df recount") {
+    val rows = ops.TextAnalysis.boilerplateNgrams(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nTri, nBoiler, frac) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(nBoiler >= 0 && nBoiler <= nTri)
+      assert(frac >= 0.0 && frac <= 1.0)
+      assert(math.abs(frac - math.floor(nBoiler.toDouble / nTri * 10000 + 0.5) / 10000) < 1e-12)
+    }
+    // independent recount of one doc's boilerplate trigrams from raw text
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def tris(t: String): Set[String] =
+      t.split(" ", -1).sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    val df = scala.collection.mutable.Map.empty[String, Int]
+    docs.values.foreach(t => tris(t).foreach(g => df(g) = df.getOrElse(g, 0) + 1))
+    val byId = rows.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    docs.foreach { case (id, t) =>
+      val ts = tris(t)
+      if (ts.nonEmpty) {
+        val (nTri, nBoiler) = byId(id)
+        assert(nTri === ts.size, s"doc $id distinct-trigram count")
+        assert(nBoiler === ts.count(df(_) >= 3), s"doc $id boilerplate count")
+      }
+    }
+  }
+
+  test("quality rules: keep is exactly the conjunction and every flag is 0/1") {
+    val rows = ops.Curation.qualityRules(spark, sf).collect()
+    assert(rows.nonEmpty)
+    var kept = 0
+    rows.foreach { r =>
+      val flags = (5 to 8).map(r.getInt)
+      val keep = r.getInt(9)
+      flags.foreach(f => assert(f == 0 || f == 1))
+      assert(keep === flags.min, s"keep ${keep} != conjunction of $flags")
+      kept += keep
+    }
+    assert(kept > 0 && kept < rows.length,
+      s"degenerate gate: kept $kept of ${rows.length}")
+  }
+
+  test("quality rules: r_wordlen agrees with a recomputed mean word length") {
+    val rows = ops.Curation.qualityRules(spark, sf).collect()
+    rows.foreach { r =>
+      val (nw, nl, rWordlen) = (r.getLong(1), r.getLong(2), r.getInt(6))
+      val expected = if (3 * nw <= nl && nl <= 10 * nw) 1 else 0
+      assert(rWordlen === expected, s"doc ${r.getLong(0)}: nw=$nw nl=$nl")
+    }
+  }
+
+  test("ANN recall audit equals the exact/approx top-5 intersection") {
+    val exact = ops.Similarity.cosineTopk(spark, sf).filter(col("rn") <= 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val adc = ops.Similarity.pqAdc(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val hits = adc.groupBy(_._1).map { case (q, ns) =>
+      q -> ns.count(exact.contains)
+    }
+    val audit = ops.Similarity.annRecall(spark, sf).collect()
+    assert(audit.nonEmpty)
+    audit.foreach { r =>
+      val (qid, nHits, recall) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      assert(nHits === hits(qid).toLong, s"probe $qid hit count")
+      assert(recall === nHits / 5.0)
+      assert(nHits >= 0 && nHits <= 5)
+    }
+    assert(audit.map(_.getLong(0)).toSet === hits.keySet.map(_.toLong))
+  }
+}
