@@ -466,7 +466,80 @@ object Statistics {
     chi.unionByName(ks).unionByName(psi).orderBy("monitor")
   }
 
+  /** Embedding-space drift monitor — per-label centroid shift between
+    * the even-id reference half and the odd-id current half of the
+    * corpus. Completes the drift family along the remaining axis:
+    * [[ksDrift]]/[[psiDrift]] watch a scalar, [[chisqDrift]] the
+    * categorical mix, this the EMBEDDING column (the signal that moves
+    * when an upstream encoder is retrained or a data source shifts
+    * semantically — invisible to every scalar monitor).
+    *
+    * Integer-exact by construction: each coordinate is floor-quantized
+    * to BIGINT micro-units (floor(x·10⁶+0.5) — exact parquet floats in,
+    * elementary correctly-rounded IEEE ops, engine-free), the per-dim
+    * mean difference m_cur−m_ref = (s1·n0 − s0·n1)/(n0·n1) keeps its
+    * numerator in exact BIGINT (per-(label,half) counts are
+    * dim-independent, so the denominator factors out of the per-label
+    * max/sum), and the only doubles are two final correctly-rounded
+    * divisions per output cell. Overflow edge: s·n exceeds Long around
+    * ~1.5M vectors per (label, half) at |x|≈4 (DuckDB's HUGEINT keeps
+    * going; Spark would wrap) — document-scale fixtures are 3 orders of
+    * magnitude below; shard labels before that point.
+    *
+    * Scale shape: one (label, dim) aggregate over posexploded
+    * coordinates (map-side combinable, 64·|labels| result rows), then a
+    * |labels|-row rollup — the corpus streams through once, nothing
+    * else is exchanged. */
+  def embedDrift(s: SparkSession, d: String): DataFrame = {
+    val ex = Tables.embeddings(s, d)
+      .select(col("label"), (col("vec_id") % 2).cast("int").as("half"),
+        posexplode(col("embedding")))
+      .select(col("label"), col("half"), col("pos").as("dim"),
+        q6micro(col("col").cast("double")).as("xq"))
+    shiftRollup(ex.groupBy("label", "dim").agg(
+      coalesce(sum(when(col("half") === 0, col("xq"))), lit(0L)).as("s0"),
+      count(when(col("half") === 0, lit(1))).as("n0"),
+      coalesce(sum(when(col("half") === 1, col("xq"))), lit(0L)).as("s1"),
+      count(when(col("half") === 1, lit(1))).as("n1")))
+  }
+
+  /** floor(x·10⁶+0.5) as BIGINT micro-units — the coordinate quantizer
+    * shared by [[embedDrift]] and the streaming monitor path. */
+  private[graft] def q6micro(c: Column): Column =
+    floor(c * 1000000 + lit(0.5)).cast("long")
+
+  /** Per-(label, dim) micro-unit coordinate sums of a (label, embedding)
+    * frame — the mergeable sufficient statistic the drift arithmetic runs
+    * on, exposed so the streaming monitor builds its broadcast baseline
+    * and scores micro-batches with the SAME code (the
+    * valueHistogram/psiVsBaseline pattern). */
+  private[graft] def dimSums(e: DataFrame): DataFrame =
+    e.select(col("label"), posexplode(col("embedding")))
+      .select(col("label"), col("pos").as("dim"),
+        q6micro(col("col").cast("double")).as("xq"))
+      .groupBy("label", "dim")
+      .agg(sum("xq").as("s"), count(lit(1)).as("n"))
+
+  /** Centroid-shift rollup over a per-(label, dim) (s0, n0, s1, n1)
+    * frame — [[embedDrift]]'s arithmetic after the sufficient statistic,
+    * shared verbatim with [[graft.streaming.Streams.embedShiftVsBaseline]]:
+    * integer numerators |s1·n0 − s0·n1|, per-label max/sum, two final
+    * correctly-rounded double divisions. */
+  private[graft] def shiftRollup(bd: DataFrame): DataFrame = {
+    val denom = when(col("n_ref") * col("n_cur") === 0, lit(null))
+      .otherwise(col("n_ref") * col("n_cur"))
+    bd.withColumn("num", abs(col("s1") * col("n0") - col("s0") * col("n1")))
+      .groupBy("label").agg(
+        max("n0").as("n_ref"), max("n1").as("n_cur"),
+        max("num").as("max_num"), sum("num").as("sum_num"))
+      .select(col("label"), col("n_ref"), col("n_cur"),
+        (col("max_num").cast("double") / denom / lit(1000000.0)).as("max_shift"),
+        (col("sum_num").cast("double") / denom / lit(1000000.0)).as("l1_shift"))
+      .orderBy("label")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embed_drift" -> (embedDrift _),
     "q_corr_regr" -> (corrRegr _),
     "q_histogram" -> (histogram _),
     "q_width_bucket" -> (widthBucket _),
@@ -480,6 +553,28 @@ object Statistics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_embed_drift" ->
+      """WITH v AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), ex AS (
+        |  SELECT label, CAST(vec_id % 2 AS INTEGER) AS half, dim,
+        |         CAST(floor(v[CAST(dim AS INTEGER) + 1] * 1000000 + 0.5) AS BIGINT) AS xq
+        |  FROM v, (SELECT unnest(range(0, 64)) AS dim)
+        |), bd AS (
+        |  SELECT label, dim,
+        |         CAST(COALESCE(sum(CASE WHEN half = 0 THEN xq END), 0) AS BIGINT) AS s0,
+        |         CAST(count(CASE WHEN half = 0 THEN 1 END) AS BIGINT) AS n0,
+        |         CAST(COALESCE(sum(CASE WHEN half = 1 THEN xq END), 0) AS BIGINT) AS s1,
+        |         CAST(count(CASE WHEN half = 1 THEN 1 END) AS BIGINT) AS n1
+        |  FROM ex GROUP BY label, dim
+        |), nm AS (
+        |  SELECT label, dim, n0, n1, abs(s1 * n0 - s0 * n1) AS num FROM bd
+        |)
+        |SELECT label,
+        |       max(n0) AS n_ref, max(n1) AS n_cur,
+        |       CAST(max(num) AS DOUBLE) / NULLIF(max(n0) * max(n1), 0) / 1000000.0 AS max_shift,
+        |       CAST(sum(num) AS DOUBLE) / NULLIF(max(n0) * max(n1), 0) / 1000000.0 AS l1_shift
+        |FROM nm GROUP BY label ORDER BY label""".stripMargin,
     "q_corr_regr" ->
       """WITH s AS (
         |  SELECT l_returnflag,

@@ -190,6 +190,28 @@ object Streams {
       .groupBy("bkt").agg(count(lit(1)).as("cnt"))
   }
 
+  /** Micro-batch embedding-centroid shift against a broadcast baseline —
+    * the embedding-space companion to [[psiVsBaseline]] (numeric) and
+    * [[chisqVsBaseline]] (categorical), and the streaming twin of
+    * [[graft.ops.Statistics.embedDrift]]: the batch stats job publishes
+    * per-(label, dim) micro-unit coordinate sums
+    * ([[graft.ops.Statistics.dimSums]] — the mergeable sufficient
+    * statistic), and each micro-batch's own dim-sums score against it,
+    * flagging encoder retrains / semantic source shifts while vectors
+    * are still landing. Stateless like the other monitors; the rollup is
+    * [[graft.ops.Statistics.shiftRollup]] — the SAME integer-numerator
+    * arithmetic the batch monitor runs, so scores are identical by
+    * construction on identical input (pinned in `StreamingSpec`).
+    * Labels absent from the baseline drop (no shift is defined).
+    * Returns (label, n_ref, n_cur, max_shift, l1_shift). */
+  def embedShiftVsBaseline(batch: DataFrame, baseline: DataFrame): DataFrame =
+    graft.ops.Statistics.shiftRollup(
+      graft.ops.Statistics.dimSums(batch)
+        .select(col("label"), col("dim"), col("s").as("s1"), col("n").as("n1"))
+        .join(broadcast(baseline
+          .select(col("label"), col("dim"), col("s").as("s0"), col("n").as("n0"))),
+          Seq("label", "dim")))
+
   /** PQ-encode one micro-batch of ingested embeddings against a static
     * codebook frame — the PQ half of streaming index maintenance
     * ([[assignCells]] is the IVF half): new vectors arriving on the

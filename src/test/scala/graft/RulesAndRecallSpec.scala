@@ -91,6 +91,38 @@ class RulesAndRecallSpec extends AnyFunSuite {
     }
   }
 
+  test("embedding drift: split counts reconcile and an independent recompute agrees") {
+    val rows = ops.Statistics.embedDrift(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val labelCounts = Tables.embeddings(spark, sf)
+      .groupBy("label").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (label, nRef, nCur) = (r.getInt(0), r.getLong(1), r.getLong(2))
+      assert(nRef + nCur === labelCounts(label), s"label $label split count")
+      assert(r.getDouble(3) >= 0 && r.getDouble(4) >= r.getDouble(3),
+        "L1 shift must dominate the max per-dim shift")
+    }
+    // independent recompute of one label's shifts from the raw vectors
+    val label0 = rows.head.getInt(0)
+    val vecs = Tables.embeddings(spark, sf)
+      .filter(col("label") === label0)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val (ref, cur) = vecs.partition(_._1 % 2 == 0)
+    def q6(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
+    val dims = vecs.head._2.length
+    val nums = (0 until dims).map { i =>
+      val s0 = ref.map(v => q6(v._2(i).toDouble)).sum
+      val s1 = cur.map(v => q6(v._2(i).toDouble)).sum
+      math.abs(s1 * ref.length - s0 * cur.length)
+    }
+    val denom = ref.length.toLong * cur.length
+    val row0 = rows.find(_.getInt(0) == label0).get
+    assert(math.abs(row0.getDouble(3) - nums.max.toDouble / denom / 1e6) < 1e-12)
+    assert(math.abs(row0.getDouble(4) - nums.map(BigInt(_)).sum.toDouble / denom / 1e6) < 1e-9)
+  }
+
   test("ANN recall audit equals the exact/approx top-5 intersection") {
     val exact = ops.Similarity.cosineTopk(spark, sf).filter(col("rn") <= 5)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet

@@ -163,6 +163,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(self.forall(r => r.getDouble(3) == 0.0 && r.getDouble(4) == 0.0))
   }
 
+  test("streaming embed shift vs broadcast baseline equals the batch rollup; self-shift is zero") {
+    val emb = Tables.embeddings(spark, sf)
+    // baseline: the even-id reference half's per-(label, dim) sums —
+    // exactly q_embed_drift's reference side
+    val baseline = ops.Statistics.dimSums(
+      emb.filter(col("vec_id") % 2 === 0)).localCheckpoint(true)
+    val got = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
+    var nBatches = 0
+    val fn: (org.apache.spark.sql.DataFrame, Long) => Unit = (batch, _) =>
+      got.synchronized {
+        nBatches += 1
+        got ++= Streams.embedShiftVsBaseline(batch, baseline)
+          .collect().map(_.toSeq)
+        ()
+      }
+    val q = Streams.embeddingsStream(spark, sf).writeStream
+      .foreachBatch(fn)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(120000) finally q.stop()
+    assert(nBatches === 1, "fixture file arrives as one micro-batch")
+    val expected = Streams.embedShiftVsBaseline(emb, baseline).collect().map(_.toSeq)
+    assert(got.toSeq === expected.toSeq)
+    // streaming the odd half against the even baseline IS q_embed_drift
+    // (same sufficient statistic, same rollup) — cell-identical
+    val drift = ops.Statistics.embedDrift(spark, sf).collect().map(_.toSeq)
+    val oddOnly = Streams.embedShiftVsBaseline(
+      emb.filter(col("vec_id") % 2 === 1), baseline).collect().map(_.toSeq)
+    assert(oddOnly.toSeq === drift.toSeq)
+    // law: a batch scored against ITS OWN sums has s1=s0, n1=n0 per
+    // (label, dim), so every |s1·n0 − s0·n1| is exactly zero
+    val self = Streams.embedShiftVsBaseline(emb, ops.Statistics.dimSums(emb))
+      .collect()
+    assert(self.nonEmpty)
+    assert(self.forall(r => r.getDouble(3) == 0.0 && r.getDouble(4) == 0.0))
+  }
+
   test("embeddingsStream reads the sharded directory layout (ADVICE r5)") {
     // sf1-style layout: embeddings.parquet is a DIRECTORY of part files —
     // the old parent-dir + pathGlobFilter formulation read zero files here
