@@ -154,6 +154,21 @@ class PlanBudgetSpec extends AnyFunSuite {
                                       // round broadcasts its 1-row pick and
                                       // takes a global TakeOrdered top-1; the
                                       // one shuffle is the final rank sort
+    // round-7 additions
+    ("q_bigram_lm", 8, 3),            // tf / bigram-count / history rollups
+                                      // (tf recomputed per branch in audit
+                                      // mode); c12+c1+V all broadcast back
+                                      // (audited 7, +1 headroom)
+    ("q_boilerplate", 3, 1),          // distinct-trigram agg + df rollup
+                                      // broadcast back + presentation sort
+    ("q_quality_rules", 3, 1),        // row-local lengths; (doc, term) agg +
+                                      // per-doc stats joined back broadcast
+    ("q_embed_drift", 3, 0),          // one (label, dim) aggregate + the
+                                      // |labels|-row rollup + sort; corpus
+                                      // streamed once, nothing broadcast
+    ("q_ann_recall", 6, 4),           // both audited legs' lineage (exact
+                                      // top-5 + ADC) + the probes x k
+                                      // intersection join (broadcast)
   )
 
   budgets.foreach { case (name, maxShuffles, minBcasts) =>
