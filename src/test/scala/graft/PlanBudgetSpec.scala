@@ -169,6 +169,9 @@ class PlanBudgetSpec extends AnyFunSuite {
     ("q_ann_recall", 6, 4),           // both audited legs' lineage (exact
                                       // top-5 + ADC) + the probes x k
                                       // intersection join (broadcast)
+    ("q_pack_greedy", 2, 0),          // ONE shuffle on the packing key,
+                                      // then the per-partition fold; the
+                                      // second exchange is the final sort
   )
 
   budgets.foreach { case (name, maxShuffles, minBcasts) =>

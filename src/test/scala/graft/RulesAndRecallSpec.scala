@@ -91,6 +91,30 @@ class RulesAndRecallSpec extends AnyFunSuite {
     }
   }
 
+  test("greedy next-fit packing matches a single-threaded fold and respects capacity") {
+    val rows = ops.TrainingPrep.binPack(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    // independent single-threaded replay of the fold per source
+    val bySource = rows.groupBy(_._2)
+    bySource.foreach { case (_, docs) =>
+      var bin = 0L; var fill = 0L
+      docs.sortBy(_._1).foreach { case (id, srcName, nt, gotBin, gotFill) =>
+        if (fill > 0 && fill + nt > 256) { bin += 1; fill = 0 }
+        fill += nt
+        assert(gotBin === bin, s"doc $id bin")
+        assert(gotFill === fill, s"doc $id fill")
+        // capacity law: a bin only exceeds 256 when a single doc does
+        assert(fill <= 256 || fill == nt, s"doc $id overfilled a shared bin")
+      }
+    }
+    // bins are dense 0..max per source
+    bySource.foreach { case (srcName, docs) =>
+      val bins = docs.map(_._4).distinct.sorted
+      assert(bins === (0L to bins.max), s"$srcName bins not contiguous")
+    }
+  }
+
   test("embedding drift: split counts reconcile and an independent recompute agrees") {
     val rows = ops.Statistics.embedDrift(spark, sf).collect()
     assert(rows.nonEmpty)
