@@ -303,7 +303,42 @@ object EventTime {
       .orderBy("event_id", "window_start")
   }
 
+  /** Half-life-decayed per-type value totals — the freshness-weighted
+    * aggregate a recency-aware dashboard or source-reweighting policy
+    * reads, with a determinism construction worth naming: the half-life
+    * is 7 days, the decay exponent k = (days before the corpus's last
+    * day) div 7 is an INTEGER, so the weight 2⁻ᵏ is a power of two and
+    * `value / 2ᵏ` is an EXACT IEEE exponent shift — no pow(), no libm,
+    * no rounding at all until the per-event result floor-quantizes to
+    * micro-units; the per-type totals are then exact BIGINT sums
+    * (order-independent), with one final /10⁶ division. `raw_sum` rides
+    * beside it for the undecayed contrast. k clamps at 62 so the shift
+    * stays in Long for arbitrarily old events.
+    *
+    * Scale shape: the anchor date is a 1-row broadcast; everything else
+    * is row-local until the |types|-row aggregate — the events table
+    * streams through once, map-side combined. */
+  def timeDecay(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), col("value"), to_date(col("ts")).as("dt"))
+    val anchor = ev.agg(max("dt").as("anchor"))
+    ev.crossJoin(broadcast(anchor))
+      .withColumn("k",
+        least(lit(62L), expr("CAST(datediff(anchor, dt) AS BIGINT) div 7")))
+      .withColumn("wq",
+        floor(col("value") / expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(k AS INT)) AS DOUBLE)")
+          * 1000000 + lit(0.5)).cast("long"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        dsum(col("value")).as("raw_sum"),
+        sum("wq").as("swq"))
+      .select(col("event_type"), col("n_events"), col("raw_sum"),
+        (col("swq").cast("double") / lit(1000000.0)).as("decayed_sum"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_time_decay" -> (timeDecay _),
     "q_join_range_binned"  -> (joinRangeBinned _),
     "q_resample_interp"    -> (resampleInterp _),
     "q_cohort_retention"   -> (cohortRetention _),
@@ -319,6 +354,25 @@ object EventTime {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_time_decay" ->
+      """WITH ev AS (
+        |  SELECT event_type, value, CAST(ts AS DATE) AS dt FROM events
+        |), a AS (
+        |  SELECT max(dt) AS anchor FROM ev
+        |), w AS (
+        |  SELECT event_type, value,
+        |         least(62, date_diff('day', dt, anchor) // 7) AS k
+        |  FROM ev, a
+        |), q AS (
+        |  SELECT event_type, value,
+        |         CAST(floor(value / CAST((CAST(1 AS BIGINT) << k) AS DOUBLE)
+        |                    * 1000000 + 0.5) AS BIGINT) AS wq
+        |  FROM w
+        |)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE) AS raw_sum,
+        |       CAST(sum(wq) AS DOUBLE) / 1000000.0 AS decayed_sum
+        |FROM q GROUP BY event_type ORDER BY event_type""".stripMargin,
     // the NAIVE range-join formulation on purpose: hash parity with the
     // binned Spark plan proves the rewrite preserves semantics
     "q_join_range_binned" ->

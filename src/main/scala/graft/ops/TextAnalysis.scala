@@ -324,6 +324,53 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Support threshold and per-source cut for [[pmiTerms]]: a term needs
+    * ≥ 5 occurrences in a source to score (PMI of rare pairs is noise),
+    * and each source reports its top 3. Mirrored in the oracle. */
+  private val PmiMinCount = 5L
+  private val PmiTopK = 3
+
+  /** Pointwise mutual information of (term, source) — the
+    * feature-selection view of the corpus ([[tfidf]] ranks terms within
+    * a document; this ranks terms AS SOURCE DISCRIMINATORS, the signal a
+    * source classifier or a mixture auditor reads): PMI =
+    * ln(c_ts·N / (c_t·c_s)), decomposed as ln c_ts + ln N − ln c_t −
+    * ln c_s so every log is over a BARE integer count inside the
+    * verified 6-dp-boundary-safe envelope (a log of the product would
+    * leave that envelope at corpus scale), each quantized to DECIMAL
+    * before the exact combination — the [[unigramLm]] parity contract.
+    * Top-[[PmiTopK]] per source by (pmi desc, term asc), support ≥
+    * [[PmiMinCount]].
+    *
+    * Scale shape: occurrences reduce to (source, term) counts FIRST;
+    * the term rollup is vocabulary-bounded and the source rollup
+    * |sources|-bounded, both broadcast; the rank window partitions by
+    * source over already-thresholded candidates. */
+  def pmiTerms(s: SparkSession, d: String): DataFrame = {
+    val occ = Tables.documents(s, d)
+      .select(col("source"), explode(words(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+    val cts = occ.groupBy("source", "term").agg(count(lit(1)).as("c_ts"))
+    val ct = cts.groupBy("term").agg(sum("c_ts").as("c_t"))
+    val cs = cts.groupBy("source").agg(sum("c_ts").as("c_s"))
+    val n = cts.agg(sum("c_ts").as("n_tot"))
+    val qln = (c: Column) =>
+      round(log(c.cast("double")), 6)
+        .cast(org.apache.spark.sql.types.DecimalType(18, 6))
+    val w = Window.partitionBy("source").orderBy(col("pmi").desc, col("term").asc)
+    cts.filter(col("c_ts") >= PmiMinCount)
+      .join(broadcast(ct), "term")
+      .join(broadcast(cs), "source")
+      .crossJoin(broadcast(n))
+      .withColumn("pmi",
+        qln(col("c_ts")) + qln(col("n_tot")) - qln(col("c_t")) - qln(col("c_s")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= PmiTopK)
+      .select(col("source"), col("rnk"), col("term"), col("c_ts"),
+        col("pmi").cast("double").as("pmi"))
+      .orderBy("source", "rnk")
+  }
+
   /** Document-frequency threshold above which a trigram counts as
     * boilerplate in [[boilerplateNgrams]] (df ≥ 3 distinct docs; chosen
     * against the fixture's trigram-df distribution — max 7, mean 1.6 at
@@ -621,6 +668,7 @@ object TextAnalysis {
     "q_doc_fingerprint" -> (docFingerprint _),
     "q_bigram_lm"       -> (bigramLm _),
     "q_boilerplate"     -> (boilerplateNgrams _),
+    "q_pmi_terms"       -> (pmiTerms _),
   )
 
   private val WordsSql = "string_split(text, ' ')"
@@ -635,6 +683,36 @@ object TextAnalysis {
   private val FWordsSql = s"list_filter($WordsSql, x -> x <> '')"
 
   val oracle: Map[String, String] = Map(
+    "q_pmi_terms" ->
+      s"""WITH occ AS (
+         |  SELECT source, term
+         |  FROM (SELECT source, unnest($WordsSql) AS term FROM documents)
+         |  WHERE term <> ''
+         |), cts AS (
+         |  SELECT source, term, count(*) AS c_ts FROM occ GROUP BY source, term
+         |), ct AS (
+         |  SELECT term, CAST(sum(c_ts) AS BIGINT) AS c_t FROM cts GROUP BY term
+         |), cs AS (
+         |  SELECT source, CAST(sum(c_ts) AS BIGINT) AS c_s FROM cts GROUP BY source
+         |), n AS (
+         |  SELECT CAST(sum(c_ts) AS BIGINT) AS n_tot FROM cts
+         |), p AS (
+         |  SELECT cts.source, cts.term, cts.c_ts,
+         |           CAST(round(ln(CAST(c_ts AS DOUBLE)), 6) AS DECIMAL(18,6))
+         |         + CAST(round(ln(CAST(n_tot AS DOUBLE)), 6) AS DECIMAL(18,6))
+         |         - CAST(round(ln(CAST(c_t AS DOUBLE)), 6) AS DECIMAL(18,6))
+         |         - CAST(round(ln(CAST(c_s AS DOUBLE)), 6) AS DECIMAL(18,6)) AS pmi
+         |  FROM cts JOIN ct USING (term) JOIN cs USING (source), n
+         |  WHERE c_ts >= 5
+         |), r AS (
+         |  SELECT source, term, c_ts, pmi,
+         |         CAST(row_number() OVER (PARTITION BY source
+         |                                 ORDER BY pmi DESC, term ASC) AS INTEGER) AS rnk
+         |  FROM p
+         |)
+         |SELECT source, rnk, term, c_ts, CAST(pmi AS DOUBLE) AS pmi
+         |FROM r WHERE rnk <= 3
+         |ORDER BY source, rnk""".stripMargin,
     "q_bigram_lm" ->
       s"""WITH ws AS (
          |  SELECT doc_id, $FWordsSql AS w FROM documents

@@ -172,6 +172,12 @@ class PlanBudgetSpec extends AnyFunSuite {
     ("q_pack_greedy", 2, 0),          // ONE shuffle on the packing key,
                                       // then the per-partition fold; the
                                       // second exchange is the final sort
+    ("q_pmi_terms", 8, 3),            // (source, term) agg recomputed per
+                                      // rollup branch in audit mode;
+                                      // term/source/N rollups broadcast
+                                      // (audited 7, +1 headroom)
+    ("q_time_decay", 3, 1),           // 1-row anchor broadcast; row-local
+                                      // decay; |types|-row aggregate + sort
   )
 
   budgets.foreach { case (name, maxShuffles, minBcasts) =>

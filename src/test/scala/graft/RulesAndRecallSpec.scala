@@ -147,6 +147,54 @@ class RulesAndRecallSpec extends AnyFunSuite {
     assert(math.abs(row0.getDouble(4) - nums.map(BigInt(_)).sum.toDouble / denom / 1e6) < 1e-9)
   }
 
+  test("time decay: decayed total never exceeds raw and matches an exact replay") {
+    val rows = ops.EventTime.timeDecay(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(3) <= r.getDouble(2) + 1e-9,
+        s"${r.getString(0)}: decayed ${r.getDouble(3)} > raw ${r.getDouble(2)}")
+      assert(r.getDouble(3) > 0)
+    }
+    // exact single-threaded replay of one type's decayed sum
+    val evs = Tables.events(spark, sf)
+      .select(col("event_type"), col("value"), to_date(col("ts")).as("dt"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDate(2).toLocalDate))
+    val anchor = evs.map(_._3).max(Ordering.fromLessThan[java.time.LocalDate](_ isBefore _))
+    val t0 = rows.head.getString(0)
+    val expected = evs.filter(_._1 == t0).map { case (_, v, dt) =>
+      val k = math.min(62L, java.time.temporal.ChronoUnit.DAYS.between(dt, anchor) / 7)
+      math.floor(v / (1L << k).toDouble * 1e6 + 0.5).toLong
+    }.sum
+    assert(rows.head.getDouble(3) === expected.toDouble / 1e6, s"replay mismatch for $t0")
+  }
+
+  test("PMI terms: ranks are dense, ordered, and each score replays from raw counts") {
+    val rows = ops.TextAnalysis.pmiTerms(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1 to rs.length), s"$src ranks not dense")
+      assert(sorted.map(-_._5).toSeq === sorted.map(-_._5).toSeq.sorted, s"$src not pmi-ordered")
+    }
+    // independent occurrence counting + the same quantized-log combination
+    val occ = Tables.documents(spark, sf)
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val cts = occ.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val ct = occ.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val cs = occ.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val n = occ.length.toLong
+    def q6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    rows.foreach { case (src, _, term, cTs, pmi) =>
+      assert(cTs === cts((src, term)), s"($src,$term) count")
+      val exp = q6(math.log(cTs.toDouble)) + q6(math.log(n.toDouble)) -
+        q6(math.log(ct(term).toDouble)) - q6(math.log(cs(src).toDouble))
+      assert(math.abs(pmi - exp.toDouble) < 1e-12, s"($src,$term) pmi $pmi vs $exp")
+    }
+  }
+
   test("ANN recall audit equals the exact/approx top-5 intersection") {
     val exact = ops.Similarity.cosineTopk(spark, sf).filter(col("rn") <= 5)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
