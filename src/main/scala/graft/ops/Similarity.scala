@@ -445,6 +445,43 @@ object Similarity {
     adcTopk(codes, pqLutOf(pqSubvectors(s, d), cb))
   }
 
+  /** Clustering-quality purity audit — [[annRecall]]'s companion on the
+    * OTHER index axis: recall audits the scoring (do approximate
+    * distances find the true neighbors?), purity audits the PARTITIONING
+    * (do the coarse cells group semantically-alike vectors?). Each
+    * vector joins its nearest coarse centroid ([[annIvf]]'s assignment
+    * rule, unchanged — max-struct argmax over broadcast centroids); per
+    * cell: vector count, distinct labels, the majority label
+    * (count-desc, label-asc tie-break) and its floor-quantized share. A
+    * purity collapse after a re-ingest is the signal to retrain the
+    * quantizer — this is the query that watches for it, and the fixture
+    * labels make it oracle-checkable end-to-end.
+    *
+    * Scale shape: the corpus meets only the broadcast centroid set; the
+    * argmax is map-side combinable over narrow (vec_id, ccos, cid) rows;
+    * everything after is |cells|·|labels|-bounded. */
+  def clusterPurity(s: SparkSession, d: String): DataFrame = {
+    val n = once(withNorm(Tables.embeddings(s, d)))
+    val cents = n.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("norm").as("cn"))
+    val asg = n.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("label"),
+        round(dot(col("v"), col("cv")) / (col("norm") * col("cn")), 4).as("ccos"),
+        col("cid"))
+      .groupBy("vec_id", "label")
+      .agg(max(struct(col("ccos"), (-col("cid")).as("negcid"))).as("b"))
+      .select(col("vec_id"), col("label"), (-col("b.negcid")).as("cid"))
+    val cl = asg.groupBy("cid", "label").agg(count(lit(1)).as("cnt"))
+    cl.groupBy("cid")
+      .agg(sum("cnt").as("n_vecs"), count(lit(1)).as("n_labels"),
+        max(struct(col("cnt"), (-col("label")).as("neglab"))).as("m"))
+      .select(col("cid"), col("n_vecs"), col("n_labels"),
+        (-col("m.neglab")).as("majority_label"), col("m.cnt").as("maj_n"),
+        (floor(col("m.cnt").cast("double") / col("n_vecs") * 10000 + lit(0.5)) / 10000)
+          .as("purity"))
+      .orderBy("cid")
+  }
+
   /** Index-quality recall audit — the measurement a production ANN
     * deployment runs before trusting its approximate index: per probe,
     * how many of the PQ/ADC top-5 ([[pqAdc]]) appear in the EXACT
@@ -1052,6 +1089,7 @@ object Similarity {
     "q_ann_ivfpq" -> (annIvfPq _),
     "q_ann_ivfpq_served" -> (annIvfPqServed _),
     "q_ann_recall" -> (annRecall _),
+    "q_cluster_purity" -> (clusterPurity _),
   )
 
   private[ops] val NormCte =
@@ -1443,6 +1481,29 @@ object Similarity {
         |FROM e GROUP BY vec_id
         |ORDER BY vec_id""".stripMargin,
     "q_cosine_topk" -> cosineTopkOracle,
+    "q_cluster_purity" ->
+      s"""WITH $NormCte,
+         |c AS (SELECT vec_id AS cid, v AS cv, norm AS cn FROM n WHERE vec_id % 100 = 0),
+         |asg AS (
+         |  SELECT vec_id, label, cid FROM (
+         |    SELECT n.vec_id, n.label, c.cid,
+         |           row_number() OVER (PARTITION BY n.vec_id
+         |             ORDER BY round(list_dot_product(n.v, c.cv) / (n.norm * c.cn), 4) DESC, c.cid ASC) AS crn
+         |    FROM n, c) t
+         |  WHERE crn = 1),
+         |cl AS (SELECT cid, label, count(*) AS cnt FROM asg GROUP BY cid, label),
+         |r AS (SELECT cid, label, cnt,
+         |             row_number() OVER (PARTITION BY cid
+         |                                ORDER BY cnt DESC, label ASC) AS rn
+         |      FROM cl),
+         |t AS (SELECT cid, CAST(sum(cnt) AS BIGINT) AS n_vecs,
+         |             CAST(count(*) AS BIGINT) AS n_labels
+         |      FROM cl GROUP BY cid)
+         |SELECT t.cid, n_vecs, n_labels, r.label AS majority_label,
+         |       CAST(r.cnt AS BIGINT) AS maj_n,
+         |       floor(CAST(r.cnt AS DOUBLE) / n_vecs * 10000 + 0.5) / 10000 AS purity
+         |FROM t JOIN r ON t.cid = r.cid AND r.rn = 1
+         |ORDER BY t.cid""".stripMargin,
     // recall audit: both legs are the very oracles of q_cosine_topk and
     // q_pq_adc, embedded verbatim as CTEs — the composition cannot drift
     // from the queries it audits

@@ -178,6 +178,9 @@ class PlanBudgetSpec extends AnyFunSuite {
                                       // (audited 7, +1 headroom)
     ("q_time_decay", 3, 1),           // 1-row anchor broadcast; row-local
                                       // decay; |types|-row aggregate + sort
+    ("q_cluster_purity", 4, 1),       // centroids broadcast; argmax +
+                                      // (cell, label) + cell aggregates
+                                      // over narrow rows + final sort
   )
 
   budgets.foreach { case (name, maxShuffles, minBcasts) =>

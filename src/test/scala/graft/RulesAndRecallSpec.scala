@@ -147,6 +147,22 @@ class RulesAndRecallSpec extends AnyFunSuite {
     assert(math.abs(row0.getDouble(4) - nums.map(BigInt(_)).sum.toDouble / denom / 1e6) < 1e-9)
   }
 
+  test("cluster purity: cells partition the corpus and majority shares are lawful") {
+    val rows = ops.Similarity.clusterPurity(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getLong(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    val corpus = Tables.embeddings(spark, sf).count()
+    assert(rows.map(_._2).sum === corpus, "cells must partition every vector")
+    val nLabels = Tables.embeddings(spark, sf).select("label").distinct.count()
+    rows.foreach { case (cid, n, k, majLabel, majN, purity) =>
+      assert(k >= 1 && k <= nLabels)
+      assert(majN >= 1 && majN <= n)
+      assert(majN * k >= n, s"cell $cid: majority count below the pigeonhole bound")
+      assert(math.abs(purity - math.floor(majN.toDouble / n * 10000 + 0.5) / 10000) < 1e-12)
+      assert(majLabel >= 0 && majLabel < nLabels)
+    }
+  }
+
   test("time decay: decayed total never exceeds raw and matches an exact replay") {
     val rows = ops.EventTime.timeDecay(spark, sf).collect()
     assert(rows.nonEmpty)
