@@ -337,7 +337,42 @@ object EventTime {
       .orderBy("event_type")
   }
 
+  /** First-order Markov transition matrix of the per-user event journey —
+    * for each ordered pair of consecutive events of one user, count the
+    * (from_type → to_type) transition and report its row-normalized
+    * probability. The user-journey model behind session simulation,
+    * next-action prediction baselines, and bot detection (a scripted
+    * client's transition matrix is near-degenerate where an organic
+    * user's is diffuse).
+    *
+    * Determinism: consecutive = lead over (ts, event_id) — event_id is
+    * unique, so equal timestamps cannot reorder cross-engine (the same
+    * tiebreak rule as q_sessionize_state). Counts are exact longs; the
+    * only double is the final per-row count/total division, one
+    * correctly-rounded IEEE op on identical integers, rounded at 6 dp.
+    *
+    * Scale shape: ONE shuffle — the per-user window partition (users are
+    * independent, so the partition count scales freely); the (from, to)
+    * aggregate map-side-combines to ≤ |types|² rows and the row-total
+    * frame broadcasts back. The events table is never exchanged again. */
+  def markovTransition(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val pairs = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead("event_type", 1).over(w))
+      .filter(col("next_type").isNotNull)
+    val counts = graft.util.Ckpt.stage(pairs
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n")))
+    val fromTot = counts.groupBy("from_type").agg(sum("n").as("n_from"))
+    counts.join(broadcast(fromTot), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
+        round(col("n").cast("double") / col("n_from").cast("double"), 6).as("p"))
+      .orderBy("from_type", "to_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_markov_transition" -> (markovTransition _),
     "q_time_decay" -> (timeDecay _),
     "q_join_range_binned"  -> (joinRangeBinned _),
     "q_resample_interp"    -> (resampleInterp _),
@@ -354,6 +389,21 @@ object EventTime {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_markov_transition" ->
+      """WITH p AS (
+        |  SELECT event_type AS from_type,
+        |         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS to_type
+        |  FROM events
+        |), c AS (
+        |  SELECT from_type, to_type, count(*) AS n
+        |  FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2
+        |), f AS (
+        |  SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from FROM c GROUP BY 1
+        |)
+        |SELECT c.from_type, c.to_type, CAST(c.n AS BIGINT) AS n, f.n_from,
+        |       round(CAST(c.n AS DOUBLE) / CAST(f.n_from AS DOUBLE), 6) AS p
+        |FROM c JOIN f USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
     "q_time_decay" ->
       """WITH ev AS (
         |  SELECT event_type, value, CAST(ts AS DATE) AS dt FROM events

@@ -115,9 +115,47 @@ object Graph {
       .orderBy("node")
   }
 
+  /** Per-nation triangle participation over the UNDIRECTED trade graph
+    * (self-loops dropped): for each nation u, the number of pairs of
+    * trade partners {v, w} that also trade with each other — the local
+    * clustering signal behind community detection and trade-bloc
+    * discovery, and the third leg of the graph family (PageRank =
+    * influence, BFS = reachability, triangles = cohesion).
+    *
+    * Exactness: pure integer joins and counts — no arithmetic freedom
+    * anywhere. The v < w ordering counts each triangle exactly once per
+    * apex node (the sum over nodes is 3× the triangle total — asserted
+    * in the spec).
+    *
+    * Scale shape: the [[tradeEdges]] derivation (the lineitem⋈orders
+    * pass) dominates at 100 TB; the enumeration itself runs entirely on
+    * the staged, aggregated edge list (≤ |nations|² rows), broadcast on
+    * both join legs — the fact tables are never re-exchanged. On a
+    * billion-node graph this step would instead pre-partition edges by
+    * the degree-ordered apex, but at the nation grain the broadcast is
+    * the right plan. */
+  def triangleCount(s: SparkSession, d: String): DataFrame = {
+    val e = graft.util.Ckpt.stage(tradeEdges(s, d).select(col("src"), col("dst")))
+    val und = graft.util.Ckpt.stage(
+      e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+        .filter(col("src") =!= col("dst")).distinct())
+    val nodes = Tables.nation(s, d)
+      .select(col("n_nationkey").as("node"), col("n_name").as("nation"))
+    val e1 = und.select(col("src").as("u"), col("dst").as("v"))
+    val e2 = und.select(col("src").as("u2"), col("dst").as("w"))
+    val e3 = und.select(col("src").as("v3"), col("dst").as("w3"))
+    val tris = e1.join(broadcast(e2), col("u") === col("u2") && col("v") < col("w"))
+      .join(broadcast(e3), col("v") === col("v3") && col("w") === col("w3"))
+      .groupBy(col("u").as("node")).agg(count(lit(1)).as("n_tri"))
+    nodes.join(tris, Seq("node"), "left")
+      .select(col("node"), col("nation"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .orderBy("node")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank"  -> (pagerank _),
     "q_graph_bfs" -> (bfsHops _),
+    "q_triangle_count" -> (triangleCount _),
   )
 
   /** Shared edge-derivation CTE (the SQL twin of [[tradeEdges]]).
@@ -165,6 +203,23 @@ object Graph {
 
   val oracle: Map[String, String] = Map(
     "q_pagerank" -> pagerankOracle,
+    "q_triangle_count" ->
+      s"""WITH $EdgeCte, und AS (
+         |  SELECT src, dst FROM e WHERE src <> dst
+         |  UNION
+         |  SELECT dst, src FROM e WHERE src <> dst
+         |), n AS (
+         |  SELECT n_nationkey AS node, n_name AS nation FROM nation
+         |), t AS (
+         |  SELECT e1.src AS node, count(*) AS n_tri
+         |  FROM und e1
+         |  JOIN und e2 ON e1.src = e2.src AND e1.dst < e2.dst
+         |  JOIN und e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+         |  GROUP BY 1
+         |)
+         |SELECT n.node, n.nation, CAST(COALESCE(t.n_tri, 0) AS BIGINT) AS n_tri
+         |FROM n LEFT JOIN t USING (node)
+         |ORDER BY n.node""".stripMargin,
     "q_graph_bfs" ->
       s"""WITH RECURSIVE $EdgeCte, und AS (
          |  SELECT src, dst FROM e UNION SELECT dst, src FROM e

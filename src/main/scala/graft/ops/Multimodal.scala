@@ -192,7 +192,75 @@ object Multimodal {
   def frameSample(s: SparkSession, d: String): DataFrame =
     sampleFrames(mediaFromDocuments(s, d)).toDF().orderBy("doc_id", "frame_idx")
 
+  /** Average-hash (aHash) perceptual fingerprint over the first 64 media
+    * STREAM bytes (post-demux, header skipped — the same stream-relative
+    * convention as [[sampleFrames]]): bit i is set iff byte i exceeds the
+    * window mean, packed as two 32-bit halves so no shift ever reaches
+    * the BIGINT sign bit (a 1<<63 wraps negative in both engines, but
+    * via formally implementation-defined behavior — the split keeps the
+    * packing in specified territory). The mean test is integer-exact:
+    * L·bᵢ > Σb avoids the division entirely. Exact-collision groups
+    * (n_dupes) give the media-dedup signal: byte-identical or
+    * near-identical leading content collides, the first-pass filter an
+    * image pipeline runs before a real pHash/embedding pass.
+    *
+    * Like [[multimodalMeta]], the query-path computes the hash in
+    * codegen'd expressions over the source column (stream bytes = text
+    * bytes, all-ASCII fixtures); [[ahashFromBytes]] recomputes it by
+    * parsing the actual packed payload per partition, and
+    * `MultimodalSpec` asserts the two paths bit-agree — so the
+    * expression form provably hashes the same bytes a decoder would.
+    *
+    * Scale shape: hashing is row-local (zero shuffles); the dedup-group
+    * aggregate and join both key on the 16-byte hash — bodies are never
+    * exchanged, the digest-keyed discipline of q_dedup_exact. */
+  def mediaAhash(s: SparkSession, d: String): DataFrame = {
+    val hashed = graft.util.Ckpt.stage(
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text"))
+        .withColumn("len", least(octet_length(col("text")), lit(64)).cast("long"))
+        .withColumn("bsum", expr(
+          "aggregate(sequence(0, 63), 0L, (acc, i) -> acc + IF(i < len, CAST(ascii(substring(text, i + 1, 1)) AS BIGINT), 0L))"))
+        .withColumn("ahash_hi", expr(
+          "aggregate(sequence(0, 31), 0L, (acc, i) -> acc + IF(i < len AND len * ascii(substring(text, i + 1, 1)) > bsum, shiftleft(1L, i), 0L))"))
+        .withColumn("ahash_lo", expr(
+          "aggregate(sequence(32, 63), 0L, (acc, i) -> acc + IF(i < len AND len * ascii(substring(text, i + 1, 1)) > bsum, shiftleft(1L, i - 32), 0L))"))
+        .select(col("doc_id"), col("ahash_hi"), col("ahash_lo")))
+    val groups = hashed.groupBy("ahash_hi", "ahash_lo")
+      .agg(count(lit(1)).as("n_dupes"))
+    hashed.join(groups, Seq("ahash_hi", "ahash_lo"))
+      .select(col("doc_id"), col("ahash_hi"), col("ahash_lo"), col("n_dupes"))
+      .orderBy("doc_id")
+  }
+
+  /** [[mediaAhash]]'s fingerprint recomputed from the PARSED payload
+    * bytes — header skipped exactly as a demuxer would — for the
+    * expression-vs-bytes bit-agreement test. */
+  def ahashFromBytes(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val L = math.min(64, r.payload.length - HeaderLen)
+        var sum = 0L
+        var i = 0
+        while (i < L) { sum += (r.payload(HeaderLen + i) & 0xff); i += 1 }
+        var hi = 0L
+        var lo = 0L
+        i = 0
+        while (i < L) {
+          val b = (r.payload(HeaderLen + i) & 0xff).toLong
+          if (L.toLong * b > sum) {
+            if (i < 32) hi |= 1L << i else lo |= 1L << (i - 32)
+          }
+          i += 1
+        }
+        (r.doc_id, hi, lo)
+      }
+    }.toDF("doc_id", "ahash_hi", "ahash_lo")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_media_ahash"     -> (mediaAhash _),
     "q_multimodal_meta" -> (multimodalMeta _),
     "q_media_decode"    -> (mediaDecode _),
     "q_frame_sample"    -> (frameSample _),
@@ -216,6 +284,32 @@ object Multimodal {
       |ORDER BY doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // ASCII fixtures ⇒ unicode(char) == stream byte, so the oracle
+    // recomputes the same 64-byte window, mean test, and bit packing
+    "q_media_ahash" ->
+      """WITH b AS (
+        |  SELECT doc_id, CAST(i AS INTEGER) AS i,
+        |         unicode(substring(text, CAST(i AS INTEGER) + 1, 1)) AS bv
+        |  FROM documents,
+        |       unnest(range(least(octet_length(encode(text)), 64))) AS t(i)
+        |), st AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS len, CAST(SUM(bv) AS BIGINT) AS bsum
+        |  FROM b GROUP BY 1
+        |), h AS (
+        |  SELECT b.doc_id,
+        |         CAST(COALESCE(SUM(CASE WHEN b.i < 32 AND st.len * b.bv > st.bsum
+        |                                THEN CAST(1 AS BIGINT) << b.i END), 0) AS BIGINT) AS ahash_hi,
+        |         CAST(COALESCE(SUM(CASE WHEN b.i >= 32 AND st.len * b.bv > st.bsum
+        |                                THEN CAST(1 AS BIGINT) << (b.i - 32) END), 0) AS BIGINT) AS ahash_lo
+        |  FROM b JOIN st USING (doc_id)
+        |  GROUP BY b.doc_id
+        |), g AS (
+        |  SELECT ahash_hi, ahash_lo, CAST(count(*) AS BIGINT) AS n_dupes
+        |  FROM h GROUP BY 1, 2
+        |)
+        |SELECT h.doc_id, h.ahash_hi, h.ahash_lo, g.n_dupes
+        |FROM h JOIN g USING (ahash_hi, ahash_lo)
+        |ORDER BY h.doc_id""".stripMargin,
     "q_multimodal_meta" -> MetaSql,
     "q_media_decode"    -> MetaSql,
     // ASCII fixture text ⇒ byte slicing == char slicing, so the frame md5s

@@ -250,6 +250,124 @@ object Statistics {
     * trivially broadcastable. */
   private[ops] val KsBuckets = 32
 
+  /** Two-sample Mann-Whitney U (Wilcoxon rank-sum) test between the
+    * click and view `value` distributions — the nonparametric companion
+    * to [[ksDrift]]: KS alarms on any ECDF gap, rank-sum alarms
+    * specifically on a LOCATION shift (one distribution stochastically
+    * dominating the other), the drift mode a feature pipeline cares
+    * about most.
+    *
+    * Integer-exact rank algebra: per distinct value the midrank of a
+    * tied group of c rows after `prev` earlier rows is prev + (c+1)/2,
+    * so DOUBLED rank sums stay in BIGINT — 2·R₁ = Σ c₁·(2·prev + c + 1)
+    * — and 2·U₁ = 2·R₁ − n₁(n₁+1), 2·U₂ = 2·n₁n₂ − 2·U₁ are exact
+    * integers (the identity U₁+U₂ = n₁n₂ is asserted in the spec). The
+    * tie-correction term T = Σ(c³−c) cubes in DECIMAL(38,0) (a BIGINT
+    * cube wraps silently once one value carries ≥ ~2.1M rows — the
+    * [[chisqPerType]] promotion discipline) before the final BIGINT
+    * narrowing. The normal-approximation z-score is then a fixed tree
+    * of elementary IEEE ops on identical integers, mirrored
+    * parenthesis-for-parenthesis in the oracle, rounded at 6 dp.
+    * Overflow edge: 2·R₁ ≤ 2n² exceeds BIGINT near n ≈ 2·10⁹ pooled
+    * rows — the same documented edge as q_ks_drift's gap products;
+    * partition by slice before that point.
+    *
+    * Scale shape: [[ksFromAgg]]'s two-phase prefix discipline — one
+    * map-side-combined groupBy(value), broadcast extent, per-bucket
+    * cumulative windows (largest sort partition = one bucket), offsets
+    * from a ≤[[KsBuckets]]-row table, then a single global aggregate.
+    * NULLs excluded explicitly: Spark windows sort them first, DuckDB
+    * last, so their presence would shift every rank cross-engine. */
+  def mannWhitney(s: SparkSession, d: String): DataFrame = {
+    val nb = KsBuckets
+    val ev = graft.util.Ckpt.stage(Tables.events(s, d)
+      .filter(col("event_type").isin("click", "view") && col("value").isNotNull)
+      .groupBy("value")
+      .agg(
+        sum((col("event_type") === "click").cast("long")).as("c1"),
+        sum((col("event_type") === "view").cast("long")).as("c2")))
+    val ext = ev.agg(min("value").as("lo"), max("value").as("hi"))
+    val bucketed = ev.crossJoin(broadcast(ext))
+      .withColumn("bkt",
+        when(col("hi") === col("lo"), lit(0)).otherwise(
+          least(lit(nb - 1),
+            floor((col("value") - col("lo")) * nb / (col("hi") - col("lo"))).cast("int"))))
+      .drop("lo", "hi")
+    val wb = Window.orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offs = bucketed.groupBy("bkt")
+      .agg(sum(col("c1") + col("c2")).as("s"))
+      .select(col("bkt"), (sum("s").over(wb) - col("s")).as("off"))
+    val w = Window.partitionBy("bkt").orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val c = col("c1") + col("c2")
+    val dec0 = DecimalType(38, 0)
+    val t = bucketed.join(broadcast(offs), "bkt")
+      .withColumn("prev", col("off") + sum(c).over(w) - c)
+      .agg(
+        sum("c1").as("n1"), sum("c2").as("n2"),
+        sum(col("c1") * (lit(2) * col("prev") + c + lit(1))).as("r1_x2"),
+        (sum(c.cast(dec0) * c.cast(dec0) * c.cast(dec0)) - sum(c))
+          .cast("long").as("tie_t"))
+    val u1 = col("r1_x2") - col("n1") * (col("n1") + 1)
+    val n = col("n1") + col("n2")
+    val z = (u1 - col("n1") * col("n2")).cast("double") /
+      (lit(2.0) * sqrt(col("n1").cast("double") * col("n2").cast("double") / lit(12.0) *
+        ((n + 1).cast("double") - col("tie_t").cast("double") / (n * (n - 1)).cast("double"))))
+    t.select(col("n1"), col("n2"),
+      u1.as("u1_x2"),
+      (lit(2) * col("n1") * col("n2") - u1).as("u2_x2"),
+      col("tie_t"),
+      round(z, 6).as("z"))
+  }
+
+  /** r×c contingency-table association between document source and
+    * language — chi-square independence plus Cramér's V, the corpus
+    * audit that answers "is language mix independent of source?" before
+    * a per-source sampling policy bakes a language skew into the
+    * training mix. Generalizes [[chisqDrift]]'s 2-column homogeneity
+    * test to the full grid: the spine is the CROSS of observed row and
+    * column margins (a structurally-zero cell still contributes
+    * e = r·c/n, which the (o·n − r·c)²/(n·r·c) identity yields at o=0).
+    *
+    * Determinism: the [[chisqPerType]] discipline — integer numerator,
+    * DECIMAL(38,0)-promoted denominator product (HUGEINT in the
+    * oracle), one correctly-rounded division per cell quantized at
+    * 6 dp into DECIMAL before summing; V = sqrt(χ²/(n·(min(r,c)−1)))
+    * is two elementary IEEE ops on the decimal-exact total.
+    *
+    * Scale shape: one map-side-combined groupBy over (source, lang) —
+    * the only pass over the corpus — then margins, spine, and all
+    * chi-square arithmetic on the ≤ r·c-row grid (20×5 here; bounded by
+    * the label domains, not the row count). */
+  def contingencyAssoc(s: SparkSession, d: String): DataFrame = {
+    val dec0 = DecimalType(38, 0)
+    val cells = graft.util.Ckpt.stage(Tables.documents(s, d)
+      .groupBy("source", "lang").agg(count(lit(1)).as("o")))
+    val rw = cells.groupBy("source").agg(sum("o").as("r"))
+    val cl = cells.groupBy("lang").agg(sum("o").as("c"))
+    val tot = cells.agg(sum("o").as("n"),
+      countDistinct("source").as("nr"), countDistinct("lang").as("nc"))
+    val grid = rw.crossJoin(broadcast(cl))
+      .join(cells, Seq("source", "lang"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .crossJoin(broadcast(tot))
+    val num = (col("o") * col("n") - col("r") * col("c")).cast(dec0)
+    val den = col("n").cast(dec0) * col("r").cast(dec0) * col("c").cast(dec0)
+    val per = grid.withColumn("contrib",
+      round((num * num).cast("double") / den.cast("double"), 6)
+        .cast(DecimalType(18, 6)))
+    per.groupBy("n", "nr", "nc")
+      .agg(sum("contrib").as("chi2_d"))
+      .select(col("n"),
+        col("nr").as("r"), col("nc").as("c"),
+        ((col("nr") - 1) * (col("nc") - 1)).as("df"),
+        col("chi2_d").cast("double").as("chi2"),
+        round(sqrt(col("chi2_d").cast("double") /
+          (col("n") * (least(col("nr"), col("nc")) - 1)).cast("double")), 6)
+          .as("cramers_v"))
+  }
+
   /** Winsorized mean per document source: clamp `n_chars` into the exact
     * [P05, P95] band, report the mean before/after — the robust location
     * estimate quality dashboards track per corpus slice. Percentile
@@ -549,6 +667,8 @@ object Statistics {
     "q_chisq_drift" -> (chisqDrift _),
     "q_psi_drift" -> (psiDrift _),
     "q_drift_report" -> (driftReport _),
+    "q_mannwhitney" -> (mannWhitney _),
+    "q_contingency_assoc" -> (contingencyAssoc _),
     "q_winsorize" -> (winsorize _),
   )
 
@@ -809,6 +929,65 @@ object Statistics {
         |UNION ALL SELECT 'ks', n_a, n_b, stat FROM k_row
         |UNION ALL SELECT 'psi', n_a, n_b, stat FROM p_row
         |ORDER BY monitor""".stripMargin,
+    // the z tree is mirrored parenthesis-for-parenthesis with the Spark
+    // Column expression; e0 literals pin DOUBLE (the q_outlier_mad rule)
+    "q_mannwhitney" ->
+      """WITH ev AS (
+        |  SELECT value,
+        |         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
+        |         SUM(CASE WHEN event_type = 'view'  THEN 1 ELSE 0 END) AS c2
+        |  FROM events
+        |  WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+        |  GROUP BY value
+        |), r AS (
+        |  SELECT c1, c2,
+        |         SUM(c1 + c2) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           - (c1 + c2) AS prev
+        |  FROM ev
+        |), t AS (
+        |  SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+        |         CAST(SUM(c2) AS BIGINT) AS n2,
+        |         CAST(SUM(c1 * (2 * prev + c1 + c2 + 1)) AS BIGINT) AS r1_x2,
+        |         CAST(SUM(CAST(c1 + c2 AS HUGEINT) * (c1 + c2) * (c1 + c2)) - SUM(c1 + c2) AS BIGINT) AS tie_t
+        |  FROM r
+        |)
+        |SELECT n1, n2,
+        |       r1_x2 - n1 * (n1 + 1) AS u1_x2,
+        |       2 * n1 * n2 - (r1_x2 - n1 * (n1 + 1)) AS u2_x2,
+        |       tie_t,
+        |       round(CAST((r1_x2 - n1 * (n1 + 1)) - n1 * n2 AS DOUBLE) /
+        |             (2.0e0 * sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0e0 *
+        |               (CAST(n1 + n2 + 1 AS DOUBLE)
+        |                - CAST(tie_t AS DOUBLE) / CAST((n1 + n2) * (n1 + n2 - 1) AS DOUBLE)))), 6) AS z
+        |FROM t""".stripMargin,
+    "q_contingency_assoc" ->
+      """WITH cells AS (
+        |  SELECT source, lang, count(*) AS o FROM documents GROUP BY 1, 2
+        |), rw AS (
+        |  SELECT source, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY 1
+        |), cl AS (
+        |  SELECT lang, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(SUM(o) AS BIGINT) AS n,
+        |         CAST(COUNT(DISTINCT source) AS BIGINT) AS nr,
+        |         CAST(COUNT(DISTINCT lang) AS BIGINT) AS nc
+        |  FROM cells
+        |), grid AS (
+        |  SELECT rw.r, cl.c, COALESCE(cells.o, 0) AS o
+        |  FROM rw CROSS JOIN cl
+        |  LEFT JOIN cells ON rw.source = cells.source AND cl.lang = cells.lang
+        |), per AS (
+        |  SELECT CAST(round(CAST(CAST(o*n - r*c AS HUGEINT) * CAST(o*n - r*c AS HUGEINT) AS DOUBLE)
+        |                    / CAST(CAST(n AS HUGEINT) * r * c AS DOUBLE), 6) AS DECIMAL(18,6)) AS contrib
+        |  FROM grid, tot
+        |)
+        |SELECT tot.n, tot.nr AS r, tot.nc AS c,
+        |       (tot.nr - 1) * (tot.nc - 1) AS df,
+        |       CAST(SUM(contrib) AS DOUBLE) AS chi2,
+        |       round(sqrt(CAST(SUM(contrib) AS DOUBLE)
+        |                  / CAST(tot.n * (least(tot.nr, tot.nc) - 1) AS DOUBLE)), 6) AS cramers_v
+        |FROM per, tot
+        |GROUP BY tot.n, tot.nr, tot.nc""".stripMargin,
     "q_winsorize" ->
       """WITH b AS (
         |  SELECT source AS src,

@@ -181,6 +181,26 @@ class PlanBudgetSpec extends AnyFunSuite {
     ("q_cluster_purity", 4, 1),       // centroids broadcast; argmax +
                                       // (cell, label) + cell aggregates
                                       // over narrow rows + final sort
+    ("q_mannwhitney", 7, 2),          // staged per-value agg recomputed per
+                                      // consumer in audit mode; extent +
+                                      // bucket offsets broadcast
+                                      // (audited 6, +1 headroom)
+    ("q_contingency_assoc", 8, 3),    // (source, lang) cells recomputed per
+                                      // margin branch in audit mode; margins
+                                      // + totals broadcast onto the grid
+                                      // (audited 7, +1 headroom)
+    ("q_markov_transition", 5, 1),    // ONE user-partition window exchange;
+                                      // transition counts map-side; row
+                                      // totals broadcast back
+                                      // (audited 4, +1 headroom)
+    ("q_triangle_count", 6, 6),       // the lineitem⋈orders derivation once
+                                      // per audit-mode branch (dims all
+                                      // broadcast); enumeration entirely
+                                      // broadcast on the aggregated edges
+                                      // (audited 5, +1 headroom)
+    ("q_media_ahash", 3, 0),          // hashing row-local; group sizes and
+                                      // the dupe join key on the hash only
+                                      // (audited 2, +1 headroom)
   )
 
   budgets.foreach { case (name, maxShuffles, minBcasts) =>

@@ -229,4 +229,53 @@ class RulesAndRecallSpec extends AnyFunSuite {
     }
     assert(audit.map(_.getLong(0)).toSet === hits.keySet.map(_.toLong))
   }
+
+  test("markov transitions: rows normalize, totals conserve the pair count") {
+    val rows = ops.EventTime.markovTransition(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // per-from-state: n sums to n_from and p sums to 1 (up to 6-dp rounding)
+    rows.groupBy(_.getString(0)).foreach { case (from, rs) =>
+      val nFrom = rs.head.getLong(3)
+      assert(rs.forall(_.getLong(3) == nFrom), s"$from: n_from repeated")
+      assert(rs.map(_.getLong(2)).sum === nFrom, s"$from: counts total n_from")
+      val pSum = rs.map(_.getDouble(4)).sum
+      assert(math.abs(pSum - 1.0) < 1e-4, s"$from: probabilities sum to $pSum")
+    }
+    // total transition count = events - users with at least one event
+    val ev = Tables.events(spark, sf)
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    assert(rows.map(_.getLong(2)).sum === expected)
+  }
+
+  test("triangle participation: apex counts are thirds of a whole and respect degree bounds") {
+    val rows = ops.Graph.triangleCount(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getLong(2)).sum
+    // each triangle is counted once from each of its 3 apexes
+    assert(total % 3 === 0, s"apex total $total not divisible by 3")
+    assert(total > 0, "trade graph is dense enough to close at least one triangle")
+    rows.foreach(r => assert(r.getLong(2) >= 0))
+  }
+
+  test("media aHash: expression path bit-agrees with the parsed-bytes path, groups partition") {
+    val viaExpr = ops.Multimodal.mediaAhash(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val viaBytes = ops.Multimodal.ahashFromBytes(
+      ops.Multimodal.mediaFromDocuments(spark, sf)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(viaExpr.keySet === viaBytes.keySet)
+    viaExpr.foreach { case (id, h) =>
+      assert(h === viaBytes(id), s"doc $id: expression hash != parsed-bytes hash")
+    }
+    // halves never touch the sign bit, and dupe-group sizes partition the corpus
+    val rows = ops.Multimodal.mediaAhash(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 0 && r.getLong(1) < (1L << 32), "hi half in 32 bits")
+      assert(r.getLong(2) >= 0 && r.getLong(2) < (1L << 32), "lo half in 32 bits")
+    }
+    val byHash = rows.groupBy(r => (r.getLong(1), r.getLong(2)))
+    byHash.foreach { case (h, rs) =>
+      assert(rs.forall(_.getLong(3) == rs.length), s"group $h size mismatch")
+    }
+  }
 }

@@ -138,6 +138,49 @@ class StatisticsSpec extends AnyFunSuite {
     assert(rows.map(r => r.getLong(1) + r.getLong(2)).sum === n, "bins partition the stream")
   }
 
+  test("Mann-Whitney: U identity, bounds, and the bucketed ranks equal a naive single window") {
+    val r = ops.Statistics.mannWhitney(spark, sf).collect().head
+    val (n1, n2, u1x2, u2x2, tieT) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(u1x2 + u2x2 === 2 * n1 * n2, "U1 + U2 = n1*n2")
+    assert(u1x2 >= 0 && u1x2 <= 2 * n1 * n2, "U1 in range")
+    assert(tieT >= 0, "tie term non-negative")
+    // the two-phase bucketed prefix must equal the naive unpartitioned
+    // window (the q_ks_drift decomposition law, applied to rank sums)
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, sf)
+      .filter(col("event_type").isin("click", "view") && col("value").isNotNull)
+      .groupBy("value")
+      .agg(sum((col("event_type") === "click").cast("long")).as("c1"),
+        sum((col("event_type") === "view").cast("long")).as("c2"))
+    val w = Window.orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val c = col("c1") + col("c2")
+    val naive = ev.withColumn("prev", sum(c).over(w) - c)
+      .agg(sum(col("c1") * (lit(2) * col("prev") + c + lit(1))).as("r1x2"))
+      .collect().head.getLong(0)
+    assert(u1x2 === naive - n1 * (n1 + 1), "bucketed 2R1 equals naive window")
+  }
+
+  test("contingency association: df law, chi2 identity, V in [0,1]") {
+    val r = ops.Statistics.contingencyAssoc(spark, sf).collect().head
+    val (n, nr, nc, df, chi2, v) = (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getDouble(4), r.getDouble(5))
+    assert(df === (nr - 1) * (nc - 1))
+    assert(chi2 >= 0.0 && v >= 0.0 && v <= 1.0 + 1e-9)
+    assert(n === Tables.documents(spark, sf).count())
+    // independent identity: chi2 = n * (sum over cells o^2/(r*c) - 1)
+    val cells = Tables.documents(spark, sf).groupBy("source", "lang")
+      .agg(count(lit(1)).as("o"))
+    val rw = cells.groupBy("source").agg(sum("o").as("r"))
+    val cl = cells.groupBy("lang").agg(sum("o").as("c"))
+    val alt = cells.join(rw, "source").join(cl, "lang")
+      .agg(sum(col("o").cast("double") * col("o") / (col("r") * col("c"))))
+      .collect().head.getDouble(0)
+    assert(math.abs(chi2 - n * (alt - 1.0)) < 1e-3,
+      s"chi2 $chi2 vs identity ${n * (alt - 1.0)}")
+  }
+
   test("composed drift report is cell-identical to its three standalone monitors") {
     val rep = ops.Statistics.driftReport(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
