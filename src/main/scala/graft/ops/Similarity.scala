@@ -395,6 +395,56 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
+  /** ADC shortlist size for [[pqRerank]] — wide enough that the exact
+    * re-rank recovers most true neighbors the quantized scan misranked,
+    * small enough that the exact dot products stay a rounding error of
+    * the serve cost. */
+  private[ops] val RerankC = 20
+
+  /** ADC-shortlist → exact re-rank, the final rung of the serving
+    * ladder: [[pqAdc]]'s integer LUT scan produces a top-[[RerankC]]
+    * shortlist per query, and only those candidates get a true
+    * float-vector cosine ([[cosineTopk]]'s discipline) before the final
+    * top-5. This is the standard production recipe — quantized distance
+    * for the scan, exact distance for the podium — and it closes the
+    * accuracy ladder: exact ≥ rerank ≥ ADC by construction (asserted as
+    * a recall law in the spec).
+    *
+    * Determinism inherits both parents: the shortlist is the exact
+    * integer ADC arithmetic with (ad, vec_id) tie-break; the re-rank is
+    * the 4-dp rounded cosine with (cos desc, vec_id) tie-break; the
+    * oracle composes the two queries' own oracle CTEs verbatim.
+    *
+    * Scale shape: the corpus is scanned once as CODES (the 32×
+    * compression) for the shortlist; full float vectors are touched only
+    * for the queries×[[RerankC]] shortlist rows, which broadcast back
+    * onto the corpus scan — the expensive exact dot never runs
+    * per-candidate. */
+  def pqRerank(s: SparkSession, d: String): DataFrame = {
+    val sv = pqSubvectors(s, d)
+    val cb = pqCodebook(sv)
+    val wAdc = Window.partitionBy("qid").orderBy(col("ad").asc, col("vec_id").asc)
+    val short = pqCodesOf(sv, cb)
+      .join(broadcast(pqLutOf(sv, cb)),
+        col("sub") === col("csub") && col("code") === col("cid"))
+      .groupBy("qid", "vec_id").agg(sum("pd").as("ad"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("crn", row_number().over(wAdc))
+      .filter(col("crn") <= RerankC)
+      .select(col("qid"), col("vec_id"))
+    val n = once(withNorm(Tables.embeddings(s, d)))
+    val q = n.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("pqid"), col("v").as("qv"), col("norm").as("qn"))
+    val wTop = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
+    n.join(broadcast(short), "vec_id")
+      .join(broadcast(q), col("qid") === col("pqid"))
+      .withColumn("cos", round(dot(col("v"), col("qv")) / (col("norm") * col("qn")), 4))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("rn"), col("vec_id"), col("cos"))
+      .orderBy("qid", "rn")
+  }
+
   /** Version tag for [[pqModelBase]] — bump when the encode or the
     * materialized schema changes, so codes written by older code are
     * never served. */
@@ -1069,6 +1119,7 @@ object Similarity {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pq_rerank"     -> (pqRerank _),
     "q_kcenter_init"  -> (kcenterInit _),
     "q_mmr_select"    -> (mmrSelect _),
     "q_cosine_topk"   -> (cosineTopk _),
@@ -1295,6 +1346,7 @@ object Similarity {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_pq_rerank" -> pqRerankOracle,
     "q_kcenter_init" -> kcenterOracle,
     "q_mmr_select" -> mmrOracle,
     "q_ann_lsh_rp" -> rpOracle,
@@ -1349,8 +1401,15 @@ object Similarity {
          |SELECT qid, rn, vec_id, cos FROM r WHERE rn <= 10
          |ORDER BY qid, rn""".stripMargin
 
-  private def pqAdcOracle: String =
-      """WITH v AS (
+  /** The shared ADC CTE chain (subvectors → codebook → codes → LUT →
+    * per-candidate integer distances `sc`) — the single SQL text behind
+    * [[pqAdcOracle]] AND the [[pqRerank]] oracle, so the shortlist the
+    * re-rank oracle ranks is definitionally the ADC oracle's own
+    * arithmetic. */
+  // lazy: the `oracle` map val initializes earlier in the object body and
+  // its entries interpolate this text — a strict val would still be null
+  private lazy val PqAdcCtes: String =
+      """v AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
         |), sv AS (
         |  SELECT vec_id, CAST(m AS INTEGER) AS sub,
@@ -1380,7 +1439,10 @@ object Similarity {
         |  FROM codes JOIN lut ON codes.sub = lut.csub AND codes.code = lut.cid
         |  WHERE codes.vec_id <> lut.qid
         |  GROUP BY 1, 2
-        |), t AS (
+        |)""".stripMargin
+
+  private def pqAdcOracle: String =
+      s"""WITH $PqAdcCtes, t AS (
         |  SELECT qid, vec_id, ad,
         |         CAST(row_number() OVER (PARTITION BY qid
         |                                 ORDER BY ad ASC, vec_id ASC) AS INTEGER) AS rn
@@ -1388,6 +1450,35 @@ object Similarity {
         |)
         |SELECT qid, rn, vec_id, CAST(ad AS DOUBLE) / 10000.0 AS adist
         |FROM t WHERE rn <= 5
+        |ORDER BY qid, rn""".stripMargin
+
+  /** [[pqRerank]] oracle: the ADC chain's own `sc` CTE truncated at
+    * [[RerankC]], re-ranked by the exact-cosine discipline of
+    * [[cosineTopk]]'s oracle ([[NormCte]]). */
+  private def pqRerankOracle: String =
+      s"""WITH $PqAdcCtes, short AS (
+        |  SELECT qid, vec_id FROM (
+        |    SELECT qid, vec_id,
+        |           row_number() OVER (PARTITION BY qid
+        |                              ORDER BY ad ASC, vec_id ASC) AS crn
+        |    FROM sc) t
+        |  WHERE crn <= $RerankC
+        |), $NormCte, q AS (
+        |  SELECT vec_id AS pqid, v AS qv, norm AS qn FROM n WHERE vec_id % 50 = 0
+        |), rr AS (
+        |  SELECT short.qid, short.vec_id,
+        |         round(list_dot_product(n.v, q.qv) / (n.norm * q.qn), 4) AS cos
+        |  FROM short
+        |  JOIN n ON short.vec_id = n.vec_id
+        |  JOIN q ON short.qid = q.pqid
+        |), t2 AS (
+        |  SELECT qid, vec_id, cos,
+        |         CAST(row_number() OVER (PARTITION BY qid
+        |                                 ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rn
+        |  FROM rr
+        |)
+        |SELECT qid, rn, vec_id, cos
+        |FROM t2 WHERE rn <= 5
         |ORDER BY qid, rn""".stripMargin
 
   private def oracle2: Map[String, String] = Map(

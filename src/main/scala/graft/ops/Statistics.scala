@@ -656,7 +656,124 @@ object Statistics {
       .orderBy("label")
   }
 
+  /** Benford first-significant-digit audit of `l_extendedprice` — the
+    * fraud/synthetic-data forensic: organically-generated magnitudes
+    * follow log₁₀(1+1/d); fabricated or truncated feeds don't. Reports
+    * per-digit observed frequency beside the Benford expectation and
+    * the deviation.
+    *
+    * Determinism: the leading digit is extracted from the STRING form of
+    * exact integer cents (`round(price·100)` — the engine's established
+    * exact quantization), never via log10 of a double (a libm call whose
+    * rounding is not pinned by IEEE and genuinely differs across math
+    * libraries). The only logs are `ln(1+1/d)/ln(10)` on the nine digit
+    * constants, inside the engine's verified 6-dp quantization envelope
+    * with the identical expression tree in the oracle.
+    *
+    * Scale shape: one map-side-combined 9-row aggregate; the 1-row total
+    * broadcasts back. The fact table streams through once. */
+  def benford(s: SparkSession, d: String): DataFrame = {
+    val counts = graft.util.Ckpt.stage(Tables.lineitem(s, d)
+      .select(round(col("l_extendedprice") * 100).cast("long").as("c"))
+      .filter(col("c") > 0)
+      .select(substring(col("c").cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n")))
+    val tot = counts.agg(sum("n").as("tt"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("obs_p", round(col("n").cast("double") / col("tt").cast("double"), 6))
+      .withColumn("benford_p",
+        round(log(lit(1.0) + lit(1.0) / col("digit").cast("double")) / log(lit(10.0)), 6))
+      .select(col("digit"), col("n"), col("obs_p"), col("benford_p"),
+        round(col("obs_p") - col("benford_p"), 6).as("dev"))
+      .orderBy("digit")
+  }
+
+  /** CUSUM change-point detection on the daily event-value series — the
+    * "WHEN did it drift" answer beside the family's "did it drift"
+    * monitors ([[ksDrift]]/[[psiDrift]] compare two halves; this locates
+    * the break): the day t maximizing |S_t|, S_t = Σ_{i≤t}(x_i − x̄),
+    * the classic cumulative-sum change statistic.
+    *
+    * Integer-exact: daily totals are BIGINT micro-units ([[q6micro]]),
+    * and the curve is computed SCALED — S'_t = nd·cum_t − t·T (both
+    * terms exact BIGINT; x̄ never materializes) — so argmax and
+    * tie-break (earliest day) are pure integer decisions; the one
+    * double, s_max = |S'|/(nd·10⁶), divides at the very end. Overflow
+    * edge: nd·cum stays under BIGINT until ~10¹² value-units·days —
+    * far beyond any daily partition; shard by month first otherwise.
+    *
+    * Scale shape: one map-side-combined groupBy(day) (calendar-bounded
+    * output), then all cumulative work on the ≤|days| frame — the
+    * unpartitioned prefix window runs over days-of-history, never rows.
+    * The 1-row total broadcasts. */
+  def cusumDrift(s: SparkSession, d: String): DataFrame = {
+    val daily = graft.util.Ckpt.stage(Tables.events(s, d)
+      .filter(col("value").isNotNull)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(q6micro(col("value"))).as("x")))
+    val tot = daily.agg(sum("x").as("tt"), count(lit(1)).as("nd"))
+    val wd = Window.orderBy("day")
+    val curve = graft.util.Ckpt.stage(daily.crossJoin(broadcast(tot))
+      .withColumn("t", row_number().over(wd).cast("long"))
+      .withColumn("cum",
+        sum("x").over(wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("s", col("nd") * col("cum") - col("t") * col("tt")))
+    val mx = curve.agg(max(abs(col("s"))).as("s_abs"))
+    curve.crossJoin(broadcast(mx))
+      .filter(abs(col("s")) === col("s_abs"))
+      .groupBy("nd", "s_abs")
+      .agg(min(struct(col("day"), col("s"))).as("m"))
+      .select(
+        col("nd").as("n_days"),
+        date_format(col("m.day"), "yyyy-MM-dd").as("cp_day"),
+        col("m.s").as("s_scaled"),
+        round(abs(col("m.s")).cast("double") /
+          (col("nd").cast("double") * lit(1000000.0)), 6).as("s_max"))
+  }
+
+  /** Lag-1 autocorrelation of the daily value series per event type —
+    * the seasonality/momentum diagnostic a forecasting pipeline reads
+    * before choosing model order (r₁ ≈ 0: noise; high |r₁|: trend or
+    * alternation worth modeling). Calendar gaps are treated as
+    * consecutive observations (the series is the observed days).
+    *
+    * Integer-exact centering: with daily micro-unit totals x_t, count
+    * nd, and total T per type, the scaled deviation y_t = nd·x_t − T is
+    * an exact integer (x̄ never materializes as a double); numerator
+    * Σ y_t·y_{t+1} and denominator Σ y_t² multiply in DECIMAL(38,0)
+    * (y² reaches ~10²⁵ at production day-volumes — BIGINT wraps, the
+    * [[chisqPerType]] promotion rule), and r₁ is ONE correctly-rounded
+    * division of the two exact sums, 6-dp rounded.
+    *
+    * Scale shape: one map-side-combined (type, day) aggregate, per-type
+    * totals broadcast back, the lag window partitioned by type over
+    * calendar-bounded day rows. The events table streams through once. */
+  def autocorr(s: SparkSession, d: String): DataFrame = {
+    val dec0 = DecimalType(38, 0)
+    val daily = graft.util.Ckpt.stage(Tables.events(s, d)
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(q6micro(col("value"))).as("x")))
+    val tt = daily.groupBy(col("event_type").as("t"))
+      .agg(sum("x").as("tot"), count(lit(1)).as("nd"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    daily.join(broadcast(tt), col("event_type") === col("t"))
+      .withColumn("y",
+        col("nd").cast(dec0) * col("x").cast(dec0) - col("tot").cast(dec0))
+      .withColumn("ynext", lead("y", 1).over(w))
+      .groupBy("event_type")
+      .agg(first("nd").as("n_days"),
+        sum(col("y") * col("y")).as("den"),
+        sum(when(col("ynext").isNotNull, col("y") * col("ynext"))).as("num"))
+      .select(col("event_type"), col("n_days"),
+        round(col("num").cast("double") / col("den").cast("double"), 6).as("r1"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_benford" -> (benford _),
+    "q_cusum_drift" -> (cusumDrift _),
+    "q_autocorr" -> (autocorr _),
     "q_embed_drift" -> (embedDrift _),
     "q_corr_regr" -> (corrRegr _),
     "q_histogram" -> (histogram _),
@@ -929,6 +1046,70 @@ object Statistics {
         |UNION ALL SELECT 'ks', n_a, n_b, stat FROM k_row
         |UNION ALL SELECT 'psi', n_a, n_b, stat FROM p_row
         |ORDER BY monitor""".stripMargin,
+    // leading digit from exact integer cents as STRING — no log10 on the
+    // data path; the only logs are over the nine digit constants
+    "q_benford" ->
+      """WITH dg AS (
+        |  SELECT CAST(substring(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        |  FROM lineitem
+        |  WHERE CAST(round(l_extendedprice * 100) AS BIGINT) > 0
+        |), c AS (
+        |  SELECT digit, count(*) AS n FROM dg GROUP BY digit
+        |), t AS (SELECT CAST(SUM(n) AS BIGINT) AS tt FROM c)
+        |SELECT c.digit, CAST(c.n AS BIGINT) AS n,
+        |       round(CAST(c.n AS DOUBLE) / CAST(t.tt AS DOUBLE), 6) AS obs_p,
+        |       round(ln(1.0e0 + 1.0e0 / CAST(c.digit AS DOUBLE)) / ln(10.0e0), 6) AS benford_p,
+        |       round(round(CAST(c.n AS DOUBLE) / CAST(t.tt AS DOUBLE), 6)
+        |             - round(ln(1.0e0 + 1.0e0 / CAST(c.digit AS DOUBLE)) / ln(10.0e0), 6), 6) AS dev
+        |FROM c, t
+        |ORDER BY c.digit""".stripMargin,
+    "q_cusum_drift" ->
+      """WITH daily AS (
+        |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |         CAST(SUM(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events WHERE value IS NOT NULL
+        |  GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(SUM(x) AS BIGINT) AS tt, CAST(COUNT(*) AS BIGINT) AS nd FROM daily
+        |), curve AS (
+        |  SELECT day,
+        |         nd * CAST(SUM(x) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |           - CAST(row_number() OVER (ORDER BY day) AS BIGINT) * tt AS s,
+        |         nd
+        |  FROM daily, tot
+        |), mx AS (SELECT CAST(MAX(abs(s)) AS BIGINT) AS s_abs FROM curve
+        |), am AS (
+        |  SELECT min(day) AS cp FROM curve, mx WHERE abs(s) = s_abs
+        |)
+        |SELECT c.nd AS n_days,
+        |       strftime(am.cp, '%Y-%m-%d') AS cp_day,
+        |       CAST(c.s AS BIGINT) AS s_scaled,
+        |       round(CAST(abs(c.s) AS DOUBLE) / (CAST(c.nd AS DOUBLE) * 1000000.0e0), 6) AS s_max
+        |FROM curve c, am, mx
+        |WHERE c.day = am.cp""".stripMargin,
+    "q_autocorr" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |         CAST(SUM(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events WHERE value IS NOT NULL
+        |  GROUP BY 1, 2
+        |), tt AS (
+        |  SELECT event_type, CAST(SUM(x) AS BIGINT) AS tot, CAST(COUNT(*) AS BIGINT) AS nd
+        |  FROM daily GROUP BY 1
+        |), y AS (
+        |  SELECT d.event_type, tt.nd,
+        |         CAST(tt.nd AS HUGEINT) * d.x - tt.tot AS y,
+        |         LEAD(CAST(tt.nd AS HUGEINT) * d.x - tt.tot)
+        |           OVER (PARTITION BY d.event_type ORDER BY d.day) AS ynext
+        |  FROM daily d JOIN tt ON d.event_type = tt.event_type
+        |)
+        |SELECT event_type,
+        |       CAST(MIN(nd) AS BIGINT) AS n_days,
+        |       round(CAST(SUM(CASE WHEN ynext IS NOT NULL THEN y * ynext END) AS DOUBLE)
+        |             / CAST(SUM(y * y) AS DOUBLE), 6) AS r1
+        |FROM y
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     // the z tree is mirrored parenthesis-for-parenthesis with the Spark
     // Column expression; e0 literals pin DOUBLE (the q_outlier_mad rule)
     "q_mannwhitney" ->

@@ -335,7 +335,52 @@ object TrainingPrep {
       .orderBy("split_a", "split_b")
   }
 
+  /** Corpus concentration report over per-source token counts — Gini
+    * coefficient, Herfindahl index, and top-source share in one row:
+    * the "is one crawl slice drowning the mix" dashboard number that
+    * motivates [[sourceMix]]'s temperature scaling in the first place
+    * (α-scaling is the cure; this is the diagnosis).
+    *
+    * Integer-exact: with per-source token counts t₁≤…≤tₙ (ties broken
+    * by source id — equal values commute, so the tiebreak cannot change
+    * either statistic), Gini = (2·Σ i·tᵢ − (n+1)·T)/(n·T) and
+    * HHI = Σ tᵢ²/T² keep their numerators in DECIMAL(38,0)/HUGEINT
+    * (t² wraps BIGINT past ~3·10⁹ tokens in one source); each statistic
+    * is then one correctly-rounded division of exact integers, 6-dp
+    * rounded.
+    *
+    * Scale shape: ONE pass over the corpus (the map-side-combined
+    * source aggregate); everything after runs on the |sources|-row
+    * frame — the unpartitioned rank window is bounded by the source
+    * domain (20 here), never the corpus. */
+  def concentration(s: SparkSession, d: String): DataFrame = {
+    val dec0 = DecimalType(38, 0)
+    val per = Tables.documents(s, d)
+      .groupBy("source")
+      .agg(sum(size(words(col("text"))).cast("long")).as("t"))
+    val ranked = per.withColumn("i",
+      row_number().over(Window.orderBy(col("t"), col("source"))).cast("long"))
+    ranked.agg(
+      count(lit(1)).as("n_sources"),
+      sum("t").as("total_tokens"),
+      sum(col("t").cast(dec0) * col("t").cast(dec0)).as("sum_sq"),
+      max("t").as("t_max"),
+      sum(col("i").cast(dec0) * col("t").cast(dec0)).as("sum_it"))
+      .select(
+        col("n_sources"), col("total_tokens"),
+        round(col("sum_sq").cast("double") /
+          (col("total_tokens").cast("double") * col("total_tokens").cast("double")), 6)
+          .as("hhi"),
+        round((lit(2) * col("sum_it") -
+          (col("n_sources") + 1).cast(dec0) * col("total_tokens").cast(dec0)).cast("double") /
+          (col("n_sources").cast("double") * col("total_tokens").cast("double")), 6)
+          .as("gini"),
+        round(col("t_max").cast("double") / col("total_tokens").cast("double"), 6)
+          .as("top_share"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_concentration" -> (concentration _),
     "q_source_mix" -> (sourceMix _),
     "q_token_pack" -> (tokenPack _),
     "q_pack_greedy" -> (binPack _),
@@ -456,6 +501,27 @@ object TrainingPrep {
          |       CAST(sum(lr) > 0 AS INTEGER) AS selected
          |FROM fb JOIN lr USING (bucket)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_concentration" ->
+      s"""WITH per AS (
+         |  SELECT source, CAST(sum(len($WordsSql)) AS BIGINT) AS t
+         |  FROM documents GROUP BY source
+         |), r AS (
+         |  SELECT t, row_number() OVER (ORDER BY t, source) AS i FROM per
+         |), a AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_sources,
+         |         CAST(SUM(t) AS BIGINT) AS total_tokens,
+         |         SUM(CAST(t AS HUGEINT) * t) AS sum_sq,
+         |         CAST(MAX(t) AS BIGINT) AS t_max,
+         |         SUM(CAST(i AS HUGEINT) * t) AS sum_it
+         |  FROM r
+         |)
+         |SELECT n_sources, total_tokens,
+         |       round(CAST(sum_sq AS DOUBLE)
+         |             / (CAST(total_tokens AS DOUBLE) * CAST(total_tokens AS DOUBLE)), 6) AS hhi,
+         |       round(CAST(2 * sum_it - CAST(n_sources + 1 AS HUGEINT) * total_tokens AS DOUBLE)
+         |             / (CAST(n_sources AS DOUBLE) * CAST(total_tokens AS DOUBLE)), 6) AS gini,
+         |       round(CAST(t_max AS DOUBLE) / CAST(total_tokens AS DOUBLE), 6) AS top_share
+         |FROM a""".stripMargin,
     "q_source_mix" ->
       s"""WITH per AS (
          |  SELECT source, count(*) AS n_docs,

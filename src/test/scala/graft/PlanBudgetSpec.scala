@@ -201,6 +201,21 @@ class PlanBudgetSpec extends AnyFunSuite {
     ("q_media_ahash", 3, 0),          // hashing row-local; group sizes and
                                       // the dupe join key on the hash only
                                       // (audited 2, +1 headroom)
+    ("q_benford", 4, 1),              // one 9-row digit aggregate; total
+                                      // broadcast back (audited 3, +1)
+    ("q_cusum_drift", 4, 2),          // daily aggregate + day-bounded
+                                      // prefix; total + argmax broadcast
+                                      // (audited 3, +1 headroom)
+    ("q_autocorr", 5, 1),             // (type, day) aggregate + per-type
+                                      // lag window; totals broadcast
+                                      // (audited 4, +1 headroom)
+    ("q_concentration", 3, 0),        // ONE corpus pass; rank window over
+                                      // the |sources|-row frame
+                                      // (audited 2, +1 headroom)
+    ("q_pq_rerank", 6, 4),            // codes scan + ADC agg; LUT,
+                                      // shortlist, and probes broadcast —
+                                      // vectors only for shortlist rows
+                                      // (audited 5, +1 headroom)
   )
 
   budgets.foreach { case (name, maxShuffles, minBcasts) =>

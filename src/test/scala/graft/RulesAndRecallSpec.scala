@@ -230,6 +230,30 @@ class RulesAndRecallSpec extends AnyFunSuite {
     assert(audit.map(_.getLong(0)).toSet === hits.keySet.map(_.toLong))
   }
 
+  test("PQ rerank: exact re-rank never loses recall vs the raw ADC ranking") {
+    val exact = ops.Similarity.cosineTopk(spark, sf).filter(col("rn") <= 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recall(rows: Array[org.apache.spark.sql.Row]): Double = {
+      val hits = rows.count(r => exact.contains((r.getLong(0), r.getLong(2))))
+      hits.toDouble / rows.length
+    }
+    val adc = ops.Similarity.pqAdc(spark, sf).collect()
+    val rer = ops.Similarity.pqRerank(spark, sf).collect()
+    assert(rer.length === adc.length, "same query set, same k")
+    // the shortlist contains the ADC top-5, and the re-rank scores it
+    // exactly — recall can only improve (modulo 4-dp cosine ties)
+    assert(recall(rer) >= recall(adc) - 1e-9,
+      s"rerank recall ${recall(rer)} fell below ADC recall ${recall(adc)}")
+    // per query: dense ranks 1..5, cosine non-increasing in rank
+    rer.groupBy(_.getLong(0)).foreach { case (qid, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.sameElements(1 to rs.length), s"q$qid ranks")
+      val byRank = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+      byRank.zip(byRank.drop(1)).foreach { case (a, b) =>
+        assert(a >= b, s"q$qid cosine increases down the ranking")
+      }
+    }
+  }
+
   test("markov transitions: rows normalize, totals conserve the pair count") {
     val rows = ops.EventTime.markovTransition(spark, sf).collect()
     assert(rows.nonEmpty)

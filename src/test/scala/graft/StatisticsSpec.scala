@@ -181,6 +181,64 @@ class StatisticsSpec extends AnyFunSuite {
       s"chi2 $chi2 vs identity ${n * (alt - 1.0)}")
   }
 
+  test("Benford audit: digits 1-9 partition the rows, both frequency columns sum to 1") {
+    val rows = ops.Statistics.benford(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).toSet.subsetOf((1 to 9).toSet))
+    assert(rows.map(_.getLong(1)).sum === Tables.lineitem(spark, sf).count(),
+      "every positive price contributes exactly one leading digit")
+    assert(math.abs(rows.map(_.getDouble(2)).sum - 1.0) < 1e-4, "observed freqs sum to 1")
+    // the Benford reference masses must sum to 1 when all 9 digits appear
+    if (rows.length == 9)
+      assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-4)
+    rows.foreach(r => assert(math.abs(r.getDouble(4) - (r.getDouble(2) - r.getDouble(3))) < 1e-9))
+  }
+
+  test("CUSUM change point: the reported maximum matches a replayed curve") {
+    val r = ops.Statistics.cusumDrift(spark, sf).collect().head
+    val (nDays, cpDay, sScaled, sMax) =
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))
+    // replay the scaled curve single-threaded from the daily totals
+    val daily = Tables.events(spark, sf).filter(col("value").isNotNull)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 1000000 + lit(0.5)).cast("long")).as("x"))
+      .orderBy("day").collect()
+      .map(row => (row.getDate(0).toString, row.getLong(1)))
+    assert(nDays === daily.length.toLong)
+    val total = daily.map(_._2).sum
+    var cum = 0L
+    val curve = daily.zipWithIndex.map { case ((day, x), i) =>
+      cum += x
+      (day, nDays * cum - (i + 1).toLong * total)
+    }
+    val maxAbs = curve.map(c => math.abs(c._2)).max
+    val firstAtMax = curve.filter(c => math.abs(c._2) == maxAbs).minBy(_._1)
+    assert(cpDay === firstAtMax._1, "earliest-day tiebreak at the argmax")
+    assert(sScaled === firstAtMax._2)
+    assert(math.abs(sMax - maxAbs.toDouble / (nDays * 1e6)) < 1e-6)
+  }
+
+  test("autocorr: r1 bounded and equal to an exact BigInt replay per type") {
+    val rows = ops.Statistics.autocorr(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val daily = Tables.events(spark, sf).filter(col("value").isNotNull)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 1000000 + lit(0.5)).cast("long")).as("x"))
+      .orderBy("event_type", "day").collect()
+      .map(row => (row.getString(0), row.getDate(1).toString, row.getLong(2)))
+    rows.foreach { r =>
+      val (tpe, nDays, r1) = (r.getString(0), r.getLong(1), r.getDouble(2))
+      assert(r1 >= -1.0 - 1e-6 && r1 <= 1.0 + 1e-6, s"$tpe: r1 $r1 out of bounds")
+      val xs = daily.filter(_._1 == tpe).map(_._3)
+      assert(nDays === xs.length.toLong)
+      val tot = xs.map(BigInt(_)).sum
+      val ys = xs.map(x => BigInt(nDays) * BigInt(x) - tot)
+      val num = ys.zip(ys.drop(1)).map { case (a, b) => a * b }.sum
+      val den = ys.map(y => y * y).sum
+      val expect = num.toDouble / den.toDouble
+      assert(math.abs(r1 - expect) < 5e-7 + 1e-9, s"$tpe: r1 $r1 vs replay $expect")
+    }
+  }
+
   test("composed drift report is cell-identical to its three standalone monitors") {
     val rep = ops.Statistics.driftReport(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap

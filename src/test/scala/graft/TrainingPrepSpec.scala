@@ -101,4 +101,27 @@ class TrainingPrepSpec extends AnyFunSuite {
         org.apache.spark.sql.functions.col("y.doc_id")).distinct().count()
     assert(rows.map(_.getLong(2)).sum === nPairs)
   }
+
+  test("concentration: bounds hold and every statistic replays exactly from source totals") {
+    import org.apache.spark.sql.functions._
+    val r = graft.ops.TrainingPrep.concentration(spark, sf).collect().head
+    val (n, total, hhi, gini, topShare) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    // bounds: HHI and top share at least the uniform floor; Gini in [0, 1)
+    assert(hhi >= 1.0 / n - 1e-9 && hhi <= 1.0 + 1e-9)
+    assert(topShare >= 1.0 / n - 1e-9 && topShare <= 1.0 + 1e-9)
+    assert(gini >= -1e-9 && gini < 1.0)
+    // exact BigInt replay from the per-source token totals
+    val ts = graft.ops.TrainingPrep.sourceMix(spark, sf).collect()
+      .map(row => (row.getString(0), row.getLong(2))).sortBy(t => (t._2, t._1))
+      .map(_._2)
+    assert(n === ts.length.toLong && total === ts.sum)
+    val bigT = BigInt(total)
+    val hhiExp = ts.map(t => BigInt(t) * BigInt(t)).sum.toDouble / (total.toDouble * total.toDouble)
+    val sumIt = ts.zipWithIndex.map { case (t, i) => BigInt(i + 1) * BigInt(t) }.sum
+    val giniExp = (2 * sumIt - BigInt(n + 1) * bigT).toDouble / (n.toDouble * total.toDouble)
+    assert(math.abs(hhi - hhiExp) < 5e-7 + 1e-9)
+    assert(math.abs(gini - giniExp) < 5e-7 + 1e-9)
+    assert(math.abs(topShare - ts.max.toDouble / total.toDouble) < 5e-7 + 1e-9)
+  }
 }
