@@ -337,6 +337,36 @@ object EventTime {
       .orderBy("event_type")
   }
 
+  /** Day-of-week seasonality profile of the event stream — per weekday
+    * (Spark numbering, 1 = Sunday): event count, decimal-exact value
+    * total, mean value, and the seasonality index (weekday mean / overall
+    * mean; 1.0 = flat) — the profile a scheduling or anomaly baseline
+    * reads before interpreting a Monday dip.
+    *
+    * Determinism: per-dow sums stay DECIMAL (order-independent) through
+    * the 7-row rollup — the overall mean derives from the SAME decimal
+    * totals, so no double is ever re-summed; the two divisions and one
+    * ratio are elementary IEEE ops mirrored in the oracle (whose
+    * `dayofweek()+1` converts DuckDB's 0-Sunday to Spark's 1-Sunday).
+    *
+    * Scale shape: one map-side-combined 7-row aggregate; totals roll up
+    * from those 7 rows and broadcast back. One pass over the stream. */
+  def dowProfile(s: SparkSession, d: String): DataFrame = {
+    val per = graft.util.Ckpt.stage(Tables.events(s, d)
+      .filter(col("value").isNotNull)
+      .groupBy(dayofweek(col("ts")).as("dow"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(24, 6))).as("vs")))
+    val tot = per.agg(sum("n_events").as("tn"), sum("vs").as("tv"))
+    val avg = col("vs").cast("double") / col("n_events").cast("double")
+    per.crossJoin(broadcast(tot))
+      .select(col("dow"), col("n_events"),
+        round(col("vs").cast("double"), 4).as("sum_value"),
+        round(avg, 6).as("avg_value"),
+        round(avg / (col("tv").cast("double") / col("tn").cast("double")), 6).as("idx"))
+      .orderBy("dow")
+  }
+
   /** First-order Markov transition matrix of the per-user event journey —
     * for each ordered pair of consecutive events of one user, count the
     * (from_type → to_type) transition and report its row-normalized
@@ -372,6 +402,7 @@ object EventTime {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dow_profile" -> (dowProfile _),
     "q_markov_transition" -> (markovTransition _),
     "q_time_decay" -> (timeDecay _),
     "q_join_range_binned"  -> (joinRangeBinned _),
@@ -389,6 +420,24 @@ object EventTime {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_dow_profile" ->
+      """WITH per AS (
+        |  SELECT dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS dow,
+        |         count(*) AS n_events,
+        |         SUM(CAST(value AS DECIMAL(24,6))) AS vs
+        |  FROM events WHERE value IS NOT NULL
+        |  GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(SUM(n_events) AS BIGINT) AS tn, SUM(vs) AS tv FROM per
+        |)
+        |SELECT CAST(per.dow AS INTEGER) AS dow,
+        |       CAST(per.n_events AS BIGINT) AS n_events,
+        |       round(CAST(per.vs AS DOUBLE), 4) AS sum_value,
+        |       round(CAST(per.vs AS DOUBLE) / CAST(per.n_events AS DOUBLE), 6) AS avg_value,
+        |       round((CAST(per.vs AS DOUBLE) / CAST(per.n_events AS DOUBLE))
+        |             / (CAST(tot.tv AS DOUBLE) / CAST(tot.tn AS DOUBLE)), 6) AS idx
+        |FROM per, tot
+        |ORDER BY dow""".stripMargin,
     "q_markov_transition" ->
       """WITH p AS (
         |  SELECT event_type AS from_type,

@@ -656,6 +656,49 @@ object Statistics {
       .orderBy("label")
   }
 
+  /** Welch two-sample t-test between the click and view `value`
+    * distributions — the parametric member of the two-sample drift
+    * family ([[ksDrift]] any-gap, [[mannWhitney]] location-rank, this
+    * mean-difference with unequal variances): the A/B-test primitive
+    * every experimentation pipeline runs, with the Welch-Satterthwaite
+    * degrees of freedom.
+    *
+    * Determinism: the five sufficient statistics (two counts, two
+    * decimal-exact sums, two decimal-exact square sums — the
+    * [[corrRegr]] power-sum discipline) are order-independent and
+    * engine-exact; everything after is one fixed tree of elementary
+    * IEEE ops on those identical numbers, mirrored
+    * parenthesis-for-parenthesis in the oracle, 6-dp rounded.
+    *
+    * Scale shape: ONE map-side-combined global aggregate over the
+    * filtered stream — a 1-row result, no joins, no windows. */
+  def abTtest(s: SparkSession, d: String): DataFrame = {
+    val dec = (c: Column) => c.cast(DecimalType(30, 8))
+    val base = Tables.events(s, d)
+      .filter(col("event_type").isin("click", "view") && col("value").isNotNull)
+      .agg(
+        sum((col("event_type") === "click").cast("long")).as("n1"),
+        sum((col("event_type") === "view").cast("long")).as("n2"),
+        sum(when(col("event_type") === "click", dec(col("value")))).cast("double").as("s1"),
+        sum(when(col("event_type") === "view", dec(col("value")))).cast("double").as("s2"),
+        sum(when(col("event_type") === "click", dec(col("value") * col("value")))).cast("double").as("q1"),
+        sum(when(col("event_type") === "view", dec(col("value") * col("value")))).cast("double").as("q2"))
+    val n1d = col("n1").cast("double")
+    val n2d = col("n2").cast("double")
+    val m1 = col("s1") / n1d
+    val m2 = col("s2") / n2d
+    val v1 = (col("q1") - col("s1") * col("s1") / n1d) / (n1d - lit(1.0))
+    val v2 = (col("q2") - col("s2") * col("s2") / n2d) / (n2d - lit(1.0))
+    val se1 = v1 / n1d
+    val se2 = v2 / n2d
+    val se = se1 + se2
+    base.select(col("n1"), col("n2"),
+      round(m1 - m2, 6).as("mean_diff"),
+      round((m1 - m2) / sqrt(se), 6).as("t"),
+      round(se * se / (se1 * se1 / (n1d - lit(1.0)) + se2 * se2 / (n2d - lit(1.0))), 6)
+        .as("df"))
+  }
+
   /** Benford first-significant-digit audit of `l_extendedprice` — the
     * fraud/synthetic-data forensic: organically-generated magnitudes
     * follow log₁₀(1+1/d); fabricated or truncated feeds don't. Reports
@@ -771,6 +814,7 @@ object Statistics {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ab_ttest" -> (abTtest _),
     "q_benford" -> (benford _),
     "q_cusum_drift" -> (cusumDrift _),
     "q_autocorr" -> (autocorr _),
@@ -1046,6 +1090,33 @@ object Statistics {
         |UNION ALL SELECT 'ks', n_a, n_b, stat FROM k_row
         |UNION ALL SELECT 'psi', n_a, n_b, stat FROM p_row
         |ORDER BY monitor""".stripMargin,
+    // every division/sqrt below acts on the SAME decimal-exact power sums
+    // with an identical parse tree to the Spark Column expression
+    "q_ab_ttest" ->
+      """WITH a AS (
+        |  SELECT CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |         CAST(SUM(CASE WHEN event_type = 'view'  THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |         CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(30,8)) END) AS DOUBLE) AS s1,
+        |         CAST(SUM(CASE WHEN event_type = 'view'  THEN CAST(value AS DECIMAL(30,8)) END) AS DOUBLE) AS s2,
+        |         CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value * value AS DECIMAL(30,8)) END) AS DOUBLE) AS q1,
+        |         CAST(SUM(CASE WHEN event_type = 'view'  THEN CAST(value * value AS DECIMAL(30,8)) END) AS DOUBLE) AS q2
+        |  FROM events
+        |  WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+        |), b AS (
+        |  SELECT n1, n2,
+        |         s1 / CAST(n1 AS DOUBLE) AS m1,
+        |         s2 / CAST(n2 AS DOUBLE) AS m2,
+        |         ((q1 - s1 * s1 / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0e0)) / CAST(n1 AS DOUBLE) AS se1,
+        |         ((q2 - s2 * s2 / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0e0)) / CAST(n2 AS DOUBLE) AS se2
+        |  FROM a
+        |)
+        |SELECT n1, n2,
+        |       round(m1 - m2, 6) AS mean_diff,
+        |       round((m1 - m2) / sqrt(se1 + se2), 6) AS t,
+        |       round((se1 + se2) * (se1 + se2)
+        |             / (se1 * se1 / (CAST(n1 AS DOUBLE) - 1.0e0)
+        |                + se2 * se2 / (CAST(n2 AS DOUBLE) - 1.0e0)), 6) AS df
+        |FROM b""".stripMargin,
     // leading digit from exact integer cents as STRING — no log10 on the
     // data path; the only logs are over the nine digit constants
     "q_benford" ->

@@ -247,7 +247,10 @@ object TextAnalysis {
     * already-tf-reduced side — still never raw occurrences). A count
     * window over term would instead ship every occurrence through the
     * exchange. */
-  def unigramLm(s: SparkSession, d: String): DataFrame = {
+  /** The (doc_id, n_tokens, ssum) per-document surprisal frame behind
+    * [[unigramLm]] AND [[pplFilter]] — one definition so the filter's
+    * gate arithmetic is definitionally the LM's own scoring. */
+  private def docSurprisalFrame(s: SparkSession, d: String): DataFrame = {
     val tf = Tables.documents(s, d)
       .select(col("doc_id"), explode(words(col("text"))).as("term"))
       .filter(col("term") =!= "")
@@ -268,6 +271,10 @@ object TextAnalysis {
       .withColumn("sur", qln(col("n_total")) - qln(col("ct")))
       .groupBy("doc_id")
       .agg(sum("tf").as("n_tokens"), sum(col("sur") * col("tf")).as("ssum"))
+  }
+
+  def unigramLm(s: SparkSession, d: String): DataFrame = {
+    docSurprisalFrame(s, d)
       .select(col("doc_id"), col("n_tokens"),
         // ssum is an exact multiple of 1e-6, so x.xxxx50 FINAL-round
         // boundaries are common — round in DECIMAL (exact, identical in
@@ -277,6 +284,42 @@ object TextAnalysis {
         (floor(col("ssum").cast("double") / col("n_tokens") * 10000 + lit(0.5)) / 10000)
           .as("avg_nats"))
       .orderBy("doc_id")
+  }
+
+  /** Mean-surprisal (log-perplexity) quality gate — the standard
+    * perplexity-filtering curation step, kept entirely in NATS space:
+    * a doc is dropped when its average unigram surprisal exceeds the
+    * corpus mean (high-perplexity under the corpus's own LM = word-soup
+    * outliers, the signal ppl-filter pipelines act on). exp() never
+    * runs — it is a libm call with no cross-engine rounding guarantee,
+    * and the nats threshold is the same decision boundary.
+    *
+    * Determinism: each doc's average surprisal is the [[unigramLm]]
+    * floor-quantized 1e-4 integer (avgq); the gate nd·avgq ≤ Σavgq is
+    * ALL-INTEGER (the mean never materializes as a double — the
+    * [[graft.ops.Statistics.cusumDrift]] scaling trick), so
+    * keep/drop is bit-stable in both engines. Overflow edge: nd·avgq
+    * needs nd·avg_nats < 9·10¹⁴ — beyond any real corpus count.
+    *
+    * Scale shape: the LM's own aggregates plus a 1-row total broadcast
+    * and one narrow (doc_id, avgq, keep) join against (doc_id, source);
+    * per-source report is |sources| rows. */
+  def pplFilter(s: SparkSession, d: String): DataFrame = {
+    val perDoc = graft.util.Ckpt.stage(docSurprisalFrame(s, d)
+      .select(col("doc_id"),
+        floor(col("ssum").cast("double") / col("n_tokens") * 10000 + lit(0.5))
+          .cast("long").as("avgq")))
+    val tot = perDoc.agg(sum("avgq").as("ta"), count(lit(1)).as("nd"))
+    perDoc.crossJoin(broadcast(tot))
+      .withColumn("keep", (col("nd") * col("avgq") <= col("ta")).cast("long"))
+      .join(Tables.documents(s, d).select(col("doc_id"), col("source")), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("keep").as("n_kept"),
+        (count(lit(1)) - sum("keep")).as("n_dropped"),
+        round(sum(when(col("keep") === 1, col("avgq"))).cast("double") /
+          sum("keep").cast("double") / lit(10000.0), 6).as("kept_avg_nats"))
+      .orderBy("source")
   }
 
   /** Bigram language model with add-one smoothing — the CCNet-style
@@ -656,6 +699,7 @@ object TextAnalysis {
     "q_chunk_overlap"   -> (chunkOverlap _),
     "q_inverted_index"  -> (invertedIndex _),
     "q_unigram_lm"      -> (unigramLm _),
+    "q_ppl_filter"      -> (pplFilter _),
     "q_contamination"   -> (contamination _),
     "q_repetition_ratio" -> (repetitionRatio _),
     "q_ngram_stats"     -> (ngramStats _),
@@ -906,6 +950,42 @@ object TextAnalysis {
          |       CAST(round(sum(sur), 4) AS DOUBLE) AS sum_nats,
          |       floor(CAST(sum(sur) AS DOUBLE) / count(*) * 10000 + 0.5) / 10000 AS avg_nats
          |FROM sur GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the same surprisal CTE chain as q_unigram_lm, then the all-integer
+    // mean gate nd*avgq <= ta on the 1e-4-quantized per-doc averages
+    "q_ppl_filter" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, unnest($WordsSql) AS term FROM documents
+         |), tk AS (
+         |  SELECT doc_id, term FROM t WHERE term <> ''
+         |), wct AS (
+         |  SELECT doc_id, count(*) OVER (PARTITION BY term) AS ct FROM tk
+         |), n AS (
+         |  SELECT count(*) AS n_total FROM tk
+         |), sur AS (
+         |  SELECT doc_id,
+         |         CAST(round(ln(CAST(n_total AS DOUBLE)), 6) AS DECIMAL(18,6))
+         |           - CAST(round(ln(CAST(ct AS DOUBLE)), 6) AS DECIMAL(18,6)) AS sur
+         |  FROM wct, n
+         |), doc AS (
+         |  SELECT doc_id,
+         |         CAST(floor(CAST(sum(sur) AS DOUBLE) / count(*) * 10000 + 0.5) AS BIGINT) AS avgq
+         |  FROM sur GROUP BY doc_id
+         |), tot AS (
+         |  SELECT CAST(SUM(avgq) AS BIGINT) AS ta, CAST(COUNT(*) AS BIGINT) AS nd FROM doc
+         |), gated AS (
+         |  SELECT doc.doc_id, doc.avgq,
+         |         CASE WHEN tot.nd * doc.avgq <= tot.ta THEN 1 ELSE 0 END AS keep
+         |  FROM doc, tot
+         |)
+         |SELECT d.source,
+         |       count(*) AS n_docs,
+         |       CAST(SUM(g.keep) AS BIGINT) AS n_kept,
+         |       count(*) - CAST(SUM(g.keep) AS BIGINT) AS n_dropped,
+         |       round(CAST(SUM(CASE WHEN g.keep = 1 THEN g.avgq END) AS DOUBLE)
+         |             / CAST(SUM(g.keep) AS DOUBLE) / 10000.0e0, 6) AS kept_avg_nats
+         |FROM gated g JOIN documents d ON g.doc_id = d.doc_id
+         |GROUP BY d.source
+         |ORDER BY d.source""".stripMargin,
     "q_tfidf" ->
       s"""WITH t AS (
          |  SELECT doc_id, unnest($WordsSql) AS term FROM documents

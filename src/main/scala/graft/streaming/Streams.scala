@@ -374,6 +374,49 @@ object Streams {
       }
   }
 
+  case class TypedEvent(user_id: Long, event_id: Long, tsMicros: Long,
+                        event_type: String)
+  case class LastEventState(tsMicros: Long, event_id: Long, event_type: String)
+  case class Transition(user_id: Long, from_type: String, to_type: String)
+
+  /** Exact cross-batch transition extraction — the streaming twin of
+    * `EventTime.markovTransition`: each user's LAST event persists as
+    * flatMapGroupsWithState state, so the first event of a new
+    * micro-batch still pairs with the final event of the previous one —
+    * the transition a stateless per-batch lead() would silently drop at
+    * every batch boundary. Within a batch, events order by the batch
+    * twin's exact (ts, event_id) tiebreak.
+    *
+    * Correctness contract (same as [[sessionize]]): micro-batches must
+    * be per-user time-ordered — a later batch must not deliver earlier
+    * events (guaranteed by any in-order source; enforce with a watermark
+    * upstream otherwise). The batch-equivalence law — streamed
+    * transition counts == one lead() pass over the union of all
+    * batches — is asserted in `StreamingSpec`.
+    *
+    * Scale shape: state is ONE tiny record per active user (the
+    * minimum possible for exact boundary handling); emission is
+    * append-mode and downstream aggregation (count by (from, to)) stays
+    * map-side over ≤ |types|² keys. */
+  def transitions(events: Dataset[TypedEvent]): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastEventState, Transition](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[TypedEvent], state: GroupState[LastEventState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.tsMicros, e.event_id))
+          val out = Seq.newBuilder[Transition]
+          var last = state.getOption.orNull
+          sorted.foreach { e =>
+            if (last != null) out += Transition(userId, last.event_type, e.event_type)
+            last = LastEventState(e.tsMicros, e.event_id, e.event_type)
+          }
+          if (last != null) state.update(last)
+          out.result().iterator
+      }
+  }
+
   case class UserRunning(user_id: Long, n_events: Long, max_value: Double)
 
   /** Per-user running statistics through `transformWithState` — Spark 4's

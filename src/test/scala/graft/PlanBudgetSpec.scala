@@ -216,6 +216,16 @@ class PlanBudgetSpec extends AnyFunSuite {
                                       // shortlist, and probes broadcast —
                                       // vectors only for shortlist rows
                                       // (audited 5, +1 headroom)
+    ("q_ab_ttest", 2, 0),             // ONE global aggregate of six power
+                                      // sums — no joins, no windows
+                                      // (audited 1, +1 headroom)
+    ("q_dow_profile", 4, 1),          // 7-row dow aggregate; totals roll
+                                      // up from it and broadcast back
+                                      // (audited 3, +1 headroom)
+    ("q_ppl_filter", 10, 2),          // the LM's tf/vocab aggregates
+                                      // recomputed per branch in audit
+                                      // mode + the (doc, source) join
+                                      // (audited 9, +1 headroom)
   )
 
   budgets.foreach { case (name, maxShuffles, minBcasts) =>

@@ -254,6 +254,45 @@ class RulesAndRecallSpec extends AnyFunSuite {
     }
   }
 
+  test("day-of-week profile: rows partition the stream and indices average to 1") {
+    val rows = ops.EventTime.dowProfile(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 7)
+    assert(rows.map(_.getInt(0)).forall(d => d >= 1 && d <= 7))
+    val nTotal = Tables.events(spark, sf).filter(col("value").isNotNull).count()
+    assert(rows.map(_.getLong(1)).sum === nTotal, "weekdays partition the stream")
+    // the event-weighted mean of the seasonality index is 1 by construction
+    val wIdx = rows.map(r => r.getLong(1) * r.getDouble(4)).sum / nTotal
+    assert(math.abs(wIdx - 1.0) < 1e-4, s"weighted index mean $wIdx")
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(3) - r.getDouble(2) / r.getLong(1)) < 1e-4,
+        s"dow ${r.getInt(0)}: avg inconsistent with sum/count")
+    }
+  }
+
+  test("perplexity filter: partition laws and an exact replay of the integer mean gate") {
+    val rows = ops.TextAnalysis.pplFilter(spark, sf).collect()
+    val total = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum === total, "sources partition the corpus")
+    rows.foreach { r =>
+      assert(r.getLong(2) + r.getLong(3) === r.getLong(1), s"${r.getString(0)}: kept+dropped=docs")
+    }
+    val kept = rows.map(_.getLong(2)).sum
+    assert(kept > 0 && kept < total, "the mean gate keeps a strict subset")
+    // replay the all-integer gate from the LM's own per-doc averages
+    val avgq = ops.TextAnalysis.unigramLm(spark, sf).collect()
+      .map(r => r.getLong(0) -> math.floor(r.getDouble(3) * 10000 + 0.5).toLong)
+    val ta = avgq.map(_._2).sum
+    val nd = avgq.length.toLong
+    val keepSet = avgq.filter { case (_, a) => nd * a <= ta }.map(_._1).toSet
+    val bySource = Tables.documents(spark, sf).select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expKept = keepSet.groupBy(bySource).view.mapValues(_.size.toLong).toMap
+    rows.foreach { r =>
+      assert(r.getLong(2) === expKept.getOrElse(r.getString(0), 0L),
+        s"${r.getString(0)}: kept count diverges from the replayed gate")
+    }
+  }
+
   test("markov transitions: rows normalize, totals conserve the pair count") {
     val rows = ops.EventTime.markovTransition(spark, sf).collect()
     assert(rows.nonEmpty)

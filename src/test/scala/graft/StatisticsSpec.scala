@@ -181,6 +181,25 @@ class StatisticsSpec extends AnyFunSuite {
       s"chi2 $chi2 vs identity ${n * (alt - 1.0)}")
   }
 
+  test("Welch t-test: sign law, df bounds, and agreement with built-in avg/var_samp") {
+    val r = ops.Statistics.abTtest(spark, sf).collect().head
+    val (n1, n2, meanDiff, t, df) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    assert(math.signum(t) === math.signum(meanDiff), "t carries mean_diff's sign")
+    assert(df >= math.min(n1, n2) - 1.0 - 1e-6 && df <= n1 + n2 - 2.0 + 1e-6,
+      s"Welch df $df outside [min(n)-1, n1+n2-2]")
+    // independent recompute from Spark's built-in estimators
+    val g = Tables.events(spark, sf)
+      .filter(col("event_type").isin("click", "view") && col("value").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), avg("value").as("m"), var_samp("value").as("v"))
+      .collect().map(x => x.getString(0) -> ((x.getLong(1), x.getDouble(2), x.getDouble(3)))).toMap
+    val (cn, cm, cv) = g("click"); val (vn, vm, vv) = g("view")
+    val se = cv / cn + vv / vn
+    assert(math.abs(t - (cm - vm) / math.sqrt(se)) < 1e-3)
+    assert(math.abs(df - se * se / (math.pow(cv / cn, 2) / (cn - 1) + math.pow(vv / vn, 2) / (vn - 1))) < 1e-3)
+  }
+
   test("Benford audit: digits 1-9 partition the rows, both frequency columns sum to 1") {
     val rows = ops.Statistics.benford(spark, sf).collect()
     assert(rows.map(_.getInt(0)).toSet.subsetOf((1 to 9).toSet))

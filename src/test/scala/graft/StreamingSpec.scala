@@ -420,4 +420,39 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs === Set((10L, 20L)))
   }
+
+  test("stateful transitions: batch-boundary pairs survive and counts equal one batch lead() pass") {
+    import graft.streaming.Streams.{Transition, TypedEvent}
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[TypedEvent]
+    val b1 = Seq(
+      TypedEvent(1, 1, 100, "view"), TypedEvent(1, 2, 200, "click"),
+      TypedEvent(2, 3, 100, "view"))
+    val b2 = Seq(
+      // u1's first event here must pair with the click that ended batch 1
+      TypedEvent(1, 4, 300, "purchase"),
+      TypedEvent(2, 5, 150, "view"), TypedEvent(2, 6, 250, "error"))
+    val out = Streams.transitions(ms.toDS())
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("transitions_out").start()
+    try {
+      ms.addData(b1: _*); q.processAllAvailable()
+      ms.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("transitions_out").as[Transition].collect()
+      .groupBy(t => (t.from_type, t.to_type)).view.mapValues(_.length.toLong).toMap
+    // the cross-batch pair is present at all
+    assert(streamed.contains(("click", "purchase")),
+      "batch-boundary transition lost — state not carried across batches")
+    // full equivalence: one lead() pass over the union of both batches
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("tsMicros", "event_id")
+    val batch = (b1 ++ b2).toDS().toDF()
+      .withColumn("next_type", lead("event_type", 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy("event_type", "next_type").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamed === batch, s"streamed $streamed vs batch $batch")
+  }
 }
