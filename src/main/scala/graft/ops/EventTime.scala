@@ -337,6 +337,50 @@ object EventTime {
       .orderBy("event_type")
   }
 
+  /** Trailing 7-day rolling MEDIAN of the daily value total per event
+    * type — the robust smoother an alerting baseline uses where a
+    * rolling MEAN would chase the very spikes it should flag (the
+    * [[graft.ops.Statistics.outlierMad]] robustness argument applied
+    * along the time axis).
+    *
+    * Determinism: daily totals are exact BIGINT micro-units; each
+    * trailing window's median is RANK-SELECTED (the two middle order
+    * statistics of the ≤7 integer values, r = ⌊(k+1)/2⌋, ⌊(k+2)/2⌋ —
+    * the q_outlier_mad discipline), summed exactly, and divided once at
+    * the end — no quantile interpolation, no running float state.
+    *
+    * Scale shape: the corpus reduces to a (type, day) frame
+    * (map-side-combined, calendar-bounded); the trailing window is a
+    * range self-join with fan-out ≤ 7 on that tiny frame, and the
+    * rank-selection window partitions by (type, anchor day) with ≤ 7
+    * rows per partition. Nothing downstream of the daily aggregate ever
+    * exceeds |types|·|days|·7 rows. */
+  def rollingMedian(s: SparkSession, d: String): DataFrame = {
+    val daily = graft.util.Ckpt.stage(Tables.events(s, d)
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 1000000 + lit(0.5)).cast("long")).as("x")))
+    val win = daily.select(col("event_type").as("t"), col("day").as("d0"))
+      .join(daily.select(col("event_type").as("t"), col("day").as("db"), col("x")), Seq("t"))
+      .filter(datediff(col("d0"), col("db")).between(0, 6))
+    val w = Window.partitionBy("t", "d0").orderBy("x")
+    val ranked = win.groupBy(col("t"), col("d0"), col("x")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(w))
+      .withColumn("k", sum("cnt").over(Window.partitionBy("t", "d0")))
+      .withColumn("prev", col("cum") - col("cnt"))
+      .withColumn("r1", expr("(k + 1) div 2"))
+      .withColumn("r2", expr("(k + 2) div 2"))
+    ranked.groupBy(col("t").as("event_type"), col("d0"))
+      .agg(max("k").as("n_days_in_window"),
+        (sum(when(col("prev") < col("r1") && col("r1") <= col("cum"), col("x"))) +
+          sum(when(col("prev") < col("r2") && col("r2") <= col("cum"), col("x"))))
+          .as("m2"))
+      .select(col("event_type"), fmtDate(col("d0")).as("day"),
+        col("n_days_in_window"),
+        (col("m2").cast("double") / lit(2000000.0)).as("rolling_med"))
+      .orderBy("event_type", "day")
+  }
+
   /** Day-of-week seasonality profile of the event stream — per weekday
     * (Spark numbering, 1 = Sunday): event count, decimal-exact value
     * total, mean value, and the seasonality index (weekday mean / overall
@@ -403,6 +447,7 @@ object EventTime {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dow_profile" -> (dowProfile _),
+    "q_rolling_median" -> (rollingMedian _),
     "q_markov_transition" -> (markovTransition _),
     "q_time_decay" -> (timeDecay _),
     "q_join_range_binned"  -> (joinRangeBinned _),
@@ -420,6 +465,33 @@ object EventTime {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_rolling_median" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |         CAST(SUM(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events WHERE value IS NOT NULL
+        |  GROUP BY 1, 2
+        |), win AS (
+        |  SELECT a.event_type AS t, a.day AS d0, b.x
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND a.day - b.day BETWEEN 0 AND 6
+        |), cg AS (
+        |  SELECT t, d0, x, count(*) AS cnt FROM win GROUP BY 1, 2, 3
+        |), cr AS (
+        |  SELECT t, d0, x, cnt,
+        |         SUM(cnt) OVER (PARTITION BY t, d0 ORDER BY x) AS cum,
+        |         SUM(cnt) OVER (PARTITION BY t, d0) AS k
+        |  FROM cg
+        |)
+        |SELECT t AS event_type,
+        |       strftime(d0, '%Y-%m-%d') AS day,
+        |       CAST(MAX(k) AS BIGINT) AS n_days_in_window,
+        |       CAST((SUM(CASE WHEN cum - cnt < (k + 1) // 2 AND (k + 1) // 2 <= cum THEN x END)
+        |           + SUM(CASE WHEN cum - cnt < (k + 2) // 2 AND (k + 2) // 2 <= cum THEN x END)) AS DOUBLE)
+        |         / 2000000.0e0 AS rolling_med
+        |FROM cr
+        |GROUP BY t, d0
+        |ORDER BY event_type, day""".stripMargin,
     "q_dow_profile" ->
       """WITH per AS (
         |  SELECT dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS dow,

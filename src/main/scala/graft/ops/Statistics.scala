@@ -176,6 +176,51 @@ object Statistics {
       .orderBy("event_type")
   }
 
+  /** Tukey-fence (IQR) outlier gate per event type — the boxplot
+    * companion to [[outlierMad]]: quartiles instead of the median/MAD
+    * pair, fences at Q1 − 1.5·IQR and Q3 + 1.5·IQR. Two robust gates
+    * catching different tail shapes (MAD collapses under >50%
+    * contamination of one value; IQR under asymmetric 25% tails).
+    *
+    * Determinism — the [[outlierMad]] raw-double discipline: quartiles
+    * are DISCRETE rank selections (percentile_disc semantics — the
+    * value at rank ⌈n/4⌉ = (n+3) div 4 and ⌈3n/4⌉ = (3n+3) div 4 —
+    * never interpolated), each rank-selected SUM has exactly one
+    * non-null term, and the fences are fixed trees of elementary IEEE
+    * ops on identical doubles, compared bit-for-bit. NULLs excluded
+    * explicitly (engines order them differently in rank windows).
+    *
+    * Scale shape: rank selection over (type, distinct-value) aggregates
+    * — bounded by the value domain, not the row count; the 5-row fence
+    * frame broadcasts back; the events table is scanned twice, never
+    * shuffled wide. */
+  def iqrOutlier(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).filter(col("value").isNotNull)
+      .select(col("event_type"), col("value").as("v"))
+    val w = Window.partitionBy("event_type").orderBy("v")
+    val ranked = ev.groupBy(col("event_type"), col("v")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(w))
+      .withColumn("n", sum("cnt").over(Window.partitionBy("event_type")))
+      .withColumn("prev", col("cum") - col("cnt"))
+      .withColumn("r25", expr("(n + 3) div 4"))
+      .withColumn("r75", expr("(3 * n + 3) div 4"))
+    val q = ranked.groupBy("event_type")
+      .agg(max("n").as("n"),
+        sum(when(col("prev") < col("r25") && col("r25") <= col("cum"), col("v"))).as("q1"),
+        sum(when(col("prev") < col("r75") && col("r75") <= col("cum"), col("v"))).as("q3"))
+    val f = q.select(col("event_type").as("t"), col("n"), col("q1"), col("q3"),
+      (col("q1") - lit(1.5) * (col("q3") - col("q1"))).as("lo"),
+      (col("q3") + lit(1.5) * (col("q3") - col("q1"))).as("hi"))
+    ev.join(broadcast(f), col("event_type") === col("t"))
+      .groupBy("event_type")
+      .agg(first("n").as("n"),
+        first("q1").as("q1"),
+        first("q3").as("q3"),
+        (first("q3") - first("q1")).as("iqr"),
+        sum((col("v") < col("lo") || col("v") > col("hi")).cast("long")).as("n_outliers"))
+      .orderBy("event_type")
+  }
+
   /** Two-sample Kolmogorov-Smirnov distance between the `value`
     * distributions of click vs view events — the drift test a pipeline
     * runs between yesterday's and today's feature distributions. The
@@ -824,6 +869,7 @@ object Statistics {
     "q_width_bucket" -> (widthBucket _),
     "q_weighted_avg_udaf" -> (weightedAvgUdaf _),
     "q_outlier_mad" -> (outlierMad _),
+    "q_outlier_iqr" -> (iqrOutlier _),
     "q_ks_drift" -> (ksDrift _),
     "q_chisq_drift" -> (chisqDrift _),
     "q_psi_drift" -> (psiDrift _),
@@ -943,6 +989,38 @@ object Statistics {
         |FROM dv JOIN md ON dv.event_type = md.t2
         |GROUP BY dv.event_type
         |ORDER BY dv.event_type""".stripMargin,
+    // percentile_disc rank selection over raw doubles; fences mirror the
+    // Spark tree with e0-pinned DOUBLE literals (q_outlier_mad rules)
+    "q_outlier_iqr" ->
+      """WITH ev AS (
+        |  SELECT event_type, value AS v FROM events WHERE value IS NOT NULL
+        |), cg AS (
+        |  SELECT event_type, v, count(*) AS cnt FROM ev GROUP BY 1, 2
+        |), cr AS (
+        |  SELECT event_type, v, cnt,
+        |         SUM(cnt) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+        |         SUM(cnt) OVER (PARTITION BY event_type) AS n
+        |  FROM cg
+        |), q AS (
+        |  SELECT event_type AS t, CAST(MAX(n) AS BIGINT) AS n,
+        |         SUM(CASE WHEN cum - cnt < (n + 3) // 4 AND (n + 3) // 4 <= cum THEN v END) AS q1,
+        |         SUM(CASE WHEN cum - cnt < (3 * n + 3) // 4 AND (3 * n + 3) // 4 <= cum THEN v END) AS q3
+        |  FROM cr GROUP BY 1
+        |), f AS (
+        |  SELECT t, n, q1, q3,
+        |         q1 - 1.5e0 * (q3 - q1) AS lo,
+        |         q3 + 1.5e0 * (q3 - q1) AS hi
+        |  FROM q
+        |)
+        |SELECT ev.event_type,
+        |       min(f.n) AS n,
+        |       min(f.q1) AS q1,
+        |       min(f.q3) AS q3,
+        |       min(f.q3) - min(f.q1) AS iqr,
+        |       CAST(SUM(CASE WHEN ev.v < f.lo OR ev.v > f.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM ev JOIN f ON ev.event_type = f.t
+        |GROUP BY ev.event_type
+        |ORDER BY ev.event_type""".stripMargin,
     "q_ks_drift" ->
       """WITH ev AS (
         |  SELECT value,

@@ -247,6 +247,37 @@ object TextAnalysis {
     * already-tf-reduced side — still never raw occurrences). A count
     * window over term would instead ship every occurrence through the
     * exchange. */
+  /** One BPE merge-learning round — the tokenizer-training primitive:
+    * count every adjacent character pair across the corpus vocabulary
+    * weighted by word frequency, and rank the top-20 merge candidates
+    * (the pair a BPE trainer would fuse next, and the 19 runners-up).
+    * Run iteratively with re-segmentation this IS tokenizer training;
+    * one round is the oracle-able unit.
+    *
+    * Determinism: pure integer counts; rank ties break on the pair
+    * string (both engines compare ASCII bytewise). The rank window runs
+    * over distinct character pairs — bounded by charset², never corpus
+    * size.
+    *
+    * Scale shape: vocabulary aggregate (map-side, |vocab| rows out),
+    * pair explosion bounded by word length, pair aggregate (≤ charset²
+    * rows), bounded rank window. The corpus streams through once. */
+  def bpeMergeStep(s: SparkSession, d: String): DataFrame = {
+    val wf = Tables.documents(s, d)
+      .select(explode(words(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("wf"))
+    val pairs = wf.filter(length(col("w")) >= 2)
+      .select(col("wf"), explode(
+        expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+      .groupBy("pair").agg(sum("wf").as("n"))
+    val w = Window.orderBy(col("n").desc, col("pair").asc)
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 20)
+      .select(col("rank"), col("pair"), col("n"))
+      .orderBy("rank")
+  }
+
   /** The (doc_id, n_tokens, ssum) per-document surprisal frame behind
     * [[unigramLm]] AND [[pplFilter]] — one definition so the filter's
     * gate arithmetic is definitionally the LM's own scoring. */
@@ -700,6 +731,7 @@ object TextAnalysis {
     "q_inverted_index"  -> (invertedIndex _),
     "q_unigram_lm"      -> (unigramLm _),
     "q_ppl_filter"      -> (pplFilter _),
+    "q_bpe_merge"       -> (bpeMergeStep _),
     "q_contamination"   -> (contamination _),
     "q_repetition_ratio" -> (repetitionRatio _),
     "q_ngram_stats"     -> (ngramStats _),
@@ -950,6 +982,23 @@ object TextAnalysis {
          |       CAST(round(sum(sur), 4) AS DOUBLE) AS sum_nats,
          |       floor(CAST(sum(sur) AS DOUBLE) / count(*) * 10000 + 0.5) / 10000 AS avg_nats
          |FROM sur GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_bpe_merge" ->
+      s"""WITH wf AS (
+         |  SELECT w, count(*) AS wf
+         |  FROM (SELECT unnest($WordsSql) AS w FROM documents)
+         |  WHERE w <> '' GROUP BY w
+         |), p AS (
+         |  SELECT pair, CAST(SUM(wf) AS BIGINT) AS n FROM (
+         |    SELECT substring(w, CAST(i AS INTEGER), 2) AS pair, wf
+         |    FROM wf, unnest(range(1, length(w))) AS t(i)
+         |    WHERE length(w) >= 2)
+         |  GROUP BY pair
+         |), r AS (
+         |  SELECT pair, n,
+         |         CAST(row_number() OVER (ORDER BY n DESC, pair ASC) AS INTEGER) AS rank
+         |  FROM p
+         |)
+         |SELECT rank, pair, n FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin,
     // the same surprisal CTE chain as q_unigram_lm, then the all-integer
     // mean gate nd*avgq <= ta on the 1e-4-quantized per-doc averages
     "q_ppl_filter" ->

@@ -226,6 +226,14 @@ class PlanBudgetSpec extends AnyFunSuite {
                                       // recomputed per branch in audit
                                       // mode + the (doc, source) join
                                       // (audited 9, +1 headroom)
+    ("q_bpe_merge", 3, 0),            // vocab agg + charset²-bounded pair
+                                      // agg + rank (audited 2, +1)
+    ("q_rolling_median", 6, 0),       // daily agg recomputed per self-join
+                                      // leg in audit mode; ≤7-row rank
+                                      // partitions (audited 5, +1)
+    ("q_outlier_iqr", 5, 1),          // (type, value) rank selection; the
+                                      // 5-row fence frame broadcasts back
+                                      // (audited 4, +1 headroom)
   )
 
   budgets.foreach { case (name, maxShuffles, minBcasts) =>

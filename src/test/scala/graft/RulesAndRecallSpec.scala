@@ -254,6 +254,48 @@ class RulesAndRecallSpec extends AnyFunSuite {
     }
   }
 
+  test("BPE merge step: dense ranks, non-increasing counts, winner replays exactly") {
+    val rows = ops.TextAnalysis.bpeMergeStep(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).sameElements(1 to rows.length), "dense ranks")
+    val ns = rows.map(_.getLong(2))
+    ns.zip(ns.drop(1)).foreach { case (a, b) => assert(a >= b, "counts non-increasing") }
+    rows.foreach(r => assert(r.getString(1).length === 2, "pairs are exactly 2 chars"))
+    // independent replay: pair counts from the collected vocabulary
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    Tables.documents(spark, sf).select("text").collect().foreach { row =>
+      row.getString(0).split(" ").filter(_.nonEmpty).foreach { w =>
+        (0 until w.length - 1).foreach { i =>
+          val p = w.substring(i, i + 2)
+          counts(p) = counts.getOrElse(p, 0L) + 1L
+        }
+      }
+    }
+    val expectTop = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(rows.length)
+    rows.zip(expectTop).foreach { case (r, (p, n)) =>
+      assert(r.getString(1) === p && r.getLong(2) === n,
+        s"rank ${r.getInt(0)}: (${r.getString(1)}, ${r.getLong(2)}) vs replay ($p, $n)")
+    }
+  }
+
+  test("rolling median: window sizes ramp to 7 and every cell replays single-threaded") {
+    val rows = ops.EventTime.rollingMedian(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val daily = Tables.events(spark, sf).filter(col("value").isNotNull)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 1000000 + lit(0.5)).cast("long")).as("x"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    rows.foreach { r =>
+      val (tpe, day, k, med) = (r.getString(0), java.time.LocalDate.parse(r.getString(1)),
+        r.getLong(2), r.getDouble(3))
+      val win = daily.filter { case (t, d, _) =>
+        t == tpe && !d.isAfter(day) && !d.isBefore(day.minusDays(6))
+      }.map(_._3).sorted
+      assert(k === win.length.toLong && k >= 1 && k <= 7)
+      val m2 = win(((k + 1) / 2 - 1).toInt) + win(((k + 2) / 2 - 1).toInt)
+      assert(med === m2.toDouble / 2000000.0, s"$tpe $day median")
+    }
+  }
+
   test("day-of-week profile: rows partition the stream and indices average to 1") {
     val rows = ops.EventTime.dowProfile(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 7)

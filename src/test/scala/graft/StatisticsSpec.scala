@@ -258,6 +258,29 @@ class StatisticsSpec extends AnyFunSuite {
     }
   }
 
+  test("IQR outliers: quartile order, discrete-rank replay, and fence count replay") {
+    val rows = ops.Statistics.iqrOutlier(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byType = Tables.events(spark, sf).filter(col("value").isNotNull)
+      .select("event_type", "value").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1)).sorted).toMap
+    rows.foreach { r =>
+      val (tpe, n, q1, q3, iqr, nOut) = (r.getString(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getLong(5))
+      val vs = byType(tpe)
+      assert(n === vs.length.toLong)
+      assert(q1 <= q3 && math.abs(iqr - (q3 - q1)) < 1e-12)
+      // percentile_disc replay: value at rank ceil(n/4), ceil(3n/4)
+      val e1 = vs(((n + 3) / 4 - 1).toInt)
+      val e3 = vs(((3 * n + 3) / 4 - 1).toInt)
+      assert(q1 === e1, s"$tpe q1")
+      assert(q3 === e3, s"$tpe q3")
+      val lo = q1 - 1.5 * (q3 - q1)
+      val hi = q3 + 1.5 * (q3 - q1)
+      assert(nOut === vs.count(v => v < lo || v > hi).toLong, s"$tpe outlier count")
+    }
+  }
+
   test("composed drift report is cell-identical to its three standalone monitors") {
     val rep = ops.Statistics.driftReport(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
