@@ -337,6 +337,39 @@ object EventTime {
       .orderBy("event_type")
   }
 
+  /** Daily click-through rate with a Wilson 95% score interval — the
+    * rate monitor done right: the naive p̂ ± z·√(p̂q̂/n) interval
+    * collapses or exits [0,1] on small/extreme days, the Wilson
+    * interval doesn't, which is why rate dashboards use it. One row per
+    * day: clicks / (clicks + views), the interval around it.
+    *
+    * Determinism: daily (clicks, n) are exact integers; p̂ and both
+    * bounds are fixed trees of elementary IEEE ops on those integers,
+    * mirrored with e0-pinned literals in the oracle (z = 1.96 folds to
+    * the same double in both engines), rounded at 6 dp.
+    *
+    * Scale shape: one map-side-combined calendar-bounded aggregate;
+    * bounds are row-local arithmetic. One pass, one shuffle. */
+  def wilsonRate(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .filter(col("event_type").isin("click", "view"))
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum((col("event_type") === "click").cast("long")).as("c"),
+        count(lit(1)).as("n"))
+    val nd = col("n").cast("double")
+    val p = col("c").cast("double") / nd
+    val z = lit(1.96)
+    val za = lit(1.96) * lit(1.96)
+    val rad = sqrt(p * (lit(1.0) - p) / nd + za / (lit(4.0) * nd * nd))
+    val ctr = p + za / (lit(2.0) * nd)
+    val den = lit(1.0) + za / nd
+    daily.select(fmtDate(col("day")).as("day"), col("n"), col("c").as("clicks"),
+      round(p, 6).as("p"),
+      round((ctr - z * rad) / den, 6).as("wilson_lo"),
+      round((ctr + z * rad) / den, 6).as("wilson_hi"))
+      .orderBy("day")
+  }
+
   /** Trailing 7-day rolling MEDIAN of the daily value total per event
     * type — the robust smoother an alerting baseline uses where a
     * rolling MEAN would chase the very spikes it should flag (the
@@ -448,6 +481,7 @@ object EventTime {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dow_profile" -> (dowProfile _),
     "q_rolling_median" -> (rollingMedian _),
+    "q_wilson_rate" -> (wilsonRate _),
     "q_markov_transition" -> (markovTransition _),
     "q_time_decay" -> (timeDecay _),
     "q_join_range_binned"  -> (joinRangeBinned _),
@@ -465,6 +499,33 @@ object EventTime {
   )
 
   val oracle: Map[String, String] = Map(
+    // every literal e0-pinned; the bound trees mirror the Spark Columns
+    // parenthesis-for-parenthesis
+    "q_wilson_rate" ->
+      """WITH daily AS (
+        |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events WHERE event_type IN ('click', 'view')
+        |  GROUP BY 1
+        |), b AS (
+        |  SELECT day, n, c,
+        |         CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+        |         CAST(n AS DOUBLE) AS nd
+        |  FROM daily
+        |), w AS (
+        |  SELECT day, n, c, p,
+        |         sqrt(p * (1.0e0 - p) / nd + 1.96e0 * 1.96e0 / (4.0e0 * nd * nd)) AS rad,
+        |         p + 1.96e0 * 1.96e0 / (2.0e0 * nd) AS ctr,
+        |         1.0e0 + 1.96e0 * 1.96e0 / nd AS den
+        |  FROM b
+        |)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, n, c AS clicks,
+        |       round(p, 6) AS p,
+        |       round((ctr - 1.96e0 * rad) / den, 6) AS wilson_lo,
+        |       round((ctr + 1.96e0 * rad) / den, 6) AS wilson_hi
+        |FROM w
+        |ORDER BY day""".stripMargin,
     "q_rolling_median" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,

@@ -37,7 +37,11 @@ object TextAnalysis {
     * argmax with a fixed precedence for ties. (The fixture texts are a
     * shared synthetic vocabulary, so this measures the *operator*, not a
     * real classifier — deterministic and oracle-comparable.) */
-  def langId(s: SparkSession, d: String): DataFrame = {
+  /** The scored-and-predicted frame behind [[langId]] AND
+    * [[langConfusion]] — one definition of the marker scores and the
+    * first-match argmax, so the confusion audit grades exactly the
+    * classifier the per-doc query reports. */
+  private def langPredFrame(s: SparkSession, d: String): DataFrame = {
     val w = words(col("text"))
     def score(ms: Seq[String]): Column =
       size(filter(w, x => x.isin(ms.map(m => m: Any): _*)))
@@ -49,11 +53,13 @@ object TextAnalysis {
       when(acc.isNotNull, acc).otherwise(
         when(col(s"s_$l") === greatest(best: _*), lit(l)))
     }
-    scored
-      .withColumn("pred", pred)
+    scored.withColumn("pred", pred)
+  }
+
+  def langId(s: SparkSession, d: String): DataFrame =
+    langPredFrame(s, d)
       .withColumn("correct", (col("pred") === col("lang")).cast("int"))
       .orderBy("doc_id")
-  }
 
   private val Stopwords = Seq("the", "a", "of")
 
@@ -247,6 +253,66 @@ object TextAnalysis {
     * already-tf-reduced side — still never raw occurrences). A count
     * window over term would instead ship every occurrence through the
     * exchange. */
+  /** Language-ID confusion matrix — the audit OF [[langId]]: per
+    * (labeled lang, predicted lang) cell count, the label's row total,
+    * and the cell share (diagonal share = per-language recall). The
+    * check a curation pipeline runs before trusting a cheap classifier
+    * to route documents; the off-diagonal hotspots say WHICH languages
+    * the marker heuristic conflates (fr/zh share 'le', es/en overlap).
+    *
+    * Determinism: the prediction is [[langPredFrame]]'s — shared with
+    * q_lang_id, so this audit grades exactly that classifier; cells are
+    * integer counts, and the one division per cell rounds at 6 dp.
+    *
+    * Scale shape: the per-doc scoring is row-local; the (lang, pred)
+    * aggregate map-side-combines to ≤ |langs|² rows and row totals
+    * broadcast back. One corpus pass. */
+  def langConfusion(s: SparkSession, d: String): DataFrame = {
+    val cells = graft.util.Ckpt.stage(langPredFrame(s, d)
+      .groupBy("lang", "pred").agg(count(lit(1)).as("n")))
+    val rowTot = cells.groupBy(col("lang").as("l")).agg(sum("n").as("n_lang"))
+    cells.join(broadcast(rowTot), col("lang") === col("l"))
+      .select(col("lang"), col("pred"), col("n"), col("n_lang"),
+        round(col("n").cast("double") / col("n_lang").cast("double"), 6).as("share"))
+      .orderBy("lang", "pred")
+  }
+
+  /** Vocabulary coverage curve — what fraction of all corpus tokens the
+    * top-k most frequent terms cover, at k ∈ {10, 100, 1000}: the
+    * number that sizes a tokenizer vocabulary or a stopword list
+    * (Zipfian corpora cover most mass with tiny k; a flat curve means
+    * noisy/synthetic text). Complements q_zipf_slope: the slope fits
+    * the law, coverage states its practical consequence.
+    *
+    * Determinism: integer token counts; rank ties break on the term
+    * string; the one division per row rounds at 6 dp.
+    *
+    * Scale shape: the top-1000 cut is a TakeOrdered (distributed
+    * bounded heap — NO global sort of the vocabulary, which at corpus
+    * scale is billions of distinct terms); the rank window then runs
+    * over ≤1000 local rows, and the total-token frame is a 1-row
+    * broadcast. One corpus pass + one vocabulary aggregate. */
+  def vocabCoverage(s: SparkSession, d: String): DataFrame = {
+    val vocab = graft.util.Ckpt.stage(Tables.documents(s, d)
+      .select(explode(words(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term").agg(count(lit(1)).as("ct")))
+    val tot = vocab.agg(sum("ct").as("tt"))
+    val ranked = graft.util.Ckpt.stage(
+      vocab.orderBy(col("ct").desc, col("term").asc).limit(1000)
+        .withColumn("r", row_number().over(
+          Window.orderBy(col("ct").desc, col("term").asc))))
+    Seq(10, 100, 1000).map { k =>
+      ranked.filter(col("r") <= k)
+        .agg(coalesce(sum("ct"), lit(0L)).as("covered"))
+        .select(lit(k).as("k"), col("covered"))
+    }.reduce(_.unionByName(_))
+      .crossJoin(broadcast(tot))
+      .select(col("k"), col("covered"),
+        round(col("covered").cast("double") / col("tt").cast("double"), 6).as("share"))
+      .orderBy("k")
+  }
+
   /** One BPE merge-learning round — the tokenizer-training primitive:
     * count every adjacent character pair across the corpus vocabulary
     * weighted by word frequency, and rank the top-20 merge candidates
@@ -732,6 +798,8 @@ object TextAnalysis {
     "q_unigram_lm"      -> (unigramLm _),
     "q_ppl_filter"      -> (pplFilter _),
     "q_bpe_merge"       -> (bpeMergeStep _),
+    "q_lang_confusion"  -> (langConfusion _),
+    "q_vocab_coverage"  -> (vocabCoverage _),
     "q_contamination"   -> (contamination _),
     "q_repetition_ratio" -> (repetitionRatio _),
     "q_ngram_stats"     -> (ngramStats _),
@@ -982,6 +1050,50 @@ object TextAnalysis {
          |       CAST(round(sum(sur), 4) AS DOUBLE) AS sum_nats,
          |       floor(CAST(sum(sur) AS DOUBLE) / count(*) * 10000 + 0.5) / 10000 AS avg_nats
          |FROM sur GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the sc/pred CTE restates q_lang_id's oracle verbatim (same marker
+    // lists, same first-match CASE order), then reduces to the matrix
+    "q_lang_confusion" ->
+      s"""WITH sc AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(list_filter($WordsSql, w -> w IN ('the','a'))) AS INTEGER) AS s_en,
+         |    CAST(len(list_filter($WordsSql, w -> w IN ('le','la','et'))) AS INTEGER) AS s_fr,
+         |    CAST(len(list_filter($WordsSql, w -> w IN ('el','los','y'))) AS INTEGER) AS s_es,
+         |    CAST(len(list_filter($WordsSql, w -> w IN ('der','und'))) AS INTEGER) AS s_de,
+         |    CAST(len(list_filter($WordsSql, w -> w IN ('de','le'))) AS INTEGER) AS s_zh
+         |  FROM documents
+         |), p AS (
+         |  SELECT lang,
+         |    CASE WHEN s_en = greatest(s_en, s_fr, s_es, s_de, s_zh) THEN 'en'
+         |         WHEN s_fr = greatest(s_en, s_fr, s_es, s_de, s_zh) THEN 'fr'
+         |         WHEN s_es = greatest(s_en, s_fr, s_es, s_de, s_zh) THEN 'es'
+         |         WHEN s_de = greatest(s_en, s_fr, s_es, s_de, s_zh) THEN 'de'
+         |         ELSE 'zh' END AS pred
+         |  FROM sc
+         |), cells AS (
+         |  SELECT lang, pred, count(*) AS n FROM p GROUP BY 1, 2
+         |), rt AS (
+         |  SELECT lang, CAST(SUM(n) AS BIGINT) AS n_lang FROM cells GROUP BY 1
+         |)
+         |SELECT cells.lang, cells.pred, CAST(cells.n AS BIGINT) AS n, rt.n_lang,
+         |       round(CAST(cells.n AS DOUBLE) / CAST(rt.n_lang AS DOUBLE), 6) AS share
+         |FROM cells JOIN rt USING (lang)
+         |ORDER BY lang, pred""".stripMargin,
+    "q_vocab_coverage" ->
+      s"""WITH tf AS (
+         |  SELECT term, count(*) AS ct
+         |  FROM (SELECT unnest($WordsSql) AS term FROM documents)
+         |  WHERE term <> '' GROUP BY term
+         |), r AS (
+         |  SELECT term, ct, row_number() OVER (ORDER BY ct DESC, term ASC) AS r FROM tf
+         |), t AS (SELECT CAST(SUM(ct) AS BIGINT) AS tt FROM tf
+         |), ks AS (SELECT CAST(unnest([10, 100, 1000]) AS INTEGER) AS k)
+         |SELECT ks.k,
+         |       CAST(COALESCE(SUM(CASE WHEN r.r <= ks.k THEN r.ct END), 0) AS BIGINT) AS covered,
+         |       round(CAST(COALESCE(SUM(CASE WHEN r.r <= ks.k THEN r.ct END), 0) AS DOUBLE)
+         |             / CAST(t.tt AS DOUBLE), 6) AS share
+         |FROM ks, r, t
+         |GROUP BY ks.k, t.tt
+         |ORDER BY ks.k""".stripMargin,
     "q_bpe_merge" ->
       s"""WITH wf AS (
          |  SELECT w, count(*) AS wf

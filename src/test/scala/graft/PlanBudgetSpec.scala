@@ -234,6 +234,14 @@ class PlanBudgetSpec extends AnyFunSuite {
     ("q_outlier_iqr", 5, 1),          // (type, value) rank selection; the
                                       // 5-row fence frame broadcasts back
                                       // (audited 4, +1 headroom)
+    ("q_lang_confusion", 4, 1),       // row-local scoring; ≤|langs|² cell
+                                      // agg; row totals broadcast back
+                                      // (audited 3, +1 headroom)
+    ("q_vocab_coverage", 3, 1),       // vocab agg + TakeOrdered top-1000
+                                      // (NO global vocab sort); 1-row
+                                      // total broadcast (audited 2, +1)
+    ("q_wilson_rate", 3, 0),          // one calendar-bounded aggregate;
+                                      // bounds row-local (audited 2, +1)
   )
 
   budgets.foreach { case (name, maxShuffles, minBcasts) =>

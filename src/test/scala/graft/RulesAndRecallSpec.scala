@@ -254,6 +254,53 @@ class RulesAndRecallSpec extends AnyFunSuite {
     }
   }
 
+  test("lang confusion: cells partition the corpus and restate q_lang_id's own predictions") {
+    val cells = ops.TextAnalysis.langConfusion(spark, sf).collect()
+    assert(cells.map(_.getLong(2)).sum === Tables.documents(spark, sf).count())
+    cells.groupBy(_.getString(0)).foreach { case (lang, rs) =>
+      assert(rs.map(_.getLong(2)).sum === rs.head.getLong(3), s"$lang row total")
+      assert(math.abs(rs.map(_.getDouble(4)).sum - 1.0) < 1e-4, s"$lang shares sum to 1")
+    }
+    // the matrix must restate the per-doc query's predictions exactly
+    val perDoc = ops.TextAnalysis.langId(spark, sf).select("lang", "pred").collect()
+      .groupBy(r => (r.getString(0), r.getString(1))).view.mapValues(_.length.toLong).toMap
+    cells.foreach { r =>
+      assert(r.getLong(2) === perDoc((r.getString(0), r.getString(1))),
+        s"cell (${r.getString(0)}, ${r.getString(1)}) diverges from q_lang_id")
+    }
+  }
+
+  test("vocab coverage: monotone in k, bounded by 1, and covered@10 replays exactly") {
+    val rows = ops.TextAnalysis.vocabCoverage(spark, sf).collect().sortBy(_.getInt(0))
+    assert(rows.map(_.getInt(0)).sameElements(Seq(10, 100, 1000)))
+    val shares = rows.map(_.getDouble(2))
+    shares.zip(shares.drop(1)).foreach { case (a, b) => assert(a <= b, "shares monotone in k") }
+    assert(shares.forall(sh => sh > 0.0 && sh <= 1.0))
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    Tables.documents(spark, sf).select("text").collect().foreach { row =>
+      row.getString(0).split(" ").filter(_.nonEmpty)
+        .foreach(t => counts(t) = counts.getOrElse(t, 0L) + 1L)
+    }
+    val top10 = counts.toSeq.sortBy { case (t, n) => (-n, t) }.take(10).map(_._2).sum
+    assert(rows.head.getLong(1) === top10, "covered@10 replays from the collected vocabulary")
+  }
+
+  test("wilson rate: interval brackets p, stays in [0,1], and replays from daily counts") {
+    val rows = ops.EventTime.wilsonRate(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, c, p, lo, hi) = (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(lo <= p + 1e-9 && p <= hi + 1e-9, "interval brackets the point estimate")
+      assert(lo >= -1e-9 && hi <= 1.0 + 1e-9, "Wilson bounds stay in [0,1]")
+      val nd = n.toDouble; val ph = c.toDouble / nd; val za = 1.96 * 1.96
+      val rad = math.sqrt(ph * (1 - ph) / nd + za / (4 * nd * nd))
+      val den = 1.0 + za / nd
+      assert(math.abs(lo - (ph + za / (2 * nd) - 1.96 * rad) / den) < 1e-6)
+      assert(math.abs(hi - (ph + za / (2 * nd) + 1.96 * rad) / den) < 1e-6)
+    }
+  }
+
   test("BPE merge step: dense ranks, non-increasing counts, winner replays exactly") {
     val rows = ops.TextAnalysis.bpeMergeStep(spark, sf).collect()
     assert(rows.map(_.getInt(0)).sameElements(1 to rows.length), "dense ranks")
