@@ -395,6 +395,99 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
+  /** Embedding hygiene audit per label — vector counts, zero-norm
+    * vectors (dead encoder outputs that poison cosine math downstream),
+    * and the norm distribution extrema/mean: the pre-flight check every
+    * embedding ingest runs before index builds or cosine dedup (a norm
+    * collapse or explosion is the first visible symptom of an encoder
+    * regression).
+    *
+    * Determinism: each norm is sqrt of the bit-identical
+    * [[graft.functions.VectorExpressions.DoubleVectorDot]] (sqrt is
+    * IEEE-correctly-rounded), floor-quantized to 4 dp; min/max compare
+    * identical doubles, and the mean sums the quantized norms in
+    * DECIMAL(18,4) (exact, order-independent) with one final division.
+    *
+    * Scale shape: row-local norms, one map-side |labels|-row aggregate.
+    * The corpus streams through once. */
+  def embedNormAudit(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.VectorExpressions.doubleDot
+    import org.apache.spark.sql.types.DecimalType
+    val q4 = graft.util.Det.q4 _
+    Tables.embeddings(s, d)
+      .select(col("label"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nq", q4(sqrt(doubleDot(col("v"), col("v")))))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum((col("nq") === 0.0).cast("long")).as("n_zero"),
+        min("nq").as("min_norm"),
+        max("nq").as("max_norm"),
+        round(sum(col("nq").cast(DecimalType(18, 4))).cast("double") /
+          count(lit(1)).cast("double"), 6).as("mean_norm"))
+      .orderBy("label")
+  }
+
+  /** Power-iteration passes for [[embedPca]] — fixed so the oracle can
+    * unroll the same count. */
+  private[ops] val PcaIters = 5
+
+  /** First principal component of the (uncentered) embedding corpus by
+    * POWER ITERATION — the dimensionality-reduction primitive behind
+    * whitening, OPQ rotation estimation, and drift-direction analysis:
+    * v ← normalize((XᵀX)·v), [[PcaIters]] fixed passes from e₀, plus
+    * the Rayleigh-style eigenvalue estimate λ ≈ |X·(Xᵀv)| (the norm of
+    * the final unnormalized iterate).
+    *
+    * Determinism — the [[kmeansTrain]] discipline, fully integerized:
+    * every corpus reduction sums exact BIGINT micro-units (the per-term
+    * products x_d·v_d and x_d·dot quantize to integers BEFORE the sum,
+    * so the two big aggregations per pass are order-independent); the
+    * norm squares in DECIMAL(38,0)/HUGEINT; the normalized iterate
+    * re-quantizes to BIGINT ten-thousandths each pass. Between
+    * quantizations only correctly-rounded elementary IEEE ops run, and
+    * the DuckDB oracle unrolls the identical [[PcaIters]] passes CTE by
+    * CTE.
+    *
+    * Scale shape: per pass, the posexploded (vec, dim, x) frame (staged
+    * ONCE for all passes) aggregates to per-vector dots (map-side) and
+    * back to 64 per-dim sums; the 64-row iterate broadcasts. State
+    * never exceeds 64 rows; the corpus is scanned twice per pass and
+    * never collected — no driver-side vector at any point. */
+  def embedPca(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec0 = DecimalType(38, 0)
+    val ex = once(Tables.embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding").cast("array<double>")))
+      .select(col("vec_id"), col("pos").as("dim"), col("col").as("x")))
+    var vk = graft.util.Ckpt.stage(
+      ex.sparkSession.range(0, 64).select(col("id").cast("int").as("dim"),
+        when(col("id") === 0, lit(10000L)).otherwise(lit(0L)).as("vq")))
+    var lastNrm: DataFrame = null
+    for (_ <- 1 to PcaIters) {
+      val dq = ex.join(broadcast(vk), "dim")
+        .groupBy("vec_id")
+        .agg(sum(floor(col("x") * (col("vq").cast("double") / lit(10000.0)) *
+          lit(1000000.0) + lit(0.5)).cast("long")).as("dq"))
+      val sd = ex.join(dq, "vec_id")
+        .groupBy("dim")
+        .agg(sum(floor(col("x") * (col("dq").cast("double") / lit(1000000.0)) *
+          lit(1000000.0) + lit(0.5)).cast("long")).as("sd"))
+        .transform(graft.util.Ckpt.stage)
+      val nrm = sd.agg(
+        sqrt(sum(col("sd").cast(dec0) * col("sd").cast(dec0)).cast("double")).as("nrm"))
+      lastNrm = nrm
+      vk = graft.util.Ckpt.stage(sd.crossJoin(broadcast(nrm))
+        .select(col("dim"),
+          floor(col("sd").cast("double") / col("nrm") * 10000 + lit(0.5))
+            .cast("long").as("vq")))
+    }
+    vk.crossJoin(broadcast(lastNrm))
+      .select(col("dim"),
+        (col("vq").cast("double") / lit(10000.0)).as("loading"),
+        round(col("nrm") / lit(1000000.0), 6).as("lambda"))
+      .orderBy("dim")
+  }
+
   /** ADC shortlist size for [[pqRerank]] — wide enough that the exact
     * re-rank recovers most true neighbors the quantized scan misranked,
     * small enough that the exact dot products stay a rounding error of
@@ -1120,6 +1213,8 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pq_rerank"     -> (pqRerank _),
+    "q_embed_norm"    -> (embedNormAudit _),
+    "q_embed_pca"     -> (embedPca _),
     "q_kcenter_init"  -> (kcenterInit _),
     "q_mmr_select"    -> (mmrSelect _),
     "q_cosine_topk"   -> (cosineTopk _),
@@ -1347,6 +1442,19 @@ object Similarity {
 
   val oracle: Map[String, String] = Map(
     "q_pq_rerank" -> pqRerankOracle,
+    "q_embed_pca" -> pcaOracle,
+    "q_embed_norm" ->
+      """WITH n AS (
+        |  SELECT label,
+        |         floor(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) * 10000 + 0.5) / 10000 AS nq
+        |  FROM embeddings
+        |)
+        |SELECT label, count(*) AS n_vecs,
+        |       CAST(SUM(CASE WHEN nq = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+        |       min(nq) AS min_norm,
+        |       max(nq) AS max_norm,
+        |       round(CAST(SUM(CAST(nq AS DECIMAL(18,4))) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mean_norm
+        |FROM n GROUP BY label ORDER BY label""".stripMargin,
     "q_kcenter_init" -> kcenterOracle,
     "q_mmr_select" -> mmrOracle,
     "q_ann_lsh_rp" -> rpOracle,
@@ -1440,6 +1548,43 @@ object Similarity {
         |  WHERE codes.vec_id <> lut.qid
         |  GROUP BY 1, 2
         |)""".stripMargin
+
+  /** [[embedPca]] oracle: [[PcaIters]] power-iteration passes unrolled
+    * as generated CTEs from the same quantization constants — the
+    * [[pagerankOracle]]/kmeans discipline applied to the eigen loop. */
+  private def pcaOracle: String = {
+    val passes = (1 to PcaIters).map { k =>
+      s"""dq$k AS (
+         |  SELECT e.vec_id,
+         |         CAST(SUM(CAST(floor(e.x * (CAST(v.vq AS DOUBLE) / 10000.0e0) * 1000000.0e0 + 0.5) AS BIGINT)) AS BIGINT) AS dq
+         |  FROM ex e JOIN v${k - 1} v USING (dim) GROUP BY 1
+         |), s$k AS (
+         |  SELECT e.dim,
+         |         CAST(SUM(CAST(floor(e.x * (CAST(d.dq AS DOUBLE) / 1000000.0e0) * 1000000.0e0 + 0.5) AS BIGINT)) AS BIGINT) AS sd
+         |  FROM ex e JOIN dq$k d USING (vec_id) GROUP BY 1
+         |), n$k AS (
+         |  SELECT sqrt(CAST(SUM(CAST(sd AS HUGEINT) * sd) AS DOUBLE)) AS nrm FROM s$k
+         |), v$k AS (
+         |  SELECT dim, CAST(floor(CAST(sd AS DOUBLE) / nrm * 10000 + 0.5) AS BIGINT) AS vq
+         |  FROM s$k, n$k
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH v AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), ex AS (
+       |  SELECT vec_id, CAST(dim AS INTEGER) AS dim, v[CAST(dim AS INTEGER) + 1] AS x
+       |  FROM v, (SELECT unnest(range(0, 64)) AS dim)
+       |), v0 AS (
+       |  SELECT CAST(dim AS INTEGER) AS dim,
+       |         CAST(CASE WHEN dim = 0 THEN 10000 ELSE 0 END AS BIGINT) AS vq
+       |  FROM (SELECT unnest(range(0, 64)) AS dim)
+       |), $passes
+       |SELECT v$PcaIters.dim,
+       |       CAST(v$PcaIters.vq AS DOUBLE) / 10000.0e0 AS loading,
+       |       round(n$PcaIters.nrm / 1000000.0e0, 6) AS lambda
+       |FROM v$PcaIters, n$PcaIters
+       |ORDER BY dim""".stripMargin
+  }
 
   private def pqAdcOracle: String =
       s"""WITH $PqAdcCtes, t AS (

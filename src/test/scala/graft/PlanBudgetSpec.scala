@@ -242,6 +242,12 @@ class PlanBudgetSpec extends AnyFunSuite {
                                       // total broadcast (audited 2, +1)
     ("q_wilson_rate", 3, 0),          // one calendar-bounded aggregate;
                                       // bounds row-local (audited 2, +1)
+    ("q_embed_norm", 3, 0),           // row-local norms, one |labels|-row
+                                      // aggregate (audited 2, +1)
+    ("q_embed_pca", 18, 10),          // 5 unrolled passes: per-vec dot agg
+                                      // + per-dim sum agg per pass, 64-row
+                                      // iterate + 1-row norm broadcast
+                                      // back each pass (audited 16, +2)
   )
 
   budgets.foreach { case (name, maxShuffles, minBcasts) =>

@@ -230,6 +230,50 @@ class RulesAndRecallSpec extends AnyFunSuite {
     assert(audit.map(_.getLong(0)).toSet === hits.keySet.map(_.toLong))
   }
 
+  test("embedding norm audit: labels partition the corpus and the mean replays") {
+    val rows = ops.Similarity.embedNormAudit(spark, sf).collect()
+    val total = Tables.embeddings(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum === total)
+    rows.foreach { r =>
+      val (mn, mx, mean) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(mn <= mean + 1e-9 && mean <= mx + 1e-9, s"label ${r.getInt(0)}: mean outside [min,max]")
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= r.getLong(1))
+    }
+  }
+
+  test("embed PCA: unit loading, positive lambda, and alignment with an unquantized replay") {
+    val rows = ops.Similarity.embedPca(spark, sf).collect().sortBy(_.getInt(0))
+    assert(rows.length === 64)
+    val v = rows.map(_.getDouble(1))
+    val lambda = rows.head.getDouble(2)
+    assert(rows.forall(_.getDouble(2) == lambda), "lambda repeated on every row")
+    assert(lambda > 0.0)
+    val norm = math.sqrt(v.map(x => x * x).sum)
+    assert(math.abs(norm - 1.0) < 0.01, s"loading norm $norm not ~1")
+    // plain-double power iteration replay (same 5 passes from e0, no
+    // quantization) must align with the integerized loop
+    val xs = Tables.embeddings(spark, sf).select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    var w = Array.tabulate(64)(i => if (i == 0) 1.0 else 0.0)
+    var lam = 0.0
+    (1 to 5).foreach { _ =>
+      val s = new Array[Double](64)
+      xs.foreach { x =>
+        var dot = 0.0
+        var i = 0
+        while (i < 64) { dot += x(i) * w(i); i += 1 }
+        i = 0
+        while (i < 64) { s(i) += x(i) * dot; i += 1 }
+      }
+      lam = math.sqrt(s.map(x => x * x).sum)
+      w = s.map(_ / lam)
+    }
+    val cos = v.zip(w).map { case (a, b) => a * b }.sum /
+      (norm * math.sqrt(w.map(x => x * x).sum))
+    assert(cos > 0.999, s"quantized loop diverged from the replay: cos $cos")
+    assert(math.abs(lambda - lam) / lam < 0.01, s"lambda $lambda vs replay $lam")
+  }
+
   test("PQ rerank: exact re-rank never loses recall vs the raw ADC ranking") {
     val exact = ops.Similarity.cosineTopk(spark, sf).filter(col("rn") <= 5)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
