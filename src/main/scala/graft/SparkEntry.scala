@@ -35,6 +35,7 @@ object SparkEntry {
       (ops.Curation.queries, ops.Curation.oracle),
       (ops.Graph.queries, ops.Graph.oracle),
       (ops.TypedOps.queries, ops.TypedOps.oracle),
+      (ops.Evaluation.queries, ops.Evaluation.oracle),
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

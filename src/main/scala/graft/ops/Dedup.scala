@@ -563,7 +563,36 @@ object Dedup {
     joined.agg(count(lit(1)).as("n_docs"), (totals ++ overlaps): _*)
   }
 
+  /** Normalized-form exact dedup: group-size histogram of documents after
+    * text canonicalization (lowercase, strip non-alphanumerics, collapse
+    * runs of spaces, trim) — the standard normalization pass that catches
+    * duplicates [[dedupExact]]'s byte-identity misses (case flips,
+    * punctuation edits, whitespace reflow) while staying a pure
+    * hash-groupBy with none of the LSH machinery. Reported as a
+    * group-size histogram: (group_size, n_groups), the shape of the
+    * collapse (size-1 rows = already unique).
+    *
+    * Determinism: lower() and the character-class regexes are
+    * ASCII-deterministic and semantically identical in Java regex and
+    * RE2; the Spark side keys on md5(norm) so the shuffle carries a
+    * 32-char digest, never the body (the [[dedupExact]] discipline),
+    * while the oracle groups the raw normalized string — the driver
+    * compare proves digest-keying equivalence on every run.
+    *
+    * Scale shape: two keyed aggregates over digests; the second runs
+    * over group sizes (domain ≤ max multiplicity). Linear, no joins. */
+  def dedupNorm(s: SparkSession, d: String): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    Tables.documents(s, d)
+      .select(md5(norm).as("key"))
+      .groupBy("key").agg(count(lit(1)).as("group_size"))
+      .groupBy("group_size").agg(count(lit(1)).as("n_groups"))
+      .orderBy("group_size")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_norm"     -> (dedupNorm _),
     "q_dedup_exact"    -> (dedupExact _),
     "q_dedup_compare"  -> (dedupMethodCompare _),
     "q_dedup_survivor" -> (dedupSurvivor _),
@@ -834,6 +863,15 @@ object Dedup {
     .mkString(" || ")
 
   val oracle: Map[String, String] = Map(
+    "q_dedup_norm" ->
+      """WITH g AS (
+        |  SELECT trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |                             ' +', ' ', 'g')) AS k,
+        |         CAST(count(*) AS BIGINT) AS group_size
+        |  FROM documents GROUP BY 1
+        |)
+        |SELECT group_size, CAST(count(*) AS BIGINT) AS n_groups
+        |FROM g GROUP BY group_size ORDER BY group_size""".stripMargin,
     "q_dedup_exact" ->
       """SELECT doc_id, lang, source, n_chars
         |FROM (SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn

@@ -1,0 +1,333 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Model-evaluation / data-layout operators the reference's "local stats
+  * comparison" capability (reqdef.yaml:69-73) implies but never ships:
+  * ranking metrics (AUC), probability calibration, Pareto frontiers,
+  * co-occurrence mining, and multi-dimensional layout keys. Every query is
+  * oracled cell-exact; every computed double follows the repo's
+  * floor-quantize discipline (PARITY.md): `floor(x·1e6 + 0.5)/1e6` is a
+  * fixed tree of individually-correctly-rounded IEEE ops, so both engines
+  * produce identical bits — unlike `round()`, whose half-way handling on
+  * doubles is engine-internal.
+  *
+  * Scale design notes per operator in each scaladoc; the common theme is
+  * the [[Statistics.outlierMad]] discipline — aggregate to a
+  * distinct-value or key-bounded frame FIRST, run windows over that
+  * bounded frame, broadcast scalars back — so the fact tables are scanned
+  * but never shuffled wide.
+  */
+object Evaluation {
+
+  /** floor-quantize to 6 dp — bit-identical in Spark and DuckDB (each step
+    * is one correctly-rounded IEEE op; floor is exact). */
+  private def q6(c: Column): Column = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+
+  /** Exact ROC-AUC of `n_chars` as a ranking score for the binary label
+    * `lang = 'en'`, per source — the standard offline-eval primitive for
+    * any quality/classifier score a curation pipeline produces. AUC is
+    * computed by the Mann-Whitney identity AUC = U₁/(n₁·n₂) with midrank
+    * tie handling, entirely in BIGINT rank algebra (the
+    * [[Statistics.mannWhitney]] doubled-rank discipline): per distinct
+    * score value with c rows after `prev` earlier rows, the doubled
+    * midrank is 2·prev + c + 1, so 2·R₁ = Σ c₁·(2·prev + c + 1) is an
+    * exact integer, 2·U₁ = 2·R₁ − n₁(n₁+1), and the single IEEE division
+    * (2·U₁)/(2·n₁·n₂) is correctly rounded on identical integers in both
+    * engines before the 6-dp floor-quantize.
+    *
+    * Scale shape: one map-side-combined groupBy(source, value) — bounded
+    * by the per-source score domain, not the row count — a per-source
+    * cumulative window over that bounded frame, one keyed aggregate. The
+    * documents table is never shuffled; overflow edge 2·R₁ ≤ 2n² needs
+    * n < ~2·10⁹ rows per source (partition the eval beyond that). */
+  def qualityAuc(s: SparkSession, d: String): DataFrame = {
+    val vc = Tables.documents(s, d)
+      .groupBy(col("source"), col("n_chars").as("v"))
+      .agg(count(lit(1)).as("c"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c1"))
+    val w = Window.partitionBy("source").orderBy("v")
+    val r = vc.withColumn("prev", sum("c").over(w) - col("c"))
+    val a = r.groupBy("source").agg(
+      sum("c1").as("n_pos"),
+      sum(col("c") - col("c1")).as("n_neg"),
+      sum(col("c1") * (lit(2) * col("prev") + col("c") + lit(1))).as("r1x2"))
+    a.select(col("source"), col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          q6((col("r1x2") - col("n_pos") * (col("n_pos") + 1)).cast("double") /
+             (lit(2) * col("n_pos") * col("n_neg")).cast("double"))).as("auc"))
+      .orderBy("source")
+  }
+
+  /** Reliability (calibration) bins for a rank-percentile score: each doc's
+    * score is its percent-rank of `n_chars` (min-rank convention:
+    * prev/(n−1), a single IEEE division of exact integers), binned into 10
+    * equal-width bins; per bin the observed `lang='en'` rate is compared
+    * to the mean score — the reliability-diagram table behind any
+    * calibration audit (a well-calibrated score has gap ≈ 0 per bin).
+    *
+    * Determinism: the mean score never sums doubles (double summation
+    * order is partition-dependent in Spark) — Σ prev is an exact BIGINT
+    * per bin, so mean_score = Σ(c·prev) / ((n−1)·n_bin) is ONE division of
+    * exact integers. pos_rate likewise. The bin id floor((prev/(n−1))·10)
+    * is two correctly-rounded IEEE ops then an exact floor — identical
+    * cross-engine. gap subtracts two already-quantized doubles (exact).
+    *
+    * Scale shape: the window runs over the DISTINCT n_chars frame (value
+    * domain, ≤ a few thousand rows at any corpus size; bound documented
+    * here per the unpartitioned-window rule), everything after is keyed
+    * aggregation. Overflow: Σ c·prev ≤ n², (n−1)·n_bin ≤ n² — BIGINT-safe
+    * to n ≈ 3·10⁹ docs. */
+  def calibrationBins(s: SparkSession, d: String): DataFrame = {
+    val vc = Tables.documents(s, d)
+      .groupBy(col("n_chars").as("v"))
+      .agg(count(lit(1)).as("c"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c1"))
+    val n = vc.agg(sum("c").as("nt"))
+    // bounded: distinct n_chars values only (see scaladoc)
+    val w = Window.orderBy("v")
+    val r = vc.withColumn("prev", sum("c").over(w) - col("c"))
+      .crossJoin(broadcast(n))
+    val scored = r.withColumn("score",
+        col("prev").cast("double") / (col("nt") - 1).cast("double"))
+      .withColumn("bin", least(lit(9L), floor(col("score") * lit(10)).cast("long")))
+    scored.groupBy("bin")
+      .agg(sum("c").as("n_bin"), sum("c1").as("n_pos"),
+        sum(col("c") * col("prev")).as("sp"), first("nt").as("nt"))
+      .withColumn("pos_rate", q6(col("n_pos").cast("double") / col("n_bin").cast("double")))
+      .withColumn("mean_score",
+        q6(col("sp").cast("double") / ((col("nt") - 1) * col("n_bin")).cast("double")))
+      .select(col("bin"), col("n_bin"), col("n_pos"), col("pos_rate"),
+        col("mean_score"), (col("pos_rate") - col("mean_score")).as("gap"))
+      .orderBy("bin")
+  }
+
+  /** 2-D skyline (Pareto frontier) of the part table: parts not dominated
+    * on (minimize p_size, maximize p_retailprice) — the multi-objective
+    * selection primitive (cheapest-per-capability part, best
+    * quality-per-length doc, …). A part is dominated iff some part has
+    * ≤ size and ≥ price with one strict; equal (size, price) pairs do not
+    * dominate each other, so ties all survive.
+    *
+    * Algorithm — the classic sorted sweep, but over the AGGREGATED
+    * per-size frame: groupBy(size) → max(price) (distinct sizes: the
+    * p_size domain, ≤ 50 rows — bound for the unpartitioned window), then
+    * one running strict-predecessor max over that frame; a size's maximum
+    * survives iff it exceeds every smaller size's maximum, and the
+    * surviving (size, max-price) pairs broadcast back to select frontier
+    * rows. No arithmetic anywhere — pure comparisons on raw parquet
+    * doubles, so cross-engine parity is bit-trivial.
+    *
+    * Scale shape: one map-side-combined aggregate + a ≤50-row window +
+    * one broadcast semi-join back; the part table is never shuffled. */
+  def skyline2d(s: SparkSession, d: String): DataFrame = {
+    val m = Tables.part(s, d).groupBy("p_size").agg(max("p_retailprice").as("mp"))
+    val w = Window.orderBy("p_size").rowsBetween(Window.unboundedPreceding, -1)
+    val f = m.withColumn("smax", max("mp").over(w))
+      .filter(col("smax").isNull || col("mp") > col("smax"))
+      .select(col("p_size").as("fs"), col("mp"))
+    Tables.part(s, d).select("p_partkey", "p_size", "p_retailprice")
+      .join(broadcast(f),
+        col("p_size") === col("fs") && col("p_retailprice") === col("mp"))
+      .select("p_partkey", "p_size", "p_retailprice")
+      .orderBy("p_size", "p_partkey")
+  }
+
+  /** Frequent event-type pairs (2-itemsets over per-user baskets) with
+    * support and lift — the association-mining primitive behind
+    * co-occurrence features and funnel hypothesis generation. Basket =
+    * the set of event types a user ever fired; support(a,b) = users with
+    * both / all users; lift = P(a,b)/(P(a)·P(b)).
+    *
+    * Determinism: all counts are exact BIGINTs; support and lift are each
+    * ONE IEEE division of exact integer products (n_both·N and nₐ·n_b are
+    * BIGINT-exact to N ≈ 3·10⁹ users), floor-quantized at 6 dp.
+    *
+    * Scale shape: distinct (user, type) first — the self-join then meets
+    * on user_id with per-user fan-out bounded by T² (T = event-type
+    * domain, single digits), never an all-pairs row join; the singles and
+    * total frames broadcast. */
+  def itemsets2(s: SparkSession, d: String): DataFrame = {
+    val ut = Tables.events(s, d).select("user_id", "event_type").distinct()
+    val n = ut.agg(countDistinct("user_id").as("nu"))
+    val singles = ut.groupBy(col("event_type")).agg(count(lit(1)).as("ns"))
+    val pairs = ut.withColumnRenamed("event_type", "type_a")
+      .join(ut.withColumnRenamed("event_type", "type_b"), "user_id")
+      .filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(singles.select(col("event_type").as("type_a"), col("ns").as("na"))), "type_a")
+      .join(broadcast(singles.select(col("event_type").as("type_b"), col("ns").as("nb"))), "type_b")
+      .crossJoin(broadcast(n))
+      .select(col("type_a"), col("type_b"), col("n_both"),
+        q6(col("n_both").cast("double") / col("nu").cast("double")).as("support"),
+        q6((col("n_both") * col("nu")).cast("double") /
+           (col("na") * col("nb")).cast("double")).as("lift"))
+      .orderBy("type_a", "type_b")
+  }
+
+  /** Bits 0..4 of `c` spread to even bit positions 0,2,4,6,8 — the Morton
+    * interleave half, using only add/multiply/divide/modulo integer
+    * arithmetic so the identical expression runs in DuckDB (no
+    * engine-specific bit operators). */
+  private def spread5(c: Column): Column =
+    (0 until 5).map { i =>
+      (c.cast("long") / lit(1L << i)).cast("long") % lit(2L) * lit(1L << (2 * i))
+    }.reduce(_ + _)
+
+  /** The same spread as [[spread5]], rendered as oracle SQL. */
+  private def spread5Sql(c: String): String =
+    (0 until 5).map { i =>
+      s"(CAST($c AS BIGINT) // ${1L << i}) % 2 * ${1L << (2 * i)}"
+    }.mkString("(", " + ", ")")
+
+  /** Z-order (Morton) layout key over events: interleave a 5-bit value
+    * bucket with the 5-bit hour-of-day, report per-tile (z div 16) row
+    * counts and the bounding box each tile covers in (value-bucket, hour)
+    * space. This is the multi-dimensional clustering key behind
+    * Delta/Iceberg Z-ORDER file layout: sorting 100 TB of events by `z`
+    * and cutting files every N rows yields files whose min/max on BOTH
+    * dims are tight — a range predicate on either dimension prunes most
+    * files, which a single-column sort only achieves for its own column.
+    * The bounding-box output makes the locality measurable: fixing the
+    * top 6 of 10 bits confines a tile to a 4×4 block, so every span
+    * column is ≤ 3 by construction (asserted in EvaluationSpec).
+    *
+    * Determinism: the value bucket is the [[Statistics.mannWhitney]]
+    * extent-bucket shape — floor((v−lo)·32/(hi−lo)) capped at 31, three
+    * correctly-rounded IEEE ops then exact floor on identical doubles;
+    * the interleave is pure integer +/·/div/% mirrored token-for-token
+    * in the oracle; hour() reads the same UTC wall clock both engines.
+    *
+    * Scale shape: one broadcast 1-row extent, one map-side-combined
+    * groupBy(tile) — ≤ 64 groups; the events table is never shuffled
+    * (the z key itself would be the REPARTITION/sort key at write time,
+    * not a shuffle here). */
+  def zorderLayout(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).filter(col("value").isNotNull)
+      .select(col("value"), col("ts"))
+    val ext = ev.agg(min("value").as("lo"), max("value").as("hi"))
+    val keyed = ev.crossJoin(broadcast(ext))
+      .withColumn("bx",
+        when(col("hi") === col("lo"), lit(0L)).otherwise(
+          least(lit(31L),
+            floor((col("value") - col("lo")) * lit(32) / (col("hi") - col("lo"))).cast("long"))))
+      .withColumn("by", hour(col("ts")).cast("long"))
+      .withColumn("z", spread5(col("bx")) + lit(2L) * spread5(col("by")))
+      .withColumn("tile", (col("z").cast("long") / lit(16L)).cast("long"))
+    keyed.groupBy("tile")
+      .agg(count(lit(1)).as("n_rows"),
+        min("bx").as("bx_lo"), max("bx").as("bx_hi"),
+        min("by").as("by_lo"), max("by").as("by_hi"))
+      .withColumn("bx_span", col("bx_hi") - col("bx_lo"))
+      .withColumn("by_span", col("by_hi") - col("by_lo"))
+      .orderBy("tile")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quality_auc" -> (qualityAuc _),
+    "q_calibration" -> (calibrationBins _),
+    "q_skyline_2d" -> (skyline2d _),
+    "q_itemsets2" -> (itemsets2 _),
+    "q_zorder_key" -> (zorderLayout _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_quality_auc" ->
+      """WITH vc AS (
+        |  SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS c,
+        |         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS c1
+        |  FROM documents GROUP BY source, n_chars
+        |), r AS (
+        |  SELECT source, c, c1,
+        |         CAST(sum(c) OVER (PARTITION BY source ORDER BY v) - c AS BIGINT) AS prev
+        |  FROM vc
+        |), a AS (
+        |  SELECT source,
+        |         CAST(sum(c1) AS BIGINT) AS n_pos,
+        |         CAST(sum(c - c1) AS BIGINT) AS n_neg,
+        |         CAST(sum(c1 * (2 * prev + c + 1)) AS BIGINT) AS r1x2
+        |  FROM r GROUP BY source
+        |)
+        |SELECT source, n_pos, n_neg,
+        |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+        |    floor(CAST(r1x2 - n_pos * (n_pos + 1) AS DOUBLE) /
+        |          CAST(2 * n_pos * n_neg AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+        |  END AS auc
+        |FROM a ORDER BY source""".stripMargin,
+    "q_calibration" ->
+      """WITH vc AS (
+        |  SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS c,
+        |         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS c1
+        |  FROM documents GROUP BY n_chars
+        |), n AS (SELECT CAST(sum(c) AS BIGINT) AS nt FROM vc),
+        |r AS (
+        |  SELECT v, c, c1, CAST(sum(c) OVER (ORDER BY v) - c AS BIGINT) AS prev, nt
+        |  FROM vc, n
+        |), scored AS (
+        |  SELECT c, c1, prev, nt,
+        |    least(9, CAST(floor(CAST(prev AS DOUBLE) / CAST(nt - 1 AS DOUBLE) * 10) AS BIGINT)) AS bin
+        |  FROM r
+        |), b AS (
+        |  SELECT bin, CAST(sum(c) AS BIGINT) AS n_bin, CAST(sum(c1) AS BIGINT) AS n_pos,
+        |         CAST(sum(c * prev) AS BIGINT) AS sp, CAST(min(nt) AS BIGINT) AS nt
+        |  FROM scored GROUP BY bin
+        |), q AS (
+        |  SELECT bin, n_bin, n_pos,
+        |    floor(CAST(n_pos AS DOUBLE) / CAST(n_bin AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS pos_rate,
+        |    floor(CAST(sp AS DOUBLE) / CAST((nt - 1) * n_bin AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS mean_score
+        |  FROM b
+        |)
+        |SELECT bin, n_bin, n_pos, pos_rate, mean_score, pos_rate - mean_score AS gap
+        |FROM q ORDER BY bin""".stripMargin,
+    "q_skyline_2d" ->
+      """WITH m AS (SELECT p_size, max(p_retailprice) AS mp FROM part GROUP BY p_size),
+        |f AS (
+        |  SELECT p_size, mp,
+        |         max(mp) OVER (ORDER BY p_size ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS smax
+        |  FROM m
+        |)
+        |SELECT p.p_partkey, p.p_size, p.p_retailprice
+        |FROM part p JOIN f ON p.p_size = f.p_size AND p.p_retailprice = f.mp
+        |WHERE f.smax IS NULL OR f.mp > f.smax
+        |ORDER BY p.p_size, p.p_partkey""".stripMargin,
+    "q_itemsets2" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |n AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS nu FROM ut),
+        |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS ns FROM ut GROUP BY event_type),
+        |p AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |         CAST(count(*) AS BIGINT) AS n_both
+        |  FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2
+        |)
+        |SELECT p.type_a, p.type_b, p.n_both,
+        |  floor(CAST(p.n_both AS DOUBLE) / CAST(n.nu AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS support,
+        |  floor(CAST(p.n_both * n.nu AS DOUBLE) / CAST(sa.ns * sb.ns AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS lift
+        |FROM p
+        |JOIN s sa ON sa.event_type = p.type_a
+        |JOIN s sb ON sb.event_type = p.type_b
+        |CROSS JOIN n
+        |ORDER BY p.type_a, p.type_b""".stripMargin,
+    "q_zorder_key" ->
+      s"""WITH ev AS (SELECT value, ts FROM events WHERE value IS NOT NULL),
+         |ext AS (SELECT min(value) AS lo, max(value) AS hi FROM ev),
+         |keyed AS (
+         |  SELECT
+         |    CASE WHEN hi = lo THEN 0
+         |         ELSE least(31, CAST(floor((value - lo) * 32 / (hi - lo)) AS BIGINT)) END AS bx,
+         |    CAST(hour(ts) AS BIGINT) AS by
+         |  FROM ev, ext
+         |), z AS (
+         |  SELECT bx, by, ${spread5Sql("bx")} + 2 * ${spread5Sql("by")} AS zv
+         |  FROM keyed
+         |)
+         |SELECT CAST(zv // 16 AS BIGINT) AS tile, CAST(count(*) AS BIGINT) AS n_rows,
+         |  min(bx) AS bx_lo, max(bx) AS bx_hi, min(by) AS by_lo, max(by) AS by_hi,
+         |  max(bx) - min(bx) AS bx_span, max(by) - min(by) AS by_span
+         |FROM z GROUP BY 1 ORDER BY tile""".stripMargin,
+  )
+}

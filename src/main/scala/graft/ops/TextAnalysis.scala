@@ -788,7 +788,39 @@ object TextAnalysis {
       .orderBy("src_a", "src_b")
   }
 
+  /** Per-source n-gram novelty: the share of a source's bigram TYPES that
+    * appear in no other source — the content-originality counterpart to
+    * [[TextAnalysis.contamination]] (which asks the opposite question:
+    * how much of a doc is seen elsewhere). Low novelty flags a source as
+    * boilerplate/mirror-heavy before it earns a mixture weight; the
+    * companion signal to the q_source_overlap pair matrix, but linear in
+    * the vocabulary instead of quadratic in sources.
+    *
+    * Determinism: type counts are exact BIGINTs over distinct
+    * (source, bigram); novelty is ONE IEEE division floor-quantized at
+    * 6 dp ([[Evaluation]] discipline).
+    *
+    * Scale shape: distinct-(source, bigram) is vocabulary-bounded (the
+    * corpus's bigram type count, not its token count); the df join meets
+    * on the bigram key. The documents table is scanned once, exploded,
+    * and never rejoined. */
+  def ngramNovelty(s: SparkSession, d: String): DataFrame = {
+    val sb = Tables.documents(s, d)
+      .select(col("source"), explode(bigrams(words(col("text")))).as("bg"))
+      .distinct()
+    val dfS = sb.groupBy("bg").agg(count(lit(1)).as("nsrc"))
+    sb.join(dfS, "bg")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_types"),
+        sum(when(col("nsrc") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .withColumn("novelty",
+        floor(col("n_unique").cast("double") / col("n_types").cast("double")
+          * lit(1000000.0) + lit(0.5)) / lit(1000000.0))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ngram_novelty"   -> (ngramNovelty _),
     "q_js_divergence"   -> (jsDivergence _),
     "q_bm25"            -> (bm25 _),
     "q_zipf_slope"      -> (zipfSlope _),
@@ -827,6 +859,21 @@ object TextAnalysis {
   private val FWordsSql = s"list_filter($WordsSql, x -> x <> '')"
 
   val oracle: Map[String, String] = Map(
+    "q_ngram_novelty" ->
+      s"""WITH sb AS (
+         |  SELECT DISTINCT source, bg
+         |  FROM (SELECT source, unnest($BigramsSql) AS bg FROM documents) t
+         |), df AS (
+         |  SELECT bg, CAST(count(*) AS BIGINT) AS nsrc FROM sb GROUP BY bg
+         |), a AS (
+         |  SELECT sb.source, CAST(count(*) AS BIGINT) AS n_types,
+         |         CAST(sum(CASE WHEN df.nsrc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+         |  FROM sb JOIN df ON sb.bg = df.bg
+         |  GROUP BY sb.source
+         |)
+         |SELECT source, n_types, n_unique,
+         |  floor(CAST(n_unique AS DOUBLE) / CAST(n_types AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS novelty
+         |FROM a ORDER BY source""".stripMargin,
     "q_pmi_terms" ->
       s"""WITH occ AS (
          |  SELECT source, term

