@@ -34,6 +34,8 @@ object PlanAudit {
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    // optional args(1..): audit only these query names (default: all)
+    val only = args.drop(1).toSet
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -42,7 +44,9 @@ object PlanAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     println(f"${"query"}%-22s shuffles broadcasts codegen")
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
         df.collect() // materialize THIS plan (count() builds a different one) so AQE finalizes

@@ -421,6 +421,162 @@ object SketchAggs {
     override def prettyName: String = "freq_stream_length"
   }
 
+  // --------------------------------------------------------- Count-Min
+
+  /** Count-Min parameters and hashing shared by the aggregate and the
+    * estimate expression. Depth×width counters; row i uses
+    * MurmurHash3(term, seed=i) — JVM-deterministic, so sketches built on
+    * any executor topology are bit-identical for the same multiset
+    * (counter updates are integer adds: fully order-independent, unlike
+    * any float sketch). Not in the bundled DataSketches 6.2.0 (no
+    * countmin package), hence native. */
+  private[graft] object Cm {
+    val Depth = 4
+    val Width = 256
+    def idx(row: Int, term: String): Int =
+      row * Width + math.floorMod(scala.util.hashing.MurmurHash3.stringHash(term, row), Width)
+    def toBytes(a: Array[Long]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(a.length * 8)
+      a.foreach(bb.putLong); bb.array()
+    }
+    def fromBytes(b: Array[Byte]): Array[Long] = {
+      val bb = java.nio.ByteBuffer.wrap(b)
+      Array.fill(b.length / 8)(bb.getLong)
+    }
+  }
+
+  /** Aggregates a string column into a Count-Min frequency sketch: a
+    * Depth×Width Long table where row i increments cell hᵢ(term) mod W.
+    * The point-estimate (min over rows) NEVER undercounts and overshoots
+    * by at most εN with probability 1−δ (ε = e/W ≈ 1.1%, δ = e^−Depth ≈
+    * 1.8% at 4×256) — the frequency companion to Misra-Gries with the
+    * opposite trade: MG tracks only the top items exactly-ish, CMS
+    * answers ANY point query with bounded overcount. Merging is
+    * elementwise addition — associative, commutative, partition-order
+    * independent. 8 KiB fixed state regardless of stream length. */
+  case class CountMinAgg(
+      child: Expression,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] {
+
+    override def createAggregationBuffer(): Array[Long] =
+      new Array[Long](Cm.Depth * Cm.Width)
+
+    override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+      val v = child.eval(input)
+      if (v != null) {
+        val t = v.toString
+        var i = 0
+        while (i < Cm.Depth) { buf(Cm.idx(i, t)) += 1; i += 1 }
+      }
+      buf
+    }
+
+    override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < buf.length) { buf(i) += other(i); i += 1 }
+      buf
+    }
+
+    override def eval(buf: Array[Long]): Any = Cm.toBytes(buf)
+    override def serialize(buf: Array[Long]): Array[Byte] = Cm.toBytes(buf)
+    override def deserialize(bytes: Array[Byte]): Array[Long] = Cm.fromBytes(bytes)
+
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = false
+    override def children: Seq[Expression] = Seq(child)
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+      copy(child = c.head)
+    override def withNewMutableAggBufferOffset(o: Int): CountMinAgg =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): CountMinAgg =
+      copy(inputAggBufferOffset = o)
+    override def prettyName: String = "countmin_agg"
+  }
+
+  /** Merges pre-aggregated Count-Min blobs (the rollup side: per-lang →
+    * corpus). Elementwise Long addition — exact at any rollup depth. */
+  case class CountMinMergeAgg(
+      child: Expression,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] {
+
+    override def createAggregationBuffer(): Array[Long] =
+      new Array[Long](Cm.Depth * Cm.Width)
+
+    override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+      val v = child.eval(input)
+      if (v != null) {
+        val other = Cm.fromBytes(v.asInstanceOf[Array[Byte]])
+        var i = 0
+        while (i < buf.length) { buf(i) += other(i); i += 1 }
+      }
+      buf
+    }
+
+    override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < buf.length) { buf(i) += other(i); i += 1 }
+      buf
+    }
+
+    override def eval(buf: Array[Long]): Any = Cm.toBytes(buf)
+    override def serialize(buf: Array[Long]): Array[Byte] = Cm.toBytes(buf)
+    override def deserialize(bytes: Array[Byte]): Array[Long] = Cm.fromBytes(bytes)
+
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = false
+    override def children: Seq[Expression] = Seq(child)
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+      copy(child = c.head)
+    override def withNewMutableAggBufferOffset(o: Int): CountMinMergeAgg =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): CountMinMergeAgg =
+      copy(inputAggBufferOffset = o)
+    override def prettyName: String = "countmin_merge_agg"
+  }
+
+  /** Point estimate min over rows — evaluated on rolled-up rows (one blob
+    * per group × a bounded probe list), so per-call deserialization is off
+    * the hot path by construction. */
+  case class CmEstimate(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def nullSafeEval(blob: Any, term: Any): Any = {
+      val a = Cm.fromBytes(blob.asInstanceOf[Array[Byte]])
+      val t = term.toString
+      var best = Long.MaxValue
+      var i = 0
+      while (i < Cm.Depth) {
+        val v = a(Cm.idx(i, t)); if (v < best) best = v; i += 1
+      }
+      best
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): CmEstimate =
+      copy(left = l, right = r)
+    override def prettyName: String = "cm_estimate"
+  }
+
+  /** Stream length N — any single row of the table sums to N. */
+  case class CmTotal(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def nullSafeEval(input: Any): Any = {
+      val a = Cm.fromBytes(input.asInstanceOf[Array[Byte]])
+      var s = 0L
+      var i = 0
+      while (i < Cm.Width) { s += a(i); i += 1 }
+      s
+    }
+    override protected def withNewChildInternal(c: Expression): CmTotal =
+      copy(child = c)
+    override def prettyName: String = "cm_total"
+  }
+
   // ------------------------------------------------------- Column sugar
 
   private def agg(e: TypedImperativeAggregate[_]): Column =
@@ -443,6 +599,12 @@ object SketchAggs {
     Bridge.column(ThetaPairIntersect(Bridge.expression(a), Bridge.expression(b)))
   def thetaEstimate(c: Column): Column =
     Bridge.column(ThetaEstimate(Bridge.expression(c)))
+
+  def cmAgg(c: Column): Column = agg(CountMinAgg(Bridge.expression(c)))
+  def cmMergeAgg(c: Column): Column = agg(CountMinMergeAgg(Bridge.expression(c)))
+  def cmEstimate(sk: Column, term: Column): Column =
+    Bridge.column(CmEstimate(Bridge.expression(sk), Bridge.expression(term)))
+  def cmTotal(c: Column): Column = Bridge.column(CmTotal(Bridge.expression(c)))
 
   def freqAgg(c: Column, lgMaxMapSize: Int = 10): Column =
     agg(FreqSketchAgg(Bridge.expression(c), lgMaxMapSize))

@@ -139,7 +139,44 @@ object Sketches {
       .orderBy("term")
   }
 
+  /** Count-Min point-frequency estimates for a fixed probe vocabulary —
+    * the native [[graft.functions.SketchAggs.CountMinAgg]] (4×256 Long
+    * table, 8 KiB): per-lang partial sketches roll up to one corpus
+    * sketch by elementwise addition, then each probe term is estimated
+    * with min-over-rows. Complements Misra-Gries (`q_heavy_hitters`): MG
+    * answers "what are the top items", CMS answers "how often is THIS
+    * item" for any item, never undercounting, overcounting by ≤ εN
+    * w.h.p. (ε = e/256 ≈ 1.1%).
+    *
+    * No DuckDB oracle by design (hash-dependent estimates; DuckDB has no
+    * CMS) — [[SketchSpec]] pins the laws instead: est ≥ exact for every
+    * probe, bounded overcount, and build-then-merge ≡ single-shot build
+    * (bit-equal blobs).
+    *
+    * 100 TB shape: the token scan partial-aggregates 8 KiB states
+    * map-side; the rollup shuffles one blob per lang; probes are a
+    * bounded literal list crossed against ONE merged row. */
+  def cmsFreq(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.SketchAggs._
+    import graft.functions.TextFeatures.words
+    val toks = Tables.documents(s, d)
+      .select(col("lang"), explode(words(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+    val global = toks.groupBy("lang").agg(cmAgg(col("term")).as("sk"))
+      .agg(cmMergeAgg(col("sk")).as("sk"))
+    // high-, mid-, and zero-frequency probes (the zero rows demonstrate
+    // the no-false-negative contract: absent terms estimate ≥ 0, never
+    // "missing"); fixture vocabulary is the synthetic query-plan lexicon
+    val probes = Seq("the", "a", "join", "hash", "scan", "filter",
+      "merge", "row", "le", "und", "zzz_absent")
+    global.select(explode(array(probes.map(lit): _*)).as("term"), col("sk"))
+      .select(col("term"), cmEstimate(col("sk"), col("term")).as("est"),
+        cmTotal(col("sk")).as("total"))
+      .orderBy("term")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cms_freq"        -> (cmsFreq _),
     "q_sketch_union"    -> (sketchUnion _),
     "q_sketch_quantile" -> (sketchQuantile _),
     "q_theta_retention" -> (thetaRetention _),

@@ -858,7 +858,109 @@ object Statistics {
       .orderBy("event_type")
   }
 
+  /** 6-dp-quantized log2 of an integer-count column in DECIMAL — the
+    * [[graft.ops.TextAnalysis]] `qln` discipline in bits: log2 over the
+    * integer count domain is bit-identical at 6 dp across Spark and
+    * DuckDB (verified there for counts ≤ 2M), and DECIMAL sums of the
+    * quantized logs are order-independent and exact. */
+  private def qlog2(c: Column): Column =
+    round(log(2.0, c.cast("double")), 6).cast(DecimalType(18, 6))
+
+  /** Mutual information between `lang` and `source` on documents — the
+    * dependence audit behind stratification decisions: MI ≈ 0 means the
+    * two label dimensions can be sampled independently; high NMI means a
+    * per-source quota silently skews the language mix (and vice versa).
+    * Complements [[contingencyAssoc]] (chi-square asks "is there ANY
+    * association"; MI measures HOW MUCH, in bits).
+    *
+    * Identity used: n·MI_bits = Σc·log2 c − Σr·log2 r − Σs·log2 s
+    * + n·log2 n over cell/row-margin/col-margin counts — every log is
+    * [[qlog2]] of an INTEGER count (never of a ratio), every sum is
+    * DECIMAL-exact, so T, Tr = n·H(lang), Ts = n·H(source) are exact to
+    * 1e-6 and identical cross-engine; MI = T/n, NMI = T/min(Tr,Ts) are
+    * each ONE IEEE division of identical operands, floor-quantized.
+    *
+    * Scale shape: one map-side-combined (lang, source) cell aggregate
+    * (cells ≤ |lang|·|source|, a constant grid); margins and the total
+    * reduce from the CELL frame, never rescanning documents; everything
+    * downstream is a broadcast of ≤ grid-size frames. */
+  def mutualInfo(s: SparkSession, d: String): DataFrame = {
+    val cells = graft.util.Ckpt.stage(Tables.documents(s, d)
+      .groupBy("lang", "source").agg(count(lit(1)).as("c")))
+    val sc = cells.agg(sum(col("c") * qlog2(col("c"))).as("scc"),
+      sum("c").as("n"))
+    val sr = cells.groupBy("lang").agg(sum("c").as("r"))
+      .agg(sum(col("r") * qlog2(col("r"))).as("srr"), count(lit(1)).as("n_lang"))
+    val ss = cells.groupBy("source").agg(sum("c").as("m"))
+      .agg(sum(col("m") * qlog2(col("m"))).as("sss"), count(lit(1)).as("n_source"))
+    val q6 = (c: Column) => floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    sc.crossJoin(broadcast(sr)).crossJoin(broadcast(ss))
+      .withColumn("nl", col("n") * qlog2(col("n")))
+      .withColumn("t",  col("scc") - col("srr") - col("sss") + col("nl"))
+      .withColumn("tr", col("nl") - col("srr"))
+      .withColumn("ts", col("nl") - col("sss"))
+      .select(col("n").as("n_docs"), col("n_lang"), col("n_source"),
+        q6(col("t").cast("double") / col("n").cast("double")).as("mi_bits"),
+        q6(col("tr").cast("double") / col("n").cast("double")).as("h_lang"),
+        q6(col("ts").cast("double") / col("n").cast("double")).as("h_source"),
+        q6(col("t").cast("double") / least(col("tr"), col("ts")).cast("double")).as("nmi"))
+  }
+
+  /** Spearman rank correlation of extendedprice ~ quantity per return
+    * flag — the robust companion to [[corrRegr]]'s Pearson r: invariant
+    * to monotone transforms and insensitive to the price outliers that
+    * drag product-moment correlation. Ties get midranks (the standard
+    * tie-corrected Spearman = Pearson over midranks).
+    *
+    * Determinism — all-integer rank algebra until three final IEEE ops:
+    * DOUBLED midranks (2r = 2·prev + c + 1 per distinct value, the
+    * [[mannWhitney]] identity) keep every rank an exact BIGINT; the five
+    * power sums over doubled ranks accumulate in DECIMAL(38,0) (exact —
+    * Σ(2r)² ≤ 4n³); scaling by 2 cancels in the correlation. Then
+    * ρ = (n·Sxy − Sx·Sy)/(√vx·√vy): the variance terms are DECIMAL-exact
+    * integers, cast double (correctly rounded), sqrt is an IEEE
+    * CORRECTLY-ROUNDED basic op in both engines (unlike exp/ln), and the
+    * final multiply+divide are single ops on identical doubles —
+    * floor-quantized at 6 dp.
+    *
+    * Scale shape: two distinct-value rank frames (quantity: 50 values;
+    * price: value-domain-bounded), the price-side rank join is a keyed
+    * shuffle join (NOT broadcast — the price domain grows with data), one
+    * map-side-combined power-sum aggregate per flag. Overflow edge:
+    * DECIMAL(38,0) holds Σ(2r)³-scale sums to n ≈ 10¹¹ rows per flag. */
+  def spearman(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_returnflag").as("flag"), col("l_quantity").as("x"),
+        col("l_extendedprice").as("y"))
+    def ranks(v: String): DataFrame = {
+      val w = Window.partitionBy("flag").orderBy(v)
+      li.groupBy(col("flag"), col(v)).agg(count(lit(1)).as("c"))
+        .withColumn("prev", sum("c").over(w) - col("c"))
+        .withColumn(s"r$v", lit(2) * col("prev") + col("c") + lit(1))
+        .select(col("flag"), col(v), col(s"r$v"))
+    }
+    val dec0 = DecimalType(38, 0)
+    val joined = li.join(ranks("x"), Seq("flag", "x"))
+      .join(ranks("y"), Seq("flag", "y"))
+    val q6 = (c: Column) => floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    joined.groupBy("flag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("rx").cast(dec0)).as("sx"),
+        sum(col("ry").cast(dec0)).as("sy"),
+        sum(col("rx").cast(dec0) * col("rx").cast(dec0)).as("sxx"),
+        sum(col("ry").cast(dec0) * col("ry").cast(dec0)).as("syy"),
+        sum(col("rx").cast(dec0) * col("ry").cast(dec0)).as("sxy"))
+      .select(col("flag").as("l_returnflag"), col("n"),
+        q6((col("n").cast(dec0) * col("sxy") - col("sx") * col("sy")).cast("double") /
+           (sqrt((col("n").cast(dec0) * col("sxx") - col("sx") * col("sx")).cast("double")) *
+            sqrt((col("n").cast(dec0) * col("syy") - col("sy") * col("sy")).cast("double"))))
+          .as("rho"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mutual_info" -> (mutualInfo _),
+    "q_spearman" -> (spearman _),
     "q_ab_ttest" -> (abTtest _),
     "q_benford" -> (benford _),
     "q_cusum_drift" -> (cusumDrift _),
@@ -880,6 +982,63 @@ object Statistics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_mutual_info" ->
+      """WITH cells AS (
+        |  SELECT lang, source, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY lang, source
+        |), sc AS (
+        |  SELECT sum(CAST(round(log2(c), 6) AS DECIMAL(18,6)) * c) AS scc,
+        |         CAST(sum(c) AS BIGINT) AS n
+        |  FROM cells
+        |), sr AS (
+        |  SELECT sum(CAST(round(log2(r), 6) AS DECIMAL(18,6)) * r) AS srr,
+        |         CAST(count(*) AS BIGINT) AS n_lang
+        |  FROM (SELECT CAST(sum(c) AS BIGINT) AS r FROM cells GROUP BY lang) t
+        |), ss AS (
+        |  SELECT sum(CAST(round(log2(m), 6) AS DECIMAL(18,6)) * m) AS sss,
+        |         CAST(count(*) AS BIGINT) AS n_source
+        |  FROM (SELECT CAST(sum(c) AS BIGINT) AS m FROM cells GROUP BY source) t
+        |), u AS (
+        |  SELECT n, n_lang, n_source,
+        |         scc - srr - sss + CAST(round(log2(n), 6) AS DECIMAL(18,6)) * n AS t2,
+        |         CAST(round(log2(n), 6) AS DECIMAL(18,6)) * n - srr AS tr,
+        |         CAST(round(log2(n), 6) AS DECIMAL(18,6)) * n - sss AS ts
+        |  FROM sc, sr, ss
+        |)
+        |SELECT n AS n_docs, n_lang, n_source,
+        |  floor(CAST(t2 AS DOUBLE) / CAST(n AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS mi_bits,
+        |  floor(CAST(tr AS DOUBLE) / CAST(n AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS h_lang,
+        |  floor(CAST(ts AS DOUBLE) / CAST(n AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS h_source,
+        |  floor(CAST(t2 AS DOUBLE) / CAST(least(tr, ts) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS nmi
+        |FROM u""".stripMargin,
+    "q_spearman" ->
+      """WITH li AS (
+        |  SELECT l_returnflag AS flag, l_quantity AS x, l_extendedprice AS y
+        |  FROM lineitem
+        |), rx AS (
+        |  SELECT flag, x,
+        |    2 * (sum(c) OVER (PARTITION BY flag ORDER BY x) - c) + c + 1 AS rx
+        |  FROM (SELECT flag, x, CAST(count(*) AS BIGINT) AS c FROM li GROUP BY flag, x) t
+        |), ry AS (
+        |  SELECT flag, y,
+        |    2 * (sum(c) OVER (PARTITION BY flag ORDER BY y) - c) + c + 1 AS ry
+        |  FROM (SELECT flag, y, CAST(count(*) AS BIGINT) AS c FROM li GROUP BY flag, y) t
+        |), j AS (
+        |  SELECT li.flag, CAST(rx.rx AS HUGEINT) AS rx, CAST(ry.ry AS HUGEINT) AS ry
+        |  FROM li
+        |  JOIN rx ON li.flag = rx.flag AND li.x = rx.x
+        |  JOIN ry ON li.flag = ry.flag AND li.y = ry.y
+        |), a AS (
+        |  SELECT flag, CAST(count(*) AS BIGINT) AS n,
+        |         sum(rx) AS sx, sum(ry) AS sy,
+        |         sum(rx * rx) AS sxx, sum(ry * ry) AS syy, sum(rx * ry) AS sxy
+        |  FROM j GROUP BY flag
+        |)
+        |SELECT flag AS l_returnflag, n,
+        |  floor(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |        (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+        |         sqrt(CAST(n * syy - sy * sy AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0 AS rho
+        |FROM a ORDER BY l_returnflag""".stripMargin,
     "q_embed_drift" ->
       """WITH v AS (
         |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

@@ -155,6 +155,26 @@ class PlanBudgetSpec extends AnyFunSuite {
                                       // takes a global TakeOrdered top-1; the
                                       // one shuffle is the final rank sort
     // round-7 additions
+    // evaluation/statistics additions (audited via PlanAudit at sf0.01;
+    // +1 headroom for AQE/suite-order variation)
+    ("q_quality_auc", 4, 0),          // (source, value) agg + rank window +
+                                      // per-source reduce; docs never wide-shuffled
+    ("q_calibration", 5, 1),          // distinct-value agg + bounded window;
+                                      // 1-row total broadcast
+    ("q_skyline_2d", 4, 1),           // per-size agg + <=50-row window; the
+                                      // frontier frame must broadcast back
+    ("q_itemsets2", 8, 2),            // distinct baskets + user-keyed pair
+                                      // join; singles/total broadcast
+    ("q_zorder_key", 4, 1),           // extent broadcast + <=64-tile agg;
+                                      // events never shuffled
+    ("q_ngram_novelty", 5, 1),        // distinct (source,bigram) + df join +
+                                      // per-source reduce
+    ("q_dedup_norm", 3, 0),           // digest agg + group-size histogram
+    ("q_mutual_info", 6, 2),          // one cell agg; margins reduce from
+                                      // cells, scalars broadcast
+    ("q_spearman", 7, 1),             // two rank frames + value-keyed joins
+                                      // + per-flag power sums
+    ("q_cms_freq", 3, 0),             // per-lang 8KiB sketches -> 1-row merge
     ("q_bigram_lm", 8, 3),            // tf / bigram-count / history rollups
                                       // (tf recomputed per branch in audit
                                       // mode); c12+c1+V all broadcast back

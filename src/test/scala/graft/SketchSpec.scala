@@ -217,4 +217,35 @@ class SketchSpec extends AnyFunSuite {
     assert(rows.exists(_.getString(0) == "alpha"),
       "the 50%-share term must be reported")
   }
+
+  test("count-min: never undercounts, bounded overcount, merge == single-shot") {
+    import graft.functions.SketchAggs._
+    import graft.functions.TextFeatures.words
+    import org.apache.spark.sql.functions._
+    val out = ops.Sketches.cmsFreq(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(out.nonEmpty)
+    val toks = Tables.documents(spark, sf)
+      .select(explode(words(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+    val n = toks.count()
+    val exact = toks.groupBy("term").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { case (term, est, total) =>
+      assert(total === n, "any CM row sums to the stream length")
+      val ex = exact.getOrElse(term, 0L)
+      assert(est >= ex, s"CM undercounted $term: $est < $ex")
+      assert(est <= ex + 5 * n / 256, s"CM overcount out of bound for $term")
+    }
+    // merge law: the per-lang rollup in cmsFreq must equal a single-shot
+    // global build, as exact blob equality
+    val merged = Tables.documents(spark, sf)
+      .select(col("lang"), explode(words(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("lang").agg(cmAgg(col("term")).as("sk"))
+      .agg(cmMergeAgg(col("sk")).as("sk")).collect().head.getAs[Array[Byte]](0)
+    val single = toks.agg(cmAgg(col("term")).as("sk"))
+      .collect().head.getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(merged, single), "merge law violated")
+  }
 }

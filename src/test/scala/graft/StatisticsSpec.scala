@@ -296,4 +296,56 @@ class StatisticsSpec extends AnyFunSuite {
     assert(rep("psi") === ((psi.map(_.getLong(1)).sum, psi.map(_.getLong(2)).sum,
       psi.head.getDouble(4))))
   }
+
+  test("mutual information: information-theory laws and brute-force agreement") {
+    val r = ops.Statistics.mutualInfo(spark, sf).collect().head
+    val (mi, hl, hs, nmi) =
+      (r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))
+    // MI >= 0 and MI <= min(H) up to the 1e-6 log quantization
+    assert(mi >= -1e-5 && mi <= math.min(hl, hs) + 1e-5)
+    assert(nmi >= -1e-5 && nmi <= 1.0 + 1e-5)
+    // brute-force from the raw contingency table
+    val cells = Tables.documents(spark, sf).groupBy("lang", "source").count()
+      .collect().map(x => (x.getString(0), x.getString(1), x.getLong(2)))
+    val n = cells.map(_._3).sum.toDouble
+    def h(counts: Iterable[Long]): Double =
+      counts.map { c => val p = c / n; -p * math.log(p) / math.log(2) }.sum
+    val hLang = h(cells.groupBy(_._1).map(_._2.map(_._3).sum))
+    val hSrc = h(cells.groupBy(_._2).map(_._2.map(_._3).sum))
+    val hJoint = h(cells.map(_._3))
+    val bruteMi = hLang + hSrc - hJoint
+    assert(math.abs(mi - bruteMi) < 1e-3, s"MI $mi vs brute $bruteMi")
+    assert(math.abs(hl - hLang) < 1e-3 && math.abs(hs - hSrc) < 1e-3)
+  }
+
+  test("spearman: in [-1,1] and matches Pearson over midranks computed directly") {
+    val rows = ops.Statistics.spearman(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val li = Tables.lineitem(spark, sf)
+      .select("l_returnflag", "l_quantity", "l_extendedprice").collect()
+      .map(x => (x.getString(0), x.getDouble(1), x.getDouble(2)))
+    rows.foreach { r =>
+      val flag = r.getString(0); val rho = r.getDouble(2)
+      assert(rho >= -1.0 && rho <= 1.0)
+      val g = li.filter(_._1 == flag)
+      def midranks(vs: Array[Double]): Map[Double, Double] = {
+        val sorted = vs.groupBy(identity).toSeq.sortBy(_._1)
+        var prev = 0L
+        sorted.map { case (v, g0) =>
+          val mr = prev + (g0.length + 1) / 2.0
+          prev += g0.length
+          v -> mr
+        }.toMap
+      }
+      val mx = midranks(g.map(_._2)); val my = midranks(g.map(_._3))
+      val xs = g.map(p => mx(p._2)); val ys = g.map(p => my(p._3))
+      val nn = xs.length
+      val mxm = xs.sum / nn; val mym = ys.sum / nn
+      val cov = xs.zip(ys).map { case (a, b) => (a - mxm) * (b - mym) }.sum
+      val vx = xs.map(a => (a - mxm) * (a - mxm)).sum
+      val vy = ys.map(b => (b - mym) * (b - mym)).sum
+      val brute = cov / math.sqrt(vx * vy)
+      assert(math.abs(rho - brute) < 1e-6, s"rho $flag: $rho vs $brute")
+    }
+  }
 }
