@@ -219,7 +219,60 @@ object Aggregations {
       .orderBy("l_returnflag")
   }
 
+  /** Per-user lifetime-value decile table: users ranked by their exact
+    * total event value, cut into ten equal-population deciles, each
+    * reporting population, event volume, and the value range it spans —
+    * the concentration table behind "top decile drives X% of value"
+    * analyses (the user-level companion to TrainingPrep's source-level
+    * Gini).
+    *
+    * Scale-correct global ranking — the two-phase prefix discipline of
+    * [[Statistics.mannWhitney]]: users bucket by value range (32
+    * buckets), per-bucket windows rank locally (largest sort partition =
+    * one bucket), a ≤32-row cumulative offset table broadcasts back, and
+    * rank = offset + local row_number — a total order over (ltv,
+    * user_id) with NO unpartitioned window over the user population.
+    * decile = (10·(rank−1)) div n is pure integer algebra.
+    *
+    * Determinism: LTVs are exact DECIMAL(24,6) sums (scale-6-safe per
+    * the castscan sweep); bucket ids are the audited three-IEEE-op
+    * extent expression; ties in LTV break on user_id. Output decimal
+    * bounds cast to double (one correctly-rounded conversion each). */
+  def ltvDecile(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nb = 32
+    val per = graft.util.Ckpt.stage(Tables.events(s, d)
+      .filter(col("value").isNotNull)
+      .groupBy("user_id")
+      .agg(sum(col("value").cast(DecimalType(24, 6))).as("v"),
+        count(lit(1)).as("n_ev")))
+    val ext = per.agg(min("v").as("lo"), max("v").as("hi"),
+      count(lit(1)).as("n"))
+    val bucketed = per.crossJoin(broadcast(ext))
+      .withColumn("bkt",
+        when(col("hi") === col("lo"), lit(0)).otherwise(
+          least(lit(nb - 1),
+            floor((col("v") - col("lo")).cast("double") * nb /
+                  (col("hi") - col("lo")).cast("double")).cast("int"))))
+    val wb = Window.orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offs = bucketed.groupBy("bkt").agg(count(lit(1)).as("s"))
+      .select(col("bkt"), (sum("s").over(wb) - col("s")).as("off"))
+    val w = Window.partitionBy("bkt").orderBy(col("v"), col("user_id"))
+    bucketed.join(broadcast(offs), "bkt")
+      .withColumn("rank", col("off") + row_number().over(w))
+      .withColumn("decile", expr("(10 * (rank - 1)) div n"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_users"),
+        sum("n_ev").as("n_events"),
+        sum("v").cast("double").as("total_value"),
+        min("v").cast("double").as("lo_ltv"),
+        max("v").cast("double").as("hi_ltv"))
+      .orderBy("decile")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ltv_decile"      -> (ltvDecile _),
     "q_mode"            -> (modeDet _),
     "q_agg_pricing"     -> (aggPricing _),
     "q_arg_minmax"      -> (argMinMax _),
@@ -260,6 +313,36 @@ object Aggregations {
        |ORDER BY g_status, g_prio, status, prio""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_ltv_decile" ->
+      """WITH per AS (
+        |  SELECT user_id, sum(CAST(value AS DECIMAL(24,6))) AS v,
+        |         CAST(count(*) AS BIGINT) AS n_ev
+        |  FROM events WHERE value IS NOT NULL GROUP BY user_id
+        |), ext AS (
+        |  SELECT min(v) AS lo, max(v) AS hi, CAST(count(*) AS BIGINT) AS n FROM per
+        |), b AS (
+        |  SELECT per.*, ext.n,
+        |    CASE WHEN hi = lo THEN 0
+        |         ELSE least(31, CAST(floor(CAST(v - lo AS DOUBLE) * 32 /
+        |                                   CAST(hi - lo AS DOUBLE)) AS INTEGER)) END AS bkt
+        |  FROM per, ext
+        |), offs AS (
+        |  SELECT bkt,
+        |    CAST(sum(s) OVER (ORDER BY bkt ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         - s AS BIGINT) AS off
+        |  FROM (SELECT bkt, count(*) AS s FROM b GROUP BY bkt) t
+        |), ranked AS (
+        |  SELECT b.v, b.n_ev, b.n,
+        |         offs.off + row_number() OVER (PARTITION BY b.bkt ORDER BY b.v, b.user_id) AS rank
+        |  FROM b JOIN offs ON b.bkt = offs.bkt
+        |)
+        |SELECT (10 * (rank - 1)) // n AS decile,
+        |  CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(n_ev) AS BIGINT) AS n_events,
+        |  CAST(sum(v) AS DOUBLE) AS total_value,
+        |  CAST(min(v) AS DOUBLE) AS lo_ltv,
+        |  CAST(max(v) AS DOUBLE) AS hi_ltv
+        |FROM ranked GROUP BY 1 ORDER BY decile""".stripMargin,
     "q_mode" ->
       """WITH c AS (
         |  SELECT l_returnflag, l_quantity, count(*) AS cnt

@@ -478,7 +478,87 @@ object EventTime {
       .orderBy("from_type", "to_type")
   }
 
+  /** Seasonal-naive forecast audit: predict each calendar hour's event
+    * count with the count 168 hours (one week) earlier, and report the
+    * per-type mean absolute error — the no-skill baseline every real
+    * traffic forecaster must beat, and the cheapest load-anomaly monitor
+    * (MAE jumping week-over-week = the weekly rhythm broke). The series
+    * runs over the GENERATED calendar-hour spine (zero-event hours count
+    * 0), because lagging the observed rows alone would misalign the
+    * seasonal offset wherever an hour is empty.
+    *
+    * Determinism: counts are exact BIGINTs on a generated spine; SAE is
+    * an integer sum; MAE is ONE IEEE division floor-quantized at 6 dp.
+    * The spine is hour-truncated min..max — identical in both engines at
+    * µs precision.
+    *
+    * Scale shape: one map-side-combined (hour, type) aggregate; the
+    * spine×types grid is calendar-bounded (720 hours × single-digit
+    * types at the fixture month — documented bound for the per-type lag
+    * window); the events table is never shuffled wide. */
+  def seasonalNaive(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+    val ext = ev.agg(min("h").as("lo"), max("h").as("hi"))
+    val spine = ext.select(
+      explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("h"))
+    val types = ev.select("event_type").distinct()
+    val counts = ev.groupBy("h", "event_type").agg(count(lit(1)).as("c"))
+    val series = spine.crossJoin(broadcast(types))
+      .join(counts, Seq("h", "event_type"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    val w = Window.partitionBy("event_type").orderBy("h")
+    series.withColumn("f", lag("c", 168).over(w))
+      .filter(col("f").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_hours"),
+        sum("c").as("n_actual"),
+        sum(abs(col("c") - col("f"))).as("sae"))
+      .withColumn("mae",
+        floor(col("sae").cast("double") / col("n_hours").cast("double")
+          * lit(1000000.0) + lit(0.5)) / lit(1000000.0))
+      .orderBy("event_type")
+  }
+
+  /** SAX (Symbolic Aggregate approXimation) of each event type's
+    * hour-of-day value profile: the 24 hourly value totals become a
+    * 24-character string over the alphabet a..d, each hour's symbol its
+    * within-type quartile — the standard symbolic compression that turns
+    * time-series similarity into cheap string operations (two types with
+    * equal SAX words have matching daily rhythms; Hamming distance on the
+    * words is a shape distance).
+    *
+    * Determinism: the hourly totals are exact DECIMAL(24,6) sums (the
+    * [[tumblingWindow]] discipline — value doubles are scale-6-exact per
+    * the castscan sweep); quartile assignment is pure integer rank
+    * algebra on row_number over (total, hour) — no breakpoint
+    * arithmetic, no doubles anywhere; the word is assembled ordered by
+    * hour in both engines.
+    *
+    * Scale shape: one map-side-combined (type, hour) aggregate, then
+    * everything runs on a ≤ |types|·24-row frame (the documented bound
+    * for its windows). */
+  def saxSymbols(s: SparkSession, d: String): DataFrame = {
+    val hourly = Tables.events(s, d).filter(col("value").isNotNull)
+      .groupBy(col("event_type"), hour(col("ts")).as("h"))
+      .agg(sum(col("value").cast(DecimalType(24, 6))).as("s0"))
+    val w = Window.partitionBy("event_type").orderBy(col("s0"), col("h"))
+    val n = Window.partitionBy("event_type")
+    hourly
+      .withColumn("rn", row_number().over(w))
+      .withColumn("nh", count(lit(1)).over(n))
+      .withColumn("sym",
+        expr("substring('abcd', CAST((4 * (rn - 1)) div nh AS INT) + 1, 1)"))
+      .groupBy("event_type")
+      .agg(max("nh").as("n_hours"),
+        array_join(transform(array_sort(collect_list(struct(col("h"), col("sym")))),
+          x => x.getField("sym")), "").as("sax"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_seasonal_naive" -> (seasonalNaive _),
+    "q_sax_symbols" -> (saxSymbols _),
     "q_dow_profile" -> (dowProfile _),
     "q_rolling_median" -> (rollingMedian _),
     "q_wilson_rate" -> (wilsonRate _),
@@ -499,6 +579,52 @@ object EventTime {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_seasonal_naive" ->
+      """WITH ev AS (
+        |  SELECT date_trunc('hour', ts) AS h, event_type FROM events
+        |), ext AS (SELECT min(h) AS lo, max(h) AS hi FROM ev),
+        |spine AS (
+        |  SELECT unnest(generate_series(ext.lo, ext.hi, INTERVAL '1 hour')) AS h FROM ext
+        |), types AS (SELECT DISTINCT event_type FROM ev),
+        |counts AS (
+        |  SELECT h, event_type, CAST(count(*) AS BIGINT) AS c
+        |  FROM ev GROUP BY h, event_type
+        |), series AS (
+        |  SELECT s.h, t.event_type, COALESCE(c.c, 0) AS c
+        |  FROM spine s CROSS JOIN types t
+        |  LEFT JOIN counts c ON c.h = s.h AND c.event_type = t.event_type
+        |), fc AS (
+        |  SELECT event_type, c,
+        |         lag(c, 168) OVER (PARTITION BY event_type ORDER BY h) AS f
+        |  FROM series
+        |)
+        |SELECT event_type,
+        |  CAST(count(*) AS BIGINT) AS n_hours,
+        |  CAST(sum(c) AS BIGINT) AS n_actual,
+        |  CAST(sum(abs(c - f)) AS BIGINT) AS sae,
+        |  floor(CAST(sum(abs(c - f)) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |        * 1000000.0 + 0.5) / 1000000.0 AS mae
+        |FROM fc WHERE f IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_sax_symbols" ->
+      """WITH hourly AS (
+        |  SELECT event_type, CAST(hour(ts) AS INTEGER) AS h,
+        |         sum(CAST(value AS DECIMAL(24,6))) AS s0
+        |  FROM events WHERE value IS NOT NULL
+        |  GROUP BY event_type, hour(ts)
+        |), r AS (
+        |  SELECT event_type, h,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY s0, h) AS rn,
+        |         count(*) OVER (PARTITION BY event_type) AS nh
+        |  FROM hourly
+        |), sy AS (
+        |  SELECT event_type, h, nh,
+        |         substring('abcd', CAST((4 * (rn - 1)) // nh AS INTEGER) + 1, 1) AS sym
+        |  FROM r
+        |)
+        |SELECT event_type, CAST(max(nh) AS BIGINT) AS n_hours,
+        |       string_agg(sym, '' ORDER BY h) AS sax
+        |FROM sy GROUP BY event_type ORDER BY event_type""".stripMargin,
     // every literal e0-pinned; the bound trees mirror the Spark Columns
     // parenthesis-for-parenthesis
     "q_wilson_rate" ->

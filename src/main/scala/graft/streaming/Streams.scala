@@ -301,6 +301,23 @@ object Streams {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming Count-Min frequency sketch over an event-type stream —
+    * the monitoring-in-flight twin of `graft.ops.Sketches.cmsFreq`:
+    * the same [[graft.functions.SketchAggs.CountMinAgg]] runs as a
+    * complete-mode global aggregate, so the state store carries exactly
+    * the 8 KiB counter table and every micro-batch folds in with the
+    * aggregate's own elementwise-add merge. Because CM merge is
+    * associative/commutative integer addition, the sketch after N
+    * micro-batches is BIT-IDENTICAL to the batch build over the union
+    * of the inputs (pinned in `StreamingSpec`) — the strongest
+    * batch-equivalence claim any twin here makes. Downstream consumers
+    * point-query the emitted blob with `cmEstimate` without touching
+    * the stream. */
+  def cmSketchStream(events: DataFrame): DataFrame =
+    events.select(col("event_type"))
+      .groupBy()
+      .agg(graft.functions.SketchAggs.cmAgg(col("event_type")).as("sk"))
+
   /** The reference's whole ETL as one streaming job (Jobs A+B fused):
     * incremental word counts over a document stream in update mode, each
     * micro-batch's changed rows pushed through the KV-item transform into

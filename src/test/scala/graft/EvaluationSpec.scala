@@ -103,6 +103,50 @@ class EvaluationSpec extends AnyFunSuite {
     }
   }
 
+  test("seasonal naive: lag alignment leaves spine minus 168 hours per type") {
+    val rows = ops.EventTime.seasonalNaive(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ev = Tables.events(spark, sf).select(date_trunc("hour", col("ts")).as("h"))
+    val Row2 = ev.agg(min("h"), max("h")).collect().head
+    val spineHours = java.time.Duration.between(
+      Row2.getTimestamp(0).toInstant, Row2.getTimestamp(1).toInstant).toHours + 1
+    rows.foreach { r =>
+      assert(r.getLong(1) === spineHours - 168, s"n_hours for ${r.getString(0)}")
+      val mae = r.getDouble(4)
+      assert(math.abs(mae - r.getLong(3).toDouble / r.getLong(1)) < 1e-6)
+    }
+  }
+
+  test("SAX words: 24 symbols per full profile, quartiles balanced") {
+    val rows = ops.EventTime.saxSymbols(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nh = r.getLong(1); val sax = r.getString(2)
+      assert(sax.length === nh)
+      assert(sax.forall("abcd".contains(_)))
+      if (nh == 24) // full profile: each quartile symbol appears exactly 6 times
+        "abcd".foreach(c => assert(sax.count(_ == c) === 6, s"symbol $c in $sax"))
+    }
+  }
+
+  test("LTV deciles: equal-population cut, ordered value ranges, full coverage") {
+    val rows = ops.Evaluation // touch object to keep import pattern consistent
+    val d = ops.Aggregations.ltvDecile(spark, sf).collect()
+    val users = Tables.events(spark, sf).filter(col("value").isNotNull)
+      .select("user_id").distinct().count()
+    assert(d.map(_.getLong(1)).sum === users)
+    val sizes = d.map(_.getLong(1))
+    assert(sizes.max - sizes.min <= 1, "deciles differ by at most one user")
+    // value ranges must be disjoint and increasing with decile id
+    val sorted = d.sortBy(_.getLong(0))
+    sorted.sliding(2).foreach {
+      case Array(a, b) => assert(a.getDouble(5) <= b.getDouble(4),
+        s"decile ${a.getLong(0)} hi > decile ${b.getLong(0)} lo")
+      case _ =>
+    }
+    assert(rows != null)
+  }
+
   test("normalized dedup collapses at least as much as byte-exact dedup") {
     import graft.functions.TextFeatures._
     val docs = Tables.documents(spark, sf)

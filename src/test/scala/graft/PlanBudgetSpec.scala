@@ -175,6 +175,16 @@ class PlanBudgetSpec extends AnyFunSuite {
     ("q_spearman", 7, 1),             // two rank frames + value-keyed joins
                                       // + per-flag power sums
     ("q_cms_freq", 3, 0),             // per-lang 8KiB sketches -> 1-row merge
+    ("q_seasonal_naive", 4, 1),       // (hour,type) agg + calendar-bounded
+                                      // lag window; spine/types broadcast
+    ("q_sax_symbols", 4, 0),          // (type,hour) agg + <=|types|x24-row
+                                      // rank window + word assembly
+    ("q_ltv_decile", 9, 2),           // per-user agg + two-phase bucket
+                                      // rank; extent/offsets broadcast.
+                                      // Audit mode recomputes the staged
+                                      // per-user frame in each of its 3
+                                      // branches (ext/offs/rank) -> 9;
+                                      // the staged execution runs it once
     ("q_bigram_lm", 8, 3),            // tf / bigram-count / history rollups
                                       // (tf recomputed per branch in audit
                                       // mode); c12+c1+V all broadcast back

@@ -27,6 +27,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("streaming count-min sketch is bit-identical to the batch build") {
+    val agg = Streams.cmSketchStream(Streams.eventsStream(spark, sf))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("cms_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("cms_out").collect().head.getAs[Array[Byte]](0)
+    val batch = Tables.events(spark, sf).select(col("event_type"))
+      .agg(graft.functions.SketchAggs.cmAgg(col("event_type")).as("sk"))
+      .collect().head.getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(streamed, batch),
+      "CM merge must make streaming == batch, bit-for-bit")
+    // and the blob answers point queries downstream
+    import spark.implicits._
+    val est = Seq(0).toDF("x").select(
+      graft.functions.SketchAggs.cmEstimate(lit(streamed), lit("click")).as("e"))
+      .collect().head.getLong(0)
+    val exact = Tables.events(spark, sf).filter(col("event_type") === "click").count()
+    assert(est >= exact)
+  }
+
   test("stream-static join enriches events with the customer dimension") {
     val enriched = Streams.enrichedStream(
       Streams.eventsStream(spark, sf), Tables.customer(spark, sf))
