@@ -556,7 +556,51 @@ object EventTime {
       .orderBy("event_type")
   }
 
+  /** First/last-touch attribution: each purchase is attributed to the
+    * user's earliest AND latest view/click in the 24 hours before it,
+    * reported as a (first_touch, last_touch) → purchase-count matrix
+    * ('none' when the window is empty) — the marketing-attribution
+    * primitive, and the event-time pattern (point event ← bounded
+    * preceding context) behind label-attribution joins in training-data
+    * builds.
+    *
+    * Determinism: the touch window is a pure µs-interval join (both
+    * engines compare identical microsecond timestamps); first/last
+    * selection orders by (ts, event_id) — event_id is unique, so equal
+    * timestamps cannot reorder cross-engine; counts are exact.
+    *
+    * Scale shape: the join meets on user_id with fan-out bounded by one
+    * user's touches in 24 h; the two rank windows partition by purchase
+    * id over that bounded candidate set; output is a ≤ |types|²+1 grid.
+    * The left join keeps untouched purchases without a second scan. */
+  def attribution(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("event_id").as("pid"), col("ts").as("pts"))
+    val touch = ev.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id").as("tu"), col("event_id").as("tid"),
+        col("event_type").as("ttype"), col("ts").as("tts"))
+    val j = purch.join(touch,
+      col("pu") === col("tu") &&
+        col("tts") < col("pts") &&
+        col("tts") >= col("pts") - expr("INTERVAL 24 HOURS"), "left")
+    val wf = Window.partitionBy("pid").orderBy(col("tts").asc, col("tid").asc)
+    val wl = Window.partitionBy("pid").orderBy(col("tts").desc, col("tid").desc)
+    j.withColumn("rf", row_number().over(wf))
+      .withColumn("rl", row_number().over(wl))
+      .groupBy("pid")
+      .agg(max(when(col("rf") === 1, col("ttype"))).as("ft"),
+        max(when(col("rl") === 1, col("ttype"))).as("lt"))
+      .select(coalesce(col("ft"), lit("none")).as("first_touch"),
+        coalesce(col("lt"), lit("none")).as("last_touch"))
+      .groupBy("first_touch", "last_touch")
+      .agg(count(lit(1)).as("n_purchases"))
+      .orderBy("first_touch", "last_touch")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_attribution" -> (attribution _),
     "q_seasonal_naive" -> (seasonalNaive _),
     "q_sax_symbols" -> (saxSymbols _),
     "q_dow_profile" -> (dowProfile _),
@@ -579,6 +623,30 @@ object EventTime {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_attribution" ->
+      """WITH p AS (
+        |  SELECT user_id AS pu, event_id AS pid, ts AS pts
+        |  FROM events WHERE event_type = 'purchase'
+        |), t AS (
+        |  SELECT user_id AS tu, event_id AS tid, event_type AS ttype, ts AS tts
+        |  FROM events WHERE event_type IN ('view', 'click')
+        |), j AS (
+        |  SELECT p.pid, t.ttype, t.tts, t.tid
+        |  FROM p LEFT JOIN t
+        |    ON p.pu = t.tu AND t.tts < p.pts AND t.tts >= p.pts - INTERVAL '24 hours'
+        |), r AS (
+        |  SELECT pid, ttype,
+        |    row_number() OVER (PARTITION BY pid ORDER BY tts ASC, tid ASC) AS rf,
+        |    row_number() OVER (PARTITION BY pid ORDER BY tts DESC, tid DESC) AS rl
+        |  FROM j
+        |), a AS (
+        |  SELECT pid,
+        |    COALESCE(max(CASE WHEN rf = 1 THEN ttype END), 'none') AS first_touch,
+        |    COALESCE(max(CASE WHEN rl = 1 THEN ttype END), 'none') AS last_touch
+        |  FROM r GROUP BY pid
+        |)
+        |SELECT first_touch, last_touch, CAST(count(*) AS BIGINT) AS n_purchases
+        |FROM a GROUP BY 1, 2 ORDER BY first_touch, last_touch""".stripMargin,
     "q_seasonal_naive" ->
       """WITH ev AS (
         |  SELECT date_trunc('hour', ts) AS h, event_type FROM events

@@ -87,13 +87,106 @@ object Maintenance {
       .orderBy("custkey", "version")
   }
 
+  /** Per-column profile of the events table — one row per column with
+    * count / null-count / distinct-count plus type-appropriate extrema
+    * (numeric bounds for numeric columns, lexicographic bounds for
+    * strings, formatted bounds for timestamps) — the table-stats pass a
+    * catalog ANALYZE runs, surfaced as a queryable frame (null-rate
+    * regressions and distinct-count collapses are the first symptoms of
+    * an upstream schema break).
+    *
+    * Determinism: counts are exact; numeric extrema are raw parquet
+    * values (no arithmetic); string extrema compare ASCII fixture
+    * strings identically in both engines; timestamps format through the
+    * shared fmtTs pattern. Doubles never pass through string formatting
+    * (engine-dependent repr) — numeric and string extrema live in
+    * SEPARATE typed columns.
+    *
+    * Scale shape: one pass per profiled column (5 map-side-combined
+    * aggregates unioned over a 5-row result); at 100 TB you'd fuse the
+    * non-distinct stats into one scan and keep a distinct-count
+    * aggregate per column — count_distinct here is exact by contract
+    * with the oracle, where the real pipeline would use the HLL sketch
+    * column ([[graft.ops.Sketches]]). */
+  def columnProfile(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    def num(c: String): DataFrame = ev.agg(
+      count(lit(1)).as("n_rows"),
+      sum(col(c).isNull.cast("long")).as("n_null"),
+      count_distinct(col(c)).as("n_distinct"),
+      min(col(c)).cast("double").as("min_num"),
+      max(col(c)).cast("double").as("max_num"),
+      lit(null).cast("string").as("min_str"),
+      lit(null).cast("string").as("max_str"))
+      .select(lit(c).as("column_name"), col("*"))
+    def str(c: String): DataFrame = ev.agg(
+      count(lit(1)).as("n_rows"),
+      sum(col(c).isNull.cast("long")).as("n_null"),
+      count_distinct(col(c)).as("n_distinct"),
+      lit(null).cast("double").as("min_num"),
+      lit(null).cast("double").as("max_num"),
+      min(col(c)).as("min_str"),
+      max(col(c)).as("max_str"))
+      .select(lit(c).as("column_name"), col("*"))
+    def ts(c: String): DataFrame = ev.agg(
+      count(lit(1)).as("n_rows"),
+      sum(col(c).isNull.cast("long")).as("n_null"),
+      count_distinct(col(c)).as("n_distinct"),
+      lit(null).cast("double").as("min_num"),
+      lit(null).cast("double").as("max_num"),
+      graft.util.Det.fmtTs(min(col(c))).as("min_str"),
+      graft.util.Det.fmtTs(max(col(c))).as("max_str"))
+      .select(lit(c).as("column_name"), col("*"))
+    num("event_id").unionByName(num("user_id")).unionByName(num("value"))
+      .unionByName(str("event_type")).unionByName(ts("ts"))
+      .orderBy("column_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_column_profile" -> (columnProfile _),
     "q_dq_report" -> (dqReport _),
     "q_upsert"    -> (upsertSnapshot _),
     "q_scd2_dim"  -> (scd2Dim _),
   )
 
   val oracle: Map[String, String] = Map(
+    "q_column_profile" ->
+      """SELECT * FROM (
+        |  SELECT 'event_id' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |    CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+        |    CAST(min(event_id) AS DOUBLE) AS min_num, CAST(max(event_id) AS DOUBLE) AS max_num,
+        |    CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'user_id', CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(count(DISTINCT user_id) AS BIGINT),
+        |    CAST(min(user_id) AS DOUBLE), CAST(max(user_id) AS DOUBLE),
+        |    CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'value', CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(count(DISTINCT value) AS BIGINT),
+        |    min(value), max(value),
+        |    CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'event_type', CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(count(DISTINCT event_type) AS BIGINT),
+        |    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        |    min(event_type), max(event_type)
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'ts', CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(count(DISTINCT ts) AS BIGINT),
+        |    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        |    strftime(min(ts), '%Y-%m-%d %H:%M:%S'), strftime(max(ts), '%Y-%m-%d %H:%M:%S')
+        |  FROM events
+        |) t ORDER BY column_name""".stripMargin,
     "q_dq_report" ->
       """WITH a AS (
         |  SELECT count(*) AS row_count,

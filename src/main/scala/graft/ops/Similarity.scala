@@ -1236,7 +1236,39 @@ object Similarity {
     "q_ann_ivfpq_served" -> (annIvfPqServed _),
     "q_ann_recall" -> (annRecall _),
     "q_cluster_purity" -> (clusterPurity _),
+    "q_rrf_fusion" -> (rrfFusion _),
   )
+
+  /** Reciprocal-rank fusion of the exact-cosine and PQ/ADC rankings —
+    * the standard hybrid-retrieval combiner (RRF, Cormack et al.): each
+    * list contributes 1/(60+rank) per candidate, fused top-5 by summed
+    * score. Here it fuses the accuracy ladder's two ends, which is what
+    * a production serving tier does when it blends a cheap ANN channel
+    * with an exact re-rank channel (or BM25 with dense retrieval).
+    *
+    * Determinism: the reciprocal is INTEGER-scaled — 10⁶ div (60+rank)
+    * — so scores are exact BIGINT sums with no float division anywhere;
+    * ties break on vec_id. Both input rankings are themselves oracled
+    * queries; the oracle composes their own CTE texts verbatim, so the
+    * fused lists are definitionally over the audited rankings.
+    *
+    * Scale shape: both legs' plans are unchanged; fusion adds one
+    * map-side-combinable (qid, vec_id) aggregate over ≤ 15 rows per
+    * query and a bounded rank window. */
+  def rrfFusion(s: SparkSession, d: String): DataFrame = {
+    val e = cosineTopk(s, d)
+      .select(col("qid"), col("vec_id"), expr("1000000 div (60 + rn)").as("sc"))
+    val a = pqAdc(s, d)
+      .select(col("qid"), col("vec_id"), expr("1000000 div (60 + rn)").as("sc"))
+    val w = Window.partitionBy("qid").orderBy(col("rrf").desc, col("vec_id").asc)
+    e.unionByName(a)
+      .groupBy("qid", "vec_id")
+      .agg(sum("sc").cast("long").as("rrf"), count(lit(1)).as("n_lists"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("rn"), col("vec_id"), col("rrf"), col("n_lists"))
+      .orderBy("qid", "rn")
+  }
 
   private[ops] val NormCte =
     """n AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
@@ -1743,6 +1775,27 @@ object Similarity {
     // recall audit: both legs are the very oracles of q_cosine_topk and
     // q_pq_adc, embedded verbatim as CTEs — the composition cannot drift
     // from the queries it audits
+    "q_rrf_fusion" ->
+      s"""WITH exact_t AS (
+         |$cosineTopkOracle
+         |), adc_t AS (
+         |$pqAdcOracle
+         |), u AS (
+         |  SELECT qid, vec_id, 1000000 // (60 + rn) AS sc FROM exact_t
+         |  UNION ALL
+         |  SELECT qid, vec_id, 1000000 // (60 + rn) AS sc FROM adc_t
+         |), g AS (
+         |  SELECT qid, vec_id, CAST(sum(sc) AS BIGINT) AS rrf,
+         |         CAST(count(*) AS BIGINT) AS n_lists
+         |  FROM u GROUP BY qid, vec_id
+         |), r AS (
+         |  SELECT qid, vec_id, rrf, n_lists,
+         |         CAST(row_number() OVER (PARTITION BY qid
+         |           ORDER BY rrf DESC, vec_id ASC) AS INTEGER) AS rn
+         |  FROM g
+         |)
+         |SELECT qid, rn, vec_id, rrf, n_lists FROM r WHERE rn <= 5
+         |ORDER BY qid, rn""".stripMargin,
     "q_ann_recall" ->
       s"""WITH exact_t AS (
          |$cosineTopkOracle

@@ -147,6 +147,50 @@ class EvaluationSpec extends AnyFunSuite {
     assert(rows != null)
   }
 
+  test("RRF fusion: scores replay from the two source rankings") {
+    val ex = ops.Similarity.cosineTopk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> 1000000L / (60 + r.getInt(1))).toMap
+    val ad = ops.Similarity.pqAdc(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> 1000000L / (60 + r.getInt(1))).toMap
+    val fused = ops.Similarity.rrfFusion(spark, sf).collect()
+    assert(fused.nonEmpty)
+    fused.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      val expect = ex.getOrElse(key, 0L) + ad.getOrElse(key, 0L)
+      assert(r.getLong(3) === expect, s"rrf score for $key")
+      val lists = (if (ex.contains(key)) 1 else 0) + (if (ad.contains(key)) 1 else 0)
+      assert(r.getLong(4) === lists)
+    }
+  }
+
+  test("attribution: purchase counts partition, and 'none' pairs only with 'none'") {
+    val rows = ops.EventTime.attribution(spark, sf).collect()
+    val purchases = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    assert(rows.map(_.getLong(2)).sum === purchases)
+    rows.foreach { r =>
+      val (ft, lt) = (r.getString(0), r.getString(1))
+      assert((ft == "none") == (lt == "none"), s"($ft,$lt) inconsistent")
+      assert(Set("view", "click", "none")(ft) && Set("view", "click", "none")(lt))
+    }
+  }
+
+  test("column profile: one row per column, counts consistent") {
+    val rows = ops.Maintenance.columnProfile(spark, sf).collect()
+    assert(rows.map(_.getString(0)).sorted.toSeq ===
+      Seq("event_id", "event_type", "ts", "user_id", "value"))
+    val nRows = rows.head.getLong(1)
+    rows.foreach { r =>
+      assert(r.getLong(1) === nRows)
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= nRows)        // n_null
+      assert(r.getLong(3) <= nRows - r.getLong(2), r.getString(0)) // n_distinct
+    }
+    val byName = rows.map(r => r.getString(0) -> r).toMap
+    assert(byName("event_id").getLong(3) === nRows, "event_id unique")
+    assert(!byName("value").isNullAt(4) && byName("event_type").isNullAt(4))
+    assert(byName("ts").getString(6) < byName("ts").getString(7))
+  }
+
   test("normalized dedup collapses at least as much as byte-exact dedup") {
     import graft.functions.TextFeatures._
     val docs = Tables.documents(spark, sf)

@@ -175,6 +175,15 @@ class PlanBudgetSpec extends AnyFunSuite {
     ("q_spearman", 7, 1),             // two rank frames + value-keyed joins
                                       // + per-flag power sums
     ("q_cms_freq", 3, 0),             // per-lang 8KiB sketches -> 1-row merge
+    ("q_rrf_fusion", 10, 2),          // both audited legs' lineage + one
+                                      // bounded (qid,vec_id) fuse agg +
+                                      // rank window (audited 9, +1)
+    ("q_attribution", 4, 1),          // touch interval join on user_id +
+                                      // two per-purchase rank windows
+                                      // sharing one exchange + grid agg
+    ("q_column_profile", 11, 0),      // five per-column stat aggregates
+                                      // (2 exchanges each for the exact
+                                      // distinct) unioned to 5 rows
     ("q_seasonal_naive", 4, 1),       // (hour,type) agg + calendar-bounded
                                       // lag window; spine/types broadcast
     ("q_sax_symbols", 4, 0),          // (type,hour) agg + <=|types|x24-row
