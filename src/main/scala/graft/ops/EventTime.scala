@@ -599,7 +599,67 @@ object EventTime {
       .orderBy("first_touch", "last_touch")
   }
 
+  /** Zero-traffic gap islands per event type: consecutive runs of
+    * calendar hours with no events, as (type, gap_start, gap_hours) rows
+    * — the coverage-gap detector behind "did ingestion stall?" paging,
+    * and the gaps-and-islands idiom applied to the GENERATED spine
+    * (observed rows alone cannot see an absence). Island key = hour
+    * index − row_number, the classic integer trick: consecutive zero
+    * hours share a key, any present hour breaks the run.
+    *
+    * Determinism: everything is integer (hour indices from µs epoch
+    * division, counts, row numbers); timestamps leave as formatted
+    * strings. Scale shape: one (hour, type) aggregate; islands run on
+    * the calendar-bounded spine×types grid (documented bound for its
+    * per-type windows). */
+  def gapIslands(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+    val ext = ev.agg(min("h").as("lo"), max("h").as("hi"))
+    val spine = ext.select(col("lo"),
+      explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("h"))
+    val types = ev.select("event_type").distinct()
+    val counts = ev.groupBy("h", "event_type").agg(count(lit(1)).as("c"))
+    val zeros = spine.crossJoin(broadcast(types))
+      .join(counts, Seq("h", "event_type"), "left")
+      .filter(col("c").isNull)
+      .withColumn("idx",
+        ((unix_micros(col("h")) - unix_micros(col("lo"))) / lit(3600000000L)).cast("long"))
+    val w = Window.partitionBy("event_type").orderBy("idx")
+    zeros.withColumn("grp", col("idx") - row_number().over(w))
+      .groupBy(col("event_type"), col("grp"))
+      .agg(fmtTs(min(col("h"))).as("gap_start"), count(lit(1)).as("gap_hours"))
+      .select("event_type", "gap_start", "gap_hours")
+      .orderBy("event_type", "gap_start")
+  }
+
+  /** Sliding-window rate-limit audit: each user's PEAK events in any
+    * trailing 1-hour window (the (t−1h, t] count evaluated at every
+    * event), reporting users whose peak reaches the threshold — the
+    * bot/abuse screen a rate limiter enforces online, run
+    * retrospectively. A RANGE frame over microsecond longs makes the
+    * trailing window exact (no bucketing approximation: a burst
+    * straddling an hour boundary still counts).
+    *
+    * Determinism: window bounds are integer µs; counts and the per-user
+    * max are exact. Scale shape: one user-keyed exchange; the RANGE
+    * window sorts within a user's own events; the final aggregate
+    * reduces to one row per flagged user. */
+  def rateLimit(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("tsl"))
+    val w = Window.partitionBy("user_id").orderBy("tsl")
+      .rangeBetween(-3599999999L, 0)
+    ev.withColumn("c1h", count(lit(1)).over(w))
+      .groupBy("user_id")
+      .agg(max("c1h").as("peak_1h"), count(lit(1)).as("n_events"))
+      .filter(col("peak_1h") >= 2)
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gap_islands" -> (gapIslands _),
+    "q_rate_limit" -> (rateLimit _),
     "q_attribution" -> (attribution _),
     "q_seasonal_naive" -> (seasonalNaive _),
     "q_sax_symbols" -> (saxSymbols _),
@@ -623,6 +683,41 @@ object EventTime {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_gap_islands" ->
+      """WITH ev AS (SELECT date_trunc('hour', ts) AS h, event_type FROM events),
+        |ext AS (SELECT min(h) AS lo, max(h) AS hi FROM ev),
+        |spine AS (
+        |  SELECT ext.lo, unnest(generate_series(ext.lo, ext.hi, INTERVAL '1 hour')) AS h
+        |  FROM ext
+        |), types AS (SELECT DISTINCT event_type FROM ev),
+        |counts AS (SELECT h, event_type, count(*) AS c FROM ev GROUP BY h, event_type),
+        |z AS (
+        |  SELECT s.h, t.event_type,
+        |         (epoch_us(s.h) - epoch_us(s.lo)) // 3600000000 AS idx
+        |  FROM spine s CROSS JOIN types t
+        |  LEFT JOIN counts c ON c.h = s.h AND c.event_type = t.event_type
+        |  WHERE c.c IS NULL
+        |), g AS (
+        |  SELECT event_type, h,
+        |         idx - row_number() OVER (PARTITION BY event_type ORDER BY idx) AS grp
+        |  FROM z
+        |)
+        |SELECT event_type, strftime(min(h), '%Y-%m-%d %H:%M:%S') AS gap_start,
+        |       CAST(count(*) AS BIGINT) AS gap_hours
+        |FROM g GROUP BY event_type, grp
+        |ORDER BY event_type, gap_start""".stripMargin,
+    "q_rate_limit" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS tsl FROM events),
+        |c AS (
+        |  SELECT user_id,
+        |         count(*) OVER (PARTITION BY user_id ORDER BY tsl
+        |           RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW) AS c1h
+        |  FROM ev
+        |)
+        |SELECT user_id, CAST(max(c1h) AS BIGINT) AS peak_1h,
+        |       CAST(count(*) AS BIGINT) AS n_events
+        |FROM c GROUP BY user_id HAVING max(c1h) >= 2
+        |ORDER BY user_id""".stripMargin,
     "q_attribution" ->
       """WITH p AS (
         |  SELECT user_id AS pu, event_id AS pid, ts AS pts

@@ -152,7 +152,34 @@ object Graph {
       .orderBy("node")
   }
 
+  /** Degree distribution of the customer–supplier trading graph at the
+    * ENTITY level (distinct partners per node, both sides of the
+    * bipartite graph) — the structure check behind partition-strategy
+    * choices on graph workloads: a heavy-tailed distribution means hub
+    * nodes need skew handling (salting, hub replication) that a
+    * near-uniform one does not. Output: (side, degree, n_nodes).
+    *
+    * Determinism: pure integer counts over distinct pairs. Scale shape:
+    * the one big join is lineitem⋈orders on orderkey; pairs reduce by
+    * DISTINCT before any per-node work, so node degree aggregates see
+    * one row per edge, and the histogram is degree-domain-bounded. */
+  def degreeDist(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+    val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+    val pairs = graft.util.Ckpt.stage(
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("p"))
+        .distinct())
+    def hist(key: String, side: String): DataFrame =
+      pairs.groupBy(key).agg(count(lit(1)).as("degree"))
+        .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+        .select(lit(side).as("side"), col("degree"), col("n_nodes"))
+    hist("c", "customer").unionByName(hist("p", "supplier"))
+      .orderBy("side", "degree")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_degree_dist" -> (degreeDist _),
     "q_pagerank"  -> (pagerank _),
     "q_graph_bfs" -> (bfsHops _),
     "q_triangle_count" -> (triangleCount _),
@@ -202,6 +229,18 @@ object Graph {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_degree_dist" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT o_custkey AS c, l_suppkey AS p
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |), cd AS (SELECT c, CAST(count(*) AS BIGINT) AS degree FROM pairs GROUP BY c),
+        |sd AS (SELECT p, CAST(count(*) AS BIGINT) AS degree FROM pairs GROUP BY p)
+        |SELECT side, degree, n_nodes FROM (
+        |  SELECT 'customer' AS side, degree, CAST(count(*) AS BIGINT) AS n_nodes
+        |  FROM cd GROUP BY degree
+        |  UNION ALL
+        |  SELECT 'supplier', degree, CAST(count(*) AS BIGINT) FROM sd GROUP BY degree
+        |) t ORDER BY side, degree""".stripMargin,
     "q_pagerank" -> pagerankOracle,
     "q_triangle_count" ->
       s"""WITH $EdgeCte, und AS (

@@ -958,7 +958,36 @@ object Statistics {
       .orderBy("l_returnflag")
   }
 
+  /** Sample-ratio-mismatch (SRM) check for a 50/50 experiment split:
+    * users assigned by `user_id % 2`, observed arm sizes tested against
+    * the expected half-half with the 1-df chi-square — the first gate
+    * every A/B readout must pass (an SRM invalidates the experiment
+    * before any metric is read). For two cells with expected n/2 the
+    * statistic collapses algebraically to (n₀−n₁)²/n.
+    *
+    * Determinism: arm counts are exact BIGINTs over DISTINCT users; the
+    * squared difference is BIGINT-exact (safe to ~3·10⁹ users); the
+    * statistic is ONE IEEE division floor-quantized; the 5% flag
+    * compares the already-quantized value against the χ²₁ critical
+    * literal 3.841459 — identical doubles in both engines.
+    *
+    * Scale shape: one distinct-user aggregate, one 2-row reduce. */
+  def abSrm(s: SparkSession, d: String): DataFrame = {
+    val u = Tables.events(s, d).select("user_id").distinct()
+      .withColumn("arm", pmod(col("user_id"), lit(2)))
+    u.groupBy().agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"))
+      .withColumn("chi2",
+        floor(((col("n0") - col("n1")) * (col("n0") - col("n1"))).cast("double") /
+              (col("n0") + col("n1")).cast("double") * lit(1000000.0) + lit(0.5))
+          / lit(1000000.0))
+      .select(col("n0"), col("n1"), col("chi2"),
+        (col("chi2") > lit(3.841459)).as("srm"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ab_srm" -> (abSrm _),
     "q_mutual_info" -> (mutualInfo _),
     "q_spearman" -> (spearman _),
     "q_ab_ttest" -> (abTtest _),
@@ -982,6 +1011,19 @@ object Statistics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_ab_srm" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |a AS (
+        |  SELECT CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |         CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+        |  FROM u
+        |), c AS (
+        |  SELECT n0, n1,
+        |    floor(CAST((n0 - n1) * (n0 - n1) AS DOUBLE) / CAST(n0 + n1 AS DOUBLE)
+        |          * 1000000.0 + 0.5) / 1000000.0 AS chi2
+        |  FROM a
+        |)
+        |SELECT n0, n1, chi2, chi2 > 3.841459 AS srm FROM c""".stripMargin,
     "q_mutual_info" ->
       """WITH cells AS (
         |  SELECT lang, source, CAST(count(*) AS BIGINT) AS c

@@ -191,6 +191,59 @@ class EvaluationSpec extends AnyFunSuite {
     assert(byName("ts").getString(6) < byName("ts").getString(7))
   }
 
+  test("gap islands: zero-hour totals reconcile with the observed grid") {
+    val gaps = ops.EventTime.gapIslands(spark, sf).collect()
+    val ev = Tables.events(spark, sf)
+      .select(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+    val ext = ev.agg(min("h"), max("h")).collect().head
+    val spineHours = java.time.Duration.between(
+      ext.getTimestamp(0).toInstant, ext.getTimestamp(1).toInstant).toHours + 1
+    val types = ev.select("event_type").distinct().count()
+    val observed = ev.distinct().count()
+    assert(gaps.map(_.getLong(2)).sum === spineHours * types - observed)
+    gaps.foreach(r => assert(r.getLong(2) >= 1))
+  }
+
+  test("rate limit: peaks replay from a brute-force sliding count") {
+    val rows = ops.EventTime.rateLimit(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byUser = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("t")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .map { case (u, g) => u -> g.map(_._2).sorted }
+    rows.take(20).foreach { r =>
+      val u = r.getLong(0)
+      val ts = byUser(u)
+      val peak = ts.map(t => ts.count(x => x > t - 3600000000L && x <= t)).max
+      assert(r.getLong(1) === peak, s"peak for user $u")
+      assert(r.getLong(2) === ts.length)
+      assert(peak >= 2)
+    }
+  }
+
+  test("SRM: arm sizes partition the user set and chi2 replays") {
+    val r = ops.Statistics.abSrm(spark, sf).collect().head
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    val (n0, n1) = (r.getLong(0), r.getLong(1))
+    assert(n0 + n1 === users)
+    val chi2 = math.floor((n0 - n1).toDouble * (n0 - n1) / users * 1e6 + 0.5) / 1e6
+    assert(r.getDouble(2) === chi2)
+    assert(r.getBoolean(3) === (chi2 > 3.841459))
+  }
+
+  test("degree distribution: both sides account for every distinct trading pair") {
+    val rows = ops.Graph.degreeDist(spark, sf).collect()
+    val edges = Tables.lineitem(spark, sf).select("l_orderkey", "l_suppkey")
+      .join(Tables.orders(spark, sf).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select("o_custkey", "l_suppkey").distinct().count()
+    Seq("customer", "supplier").foreach { side =>
+      val part = rows.filter(_.getString(0) == side)
+      assert(part.nonEmpty)
+      assert(part.map(r => r.getLong(1) * r.getLong(2)).sum === edges, side)
+    }
+  }
+
   test("normalized dedup collapses at least as much as byte-exact dedup") {
     import graft.functions.TextFeatures._
     val docs = Tables.documents(spark, sf)

@@ -184,6 +184,14 @@ class PlanBudgetSpec extends AnyFunSuite {
     ("q_column_profile", 11, 0),      // five per-column stat aggregates
                                       // (2 exchanges each for the exact
                                       // distinct) unioned to 5 rows
+    ("q_gap_islands", 4, 2),          // (hour,type) agg + spine anti-grid +
+                                      // calendar-bounded island windows
+    ("q_rate_limit", 3, 0),           // one user-keyed exchange; RANGE
+                                      // window + per-user max share it
+    ("q_ab_srm", 3, 0),               // distinct users + one 2-cell reduce
+    ("q_degree_dist", 6, 0),          // orderkey join -> distinct pairs ->
+                                      // two per-side histograms (audit
+                                      // mode recomputes the staged pairs)
     ("q_seasonal_naive", 4, 1),       // (hour,type) agg + calendar-bounded
                                       // lag window; spine/types broadcast
     ("q_sax_symbols", 4, 0),          // (type,hour) agg + <=|types|x24-row
