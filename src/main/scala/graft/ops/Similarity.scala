@@ -1237,7 +1237,38 @@ object Similarity {
     "q_ann_recall" -> (annRecall _),
     "q_cluster_purity" -> (clusterPurity _),
     "q_rrf_fusion" -> (rrfFusion _),
+    "q_ndcg" -> (ndcgAt5 _),
   )
+
+  /** NDCG@5 of the PQ/ADC serve against exact-cosine relevance — the
+    * position-weighted companion to [[annRecall]]: recall treats a hit
+    * at rank 5 like a hit at rank 1, NDCG discounts it by 1/log2(p+1),
+    * which is what a serving SLA actually cares about (the top slots).
+    * Relevance is binary membership in the exact top-5.
+    *
+    * Determinism: the discount weights are 6-dp INTEGER-scaled literals
+    * (1/log2(p+1) · 10⁶ for p = 1..5, precomputed constants identical
+    * in both engines), so DCG is an exact BIGINT sum — never a float
+    * fold whose order could differ — and NDCG is ONE IEEE division by
+    * the integer ideal (2948460), floor-quantized. Scale shape: both
+    * audited legs unchanged + one ≤5-rows-per-query aggregate. */
+  def ndcgAt5(s: SparkSession, d: String): DataFrame = {
+    val exact = cosineTopk(s, d).filter(col("rn") <= 5)
+      .select(col("qid").as("eqid"), col("vec_id").as("evid"), lit(1L).as("rel"))
+    val wCase = "CASE rn WHEN 1 THEN 1000000 WHEN 2 THEN 630929 " +
+      "WHEN 3 THEN 500000 WHEN 4 THEN 430676 ELSE 386852 END"
+    pqAdc(s, d).select(col("qid"), col("vec_id"), col("rn"))
+      .join(broadcast(exact),
+        col("qid") === col("eqid") && col("vec_id") === col("evid"), "left")
+      .withColumn("g", coalesce(col("rel"), lit(0L)) * expr(wCase))
+      .groupBy("qid")
+      .agg(sum(coalesce(col("rel"), lit(0L))).as("n_rel"),
+        sum("g").cast("long").as("dcg_scaled"))
+      .select(col("qid"), col("n_rel"), col("dcg_scaled"),
+        (floor(col("dcg_scaled").cast("double") / lit(2948457.0)
+          * lit(1000000.0) + lit(0.5)) / lit(1000000.0)).as("ndcg"))
+      .orderBy("qid")
+  }
 
   /** Reciprocal-rank fusion of the exact-cosine and PQ/ADC rankings —
     * the standard hybrid-retrieval combiner (RRF, Cormack et al.): each
@@ -1775,6 +1806,26 @@ object Similarity {
     // recall audit: both legs are the very oracles of q_cosine_topk and
     // q_pq_adc, embedded verbatim as CTEs — the composition cannot drift
     // from the queries it audits
+    "q_ndcg" ->
+      s"""WITH exact_t AS (
+         |$cosineTopkOracle
+         |), adc_t AS (
+         |$pqAdcOracle
+         |), j AS (
+         |  SELECT a.qid,
+         |         CASE WHEN e.vec_id IS NULL THEN 0 ELSE 1 END AS rel,
+         |         CASE a.rn WHEN 1 THEN 1000000 WHEN 2 THEN 630929
+         |                   WHEN 3 THEN 500000 WHEN 4 THEN 430676
+         |                   ELSE 386852 END AS w
+         |  FROM adc_t a
+         |  LEFT JOIN (SELECT qid, vec_id FROM exact_t WHERE rn <= 5) e
+         |    ON a.qid = e.qid AND a.vec_id = e.vec_id
+         |)
+         |SELECT qid, CAST(sum(rel) AS BIGINT) AS n_rel,
+         |       CAST(sum(rel * w) AS BIGINT) AS dcg_scaled,
+         |       floor(CAST(sum(rel * w) AS DOUBLE) / 2948457.0
+         |             * 1000000.0 + 0.5) / 1000000.0 AS ndcg
+         |FROM j GROUP BY qid ORDER BY qid""".stripMargin,
     "q_rrf_fusion" ->
       s"""WITH exact_t AS (
          |$cosineTopkOracle

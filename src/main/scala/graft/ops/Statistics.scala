@@ -986,7 +986,73 @@ object Statistics {
         (col("chi2") > lit(3.841459)).as("srm"))
   }
 
+  /** CUPED variance reduction for the user-value metric: each user's
+    * first-half-of-window value sum is the pre-period covariate X, the
+    * second half is the metric Y, θ = cov(X,Y)/var(X) is fit pooled,
+    * and each arm (user_id % 2) reports its raw and CUPED-adjusted mean
+    * Ŷ = Ȳ − θ·(X̄ − X̄_grand) — the standard experimentation trick that
+    * removes pre-existing user-level variance from the readout
+    * (Deng et al.). Paired with [[abSrm]] this completes the A/B
+    * pre-flight: SRM validates the split, CUPED sharpens the metric.
+    *
+    * Determinism: X and Y are DECIMAL(24,6) sums quantized to exact
+    * micro-unit BIGINTs (scale-6-exact per the castscan sweep); all
+    * power sums accumulate in DECIMAL(38,0) (the [[spearman]]
+    * discipline); θ and the per-arm means are fixed trees of single
+    * IEEE ops on identical operands, mirrored parenthesis-for-
+    * parenthesis in the oracle, floor-quantized on output. The period
+    * split is an integer µs midpoint — no calendar literals that a
+    * fixture regeneration could invalidate.
+    *
+    * Scale shape: one per-user aggregate (map-side combined), one
+    * 1-row pooled-θ reduce broadcast back, one 2-row arm rollup. */
+  def cuped(s: SparkSession, d: String): DataFrame = {
+    val dec0 = DecimalType(38, 0)
+    val ev = Tables.events(s, d).filter(col("value").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")).as("tsl"),
+        col("value").cast(DecimalType(24, 6)).as("v"))
+    val ext = ev.agg(min("tsl").as("lo"), max("tsl").as("hi"))
+    val per = graft.util.Ckpt.stage(
+      ev.crossJoin(broadcast(ext))
+        .withColumn("pre", col("tsl") < expr("(lo + hi) div 2"))
+        .groupBy("user_id")
+        .agg(
+          (coalesce(sum(when(col("pre"), col("v"))),
+            lit(0).cast(DecimalType(24, 6))) * lit(1000000))
+            .cast("long").as("xq"),
+          (coalesce(sum(when(!col("pre"), col("v"))),
+            lit(0).cast(DecimalType(24, 6))) * lit(1000000))
+            .cast("long").as("yq"))
+        .withColumn("arm", pmod(col("user_id"), lit(2))))
+    val pooled = per.agg(
+      count(lit(1)).as("n"),
+      sum(col("xq").cast(dec0)).as("sx"),
+      sum(col("yq").cast(dec0)).as("sy"),
+      sum(col("xq").cast(dec0) * col("xq").cast(dec0)).as("sxx"),
+      sum(col("xq").cast(dec0) * col("yq").cast(dec0)).as("sxy"))
+    val theta = (col("n").cast(dec0) * col("sxy") - col("sx") * col("sy")).cast("double") /
+      (col("n").cast(dec0) * col("sxx") - col("sx") * col("sx")).cast("double")
+    val gx = col("sx").cast("double") / (col("n") * lit(1000000L)).cast("double")
+    val q6 = (c: Column) => floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    per.groupBy("arm")
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("xq").cast(dec0)).as("sxa"),
+        sum(col("yq").cast(dec0)).as("sya"))
+      .crossJoin(broadcast(pooled))
+      .withColumn("mean_y",
+        col("sya").cast("double") / (col("n_users") * lit(1000000L)).cast("double"))
+      .withColumn("mean_x",
+        col("sxa").cast("double") / (col("n_users") * lit(1000000L)).cast("double"))
+      .withColumn("th", theta)
+      .select(col("arm"), col("n_users"),
+        q6(col("mean_y")).as("mean_y"),
+        q6(col("th")).as("theta"),
+        q6(col("mean_y") - col("th") * (col("mean_x") - gx)).as("adj_mean"))
+      .orderBy("arm")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cuped" -> (cuped _),
     "q_ab_srm" -> (abSrm _),
     "q_mutual_info" -> (mutualInfo _),
     "q_spearman" -> (spearman _),
@@ -1011,6 +1077,42 @@ object Statistics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_cuped" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS tsl, CAST(value AS DECIMAL(24,6)) AS v
+        |  FROM events WHERE value IS NOT NULL
+        |), ext AS (SELECT min(tsl) AS lo, max(tsl) AS hi FROM ev),
+        |per AS (
+        |  SELECT user_id, user_id % 2 AS arm,
+        |    CAST(COALESCE(sum(CASE WHEN tsl < (lo + hi) // 2 THEN v END),
+        |                  CAST(0 AS DECIMAL(24,6))) * 1000000 AS BIGINT) AS xq,
+        |    CAST(COALESCE(sum(CASE WHEN NOT (tsl < (lo + hi) // 2) THEN v END),
+        |                  CAST(0 AS DECIMAL(24,6))) * 1000000 AS BIGINT) AS yq
+        |  FROM ev, ext
+        |  GROUP BY user_id, lo, hi
+        |), pooled AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         sum(CAST(xq AS HUGEINT)) AS sx, sum(CAST(yq AS HUGEINT)) AS sy,
+        |         sum(CAST(xq AS HUGEINT) * CAST(xq AS HUGEINT)) AS sxx,
+        |         sum(CAST(xq AS HUGEINT) * CAST(yq AS HUGEINT)) AS sxy
+        |  FROM per
+        |), arms AS (
+        |  SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+        |         sum(CAST(xq AS HUGEINT)) AS sxa, sum(CAST(yq AS HUGEINT)) AS sya
+        |  FROM per GROUP BY arm
+        |), c AS (
+        |  SELECT arm, n_users,
+        |    CAST(sya AS DOUBLE) / CAST(n_users * 1000000 AS DOUBLE) AS mean_y,
+        |    CAST(sxa AS DOUBLE) / CAST(n_users * 1000000 AS DOUBLE) AS mean_x,
+        |    CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) AS th,
+        |    CAST(sx AS DOUBLE) / CAST(n * 1000000 AS DOUBLE) AS gx
+        |  FROM arms, pooled
+        |)
+        |SELECT arm, n_users,
+        |  floor(mean_y * 1000000.0 + 0.5) / 1000000.0 AS mean_y,
+        |  floor(th * 1000000.0 + 0.5) / 1000000.0 AS theta,
+        |  floor((mean_y - th * (mean_x - gx)) * 1000000.0 + 0.5) / 1000000.0 AS adj_mean
+        |FROM c ORDER BY arm""".stripMargin,
     "q_ab_srm" ->
       """WITH u AS (SELECT DISTINCT user_id FROM events),
         |a AS (

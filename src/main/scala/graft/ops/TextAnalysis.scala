@@ -819,7 +819,41 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Edit-distance-1 vocabulary join via symmetric deletion (SymSpell):
+    * every word keys on itself plus each single-character-deletion
+    * variant; any two words within edit distance 1 (substitution,
+    * insertion, or deletion) necessarily share a key, so candidates
+    * meet through an EQUI-join on the deletion neighborhood — never an
+    * all-pairs comparison — and one `levenshtein ≤ 1` check discards
+    * the collisions. This is the scalable fuzzy-join shape for typo
+    * clustering / spell-normalization over a 100 TB corpus's
+    * vocabulary: keys per word = length+1, join fan-out bounded by the
+    * neighborhood bucket, and the expensive edit-distance runs only on
+    * candidates (the LSH-for-strings analogue of the MinHash dedup).
+    * Domain: supplier names (dense numeric id space — real one-edit
+    * neighbors; the corpus vocabulary has none, verified exhaustively).
+    *
+    * Determinism: pure string algebra; `levenshtein` is identically
+    * defined in both engines; pairs ordered (a < b). */
+  def fuzzyJoinSymdel(s: SparkSession, d: String): DataFrame = {
+    // domain: supplier names — the fixture lexicon's words are all >= 2
+    // edits apart (verified), while the dense numeric name space has
+    // real one-substitution neighbors, which is exactly the
+    // entity-resolution shape this operator serves
+    val vocab = Tables.supplier(s, d).select(col("s_name").as("w")).distinct()
+    val keys = vocab.select(col("w"), explode(expr(
+      "array_distinct(concat(array(w), transform(sequence(1, length(w)), " +
+        "i -> concat(substring(w, 1, i-1), substring(w, i+1, length(w))))))")).as("k"))
+    keys.select(col("w").as("word_a"), col("k"))
+      .join(keys.select(col("w").as("word_b"), col("k")), "k")
+      .filter(col("word_a") < col("word_b"))
+      .select("word_a", "word_b").distinct()
+      .filter(levenshtein(col("word_a"), col("word_b")) <= 1)
+      .orderBy("word_a", "word_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_fuzzy_join_symdel" -> (fuzzyJoinSymdel _),
     "q_ngram_novelty"   -> (ngramNovelty _),
     "q_js_divergence"   -> (jsDivergence _),
     "q_bm25"            -> (bm25 _),
@@ -859,6 +893,21 @@ object TextAnalysis {
   private val FWordsSql = s"list_filter($WordsSql, x -> x <> '')"
 
   val oracle: Map[String, String] = Map(
+    "q_fuzzy_join_symdel" ->
+      s"""WITH vocab AS (
+         |  SELECT DISTINCT s_name AS w FROM supplier
+         |), keys AS (
+         |  SELECT w, unnest(list_distinct(list_prepend(w,
+         |    list_transform(range(1, length(w) + 1),
+         |      i -> substr(w, 1, i - 1) || substr(w, i + 1, length(w)))))) AS k
+         |  FROM vocab
+         |), cand AS (
+         |  SELECT DISTINCT a.w AS word_a, b.w AS word_b
+         |  FROM keys a JOIN keys b ON a.k = b.k AND a.w < b.w
+         |)
+         |SELECT word_a, word_b FROM cand
+         |WHERE levenshtein(word_a, word_b) <= 1
+         |ORDER BY word_a, word_b""".stripMargin,
     "q_ngram_novelty" ->
       s"""WITH sb AS (
          |  SELECT DISTINCT source, bg

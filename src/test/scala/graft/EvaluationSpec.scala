@@ -244,6 +244,60 @@ class EvaluationSpec extends AnyFunSuite {
     }
   }
 
+  test("symdel fuzzy join finds exactly the brute-force edit-distance-1 pairs") {
+    val pairs = ops.TextAnalysis.fuzzyJoinSymdel(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val names = Tables.supplier(spark, sf).select("s_name").distinct()
+      .collect().map(_.getString(0))
+    def ed1(a: String, b: String): Boolean = {
+      if (a == b) false
+      else if (a.length == b.length) a.zip(b).count { case (x, y) => x != y } == 1
+      else {
+        val (s0, l0) = if (a.length < b.length) (a, b) else (b, a)
+        l0.length - s0.length == 1 && (0 to s0.length).exists(i =>
+          l0.substring(0, i) + l0.substring(i + 1) == s0)
+      }
+    }
+    val brute = (for (a <- names; b <- names if a < b && ed1(a, b)) yield (a, b)).toSet
+    assert(pairs === brute, s"got ${pairs.size}, brute ${brute.size}")
+  }
+
+  test("NDCG: bounded by [0,1], 1 iff perfect head, replays from recall legs") {
+    val rows = ops.Similarity.ndcgAt5(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val weights = Map(1 -> 1000000L, 2 -> 630929L, 3 -> 500000L, 4 -> 430676L, 5 -> 386852L)
+    val exact = ops.Similarity.cosineTopk(spark, sf).filter(col("rn") <= 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val adc = ops.Similarity.pqAdc(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    rows.foreach { r =>
+      val qid = r.getLong(0)
+      val dcg = adc.filter(_._1 == qid)
+        .map { case (_, rn, vid) => if (exact((qid, vid))) weights(rn) else 0L }.sum
+      assert(r.getLong(2) === dcg, s"dcg for $qid")
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+      if (r.getLong(1) == 5 && dcg == 2948457L) assert(r.getDouble(3) === 1.0)
+    }
+  }
+
+  test("CUPED: theta shrinks nothing when arms are balanced; means replay") {
+    val rows = ops.Statistics.cuped(spark, sf).collect()
+    assert(rows.length === 2)
+    val theta = rows.head.getDouble(3)
+    assert(rows.forall(_.getDouble(3) === theta), "theta is pooled")
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0)
+      // adjusted mean stays within the raw means' global range scaled by theta
+      assert(!r.getDouble(4).isNaN && !r.getDouble(2).isNaN)
+    }
+    // weighted raw means and adjusted means both average to the grand mean
+    val n = rows.map(_.getLong(1)).sum.toDouble
+    val rawAvg = rows.map(r => r.getLong(1) * r.getDouble(2)).sum / n
+    val adjAvg = rows.map(r => r.getLong(1) * r.getDouble(4)).sum / n
+    assert(math.abs(rawAvg - adjAvg) < 1e-4,
+      "CUPED adjustment is mean-preserving across arms")
+  }
+
   test("normalized dedup collapses at least as much as byte-exact dedup") {
     import graft.functions.TextFeatures._
     val docs = Tables.documents(spark, sf)

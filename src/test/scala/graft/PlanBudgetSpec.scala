@@ -184,6 +184,14 @@ class PlanBudgetSpec extends AnyFunSuite {
     ("q_column_profile", 11, 0),      // five per-column stat aggregates
                                       // (2 exchanges each for the exact
                                       // distinct) unioned to 5 rows
+    ("q_fuzzy_join_symdel", 3, 0),    // deletion-key equi-join, never
+                                      // all-pairs; levenshtein only on
+                                      // candidates (bcast allowed not req'd)
+    ("q_ndcg", 6, 3),                 // both audited legs + <=5-rows-per-
+                                      // query weighted aggregate
+    ("q_cuped", 5, 1),                // per-user split sums + 1-row pooled
+                                      // theta broadcast + 2-row arm rollup
+                                      // + 2-row presentation sort
     ("q_gap_islands", 4, 2),          // (hour,type) agg + spine anti-grid +
                                       // calendar-bounded island windows
     ("q_rate_limit", 3, 0),           // one user-keyed exchange; RANGE
