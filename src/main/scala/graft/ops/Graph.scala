@@ -178,7 +178,61 @@ object Graph {
       .orderBy("side", "degree")
   }
 
+  /** Hub-degree cap for [[jaccardNeighbors]]: customers touching more
+    * suppliers than this are dropped before the co-occurrence self-join.
+    * At 100 TB this cap is what bounds the join fan-out (Σ deg² over the
+    * kept rows ≤ |customers|·cap²) — the same df-cap discipline as the
+    * dedup bigram blocks. */
+  private[ops] val JaccardDegCap = 20L
+
+  /** Supplier–supplier Jaccard similarity over shared customers — the
+    * item-item collaborative-filtering / link-prediction primitive:
+    * sim(a,b) = |cust(a) ∩ cust(b)| / |cust(a) ∪ cust(b)| computed from
+    * the bipartite customer→supplier incidence ([[degreeDist]]'s pair
+    * set). Candidates materialize through the customer-keyed self-join
+    * (co-occurrence), NEVER an all-pairs supplier product, and hub
+    * customers above [[JaccardDegCap]] are excluded first — an
+    * everything-buyer contributes deg² near-zero-signal pairs, the
+    * standard mitigation in production co-occurrence jobs. Degrees are
+    * computed on the SAME capped pair set so the Jaccard denominator is
+    * consistent (mirrored in the oracle).
+    *
+    * Determinism: set sizes are exact BIGINTs over DISTINCT pairs; the
+    * similarity is ONE IEEE division floor-quantized to 6 dp; pairs are
+    * canonically ordered a < b. Only pairs sharing ≥ 2 customers are
+    * emitted (singleton co-occurrence is noise at any scale).
+    *
+    * Scale shape: one distinct-pair aggregate, a degree-cap semi-join,
+    * the customer-keyed self-join with bounded fan-out, one keyed
+    * reduce; degrees broadcast back onto the pair frame. */
+  def jaccardNeighbors(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+    val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+    val pairs = graft.util.Ckpt.stage(
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("p"))
+        .distinct())
+    val keep = pairs.groupBy("c").agg(count(lit(1)).as("cdeg"))
+      .filter(col("cdeg") <= JaccardDegCap).select("c")
+    val capped = graft.util.Ckpt.stage(pairs.join(keep, "c"))
+    val deg = capped.groupBy("p").agg(count(lit(1)).as("deg"))
+    val co = capped.select(col("c"), col("p").as("pa"))
+      .join(capped.select(col("c"), col("p").as("pb")), "c")
+      .filter(col("pa") < col("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("co"))
+      .filter(col("co") >= 2)
+    co.join(broadcast(deg.withColumnRenamed("p", "pa").withColumnRenamed("deg", "deg_a")), "pa")
+      .join(broadcast(deg.withColumnRenamed("p", "pb").withColumnRenamed("deg", "deg_b")), "pb")
+      .select(col("pa").as("supp_a"), col("pb").as("supp_b"),
+        col("co"), col("deg_a"), col("deg_b"),
+        (floor(col("co").cast("double") /
+          (col("deg_a") + col("deg_b") - col("co")).cast("double")
+          * lit(1000000.0) + lit(0.5)) / lit(1000000.0)).as("jaccard"))
+      .orderBy("supp_a", "supp_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_jaccard_neighbors" -> (jaccardNeighbors _),
     "q_degree_dist" -> (degreeDist _),
     "q_pagerank"  -> (pagerank _),
     "q_graph_bfs" -> (bfsHops _),
@@ -229,6 +283,27 @@ object Graph {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_jaccard_neighbors" ->
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT o_custkey AS c, l_suppkey AS p
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |), keep AS (
+         |  SELECT c FROM pairs GROUP BY c HAVING count(*) <= $JaccardDegCap
+         |), capped AS (
+         |  SELECT pairs.c, pairs.p FROM pairs JOIN keep USING (c)
+         |), deg AS (
+         |  SELECT p, CAST(count(*) AS BIGINT) AS deg FROM capped GROUP BY p
+         |), co AS (
+         |  SELECT a.p AS pa, b.p AS pb, CAST(count(*) AS BIGINT) AS co
+         |  FROM capped a JOIN capped b ON a.c = b.c AND a.p < b.p
+         |  GROUP BY a.p, b.p HAVING count(*) >= 2
+         |)
+         |SELECT co.pa AS supp_a, co.pb AS supp_b, co.co,
+         |       da.deg AS deg_a, db.deg AS deg_b,
+         |       floor(CAST(co.co AS DOUBLE) / CAST(da.deg + db.deg - co.co AS DOUBLE)
+         |             * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+         |FROM co JOIN deg da ON co.pa = da.p JOIN deg db ON co.pb = db.p
+         |ORDER BY supp_a, supp_b""".stripMargin,
     "q_degree_dist" ->
       """WITH pairs AS (
         |  SELECT DISTINCT o_custkey AS c, l_suppkey AS p

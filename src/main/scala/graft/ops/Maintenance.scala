@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Table-maintenance operators: the data-quality gate and the snapshot
@@ -142,7 +142,53 @@ object Maintenance {
       .orderBy("column_name")
   }
 
+  /** Column-level profile DRIFT between the two time halves of the
+    * events stream — [[columnProfile]] run twice and diffed, which is
+    * how a catalog actually consumes profiles: not "what are the stats"
+    * but "did yesterday's ingest change them". Per column: row/null/
+    * distinct counts per half, the null-rate delta, and the ndv ratio —
+    * a null-rate jump or an ndv collapse is the first symptom of an
+    * upstream schema break (a field going silently optional, an enum
+    * collapsing to one value, an id column starting to repeat).
+    *
+    * Determinism: the half split is the integer µs midpoint (the cuped
+    * discipline — no calendar literals); all counts exact BIGINTs;
+    * distinct-over-doubles groups bit-identical parquet values; the two
+    * derived ratios are fixed trees of IEEE divisions floor-quantized
+    * to 6 dp; ndv_ratio is NULL if a half saw no values at all.
+    *
+    * Scale shape: one conditional aggregate per profiled column (the
+    * [[columnProfile]] union plan) — each is map-side combined, the
+    * split predicate evaluates scan-local against the broadcast 1-row
+    * extent; at 100 TB the halves would be partition-pruned reads and
+    * the distinct counts HLL sketches merged per partition. */
+  def schemaDrift(s: SparkSession, d: String): DataFrame = {
+    val ext = Tables.events(s, d)
+      .agg(min(unix_micros(col("ts"))).as("lo"), max(unix_micros(col("ts"))).as("hi"))
+    val ev = Tables.events(s, d).crossJoin(broadcast(ext))
+      .withColumn("pre", unix_micros(col("ts")) < expr("(lo + hi) div 2"))
+    val q6 = (c: Column) => floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    def prof(c: String): DataFrame = ev.agg(
+      sum(col("pre").cast("long")).as("n_a"),
+      sum((!col("pre")).cast("long")).as("n_b"),
+      sum((col("pre") && col(c).isNull).cast("long")).as("null_a"),
+      sum((!col("pre") && col(c).isNull).cast("long")).as("null_b"),
+      count_distinct(when(col("pre"), col(c))).as("ndv_a"),
+      count_distinct(when(!col("pre"), col(c))).as("ndv_b"))
+      .select(lit(c).as("column_name"), col("*"))
+    prof("event_id").unionByName(prof("user_id")).unionByName(prof("value"))
+      .unionByName(prof("event_type")).unionByName(prof("props"))
+      .withColumn("null_rate_delta",
+        q6(col("null_b").cast("double") / col("n_b").cast("double")
+          - col("null_a").cast("double") / col("n_a").cast("double")))
+      .withColumn("ndv_ratio",
+        when(col("ndv_a") > 0,
+          q6(col("ndv_b").cast("double") / col("ndv_a").cast("double"))))
+      .orderBy("column_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_schema_drift" -> (schemaDrift _),
     "q_column_profile" -> (columnProfile _),
     "q_dq_report" -> (dqReport _),
     "q_upsert"    -> (upsertSnapshot _),
@@ -150,6 +196,33 @@ object Maintenance {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_schema_drift" -> {
+      val per = Seq("event_id", "user_id", "value", "event_type", "props").map { c =>
+        s"""  SELECT '$c' AS column_name,
+           |    CAST(sum(CASE WHEN pre THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+           |    CAST(sum(CASE WHEN NOT pre THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+           |    CAST(sum(CASE WHEN pre AND $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_a,
+           |    CAST(sum(CASE WHEN NOT pre AND $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_b,
+           |    CAST(count(DISTINCT CASE WHEN pre THEN $c END) AS BIGINT) AS ndv_a,
+           |    CAST(count(DISTINCT CASE WHEN NOT pre THEN $c END) AS BIGINT) AS ndv_b
+           |  FROM ev""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+      s"""WITH ext AS (
+         |  SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM events
+         |), ev AS (
+         |  SELECT e.*, epoch_us(ts) < (lo + hi) // 2 AS pre FROM events e, ext
+         |), p AS (
+         |$per
+         |)
+         |SELECT column_name, n_a, n_b, null_a, null_b, ndv_a, ndv_b,
+         |  floor((CAST(null_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+         |         - CAST(null_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+         |        * 1000000.0 + 0.5) / 1000000.0 AS null_rate_delta,
+         |  CASE WHEN ndv_a > 0 THEN
+         |    floor(CAST(ndv_b AS DOUBLE) / CAST(ndv_a AS DOUBLE)
+         |          * 1000000.0 + 0.5) / 1000000.0 END AS ndv_ratio
+         |FROM p ORDER BY column_name""".stripMargin
+    },
     "q_column_profile" ->
       """SELECT * FROM (
         |  SELECT 'event_id' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,

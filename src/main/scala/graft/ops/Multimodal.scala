@@ -214,8 +214,11 @@ object Multimodal {
     * Scale shape: hashing is row-local (zero shuffles); the dedup-group
     * aggregate and join both key on the 16-byte hash — bodies are never
     * exchanged, the digest-keyed discipline of q_dedup_exact. */
-  def mediaAhash(s: SparkSession, d: String): DataFrame = {
-    val hashed = graft.util.Ckpt.stage(
+  /** Shared (doc_id, ahash_hi, ahash_lo) frame: the 64-bit average-hash
+    * over each stream's first 64 payload bytes, staged once for
+    * [[mediaAhash]] and [[mediaNeardup]]. */
+  private def ahashFrame(s: SparkSession, d: String): DataFrame =
+    graft.util.Ckpt.stage(
       Tables.documents(s, d)
         .select(col("doc_id"), col("text"))
         .withColumn("len", least(octet_length(col("text")), lit(64)).cast("long"))
@@ -226,6 +229,9 @@ object Multimodal {
         .withColumn("ahash_lo", expr(
           "aggregate(sequence(32, 63), 0L, (acc, i) -> acc + IF(i < len AND len * ascii(substring(text, i + 1, 1)) > bsum, shiftleft(1L, i - 32), 0L))"))
         .select(col("doc_id"), col("ahash_hi"), col("ahash_lo")))
+
+  def mediaAhash(s: SparkSession, d: String): DataFrame = {
+    val hashed = ahashFrame(s, d)
     val groups = hashed.groupBy("ahash_hi", "ahash_lo")
       .agg(count(lit(1)).as("n_dupes"))
     hashed.join(groups, Seq("ahash_hi", "ahash_lo"))
@@ -259,7 +265,49 @@ object Multimodal {
     }.toDF("doc_id", "ahash_hi", "ahash_lo")
   }
 
+  /** Perceptual near-duplicate pairs over the media fingerprint: all
+    * doc pairs whose 64-bit aHash differs in ≤ 2 bits — the visual
+    * near-dup detector an image/video corpus runs where text dedup runs
+    * MinHash. Candidates come from PIGEONHOLE BLOCKS (the
+    * `functions.SimHash` discipline): the 64 bits split into 3 blocks
+    * (22+22+20), any pair within Hamming radius 2 must agree on ≥ 1
+    * whole block, so candidates meet through an EQUI-join on
+    * (block-id, block-value) — never an all-pairs product — and one
+    * codegen'd bit_count(xor) check discards collisions.
+    *
+    * Determinism: pure integer bit algebra end to end; pairs
+    * canonically ordered a < b.
+    *
+    * Scale shape: 3 narrow (block, doc) frames self-joined on bounded
+    * buckets; exact Hamming runs only on candidates. At 100 TB the
+    * block width is the tuning knob exactly as in SimHash LSH. */
+  def mediaNeardup(s: SparkSession, d: String): DataFrame = {
+    val hashed = ahashFrame(s, d)
+    val keys = hashed.select(col("doc_id"), col("ahash_hi"), col("ahash_lo"),
+      explode(array(
+        struct(lit(1).as("blk"), expr("ahash_hi & 4194303").as("bval")),
+        struct(lit(2).as("blk"),
+          expr("shiftright(ahash_hi, 22) | shiftleft(ahash_lo & 4095, 10)").as("bval")),
+        struct(lit(3).as("blk"), expr("shiftright(ahash_lo, 12)").as("bval"))))
+        .as("k"))
+      .select(col("doc_id"), col("ahash_hi"), col("ahash_lo"),
+        col("k.blk").as("blk"), col("k.bval").as("bval"))
+    val a = keys.select(col("doc_id").as("doc_a"), col("ahash_hi").as("hi_a"),
+      col("ahash_lo").as("lo_a"), col("blk"), col("bval"))
+    val b = keys.select(col("doc_id").as("doc_b"), col("ahash_hi").as("hi_b"),
+      col("ahash_lo").as("lo_b"), col("blk"), col("bval"))
+    a.join(b, Seq("blk", "bval"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "hi_a", "lo_a", "hi_b", "lo_b").distinct()
+      .withColumn("hamming",
+        expr("bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b)").cast("long"))
+      .filter(col("hamming") <= 2)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_media_neardup"   -> (mediaNeardup _),
     "q_media_ahash"     -> (mediaAhash _),
     "q_multimodal_meta" -> (multimodalMeta _),
     "q_media_decode"    -> (mediaDecode _),
@@ -283,27 +331,52 @@ object Multimodal {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  // ASCII fixtures ⇒ unicode(char) == stream byte, so the oracle
+  // recomputes the same 64-byte window, mean test, and bit packing;
+  // shared by the q_media_ahash and q_media_neardup oracles
+  private val AhashCte =
+    """b AS (
+      |  SELECT doc_id, CAST(i AS INTEGER) AS i,
+      |         unicode(substring(text, CAST(i AS INTEGER) + 1, 1)) AS bv
+      |  FROM documents,
+      |       unnest(range(least(octet_length(encode(text)), 64))) AS t(i)
+      |), st AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS len, CAST(SUM(bv) AS BIGINT) AS bsum
+      |  FROM b GROUP BY 1
+      |), h AS (
+      |  SELECT b.doc_id,
+      |         CAST(COALESCE(SUM(CASE WHEN b.i < 32 AND st.len * b.bv > st.bsum
+      |                                THEN CAST(1 AS BIGINT) << b.i END), 0) AS BIGINT) AS ahash_hi,
+      |         CAST(COALESCE(SUM(CASE WHEN b.i >= 32 AND st.len * b.bv > st.bsum
+      |                                THEN CAST(1 AS BIGINT) << (b.i - 32) END), 0) AS BIGINT) AS ahash_lo
+      |  FROM b JOIN st USING (doc_id)
+      |  GROUP BY b.doc_id
+      |)""".stripMargin
+
   val oracle: Map[String, String] = Map(
-    // ASCII fixtures ⇒ unicode(char) == stream byte, so the oracle
-    // recomputes the same 64-byte window, mean test, and bit packing
+    "q_media_neardup" ->
+      s"""WITH $AhashCte, keys AS (
+         |  SELECT doc_id, ahash_hi, ahash_lo, 1 AS blk, ahash_hi & 4194303 AS bval FROM h
+         |  UNION ALL
+         |  SELECT doc_id, ahash_hi, ahash_lo, 2,
+         |         (ahash_hi >> 22) | ((ahash_lo & 4095) << 10) FROM h
+         |  UNION ALL
+         |  SELECT doc_id, ahash_hi, ahash_lo, 3, ahash_lo >> 12 FROM h
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         a.ahash_hi AS hi_a, a.ahash_lo AS lo_a,
+         |         b.ahash_hi AS hi_b, b.ahash_lo AS lo_b
+         |  FROM keys a JOIN keys b
+         |    ON a.blk = b.blk AND a.bval = b.bval AND a.doc_id < b.doc_id
+         |)
+         |SELECT doc_a, doc_b,
+         |       CAST(bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) AS BIGINT)
+         |         AS hamming
+         |FROM cand
+         |WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 2
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "q_media_ahash" ->
-      """WITH b AS (
-        |  SELECT doc_id, CAST(i AS INTEGER) AS i,
-        |         unicode(substring(text, CAST(i AS INTEGER) + 1, 1)) AS bv
-        |  FROM documents,
-        |       unnest(range(least(octet_length(encode(text)), 64))) AS t(i)
-        |), st AS (
-        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS len, CAST(SUM(bv) AS BIGINT) AS bsum
-        |  FROM b GROUP BY 1
-        |), h AS (
-        |  SELECT b.doc_id,
-        |         CAST(COALESCE(SUM(CASE WHEN b.i < 32 AND st.len * b.bv > st.bsum
-        |                                THEN CAST(1 AS BIGINT) << b.i END), 0) AS BIGINT) AS ahash_hi,
-        |         CAST(COALESCE(SUM(CASE WHEN b.i >= 32 AND st.len * b.bv > st.bsum
-        |                                THEN CAST(1 AS BIGINT) << (b.i - 32) END), 0) AS BIGINT) AS ahash_lo
-        |  FROM b JOIN st USING (doc_id)
-        |  GROUP BY b.doc_id
-        |), g AS (
+      s"""WITH $AhashCte, g AS (
         |  SELECT ahash_hi, ahash_lo, CAST(count(*) AS BIGINT) AS n_dupes
         |  FROM h GROUP BY 1, 2
         |)

@@ -1051,7 +1051,122 @@ object Statistics {
       .orderBy("arm")
   }
 
+  /** Gini coefficient of the value distribution per event type — the
+    * standard inequality measure a data platform reports beside HHI
+    * ([[q_concentration]]'s market-share view): how unevenly the metric
+    * mass is spread across rows (0 = uniform, →1 = one row carries all).
+    *
+    * Computed over DISTINCT values with tie-blocks, not per-row ranks:
+    * for a run of c equal values x starting after cumulative count p in
+    * ascending order, Σ_{i=p+1..p+c}(2i−n−1) collapses to c·(2p+c−n),
+    * so the rank window runs over the (type, distinct-value) aggregate —
+    * bounded by the value domain, never the row count (the [[medianX2]]
+    * shape) — and the result is provably tie-order invariant.
+    *
+    * Determinism: values quantized to exact micro-unit BIGINTs
+    * (DECIMAL(24,6) scale-6-exact per the castscan sweep); the weighted
+    * sum accumulates in DECIMAL(38,0) (safe: |coef| ≤ n ≤ 2³¹, micro ≤
+    * 2⁴⁰ → term ≤ 2⁷¹? no — n ≤ 10⁹ and micro ≤ 10¹² keep the product
+    * ≤ 10²¹·c ≪ 10³⁸); Gini itself is ONE IEEE division of exact
+    * integers, floor-quantized to 6 dp. Negative values are excluded
+    * (Gini is defined on non-negative mass), mirrored in the oracle.
+    *
+    * Scale shape: one map-side-combined (type, value) aggregate, a rank
+    * window over the distinct-value domain, one per-type reduce. */
+  def gini(s: SparkSession, d: String): DataFrame = {
+    val dec0 = DecimalType(38, 0)
+    val ev = Tables.events(s, d)
+      .filter(col("value").isNotNull && col("value") >= 0)
+      .select(col("event_type"),
+        (col("value").cast(DecimalType(24, 6)) * lit(1000000)).cast("long").as("micro"))
+    val byVal = ev.groupBy("event_type", "micro").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("event_type").orderBy("micro")
+    byVal
+      .withColumn("cum", sum("c").over(w))
+      .withColumn("n", sum("c").over(Window.partitionBy("event_type")))
+      .withColumn("p", col("cum") - col("c"))
+      .withColumn("coef", lit(2) * col("p") + col("c") - col("n"))
+      .groupBy("event_type")
+      .agg(first("n").as("n"),
+        sum(col("micro").cast(dec0) * col("c").cast(dec0)).as("sx"),
+        sum(col("micro").cast(dec0) * col("c").cast(dec0) * col("coef").cast(dec0))
+          .as("wsum"))
+      .select(col("event_type"), col("n"),
+        (floor(col("wsum").cast("double") / (col("n").cast(dec0) * col("sx")).cast("double")
+          * lit(1000000.0) + lit(0.5)) / lit(1000000.0)).as("gini"))
+      .orderBy("event_type")
+  }
+
+  /** Kaplan–Meier survival estimate of customer relationship lifetime —
+    * the estimator every retention analysis needs once censoring enters:
+    * a customer's lifetime is last-order − first-order in whole days,
+    * and customers whose last order falls in the final fifth of the
+    * study window are CENSORED (plausibly still active at observation
+    * end), not churn events — dropping or death-counting them (what
+    * naive retention curves do) biases the curve down. S(t) =
+    * Π_{tᵢ≤t} (1 − dᵢ/nᵢ) over distinct churn times, with censored
+    * customers leaving the risk set silently. (The events table's users
+    * are all active through its 30-day window — no lifetime variation —
+    * so the orders history is the survival-shaped fixture domain.)
+    *
+    * Determinism: lifetimes and the censoring cut are pure integer µs
+    * arithmetic (the [[cuped]] midpoint discipline — no calendar
+    * literals). Each factor's log is ln(nᵢ−dᵢ) − ln(nᵢ) — logs of
+    * INTEGERS only, 6-dp-quantized into DECIMAL(18,6) (the TextAnalysis
+    * qln discipline), so the cumulative sum is exact and
+    * order-independent; survival is ONE exp() on the identical decimal
+    * scalar, floor-quantized to 4 dp. If the whole risk set dies at one
+    * time (nᵢ = dᵢ), log-survival is NULL and survival exactly 0.
+    *
+    * Scale shape: one per-customer min/max aggregate (map-side
+    * combined), a 1-row study-extent reduce broadcast back, then all
+    * windows run over DISTINCT lifetimes — bounded by the study length
+    * in days, never the customer count. */
+  def kaplanMeier(s: SparkSession, d: String): DataFrame = {
+    val qlnL = (c: Column) => round(log(c.cast("double")), 6).cast(DecimalType(18, 6))
+    val per = Tables.orders(s, d)
+      .groupBy("o_custkey")
+      .agg(min(unix_micros(col("o_orderdate").cast("timestamp"))).as("mn"),
+        max(unix_micros(col("o_orderdate").cast("timestamp"))).as("mx"))
+    val ext = per.agg(min("mn").as("lo"), max("mx").as("hi"))
+    val life = per.crossJoin(broadcast(ext))
+      .withColumn("dur", expr("(mx - mn) div 86400000000"))
+      .withColumn("cens", (col("mx") > expr("lo + ((hi - lo) * 4) div 5")).cast("long"))
+    val byDur = life.groupBy("dur")
+      .agg(count(lit(1)).as("all_at"),
+        sum(lit(1) - col("cens")).as("d"),
+        sum("cens").as("cens"))
+    val wo = Window.orderBy("dur")
+    byDur
+      .withColumn("n_total", sum("all_at").over(Window.partitionBy()))
+      .withColumn("before", coalesce(
+        sum("all_at").over(wo.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n_risk", col("n_total") - col("before"))
+      .filter(col("d") > 0)
+      .withColumn("lterm",
+        when(col("n_risk") > col("d"), qlnL(col("n_risk") - col("d")) - qlnL(col("n_risk")))
+          .otherwise(lit(null).cast(DecimalType(18, 6))))
+      // first time the whole risk set dies (if any): survival is exactly 0
+      // from there on and the log is undefined — SUM would silently skip
+      // the NULL term in both engines, so the dead region is masked
+      // explicitly instead of trusting the skip
+      .withColumn("dead_at", min(when(col("n_risk") === col("d"), col("dur"))).over(
+        Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("cum", sum("lterm").over(
+        Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("dur").as("dur_days"), col("n_risk"), col("d").as("n_death"),
+        col("cens").as("n_censor"),
+        when(col("dead_at").isNotNull, lit(null).cast("double"))
+          .otherwise(col("cum").cast("double")).as("log_surv"),
+        when(col("dead_at").isNotNull, lit(0.0))
+          .otherwise(floor(exp(col("cum").cast("double")) * lit(10000.0) + lit(0.5))
+            / lit(10000.0)).as("surv"))
+      .orderBy("dur_days")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gini" -> (gini _),
+    "q_kaplan_meier" -> (kaplanMeier _),
     "q_cuped" -> (cuped _),
     "q_ab_srm" -> (abSrm _),
     "q_mutual_info" -> (mutualInfo _),
@@ -1077,6 +1192,71 @@ object Statistics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_gini" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |         CAST(CAST(value AS DECIMAL(24,6)) * 1000000 AS BIGINT) AS micro
+        |  FROM events WHERE value IS NOT NULL AND value >= 0
+        |), bv AS (
+        |  SELECT event_type, micro, CAST(count(*) AS BIGINT) AS c
+        |  FROM ev GROUP BY event_type, micro
+        |), r AS (
+        |  SELECT event_type, micro, c,
+        |         sum(c) OVER (PARTITION BY event_type ORDER BY micro) - c AS p,
+        |         sum(c) OVER (PARTITION BY event_type) AS n
+        |  FROM bv
+        |), a AS (
+        |  SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+        |         sum(CAST(micro AS HUGEINT) * CAST(c AS HUGEINT)) AS sx,
+        |         sum(CAST(micro AS HUGEINT) * CAST(c AS HUGEINT)
+        |             * CAST(2 * p + c - n AS HUGEINT)) AS wsum
+        |  FROM r GROUP BY event_type
+        |)
+        |SELECT event_type, n,
+        |  floor(CAST(wsum AS DOUBLE) / CAST(n * sx AS DOUBLE)
+        |        * 1000000.0 + 0.5) / 1000000.0 AS gini
+        |FROM a ORDER BY event_type""".stripMargin,
+    "q_kaplan_meier" ->
+      """WITH per AS (
+        |  SELECT o_custkey, min(epoch_us(o_orderdate)) AS mn,
+        |         max(epoch_us(o_orderdate)) AS mx
+        |  FROM orders GROUP BY o_custkey
+        |), ext AS (SELECT min(mn) AS lo, max(mx) AS hi FROM per),
+        |life AS (
+        |  SELECT (mx - mn) // 86400000000 AS dur,
+        |         CASE WHEN mx > lo + ((hi - lo) * 4) // 5 THEN 1 ELSE 0 END AS cens
+        |  FROM per, ext
+        |), bd AS (
+        |  SELECT dur, CAST(count(*) AS BIGINT) AS all_at,
+        |         CAST(sum(1 - cens) AS BIGINT) AS d,
+        |         CAST(sum(cens) AS BIGINT) AS cens
+        |  FROM life GROUP BY dur
+        |), rk AS (
+        |  SELECT dur, d, cens,
+        |         sum(all_at) OVER () -
+        |         COALESCE(sum(all_at) OVER (ORDER BY dur
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+        |  FROM bd
+        |), lt AS (
+        |  SELECT dur, n_risk, d, cens,
+        |    CASE WHEN n_risk > d THEN
+        |      CAST(round(ln(n_risk - d), 6) AS DECIMAL(18,6))
+        |      - CAST(round(ln(n_risk), 6) AS DECIMAL(18,6)) END AS lterm
+        |  FROM rk WHERE d > 0
+        |), c AS (
+        |  SELECT dur, n_risk, d, cens,
+        |    min(CASE WHEN n_risk = d THEN dur END) OVER (ORDER BY dur
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead_at,
+        |    sum(lterm) OVER (ORDER BY dur
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM lt
+        |)
+        |SELECT dur AS dur_days, n_risk, d AS n_death, cens AS n_censor,
+        |  CASE WHEN dead_at IS NULL THEN CAST(cum AS DOUBLE) END AS log_surv,
+        |  CASE WHEN dead_at IS NOT NULL THEN 0.0
+        |       ELSE floor(exp(CAST(cum AS DOUBLE)) * 10000.0 + 0.5) / 10000.0
+        |  END AS surv
+        |FROM c ORDER BY dur_days""".stripMargin,
     "q_cuped" ->
       """WITH ev AS (
         |  SELECT user_id, epoch_us(ts) AS tsl, CAST(value AS DECIMAL(24,6)) AS v

@@ -852,7 +852,48 @@ object TextAnalysis {
       .orderBy("word_a", "word_b")
   }
 
+  /** Flesch reading-ease profile per source — the classic readability
+    * screen a curation pipeline runs beside [[qualityScore]]: 206.835 −
+    * 1.015·(words/sentences) − 84.6·(syllables/word), aggregated from
+    * per-document integer counts. Sentences are terminal-punctuation
+    * runs (≥ 1 per doc so fragments don't divide by zero); syllables
+    * use the standard vowel-group heuristic, floored at one per word
+    * (max(words, vowel-groups) — "rhythm"-class words count 1).
+    *
+    * Determinism: all three counts are pure string algebra (regexp
+    * with explicit global replace in the oracle — DuckDB's
+    * regexp_replace is first-match-only by default where Spark's is
+    * global), summed as exact BIGINTs; the score is a fixed tree of
+    * IEEE ops on identical integer-derived doubles with shared decimal
+    * literals, floor-quantized to 4 dp.
+    *
+    * Scale shape: counts are scan-local projections inside whole-stage
+    * codegen; one map-side-combined per-source aggregate. */
+  def readability(s: SparkSession, d: String): DataFrame = {
+    val lowered = lower(col("text"))
+    val vg = octet_length(regexp_replace(lowered, "[aeiou]+", "#")) -
+      octet_length(regexp_replace(lowered, "[aeiou]+", ""))
+    val nw = size(filter(words(col("text")), w => w =!= ""))
+    val per = Tables.documents(s, d).select(col("source"),
+      greatest(lit(1), octet_length(regexp_replace(col("text"), "[^.!?]", "")))
+        .cast("long").as("sent"),
+      nw.cast("long").as("nw"),
+      greatest(nw, vg).cast("long").as("syl"))
+    per.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("sent").as("n_sentences"),
+        sum("nw").as("n_words"),
+        sum("syl").as("n_syllables"))
+      .withColumn("flesch",
+        floor((lit(206.835)
+          - lit(1.015) * (col("n_words").cast("double") / col("n_sentences").cast("double"))
+          - lit(84.6) * (col("n_syllables").cast("double") / col("n_words").cast("double")))
+          * lit(10000.0) + lit(0.5)) / lit(10000.0))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_readability" -> (readability _),
     "q_fuzzy_join_symdel" -> (fuzzyJoinSymdel _),
     "q_ngram_novelty"   -> (ngramNovelty _),
     "q_js_divergence"   -> (jsDivergence _),
@@ -893,6 +934,25 @@ object TextAnalysis {
   private val FWordsSql = s"list_filter($WordsSql, x -> x <> '')"
 
   val oracle: Map[String, String] = Map(
+    "q_readability" ->
+      s"""WITH per AS (
+         |  SELECT source,
+         |    greatest(1, length(regexp_replace(text, '[^.!?]', '', 'g'))) AS sent,
+         |    len($FWordsSql) AS nw,
+         |    greatest(len($FWordsSql),
+         |      length(regexp_replace(lower(text), '[aeiou]+', '#', 'g'))
+         |      - length(regexp_replace(lower(text), '[aeiou]+', '', 'g'))) AS syl
+         |  FROM documents
+         |)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(sent) AS BIGINT) AS n_sentences,
+         |  CAST(sum(nw) AS BIGINT) AS n_words,
+         |  CAST(sum(syl) AS BIGINT) AS n_syllables,
+         |  floor((206.835e0
+         |         - 1.015e0 * (CAST(sum(nw) AS DOUBLE) / CAST(sum(sent) AS DOUBLE))
+         |         - 84.6e0 * (CAST(sum(syl) AS DOUBLE) / CAST(sum(nw) AS DOUBLE)))
+         |        * 10000.0 + 0.5) / 10000.0 AS flesch
+         |FROM per GROUP BY source ORDER BY source""".stripMargin,
     "q_fuzzy_join_symdel" ->
       s"""WITH vocab AS (
          |  SELECT DISTINCT s_name AS w FROM supplier

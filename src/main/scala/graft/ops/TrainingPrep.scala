@@ -219,6 +219,9 @@ object TrainingPrep {
   /** Token budget apportioned in [[tokenApportion]]. */
   private val ApportionBudget = 1000000L
 
+  /** Audit-sample budget (rows) split by [[neymanAlloc]]. */
+  private val NeymanBudget = 1000L
+
   /** Largest-remainder (Hamilton) apportionment of a fixed token budget
     * across sources, weighted by each source's token share — the exact
     * integer answer to "this run trains on 1M tokens; how many come from
@@ -379,7 +382,55 @@ object TrainingPrep {
           .as("top_share"))
   }
 
+  /** Neyman-optimal stratified sample allocation over event types: a
+    * fixed audit budget of [[NeymanBudget]] rows is split across strata
+    * ∝ N_h·S_h (stratum size × stratum standard deviation) — the
+    * allocation that minimizes the variance of the estimated mean for a
+    * fixed sample size (Neyman 1934). Proportional allocation (what
+    * [[Curation]]'s stratified sample does) over-samples big
+    * low-variance strata; this is the correction every at-scale data
+    * audit applies once per-stratum variances are known.
+    *
+    * Determinism: S_h comes from DECIMAL power sums (the
+    * `Statistics.corrRegr` discipline) with ONE correctly-rounded IEEE
+    * sqrt; the weight N_h·S_h is floor-quantized to an exact micro-unit
+    * BIGINT, and the budget is split by largest-remainder apportionment
+    * over those integer weights (the [[tokenApportion]] machinery), so
+    * Σ alloc = budget EXACTLY and every intermediate is integer.
+    *
+    * Scale shape: one map-side-combined stratum aggregate; the
+    * apportionment runs on the ≤|event_type| weight frame with a
+    * constant-bounded rank window. */
+  def neymanAlloc(s: SparkSession, d: String): DataFrame = {
+    val b = NeymanBudget
+    val dec = DecimalType(30, 8)
+    val per = Tables.events(s, d).filter(col("value").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_h"),
+        sum(col("value").cast(DecimalType(24, 6))).cast("double").as("sx"),
+        sum((col("value") * col("value")).cast(dec)).cast("double").as("sxx"))
+      .withColumn("sd", sqrt(
+        (col("n_h") * col("sxx") - col("sx") * col("sx")) /
+          (col("n_h").cast("double") * (col("n_h") - lit(1)).cast("double"))))
+      .withColumn("w", floor(col("n_h") * col("sd") * lit(1000000.0) + lit(0.5)).cast("long"))
+    val tot = per.agg(sum("w").as("total"))
+    val quotas = per.crossJoin(broadcast(tot))
+      .withColumn("quota", expr(s"($b * w) div total"))
+      .withColumn("rem", expr(s"($b * w) % total"))
+    val short = quotas.agg((lit(b) - sum("quota")).as("r"))
+    // bounded global window: one row per event type (≤ tens)
+    val wr = Window.orderBy(col("rem").desc, col("event_type").asc)
+    quotas.crossJoin(broadcast(short))
+      .withColumn("rr", row_number().over(wr))
+      .select(col("event_type"), col("n_h"),
+        (floor(col("sd") * lit(1000000.0) + lit(0.5)) / lit(1000000.0)).as("sd"),
+        col("w"),
+        (col("quota") + (col("rr") <= col("r")).cast("long")).as("alloc"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_neyman_alloc" -> (neymanAlloc _),
     "q_concentration" -> (concentration _),
     "q_source_mix" -> (sourceMix _),
     "q_token_pack" -> (tokenPack _),
@@ -396,6 +447,34 @@ object TrainingPrep {
     s"list_transform(range(1, len($WordsSql)), i -> $WordsSql[i] || ' ' || $WordsSql[i+1])"
 
   val oracle: Map[String, String] = Map(
+    "q_neyman_alloc" ->
+      s"""WITH per AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_h,
+         |    CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE) AS sx,
+         |    CAST(SUM(CAST(value * value AS DECIMAL(30,8))) AS DOUBLE) AS sxx
+         |  FROM events WHERE value IS NOT NULL GROUP BY event_type
+         |), w AS (
+         |  SELECT event_type, n_h,
+         |    sqrt((n_h * sxx - sx * sx)
+         |         / (CAST(n_h AS DOUBLE) * CAST(n_h - 1 AS DOUBLE))) AS sd_raw
+         |  FROM per
+         |), wq AS (
+         |  SELECT event_type, n_h, sd_raw,
+         |    CAST(floor(n_h * sd_raw * 1000000.0 + 0.5) AS BIGINT) AS w
+         |  FROM w
+         |), t AS (SELECT CAST(sum(w) AS BIGINT) AS total FROM wq),
+         |q AS (
+         |  SELECT event_type, n_h, sd_raw, w,
+         |    ($NeymanBudget * w) // total AS quota,
+         |    ($NeymanBudget * w) % total AS rem
+         |  FROM wq, t
+         |), sh AS (SELECT $NeymanBudget - CAST(sum(quota) AS BIGINT) AS r FROM q)
+         |SELECT event_type, n_h,
+         |  floor(sd_raw * 1000000.0 + 0.5) / 1000000.0 AS sd, w,
+         |  CAST(quota + CASE WHEN row_number() OVER
+         |    (ORDER BY rem DESC, event_type ASC) <= r THEN 1 ELSE 0 END AS BIGINT) AS alloc
+         |FROM q, sh
+         |ORDER BY event_type""".stripMargin,
     "q_split_leakage" ->
       s"""WITH ${Dedup.bandBucketsCteBodyFrom("documents")}, pr AS (
          |  SELECT DISTINCT a.doc_id AS ida, c.doc_id AS idb

@@ -88,4 +88,29 @@ class CorpusMetricsSpec extends AnyFunSuite {
     assert(selfRows.nonEmpty)
     selfRows.foreach(r => assert(r.getDouble(3) === 0.0, s"self-JSD nonzero: $r"))
   }
+
+  test("readability replays the Flesch formula from JVM-side counts") {
+    val got = ops.TextAnalysis.readability(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(got.nonEmpty)
+    val docs = Tables.documents(spark, sf).select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val brute = docs.groupBy(_._1).map { case (src, xs) =>
+      val per = xs.map { case (_, t) =>
+        val sent = math.max(1, t.count(c => c == '.' || c == '!' || c == '?'))
+        val nw = t.split(" ", -1).count(_.nonEmpty)
+        val low = t.toLowerCase
+        val vg = "[aeiou]+".r.findAllIn(low).length
+        (sent.toLong, nw.toLong, math.max(nw, vg).toLong)
+      }
+      src -> (xs.length.toLong, per.map(_._1).sum, per.map(_._2).sum, per.map(_._3).sum)
+    }
+    got.foreach { case (src, (nd, sent, nw, syl, fl)) =>
+      val (bd, bs, bw, by) = brute(src)
+      assert((nd, sent, nw, syl) === ((bd, bs, bw, by)), s"counts $src")
+      val expect = 206.835 - 1.015 * (nw.toDouble / sent) - 84.6 * (syl.toDouble / nw)
+      assert(math.abs(fl - expect) < 1e-3, s"flesch $src: $fl vs $expect")
+    }
+  }
 }

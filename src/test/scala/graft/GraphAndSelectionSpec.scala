@@ -130,4 +130,35 @@ class GraphAndSelectionSpec extends AnyFunSuite {
       case _ =>
     }
   }
+
+  test("supplier Jaccard replays brute-force set overlap on the capped graph") {
+    val got = Graph.jaccardNeighbors(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got.nonEmpty)
+    // brute-force from the same capped incidence
+    val pairs = Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(spark, sf).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("p")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byC = pairs.groupBy(_._1).filter(_._2.length <= 20).map { case (c, xs) => c -> xs.map(_._2).toSet }
+    val cust = byC.values.toList
+    val deg = cust.flatten.groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+    val co = scala.collection.mutable.Map[(Long, Long), Long]()
+    cust.foreach { set =>
+      val l = set.toList.sorted
+      for (i <- l.indices; j <- i + 1 until l.length)
+        co((l(i), l(j))) = co.getOrElse((l(i), l(j)), 0L) + 1
+    }
+    val brute = co.filter(_._2 >= 2)
+    assert(got.keySet === brute.keySet, "candidate pair sets agree")
+    got.foreach { case (k @ (a, b), (c, da, db, j)) =>
+      assert(c === brute(k))
+      assert(da === deg(a) && db === deg(b))
+      val expect = c.toDouble / (da + db - c)
+      assert(math.abs(j - expect) < 1e-5)
+      assert(j > 0.0 && j <= 1.0)
+    }
+  }
 }

@@ -49,4 +49,20 @@ class MultimodalSpec extends AnyFunSuite {
     assert(perDoc.filter(col("mn") =!= 0 || col("mx") =!= col("n") - 1).count() === 0)
     assert(frames.filter(col("byte_offset") =!= col("frame_idx") * 100).count() === 0)
   }
+
+  test("aHash near-dup finds exactly the brute-force Hamming<=2 pairs") {
+    import org.apache.spark.sql.functions._
+    val got = ops.Multimodal.mediaNeardup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val hashes = ops.Multimodal.mediaAhash(spark, sf)
+      .select(col("doc_id"), col("ahash_hi"), col("ahash_lo"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val brute = (for {
+      (a, ha, la) <- hashes; (b, hb, lb) <- hashes if a < b
+      hd = java.lang.Long.bitCount(ha ^ hb) + java.lang.Long.bitCount(la ^ lb)
+      if hd <= 2
+    } yield (a, b) -> hd.toLong).toMap
+    assert(got === brute, s"got ${got.size}, brute ${brute.size}")
+    assert(brute.nonEmpty, "fixture should contain near-dup media")
+  }
 }

@@ -192,6 +192,23 @@ class PlanBudgetSpec extends AnyFunSuite {
     ("q_cuped", 5, 1),                // per-user split sums + 1-row pooled
                                       // theta broadcast + 2-row arm rollup
                                       // + 2-row presentation sort
+    ("q_gini", 3, 0),                 // (type,value) agg + distinct-value
+                                      // rank window + per-type reduce
+    ("q_kaplan_meier", 4, 1),         // per-customer agg + 1-row extent
+                                      // bcast + distinct-lifetime windows
+    ("q_schema_drift", 11, 1),        // 5 per-column conditional aggs (2
+                                      // exact distincts each) + 5-row sort
+    ("q_incr_agg", 6, 2),             // base/delta/full keyed aggs + outer
+                                      // merge over the |type| state frame
+    ("q_join_card_est", 10, 2),       // 2 probe joins + 1-row side stats
+                                      // broadcast back
+    ("q_neyman_alloc", 4, 2),         // stratum agg + 1-row total/shortfall
+                                      // bcasts + bounded rank window
+    ("q_jaccard_neighbors", 7, 2),    // capped incidence self-join on c +
+                                      // keyed reduce; degrees broadcast
+    ("q_media_neardup", 2, 0),        // 3-block equi-join candidates +
+                                      // distinct + bounded sort
+    ("q_readability", 2, 0),          // scan-local counts, one source agg
     ("q_gap_islands", 4, 2),          // (hour,type) agg + spine anti-grid +
                                       // calendar-bounded island windows
     ("q_rate_limit", 3, 0),           // one user-keyed exchange; RANGE

@@ -95,4 +95,47 @@ class ScaleAndPipelineOpsSpec extends AnyFunSuite {
     assert(df.filter(col("k_str") =!= col("k_num").cast("string")).count() == 0)
     assert(df.filter(col("k_bucket") =!= col("k_num") % 10).count() == 0)
   }
+
+  test("incremental aggregate merge equals full recompute on every key") {
+    val rows = ops.ScaleOps.incrAgg(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(5), s"merge mismatch on ${r.getString(0)}")
+      assert(r.getLong(1) + r.getLong(2) === r.getLong(3), "counts compose")
+    }
+    val total = rows.map(_.getLong(3)).sum
+    assert(total === Tables.events(spark, sf).count())
+  }
+
+  test("join cardinality estimate: PK-FK joins are estimated exactly") {
+    val rows = ops.ScaleOps.joinCardEst(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet === Set("lineitem_orders", "orders_customer"))
+    rows.values.foreach { r =>
+      // for a key-containment join (every fact key exists on the PK
+      // side, ndv = PK count), the containment formula is exact:
+      // est = n_fact * n_pk / n_pk = n_fact = actual
+      assert(r.getLong(5) === r.getLong(6), s"${r.getString(0)} est vs actual")
+      assert(r.getDouble(7) === 1.0)
+    }
+  }
+
+  test("schema drift halves partition the table; identical halves don't alarm") {
+    val rows = ops.Maintenance.schemaDrift(spark, sf).collect()
+    assert(rows.map(_.getString(0)).sorted ===
+      Array("event_id", "event_type", "props", "user_id", "value"))
+    val total = Tables.events(spark, sf).count()
+    rows.foreach { r =>
+      assert(r.getLong(1) + r.getLong(2) === total, s"halves cover ${r.getString(0)}")
+      assert(r.getLong(3) <= r.getLong(1) && r.getLong(4) <= r.getLong(2))
+      assert(r.getLong(5) <= r.getLong(1) && r.getLong(6) <= r.getLong(2))
+    }
+    // the uniform fixture halves should profile alike: null-rate drift
+    // within 2pp and ndv ratio within a factor of 2 on every column
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(7)) < 0.02, s"null drift ${r.getString(0)}")
+      if (!r.isNullAt(8))
+        assert(r.getDouble(8) > 0.5 && r.getDouble(8) < 2.0, s"ndv ${r.getString(0)}")
+    }
+  }
 }

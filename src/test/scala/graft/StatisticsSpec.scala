@@ -348,4 +348,47 @@ class StatisticsSpec extends AnyFunSuite {
       assert(math.abs(rho - brute) < 1e-6, s"rho $flag: $rho vs $brute")
     }
   }
+
+  test("Gini replays the per-row rank formula and sits in [0, 1)") {
+    val got = ops.Statistics.gini(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toList
+    assert(got.nonEmpty)
+    val vals = Tables.events(spark, sf)
+      .filter(col("value").isNotNull && col("value") >= 0)
+      .select(col("event_type"),
+        (col("value").cast("decimal(24,6)") * lit(1000000)).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).sorted }
+    got.foreach { case (t, n, g) =>
+      val x = vals(t)
+      assert(n === x.length.toLong)
+      val sx = x.map(BigInt(_)).sum
+      val wsum = x.zipWithIndex.map { case (v, i) =>
+        BigInt(v) * (2L * (i + 1) - x.length - 1) }.sum
+      val brute = wsum.toDouble / (BigInt(x.length) * sx).toDouble
+      assert(math.abs(g - brute) < 1e-5, s"gini $t: $g vs $brute")
+      assert(g >= 0.0 && g < 1.0)
+    }
+  }
+
+  test("Kaplan-Meier: risk set and survival are non-increasing, factors replay") {
+    val rows = ops.Statistics.kaplanMeier(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(5)) 0.0 else r.getDouble(5)))
+    assert(rows.nonEmpty)
+    rows.sliding(2).foreach {
+      case Array((d1, n1, _, _, s1), (d2, n2, _, _, s2)) =>
+        assert(d1 < d2, "distinct durations ascend")
+        assert(n2 <= n1, "risk set shrinks")
+        assert(s2 <= s1 + 1e-9, "survival never rises")
+      case _ =>
+    }
+    // replay the product estimator in plain doubles
+    var prod = 1.0
+    rows.foreach { case (_, n, d, _, s) =>
+      prod *= (n - d).toDouble / n
+      assert(math.abs(s - prod) < 1e-3, s"S vs brute: $s $prod")
+      assert(d >= 1, "only death times emitted")
+    }
+  }
 }

@@ -124,4 +124,20 @@ class TrainingPrepSpec extends AnyFunSuite {
     assert(math.abs(gini - giniExp) < 5e-7 + 1e-9)
     assert(math.abs(topShare - ts.max.toDouble / total.toDouble) < 5e-7 + 1e-9)
   }
+
+  test("Neyman allocation: sums exactly to budget, monotone in N_h * S_h") {
+    val rows = graft.ops.TrainingPrep.neymanAlloc(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._5).sum === 1000L, "largest-remainder total is exact")
+    // allocation order follows the weight order (ties aside)
+    val byW = rows.sortBy(-_._4).map(_._5)
+    assert(byW.zip(byW.tail).forall { case (a, b) => a + 1 >= b },
+      "higher N_h*S_h never gets a materially smaller allocation")
+    rows.foreach { case (_, nh, sd, w, alloc) =>
+      assert(sd >= 0.0 && alloc >= 0L)
+      assert(math.abs(w - nh * sd * 1e6) <= nh + 1e6,
+        "weight is the quantized N_h * S_h product")
+    }
+  }
 }
