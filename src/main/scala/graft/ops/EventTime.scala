@@ -444,6 +444,75 @@ object EventTime {
       .orderBy("dow")
   }
 
+  /** Daily OHLC (open/high/low/close) bars per event type — the
+    * time-series downsampling every metrics store runs before charting
+    * or anomaly detection: each (day, type) bucket keeps its first,
+    * extreme, and last observations plus count and volume, collapsing
+    * arbitrary event density to a fixed-width series.
+    *
+    * Determinism: open/close are rank-1 selections over (ts, event_id)
+    * — event_id is unique, so equal timestamps cannot reorder
+    * cross-engine (the [[markovTransition]] tiebreak); each rank-gated
+    * MAX has exactly one non-null candidate; high/low are raw-value
+    * extrema (no arithmetic); volume is the exact DECIMAL sum rounded
+    * through the dowProfile convention.
+    *
+    * Scale shape: ONE exchange — the (day, type) window partition;
+    * the bar aggregate reuses the same partitioning map-side. Bars per
+    * partition are calendar-bounded. */
+  def ohlcBars(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).filter(col("value").isNotNull)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"),
+        col("ts"), col("event_id"), col("value"))
+    val wA = Window.partitionBy("day", "event_type")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val wD = Window.partitionBy("day", "event_type")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    ev.withColumn("ra", row_number().over(wA))
+      .withColumn("rd", row_number().over(wD))
+      .groupBy("day", "event_type")
+      .agg(count(lit(1)).as("n_events"),
+        max(when(col("ra") === 1, col("value"))).as("open"),
+        max("value").as("high"),
+        min("value").as("low"),
+        max(when(col("rd") === 1, col("value"))).as("close"),
+        round(sum(col("value").cast(DecimalType(24, 6))).cast("double"), 4).as("volume"))
+      .orderBy("day", "event_type")
+  }
+
+  /** Per-type daily lag/rolling feature frame — the feature-engineering
+    * pass a forecasting or anomaly model consumes: yesterday's and
+    * last week's volume, the trailing 7-day sum, and the day-over-day
+    * change ratio, one row per observed (type, day).
+    *
+    * Determinism: daily volumes are exact micro-unit BIGINT sums;
+    * lags and the rolling sum are integer window algebra; the change
+    * ratio is ONE IEEE division of exact integers, floor-quantized to
+    * 6 dp, NULL on the first day or a zero base.
+    *
+    * Scale shape: one map-side-combined (type, day) aggregate, then
+    * calendar-bounded per-type windows — the events table is exchanged
+    * once and the window frames never exceed the day count. */
+  def lagFeatures(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d).filter(col("value").isNotNull)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum((col("value").cast(DecimalType(24, 6)) * lit(1000000)).cast("long"))
+          .as("vol"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    daily
+      .withColumn("lag1", lag("vol", 1).over(w))
+      .withColumn("lag7", lag("vol", 7).over(w))
+      .withColumn("roll7", sum("vol").over(w.rowsBetween(-6, 0)))
+      .withColumn("pct_change",
+        when(col("lag1").isNotNull && col("lag1") =!= 0,
+          floor((col("vol") - col("lag1")).cast("double") / abs(col("lag1")).cast("double")
+            * lit(1000000.0) + lit(0.5)) / lit(1000000.0)))
+      .select(col("day"), col("event_type"), col("n_events"), col("vol"),
+        col("lag1"), col("lag7"), col("roll7"), col("pct_change"))
+      .orderBy("event_type", "day")
+  }
+
   /** First-order Markov transition matrix of the per-user event journey —
     * for each ordered pair of consecutive events of one user, count the
     * (from_type → to_type) transition and report its row-normalized
@@ -658,6 +727,8 @@ object EventTime {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ohlc_bars" -> (ohlcBars _),
+    "q_lag_features" -> (lagFeatures _),
     "q_gap_islands" -> (gapIslands _),
     "q_rate_limit" -> (rateLimit _),
     "q_attribution" -> (attribution _),
@@ -683,6 +754,47 @@ object EventTime {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_ohlc_bars" ->
+      """WITH ev AS (
+        |  SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+        |         epoch_us(ts) AS tsl, event_id, value
+        |  FROM events WHERE value IS NOT NULL
+        |), r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY day, event_type
+        |                       ORDER BY tsl ASC, event_id ASC) AS ra,
+        |    row_number() OVER (PARTITION BY day, event_type
+        |                       ORDER BY tsl DESC, event_id DESC) AS rd
+        |  FROM ev
+        |)
+        |SELECT day, event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  max(CASE WHEN ra = 1 THEN value END) AS open,
+        |  max(value) AS high, min(value) AS low,
+        |  max(CASE WHEN rd = 1 THEN value END) AS close,
+        |  round(CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE), 4) AS volume
+        |FROM r GROUP BY day, event_type
+        |ORDER BY day, event_type""".stripMargin,
+    "q_lag_features" ->
+      """WITH daily AS (
+        |  SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+        |         CAST(count(*) AS BIGINT) AS n_events,
+        |         CAST(sum(CAST(CAST(value AS DECIMAL(24,6)) * 1000000 AS BIGINT))
+        |              AS BIGINT) AS vol
+        |  FROM events WHERE value IS NOT NULL
+        |  GROUP BY 1, 2
+        |), f AS (
+        |  SELECT day, event_type, n_events, vol,
+        |    lag(vol, 1) OVER (PARTITION BY event_type ORDER BY day) AS lag1,
+        |    lag(vol, 7) OVER (PARTITION BY event_type ORDER BY day) AS lag7,
+        |    CAST(sum(vol) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll7
+        |  FROM daily
+        |)
+        |SELECT day, event_type, n_events, vol, lag1, lag7, roll7,
+        |  CASE WHEN lag1 IS NOT NULL AND lag1 <> 0 THEN
+        |    floor(CAST(vol - lag1 AS DOUBLE) / CAST(abs(lag1) AS DOUBLE)
+        |          * 1000000.0 + 0.5) / 1000000.0 END AS pct_change
+        |FROM f ORDER BY event_type, day""".stripMargin,
     "q_gap_islands" ->
       """WITH ev AS (SELECT date_trunc('hour', ts) AS h, event_type FROM events),
         |ext AS (SELECT min(h) AS lo, max(h) AS hi FROM ev),

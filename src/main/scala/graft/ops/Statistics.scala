@@ -1164,7 +1164,63 @@ object Statistics {
       .orderBy("dur_days")
   }
 
+  /** Minimum detectable effect (power analysis) for the 50/50 user-split
+    * experiment — the third leg of the A/B pre-flight beside [[abSrm]]
+    * (is the split valid) and [[cuped]] (can the metric be sharpened):
+    * given the observed per-user metric variance, the smallest true
+    * lift a test at α = 0.05 (two-sided) with 80% power can detect is
+    * MDE = (z₀.₉₇₅ + z₀.₈)·√(s²·(1/n₀ + 1/n₁)). Running an experiment
+    * whose expected lift is below this number is the error this query
+    * exists to prevent.
+    *
+    * Determinism: per-user totals are exact micro-unit BIGINTs; power
+    * sums accumulate in DECIMAL(38,0); the pooled variance, the two z
+    * constants (pinned 6-dp literals 1.959964 / 0.841621 — identical
+    * doubles in both engines), and the MDE are a fixed tree of
+    * elementary IEEE ops (sqrt is correctly rounded by spec) mirrored
+    * parenthesis-for-parenthesis in the oracle, floor-quantized.
+    *
+    * Scale shape: one per-user aggregate (map-side combined), one
+    * 2-row arm reduce, one 1-row combine. */
+  def abMde(s: SparkSession, d: String): DataFrame = {
+    val dec0 = DecimalType(38, 0)
+    val per = Tables.events(s, d).filter(col("value").isNotNull)
+      .groupBy("user_id")
+      .agg((sum(col("value").cast(DecimalType(24, 6))) * lit(1000000))
+        .cast("long").as("yq"))
+      .withColumn("arm", pmod(col("user_id"), lit(2)))
+    val arms = per.groupBy("arm")
+      .agg(count(lit(1)).as("n"),
+        sum(col("yq").cast(dec0)).as("sx"),
+        sum(col("yq").cast(dec0) * col("yq").cast(dec0)).as("sxx"))
+    // within-arm sum of squared deviations, micro² -> unit² via 1e12
+    val ssd = (col("sxx").cast("double")
+      - col("sx").cast("double") * col("sx").cast("double") / col("n").cast("double")
+      ) / lit(1.0e12)
+    val armStats = arms.select(col("arm"), col("n"),
+      (col("sx").cast("double") / (col("n") * lit(1000000L)).cast("double")).as("mean"),
+      ssd.as("ssd"))
+    val q6 = (c: Column) => floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    armStats.groupBy()
+      .agg(
+        max(when(col("arm") === 0, col("n"))).as("n0"),
+        max(when(col("arm") === 1, col("n"))).as("n1"),
+        max(when(col("arm") === 0, col("mean"))).as("m0"),
+        max(when(col("arm") === 1, col("mean"))).as("m1"),
+        sum("ssd").cast("double").as("ssd_tot"))
+      .withColumn("sp2", col("ssd_tot") / (col("n0") + col("n1") - lit(2)).cast("double"))
+      .withColumn("mde_abs",
+        lit(1.959964 + 0.841621) * sqrt(col("sp2") *
+          (lit(1.0) / col("n0").cast("double") + lit(1.0) / col("n1").cast("double"))))
+      .select(col("n0"), col("n1"), q6(col("m0")).as("mean_ctl"),
+        q6(col("m1")).as("mean_trt"),
+        q6(sqrt(col("sp2"))).as("sd_pooled"),
+        q6(col("mde_abs")).as("mde_abs"),
+        q6(col("mde_abs") / ((col("m0") + col("m1")) / lit(2.0))).as("mde_rel"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ab_mde" -> (abMde _),
     "q_gini" -> (gini _),
     "q_kaplan_meier" -> (kaplanMeier _),
     "q_cuped" -> (cuped _),
@@ -1192,6 +1248,45 @@ object Statistics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_ab_mde" ->
+      """WITH per AS (
+        |  SELECT user_id, user_id % 2 AS arm,
+        |         CAST(sum(CAST(value AS DECIMAL(24,6))) * 1000000 AS BIGINT) AS yq
+        |  FROM events WHERE value IS NOT NULL GROUP BY user_id
+        |), arms AS (
+        |  SELECT arm, CAST(count(*) AS BIGINT) AS n,
+        |         sum(CAST(yq AS HUGEINT)) AS sx,
+        |         sum(CAST(yq AS HUGEINT) * CAST(yq AS HUGEINT)) AS sxx
+        |  FROM per GROUP BY arm
+        |), st AS (
+        |  SELECT arm, n,
+        |    CAST(sx AS DOUBLE) / CAST(n * 1000000 AS DOUBLE) AS mean,
+        |    (CAST(sxx AS DOUBLE)
+        |     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) / 1.0e12 AS ssd
+        |  FROM arms
+        |), c AS (
+        |  SELECT max(CASE WHEN arm = 0 THEN n END) AS n0,
+        |         max(CASE WHEN arm = 1 THEN n END) AS n1,
+        |         max(CASE WHEN arm = 0 THEN mean END) AS m0,
+        |         max(CASE WHEN arm = 1 THEN mean END) AS m1,
+        |         CAST(sum(ssd) AS DOUBLE) AS ssd_tot
+        |  FROM st
+        |), m AS (
+        |  SELECT *, ssd_tot / CAST(n0 + n1 - 2 AS DOUBLE) AS sp2 FROM c
+        |), f AS (
+        |  SELECT *,
+        |    (1.959964e0 + 0.841621e0)
+        |      * sqrt(sp2 * (1.0e0 / CAST(n0 AS DOUBLE) + 1.0e0 / CAST(n1 AS DOUBLE)))
+        |      AS mde_abs
+        |  FROM m
+        |)
+        |SELECT n0, n1,
+        |  floor(m0 * 1000000.0 + 0.5) / 1000000.0 AS mean_ctl,
+        |  floor(m1 * 1000000.0 + 0.5) / 1000000.0 AS mean_trt,
+        |  floor(sqrt(sp2) * 1000000.0 + 0.5) / 1000000.0 AS sd_pooled,
+        |  floor(mde_abs * 1000000.0 + 0.5) / 1000000.0 AS mde_abs,
+        |  floor(mde_abs / ((m0 + m1) / 2.0e0) * 1000000.0 + 0.5) / 1000000.0 AS mde_rel
+        |FROM f""".stripMargin,
     "q_gini" ->
       """WITH ev AS (
         |  SELECT event_type,

@@ -429,7 +429,41 @@ object TrainingPrep {
       .orderBy("event_type")
   }
 
+  /** Leave-one-out target encoding of the event-type categorical — the
+    * standard high-cardinality feature transform for tabular models:
+    * each row's category is replaced by the mean target over all OTHER
+    * rows of that category ((Σ_cat − own) / (n_cat − 1)), which is what
+    * prevents the naive mean encoding from leaking each row's own
+    * label into its feature.
+    *
+    * Determinism: the category sums are exact micro-unit BIGINTs, the
+    * per-row numerator is one integer subtraction, and the encoding is
+    * ONE IEEE division of exact integers, floor-quantized to 6 dp;
+    * singleton categories encode NULL (no "other rows" exist).
+    *
+    * Scale shape: one map-side-combined category aggregate broadcast
+    * back onto the scan — the fact rows are never shuffled; the only
+    * full-width exchange is the deterministic presentation sort (keyed
+    * output would skip it in production). */
+  def targetEncode(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).filter(col("value").isNotNull)
+      .select(col("event_id"), col("event_type"),
+        (col("value").cast(DecimalType(24, 6)) * lit(1000000)).cast("long").as("micro"))
+    val stats = ev.groupBy("event_type")
+      .agg(sum("micro").as("tot"), count(lit(1)).as("cnt"))
+    ev.join(broadcast(stats), "event_type")
+      .select(col("event_id"), col("event_type"),
+        // mean over the other rows in micro units, quantized to an
+        // integer micro count, then ONE exact-operand scaling division
+        when(col("cnt") > 1,
+          floor((col("tot") - col("micro")).cast("double") /
+            (col("cnt") - 1).cast("double") + lit(0.5))
+            / lit(1000000.0)).as("loo_enc"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_target_encode" -> (targetEncode _),
     "q_neyman_alloc" -> (neymanAlloc _),
     "q_concentration" -> (concentration _),
     "q_source_mix" -> (sourceMix _),
@@ -447,6 +481,22 @@ object TrainingPrep {
     s"list_transform(range(1, len($WordsSql)), i -> $WordsSql[i] || ' ' || $WordsSql[i+1])"
 
   val oracle: Map[String, String] = Map(
+    "q_target_encode" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_type,
+        |         CAST(CAST(value AS DECIMAL(24,6)) * 1000000 AS BIGINT) AS micro
+        |  FROM events WHERE value IS NOT NULL
+        |), st AS (
+        |  SELECT event_type, CAST(sum(micro) AS BIGINT) AS tot,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM ev GROUP BY event_type
+        |)
+        |SELECT event_id, ev.event_type,
+        |  CASE WHEN cnt > 1 THEN
+        |    floor(CAST(tot - micro AS DOUBLE) / CAST(cnt - 1 AS DOUBLE) + 0.5)
+        |    / 1000000.0 END AS loo_enc
+        |FROM ev JOIN st ON ev.event_type = st.event_type
+        |ORDER BY event_id""".stripMargin,
     "q_neyman_alloc" ->
       s"""WITH per AS (
          |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_h,

@@ -309,4 +309,89 @@ class EvaluationSpec extends AnyFunSuite {
     assert(normKeys <= exactKeys, "normalization can only merge groups")
     assert(words(lit("x")) != null) // keep the TextFeatures import live
   }
+
+  test("OHLC bars: extremum ordering, coverage, and rank-1 open/close replay") {
+    val bars = ops.EventTime.ohlcBars(spark, sf).collect()
+    assert(bars.nonEmpty)
+    val filtered = Tables.events(spark, sf).filter(col("value").isNotNull)
+    assert(bars.map(_.getLong(2)).sum === filtered.count(), "bars cover all rows")
+    bars.foreach { r =>
+      val (o, h, l, c) = (r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))
+      assert(h >= math.max(o, c) && l <= math.min(o, c) && h >= l, s"OHLC order: $r")
+    }
+    // replay open/close for one busy bucket from raw rows
+    val key = bars.maxBy(_.getLong(2))
+    val rows = filtered
+      .filter(date_format(col("ts"), "yyyy-MM-dd") === key.getString(0) &&
+        col("event_type") === key.getString(1))
+      .select("ts", "event_id", "value").collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2))
+    assert(rows.head._3 === key.getDouble(3), "open is the first by (ts, id)")
+    assert(rows.last._3 === key.getDouble(6), "close is the last by (ts, id)")
+  }
+
+  test("lag features: rolling window and lags replay from the daily series") {
+    val rows = ops.EventTime.lagFeatures(spark, sf).collect()
+      .map(r => (r.getString(1), r.getString(0), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)),
+        r.getLong(6)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      val s = g.sortBy(_._2)
+      s.zipWithIndex.foreach { case ((_, _, vol, lag1, lag7, roll7), i) =>
+        assert(lag1 === (if (i >= 1) Some(s(i - 1)._3) else None))
+        assert(lag7 === (if (i >= 7) Some(s(i - 7)._3) else None))
+        val expect = s.slice(math.max(0, i - 6), i + 1).map(_._3).sum
+        assert(roll7 === expect, s"roll7 at $i")
+        assert(vol === s(i)._3)
+      }
+    }
+  }
+
+  test("LOO target encoding replays (sum - own) / (n - 1) exactly") {
+    val enc = ops.TrainingPrep.targetEncode(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toMap
+    val raw = Tables.events(spark, sf).filter(col("value").isNotNull)
+      .select(col("event_id"), col("event_type"),
+        (col("value").cast("decimal(24,6)") * lit(1000000)).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(enc.size === raw.length)
+    val byType = raw.groupBy(_._2).map { case (t, xs) =>
+      t -> (xs.map(x => BigInt(x._3)).sum, xs.length.toLong)
+    }
+    raw.foreach { case (id, t, micro) =>
+      val (tot, cnt) = byType(t)
+      val expect =
+        if (cnt <= 1) None
+        else Some(math.floor((tot - micro).toDouble / (cnt - 1).toDouble + 0.5) / 1e6)
+      assert(enc(id)._1 === t)
+      assert(enc(id)._2 === expect, s"loo for $id")
+    }
+  }
+
+  test("MDE: positive, replayed from per-user stats, and power-consistent") {
+    val r = ops.Statistics.abMde(spark, sf).collect()
+    assert(r.length === 1)
+    val row = r.head
+    val (n0, n1) = (row.getLong(0), row.getLong(1))
+    val (sd, mde) = (row.getDouble(4), row.getDouble(5))
+    assert(n0 > 0 && n1 > 0 && sd > 0.0 && mde > 0.0)
+    // brute replay in plain doubles
+    val per = Tables.events(spark, sf).filter(col("value").isNotNull)
+      .groupBy("user_id")
+      .agg(sum(col("value").cast("decimal(24,6)")).cast("double").as("y"))
+      .withColumn("arm", pmod(col("user_id"), lit(2)))
+      .collect().map(r2 => (r2.getLong(0) % 2, r2.getDouble(1)))
+    val g = per.groupBy(_._1).map { case (a, xs) =>
+      val ys = xs.map(_._2); val m = ys.sum / ys.length
+      a -> (ys.length, ys.map(y => (y - m) * (y - m)).sum)
+    }
+    val sp2 = (g(0L)._2 + g(1L)._2) / (g(0L)._1 + g(1L)._1 - 2).toDouble
+    val expect = (1.959964 + 0.841621) * math.sqrt(sp2 * (1.0 / g(0L)._1 + 1.0 / g(1L)._1))
+    assert(math.abs(mde - expect) < 1e-4, s"mde $mde vs $expect")
+    assert(math.abs(sd - math.sqrt(sp2)) < 1e-4)
+  }
 }

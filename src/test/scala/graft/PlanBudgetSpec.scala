@@ -192,6 +192,15 @@ class PlanBudgetSpec extends AnyFunSuite {
     ("q_cuped", 5, 1),                // per-user split sums + 1-row pooled
                                       // theta broadcast + 2-row arm rollup
                                       // + 2-row presentation sort
+    ("q_ohlc_bars", 2, 0),            // one (day,type) window partition;
+                                      // bar agg reuses it; final sort
+    ("q_lag_features", 3, 0),         // daily agg + per-type calendar
+                                      // windows + presentation sort
+    ("q_target_encode", 2, 1),        // category stats broadcast back on
+                                      // the scan; facts never shuffled
+                                      // except the presentation sort
+    ("q_ab_mde", 3, 0),               // per-user agg + 2-row arm reduce
+                                      // + 1-row combine
     ("q_gini", 3, 0),                 // (type,value) agg + distinct-value
                                       // rank window + per-type reduce
     ("q_kaplan_meier", 4, 1),         // per-customer agg + 1-row extent
