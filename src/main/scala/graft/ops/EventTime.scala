@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.Tables
 import graft.util.Det._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -513,6 +513,143 @@ object EventTime {
       .orderBy("event_type", "day")
   }
 
+  /** Fixed-point scale for [[markovAttribution]] probabilities
+    * (1 unit = 10⁻¹², the Graph.pagerank discipline). */
+  private[ops] val AttribScale = 1000000000000L
+  /** Synchronous value-iteration passes; the chain mixes in far fewer
+    * steps at the fixture's journey lengths, and the count keeps the
+    * geometric tail below the 6-dp output quantum. */
+  private[ops] val AttribIters = 12
+  /** Touch channels eligible for removal (every non-converting type). */
+  private[ops] val AttribChannels = Seq("click", "error", "signup", "view")
+
+  /** Markov removal-effect attribution (Anderl et al.) — the
+    * data-driven alternative to [[attribution]]'s first/last-touch
+    * rules: model each (user, day) journey as a first-order Markov
+    * chain over touch states with absorbing CONV (first purchase) and
+    * NULL (journey ends unconverted) states, compute the chain's
+    * conversion probability from START by value iteration, and credit
+    * each channel by how much that probability drops when the channel
+    * is removed (transitions into it redirected to NULL). Shares are
+    * the normalized removal effects.
+    *
+    * Determinism: the whole chain runs in scaled fixed-point BIGINT
+    * (probability × 10¹², floor division — the [[Graph]] PageRank
+    * discipline): transition counts are exact, every iteration is
+    * integer algebra, so all five chains (base + 4 removals) agree
+    * bit-for-bit across engines. The only doubles are the final
+    * presentation divisions on identical integers. Removal effects are
+    * quantized to integer micro-units BEFORE the share normalization,
+    * so the share denominator is an exact integer sum. Overflow-safe
+    * while Σ_dst c·10¹² < 2⁶³, i.e. per-source transition counts below
+    * ~9·10⁶ — beyond that, pre-aggregate counts to per-mille weights
+    * (the same mitigation as chisqDrift's documented bound).
+    *
+    * Scale shape: one window pass over the events table (the per-user
+    * partition), one bounded edge aggregate (≤ (|types|+1)² rows);
+    * the five variants iterate TOGETHER as one ≤ 25-row state frame —
+    * 12 tiny joins, never another pass over the data. */
+  def markovAttribution(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("ts"), col("event_id"), col("event_type"))
+      .withColumn("rn", row_number().over(w))
+    val pm = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id", "day").agg(min("rn").as("pm"))
+    val kept = ev.join(pm, Seq("user_id", "day"), "left")
+      .filter(col("pm").isNull || col("rn") <= col("pm"))
+      .withColumn("state",
+        when(col("event_type") === "purchase", lit("CONV")).otherwise(col("event_type")))
+    val w2 = Window.partitionBy("user_id", "day").orderBy("rn")
+    val nx = kept.withColumn("nxt", lead("state", 1).over(w2))
+    val internal = nx.filter(col("state") =!= "CONV" && col("nxt").isNotNull)
+      .select(col("state").as("src"), col("nxt").as("dst"))
+    val starts = nx.filter(col("rn") === 1)
+      .select(lit("START").as("src"), col("state").as("dst"))
+    val ends = nx.filter(col("state") =!= "CONV" && col("nxt").isNull)
+      .select(col("state").as("src"), lit("NULL").as("dst"))
+    val edges = graft.util.Ckpt.stage(
+      internal.unionByName(starts).unionByName(ends)
+        .groupBy("src", "dst").agg(count(lit(1)).as("c")))
+    val ew = edges.join(edges.groupBy("src").agg(sum("c").as("ct")), "src")
+    val variants = ("base" +: AttribChannels).toDF("variant")
+    val evw = graft.util.Ckpt.stage(ew.crossJoin(broadcast(variants)))
+    val stateGrid = (for {
+      v <- "base" +: AttribChannels
+      st <- "START" +: AttribChannels
+    } yield (v, st)).toDF("variant", "state")
+    var p = stateGrid.withColumn("pv", lit(0L))
+    for (_ <- 1 to AttribIters) {
+      val pd = p.select(col("variant").as("v2"), col("state").as("d2"), col("pv"))
+      val stepped = evw
+        .join(broadcast(pd), col("variant") === col("v2") && col("dst") === col("d2"), "left")
+        .withColumn("pval",
+          when(col("dst") === "CONV", lit(AttribScale))
+            .when(col("dst") === "NULL", lit(0L))
+            .when(col("dst") === col("variant"), lit(0L))
+            .otherwise(coalesce(col("pv"), lit(0L))))
+        .groupBy(col("variant"), col("src"))
+        .agg(sum(col("c") * col("pval")).as("num"), max("ct").as("ctm"))
+        .select(col("variant").as("v2"), col("src").as("d2"),
+          expr("num div ctm").as("pnew"))
+      p = stateGrid
+        .join(broadcast(stepped),
+          col("variant") === col("v2") && col("state") === col("d2"), "left")
+        .select(col("variant"), col("state"),
+          when(col("state") === col("variant"), lit(0L))
+            .otherwise(coalesce(col("pnew"), lit(0L))).as("pv"))
+    }
+    val f = p.filter(col("state") === "START").select(col("variant"), col("pv"))
+    val base = f.filter(col("variant") === "base").select(col("pv").as("pb"))
+    val q6p = (c: Column) => floor(c.cast("double") / lit(1.0e12) * lit(1000000.0)
+      + lit(0.5)) / lit(1000000.0)
+    val r = f.filter(col("variant") =!= "base").crossJoin(broadcast(base))
+      .withColumn("rem_i",
+        floor((lit(1.0) - col("pv").cast("double") / col("pb").cast("double"))
+          * lit(1000000.0) + lit(0.5)).cast("long"))
+    r.crossJoin(broadcast(r.agg(sum("rem_i").as("rtot"))))
+      .select(col("variant").as("channel"),
+        q6p(col("pb")).as("p_base"),
+        q6p(col("pv")).as("p_removed"),
+        (col("rem_i").cast("double") / lit(1000000.0)).as("removal_effect"),
+        (floor(col("rem_i").cast("double") / col("rtot").cast("double")
+          * lit(1000000.0) + lit(0.5)) / lit(1000000.0)).as("attrib_share"))
+      .orderBy("channel")
+  }
+
+  /** Top user-journey trigrams — the sequence-mining companion to
+    * [[markovTransition]]: where the transition matrix sees only one
+    * step of memory, the 3-step path counts expose the actual flows a
+    * product team reasons about (view→click→purchase vs
+    * view→error→view), ranked by frequency. The path alphabet is the
+    * event-type set, so the result frame is ≤ |types|³ no matter the
+    * input scale.
+    *
+    * Determinism: consecutiveness is the (ts, event_id) window order
+    * (unique tiebreak); counts are exact; ties in the ranking break on
+    * the path string; top-10 by (count desc, path asc).
+    *
+    * Scale shape: ONE shuffle — the per-user window partition; the
+    * trigram aggregate map-side-combines to the bounded grid; the rank
+    * window runs over ≤ |types|³ rows. */
+  def pathTrigrams(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val tri = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("t2", lead("event_type", 1).over(w))
+      .withColumn("t3", lead("event_type", 2).over(w))
+      .filter(col("t2").isNotNull && col("t3").isNotNull)
+      .select(concat_ws("->", col("event_type"), col("t2"), col("t3")).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+    val wr = Window.orderBy(col("n").desc, col("path").asc)
+    tri.withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= 10)
+      .select(col("rank"), col("path"), col("n"))
+      .orderBy("rank")
+  }
+
   /** First-order Markov transition matrix of the per-user event journey —
     * for each ordered pair of consecutive events of one user, count the
     * (from_type → to_type) transition and report its row-normalized
@@ -727,6 +864,8 @@ object EventTime {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_markov_attribution" -> (markovAttribution _),
+    "q_path_trigrams" -> (pathTrigrams _),
     "q_ohlc_bars" -> (ohlcBars _),
     "q_lag_features" -> (lagFeatures _),
     "q_gap_islands" -> (gapIslands _),
@@ -753,7 +892,102 @@ object EventTime {
     "q_anomaly_filter"  -> (anomalyFilter _),
   )
 
+  /** The attribution oracle unrolls [[AttribIters]] value-iteration
+    * passes as generated CTEs from the same AttribScale constant as
+    * the Spark loop (the Graph.pagerankOracle discipline). */
+  private def markovAttributionOracle: String = {
+    val vals = ("base" +: AttribChannels).map(v => s"('$v')").mkString(", ")
+    val states = ("START" +: AttribChannels).map(st => s"('$st')").mkString(", ")
+    val iters = (1 to AttribIters).map { k =>
+      s"""p$k AS (
+         |  SELECT g.variant, g.state,
+         |    CASE WHEN g.state = g.variant THEN CAST(0 AS BIGINT)
+         |         ELSE COALESCE(a.num // a.ctm, 0) END AS pv
+         |  FROM sg g LEFT JOIN (
+         |    SELECT v.variant, ew.src AS state,
+         |           CAST(sum(ew.c * (CASE WHEN ew.dst = 'CONV' THEN $AttribScale
+         |                                 WHEN ew.dst = 'NULL' THEN 0
+         |                                 WHEN ew.dst = v.variant THEN 0
+         |                                 ELSE COALESCE(p.pv, 0) END)) AS BIGINT) AS num,
+         |           max(ew.ct) AS ctm
+         |    FROM ew CROSS JOIN v
+         |    LEFT JOIN p${k - 1} p ON p.variant = v.variant AND p.state = ew.dst
+         |    GROUP BY 1, 2
+         |  ) a ON a.variant = g.variant AND a.state = g.state
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH ev AS (
+       |  SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, epoch_us(ts) AS tsl,
+       |         event_id, event_type
+       |  FROM events
+       |), rn AS (
+       |  SELECT *, row_number() OVER (PARTITION BY user_id, day
+       |                               ORDER BY tsl, event_id) AS rn
+       |  FROM ev
+       |), pm AS (
+       |  SELECT user_id, day, min(rn) AS pm FROM rn
+       |  WHERE event_type = 'purchase' GROUP BY 1, 2
+       |), kept AS (
+       |  SELECT r.user_id, r.day, r.rn,
+       |         CASE WHEN r.event_type = 'purchase' THEN 'CONV'
+       |              ELSE r.event_type END AS state
+       |  FROM rn r LEFT JOIN pm USING (user_id, day)
+       |  WHERE pm.pm IS NULL OR r.rn <= pm.pm
+       |), nx AS (
+       |  SELECT *, lead(state, 1) OVER (PARTITION BY user_id, day ORDER BY rn) AS nxt
+       |  FROM kept
+       |), edges AS (
+       |  SELECT src, dst, CAST(count(*) AS BIGINT) AS c FROM (
+       |    SELECT state AS src, nxt AS dst FROM nx
+       |    WHERE state <> 'CONV' AND nxt IS NOT NULL
+       |    UNION ALL
+       |    SELECT 'START', state FROM nx WHERE rn = 1
+       |    UNION ALL
+       |    SELECT state, 'NULL' FROM nx WHERE state <> 'CONV' AND nxt IS NULL
+       |  ) GROUP BY 1, 2
+       |), tot AS (SELECT src, CAST(sum(c) AS BIGINT) AS ct FROM edges GROUP BY 1),
+       |ew AS (SELECT e.src, e.dst, e.c, t.ct FROM edges e JOIN tot t USING (src)),
+       |v AS (SELECT * FROM (VALUES $vals) AS t(variant)),
+       |sg AS (SELECT variant, state
+       |       FROM v CROSS JOIN (VALUES $states) AS s(state)),
+       |p0 AS (SELECT variant, state, CAST(0 AS BIGINT) AS pv FROM sg),
+       |$iters,
+       |f AS (SELECT variant, pv FROM p$AttribIters WHERE state = 'START'),
+       |b AS (SELECT pv AS pb FROM f WHERE variant = 'base'),
+       |r AS (
+       |  SELECT variant AS channel, pv AS pr, pb,
+       |    CAST(floor((1.0e0 - CAST(pv AS DOUBLE) / CAST(pb AS DOUBLE))
+       |               * 1000000.0 + 0.5) AS BIGINT) AS rem_i
+       |  FROM f, b WHERE variant <> 'base'
+       |), rs AS (SELECT CAST(sum(rem_i) AS BIGINT) AS rtot FROM r)
+       |SELECT channel,
+       |  floor(CAST(pb AS DOUBLE) / 1.0e12 * 1000000.0 + 0.5) / 1000000.0 AS p_base,
+       |  floor(CAST(pr AS DOUBLE) / 1.0e12 * 1000000.0 + 0.5) / 1000000.0 AS p_removed,
+       |  CAST(rem_i AS DOUBLE) / 1000000.0 AS removal_effect,
+       |  floor(CAST(rem_i AS DOUBLE) / CAST(rtot AS DOUBLE) * 1000000.0 + 0.5)
+       |    / 1000000.0 AS attrib_share
+       |FROM r, rs ORDER BY channel""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_markov_attribution" -> markovAttributionOracle,
+    "q_path_trigrams" ->
+      """WITH o AS (
+        |  SELECT user_id, epoch_us(ts) AS tsl, event_id, event_type
+        |  FROM events
+        |), t AS (
+        |  SELECT event_type AS t1,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY tsl, event_id) AS t2,
+        |    lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY tsl, event_id) AS t3
+        |  FROM o
+        |), p AS (
+        |  SELECT t1 || '->' || t2 || '->' || t3 AS path, CAST(count(*) AS BIGINT) AS n
+        |  FROM t WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+        |  GROUP BY 1
+        |), r AS (
+        |  SELECT row_number() OVER (ORDER BY n DESC, path ASC) AS rank, path, n FROM p
+        |)
+        |SELECT rank, path, n FROM r WHERE rank <= 10 ORDER BY rank""".stripMargin,
     "q_ohlc_bars" ->
       """WITH ev AS (
         |  SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,

@@ -187,7 +187,33 @@ object Maintenance {
       .orderBy("column_name")
   }
 
+  /** Per-stream freshness audit — the SLA dashboard every ingest runs:
+    * each event type's latest arrival versus the table's global
+    * watermark, its staleness in whole hours, and a 24-hour breach
+    * flag. A silently-stalled upstream shows up here hours before it
+    * shows up as drift anywhere else.
+    *
+    * Determinism: timestamps compare as integer µs; staleness is
+    * integer floor division; the boundary is formatted through the
+    * shared fmtTs pattern (timestamps never leave as raw doubles).
+    *
+    * Scale shape: one map-side-combined per-type max + a 1-row global
+    * reduce broadcast back; at 100 TB the per-type max comes from
+    * partition metadata, not a scan. */
+  def freshness(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.events(s, d).groupBy("event_type")
+      .agg(max(unix_micros(col("ts"))).as("last_us"), count(lit(1)).as("n_events"))
+    val wm = per.agg(max("last_us").as("wm"))
+    per.crossJoin(broadcast(wm))
+      .select(col("event_type"), col("n_events"),
+        graft.util.Det.fmtTs(timestamp_micros(col("last_us"))).as("last_seen"),
+        expr("(wm - last_us) div 3600000000").as("staleness_hours"),
+        (col("wm") - col("last_us") > lit(86400000000L)).as("stale_24h"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_freshness" -> (freshness _),
     "q_schema_drift" -> (schemaDrift _),
     "q_column_profile" -> (columnProfile _),
     "q_dq_report" -> (dqReport _),
@@ -196,6 +222,17 @@ object Maintenance {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_freshness" ->
+      """WITH per AS (
+        |  SELECT event_type, max(epoch_us(ts)) AS last_us,
+        |         CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY event_type
+        |), wm AS (SELECT max(last_us) AS wm FROM per)
+        |SELECT event_type, n_events,
+        |  strftime(make_timestamp(last_us), '%Y-%m-%d %H:%M:%S') AS last_seen,
+        |  (wm - last_us) // 3600000000 AS staleness_hours,
+        |  wm - last_us > 86400000000 AS stale_24h
+        |FROM per, wm ORDER BY event_type""".stripMargin,
     "q_schema_drift" -> {
       val per = Seq("event_id", "user_id", "value", "event_type", "props").map { c =>
         s"""  SELECT '$c' AS column_name,

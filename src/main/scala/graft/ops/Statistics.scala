@@ -1219,7 +1219,42 @@ object Statistics {
         q6(col("mde_abs") / ((col("m0") + col("m1")) / lit(2.0))).as("mde_rel"))
   }
 
+  /** Chapman capture–recapture estimate of the true user universe —
+    * the ecology estimator data platforms borrow to answer "how many
+    * users exist that we have NOT observed": the two time halves are
+    * the two capture occasions, the overlap m (users seen in both) is
+    * the recapture count, and N̂ = (n₁+1)(n₂+1)/(m+1) − 1 estimates the
+    * closed population. Observed/N̂ is then an instrumentation-coverage
+    * metric: well below 1 means many users appear so rarely they were
+    * caught in at most one half — sampling or tracking loss upstream.
+    *
+    * Determinism: the half split is the integer µs midpoint; all set
+    * sizes are exact distinct counts; N̂ is pure BIGINT floor division;
+    * the coverage ratio is ONE IEEE division floor-quantized.
+    *
+    * Scale shape: one per-user min/max aggregate (map-side combined,
+    * carries both membership flags), one 1-row reduce. */
+  def captureRecapture(s: SparkSession, d: String): DataFrame = {
+    val ext = Tables.events(s, d)
+      .agg(min(unix_micros(col("ts"))).as("lo"), max(unix_micros(col("ts"))).as("hi"))
+    val per = Tables.events(s, d).crossJoin(broadcast(ext))
+      .withColumn("pre", unix_micros(col("ts")) < expr("(lo + hi) div 2"))
+      .groupBy("user_id")
+      .agg(max(col("pre").cast("long")).as("in1"),
+        max((!col("pre")).cast("long")).as("in2"))
+    per.agg(
+        sum("in1").as("n1"),
+        sum("in2").as("n2"),
+        sum(col("in1") * col("in2")).as("m"),
+        count(lit(1)).as("observed"))
+      .withColumn("n_hat", expr("((n1 + 1) * (n2 + 1)) div (m + 1) - 1"))
+      .select(col("n1"), col("n2"), col("m"), col("observed"), col("n_hat"),
+        (floor(col("observed").cast("double") / col("n_hat").cast("double")
+          * lit(1000000.0) + lit(0.5)) / lit(1000000.0)).as("coverage"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_capture_recapture" -> (captureRecapture _),
     "q_ab_mde" -> (abMde _),
     "q_gini" -> (gini _),
     "q_kaplan_meier" -> (kaplanMeier _),
@@ -1248,6 +1283,26 @@ object Statistics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_capture_recapture" ->
+      """WITH ext AS (
+        |  SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM events
+        |), per AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN epoch_us(ts) < (lo + hi) // 2 THEN 1 ELSE 0 END) AS in1,
+        |    max(CASE WHEN epoch_us(ts) < (lo + hi) // 2 THEN 0 ELSE 1 END) AS in2
+        |  FROM events, ext GROUP BY user_id
+        |), a AS (
+        |  SELECT CAST(sum(in1) AS BIGINT) AS n1, CAST(sum(in2) AS BIGINT) AS n2,
+        |         CAST(sum(in1 * in2) AS BIGINT) AS m,
+        |         CAST(count(*) AS BIGINT) AS observed
+        |  FROM per
+        |)
+        |SELECT n1, n2, m, observed,
+        |  ((n1 + 1) * (n2 + 1)) // (m + 1) - 1 AS n_hat,
+        |  floor(CAST(observed AS DOUBLE)
+        |        / CAST(((n1 + 1) * (n2 + 1)) // (m + 1) - 1 AS DOUBLE)
+        |        * 1000000.0 + 0.5) / 1000000.0 AS coverage
+        |FROM a""".stripMargin,
     "q_ab_mde" ->
       """WITH per AS (
         |  SELECT user_id, user_id % 2 AS arm,

@@ -325,7 +325,10 @@ class EvaluationSpec extends AnyFunSuite {
       .filter(date_format(col("ts"), "yyyy-MM-dd") === key.getString(0) &&
         col("event_type") === key.getString(1))
       .select("ts", "event_id", "value").collect()
-      .map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getDouble(2)))
+      .map { r =>
+        val t = r.getTimestamp(0)
+        (t.getTime / 1000 * 1000000L + t.getNanos / 1000, r.getLong(1), r.getDouble(2))
+      }
       .sortBy(t => (t._1, t._2))
     assert(rows.head._3 === key.getDouble(3), "open is the first by (ts, id)")
     assert(rows.last._3 === key.getDouble(6), "close is the last by (ts, id)")
@@ -370,6 +373,92 @@ class EvaluationSpec extends AnyFunSuite {
       assert(enc(id)._1 === t)
       assert(enc(id)._2 === expect, s"loo for $id")
     }
+  }
+
+  test("freshness: watermark type has zero staleness; max ts replays") {
+    val rows = ops.Maintenance.freshness(spark, sf).collect()
+    assert(rows.length === 5)
+    assert(rows.map(_.getLong(3)).min === 0L, "the watermark stream is fresh")
+    rows.foreach { r =>
+      assert(r.getLong(3) >= 0L)
+      assert(r.getBoolean(4) === (r.getLong(3) >= 24L),
+        "24h flag consistent with integer-hour staleness")
+    }
+  }
+
+  test("path trigrams: valid ranking that replays a brute-force count") {
+    val rows = ops.EventTime.pathTrigrams(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq === (1 to rows.length))
+    assert(rows.map(_._3).toSeq === rows.map(_._3).sortBy(-_).toSeq, "counts descend")
+    // brute-force the trigram counts from ordered journeys
+    val ev = Tables.events(spark, sf)
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map { r =>
+        val t = r.getTimestamp(1)
+        (r.getLong(0), t.getTime / 1000 * 1000000L + t.getNanos / 1000,
+          r.getLong(2), r.getString(3))
+      }
+    val counts = scala.collection.mutable.Map[String, Long]()
+    ev.groupBy(_._1).values.foreach { g =>
+      val seq = g.sortBy(t => (t._2, t._3)).map(_._4)
+      seq.sliding(3).filter(_.length == 3).foreach { w =>
+        val k = w.mkString("->")
+        counts(k) = counts.getOrElse(k, 0L) + 1
+      }
+    }
+    val bruteTop = counts.toSeq.sortBy(t => (-t._2, t._1)).take(rows.length)
+    assert(rows.map(t => (t._2, t._3)).toSeq === bruteTop, "top paths agree")
+  }
+
+  test("markov attribution: monotone removals, share normalization, VI replay") {
+    val rows = ops.EventTime.markovAttribution(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.map(_._1).toSeq === Seq("click", "error", "signup", "view"))
+    val pBase = rows.head._2
+    assert(rows.forall(_._2 === pBase), "one base probability")
+    assert(pBase > 0.0 && pBase < 1.0)
+    rows.foreach { case (_, pb, pr, re, _) =>
+      assert(pr <= pb + 1e-9, "removal can only hurt conversion")
+      assert(re >= 0.0 && re <= 1.0 + 1e-9)
+    }
+    assert(math.abs(rows.map(_._5).sum - 1.0) < 1e-4, "shares normalize")
+    // replay the base chain's value iteration in plain doubles from the
+    // journey-derived edge counts
+    val dayFmt = new java.text.SimpleDateFormat("yyyy-MM-dd")
+    dayFmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    val ev = Tables.events(spark, sf)
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map { r =>
+        val t = r.getTimestamp(1)
+        (r.getLong(0), dayFmt.format(t),
+          t.getTime / 1000 * 1000000L + t.getNanos / 1000, r.getLong(2), r.getString(3))
+      }
+    val edges = scala.collection.mutable.Map[(String, String), Long]()
+    ev.groupBy(t => (t._1, t._2)).values.foreach { g =>
+      val seq0 = g.sortBy(t => (t._3, t._4)).map(_._5)
+      val cut = seq0.indexOf("purchase")
+      val states = (if (cut >= 0) seq0.take(cut + 1) else seq0)
+        .map(t => if (t == "purchase") "CONV" else t)
+      def inc(a: String, b: String): Unit =
+        edges((a, b)) = edges.getOrElse((a, b), 0L) + 1
+      inc("START", states.head)
+      states.sliding(2).filter(_.length == 2).foreach(w => inc(w(0), w(1)))
+      if (states.last != "CONV") inc(states.last, "NULL")
+    }
+    val srcs = edges.keys.map(_._1).toSet
+    var p = srcs.map(_ -> 0.0).toMap
+    for (_ <- 1 to 40) {
+      p = srcs.map { s0 =>
+        val out = edges.filter(_._1._1 == s0)
+        val tot = out.values.sum.toDouble
+        s0 -> out.map { case ((_, dto), c) =>
+          val pv = if (dto == "CONV") 1.0 else if (dto == "NULL") 0.0 else p(dto)
+          c * pv
+        }.sum / tot
+      }.toMap
+    }
+    assert(math.abs(pBase - p("START")) < 1e-3, s"base P: $pBase vs ${p("START")}")
   }
 
   test("MDE: positive, replayed from per-user stats, and power-consistent") {

@@ -192,6 +192,16 @@ class PlanBudgetSpec extends AnyFunSuite {
     ("q_cuped", 5, 1),                // per-user split sums + 1-row pooled
                                       // theta broadcast + 2-row arm rollup
                                       // + 2-row presentation sort
+    ("q_capture_recapture", 3, 1),    // per-user flags agg + 1-row reduce;
+                                      // extent broadcast
+    ("q_freshness", 4, 1),            // per-type max + 1-row watermark
+                                      // broadcast + 5-row sort
+    ("q_path_trigrams", 2, 0),        // per-user window + bounded trigram
+                                      // agg + <=|types|^3 rank window
+    ("q_markov_attribution", 19, 12), // journey window + edge agg, then 12
+                                      // value-iteration joins over the
+                                      // <=25-row variant-state frame (audit
+                                      // mode sees every tiny iteration)
     ("q_ohlc_bars", 2, 0),            // one (day,type) window partition;
                                       // bar agg reuses it; final sort
     ("q_lag_features", 3, 0),         // daily agg + per-type calendar

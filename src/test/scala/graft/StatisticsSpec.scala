@@ -371,6 +371,19 @@ class StatisticsSpec extends AnyFunSuite {
     }
   }
 
+  test("capture-recapture: set identities and Chapman replay") {
+    val r = ops.Statistics.captureRecapture(spark, sf).collect()
+    assert(r.length === 1)
+    val row = r.head
+    val (n1, n2, m, obs, nHat) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4))
+    assert(m <= math.min(n1, n2), "overlap bounded by both occasions")
+    assert(obs === n1 + n2 - m, "inclusion-exclusion over the two halves")
+    assert(nHat === ((n1 + 1) * (n2 + 1)) / (m + 1) - 1, "Chapman formula")
+    assert(row.getDouble(5) > 0.0 && row.getDouble(5) <= 1.0 + 1e-9,
+      "coverage is a valid ratio when the estimator is sane on this fixture")
+  }
+
   test("Kaplan-Meier: risk set and survival are non-increasing, factors replay") {
     val rows = ops.Statistics.kaplanMeier(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
