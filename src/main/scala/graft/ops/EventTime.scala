@@ -444,6 +444,81 @@ object EventTime {
       .orderBy("dow")
   }
 
+  /** Median latency between funnel steps — how long the
+    * view→click→purchase journey actually takes, not just whether it
+    * completes ([[funnelSteps]]' companion): per user, the first click
+    * after the first view and the first purchase after that click; per
+    * step, the MEDIAN gap in whole seconds. Medians, because funnel
+    * gaps are heavy-tailed — one user who clicks a week later drags a
+    * mean into meaninglessness.
+    *
+    * Determinism: gaps are integer µs differences floored to seconds;
+    * the median is the [[Statistics.medianX2]] rank selection over
+    * (step, DISTINCT gap) aggregates — no interpolation, no
+    * quantile_cont; the final ·0.5 scaling is exact.
+    *
+    * Scale shape: three keyed aggregates with per-user bounded join
+    * fan-out, then rank selection over the distinct gap-value domain —
+    * bounded by the time horizon, never the user count. */
+  def funnelLatency(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tsl"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("tsl").as("vt"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("tsl") > col("vt"))
+      .groupBy("user_id", "vt").agg(min("tsl").as("ct"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c.select("user_id", "ct"), "user_id").filter(col("tsl") > col("ct"))
+      .groupBy("user_id", "ct").agg(min("tsl").as("pt"))
+    val gaps = graft.util.Ckpt.stage(
+      c.select(lit("view->click").as("step"), expr("(ct - vt) div 1000000").as("gap_s"))
+        .unionByName(p.select(lit("click->purchase").as("step"),
+          expr("(pt - ct) div 1000000").as("gap_s"))))
+    val med = Statistics.medianX2(gaps, "step", "gap_s", "med2")
+      .select(col("step").as("s2"), (col("med2") * lit(0.5)).as("median_gap_s"))
+    gaps.groupBy("step").agg(count(lit(1)).as("n_users"))
+      .join(broadcast(med), col("step") === col("s2"))
+      .select(col("step"), col("n_users"), col("median_gap_s"))
+      .orderBy("step")
+  }
+
+  /** Burstiness profile of each event stream — Fano factor (variance/
+    * mean of daily counts; 1 = Poisson) and the Goh–Barabási
+    * burstiness index B = (σ−μ)/(σ+μ) ∈ [−1, 1] (−1 = periodic, 0 =
+    * Poisson, →1 = heavy bursts). The traffic-shape diagnostic a
+    * capacity planner and an anomaly-threshold tuner both read: a
+    * bursty stream needs fatter rate limits and wider control bands
+    * than its mean suggests ([[rateLimit]]'s companion statistic).
+    *
+    * Determinism: daily counts are exact integers, so the power sums
+    * are exact BIGINTs (no decimal cast needed — counts ≤ 2³¹ keep
+    * Σc² within BIGINT to ~4·10⁹ rows/day); variance, σ (one
+    * correctly-rounded sqrt), Fano, and B are fixed IEEE trees on
+    * identical integers, floor-quantized to 6 dp.
+    *
+    * Scale shape: one map-side-combined (type, day) aggregate, one
+    * per-type reduce over calendar-bounded rows. */
+  def burstiness(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("c"))
+    val q6 = (c: Column) => floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val mean = col("sc").cast("double") / col("n_days").cast("double")
+    val variance = (col("n_days") * col("scc") - col("sc") * col("sc")).cast("double") /
+      (col("n_days").cast("double") * (col("n_days") - lit(1)).cast("double"))
+    daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum("c").as("sc"),
+        sum(col("c") * col("c")).as("scc"))
+      .filter(col("n_days") >= 2)
+      .select(col("event_type"), col("n_days"), col("sc").as("n_events"),
+        q6(mean).as("mean_daily"),
+        q6(variance / mean).as("fano"),
+        q6((sqrt(variance) - mean) / (sqrt(variance) + mean)).as("burstiness"))
+      .orderBy("event_type")
+  }
+
   /** Daily OHLC (open/high/low/close) bars per event type — the
     * time-series downsampling every metrics store runs before charting
     * or anomaly detection: each (day, type) bucket keeps its first,
@@ -864,6 +939,8 @@ object EventTime {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_funnel_latency" -> (funnelLatency _),
+    "q_burstiness" -> (burstiness _),
     "q_markov_attribution" -> (markovAttribution _),
     "q_path_trigrams" -> (pathTrigrams _),
     "q_ohlc_bars" -> (ohlcBars _),
@@ -970,6 +1047,62 @@ object EventTime {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_funnel_latency" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS tsl FROM events
+        |), v AS (
+        |  SELECT user_id, min(tsl) AS vt FROM ev WHERE event_type = 'view' GROUP BY 1
+        |), c AS (
+        |  SELECT e.user_id, v.vt, min(e.tsl) AS ct
+        |  FROM ev e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.tsl > v.vt GROUP BY 1, 2
+        |), p AS (
+        |  SELECT c.user_id, c.ct, min(e.tsl) AS pt
+        |  FROM ev e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.tsl > c.ct GROUP BY 1, 2
+        |), g AS (
+        |  SELECT 'view->click' AS step, (ct - vt) // 1000000 AS gap_s FROM c
+        |  UNION ALL
+        |  SELECT 'click->purchase', (pt - ct) // 1000000 FROM p
+        |), bv AS (
+        |  SELECT step, gap_s, CAST(count(*) AS BIGINT) AS cnt FROM g GROUP BY 1, 2
+        |), r AS (
+        |  SELECT step, gap_s, cnt,
+        |    sum(cnt) OVER (PARTITION BY step ORDER BY gap_s) AS cum,
+        |    sum(cnt) OVER (PARTITION BY step) AS n
+        |  FROM bv
+        |), m AS (
+        |  SELECT step, CAST(max(n) AS BIGINT) AS n_users,
+        |    CAST(sum(CASE WHEN cum - cnt < (n + 1) // 2 AND (n + 1) // 2 <= cum
+        |                  THEN gap_s END)
+        |       + sum(CASE WHEN cum - cnt < (n + 2) // 2 AND (n + 2) // 2 <= cum
+        |                  THEN gap_s END) AS BIGINT) AS med2
+        |  FROM r GROUP BY step
+        |)
+        |SELECT step, n_users, CAST(med2 AS DOUBLE) * 0.5e0 AS median_gap_s
+        |FROM m ORDER BY step""".stripMargin,
+    "q_burstiness" ->
+      """WITH daily AS (
+        |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2
+        |), a AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |         CAST(sum(c) AS BIGINT) AS sc, CAST(sum(c * c) AS BIGINT) AS scc
+        |  FROM daily GROUP BY event_type HAVING count(*) >= 2
+        |), b AS (
+        |  SELECT event_type, n_days, sc,
+        |    CAST(sc AS DOUBLE) / CAST(n_days AS DOUBLE) AS mean,
+        |    CAST(n_days * scc - sc * sc AS DOUBLE)
+        |      / (CAST(n_days AS DOUBLE) * CAST(n_days - 1 AS DOUBLE)) AS var
+        |  FROM a
+        |)
+        |SELECT event_type, n_days, sc AS n_events,
+        |  floor(mean * 1000000.0 + 0.5) / 1000000.0 AS mean_daily,
+        |  floor(var / mean * 1000000.0 + 0.5) / 1000000.0 AS fano,
+        |  floor((sqrt(var) - mean) / (sqrt(var) + mean) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS burstiness
+        |FROM b ORDER BY event_type""".stripMargin,
     "q_markov_attribution" -> markovAttributionOracle,
     "q_path_trigrams" ->
       """WITH o AS (

@@ -103,7 +103,7 @@ object Statistics {
     * runs over DISTINCT values of `v` (bounded by the value domain, not
     * the row count), so the sort partition stays small even when the
     * fact table doesn't. */
-  private def medianX2(df: DataFrame, key: String, v: String, out: String): DataFrame = {
+  private[ops] def medianX2(df: DataFrame, key: String, v: String, out: String): DataFrame = {
     val w = Window.partitionBy(key).orderBy(v)
     val ranked = df.groupBy(col(key), col(v)).agg(count(lit(1)).as("cnt"))
       .withColumn("cum", sum("cnt").over(w))

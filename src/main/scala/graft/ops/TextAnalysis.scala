@@ -892,7 +892,56 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Heaps' law fit across the corpus — vocabulary growth V ≈ k·N^β
+    * estimated by log-log OLS over the per-source (tokens, types)
+    * points: the corpus-health scaling diagnostic that predicts how
+    * vocabulary (and so tokenizer/embedding-table pressure) grows with
+    * another 10× of data. Natural text sits near β ≈ 0.5; β drifting
+    * toward 1 means type inventory grows linearly (ids/noise), toward 0
+    * means a closed vocabulary (templated text).
+    *
+    * Determinism: both OLS coordinates are [[zipfSlope]]-discipline
+    * quantized integer logs (token and type counts are exact BIGINTs);
+    * power sums accumulate in DECIMAL; slope/intercept/R² are fixed
+    * IEEE trees on identical operands, floor-quantized to 4 dp.
+    *
+    * Scale shape: one map-side-combined (source, term) aggregate, a
+    * per-source reduce, then a ≤|sources|-row regression — the corpus
+    * is exchanged once. */
+  def heapsFit(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val qln = (c: Column) =>
+      round(log(c.cast("double")), 6).cast(DecimalType(18, 6))
+    val q4 = graft.util.Det.q4 _
+    def dsum2(c: Column) = sum(c.cast(DecimalType(30, 12))).cast("double")
+    val per = Tables.documents(s, d)
+      .select(col("source"), explode(words(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("source", "term").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_types"))
+      .select(qln(col("n_tokens")).as("x"), qln(col("n_types")).as("y"))
+    val n = col("n_sources")
+    val beta = (n * col("sxy") - col("sx") * col("sy")) /
+      (n * col("sxx") - col("sx") * col("sx"))
+    val r2num = (n * col("sxy") - col("sx") * col("sy")) *
+      (n * col("sxy") - col("sx") * col("sy"))
+    val r2den = (n * col("sxx") - col("sx") * col("sx")) *
+      (n * col("syy") - col("sy") * col("sy"))
+    per.agg(count(lit(1)).as("n_sources"),
+        dsum2(col("x")).as("sx"), dsum2(col("y")).as("sy"),
+        dsum2(col("x") * col("x")).as("sxx"),
+        dsum2(col("y") * col("y")).as("syy"),
+        dsum2(col("x") * col("y")).as("sxy"))
+      .filter(col("n_sources") >= 2)
+      .select(col("n_sources"),
+        q4(beta).as("beta"),
+        q4((col("sy") - beta * col("sx")) / n).as("intercept_ln"),
+        q4(r2num / r2den).as("r2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_heaps_fit" -> (heapsFit _),
     "q_readability" -> (readability _),
     "q_fuzzy_join_symdel" -> (fuzzyJoinSymdel _),
     "q_ngram_novelty"   -> (ngramNovelty _),
@@ -934,6 +983,33 @@ object TextAnalysis {
   private val FWordsSql = s"list_filter($WordsSql, x -> x <> '')"
 
   val oracle: Map[String, String] = Map(
+    "q_heaps_fit" ->
+      s"""WITH tc AS (
+         |  SELECT source, term, count(*) AS c
+         |  FROM (SELECT source, unnest($WordsSql) AS term FROM documents)
+         |  WHERE term <> '' GROUP BY source, term
+         |), per AS (
+         |  SELECT CAST(round(ln(CAST(sum(c) AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
+         |         CAST(round(ln(CAST(count(*) AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y
+         |  FROM tc GROUP BY source
+         |), a AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_sources,
+         |    CAST(SUM(CAST(x AS DECIMAL(30,12))) AS DOUBLE) AS sx,
+         |    CAST(SUM(CAST(y AS DECIMAL(30,12))) AS DOUBLE) AS sy,
+         |    CAST(SUM(CAST(x * x AS DECIMAL(30,12))) AS DOUBLE) AS sxx,
+         |    CAST(SUM(CAST(y * y AS DECIMAL(30,12))) AS DOUBLE) AS syy,
+         |    CAST(SUM(CAST(x * y AS DECIMAL(30,12))) AS DOUBLE) AS sxy
+         |  FROM per
+         |)
+         |SELECT n_sources,
+         |  floor((n_sources * sxy - sx * sy) / (n_sources * sxx - sx * sx)
+         |        * 10000 + 0.5) / 10000 AS beta,
+         |  floor((sy - (n_sources * sxy - sx * sy) / (n_sources * sxx - sx * sx) * sx)
+         |        / n_sources * 10000 + 0.5) / 10000 AS intercept_ln,
+         |  floor(((n_sources * sxy - sx * sy) * (n_sources * sxy - sx * sy))
+         |        / ((n_sources * sxx - sx * sx) * (n_sources * syy - sy * sy))
+         |        * 10000 + 0.5) / 10000 AS r2
+         |FROM a WHERE n_sources >= 2""".stripMargin,
     "q_readability" ->
       s"""WITH per AS (
          |  SELECT source,

@@ -291,6 +291,23 @@ object Streams {
       .foreachBatch(onBatch)
   }
 
+  /** Streaming robust-outlier alerts — the monitoring-in-flight twin of
+    * `graft.ops.Statistics.outlierMad`: each micro-batch's rows are
+    * gated against a BROADCAST per-type (median, threshold) frame
+    * computed by the batch robust-stats job (median ± 3·1.4826·MAD),
+    * flagging |value − med| > thr. Stateless and scan-local per batch —
+    * the stats frame is the only state, refreshed out-of-band exactly
+    * like [[psiVsBaseline]]'s baseline histogram. Batch-equivalence:
+    * the flagged set over the unioned micro-batches equals the batch
+    * gate's flagged set (pinned in `StreamingSpec`), because the gate
+    * is a pure row-local predicate on identical doubles. */
+  def robustAlerts(events: DataFrame, stats: DataFrame): DataFrame =
+    events.join(broadcast(stats), "event_type")
+      .filter(col("value").isNotNull &&
+        abs(col("value") - col("med")) > col("thr"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("med"), col("thr"), col("ts"))
+
   /** Streaming exact dedup: keep the first occurrence of each `event_id`,
     * with the watermark bounding the dedup state store (events older than
     * the watermark are evicted — at-least-once sources stay exactly-once

@@ -89,6 +89,30 @@ class CorpusMetricsSpec extends AnyFunSuite {
     selfRows.foreach(r => assert(r.getDouble(3) === 0.0, s"self-JSD nonzero: $r"))
   }
 
+  test("Heaps fit replays log-log OLS over per-source (tokens, types)") {
+    val r = ops.TextAnalysis.heapsFit(spark, sf).collect()
+    assert(r.length === 1)
+    val row = r.head
+    val pts = Tables.documents(spark, sf).select("source", "text").collect()
+      .map(x => (x.getString(0), x.getString(1)))
+      .groupBy(_._1).map { case (_, xs) =>
+        val words = xs.flatMap(_._2.split(" ", -1)).filter(_.nonEmpty)
+        (math.log(words.length.toDouble), math.log(words.distinct.length.toDouble))
+      }.toArray
+    assert(row.getLong(0) === pts.length.toLong)
+    val n = pts.length
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum; val syy = pts.map(p => p._2 * p._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(math.abs(row.getDouble(1) - beta) < 1e-3, s"beta ${row.getDouble(1)} vs $beta")
+    assert(math.abs(row.getDouble(2) - (sy - beta * sx) / n) < 1e-3, "intercept")
+    val r2 = (n * sxy - sx * sy) * (n * sxy - sx * sy) /
+      ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    assert(math.abs(row.getDouble(3) - r2) < 1e-3, "r2")
+    assert(row.getDouble(3) >= 0.0 && row.getDouble(3) <= 1.0 + 1e-9)
+  }
+
   test("readability replays the Flesch formula from JVM-side counts") {
     val got = ops.TextAnalysis.readability(spark, sf).collect()
       .map(r => r.getString(0) ->

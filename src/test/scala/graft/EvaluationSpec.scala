@@ -375,6 +375,59 @@ class EvaluationSpec extends AnyFunSuite {
     }
   }
 
+  test("burstiness replays Fano and B from daily counts; B in [-1,1]") {
+    val rows = ops.EventTime.burstiness(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd"))
+      .count().collect().map(r => (r.getString(0), r.getLong(2)))
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2.toDouble) }
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val cs = daily(t)
+      assert(r.getLong(1) === cs.length.toLong)
+      assert(r.getLong(2) === cs.map(_.toLong).sum)
+      val m = cs.sum / cs.length
+      val v = cs.map(c => (c - m) * (c - m)).sum / (cs.length - 1)
+      assert(math.abs(r.getDouble(3) - m) < 1e-4)
+      assert(math.abs(r.getDouble(4) - v / m) < 1e-3, s"fano $t")
+      val b = (math.sqrt(v) - m) / (math.sqrt(v) + m)
+      assert(math.abs(r.getDouble(5) - b) < 1e-4, s"B $t")
+      assert(r.getDouble(5) >= -1.0 && r.getDouble(5) <= 1.0)
+    }
+  }
+
+  test("funnel latency medians replay from brute-force per-user gaps") {
+    val rows = ops.EventTime.funnelLatency(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rows.keySet === Set("view->click", "click->purchase"))
+    val ev = Tables.events(spark, sf)
+      .select("user_id", "event_type", "ts").collect()
+      .map { r =>
+        val t = r.getTimestamp(2)
+        (r.getLong(0), r.getString(1), t.getTime / 1000 * 1000000L + t.getNanos / 1000)
+      }
+    def med(xs: Seq[Long]): Double = {
+      val s = xs.sorted; val n = s.length
+      (s((n + 1) / 2 - 1) + s((n + 2) / 2 - 1)) * 0.5
+    }
+    val byUser = ev.groupBy(_._1)
+    val g1 = byUser.values.flatMap { g =>
+      val vt = g.filter(_._2 == "view").map(_._3).minOption
+      vt.flatMap(v => g.filter(x => x._2 == "click" && x._3 > v).map(_._3).minOption
+        .map(c => (c - v) / 1000000L))
+    }.toSeq
+    val g2 = byUser.values.flatMap { g =>
+      val vt = g.filter(_._2 == "view").map(_._3).minOption
+      val ct = vt.flatMap(v =>
+        g.filter(x => x._2 == "click" && x._3 > v).map(_._3).minOption)
+      ct.flatMap(c => g.filter(x => x._2 == "purchase" && x._3 > c).map(_._3).minOption
+        .map(p => (p - c) / 1000000L))
+    }.toSeq
+    assert(rows("view->click") === ((g1.length.toLong, med(g1))))
+    assert(rows("click->purchase") === ((g2.length.toLong, med(g2))))
+  }
+
   test("freshness: watermark type has zero staleness; max ts replays") {
     val rows = ops.Maintenance.freshness(spark, sf).collect()
     assert(rows.length === 5)

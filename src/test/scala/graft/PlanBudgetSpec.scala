@@ -192,6 +192,13 @@ class PlanBudgetSpec extends AnyFunSuite {
     ("q_cuped", 5, 1),                // per-user split sums + 1-row pooled
                                       // theta broadcast + 2-row arm rollup
                                       // + 2-row presentation sort
+    ("q_heaps_fit", 3, 0),            // (source,term) agg + per-source
+                                      // reduce + 1-row regression
+    ("q_burstiness", 3, 0),           // (type,day) agg + per-type reduce
+                                      // + 5-row sort
+    ("q_funnel_latency", 9, 1),       // three keyed step aggregates + the
+                                      // distinct-gap rank selection; the
+                                      // 2-row median frame broadcasts
     ("q_capture_recapture", 3, 1),    // per-user flags agg + 1-row reduce;
                                       // extent broadcast
     ("q_freshness", 4, 1),            // per-type max + 1-row watermark

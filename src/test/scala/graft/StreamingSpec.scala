@@ -153,6 +153,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(self.forall(r => r.getDouble(3) == 0.0 && r.getDouble(4) == 0.0))
   }
 
+  test("streaming robust-outlier alerts equal the batch MAD gate") {
+    val ev = Tables.events(spark, sf)
+    val stats = ops.Statistics.outlierMad(spark, sf)
+      .select(col("event_type"), col("med"), col("thr"))
+      .localCheckpoint(true)
+    val got = scala.collection.mutable.ArrayBuffer[Long]()
+    val fn: (org.apache.spark.sql.DataFrame, Long) => Unit = (batch, _) =>
+      got.synchronized {
+        got ++= Streams.robustAlerts(batch, stats).collect().map(_.getLong(0))
+        ()
+      }
+    val q = Streams.eventsStream(spark, sf).writeStream
+      .foreachBatch(fn)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(120000) finally q.stop()
+    // the gate is a pure row-local predicate, so the union of per-batch
+    // alerts must equal the same gate over the batch table
+    val expected = Streams.robustAlerts(ev, stats).collect().map(_.getLong(0))
+    assert(got.sorted.toSeq === expected.sorted.toSeq)
+    assert(expected.nonEmpty, "fixture contains MAD outliers")
+    // and the alert count must replay outlierMad's own n_outliers totals
+    val nOut = ops.Statistics.outlierMad(spark, sf)
+      .agg(sum("n_outliers")).head.getLong(0)
+    assert(expected.length.toLong === nOut)
+  }
+
   test("streaming chi-square vs broadcast baseline equals the batch computation; self-chi2 is zero") {
     val ev = Tables.events(spark, sf)
     // baseline: the view-heavy early half's type mix
