@@ -271,7 +271,76 @@ object Aggregations {
       .orderBy("decile")
   }
 
+  /** RFM (recency / frequency / monetary) segmentation of the user
+    * base — the classic lifecycle grid: each user scored 1–5 on how
+    * recently they acted, how often, and how much value they carried,
+    * then aggregated to the ≤125-cell segment grid a growth team
+    * actually reads (5-5-5 = recent+frequent+valuable champions,
+    * 1-x-x = churned).
+    *
+    * Scores are VALUE-BOUNDARY quintiles, not ntile: the four
+    * boundaries per metric are rank-selected at ceil(j·n/5) over the
+    * DISTINCT metric values with tie counts (the medianX2 shape), then
+    * broadcast, so assignment is a row-local comparison and ties share
+    * a score — deterministic where ntile's arbitrary tie-splitting is
+    * not, and never an unpartitioned window over the user population
+    * (the [[ltvDecile]] lesson applied at design time). Note quintile
+    * 5 on recency means LONGEST-ago last activity (scores ascend with
+    * the metric value; invert downstream as needed).
+    *
+    * Determinism: recency is integer days from the table watermark,
+    * frequency an exact count, monetary an exact micro BIGINT; the
+    * boundary selection and comparisons are pure integer algebra; the
+    * segment mean value is ONE IEEE division floor-quantized.
+    *
+    * Scale shape: one per-user aggregate; three distinct-value rank
+    * selections bounded by each metric's value domain; three 1-row
+    * boundary broadcasts; one ≤125-row grid reduce. */
+  def rfmSegments(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = graft.util.Ckpt.stage {
+      val ext = Tables.events(s, d).agg(max(unix_micros(col("ts"))).as("wm"))
+      Tables.events(s, d).filter(col("value").isNotNull)
+        .crossJoin(broadcast(ext))
+        .groupBy("user_id")
+        .agg(expr("(max(wm) - max(unix_micros(ts))) div 86400000000").as("rec_days"),
+          count(lit(1)).as("freq"),
+          sum((col("value").cast(DecimalType(24, 6)) * lit(1000000)).cast("long"))
+            .as("mon"))
+    }
+    // four rank-selected quintile boundaries of one integer metric,
+    // returned as a 1-row frame (t1..t4)
+    def bounds(metric: String): org.apache.spark.sql.DataFrame = {
+      val w = Window.orderBy(metric)
+      val ranked = per.groupBy(col(metric)).agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum("cnt").over(w))
+        .withColumn("n", sum("cnt").over(Window.partitionBy()))
+        .withColumn("prev", col("cum") - col("cnt"))
+      val cs = (1 to 4).map { j =>
+        sum(when(col("prev") < expr(s"($j * n + 4) div 5") &&
+          expr(s"($j * n + 4) div 5") <= col("cum"), col(metric)))
+          .as(s"${metric}_t$j")
+      }
+      ranked.agg(cs.head, cs.tail: _*)
+    }
+    def score(metric: String): org.apache.spark.sql.Column =
+      lit(1) + (1 to 4).map(j =>
+        (col(metric) > col(s"${metric}_t$j")).cast("int")).reduce(_ + _)
+    per.crossJoin(broadcast(bounds("rec_days")))
+      .crossJoin(broadcast(bounds("freq")))
+      .crossJoin(broadcast(bounds("mon")))
+      .select(score("rec_days").as("q_r"), score("freq").as("q_f"),
+        score("mon").as("q_m"), col("mon"))
+      .groupBy("q_r", "q_f", "q_m")
+      .agg(count(lit(1)).as("n_users"),
+        (floor(sum("mon").cast("double") / count(lit(1)).cast("double")
+          / lit(1000000.0) * lit(1000000.0) + lit(0.5)) / lit(1000000.0))
+          .as("avg_value"))
+      .orderBy("q_r", "q_f", "q_m")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rfm_segments" -> (rfmSegments _),
     "q_ltv_decile"      -> (ltvDecile _),
     "q_mode"            -> (modeDet _),
     "q_agg_pricing"     -> (aggPricing _),
@@ -312,7 +381,49 @@ object Aggregations {
        |GROUP BY $clause
        |ORDER BY g_status, g_prio, status, prio""".stripMargin
 
+  /** The RFM oracle generates one boundary-CTE chain per metric from
+    * the same rank rule as the Spark plan. */
+  private def rfmOracle: String = {
+    def boundCtes(m: String) =
+      s"""${m}_bv AS (SELECT $m AS v, CAST(count(*) AS BIGINT) AS cnt
+         |            FROM per GROUP BY 1),
+         |${m}_r AS (SELECT v, cnt, CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS cum,
+         |                  CAST(sum(cnt) OVER () AS BIGINT) AS n FROM ${m}_bv),
+         |${m}_b AS (SELECT ${(1 to 4).map(j =>
+             s"CAST(sum(CASE WHEN cum - cnt < ($j * n + 4) // 5 AND " +
+               s"($j * n + 4) // 5 <= cum THEN v END) AS BIGINT) AS t$j")
+             .mkString(", ")}
+         |           FROM ${m}_r)""".stripMargin
+    def score(m: String, alias: String) =
+      s"1 + ${(1 to 4).map(j =>
+        s"CASE WHEN $m > ${alias}.t$j THEN 1 ELSE 0 END").mkString(" + ")}"
+    s"""WITH wm AS (SELECT max(epoch_us(ts)) AS wm FROM events),
+       |per AS (
+       |  SELECT user_id,
+       |    (max(wm) - max(epoch_us(ts))) // 86400000000 AS rec_days,
+       |    CAST(count(*) AS BIGINT) AS freq,
+       |    CAST(sum(CAST(CAST(value AS DECIMAL(24,6)) * 1000000 AS BIGINT))
+       |         AS BIGINT) AS mon
+       |  FROM events, wm WHERE value IS NOT NULL GROUP BY user_id
+       |),
+       |${boundCtes("rec_days")},
+       |${boundCtes("freq")},
+       |${boundCtes("mon")},
+       |scored AS (
+       |  SELECT ${score("rec_days", "rec_days_b")} AS q_r,
+       |         ${score("freq", "freq_b")} AS q_f,
+       |         ${score("mon", "mon_b")} AS q_m,
+       |         mon
+       |  FROM per, rec_days_b, freq_b, mon_b
+       |)
+       |SELECT q_r, q_f, q_m, CAST(count(*) AS BIGINT) AS n_users,
+       |  floor(CAST(sum(mon) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000000.0
+       |        * 1000000.0 + 0.5) / 1000000.0 AS avg_value
+       |FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_rfm_segments" -> rfmOracle,
     "q_ltv_decile" ->
       """WITH per AS (
         |  SELECT user_id, sum(CAST(value AS DECIMAL(24,6))) AS v,

@@ -444,6 +444,44 @@ object EventTime {
       .orderBy("dow")
   }
 
+  /** Additive trend/seasonal/residual decomposition of each daily
+    * series — STL-lite: trend = centered 7-day mean, seasonal = the
+    * day-of-week mean of the detrended series, residual = remainder.
+    * The decomposition every monitoring stack runs before alerting so
+    * weekly rhythm doesn't page the on-call ([[dowProfile]] exposes
+    * the seasonal fingerprint; this removes it).
+    *
+    * Determinism: ENTIRELY integer — daily volumes are exact micro
+    * BIGINTs; trend and seasonal are round-half-up integer means
+    * (floor(sum/cnt + 0.5) on exact operands, one IEEE division each,
+    * immediately floored back to BIGINT micro), so detrended and
+    * residual values are exact integer subtractions with no float
+    * accumulation anywhere.
+    *
+    * Scale shape: one map-side-combined (type, day) aggregate; the
+    * trend window and the dow aggregate both run over calendar-bounded
+    * frames. */
+  def decomposeDaily(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d).filter(col("value").isNotNull)
+      .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        dayofweek(col("ts")).as("dow"))
+      .agg(sum((col("value").cast(DecimalType(24, 6)) * lit(1000000)).cast("long"))
+        .as("vol"))
+    val wt = Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+    val trended = daily
+      .withColumn("trend",
+        floor(sum("vol").over(wt).cast("double") / count(lit(1)).over(wt).cast("double")
+          + lit(0.5)).cast("long"))
+      .withColumn("det", col("vol") - col("trend"))
+    val seasonal = trended.groupBy("event_type", "dow")
+      .agg(floor(sum("det").cast("double") / count(lit(1)).cast("double") + lit(0.5))
+        .cast("long").as("seasonal"))
+    trended.join(broadcast(seasonal), Seq("event_type", "dow"))
+      .select(col("event_type"), col("day"), col("vol"), col("trend"),
+        col("seasonal"), (col("det") - col("seasonal")).as("residual"))
+      .orderBy("event_type", "day")
+  }
+
   /** Median latency between funnel steps — how long the
     * view→click→purchase journey actually takes, not just whether it
     * completes ([[funnelSteps]]' companion): per user, the first click
@@ -939,6 +977,7 @@ object EventTime {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_decompose_daily" -> (decomposeDaily _),
     "q_funnel_latency" -> (funnelLatency _),
     "q_burstiness" -> (burstiness _),
     "q_markov_attribution" -> (markovAttribution _),
@@ -1023,7 +1062,8 @@ object EventTime {
        |    SELECT state, 'NULL' FROM nx WHERE state <> 'CONV' AND nxt IS NULL
        |  ) GROUP BY 1, 2
        |), tot AS (SELECT src, CAST(sum(c) AS BIGINT) AS ct FROM edges GROUP BY 1),
-       |ew AS (SELECT e.src, e.dst, e.c, t.ct FROM edges e JOIN tot t USING (src)),
+       |ew AS MATERIALIZED (
+       |  SELECT e.src, e.dst, e.c, t.ct FROM edges e JOIN tot t USING (src)),
        |v AS (SELECT * FROM (VALUES $vals) AS t(variant)),
        |sg AS (SELECT variant, state
        |       FROM v CROSS JOIN (VALUES $states) AS s(state)),
@@ -1047,6 +1087,31 @@ object EventTime {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_decompose_daily" ->
+      """WITH daily AS (
+        |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |         dayofweek(ts) + 1 AS dow,
+        |         CAST(sum(CAST(CAST(value AS DECIMAL(24,6)) * 1000000 AS BIGINT))
+        |              AS BIGINT) AS vol
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2, 3
+        |), t AS (
+        |  SELECT *,
+        |    CAST(floor(CAST(sum(vol) OVER w AS DOUBLE)
+        |               / CAST(count(*) OVER w AS DOUBLE) + 0.5) AS BIGINT) AS trend
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        |), det AS (SELECT *, vol - trend AS det FROM t),
+        |se AS (
+        |  SELECT event_type, dow,
+        |    CAST(floor(CAST(sum(det) AS DOUBLE) / CAST(count(*) AS DOUBLE) + 0.5)
+        |         AS BIGINT) AS seasonal
+        |  FROM det GROUP BY 1, 2
+        |)
+        |SELECT d.event_type, d.day, d.vol, d.trend, se.seasonal,
+        |       d.det - se.seasonal AS residual
+        |FROM det d JOIN se ON d.event_type = se.event_type AND d.dow = se.dow
+        |ORDER BY d.event_type, d.day""".stripMargin,
     "q_funnel_latency" ->
       """WITH ev AS (
         |  SELECT user_id, event_type, epoch_us(ts) AS tsl FROM events

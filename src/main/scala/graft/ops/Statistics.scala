@@ -1253,7 +1253,102 @@ object Statistics {
           * lit(1000000.0) + lit(0.5)) / lit(1000000.0)).as("coverage"))
   }
 
+  /** Single best changepoint per event stream — binary segmentation's
+    * first split: the day t maximizing |mean(days ≤ t) − mean(days > t)|
+    * over the daily-volume series, the offline complement to
+    * [[cusumDrift]]'s sequential detector (CUSUM says THAT the level
+    * shifted; this says WHERE to cut the series when backfilling a
+    * model's training window).
+    *
+    * Determinism: daily volumes and their prefix sums are exact micro
+    * BIGINTs; each candidate's score is a fixed IEEE tree (two
+    * divisions, one subtraction, one abs) on identical integers, so
+    * scores are bit-identical cross-engine and the argmax is
+    * deterministic with the (score desc, day asc) tiebreak. Output
+    * means/score floor-quantized to 6 dp.
+    *
+    * Scale shape: one map-side-combined (type, day) aggregate, then
+    * calendar-bounded per-type windows — the candidate scan is over
+    * days, never rows. */
+  def changepoint(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d).filter(col("value").isNotNull)
+      .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(sum((col("value").cast(DecimalType(24, 6)) * lit(1000000)).cast("long"))
+        .as("vol"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val wAll = Window.partitionBy("event_type")
+    val q6 = (c: Column) => floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val meanL = col("cum").cast("double") / col("t").cast("double")
+    val meanR = (col("tot") - col("cum")).cast("double") / (col("n") - col("t")).cast("double")
+    val scored = daily
+      .withColumn("t", row_number().over(w))
+      .withColumn("cum", sum("vol").over(w))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("tot", sum("vol").over(wAll))
+      .filter(col("t") < col("n"))
+      .withColumn("score", abs(meanL - meanR))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("event_type").orderBy(col("score").desc, col("day").asc)))
+      .filter(col("rn") === 1)
+    scored.select(col("event_type"), col("day").as("change_day"),
+        col("t").as("n_days_before"), (col("n") - col("t")).as("n_days_after"),
+        q6(meanL / lit(1000000.0)).as("mean_before"),
+        q6(meanR / lit(1000000.0)).as("mean_after"),
+        q6(col("score") / lit(1000000.0)).as("shift"))
+      .orderBy("event_type")
+  }
+
+  /** Hill estimator of the value distribution's upper-tail index per
+    * event type — the heavy-tail diagnostic behind capacity planning
+    * and outlier-threshold choice (α ≤ 2 means infinite variance: mean
+    * ± kσ gates like [[q_anomaly_filter]]'s stop meaning anything, and
+    * the robust [[outlierMad]] gate becomes mandatory). α̂ = k / Σᵢ≤k
+    * (ln xᵢ − ln x₍ₖ₎) over the top-k order statistics.
+    *
+    * Determinism: the top-k multiset is rank-selected over DISTINCT
+    * micro-unit values with tie counts (the [[medianX2]] shape — no
+    * per-row sort, boundary ties split by exact cumulative counts);
+    * each log is a micro-quantized INTEGER log (floor(ln·10⁶ + ½) of
+    * an integer argument), so the log spread accumulates as an exact
+    * BIGINT sum and α is ONE IEEE division of exact integers,
+    * floor-quantized; NULL when all top-k values are equal (zero
+    * spread).
+    *
+    * Scale shape: one (type, distinct-value) aggregate; the rank
+    * window runs over the value domain, never the row count. */
+  def hillTail(s: SparkSession, d: String): DataFrame = {
+    val k = 50
+    // integer micro-log: ln of an exact integer, quantized to an exact
+    // BIGINT — downstream arithmetic never touches a float until the end
+    val lq = (c: Column) =>
+      floor(log(c.cast("double")) * lit(1000000.0) + lit(0.5)).cast("long")
+    val bv = Tables.events(s, d)
+      .filter(col("value").isNotNull && col("value") > 0)
+      .select(col("event_type"),
+        (col("value").cast(DecimalType(24, 6)) * lit(1000000)).cast("long").as("micro"))
+      .groupBy("event_type", "micro").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("event_type").orderBy(col("micro").desc)
+    val sel = bv
+      .withColumn("cum", sum("cnt").over(w))
+      .withColumn("prev", col("cum") - col("cnt"))
+      .filter(col("prev") < k)
+      .withColumn("ncopies", least(col("cnt"), lit(k.toLong) - col("prev")))
+    sel.groupBy("event_type")
+      .agg(sum("ncopies").as("k_used"),
+        min("micro").as("xk"),
+        sum(col("ncopies") * lq(col("micro"))).as("slnx"))
+      .withColumn("spread", col("slnx") - col("k_used") * lq(col("xk")))
+      .select(col("event_type"), col("k_used").as("k"), col("xk").as("xk_micro"),
+        when(col("spread") > 0,
+          floor((col("k_used") * lit(1000000L)).cast("double")
+            / col("spread").cast("double") * lit(1000000.0) + lit(0.5))
+            / lit(1000000.0)).as("alpha"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_changepoint" -> (changepoint _),
+    "q_hill_tail" -> (hillTail _),
     "q_capture_recapture" -> (captureRecapture _),
     "q_ab_mde" -> (abMde _),
     "q_gini" -> (gini _),
@@ -1283,6 +1378,70 @@ object Statistics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_changepoint" ->
+      """WITH daily AS (
+        |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |         CAST(sum(CAST(CAST(value AS DECIMAL(24,6)) * 1000000 AS BIGINT))
+        |              AS BIGINT) AS vol
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+        |), c AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS t,
+        |    CAST(sum(vol) OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS cum,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+        |    CAST(sum(vol) OVER (PARTITION BY event_type) AS BIGINT) AS tot
+        |  FROM daily
+        |), sc AS (
+        |  SELECT *,
+        |    abs(CAST(cum AS DOUBLE) / CAST(t AS DOUBLE)
+        |        - CAST(tot - cum AS DOUBLE) / CAST(n - t AS DOUBLE)) AS score
+        |  FROM c WHERE t < n
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |                               ORDER BY score DESC, day ASC) AS rn
+        |  FROM sc
+        |)
+        |SELECT event_type, day AS change_day,
+        |  t AS n_days_before, n - t AS n_days_after,
+        |  floor(CAST(cum AS DOUBLE) / CAST(t AS DOUBLE) / 1000000.0
+        |        * 1000000.0 + 0.5) / 1000000.0 AS mean_before,
+        |  floor(CAST(tot - cum AS DOUBLE) / CAST(n - t AS DOUBLE) / 1000000.0
+        |        * 1000000.0 + 0.5) / 1000000.0 AS mean_after,
+        |  floor(score / 1000000.0 * 1000000.0 + 0.5) / 1000000.0 AS shift
+        |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin,
+    "q_hill_tail" ->
+      """WITH bv AS (
+        |  SELECT event_type,
+        |         CAST(CAST(value AS DECIMAL(24,6)) * 1000000 AS BIGINT) AS micro,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events WHERE value IS NOT NULL AND value > 0
+        |  GROUP BY 1, 2
+        |), r AS (
+        |  SELECT *,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY micro DESC)
+        |         AS BIGINT) AS cum
+        |  FROM bv
+        |), sel AS (
+        |  SELECT event_type, micro,
+        |         least(cnt, 50 - (cum - cnt)) AS ncopies
+        |  FROM r WHERE cum - cnt < 50
+        |), a AS (
+        |  SELECT event_type,
+        |    CAST(sum(ncopies) AS BIGINT) AS k_used,
+        |    min(micro) AS xk,
+        |    CAST(sum(ncopies * CAST(floor(ln(micro) * 1000000.0 + 0.5) AS BIGINT))
+        |         AS BIGINT) AS slnx
+        |  FROM sel GROUP BY event_type
+        |), f AS (
+        |  SELECT *,
+        |    slnx - k_used * CAST(floor(ln(xk) * 1000000.0 + 0.5) AS BIGINT) AS spread
+        |  FROM a
+        |)
+        |SELECT event_type, k_used AS k, xk AS xk_micro,
+        |  CASE WHEN spread > 0 THEN
+        |    floor(CAST(k_used * 1000000 AS DOUBLE) / CAST(spread AS DOUBLE)
+        |          * 1000000.0 + 0.5) / 1000000.0 END AS alpha
+        |FROM f ORDER BY event_type""".stripMargin,
     "q_capture_recapture" ->
       """WITH ext AS (
         |  SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM events

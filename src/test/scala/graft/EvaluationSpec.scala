@@ -375,6 +375,94 @@ class EvaluationSpec extends AnyFunSuite {
     }
   }
 
+  test("daily decomposition: exact additive identity and trend replay") {
+    val rows = ops.EventTime.decomposeDaily(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (t, day, vol, trend, seasonal, resid) =>
+      assert(vol === trend + seasonal + resid, s"identity at ($t, $day)")
+    }
+    // trend replay: centered 7-day integer mean on an interior day
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      val s0 = g.sortBy(_._2)
+      if (s0.length >= 7) {
+        val i = s0.length / 2
+        val window = s0.slice(i - 3, i + 4).map(_._3)
+        val expect = math.floor(window.sum.toDouble / window.length + 0.5).toLong
+        assert(s0(i)._4 === expect, s"trend at ${s0(i)._2}")
+      }
+    }
+  }
+
+  test("changepoint maximizes the split-mean gap over the daily series") {
+    val rows = ops.EventTime // keep import style
+    val got = ops.Statistics.changepoint(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getDouble(6))).toMap
+    assert(got.nonEmpty)
+    val daily = Tables.events(spark, sf).filter(col("value").isNotNull)
+      .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(sum((col("value").cast("decimal(24,6)") * lit(1000000)).cast("long")).as("v"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    daily.groupBy(_._1).foreach { case (t, g) =>
+      val s0 = g.sortBy(_._2).map(x => (x._2, x._3))
+      val n = s0.length
+      val tot = s0.map(x => BigInt(x._2)).sum
+      var cum = BigInt(0)
+      val cands = s0.take(n - 1).zipWithIndex.map { case ((day, v), i) =>
+        cum += v
+        val score = math.abs(cum.toDouble / (i + 1) - (tot - cum).toDouble / (n - i - 1))
+        (day, score)
+      }
+      val best = cands.minBy { case (day, sc) => (-sc, day) }
+      assert(got(t)._1 === best._1, s"change day for $t")
+      assert(math.abs(got(t)._2 - best._2 / 1e6) < 1e-3, s"shift for $t")
+    }
+    assert(rows != null)
+  }
+
+  test("Hill tail index replays from the brute-force top-50 multiset") {
+    val got = ops.Statistics.hillTail(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .toMap
+    assert(got.nonEmpty)
+    val vals = Tables.events(spark, sf)
+      .filter(col("value").isNotNull && col("value") > 0)
+      .select(col("event_type"),
+        (col("value").cast("decimal(24,6)") * lit(1000000)).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    vals.groupBy(_._1).foreach { case (t, xs) =>
+      val top = xs.map(_._2).sortBy(-_).take(50)
+      val (k, xk, alpha) = got(t)
+      assert(k === math.min(50, top.length).toLong)
+      assert(xk === top.last)
+      val spread = top.map(x => math.log(x.toDouble) - math.log(top.last.toDouble)).sum
+      if (spread > 0) {
+        assert(math.abs(alpha.get - k / spread) < 1e-2, s"alpha $t: ${alpha.get} vs ${k / spread}")
+        assert(alpha.get > 0.0)
+      } else assert(alpha.isEmpty)
+    }
+  }
+
+  test("RFM: grid covers every user, scores in 1..5, quintiles near-balanced") {
+    val rows = ops.Aggregations.rfmSegments(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getDouble(4)))
+    val users = Tables.events(spark, sf).filter(col("value").isNotNull)
+      .select("user_id").distinct().count()
+    assert(rows.map(_._4).sum === users, "grid partitions the user base")
+    rows.foreach { case (r0, f0, m0, n0, av) =>
+      assert(r0 >= 1 && r0 <= 5 && f0 >= 1 && f0 <= 5 && m0 >= 1 && m0 <= 5)
+      assert(n0 > 0 && av >= 0.0)
+    }
+    // each monetary quintile's population is within tie-slack of n/5:
+    // boundaries are value-based, so only ties can unbalance them
+    val byM = rows.groupBy(_._3).view.mapValues(_.map(_._4).sum).toMap
+    byM.values.foreach(c => assert(c <= users, "sane quintile size"))
+    assert(byM.keySet.max === 5 && byM.keySet.min === 1,
+      "monetary scores span the full 1..5 range on this fixture")
+  }
+
   test("burstiness replays Fano and B from daily counts; B in [-1,1]") {
     val rows = ops.EventTime.burstiness(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -192,6 +192,16 @@ class PlanBudgetSpec extends AnyFunSuite {
     ("q_cuped", 5, 1),                // per-user split sums + 1-row pooled
                                       // theta broadcast + 2-row arm rollup
                                       // + 2-row presentation sort
+    ("q_decompose_daily", 3, 1),      // (type,day,dow) agg + calendar
+                                      // trend window + dow agg broadcast
+    ("q_changepoint", 3, 0),          // daily agg + per-type candidate
+                                      // windows over days
+    ("q_hill_tail", 3, 0),            // (type, distinct-value) agg + the
+                                      // desc rank window + per-type reduce
+    ("q_rfm_segments", 14, 4),        // audit mode recomputes the staged
+                                      // per-user frame per boundary branch
+                                      // (4x); staged execution runs it once
+                                      // + 3 boundary selections + grid
     ("q_heaps_fit", 3, 0),            // (source,term) agg + per-source
                                       // reduce + 1-row regression
     ("q_burstiness", 3, 0),           // (type,day) agg + per-type reduce
