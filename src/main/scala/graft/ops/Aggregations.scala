@@ -339,7 +339,53 @@ object Aggregations {
       .orderBy("q_r", "q_f", "q_m")
   }
 
+  /** 30-day window length in µs for [[trendingParts]]. */
+  private val TrendWinUs = 30L * 86400L * 1000000L
+
+  /** Period-over-period trending parts: discounted revenue in the LAST
+    * 30 days of shipping activity vs the 30 days before that, per part;
+    * top 20 by integer per-mille growth — the "what's suddenly selling"
+    * screen a demand-forecast or catalog-curation pipeline runs daily.
+    * The window anchors on max(l_shipdate) so the query is
+    * self-contained (no wall-clock dependence).
+    *
+    * Determinism: per-row revenue goes through the [[aggPricing]]
+    * DECIMAL(24,6) quantization, then ×10⁶ to BIGINT micros — both
+    * period sums are exact integer folds, and growth is one BIGINT
+    * `div` (floor) at per-mille scale with a (growth, partkey) total
+    * order for the top-k. Overflow edge: recent_µ×1000 wraps past
+    * ~9.2·10¹⁵ µ$ (≈ $9.2B revenue per part per month) — document-scale
+    * safe by orders of magnitude; partition the window by region before
+    * that point.
+    *
+    * Scale shape: the 1-row max-shipdate frame broadcasts back; one
+    * part-keyed map-side-combinable aggregate over pre-filtered rows
+    * (everything older than two windows contributes nothing and is
+    * dropped before the shuffle); the top-k sort runs on the surviving
+    * two-period part frame. */
+  def trendingParts(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_partkey"),
+      // parquet NTZ → session-UTC timestamp (identity wall-clock) for µs math
+      unix_micros(col("l_shipdate").cast("timestamp")).as("tsl"),
+      (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast(DecimalType(24, 6)).multiply(lit(1000000L)).cast("long").as("rev_u"))
+    val mx = li.agg(max("tsl").as("md"))
+    li.crossJoin(broadcast(mx))
+      .filter(col("tsl") > col("md") - lit(2 * TrendWinUs))
+      .withColumn("rec",
+        when(col("tsl") > col("md") - lit(TrendWinUs), col("rev_u")).otherwise(lit(0L)))
+      .withColumn("pri",
+        when(col("tsl") <= col("md") - lit(TrendWinUs), col("rev_u")).otherwise(lit(0L)))
+      .groupBy("l_partkey")
+      .agg(sum("rec").as("rev_recent_u"), sum("pri").as("rev_prior_u"))
+      .filter(col("rev_prior_u") > 0 && col("rev_recent_u") > 0)
+      .withColumn("growth_pm", expr("rev_recent_u * 1000 div rev_prior_u"))
+      .orderBy(col("growth_pm").desc, col("l_partkey").asc)
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_trending_parts" -> (trendingParts _),
     "q_rfm_segments" -> (rfmSegments _),
     "q_ltv_decile"      -> (ltvDecile _),
     "q_mode"            -> (modeDet _),
@@ -423,6 +469,28 @@ object Aggregations {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_trending_parts" ->
+      s"""WITH li AS (
+         |  SELECT l_partkey, epoch_us(l_shipdate) AS tsl,
+         |         CAST(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))
+         |              * 1000000 AS BIGINT) AS rev_u
+         |  FROM lineitem
+         |), mx AS (SELECT max(tsl) AS md FROM li),
+         |p AS (
+         |  SELECT l_partkey,
+         |         CAST(sum(CASE WHEN tsl > md - $TrendWinUs THEN rev_u ELSE 0 END)
+         |              AS BIGINT) AS rev_recent_u,
+         |         CAST(sum(CASE WHEN tsl <= md - $TrendWinUs THEN rev_u ELSE 0 END)
+         |              AS BIGINT) AS rev_prior_u
+         |  FROM li, mx
+         |  WHERE tsl > md - ${2 * TrendWinUs}
+         |  GROUP BY 1
+         |)
+         |SELECT l_partkey, rev_recent_u, rev_prior_u,
+         |       CAST(rev_recent_u * 1000 // rev_prior_u AS BIGINT) AS growth_pm
+         |FROM p WHERE rev_prior_u > 0 AND rev_recent_u > 0
+         |ORDER BY growth_pm DESC, l_partkey ASC
+         |LIMIT 20""".stripMargin,
     "q_rfm_segments" -> rfmOracle,
     "q_ltv_decile" ->
       """WITH per AS (

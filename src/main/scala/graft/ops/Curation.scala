@@ -429,7 +429,31 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** l-diversity audit — the companion [[kAnonymity]] needs before a
+    * release is actually safe: a class can hold k≥10 members and STILL
+    * leak if they all share the sensitive attribute (the homogeneity
+    * attack k-anonymity ignores). Here the released quasi-identifiers
+    * are (source, 100-char length bucket) and the sensitive attribute
+    * is lang: a class with l_div = 1 tells an attacker every matching
+    * doc's language with certainty.
+    *
+    * Determinism: exact COUNT(DISTINCT) over a bounded attribute
+    * domain; everything integer. Scale shape: one map-side-combinable
+    * aggregate over the bounded QI grid (sources × length buckets);
+    * the distinct-lang count shuffles (QI, lang) pairs — bounded by
+    * grid × language inventory, never corpus-sized. */
+  def lDiversity(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(col("source"),
+        floor(col("n_chars") / lit(100)).cast("long").as("len_bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("lang")).as("l_div"))
+      .withColumn("below_l", (col("l_div") < 2).cast("int"))
+      .orderBy("source", "len_bucket")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_l_diversity"    -> (lDiversity _),
     "q_quality_rules"  -> (qualityRules _),
     "q_quantile_norm"  -> (quantileNorm _),
     "q_source_overlap" -> (sourceOverlap _),
@@ -461,6 +485,15 @@ object Curation {
     s"list_distinct(list_transform(range(1, len($WordsSql)), i -> $WordsSql[i] || ' ' || $WordsSql[i+1]))"
 
   val oracle: Map[String, String] = Map(
+    "q_l_diversity" ->
+      """SELECT source,
+        |       CAST(floor(n_chars / 100.0) AS BIGINT) AS len_bucket,
+        |       count(*) AS n,
+        |       CAST(count(DISTINCT lang) AS BIGINT) AS l_div,
+        |       CAST(count(DISTINCT lang) < 2 AS INTEGER) AS below_l
+        |FROM documents
+        |GROUP BY 1, 2
+        |ORDER BY source, len_bucket""".stripMargin,
     "q_quality_rules" ->
       s"""WITH ws AS (
          |  SELECT doc_id,

@@ -591,7 +591,29 @@ object Dedup {
       .orderBy("group_size")
   }
 
+  /** Near-dup CLUSTER-size distribution: the [[dedupClusters]] transitive
+    * closure reduced to its shape — (cluster_size, n_clusters). The
+    * companion audit to [[dedupNorm]]'s exact histogram: exact groups say
+    * how much byte-identity collapse is available; cluster sizes say how
+    * much *fuzzy* collapse LSH finds, and a heavy tail here (one giant
+    * component) is the classic sign of an over-permissive banding scheme
+    * chaining unrelated docs — the first chart a dedup operator looks at
+    * before committing a survivor policy.
+    *
+    * Determinism: inherits [[dedupClusters]]'s min-label fixpoint (exact
+    * integer labels, engine-replayed via the recursive CTE); the two
+    * count aggregates are exact. Scale shape: the closure's labels frame
+    * is (doc_id, cluster) — two further keyed aggregates over it, the
+    * second over the size domain (≤ max component size). Nothing beyond
+    * [[dedupClusters]]'s own cost. */
+  def componentSizes(s: SparkSession, d: String): DataFrame =
+    dedupClusters(s, d)
+      .groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .orderBy("cluster_size")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_component_sizes" -> (componentSizes _),
     "q_dedup_norm"     -> (dedupNorm _),
     "q_dedup_exact"    -> (dedupExact _),
     "q_dedup_compare"  -> (dedupMethodCompare _),
@@ -929,6 +951,12 @@ object Dedup {
          |       CAST(cluster < doc_id AS INTEGER) AS is_dup
          |FROM clusters
          |ORDER BY doc_id""".stripMargin,
+    "q_component_sizes" ->
+      s"""$ClustersCteSql, sz AS (
+         |  SELECT cluster, count(*) AS cluster_size FROM clusters GROUP BY cluster
+         |)
+         |SELECT cluster_size, count(*) AS n_clusters
+         |FROM sz GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
     "q_dedup_incremental" ->
       s"""WITH $BandBucketsCteBody, ws AS (
          |  SELECT b.doc_id, b.bkey, d.source

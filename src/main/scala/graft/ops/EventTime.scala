@@ -976,7 +976,81 @@ object EventTime {
       .orderBy("user_id")
   }
 
+  /** Coverage horizon for [[intervalUnion]]: each event "covers" the 10
+    * minutes after it fires (the attention/activity horizon an engagement
+    * model assigns to an interaction). */
+  private val CoverMicros = 600L * 1000 * 1000
+
+  /** Sweep-line interval union: each event covers [ts, ts+10min); per user,
+    * the total UNION length of those intervals in µs — overlapping covers
+    * merge instead of double-counting (the classic "active time" metric:
+    * 100 events in one burst ≈ 10 minutes of activity, not 1000). The
+    * sweep is one pass: with events in (ts, event_id) order, the union
+    * gained by an event is its end minus the running max of all previous
+    * ends, clamped to its own span — the standard sweep-line recurrence
+    * expressed as a window, no self-join over intervals.
+    *
+    * Determinism: everything is BIGINT µs (starts, ends, running max,
+    * clamped differences, sums) — no division, no floats. The running-max
+    * frame is order-dependent only up to ties in ts, where the event_id
+    * tiebreak fixes a total order; max over a prefix is then
+    * order-independent.
+    *
+    * Scale shape: one user-keyed exchange; the window sorts only within a
+    * user's own events; output is user-cardinality. At 100 TB this is the
+    * same shape as sessionization — no interval self-join (the naive
+    * formulation) ever materializes. */
+  def intervalUnion(s: SparkSession, d: String): DataFrame = {
+    val wPrev = Window.partitionBy("user_id")
+      .orderBy(col("tsl").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tsl"))
+      .withColumn("endl", col("tsl") + lit(CoverMicros))
+      .withColumn("prev_max_end", max(col("endl")).over(wPrev))
+      .withColumn("gain",
+        greatest(lit(0L), col("endl") - greatest(col("tsl"), coalesce(col("prev_max_end"), col("tsl")))))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum("gain").as("covered_us"),
+        sum((col("gain") === 0L).cast("long")).as("n_contained"))
+      .orderBy("user_id")
+  }
+
+  /** Out-of-order arrival audit — the batch measurement that sizes a
+    * streaming watermark: with arrival order proxied by the monotonic
+    * ingest id (event_id) within each user, an event's lateness is how far
+    * its event-time sits behind the running max event-time of everything
+    * that arrived before it. `max(late)` is the smallest per-user watermark
+    * delay that would have dropped nothing; the late-fraction says how much
+    * state a tighter watermark sacrifices.
+    *
+    * Determinism: BIGINT µs end to end (running max, clamped differences,
+    * counts) — no division, no floats; arrival order is the unique
+    * event_id. Scale shape: one user-keyed exchange, per-user sorts,
+    * then a 5-row per-type reduce — the events table is never globally
+    * sorted (a GLOBAL arrival order would be a single-partition window;
+    * per-key arrival is the shape a partitioned ingest actually has). */
+  def latenessAudit(s: SparkSession, d: String): DataFrame = {
+    val wPrev = Window.partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"), unix_micros(col("ts")).as("tsl"))
+      .withColumn("late_us",
+        greatest(lit(0L), coalesce(max(col("tsl")).over(wPrev), col("tsl")) - col("tsl")))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum((col("late_us") > 0L).cast("long")).as("n_late"),
+        max("late_us").as("max_late_us"),
+        sum("late_us").as("sum_late_us"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_interval_union" -> (intervalUnion _),
+    "q_lateness_audit" -> (latenessAudit _),
     "q_decompose_daily" -> (decomposeDaily _),
     "q_funnel_latency" -> (funnelLatency _),
     "q_burstiness" -> (burstiness _),
@@ -1087,6 +1161,45 @@ object EventTime {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_interval_union" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tsl,
+        |         epoch_us(ts) + 600000000 AS endl
+        |  FROM events
+        |), sw AS (
+        |  SELECT user_id, endl, tsl,
+        |         max(endl) OVER (PARTITION BY user_id
+        |                         ORDER BY tsl ASC, event_id ASC
+        |                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           AS prev_max_end
+        |  FROM e
+        |), g AS (
+        |  SELECT user_id,
+        |         greatest(0, endl - greatest(tsl, coalesce(prev_max_end, tsl))) AS gain
+        |  FROM sw
+        |)
+        |SELECT user_id,
+        |       count(*) AS n_events,
+        |       CAST(sum(gain) AS BIGINT) AS covered_us,
+        |       CAST(sum(CAST(gain = 0 AS BIGINT)) AS BIGINT) AS n_contained
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_lateness_audit" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tsl FROM events
+        |), sw AS (
+        |  SELECT event_type, tsl,
+        |         greatest(0, coalesce(max(tsl) OVER (PARTITION BY user_id
+        |                    ORDER BY event_id
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), tsl)
+        |                    - tsl) AS late_us
+        |  FROM e
+        |)
+        |SELECT event_type,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(late_us > 0 AS BIGINT)) AS BIGINT) AS n_late,
+        |       max(late_us) AS max_late_us,
+        |       CAST(sum(late_us) AS BIGINT) AS sum_late_us
+        |FROM sw GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_decompose_daily" ->
       """WITH daily AS (
         |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,

@@ -231,7 +231,35 @@ object Graph {
       .orderBy("supp_a", "supp_b")
   }
 
+  /** Market-basket co-occurrence: pairs of parts appearing in the same
+    * order, counted across orders — the item-item co-purchase graph a
+    * recommender or "frequently bought together" feature is built from.
+    * Top 100 pairs by support, fully-ordered tiebreak for determinism.
+    *
+    * Scale shape: the self-join is keyed on l_orderkey, so each join
+    * block is one order's distinct part list — bounded by order SIZE
+    * (≤7 lines in TPC-H-shaped data), not by catalog or order count.
+    * That intrinsic bound is what makes per-order pair generation safe
+    * at 100 TB (contrast [[jaccardNeighbors]], where customer fan-out is
+    * unbounded and needs an explicit degree cap). The pair aggregate
+    * shuffles only (part_a, part_b, count) triples; the support≥2 filter
+    * drops the long singleton tail before the final top-k sort. */
+  def copurchasePairs(s: SparkSession, d: String): DataFrame = {
+    val li = graft.util.Ckpt.stage(
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct())
+    li.select(col("o"), col("p").as("part_a"))
+      .join(li.select(col("o"), col("p").as("part_b")), "o")
+      .filter(col("part_a") < col("part_b"))
+      .groupBy("part_a", "part_b").agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= 2)
+      .orderBy(col("n_orders").desc, col("part_a").asc, col("part_b").asc)
+      .limit(100)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_copurchase_pairs" -> (copurchasePairs _),
     "q_jaccard_neighbors" -> (jaccardNeighbors _),
     "q_degree_dist" -> (degreeDist _),
     "q_pagerank"  -> (pagerank _),
@@ -283,6 +311,16 @@ object Graph {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_copurchase_pairs" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        |)
+        |SELECT a.p AS part_a, b.p AS part_b, count(*) AS n_orders
+        |FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+        |GROUP BY 1, 2
+        |HAVING count(*) >= 2
+        |ORDER BY n_orders DESC, part_a ASC, part_b ASC
+        |LIMIT 100""".stripMargin,
     "q_jaccard_neighbors" ->
       s"""WITH pairs AS (
          |  SELECT DISTINCT o_custkey AS c, l_suppkey AS p

@@ -1235,6 +1235,7 @@ object Similarity {
     "q_ann_ivfpq" -> (annIvfPq _),
     "q_ann_ivfpq_served" -> (annIvfPqServed _),
     "q_ann_recall" -> (annRecall _),
+    "q_mrr" -> (mrrLabel _),
     "q_cluster_purity" -> (clusterPurity _),
     "q_rrf_fusion" -> (rrfFusion _),
     "q_ndcg" -> (ndcgAt5 _),
@@ -1267,6 +1268,39 @@ object Similarity {
       .select(col("qid"), col("n_rel"), col("dcg_scaled"),
         (floor(col("dcg_scaled").cast("double") / lit(2948457.0)
           * lit(1000000.0) + lit(0.5)) / lit(1000000.0)).as("ndcg"))
+      .orderBy("qid")
+  }
+
+  /** Label-relevance MRR over the exact cosine ranking: per probe, the
+    * reciprocal rank of the FIRST top-10 neighbor sharing the probe's
+    * label (0 if none) — the third leg of the retrieval-eval family:
+    * [[annRecall]] scores the index against exact search, [[ndcgAt5]]
+    * scores slot placement, MRR scores "how far down is the first
+    * relevant hit", the metric QA dashboards for retrieval-augmented
+    * training data report first.
+    *
+    * Determinism: relevance is exact label equality; the first-hit rank
+    * is an integer MIN over the top-10 window rows; the reciprocal is
+    * INTEGER-scaled (1000000 div rn — the [[rrfFusion]] recipe), so no
+    * float appears anywhere. Absent hits surface as rank 0 / rr 0
+    * (coalesced on both engines — no NULL typing drift).
+    *
+    * Scale shape: the ranking leg is [[cosineTopk]]'s own audited plan;
+    * this adds one corpus-keyed equi-join to tag neighbor labels (narrow
+    * (vec_id, label) pairs — NOT broadcast: label cardinality is corpus
+    * cardinality), one broadcast of the probe-set labels, and a
+    * ≤10-rows-per-probe aggregate. */
+  def mrrLabel(s: SparkSession, d: String): DataFrame = {
+    val lab = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+    cosineTopk(s, d)
+      .join(broadcast(lab.select(col("vec_id").as("qid"), col("label").as("q_label"))), "qid")
+      .join(lab.select(col("vec_id"), col("label").as("n_label")), "vec_id")
+      .groupBy("qid", "q_label")
+      .agg(
+        coalesce(min(when(col("n_label") === col("q_label"), col("rn"))), lit(0)).as("first_rel_rn"),
+        sum((col("n_label") === col("q_label")).cast("long")).as("n_rel_topk"))
+      .withColumn("rr_ppm",
+        when(col("first_rel_rn") > 0, expr("1000000 div first_rel_rn")).otherwise(lit(0L)))
       .orderBy("qid")
   }
 
@@ -1826,6 +1860,25 @@ object Similarity {
          |       floor(CAST(sum(rel * w) AS DOUBLE) / 2948457.0
          |             * 1000000.0 + 0.5) / 1000000.0 AS ndcg
          |FROM j GROUP BY qid ORDER BY qid""".stripMargin,
+    "q_mrr" ->
+      s"""WITH exact_t AS (
+         |$cosineTopkOracle
+         |), lab AS (SELECT vec_id, label FROM embeddings),
+         |j AS (
+         |  SELECT e.qid, ql.label AS q_label, e.rn,
+         |         CASE WHEN nl.label = ql.label THEN 1 ELSE 0 END AS rel
+         |  FROM exact_t e
+         |  JOIN lab ql ON e.qid = ql.vec_id
+         |  JOIN lab nl ON e.vec_id = nl.vec_id
+         |)
+         |SELECT qid, q_label,
+         |       CAST(coalesce(min(CASE WHEN rel = 1 THEN rn END), 0) AS INTEGER)
+         |         AS first_rel_rn,
+         |       CAST(sum(rel) AS BIGINT) AS n_rel_topk,
+         |       CAST(CASE WHEN coalesce(min(CASE WHEN rel = 1 THEN rn END), 0) > 0
+         |                 THEN 1000000 // min(CASE WHEN rel = 1 THEN rn END)
+         |                 ELSE 0 END AS BIGINT) AS rr_ppm
+         |FROM j GROUP BY qid, q_label ORDER BY qid""".stripMargin,
     "q_rrf_fusion" ->
       s"""WITH exact_t AS (
          |$cosineTopkOracle

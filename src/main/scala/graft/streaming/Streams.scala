@@ -451,6 +451,47 @@ object Streams {
       }
   }
 
+  case class Lateness(user_id: Long, event_id: Long, event_type: String,
+      late_us: Long)
+
+  /** Streaming out-of-order audit — the in-flight twin of
+    * `graft.ops.EventTime.latenessAudit`: per user, track the running max
+    * event-time over ARRIVAL order (event_id within a batch; batch order
+    * across batches) and emit each event's lateness — how far its
+    * event-time sits behind everything that already arrived. Feeding the
+    * emitted frame into the same per-type aggregate reproduces the batch
+    * audit exactly (the equivalence law `StreamingSpec` asserts), which is
+    * the tool that sizes a watermark ON the live stream rather than in
+    * nightly hindsight.
+    *
+    * Ordering contract: like [[transitions]], a later micro-batch must
+    * not deliver earlier ARRIVALS of the same user (any in-order source);
+    * within a batch, rows sort by event_id — the replay is then exactly
+    * the batch window's.
+    *
+    * Scale shape: state is ONE long per active user (the running max);
+    * emission is append-mode, one row per input row, and the downstream
+    * per-type aggregate is map-side over |types| keys. */
+  def latenessStream(events: Dataset[TypedEvent]): Dataset[Lateness] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, Lateness](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[TypedEvent], state: GroupState[Long]) =>
+          val sorted = rows.toSeq.sortBy(_.event_id)
+          val out = Seq.newBuilder[Lateness]
+          var maxT = state.getOption.getOrElse(Long.MinValue)
+          sorted.foreach { e =>
+            val late = if (maxT > e.tsMicros) maxT - e.tsMicros else 0L
+            out += Lateness(userId, e.event_id, e.event_type, late)
+            if (e.tsMicros > maxT) maxT = e.tsMicros
+          }
+          state.update(maxT)
+          out.result().iterator
+      }
+  }
+
   case class UserRunning(user_id: Long, n_events: Long, max_value: Double)
 
   /** Per-user running statistics through `transformWithState` — Spark 4's

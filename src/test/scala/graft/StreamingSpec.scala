@@ -502,4 +502,40 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(streamed === batch, s"streamed $streamed vs batch $batch")
   }
+
+  test("lateness stream: cross-batch running max and equivalence with the batch audit window") {
+    import graft.streaming.Streams.{Lateness, TypedEvent}
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[TypedEvent]
+    val b1 = Seq(
+      TypedEvent(1, 1, 100, "view"), TypedEvent(1, 2, 50, "click"), // 50 is late by 50
+      TypedEvent(2, 3, 900, "view"))
+    val b2 = Seq(
+      // u1's in-order arrival; u2's arrival far behind the batch-1 max
+      TypedEvent(1, 4, 300, "purchase"),
+      TypedEvent(2, 5, 100, "view"))
+    val out = Streams.latenessStream(ms.toDS())
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("lateness_out").start()
+    try {
+      ms.addData(b1: _*); q.processAllAvailable()
+      ms.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("lateness_out").as[Lateness].collect()
+      .map(l => l.event_id -> l.late_us).toMap
+    // cross-batch: user 2's batch-2 event must see batch-1's max (900)
+    assert(streamed(5L) == 800L, "state not carried across batches")
+    assert(streamed(2L) == 50L && streamed(1L) == 0L && streamed(4L) == 0L)
+    // full equivalence: the batch audit's running-max window over the union
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val batch = (b1 ++ b2).toDS().toDF()
+      .withColumn("late_us",
+        greatest(lit(0L), coalesce(max(col("tsMicros")).over(w), col("tsMicros")) - col("tsMicros")))
+      .select("event_id", "late_us").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed === batch, s"streamed $streamed vs batch $batch")
+  }
 }
