@@ -236,22 +236,31 @@ object Graph {
     * recommender or "frequently bought together" feature is built from.
     * Top 100 pairs by support, fully-ordered tiebreak for determinism.
     *
-    * Scale shape: the self-join is keyed on l_orderkey, so each join
-    * block is one order's distinct part list — bounded by order SIZE
-    * (≤7 lines in TPC-H-shaped data), not by catalog or order count.
-    * That intrinsic bound is what makes per-order pair generation safe
-    * at 100 TB (contrast [[jaccardNeighbors]], where customer fan-out is
-    * unbounded and needs an explicit degree cap). The pair aggregate
-    * shuffles only (part_a, part_b, count) triples; the support≥2 filter
-    * drops the long singleton tail before the final top-k sort. */
+    * Scale shape: TWO exchanges total — an order-keyed aggregate that
+    * builds each order's sorted distinct part array, and the pair-count
+    * aggregate over (part_a, part_b, count) triples. Pair generation is
+    * row-local array expansion, bounded by order SIZE (≤7 lines in
+    * TPC-H-shaped data, so ≤21 pairs/row), not by catalog or order count
+    * — that intrinsic bound is what makes it safe at 100 TB (contrast
+    * [[jaccardNeighbors]], where customer fan-out is unbounded and needs
+    * an explicit degree cap). The support≥2 filter drops the long
+    * singleton tail before the final top-k, which is a TakeOrdered, not
+    * a global sort. */
   def copurchasePairs(s: SparkSession, d: String): DataFrame = {
-    val li = graft.util.Ckpt.stage(
-      Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct())
-    li.select(col("o"), col("p").as("part_a"))
-      .join(li.select(col("o"), col("p").as("part_b")), "o")
-      .filter(col("part_a") < col("part_b"))
+    // one order-keyed aggregate builds each order's sorted distinct part
+    // set (collect_set dedups in the same exchange a distinct would cost
+    // on its own); pairs are generated ROW-LOCALLY from the array with
+    // nested transform/slice — strictly ordered, so part_a < part_b by
+    // construction — instead of a second order-keyed self-join exchange
+    val pairs = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+          |  transform(slice(ps, i + 2, size(ps)),
+          |            y -> struct(x AS part_a, y AS part_b))))""".stripMargin)).as("pr"))
+      .select(col("pr.part_a"), col("pr.part_b"))
+    pairs
       .groupBy("part_a", "part_b").agg(count(lit(1)).as("n_orders"))
       .filter(col("n_orders") >= 2)
       .orderBy(col("n_orders").desc, col("part_a").asc, col("part_b").asc)

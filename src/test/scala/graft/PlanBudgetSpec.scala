@@ -356,6 +356,23 @@ class PlanBudgetSpec extends AnyFunSuite {
                                       // + per-dim sum agg per pass, 64-row
                                       // iterate + 1-row norm broadcast
                                       // back each pass (audited 16, +2)
+    ("q_copurchase_pairs", 3, 0),     // order-keyed array agg + pair agg;
+                                      // pair gen row-local; top-k is
+                                      // TakeOrdered (audited 2, +1)
+    ("q_interval_union", 3, 0),       // one user-keyed exchange shared by
+                                      // window + agg; final sort
+                                      // (audited 2, +1)
+    ("q_lateness_audit", 4, 0),       // user-keyed window, |types|-row agg
+                                      // (audited 3, +1)
+    ("q_l_diversity", 4, 0),          // QI-grid distinct-count aggregate
+                                      // (audited 3, +1)
+    ("q_trending_parts", 4, 1),       // 1-row max-shipdate broadcast back;
+                                      // part-keyed agg; TakeOrdered top-k
+                                      // (audited 2, +2)
+    ("q_mrr", 4, 1),                  // cosineTopk leg + corpus-keyed
+                                      // label join (NOT broadcast) + probe
+                                      // agg; probe labels broadcast
+                                      // (audited 2 + recompute headroom)
   )
 
   budgets.foreach { case (name, maxShuffles, minBcasts) =>
