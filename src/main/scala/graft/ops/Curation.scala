@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Tables
 import graft.functions.TextFeatures.words
+import graft.util.Det.{dsum, q4}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -452,7 +453,89 @@ object Curation {
       .withColumn("below_l", (col("l_div") < 2).cast("int"))
       .orderBy("source", "len_bucket")
 
+  /** Quality→tokens retention curve — the selection chart every curation
+    * decision starts from: for each quality decile threshold, how many
+    * documents and tokens survive a "keep quality ≥ t" gate, and what
+    * share of the corpus' tokens that is. [[qualityQuantile]] scores
+    * docs; this aggregates the trade-off (cut at 0.5 keeps X% of tokens)
+    * so the threshold is chosen ON the curve, not by feel.
+    *
+    * Determinism: the score is the oracled [[TextAnalysis.qualityExpr]]
+    * (4-dp); the decile bucket is floor(q·10) — one IEEE multiply+floor
+    * on identical doubles, so even boundary-ulp cases land identically
+    * in both engines; counts/sums/cumulative sums are BIGINT; the token
+    * share is one integer ppm division. Deciles with no documents are
+    * absent on both sides alike.
+    *
+    * Scale shape: one map-side-combinable aggregate to ≤10 decile rows;
+    * the reverse-cumulative window runs over those ≤10 rows (the only
+    * unpartitioned window, constant-bounded by construction); the 1-row
+    * token total broadcasts back. The corpus is scanned once and never
+    * shuffled. */
+  def retentionCurve(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.documents(s, d).select(
+      least(lit(9L), floor(TextAnalysis.qualityExpr * lit(10.0)).cast("long")).as("bucket"),
+      size(split(col("text"), " ")).cast("long").as("toks"))
+    val b = per.groupBy("bucket")
+      .agg(count(lit(1)).as("nd"), sum("toks").as("nt"))
+    val w = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = per.agg(sum("toks").as("tot"))
+    b.select(col("bucket"),
+        sum("nd").over(w).as("n_docs"),
+        sum("nt").over(w).as("n_tokens"))
+      .crossJoin(broadcast(tot))
+      .withColumn("token_share_ppm", expr("n_tokens * 1000000 div tot"))
+      .drop("tot")
+      .orderBy("bucket")
+  }
+
+  /** Per-source datasheet — the one-frame "data card" a corpus release
+    * ships with: volume (docs, tokens, chars), language breadth, exact-
+    * duplicate rate, and mean quality, per source. Each column summarizes
+    * an audited family (dedup share ↔ q_dedup_exact, quality ↔
+    * q_quality_score) so the card is a rollup of numbers the engine
+    * already proves, not a parallel implementation.
+    *
+    * Determinism: tokens/chars/dup counts are BIGINT; the dup flag is
+    * doc_id > min(doc_id) over the md5 digest partition (exact); means
+    * go through the DECIMAL(24,6) sum then one division + 4-dp
+    * floor-quantize (the q4 rule); the dup rate is an integer ppm
+    * division.
+    *
+    * Scale shape: tokens/quality/digest are computed ROW-LOCALLY first,
+    * so the digest-partition window shuffles narrow (digest, source,
+    * lang, counters) rows — document bodies never exchange (the
+    * q_dedup_exact discipline); then one map-side-combinable per-source
+    * aggregate over the ≤|sources| grid. Two exchanges total. */
+  def sourceDatasheet(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("k")
+    val rows = Tables.documents(s, d).select(
+      col("doc_id"), col("source"), col("lang"), col("n_chars"),
+      size(split(col("text"), " ")).cast("long").as("toks"),
+      TextAnalysis.qualityExpr.as("q"),
+      md5(col("text")).as("k"))
+    rows
+      .withColumn("is_dup", (col("doc_id") > min("doc_id").over(w)).cast("long"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("toks").as("n_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum("is_dup").as("n_dups"),
+        sum("n_chars").as("sum_chars"),
+        dsum(col("q")).as("sum_q"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_langs"),
+        col("n_dups"),
+        expr("n_dups * 1000000 div n_docs").as("dup_ppm"),
+        q4(col("sum_q") / col("n_docs")).as("avg_quality"),
+        q4(col("sum_chars").cast("double") / col("n_docs")).as("avg_chars"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_source_datasheet" -> (sourceDatasheet _),
+    "q_retention_curve" -> (retentionCurve _),
     "q_l_diversity"    -> (lDiversity _),
     "q_quality_rules"  -> (qualityRules _),
     "q_quantile_norm"  -> (quantileNorm _),
@@ -485,6 +568,48 @@ object Curation {
     s"list_distinct(list_transform(range(1, len($WordsSql)), i -> $WordsSql[i] || ' ' || $WordsSql[i+1]))"
 
   val oracle: Map[String, String] = Map(
+    "q_source_datasheet" ->
+      s"""WITH rows_t AS (
+         |  SELECT doc_id, source, lang, n_chars,
+         |         CAST(len($WordsSql) AS BIGINT) AS toks,
+         |         $QualitySql AS q,
+         |         md5(text) AS k
+         |  FROM documents
+         |), fl AS (
+         |  SELECT source, lang, n_chars, toks, q,
+         |         CAST(doc_id > min(doc_id) OVER (PARTITION BY k) AS BIGINT) AS is_dup
+         |  FROM rows_t
+         |)
+         |SELECT source,
+         |       count(*) AS n_docs,
+         |       CAST(sum(toks) AS BIGINT) AS n_tokens,
+         |       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         |       CAST(sum(is_dup) AS BIGINT) AS n_dups,
+         |       CAST(sum(is_dup) * 1000000 // count(*) AS BIGINT) AS dup_ppm,
+         |       floor(CAST(sum(CAST(q AS DECIMAL(24,6))) AS DOUBLE) / count(*)
+         |             * 10000 + 0.5) / 10000 AS avg_quality,
+         |       floor(CAST(sum(n_chars) AS DOUBLE) / count(*)
+         |             * 10000 + 0.5) / 10000 AS avg_chars
+         |FROM fl GROUP BY source ORDER BY source""".stripMargin,
+    "q_retention_curve" ->
+      s"""WITH per AS (
+         |  SELECT least(9, CAST(floor($QualitySql * 10.0) AS BIGINT)) AS bucket,
+         |         CAST(len($WordsSql) AS BIGINT) AS toks
+         |  FROM documents
+         |), b AS (
+         |  SELECT bucket, count(*) AS nd, CAST(sum(toks) AS BIGINT) AS nt
+         |  FROM per GROUP BY bucket
+         |), c AS (
+         |  SELECT bucket,
+         |         CAST(sum(nd) OVER w AS BIGINT) AS n_docs,
+         |         CAST(sum(nt) OVER w AS BIGINT) AS n_tokens
+         |  FROM b
+         |  WINDOW w AS (ORDER BY bucket DESC
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |), t AS (SELECT CAST(sum(toks) AS BIGINT) AS tot FROM per)
+         |SELECT bucket, n_docs, n_tokens,
+         |       CAST(n_tokens * 1000000 // tot AS BIGINT) AS token_share_ppm
+         |FROM c, t ORDER BY bucket""".stripMargin,
     "q_l_diversity" ->
       """SELECT source,
         |       CAST(floor(n_chars / 100.0) AS BIGINT) AS len_bucket,

@@ -612,7 +612,30 @@ object Dedup {
       .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
       .orderBy("cluster_size")
 
+  /** Candidate-pair similarity histogram — the banding-quality audit for
+    * the LSH pipeline: bucket the [[ngramJaccard]] candidate pairs by
+    * their exact Jaccard (decile bins). Mass piled in the low bins means
+    * the blocking scheme wastes verification work on near-misses (bands
+    * too permissive); mass at the top is real duplication. Read next to
+    * [[componentSizes]], this is how (b, r) gets re-tuned before a 100 TB
+    * run — from measured candidate quality, not the theoretical S-curve.
+    *
+    * Determinism: the bucket is floor(jaccard·10) on the 4-dp audited
+    * similarity (one IEEE multiply+floor on identical doubles); counts
+    * and intersection sums are BIGINT. Scale shape: one ≤10-row
+    * aggregate over the pair frame — nothing beyond [[ngramJaccard]]'s
+    * own bounded-block cost. */
+  def jaccardHist(s: SparkSession, d: String): DataFrame =
+    ngramJaccard(s, d)
+      .select(
+        least(lit(9L), floor(col("jaccard") * lit(10.0)).cast("long")).as("bucket"),
+        col("inter"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_pairs"), sum("inter").cast("long").as("sum_inter"))
+      .orderBy("bucket")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_jaccard_hist" -> (jaccardHist _),
     "q_component_sizes" -> (componentSizes _),
     "q_dedup_norm"     -> (dedupNorm _),
     "q_dedup_exact"    -> (dedupExact _),
@@ -1007,14 +1030,15 @@ object Dedup {
          |SELECT f.doc_id, f.fp, k.keeper, CAST(k.keeper < f.doc_id AS INTEGER) AS is_dup
          |FROM f JOIN k USING (fp)
          |ORDER BY doc_id""".stripMargin,
-    "q_ngram_jaccard" ->
-      s"""WITH $PairCtesSql
-         |SELECT d1, d2, inter, jaccard FROM (
-         |  SELECT d1, d2, inter,
-         |         round(inter / (sa.n + sb.n - inter), 4) AS jaccard
-         |  FROM p JOIN sz sa ON p.d1 = sa.doc_id JOIN sz sb ON p.d2 = sb.doc_id) t
-         |WHERE jaccard >= 0.05
-         |ORDER BY d1, d2""".stripMargin,
+    "q_ngram_jaccard" -> NgramJaccardOracleSql,
+    "q_jaccard_hist" ->
+      s"""WITH pairs_t AS (
+         |$NgramJaccardOracleSql
+         |)
+         |SELECT least(9, CAST(floor(jaccard * 10.0) AS BIGINT)) AS bucket,
+         |       count(*) AS n_pairs,
+         |       CAST(sum(inter) AS BIGINT) AS sum_inter
+         |FROM pairs_t GROUP BY 1 ORDER BY bucket""".stripMargin,
     "q_containment" ->
       s"""WITH $PairCtesSql
          |SELECT d1, d2, inter, n1, n2, cont_a_in_b, cont_b_in_a FROM (
@@ -1030,6 +1054,18 @@ object Dedup {
     * `bg0`/`bg`/`sz`/`p`): df-capped bigram incidence, per-doc sizes, and
     * blocked pair-intersection counts — shared by the jaccard and
     * containment oracles so the blocking semantics live in one place. */
+  /** The [[ngramJaccard]] oracle as a reusable statement — the
+    * q_jaccard_hist oracle composes it verbatim, so the histogram is
+    * definitionally over the audited pair frame. */
+  private lazy val NgramJaccardOracleSql: String =
+    s"""WITH $PairCtesSql
+       |SELECT d1, d2, inter, jaccard FROM (
+       |  SELECT d1, d2, inter,
+       |         round(inter / (sa.n + sb.n - inter), 4) AS jaccard
+       |  FROM p JOIN sz sa ON p.d1 = sa.doc_id JOIN sz sb ON p.d2 = sb.doc_id) t
+       |WHERE jaccard >= 0.05
+       |ORDER BY d1, d2""".stripMargin
+
   private lazy val PairCtesSql: String =
     s"""bg0 AS (
        |  SELECT doc_id, lang, source, unnest($BigramsSql) AS b FROM documents

@@ -1,0 +1,77 @@
+package graft
+
+import graft.ops.{Curation, Dedup, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants for the corpus-card wave (retention curve,
+  * candidate-similarity histogram, per-source datasheet). */
+class CorpusCardSpec extends AnyFunSuite {
+  private val spark = TestSpark.session
+  private val sf = TestSpark.Sf
+
+  test("retention curve: monotone, anchored at the corpus, share law") {
+    val rows = Curation.retentionCurve(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val nDocs = Tables.documents(spark, sf).count()
+    // lowest present bucket retains everything at or above it; if bucket 0
+    // is present its row IS the whole corpus
+    assert(rows.head._2 == rows.map(_._2).max)
+    if (rows.head._1 == 0L) assert(rows.head._2 == nDocs)
+    // cumulative-from-top: strictly ordered buckets, non-increasing counts
+    rows.sliding(2).foreach {
+      case Array((b1, d1, t1, s1), (b2, d2, t2, s2)) =>
+        assert(b1 < b2); assert(d1 >= d2); assert(t1 >= t2); assert(s1 >= s2)
+      case _ =>
+    }
+    rows.foreach { case (_, _, _, ppm) => assert(ppm >= 0 && ppm <= 1000000L) }
+    // brute force from the audited per-doc score (q_quality_score) and
+    // whitespace token count (q_token_count) — the same columns the curve
+    // claims to aggregate
+    val quality = TextAnalysis.qualityScore(spark, sf)
+      .select("doc_id", "quality").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val per = TextAnalysis.tokenCount(spark, sf)
+      .select("doc_id", "ws_tokens").collect()
+      .map(r => (math.min(9L, math.floor(quality(r.getLong(0)) * 10.0).toLong),
+        r.getAs[Number](1).longValue))
+    rows.foreach { case (b, nd, nt, _) =>
+      val keep = per.filter(_._1 >= b)
+      assert(keep.length.toLong == nd, s"bucket $b docs")
+      assert(keep.map(_._2).sum == nt, s"bucket $b tokens")
+    }
+  }
+
+  test("jaccard histogram: partitions the candidate-pair frame") {
+    val hist = Dedup.jaccardHist(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val pairs = Dedup.ngramJaccard(spark, sf)
+      .select("jaccard", "inter").collect()
+      .map(r => (r.getDouble(0), r.getAs[Number](1).longValue))
+    assert(hist.map(_._2).sum == pairs.length, "histogram must partition the pairs")
+    assert(hist.map(_._3).sum == pairs.map(_._2).sum, "intersection mass conserved")
+    hist.foreach { case (b, n, _) =>
+      assert(b >= 0 && b <= 9); assert(n > 0)
+      val expect = pairs.count(p => math.min(9L, math.floor(p._1 * 10.0).toLong) == b)
+      assert(expect.toLong == n, s"bucket $b: $n vs brute force $expect")
+    }
+  }
+
+  test("source datasheet: partitions the corpus, dup law vs distinct digests") {
+    val rows = Curation.sourceDatasheet(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    val nDistinct = Tables.documents(spark, sf).select(md5(col("text"))).distinct().count()
+    assert(rows.map(_.getLong(1)).sum == nDocs, "doc counts partition the corpus")
+    // total dups across sources = docs minus distinct bodies (exact dedup law)
+    assert(rows.map(_.getLong(4)).sum == nDocs - nDistinct, "dup totals")
+    rows.foreach { r =>
+      val (n, dups, ppm) = (r.getLong(1), r.getLong(4), r.getLong(5))
+      assert(dups < n)
+      assert(ppm == dups * 1000000L / n, "ppm law")
+      val q = r.getDouble(6)
+      assert(q >= 0.0 && q <= 1.0, "quality mean in range")
+      assert(r.getLong(2) > 0 && r.getLong(3) >= 1)
+    }
+  }
+}

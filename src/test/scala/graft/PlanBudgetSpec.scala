@@ -373,6 +373,16 @@ class PlanBudgetSpec extends AnyFunSuite {
                                       // label join (NOT broadcast) + probe
                                       // agg; probe labels broadcast
                                       // (audited 2 + recompute headroom)
+    ("q_retention_curve", 4, 1),      // decile agg; ≤10-row cumulative
+                                      // window; 1-row total broadcast
+                                      // (audited 3, +1)
+    ("q_jaccard_hist", 7, 1),         // ngramJaccard's own audited legs +
+                                      // one ≤10-row decile agg (audit mode
+                                      // recomputes the staged incidence
+                                      // per branch: audited 6, +1)
+    ("q_source_datasheet", 5, 0),     // narrow digest-partition window
+                                      // (bodies never exchanged) + source
+                                      // agg (audited 4, +1)
   )
 
   budgets.foreach { case (name, maxShuffles, minBcasts) =>
