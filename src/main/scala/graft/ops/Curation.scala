@@ -533,7 +533,53 @@ object Curation {
       .orderBy("source")
   }
 
+  /** t-closeness threshold (total-variation distance), ×10 to stay in
+    * integers: a class is flagged when TVD > 0.4. */
+  private val TClosenessTimes10 = 4L
+
+  /** t-closeness audit — the third leg of the privacy ladder: a class can
+    * be k-anonymous AND l-diverse yet still leak by SKEW (90% one lang
+    * where the corpus holds 20%). Per released QI class (source, 100-char
+    * bucket), the total-variation distance between the class' lang
+    * distribution and the corpus', flagged above t = 0.4.
+    *
+    * Determinism: TVD = ½·Σ|p_C(ℓ) − p(ℓ)| is computed over the FULL
+    * class×lang grid (absent langs contribute their whole corpus share —
+    * the trap the PSI monitor's dropped-bins note warns about), with
+    * every term an exact BIGINT cross-product |c_Cℓ·N − c_ℓ·n_C|; the
+    * threshold compares 10·Σ > 2·t·10·N·n_C in integers, and the
+    * reported distance is ONE division of exact integers, 4-dp
+    * floor-quantized. Overflow edge: the cross-products pass BIGINT near
+    * N ≈ 3·10⁹ docs (the q_ks_drift gap-product edge) — partition the
+    * audit by corpus shard before that point.
+    *
+    * Scale shape: three map-side-combinable aggregates (class, class ×
+    * lang, lang); the lang inventory and the 1-row total broadcast; the
+    * grid join is |classes| × |langs|, never corpus-sized. */
+  def tCloseness(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("source"),
+      floor(col("n_chars") / lit(100)).cast("long").as("len_bucket"), col("lang"))
+    val cls = docs.groupBy("source", "len_bucket").agg(count(lit(1)).as("n_c"))
+    val cl = docs.groupBy("source", "len_bucket", "lang").agg(count(lit(1)).as("c_cl"))
+    val gl = docs.groupBy("lang").agg(count(lit(1)).as("c_l"))
+    val tot = docs.agg(count(lit(1)).as("n_tot"))
+    cls.crossJoin(broadcast(gl)).crossJoin(broadcast(tot))
+      .join(cl, Seq("source", "len_bucket", "lang"), "left")
+      .withColumn("term",
+        abs(coalesce(col("c_cl"), lit(0L)) * col("n_tot") - col("c_l") * col("n_c")))
+      .groupBy("source", "len_bucket", "n_c", "n_tot")
+      .agg(sum("term").as("l1_scaled"))
+      .select(col("source"), col("len_bucket"), col("n_c").as("n"),
+        col("l1_scaled"),
+        q4(col("l1_scaled").cast("double") /
+          (lit(2.0) * col("n_tot").cast("double") * col("n_c").cast("double"))).as("tvd"),
+        (col("l1_scaled") * 10 >
+          lit(2L * TClosenessTimes10) * col("n_tot") * col("n_c")).cast("int").as("above_t"))
+      .orderBy("source", "len_bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_t_closeness"    -> (tCloseness _),
     "q_source_datasheet" -> (sourceDatasheet _),
     "q_retention_curve" -> (retentionCurve _),
     "q_l_diversity"    -> (lDiversity _),
@@ -568,6 +614,34 @@ object Curation {
     s"list_distinct(list_transform(range(1, len($WordsSql)), i -> $WordsSql[i] || ' ' || $WordsSql[i+1]))"
 
   val oracle: Map[String, String] = Map(
+    "q_t_closeness" ->
+      s"""WITH docs AS (
+         |  SELECT source, CAST(floor(n_chars / 100.0) AS BIGINT) AS len_bucket, lang
+         |  FROM documents
+         |), cls AS (
+         |  SELECT source, len_bucket, count(*) AS n_c FROM docs GROUP BY 1, 2
+         |), cl AS (
+         |  SELECT source, len_bucket, lang, count(*) AS c_cl FROM docs GROUP BY 1, 2, 3
+         |), gl AS (SELECT lang, count(*) AS c_l FROM docs GROUP BY lang),
+         |tot AS (SELECT count(*) AS n_tot FROM docs),
+         |g AS (
+         |  SELECT cls.source, cls.len_bucket, cls.n_c, tot.n_tot,
+         |         abs(coalesce(cl.c_cl, 0) * tot.n_tot - gl.c_l * cls.n_c) AS term
+         |  FROM cls CROSS JOIN gl CROSS JOIN tot
+         |  LEFT JOIN cl ON cl.source = cls.source
+         |             AND cl.len_bucket = cls.len_bucket AND cl.lang = gl.lang
+         |), agg AS (
+         |  SELECT source, len_bucket, n_c, n_tot,
+         |         CAST(sum(term) AS BIGINT) AS l1_scaled
+         |  FROM g GROUP BY 1, 2, 3, 4
+         |)
+         |SELECT source, len_bucket, n_c AS n, l1_scaled,
+         |       floor(CAST(l1_scaled AS DOUBLE)
+         |             / (2.0 * CAST(n_tot AS DOUBLE) * CAST(n_c AS DOUBLE))
+         |             * 10000 + 0.5) / 10000 AS tvd,
+         |       CAST(l1_scaled * 10 > ${2 * TClosenessTimes10} * n_tot * n_c
+         |            AS INTEGER) AS above_t
+         |FROM agg ORDER BY source, len_bucket""".stripMargin,
     "q_source_datasheet" ->
       s"""WITH rows_t AS (
          |  SELECT doc_id, source, lang, n_chars,

@@ -529,20 +529,24 @@ object Dedup {
     * fixture's 1:1 vec_id = doc_id correspondence. The joins carry two
     * narrow columns regardless of corpus size, and each input is itself
     * a scale-shaped dedup query. */
-  def dedupMethodCompare(s: SparkSession, d: String): DataFrame = {
+  /** (family label, flag column, total column) — pairwise overlap names
+    * derive from the label order, so keep appends at the end. */
+  private val CompareFams = Seq(
+    ("exact", "f_exact", "n_exact"),
+    ("minhash", "f_mh", "n_minhash"),
+    ("wide", "f_mhw", "n_minhash_wide"),
+    ("simhash", "f_sh", "n_simhash"),
+    ("semantic", "f_sem", "n_semantic"),
+    ("embed", "f_emb", "n_embed"))
+
+  /** The per-doc six-family flag frame (doc_id, f_exact…f_emb) shared by
+    * [[dedupMethodCompare]] and [[dedupSavings]] — every doc present,
+    * absent flags coalesced to 0. */
+  private def familyFlags(s: SparkSession, d: String): DataFrame = {
     val fe = Tables.documents(s, d).select(col("doc_id"))
       .join(dedupExact(s, d).select(col("doc_id"), lit(1).as("surv")),
         Seq("doc_id"), "left")
       .select(col("doc_id"), col("surv").isNull.cast("int").as("f_exact"))
-    // (family label, flag column, total column) — pairwise overlap names
-    // derive from the label order, so keep appends at the end
-    val fams = Seq(
-      ("exact", "f_exact", "n_exact"),
-      ("minhash", "f_mh", "n_minhash"),
-      ("wide", "f_mhw", "n_minhash_wide"),
-      ("simhash", "f_sh", "n_simhash"),
-      ("semantic", "f_sem", "n_semantic"),
-      ("embed", "f_emb", "n_embed"))
     val flagFrames = Seq(
       dedupMinhash(s, d).select(col("doc_id"), col("is_dup").as("f_mh")),
       dedupMinhashWide(s, d).select(col("doc_id"), col("is_dup").as("f_mhw")),
@@ -552,15 +556,52 @@ object Dedup {
       Similarity.embedNeardup(s, d)
         .select(col("id2").as("doc_id")).distinct()
         .withColumn("f_emb", lit(1)))
-    val joined = flagFrames.foldLeft(fe)((acc, f) => acc.join(f, Seq("doc_id"), "left"))
-      .select(col("doc_id") +: fams.map { case (_, c, _) =>
+    flagFrames.foldLeft(fe)((acc, f) => acc.join(f, Seq("doc_id"), "left"))
+      .select(col("doc_id") +: CompareFams.map { case (_, c, _) =>
         coalesce(col(c), lit(0)).as(c) }: _*)
+  }
+
+  def dedupMethodCompare(s: SparkSession, d: String): DataFrame = {
+    val fams = CompareFams
+    val joined = familyFlags(s, d)
     val totals = fams.map { case (_, c, nm) => sum(col(c)).as(nm) }
     val overlaps = for {
       i <- fams.indices; j <- fams.indices if i < j
     } yield sum(col(fams(i)._2) * col(fams(j)._2))
       .as(s"${fams(i)._1}_and_${fams(j)._1}")
     joined.agg(count(lit(1)).as("n_docs"), (totals ++ overlaps): _*)
+  }
+
+  /** Dedup cost/benefit per family — the number the matrix of flags turns
+    * into a budget decision: if family F's flagged docs are dropped, how
+    * many documents and TOKENS disappear, and what share of the corpus'
+    * tokens that is. [[dedupMethodCompare]] says the families agree;
+    * this says which one pays for its candidate-generation cost.
+    *
+    * Determinism: flags are the audited [[familyFlags]] frame; token
+    * counts are row-local whitespace counts; all sums BIGINT, the share
+    * one integer ppm division. Scale shape: flags × tokens join on
+    * doc_id (narrow), then stack() unpivots row-locally to 6 rows per
+    * doc and one ≤6-row aggregate — nothing beyond the matrix's own
+    * bucket-bounded inputs. */
+  def dedupSavings(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d).select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("t"))
+    val tot = toks.agg(sum("t").as("tot"))
+    familyFlags(s, d).join(toks, "doc_id")
+      .select(col("t"), expr(
+        """stack(6,
+          |  'exact', f_exact, 'minhash', f_mh, 'wide', f_mhw,
+          |  'simhash', f_sh, 'semantic', f_sem, 'embed', f_emb)
+          |AS (family, flag)""".stripMargin))
+      .groupBy("family")
+      .agg(
+        sum(col("flag").cast("long")).as("n_flagged"),
+        sum(col("flag").cast("long") * col("t")).as("tokens_flagged"))
+      .crossJoin(broadcast(tot))
+      .withColumn("token_share_ppm", expr("tokens_flagged * 1000000 div tot"))
+      .drop("tot")
+      .orderBy("family")
   }
 
   /** Normalized-form exact dedup: group-size histogram of documents after
@@ -640,6 +681,7 @@ object Dedup {
     "q_dedup_norm"     -> (dedupNorm _),
     "q_dedup_exact"    -> (dedupExact _),
     "q_dedup_compare"  -> (dedupMethodCompare _),
+    "q_dedup_savings"  -> (dedupSavings _),
     "q_dedup_survivor" -> (dedupSurvivor _),
     "q_dedup_fuzzy"    -> (dedupFuzzy _),
     "q_dedup_minhash"  -> (dedupMinhash _),
@@ -796,7 +838,56 @@ object Dedup {
     * q_dedup_semantic, embed flags from the blocked near-dup pairs),
     * LEFT-joined from the full documents key set with COALESCE(flag, 0),
     * then one row of totals and pairwise overlaps. */
-  private def dedupCompareOracle: String = {
+  private def dedupCompareOracle: String =
+    s"""$compareFlagsCtePrefix
+       |SELECT count(*) AS n_docs,
+       |       CAST(sum(f_exact) AS BIGINT) AS n_exact,
+       |       CAST(sum(f_mh) AS BIGINT) AS n_minhash,
+       |       CAST(sum(f_mhw) AS BIGINT) AS n_minhash_wide,
+       |       CAST(sum(f_sh) AS BIGINT) AS n_simhash,
+       |       CAST(sum(f_sem) AS BIGINT) AS n_semantic,
+       |       CAST(sum(f_emb) AS BIGINT) AS n_embed,
+       |       CAST(sum(f_exact * f_mh) AS BIGINT) AS exact_and_minhash,
+       |       CAST(sum(f_exact * f_mhw) AS BIGINT) AS exact_and_wide,
+       |       CAST(sum(f_exact * f_sh) AS BIGINT) AS exact_and_simhash,
+       |       CAST(sum(f_exact * f_sem) AS BIGINT) AS exact_and_semantic,
+       |       CAST(sum(f_exact * f_emb) AS BIGINT) AS exact_and_embed,
+       |       CAST(sum(f_mh * f_mhw) AS BIGINT) AS minhash_and_wide,
+       |       CAST(sum(f_mh * f_sh) AS BIGINT) AS minhash_and_simhash,
+       |       CAST(sum(f_mh * f_sem) AS BIGINT) AS minhash_and_semantic,
+       |       CAST(sum(f_mh * f_emb) AS BIGINT) AS minhash_and_embed,
+       |       CAST(sum(f_mhw * f_sh) AS BIGINT) AS wide_and_simhash,
+       |       CAST(sum(f_mhw * f_sem) AS BIGINT) AS wide_and_semantic,
+       |       CAST(sum(f_mhw * f_emb) AS BIGINT) AS wide_and_embed,
+       |       CAST(sum(f_sh * f_sem) AS BIGINT) AS simhash_and_semantic,
+       |       CAST(sum(f_sh * f_emb) AS BIGINT) AS simhash_and_embed,
+       |       CAST(sum(f_sem * f_emb) AS BIGINT) AS semantic_and_embed
+       |FROM j""".stripMargin
+
+  /** The [[dedupSavings]] oracle over the same flags prefix: unpivot the
+    * six flags via UNION ALL, join row-local token counts, aggregate. */
+  private def dedupSavingsOracle: String = {
+    val arms = CompareFams.map { case (label, c, _) =>
+      s"SELECT '$label' AS family, $c AS flag, t FROM jt"
+    }.mkString("\n       |  UNION ALL ")
+    s"""$compareFlagsCtePrefix,
+       |toks AS (
+       |  SELECT doc_id, CAST(len($WordsSql) AS BIGINT) AS t FROM documents),
+       |jt AS (SELECT j.*, toks.t FROM j JOIN toks USING (doc_id)),
+       |u AS (
+       |  $arms
+       |),
+       |tt AS (SELECT CAST(sum(t) AS BIGINT) AS tot FROM toks)
+       |SELECT family,
+       |       CAST(sum(flag) AS BIGINT) AS n_flagged,
+       |       CAST(sum(flag * t) AS BIGINT) AS tokens_flagged,
+       |       CAST(sum(flag * t) * 1000000 // tot AS BIGINT) AS token_share_ppm
+       |FROM u, tt GROUP BY family, tot ORDER BY family""".stripMargin
+  }
+
+  /** Everything through the per-doc flags CTE `j` — the shared prefix of
+    * [[dedupCompareOracle]] and [[dedupSavingsOracle]]. */
+  private def compareFlagsCtePrefix: String = {
     val nPerms = WideR * WideB
     val mins = (0 until nPerms).map { p =>
       s"min((h * ${affineA(p)} + ${affineB(p)}) % $MinhashPrime) AS mh$p"
@@ -869,30 +960,7 @@ object Dedup {
        |  LEFT JOIN fw USING (doc_id)
        |  LEFT JOIN fsim USING (doc_id)
        |  LEFT JOIN fsem USING (doc_id)
-       |  LEFT JOIN femb USING (doc_id))
-       |SELECT count(*) AS n_docs,
-       |       CAST(sum(f_exact) AS BIGINT) AS n_exact,
-       |       CAST(sum(f_mh) AS BIGINT) AS n_minhash,
-       |       CAST(sum(f_mhw) AS BIGINT) AS n_minhash_wide,
-       |       CAST(sum(f_sh) AS BIGINT) AS n_simhash,
-       |       CAST(sum(f_sem) AS BIGINT) AS n_semantic,
-       |       CAST(sum(f_emb) AS BIGINT) AS n_embed,
-       |       CAST(sum(f_exact * f_mh) AS BIGINT) AS exact_and_minhash,
-       |       CAST(sum(f_exact * f_mhw) AS BIGINT) AS exact_and_wide,
-       |       CAST(sum(f_exact * f_sh) AS BIGINT) AS exact_and_simhash,
-       |       CAST(sum(f_exact * f_sem) AS BIGINT) AS exact_and_semantic,
-       |       CAST(sum(f_exact * f_emb) AS BIGINT) AS exact_and_embed,
-       |       CAST(sum(f_mh * f_mhw) AS BIGINT) AS minhash_and_wide,
-       |       CAST(sum(f_mh * f_sh) AS BIGINT) AS minhash_and_simhash,
-       |       CAST(sum(f_mh * f_sem) AS BIGINT) AS minhash_and_semantic,
-       |       CAST(sum(f_mh * f_emb) AS BIGINT) AS minhash_and_embed,
-       |       CAST(sum(f_mhw * f_sh) AS BIGINT) AS wide_and_simhash,
-       |       CAST(sum(f_mhw * f_sem) AS BIGINT) AS wide_and_semantic,
-       |       CAST(sum(f_mhw * f_emb) AS BIGINT) AS wide_and_embed,
-       |       CAST(sum(f_sh * f_sem) AS BIGINT) AS simhash_and_semantic,
-       |       CAST(sum(f_sh * f_emb) AS BIGINT) AS simhash_and_embed,
-       |       CAST(sum(f_sem * f_emb) AS BIGINT) AS semantic_and_embed
-       |FROM j""".stripMargin
+       |  LEFT JOIN femb USING (doc_id))""".stripMargin
   }
 
   /** [[Similarity.NormCte]] (normalized embeddings CTE) — shared so the
@@ -968,6 +1036,7 @@ object Dedup {
     "q_dedup_minhash_wide" -> wideMinhashOracle,
     "q_minhash_est" -> minhashEstOracle,
     "q_dedup_compare" -> dedupCompareOracle,
+    "q_dedup_savings" -> dedupSavingsOracle,
     "q_dedup_clusters" ->
       s"""$ClustersCteSql
          |SELECT doc_id, cluster,

@@ -58,6 +58,52 @@ class CorpusCardSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup savings: per-family doc counts equal the agreement matrix totals") {
+    val rows = Dedup.dedupSavings(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).sorted.toSeq ==
+      Seq("embed", "exact", "minhash", "semantic", "simhash", "wide"))
+    val cmp = Dedup.dedupMethodCompare(spark, sf).collect()(0)
+    val totals = Map(
+      "exact" -> cmp.getAs[Long]("n_exact"),
+      "minhash" -> cmp.getAs[Long]("n_minhash"),
+      "wide" -> cmp.getAs[Long]("n_minhash_wide"),
+      "simhash" -> cmp.getAs[Long]("n_simhash"),
+      "semantic" -> cmp.getAs[Long]("n_semantic"),
+      "embed" -> cmp.getAs[Long]("n_embed"))
+    val totToks = Tables.documents(spark, sf)
+      .select(size(split(col("text"), " ")).cast("long")).collect().map(_.getLong(0)).sum
+    rows.foreach { case (fam, nf, tf, ppm) =>
+      assert(nf == totals(fam), s"$fam: savings count vs matrix total")
+      assert(tf <= totToks)
+      assert(ppm == tf * 1000000L / totToks, s"$fam ppm law")
+    }
+  }
+
+  test("t-closeness: TVD in range, flag law, brute-force distance per class") {
+    val rows = Curation.tCloseness(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getInt(5)))
+    // same released classes as the l-diversity audit
+    assert(rows.length.toLong == Curation.lDiversity(spark, sf).count())
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), floor(col("n_chars") / lit(100)).cast("long"), col("lang"))
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getString(2)))
+    val nTot = docs.length.toLong
+    val global = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val byClass = docs.groupBy(_._1).view
+      .mapValues(_.groupBy(_._2).view.mapValues(_.length.toLong).toMap).toMap
+    rows.foreach { case (src, bkt, n, l1, tvd, above) =>
+      assert(tvd >= 0.0 && tvd <= 1.0, s"($src,$bkt) tvd range")
+      val cl = byClass((src, bkt))
+      val expect = global.map { case (lang, cL) =>
+        math.abs(cl.getOrElse(lang, 0L) * nTot - cL * n)
+      }.sum
+      assert(expect == l1, s"($src,$bkt): scaled L1 $l1 vs brute force $expect")
+      assert((above == 1) == (l1 * 10 > 8L * nTot * n), s"($src,$bkt) flag law")
+    }
+  }
+
   test("source datasheet: partitions the corpus, dup law vs distinct digests") {
     val rows = Curation.sourceDatasheet(spark, sf).collect()
     val nDocs = Tables.documents(spark, sf).count()

@@ -383,6 +383,9 @@ class PlanBudgetSpec extends AnyFunSuite {
     ("q_source_datasheet", 5, 0),     // narrow digest-partition window
                                       // (bodies never exchanged) + source
                                       // agg (audited 4, +1)
+    ("q_t_closeness", 6, 2),          // three bounded aggregates; lang
+                                      // inventory + 1-row total broadcast;
+                                      // grid join class×lang (audited 5, +1)
   )
 
   budgets.foreach { case (name, maxShuffles, minBcasts) =>
