@@ -675,7 +675,45 @@ object Dedup {
       .agg(count(lit(1)).as("n_pairs"), sum("inter").cast("long").as("sum_inter"))
       .orderBy("bucket")
 
+  /** Cross-source exact-duplicate matrix — which source PAIRS ship the
+    * same bytes: for every pair of sources, the number of distinct
+    * document texts present in both. The leakage screen a multi-source
+    * corpus runs before attributing quality or licensing per source
+    * (a "unique" source whose content is a mirror shows up immediately);
+    * complements [[graft.ops.Curation.sourceOverlap]]'s bigram
+    * SIMILARITY matrix with byte-identity evidence.
+    *
+    * Determinism: the incidence is DISTINCT (source, digest); the Spark
+    * side keys on md5 so the shuffle carries 32-char digests, never
+    * bodies, while the oracle joins raw texts — the driver compare
+    * proves digest-keying equivalence (the [[dedupNorm]] discipline).
+    *
+    * Scale shape: one distinct aggregate; the digest self-join's
+    * fan-out per digest is ≤ n_sources (fixed, small) so the meet is
+    * linear in distinct texts; the full n_sources² pair grid (absent
+    * pairs reported as 0 — a zero is the finding) is built from two
+    * broadcast-sized source lists. */
+  def crossSourceDup(s: SparkSession, d: String): DataFrame = {
+    val inc = graft.util.Ckpt.stage(
+      Tables.documents(s, d)
+        .select(col("source"), md5(col("text")).as("k")).distinct())
+    val shared = inc.select(col("k"), col("source").as("s1"))
+      .join(inc.select(col("k").as("k2"), col("source").as("s2")),
+        col("k") === col("k2") && col("s1") < col("s2"))
+      .groupBy("s1", "s2").agg(count(lit(1)).as("shared"))
+    // report the FULL pair grid — a zero is the finding (no mirroring),
+    // so absent pairs must not silently vanish from the audit
+    val srcs = Tables.documents(s, d).select(col("source")).distinct()
+    srcs.select(col("source").as("s1"))
+      .join(srcs.select(col("source").as("s2")), col("s1") < col("s2"))
+      .join(shared, Seq("s1", "s2"), "left")
+      .select(col("s1"), col("s2"),
+        coalesce(col("shared"), lit(0L)).as("n_shared_texts"))
+      .orderBy("s1", "s2")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cross_source_dup" -> (crossSourceDup _),
     "q_jaccard_hist" -> (jaccardHist _),
     "q_component_sizes" -> (componentSizes _),
     "q_dedup_norm"     -> (dedupNorm _),
@@ -1037,6 +1075,19 @@ object Dedup {
     "q_minhash_est" -> minhashEstOracle,
     "q_dedup_compare" -> dedupCompareOracle,
     "q_dedup_savings" -> dedupSavingsOracle,
+    "q_cross_source_dup" ->
+      """WITH inc AS (SELECT DISTINCT source, text FROM documents),
+        |shared AS (
+        |  SELECT a.source AS s1, b.source AS s2, count(*) AS shared
+        |  FROM inc a JOIN inc b ON a.text = b.text AND a.source < b.source
+        |  GROUP BY 1, 2
+        |), srcs AS (SELECT DISTINCT source FROM documents)
+        |SELECT a.source AS s1, b.source AS s2,
+        |       CAST(coalesce(shared, 0) AS BIGINT) AS n_shared_texts
+        |FROM srcs a
+        |JOIN srcs b ON a.source < b.source
+        |LEFT JOIN shared ON shared.s1 = a.source AND shared.s2 = b.source
+        |ORDER BY s1, s2""".stripMargin,
     "q_dedup_clusters" ->
       s"""$ClustersCteSql
          |SELECT doc_id, cluster,

@@ -335,6 +335,22 @@ object Streams {
       .groupBy()
       .agg(graft.functions.SketchAggs.cmAgg(col("event_type")).as("sk"))
 
+  /** Streaming Misra-Gries heavy hitters over an event-type stream — the
+    * in-flight twin of `graft.ops.Sketches.heavyHitters` ("what's
+    * trending NOW"), completing the sketch-pair with [[cmSketchStream]]
+    * (MG answers top items; CM answers point frequencies). Same
+    * complete-mode global-aggregate shape: the state store carries only
+    * the bounded counter map, each micro-batch folds in via the
+    * aggregate's own merge. In the exact regime (map capacity ≥ the
+    * type alphabet, always true for the 5-type events stream) no purge
+    * ever fires, so streamed estimates EQUAL the batch build over the
+    * union of the inputs — asserted in `StreamingSpec`; the purged
+    * regime's error bounds are `SketchSpec` territory. */
+  def mgStream(events: DataFrame): DataFrame =
+    events.select(col("event_type"))
+      .groupBy()
+      .agg(graft.functions.SketchAggs.freqAgg(col("event_type"), 10).as("sk"))
+
   /** The reference's whole ETL as one streaming job (Jobs A+B fused):
     * incremental word counts over a document stream in update mode, each
     * micro-batch's changed rows pushed through the KV-item transform into

@@ -47,6 +47,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(est >= exact)
   }
 
+  test("streaming Misra-Gries heavy hitters equal the batch build in the exact regime") {
+    import graft.functions.SketchAggs._
+    val agg = Streams.mgStream(Streams.eventsStream(spark, sf))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("mg_out").start()
+    try q.processAllAvailable() finally q.stop()
+    def items(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      df.select(explode(freqItems(col("sk"))).as("f"))
+        .select("f.term", "f.est").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val streamed = items(spark.table("mg_out"))
+    val batch = items(Tables.events(spark, sf).select(col("event_type"))
+      .agg(freqAgg(col("event_type"), 10).as("sk")))
+    assert(streamed === batch,
+      "no purge at 5 types <= 2^10 capacity, so streamed estimates must equal batch")
+    // in the exact regime the estimates ARE the true per-type counts
+    val exact = Tables.events(spark, sf).groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed === exact)
+  }
+
   test("stream-static join enriches events with the customer dimension") {
     val enriched = Streams.enrichedStream(
       Streams.eventsStream(spark, sf), Tables.customer(spark, sf))
