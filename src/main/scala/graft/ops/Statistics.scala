@@ -1346,7 +1346,215 @@ object Statistics {
       .orderBy("event_type")
   }
 
+  /** One-way ANOVA F test of `value` across event types — the k-group
+    * generalization of [[abTtest]]: does ANY event type's mean value
+    * differ, before pairwise tests (with their multiple-comparison
+    * burden) ask which. Reports F, both degrees of freedom, and η²
+    * (SSB/SST — the effect size reviewers ask for next to every F).
+    *
+    * Determinism: values enter as exact centi-unit BIGINTs (the safe
+    * micro cast, then an exact integer `div 10⁴` — never a scale-2
+    * decimal cast, the q_outlier_mad knife-edge); the sufficient
+    * statistics n_g, Σm, Σm² are exact integers in DECIMAL(38,0), and
+    * each between-group term s_g²/n_g is ONE correctly-rounded division
+    * of exact decimals FLOOR-quantized at integer (cent²) granularity —
+    * sums of sq-cents stay ≤ ~10¹⁷ through sf100, inside both Spark's
+    * `floor→LONG` range (floor of a micro²-scale double would silently
+    * wrap Spark's LongType result while DuckDB's stays double — the
+    * reason for the cent rescale) and exact-double territory. SSB/SSW
+    * are then exact BIGINTs; F and η² are fixed trees of elementary
+    * IEEE ops on them, mirrored parenthesis-for-parenthesis.
+    *
+    * Scale shape: ONE map-side-combined groupBy(event_type) is the only
+    * pass over events; everything after runs on the k-row (≤ event-type
+    * domain) frame. */
+  def anovaF(s: SparkSession, d: String): DataFrame = {
+    val dec0 = DecimalType(38, 0)
+    val ev = Tables.events(s, d).filter(col("value").isNotNull)
+      .select(col("event_type"),
+        (col("value").cast(DecimalType(24, 6)) * lit(1000000)).cast("long").as("micro"))
+      .select(col("event_type"), expr("micro div 10000").as("m"))
+    val g = ev.groupBy("event_type").agg(
+      count(lit(1)).as("ng"),
+      sum(col("m").cast(dec0)).as("sg"),
+      sum(col("m").cast(dec0) * col("m").cast(dec0)).as("qg"))
+    val t = g.agg(
+      count(lit(1)).as("k"),
+      sum("ng").as("n"),
+      sum("sg").as("stot"),
+      sum("qg").as("qtot"),
+      sum(floor((col("sg") * col("sg")).cast("double") / col("ng").cast("double"))).as("a"))
+    val ssb = col("a") -
+      floor((col("stot") * col("stot")).cast("double") / col("n").cast("double"))
+    val sAgg = t.select(col("k"), col("n"),
+      ssb.as("ssb"), (col("qtot").cast("long") - col("a")).as("ssw"))
+    sAgg.select(
+      col("k").cast("long").as("k"), col("n").cast("long").as("n"),
+      (col("k") - 1).cast("long").as("df1"), (col("n") - col("k")).cast("long").as("df2"),
+      (floor((col("ssb").cast("double") / (col("k") - 1).cast("double")) /
+        (col("ssw").cast("double") / (col("n") - col("k")).cast("double"))
+        * lit(1000000.0) + lit(0.5)) / lit(1000000.0)).as("f"),
+      (floor(col("ssb").cast("double") / (col("ssb") + col("ssw")).cast("double")
+        * lit(1000000.0) + lit(0.5)) / lit(1000000.0)).as("eta2"))
+  }
+
+  /** 1-Wasserstein (earth-mover) distance between the click and view
+    * `value` distributions — the integral companion to [[ksDrift]]'s
+    * supremum: KS alarms on the single worst ECDF gap, EMD on the total
+    * transported mass ∫|F₁−F₂|dx, so a broad small shift (which KS
+    * under-weights) and a narrow spike (which EMD under-weights) each
+    * have a monitor that catches them.
+    *
+    * Determinism: the ECDF gaps are the [[ksDrift]] integer-scaled
+    * |cum₁·n₂ − cum₂·n₁| (exact BIGINT — same ~3·10⁹-row documented
+    * overflow edge); each segment's term gap·(v′−v) is two
+    * correctly-rounded IEEE multiplies on identical operands,
+    * 6-dp-floor-quantized into DECIMAL(38,6) BEFORE the sum (a double
+    * sum would be partition-order-dependent), and the final
+    * normalization by n₁·n₂ is one division, floor-quantized.
+    *
+    * Scale shape: the [[ksFromAgg]] two-phase prefix discipline — the
+    * cumulative window runs per range-bucket; the next-distinct-value
+    * lookup is the in-bucket `lead` patched at bucket boundaries from
+    * the ≤[[KsBuckets]]-row per-bucket-min table (broadcast), so no
+    * global-sort window ever runs. */
+  def emdDrift(s: SparkSession, d: String): DataFrame = {
+    val nb = KsBuckets
+    val dec6 = DecimalType(38, 6)
+    val ev = graft.util.Ckpt.stage(Tables.events(s, d)
+      .filter(col("event_type").isin("click", "view") && col("value").isNotNull)
+      .groupBy("value")
+      .agg(
+        sum((col("event_type") === "click").cast("long")).as("c1"),
+        sum((col("event_type") === "view").cast("long")).as("c2")))
+    val ext = ev.agg(min("value").as("lo"), max("value").as("hi"))
+    val bucketed = graft.util.Ckpt.stage(ev.crossJoin(broadcast(ext))
+      .withColumn("bkt",
+        when(col("hi") === col("lo"), lit(0)).otherwise(
+          least(lit(nb - 1),
+            floor((col("value") - col("lo")) * nb / (col("hi") - col("lo"))).cast("int"))))
+      .drop("lo", "hi"))
+    val wb = Window.orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // per-bucket totals AND mins in one ≤nb-row frame: prefix offsets for
+    // the two-phase cumsum, next-present-bucket min for the lead patch
+    val offs = bucketed.groupBy("bkt")
+      .agg(sum("c1").as("s1"), sum("c2").as("s2"), min("value").as("bmin"))
+      .select(col("bkt"),
+        (sum("s1").over(wb) - col("s1")).as("off1"),
+        (sum("s2").over(wb) - col("s2")).as("off2"),
+        lead("bmin", 1).over(Window.orderBy("bkt")).as("nextmin"))
+    val tot = bucketed.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+    val w = Window.partitionBy("bkt").orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wl = Window.partitionBy("bkt").orderBy("value")
+    val seg = bucketed
+      .join(broadcast(offs), "bkt")
+      .crossJoin(broadcast(tot))
+      .withColumn("cum1", col("off1") + sum("c1").over(w))
+      .withColumn("cum2", col("off2") + sum("c2").over(w))
+      .withColumn("nv", coalesce(lead("value", 1).over(wl), col("nextmin")))
+      .filter(col("nv").isNotNull)
+      .withColumn("term",
+        (floor(abs(col("cum1") * col("n2") - col("cum2") * col("n1")).cast("double")
+          * (col("nv") - col("value")) * lit(1000000.0) + lit(0.5))
+          / lit(1000000.0)).cast(dec6))
+    seg.groupBy("n1", "n2")
+      .agg(sum("term").as("wsum"))
+      .select(col("n1"), col("n2"),
+        (floor(col("wsum").cast("double") /
+          (col("n1").cast(DecimalType(38, 0)) * col("n2").cast(DecimalType(38, 0)))
+            .cast("double") * lit(1000000.0) + lit(0.5)) / lit(1000000.0)).as("emd"))
+  }
+
+  /** Theil T inequality index of customer lifetime spend per market
+    * segment — the decomposable companion to [[gini]]: T = Σ pᵢ·ln(n·pᵢ)
+    * over spend shares pᵢ, the index whose between/within-group split is
+    * exact, which is why corpus-budget and revenue-concentration audits
+    * report it next to Gini.
+    *
+    * Determinism: spend totals are exact micro-unit BIGINTs; each
+    * customer's share enters as pm = ⌊x·10⁶/S⌋ (exact integer division
+    * of exact decimals — no float share anywhere) and its log factor as
+    * ln((x·n)/S) of one exact-decimal ratio, 6-dp-rounded into
+    * DECIMAL(18,6) (the ln-of-integer-ratio discipline — a transcendental
+    * never lands on a rounding half-way); the per-customer product
+    * pm·l and its sum are exact decimal arithmetic, with ONE final
+    * division. Customers with pm = 0 (share < 10⁻⁶) contribute exactly
+    * zero — documented truncation, identical in both engines.
+    *
+    * Scale shape: one orders aggregate (custkey-keyed), one broadcast
+    * dim join for the segment, one segment-keyed reduce; the share/log
+    * arithmetic runs per customer row against a broadcast ≤5-row
+    * per-segment totals frame. */
+  def theilIndex(s: SparkSession, d: String): DataFrame = {
+    val dec0 = DecimalType(38, 0)
+    val x = Tables.orders(s, d)
+      .select(col("o_custkey"),
+        (col("o_totalprice").cast(DecimalType(24, 6)) * lit(1000000)).cast("long").as("xm"))
+      .groupBy("o_custkey").agg(sum("xm").as("x"))
+      .join(broadcast(Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"), col("x"))
+    val t = x.groupBy("seg")
+      .agg(count(lit(1)).as("n"), sum(col("x").cast(dec0)).as("stot"))
+    x.join(broadcast(t), "seg")
+      .withColumn("pm", expr("CAST((CAST(x AS DECIMAL(38,0)) * 1000000) div stot AS BIGINT)"))
+      .withColumn("l",
+        round(log((col("x").cast(dec0) * col("n").cast(dec0)).cast("double") /
+          col("stot").cast("double")), 6).cast(DecimalType(18, 6)))
+      .groupBy("seg")
+      .agg(max("n").as("n_cust"), sum(col("pm") * col("l")).as("tsum"))
+      .select(col("seg").as("c_mktsegment"), col("n_cust"),
+        (floor(col("tsum").cast("double") / lit(1000000.0)
+          * lit(1000000.0) + lit(0.5)) / lit(1000000.0)).as("theil_t"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Weighted median of `l_quantity` per return flag, weighted by
+    * extended price — "the quantity at which half the REVENUE sits
+    * below": the weighted order statistic sampling-weight pipelines
+    * (DSIR weights, source-mix quotas) need, where the unweighted
+    * [[medianX2]] answers the wrong question.
+    *
+    * Determinism — pure integer rank algebra, the [[medianX2]] shape
+    * lifted to weights: weights are exact micro-unit BIGINTs, cumulative
+    * weights are exact, and the lower/upper weighted medians are the
+    * unique values with 2·prev < W ≤ 2·cum and 2·prev ≤ W < 2·cum (each
+    * rank-selecting SUM has exactly one non-null term); the midpoint is
+    * one IEEE add + halving of identical doubles. Doubled cumulative
+    * weights stay in BIGINT to ~5·10¹⁸ total micro-weight (~ sf100 for
+    * this column) — the [[mannWhitney]]-class documented edge.
+    *
+    * Scale shape: one map-side-combined (flag, distinct-quantity)
+    * aggregate — 50-value domain — then rank windows over that domain
+    * frame, never the row count. */
+  def weightedMedian(s: SparkSession, d: String): DataFrame = {
+    val bv = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_quantity").as("q"),
+        (col("l_extendedprice").cast(DecimalType(24, 6)) * lit(1000000)).cast("long").as("wt"))
+      .groupBy("l_returnflag", "q").agg(sum("wt").as("w"))
+    val win = Window.partitionBy("l_returnflag").orderBy("q")
+    bv
+      .withColumn("cum", sum("w").over(win))
+      .withColumn("tw", sum("w").over(Window.partitionBy("l_returnflag")))
+      .withColumn("prev", col("cum") - col("w"))
+      .groupBy("l_returnflag")
+      .agg(max("tw").as("w_total"),
+        (sum(when(lit(2) * col("prev") < col("tw") && col("tw") <= lit(2) * col("cum"),
+          col("q"))) +
+          sum(when(lit(2) * col("prev") <= col("tw") && col("tw") < lit(2) * col("cum"),
+            col("q")))).as("wm2"))
+      .select(col("l_returnflag"), col("w_total"),
+        (col("wm2") * lit(0.5)).as("wmedian"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_anova_f" -> (anovaF _),
+    "q_emd_drift" -> (emdDrift _),
+    "q_theil_index" -> (theilIndex _),
+    "q_weighted_median" -> (weightedMedian _),
     "q_changepoint" -> (changepoint _),
     "q_hill_tail" -> (hillTail _),
     "q_capture_recapture" -> (captureRecapture _),
@@ -1378,6 +1586,109 @@ object Statistics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_anova_f" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |         CAST(CAST(value AS DECIMAL(24,6)) * 1000000 AS BIGINT) // 10000 AS m
+        |  FROM events WHERE value IS NOT NULL
+        |), g AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS ng,
+        |         CAST(sum(m) AS HUGEINT) AS sg,
+        |         sum(CAST(m AS HUGEINT) * CAST(m AS HUGEINT)) AS qg
+        |  FROM ev GROUP BY event_type
+        |), t AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(ng) AS BIGINT) AS n,
+        |         CAST(sum(sg) AS HUGEINT) AS stot,
+        |         CAST(sum(qg) AS HUGEINT) AS qtot,
+        |         CAST(sum(CAST(floor(CAST(sg * sg AS DOUBLE) / CAST(ng AS DOUBLE))
+        |               AS BIGINT)) AS BIGINT) AS a
+        |  FROM g
+        |), s AS (
+        |  SELECT k, n,
+        |    a - CAST(floor(CAST(stot * stot AS DOUBLE) / CAST(n AS DOUBLE))
+        |          AS BIGINT) AS ssb,
+        |    CAST(qtot AS BIGINT) - a AS ssw
+        |  FROM t
+        |)
+        |SELECT k, n, CAST(k - 1 AS BIGINT) AS df1, CAST(n - k AS BIGINT) AS df2,
+        |  floor((CAST(ssb AS DOUBLE) / CAST(k - 1 AS DOUBLE))
+        |        / (CAST(ssw AS DOUBLE) / CAST(n - k AS DOUBLE))
+        |        * 1000000.0 + 0.5) / 1000000.0 AS f,
+        |  floor(CAST(ssb AS DOUBLE) / CAST(ssb + ssw AS DOUBLE)
+        |        * 1000000.0 + 0.5) / 1000000.0 AS eta2
+        |FROM s""".stripMargin,
+    "q_emd_drift" ->
+      """WITH ev AS (
+        |  SELECT value,
+        |         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        |  FROM events
+        |  WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+        |  GROUP BY value
+        |), c AS (
+        |  SELECT value,
+        |    CAST(sum(c1) OVER (ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum1,
+        |    CAST(sum(c2) OVER (ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum2,
+        |    lead(value) OVER (ORDER BY value) AS nv,
+        |    CAST(sum(c1) OVER () AS BIGINT) AS n1,
+        |    CAST(sum(c2) OVER () AS BIGINT) AS n2
+        |  FROM ev
+        |), seg AS (
+        |  SELECT n1, n2,
+        |    CAST(floor(CAST(abs(cum1 * n2 - cum2 * n1) AS DOUBLE)
+        |          * (nv - value) * 1000000.0 + 0.5) / 1000000.0
+        |         AS DECIMAL(38,6)) AS term
+        |  FROM c WHERE nv IS NOT NULL
+        |)
+        |SELECT n1, n2,
+        |  floor(CAST(sum(term) AS DOUBLE)
+        |        / CAST(CAST(n1 AS HUGEINT) * CAST(n2 AS HUGEINT) AS DOUBLE)
+        |        * 1000000.0 + 0.5) / 1000000.0 AS emd
+        |FROM seg GROUP BY n1, n2""".stripMargin,
+    "q_theil_index" ->
+      """WITH x AS (
+        |  SELECT o_custkey,
+        |         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(24,6)) * 1000000 AS BIGINT))
+        |              AS BIGINT) AS x
+        |  FROM orders GROUP BY o_custkey
+        |), xs AS (
+        |  SELECT c.c_mktsegment AS seg, x.x
+        |  FROM x JOIN customer c ON x.o_custkey = c.c_custkey
+        |), t AS (
+        |  SELECT seg, CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS HUGEINT) AS stot
+        |  FROM xs GROUP BY seg
+        |), p AS (
+        |  SELECT xs.seg, t.n,
+        |    CAST((CAST(xs.x AS HUGEINT) * 1000000) // t.stot AS BIGINT) AS pm,
+        |    CAST(round(ln(CAST(CAST(xs.x AS HUGEINT) * CAST(t.n AS HUGEINT) AS DOUBLE)
+        |           / CAST(t.stot AS DOUBLE)), 6) AS DECIMAL(18,6)) AS l
+        |  FROM xs JOIN t ON xs.seg = t.seg
+        |)
+        |SELECT seg AS c_mktsegment, CAST(max(n) AS BIGINT) AS n_cust,
+        |  floor(CAST(sum(pm * l) AS DOUBLE) / 1000000.0
+        |        * 1000000.0 + 0.5) / 1000000.0 AS theil_t
+        |FROM p GROUP BY seg ORDER BY c_mktsegment""".stripMargin,
+    "q_weighted_median" ->
+      """WITH bv AS (
+        |  SELECT l_returnflag, l_quantity AS q,
+        |         CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(24,6)) * 1000000 AS BIGINT))
+        |              AS BIGINT) AS w
+        |  FROM lineitem GROUP BY 1, 2
+        |), r AS (
+        |  SELECT l_returnflag, q, w,
+        |    CAST(sum(w) OVER (PARTITION BY l_returnflag ORDER BY q
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |    CAST(sum(w) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tw
+        |  FROM bv
+        |), k AS (
+        |  SELECT l_returnflag, q, w, cum, tw, cum - w AS prev FROM r
+        |)
+        |SELECT l_returnflag, CAST(max(tw) AS BIGINT) AS w_total,
+        |  (sum(CASE WHEN 2 * prev < tw AND tw <= 2 * cum THEN q END) +
+        |   sum(CASE WHEN 2 * prev <= tw AND tw < 2 * cum THEN q END)) * 0.5 AS wmedian
+        |FROM k GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_changepoint" ->
       """WITH daily AS (
         |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,

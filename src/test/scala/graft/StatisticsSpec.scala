@@ -404,4 +404,90 @@ class StatisticsSpec extends AnyFunSuite {
       assert(d >= 1, "only death times emitted")
     }
   }
+
+  test("one-way ANOVA F replays the naive double computation; eta2 valid") {
+    val r = ops.Statistics.anovaF(spark, sf).collect()
+    assert(r.length === 1)
+    val row = r.head
+    val (k, n, df1, df2, f, eta2) = (row.getLong(0), row.getLong(1),
+      row.getLong(2), row.getLong(3), row.getDouble(4), row.getDouble(5))
+    assert(df1 === k - 1 && df2 === n - k)
+    assert(eta2 >= 0.0 && eta2 <= 1.0)
+    // brute: plain-double SS decomposition over the collected fixture
+    val vals = Tables.events(spark, sf).filter(col("value").isNotNull)
+      .select("event_type", "value").collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+    val grand = vals.map(_._2).sum / vals.length
+    val groups = vals.groupBy(_._1).values
+    val ssb = groups.map { g =>
+      val m = g.map(_._2).sum / g.length; g.length * (m - grand) * (m - grand)
+    }.sum
+    val ssw = groups.map { g =>
+      val m = g.map(_._2).sum / g.length; g.map(v => (v._2 - m) * (v._2 - m)).sum
+    }.sum
+    val brute = (ssb / df1) / (ssw / df2)
+    assert(math.abs(f - brute) / brute < 1e-2, s"F $f vs brute $brute")
+  }
+
+  test("EMD drift: nonneg, bounded by range, dominates the mean shift") {
+    val row = ops.Statistics.emdDrift(spark, sf).collect().head
+    val emd = row.getDouble(2)
+    val stats = Tables.events(spark, sf)
+      .filter(col("event_type").isin("click", "view") && col("value").isNotNull)
+      .groupBy("event_type").agg(avg("value").as("m"),
+        max("value").as("hi"), min("value").as("lo")).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val range = math.max(stats("click")._2, stats("view")._2) -
+      math.min(stats("click")._3, stats("view")._3)
+    val meanShift = math.abs(stats("click")._1 - stats("view")._1)
+    assert(emd >= 0.0 && emd <= range + 1e-6)
+    // W1 between two distributions is >= |mu1 - mu2| (Jensen); quantization
+    // slack of one 6-dp quantum per segment
+    assert(emd >= meanShift - 1e-3, s"emd $emd < mean shift $meanShift")
+  }
+
+  test("Theil T: nonneg, bounded by ln(n), tracks the naive double replay") {
+    ops.Statistics.theilIndex(spark, sf).collect().foreach { row =>
+      val (seg, n, t) = (row.getString(0), row.getLong(1), row.getDouble(2))
+      assert(t >= -1e-6 && t <= math.log(n.toDouble) + 1e-6, s"$seg: $t")
+    }
+    // brute replay on the largest segment (floor-truncated shares bias the
+    // engine value DOWN by < 1e-6 * sum|ln n p| — loose tolerance)
+    val spend = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment", "o_custkey").agg(sum("o_totalprice").as("x"))
+      .collect().map(r => (r.getString(0), r.getDouble(2)))
+    spend.groupBy(_._1).foreach { case (seg, xs) =>
+      val tot = xs.map(_._2).sum; val n = xs.length
+      val brute = xs.map { case (_, x) =>
+        val p = x / tot; p * math.log(n * p)
+      }.sum
+      val got = ops.Statistics.theilIndex(spark, sf).collect()
+        .find(_.getString(0) == seg).get.getDouble(2)
+      assert(math.abs(got - brute) < 5e-3, s"$seg: $got vs $brute")
+    }
+  }
+
+  test("weighted median: rank rule replayed brute-force per flag") {
+    val li = Tables.lineitem(spark, sf)
+      .select("l_returnflag", "l_quantity", "l_extendedprice").collect()
+      .map(r => (r.getString(0), r.getDouble(1),
+        BigDecimal(r.getDouble(2)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .*(BigDecimal(1000000)).toLongExact))
+    val got = ops.Statistics.weightedMedian(spark, sf).collect()
+    li.groupBy(_._1).foreach { case (flag, xs) =>
+      val byQ = xs.groupBy(_._2).view.mapValues(_.map(_._3).sum).toSeq.sortBy(_._1)
+      val w = byQ.map(_._2).sum
+      var cum = 0L; var lo = Double.NaN; var up = Double.NaN
+      byQ.foreach { case (q, wt) =>
+        val prev = cum; cum += wt
+        if (2 * prev < w && w <= 2 * cum && lo.isNaN) lo = q
+        if (2 * prev <= w && w < 2 * cum && up.isNaN) up = q
+      }
+      val expect = (lo + up) * 0.5
+      val row = got.find(_.getString(0) == flag).get
+      assert(row.getLong(1) === w, s"$flag total weight")
+      assert(row.getDouble(2) === expect, s"$flag wmedian")
+    }
+  }
 }
