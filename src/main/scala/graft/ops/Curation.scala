@@ -578,7 +578,47 @@ object Curation {
       .orderBy("source", "len_bucket")
   }
 
+  /** Privacy budget for [[dpCount]] — the textbook "moderate privacy"
+    * setting; the Laplace scale is sensitivity/ε = 1/ε for a count. */
+  private val DpEpsilon = 1.0
+
+  /** ε-differentially-private event counts via the Laplace mechanism
+    * with DERIVED noise: the uniform draw is a salted md5 of the
+    * released key (the engine-wide seeded-randomness idiom —
+    * q_sample_hash, q_weighted_sample), pushed through the Laplace
+    * inverse CDF −(1/ε)·sgn(u−½)·ln(1−2|u−½|). Deterministic-by-key
+    * noise is exactly what a production DP release wants operationally:
+    * re-running the release must NOT spend fresh privacy budget or
+    * publish a second noisy draw of the same statistic (averaging two
+    * draws halves the noise — a real leak), so the draw is keyed to the
+    * (release, cell) pair.
+    *
+    * Determinism: u = (h + ½)/2³² from the first 8 md5 hex digits —
+    * strictly inside (0,1) and never exactly ½ (h + ½ is never 2³¹), so
+    * the log argument is strictly positive; noise is a fixed tree of
+    * elementary IEEE ops plus one ln (6-dp-quantized output — the
+    * ln-never-half-way discipline); the released value rounds once at
+    * the end.
+    *
+    * Scale shape: one map-side-combined groupBy; noise is computed on
+    * the k-row released frame, never per input row. */
+  def dpCount(s: SparkSession, d: String): DataFrame = {
+    val h = conv(substring(md5(concat(lit("dp:"), col("event_type"))), 1, 8), 16, 10)
+      .cast("long")
+    val u = (h.cast("double") + lit(0.5)) / lit(4294967296.0)
+    val t = u - lit(0.5)
+    val noise = (lit(-1.0) / lit(DpEpsilon)) * signum(t) *
+      log(lit(1.0) - lit(2.0) * abs(t))
+    Tables.events(s, d)
+      .groupBy("event_type").agg(count(lit(1)).as("n_true"))
+      .select(col("event_type"), lit(DpEpsilon).as("epsilon"),
+        (floor((col("n_true").cast("double") + noise)
+          * lit(1000000.0) + lit(0.5)) / lit(1000000.0)).as("noisy_n"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dp_count"       -> (dpCount _),
     "q_t_closeness"    -> (tCloseness _),
     "q_source_datasheet" -> (sourceDatasheet _),
     "q_retention_curve" -> (retentionCurve _),
@@ -614,6 +654,21 @@ object Curation {
     s"list_distinct(list_transform(range(1, len($WordsSql)), i -> $WordsSql[i] || ' ' || $WordsSql[i+1]))"
 
   val oracle: Map[String, String] = Map(
+    "q_dp_count" ->
+      """WITH g AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_true
+        |  FROM events GROUP BY event_type
+        |), u AS (
+        |  SELECT event_type, n_true,
+        |    (CAST(CAST('0x' || substring(md5('dp:' || event_type), 1, 8) AS BIGINT)
+        |          AS DOUBLE) + 0.5) / 4294967296.0 - 0.5 AS t
+        |  FROM g
+        |)
+        |SELECT event_type, CAST(1.0 AS DOUBLE) AS epsilon,
+        |  floor((CAST(n_true AS DOUBLE)
+        |         + (-1.0 / 1.0) * sign(t) * ln(1.0 - 2.0 * abs(t)))
+        |        * 1000000.0 + 0.5) / 1000000.0 AS noisy_n
+        |FROM u ORDER BY event_type""".stripMargin,
     "q_t_closeness" ->
       s"""WITH docs AS (
          |  SELECT source, CAST(floor(n_chars / 100.0) AS BIGINT) AS len_bucket, lang

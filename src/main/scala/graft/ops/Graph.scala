@@ -267,7 +267,62 @@ object Graph {
       .limit(100)
   }
 
+  /** Association rules over the co-purchase baskets — the
+    * [[copurchasePairs]] support counts lifted to directional rules
+    * a→b with confidence n_ab/n_a and lift N·n_ab/(n_a·n_b), the
+    * "customers who bought X also bought Y" scoring layer (confidence
+    * alone rewards popular consequents; lift corrects for the base
+    * rate). Top 50 by (lift, confidence), fully-ordered tiebreak.
+    *
+    * Determinism: supports and pair counts are exact integers; each of
+    * confidence and lift is ONE correctly-rounded IEEE division of
+    * exact-integer products, floor-quantized to 6 dp; the final order
+    * includes (antecedent, consequent), a total order. N·n_ab and
+    * n_a·n_b stay in BIGINT to ~10⁹ baskets per item pair.
+    *
+    * Scale shape: baskets are built once (the [[copurchasePairs]]
+    * row-local expansion — pair generation bounded by basket size, not
+    * catalog); supports are one item-keyed aggregate of the same staged
+    * distinct frame; the rule join touches only surviving pairs, with
+    * the catalog-bounded support table broadcast; top-50 is a
+    * TakeOrdered, not a global sort. */
+  def assocRules(s: SparkSession, d: String): DataFrame = {
+    val li = graft.util.Ckpt.stage(Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct())
+    val supp = li.groupBy("p").agg(count(lit(1)).as("n_i"))
+    val nOrders = li.agg(countDistinct("o").as("n_orders"))
+    val pairs = li
+      .groupBy(col("o"))
+      .agg(sort_array(collect_set(col("p"))).as("ps"))
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+          |  transform(slice(ps, i + 2, size(ps)),
+          |            y -> struct(x AS pa, y AS pb))))""".stripMargin)).as("pr"))
+      .select(col("pr.pa"), col("pr.pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 2)
+    val dir = pairs.select(col("pa").as("antecedent"), col("pb").as("consequent"), col("n_ab"))
+      .union(pairs.select(col("pb").as("antecedent"), col("pa").as("consequent"), col("n_ab")))
+    dir
+      .join(broadcast(supp.select(col("p").as("antecedent"), col("n_i").as("n_ante"))),
+        "antecedent")
+      .join(broadcast(supp.select(col("p").as("consequent"), col("n_i").as("n_cons"))),
+        "consequent")
+      .crossJoin(broadcast(nOrders))
+      .select(col("antecedent"), col("consequent"),
+        col("n_ab").as("n_both"), col("n_ante"), col("n_cons"),
+        (floor(col("n_ab").cast("double") / col("n_ante").cast("double")
+          * lit(1000000.0) + lit(0.5)) / lit(1000000.0)).as("confidence"),
+        (floor((col("n_orders") * col("n_ab")).cast("double")
+          / (col("n_ante") * col("n_cons")).cast("double")
+          * lit(1000000.0) + lit(0.5)) / lit(1000000.0)).as("lift"))
+      .orderBy(col("lift").desc, col("confidence").desc,
+        col("antecedent").asc, col("consequent").asc)
+      .limit(50)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_assoc_rules" -> (assocRules _),
     "q_copurchase_pairs" -> (copurchasePairs _),
     "q_jaccard_neighbors" -> (jaccardNeighbors _),
     "q_degree_dist" -> (degreeDist _),
@@ -320,6 +375,34 @@ object Graph {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_assoc_rules" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        |), supp AS (
+        |  SELECT p, CAST(count(*) AS BIGINT) AS n_i FROM li GROUP BY p
+        |), n AS (
+        |  SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_orders FROM li
+        |), pairs AS (
+        |  SELECT a.p AS pa, b.p AS pb, CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |), dir AS (
+        |  SELECT pa AS antecedent, pb AS consequent, n_ab FROM pairs
+        |  UNION ALL
+        |  SELECT pb AS antecedent, pa AS consequent, n_ab FROM pairs
+        |)
+        |SELECT d.antecedent, d.consequent, d.n_ab AS n_both,
+        |  sa.n_i AS n_ante, sc.n_i AS n_cons,
+        |  floor(CAST(d.n_ab AS DOUBLE) / CAST(sa.n_i AS DOUBLE)
+        |        * 1000000.0 + 0.5) / 1000000.0 AS confidence,
+        |  floor(CAST(n.n_orders * d.n_ab AS DOUBLE)
+        |        / CAST(sa.n_i * sc.n_i AS DOUBLE)
+        |        * 1000000.0 + 0.5) / 1000000.0 AS lift
+        |FROM dir d
+        |JOIN supp sa ON d.antecedent = sa.p
+        |JOIN supp sc ON d.consequent = sc.p, n
+        |ORDER BY lift DESC, confidence DESC, antecedent ASC, consequent ASC
+        |LIMIT 50""".stripMargin,
     "q_copurchase_pairs" ->
       """WITH li AS (
         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem

@@ -212,7 +212,57 @@ object Maintenance {
       .orderBy("event_type")
   }
 
+  /** One FK relation's integrity triple for [[riAudit]]: child rows,
+    * NULL foreign keys, and orphans (non-null FK with no parent). The
+    * parent side is deduped to its key set first so a (hypothetically)
+    * duplicated parent key can never inflate the child count. */
+  private def fkCheck(rel: String, child: DataFrame, fk: String,
+      parent: DataFrame, pk: String): DataFrame =
+    child.select(col(fk).as("__fk"))
+      .join(broadcast(parent.select(col(pk).as("__pk")).distinct()),
+        col("__fk") === col("__pk"), "left")
+      .agg(count(lit(1)).as("n_child"),
+        sum(col("__fk").isNull.cast("long")).as("n_null_fk"),
+        sum((col("__fk").isNotNull && col("__pk").isNull).cast("long")).as("n_orphans"))
+      .select(lit(rel).as("relation"), col("n_child"), col("n_null_fk"), col("n_orphans"))
+
+  /** Referential-integrity audit across every FK relation in the star —
+    * the pre-load contract check a warehouse runs before a partition
+    * swap: orphaned children mean a late-arriving or dropped dimension
+    * load, and catching them HERE costs one pass instead of a fanout of
+    * wrong join results downstream. One row per relation with child,
+    * null-FK, and orphan counts (integers — trivially engine-exact).
+    *
+    * Scale shape: each relation is one left join against the parent's
+    * deduped KEY SET (keys only — parent payloads never move). Dimension
+    * parents broadcast; the one big-parent relation (lineitem→orders)
+    * also broadcasts its key set here, but at 100 TB that side flips to
+    * a shuffled anti-join shape automatically once the key set exceeds
+    * the broadcast threshold — the query is written against keys, not
+    * plans. The child tables are each scanned once, projected to the FK
+    * column at the scan. */
+  def riAudit(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val checks = Seq(
+      fkCheck("customer.c_nationkey->nation", Tables.customer(s, d), "c_nationkey",
+        Tables.nation(s, d), "n_nationkey"),
+      fkCheck("lineitem.l_orderkey->orders", li, "l_orderkey",
+        Tables.orders(s, d), "o_orderkey"),
+      fkCheck("lineitem.l_partkey->part", li, "l_partkey",
+        Tables.part(s, d), "p_partkey"),
+      fkCheck("lineitem.l_suppkey->supplier", li, "l_suppkey",
+        Tables.supplier(s, d), "s_suppkey"),
+      fkCheck("nation.n_regionkey->region", Tables.nation(s, d), "n_regionkey",
+        Tables.region(s, d), "r_regionkey"),
+      fkCheck("orders.o_custkey->customer", Tables.orders(s, d), "o_custkey",
+        Tables.customer(s, d), "c_custkey"),
+      fkCheck("supplier.s_nationkey->nation", Tables.supplier(s, d), "s_nationkey",
+        Tables.nation(s, d), "n_nationkey"))
+    checks.reduce(_.union(_)).orderBy("relation")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ri_audit" -> (riAudit _),
     "q_freshness" -> (freshness _),
     "q_schema_drift" -> (schemaDrift _),
     "q_column_profile" -> (columnProfile _),
@@ -222,6 +272,26 @@ object Maintenance {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_ri_audit" -> {
+      def blk(rel: String, childTbl: String, fk: String,
+          parentTbl: String, pk: String) =
+        s"""SELECT '$rel' AS relation,
+           |  CAST(count(*) AS BIGINT) AS n_child,
+           |  CAST(sum(CASE WHEN c.$fk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_fk,
+           |  CAST(sum(CASE WHEN c.$fk IS NOT NULL AND p.$pk IS NULL
+           |           THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+           |FROM $childTbl c LEFT JOIN (SELECT DISTINCT $pk FROM $parentTbl) p
+           |  ON c.$fk = p.$pk""".stripMargin
+      Seq(
+        blk("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        blk("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        blk("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        blk("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        blk("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+        blk("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        blk("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY relation")
+    },
     "q_freshness" ->
       """WITH per AS (
         |  SELECT event_type, max(epoch_us(ts)) AS last_us,

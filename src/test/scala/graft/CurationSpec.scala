@@ -243,4 +243,23 @@ class CurationSpec extends AnyFunSuite {
       assert(math.abs(mean - 0.5) < 1e-6, s"$src: mean qnorm $mean != 0.5")
     }
   }
+
+  test("DP count: noise bounded by the 32-bit Laplace tail, keyed-deterministic") {
+    val truth = Tables.events(spark, sf).groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rel = ops.Curation.dpCount(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    assert(rel.map(_._1).toSet === truth.keySet)
+    rel.foreach { case (t, eps, noisy) =>
+      assert(eps === 1.0)
+      // |noise| = (1/eps)|ln(1-2|t|)|; with u quantized to 2^-32 the worst
+      // tail is ln(2^33) ~ 22.9
+      assert(math.abs(noisy - truth(t)) <= 23.0, s"$t: $noisy vs ${truth(t)}")
+      assert(noisy !== truth(t).toDouble, s"$t: mechanism must perturb")
+    }
+    // keyed noise: a second evaluation releases the identical draw
+    val again = ops.Curation.dpCount(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    assert(rel.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+  }
 }

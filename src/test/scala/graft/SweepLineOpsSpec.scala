@@ -116,4 +116,48 @@ class SweepLineOpsSpec extends AnyFunSuite {
       assert(expect(sz) == n, s"size $sz: histogram $n != closure ${expect(sz)}")
     }
   }
+
+  test("RI audit: all seven relations, intact fixture integrity, exact child counts") {
+    val rows = ops.Maintenance.riAudit(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows.size === 7)
+    // TPC-H-shaped fixtures hold referential integrity: zero orphans/nulls
+    rows.foreach { case (rel, (_, nNull, nOrph)) =>
+      assert(nNull === 0L, s"$rel null FKs")
+      assert(nOrph === 0L, s"$rel orphans")
+    }
+    assert(rows("lineitem.l_orderkey->orders")._1 === Tables.lineitem(spark, sf).count())
+    assert(rows("orders.o_custkey->customer")._1 === Tables.orders(spark, sf).count())
+    assert(rows("nation.n_regionkey->region")._1 === Tables.nation(spark, sf).count())
+  }
+
+  test("association rules: confidence/lift replay from raw supports") {
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nOrders = li.map(_._1).distinct.length
+    val supp = li.groupBy(_._2).view.mapValues(_.length).toMap
+    val pairCount = li.groupBy(_._1).values
+      .flatMap(b => b.map(_._2).distinct.sorted.combinations(2).map(_.toSeq))
+      .toSeq.groupBy(identity).view.mapValues(_.length).toMap
+    def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val rules = Graph.assocRules(spark, sf).collect()
+    assert(rules.nonEmpty && rules.length <= 50)
+    rules.foreach { r =>
+      val (a, b, nab, na, nb) = (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))
+      assert(a !== b)
+      assert(nab === pairCount(Seq(math.min(a, b), math.max(a, b))).toLong)
+      assert(na === supp(a).toLong && nb === supp(b).toLong)
+      assert(r.getDouble(5) === q6(nab.toDouble / na), "confidence replay")
+      assert(r.getDouble(6) === q6(nOrders.toDouble * nab / (na.toDouble * nb)),
+        "lift replay")
+      assert(r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0)
+    }
+    // descending lift with full tiebreak
+    rules.sliding(2).foreach {
+      case Array(x, y) => assert(x.getDouble(6) >= y.getDouble(6))
+      case _ =>
+    }
+  }
 }
