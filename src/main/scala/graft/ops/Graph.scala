@@ -321,7 +321,65 @@ object Graph {
       .limit(50)
   }
 
+  /** k for [[kcorePeel]] — the smallest k where peeling does real work
+    * on the co-purchase graph (k=2 only strips leaf chains). */
+  private[ops] val CoreK = 3
+  /** Bounded peel passes — the per-pass trace IS the output, so an
+    * unconverged tail is visible rather than silently truncated. */
+  private[ops] val CorePasses = 6
+
+  /** k-core peeling of the co-purchase graph: repeatedly remove nodes
+    * with degree < [[CoreK]] until (at most [[CorePasses]] passes) the
+    * k-core remains — the standard dense-substructure extraction that
+    * separates "parts with a real co-purchase neighborhood" from the
+    * long tail a recommender should not trust. Output is the per-pass
+    * (n_nodes, n_edges) trace: a fixpoint shows as a flat tail, an
+    * unconverged graph as a still-falling one.
+    *
+    * Determinism: peeling is order-free (all sub-k nodes drop
+    * simultaneously each pass — the result is the unique maximal
+    * k-core regardless of schedule), and every traced quantity is an
+    * integer count. The oracle unrolls the identical passes CTE by CTE.
+    *
+    * Scale shape: the iterative-algorithm discipline ([[pagerank]],
+    * kmeans): state per pass is the surviving edge list (monotonically
+    * shrinking, staged via Ckpt so lineage stays bounded) plus a
+    * node-keyed degree aggregate; the base pairs derivation is the
+    * [[copurchasePairs]] row-local expansion. No pass ever touches the
+    * raw fact table again. */
+  def kcorePeel(s: SparkSession, d: String): DataFrame = {
+    val base = graft.util.Ckpt.stage(Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+          |  transform(slice(ps, i + 2, size(ps)),
+          |            y -> struct(x AS pa, y AS pb))))""".stripMargin)).as("pr"))
+      .groupBy(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
+      .agg(count(lit(1)).as("n_o"))
+      .filter(col("n_o") >= 2)
+      .select("pa", "pb"))
+    var edges = base
+    val trace = (1 to CorePasses).map { p =>
+      val deg = edges.select(col("pa").as("node"))
+        .union(edges.select(col("pb").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("dg"))
+      val keep = deg.filter(col("dg") >= CoreK).select("node")
+      edges = graft.util.Ckpt.stage(edges
+        .join(keep.withColumnRenamed("node", "pa"), "pa")
+        .join(keep.withColumnRenamed("node", "pb"), "pb")
+        .select("pa", "pb"))
+      val nodes = edges.select(col("pa").as("node"))
+        .union(edges.select(col("pb").as("node")))
+      edges.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(nodes.agg(countDistinct("node").as("n_nodes")))
+        .select(lit(p).as("pass"), col("n_nodes"), col("n_edges"))
+    }
+    trace.reduce(_.union(_)).orderBy("pass")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kcore_peel" -> (kcorePeel _),
     "q_assoc_rules" -> (assocRules _),
     "q_copurchase_pairs" -> (copurchasePairs _),
     "q_jaccard_neighbors" -> (jaccardNeighbors _),
@@ -375,6 +433,37 @@ object Graph {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_kcore_peel" -> {
+      val passes = (1 to CorePasses).map { p =>
+        s"""d$p AS MATERIALIZED (
+           |  SELECT node, count(*) AS dg
+           |  FROM (SELECT pa AS node FROM e${p - 1} UNION ALL SELECT pb FROM e${p - 1}) u
+           |  GROUP BY node
+           |), k$p AS MATERIALIZED (SELECT node FROM d$p WHERE dg >= $CoreK),
+           |e$p AS MATERIALIZED (
+           |  SELECT e.pa, e.pb FROM e${p - 1} e
+           |  JOIN k$p ka ON e.pa = ka.node
+           |  JOIN k$p kb ON e.pb = kb.node
+           |)""".stripMargin
+      }.mkString(",\n")
+      val rows = (1 to CorePasses).map { p =>
+        s"""SELECT $p AS pass,
+           |  CAST((SELECT count(DISTINCT node) FROM
+           |        (SELECT pa AS node FROM e$p UNION ALL SELECT pb FROM e$p) t)
+           |       AS BIGINT) AS n_nodes,
+           |  CAST((SELECT count(*) FROM e$p) AS BIGINT) AS n_edges""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH li AS (
+         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+         |), e0 AS MATERIALIZED (
+         |  SELECT a.p AS pa, b.p AS pb
+         |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+         |  GROUP BY 1, 2 HAVING count(*) >= 2
+         |),
+         |$passes
+         |$rows
+         |ORDER BY pass""".stripMargin
+    },
     "q_assoc_rules" ->
       """WITH li AS (
         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem

@@ -1211,7 +1211,61 @@ object Similarity {
     out.get.orderBy("rank")
   }
 
+  /** Simplified (centroid-based) silhouette score per label over the
+    * embedding corpus — the clustering-quality audit that answers "do
+    * the labels actually separate in embedding space?" before they are
+    * used for stratified sampling or mix balancing. Per point,
+    * a = distance to its OWN label centroid, b = distance to the nearest
+    * OTHER centroid, s = (b−a)/max(a,b); reported as the per-label mean
+    * (the medoid-free variant — the classic all-pairs silhouette is
+    * O(n²) and exactly what a 100 TB corpus cannot run).
+    *
+    * Determinism: coordinates quantize to micro-unit BIGINTs at the
+    * scan ([[graft.ops.Statistics.q6micro]] discipline); centroids are
+    * exact integer sums with ONE truncating integer division per
+    * coordinate (Spark `div` ≡ DuckDB `//`, both toward zero); squared
+    * distances are exact BIGINTs, so argmin-over-centroids is integer
+    * comparison; a and b are single correctly-rounded `sqrt`s (IEEE
+    * requires correct rounding for sqrt — unlike ln there is no libm
+    * freedom), the ratio is elementary ops, and per-point scores
+    * 6-dp-quantize into DECIMAL before the order-independent mean.
+    *
+    * Scale shape: one posexploded pass to the (label, dim) centroid
+    * table (k·64 rows, broadcast back); each point computes k exact
+    * integer distances locally — corpus never self-joined, never
+    * shuffled beyond its own (vec, label) aggregate. */
+  def silhouette(s: SparkSession, d: String): DataFrame = {
+    val ex = once(Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding").cast("array<double>")))
+      .select(col("vec_id"), col("label"), col("pos").as("dim"),
+        floor(col("col") * 1000000 + lit(0.5)).cast("long").as("xq")))
+    val cent = ex.groupBy(col("label").as("clab"), col("dim"))
+      .agg(sum("xq").as("sx"), count(lit(1)).as("nx"))
+      .select(col("clab"), col("dim"), expr("sx div nx").as("cq"))
+    val d2 = ex.join(broadcast(cent), "dim")
+      .groupBy("vec_id", "label", "clab")
+      .agg(sum((col("xq") - col("cq")) * (col("xq") - col("cq"))).as("d2"))
+    val per = d2.groupBy("vec_id", "label")
+      .agg(min(when(col("clab") === col("label"), col("d2"))).as("a2"),
+        min(when(col("clab") =!= col("label"), col("d2"))).as("b2"))
+      .withColumn("a", sqrt(col("a2").cast("double")))
+      .withColumn("b", sqrt(col("b2").cast("double")))
+      .withColumn("sil",
+        when(greatest(col("a"), col("b")) > 0,
+          (col("b") - col("a")) / greatest(col("a"), col("b"))).otherwise(lit(0.0)))
+    per.groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum((floor(col("sil") * lit(1000000.0) + lit(0.5)) / lit(1000000.0))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6))).as("ssum"))
+      .select(col("label"), col("n_vecs"),
+        (floor(col("ssum").cast("double") / col("n_vecs").cast("double")
+          * lit(1000000.0) + lit(0.5)) / lit(1000000.0)).as("mean_sil"))
+      .orderBy("label")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_silhouette"    -> (silhouette _),
     "q_pq_rerank"     -> (pqRerank _),
     "q_embed_norm"    -> (embedNormAudit _),
     "q_embed_pca"     -> (embedPca _),
@@ -1539,6 +1593,38 @@ object Similarity {
 
   val oracle: Map[String, String] = Map(
     "q_pq_rerank" -> pqRerankOracle,
+    "q_silhouette" ->
+      """WITH v AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), ex AS (
+        |  SELECT vec_id, label, dim,
+        |         CAST(floor(v[CAST(dim AS INTEGER) + 1] * 1000000 + 0.5) AS BIGINT) AS xq
+        |  FROM v, (SELECT unnest(range(0, 64)) AS dim)
+        |), cent AS (
+        |  SELECT label AS clab, dim,
+        |         CAST(sum(xq) AS BIGINT) // CAST(count(*) AS BIGINT) AS cq
+        |  FROM ex GROUP BY label, dim
+        |), dd AS (
+        |  SELECT ex.vec_id, ex.label, cent.clab,
+        |         CAST(sum((ex.xq - cent.cq) * (ex.xq - cent.cq)) AS BIGINT) AS d2
+        |  FROM ex JOIN cent ON ex.dim = cent.dim
+        |  GROUP BY 1, 2, 3
+        |), per AS (
+        |  SELECT vec_id, label,
+        |    sqrt(CAST(min(CASE WHEN clab = label THEN d2 END) AS DOUBLE)) AS a,
+        |    sqrt(CAST(min(CASE WHEN clab <> label THEN d2 END) AS DOUBLE)) AS b
+        |  FROM dd GROUP BY 1, 2
+        |), sil AS (
+        |  SELECT label,
+        |    CASE WHEN greatest(a, b) > 0 THEN (b - a) / greatest(a, b)
+        |         ELSE 0.0 END AS sil
+        |  FROM per
+        |)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+        |  floor(CAST(sum(CAST(floor(sil * 1000000.0 + 0.5) / 1000000.0
+        |                     AS DECIMAL(18,6))) AS DOUBLE)
+        |        / CAST(count(*) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS mean_sil
+        |FROM sil GROUP BY label ORDER BY label""".stripMargin,
     "q_embed_pca" -> pcaOracle,
     "q_embed_norm" ->
       """WITH n AS (

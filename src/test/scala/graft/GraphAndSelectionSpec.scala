@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Graph, TextAnalysis, TrainingPrep}
+import graft.ops.{Graph, Similarity, TextAnalysis, TrainingPrep}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -159,6 +159,72 @@ class GraphAndSelectionSpec extends AnyFunSuite {
       val expect = c.toDouble / (da + db - c)
       assert(math.abs(j - expect) < 1e-5)
       assert(j > 0.0 && j <= 1.0)
+    }
+  }
+
+  test("k-core peel: trace matches a brute-force peel, monotone, core is k-valid") {
+    val k = 3
+    // brute: same pair derivation, then peel to the same pass count
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    var edges = li.groupBy(_._1).values
+      .flatMap(b => b.map(_._2).distinct.sorted.combinations(2).map(c => (c(0), c(1))))
+      .toSeq.groupBy(identity).filter(_._2.size >= 2).keys.toSet
+    val expected = (1 to 6).map { _ =>
+      val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val keep = deg.filter(_._2 >= k).keySet
+      edges = edges.filter(e => keep(e._1) && keep(e._2))
+      (edges.flatMap(e => Set(e._1, e._2)).size.toLong, edges.size.toLong)
+    }
+    val got = Graph.kcorePeel(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._1).toSeq === (1 to 6))
+    got.zip(expected).foreach { case ((p, nn, ne), (bn, be)) =>
+      assert(nn === bn, s"pass $p nodes")
+      assert(ne === be, s"pass $p edges")
+    }
+    // monotone shrink
+    got.sliding(2).foreach {
+      case Array((_, n1, e1), (_, n2, e2)) => assert(n2 <= n1 && e2 <= e1)
+      case _ =>
+    }
+    // every surviving node has degree >= k in the surviving subgraph once
+    // the trace has converged (flat tail)
+    if (got.length >= 2 && got(got.length - 2) == got.last) {
+      val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).view.mapValues(_.size)
+      deg.foreach { case (n, dg) => assert(dg >= k, s"node $n degree $dg") }
+    }
+  }
+
+  test("silhouette: scores in [-1,1] and track a plain-double replay") {
+    val rows = Similarity.silhouette(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, n, s) =>
+      assert(n > 0)
+      assert(s >= -1.0 - 1e-9 && s <= 1.0 + 1e-9)
+    }
+    // brute replay in raw doubles (quantization noise ~1e-4 per coordinate)
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getInt(1), r.getSeq[Double](2).toArray))
+    val cents = vecs.groupBy(_._1).view.mapValues { vs =>
+      val n = vs.length
+      Array.tabulate(64)(d => vs.map(_._2(d)).sum / n)
+    }.toMap
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val brute = vecs.map { case (lab, v) =>
+      val a = math.sqrt(d2(v, cents(lab)))
+      val b = math.sqrt(cents.filter(_._1 != lab).values.map(d2(v, _)).min)
+      lab -> (if (math.max(a, b) > 0) (b - a) / math.max(a, b) else 0.0)
+    }.groupBy(_._1).view.mapValues(xs => xs.map(_._2).sum / xs.length).toMap
+    rows.foreach { case (lab, _, s) =>
+      assert(math.abs(s - brute(lab)) < 5e-3, s"label $lab: $s vs ${brute(lab)}")
     }
   }
 }
