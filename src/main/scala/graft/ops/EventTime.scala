@@ -1048,7 +1048,44 @@ object EventTime {
       .orderBy("event_type")
   }
 
+  /** Exponentially-weighted moving average of daily event volume per
+    * type, α = ½ — the standard trend smoother behind anomaly baselines
+    * and freshness dashboards (yesterday counts half as much as today).
+    *
+    * Determinism — the recurrence sₜ = (nₜ + sₜ₋₁)/2 is sequential, but
+    * with α = ½ it closes to an EXACT integer form: sₜ = Wₜ/2ᵗ⁺¹ where
+    * Wₜ = 4·n₁ + Σᵢ₌₂..ₜ nᵢ·2ⁱ is an integer cumulative sum (each term
+    * a count times a power of two), and the one division is by a power
+    * of two — an exact IEEE operation, so the smoothed series is
+    * BIT-exact cross-engine with NO quantization anywhere. This is why
+    * α is ½ and not a parameter: any other α makes every step a rounded
+    * multiply and the recurrence order-sensitive. Range edge: Wₜ wraps
+    * BIGINT once max-daily-count · 2ᵗ exceeds 2⁶³ — t ≈ 40 at sf1
+    * volumes; for longer windows re-base the recurrence per 30-day
+    * chunk (the fixture spans one month).
+    *
+    * Scale shape: one map-side-combined (type, day) aggregate — the
+    * only pass over events — then windows over the calendar-bounded
+    * daily frame. */
+  def ewmaSmooth(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .groupBy(col("event_type"), fmtDate(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("dn", row_number().over(w))
+      .withColumn("term", col("n") *
+        when(col("dn") === 1, lit(4L))
+          .otherwise(expr("shiftleft(cast(1 as bigint), dn)")))
+      .withColumn("wcum", sum("term").over(wc))
+      .select(col("event_type"), col("day"), col("n"),
+        (col("wcum").cast("double") /
+          expr("shiftleft(cast(1 as bigint), dn + 1)").cast("double")).as("ewma"))
+      .orderBy("event_type", "day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ewma_smooth" -> (ewmaSmooth _),
     "q_interval_union" -> (intervalUnion _),
     "q_lateness_audit" -> (latenessAudit _),
     "q_decompose_daily" -> (decomposeDaily _),
@@ -1161,6 +1198,30 @@ object EventTime {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_ewma_smooth" ->
+      """WITH daily AS (
+        |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2
+        |), r AS (
+        |  SELECT event_type, day, n,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+        |         AS INTEGER) AS dn
+        |  FROM daily
+        |), t AS (
+        |  SELECT event_type, day, n, dn,
+        |    n * (CASE WHEN dn = 1 THEN 4
+        |              ELSE CAST(1 AS BIGINT) << dn END) AS term
+        |  FROM r
+        |), c AS (
+        |  SELECT event_type, day, n, dn,
+        |    CAST(sum(term) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS wcum
+        |  FROM t
+        |)
+        |SELECT event_type, day, n,
+        |  CAST(wcum AS DOUBLE) / CAST(CAST(1 AS BIGINT) << (dn + 1) AS DOUBLE) AS ewma
+        |FROM c ORDER BY event_type, day""".stripMargin,
     "q_interval_union" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS tsl,

@@ -252,7 +252,62 @@ object Joins {
       .withColumn("revenue", round(col("revenue"), 4))
       .orderBy("n_name")
 
+  /** Grid-bucketed spatial k-nearest-neighbors — the join pattern Spark
+    * lacks natively: points land in 10°×10° grid cells, each query point
+    * probes only its 3×3 cell neighborhood, and the kNN ranking runs on
+    * that bounded candidate set — the spatial analogue of the LSH-bucket
+    * and IVF-cell candidate generation the dedup/ANN families use, and
+    * the scale shape a billion-point spatial join needs (the naive
+    * all-pairs distance join is the thing this query exists to avoid).
+    * Coordinates are hash-derived from the customer key (the engine's
+    * seeded-randomness idiom) on a flat degree grid — a bucketing-plan
+    * demo, not geodesy; a real deployment swaps in geohash cells and
+    * haversine without changing the plan.
+    *
+    * Determinism: coordinates are fixed IEEE trees over exact md5-derived
+    * integers; cell ids are floor divisions; distances are elementary-op
+    * trees over identical operand pairs, ranked with a (dist, key)
+    * total-order tiebreak; the output distance quantizes at 6 dp.
+    * Neighborhoods do not wrap at the ±180° seam (documented — a wrap
+    * adds a modular offset to the probe list, same plan).
+    *
+    * Scale shape: the corpus is bucketed once; queries explode ×9 (their
+    * neighbor cells) and broadcast; the join is a cell-key equi-join, so
+    * per-query work is bounded by neighborhood occupancy, never corpus
+    * size. */
+  def geoGridKnn(s: SparkSession, d: String): DataFrame = {
+    def u(salt: String) =
+      (conv(substring(md5(concat(lit(salt), col("c_custkey").cast("string"))), 1, 8),
+        16, 10).cast("long").cast("double") + lit(0.5)) / lit(4294967296.0)
+    val pts = graft.util.Ckpt.stage(Tables.customer(s, d)
+      .select(col("c_custkey"),
+        (u("lat:") * lit(180.0) - lit(90.0)).as("lat"),
+        (u("lon:") * lit(360.0) - lit(180.0)).as("lon"))
+      .withColumn("cx", floor(col("lon") / lit(10.0)).cast("long"))
+      .withColumn("cy", floor(col("lat") / lit(10.0)).cast("long")))
+    val probes = pts.filter(col("c_custkey") % 100 === 0)
+      .select(col("c_custkey").as("qid"), col("lat").as("qlat"), col("lon").as("qlon"),
+        explode(expr("flatten(transform(sequence(-1, 1), " +
+          "dx -> transform(sequence(-1, 1), dy -> struct(dx, dy))))")).as("o"),
+        col("cx"), col("cy"))
+      .select(col("qid"), col("qlat"), col("qlon"),
+        (col("cx") + col("o.dx")).as("cx"), (col("cy") + col("o.dy")).as("cy"))
+    val w = Window.partitionBy("qid").orderBy(col("dist2").asc, col("c_custkey").asc)
+    broadcast(probes).join(pts, Seq("cx", "cy"))
+      .filter(col("c_custkey") =!= col("qid"))
+      .withColumn("dist2",
+        (col("qlat") - col("lat")) * (col("qlat") - col("lat")) +
+          (col("qlon") - col("lon")) * (col("qlon") - col("lon")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("qid"), col("rn"), col("c_custkey").as("neighbor"),
+        (floor(sqrt(col("dist2")) * lit(1000000.0) + lit(0.5)) / lit(1000000.0))
+          .as("dist_deg"))
+      .orderBy("qid", "rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_geo_grid_knn" -> (geoGridKnn _),
     "q_join_inner"       -> (joinInner _),
     "q_join_asof_tol"    -> (joinAsofTolerance _),
     "q_join_salted"      -> (joinSalted _),
@@ -272,6 +327,42 @@ object Joins {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_geo_grid_knn" ->
+      """WITH pts AS (
+        |  SELECT c_custkey,
+        |    ((CAST(CAST('0x' || substring(md5('lat:' || c_custkey), 1, 8) AS BIGINT)
+        |       AS DOUBLE) + 0.5) / 4294967296.0) * 180.0 - 90.0 AS lat,
+        |    ((CAST(CAST('0x' || substring(md5('lon:' || c_custkey), 1, 8) AS BIGINT)
+        |       AS DOUBLE) + 0.5) / 4294967296.0) * 360.0 - 180.0 AS lon
+        |  FROM customer
+        |), cells AS (
+        |  SELECT c_custkey, lat, lon,
+        |    CAST(floor(lon / 10.0) AS BIGINT) AS cx,
+        |    CAST(floor(lat / 10.0) AS BIGINT) AS cy
+        |  FROM pts
+        |), probes AS (
+        |  SELECT c_custkey AS qid, lat AS qlat, lon AS qlon,
+        |         cx + dx.x AS cx, cy + dy.y AS cy
+        |  FROM cells,
+        |       (SELECT unnest(range(-1, 2)) AS x) dx,
+        |       (SELECT unnest(range(-1, 2)) AS y) dy
+        |  WHERE c_custkey % 100 = 0
+        |), cand AS (
+        |  SELECT p.qid,
+        |    (p.qlat - c.lat) * (p.qlat - c.lat)
+        |      + (p.qlon - c.lon) * (p.qlon - c.lon) AS dist2,
+        |    c.c_custkey
+        |  FROM probes p JOIN cells c ON p.cx = c.cx AND p.cy = c.cy
+        |  WHERE c.c_custkey <> p.qid
+        |), rk AS (
+        |  SELECT qid, c_custkey, dist2,
+        |    row_number() OVER (PARTITION BY qid
+        |                       ORDER BY dist2 ASC, c_custkey ASC) AS rn
+        |  FROM cand
+        |)
+        |SELECT qid, CAST(rn AS INTEGER) AS rn, c_custkey AS neighbor,
+        |  floor(sqrt(dist2) * 1000000.0 + 0.5) / 1000000.0 AS dist_deg
+        |FROM rk WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
     "q_join_pipeline_top" ->
       """SELECT o_orderkey, o_orderpriority,
         |       round(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))) AS DOUBLE), 4) AS revenue

@@ -940,7 +940,68 @@ object TextAnalysis {
         q4(r2num / r2den).as("r2"))
   }
 
+  /** RAKE keyword extraction over the corpus (Rose et al. 2010): candidate
+    * phrases are maximal stopword-free word runs; each word scores
+    * deg(w)/freq(w) — degree counts every phrase slot co-occurring with w
+    * (its own included), so words that anchor LONG phrases outrank equally
+    * frequent loners — and a phrase scores the sum of its words. The
+    * corpus-level top 30 is the "what is this corpus about" digest next to
+    * [[tfidf]]'s per-doc view.
+    *
+    * Determinism: phrase segmentation is a pure gaps-and-islands
+    * computation on word positions (island = pos − rank among non-stop
+    * words — no regex, no engine string semantics beyond the shared
+    * split-on-space); phrase text reassembles through an explicitly
+    * pos-sorted array; deg/freq are exact integers, each word score is
+    * ONE correctly-rounded division 6-dp-floor-quantized into DECIMAL,
+    * and phrase scores are exact decimal sums of those — ties broken by
+    * phrase text.
+    *
+    * Scale shape: tokenize once, one vocabulary-bounded word-stats
+    * aggregate (broadcast back), one phrase-keyed aggregate; the top-30
+    * is a TakeOrdered. No self-joins, no per-pair work. */
+  def rakeKeywords(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .filter(length(col("col")) > 0)
+      .select(col("doc_id"), col("pos"), col("col").as("word"))
+    val wn = Window.partitionBy("doc_id").orderBy("pos")
+    val phrases = graft.util.Ckpt.stage(toks
+      .filter(!col("word").isin(Stopwords.map(m => m: Any): _*))
+      .withColumn("island", col("pos") - row_number().over(wn))
+      .groupBy("doc_id", "island")
+      .agg(sort_array(collect_list(struct(col("pos"), col("word")))).as("ws"))
+      .select(col("doc_id"),
+        expr("array_join(transform(ws, x -> x.word), ' ')").as("phrase"),
+        expr("transform(ws, x -> x.word)").as("words"),
+        size(col("ws")).as("plen")))
+    val wstats = phrases
+      .select(explode(col("words")).as("word"), col("plen"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("freq"), sum("plen").as("deg"))
+      .select(col("word"),
+        (floor(col("deg").cast("double") / col("freq").cast("double")
+          * lit(1000000.0) + lit(0.5)) / lit(1000000.0))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("wscore"))
+    // identical phrase text => identical word multiset => identical score,
+    // so score once per DISTINCT phrase and count instances separately
+    val inst = phrases.groupBy("phrase")
+      .agg(count(lit(1)).as("n_occurrences"), max("plen").cast("long").as("n_words"))
+    val pscores = phrases.select(col("phrase"), col("words"))
+      .dropDuplicates("phrase")
+      .select(col("phrase"), explode(col("words")).as("word"))
+      .join(broadcast(wstats), "word")
+      .groupBy("phrase").agg(sum("wscore").as("pscore"))
+    inst.join(pscores, "phrase")
+      .select(col("phrase"), col("n_words"), col("n_occurrences"),
+        (floor(col("pscore").cast("double") * lit(1000000.0) + lit(0.5))
+          / lit(1000000.0)).as("score"))
+      .orderBy(col("score").desc, col("phrase").asc)
+      .limit(30)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rake_keywords" -> (rakeKeywords _),
     "q_heaps_fit" -> (heapsFit _),
     "q_readability" -> (readability _),
     "q_fuzzy_join_symdel" -> (fuzzyJoinSymdel _),
@@ -983,6 +1044,50 @@ object TextAnalysis {
   private val FWordsSql = s"list_filter($WordsSql, x -> x <> '')"
 
   val oracle: Map[String, String] = Map(
+    "q_rake_keywords" ->
+      """WITH toks AS (
+        |  SELECT doc_id, pos, word FROM (
+        |    SELECT doc_id, u.pos AS pos, u.word AS word FROM (
+        |      SELECT doc_id,
+        |        unnest(list_transform(range(1, len(string_split(text, ' ')) + 1),
+        |          i -> {'pos': i, 'word': string_split(text, ' ')[i]})) AS u
+        |      FROM documents) q
+        |  ) t WHERE len(word) > 0
+        |), ns AS (
+        |  SELECT doc_id, pos, word,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |  FROM toks WHERE word NOT IN ('the', 'a', 'of')
+        |), phr AS (
+        |  SELECT doc_id, island,
+        |    string_agg(word, ' ' ORDER BY pos) AS phrase,
+        |    CAST(count(*) AS BIGINT) AS plen
+        |  FROM ns GROUP BY doc_id, island
+        |), ws AS (
+        |  SELECT w AS word, CAST(count(*) AS BIGINT) AS freq,
+        |         CAST(sum(plen) AS BIGINT) AS deg
+        |  FROM (SELECT unnest(string_split(phrase, ' ')) AS w, plen FROM phr) e
+        |  GROUP BY w
+        |), wsc AS (
+        |  SELECT word,
+        |    CAST(floor(CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE)
+        |          * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6)) AS wscore
+        |  FROM ws
+        |), inst AS (
+        |  SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences,
+        |         CAST(max(plen) AS BIGINT) AS n_words
+        |  FROM phr GROUP BY phrase
+        |), psc AS (
+        |  SELECT phrase, sum(wscore) AS pscore
+        |  FROM (SELECT DISTINCT phrase FROM phr) p,
+        |       LATERAL (SELECT unnest(string_split(p.phrase, ' ')) AS w) e
+        |  JOIN wsc ON wsc.word = e.w
+        |  GROUP BY phrase
+        |)
+        |SELECT i.phrase, i.n_words, i.n_occurrences,
+        |  floor(CAST(psc.pscore AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS score
+        |FROM inst i JOIN psc ON i.phrase = psc.phrase
+        |ORDER BY score DESC, i.phrase ASC
+        |LIMIT 30""".stripMargin,
     "q_heaps_fit" ->
       s"""WITH tc AS (
          |  SELECT source, term, count(*) AS c

@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants for the round-7 smoothing / spatial / keyword
+  * operators — the oracle proves cross-engine equality; these prove the
+  * numbers mean what they claim. */
+class SmoothingSpatialRakeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.session
+  private val sf = TestSpark.Sf
+
+  test("EWMA alpha=1/2: closed integer form replays the recurrence EXACTLY") {
+    val rows = ops.EventTime.ewmaSmooth(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (t, xs) =>
+      val ordered = xs.sortBy(_._2)
+      var s = ordered.head._3.toDouble
+      assert(ordered.head._4 === s, s"$t day 1 seeds with n_1")
+      ordered.tail.foreach { case (_, day, n, ewma) =>
+        s = (n + s) / 2.0 // both ops exact: integer add stays < 2^53, /2 shifts
+        assert(ewma === s, s"$t $day: $ewma != recurrence $s (must be bit-exact)")
+      }
+    }
+  }
+
+  test("RAKE: phrases are stopword-free, scores replay from corpus word stats") {
+    val stops = Set("the", "a", "of")
+    val got = ops.TextAnalysis.rakeKeywords(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty && got.length <= 30)
+    got.foreach { case (phrase, nWords, nOcc, score) =>
+      val ws = phrase.split(" ")
+      assert(ws.length === nWords)
+      assert(nOcc >= 1)
+      assert(ws.forall(w => !stops(w)), s"stopword inside phrase '$phrase'")
+      assert(score > 0.0)
+    }
+    // brute replay: island segmentation + deg/freq scoring in plain Scala
+    val docs = Tables.documents(spark, sf).select("text").collect().map(_.getString(0))
+    val phrases = docs.flatMap { t =>
+      val words = t.split(" ").filter(_.nonEmpty)
+      val acc = scala.collection.mutable.Buffer[List[String]]()
+      var cur = List.empty[String]
+      words.foreach { w =>
+        if (stops(w)) { if (cur.nonEmpty) acc += cur.reverse; cur = Nil }
+        else cur = w :: cur
+      }
+      if (cur.nonEmpty) acc += cur.reverse
+      acc
+    }
+    val freq = phrases.flatten.groupBy(identity).view.mapValues(_.length).toMap
+    val deg = phrases.flatMap(p => p.map(_ -> p.length))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val bruteScore = phrases.map(p => p.mkString(" ") ->
+      p.map(w => BigDecimal(q6(deg(w).toDouble / freq(w)))).sum).toMap
+    val bruteOcc = phrases.map(_.mkString(" ")).groupBy(identity).view
+      .mapValues(_.length.toLong).toMap
+    got.foreach { case (phrase, _, nOcc, score) =>
+      assert(nOcc === bruteOcc(phrase), s"'$phrase' occurrences")
+      assert(score === q6(bruteScore(phrase).toDouble), s"'$phrase' score")
+    }
+    // top-30 really is the top: no unreported phrase outscores the floor
+    val floorScore = got.map(_._4).min
+    val missed = bruteScore.filter { case (p, s) =>
+      q6(s.toDouble) > floorScore && !got.exists(_._1 == p)
+    }
+    assert(missed.isEmpty, s"phrases above the reported floor missing: ${missed.keys}")
+  }
+
+  test("geo grid kNN: neighbors come from the 3x3 neighborhood and are the true top-3 there") {
+    def u(salt: String, k: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$salt$k".getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      (java.lang.Long.parseLong(md.substring(0, 8), 16).toDouble + 0.5) / 4294967296.0
+    }
+    val keys = Tables.customer(spark, sf).select("c_custkey").collect().map(_.getLong(0))
+    val pts = keys.map(k => k ->
+      (u("lat:", k) * 180.0 - 90.0, u("lon:", k) * 360.0 - 180.0)).toMap
+    def cell(p: (Double, Double)) =
+      (math.floor(p._2 / 10.0).toLong, math.floor(p._1 / 10.0).toLong)
+    val got = ops.Joins.geoGridKnn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    got.groupBy(_._1).foreach { case (qid, xs) =>
+      val (qc, qp) = (cell(pts(qid)), pts(qid))
+      // membership: every reported neighbor is in the 3x3 neighborhood
+      xs.foreach { case (_, _, nb, _) =>
+        val nc = cell(pts(nb))
+        assert(math.abs(nc._1 - qc._1) <= 1 && math.abs(nc._2 - qc._2) <= 1)
+      }
+      // optimality among the neighborhood candidate set
+      val cands = keys.filter(k => k != qid && {
+        val nc = cell(pts(k))
+        math.abs(nc._1 - qc._1) <= 1 && math.abs(nc._2 - qc._2) <= 1
+      }).map { k =>
+        val p = pts(k)
+        val d2 = (qp._1 - p._1) * (qp._1 - p._1) + (qp._2 - p._2) * (qp._2 - p._2)
+        (d2, k)
+      }.sorted.take(3)
+      assert(xs.sortBy(_._2).map(_._3).toSeq === cands.map(_._2).toSeq,
+        s"qid $qid: reported neighbors are not the candidate-set top-3")
+      // ranks ascend with distance
+      xs.sortBy(_._2).map(_._4).sliding(2).foreach {
+        case Array(d1, d2) => assert(d1 <= d2)
+        case _ =>
+      }
+    }
+  }
+}
