@@ -1368,12 +1368,20 @@ object Statistics {
     * Scale shape: ONE map-side-combined groupBy(event_type) is the only
     * pass over events; everything after runs on the k-row (≤ event-type
     * domain) frame. */
-  def anovaF(s: SparkSession, d: String): DataFrame = {
+  def anovaF(s: SparkSession, d: String): DataFrame =
+    anovaFromMeasure(
+      Tables.events(s, d).filter(col("value").isNotNull)
+        .select(col("event_type"),
+          (col("value").cast(DecimalType(24, 6)) * lit(1000000)).cast("long").as("micro"))
+        .select(col("event_type"), expr("micro div 10000").as("m")),
+      "f")
+
+  /** The [[anovaF]] decomposition over a pre-derived (event_type, m)
+    * measure frame with m an exact cent-scale BIGINT — shared with
+    * [[levene]], which runs the identical F on |v − median| deviations
+    * (Brown–Forsythe form). `statName` labels the F column. */
+  private def anovaFromMeasure(ev: DataFrame, statName: String): DataFrame = {
     val dec0 = DecimalType(38, 0)
-    val ev = Tables.events(s, d).filter(col("value").isNotNull)
-      .select(col("event_type"),
-        (col("value").cast(DecimalType(24, 6)) * lit(1000000)).cast("long").as("micro"))
-      .select(col("event_type"), expr("micro div 10000").as("m"))
     val g = ev.groupBy("event_type").agg(
       count(lit(1)).as("ng"),
       sum(col("m").cast(dec0)).as("sg"),
@@ -1393,9 +1401,38 @@ object Statistics {
       (col("k") - 1).cast("long").as("df1"), (col("n") - col("k")).cast("long").as("df2"),
       (floor((col("ssb").cast("double") / (col("k") - 1).cast("double")) /
         (col("ssw").cast("double") / (col("n") - col("k")).cast("double"))
-        * lit(1000000.0) + lit(0.5)) / lit(1000000.0)).as("f"),
+        * lit(1000000.0) + lit(0.5)) / lit(1000000.0)).as(statName),
       (floor(col("ssb").cast("double") / (col("ssb") + col("ssw")).cast("double")
         * lit(1000000.0) + lit(0.5)) / lit(1000000.0)).as("eta2"))
+  }
+
+  /** Brown–Forsythe/Levene homogeneity-of-variance test across event
+    * types — the gate [[anovaF]]'s equal-variance assumption needs
+    * checked against, and the robust (median-centered) form: W is the
+    * one-way F statistic recomputed on the absolute deviations
+    * |v − median(group)|, so heavy tails don't masquerade as unequal
+    * variances the way they do in the mean-centered original.
+    *
+    * Determinism: group medians are [[medianX2]] rank selections over
+    * raw doubles (the q_outlier_mad discipline — no quantization before
+    * the two order statistics); each deviation is elementary IEEE ops
+    * on identical operands, micro-quantized to exact BIGINTs and
+    * cent-rescaled by integer division; the F machinery is the shared
+    * [[anovaFromMeasure]] integer path.
+    *
+    * Scale shape: one rank selection over (type, distinct-value)
+    * aggregates, medians broadcast back, one groupBy over the deviation
+    * measure — events scanned twice, never shuffled wide. */
+  def levene(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).filter(col("value").isNotNull)
+      .select(col("event_type"), col("value").as("v"))
+    val med = medianX2(ev, "event_type", "v", "med2")
+      .select(col("event_type").as("t"), (col("med2") * lit(0.5)).as("med"))
+    anovaFromMeasure(
+      ev.join(broadcast(med), col("event_type") === col("t"))
+        .select(col("event_type"),
+          expr("floor(abs(v - med) * 1000000 + 0.5) div 10000").as("m")),
+      "w")
   }
 
   /** 1-Wasserstein (earth-mover) distance between the click and view
@@ -1551,6 +1588,7 @@ object Statistics {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_levene" -> (levene _),
     "q_anova_f" -> (anovaF _),
     "q_emd_drift" -> (emdDrift _),
     "q_theil_index" -> (theilIndex _),
@@ -1586,6 +1624,52 @@ object Statistics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_levene" ->
+      """WITH ev0 AS (
+        |  SELECT event_type, value AS v
+        |  FROM events WHERE value IS NOT NULL
+        |), cg AS (
+        |  SELECT event_type, v, count(*) AS cnt FROM ev0 GROUP BY 1, 2
+        |), cr AS (
+        |  SELECT event_type, v, cnt,
+        |         SUM(cnt) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+        |         SUM(cnt) OVER (PARTITION BY event_type) AS nn
+        |  FROM cg
+        |), m AS (
+        |  SELECT event_type AS t,
+        |         (SUM(CASE WHEN cum - cnt < (nn + 1) // 2 AND (nn + 1) // 2 <= cum THEN v END)
+        |        + SUM(CASE WHEN cum - cnt < (nn + 2) // 2 AND (nn + 2) // 2 <= cum THEN v END)) * 0.5e0 AS med
+        |  FROM cr GROUP BY 1
+        |), ev AS (
+        |  SELECT ev0.event_type,
+        |    CAST(floor(abs(ev0.v - m.med) * 1000000 + 0.5) AS BIGINT) // 10000 AS m
+        |  FROM ev0 JOIN m ON ev0.event_type = m.t
+        |), g AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS ng,
+        |         CAST(sum(m) AS HUGEINT) AS sg,
+        |         sum(CAST(m AS HUGEINT) * CAST(m AS HUGEINT)) AS qg
+        |  FROM ev GROUP BY event_type
+        |), t AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(ng) AS BIGINT) AS n,
+        |         CAST(sum(sg) AS HUGEINT) AS stot,
+        |         CAST(sum(qg) AS HUGEINT) AS qtot,
+        |         CAST(sum(CAST(floor(CAST(sg * sg AS DOUBLE) / CAST(ng AS DOUBLE))
+        |               AS BIGINT)) AS BIGINT) AS a
+        |  FROM g
+        |), s AS (
+        |  SELECT k, n,
+        |    a - CAST(floor(CAST(stot * stot AS DOUBLE) / CAST(n AS DOUBLE))
+        |          AS BIGINT) AS ssb,
+        |    CAST(qtot AS BIGINT) - a AS ssw
+        |  FROM t
+        |)
+        |SELECT k, n, CAST(k - 1 AS BIGINT) AS df1, CAST(n - k AS BIGINT) AS df2,
+        |  floor((CAST(ssb AS DOUBLE) / CAST(k - 1 AS DOUBLE))
+        |        / (CAST(ssw AS DOUBLE) / CAST(n - k AS DOUBLE))
+        |        * 1000000.0 + 0.5) / 1000000.0 AS w,
+        |  floor(CAST(ssb AS DOUBLE) / CAST(ssb + ssw AS DOUBLE)
+        |        * 1000000.0 + 0.5) / 1000000.0 AS eta2
+        |FROM s""".stripMargin,
     "q_anova_f" ->
       """WITH ev AS (
         |  SELECT event_type,

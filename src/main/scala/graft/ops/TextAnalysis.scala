@@ -1000,7 +1000,90 @@ object TextAnalysis {
       .limit(30)
   }
 
+  /** Simpson diversity of the language mix per source — 1 − Σ nᵢ(nᵢ−1)
+    * / (N(N−1)), the probability two randomly drawn documents differ in
+    * language: the one-number "is this source monolingual?" audit next
+    * to [[q_entropy]]'s bit view (Simpson weights dominant classes,
+    * entropy weights the tail — corpus datasheets report both).
+    *
+    * Determinism: the index is a ratio of two exact integer sums —
+    * nᵢ(nᵢ−1) products stay in BIGINT to ~3·10⁹ docs per (source,
+    * lang) — with ONE division, floor-quantized at 6 dp.
+    *
+    * Scale shape: one map-side-combined (source, lang) aggregate —
+    * the only pass — then per-source reduction over the ≤|sources|·
+    * |langs| grid. */
+  def simpsonDiversity(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy("source", "lang").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(sum("c").as("n_docs"),
+        count(lit(1)).as("n_langs"),
+        sum(col("c") * (col("c") - 1)).as("ss"))
+      .select(col("source"), col("n_docs"), col("n_langs"),
+        when(col("n_docs") > 1,
+          floor((lit(1.0) - col("ss").cast("double") /
+            (col("n_docs") * (col("n_docs") - 1)).cast("double"))
+            * lit(1000000.0) + lit(0.5)) / lit(1000000.0)).as("simpson"))
+      .orderBy("source")
+
+  /** Top discriminative terms per language by 2×2 chi-square — the
+    * feature-selection pass behind [[langId]]-style marker lists: for
+    * each (term, lang), the presence/absence contingency against the
+    * rest of the corpus, χ² = N(n₁₁n₀₀ − n₁₀n₀₁)²/(margins product).
+    * Terms that are merely frequent everywhere score ~0; terms
+    * concentrated in one language top its list. Top 5 per language.
+    *
+    * Determinism: presence counts are exact integers from one DISTINCT
+    * (doc, word) pass; the χ² numerator squares in DECIMAL(38,0)
+    * (N·(ad−bc)² ~ 10²⁵ at sf1 — BIGINT would wrap) and the margin
+    * product likewise; ONE division, 6-dp floor-quantized, ranked with
+    * a (χ² desc, word asc) total order.
+    *
+    * Scale shape: the tokenize+distinct pass dominates; everything
+    * after runs on the vocabulary×|langs| grid with the ≤|langs|-row
+    * totals broadcast. */
+  def termChi2(s: SparkSession, d: String): DataFrame = {
+    val dec0 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val dw = graft.util.Ckpt.stage(Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .select(col("doc_id"), col("lang"), col("word")).distinct())
+    val langTot = Tables.documents(s, d).groupBy("lang").agg(count(lit(1)).as("nl"))
+    val tot = Tables.documents(s, d).agg(count(lit(1)).as("nn"))
+    val wordTot = dw.groupBy("word").agg(count(lit(1)).as("nw"))
+    val cell = dw.groupBy("word", "lang").agg(count(lit(1)).as("n11"))
+    val scored = cell
+      .join(broadcast(langTot), "lang")
+      .join(wordTot, "word")
+      .crossJoin(broadcast(tot))
+      .withColumn("n10", col("nl") - col("n11"))
+      .withColumn("n01", col("nw") - col("n11"))
+      .withColumn("n00", col("nn") - col("nl") - col("n01"))
+      .withColumn("det",
+        (col("n11") * col("n00") - col("n10") * col("n01")).cast(dec0))
+      .withColumn("chi2",
+        // a word present in EVERY doc has det = 0 AND a zero margin: 0/0
+        // is NaN, which Spark's floor->long maps to 0 while DuckDB keeps
+        // NaN — define the undiscriminating case as exactly 0 instead
+        when(col("nw") < col("nn"),
+          floor((col("nn").cast(dec0) * col("det") * col("det")).cast("double") /
+            (col("nw").cast(dec0) * (col("nn") - col("nw")).cast(dec0) *
+              col("nl").cast(dec0) * (col("nn") - col("nl")).cast(dec0)).cast("double")
+            * lit(1000000.0) + lit(0.5)) / lit(1000000.0))
+          .otherwise(lit(0.0)))
+    val w = Window.partitionBy("lang")
+      .orderBy(col("chi2").desc, col("word").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("lang"), col("rn"), col("word"), col("n11"), col("nw").as("n_word"),
+        col("nl").as("n_lang"), col("chi2"))
+      .orderBy("lang", "rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_simpson_diversity" -> (simpsonDiversity _),
+    "q_term_chi2" -> (termChi2 _),
     "q_rake_keywords" -> (rakeKeywords _),
     "q_heaps_fit" -> (heapsFit _),
     "q_readability" -> (readability _),
@@ -1044,6 +1127,61 @@ object TextAnalysis {
   private val FWordsSql = s"list_filter($WordsSql, x -> x <> '')"
 
   val oracle: Map[String, String] = Map(
+    "q_simpson_diversity" ->
+      """WITH g AS (
+        |  SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2
+        |), p AS (
+        |  SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+        |         CAST(count(*) AS BIGINT) AS n_langs,
+        |         CAST(sum(c * (c - 1)) AS BIGINT) AS ss
+        |  FROM g GROUP BY source
+        |)
+        |SELECT source, n_docs, n_langs,
+        |  CASE WHEN n_docs > 1 THEN
+        |    floor((1.0 - CAST(ss AS DOUBLE)
+        |           / CAST(n_docs * (n_docs - 1) AS DOUBLE))
+        |          * 1000000.0 + 0.5) / 1000000.0 END AS simpson
+        |FROM p ORDER BY source""".stripMargin,
+    "q_term_chi2" ->
+      """WITH dw AS (
+        |  SELECT DISTINCT doc_id, lang, word FROM (
+        |    SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+        |    FROM documents) t
+        |  WHERE len(word) > 0
+        |), lt AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS nl FROM documents GROUP BY lang
+        |), tt AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS nn FROM documents
+        |), wt AS (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS nw FROM dw GROUP BY word
+        |), cell AS (
+        |  SELECT word, lang, CAST(count(*) AS BIGINT) AS n11
+        |  FROM dw GROUP BY 1, 2
+        |), sc AS (
+        |  SELECT c.lang, c.word, c.n11, wt.nw, lt.nl, tt.nn,
+        |    CAST(c.n11 * (tt.nn - lt.nl - (wt.nw - c.n11))
+        |         - (lt.nl - c.n11) * (wt.nw - c.n11) AS HUGEINT) AS det
+        |  FROM cell c JOIN lt ON c.lang = lt.lang
+        |  JOIN wt ON c.word = wt.word, tt
+        |), chi AS (
+        |  SELECT lang, word, n11, nw, nl,
+        |    CASE WHEN nw < nn THEN
+        |      floor(CAST(CAST(nn AS HUGEINT) * det * det AS DOUBLE)
+        |            / CAST(CAST(nw AS HUGEINT) * CAST(nn - nw AS HUGEINT)
+        |                   * CAST(nl AS HUGEINT) * CAST(nn - nl AS HUGEINT) AS DOUBLE)
+        |            * 1000000.0 + 0.5) / 1000000.0
+        |    ELSE CAST(0.0 AS DOUBLE) END AS chi2
+        |  FROM sc
+        |), rk AS (
+        |  SELECT lang, word, n11, nw, nl, chi2,
+        |    row_number() OVER (PARTITION BY lang
+        |                       ORDER BY chi2 DESC, word ASC) AS rn
+        |  FROM chi
+        |)
+        |SELECT lang, CAST(rn AS INTEGER) AS rn, word, n11,
+        |  nw AS n_word, nl AS n_lang, chi2
+        |FROM rk WHERE rn <= 5 ORDER BY lang, rn""".stripMargin,
     "q_rake_keywords" ->
       """WITH toks AS (
         |  SELECT doc_id, pos, word FROM (

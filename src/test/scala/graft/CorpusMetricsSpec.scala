@@ -137,4 +137,49 @@ class CorpusMetricsSpec extends AnyFunSuite {
       assert(math.abs(fl - expect) < 1e-3, s"flesch $src: $fl vs $expect")
     }
   }
+
+  test("Simpson diversity: probability identity replayed per source") {
+    val counts = Tables.documents(spark, sf).groupBy("source", "lang").count()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val got = ops.TextAnalysis.simpsonDiversity(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    counts.groupBy(_._1).foreach { case (src, xs) =>
+      val (n, nl, simp) = got(src)
+      assert(n === xs.map(_._3).sum)
+      assert(nl === xs.length.toLong)
+      val brute = 1.0 - xs.map(x => x._3 * (x._3 - 1)).sum.toDouble / (n * (n - 1))
+      assert(math.abs(simp - brute) < 1e-5, s"$src: $simp vs $brute")
+      assert(simp >= 0.0 && simp < 1.0)
+    }
+  }
+
+  test("term chi-square: 2x2 identity replayed for every reported term") {
+    val dw = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0).distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val nn = Tables.documents(spark, sf).count()
+    val nlM = Tables.documents(spark, sf).groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nwM = dw.map(x => (x._3, x._1)).distinct.groupBy(_._1).view
+      .mapValues(_.length.toLong).toMap
+    val n11M = dw.map(x => ((x._3, x._2), x._1)).distinct.groupBy(_._1).view
+      .mapValues(_.length.toLong).toMap
+    val got = ops.TextAnalysis.termChi2(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (lang, rn, w, n11, nw, nl, chi2) = (r.getString(0), r.getInt(1),
+        r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6))
+      assert(rn >= 1 && rn <= 5)
+      assert(n11 === n11M((w, lang)) && nw === nwM(w) && nl === nlM(lang))
+      val n10 = nl - n11; val n01 = nw - n11; val n00 = nn - nl - n01
+      val det = (BigInt(n11) * n00 - BigInt(n10) * n01).toDouble
+      val brute =
+        if (nw == nn) 0.0
+        else nn.toDouble * det * det /
+          (nw.toDouble * (nn - nw) * nl.toDouble * (nn - nl))
+      assert(math.abs(chi2 - brute) < 1e-4, s"$lang/$w: $chi2 vs $brute")
+      assert(chi2 >= 0.0 && chi2 <= nn.toDouble + 1e-9)
+    }
+  }
 }

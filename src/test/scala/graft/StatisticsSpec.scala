@@ -429,6 +429,35 @@ class StatisticsSpec extends AnyFunSuite {
     assert(math.abs(f - brute) / brute < 1e-2, s"F $f vs brute $brute")
   }
 
+  test("Levene/Brown-Forsythe W replays the naive double computation") {
+    val row = ops.Statistics.levene(spark, sf).collect().head
+    val (k, n, df1, df2, w) = (row.getLong(0), row.getLong(1),
+      row.getLong(2), row.getLong(3), row.getDouble(4))
+    assert(df1 === k - 1 && df2 === n - k)
+    // brute: |v - group median| deviations, then one-way F in doubles
+    val vals = Tables.events(spark, sf).filter(col("value").isNotNull)
+      .select("event_type", "value").collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+    def median(xs: Array[Double]): Double = {
+      val s = xs.sorted; val m = s.length
+      (s((m + 1) / 2 - 1) + s((m + 2) / 2 - 1)) / 2.0
+    }
+    val devs = vals.groupBy(_._1).toSeq.flatMap { case (t, g) =>
+      val med = median(g.map(_._2))
+      g.map(v => t -> math.abs(v._2 - med))
+    }
+    val grand = devs.map(_._2).sum / devs.length
+    val groups = devs.groupBy(_._1).values
+    val ssb = groups.map { g =>
+      val m = g.map(_._2).sum / g.length; g.length * (m - grand) * (m - grand)
+    }.sum
+    val ssw = groups.map { g =>
+      val m = g.map(_._2).sum / g.length; g.map(v => (v._2 - m) * (v._2 - m)).sum
+    }.sum
+    val brute = (ssb / df1) / (ssw / df2)
+    assert(math.abs(w - brute) / math.max(brute, 1e-9) < 2e-2, s"W $w vs brute $brute")
+  }
+
   test("EMD drift: nonneg, bounded by range, dominates the mean shift") {
     val row = ops.Statistics.emdDrift(spark, sf).collect().head
     val emd = row.getDouble(2)
