@@ -238,6 +238,34 @@ object Streams {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("cnt"), col("sum_value"))
 
+  /** One micro-batch advance of the α=½ EWMA — the streaming twin of
+    * [[graft.ops.EventTime.ewmaSmooth]], in the exact closed form that
+    * query proves out: state per event type is (t, W) with
+    * sₜ = Wₜ/2ᵗ⁺¹ and Wₜ₊₁ = Wₜ + nₜ₊₁·2ᵗ⁺¹ — so each day's advance is
+    * ONE integer multiply-add per type, and the smoothed value stays
+    * BIT-exact against the batch recomputation forever (pinned by
+    * `StreamingSpec`'s fold-vs-batch test). A type absent from a day
+    * advances with n = 0 (its EWMA halves — the correct decay); a type
+    * first seen mid-stream seeds its own series (W = 4n, s = n).
+    *
+    * Shape: the state frame is ≤ |event types| rows — a broadcast-scale
+    * foldable the `foreachBatch` loop carries; each batch touches its
+    * own rows once. The same BIGINT range edge as the batch query:
+    * re-base the recurrence per ~40-day chunk. */
+  def ewmaAdvance(state: DataFrame, day: DataFrame): DataFrame =
+    state.select(col("event_type"), col("t"), col("w"))
+      .join(day.select(col("event_type"), col("n")), Seq("event_type"), "full")
+      .select(col("event_type"),
+        coalesce(col("t"), lit(0)).as("t0"),
+        coalesce(col("w"), lit(0L)).as("w0"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .select(col("event_type"), (col("t0") + 1).as("t"),
+        when(col("t0") === 0, lit(4L) * col("n"))
+          .otherwise(col("w0") +
+            col("n") * expr("shiftleft(cast(1 as bigint), t0 + 1)")).as("w"))
+      .withColumn("ewma", col("w").cast("double") /
+        expr("shiftleft(cast(1 as bigint), t + 1)").cast("double"))
+
   /** Stream-static enrichment join: each micro-batch of events joins the
     * static customer dimension (broadcast per batch — the dimension never
     * shuffles the stream). The standard streaming join shape; stream-stream

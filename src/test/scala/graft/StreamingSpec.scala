@@ -559,4 +559,35 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(streamed === batch, s"streamed $streamed vs batch $batch")
   }
+
+  test("EWMA advance: folding daily micro-batches is BIT-exact vs the batch query") {
+    val spark = TestSpark.session
+    import spark.implicits._
+    val sf = TestSpark.Sf
+    // the batch query's own daily frame, replayed one day at a time
+    val daily = graft.Tables.events(spark, sf)
+      .groupBy(col("event_type"), graft.util.Det.fmtDate(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val days = daily.map(_._2).distinct.sorted
+    var state = Seq.empty[(String, Int, Long)].toDF("event_type", "t", "w")
+    days.foreach { d =>
+      val batch = daily.filter(_._2 == d).map(x => (x._1, x._3))
+        .toSeq.toDF("event_type", "n")
+      state = Streams.ewmaAdvance(state, batch)
+        .select("event_type", "t", "w").as[(String, Int, Long)]
+        .collect().toSeq.toDF("event_type", "t", "w") // materialize the fold
+    }
+    val folded = state
+      .withColumn("ewma", col("w").cast("double") /
+        expr("shiftleft(cast(1 as bigint), t + 1)").cast("double"))
+      .select("event_type", "ewma").as[(String, Double)].collect().toMap
+    val batchLast = ops.EventTime.ewmaSmooth(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(3)))
+      .groupBy(_._1).map { case (t, xs) => t -> xs.maxBy(_._2)._3 }
+    assert(folded.keySet === batchLast.keySet)
+    batchLast.foreach { case (t, e) =>
+      assert(folded(t) === e, s"$t: folded ${folded(t)} != batch $e (must be bit-exact)")
+    }
+  }
 }
