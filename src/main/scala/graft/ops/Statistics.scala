@@ -1587,7 +1587,143 @@ object Statistics {
       .orderBy("l_returnflag")
   }
 
+  /** Kendall τ-b between the daily click and view volumes — the
+    * rank-concordance companion to [[spearman]]: Spearman correlates
+    * the rank VALUES (sensitive to a few large rank gaps), τ counts
+    * concordant vs discordant day PAIRS (each pair votes once), the
+    * more robust monotone-association measure for short operational
+    * series. Tie-corrected (τ-b) because integer daily counts tie
+    * routinely.
+    *
+    * Determinism: concordance is integer sign agreement over the
+    * day-pair grid; C, D, and the tie terms are exact BIGINTs; τ is
+    * (C−D) over the product of two correctly-rounded sqrts of exact
+    * integers — three elementary IEEE ops, 6-dp floor-quantized.
+    *
+    * Scale shape: ONE (day) aggregate over events (map-side combined),
+    * then an i<j self-join of the ≤|calendar|-row daily frame —
+    * day-pair work is calendar², never row². */
+  def kendallTau(s: SparkSession, d: String): DataFrame = {
+    val daily = graft.util.Ckpt.stage(Tables.events(s, d)
+      .filter(col("event_type").isin("click", "view"))
+      .groupBy(fmtDate(col("ts")).as("day"))
+      .agg(sum((col("event_type") === "click").cast("long")).as("c"),
+        sum((col("event_type") === "view").cast("long")).as("v")))
+    val a = daily.select(col("day").as("d1"), col("c").as("c1"), col("v").as("v1"))
+    val b = daily.select(col("day").as("d2"), col("c").as("c2"), col("v").as("v2"))
+    val pairs = a.join(b, col("d1") < col("d2"))
+      .agg(
+        count(lit(1)).as("n0"),
+        sum((((col("c1") - col("c2")) > 0 && (col("v1") - col("v2")) > 0) ||
+          ((col("c1") - col("c2")) < 0 && (col("v1") - col("v2")) < 0))
+          .cast("long")).as("conc"),
+        sum((((col("c1") - col("c2")) > 0 && (col("v1") - col("v2")) < 0) ||
+          ((col("c1") - col("c2")) < 0 && (col("v1") - col("v2")) > 0))
+          .cast("long")).as("disc"),
+        sum((col("c1") === col("c2")).cast("long")).as("tc"),
+        sum((col("v1") === col("v2")).cast("long")).as("tv"))
+    pairs.select(col("n0"), col("conc"), col("disc"), col("tc"), col("tv"),
+      (floor((col("conc") - col("disc")).cast("double") /
+        (sqrt((col("n0") - col("tc")).cast("double")) *
+          sqrt((col("n0") - col("tv")).cast("double")))
+        * lit(1000000.0) + lit(0.5)) / lit(1000000.0)).as("tau_b"))
+  }
+
+  /** Wald–Wolfowitz runs test on the SIGN of day-over-day volume change
+    * per event type — "is the daily series a random walk or does it
+    * trend/oscillate?": too FEW runs of same-signed changes means
+    * momentum, too many means mean-reversion; either invalidates the
+    * independence assumption behind [[cusumDrift]]-style alarms.
+    * Zero changes are excluded (standard practice, mirrored exactly).
+    *
+    * Determinism: signs, run boundaries, and n₊/n₋ are exact integers
+    * from calendar-bounded windows; the normal z is a fixed elementary
+    * IEEE tree over them (2n₊n₋ products ≤ ~10⁹ at any scale — the
+    * day count, not the row count, bounds everything), 6-dp quantized.
+    *
+    * Scale shape: one (type, day) aggregate; lag windows over the
+    * calendar-bounded daily frame; one per-type reduce. */
+  def runsTest(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), fmtDate(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("delta", col("n") - lag("n", 1).over(w))
+      .filter(col("delta").isNotNull && col("delta") =!= 0)
+      .withColumn("sgn", signum(col("delta")))
+    val wd = Window.partitionBy("event_type").orderBy("day")
+    val runs = daily
+      .withColumn("brk",
+        (col("sgn") =!= coalesce(lag("sgn", 1).over(wd), col("sgn") * -1))
+          .cast("long"))
+      .groupBy("event_type")
+      .agg(sum((col("sgn") > 0).cast("long")).as("npos"),
+        sum((col("sgn") < 0).cast("long")).as("nneg"),
+        sum("brk").as("r"))
+    val n = col("npos") + col("nneg")
+    val two = lit(2.0) * col("npos").cast("double") * col("nneg").cast("double")
+    val mu = two / n.cast("double") + lit(1.0)
+    val sig2 = two * (two - n.cast("double")) /
+      (n.cast("double") * n.cast("double") * (n - 1).cast("double"))
+    runs
+      .filter(col("npos") > 0 && col("nneg") > 0 && n > 1)
+      .select(col("event_type"), col("npos"), col("nneg"), col("r"),
+        (floor(mu * lit(1000000.0) + lit(0.5)) / lit(1000000.0)).as("mu"),
+        (floor((col("r").cast("double") - mu) / sqrt(sig2)
+          * lit(1000000.0) + lit(0.5)) / lit(1000000.0)).as("z"))
+      .orderBy("event_type")
+  }
+
+  /** Permutation entropy (order m = 3) of the daily volume series per
+    * event type — the model-free complexity measure beside [[autocorr]]
+    * (which only sees LINEAR structure): each consecutive day triple
+    * maps to its ordinal pattern, and the Shannon entropy of the
+    * pattern distribution separates trending (low H — one pattern
+    * dominates) from noisy (H near ln 6) series. Ties break toward
+    * "earlier day ranks lower" (the standard Bandt–Pompe convention),
+    * stated as strict integer comparisons identical in both engines.
+    *
+    * Determinism: patterns are 3-bit codes from integer comparisons;
+    * counts are exact; entropy follows the qln discipline — each
+    * ln(cnt/N) is a 6-dp-rounded log of one integer ratio, multiplied
+    * exactly by its count, summed in DECIMAL, ONE final division.
+    *
+    * Scale shape: one (type, day) aggregate; two lag windows over the
+    * calendar-bounded frame; a ≤6-pattern-per-type reduce. */
+  def permEntropy(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val tri = Tables.events(s, d)
+      .groupBy(col("event_type"), fmtDate(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x3"))
+      .withColumn("x2", lag("x3", 1).over(w))
+      .withColumn("x1", lag("x3", 2).over(w))
+      .filter(col("x1").isNotNull)
+      // ordinal pattern of (x1, x2, x3), ties ranked by recency: strict
+      // "greater" comparisons — identical semantics in both engines
+      .withColumn("pat",
+        (col("x1") > col("x2")).cast("int") * 4 +
+          (col("x1") > col("x3")).cast("int") * 2 +
+          (col("x2") > col("x3")).cast("int"))
+    val cnts = tri.groupBy("event_type", "pat").agg(count(lit(1)).as("cnt"))
+    val tot = cnts.groupBy("event_type")
+      .agg(sum("cnt").as("nt"), count(lit(1)).as("n_patterns"))
+    cnts.join(broadcast(tot), "event_type")
+      .withColumn("l",
+        round(log(col("cnt").cast("double") / col("nt").cast("double")), 6)
+          .cast(DecimalType(18, 6)))
+      .groupBy("event_type")
+      .agg(max("nt").as("n_triples"), max("n_patterns").as("n_patterns"),
+        sum(col("cnt") * col("l")).as("hsum"))
+      .select(col("event_type"), col("n_triples"), col("n_patterns"),
+        (floor(-col("hsum").cast("double") / col("n_triples").cast("double")
+          * lit(1000000.0) + lit(0.5)) / lit(1000000.0)).as("perm_entropy"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kendall_tau" -> (kendallTau _),
+    "q_runs_test" -> (runsTest _),
+    "q_perm_entropy" -> (permEntropy _),
     "q_levene" -> (levene _),
     "q_anova_f" -> (anovaF _),
     "q_emd_drift" -> (emdDrift _),
@@ -1624,6 +1760,101 @@ object Statistics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_kendall_tau" ->
+      """WITH daily AS (
+        |  SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS v
+        |  FROM events WHERE event_type IN ('click', 'view')
+        |  GROUP BY 1
+        |), p AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN ((a.c - b.c) > 0 AND (a.v - b.v) > 0)
+        |                    OR ((a.c - b.c) < 0 AND (a.v - b.v) < 0)
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS conc,
+        |    CAST(sum(CASE WHEN ((a.c - b.c) > 0 AND (a.v - b.v) < 0)
+        |                    OR ((a.c - b.c) < 0 AND (a.v - b.v) > 0)
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS disc,
+        |    CAST(sum(CASE WHEN a.c = b.c THEN 1 ELSE 0 END) AS BIGINT) AS tc,
+        |    CAST(sum(CASE WHEN a.v = b.v THEN 1 ELSE 0 END) AS BIGINT) AS tv
+        |  FROM daily a JOIN daily b ON a.day < b.day
+        |)
+        |SELECT n0, conc, disc, tc, tv,
+        |  floor(CAST(conc - disc AS DOUBLE)
+        |        / (sqrt(CAST(n0 - tc AS DOUBLE)) * sqrt(CAST(n0 - tv AS DOUBLE)))
+        |        * 1000000.0 + 0.5) / 1000000.0 AS tau_b
+        |FROM p""".stripMargin,
+    "q_runs_test" ->
+      """WITH daily AS (
+        |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2
+        |), dd AS (
+        |  SELECT event_type, day,
+        |    n - lag(n) OVER (PARTITION BY event_type ORDER BY day) AS delta
+        |  FROM daily
+        |), sg AS (
+        |  SELECT event_type, day, sign(delta) AS sgn
+        |  FROM dd WHERE delta IS NOT NULL AND delta <> 0
+        |), br AS (
+        |  SELECT event_type, sgn,
+        |    CASE WHEN sgn <> COALESCE(
+        |      lag(sgn) OVER (PARTITION BY event_type ORDER BY day), sgn * -1)
+        |    THEN 1 ELSE 0 END AS brk
+        |  FROM sg
+        |), agg AS (
+        |  SELECT event_type,
+        |    CAST(sum(CASE WHEN sgn > 0 THEN 1 ELSE 0 END) AS BIGINT) AS npos,
+        |    CAST(sum(CASE WHEN sgn < 0 THEN 1 ELSE 0 END) AS BIGINT) AS nneg,
+        |    CAST(sum(brk) AS BIGINT) AS r
+        |  FROM br GROUP BY event_type
+        |), st AS (
+        |  SELECT event_type, npos, nneg, r,
+        |    2.0 * CAST(npos AS DOUBLE) * CAST(nneg AS DOUBLE) AS two,
+        |    npos + nneg AS n
+        |  FROM agg WHERE npos > 0 AND nneg > 0 AND npos + nneg > 1
+        |)
+        |SELECT event_type, npos, nneg, r,
+        |  floor((two / CAST(n AS DOUBLE) + 1.0) * 1000000.0 + 0.5) / 1000000.0 AS mu,
+        |  floor((CAST(r AS DOUBLE) - (two / CAST(n AS DOUBLE) + 1.0))
+        |        / sqrt(two * (two - CAST(n AS DOUBLE))
+        |               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |                  * CAST(n - 1 AS DOUBLE)))
+        |        * 1000000.0 + 0.5) / 1000000.0 AS z
+        |FROM st ORDER BY event_type""".stripMargin,
+    "q_perm_entropy" ->
+      """WITH daily AS (
+        |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |         CAST(count(*) AS BIGINT) AS x3
+        |  FROM events GROUP BY 1, 2
+        |), tri AS (
+        |  SELECT event_type,
+        |    lag(x3, 2) OVER w AS x1, lag(x3, 1) OVER w AS x2, x3
+        |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)
+        |), pat AS (
+        |  SELECT event_type,
+        |    (CASE WHEN x1 > x2 THEN 1 ELSE 0 END) * 4 +
+        |    (CASE WHEN x1 > x3 THEN 1 ELSE 0 END) * 2 +
+        |    (CASE WHEN x2 > x3 THEN 1 ELSE 0 END) AS pat
+        |  FROM tri WHERE x1 IS NOT NULL
+        |), cnts AS (
+        |  SELECT event_type, pat, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM pat GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT event_type, CAST(sum(cnt) AS BIGINT) AS nt,
+        |         CAST(count(*) AS BIGINT) AS n_patterns
+        |  FROM cnts GROUP BY event_type
+        |), terms AS (
+        |  SELECT c.event_type, t.nt, t.n_patterns,
+        |    c.cnt * CAST(round(ln(CAST(c.cnt AS DOUBLE) / CAST(t.nt AS DOUBLE)), 6)
+        |                 AS DECIMAL(18,6)) AS term
+        |  FROM cnts c JOIN tot t ON c.event_type = t.event_type
+        |)
+        |SELECT event_type, CAST(max(nt) AS BIGINT) AS n_triples,
+        |  CAST(max(n_patterns) AS BIGINT) AS n_patterns,
+        |  floor(-CAST(sum(term) AS DOUBLE) / CAST(max(nt) AS DOUBLE)
+        |        * 1000000.0 + 0.5) / 1000000.0 AS perm_entropy
+        |FROM terms GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_levene" ->
       """WITH ev0 AS (
         |  SELECT event_type, value AS v

@@ -17,18 +17,31 @@ class PlanBudgetSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.session
   private val sf = TestSpark.Sf
 
+  /** Queries audited WITH staging enabled. Their loop bodies reference
+    * the previous pass's frame 3-4 times, so the unstaged lineage is
+    * exponential in the pass count (q_kcore_peel: ~4^6 subtree copies —
+    * the optimizer itself OOMs before any exchange could be counted).
+    * The staged plan IS the production plan for these; the budget pins
+    * the final executed plan over the staged leaves, exactly what
+    * graft.PlanAudit measures. */
+  private val stagedAudit = Set("q_kcore_peel")
+
   private def counts(name: String): (Int, Int) = {
     // stage.disable: Ckpt.stage truncates lineage, which would HIDE every
     // exchange upstream of the stage boundary from the executed plan —
     // the audit must see the whole pipeline, staged subtrees included
-    spark.conf.set("spark.graft.stage.disable", "true")
+    if (!stagedAudit(name))
+      spark.conf.set("spark.graft.stage.disable", "true")
     try {
       val df = SparkEntry.queries(name)(spark, sf)
       df.collect() // materialize THIS plan so AQE finalizes
       val all = PlanAudit.nodes(PlanAudit.finalPlan(df.queryExecution.executedPlan))
       (all.count(_.isInstanceOf[ShuffleExchangeLike]),
         all.count(_.isInstanceOf[BroadcastExchangeLike]))
-    } finally spark.conf.unset("spark.graft.stage.disable")
+    } finally {
+      spark.conf.unset("spark.graft.stage.disable")
+      util.Ckpt.release(spark) // drop any staged blocks (stagedAudit path)
+    }
   }
 
   // (query, max shuffles, min broadcasts) — audited via graft.PlanAudit
@@ -386,6 +399,66 @@ class PlanBudgetSpec extends AnyFunSuite {
     ("q_t_closeness", 6, 2),          // three bounded aggregates; lang
                                       // inventory + 1-row total broadcast;
                                       // grid join class×lang (audited 5, +1)
+    // round-7 second wave (audited via PlanAudit at sf0.001, +headroom
+    // where a staged frame is recomputed per branch in audit mode)
+    ("q_anova_f", 3, 0),              // ONE events pass to k rows; all SS
+                                      // arithmetic on the k-row frame
+                                      // (audited 2, +1 headroom)
+    ("q_levene", 5, 1),               // rank-selected medians broadcast
+                                      // back, then the shared F machinery
+                                      // (audited 4, +1 headroom)
+    ("q_emd_drift", 8, 2),            // staged per-value agg recomputed per
+                                      // consumer in audit mode; extent +
+                                      // bucket offsets broadcast (the
+                                      // ksDrift discipline; audited 5, +3
+                                      // staging branches)
+    ("q_theil_index", 5, 2),          // custkey agg + broadcast dim join +
+                                      // segment totals broadcast back
+                                      // (audited 4, +1 headroom)
+    ("q_weighted_median", 4, 0),      // (flag, qty) agg + 50-value-domain
+                                      // rank windows (audited 3, +1)
+    ("q_ri_audit", 13, 6),            // seven key-set left joins, all six
+                                      // dims broadcast (lower bound); child
+                                      // tables scanned once each
+    ("q_assoc_rules", 9, 2),          // basket agg + pair agg + support
+                                      // joins; supports + N broadcast
+                                      // (audit mode recomputes the staged
+                                      // distinct per branch; audited 5)
+    ("q_dp_count", 2, 0),             // ONE groupBy; noise on the k-row
+                                      // released frame
+    ("q_silhouette", 8, 1),           // posexplode agg to k·64 centroids
+                                      // (broadcast back), per-vec distance
+                                      // agg, per-label mean (audit mode
+                                      // recomputes the staged explode 2x;
+                                      // audited 5, +3)
+    ("q_kcore_peel", 18, 6),          // 6 unrolled peel passes x (degree
+                                      // agg + 2 keep joins) over the
+                                      // staged, monotonically-shrinking
+                                      // edge list (audited 18 with
+                                      // staging ON — see stagedAudit)
+    ("q_ewma_smooth", 4, 0),          // ONE (type, day) aggregate; windows
+                                      // over the calendar-bounded frame
+                                      // (audited 3, +1)
+    ("q_rake_keywords", 6, 2),        // tokenize + island windows + vocab-
+                                      // bounded word stats broadcast back
+                                      // (audited 3, +3 staging branches)
+    ("q_geo_grid_knn", 3, 1),         // cell-key equi-join; probes x 9
+                                      // broadcast; corpus bucketed once
+                                      // (audited 2, +1)
+    ("q_simpson_diversity", 4, 0),    // (source, lang) agg + per-source
+                                      // reduce + sort (audited 3, +1)
+    ("q_term_chi2", 8, 3),            // distinct (doc, lang, word) pass +
+                                      // vocab-keyed support join; lang
+                                      // totals + N broadcast (audited 6,
+                                      // +2 staging branches)
+    // rank/series trio (audited via PlanAudit at sf0.001)
+    ("q_kendall_tau", 2, 1),          // ONE staged daily agg; calendar²
+                                      // pair join broadcast (audited 1, +1)
+    ("q_runs_test", 4, 0),            // (type, day) agg + two lag windows
+                                      // + per-type reduce (audited 3, +1)
+    ("q_perm_entropy", 4, 1),         // (type, day) agg + lag windows +
+                                      // pattern counts; totals broadcast
+                                      // (audited 3, +1)
   )
 
   budgets.foreach { case (name, maxShuffles, minBcasts) =>

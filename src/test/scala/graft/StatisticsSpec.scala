@@ -519,4 +519,95 @@ class StatisticsSpec extends AnyFunSuite {
       assert(row.getDouble(2) === expect, s"$flag wmedian")
     }
   }
+
+  /** Shared brute fixture for the rank/series trio: per-type daily event
+    * counts in day order, replayed driver-side from the same table. */
+  private def dailyCounts(types: String => Boolean): Map[String, Seq[Long]] =
+    Tables.events(spark, sf)
+      .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .filter(t => types(t._1))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+
+  test("Kendall tau-b: pair-vote replay, bounds, and pair accounting") {
+    val row = ops.Statistics.kendallTau(spark, sf).collect().head
+    val (n0, conc, disc, tc, tv) = (row.getLong(0), row.getLong(1),
+      row.getLong(2), row.getLong(3), row.getLong(4))
+    val tau = row.getDouble(5)
+    val daily = dailyCounts(Set("click", "view"))
+    // rebuild the joint (c, v) daily series: the query counts both types
+    // in ONE day grid, so replay from per-day click/view pairs
+    val days = Tables.events(spark, sf)
+      .filter(col("event_type").isin("click", "view"))
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(sum((col("event_type") === "click").cast("long")).as("c"),
+        sum((col("event_type") === "view").cast("long")).as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val pairs = for (i <- days.indices; j <- (i + 1) until days.length)
+      yield (days(i), days(j))
+    val bc = pairs.count { case (a, b) =>
+      (a._2 - b._2) * (a._3 - b._3) > 0 && a._2 != b._2 && a._3 != b._3 }
+    val bd = pairs.count { case (a, b) =>
+      ((a._2 - b._2) > 0 && (a._3 - b._3) < 0) ||
+        ((a._2 - b._2) < 0 && (a._3 - b._3) > 0) }
+    val btc = pairs.count { case (a, b) => a._2 == b._2 }
+    val btv = pairs.count { case (a, b) => a._3 == b._3 }
+    assert(n0 === pairs.length && conc === bc && disc === bd &&
+      tc === btc && tv === btv)
+    val brute = (bc - bd).toDouble /
+      (math.sqrt((pairs.length - btc).toDouble) * math.sqrt((pairs.length - btv).toDouble))
+    assert(math.abs(tau - brute) < 1e-5, s"tau $tau vs brute $brute")
+    assert(tau >= -1.0 && tau <= 1.0)
+    assert(daily.nonEmpty) // fixture sanity: both types present
+  }
+
+  test("runs test: run-count replay and the Wald-Wolfowitz mean law") {
+    val daily = dailyCounts(_ => true)
+    val got = ops.Statistics.runsTest(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    daily.foreach { case (t, series) =>
+      val sgn = series.sliding(2).collect {
+        case Seq(a, b) if b != a => if (b > a) 1 else -1
+      }.toSeq
+      val npos = sgn.count(_ > 0); val nneg = sgn.count(_ < 0)
+      val runs = if (sgn.isEmpty) 0
+        else 1 + sgn.sliding(2).count { case Seq(a, b) => a != b; case _ => false }
+      if (npos > 0 && nneg > 0 && npos + nneg > 1) {
+        val row = got(t)
+        assert(row.getLong(1) === npos.toLong, s"$t npos")
+        assert(row.getLong(2) === nneg.toLong, s"$t nneg")
+        assert(row.getLong(3) === runs.toLong, s"$t runs")
+        val mu = 2.0 * npos * nneg / (npos + nneg) + 1.0
+        assert(math.abs(row.getDouble(4) - mu) < 1e-5, s"$t mu")
+        // mean law: 1 <= mu <= n (the run count's own hard bounds)
+        assert(mu >= 1.0 && mu <= (npos + nneg).toDouble + 1e-9)
+      }
+    }
+  }
+
+  test("permutation entropy: pattern replay, bounds [0, ln 6]") {
+    val daily = dailyCounts(_ => true)
+    val got = ops.Statistics.permEntropy(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    daily.foreach { case (t, series) =>
+      if (series.length >= 3) {
+        val pats = series.sliding(3).collect { case Seq(x1, x2, x3) =>
+          (if (x1 > x2) 4 else 0) + (if (x1 > x3) 2 else 0) + (if (x2 > x3) 1 else 0)
+        }.toSeq
+        val n = pats.length
+        val brute = -pats.groupBy(identity).values.map { g =>
+          val p = g.length.toDouble / n; p * math.log(p)
+        }.sum
+        val row = got(t)
+        assert(row.getLong(1) === n.toLong, s"$t n_triples")
+        assert(row.getLong(2) === pats.distinct.length.toLong, s"$t n_patterns")
+        val h = row.getDouble(3)
+        assert(math.abs(h - brute) < 1e-4, s"$t H $h vs brute $brute")
+        assert(h >= -1e-9 && h <= math.log(6.0) + 1e-9)
+      }
+    }
+  }
 }
