@@ -712,7 +712,57 @@ object Dedup {
       .orderBy("s1", "s2")
   }
 
+  /** Cohen's κ between every pair of dedup families — the
+    * chance-corrected completion of [[dedupMethodCompare]]: raw overlap
+    * counts flatter any two families that both flag little (they "agree"
+    * on the unflagged mass by default), κ subtracts the agreement two
+    * independent flags with the same rates would produce. κ ≈ 1 means a
+    * family is redundant (drop the expensive one); κ near 0 means the
+    * families see DIFFERENT duplication and earn their joint cost — the
+    * number the six-way matrix turns into a pipeline-composition
+    * decision.
+    *
+    * Determinism: all agreement algebra is exact integers off the ONE
+    * aggregated matrix row — po·N = N − na − nb + 2·both docs agreeing,
+    * pe·N² = na·nb + (N−na)(N−nb) — promoted to DECIMAL(38,0)
+    * (HUGEINT in the oracle; N² wraps BIGINT past ~3·10⁹ docs), and
+    * κ = (N·agree − peN²)/(N² − peN²) is ONE correctly-rounded division
+    * of two exact decimals, 6-dp-rounded. The degenerate denominator
+    * (a family flagging all or no docs ⇒ pe = 1) yields NULL in both
+    * engines via the same guard.
+    *
+    * Scale shape: zero work beyond [[dedupMethodCompare]] — the 15 pair
+    * rows explode from its single aggregated row on the driver-side-free
+    * path (one generator over a 1-row frame). */
+  def dedupKappa(s: SparkSession, d: String): DataFrame = {
+    val dec0 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val prs = for {
+      i <- CompareFams.indices; j <- CompareFams.indices if i < j
+    } yield struct(
+      lit(CompareFams(i)._1).as("fa"), lit(CompareFams(j)._1).as("fb"),
+      col(CompareFams(i)._3).as("na"), col(CompareFams(j)._3).as("nb"),
+      col(s"${CompareFams(i)._1}_and_${CompareFams(j)._1}").as("bt"))
+    val px = dedupMethodCompare(s, d)
+      .select(col("n_docs"), explode(array(prs: _*)).as("p"))
+      .select(col("p.fa").as("family_a"), col("p.fb").as("family_b"),
+        col("n_docs"), col("p.na").as("n_a"), col("p.nb").as("n_b"),
+        col("p.bt").as("n_both"))
+    val n = col("n_docs")
+    val agree = n - col("n_a") - col("n_b") + lit(2) * col("n_both")
+    val peNum = col("n_a").cast(dec0) * col("n_b").cast(dec0) +
+      (n - col("n_a")).cast(dec0) * (n - col("n_b")).cast(dec0)
+    val denom = n.cast(dec0) * n.cast(dec0) - peNum
+    px.select(col("family_a"), col("family_b"), col("n_docs"),
+        col("n_a"), col("n_b"), col("n_both"), agree.as("n_agree"),
+        when(denom === lit(0), lit(null).cast("double"))
+          .otherwise(round(
+            (n.cast(dec0) * agree.cast(dec0) - peNum).cast("double") /
+              denom.cast("double"), 6)).as("kappa"))
+      .orderBy("family_a", "family_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_kappa" -> (dedupKappa _),
     "q_cross_source_dup" -> (crossSourceDup _),
     "q_jaccard_hist" -> (jaccardHist _),
     "q_component_sizes" -> (componentSizes _),
@@ -902,6 +952,38 @@ object Dedup {
        |       CAST(sum(f_sem * f_emb) AS BIGINT) AS semantic_and_embed
        |FROM j""".stripMargin
 
+  /** The [[dedupKappa]] oracle over the same flags prefix: one UNION ALL
+    * arm per family pair computing the 2×2 agreement counts from CTE `j`,
+    * then the exact HUGEINT κ algebra mirrored from the Spark plan. */
+  private def dedupKappaOracle: String = {
+    val arms = (for {
+      i <- CompareFams.indices; j <- CompareFams.indices if i < j
+    } yield {
+      val (la, ca, _) = CompareFams(i); val (lb, cb, _) = CompareFams(j)
+      s"""SELECT '$la' AS family_a, '$lb' AS family_b,
+         |    CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum($ca) AS BIGINT) AS n_a, CAST(sum($cb) AS BIGINT) AS n_b,
+         |    CAST(sum($ca * $cb) AS BIGINT) AS n_both
+         |  FROM j""".stripMargin
+    }).mkString("\n  UNION ALL ")
+    s"""$compareFlagsCtePrefix,
+       |u AS (
+       |  $arms
+       |), kx AS (
+       |  SELECT family_a, family_b, n_docs, n_a, n_b, n_both,
+       |    n_docs - n_a - n_b + 2 * n_both AS n_agree,
+       |    CAST(n_a AS HUGEINT) * n_b
+       |      + CAST(n_docs - n_a AS HUGEINT) * (n_docs - n_b) AS pe_num
+       |  FROM u
+       |)
+       |SELECT family_a, family_b, n_docs, n_a, n_b, n_both, n_agree,
+       |  CASE WHEN CAST(n_docs AS HUGEINT) * n_docs - pe_num = 0 THEN NULL
+       |       ELSE round(CAST(CAST(n_docs AS HUGEINT) * n_agree - pe_num AS DOUBLE) /
+       |                  CAST(CAST(n_docs AS HUGEINT) * n_docs - pe_num AS DOUBLE), 6)
+       |  END AS kappa
+       |FROM kx ORDER BY family_a, family_b""".stripMargin
+  }
+
   /** The [[dedupSavings]] oracle over the same flags prefix: unpivot the
     * six flags via UNION ALL, join row-local token counts, aggregate. */
   private def dedupSavingsOracle: String = {
@@ -1075,6 +1157,7 @@ object Dedup {
     "q_minhash_est" -> minhashEstOracle,
     "q_dedup_compare" -> dedupCompareOracle,
     "q_dedup_savings" -> dedupSavingsOracle,
+    "q_dedup_kappa" -> dedupKappaOracle,
     "q_cross_source_dup" ->
       """WITH inc AS (SELECT DISTINCT source, text FROM documents),
         |shared AS (

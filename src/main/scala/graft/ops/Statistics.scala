@@ -1720,7 +1720,200 @@ object Statistics {
       .orderBy("event_type")
   }
 
+  /** Kruskal–Wallis H across ALL event types on `value` — the k-group
+    * completion of [[mannWhitney]] (which compares exactly two): rank
+    * every pooled observation once, and H measures how far the per-group
+    * mean ranks sit from the pooled mean rank. The nonparametric
+    * companion to [[anovaF]]: ANOVA assumes equal-variance normals
+    * ([[levene]] gates that); Kruskal–Wallis only assumes exchangeability,
+    * the robust default for skewed operational metrics.
+    *
+    * Determinism — the [[mannWhitney]] midrank algebra generalized: per
+    * distinct value the DOUBLED midrank 2·prev + c + 1 is an exact
+    * BIGINT, so each group's doubled rank sum r2ₜ = Σ c_tv·mid2(v) is
+    * exact; r2ₜ² is promoted to DECIMAL(38,0) (HUGEINT in the oracle —
+    * a BIGINT square wraps past r2 ≈ 3·10⁹, i.e. pooled n ≈ 4·10⁴ rows
+    * in ONE group) and each group's Σ-term r2ₜ²/(4nₜ) is ONE
+    * correctly-rounded division quantized at 6 dp into DECIMAL before
+    * the order-independent sum. The tie term Σ(c³−c) cubes in
+    * DECIMAL(38,0) ([[mannWhitney]]'s discipline); the final
+    * H = (12S/(N(N+1)) − 3(N+1)) / (1 − T/(N³−N)) is a fixed elementary
+    * IEEE tree over exact operands, mirrored parenthesis-for-parenthesis.
+    *
+    * Scale shape: ksFromAgg's two-phase prefix — map-side-combined
+    * (value, type) and (value) aggregates, broadcast extent, per-bucket
+    * cumulative windows, offsets from a ≤[[KsBuckets]]-row broadcast;
+    * the midrank frame joins back to per-type counts ON the value key
+    * (both sides already value-partitioned), then ONE k-row reduce. */
+  def kruskalWallis(s: SparkSession, d: String): DataFrame = {
+    val nb = KsBuckets
+    val dec0 = DecimalType(38, 0)
+    val evt = graft.util.Ckpt.stage(Tables.events(s, d)
+      .filter(col("value").isNotNull)
+      .groupBy("value", "event_type").agg(count(lit(1)).as("ct")))
+    val ev = evt.groupBy("value").agg(sum("ct").as("c"))
+    val ext = ev.agg(min("value").as("lo"), max("value").as("hi"))
+    val bucketed = ev.crossJoin(broadcast(ext))
+      .withColumn("bkt",
+        when(col("hi") === col("lo"), lit(0)).otherwise(
+          least(lit(nb - 1),
+            floor((col("value") - col("lo")) * nb / (col("hi") - col("lo"))).cast("int"))))
+      .drop("lo", "hi")
+    val wb = Window.orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offs = bucketed.groupBy("bkt").agg(sum("c").as("sc"))
+      .select(col("bkt"), (sum("sc").over(wb) - col("sc")).as("off"))
+    val w = Window.partitionBy("bkt").orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = graft.util.Ckpt.stage(bucketed.join(broadcast(offs), "bkt")
+      .withColumn("mid2",
+        lit(2) * (col("off") + sum("c").over(w) - col("c")) + col("c") + lit(1))
+      .select("value", "c", "mid2"))
+    val perType = evt.join(ranked.select("value", "mid2"), "value")
+      .groupBy("event_type")
+      .agg(sum("ct").as("nt"), sum(col("ct") * col("mid2")).as("r2"))
+    val glob = ranked.agg(sum("c").as("n"),
+      (sum(col("c").cast(dec0) * col("c").cast(dec0) * col("c").cast(dec0)) -
+        sum(col("c"))).cast("long").as("tie_t"))
+    val terms = perType.crossJoin(broadcast(glob))
+      .withColumn("term",
+        round((col("r2").cast(dec0) * col("r2").cast(dec0)).cast("double") /
+          (lit(4.0) * col("nt").cast("double")), 6).cast(DecimalType(38, 6)))
+    val agg = terms.groupBy("n", "tie_t")
+      .agg(count(lit(1)).as("k"), sum("term").as("sq"))
+    val nD = col("n").cast("double")
+    val h0 = lit(12.0) * col("sq").cast("double") /
+      (nD * (col("n") + 1).cast("double")) - lit(3.0) * (col("n") + 1).cast("double")
+    val corr = lit(1.0) - col("tie_t").cast("double") /
+      (col("n").cast(dec0) * col("n").cast(dec0) * col("n").cast(dec0) -
+        col("n").cast(dec0)).cast("double")
+    agg.select(col("k"), col("n"), col("tie_t"), (col("k") - 1).as("df"),
+      round(h0 / corr, 6).as("h"))
+  }
+
+  /** Mann–Kendall trend test + Theil–Sen slope per event type over the
+    * daily volume series — the trend-DETECTION companion to
+    * [[kendallTau]] (same pair-vote algebra, but against TIME itself)
+    * and the robust alternative to [[corrRegr]]'s OLS slope: S counts
+    * up-pairs minus down-pairs (monotone trend of any shape), and the
+    * Sen slope is the MEDIAN of all pairwise day-rate slopes — one
+    * outlier day drags an OLS fit, but not a median of ~n²/2 slopes.
+    *
+    * Determinism: S and the tie-corrected variance
+    * 18·Var = n(n−1)(2n+5) − Σ t(t−1)(2t+5) are exact BIGINTs over
+    * calendar-bounded counts; the z-score's continuity correction
+    * branches on the exact integer sign of S (CASE mirrored verbatim);
+    * each pairwise slope is ONE IEEE division of exact integers
+    * (identical bits both engines), and the median slope is
+    * rank-selected from those raw doubles by [[medianX2]] — the
+    * [[outlierMad]] no-quantization discipline, no interpolation
+    * anywhere.
+    *
+    * Scale shape: one (type, day) aggregate over events (map-side
+    * combined), then all pair work on the ≤|calendar|-row daily frame —
+    * days², never rows²; the slope median ranks over distinct slope
+    * values per type. */
+  def mannKendall(s: SparkSession, d: String): DataFrame = {
+    val wi = Window.partitionBy("event_type").orderBy("day")
+    val daily = graft.util.Ckpt.stage(Tables.events(s, d)
+      .groupBy(col("event_type"), fmtDate(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .withColumn("i", row_number().over(wi)))
+    val a = daily.select(col("event_type"), col("i").as("i1"), col("x").as("x1"))
+    val b = daily.select(col("event_type").as("et2"), col("i").as("i2"), col("x").as("x2"))
+    val pairs = graft.util.Ckpt.stage(
+      a.join(b, col("event_type") === col("et2") && col("i1") < col("i2"))
+        .select(col("event_type"), col("i1"), col("i2"), col("x1"), col("x2")))
+    val sStat = pairs.groupBy("event_type")
+      .agg(sum(signum(col("x2") - col("x1")).cast("long")).as("s_stat"))
+    // tie groups on the VALUE (equal daily counts), per type
+    val ties = daily.groupBy("event_type", "x").agg(count(lit(1)).as("t"))
+      .groupBy("event_type")
+      .agg(sum("t").as("nd"),
+        sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5)).as("tie18"))
+    val slopes = pairs.select(col("event_type"),
+      ((col("x2") - col("x1")).cast("double") /
+        (col("i2") - col("i1")).cast("double")).as("slope"))
+    val sen = medianX2(slopes, "event_type", "slope", "sen2")
+      .select(col("event_type").as("et3"), (col("sen2") * lit(0.5)).as("sen_slope"))
+    val j = sStat.join(ties, "event_type")
+      .join(sen, col("event_type") === col("et3"))
+    val var18 = (col("nd") * (col("nd") - 1) * (lit(2) * col("nd") + 5) - col("tie18"))
+    val sd = sqrt(var18.cast("double") / lit(18.0))
+    j.select(col("event_type"), col("nd").as("n_days"), col("s_stat"),
+      var18.as("var18"),
+      round(when(col("s_stat") > 0, (col("s_stat") - 1).cast("double") / sd)
+        .when(col("s_stat") < 0, (col("s_stat") + 1).cast("double") / sd)
+        .otherwise(lit(0.0)), 6).as("z"),
+      col("sen_slope"))
+      .orderBy("event_type")
+  }
+
+  /** Two-sample Cramér–von Mises drift statistic between the click and
+    * view `value` distributions — the INTEGRAL companion on the KS axis:
+    * [[ksDrift]] alarms on the largest single ECDF gap (one sharp local
+    * shift), CvM integrates the SQUARED gap over the whole pooled
+    * sample, so many small distributed gaps — the "everything moved a
+    * little" drift KS underweights — accumulate. With [[emdDrift]]
+    * (which integrates the unsquared gap over value-space) the three
+    * cover sup/L²(ranks)/L¹(values) of the same ECDF difference.
+    *
+    * T = Σ_v c_v·(cum1·n2 − cum2·n1)² / (N²·n1·n2), summed over distinct
+    * pooled values. Determinism: cums are exact prefix integers (the
+    * two-phase bucket discipline), each gap² product is promoted to
+    * DECIMAL(38,0) (HUGEINT in the oracle — gap ≤ n1·n2 so gap²·c wraps
+    * BIGINT from ~10⁵ pooled rows), the scaled sum is EXACT, and T is
+    * one division of two correctly-rounded decimal→double casts,
+    * 6-dp-rounded.
+    *
+    * Scale shape: identical to [[mannWhitney]] — (value) aggregate,
+    * broadcast extent + ≤[[KsBuckets]]-row offsets, per-bucket windows,
+    * one global reduce. Events are never globally sorted. */
+  def cvmDrift(s: SparkSession, d: String): DataFrame = {
+    val nb = KsBuckets
+    val dec0 = DecimalType(38, 0)
+    val ev = graft.util.Ckpt.stage(Tables.events(s, d)
+      .filter(col("event_type").isin("click", "view") && col("value").isNotNull)
+      .groupBy("value")
+      .agg(
+        sum((col("event_type") === "click").cast("long")).as("c1"),
+        sum((col("event_type") === "view").cast("long")).as("c2")))
+    val ext = ev.agg(min("value").as("lo"), max("value").as("hi"))
+    val bucketed = ev.crossJoin(broadcast(ext))
+      .withColumn("bkt",
+        when(col("hi") === col("lo"), lit(0)).otherwise(
+          least(lit(nb - 1),
+            floor((col("value") - col("lo")) * nb / (col("hi") - col("lo"))).cast("int"))))
+      .drop("lo", "hi")
+    val wb = Window.orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offs = bucketed.groupBy("bkt")
+      .agg(sum("c1").as("s1"), sum("c2").as("s2"))
+      .select(col("bkt"),
+        (sum("s1").over(wb) - col("s1")).as("off1"),
+        (sum("s2").over(wb) - col("s2")).as("off2"))
+    val w = Window.partitionBy("bkt").orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gap = col("cum1") * col("n2") - col("cum2") * col("n1")
+    val t = bucketed.join(broadcast(offs), "bkt")
+      .crossJoin(broadcast(ev.agg(sum("c1").as("n1"), sum("c2").as("n2"))))
+      .withColumn("cum1", col("off1") + sum("c1").over(w))
+      .withColumn("cum2", col("off2") + sum("c2").over(w))
+      .withColumn("wc", (col("c1") + col("c2")).cast(dec0) *
+        gap.cast(dec0) * gap.cast(dec0))
+      .groupBy("n1", "n2")
+      .agg(count(lit(1)).as("n_values"), sum("wc").as("t_scaled"))
+    val n = col("n1") + col("n2")
+    val den = n.cast(dec0) * n.cast(dec0) *
+      col("n1").cast(dec0) * col("n2").cast(dec0)
+    t.select(col("n1"), col("n2"), col("n_values"),
+      round(col("t_scaled").cast("double") / den.cast("double"), 6).as("cvm"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kruskal_wallis" -> (kruskalWallis _),
+    "q_mann_kendall" -> (mannKendall _),
+    "q_cvm_drift" -> (cvmDrift _),
     "q_kendall_tau" -> (kendallTau _),
     "q_runs_test" -> (runsTest _),
     "q_perm_entropy" -> (permEntropy _),
@@ -1760,6 +1953,117 @@ object Statistics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_kruskal_wallis" ->
+      """WITH evt AS (
+        |  SELECT value, event_type, CAST(count(*) AS BIGINT) AS ct
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+        |), ev AS (
+        |  SELECT value, CAST(sum(ct) AS BIGINT) AS c FROM evt GROUP BY 1
+        |), r AS (
+        |  SELECT value, c,
+        |    2 * (SUM(c) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c)
+        |      + c + 1 AS mid2
+        |  FROM ev
+        |), pt AS (
+        |  SELECT event_type, CAST(SUM(ct) AS BIGINT) AS nt,
+        |         CAST(SUM(ct * mid2) AS BIGINT) AS r2
+        |  FROM evt JOIN r USING (value) GROUP BY event_type
+        |), g AS (
+        |  SELECT CAST(SUM(c) AS BIGINT) AS n,
+        |         CAST(SUM(CAST(c AS HUGEINT) * c * c) - SUM(c) AS BIGINT) AS tie_t
+        |  FROM r
+        |), terms AS (
+        |  SELECT n, tie_t,
+        |    CAST(round(CAST(CAST(r2 AS HUGEINT) * r2 AS DOUBLE)
+        |               / (4.0e0 * CAST(nt AS DOUBLE)), 6) AS DECIMAL(38,6)) AS term
+        |  FROM pt CROSS JOIN g
+        |), a AS (
+        |  SELECT n, tie_t, CAST(count(*) AS BIGINT) AS k, SUM(term) AS sq
+        |  FROM terms GROUP BY n, tie_t
+        |)
+        |SELECT k, n, tie_t, k - 1 AS df,
+        |  round((12.0e0 * CAST(sq AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE))
+        |         - 3.0e0 * CAST(n + 1 AS DOUBLE))
+        |        / (1.0e0 - CAST(tie_t AS DOUBLE)
+        |           / CAST(CAST(n AS HUGEINT) * n * n - n AS DOUBLE)), 6) AS h
+        |FROM a""".stripMargin,
+    "q_mann_kendall" ->
+      """WITH daily AS (
+        |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |         CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2
+        |), idx AS (
+        |  SELECT event_type, x,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS i
+        |  FROM daily
+        |), pr AS (
+        |  SELECT a.event_type, a.i AS i1, b.i AS i2, a.x AS x1, b.x AS x2
+        |  FROM idx a JOIN idx b ON a.event_type = b.event_type AND a.i < b.i
+        |), s AS (
+        |  SELECT event_type,
+        |    CAST(SUM(CASE WHEN x2 > x1 THEN 1 WHEN x2 < x1 THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+        |  FROM pr GROUP BY event_type
+        |), tg AS (
+        |  SELECT event_type, x, CAST(count(*) AS BIGINT) AS t FROM daily GROUP BY 1, 2
+        |), ties AS (
+        |  SELECT event_type, CAST(SUM(t) AS BIGINT) AS nd,
+        |         CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie18
+        |  FROM tg GROUP BY event_type
+        |), sl AS (
+        |  SELECT event_type, CAST(x2 - x1 AS DOUBLE) / CAST(i2 - i1 AS DOUBLE) AS slope
+        |  FROM pr
+        |), sr AS (
+        |  SELECT event_type, slope, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM sl GROUP BY 1, 2
+        |), rk AS (
+        |  SELECT event_type, slope, cnt,
+        |    SUM(cnt) OVER (PARTITION BY event_type ORDER BY slope
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(cnt) OVER (PARTITION BY event_type) AS nn
+        |  FROM sr
+        |), sen AS (
+        |  SELECT event_type,
+        |    (SUM(CASE WHEN cum - cnt < (nn + 1) // 2 AND (nn + 1) // 2 <= cum THEN slope END)
+        |     + SUM(CASE WHEN cum - cnt < (nn + 2) // 2 AND (nn + 2) // 2 <= cum THEN slope END))
+        |    * 0.5e0 AS sen_slope
+        |  FROM rk GROUP BY event_type
+        |), vz AS (
+        |  SELECT s.event_type, s_stat, nd,
+        |         nd * (nd - 1) * (2 * nd + 5) - tie18 AS var18
+        |  FROM s JOIN ties USING (event_type)
+        |)
+        |SELECT vz.event_type, nd AS n_days, s_stat, var18,
+        |  round(CASE
+        |    WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE) / sqrt(CAST(var18 AS DOUBLE) / 18.0e0)
+        |    WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE) / sqrt(CAST(var18 AS DOUBLE) / 18.0e0)
+        |    ELSE 0.0e0 END, 6) AS z,
+        |  sen_slope
+        |FROM vz JOIN sen USING (event_type) ORDER BY event_type""".stripMargin,
+    "q_cvm_drift" ->
+      """WITH ev AS (
+        |  SELECT value,
+        |         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |         CAST(SUM(CASE WHEN event_type = 'view'  THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        |  FROM events
+        |  WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+        |  GROUP BY value
+        |), r AS (
+        |  SELECT c1, c2,
+        |    SUM(c1) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+        |    SUM(c2) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2
+        |  FROM ev
+        |), tot AS (
+        |  SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2 FROM ev
+        |), t AS (
+        |  SELECT n1, n2, CAST(count(*) AS BIGINT) AS n_values,
+        |    SUM(CAST(c1 + c2 AS HUGEINT)
+        |        * (cum1 * n2 - cum2 * n1) * (cum1 * n2 - cum2 * n1)) AS t_scaled
+        |  FROM r CROSS JOIN tot GROUP BY n1, n2
+        |)
+        |SELECT n1, n2, n_values,
+        |  round(CAST(t_scaled AS DOUBLE) /
+        |        CAST(CAST(n1 + n2 AS HUGEINT) * (n1 + n2) * n1 * n2 AS DOUBLE), 6) AS cvm
+        |FROM t""".stripMargin,
     "q_kendall_tau" ->
       """WITH daily AS (
         |  SELECT strftime(ts, '%Y-%m-%d') AS day,

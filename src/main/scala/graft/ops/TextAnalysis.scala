@@ -788,6 +788,64 @@ object TextAnalysis {
       .orderBy("src_a", "src_b")
   }
 
+  /** Bhattacharyya coefficient + Hellinger distance between every source
+    * pair's unigram distributions — the bounded-metric companion to
+    * [[jsDivergence]]: JSD weighs terms by their information content
+    * (log ratios — sensitive to mid-frequency divergence), Hellinger's
+    * Σ√(p·q) overlap geometry weighs them by √mass, a true metric
+    * (triangle inequality holds) so it can drive threshold- or
+    * clustering-based source grouping where JSD's values cannot be
+    * chained. BC = Σ√(pq); H = √(1−BC); disjoint vocabularies give
+    * BC = 0, H = 1 exactly via the left join from the complete pair
+    * frame.
+    *
+    * Determinism: terms absent from either side contribute EXACTLY zero
+    * (no smoothing), so only the shared-term inner join computes; each
+    * √(ca·cb) is ONE correctly-rounded IEEE sqrt of an exact integer
+    * product (sqrt is correctly rounded BY SPEC — unlike ln, no libm
+    * freedom), quantized at 6 dp into DECIMAL before the
+    * order-independent sum; BC is one division by √na·√nb (each factor
+    * one sqrt of an exact integer), 6-dp-rounded BEFORE H = √(1−BC) so
+    * the second rounding feeds identical inputs; the `greatest(0, ·)`
+    * guard pins the BC ≈ 1 + ε quantization edge to 0 in both engines
+    * (Spark floor-casts NaN to 0 where DuckDB keeps it — PARITY §4).
+    *
+    * Scale shape: [[jsDivergence]]'s exactly — vocabulary-bounded
+    * (source, term) frame, self-join shuffles on term (never on docs),
+    * S²-row pair frame and shared sums broadcast. */
+  def hellinger(s: SparkSession, d: String): DataFrame =
+    hellingerFrom(Tables.documents(s, d))
+
+  /** [[hellinger]] over an explicit documents frame (test seam for the
+    * self-distance identity law, like [[jsDivergenceFrom]]). */
+  private[graft] def hellingerFrom(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val tc = graft.util.Ckpt.stage(docs
+      .select(col("source"), explode(words(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("source", "term").agg(count(lit(1)).as("c")))
+    val tot = tc.groupBy("source").agg(sum("c").as("n"))
+    val a = tc.select(col("source").as("sa"), col("term"), col("c").as("ca"))
+    val b = tc.select(col("source").as("sb"), col("term"), col("c").as("cb"))
+    val shared = a.join(b, Seq("term")).filter(col("sa") < col("sb"))
+      .groupBy("sa", "sb")
+      .agg(count(lit(1)).as("shared_terms"),
+        sum(round(sqrt((col("ca") * col("cb")).cast("double")), 6)
+          .cast(DecimalType(28, 6))).as("sroot"))
+    val pairFrame = tot.select(col("source").as("sa"), col("n").as("na"))
+      .crossJoin(tot.select(col("source").as("sb"), col("n").as("nb")))
+      .filter(col("sa") < col("sb"))
+    pairFrame.join(broadcast(shared), Seq("sa", "sb"), "left")
+      .withColumn("bc",
+        round(coalesce(col("sroot"), lit(0).cast(DecimalType(28, 6))).cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))), 6))
+      .select(col("sa").as("src_a"), col("sb").as("src_b"),
+        coalesce(col("shared_terms"), lit(0L)).as("shared_terms"),
+        col("bc"),
+        round(sqrt(greatest(lit(0.0), lit(1.0) - col("bc"))), 6).as("hellinger"))
+      .orderBy("src_a", "src_b")
+  }
+
   /** Per-source n-gram novelty: the share of a source's bigram TYPES that
     * appear in no other source — the content-originality counterpart to
     * [[TextAnalysis.contamination]] (which asks the opposite question:
@@ -1090,6 +1148,7 @@ object TextAnalysis {
     "q_fuzzy_join_symdel" -> (fuzzyJoinSymdel _),
     "q_ngram_novelty"   -> (ngramNovelty _),
     "q_js_divergence"   -> (jsDivergence _),
+    "q_hellinger"       -> (hellinger _),
     "q_bm25"            -> (bm25 _),
     "q_zipf_slope"      -> (zipfSlope _),
     "q_entropy"         -> (entropy _),
@@ -1379,6 +1438,33 @@ object TextAnalysis {
          |             / count(*) * 10000 + 0.5) / 10000 AS boiler_frac
          |FROM tri JOIN tdf USING (g)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_hellinger" ->
+      s"""WITH tc AS (
+         |  SELECT source, term, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT source, unnest($WordsSql) AS term FROM documents)
+         |  WHERE term <> '' GROUP BY source, term
+         |), tot AS (
+         |  SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM tc GROUP BY source
+         |), sh AS (
+         |  SELECT a.source AS sa, b.source AS sb,
+         |         CAST(count(*) AS BIGINT) AS shared_terms,
+         |         SUM(CAST(round(sqrt(CAST(a.c * b.c AS DOUBLE)), 6)
+         |             AS DECIMAL(28,6))) AS sroot
+         |  FROM tc a JOIN tc b ON a.term = b.term AND a.source < b.source
+         |  GROUP BY 1, 2
+         |), pairs AS (
+         |  SELECT ta.source AS sa, tb.source AS sb, ta.n AS na, tb.n AS nb
+         |  FROM tot ta JOIN tot tb ON ta.source < tb.source
+         |), px AS (
+         |  SELECT p.sa, p.sb,
+         |    CAST(COALESCE(sh.shared_terms, 0) AS BIGINT) AS shared_terms,
+         |    round(CAST(COALESCE(sh.sroot, 0) AS DOUBLE) /
+         |          (sqrt(CAST(p.na AS DOUBLE)) * sqrt(CAST(p.nb AS DOUBLE))), 6) AS bc
+         |  FROM pairs p LEFT JOIN sh ON p.sa = sh.sa AND p.sb = sh.sb
+         |)
+         |SELECT sa AS src_a, sb AS src_b, shared_terms, bc,
+         |  round(sqrt(greatest(0.0e0, 1.0e0 - bc)), 6) AS hellinger
+         |FROM px ORDER BY src_a, src_b""".stripMargin,
     "q_js_divergence" ->
       s"""WITH tc AS (
          |  SELECT source, term, count(*) AS c

@@ -120,4 +120,28 @@ class CorpusCardSpec extends AnyFunSuite {
       assert(r.getLong(2) > 0 && r.getLong(3) >= 1)
     }
   }
+
+  test("dedup kappa: replays the matrix row's 2x2 algebra, bounded, symmetric frame") {
+    val cmp = Dedup.dedupMethodCompare(spark, sf).collect()(0)
+    val n = cmp.getAs[Long]("n_docs")
+    val rows = Dedup.dedupKappa(spark, sf).collect()
+    assert(rows.length === 15, "one row per unordered family pair")
+    rows.foreach { r =>
+      val (na, nb, both, agree) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+        r.getAs[Long]("n_both"), r.getAs[Long]("n_agree"))
+      assert(r.getAs[Long]("n_docs") === n)
+      assert(agree === n - na - nb + 2 * both, "agreement identity")
+      assert(agree >= 0 && agree <= n)
+      assert(both <= math.min(na, nb), "overlap bounded by each margin")
+      val peNum = BigInt(na) * nb + BigInt(n - na) * (n - nb)
+      val den = BigInt(n) * n - peNum
+      if (den != 0) {
+        val brute = (BigInt(n) * agree - peNum).toDouble / den.toDouble
+        val k = r.getAs[Double]("kappa")
+        assert(math.abs(k - brute) < 1e-5,
+          s"${r.getString(0)}/${r.getString(1)}: kappa $k vs brute $brute")
+        assert(k >= -1.0 - 1e-9 && k <= 1.0 + 1e-9)
+      } else assert(r.isNullAt(r.fieldIndex("kappa")), "degenerate pe must be NULL")
+    }
+  }
 }

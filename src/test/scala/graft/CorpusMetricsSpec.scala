@@ -182,4 +182,47 @@ class CorpusMetricsSpec extends AnyFunSuite {
       assert(chi2 >= 0.0 && chi2 <= nn.toDouble + 1e-9)
     }
   }
+
+  test("Hellinger: bounds, complete pair frame, brute BC replay, self-distance 0") {
+    val rows = ops.TextAnalysis.hellinger(spark, sf).collect()
+    val srcs = Tables.documents(spark, sf).select("source").distinct().count()
+    assert(rows.length === (srcs * (srcs - 1) / 2).toInt, "one row per unordered pair")
+    rows.foreach { r =>
+      val (bc, h) = (r.getDouble(3), r.getDouble(4))
+      assert(bc >= 0.0 && bc <= 1.0 + 1e-4, s"BC out of range: $r")
+      assert(h >= 0.0 && h <= 1.0 + 1e-9, s"H out of range: $r")
+      // H and BC are tied: H = sqrt(1 - BC) up to the 6-dp rounds
+      assert(math.abs(h - math.sqrt(math.max(0.0, 1.0 - bc))) < 1e-5)
+    }
+    // brute BC on the lexicographically first pair
+    val tc = Tables.documents(spark, sf)
+      .select(col("source"), explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy("source", "t").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val bySrc = tc.groupBy(_._1._1)
+    val (sa, sb) = { val ks = bySrc.keys.toSeq.sorted; (ks(0), ks(1)) }
+    val na = bySrc(sa).values.sum.toDouble; val nb = bySrc(sb).values.sum.toDouble
+    val bcBrute = bySrc(sa).map { case ((_, t), ca) =>
+      tc.get((sb, t)).map(cb => math.sqrt(ca.toDouble * cb / (na * nb))).getOrElse(0.0)
+    }.sum
+    val got = rows.find(r => r.getString(0) == sa && r.getString(1) == sb).get.getDouble(3)
+    assert(math.abs(got - bcBrute) < 1e-3, s"BC $got vs brute $bcBrute")
+    // identity law via the twin-corpus construction (the JSD test's):
+    // identical distributions give sqrt(ca*cb) = ca exactly per term, so
+    // BC rounds to exactly 1 and H to exactly 0
+    import org.apache.spark.sql.functions.{concat, lit => flit}
+    val docs = Tables.documents(spark, sf)
+    // hellinger(s, d) reads the table itself; replay its body over a twin
+    // frame through the public seam used by jsDivergenceFrom's law test
+    val twin = docs.union(docs.withColumn("source", concat(col("source"), flit("_twin"))))
+    val selfRows = ops.TextAnalysis.hellingerFrom(twin)
+      .filter(col("src_b") === concat(col("src_a"), flit("_twin")))
+      .collect()
+    assert(selfRows.nonEmpty)
+    selfRows.foreach { r =>
+      assert(r.getDouble(3) === 1.0, s"self-BC not 1: $r")
+      assert(r.getDouble(4) === 0.0, s"self-H nonzero: $r")
+    }
+  }
 }

@@ -451,6 +451,21 @@ class PlanBudgetSpec extends AnyFunSuite {
                                       // vocab-keyed support join; lang
                                       // totals + N broadcast (audited 6,
                                       // +2 staging branches)
+    // rank/agreement wave (audited via PlanAudit at sf0.001 = staged
+    // counts; audit mode recomputes staged frames per consumer branch)
+    ("q_kruskal_wallis", 12, 2),      // (value,type) + (value) aggs, bucket
+                                      // prefix windows, midrank join on
+                                      // value; extent + offsets broadcast
+    ("q_mann_kendall", 6, 2),        // (type, day) agg; pair grid + tie
+                                      // groups + slope-median rank windows
+                                      // over the calendar-bounded frame
+    ("q_cvm_drift", 8, 3),           // the ksDrift two-phase machinery:
+                                      // per-value agg, bucket windows,
+                                      // extent/offsets/totals broadcast
+    ("q_dedup_kappa", 17, 5),         // = q_dedup_compare's plan + a
+                                      // generator over its 1-row result
+    ("q_hellinger", 5, 2),            // vocab-bounded term self-join;
+                                      // pair frame + shared sums broadcast
     // rank/series trio (audited via PlanAudit at sf0.001)
     ("q_kendall_tau", 2, 1),          // ONE staged daily agg; calendar²
                                       // pair join broadcast (audited 1, +1)

@@ -588,6 +588,90 @@ class StatisticsSpec extends AnyFunSuite {
     }
   }
 
+  test("Kruskal-Wallis H replays the naive midrank computation; laws hold") {
+    val row = ops.Statistics.kruskalWallis(spark, sf).collect().head
+    val (k, n, tieT, df, h) = (row.getLong(0), row.getLong(1),
+      row.getLong(2), row.getLong(3), row.getDouble(4))
+    assert(df === k - 1)
+    assert(h >= -1e-9, s"H negative: $h")
+    // brute: pool all values, midrank with ties, plain-double H
+    val vals = Tables.events(spark, sf).filter(col("value").isNotNull)
+      .select("event_type", "value").collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+    assert(n === vals.length.toLong)
+    val sorted = vals.map(_._2).sorted
+    val rankOf = sorted.zipWithIndex.groupBy(_._1).view
+      .mapValues(g => g.map(_._2 + 1).sum.toDouble / g.length).toMap
+    val groups = vals.groupBy(_._1)
+    assert(k === groups.size.toLong)
+    val bigN = vals.length.toDouble
+    val sumR2 = groups.values.map { g =>
+      val r = g.map(v => rankOf(v._2)).sum; r * r / g.length
+    }.sum
+    val h0 = 12.0 / (bigN * (bigN + 1)) * sumR2 - 3.0 * (bigN + 1)
+    val tie = sorted.groupBy(identity).values
+      .map(g => g.length.toDouble).map(c => c * c * c - c).sum
+    assert(tieT === tie.toLong)
+    val brute = h0 / (1.0 - tie / (bigN * bigN * bigN - bigN))
+    assert(math.abs(h - brute) / math.max(brute, 1e-9) < 1e-2,
+      s"H $h vs brute $brute")
+  }
+
+  test("Mann-Kendall: S and var18 replay exactly; Sen slope is the pair-slope median") {
+    val daily = dailyCounts(_ => true)
+    val got = ops.Statistics.mannKendall(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    daily.foreach { case (t, series) =>
+      val pairs = for (i <- series.indices; j <- (i + 1) until series.length)
+        yield (i + 1, j + 1, series(i), series(j))
+      val s = pairs.map { case (_, _, x1, x2) => (x2 compare x1).sign.toLong }.sum
+      val nd = series.length.toLong
+      val tie18 = series.groupBy(identity).values
+        .map(g => g.length.toLong).map(c => c * (c - 1) * (2 * c + 5)).sum
+      val var18 = nd * (nd - 1) * (2 * nd + 5) - tie18
+      val slopes = pairs.map { case (i1, i2, x1, x2) =>
+        (x2 - x1).toDouble / (i2 - i1).toDouble }.sorted
+      val m = slopes.length
+      val sen = (slopes((m + 1) / 2 - 1) + slopes((m + 2) / 2 - 1)) * 0.5
+      val row = got(t)
+      assert(row.getLong(1) === nd, s"$t n_days")
+      assert(row.getLong(2) === s, s"$t S")
+      assert(row.getLong(3) === var18, s"$t var18")
+      assert(row.getDouble(5) === sen, s"$t sen slope")
+      if (s != 0) {
+        val z = row.getDouble(4)
+        val brute = (s - s.sign).toDouble / math.sqrt(var18.toDouble / 18.0)
+        assert(math.abs(z - brute) < 1e-5, s"$t z $z vs $brute")
+      }
+    }
+  }
+
+  test("CvM drift replays the exact scaled-gap sum; nonneg and KS-consistent") {
+    val row = ops.Statistics.cvmDrift(spark, sf).collect().head
+    val (n1, n2, nVals, cvm) = (row.getLong(0), row.getLong(1),
+      row.getLong(2), row.getDouble(3))
+    assert(cvm >= 0.0)
+    val vals = Tables.events(spark, sf)
+      .filter(col("event_type").isin("click", "view") && col("value").isNotNull)
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val byV = vals.groupBy(_._2).view.mapValues { g =>
+      (g.count(_._1 == "click").toLong, g.count(_._1 == "view").toLong)
+    }.toSeq.sortBy(_._1)
+    assert(nVals === byV.length.toLong)
+    val (bn1, bn2) = (byV.map(_._2._1).sum, byV.map(_._2._2).sum)
+    assert(n1 === bn1 && n2 === bn2)
+    var c1 = BigInt(0); var c2 = BigInt(0); var t = BigInt(0)
+    byV.foreach { case (_, (a, b)) =>
+      c1 += a; c2 += b
+      val gap = c1 * bn2 - c2 * bn1
+      t += BigInt(a + b) * gap * gap
+    }
+    val n = BigInt(bn1 + bn2)
+    val brute = t.toDouble / (n * n * bn1 * bn2).toDouble
+    assert(math.abs(cvm - brute) < 1e-5, s"cvm $cvm vs brute $brute")
+  }
+
   test("permutation entropy: pattern replay, bounds [0, ln 6]") {
     val daily = dailyCounts(_ => true)
     val got = ops.Statistics.permEntropy(spark, sf).collect()
