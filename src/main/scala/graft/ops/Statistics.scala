@@ -1910,7 +1910,64 @@ object Statistics {
       round(col("t_scaled").cast("double") / den.cast("double"), 6).as("cvm"))
   }
 
+  /** Friedman test + Kendall's W over the day × event-type volume grid —
+    * the repeated-measures companion to [[kruskalWallis]]: KW pools all
+    * observations (and a high-volume DAY dominates), Friedman ranks the
+    * k types WITHIN each day (each day is one block, voting once), so it
+    * answers "do the types keep the same ordering day after day?" — the
+    * stability question behind alert thresholds per type. Kendall's W =
+    * χ²_F/(n(k−1)) rescales to [0,1] concordance.
+    *
+    * Determinism: the day grid is completed (observed days × observed
+    * types, absent cells = exact 0) so blocks are complete in both
+    * engines; within-day doubled midranks 2·prev + c + 1 are exact
+    * integers over ≤k cells; the tie-corrected statistic
+    * χ² = (k−1)·Σⱼ(R2ⱼ − n(k+1))² / (Σ mid2² − n·k·(k+1)²) has EXACT
+    * BIGINT numerator and denominator (the doubled-rank form absorbs
+    * the usual /4), leaving one correctly-rounded division each for χ²
+    * and W, 6-dp-rounded; the degenerate all-tied grid (denominator 0)
+    * pins both to 0 via the same CASE.
+    *
+    * Scale shape: one (day, type) aggregate over events; everything
+    * after runs on the calendar×k grid — windows partition by day
+    * (≤k rows each), reduces are k-row and 1-row. */
+  def friedman(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(fmtDate(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("x"))
+    val days = daily.select("day").distinct()
+    val types = daily.select("event_type").distinct()
+    val grid = graft.util.Ckpt.stage(days.crossJoin(broadcast(types))
+      .join(daily, Seq("day", "event_type"), "left")
+      .select(col("day"), col("event_type"), coalesce(col("x"), lit(0L)).as("x")))
+    val wd = Window.partitionBy("day").orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val mid = grid.groupBy("day", "x").agg(count(lit(1)).as("c"))
+      .withColumn("mid2", lit(2) * (sum("c").over(wd) - col("c")) + col("c") + lit(1))
+    val cells = graft.util.Ckpt.stage(
+      grid.join(mid.select("day", "x", "mid2"), Seq("day", "x")))
+    val perType = cells.groupBy("event_type")
+      .agg(sum("mid2").as("rj2"))
+    val glob = cells.agg(
+      sum(col("mid2") * col("mid2")).as("ssq2"),
+      countDistinct("day").as("nd"),
+      countDistinct("event_type").as("k"))
+    val agg = perType.crossJoin(broadcast(glob))
+      .withColumn("dev", col("rj2") - col("nd") * (col("k") + 1))
+      .groupBy("nd", "k", "ssq2")
+      .agg(sum(col("dev") * col("dev")).as("sdev2"))
+    val denom = col("ssq2") - col("nd") * col("k") * (col("k") + 1) * (col("k") + 1)
+    agg.select(col("k"), col("nd").as("n_days"), (col("k") - 1).as("df"),
+      when(denom === 0, lit(0.0)).otherwise(
+        round((col("k") - 1).cast("double") * col("sdev2").cast("double") /
+          denom.cast("double"), 6)).as("chi2_f"),
+      when(denom === 0, lit(0.0)).otherwise(
+        round(col("sdev2").cast("double") /
+          (denom.cast("double") * col("nd").cast("double")), 6)).as("kendall_w"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_friedman" -> (friedman _),
     "q_kruskal_wallis" -> (kruskalWallis _),
     "q_mann_kendall" -> (mannKendall _),
     "q_cvm_drift" -> (cvmDrift _),
@@ -1953,6 +2010,51 @@ object Statistics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_friedman" ->
+      """WITH daily AS (
+        |  SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+        |         CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2
+        |), days AS (SELECT DISTINCT day FROM daily),
+        |types AS (SELECT DISTINCT event_type FROM daily),
+        |grid AS (
+        |  SELECT days.day, types.event_type, COALESCE(daily.x, 0) AS x
+        |  FROM days CROSS JOIN types
+        |  LEFT JOIN daily ON days.day = daily.day AND types.event_type = daily.event_type
+        |), cnt AS (
+        |  SELECT day, x, CAST(count(*) AS BIGINT) AS c FROM grid GROUP BY 1, 2
+        |), mid AS (
+        |  SELECT day, x,
+        |    2 * (SUM(c) OVER (PARTITION BY day ORDER BY x
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c)
+        |      + c + 1 AS mid2
+        |  FROM cnt
+        |), cells AS (
+        |  SELECT g.day, g.event_type, m.mid2
+        |  FROM grid g JOIN mid m ON g.day = m.day AND g.x = m.x
+        |), pt AS (
+        |  SELECT event_type, CAST(SUM(mid2) AS BIGINT) AS rj2 FROM cells GROUP BY 1
+        |), gl AS (
+        |  SELECT CAST(SUM(mid2 * mid2) AS BIGINT) AS ssq2,
+        |         CAST(count(DISTINCT day) AS BIGINT) AS nd,
+        |         CAST(count(DISTINCT event_type) AS BIGINT) AS k
+        |  FROM cells
+        |), a AS (
+        |  SELECT nd, k, ssq2,
+        |    CAST(SUM((rj2 - nd * (k + 1)) * (rj2 - nd * (k + 1))) AS BIGINT) AS sdev2
+        |  FROM pt CROSS JOIN gl GROUP BY nd, k, ssq2
+        |)
+        |SELECT k, nd AS n_days, k - 1 AS df,
+        |  CASE WHEN ssq2 - nd * k * (k + 1) * (k + 1) = 0 THEN 0.0e0
+        |       ELSE round(CAST(k - 1 AS DOUBLE) * CAST(sdev2 AS DOUBLE)
+        |                  / CAST(ssq2 - nd * k * (k + 1) * (k + 1) AS DOUBLE), 6)
+        |  END AS chi2_f,
+        |  CASE WHEN ssq2 - nd * k * (k + 1) * (k + 1) = 0 THEN 0.0e0
+        |       ELSE round(CAST(sdev2 AS DOUBLE)
+        |                  / (CAST(ssq2 - nd * k * (k + 1) * (k + 1) AS DOUBLE)
+        |                     * CAST(nd AS DOUBLE)), 6)
+        |  END AS kendall_w
+        |FROM a""".stripMargin,
     "q_kruskal_wallis" ->
       """WITH evt AS (
         |  SELECT value, event_type, CAST(count(*) AS BIGINT) AS ct

@@ -338,6 +338,51 @@ object TrainingPrep {
       .orderBy("split_a", "split_b")
   }
 
+  /** Cluster-keyed train/val/test split — the FIX [[splitLeakage]]'s
+    * scaladoc prescribes, shipped as an operator: hash the document's
+    * dedup-CLUSTER label (connected-component representative from
+    * [[Dedup.dedupClusters]]) instead of its own id, so every
+    * near-duplicate family lands on ONE side of the boundary by
+    * construction. The query also recomputes the leakage audit under
+    * the cluster rule — `cross_pairs` is the proof column: every LSH
+    * candidate pair is intra-cluster, so it must be 0 (asserted in the
+    * spec; here it is COMPUTED, not assumed, so a future change to the
+    * candidate generator that breaks the invariant goes red in the
+    * driver gate, not just in a unit test).
+    *
+    * Determinism: cluster labels are the exact min-id fixpoint (oracle
+    * replays it via WITH RECURSIVE); the split rule is [[splitOf]]'s
+    * fixed hex thresholds on md5 — identical in both engines; all
+    * outputs are integer counts and one ppm integer division.
+    *
+    * Scale shape: [[Dedup.dedupClusters]]'s label-propagation cost (the
+    * split is a free column once clusters exist — which a dedup'd corpus
+    * already has); the audit re-uses the band-bucket equi-join; rollups
+    * are 3-row. */
+  def clusterSplit(s: SparkSession, d: String): DataFrame = {
+    val cl = graft.util.Ckpt.stage(Dedup.dedupClusters(s, d)
+      .select(col("doc_id"), col("cluster"))
+      .withColumn("split", splitOf(col("cluster"))))
+    val b = Dedup.bandBucketsOf(Tables.documents(s, d))
+    val pairs = b.as("x").join(b.as("y"),
+        col("x.bkey") === col("y.bkey") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("ida"), col("y.doc_id").as("idb"))
+      .distinct()
+    val cross = pairs
+      .join(cl.select(col("doc_id").as("ida"), col("split").as("sa")), "ida")
+      .join(cl.select(col("doc_id").as("idb"), col("split").as("sb")), "idb")
+      .agg(coalesce(sum((col("sa") =!= col("sb")).cast("long")), lit(0L))
+        .as("cross_pairs"))
+    val tot = cl.agg(count(lit(1)).as("n"))
+    cl.groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), countDistinct("cluster").as("n_clusters"))
+      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(cross))
+      .select(col("split"), col("n_docs"), col("n_clusters"),
+        expr("n_docs * 1000000 div n").as("docs_ppm"), col("cross_pairs"))
+      .orderBy("split")
+  }
+
   /** Corpus concentration report over per-source token counts — Gini
     * coefficient, Herfindahl index, and top-source share in one row:
     * the "is one crawl slice drowning the mix" dashboard number that
@@ -474,6 +519,7 @@ object TrainingPrep {
     "q_weighted_sample" -> (weightedSample _),
     "q_train_split" -> (trainSplit _),
     "q_split_leakage" -> (splitLeakage _),
+    "q_split_cluster_safe" -> (clusterSplit _),
   )
 
   private val WordsSql = "string_split(text, ' ')"
@@ -525,6 +571,26 @@ object TrainingPrep {
          |    (ORDER BY rem DESC, event_type ASC) <= r THEN 1 ELSE 0 END AS BIGINT) AS alloc
          |FROM q, sh
          |ORDER BY event_type""".stripMargin,
+    "q_split_cluster_safe" ->
+      s"""${Dedup.ClustersCteSql}, spl AS (
+         |  SELECT doc_id, cluster,
+         |         CASE WHEN md5('split:' || cluster) < '05' THEN 'test'
+         |              WHEN md5('split:' || cluster) < '0a' THEN 'val'
+         |              ELSE 'train' END AS split
+         |  FROM clusters
+         |), pr AS (
+         |  SELECT DISTINCT a.doc_id AS ida, c.doc_id AS idb
+         |  FROM b a JOIN b c USING (bkey) WHERE a.doc_id < c.doc_id
+         |), cx AS (
+         |  SELECT CAST(COALESCE(SUM(CASE WHEN sa.split <> sb.split THEN 1 ELSE 0 END), 0) AS BIGINT) AS cross_pairs
+         |  FROM pr JOIN spl sa ON pr.ida = sa.doc_id
+         |          JOIN spl sb ON pr.idb = sb.doc_id
+         |), tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM spl)
+         |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(count(DISTINCT cluster) AS BIGINT) AS n_clusters,
+         |       CAST(count(*) * 1000000 // max(tot.n) AS BIGINT) AS docs_ppm,
+         |       max(cx.cross_pairs) AS cross_pairs
+         |FROM spl, tot, cx GROUP BY split ORDER BY split""".stripMargin,
     "q_split_leakage" ->
       s"""WITH ${Dedup.bandBucketsCteBodyFrom("documents")}, pr AS (
          |  SELECT DISTINCT a.doc_id AS ida, c.doc_id AS idb

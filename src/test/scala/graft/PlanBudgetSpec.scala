@@ -466,6 +466,11 @@ class PlanBudgetSpec extends AnyFunSuite {
                                       // generator over its 1-row result
     ("q_hellinger", 5, 2),            // vocab-bounded term self-join;
                                       // pair frame + shared sums broadcast
+    ("q_friedman", 9, 2),             // (day,type) agg + grid fill + per-day
+                                      // midrank windows; types broadcast
+    ("q_split_cluster_safe", 13, 4),  // cluster propagation lineage + band
+                                      // self-join audit; label/total/cross
+                                      // frames broadcast
     // rank/series trio (audited via PlanAudit at sf0.001)
     ("q_kendall_tau", 2, 1),          // ONE staged daily agg; calendar²
                                       // pair join broadcast (audited 1, +1)

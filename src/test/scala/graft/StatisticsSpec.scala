@@ -588,6 +588,37 @@ class StatisticsSpec extends AnyFunSuite {
     }
   }
 
+  test("Friedman chi2 + Kendall W replay the within-day midrank computation") {
+    val row = ops.Statistics.friedman(spark, sf).collect().head
+    val (k, nDays, df, chi2, w) = (row.getLong(0), row.getLong(1),
+      row.getLong(2), row.getDouble(3), row.getDouble(4))
+    assert(df === k - 1)
+    assert(chi2 >= -1e-9 && w >= -1e-9 && w <= 1.0 + 1e-9)
+    // coupling law: chi2 = W * n * (k - 1) by construction
+    assert(math.abs(chi2 - w * nDays * (k - 1)) < 1e-3, "chi2/W coupling")
+    // brute: complete the grid, midrank within day, plain-double chi2
+    val daily = Tables.events(spark, sf)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("x")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val days = daily.map(_._1).distinct.sorted
+    val types = daily.map(_._2).distinct.sorted
+    assert(k === types.length.toLong && nDays === days.length.toLong)
+    val cell = daily.map(t => (t._1, t._2) -> t._3).toMap
+    val ranks = days.flatMap { dy =>
+      val xs = types.map(t => t -> cell.getOrElse((dy, t), 0L))
+      val rankOf = xs.map(_._2).sorted.zipWithIndex.groupBy(_._1).view
+        .mapValues(g => g.map(_._2 + 1).sum.toDouble / g.length).toMap
+      xs.map { case (t, x) => (t, rankOf(x)) }
+    }
+    val n = days.length.toDouble; val kd = types.length.toDouble
+    val rj = ranks.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val num = (kd - 1) * types.map(t => math.pow(rj(t) - n * (kd + 1) / 2, 2)).sum
+    val den = ranks.map(r => r._2 * r._2).sum - n * kd * (kd + 1) * (kd + 1) / 4
+    val brute = num / den
+    assert(math.abs(chi2 - brute) < 1e-3, s"chi2 $chi2 vs brute $brute")
+  }
+
   test("Kruskal-Wallis H replays the naive midrank computation; laws hold") {
     val row = ops.Statistics.kruskalWallis(spark, sf).collect().head
     val (k, n, tieT, df, h) = (row.getLong(0), row.getLong(1),

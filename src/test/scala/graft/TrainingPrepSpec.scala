@@ -140,4 +140,32 @@ class TrainingPrepSpec extends AnyFunSuite {
         "weight is the quantized N_h * S_h product")
     }
   }
+
+  test("cluster-safe split: zero cross-split candidate pairs, clusters never straddle, docs conserved") {
+    val rows = ops.TrainingPrep.clusterSplit(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 3)
+    // the theorem the operator exists to enforce: every LSH candidate
+    // pair is intra-cluster, clusters hash to one split, so leakage = 0
+    rows.foreach(r => assert(r.getLong(4) === 0L, s"cross pairs in ${r.getString(0)}"))
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum === nDocs, "split partitions all docs")
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "clusters cannot outnumber docs")
+      assert(r.getLong(3) === r.getLong(1) * 1000000L / nDocs, "ppm law")
+    }
+    // the invariant cross_pairs = 0 RESTS on: label propagation reached
+    // its fixpoint, so no candidate pair spans two clusters. Check it
+    // directly — an early-stopped loop would pass the definitional laws
+    // above but fail here
+    import org.apache.spark.sql.functions.col
+    val lab = graft.ops.Dedup.dedupClusters(spark, sf)
+      .select("doc_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bb = graft.ops.Dedup.bandBucketsOf(Tables.documents(spark, sf))
+    val spanning = bb.as("x").join(bb.as("y"),
+        col("x.bkey") === col("y.bkey") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id"), col("y.doc_id")).distinct().collect()
+      .count(r => lab(r.getLong(0)) != lab(r.getLong(1)))
+    assert(spanning === 0, "a candidate pair spans two clusters — propagation not converged")
+  }
 }
