@@ -123,6 +123,23 @@ def main():
         s, d = norm(sdf), norm(ddf)
         if list(s.columns) != list(d.columns):
             print(f"FAIL {name}: columns spark={list(s.columns)} duck={list(d.columns)}"); n_fail += 1; continue
+        # Dtype gate (round 8): the driver's hash distinguishes 123 from
+        # 123.0. DuckDB SUM(int) returns HUGEINT, which pandas renders as
+        # float64 — an oracle column that comes back float while Spark
+        # writes int64 hash-mismatches driver-side even when every value
+        # is equal (this, not arithmetic, was the r4–r7 q_outlier_mad and
+        # r7 q_kaplan_meier red). CAST such columns to BIGINT in the SQL.
+        leaks = []
+        for c in s.columns:
+            sk, dk = str(s[c].dtype), str(d[c].dtype)
+            s_int = sk.startswith("int") or sk.startswith("uint")
+            d_int = dk.startswith("int") or dk.startswith("uint")
+            s_f = sk.startswith("float")
+            d_f = dk.startswith("float")
+            if (s_int and d_f) or (s_f and d_int) or dk == "object" and (s_int or s_f):
+                leaks.append(f"{c}: spark={sk} duck={dk}")
+        if leaks:
+            print(f"FAIL {name}: dtype leak (driver hash breaks on int-vs-float even with equal values): " + "; ".join(leaks)); n_fail += 1; continue
         if len(s) != len(d):
             print(f"FAIL {name}: rows spark={len(s)} duck={len(d)}"); n_fail += 1; continue
         bad = []

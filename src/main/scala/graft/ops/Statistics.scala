@@ -144,6 +144,17 @@ object Statistics {
     * mandates correct rounding for each of +, −, ×, so no
     * engine-version freedom remains anywhere on the path.
     *
+    * Round-8 postmortem — the r4–r7 reds were never arithmetic: the
+    * oracle's `SUM(CASE …) AS n_outliers` returns HUGEINT in DuckDB,
+    * which pandas renders as float64 while Spark writes int64; the
+    * driver's hash distinguishes `123` from `123.0` even when every
+    * value is equal (local gate normalized dtypes, so it could never
+    * catch it). A dtype scan across all 296 oracles found exactly two
+    * int64→float64 leaks — this column and q_kaplan_meier's n_risk —
+    * matching the two red rows one-for-one. Fix: `CAST(… AS BIGINT)`
+    * in the oracle; `dev/check.py` now fails on any int↔float dtype
+    * leak.
+    *
     * Scale shape: two rank-selection passes over (type, distinct-value)
     * aggregates, stats broadcast back — the events table is never
     * shuffled. */
@@ -1117,6 +1128,11 @@ object Statistics {
     * order-independent; survival is ONE exp() on the identical decimal
     * scalar, floor-quantized to 4 dp. If the whole risk set dies at one
     * time (nᵢ = dᵢ), log-survival is NULL and survival exactly 0.
+    *
+    * Round-8 postmortem on the r7 red: not the logs — the oracle's
+    * window-SUM-derived `n_risk` was HUGEINT→float64 in pandas while
+    * Spark wrote int64 (PARITY §1 dtype-leak class, same as
+    * q_outlier_mad's n_outliers); fixed with `CAST(… AS BIGINT)`.
     *
     * Scale shape: one per-customer min/max aggregate (map-side
     * combined), a 1-row study-extent reduce broadcast back, then all
@@ -2574,9 +2590,9 @@ object Statistics {
         |  FROM life GROUP BY dur
         |), rk AS (
         |  SELECT dur, d, cens,
-        |         sum(all_at) OVER () -
+        |         CAST(sum(all_at) OVER () -
         |         COALESCE(sum(all_at) OVER (ORDER BY dur
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
         |  FROM bd
         |), lt AS (
         |  SELECT dur, n_risk, d, cens,
@@ -2808,7 +2824,7 @@ object Statistics {
         |       min(dv.med) AS med,
         |       min(md.mad) AS mad,
         |       min(3.0e0 * 1.4826e0 * md.mad) AS thr,
-        |       SUM(CASE WHEN dv.dev > 3.0e0 * 1.4826e0 * md.mad THEN 1 ELSE 0 END) AS n_outliers,
+        |       CAST(SUM(CASE WHEN dv.dev > 3.0e0 * 1.4826e0 * md.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
         |       max(dv.dev) AS max_dev
         |FROM dv JOIN md ON dv.event_type = md.t2
         |GROUP BY dv.event_type
