@@ -582,16 +582,22 @@ object Curation {
     * setting; the Laplace scale is sensitivity/ε = 1/ε for a count. */
   private val DpEpsilon = 1.0
 
-  /** ε-differentially-private event counts via the Laplace mechanism
-    * with DERIVED noise: the uniform draw is a salted md5 of the
-    * released key (the engine-wide seeded-randomness idiom —
-    * q_sample_hash, q_weighted_sample), pushed through the Laplace
-    * inverse CDF −(1/ε)·sgn(u−½)·ln(1−2|u−½|). Deterministic-by-key
-    * noise is exactly what a production DP release wants operationally:
-    * re-running the release must NOT spend fresh privacy budget or
-    * publish a second noisy draw of the same statistic (averaging two
-    * draws halves the noise — a real leak), so the draw is keyed to the
-    * (release, cell) pair.
+  /** Laplace-mechanism noisy event counts with a SEED-KEYED noise draw:
+    * the uniform is md5(seed ‖ ':' ‖ cell), pushed through the Laplace
+    * inverse CDF −(1/ε)·sgn(u−½)·ln(1−2|u−½|). Keying the draw to the
+    * (seed, cell) pair is what a production DP release wants
+    * operationally — re-running the release must NOT spend fresh budget
+    * or publish a second draw of the same statistic (averaging two
+    * draws halves the noise) — but the release is ε-DP **only if the
+    * seed is secret**: with a public seed anyone recomputes the noise
+    * and recovers n_true exactly (md5 of a known string is a public
+    * function, not a PRF). Production callers therefore MUST pass a
+    * high-entropy `seed` held like a key; the registered `q_dp_count`
+    * entry binds the PUBLIC fixture seed "dp" so the oracle gate can
+    * reproduce the draw — that configuration is a deterministic
+    * SIMULATION of the mechanism (correct noise distribution and
+    * budget accounting, zero actual privacy), and is documented as
+    * such. (ADVICE r7.)
     *
     * Determinism: u = (h + ½)/2³² from the first 8 md5 hex digits —
     * strictly inside (0,1) and never exactly ½ (h + ½ is never 2³¹), so
@@ -602,8 +608,8 @@ object Curation {
     *
     * Scale shape: one map-side-combined groupBy; noise is computed on
     * the k-row released frame, never per input row. */
-  def dpCount(s: SparkSession, d: String): DataFrame = {
-    val h = conv(substring(md5(concat(lit("dp:"), col("event_type"))), 1, 8), 16, 10)
+  def dpCount(s: SparkSession, d: String, seed: String = "dp"): DataFrame = {
+    val h = conv(substring(md5(concat(lit(seed + ":"), col("event_type"))), 1, 8), 16, 10)
       .cast("long")
     val u = (h.cast("double") + lit(0.5)) / lit(4294967296.0)
     val t = u - lit(0.5)
@@ -618,7 +624,9 @@ object Curation {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_dp_count"       -> (dpCount _),
+    // the public fixture seed: oracle-reproducible ⇒ a mechanism
+    // SIMULATION, not a private release (see [[dpCount]])
+    "q_dp_count"       -> ((s: SparkSession, d: String) => dpCount(s, d, "dp")),
     "q_t_closeness"    -> (tCloseness _),
     "q_source_datasheet" -> (sourceDatasheet _),
     "q_retention_curve" -> (retentionCurve _),

@@ -1064,15 +1064,36 @@ object EventTime {
     * volumes; for longer windows re-base the recurrence per 30-day
     * chunk (the fixture spans one month).
     *
+    * The daily frame is CAUSALLY ZERO-FILLED: from each type's first
+    * observed day through the corpus's last day, absent cells enter as
+    * n = 0 (the EWMA halves — a day with no events is a signal, not a
+    * hole), which keeps the series bit-exact against the streaming
+    * fold ([[graft.streaming.Streams.ewmaAdvance]]) even when a type
+    * skips days.
+    *
     * Scale shape: one map-side-combined (type, day) aggregate — the
     * only pass over events — then windows over the calendar-bounded
-    * daily frame. */
+    * daily frame (the |days| × |types| grid is calendar-bounded too). */
   def ewmaSmooth(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("event_type").orderBy("day")
     val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.events(s, d)
+    val daily = Tables.events(s, d)
       .groupBy(col("event_type"), fmtDate(col("ts")).as("day"))
       .agg(count(lit(1)).as("n"))
+    // Causal zero-fill (ADVICE r7): a (type, day) cell absent from the
+    // data must still DECAY the EWMA (n = 0 halves it) — exactly what the
+    // streaming fold's full join does — or fold-vs-batch equivalence
+    // holds only while every type appears on every day. The grid starts
+    // at each type's FIRST observed day (a type does not exist before
+    // the stream first sees it — matching the fold's seed-on-first-sight)
+    // and runs through the corpus's last observed day.
+    val firstDay = daily.groupBy("event_type").agg(min("day").as("d0"))
+    val days = daily.select("day").distinct()
+    val grid = days.crossJoin(broadcast(firstDay))
+      .filter(col("day") >= col("d0"))
+      .join(daily, Seq("event_type", "day"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+    grid
       .withColumn("dn", row_number().over(w))
       .withColumn("term", col("n") *
         when(col("dn") === 1, lit(4L))
@@ -1203,11 +1224,18 @@ object EventTime {
         |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
         |         CAST(count(*) AS BIGINT) AS n
         |  FROM events GROUP BY 1, 2
+        |), days AS (SELECT DISTINCT day FROM daily),
+        |f AS (SELECT event_type, min(day) AS d0 FROM daily GROUP BY 1),
+        |grid AS (
+        |  SELECT f.event_type, days.day, CAST(COALESCE(daily.n, 0) AS BIGINT) AS n
+        |  FROM f JOIN days ON days.day >= f.d0
+        |  LEFT JOIN daily ON daily.event_type = f.event_type
+        |                 AND daily.day = days.day
         |), r AS (
         |  SELECT event_type, day, n,
         |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
         |         AS INTEGER) AS dn
-        |  FROM daily
+        |  FROM grid
         |), t AS (
         |  SELECT event_type, day, n, dn,
         |    n * (CASE WHEN dn = 1 THEN 4

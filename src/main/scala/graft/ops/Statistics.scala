@@ -1681,8 +1681,12 @@ object Statistics {
     val mu = two / n.cast("double") + lit(1.0)
     val sig2 = two * (two - n.cast("double")) /
       (n.cast("double") * n.cast("double") * (n - 1).cast("double"))
+    // n > 2 (not n > 1): npos = nneg = 1 gives two = n = 2, so sig2 = 0
+    // and z is 0/0 — Spark's floor→long maps NaN/Inf to 0/Long.MaxValue
+    // while DuckDB keeps them (PARITY §4). 2ab = a+b has no other
+    // solution with a,b ≥ 1, so sig2 > 0 ⟺ npos + nneg > 2 here.
     runs
-      .filter(col("npos") > 0 && col("nneg") > 0 && n > 1)
+      .filter(col("npos") > 0 && col("nneg") > 0 && n > 2)
       .select(col("event_type"), col("npos"), col("nneg"), col("r"),
         (floor(mu * lit(1000000.0) + lit(0.5)) / lit(1000000.0)).as("mu"),
         (floor((col("r").cast("double") - mu) / sqrt(sig2)
@@ -2234,7 +2238,7 @@ object Statistics {
         |  SELECT event_type, npos, nneg, r,
         |    2.0 * CAST(npos AS DOUBLE) * CAST(nneg AS DOUBLE) AS two,
         |    npos + nneg AS n
-        |  FROM agg WHERE npos > 0 AND nneg > 0 AND npos + nneg > 1
+        |  FROM agg WHERE npos > 0 AND nneg > 0 AND npos + nneg > 2
         |)
         |SELECT event_type, npos, nneg, r,
         |  floor((two / CAST(n AS DOUBLE) + 1.0) * 1000000.0 + 0.5) / 1000000.0 AS mu,

@@ -1123,8 +1123,10 @@ object TextAnalysis {
       .withColumn("chi2",
         // a word present in EVERY doc has det = 0 AND a zero margin: 0/0
         // is NaN, which Spark's floor->long maps to 0 while DuckDB keeps
-        // NaN — define the undiscriminating case as exactly 0 instead
-        when(col("nw") < col("nn"),
+        // NaN — define the undiscriminating case as exactly 0 instead.
+        // nl < nn guards the mirror margin: a single-language corpus
+        // zeroes the (nn − nl) factor the same way (ADVICE r7)
+        when(col("nw") < col("nn") && col("nl") < col("nn"),
           floor((col("nn").cast(dec0) * col("det") * col("det")).cast("double") /
             (col("nw").cast(dec0) * (col("nn") - col("nw")).cast(dec0) *
               col("nl").cast(dec0) * (col("nn") - col("nl")).cast(dec0)).cast("double")
@@ -1225,7 +1227,7 @@ object TextAnalysis {
         |  JOIN wt ON c.word = wt.word, tt
         |), chi AS (
         |  SELECT lang, word, n11, nw, nl,
-        |    CASE WHEN nw < nn THEN
+        |    CASE WHEN nw < nn AND nl < nn THEN
         |      floor(CAST(CAST(nn AS HUGEINT) * det * det AS DOUBLE)
         |            / CAST(CAST(nw AS HUGEINT) * CAST(nn - nw AS HUGEINT)
         |                   * CAST(nl AS HUGEINT) * CAST(nn - nl AS HUGEINT) AS DOUBLE)

@@ -244,9 +244,13 @@ object Streams {
     * sₜ = Wₜ/2ᵗ⁺¹ and Wₜ₊₁ = Wₜ + nₜ₊₁·2ᵗ⁺¹ — so each day's advance is
     * ONE integer multiply-add per type, and the smoothed value stays
     * BIT-exact against the batch recomputation forever (pinned by
-    * `StreamingSpec`'s fold-vs-batch test). A type absent from a day
-    * advances with n = 0 (its EWMA halves — the correct decay); a type
-    * first seen mid-stream seeds its own series (W = 4n, s = n).
+    * `StreamingSpec`'s fold-vs-batch tests, including a synthetic
+    * missing-cell series). A type absent from a day advances with
+    * n = 0 (its EWMA halves — the correct decay), and the batch query
+    * zero-fills the same cells causally from each type's first
+    * observed day (ADVICE r7), so the two decay identically; a type
+    * first seen mid-stream seeds its own series (W = 4n, s = n) —
+    * mirrored batch-side by starting the grid at the type's first day.
     *
     * Shape: the state frame is ≤ |event types| rows — a broadcast-scale
     * foldable the `foreachBatch` loop carries; each batch touches its

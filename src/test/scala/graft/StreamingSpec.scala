@@ -560,6 +560,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch, s"streamed $streamed vs batch $batch")
   }
 
+  test("EWMA advance: a type skipping a day decays identically in fold and closed form") {
+    val spark = TestSpark.session
+    import spark.implicits._
+    // type "b" is missing on day 2 of 3 (the ADVICE r7 gap): the fold
+    // advances it with n = 0 (full join), and the batch query's causal
+    // zero-fill must produce the same W — here checked against the
+    // hand-unrolled recurrence s3 = (n3 + (0 + s1)/2)/2 with s1 = n1.
+    val byDay = Seq(
+      Seq(("a", 10L), ("b", 8L)),  // day 1
+      Seq(("a", 6L)),              // day 2 - b absent
+      Seq(("a", 4L), ("b", 2L)))   // day 3
+    var state = Seq.empty[(String, Int, Long)].toDF("event_type", "t", "w")
+    byDay.foreach { batch =>
+      state = Streams.ewmaAdvance(state, batch.toDF("event_type", "n"))
+        .select("event_type", "t", "w").as[(String, Int, Long)]
+        .collect().toSeq.toDF("event_type", "t", "w")
+    }
+    val folded = state
+      .withColumn("ewma", col("w").cast("double") /
+        expr("shiftleft(cast(1 as bigint), t + 1)").cast("double"))
+      .select("event_type", "ewma").as[(String, Double)].collect().toMap
+    // a: s = 10, (10+6)/2 = 8, (8+4)/2 = 6 ; b: s = 8, (8+0)/2 = 4, (4+2)/2 = 3
+    assert(folded === Map("a" -> 6.0, "b" -> 3.0), s"folded $folded")
+  }
+
   test("EWMA advance: folding daily micro-batches is BIT-exact vs the batch query") {
     val spark = TestSpark.session
     import spark.implicits._
