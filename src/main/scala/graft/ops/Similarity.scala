@@ -1264,7 +1264,55 @@ object Similarity {
       .orderBy("label")
   }
 
+  private val MatDim = 16
+
+  /** Matryoshka-truncation retrieval audit (Kusupati et al. 2022,
+    * "Matryoshka Representation Learning"): how much of the exact
+    * top-5 cosine ranking survives when vectors are truncated to their
+    * first [[MatDim]] = 16 of 64 dimensions (re-normalized)? MRL-style
+    * serving keeps only a prefix of each embedding at query time — a
+    * 4× memory/bandwidth cut on the same corpus — and this query
+    * measures the recall cost per probe before anyone flips that
+    * switch, the same ladder-rung role [[annRecall]] plays for IVF and
+    * ADC for PQ.
+    *
+    * Determinism: both rankings use the engine's cosine recipe (double
+    * left-to-right dot = DuckDB's list_dot_product, 4-dp round,
+    * (cos desc, vec_id asc) total order); overlap is a count over the
+    * two exact top-5 id sets.
+    *
+    * Scale shape: the corpus frame is staged once with both norms;
+    * probes broadcast; at 100 TB the truncated leg would run against
+    * the prefix-only column (16 floats stored, not sliced) — the
+    * slice here stands in for that narrower scan. */
+  def matryoshkaAudit(s: SparkSession, d: String): DataFrame = {
+    val base = once(Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("p", slice(col("v"), 1, MatDim))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+      .withColumn("pnorm", sqrt(dot(col("p"), col("p")))))
+    val q = base.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("p").as("qp"),
+        col("norm").as("qn"), col("pnorm").as("qpn"))
+    val j = once(base.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cosf", round(dot(col("v"), col("qv")) / (col("norm") * col("qn")), 4))
+      .withColumn("cosp", round(dot(col("p"), col("qp")) / (col("pnorm") * col("qpn")), 4))
+      .select("qid", "vec_id", "cosf", "cosp"))
+    val wf = Window.partitionBy("qid").orderBy(col("cosf").desc, col("vec_id").asc)
+    val wp = Window.partitionBy("qid").orderBy(col("cosp").desc, col("vec_id").asc)
+    val full = j.withColumn("rn", row_number().over(wf)).filter(col("rn") <= 5)
+      .select(col("qid"), col("vec_id"))
+    val pre = j.withColumn("rn", row_number().over(wp)).filter(col("rn") <= 5)
+      .select(col("qid").as("q2"), col("vec_id").as("v2"))
+    full.join(pre, col("qid") === col("q2") && col("vec_id") === col("v2"), "left")
+      .groupBy("qid")
+      .agg(count(lit(1)).as("k"), count(col("v2")).as("n_overlap"))
+      .orderBy("qid")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_matryoshka"    -> (matryoshkaAudit _),
     "q_silhouette"    -> (silhouette _),
     "q_pq_rerank"     -> (pqRerank _),
     "q_embed_norm"    -> (embedNormAudit _),
@@ -1592,6 +1640,37 @@ object Similarity {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_matryoshka" ->
+      """WITH n0 AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), m AS (
+        |  SELECT vec_id, v, v[1:16] AS p,
+        |         sqrt(list_dot_product(v, v)) AS norm,
+        |         sqrt(list_dot_product(v[1:16], v[1:16])) AS pnorm
+        |  FROM n0
+        |), q AS (
+        |  SELECT vec_id AS qid, v AS qv, p AS qp, norm AS qn, pnorm AS qpn
+        |  FROM m WHERE vec_id % 50 = 0
+        |), j AS (
+        |  SELECT m.vec_id, q.qid,
+        |    round(list_dot_product(m.v, q.qv) / (m.norm * q.qn), 4) AS cosf,
+        |    round(list_dot_product(m.p, q.qp) / (m.pnorm * q.qpn), 4) AS cosp
+        |  FROM m, q WHERE m.vec_id <> q.qid
+        |), f AS (
+        |  SELECT qid, vec_id FROM (
+        |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+        |      ORDER BY cosf DESC, vec_id ASC) AS rn FROM j) t
+        |  WHERE rn <= 5
+        |), p5 AS (
+        |  SELECT qid, vec_id FROM (
+        |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+        |      ORDER BY cosp DESC, vec_id ASC) AS rn FROM j) t
+        |  WHERE rn <= 5
+        |)
+        |SELECT f.qid, CAST(count(*) AS BIGINT) AS k,
+        |       CAST(count(p5.vec_id) AS BIGINT) AS n_overlap
+        |FROM f LEFT JOIN p5 ON f.qid = p5.qid AND f.vec_id = p5.vec_id
+        |GROUP BY f.qid ORDER BY f.qid""".stripMargin,
     "q_pq_rerank" -> pqRerankOracle,
     "q_silhouette" ->
       """WITH v AS (

@@ -1986,6 +1986,76 @@ object Statistics {
           (denom.cast("double") * col("nd").cast("double")), 6)).as("kendall_w"))
   }
 
+  /** Cumulative Poisson(1) inverse-CDF thresholds for [[bootstrapCi]]:
+    * P(X ≤ k) = e⁻¹·Σ_{i≤k} 1/i!, written as shortest-repr double
+    * literals so Scala and the oracle SQL parse the identical bits
+    * (comparisons against them are then engine-exact). Truncated at 6 —
+    * P(X > 6) ≈ 8·10⁻⁵ per draw biases replica sums negligibly and
+    * identically in both engines. */
+  private val PoissonCdf = Array(
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238462, 0.9963401531726563, 0.9994058151824183)
+
+  private val BootB = 50
+
+  /** Poisson-bootstrap 95% confidence interval for the mean event value
+    * per type — the bootstrap that actually runs at 100 TB: classical
+    * resampling draws n rows WITH replacement per replica (a global
+    * shuffle per replica, B times), while the Poisson bootstrap
+    * (Chamandy et al., "Estimating uncertainty for massive data
+    * streams", Google 2012) gives every (row, replica) an independent
+    * Poisson(1) weight — one streaming pass, no resample exchange, and
+    * the per-replica weighted sums partial-aggregate map-side down to a
+    * |types|·B-row frame before the only shuffle.
+    *
+    * Determinism: the Poisson draw is the keyed-hash idiom
+    * (q_sample_hash, q_dp_count) — u = (h+½)/2³² from
+    * md5('bs:' ‖ event_id ‖ ':' ‖ b), stepped through the pinned
+    * [[PoissonCdf]] ladder, so every weight is an integer both engines
+    * agree on exactly; replica sums are Σw (BIGINT) and Σw·value
+    * (DECIMAL — exact, order-independent); each replica mean is ONE
+    * IEEE division of identical operands; the CI endpoints are
+    * rank-SELECTED replica means (row_number over the total order
+    * (mean, b); ranks ⌈0.025·B⌉ = 2 and ⌈0.975·B⌉ = 49 of B = 50 —
+    * percentile_disc semantics, no interpolation). An all-zero replica
+    * would shift ranks, but P = e⁻ⁿ per replica is zero for any group
+    * with ≥ 64 rows (the fixture's smallest type has ~200 at sf0.001).
+    *
+    * Scale shape: the B-way explode multiplies scan CPU (B md5 calls
+    * per row), not exchange volume — the groupBy(type, b) combines
+    * map-side to |types|·B rows. B is a constant; the events table is
+    * read once and never shuffled. */
+  def bootstrapCi(s: SparkSession, d: String): DataFrame = {
+    val u = (conv(substring(md5(concat(lit("bs:"), col("event_id").cast("string"),
+      lit(":"), col("b").cast("string"))), 1, 8), 16, 10).cast("long").cast("double")
+      + lit(0.5)) / lit(4294967296.0)
+    val w = PoissonCdf.zipWithIndex.foldRight(lit(PoissonCdf.length): Column) {
+      case ((c, k), rest) => when(col("u") < lit(c), lit(k)).otherwise(rest)
+    }
+    val rep = Tables.events(s, d)
+      .select(col("event_type"), col("event_id"), col("value"))
+      .withColumn("b", explode(sequence(lit(1), lit(BootB))))
+      .withColumn("u", u)
+      .withColumn("w", w.cast("long"))
+      .groupBy("event_type", "b")
+      .agg(sum("w").as("sw"),
+        sum(col("value").cast(DecimalType(24, 6)) * col("w")).as("swv"))
+      .withColumn("mean_b", col("swv").cast("double") / col("sw").cast("double"))
+    val rk = Window.partitionBy("event_type").orderBy(col("mean_b").asc, col("b").asc)
+    val ranked = rep.withColumn("rn", row_number().over(rk))
+    val lo = ranked.filter(col("rn") === 2)
+      .select(col("event_type"), col("mean_b").as("ci_lo"))
+    val hi = ranked.filter(col("rn") === BootB - 1)
+      .select(col("event_type").as("t2"), col("mean_b").as("ci_hi"))
+    val base = Tables.events(s, d).groupBy("event_type")
+      .agg(count(lit(1)).as("n"), davg(col("value")).as("mean"))
+    base.join(broadcast(lo), "event_type")
+      .join(broadcast(hi), col("event_type") === col("t2"))
+      .select(col("event_type"), col("n"), col("mean"),
+        lit(BootB).cast("long").as("n_replicas"), col("ci_lo"), col("ci_hi"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_friedman" -> (friedman _),
     "q_kruskal_wallis" -> (kruskalWallis _),
@@ -2005,6 +2075,7 @@ object Statistics {
     "q_ab_mde" -> (abMde _),
     "q_gini" -> (gini _),
     "q_kaplan_meier" -> (kaplanMeier _),
+    "q_bootstrap_ci" -> (bootstrapCi _),
     "q_cuped" -> (cuped _),
     "q_ab_srm" -> (abSrm _),
     "q_mutual_info" -> (mutualInfo _),
@@ -2030,6 +2101,46 @@ object Statistics {
   )
 
   val oracle: Map[String, String] = Map(
+    // Poisson weights from the keyed-hash u with PINNED double CDF
+    // thresholds (shortest-repr literals parse to identical bits in
+    // both engines); replica sums exact; CI endpoints rank-selected
+    "q_bootstrap_ci" ->
+      """WITH draw AS (
+        |  SELECT event_type, value, b,
+        |    (CAST(CAST('0x' || substring(md5('bs:' || event_id || ':' || b), 1, 8)
+        |          AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0 AS u
+        |  FROM events, (SELECT unnest(range(1, 51)) AS b) t
+        |), wt AS (
+        |  SELECT event_type, value, b,
+        |    CASE WHEN u < 0.36787944117144233e0 THEN 0
+        |         WHEN u < 0.7357588823428847e0 THEN 1
+        |         WHEN u < 0.9196986029286058e0 THEN 2
+        |         WHEN u < 0.9810118431238462e0 THEN 3
+        |         WHEN u < 0.9963401531726563e0 THEN 4
+        |         WHEN u < 0.9994058151824183e0 THEN 5
+        |         ELSE 6 END AS w
+        |  FROM draw
+        |), rep AS (
+        |  SELECT event_type, b, CAST(sum(w) AS BIGINT) AS sw,
+        |         SUM(CAST(value AS DECIMAL(24,6)) * w) AS swv
+        |  FROM wt GROUP BY event_type, b
+        |), m AS (
+        |  SELECT event_type, b,
+        |    CAST(swv AS DOUBLE) / CAST(sw AS DOUBLE) AS mean_b,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY CAST(swv AS DOUBLE) / CAST(sw AS DOUBLE) ASC, b ASC) AS rn
+        |  FROM rep
+        |), base AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE) / count(value) AS mean
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT base.event_type, n, mean, CAST(50 AS BIGINT) AS n_replicas,
+        |       lo.mean_b AS ci_lo, hi.mean_b AS ci_hi
+        |FROM base
+        |JOIN m lo ON lo.event_type = base.event_type AND lo.rn = 2
+        |JOIN m hi ON hi.event_type = base.event_type AND hi.rn = 49
+        |ORDER BY base.event_type""".stripMargin,
     "q_friedman" ->
       """WITH daily AS (
         |  SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,

@@ -1141,7 +1141,63 @@ object TextAnalysis {
       .orderBy("lang", "rn")
   }
 
+  /** Dunning log-likelihood (G²) keyness of terms per language — the
+    * corpus-comparison statistic that, unlike [[termChi2]]'s χ² over doc
+    * PRESENCE, scores raw OCCURRENCE counts and stays calibrated for
+    * rare terms (Dunning 1993, "Accurate methods for the statistics of
+    * surprise and coincidence"): G² = 2·(Σ kᵢⱼ ln kᵢⱼ − Σ Rᵢ ln Rᵢ −
+    * Σ Cⱼ ln Cⱼ + N ln N) over the 2×2 (term-in-lang vs rest) table.
+    * Only OVERREPRESENTED terms rank (k₁₁·N > nw·nl — exact BIGINT
+    * cross-multiplication, no ratio), top 5 per language.
+    *
+    * Determinism: every log is ln of an INTEGER count, 6-dp-quantized
+    * into DECIMAL (the qln discipline); each x·qln(x) product and the
+    * nine-term combination are exact decimal arithmetic; ranking orders
+    * the exact decimal (ties → word asc); ONE decimal→double cast at
+    * output. Zero cells (k₁₂/k₂₁/k₂₂ = 0 and the degenerate
+    * single-language margins) are pinned to 0 by CASE on both sides —
+    * ln(0) must never evaluate on a selected row (PARITY §4).
+    *
+    * Scale shape: the tokenize pass dominates; the scored grid is
+    * vocabulary × |langs| with the ≤|langs|-row totals broadcast —
+    * the [[termChi2]] shape, reusing its staged token frame logic. */
+  def llrTerms(s: SparkSession, d: String): DataFrame = {
+    val qln = (c: Column) =>
+      round(log(c.cast("double")), 6)
+        .cast(org.apache.spark.sql.types.DecimalType(18, 6))
+    def term(k: Column): Column =
+      when(k > 0, k * qln(k)).otherwise(lit(0).cast(
+        org.apache.spark.sql.types.DecimalType(38, 6)))
+    val toks = graft.util.Ckpt.stage(Tables.documents(s, d)
+      .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0))
+    val cell = toks.groupBy("word", "lang").agg(count(lit(1)).as("k11"))
+    val langTot = toks.groupBy("lang").agg(count(lit(1)).as("nl"))
+    val wordTot = cell.groupBy("word").agg(sum("k11").as("nw"))
+    val tot = toks.agg(count(lit(1)).as("nn"))
+    val scored = cell
+      .join(broadcast(langTot), "lang")
+      .join(wordTot, "word")
+      .crossJoin(broadcast(tot))
+      .withColumn("k12", col("nw") - col("k11"))
+      .withColumn("k21", col("nl") - col("k11"))
+      .withColumn("k22", col("nn") - col("nw") - col("nl") + col("k11"))
+      .filter(col("k11") * col("nn") > col("nw") * col("nl"))
+      .withColumn("llr_d",
+        (term(col("k11")) + term(col("k12")) + term(col("k21")) + term(col("k22"))
+          - term(col("nl")) - term(col("nn") - col("nl"))
+          - term(col("nw")) - term(col("nn") - col("nw"))
+          + term(col("nn"))) * 2)
+    val w = Window.partitionBy("lang").orderBy(col("llr_d").desc, col("word").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("lang"), col("rn"), col("word"), col("k11"),
+        col("nw").as("n_word"), col("llr_d").cast("double").as("llr"))
+      .orderBy("lang", "rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llr_terms" -> (llrTerms _),
     "q_simpson_diversity" -> (simpsonDiversity _),
     "q_term_chi2" -> (termChi2 _),
     "q_rake_keywords" -> (rakeKeywords _),
@@ -1188,6 +1244,53 @@ object TextAnalysis {
   private val FWordsSql = s"list_filter($WordsSql, x -> x <> '')"
 
   val oracle: Map[String, String] = Map(
+    // qln = 6-dp-quantized ln of INTEGER counts into DECIMAL; all nine
+    // G^2 terms are exact decimal products; zero cells pinned by CASE
+    "q_llr_terms" ->
+      """WITH toks AS (
+        |  SELECT lang, word FROM (
+        |    SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents) t
+        |  WHERE len(word) > 0
+        |), cell AS (
+        |  SELECT word, lang, CAST(count(*) AS BIGINT) AS k11
+        |  FROM toks GROUP BY 1, 2
+        |), lt AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS nl FROM toks GROUP BY 1
+        |), wt AS (
+        |  SELECT word, CAST(sum(k11) AS BIGINT) AS nw FROM cell GROUP BY 1
+        |), tt AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM toks),
+        |sc AS (
+        |  SELECT c.lang, c.word, c.k11, wt.nw, lt.nl, tt.nn,
+        |         wt.nw - c.k11 AS k12, lt.nl - c.k11 AS k21,
+        |         tt.nn - wt.nw - lt.nl + c.k11 AS k22
+        |  FROM cell c JOIN lt USING (lang) JOIN wt USING (word), tt
+        |  WHERE c.k11 * tt.nn > wt.nw * lt.nl
+        |), llr AS (
+        |  SELECT lang, word, k11, nw,
+        |    (k11 * CAST(round(ln(k11), 6) AS DECIMAL(18,6))
+        |     + CASE WHEN k12 > 0 THEN k12 * CAST(round(ln(k12), 6) AS DECIMAL(18,6))
+        |            ELSE CAST(0 AS DECIMAL(38,6)) END
+        |     + CASE WHEN k21 > 0 THEN k21 * CAST(round(ln(k21), 6) AS DECIMAL(18,6))
+        |            ELSE CAST(0 AS DECIMAL(38,6)) END
+        |     + CASE WHEN k22 > 0 THEN k22 * CAST(round(ln(k22), 6) AS DECIMAL(18,6))
+        |            ELSE CAST(0 AS DECIMAL(38,6)) END
+        |     - nl * CAST(round(ln(nl), 6) AS DECIMAL(18,6))
+        |     - CASE WHEN nn > nl THEN (nn - nl) * CAST(round(ln(nn - nl), 6) AS DECIMAL(18,6))
+        |            ELSE CAST(0 AS DECIMAL(38,6)) END
+        |     - nw * CAST(round(ln(nw), 6) AS DECIMAL(18,6))
+        |     - CASE WHEN nn > nw THEN (nn - nw) * CAST(round(ln(nn - nw), 6) AS DECIMAL(18,6))
+        |            ELSE CAST(0 AS DECIMAL(38,6)) END
+        |     + nn * CAST(round(ln(nn), 6) AS DECIMAL(18,6))) * 2 AS llr_d
+        |  FROM sc
+        |), rk AS (
+        |  SELECT lang, word, k11, nw, llr_d,
+        |    row_number() OVER (PARTITION BY lang
+        |                       ORDER BY llr_d DESC, word ASC) AS rn
+        |  FROM llr
+        |)
+        |SELECT lang, CAST(rn AS INTEGER) AS rn, word, k11, nw AS n_word,
+        |       CAST(llr_d AS DOUBLE) AS llr
+        |FROM rk WHERE rn <= 5 ORDER BY lang, rn""".stripMargin,
     "q_simpson_diversity" ->
       """WITH g AS (
         |  SELECT source, lang, CAST(count(*) AS BIGINT) AS c

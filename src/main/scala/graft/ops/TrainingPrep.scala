@@ -507,7 +507,43 @@ object TrainingPrep {
       .orderBy("event_id")
   }
 
+  /** Hashing-trick featurization audit (Weinberger et al. 2009) — the
+    * fixed-width sparse featurizer that makes unbounded vocabularies
+    * trainable at corpus scale: every token maps to one of 64 buckets
+    * via bucket = md5(word) mod 64 with a ±1 sign from an independent
+    * md5 nibble (the signed hashing trick keeps collision bias
+    * zero-mean). The query reports the per-bucket load the model
+    * would see — distinct terms hashed in (collision pressure), total
+    * token mass, and the signed sum (how much of the mass survives
+    * sign cancellation).
+    *
+    * Determinism: bucket and sign are integer functions of md5 hex
+    * (the engine-wide keyed-hash idiom); every output is a BIGINT
+    * count/sum — no floats anywhere.
+    *
+    * Scale shape: one tokenize pass; the feature space is a CONSTANT
+    * 64 buckets regardless of vocabulary size — the aggregate
+    * map-side-combines to ≤64 rows before the only exchange. That
+    * fixed width is the entire point at 100 TB: model dimensionality
+    * and shuffle volume stay flat as the crawl vocabulary grows. */
+  def featureHash(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .withColumn("bucket",
+        conv(substring(md5(col("word")), 1, 8), 16, 10).cast("long") % 64)
+      .withColumn("sgn",
+        when(conv(substring(md5(col("word")), 9, 1), 16, 10).cast("long") % 2 === 0,
+          lit(1L)).otherwise(lit(-1L)))
+    toks.groupBy("bucket")
+      .agg(count_distinct(col("word")).as("n_terms"),
+        count(lit(1)).as("n_tokens"),
+        sum("sgn").as("signed_sum"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_feature_hash" -> (featureHash _),
     "q_target_encode" -> (targetEncode _),
     "q_neyman_alloc" -> (neymanAlloc _),
     "q_concentration" -> (concentration _),
@@ -527,6 +563,19 @@ object TrainingPrep {
     s"list_transform(range(1, len($WordsSql)), i -> $WordsSql[i] || ' ' || $WordsSql[i+1])"
 
   val oracle: Map[String, String] = Map(
+    "q_feature_hash" ->
+      """WITH toks AS (
+        |  SELECT word,
+        |    CAST('0x' || substring(md5(word), 1, 8) AS BIGINT) % 64 AS bucket,
+        |    CASE WHEN CAST('0x' || substring(md5(word), 9, 1) AS BIGINT) % 2 = 0
+        |         THEN 1 ELSE -1 END AS sgn
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+        |  WHERE len(word) > 0
+        |)
+        |SELECT bucket, CAST(count(DISTINCT word) AS BIGINT) AS n_terms,
+        |       CAST(count(*) AS BIGINT) AS n_tokens,
+        |       CAST(sum(sgn) AS BIGINT) AS signed_sum
+        |FROM toks GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q_target_encode" ->
       """WITH ev AS (
         |  SELECT event_id, event_type,

@@ -436,9 +436,11 @@ class PlanBudgetSpec extends AnyFunSuite {
                                       // staged, monotonically-shrinking
                                       // edge list (audited 18 with
                                       // staging ON — see stagedAudit)
-    ("q_ewma_smooth", 4, 0),          // ONE (type, day) aggregate; windows
-                                      // over the calendar-bounded frame
-                                      // (audited 3, +1)
+    ("q_ewma_smooth", 6, 1),          // (type, day) aggregate + the causal
+                                      // zero-fill grid (days distinct +
+                                      // first-day broadcast + left join) +
+                                      // windows over the calendar-bounded
+                                      // frame (audited 5, +1; r8 grid)
     ("q_rake_keywords", 6, 2),        // tokenize + island windows + vocab-
                                       // bounded word stats broadcast back
                                       // (audited 3, +3 staging branches)
@@ -479,6 +481,23 @@ class PlanBudgetSpec extends AnyFunSuite {
     ("q_perm_entropy", 4, 1),         // (type, day) agg + lag windows +
                                       // pattern counts; totals broadcast
                                       // (audited 3, +1)
+    // round-8 additions (audited via PlanAudit at sf0.001, +1 headroom)
+    ("q_bootstrap_ci", 6, 2),         // B-way explode combines map-side to
+                                      // |types|·B rows; CI endpoints and
+                                      // base stats broadcast back; events
+                                      // read once per leg, never shuffled
+                                      // (audited 5, +1)
+    ("q_llr_terms", 8, 3),            // termChi2's vocab × |langs| shape:
+                                      // token/lang/word aggs; totals
+                                      // broadcast (audited 7, +1)
+    ("q_feature_hash", 4, 0),         // tokenize + 64-bucket agg (distinct
+                                      // + count legs) + final sort — width
+                                      // constant in vocabulary (audited 3, +1)
+    ("q_matryoshka", 6, 1),           // corpus staged once with both norms;
+                                      // probes broadcast; two rank windows
+                                      // (audit mode recomputes the staged
+                                      // cosine frame per ranking branch:
+                                      // audited 3 staged / 5 unstaged, +1)
   )
 
   budgets.foreach { case (name, maxShuffles, minBcasts) =>
