@@ -143,6 +143,56 @@ object Joins {
       .orderBy("event_id")
   }
 
+  /** Nearest as-of (pandas `merge_asof(direction='nearest')`) — the last
+    * missing direction beside backward ([[joinAsof]]), forward
+    * ([[joinAsofForward]]) and tolerance-bounded: for each event, the
+    * order date of the same customer with the SMALLEST absolute time
+    * distance, ties resolved backward (the pandas convention). Both
+    * candidates come from ONE tagged union shuffled once on the key —
+    * the ascending and descending running-`last` windows share the
+    * partitioning, so the second direction costs a sort, not an
+    * exchange, and there is still no row explosion.
+    *
+    * Determinism: the tie-break compares exact µs BIGINTs
+    * (`unix_micros`), and the equal-timestamp inclusivity matches both
+    * single-direction queries (order rows outrank event rows at equal
+    * t in BOTH scan directions), so at distance 0 both sides name the
+    * same date and the 'prev' label is stable. The oracle is the naive
+    * pair of aggregate joins — it proves the semantics, not the
+    * mechanism. */
+  def joinAsofNearest(s: SparkSession, d: String): DataFrame = {
+    val od = Tables.orders(s, d).select(
+      col("o_custkey").as("k"), col("o_orderdate").as("t"),
+      lit(null).cast("long").as("event_id"),
+      col("o_orderdate").as("odate"), lit(0).as("tag"))
+    val ev = Tables.events(s, d).select(
+      col("user_id").as("k"), col("ts").as("t"),
+      col("event_id"),
+      lit(null).cast("timestamp").as("odate"), lit(1).as("tag"))
+    val wPrev = Window.partitionBy("k")
+      .orderBy(col("t").asc, col("tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy("k")
+      .orderBy(col("t").desc, col("tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val picked = od.unionByName(ev)
+      .withColumn("pd", last(col("odate"), ignoreNulls = true).over(wPrev))
+      .withColumn("nd", last(col("odate"), ignoreNulls = true).over(wNext))
+      .filter(col("tag") === 1)
+      .withColumn("pdiff", unix_micros(col("t")) - unix_micros(col("pd")))
+      .withColumn("ndiff", unix_micros(col("nd")) - unix_micros(col("t")))
+    picked.select(col("event_id"),
+      when(col("pd").isNotNull && (col("nd").isNull || col("pdiff") <= col("ndiff")),
+        fmtTs(col("pd")))
+        .when(col("nd").isNotNull, fmtTs(col("nd")))
+        .otherwise(lit(null).cast("string")).as("near_date"),
+      when(col("pd").isNotNull && (col("nd").isNull || col("pdiff") <= col("ndiff")),
+        lit("prev"))
+        .when(col("nd").isNotNull, lit("next"))
+        .otherwise(lit(null).cast("string")).as("side"))
+      .orderBy("event_id")
+  }
+
   /** The same as-of semantics through the native custom operator
     * ([[graft.plans.AsOfJoin]]: logical node + strategy + streaming-merge
     * physical plan) — checked against the identical DuckDB oracle as
@@ -324,6 +374,7 @@ object Joins {
     "q_join_theta_range" -> (joinThetaRange _),
     "q_join_asof"        -> (joinAsof _),
     "q_join_asof_fwd"    -> (joinAsofForward _),
+    "q_join_asof_near"   -> (joinAsofNearest _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -487,5 +538,35 @@ object Joins {
         |  ON o.o_custkey = e.user_id AND o.o_orderdate >= CAST(e.ts AS TIMESTAMP)
         |GROUP BY e.event_id
         |ORDER BY e.event_id""".stripMargin,
+    // the naive two-direction formulation; tie (pdiff = ndiff, exact µs
+    // BIGINTs) resolves backward like pandas merge_asof nearest
+    "q_join_asof_near" ->
+      """WITH prevd AS (
+        |  SELECT e.event_id, CAST(e.ts AS TIMESTAMP) AS ts,
+        |         max(o.o_orderdate) AS pd
+        |  FROM events e
+        |  LEFT JOIN orders o
+        |    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        |  GROUP BY 1, 2
+        |), nextd AS (
+        |  SELECT e.event_id, min(o.o_orderdate) AS nd
+        |  FROM events e
+        |  LEFT JOIN orders o
+        |    ON o.o_custkey = e.user_id AND o.o_orderdate >= CAST(e.ts AS TIMESTAMP)
+        |  GROUP BY 1
+        |)
+        |SELECT p.event_id,
+        |  CASE WHEN pd IS NOT NULL AND (nd IS NULL OR
+        |            epoch_us(p.ts) - epoch_us(pd) <= epoch_us(nd) - epoch_us(p.ts))
+        |       THEN strftime(pd, '%Y-%m-%d %H:%M:%S')
+        |       WHEN nd IS NOT NULL THEN strftime(nd, '%Y-%m-%d %H:%M:%S')
+        |  END AS near_date,
+        |  CASE WHEN pd IS NOT NULL AND (nd IS NULL OR
+        |            epoch_us(p.ts) - epoch_us(pd) <= epoch_us(nd) - epoch_us(p.ts))
+        |       THEN 'prev'
+        |       WHEN nd IS NOT NULL THEN 'next'
+        |  END AS side
+        |FROM prevd p JOIN nextd n ON p.event_id = n.event_id
+        |ORDER BY p.event_id""".stripMargin,
   )
 }

@@ -46,4 +46,27 @@ object Partitioning {
   def bucketedJoin(s: SparkSession, leftTable: String, rightTable: String,
                    key: String): DataFrame =
     s.table(leftTable).join(s.table(rightTable), key)
+
+  /** Hive-style partitioned layout: one directory per value of `part` —
+    * the physical organization that makes partition pruning (static AND
+    * dynamic) possible on the fact side. At 100 TB this is the
+    * difference between scanning a day and scanning the lake. */
+  def writePartitioned(df: DataFrame, path: String, part: String): Unit =
+    df.write.mode("overwrite").partitionBy(part).parquet(path)
+
+  /** Dynamic-partition-pruning join: the fact table is read from its
+    * partitioned layout and joined on its PARTITION column to a dim
+    * filtered on a non-partition attribute. The dim filter cannot be
+    * statically pushed into the fact scan (its selectivity is only
+    * known through the join), so Catalyst inserts a
+    * DynamicPruningSubquery into the fact's partition filters: the dim
+    * side runs first (it is broadcast anyway), its distinct join keys
+    * become an IN-filter on the fact's PARTITION values, and pruned
+    * partitions are never read — the fact-side scan cost is
+    * proportional to the SELECTED partitions, not the table
+    * (`PartitioningSpec` asserts both the pruning subquery in the plan
+    * and result equality with the unpartitioned join). */
+  def dppJoin(s: SparkSession, factPath: String, dim: DataFrame,
+              key: String): DataFrame =
+    s.read.parquet(factPath).join(broadcast(dim), key)
 }

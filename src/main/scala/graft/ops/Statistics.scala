@@ -1996,7 +1996,7 @@ object Statistics {
     0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
     0.9810118431238462, 0.9963401531726563, 0.9994058151824183)
 
-  private val BootB = 50
+  private val BootB = 48 // divisible by 4: one md5 feeds 4 replica draws
 
   /** Poisson-bootstrap 95% confidence interval for the mean event value
     * per type — the bootstrap that actually runs at 100 TB: classical
@@ -2009,38 +2009,70 @@ object Statistics {
     * |types|·B-row frame before the only shuffle.
     *
     * Determinism: the Poisson draw is the keyed-hash idiom
-    * (q_sample_hash, q_dp_count) — u = (h+½)/2³² from
-    * md5('bs:' ‖ event_id ‖ ':' ‖ b), stepped through the pinned
-    * [[PoissonCdf]] ladder, so every weight is an integer both engines
-    * agree on exactly; replica sums are Σw (BIGINT) and Σw·value
-    * (DECIMAL — exact, order-independent); each replica mean is ONE
-    * IEEE division of identical operands; the CI endpoints are
+    * (q_sample_hash, q_dp_count) — u = (h+½)/2³², where h is one of the
+    * FOUR independent 8-hex slices of md5('bs:' ‖ event_id ‖ ':' ‖ g),
+    * g = replica group ⌊(b−1)/4⌋: md5's 128 bits are 4 independent
+    * 32-bit uniforms, and the hash is the explode's dominant CPU, so
+    * one md5 per 4 replicas quarters the scan cost (the slices are
+    * static-offset substrings built in the same projection as the
+    * hash — one evaluation per (row, g)). Each u steps through the
+    * pinned [[PoissonCdf]] ladder, so every weight is an integer both
+    * engines agree on exactly; replica sums are Σw and Σw·v_micro, both
+    * exact BIGINTs (v_micro = floor(v·10⁶ + 0.5), the same elementary
+    * IEEE tree in both engines — no DECIMAL arithmetic in the hot
+    * aggregate); each replica mean is TWO IEEE ops on identical exact
+    * integers; the CI endpoints are
     * rank-SELECTED replica means (row_number over the total order
-    * (mean, b); ranks ⌈0.025·B⌉ = 2 and ⌈0.975·B⌉ = 49 of B = 50 —
+    * (mean, b); ranks ⌈0.025·B⌉ = 2 and ⌈0.975·B⌉ = 47 of B = 48 —
     * percentile_disc semantics, no interpolation). An all-zero replica
     * would shift ranks, but P = e⁻ⁿ per replica is zero for any group
     * with ≥ 64 rows (the fixture's smallest type has ~200 at sf0.001).
     *
-    * Scale shape: the B-way explode multiplies scan CPU (B md5 calls
+    * Scale shape: the B-way explode multiplies scan CPU (B/4 md5 calls
     * per row), not exchange volume — the groupBy(type, b) combines
     * map-side to |types|·B rows. B is a constant; the events table is
     * read once and never shuffled. */
   def bootstrapCi(s: SparkSession, d: String): DataFrame = {
-    val u = (conv(substring(md5(concat(lit("bs:"), col("event_id").cast("string"),
-      lit(":"), col("b").cast("string"))), 1, 8), 16, 10).cast("long").cast("double")
-      + lit(0.5)) / lit(4294967296.0)
-    val w = PoissonCdf.zipWithIndex.foldRight(lit(PoissonCdf.length): Column) {
-      case ((c, k), rest) => when(col("u") < lit(c), lit(k)).otherwise(rest)
-    }
+    def uOf(slice: Column): Column =
+      (conv(slice, 16, 10).cast("long").cast("double") + lit(0.5)) /
+        lit(4294967296.0)
+    def wOf(u: Column): Column =
+      PoissonCdf.zipWithIndex.foldRight(lit(PoissonCdf.length): Column) {
+        case ((c, k), rest) => when(u < lit(c), lit(k)).otherwise(rest)
+      }
+    val h = md5(concat(lit("bs:"), col("event_id").cast("string"),
+      lit(":"), col("g").cast("string")))
     val rep = Tables.events(s, d)
       .select(col("event_type"), col("event_id"), col("value"))
-      .withColumn("b", explode(sequence(lit(1), lit(BootB))))
-      .withColumn("u", u)
-      .withColumn("w", w.cast("long"))
+      .withColumn("g", explode(sequence(lit(0), lit(BootB / 4 - 1))))
+      // u0..u3 are MATERIALIZED columns: the 6-rung CDF ladder must
+      // reference a column, not inline the conv+md5 subtree into every
+      // WHEN condition (the first draft did, and 6 rungs × 4 slices
+      // made the hash 24× per group-row — 4× slower than B separate
+      // hashes). The 4 slice columns share one md5 via codegen
+      // subexpression elimination; static substring offsets
+      .withColumns((0 until 4).map(r =>
+        s"u$r" -> uOf(substring(h, r * 8 + 1, 8))).toMap)
+      .withColumn("ws", array((0 until 4).map(r =>
+        wOf(col(s"u$r")).cast("long")): _*))
+      // posexplode_OUTER: the array is always length 4, but the non-outer
+      // Generate makes InferFiltersFromGenerate add a size(ws) > 0 filter
+      // that PushDownPredicates then inlines as the FULL md5 ladder per
+      // row (measured 3× slower); the outer variant is exempt from the
+      // rule and identical here
+      .select(col("event_type"), col("value"), col("g"),
+        posexplode_outer(col("ws")).as(Seq("r", "w")))
+      .withColumn("b", col("g") * 4 + col("r") + 1)
+      // exact integer micro-units instead of per-row DECIMAL multiplies:
+      // floor(v·10⁶ + 0.5) is the same elementary IEEE tree in both
+      // engines (Spark floor returns LONG; magnitudes stay ≪ 2⁶³), and
+      // the hot aggregation becomes two BIGINT sums — the replica mean
+      // is then two IEEE ops on identical exact integers
+      .withColumn("vm", floor(col("value") * lit(1000000.0) + lit(0.5)))
       .groupBy("event_type", "b")
-      .agg(sum("w").as("sw"),
-        sum(col("value").cast(DecimalType(24, 6)) * col("w")).as("swv"))
-      .withColumn("mean_b", col("swv").cast("double") / col("sw").cast("double"))
+      .agg(sum("w").as("sw"), sum(col("w") * col("vm")).as("swv"))
+      .withColumn("mean_b",
+        col("swv").cast("double") / (col("sw").cast("double") * lit(1000000.0)))
     val rk = Window.partitionBy("event_type").orderBy(col("mean_b").asc, col("b").asc)
     val ranked = rep.withColumn("rn", row_number().over(rk))
     val lo = ranked.filter(col("rn") === 2)
@@ -2106,10 +2138,12 @@ object Statistics {
     // both engines); replica sums exact; CI endpoints rank-selected
     "q_bootstrap_ci" ->
       """WITH draw AS (
-        |  SELECT event_type, value, b,
-        |    (CAST(CAST('0x' || substring(md5('bs:' || event_id || ':' || b), 1, 8)
+        |  SELECT event_type, value, g * 4 + r + 1 AS b,
+        |    (CAST(CAST('0x' || substring(md5('bs:' || event_id || ':' || g),
+        |                                 r * 8 + 1, 8)
         |          AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0 AS u
-        |  FROM events, (SELECT unnest(range(1, 51)) AS b) t
+        |  FROM events, (SELECT unnest(range(0, 12)) AS g) tg,
+        |               (SELECT unnest(range(0, 4)) AS r) tr
         |), wt AS (
         |  SELECT event_type, value, b,
         |    CASE WHEN u < 0.36787944117144233e0 THEN 0
@@ -2122,24 +2156,26 @@ object Statistics {
         |  FROM draw
         |), rep AS (
         |  SELECT event_type, b, CAST(sum(w) AS BIGINT) AS sw,
-        |         SUM(CAST(value AS DECIMAL(24,6)) * w) AS swv
+        |         CAST(SUM(w * CAST(floor(value * 1000000.0e0 + 0.5e0) AS BIGINT))
+        |              AS BIGINT) AS swv
         |  FROM wt GROUP BY event_type, b
         |), m AS (
         |  SELECT event_type, b,
-        |    CAST(swv AS DOUBLE) / CAST(sw AS DOUBLE) AS mean_b,
+        |    CAST(swv AS DOUBLE) / (CAST(sw AS DOUBLE) * 1000000.0e0) AS mean_b,
         |    row_number() OVER (PARTITION BY event_type
-        |      ORDER BY CAST(swv AS DOUBLE) / CAST(sw AS DOUBLE) ASC, b ASC) AS rn
+        |      ORDER BY CAST(swv AS DOUBLE) / (CAST(sw AS DOUBLE) * 1000000.0e0) ASC,
+        |               b ASC) AS rn
         |  FROM rep
         |), base AS (
         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |    CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE) / count(value) AS mean
         |  FROM events GROUP BY 1
         |)
-        |SELECT base.event_type, n, mean, CAST(50 AS BIGINT) AS n_replicas,
+        |SELECT base.event_type, n, mean, CAST(48 AS BIGINT) AS n_replicas,
         |       lo.mean_b AS ci_lo, hi.mean_b AS ci_hi
         |FROM base
         |JOIN m lo ON lo.event_type = base.event_type AND lo.rn = 2
-        |JOIN m hi ON hi.event_type = base.event_type AND hi.rn = 49
+        |JOIN m hi ON hi.event_type = base.event_type AND hi.rn = 47
         |ORDER BY base.event_type""".stripMargin,
     "q_friedman" ->
       """WITH daily AS (

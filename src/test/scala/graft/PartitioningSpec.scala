@@ -46,4 +46,31 @@ class PartitioningSpec extends AnyFunSuite {
       assert(joined.count() === orders.count()) // every order has a customer
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("partitioned layout + dim filter triggers dynamic partition pruning") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_dpp").toString
+    val events = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+    Partitioning.writePartitioned(events, s"$base/events", "event_type")
+    // dim: (event_type, is_conversion) — the filter is on the NON-key
+    // attribute, so only the join can reveal which partitions survive.
+    // The dim must be a real datasource: a LocalRelation would be
+    // constant-folded, erasing the Filter node DPP's selectivity
+    // heuristic looks for on the build side
+    // (attr = literal, not a bare boolean attribute — PartitionPruning's
+    // isLikelySelective recognizes comparisons, not lone attributes)
+    Seq(("click", 0), ("view", 0), ("purchase", 1),
+      ("signup", 1), ("error", 0)).toDF("event_type", "is_conversion")
+      .write.mode("overwrite").parquet(s"$base/dim")
+    val dim = spark.read.parquet(s"$base/dim").filter(col("is_conversion") === 1)
+    val joined = Partitioning.dppJoin(spark, s"$base/events", dim, "event_type")
+    joined.collect() // materialize so the adaptive plan finalizes
+    val physical = joined.queryExecution.executedPlan.toString
+    assert(physical.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic pruning subquery in fact scan:\n${physical.take(2000)}")
+    // result equality with the unpartitioned formulation
+    val expected = events.join(dim, "event_type").count()
+    assert(joined.count() === expected)
+  }
 }

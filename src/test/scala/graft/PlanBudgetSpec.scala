@@ -498,6 +498,10 @@ class PlanBudgetSpec extends AnyFunSuite {
                                       // (audit mode recomputes the staged
                                       // cosine frame per ranking branch:
                                       // audited 3 staged / 5 unstaged, +1)
+    ("q_join_asof_near", 3, 0),       // ONE tagged-union key shuffle feeds
+                                      // both direction windows (the second
+                                      // direction costs a sort, not an
+                                      // exchange) + final sort (audited 2, +1)
   )
 
   budgets.foreach { case (name, maxShuffles, minBcasts) =>

@@ -14,7 +14,7 @@ class Round8OpsSpec extends AnyFunSuite {
     rows.foreach { r =>
       val n = r.getLong(1); val mean = r.getDouble(2)
       val b = r.getLong(3); val lo = r.getDouble(4); val hi = r.getDouble(5)
-      assert(b === 50L)
+      assert(b === 48L)
       assert(lo < hi, s"${r.getString(0)}: degenerate CI [$lo, $hi]")
       assert(lo <= mean && mean <= hi,
         s"${r.getString(0)}: mean $mean outside CI [$lo, $hi]")
