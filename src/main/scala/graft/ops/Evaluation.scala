@@ -227,7 +227,80 @@ object Evaluation {
       .orderBy("tile")
   }
 
+  /** File-pruning effectiveness: z-order vs single-column layout — the
+    * number [[zorderLayout]]'s bounding boxes imply, made explicit. Both
+    * layouts cut the SAME keyed rows into 256-row files (row_number in
+    * layout order, `(rn−1) div 256`), keep per-file min/max zone maps on
+    * both dimensions (exactly what Parquet row-group stats / Delta
+    * file stats store), and evaluate the 2-D range predicate
+    * TWO range predicates — one on the leading sort dimension
+    * (bx ∈ [8,15]) and one on the NON-leading dimension (by ∈ [8,11]):
+    * a file is SKIPPED when its zone map misses the box on either
+    * dimension. The 2×2 grid tells the honest trade: the value-sorted
+    * layout prunes its own column perfectly but scans EVERY file for
+    * the hour-only predicate (each file spans all hours), while the
+    * Morton layout keeps both spans tight — it prunes the hour query
+    * hard and gives up only a little on the leading-column query
+    * (`Round8OpsSpec` asserts exactly that asymmetry, plus identical
+    * matched-row counts across layouts per predicate).
+    *
+    * Determinism: integer bx/by from [[zorderLayout]]'s keyed frame;
+    * file assignment by row_number over the TOTAL order
+    * (layout key, event_id); zone maps and the skip test are exact
+    * integer min/max algebra.
+    *
+    * Scale shape: the global row_number mirrors the one-time global
+    * range sort the z-order WRITER performs (Delta OPTIMIZE ZORDER is
+    * exactly this shuffle) — it simulates a write-path layout decision,
+    * not a per-query pattern; everything downstream is a ≤⌈n/256⌉-row
+    * zone-map aggregate and a 2-row reduce. */
+  def zorderPruning(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).filter(col("value").isNotNull)
+      .select(col("value"), col("ts"), col("event_id"))
+    val ext = ev.agg(min("value").as("lo"), max("value").as("hi"))
+    val keyed = graft.util.Ckpt.stage(ev.crossJoin(broadcast(ext))
+      .withColumn("bx",
+        when(col("hi") === col("lo"), lit(0L)).otherwise(
+          least(lit(31L),
+            floor((col("value") - col("lo")) * lit(32) / (col("hi") - col("lo"))).cast("long"))))
+      .withColumn("by", hour(col("ts")).cast("long"))
+      .withColumn("z", spread5(col("bx")) + lit(2L) * spread5(col("by")))
+      .select(col("event_id"), col("bx"), col("by"), col("z")))
+    // (pred, box) grid: leading-dimension box vs non-leading-dimension box
+    import s.implicits._
+    val preds = Seq(("bx_8_15", 8L, 15L, 0L, 23L), ("by_8_11", 0L, 31L, 8L, 11L))
+      .toDF("pred", "x_lo", "x_hi", "y_lo", "y_hi")
+    def layout(name: String, key: Column): DataFrame = {
+      val w = Window.orderBy(key, col("event_id"))
+      keyed
+        .withColumn("f", ((row_number().over(w) - 1) / lit(256)).cast("long"))
+        .withColumn("hit_bx", col("bx").between(8, 15).cast("long"))
+        .withColumn("hit_by", col("by").between(8, 11).cast("long"))
+        .groupBy("f")
+        .agg(count(lit(1)).as("n_rows"),
+          sum("hit_bx").as("n_hit_bx"), sum("hit_by").as("n_hit_by"),
+          min("bx").as("x0"), max("bx").as("x1"),
+          min("by").as("y0"), max("by").as("y1"))
+        .crossJoin(broadcast(preds))
+        .withColumn("scan",
+          (!(col("x1") < col("x_lo") || col("x0") > col("x_hi") ||
+             col("y1") < col("y_lo") || col("y0") > col("y_hi"))).cast("long"))
+        .withColumn("n_hit",
+          when(col("pred") === "bx_8_15", col("n_hit_bx")).otherwise(col("n_hit_by")))
+        .groupBy("pred")
+        .agg(count(lit(1)).as("n_files"),
+          sum("scan").as("files_scanned"),
+          sum(col("scan") * col("n_rows")).as("rows_scanned"),
+          sum("n_hit").as("rows_matched"))
+        .select(lit(name).as("layout"), col("pred"), col("n_files"),
+          col("files_scanned"), col("rows_scanned"), col("rows_matched"))
+    }
+    layout("value_sorted", col("bx")).unionByName(layout("zorder", col("z")))
+      .orderBy("layout", "pred")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_zorder_pruning" -> (zorderPruning _),
     "q_quality_auc" -> (qualityAuc _),
     "q_calibration" -> (calibrationBins _),
     "q_skyline_2d" -> (skyline2d _),
@@ -312,6 +385,53 @@ object Evaluation {
         |JOIN s sb ON sb.event_type = p.type_b
         |CROSS JOIN n
         |ORDER BY p.type_a, p.type_b""".stripMargin,
+    "q_zorder_pruning" ->
+      s"""WITH ev AS (
+         |  SELECT value, ts, event_id FROM events WHERE value IS NOT NULL
+         |), ext AS (SELECT min(value) AS lo, max(value) AS hi FROM ev),
+         |keyed AS (
+         |  SELECT event_id,
+         |    CASE WHEN hi = lo THEN 0
+         |         ELSE least(31, CAST(floor((value - lo) * 32 / (hi - lo)) AS BIGINT)) END AS bx,
+         |    CAST(hour(ts) AS BIGINT) AS by
+         |  FROM ev, ext
+         |), zk AS (
+         |  SELECT event_id, bx, by, ${spread5Sql("bx")} + 2 * ${spread5Sql("by")} AS z
+         |  FROM keyed
+         |), fa AS (
+         |  SELECT bx, by,
+         |    (row_number() OVER (ORDER BY bx, event_id) - 1) // 256 AS f_lin,
+         |    (row_number() OVER (ORDER BY z, event_id) - 1) // 256 AS f_z
+         |  FROM zk
+         |), fl AS (
+         |  SELECT 'value_sorted' AS layout, f_lin AS f,
+         |    CAST(count(*) AS BIGINT) AS n_rows,
+         |    CAST(sum(CASE WHEN bx BETWEEN 8 AND 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit_bx,
+         |    CAST(sum(CASE WHEN by BETWEEN 8 AND 11 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit_by,
+         |    min(bx) AS x0, max(bx) AS x1, min(by) AS y0, max(by) AS y1
+         |  FROM fa GROUP BY 2
+         |  UNION ALL
+         |  SELECT 'zorder', f_z,
+         |    CAST(count(*) AS BIGINT),
+         |    CAST(sum(CASE WHEN bx BETWEEN 8 AND 15 THEN 1 ELSE 0 END) AS BIGINT),
+         |    CAST(sum(CASE WHEN by BETWEEN 8 AND 11 THEN 1 ELSE 0 END) AS BIGINT),
+         |    min(bx), max(bx), min(by), max(by)
+         |  FROM fa GROUP BY 2
+         |), pr AS (
+         |  SELECT * FROM (VALUES ('bx_8_15', 8, 15, 0, 23),
+         |                        ('by_8_11', 0, 31, 8, 11))
+         |         AS t(pred, x_lo, x_hi, y_lo, y_hi)
+         |)
+         |SELECT fl.layout, pr.pred, CAST(count(*) AS BIGINT) AS n_files,
+         |  CAST(sum(CASE WHEN NOT (x1 < x_lo OR x0 > x_hi OR y1 < y_lo OR y0 > y_hi)
+         |                THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
+         |  CAST(sum(CASE WHEN NOT (x1 < x_lo OR x0 > x_hi OR y1 < y_lo OR y0 > y_hi)
+         |                THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned,
+         |  CAST(sum(CASE WHEN pr.pred = 'bx_8_15' THEN n_hit_bx ELSE n_hit_by END)
+         |       AS BIGINT) AS rows_matched
+         |FROM fl CROSS JOIN pr
+         |GROUP BY fl.layout, pr.pred
+         |ORDER BY layout, pred""".stripMargin,
     "q_zorder_key" ->
       s"""WITH ev AS (SELECT value, ts FROM events WHERE value IS NOT NULL),
          |ext AS (SELECT min(value) AS lo, max(value) AS hi FROM ev),

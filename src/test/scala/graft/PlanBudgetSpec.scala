@@ -502,6 +502,13 @@ class PlanBudgetSpec extends AnyFunSuite {
                                       // both direction windows (the second
                                       // direction costs a sort, not an
                                       // exchange) + final sort (audited 2, +1)
+    ("q_zorder_pruning", 6, 1),       // write-path layout simulation: two
+                                      // global row_number sorts over the
+                                      // staged keyed frame (the writer's
+                                      // one-time ZORDER shuffle), zone-map
+                                      // aggregates, 2-row pred broadcast
+                                      // (audited 2 staged; audit mode
+                                      // recomputes keyed per layout, +head)
   )
 
   budgets.foreach { case (name, maxShuffles, minBcasts) =>

@@ -71,4 +71,24 @@ class Round8OpsSpec extends AnyFunSuite {
     // of 0 across every probe means the truncated leg is broken
     assert(rows.map(_.getLong(2)).sum > 0L, "prefix ranking shares nothing with full")
   }
+
+  test("zorder pruning: non-leading predicate prunes under zorder, not under value sort") {
+    val rows = ops.Evaluation.zorderPruning(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(rows.size === 4)
+    val (nfL, scanLinBy, _, matchLinBy) = rows(("value_sorted", "by_8_11"))
+    val (nfZ, scanZBy, _, matchZBy) = rows(("zorder", "by_8_11"))
+    // identical matched rows per predicate regardless of layout
+    assert(matchLinBy === matchZBy)
+    assert(rows(("value_sorted", "bx_8_15"))._4 === rows(("zorder", "bx_8_15"))._4)
+    assert(nfL === nfZ)
+    // the value sort cannot prune the hour-only query (every file spans
+    // all hours); the Morton layout must prune it strictly
+    assert(scanLinBy === nfL, s"value-sorted unexpectedly pruned hour query: $scanLinBy/$nfL")
+    assert(scanZBy < nfZ, s"zorder failed to prune hour query: $scanZBy/$nfZ")
+    // and the leading-column query still prunes under BOTH layouts
+    assert(rows(("value_sorted", "bx_8_15"))._2 < nfL)
+    assert(rows(("zorder", "bx_8_15"))._2 < nfZ)
+  }
 }
