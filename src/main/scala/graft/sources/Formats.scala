@@ -32,6 +32,22 @@ object Formats {
   def readJsonl(s: SparkSession, path: String, schema: StructType): DataFrame =
     s.read.schema(schema).json(path)
 
+  /** JSONL with malformed-row capture — the ingestion contract a crawl
+    * pipeline actually needs: PERMISSIVE mode parses what it can, and any
+    * line that fails lands intact in `_corrupt_record` (schema must carry
+    * that string column for capture to work) so bad rows are QUARANTINED
+    * (counted, inspectable, re-processable) instead of silently dropped
+    * (DROPMALFORMED) or killing the 100 TB job at row 3 billion
+    * (FAILFAST). Row counts are conserved: parsed + corrupt = input
+    * lines (`SourcesAndExtensionsSpec`). */
+  def readJsonlQuarantine(s: SparkSession, path: String,
+                          schema: StructType): DataFrame =
+    s.read
+      .schema(schema.add("_corrupt_record", "string"))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
 

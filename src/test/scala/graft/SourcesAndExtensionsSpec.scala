@@ -41,6 +41,32 @@ class SourcesAndExtensionsSpec extends AnyFunSuite {
     assert(Formats.readOrc(spark, s"$base/orc").count() === ev.count())
   }
 
+  test("JSONL quarantine: malformed rows are captured, not dropped") {
+    val base = Files.createTempDirectory("graft_quarantine").toString
+    val lines = Seq(
+      """{"event_id": 1, "event_type": "click", "value": 1.5}""",
+      """{"event_id": 2, "event_type": "view"  "value": 2.5}""", // missing comma
+      """not json at all""",
+      """{"event_id": 4, "event_type": "error", "value": 4.5}""")
+    java.nio.file.Files.write(java.nio.file.Paths.get(base, "part.json"),
+      lines.mkString("\n").getBytes)
+    val schema = StructType(Seq(StructField("event_id", LongType),
+      StructField("event_type", StringType), StructField("value", DoubleType)))
+    val df = Formats.readJsonlQuarantine(spark, s"$base/part.json", schema).cache()
+    // conservation: every input line is either parsed or quarantined
+    assert(df.count() === lines.length)
+    val corrupt = df.filter(col("_corrupt_record").isNotNull)
+    assert(corrupt.count() === 2)
+    // the quarantined payload is the ORIGINAL line, re-processable
+    val kept = corrupt.select("_corrupt_record").collect().map(_.getString(0)).toSet
+    assert(kept === Set(lines(1), lines(2)))
+    // parsed rows carry their typed values
+    val good = df.filter(col("_corrupt_record").isNull)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(good === Set(1L, 4L))
+    df.unpersist()
+  }
+
   test("partitioned writes prune partitions on read") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text", "lang")
     val dir = Files.createTempDirectory("graft_part").toString + "/docs"
