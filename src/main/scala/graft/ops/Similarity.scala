@@ -176,7 +176,17 @@ object Similarity {
     * claims bins (b, b+1) and the join is EQUI on (label, bin) —
     * candidate volume per row is two bins' occupancy (≈ 2W rows),
     * linear in corpus size at any scale. */
-  def embedNeardup(s: SparkSession, d: String): DataFrame = {
+  def embedNeardup(s: SparkSession, d: String): DataFrame =
+    neardupPairs(s, d, 0.3)
+      .select(col("id1"), col("id2"), col("lb").as("label"), col("cos"))
+      .orderBy("id1", "id2")
+
+  /** The blocked similarity-pair frame behind [[embedNeardup]] (threshold
+    * 0.3) and [[dbscan]] (threshold [[DbEps]]): label-blocked,
+    * id-window-banded candidate pairs with the 4-dp-rounded cosine,
+    * id1 < id2. Linear at scale — candidates come from bounded bins,
+    * never an all-pairs product. */
+  private def neardupPairs(s: SparkSession, d: String, thresh: Double): DataFrame = {
     val W = NeardupWindow
     val n = once(withNorm(Tables.embeddings(s, d)))
     val a = n.select(col("vec_id").as("id1"), col("label").as("lb"), col("v").as("v1"), col("norm").as("n1"))
@@ -187,9 +197,112 @@ object Similarity {
         col("lb") === col("lb2") && col("bin") === col("bin2") &&
         col("id2") > col("id1") && col("id2") <= col("id1") + W)
       .withColumn("cos", round(dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 4))
-      .filter(col("cos") >= 0.3)
-      .select(col("id1"), col("id2"), col("lb").as("label"), col("cos"))
-      .orderBy("id1", "id2")
+      .filter(col("cos") >= thresh)
+      .select(col("id1"), col("id2"), col("lb"), col("cos"))
+  }
+
+  /** DBSCAN neighborhood threshold (cosine similarity ≥ DbEps = within
+    * ε) and core-point minimum neighbor count. Chosen against the
+    * fixture's blocked-pair cosine distribution so all three roles
+    * (core / border / noise) are populated. */
+  private val DbEps = 0.1
+  private val DbMinPts = 3L
+
+  /** DBSCAN over the blocked embedding-similarity graph — density-based
+    * clustering with an explicit noise class, the curation companion to
+    * [[semanticDedup]] (components treat ONE stray pair as a merge;
+    * DBSCAN requires density: only vectors with ≥ minPts ε-neighbors
+    * seed clusters, low-degree vectors become border/noise instead of
+    * gluing clusters together): core = degree ≥ [[DbMinPts]] in the
+    * ε-graph, clusters = connected components of the core-core subgraph
+    * (min-core-id label), border = non-core with ≥ 1 core neighbor
+    * (assigned the MIN neighboring cluster label — deterministic, where
+    * textbook DBSCAN is order-dependent), noise = the rest.
+    *
+    * Scale shape: the ε-graph comes from the bounded [[neardupPairs]]
+    * blocks (never all-pairs); degrees and the label loop move only
+    * (id, label) pairs; rounds = core-subgraph diameter with the
+    * [[semanticDedup]] checkpoint discipline. */
+  def dbscan(s: SparkSession, d: String): DataFrame = {
+    val pairs = once(neardupPairs(s, d, DbEps).select("id1", "id2"))
+    val und = once(pairs.select(col("id1").as("src"), col("id2").as("dst"))
+      .unionAll(pairs.select(col("id2").as("src"), col("id1").as("dst"))))
+    val deg = und.groupBy("src").agg(count(lit(1)).as("n_neighbors"))
+    val base = once(Tables.embeddings(s, d).select("vec_id")
+      .join(deg, col("vec_id") === col("src"), "left")
+      .select(col("vec_id"), coalesce(col("n_neighbors"), lit(0L)).as("n_neighbors")))
+    val coreIds = once(base.filter(col("n_neighbors") >= DbMinPts).select("vec_id"))
+    // min-label propagation over the core-core subgraph only
+    val cc = und
+      .join(coreIds.select(col("vec_id").as("cs")), col("src") === col("cs"))
+      .join(coreIds.select(col("vec_id").as("cd")), col("dst") === col("cd"))
+      .select("src", "dst")
+    var labels = once(coreIds.select(col("vec_id"), col("vec_id").as("label")))
+    var rounds = 0
+    var changed = 1L
+    while (changed > 0 && rounds < 30) {
+      val nbrMin = cc.join(labels, cc("dst") === labels("vec_id"))
+        .groupBy("src").agg(min("label").as("nl"))
+      val next = labels.join(nbrMin, labels("vec_id") === nbrMin("src"), "left")
+        .select(labels("vec_id"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"),
+          (coalesce(col("nl"), col("label")) < col("label")).cast("int").as("chg"))
+        .transform(once)
+      changed = next.agg(coalesce(sum("chg"), lit(0L))).collect()(0).getLong(0)
+      labels = next.select("vec_id", "label")
+      rounds += 1
+    }
+    val clab = labels.select(col("vec_id").as("cv"), col("label").as("core_cluster"))
+    // border: non-core with a core neighbor takes the min neighboring label
+    val borderLab = und
+      .join(clab, col("dst") === col("cv"))
+      .groupBy("src").agg(min("core_cluster").as("border_cluster"))
+    base
+      .join(clab, col("vec_id") === col("cv"), "left")
+      .join(borderLab, col("vec_id") === col("src"), "left")
+      .select(col("vec_id"), col("n_neighbors"),
+        when(col("core_cluster").isNotNull, lit("core"))
+          .when(col("border_cluster").isNotNull, lit("border"))
+          .otherwise(lit("noise")).as("role"),
+        coalesce(col("core_cluster"), col("border_cluster")).as("cluster"))
+      .orderBy("vec_id")
+  }
+
+  /** k-nearest-neighbor label classification with held-out probes — the
+    * supervised read on the embedding space the retrieval family audits
+    * geometrically ([[annRecall]]/[[ndcgAt5]]): every 50th vector is a
+    * probe, excluded from the voter corpus; its 5 nearest corpus
+    * neighbors by rounded cosine vote on its label; majority wins with
+    * a deterministic (count desc, label asc) tie-break. High accuracy =
+    * the label structure is recoverable from the geometry (so
+    * label-blocked dedup and semantic clustering are trustworthy).
+    *
+    * Scale shape: probes broadcast; the corpus is scanned once; the
+    * top-k window and the vote aggregate run per probe over ≤ corpus
+    * candidates / ≤ k vote rows. The brute-force scan is the oracle
+    * shape — swap the candidate source for [[annIvf]] cells at serving
+    * scale. */
+  def knnClassify(s: SparkSession, d: String): DataFrame = {
+    val n = once(withNorm(Tables.embeddings(s, d)))
+    val q = n.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("label").as("true_label"),
+        col("v").as("qv"), col("norm").as("qn"))
+    val wTop = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
+    val votes = n.filter(col("vec_id") % 50 =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("cos", round(dot(col("v"), col("qv")) / (col("norm") * col("qn")), 4))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= 5)
+    val wVote = Window.partitionBy("qid")
+      .orderBy(col("n_votes").desc, col("cand").asc)
+    votes.groupBy(col("qid"), col("true_label"), col("label").as("cand"))
+      .agg(count(lit(1)).as("n_votes"))
+      .withColumn("vr", row_number().over(wVote))
+      .filter(col("vr") === 1)
+      .select(col("qid"), col("true_label"), col("cand").as("pred_label"),
+        col("n_votes"),
+        (col("cand") === col("true_label")).cast("int").as("correct"))
+      .orderBy("qid")
   }
 
   /** IVF-style ANN: a deterministic coarse quantizer (every 100th vector is
@@ -1341,6 +1454,8 @@ object Similarity {
     "q_cluster_purity" -> (clusterPurity _),
     "q_rrf_fusion" -> (rrfFusion _),
     "q_ndcg" -> (ndcgAt5 _),
+    "q_dbscan" -> (dbscan _),
+    "q_knn_classify" -> (knnClassify _),
   )
 
   /** NDCG@5 of the PQ/ADC serve against exact-cosine relevance — the
@@ -1640,6 +1755,76 @@ object Similarity {
   }
 
   val oracle: Map[String, String] = Map(
+    // the neardup pair recipe at DbEps; degrees, core threshold, the
+    // recursive closure over the core-core subgraph, min-label borders
+    "q_dbscan" ->
+      s"""WITH RECURSIVE $NormCte, e0 AS (
+         |  SELECT a.vec_id AS id1, b.vec_id AS id2
+         |  FROM n a JOIN n b
+         |    ON a.label = b.label AND b.vec_id > a.vec_id AND b.vec_id <= a.vec_id + 50
+         |  WHERE round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 4) >= 0.1
+         |), und AS (
+         |  SELECT id1 AS src, id2 AS dst FROM e0
+         |  UNION ALL SELECT id2, id1 FROM e0
+         |), deg AS (
+         |  SELECT src, CAST(count(*) AS BIGINT) AS nn FROM und GROUP BY src
+         |), base AS (
+         |  SELECT e.vec_id, COALESCE(deg.nn, 0) AS n_neighbors
+         |  FROM embeddings e LEFT JOIN deg ON e.vec_id = deg.src
+         |), core AS (
+         |  SELECT vec_id FROM base WHERE n_neighbors >= 3
+         |), cedge AS (
+         |  SELECT u.src AS x, u.dst AS y
+         |  FROM und u JOIN core a ON u.src = a.vec_id JOIN core b ON u.dst = b.vec_id
+         |  UNION SELECT vec_id, vec_id FROM core
+         |), reach(x, y) AS (
+         |  SELECT x, y FROM cedge
+         |  UNION
+         |  SELECT r.x, e.y FROM reach r JOIN cedge e ON r.y = e.x
+         |), clab AS (
+         |  SELECT x AS vec_id, min(y) AS core_cluster FROM reach GROUP BY x
+         |), blab AS (
+         |  SELECT u.src AS vec_id, min(c.core_cluster) AS border_cluster
+         |  FROM und u JOIN clab c ON u.dst = c.vec_id
+         |  GROUP BY u.src
+         |)
+         |SELECT b.vec_id, b.n_neighbors,
+         |       CASE WHEN cl.vec_id IS NOT NULL THEN 'core'
+         |            WHEN bl.vec_id IS NOT NULL THEN 'border'
+         |            ELSE 'noise' END AS role,
+         |       COALESCE(cl.core_cluster, bl.border_cluster) AS cluster
+         |FROM base b
+         |LEFT JOIN clab cl ON b.vec_id = cl.vec_id
+         |LEFT JOIN blab bl ON b.vec_id = bl.vec_id
+         |ORDER BY b.vec_id""".stripMargin,
+    // brute-force 5-NN over held-out probes, vote by (count desc,
+    // label asc) — the same rank rules as the Spark windows
+    "q_knn_classify" ->
+      s"""WITH $NormCte,
+         |q AS (SELECT vec_id AS qid, label AS true_label, v AS qv, norm AS qn
+         |      FROM n WHERE vec_id % 50 = 0),
+         |sc AS (
+         |  SELECT q.qid, q.true_label, n.vec_id, n.label,
+         |         round(list_dot_product(n.v, q.qv) / (n.norm * q.qn), 4) AS cos
+         |  FROM n, q WHERE n.vec_id % 50 <> 0
+         |), top AS (
+         |  SELECT qid, true_label, label FROM (
+         |    SELECT qid, true_label, vec_id, label,
+         |           row_number() OVER (PARTITION BY qid
+         |                              ORDER BY cos DESC, vec_id ASC) AS rn
+         |    FROM sc) t
+         |  WHERE rn <= 5
+         |), votes AS (
+         |  SELECT qid, true_label, label AS cand, CAST(count(*) AS BIGINT) AS n_votes
+         |  FROM top GROUP BY 1, 2, 3
+         |)
+         |SELECT qid, true_label, cand AS pred_label, n_votes,
+         |       CAST(cand = true_label AS INTEGER) AS correct
+         |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+         |                                   ORDER BY n_votes DESC, cand ASC) AS vr
+         |      FROM votes) t
+         |WHERE vr = 1
+         |ORDER BY qid""".stripMargin,
     "q_matryoshka" ->
       """WITH n0 AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

@@ -2088,7 +2088,167 @@ object Statistics {
       .orderBy("event_type")
   }
 
+  /** Jarque–Bera normality test per event type — the distributional
+    * pre-check a parametric monitor (t-test / CUSUM-with-Gaussian-λ)
+    * should run before trusting its own thresholds: JB = n/6·(g₁² +
+    * (g₂−3)²/4) blows up whenever skewness g₁ or excess kurtosis g₂−3
+    * departs from the Gaussian (χ²₂ under H₀, so JB ≫ 6 ⇒ reject).
+    *
+    * Determinism — quantized central moments: the mean is 6-dp
+    * floor-quantized from the exact decimal sum (identical doubles both
+    * engines), each deviation is ONE IEEE subtraction then milli-unit
+    * floor-quantized to an exact BIGINT, and the power sums Σd², Σd³,
+    * Σd⁴ accumulate those integers in DECIMAL(38,0) — exact,
+    * order-independent, identical cross-engine. Milli (not micro) units
+    * keep Σd⁴ ≤ 6.25·10²² per row, inside DECIMAL(38) headroom to
+    * ~10¹⁴ rows per type. The final g₁ = s₃√n/(s₂√s₂), g₂ = s₄·n/s₂²,
+    * JB expressions are fixed trees of correctly-rounded elementary ops
+    * on identical inputs, floor-quantized at 6 dp.
+    *
+    * Scale shape: two events scans (mean pass + deviation pass — the
+    * sufficient statistic needs x̄ first), both map-side-combined to a
+    * 5-row frame; the mean frame broadcasts. No row-level shuffle. */
+  def jarqueBera(s: SparkSession, d: String): DataFrame = {
+    val dec0 = DecimalType(38, 0)
+    val ev = Tables.events(s, d).filter(col("value").isNotNull)
+      .select(col("event_type"), col("value"))
+    val mu = ev.groupBy(col("event_type").as("t"))
+      .agg((floor(davg(col("value")) * 1000000 + lit(0.5)) / 1000000).as("mu"))
+    val dq = floor((col("value") - col("mu")) * 1000 + lit(0.5)).cast(dec0)
+    val sums = ev.join(broadcast(mu), col("event_type") === col("t"))
+      .select(col("event_type"), dq.as("dq"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("dq") * col("dq")).cast("double").as("s2"),
+        sum(col("dq") * col("dq") * col("dq")).cast("double").as("s3"),
+        sum(col("dq") * col("dq") * col("dq") * col("dq")).cast("double").as("s4"))
+    val nd = col("n").cast("double")
+    val g1 = col("s3") * sqrt(nd) / (col("s2") * sqrt(col("s2")))
+    val g2 = col("s4") * nd / (col("s2") * col("s2"))
+    val q6 = (c: Column) => floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    sums.filter(col("n") > 1 && col("s2") > 0)
+      .select(col("event_type"), col("n"),
+        q6(g1).as("skew"),
+        q6(g2).as("kurtosis"),
+        q6(nd * (g1 * g1 + (g2 - lit(3.0)) * (g2 - lit(3.0)) / lit(4.0)) / lit(6.0))
+          .as("jb"))
+      .orderBy("event_type")
+  }
+
+  /** Ljung–Box portmanteau test (lags 1–3) on the per-type daily value
+    * series — "is this series white noise?" asked jointly rather than one
+    * lag at a time ([[autocorr]] reports r₁ alone; a seasonal signal can
+    * hide r₁ ≈ 0 while r₂, r₃ carry it): Q = n(n+2)·Σ_k r²_k/(n−k),
+    * χ²₃ under H₀, so Q ≫ 7.8 ⇒ the series has structure worth modeling
+    * (and a drift monitor assuming i.i.d. days is mis-calibrated).
+    *
+    * Determinism — the [[autocorr]] integer discipline at every lag:
+    * scaled deviations y_t = nd·x_t − T are exact BIGINTs over micro-unit
+    * daily totals, each lag's Σ y_t·y_{t+k} and the shared Σ y_t²
+    * accumulate in DECIMAL(38,0), each r_k is ONE division of identical
+    * doubles, 6-dp floor-quantized, and Q is a fixed tree on the
+    * quantized r_k — no accumulated-float freedom anywhere.
+    *
+    * Scale shape: one map-side-combined (type, day) aggregate; per-type
+    * totals broadcast back; the three lag windows share one
+    * calendar-bounded sort partition per type. Events stream through
+    * once. */
+  def ljungBox(s: SparkSession, d: String): DataFrame = {
+    val dec0 = DecimalType(38, 0)
+    val daily = graft.util.Ckpt.stage(Tables.events(s, d)
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(q6micro(col("value"))).as("x")))
+    val tt = daily.groupBy(col("event_type").as("t"))
+      .agg(sum("x").as("tot"), count(lit(1)).as("nd"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val q6 = (c: Column) => floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val lagged = daily.join(broadcast(tt), col("event_type") === col("t"))
+      .withColumn("y",
+        col("nd").cast(dec0) * col("x").cast(dec0) - col("tot").cast(dec0))
+      .withColumn("y1", lead("y", 1).over(w))
+      .withColumn("y2", lead("y", 2).over(w))
+      .withColumn("y3", lead("y", 3).over(w))
+    val rk = (k: Int) => q6(col(s"num$k").cast("double") / col("den").cast("double"))
+    val nd = col("n_days").cast("double")
+    lagged.groupBy("event_type")
+      .agg(first("nd").as("n_days"),
+        sum(col("y") * col("y")).as("den"),
+        sum(when(col("y1").isNotNull, col("y") * col("y1"))).as("num1"),
+        sum(when(col("y2").isNotNull, col("y") * col("y2"))).as("num2"),
+        sum(when(col("y3").isNotNull, col("y") * col("y3"))).as("num3"))
+      .filter(col("n_days") > 3 && col("den") > 0)
+      .select(col("event_type"), col("n_days"),
+        rk(1).as("r1"), rk(2).as("r2"), rk(3).as("r3"))
+      .withColumn("q_lb", q6(nd * (nd + lit(2.0)) *
+        (col("r1") * col("r1") / (nd - lit(1.0)) +
+         col("r2") * col("r2") / (nd - lit(2.0)) +
+         col("r3") * col("r3") / (nd - lit(3.0)))))
+      .orderBy("event_type")
+  }
+
+  /** Page–Hinkley drift allowance δ (micro-units: 0.05 value-units) and
+    * alarm threshold λ (value-units) — δ absorbs slow wander so only a
+    * sustained upward mean shift accumulates; λ is the alarm level on
+    * the normalized PH statistic. */
+  private val PhDeltaMicro = 50000L
+  private val PhLambda = 5.0
+
+  /** Page–Hinkley upward-shift detector on the daily event-value series —
+    * the SEQUENTIAL companion to [[cusumDrift]] (CUSUM scans the whole
+    * history for the single biggest break; Page–Hinkley is the
+    * run-it-every-day form a production monitor deploys: alarm the first
+    * day the running statistic clears λ): m_t = Σ_{i≤t}(x_i − x̄ − δ),
+    * PH_t = m_t − min_{i≤t} m_i, alarm when PH_t/n > λ.
+    *
+    * Determinism — the [[cusumDrift]] scaled-integer discipline: with
+    * micro-unit daily totals, nd·m_t = nd·cum_t − t·T − t·nd·δµ is an
+    * exact BIGINT (x̄ never materializes; δµ is an integer constant), the
+    * running min and the argmax/tie-break (earliest day) are pure integer
+    * decisions, and the one double — ph = PH'/(nd·10⁶) — divides at the
+    * very end. Overflow: nd·cum ≤ 10¹² value-unit·day² per partition —
+    * month-shard beyond that (the cusum rule).
+    *
+    * Scale shape: one map-side-combined groupBy(day) to a
+    * calendar-bounded frame; all cumulative work (prefix sum, running
+    * min) on ≤|days| rows; the 1-row total broadcasts. */
+  def pageHinkley(s: SparkSession, d: String): DataFrame = {
+    val daily = graft.util.Ckpt.stage(Tables.events(s, d)
+      .filter(col("value").isNotNull)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(q6micro(col("value"))).as("x")))
+    val tot = daily.agg(sum("x").as("tt"), count(lit(1)).as("nd"))
+    val wd = Window.orderBy("day")
+    val curve = graft.util.Ckpt.stage(daily.crossJoin(broadcast(tot))
+      .withColumn("t", row_number().over(wd).cast("long"))
+      .withColumn("cum",
+        sum("x").over(wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("m", col("nd") * col("cum") - col("t") * col("tt")
+        - col("t") * col("nd") * lit(PhDeltaMicro))
+      .withColumn("runmin",
+        min("m").over(wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("ph", col("m") - col("runmin")))
+    val mx = curve.agg(max(col("ph")).as("ph_best"))
+    curve.crossJoin(broadcast(mx))
+      .filter(col("ph") === col("ph_best"))
+      .groupBy("nd", "ph_best")
+      .agg(min(col("day")).as("alarm_day"))
+      .select(
+        col("nd").as("n_days"),
+        date_format(col("alarm_day"), "yyyy-MM-dd").as("alarm_day"),
+        col("ph_best").as("ph_scaled"),
+        (floor(col("ph_best").cast("double") /
+          (col("nd").cast("double") * lit(1000000.0)) * 1000000 + lit(0.5)) / 1000000)
+          .as("ph"),
+        (col("ph_best").cast("double") >
+          (col("nd").cast("double") * lit(1000000.0) * lit(PhLambda))).cast("int")
+          .as("alarm"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_jarque_bera" -> (jarqueBera _),
+    "q_ljung_box" -> (ljungBox _),
+    "q_page_hinkley" -> (pageHinkley _),
     "q_friedman" -> (friedman _),
     "q_kruskal_wallis" -> (kruskalWallis _),
     "q_mann_kendall" -> (mannKendall _),
@@ -2133,6 +2293,113 @@ object Statistics {
   )
 
   val oracle: Map[String, String] = Map(
+    // quantized central moments: 6-dp mean, milli-unit integer deviations,
+    // HUGEINT power sums; g1/g2/JB trees mirrored op-for-op
+    "q_jarque_bera" ->
+      """WITH mu AS (
+        |  SELECT event_type,
+        |         floor(CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE)
+        |               / COUNT(value) * 1000000 + 0.5) / 1000000 AS mu
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1
+        |), dv AS (
+        |  SELECT e.event_type,
+        |         CAST(floor((e.value - mu.mu) * 1000 + 0.5) AS HUGEINT) AS dq
+        |  FROM events e JOIN mu USING (event_type)
+        |  WHERE e.value IS NOT NULL
+        |), sums AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(dq * dq) AS DOUBLE) AS s2,
+        |         CAST(SUM(dq * dq * dq) AS DOUBLE) AS s3,
+        |         CAST(SUM(dq * dq * dq * dq) AS DOUBLE) AS s4
+        |  FROM dv GROUP BY 1
+        |)
+        |SELECT event_type, n,
+        |       floor(s3 * sqrt(CAST(n AS DOUBLE)) / (s2 * sqrt(s2))
+        |             * 1000000 + 0.5) / 1000000 AS skew,
+        |       floor(s4 * CAST(n AS DOUBLE) / (s2 * s2)
+        |             * 1000000 + 0.5) / 1000000 AS kurtosis,
+        |       floor(CAST(n AS DOUBLE) *
+        |             (s3 * sqrt(CAST(n AS DOUBLE)) / (s2 * sqrt(s2))
+        |              * (s3 * sqrt(CAST(n AS DOUBLE)) / (s2 * sqrt(s2)))
+        |              + (s4 * CAST(n AS DOUBLE) / (s2 * s2) - 3.0e0)
+        |                * (s4 * CAST(n AS DOUBLE) / (s2 * s2) - 3.0e0) / 4.0e0)
+        |             / 6.0e0 * 1000000 + 0.5) / 1000000 AS jb
+        |FROM sums WHERE n > 1 AND s2 > 0
+        |ORDER BY event_type""".stripMargin,
+    // the q_autocorr scaled-deviation discipline at lags 1-3; Q from the
+    // 6-dp-quantized r_k with the identical fixed tree
+    "q_ljung_box" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |         CAST(SUM(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events WHERE value IS NOT NULL
+        |  GROUP BY 1, 2
+        |), tt AS (
+        |  SELECT event_type, CAST(SUM(x) AS BIGINT) AS tot, CAST(COUNT(*) AS BIGINT) AS nd
+        |  FROM daily GROUP BY 1
+        |), y AS (
+        |  SELECT d.event_type, tt.nd,
+        |         CAST(tt.nd AS HUGEINT) * d.x - tt.tot AS y,
+        |         LEAD(CAST(tt.nd AS HUGEINT) * d.x - tt.tot, 1)
+        |           OVER (PARTITION BY d.event_type ORDER BY d.day) AS y1,
+        |         LEAD(CAST(tt.nd AS HUGEINT) * d.x - tt.tot, 2)
+        |           OVER (PARTITION BY d.event_type ORDER BY d.day) AS y2,
+        |         LEAD(CAST(tt.nd AS HUGEINT) * d.x - tt.tot, 3)
+        |           OVER (PARTITION BY d.event_type ORDER BY d.day) AS y3
+        |  FROM daily d JOIN tt ON d.event_type = tt.event_type
+        |), sums AS (
+        |  SELECT event_type, CAST(MIN(nd) AS BIGINT) AS n_days,
+        |         SUM(y * y) AS den,
+        |         SUM(CASE WHEN y1 IS NOT NULL THEN y * y1 END) AS num1,
+        |         SUM(CASE WHEN y2 IS NOT NULL THEN y * y2 END) AS num2,
+        |         SUM(CASE WHEN y3 IS NOT NULL THEN y * y3 END) AS num3
+        |  FROM y GROUP BY event_type
+        |), r AS (
+        |  SELECT event_type, n_days,
+        |         floor(CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE) * 1000000 + 0.5) / 1000000 AS r1,
+        |         floor(CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE) * 1000000 + 0.5) / 1000000 AS r2,
+        |         floor(CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE) * 1000000 + 0.5) / 1000000 AS r3
+        |  FROM sums WHERE n_days > 3 AND den > 0
+        |)
+        |SELECT event_type, n_days, r1, r2, r3,
+        |       floor(CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) + 2.0e0) *
+        |             (r1 * r1 / (CAST(n_days AS DOUBLE) - 1.0e0) +
+        |              r2 * r2 / (CAST(n_days AS DOUBLE) - 2.0e0) +
+        |              r3 * r3 / (CAST(n_days AS DOUBLE) - 3.0e0))
+        |             * 1000000 + 0.5) / 1000000 AS q_lb
+        |FROM r ORDER BY event_type""".stripMargin,
+    // the q_cusum_drift scaled-integer curve with the delta allowance and
+    // a running min; argmax and tie-break are integer decisions
+    "q_page_hinkley" ->
+      """WITH daily AS (
+        |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |         CAST(SUM(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(SUM(x) AS BIGINT) AS tt, CAST(COUNT(*) AS BIGINT) AS nd FROM daily
+        |), curve AS (
+        |  SELECT d.day, tot.nd, tot.tt,
+        |         CAST(row_number() OVER (ORDER BY d.day) AS BIGINT) AS t,
+        |         SUM(x) OVER (ORDER BY d.day
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM daily d, tot
+        |), mm AS (
+        |  SELECT day, nd, nd * cum - t * tt - t * nd * 50000 AS m FROM curve
+        |), ph AS (
+        |  SELECT day, nd, m,
+        |         m - MIN(m) OVER (ORDER BY day
+        |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph
+        |  FROM mm
+        |), best AS (SELECT MAX(ph) AS ph_best FROM ph)
+        |SELECT CAST(MIN(nd) AS BIGINT) AS n_days,
+        |       strftime(MIN(day), '%Y-%m-%d') AS alarm_day,
+        |       CAST(MIN(ph_best) AS BIGINT) AS ph_scaled,
+        |       floor(CAST(MIN(ph_best) AS DOUBLE)
+        |             / (CAST(MIN(nd) AS DOUBLE) * 1000000.0e0)
+        |             * 1000000 + 0.5) / 1000000 AS ph,
+        |       CAST(CAST(MIN(ph_best) AS DOUBLE) >
+        |            CAST(MIN(nd) AS DOUBLE) * 1000000.0e0 * 5.0e0 AS INTEGER) AS alarm
+        |FROM ph, best WHERE ph.ph = best.ph_best""".stripMargin,
     // Poisson weights from the keyed-hash u with PINNED double CDF
     // thresholds (shortest-repr literals parse to identical bits in
     // both engines); replica sums exact; CI endpoints rank-selected

@@ -725,4 +725,70 @@ class StatisticsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("Jarque-Bera: moments track built-in skewness/kurtosis; JB recomposes") {
+    val got = ops.Statistics.jarqueBera(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val builtin = Tables.events(spark, sf).filter(col("value").isNotNull)
+      .groupBy("event_type")
+      .agg(skewness(col("value")).as("sk"), kurtosis(col("value")).as("ku"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(got.keySet === builtin.keySet)
+    got.foreach { case (t, r) =>
+      val n = r.getLong(1); val sk = r.getDouble(2)
+      val ku = r.getDouble(3); val jb = r.getDouble(4)
+      // built-in skewness is population g1; built-in kurtosis is EXCESS g2-3.
+      // milli-unit deviation quantization bounds the drift well inside 1e-2.
+      assert(math.abs(sk - builtin(t)._1) < 1e-2, s"$t skew")
+      assert(math.abs((ku - 3.0) - builtin(t)._2) < 1e-2, s"$t kurt")
+      val recomposed = n / 6.0 * (sk * sk + (ku - 3.0) * (ku - 3.0) / 4.0)
+      assert(jb >= 0.0 && math.abs(jb - recomposed) < math.max(1e-4, recomposed * 1e-4),
+        s"$t jb $jb vs $recomposed")
+    }
+  }
+
+  test("Ljung-Box: r1 equals q_autocorr's r1 exactly; Q recomposes, nonneg") {
+    val lb = ops.Statistics.ljungBox(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val ac = ops.Statistics.autocorr(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(lb.nonEmpty)
+    lb.foreach { case (t, r) =>
+      val nd = r.getLong(1).toDouble
+      val (r1, r2, r3, q) = (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      Seq(r1, r2, r3).foreach(x => assert(math.abs(x) <= 1.0 + 1e-9, s"$t |r|"))
+      // same integer y-series, same quantization, different rounding of the
+      // division input (round vs floor-quantize at 6 dp agree off-ties)
+      assert(math.abs(r1 - ac(t)) <= 1e-6, s"$t r1 vs autocorr")
+      val recomposed = nd * (nd + 2.0) *
+        (r1 * r1 / (nd - 1.0) + r2 * r2 / (nd - 2.0) + r3 * r3 / (nd - 3.0))
+      assert(q >= 0.0 && math.abs(q - recomposed) < 1e-4, s"$t Q")
+    }
+  }
+
+  test("Page-Hinkley: exact integer replay of the scaled statistic") {
+    val row = ops.Statistics.pageHinkley(spark, sf).collect().head
+    val daily = Tables.events(spark, sf).filter(col("value").isNotNull)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 1000000 + lit(0.5)).cast("long")).as("x"))
+      .orderBy("day").collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1))
+    val nd = daily.length.toLong
+    val tt = daily.map(_._2).sum
+    var cum = 0L; var runmin = Long.MaxValue
+    var best = Long.MinValue; var bestDay = ""
+    daily.zipWithIndex.foreach { case ((day, x), i) =>
+      val t = i + 1L
+      cum += x
+      val m = nd * cum - t * tt - t * nd * 50000L
+      runmin = math.min(runmin, m)
+      val ph = m - runmin
+      if (ph > best) { best = ph; bestDay = day }
+    }
+    assert(row.getLong(0) === nd)
+    assert(row.getString(1) === bestDay)
+    assert(row.getLong(2) === best)
+    assert(row.getDouble(3) >= 0.0)
+    assert(row.getInt(4) === (if (best.toDouble > nd.toDouble * 1e6 * 5.0) 1 else 0))
+  }
 }
