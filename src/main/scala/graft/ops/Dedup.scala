@@ -761,7 +761,114 @@ object Dedup {
       .orderBy("family_a", "family_b")
   }
 
+  /** Sorted-neighborhood blocking window: each doc is compared to its 2
+    * successors in (lang, sort-key) order. */
+  private val SnmKeyLen = 24
+
+  /** Sorted-neighborhood dedup (SNM — the classic record-linkage blocking
+    * strategy, complementary to LSH): sort each language block by a
+    * normalized 24-char text prefix, compare every doc to its next two
+    * neighbors in sort order, verify candidates with exact bigram Jaccard.
+    * Catches prefix-sharing near-dups that hash-bucket families can miss
+    * when edits fall inside every band, at a guaranteed 2-comparisons-
+    * per-row budget.
+    *
+    * Scale shape: ONE range-partitionable sort per language block (the
+    * window is partitioned by `lang` — never a global single-partition
+    * sort); candidates are produced by lead(), linear in the corpus; only
+    * candidate pairs carry bigram arrays. At a fixed 100 TB deployment the
+    * sort key would feed `repartitionByRange` + boundary-overlap handling;
+    * the per-block window here is the same plan shape. */
+  def sortedNeighborhood(s: SparkSession, d: String): DataFrame = {
+    val k = substring(trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " ")), 1, SnmKeyLen)
+    val base = graft.util.Ckpt.stage(Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), k.as("k"),
+        array_distinct(bigrams(words(col("text")))).as("bg")))
+    val w = Window.partitionBy("lang").orderBy("k", "doc_id")
+    val withNext = base
+      .withColumn("n1_id", lead("doc_id", 1).over(w))
+      .withColumn("n1_bg", lead("bg", 1).over(w))
+      .withColumn("n2_id", lead("doc_id", 2).over(w))
+      .withColumn("n2_bg", lead("bg", 2).over(w))
+    val arm1 = withNext.filter(col("n1_id").isNotNull)
+      .select(col("doc_id").as("d1"), col("n1_id").as("d2"),
+        col("bg").as("b1"), col("n1_bg").as("b2"))
+    val arm2 = withNext.filter(col("n2_id").isNotNull)
+      .select(col("doc_id").as("d1"), col("n2_id").as("d2"),
+        col("bg").as("b1"), col("n2_bg").as("b2"))
+    arm1.unionAll(arm2)
+      .withColumn("inter", size(array_intersect(col("b1"), col("b2"))))
+      .withColumn("n1", size(col("b1")))
+      .withColumn("n2", size(col("b2")))
+      .select(col("d1"), col("d2"), col("inter").cast("long").as("inter"),
+        round(col("inter").cast("double") /
+          (col("n1") + col("n2") - col("inter")).cast("double"), 4).as("jaccard"))
+      .withColumn("is_dup", (col("jaccard") >= 0.5).cast("int"))
+      .orderBy("d1", "d2")
+  }
+
+  /** Rolling-hash base for [[cdcChunks]] (B, B², B³). */
+  private val CdcB1 = 257L
+  private val CdcB2 = 66049L
+  private val CdcB3 = 16974593L
+
+  /** Content-defined chunking + chunk-level duplication audit — the
+    * rsync/LBFS boundary trick applied to corpus curation: a chunk
+    * boundary falls wherever the rolling hash of the last 4 words is
+    * ≡ 0 (mod 64), so boundaries are anchored to CONTENT, not offsets —
+    * insert one word into a shared passage and [[spanDedup]]-style
+    * fixed-width spans all shift and stop matching, while CDC chunks
+    * realign after the edit window. Per doc: chunk count, how many of its
+    * chunks also appear verbatim in other docs, and the shared-word share
+    * (ppm, integer-exact like q_dedup_savings).
+    *
+    * Determinism: word hashes are the engine's standard md5-prefix
+    * integers; the rolling fingerprint is exact BIGINT arithmetic
+    * (h·B³ ≤ 7.3·10¹⁶); boundary, chunk ids (prefix sums), and the
+    * chunk digest (md5 of the word slice) are all integer/string ops —
+    * no floats anywhere.
+    *
+    * Scale shape: one words explode into per-doc windowed lags (narrow
+    * (doc, pos, h) rows), chunk frames shuffle on digest keys only; the
+    * slice re-read joins the staged words array once. */
+  def cdcChunks(s: SparkSession, d: String): DataFrame = {
+    val docs = graft.util.Ckpt.stage(Tables.documents(s, d)
+      .select(col("doc_id"), words(col("text")).as("ws")))
+    val wd = Window.partitionBy("doc_id").orderBy("pos")
+    val pos = docs.select(col("doc_id"), posexplode(col("ws")).as(Seq("p0", "wd")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"),
+        conv(substring(md5(col("wd")), 1, 8), 16, 10).cast("long").as("h"))
+    val rolled = pos
+      .withColumn("h1", lag("h", 1).over(wd))
+      .withColumn("h2", lag("h", 2).over(wd))
+      .withColumn("h3", lag("h", 3).over(wd))
+      .withColumn("b", when(col("h3").isNotNull &&
+        (col("h3") * CdcB3 + col("h2") * CdcB2 + col("h1") * CdcB1 + col("h")) % 64 === 0,
+        lit(1L)).otherwise(lit(0L)))
+      .withColumn("cid", coalesce(
+        sum("b").over(wd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val chunks = rolled.groupBy("doc_id", "cid")
+      .agg(min("pos").as("start"), count(lit(1)).as("len"))
+    val hashed = graft.util.Ckpt.stage(chunks.join(docs, "doc_id")
+      .select(col("doc_id"), col("len"),
+        md5(array_join(slice(col("ws"), col("start").cast("int"),
+          col("len").cast("int")), " ")).as("chash")))
+    val occ = hashed.groupBy("chash").agg(countDistinct("doc_id").as("ndocs"))
+    hashed.join(occ, "chash")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("ndocs") > 1, lit(1L)).otherwise(lit(0L))).as("n_shared_chunks"),
+        sum(when(col("ndocs") > 1, col("len")).otherwise(lit(0L))).as("shared_words"),
+        sum("len").as("n_words"))
+      .select(col("doc_id"), col("n_chunks"), col("n_shared_chunks"),
+        expr("shared_words * 1000000 div n_words").as("shared_ppm"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sorted_neighborhood" -> (sortedNeighborhood _),
+    "q_cdc_chunks" -> (cdcChunks _),
     "q_dedup_kappa" -> (dedupKappa _),
     "q_cross_source_dup" -> (crossSourceDup _),
     "q_jaccard_hist" -> (jaccardHist _),
@@ -1096,6 +1203,82 @@ object Dedup {
     .mkString(" || ")
 
   val oracle: Map[String, String] = Map(
+    // per-lang sort by the normalized 24-char key, lead(1)/lead(2)
+    // candidate arms, exact bigram Jaccard on candidate pairs
+    "q_sorted_neighborhood" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, lang,
+         |         substring(trim(regexp_replace(regexp_replace(lower(text),
+         |           '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), 1, $SnmKeyLen) AS k,
+         |         $BigramsSql AS bg
+         |  FROM documents
+         |), nx AS (
+         |  SELECT doc_id, bg,
+         |         LEAD(doc_id, 1) OVER win AS n1_id, LEAD(bg, 1) OVER win AS n1_bg,
+         |         LEAD(doc_id, 2) OVER win AS n2_id, LEAD(bg, 2) OVER win AS n2_bg
+         |  FROM base WINDOW win AS (PARTITION BY lang ORDER BY k, doc_id)
+         |), pairs AS (
+         |  SELECT doc_id AS d1, n1_id AS d2, bg AS b1, n1_bg AS b2
+         |  FROM nx WHERE n1_id IS NOT NULL
+         |  UNION ALL
+         |  SELECT doc_id, n2_id, bg, n2_bg FROM nx WHERE n2_id IS NOT NULL
+         |), j AS (
+         |  SELECT d1, d2, CAST(len(list_intersect(b1, b2)) AS BIGINT) AS inter,
+         |         len(b1) AS n1, len(b2) AS n2
+         |  FROM pairs
+         |)
+         |SELECT d1, d2, inter,
+         |       round(CAST(inter AS DOUBLE) / CAST(n1 + n2 - inter AS DOUBLE), 4) AS jaccard,
+         |       CAST(round(CAST(inter AS DOUBLE) / CAST(n1 + n2 - inter AS DOUBLE), 4) >= 0.5
+         |            AS INTEGER) AS is_dup
+         |FROM j
+         |ORDER BY d1, d2""".stripMargin,
+    // word-hash rolling fingerprint (base 257, window 4, boundary mod 64),
+    // prefix-sum chunk ids, md5 chunk digests, cross-doc occurrence join
+    "q_cdc_chunks" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, $WordsSql AS ws FROM documents
+         |), p AS (
+         |  SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS pos FROM w
+         |), h AS (
+         |  SELECT doc_id, pos,
+         |         CAST('0x' || substring(md5(ws[pos]), 1, 8) AS BIGINT) AS h
+         |  FROM p
+         |), r AS (
+         |  SELECT doc_id, pos, h,
+         |         LAG(h, 1) OVER win AS h1,
+         |         LAG(h, 2) OVER win AS h2,
+         |         LAG(h, 3) OVER win AS h3
+         |  FROM h WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+         |), b AS (
+         |  SELECT doc_id, pos,
+         |         CASE WHEN h3 IS NOT NULL
+         |                   AND (h3 * $CdcB3 + h2 * $CdcB2 + h1 * $CdcB1 + h) % 64 = 0
+         |              THEN 1 ELSE 0 END AS b
+         |  FROM r
+         |), c AS (
+         |  SELECT doc_id, pos,
+         |         COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cid
+         |  FROM b
+         |), ch AS (
+         |  SELECT doc_id, cid, MIN(pos) AS start, COUNT(*) AS len
+         |  FROM c GROUP BY 1, 2
+         |), hx AS (
+         |  SELECT ch.doc_id, ch.len,
+         |         md5(array_to_string(w.ws[ch.start:ch.start + ch.len - 1], ' ')) AS chash
+         |  FROM ch JOIN w ON ch.doc_id = w.doc_id
+         |), occ AS (
+         |  SELECT chash, count(DISTINCT doc_id) AS ndocs FROM hx GROUP BY 1
+         |)
+         |SELECT hx.doc_id,
+         |       CAST(count(*) AS BIGINT) AS n_chunks,
+         |       CAST(SUM(CASE WHEN occ.ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_chunks,
+         |       CAST(SUM(CASE WHEN occ.ndocs > 1 THEN hx.len ELSE 0 END) * 1000000
+         |            // SUM(hx.len) AS BIGINT) AS shared_ppm
+         |FROM hx JOIN occ USING (chash)
+         |GROUP BY hx.doc_id
+         |ORDER BY doc_id""".stripMargin,
     "q_dedup_norm" ->
       """WITH g AS (
         |  SELECT trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
