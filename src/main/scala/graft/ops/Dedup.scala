@@ -866,7 +866,60 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** LSH banding planner over the engine's 64-permutation budget — the
+    * S-curve audit a dedup owner reads BEFORE picking (r, b) for
+    * [[dedupMinhashWide]]: for every way to split 64 perms into b bands
+    * of r rows ((r,b) ∈ {(1,64),(2,32),(4,16),(8,8),(16,4)}), the
+    * candidate-collision probability p(s) = 1 − (1 − sʳ)ᵇ on a 0.05-step
+    * similarity grid, plus each config's working threshold (the smallest
+    * grid s with p ≥ 0.5). Steeper r = fewer false candidates but a
+    * higher knee — the table IS the tradeoff.
+    *
+    * Determinism: s = i/20 is ONE division; every power is
+    * exponentiation-by-SQUARING over named intermediates (s²=s·s,
+    * s⁴=s²·s², … u⁶⁴=u³²·u³²) — a fixed tree of correctly-rounded IEEE
+    * multiplies identical in both engines (pow() is libm and pinned in
+    * neither), CASE-selected per config; p is 6-dp floor-quantized; the
+    * threshold is an integer-comparison min over the grid.
+    *
+    * Scale shape: a 95-row constant frame — the planner costs nothing
+    * and runs beside any corpus-size job. */
+  def lshTuning(s: SparkSession, d: String): DataFrame = {
+    val configs = Seq((1, 64), (2, 32), (4, 16), (8, 8), (16, 4))
+    val grid = s.range(1, 20).select(col("id").cast("int").as("i"))
+      .withColumn("cfg", explode(array(configs.map { case (r, b) =>
+        struct(lit(r).as("r"), lit(b).as("b"))
+      }: _*)))
+      .select(col("cfg.r").as("r"), col("cfg.b").as("b"),
+        (col("i").cast("double") / lit(20.0)).as("s"))
+    val sq = (c: org.apache.spark.sql.Column) => c * c
+    val q6 = (c: org.apache.spark.sql.Column) =>
+      floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val powered = grid
+      .withColumn("s2", sq(col("s"))).withColumn("s4", sq(col("s2")))
+      .withColumn("s8", sq(col("s4"))).withColumn("s16", sq(col("s8")))
+      .withColumn("sr",
+        when(col("r") === 1, col("s")).when(col("r") === 2, col("s2"))
+          .when(col("r") === 4, col("s4")).when(col("r") === 8, col("s8"))
+          .otherwise(col("s16")))
+      .withColumn("u", lit(1.0) - col("sr"))
+      .withColumn("u2", sq(col("u")))
+      .withColumn("u4", sq(col("u2"))).withColumn("u8", sq(col("u4")))
+      .withColumn("u16", sq(col("u8"))).withColumn("u32", sq(col("u16")))
+      .withColumn("u64", sq(col("u32")))
+      .withColumn("p", q6(lit(1.0) -
+        when(col("b") === 4, col("u4")).when(col("b") === 8, col("u8"))
+          .when(col("b") === 16, col("u16")).when(col("b") === 32, col("u32"))
+          .otherwise(col("u64"))))
+    powered
+      .withColumn("s_half", min(when(col("p") >= 0.5, col("s")))
+        .over(Window.partitionBy("r", "b")))
+      .select(col("r"), col("b"), col("s"), col("p"), col("s_half"))
+      .orderBy("r", "s")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lsh_tuning" -> (lshTuning _),
     "q_sorted_neighborhood" -> (sortedNeighborhood _),
     "q_cdc_chunks" -> (cdcChunks _),
     "q_dedup_kappa" -> (dedupKappa _),
@@ -1203,6 +1256,41 @@ object Dedup {
     .mkString(" || ")
 
   val oracle: Map[String, String] = Map(
+    // the same squaring chains (s2=s*s, ..., u64=u32*u32) CASE-selected
+    // per config; grid s = i/20; threshold = min grid s with p >= 0.5
+    "q_lsh_tuning" ->
+      """WITH grid AS (
+        |  SELECT cfg.r, cfg.b, CAST(i AS DOUBLE) / 20.0 AS s
+        |  FROM (SELECT unnest(range(1, 20)) AS i) gi,
+        |       (VALUES (1, 64), (2, 32), (4, 16), (8, 8), (16, 4)) cfg(r, b)
+        |), sp AS (
+        |  SELECT r, b, s, s * s AS s2, (s * s) * (s * s) AS s4 FROM grid
+        |), sp2 AS (
+        |  SELECT r, b, s, s2, s4, s4 * s4 AS s8, (s4 * s4) * (s4 * s4) AS s16 FROM sp
+        |), su AS (
+        |  SELECT r, b, s,
+        |         1.0 - (CASE r WHEN 1 THEN s WHEN 2 THEN s2 WHEN 4 THEN s4
+        |                       WHEN 8 THEN s8 ELSE s16 END) AS u
+        |  FROM sp2
+        |), up AS (
+        |  SELECT r, b, s, u, u * u AS u2 FROM su
+        |), up2 AS (
+        |  SELECT r, b, s, u2 * u2 AS u4, (u2 * u2) * (u2 * u2) AS u8 FROM up
+        |), up3 AS (
+        |  SELECT r, b, s, u4, u8, u8 * u8 AS u16, (u8 * u8) * (u8 * u8) AS u32,
+        |         ((u8 * u8) * (u8 * u8)) * ((u8 * u8) * (u8 * u8)) AS u64
+        |  FROM up2
+        |), p AS (
+        |  SELECT r, b, s,
+        |         floor((1.0 - (CASE b WHEN 4 THEN u4 WHEN 8 THEN u8 WHEN 16 THEN u16
+        |                              WHEN 32 THEN u32 ELSE u64 END))
+        |               * 1000000 + 0.5) / 1000000 AS p
+        |  FROM up3
+        |)
+        |SELECT CAST(r AS INTEGER) AS r, CAST(b AS INTEGER) AS b, s, p,
+        |       MIN(CASE WHEN p >= 0.5 THEN s END) OVER (PARTITION BY r, b) AS s_half
+        |FROM p
+        |ORDER BY r, s""".stripMargin,
     // per-lang sort by the normalized 24-char key, lead(1)/lead(2)
     // candidate arms, exact bigram Jaccard on candidate pairs
     "q_sorted_neighborhood" ->

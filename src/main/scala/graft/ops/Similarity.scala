@@ -243,10 +243,18 @@ object Similarity {
     while (changed > 0 && rounds < 30) {
       val nbrMin = cc.join(labels, cc("dst") === labels("vec_id"))
         .groupBy("src").agg(min("label").as("nl"))
-      val next = labels.join(nbrMin, labels("vec_id") === nbrMin("src"), "left")
-        .select(labels("vec_id"),
-          least(col("label"), coalesce(col("nl"), col("label"))).as("label"),
-          (coalesce(col("nl"), col("label")) < col("label")).cast("int").as("chg"))
+      val stepped = labels.join(nbrMin, labels("vec_id") === nbrMin("src"), "left")
+        .select(labels("vec_id"), col("label").as("old"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("l1"))
+      // path halving (pointer jumping): l ← min(l, l(l)). Every label is
+      // the id of a real core vertex (mins over core ids), so the
+      // self-join resolves; rounds drop from component DIAMETER to
+      // ~log(diameter) — the difference between 20 and 5 shuffle rounds
+      // on a chain-shaped ε-graph, at the cost of one extra narrow join
+      val ptr = stepped.select(col("vec_id").as("pv"), col("l1").as("pl"))
+      val next = stepped.join(ptr, stepped("l1") === ptr("pv"))
+        .select(stepped("vec_id"), least(col("l1"), col("pl")).as("label"),
+          (least(col("l1"), col("pl")) < col("old")).cast("int").as("chg"))
         .transform(once)
       changed = next.agg(coalesce(sum("chg"), lit(0L))).collect()(0).getLong(0)
       labels = next.select("vec_id", "label")

@@ -92,4 +92,29 @@ class SnmCdcSpec extends AnyFunSuite {
     // words, which the mod-64 gate gives with overwhelming margin)
     assert(shared.nonEmpty, s"no realigned chunk: ${chunks(1L).size}/${chunks(2L).size}")
   }
+
+  test("LSH tuning: S-curves are monotone, thresholds rise with r, banding laws") {
+    val rows = ops.Dedup.lshTuning(spark, sf).collect()
+    assert(rows.length === 5 * 19)
+    val byCfg = rows.groupBy(r => (r.getInt(0), r.getInt(1)))
+    assert(byCfg.keySet === Set((1, 64), (2, 32), (4, 16), (8, 8), (16, 4)))
+    byCfg.foreach { case ((r, b), rs) =>
+      val sorted = rs.sortBy(_.getDouble(2))
+      // p(s) is nondecreasing in s and stays a probability
+      sorted.sliding(2).foreach { case Array(a, c) =>
+        assert(a.getDouble(3) <= c.getDouble(3) + 1e-12, s"($r,$b) not monotone")
+      }
+      sorted.foreach(x => assert(x.getDouble(3) >= 0.0 && x.getDouble(3) <= 1.0))
+      // the reported threshold is the first grid point clearing 0.5
+      val sHalf = sorted.head.getDouble(4)
+      val firstAtLeastHalf = sorted.find(_.getDouble(3) >= 0.5).map(_.getDouble(2))
+      assert(firstAtLeastHalf.contains(sHalf), s"($r,$b) threshold $sHalf")
+    }
+    // steeper bands (larger r) push the knee to higher similarity
+    val thresholds = Seq((1, 64), (2, 32), (4, 16), (8, 8), (16, 4))
+      .map(cfg => byCfg(cfg).head.getDouble(4))
+    thresholds.sliding(2).foreach { case Seq(a, b) =>
+      assert(a <= b + 1e-12, s"thresholds not monotone in r: $thresholds")
+    }
+  }
 }
