@@ -270,6 +270,56 @@ object Streams {
       .withColumn("ewma", col("w").cast("double") /
         expr("shiftleft(cast(1 as bigint), t + 1)").cast("double"))
 
+  /** One micro-batch (one day) advance of the ONLINE Page–Hinkley
+    * detector per event type — the monitoring-in-flight twin of
+    * [[graft.ops.Statistics.pageHinkley]]. The batch query is
+    * retrospective (its x̄ is the WHOLE series' mean); the deployable
+    * online form tests each day against the RUNNING mean:
+    * m_t = Σ_{i≤t} (x_i − x̄_i − δ), PH_t = m_t − min(0, m_1..m_t),
+    * alarm when PH clears λ.
+    *
+    * Determinism — the [[ewmaAdvance]] fold discipline: state per type
+    * is (t, cum, m, runmin, best_ph, best_day) where t and cum are exact
+    * BIGINTs, each day's deviation d = (x·t′ − cum′ − δµ·t′)/t′ is ONE
+    * correctly-rounded division of exact integers, and m advances by ONE
+    * IEEE add — the identical operation sequence a batch replay with an
+    * ordered running window performs, so fold-vs-batch is BIT-exact
+    * forever (`StreamingSpec`). A type absent from a day advances with
+    * x = 0 (a vanishing type IS a downward shift); a type first seen
+    * mid-stream seeds its own series.
+    *
+    * Shape: state is ≤ |event types| rows, carried by a `foreachBatch`
+    * loop; each batch touches its own rows once. δµ = 0.05 value-units
+    * in micro-units, λ = 5 value-units — the batch detector's constants. */
+  def pageHinkleyAdvance(state: DataFrame, day: DataFrame): DataFrame = {
+    val deltaMicro = 50000L
+    val lambda = 5.0
+    state.select(col("event_type"), col("t"), col("cum"), col("m"),
+        col("runmin"), col("best_ph"), col("best_day"))
+      .join(day.select(col("event_type"), col("day"), col("x")),
+        Seq("event_type"), "full")
+      .select(col("event_type"),
+        (coalesce(col("t"), lit(0L)) + 1).as("t1"),
+        (coalesce(col("cum"), lit(0L)) + coalesce(col("x"), lit(0L))).as("cum1"),
+        coalesce(col("m"), lit(0.0)).as("m0"),
+        coalesce(col("runmin"), lit(0.0)).as("rm0"),
+        coalesce(col("best_ph"), lit(-1.0)).as("bp0"),
+        col("best_day").as("bd0"),
+        coalesce(col("x"), lit(0L)).as("x"),
+        col("day"))
+      .withColumn("d",
+        (col("x") * col("t1") - col("cum1") - lit(deltaMicro) * col("t1"))
+          .cast("double") / col("t1").cast("double"))
+      .withColumn("m", col("m0") + col("d"))
+      .withColumn("runmin", least(col("rm0"), col("m")))
+      .withColumn("ph", col("m") - col("runmin"))
+      .select(col("event_type"), col("t1").as("t"), col("cum1").as("cum"),
+        col("m"), col("runmin"),
+        when(col("ph") > col("bp0"), col("ph")).otherwise(col("bp0")).as("best_ph"),
+        when(col("ph") > col("bp0"), col("day")).otherwise(col("bd0")).as("best_day"),
+        (col("ph") > lit(lambda) * lit(1000000.0)).cast("int").as("alarm"))
+  }
+
   /** Stream-static enrichment join: each micro-batch of events joins the
     * static customer dimension (broadcast per batch — the dimension never
     * shuffles the stream). The standard streaming join shape; stream-stream

@@ -615,4 +615,63 @@ class StreamingSpec extends AnyFunSuite {
       assert(folded(t) === e, s"$t: folded ${folded(t)} != batch $e (must be bit-exact)")
     }
   }
+
+  test("Page-Hinkley advance: fold over daily batches is BIT-exact vs windowed replay") {
+    val spark = TestSpark.session
+    import spark.implicits._
+    val sf = TestSpark.Sf
+    // daily micro-unit totals per type — the same frame the batch
+    // detector aggregates (here per event type, the online deployment)
+    val daily = graft.Tables.events(spark, sf)
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"), graft.util.Det.fmtDate(col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 1000000 + lit(0.5)).cast("long")).as("x"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val days = daily.map(_._2).distinct.sorted
+    var state = Seq.empty[(String, Long, Long, Double, Double, Double, String)]
+      .toDF("event_type", "t", "cum", "m", "runmin", "best_ph", "best_day")
+    days.foreach { d =>
+      val batch = daily.filter(_._2 == d).map(x => (x._1, x._2, x._3))
+        .toSeq.toDF("event_type", "day", "x")
+      state = Streams.pageHinkleyAdvance(state, batch)
+        .select("event_type", "t", "cum", "m", "runmin", "best_ph", "best_day")
+        .as[(String, Long, Long, Double, Double, Double, String)]
+        .collect().toSeq.toDF("event_type", "t", "cum", "m", "runmin", "best_ph", "best_day")
+    }
+    val folded = state.as[(String, Long, Long, Double, Double, Double, String)]
+      .collect().map(r => r._1 -> r).toMap
+    // batch replay: the identical per-day deviation and the same
+    // left-to-right running accumulation via ordered windows
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("day")
+    val run = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val replay = daily.toSeq.toDF("event_type", "day", "x")
+      .withColumn("t", row_number().over(w).cast("long"))
+      .withColumn("cum", sum("x").over(run))
+      .withColumn("d", (col("x") * col("t") - col("cum") - lit(50000L) * col("t"))
+        .cast("double") / col("t").cast("double"))
+      .withColumn("m", sum("d").over(run))
+      .withColumn("runmin", least(lit(0.0), min("m").over(run)))
+      .withColumn("ph", col("m") - col("runmin"))
+    val last = replay.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+          .orderBy(col("day").desc)))
+      .filter(col("rn") === 1)
+      .select("event_type", "t", "cum", "m", "runmin")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val best = replay.withColumn("bp", max("ph").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("event_type")))
+      .filter(col("ph") === col("bp"))
+      .groupBy("event_type").agg(first("bp").as("bp"), min("day").as("bd"))
+      .collect().map(r => r.getString(0) -> (r.getString(0), r.getDouble(1), r.getString(2))).toMap
+    assert(folded.keySet === last.keySet)
+    last.foreach { case (ty, r) =>
+      val f = folded(ty)
+      assert(f._2 === r.getLong(1) && f._3 === r.getLong(2), s"$ty t/cum")
+      assert(f._4 === r.getDouble(3), s"$ty m must be bit-exact")
+      assert(f._5 === r.getDouble(4), s"$ty runmin must be bit-exact")
+      assert(f._6 === best(ty)._2, s"$ty best_ph must be bit-exact")
+      assert(f._7 === best(ty)._3, s"$ty best_day")
+    }
+  }
 }
