@@ -299,6 +299,97 @@ object Evaluation {
       .orderBy("layout", "pred")
   }
 
+  /** Expected + maximum calibration error over the [[calibrationBins]]
+    * frame — the one-number summaries a model card reports beside the
+    * reliability diagram: ECE = Σ (n_b/N)·|gap_b|, MCE = max_b |gap_b|.
+    *
+    * Determinism: each bin's |gap| re-quantizes to an exact integer ppm
+    * (gaps are differences of 6-dp-quantized doubles, so the floor
+    * recovers the same integer in both engines), the weighted sum is
+    * BIGINT-exact, and ECE/MCE are one final division each,
+    * floor-quantized. Scale shape: everything after the (already
+    * bounded) bins frame is a 10-row aggregate. */
+  def ece(s: SparkSession, d: String): DataFrame =
+    calibrationBins(s, d)
+      .select(col("n_bin"), col("gap"))
+      .withColumn("gm", floor(abs(col("gap")) * lit(1000000.0) + lit(0.5)).cast("long"))
+      .agg(count(lit(1)).as("n_bins"), sum("n_bin").as("n_total"),
+        sum(col("n_bin") * col("gm")).as("wsum"), max("gm").as("mg"))
+      .select(col("n_bins"), col("n_total"),
+        q6(col("wsum").cast("double") /
+          (col("n_total").cast("double") * lit(1000000.0))).as("ece"),
+        (col("mg").cast("double") / lit(1000000.0)).as("mce"))
+
+  /** Isotonic (PAV) calibration fit over the [[calibrationBins]] frame
+    * via the minimax identity — the calibration REPAIR beside the
+    * audit: the nondecreasing fit ŷ_i = max_{j≤i} min_{k≥i} wavg(j..k)
+    * equals what pool-adjacent-violators computes, but as a closed-form
+    * min/max over contiguous-block weighted means — no sequential
+    * pooling loop, so it runs as three joins over the 10-row bin frame
+    * and is trivially oracle-mirrorable.
+    *
+    * Determinism: block means are single divisions of exact prefix-sum
+    * differences (BIGINT); min/max compare identical doubles; the fit
+    * is 6-dp floor-quantized only at output. Scale shape: the bins
+    * frame is constant-bounded (10 rows → ≤220 triples); the heavy
+    * lifting stays in [[calibrationBins]]'s bounded aggregates. */
+  def isotonicFit(s: SparkSession, d: String): DataFrame = {
+    val bins = graft.util.Ckpt.stage(calibrationBins(s, d)
+      .select(col("bin"), col("n_bin"), col("n_pos"), col("pos_rate")))
+    val w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = bins
+      .withColumn("cn", sum("n_bin").over(w))
+      .withColumn("cp", sum("n_pos").over(w))
+    val jSide = pre.select(col("bin").as("j"),
+      (col("cn") - col("n_bin")).as("nj"), (col("cp") - col("n_pos")).as("pj"))
+    val kSide = pre.select(col("bin").as("k"), col("cn").as("nk"), col("cp").as("pk"))
+    val pairs = jSide.crossJoin(broadcast(kSide)).filter(col("j") <= col("k"))
+      .select(col("j"), col("k"),
+        ((col("pk") - col("pj")).cast("double") /
+         (col("nk") - col("nj")).cast("double")).as("avgjk"))
+    val iSide = bins.select(col("bin").as("i"))
+    val iso = pairs.crossJoin(broadcast(iSide))
+      .filter(col("j") <= col("i") && col("k") >= col("i"))
+      .groupBy("i", "j").agg(min("avgjk").as("mk"))
+      .groupBy("i").agg(max("mk").as("iso"))
+    bins.join(broadcast(iso), col("bin") === col("i"))
+      .select(col("bin"), col("n_bin"), col("n_pos"), col("pos_rate"),
+        q6(col("iso")).as("iso"))
+      .orderBy("bin")
+  }
+
+  /** Average precision (area under the precision-recall curve, step
+    * form) of `n_chars` ranking the `lang = 'en'` label per source —
+    * the PR-side companion to [[qualityAuc]]: AUC is insensitive to
+    * class skew, AP is what matters when positives are rare (the usual
+    * curation regime). AP = (1/n_pos)·Σ_{hits k} P@k over the ranked
+    * list, ranked by (n_chars desc, doc_id) — a total order, so every
+    * P@k is well-defined.
+    *
+    * Determinism: each P@k is ONE division of exact integers
+    * (cumulative hits / rank), 6-dp floor-quantized and summed in
+    * DECIMAL (order-independent, exact), then one final division.
+    * Scale shape: one per-source ranking window over (source)-
+    * partitioned rows, one keyed aggregate; ranks never leave their
+    * partition. */
+  def avgPrecision(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("source").orderBy(col("n_chars").desc, col("doc_id").asc)
+    val ranked = Tables.documents(s, d)
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        (col("lang") === "en").cast("long").as("rel"))
+      .withColumn("k", row_number().over(w).cast("long"))
+      .withColumn("cumrel", sum("rel").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    ranked.filter(col("rel") === 1)
+      .withColumn("p_at_k", q6(col("cumrel").cast("double") / col("k").cast("double"))
+        .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_pos"), sum("p_at_k").as("sp"))
+      .select(col("source"), col("n_pos"),
+        q6(col("sp").cast("double") / col("n_pos").cast("double")).as("avg_precision"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_zorder_pruning" -> (zorderPruning _),
     "q_quality_auc" -> (qualityAuc _),
@@ -306,7 +397,38 @@ object Evaluation {
     "q_skyline_2d" -> (skyline2d _),
     "q_itemsets2" -> (itemsets2 _),
     "q_zorder_key" -> (zorderLayout _),
+    "q_ece" -> (ece _),
+    "q_isotonic_fit" -> (isotonicFit _),
+    "q_avg_precision" -> (avgPrecision _),
   )
+
+  /** The [[calibrationBins]] oracle body through CTE `q(bin, n_bin,
+    * n_pos, pos_rate, mean_score)` — shared by the calibration, ECE, and
+    * isotonic-fit oracles so the bin arithmetic lives in one place. */
+  // lazy: interpolated by `oracle` entries during object initialization
+  private lazy val CalibrationCtes: String =
+    """vc AS (
+      |  SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS c,
+      |         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS c1
+      |  FROM documents GROUP BY n_chars
+      |), n AS (SELECT CAST(sum(c) AS BIGINT) AS nt FROM vc),
+      |r AS (
+      |  SELECT v, c, c1, CAST(sum(c) OVER (ORDER BY v) - c AS BIGINT) AS prev, nt
+      |  FROM vc, n
+      |), scored AS (
+      |  SELECT c, c1, prev, nt,
+      |    least(9, CAST(floor(CAST(prev AS DOUBLE) / CAST(nt - 1 AS DOUBLE) * 10) AS BIGINT)) AS bin
+      |  FROM r
+      |), b AS (
+      |  SELECT bin, CAST(sum(c) AS BIGINT) AS n_bin, CAST(sum(c1) AS BIGINT) AS n_pos,
+      |         CAST(sum(c * prev) AS BIGINT) AS sp, CAST(min(nt) AS BIGINT) AS nt
+      |  FROM scored GROUP BY bin
+      |), q AS (
+      |  SELECT bin, n_bin, n_pos,
+      |    floor(CAST(n_pos AS DOUBLE) / CAST(n_bin AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS pos_rate,
+      |    floor(CAST(sp AS DOUBLE) / CAST((nt - 1) * n_bin AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS mean_score
+      |  FROM b
+      |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q_quality_auc" ->
@@ -332,30 +454,69 @@ object Evaluation {
         |  END AS auc
         |FROM a ORDER BY source""".stripMargin,
     "q_calibration" ->
-      """WITH vc AS (
-        |  SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS c,
-        |         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS c1
-        |  FROM documents GROUP BY n_chars
-        |), n AS (SELECT CAST(sum(c) AS BIGINT) AS nt FROM vc),
-        |r AS (
-        |  SELECT v, c, c1, CAST(sum(c) OVER (ORDER BY v) - c AS BIGINT) AS prev, nt
-        |  FROM vc, n
-        |), scored AS (
-        |  SELECT c, c1, prev, nt,
-        |    least(9, CAST(floor(CAST(prev AS DOUBLE) / CAST(nt - 1 AS DOUBLE) * 10) AS BIGINT)) AS bin
-        |  FROM r
-        |), b AS (
-        |  SELECT bin, CAST(sum(c) AS BIGINT) AS n_bin, CAST(sum(c1) AS BIGINT) AS n_pos,
-        |         CAST(sum(c * prev) AS BIGINT) AS sp, CAST(min(nt) AS BIGINT) AS nt
-        |  FROM scored GROUP BY bin
-        |), q AS (
-        |  SELECT bin, n_bin, n_pos,
-        |    floor(CAST(n_pos AS DOUBLE) / CAST(n_bin AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS pos_rate,
-        |    floor(CAST(sp AS DOUBLE) / CAST((nt - 1) * n_bin AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS mean_score
-        |  FROM b
+      s"""WITH $CalibrationCtes
+         |SELECT bin, n_bin, n_pos, pos_rate, mean_score, pos_rate - mean_score AS gap
+         |FROM q ORDER BY bin""".stripMargin,
+    // |gap| re-quantized to exact ppm integers; weighted sum BIGINT-exact
+    "q_ece" ->
+      s"""WITH $CalibrationCtes,
+         |g AS (
+         |  SELECT n_bin,
+         |         CAST(floor(abs(pos_rate - mean_score) * 1000000.0 + 0.5) AS BIGINT) AS gm
+         |  FROM q
+         |), a AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_bins, CAST(sum(n_bin) AS BIGINT) AS n_total,
+         |         CAST(sum(n_bin * gm) AS BIGINT) AS wsum, CAST(max(gm) AS BIGINT) AS mg
+         |  FROM g
+         |)
+         |SELECT n_bins, n_total,
+         |       floor(CAST(wsum AS DOUBLE) / (CAST(n_total AS DOUBLE) * 1000000.0)
+         |             * 1000000.0 + 0.5) / 1000000.0 AS ece,
+         |       CAST(mg AS DOUBLE) / 1000000.0 AS mce
+         |FROM a""".stripMargin,
+    // block means from prefix-sum differences; the minimax (PAV) identity
+    // as three joins over the 10-row bin frame
+    "q_isotonic_fit" ->
+      s"""WITH $CalibrationCtes,
+         |pre AS (
+         |  SELECT bin, n_bin, n_pos, pos_rate,
+         |         CAST(SUM(n_bin) OVER (ORDER BY bin) AS BIGINT) AS cn,
+         |         CAST(SUM(n_pos) OVER (ORDER BY bin) AS BIGINT) AS cp
+         |  FROM q
+         |), pairs AS (
+         |  SELECT j.bin AS j, k.bin AS k,
+         |         CAST(k.cp - (j.cp - j.n_pos) AS DOUBLE)
+         |           / CAST(k.cn - (j.cn - j.n_bin) AS DOUBLE) AS avgjk
+         |  FROM pre j JOIN pre k ON j.bin <= k.bin
+         |), t AS (
+         |  SELECT i.bin AS i, p.j, min(p.avgjk) AS mk
+         |  FROM pairs p JOIN pre i ON p.j <= i.bin AND p.k >= i.bin
+         |  GROUP BY 1, 2
+         |), iso AS (SELECT i AS bin, max(mk) AS iso FROM t GROUP BY 1)
+         |SELECT q.bin, q.n_bin, q.n_pos, q.pos_rate,
+         |       floor(iso.iso * 1000000.0 + 0.5) / 1000000.0 AS iso
+         |FROM q JOIN iso USING (bin) ORDER BY bin""".stripMargin,
+    // per-source total-order ranking; each P@k one exact division,
+    // quantized then DECIMAL-summed (order-independent)
+    "q_avg_precision" ->
+      """WITH ranked AS (
+        |  SELECT source, doc_id, n_chars,
+        |         CAST(lang = 'en' AS BIGINT) AS rel,
+        |         CAST(row_number() OVER (PARTITION BY source
+        |                                 ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS k,
+        |         CAST(SUM(CAST(lang = 'en' AS BIGINT))
+        |              OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumrel
+        |  FROM documents
         |)
-        |SELECT bin, n_bin, n_pos, pos_rate, mean_score, pos_rate - mean_score AS gap
-        |FROM q ORDER BY bin""".stripMargin,
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_pos,
+        |       floor(CAST(SUM(CAST(floor(CAST(cumrel AS DOUBLE) / CAST(k AS DOUBLE)
+        |                                 * 1000000.0 + 0.5) / 1000000.0
+        |                           AS DECIMAL(18,6))) AS DOUBLE)
+        |             / CAST(count(*) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS avg_precision
+        |FROM ranked WHERE rel = 1
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
     "q_skyline_2d" ->
       """WITH m AS (SELECT p_size, max(p_retailprice) AS mp FROM part GROUP BY p_size),
         |f AS (

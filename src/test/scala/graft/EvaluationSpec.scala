@@ -624,4 +624,75 @@ class EvaluationSpec extends AnyFunSuite {
     assert(math.abs(mde - expect) < 1e-4, s"mde $mde vs $expect")
     assert(math.abs(sd - math.sqrt(sp2)) < 1e-4)
   }
+
+  test("ECE/MCE recompose from the calibration bins; ECE <= MCE") {
+    val bins = ops.Evaluation.calibrationBins(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getDouble(5)))
+    val r = ops.Evaluation.ece(spark, sf).collect().head
+    val (nBins, nTotal, e, m) = (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+    assert(nBins === bins.length.toLong)
+    assert(nTotal === bins.map(_._1).sum)
+    val brute = bins.map { case (n, g) => n * math.abs(g) }.sum / nTotal
+    assert(math.abs(e - brute) < 1e-5, s"ece $e vs $brute")
+    assert(math.abs(m - bins.map(x => math.abs(x._2)).max) < 1e-5)
+    assert(e >= 0.0 && e <= m + 1e-12)
+  }
+
+  test("isotonic fit: nondecreasing, mass-preserving, matches scan-PAV") {
+    val rows = ops.Evaluation.isotonicFit(spark, sf).collect()
+      .sortBy(_.getLong(0))
+    val iso = rows.map(_.getDouble(4))
+    iso.sliding(2).foreach { case Array(a, b) =>
+      assert(a <= b + 1e-12, s"iso not monotone: ${iso.toSeq}")
+    }
+    // weighted L2 isotonic regression preserves total mass
+    val mass = rows.map(r => r.getLong(1) * r.getDouble(4)).sum
+    val pos = rows.map(_.getLong(2)).sum
+    assert(math.abs(mass - pos) < pos * 1e-4, s"mass $mass vs positives $pos")
+    // brute PAV by stack pooling over the same bins
+    case class Block(var n: Long, var p: Long)
+    val st = scala.collection.mutable.ArrayBuffer.empty[Block]
+    rows.foreach { r =>
+      st.append(Block(r.getLong(1), r.getLong(2)))
+      while (st.length > 1 &&
+        st(st.length - 2).p.toDouble * st.last.n >= st.last.p.toDouble * st(st.length - 2).n) {
+        val b = st.remove(st.length - 1)
+        st.last.n += b.n; st.last.p += b.p
+      }
+    }
+    // expand blocks back to per-bin fitted values
+    val fitted = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var idx = 0
+    st.foreach { b =>
+      var cnt = 0L
+      while (cnt < b.n) { val nb = rows(idx).getLong(1); fitted.append(b.p.toDouble / b.n); cnt += nb; idx += 1 }
+    }
+    assert(fitted.length === rows.length)
+    iso.zip(fitted).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(math.abs(a - b) < 1e-5, s"bin $i: minimax $a vs PAV $b")
+    }
+  }
+
+  test("average precision: exact driver replay per source") {
+    val got = ops.Evaluation.avgPrecision(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val docs = Tables.documents(spark, sf)
+      .select("source", "doc_id", "n_chars", "lang").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    docs.groupBy(_._1).foreach { case (src, xs) =>
+      val ranked = xs.sortBy(x => (-x._3, x._2))
+      var cum = 0L; var k = 0L; var terms = List.empty[Double]
+      ranked.foreach { x =>
+        k += 1
+        if (x._4 == "en") { cum += 1
+          terms ::= math.floor(cum.toDouble / k * 1e6 + 0.5) / 1e6 }
+      }
+      if (terms.nonEmpty) {
+        val (np, ap) = got(src)
+        assert(np === cum, s"$src n_pos")
+        val brute = terms.sum / np
+        assert(math.abs(ap - brute) < 1e-5, s"$src ap $ap vs $brute")
+      } else assert(!got.contains(src))
+    }
+  }
 }
