@@ -1432,7 +1432,50 @@ object Similarity {
       .orderBy("qid")
   }
 
+  /** Contrastive training-pair assembly — the data-prep step behind
+    * embedding-model fine-tuning (InfoNCE/triplet batches): per held-out
+    * probe, its 5 nearest corpus neighbors become positives and 5
+    * deterministically-sampled non-neighbors become hard-shuffled
+    * negatives. Negative choice is the engine's keyed-hash sampling
+    * discipline (md5 of "qid:vec_id" — reproducible, uniform over the
+    * non-positive corpus, and independent per probe so no negative is
+    * globally over-sampled).
+    *
+    * Determinism: positives rank by the established (rounded cosine,
+    * vec_id) order; negatives rank by the hex digest string with a
+    * vec_id tie-break — pure string/integer comparisons.
+    *
+    * Scale shape: the probe set broadcasts; one corpus scan scores both
+    * roles (the ranking window and the hash window share the scored
+    * frame); at serving scale the positive candidates come from
+    * [[annIvf]] cells and the negative stream from a per-partition hash
+    * filter — the same two windows over a bounded candidate frame. */
+  def contrastivePairs(s: SparkSession, d: String): DataFrame = {
+    val n = once(withNorm(Tables.embeddings(s, d)))
+    val q = n.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qn"))
+    val wTop = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
+    val scored = once(n.filter(col("vec_id") % 50 =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("cos", round(dot(col("v"), col("qv")) / (col("norm") * col("qn")), 4))
+      .withColumn("rn", row_number().over(wTop))
+      .select(col("qid"), col("vec_id"), col("cos"), col("rn")))
+    val pos = scored.filter(col("rn") <= 5)
+      .select(col("qid"), lit("pos").as("role"), col("rn").as("rnk"),
+        col("vec_id"), col("cos"))
+    val wNeg = Window.partitionBy("qid").orderBy(col("h").asc, col("vec_id").asc)
+    val neg = scored.filter(col("rn") > 5)
+      .withColumn("h", md5(concat(col("qid").cast("string"), lit(":"),
+        col("vec_id").cast("string"))))
+      .withColumn("hrn", row_number().over(wNeg))
+      .filter(col("hrn") <= 5)
+      .select(col("qid"), lit("neg").as("role"), col("hrn").as("rnk"),
+        col("vec_id"), col("cos"))
+    pos.unionByName(neg).orderBy("qid", "role", "rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_contrastive_pairs" -> (contrastivePairs _),
     "q_matryoshka"    -> (matryoshkaAudit _),
     "q_silhouette"    -> (silhouette _),
     "q_pq_rerank"     -> (pqRerank _),
@@ -1763,6 +1806,34 @@ object Similarity {
   }
 
   val oracle: Map[String, String] = Map(
+    // positives by (cos desc, vec_id) rank; negatives by the keyed-hash
+    // order over the non-positive corpus
+    "q_contrastive_pairs" ->
+      s"""WITH $NormCte,
+         |q AS (SELECT vec_id AS qid, v AS qv, norm AS qn FROM n WHERE vec_id % 50 = 0),
+         |sc AS (
+         |  SELECT q.qid, n.vec_id,
+         |         round(list_dot_product(n.v, q.qv) / (n.norm * q.qn), 4) AS cos
+         |  FROM n, q WHERE n.vec_id % 50 <> 0
+         |), rk AS (
+         |  SELECT qid, vec_id, cos,
+         |         row_number() OVER (PARTITION BY qid
+         |                            ORDER BY cos DESC, vec_id ASC) AS rn
+         |  FROM sc
+         |), pos AS (
+         |  SELECT qid, 'pos' AS role, CAST(rn AS INTEGER) AS rnk, vec_id, cos
+         |  FROM rk WHERE rn <= 5
+         |), neg AS (
+         |  SELECT qid, 'neg' AS role, CAST(hrn AS INTEGER) AS rnk, vec_id, cos
+         |  FROM (
+         |    SELECT qid, vec_id, cos,
+         |           row_number() OVER (PARTITION BY qid
+         |             ORDER BY md5(qid || ':' || vec_id) ASC, vec_id ASC) AS hrn
+         |    FROM rk WHERE rn > 5) t
+         |  WHERE hrn <= 5
+         |)
+         |SELECT * FROM pos UNION ALL SELECT * FROM neg
+         |ORDER BY qid, role, rnk""".stripMargin,
     // the neardup pair recipe at DbEps; degrees, core threshold, the
     // recursive closure over the core-core subgraph, min-label borders
     "q_dbscan" ->

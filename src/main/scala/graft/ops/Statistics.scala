@@ -2245,7 +2245,58 @@ object Statistics {
           .as("alarm"))
   }
 
+  /** Nelson–Aalen cumulative-hazard estimator over the same
+    * customer-lifetime frame as [[kaplanMeier]] — the hazard-side view a
+    * churn model trains against: H(t) = Σ_{tᵢ≤t} dᵢ/nᵢ with Poisson
+    * variance Σ dᵢ/nᵢ², additive where KM is multiplicative (so it
+    * remains defined past a total-wipeout event time, where KM's
+    * survival hits exact 0 and its log dies).
+    *
+    * Determinism: each increment dᵢ/nᵢ (and dᵢ/nᵢ²) is ONE division of
+    * exact BIGINTs, floor-quantized at 9 dp (variance increments at
+    * n ≈ 10³ are ~10⁻⁷ — 6 dp would zero them) and cast to
+    * DECIMAL(18,9) (safe: the quantized double sits within one ulp of
+    * k/10⁹, far from any cast tie), so the cumulative sums are exact
+    * and order-independent; output casts back to double.
+    *
+    * Scale shape: identical to KM — per-customer aggregate, duration-
+    * bounded byDur frame, windows over ≤|durations| rows. The lifetime
+    * construction is duplicated (not shared) from [[kaplanMeier]]
+    * deliberately: that query's path is the engine's hardest-won parity
+    * fix and stays untouched. */
+  def nelsonAalen(s: SparkSession, d: String): DataFrame = {
+    val q9 = (c: Column) => (floor(c * lit(1000000000.0) + lit(0.5)) /
+      lit(1000000000.0)).cast(DecimalType(18, 9))
+    val per = Tables.orders(s, d)
+      .groupBy("o_custkey")
+      .agg(min(unix_micros(col("o_orderdate").cast("timestamp"))).as("mn"),
+        max(unix_micros(col("o_orderdate").cast("timestamp"))).as("mx"))
+    val ext = per.agg(min("mn").as("lo"), max("mx").as("hi"))
+    val life = per.crossJoin(broadcast(ext))
+      .withColumn("dur", expr("(mx - mn) div 86400000000"))
+      .withColumn("cens", (col("mx") > expr("lo + ((hi - lo) * 4) div 5")).cast("long"))
+    val byDur = life.groupBy("dur")
+      .agg(count(lit(1)).as("all_at"), sum(lit(1) - col("cens")).as("d"))
+    val wo = Window.orderBy("dur")
+    val run = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDur
+      .withColumn("n_total", sum("all_at").over(Window.partitionBy()))
+      .withColumn("before", coalesce(
+        sum("all_at").over(wo.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n_risk", col("n_total") - col("before"))
+      .filter(col("d") > 0)
+      .withColumn("h_inc", q9(col("d").cast("double") / col("n_risk").cast("double")))
+      .withColumn("v_inc", q9(col("d").cast("double") /
+        (col("n_risk") * col("n_risk")).cast("double")))
+      .select(col("dur").as("dur_days"), col("n_risk"), col("d").as("n_death"),
+        col("h_inc").cast("double").as("h_inc"),
+        sum("h_inc").over(run).cast("double").as("cum_hazard"),
+        sum("v_inc").over(run).cast("double").as("cum_var"))
+      .orderBy("dur_days")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_nelson_aalen" -> (nelsonAalen _),
     "q_jarque_bera" -> (jarqueBera _),
     "q_ljung_box" -> (ljungBox _),
     "q_page_hinkley" -> (pageHinkley _),
@@ -2293,6 +2344,43 @@ object Statistics {
   )
 
   val oracle: Map[String, String] = Map(
+    // the KM lifetime frame; 9-dp-quantized hazard increments summed in
+    // DECIMAL(18,9) — exact and order-independent
+    "q_nelson_aalen" ->
+      """WITH per AS (
+        |  SELECT o_custkey, min(epoch_us(o_orderdate)) AS mn,
+        |         max(epoch_us(o_orderdate)) AS mx
+        |  FROM orders GROUP BY o_custkey
+        |), ext AS (SELECT min(mn) AS lo, max(mx) AS hi FROM per),
+        |life AS (
+        |  SELECT (mx - mn) // 86400000000 AS dur,
+        |         CASE WHEN mx > lo + ((hi - lo) * 4) // 5 THEN 1 ELSE 0 END AS cens
+        |  FROM per, ext
+        |), bd AS (
+        |  SELECT dur, CAST(count(*) AS BIGINT) AS all_at,
+        |         CAST(sum(1 - cens) AS BIGINT) AS d
+        |  FROM life GROUP BY dur
+        |), rk AS (
+        |  SELECT dur, d,
+        |         CAST(sum(all_at) OVER () -
+        |         COALESCE(sum(all_at) OVER (ORDER BY dur
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+        |  FROM bd
+        |), h AS (
+        |  SELECT dur, n_risk, d,
+        |    CAST(floor(CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)
+        |               * 1000000000.0 + 0.5) / 1000000000.0 AS DECIMAL(18,9)) AS h_inc,
+        |    CAST(floor(CAST(d AS DOUBLE) / CAST(n_risk * n_risk AS DOUBLE)
+        |               * 1000000000.0 + 0.5) / 1000000000.0 AS DECIMAL(18,9)) AS v_inc
+        |  FROM rk WHERE d > 0
+        |)
+        |SELECT dur AS dur_days, n_risk, d AS n_death,
+        |  CAST(h_inc AS DOUBLE) AS h_inc,
+        |  CAST(sum(h_inc) OVER (ORDER BY dur
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_hazard,
+        |  CAST(sum(v_inc) OVER (ORDER BY dur
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_var
+        |FROM h ORDER BY dur_days""".stripMargin,
     // quantized central moments: 6-dp mean, milli-unit integer deviations,
     // HUGEINT power sums; g1/g2/JB trees mirrored op-for-op
     "q_jarque_bera" ->

@@ -38,6 +38,29 @@ class DensityKnnSpec extends AnyFunSuite {
     }
   }
 
+  test("contrastive pairs: 5 pos + 5 neg per probe, disjoint, negatives dominated") {
+    val rows = ops.Similarity.contrastivePairs(spark, sf).collect()
+    val probes = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 50 === 0).count()
+    val byProbe = rows.groupBy(_.getLong(0))
+    assert(byProbe.size.toLong === probes)
+    byProbe.foreach { case (qid, rs) =>
+      val pos = rs.filter(_.getString(1) == "pos")
+      val neg = rs.filter(_.getString(1) == "neg")
+      assert(pos.length === 5 && neg.length === 5, s"$qid counts")
+      assert(pos.map(_.getLong(3)).toSet.intersect(neg.map(_.getLong(3)).toSet).isEmpty,
+        s"$qid role overlap")
+      // no sampled id is a probe (held-out corpus only)
+      rs.foreach(r => assert(r.getLong(3) % 50 != 0, s"$qid sampled a probe"))
+      // positives are the candidate-set maximum: no negative beats the
+      // weakest positive (rounded-cosine order with id tie-break)
+      val minPos = pos.map(_.getDouble(4)).min
+      neg.foreach { n =>
+        assert(n.getDouble(4) <= minPos + 1e-12, s"$qid negative beats a positive")
+      }
+    }
+  }
+
   test("kNN classify: exact driver replay of the 5-NN majority vote") {
     val got = ops.Similarity.knnClassify(spark, sf).collect()
       .map(r => r.getLong(0) -> r).toMap

@@ -766,6 +766,30 @@ class StatisticsSpec extends AnyFunSuite {
     }
   }
 
+  test("Nelson-Aalen: increments replay, H nondecreasing, bounded by -log S") {
+    val na = ops.Statistics.nelsonAalen(spark, sf).collect()
+    assert(na.nonEmpty)
+    var prevH = 0.0
+    na.foreach { r =>
+      val (nRisk, d) = (r.getLong(1), r.getLong(2))
+      val (hInc, h, v) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(math.abs(hInc - d.toDouble / nRisk) < 1e-8, "h_inc replay")
+      assert(h >= prevH - 1e-12, "H must be nondecreasing")
+      assert(v >= 0.0 && v <= h + 1e-12, "var <= H (d/n^2 <= d/n)")
+      prevH = h
+    }
+    // -ln(1-x) >= x termwise, so KM's -log_surv dominates H where defined
+    val km = ops.Statistics.kaplanMeier(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    na.foreach { r =>
+      val k = km(r.getLong(0))
+      if (!k.isNullAt(4)) {
+        assert(-k.getDouble(4) >= r.getDouble(4) - 1e-6,
+          s"dur ${r.getLong(0)}: -logS ${-k.getDouble(4)} < H ${r.getDouble(4)}")
+      }
+    }
+  }
+
   test("Page-Hinkley: exact integer replay of the scaled statistic") {
     val row = ops.Statistics.pageHinkley(spark, sf).collect().head
     val daily = Tables.events(spark, sf).filter(col("value").isNotNull)
