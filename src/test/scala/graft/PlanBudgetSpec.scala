@@ -509,6 +509,41 @@ class PlanBudgetSpec extends AnyFunSuite {
                                       // aggregates, 2-row pred broadcast
                                       // (audited 2 staged; audit mode
                                       // recomputes keyed per layout, +head)
+    // round-9 additions (audited via the spec's own audit mode at
+    // sf0.001; +1 headroom unless noted)
+    ("q_jarque_bera", 4, 1),          // mean pass + deviation pass, both
+                                      // map-side-combined to 5 rows; the
+                                      // mean frame broadcasts
+    ("q_ljung_box", 6, 1),            // (type, day) agg (recomputed per
+                                      // branch in audit mode) + one lag
+                                      // window; totals broadcast
+    ("q_page_hinkley", 8, 1),         // daily agg + day-bounded prefix +
+                                      // running-min windows; total and
+                                      // argmax broadcast (cusum shape)
+    ("q_knn_classify", 4, 1),         // probes broadcast; ONE corpus scan
+                                      // into the top-k window + vote agg
+    ("q_sorted_neighborhood", 6, 0),  // per-lang sort window recomputed
+                                      // per candidate arm in audit mode;
+                                      // candidates linear, no broadcast req
+    ("q_cdc_chunks", 10, 0),          // words explode + per-doc windows +
+                                      // chunk digest joins; audit mode
+                                      // recomputes the staged words/chunk
+                                      // frames per consumer
+    ("q_lsh_tuning", 3, 0),           // 95-row constant frame: explode +
+                                      // per-config window + sort
+    ("q_nelson_aalen", 5, 1),         // the KM frame: per-customer agg +
+                                      // 1-row extent broadcast + duration-
+                                      // bounded windows
+    ("q_contrastive_pairs", 7, 0),    // the scored frame's ranking window
+                                      // recomputed per role arm in audit
+                                      // mode; probes broadcast inside
+    ("q_ece", 7, 1),                  // the calibration lineage + a 10-row
+                                      // reduce
+    ("q_isotonic_fit", 18, 2),        // audit mode recomputes the staged
+                                      // 10-row bin frame per branch (pre /
+                                      // iSide / output join); staged
+                                      // execution runs calibration once
+    ("q_avg_precision", 3, 0),        // per-source rank window + keyed agg
   )
 
   budgets.foreach { case (name, maxShuffles, minBcasts) =>
