@@ -761,6 +761,138 @@ object Dedup {
       .orderBy("family_a", "family_b")
   }
 
+  /** One aggregated row of sufficient statistics for the k=6-rater
+    * agreement tests ([[cochranQ]], [[fleissKappa]]): per-doc row sums
+    * L_i over the six flags reduce to N, T = ΣL_i, ΣL_i², plus the six
+    * column totals — everything both tests need, in one pass over
+    * [[familyFlags]]. */
+  private def raterStats(s: SparkSession, d: String): DataFrame = {
+    val l = CompareFams.map(f => col(f._2)).reduce(_ + _).cast("long")
+    val aggs = Seq(
+      count(lit(1)).as("n_docs"),
+      sum(l).as("t"),
+      sum(l * l).as("sum_l2")) ++
+      CompareFams.map { case (_, c, nm) => sum(col(c).cast("long")).as(nm) }
+    familyFlags(s, d).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Cochran's Q across all SIX dedup families jointly — the k-rater
+    * completion of the pairwise [[dedupKappa]] dashboard: do the six
+    * binary duplicate verdicts have the SAME marginal rate, or does at
+    * least one family systematically flag more? Q = k(k−1)·(k·ΣG_j² −
+    * T²) / (k·T − ΣL_i²) is χ²_{k−1} under exchangeable raters, so
+    * Q ≫ 11 (df=5) ⇒ the families are calibrated differently and their
+    * flag counts cannot be compared without rate-normalizing first —
+    * the test a pipeline owner runs BEFORE reading the κ matrix.
+    *
+    * Determinism: G_j (column totals), T, and ΣL_i² are exact BIGINTs
+    * off one aggregated row; the numerator and denominator promote to
+    * DECIMAL(38,0)/HUGEINT (k·ΣG² ~ 36·N² wraps BIGINT past ~5·10⁸
+    * docs), and Q is ONE correctly-rounded division of exact decimals,
+    * 6-dp-rounded (the [[dedupKappa]] recipe). All-zero or all-k rows
+    * everywhere ⇒ denominator 0 ⇒ NULL via the same guard both sides.
+    *
+    * Scale shape: zero work beyond [[familyFlags]] — one
+    * map-side-combined aggregate to a single row. */
+  def cochranQ(s: SparkSession, d: String): DataFrame = {
+    val dec0 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val k = lit(6L)
+    val sumG2 = CompareFams.map { case (_, _, nm) =>
+      col(nm).cast(dec0) * col(nm).cast(dec0) }.reduce(_ + _)
+    val num = (k * (k - lit(1L))).cast(dec0) *
+      (k.cast(dec0) * sumG2 - col("t").cast(dec0) * col("t").cast(dec0))
+    val den = (k * col("t") - col("sum_l2")).cast(dec0)
+    raterStats(s, d).select(
+      col("n_docs"), lit(6).as("k_raters"), col("t").as("n_flags"),
+      col("sum_l2"),
+      when(den === lit(0), lit(null).cast("double"))
+        .otherwise(round(num.cast("double") / den.cast("double"), 6))
+        .as("q_stat"))
+  }
+
+  /** Fleiss' κ of the six dedup families as k=6 raters over N documents,
+    * two categories (dup / not-dup) — the MULTI-rater chance-corrected
+    * agreement number ([[dedupKappa]] is pairwise; Fleiss asks whether
+    * the whole panel agrees beyond chance): P̄ = (Σ(L² + (k−L)²) − Nk)
+    * / (Nk(k−1)), P̄_e = (T² + (Nk−T)²) / (Nk)², κ = (P̄−P̄_e)/(1−P̄_e).
+    * κ ≈ 1 ⇒ any one family suffices; κ ≈ 0 ⇒ the families genuinely
+    * complement each other and the union policy earns its cost.
+    *
+    * Determinism: with A = 2ΣL² + Nk² − 2kT − Nk, D = Nk(k−1),
+    * E = T² + (Nk−T)², M = (Nk)², every quantity is an exact
+    * DECIMAL(38,0)/HUGEINT integer (M ~ 36N² wraps BIGINT past ~5·10⁸
+    * docs), κ = (A·M − E·D)/(D·(M−E)) is ONE division of exact decimals,
+    * and P̄/P̄_e are each one division — all 6-dp-rounded per the
+    * [[dedupKappa]] recipe. M = E (every rater flags everything or
+    * nothing) ⇒ NULL via the same guard both sides.
+    *
+    * Scale shape: identical to [[cochranQ]] — one map-side-combined
+    * aggregate over [[familyFlags]] to a single row. */
+  def fleissKappa(s: SparkSession, d: String): DataFrame = {
+    val dec0 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val n = col("n_docs").cast(dec0)
+    val t = col("t").cast(dec0)
+    val k = lit(6L).cast(dec0)
+    val a = lit(2L).cast(dec0) * col("sum_l2").cast(dec0) +
+      n * k * k - lit(2L).cast(dec0) * k * t - n * k
+    val dd = n * k * (k - lit(1L).cast(dec0))
+    val e = t * t + (n * k - t) * (n * k - t)
+    val m = (n * k) * (n * k)
+    raterStats(s, d).select(
+      col("n_docs"), lit(6).as("k_raters"),
+      round(a.cast("double") / dd.cast("double"), 6).as("p_bar"),
+      round(e.cast("double") / m.cast("double"), 6).as("p_e"),
+      when(m - e === lit(0), lit(null).cast("double"))
+        .otherwise(round((a * m - e * dd).cast("double") /
+          (dd * (m - e)).cast("double"), 6)).as("kappa"))
+  }
+
+  /** McNemar's test between every pair of dedup families — the
+    * DISAGREEMENT-directional completion of [[dedupKappa]]: κ says how
+    * much two families agree; McNemar asks whether the disagreements
+    * they do have run one way (family A flags docs B misses
+    * systematically, not symmetrically). b = docs only A flags,
+    * c = docs only B flags; χ² = (b−c)²/(b+c) is χ²₁ under symmetric
+    * disagreement (and the continuity-corrected (|b−c|−1)²/(b+c) for
+    * small discordant counts) — χ² ≫ 3.84 ⇒ A is strictly the more
+    * aggressive family and "A ∪ B" ≈ "A", the number that collapses a
+    * two-method pipeline to one.
+    *
+    * Determinism: b = n_a − n_both and c = n_b − n_both are exact
+    * BIGINTs off the [[dedupMethodCompare]] row; each χ² is ONE division
+    * of exact integers, 6-dp-rounded; b + c = 0 (perfect agreement) ⇒
+    * NULL via the same guard both sides. The continuity numerator
+    * clamps at 0 when |b−c| ≤ 1 — greatest() over BIGINTs is exact in
+    * both engines (the DECIMAL promotion hazard in PARITY §5 does not
+    * apply to integer args).
+    *
+    * Scale shape: zero work beyond [[dedupMethodCompare]] — 15 pair
+    * rows explode from its single aggregated row. */
+  def mcnemarPairs(s: SparkSession, d: String): DataFrame = {
+    val prs = for {
+      i <- CompareFams.indices; j <- CompareFams.indices if i < j
+    } yield struct(
+      lit(CompareFams(i)._1).as("fa"), lit(CompareFams(j)._1).as("fb"),
+      col(CompareFams(i)._3).as("na"), col(CompareFams(j)._3).as("nb"),
+      col(s"${CompareFams(i)._1}_and_${CompareFams(j)._1}").as("bt"))
+    val px = dedupMethodCompare(s, d)
+      .select(explode(array(prs: _*)).as("p"))
+      .select(col("p.fa").as("family_a"), col("p.fb").as("family_b"),
+        (col("p.na") - col("p.bt")).cast("long").as("n_only_a"),
+        (col("p.nb") - col("p.bt")).cast("long").as("n_only_b"))
+    val b = col("n_only_a"); val c = col("n_only_b")
+    val diff = b - c
+    val ccNum = greatest(abs(diff) - lit(1L), lit(0L))
+    px.select(col("family_a"), col("family_b"), b, c,
+        when(b + c === lit(0L), lit(null).cast("double"))
+          .otherwise(round((diff * diff).cast("double") /
+            (b + c).cast("double"), 6)).as("chi2"),
+        when(b + c === lit(0L), lit(null).cast("double"))
+          .otherwise(round((ccNum * ccNum).cast("double") /
+            (b + c).cast("double"), 6)).as("chi2_cc"))
+      .orderBy("family_a", "family_b")
+  }
+
   /** Sorted-neighborhood blocking window: each doc is compared to its 2
     * successors in (lang, sort-key) order. */
   private val SnmKeyLen = 24
@@ -923,6 +1055,9 @@ object Dedup {
     "q_sorted_neighborhood" -> (sortedNeighborhood _),
     "q_cdc_chunks" -> (cdcChunks _),
     "q_dedup_kappa" -> (dedupKappa _),
+    "q_cochran_q" -> (cochranQ _),
+    "q_fleiss_kappa" -> (fleissKappa _),
+    "q_mcnemar" -> (mcnemarPairs _),
     "q_cross_source_dup" -> (crossSourceDup _),
     "q_jaccard_hist" -> (jaccardHist _),
     "q_component_sizes" -> (componentSizes _),
@@ -1142,6 +1277,93 @@ object Dedup {
        |                  CAST(CAST(n_docs AS HUGEINT) * n_docs - pe_num AS DOUBLE), 6)
        |  END AS kappa
        |FROM kx ORDER BY family_a, family_b""".stripMargin
+  }
+
+  /** Shared sufficient-statistics CTE for the k-rater oracles: row sums
+    * L over the flags frame `j` reduced to (N, T, ΣL², column totals). */
+  private def raterStatsCte: String = {
+    val lExpr = CompareFams.map(_._2).mkString(" + ")
+    val gs = CompareFams.zipWithIndex.map { case ((_, c, _), i) =>
+      s"CAST(sum($c) AS BIGINT) AS g${i + 1}" }.mkString(", ")
+    s"""rs AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(l) AS BIGINT) AS t,
+       |         CAST(sum(l * l) AS BIGINT) AS sum_l2,
+       |         $gs
+       |  FROM (SELECT *, $lExpr AS l FROM j) jl)""".stripMargin
+  }
+
+  /** [[cochranQ]]'s oracle: the same HUGEINT numerator/denominator off
+    * the shared rater-stats row, one division, same zero-denominator
+    * guard. */
+  private def cochranQOracle: String = {
+    val sumG2 = (1 to 6).map(i => s"CAST(g$i AS HUGEINT) * g$i").mkString(" + ")
+    s"""$compareFlagsCtePrefix,
+       |$raterStatsCte
+       |SELECT n_docs, 6 AS k_raters, t AS n_flags, sum_l2,
+       |  CASE WHEN 6 * t - sum_l2 = 0 THEN NULL
+       |       ELSE round(CAST(30 * (6 * ($sumG2) - CAST(t AS HUGEINT) * t)
+       |                       AS DOUBLE)
+       |                  / CAST(CAST(6 * t - sum_l2 AS HUGEINT) AS DOUBLE), 6)
+       |  END AS q_stat
+       |FROM rs""".stripMargin
+  }
+
+  /** [[fleissKappa]]'s oracle: A, D, E, M in HUGEINT off the shared
+    * rater-stats row, one division each for P̄, P̄_e, κ. */
+  private def fleissKappaOracle: String =
+    s"""$compareFlagsCtePrefix,
+       |$raterStatsCte,
+       |fx AS (
+       |  SELECT n_docs,
+       |    2 * CAST(sum_l2 AS HUGEINT) + 36 * CAST(n_docs AS HUGEINT)
+       |      - 12 * CAST(t AS HUGEINT) - 6 * CAST(n_docs AS HUGEINT) AS a,
+       |    30 * CAST(n_docs AS HUGEINT) AS dd,
+       |    CAST(t AS HUGEINT) * t
+       |      + (6 * CAST(n_docs AS HUGEINT) - t)
+       |        * (6 * CAST(n_docs AS HUGEINT) - t) AS e,
+       |    36 * CAST(n_docs AS HUGEINT) * n_docs AS m
+       |  FROM rs)
+       |SELECT n_docs, 6 AS k_raters,
+       |  round(CAST(a AS DOUBLE) / CAST(dd AS DOUBLE), 6) AS p_bar,
+       |  round(CAST(e AS DOUBLE) / CAST(m AS DOUBLE), 6) AS p_e,
+       |  CASE WHEN m - e = 0 THEN NULL
+       |       ELSE round(CAST(a * m - e * dd AS DOUBLE)
+       |                  / CAST(dd * (m - e) AS DOUBLE), 6)
+       |  END AS kappa
+       |FROM fx""".stripMargin
+
+  /** [[mcnemarPairs]]'s oracle: the κ oracle's per-pair UNION ALL arms,
+    * discordant counts b = n_a − n_both, c = n_b − n_both, one division
+    * per statistic with the same b+c=0 guard. */
+  private def mcnemarOracle: String = {
+    val arms = (for {
+      i <- CompareFams.indices; j <- CompareFams.indices if i < j
+    } yield {
+      val (la, ca, _) = CompareFams(i); val (lb, cb, _) = CompareFams(j)
+      s"""SELECT '$la' AS family_a, '$lb' AS family_b,
+         |    CAST(sum($ca) - sum($ca * $cb) AS BIGINT) AS n_only_a,
+         |    CAST(sum($cb) - sum($ca * $cb) AS BIGINT) AS n_only_b
+         |  FROM j""".stripMargin
+    }).mkString("\n  UNION ALL ")
+    s"""$compareFlagsCtePrefix,
+       |u AS (
+       |  $arms
+       |)
+       |SELECT family_a, family_b, n_only_a, n_only_b,
+       |  CASE WHEN n_only_a + n_only_b = 0 THEN NULL
+       |       ELSE round(CAST((n_only_a - n_only_b) * (n_only_a - n_only_b)
+       |                       AS DOUBLE)
+       |                  / CAST(n_only_a + n_only_b AS DOUBLE), 6)
+       |  END AS chi2,
+       |  CASE WHEN n_only_a + n_only_b = 0 THEN NULL
+       |       ELSE round(CAST(greatest(abs(n_only_a - n_only_b) - 1, 0)
+       |                       * greatest(abs(n_only_a - n_only_b) - 1, 0)
+       |                       AS DOUBLE)
+       |                  / CAST(n_only_a + n_only_b AS DOUBLE), 6)
+       |  END AS chi2_cc
+       |FROM u
+       |ORDER BY family_a, family_b""".stripMargin
   }
 
   /** The [[dedupSavings]] oracle over the same flags prefix: unpivot the
@@ -1429,6 +1651,9 @@ object Dedup {
     "q_dedup_compare" -> dedupCompareOracle,
     "q_dedup_savings" -> dedupSavingsOracle,
     "q_dedup_kappa" -> dedupKappaOracle,
+    "q_cochran_q" -> cochranQOracle,
+    "q_fleiss_kappa" -> fleissKappaOracle,
+    "q_mcnemar" -> mcnemarOracle,
     "q_cross_source_dup" ->
       """WITH inc AS (SELECT DISTINCT source, text FROM documents),
         |shared AS (

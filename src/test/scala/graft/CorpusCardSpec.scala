@@ -144,4 +144,68 @@ class CorpusCardSpec extends AnyFunSuite {
       } else assert(r.isNullAt(r.fieldIndex("kappa")), "degenerate pe must be NULL")
     }
   }
+
+  test("cochran Q + fleiss kappa: k-rater algebra off the shared stats row") {
+    val cmp = Dedup.dedupMethodCompare(spark, sf).collect()(0)
+    val n = cmp.getAs[Long]("n_docs")
+    val totals = Seq("n_exact", "n_minhash", "n_minhash_wide", "n_simhash",
+      "n_semantic", "n_embed").map(cmp.getAs[Long])
+    val cq = Dedup.cochranQ(spark, sf).collect()(0)
+    assert(cq.getAs[Long]("n_docs") === n)
+    val t = cq.getAs[Long]("n_flags")
+    val sumL2 = cq.getAs[Long]("sum_l2")
+    assert(t === totals.sum, "T = sum of column totals")
+    // L ∈ [0,6] ⇒ T ≤ ΣL² ≤ 6T (each L ≤ L² when L ≥ 1, L² ≤ 6L)
+    assert(sumL2 >= t && sumL2 <= 6 * t, "row-sum square bounds")
+    val num = BigInt(30) * (BigInt(6) * totals.map(g => BigInt(g) * g).sum -
+      BigInt(t) * t)
+    val den = BigInt(6) * t - sumL2
+    if (den != 0) {
+      val q = cq.getAs[Double]("q_stat")
+      assert(q >= 0.0, "Cauchy-Schwarz: Q >= 0")
+      assert(math.abs(q - num.toDouble / den.toDouble) < 1e-5, "Q algebra")
+    } else assert(cq.isNullAt(cq.fieldIndex("q_stat")))
+    val fk = Dedup.fleissKappa(spark, sf).collect()(0)
+    val a = BigInt(2) * sumL2 + BigInt(36) * n - BigInt(12) * t - BigInt(6) * n
+    val dd = BigInt(30) * n
+    val e = BigInt(t) * t + (BigInt(6) * n - t) * (BigInt(6) * n - t)
+    val m = BigInt(36) * n * n
+    assert(math.abs(fk.getAs[Double]("p_bar") - a.toDouble / dd.toDouble) < 1e-5)
+    assert(math.abs(fk.getAs[Double]("p_e") - e.toDouble / m.toDouble) < 1e-5)
+    assert(fk.getAs[Double]("p_bar") >= 0.0 && fk.getAs[Double]("p_bar") <= 1.0)
+    assert(fk.getAs[Double]("p_e") >= 0.0 && fk.getAs[Double]("p_e") <= 1.0)
+    if (m != e) {
+      val kap = fk.getAs[Double]("kappa")
+      assert(math.abs(kap - (a * m - e * dd).toDouble / (dd * (m - e)).toDouble)
+        < 1e-5, "Fleiss kappa algebra")
+      assert(kap <= 1.0 + 1e-9, "kappa bounded above by 1")
+    } else assert(fk.isNullAt(fk.fieldIndex("kappa")))
+  }
+
+  test("mcnemar: discordant counts tie to the kappa frame, chi2 laws") {
+    val kap = Dedup.dedupKappa(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"), r.getAs[Long]("n_both")))
+      .toMap
+    val rows = Dedup.mcnemarPairs(spark, sf).collect()
+    assert(rows.length === 15)
+    rows.foreach { r =>
+      val (na, nb, both) = kap((r.getString(0), r.getString(1)))
+      val b = r.getAs[Long]("n_only_a"); val c = r.getAs[Long]("n_only_b")
+      assert(b === na - both, "b = n_a - n_both")
+      assert(c === nb - both, "c = n_b - n_both")
+      if (b + c == 0) {
+        assert(r.isNullAt(r.fieldIndex("chi2")))
+        assert(r.isNullAt(r.fieldIndex("chi2_cc")))
+      } else {
+        val chi2 = r.getAs[Double]("chi2")
+        val cc = r.getAs[Double]("chi2_cc")
+        val d = (b - c).toDouble
+        assert(math.abs(chi2 - d * d / (b + c)) < 1e-5, "chi2 algebra")
+        val cn = math.max(math.abs(b - c) - 1L, 0L).toDouble
+        assert(math.abs(cc - cn * cn / (b + c)) < 1e-5, "continuity algebra")
+        assert(cc <= chi2 + 1e-9, "correction never increases the statistic")
+      }
+    }
+  }
 }

@@ -544,6 +544,11 @@ class PlanBudgetSpec extends AnyFunSuite {
                                       // iSide / output join); staged
                                       // execution runs calibration once
     ("q_avg_precision", 3, 0),        // per-source rank window + keyed agg
+    ("q_cochran_q", 17, 5),           // = q_dedup_compare's flag lineage
+                                      // reduced to one stats row
+    ("q_fleiss_kappa", 17, 5),        // same shared rater-stats row
+    ("q_mcnemar", 17, 5),             // = q_dedup_kappa's shape: compare
+                                      // row + a 15-row generator
   )
 
   budgets.foreach { case (name, maxShuffles, minBcasts) =>
