@@ -2295,7 +2295,161 @@ object Statistics {
       .orderBy("dur_days")
   }
 
+  /** Two-sample log-rank test between the AUTOMOBILE and BUILDING
+    * customer segments over the [[kaplanMeier]] lifetime frame — the
+    * inference step the survival pair ([[kaplanMeier]] curve,
+    * [[nelsonAalen]] hazard) leads to: do the two segments churn at the
+    * same rate, censoring handled correctly on both sides? At each
+    * distinct churn time t: O−E accumulates d_A − d·n_A/n and the
+    * hypergeometric variance d·n_A·(n−n_A)·(n−d)/(n²(n−1)); χ² =
+    * (O−E)²/V is χ²₁ under equal hazards, so χ² ≫ 3.84 ⇒ the segments
+    * need separate retention models.
+    *
+    * Determinism — the [[ksDrift]] scaled-integer recipe, not per-term
+    * float sums: each expectation and variance term is an exact
+    * INTEGER division (dt·n_A·10⁶ div n, and the variance product div
+    * n²(n−1), DECIMAL(38,0) products so n ~ 10⁹ cannot wrap), summed as
+    * exact BIGINTs — the statistic is DEFINED on the micro-unit lattice,
+    * so there is no accumulated-float freedom and no quantize
+    * knife-edge (a rational CAN land on floor(x·10⁶+0.5)'s half-way
+    * point; integer div cannot). χ² is ONE division of exact integers.
+    * Per-term div results are ≤ dt·10⁶, so the BIGINT sums hold to
+    * ~10¹² customers.
+    *
+    * Scale shape: one per-customer aggregate (map-side combined), a
+    * 1-row extent broadcast, then ALL log-rank work on the
+    * duration-bounded (dur × 2 segments) grid — windows over ≤2·|durs|
+    * rows, one final 1-row reduce. Customer count never enters a
+    * window. */
+  def logRank(s: SparkSession, d: String): DataFrame = {
+    val segA = "AUTOMOBILE"; val segB = "BUILDING"
+    val per = Tables.orders(s, d)
+      .join(Tables.customer(s, d).filter(col("c_mktsegment").isin(segA, segB))
+        .select(col("c_custkey"), col("c_mktsegment").as("seg")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("o_custkey", "seg")
+      .agg(min(unix_micros(col("o_orderdate").cast("timestamp"))).as("mn"),
+        max(unix_micros(col("o_orderdate").cast("timestamp"))).as("mx"))
+    val ext = per.agg(min("mn").as("lo"), max("mx").as("hi"))
+    val life = per.crossJoin(broadcast(ext))
+      .withColumn("dur", expr("(mx - mn) div 86400000000"))
+      .withColumn("cens", (col("mx") > expr("lo + ((hi - lo) * 4) div 5")).cast("long"))
+    val byDurG = life.groupBy("dur", "seg")
+      .agg(count(lit(1)).as("all_at"), sum(lit(1) - col("cens")).as("dth"))
+    // zero-filled (dur × seg) grid: a segment with no row at a duration
+    // still sits in the risk set there, so the cumulative window must
+    // see an explicit 0 — the EWMA causal-grid lesson (ADVICE r7)
+    val segs = { import s.implicits._; Seq(segA, segB).toDF("seg") }
+    val grid = byDurG.select(col("dur")).distinct()
+      .crossJoin(broadcast(segs))
+      .join(byDurG, Seq("dur", "seg"), "left")
+      .select(col("dur"), col("seg"),
+        coalesce(col("all_at"), lit(0L)).as("all_at"),
+        coalesce(col("dth"), lit(0L)).as("dth"))
+    val wg = Window.partitionBy("seg").orderBy("dur")
+    val cum = grid
+      .withColumn("tot_g", sum("all_at").over(Window.partitionBy("seg")))
+      .withColumn("before", coalesce(
+        sum("all_at").over(wg.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n_risk", col("tot_g") - col("before"))
+    val byTime = cum.groupBy("dur")
+      .agg(sum(when(col("seg") === segA, col("dth"))).as("d1"),
+        sum(when(col("seg") === segA, col("n_risk"))).as("n1"),
+        sum(col("dth")).as("dt"),
+        sum(col("n_risk")).as("n"))
+      .filter(col("dt") > 0 && col("n") > 1)
+      .withColumn("e_term",
+        expr("CAST(dt AS DECIMAL(38,0)) * n1 * 1000000 div n"))
+      .withColumn("v_term",
+        expr("""CAST(dt AS DECIMAL(38,0)) * n1 * (n - n1) * (n - dt) * 1000000
+               | div (CAST(n AS DECIMAL(38,0)) * n * (n - 1))""".stripMargin))
+    val sizes = life.groupBy("seg").agg(count(lit(1)).as("n_cust"))
+      .groupBy().pivot("seg", Seq(segA, segB)).sum("n_cust")
+      .select(col(segA).as("n_a"), col(segB).as("n_b"))
+    val stat = byTime.agg(
+      sum("d1").as("o_a_long"),
+      sum("e_term").as("e_micro"),
+      sum("v_term").as("v_micro"))
+    val dec0 = DecimalType(38, 0)
+    val num = (col("o_a_long").cast(dec0) * lit(1000000L).cast(dec0) -
+      col("e_micro").cast(dec0))
+    stat.crossJoin(broadcast(sizes))
+      .select(
+        lit(segA).as("seg_a"), lit(segB).as("seg_b"),
+        col("n_a"), col("n_b"), col("o_a_long").as("o_a"),
+        round(col("e_micro").cast("double") / lit(1000000.0), 6).as("e_a"),
+        round(col("v_micro").cast("double") / lit(1000000.0), 6).as("v"),
+        when(col("v_micro") === lit(0L), lit(null).cast("double"))
+          .otherwise(round((num * num).cast("double") /
+            (col("v_micro").cast(dec0) * lit(1000000L).cast(dec0)).cast("double"),
+            6)).as("chi2"))
+  }
+
+  /** Wilcoxon signed-rank test on paired daily totals of the 'click' vs
+    * 'view' event streams — the PAIRED companion to [[mannWhitney]]
+    * (which compares independent samples): each day is its own control,
+    * so day-level traffic swings cancel and only the within-day
+    * click−view asymmetry accumulates. W⁺ sums the ranks of |diff| over
+    * positive-diff days (midranks on ties, zero diffs dropped — the
+    * standard Wilcoxon discipline); z normalizes by the tie-corrected
+    * variance, so |z| ≫ 1.96 ⇒ one stream systematically out-earns the
+    * other on matched days.
+    *
+    * Determinism: daily totals are exact micro-unit BIGINTs, diffs are
+    * BIGINT subtraction, and midranks live on the half-integer lattice —
+    * carried as 2×rank INTEGERS (tie group of size c starting at
+    * 1-based position p has 2·avgrank = 2p + c − 1), so W2⁺ = Σ c⁺·r2,
+    * the tie term Σ(c³−c), and var12 = 2n(n+1)(2n+1) − Σ(c³−c) are all
+    * exact BIGINTs. z = (W2⁺ − n(n+1)/2) / sqrt(var12/12) is a fixed
+    * tree of elementary IEEE ops on exact integers (sqrt correctly
+    * rounded by spec), 6-dp floor-quantized; w_plus/w_minus divide the
+    * exact 2× integers by 2.0 once. BIGINT bounds: Σ(c³) ≤ n³ — safe to
+    * ~2·10⁶ paired days (calendar-bounded domain; a longer study
+    * month-shards first).
+    *
+    * Scale shape: one map-side-combined (day) aggregate over the two
+    * event streams; everything after runs on the calendar-bounded daily
+    * frame (tie-group aggregate + one cumulative window + 1-row
+    * reduce). */
+  def wilcoxonSignedRank(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .filter(col("value").isNotNull && col("event_type").isin("click", "view"))
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(
+        coalesce(sum(when(col("event_type") === "click",
+          q6micro(col("value")))), lit(0L)).as("sc"),
+        coalesce(sum(when(col("event_type") === "view",
+          q6micro(col("value")))), lit(0L)).as("sv"))
+      .withColumn("diff", col("sc") - col("sv"))
+      .filter(col("diff") =!= 0L)
+    val ties = daily.groupBy(abs(col("diff")).as("adiff"))
+      .agg(count(lit(1)).as("c"),
+        sum(when(col("diff") > 0, 1L).otherwise(0L)).as("cpos"))
+    val wo = Window.orderBy("adiff")
+    val ranked = ties
+      .withColumn("cumBefore", coalesce(
+        sum("c").over(wo.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("r2", lit(2L) * col("cumBefore") + col("c") + lit(1L))
+    val agg = ranked.agg(
+      sum("c").as("n"),
+      sum(col("cpos") * col("r2")).as("w2p"),
+      sum((col("c") - col("cpos")) * col("r2")).as("w2m"),
+      sum(col("c") * col("c") * col("c") - col("c")).as("tie3"))
+    val n = col("n").cast("double")
+    val var12 = (lit(2L) * col("n") * (col("n") + 1L) * (lit(2L) * col("n") + 1L)
+      - col("tie3")).cast("double")
+    val q6 = (c: Column) => floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    agg.filter(col("n") > 0 && var12 > 0)
+      .select(col("n").as("n_pairs"),
+        (col("w2p").cast("double") / lit(2.0)).as("w_plus"),
+        (col("w2m").cast("double") / lit(2.0)).as("w_minus"),
+        q6((col("w2p") - (col("n") * (col("n") + 1L)) / 2L).cast("double") /
+          sqrt(var12 / lit(12.0))).as("z"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_log_rank" -> (logRank _),
+    "q_wilcoxon" -> (wilcoxonSignedRank _),
     "q_nelson_aalen" -> (nelsonAalen _),
     "q_jarque_bera" -> (jarqueBera _),
     "q_ljung_box" -> (ljungBox _),
@@ -2344,6 +2498,112 @@ object Statistics {
   )
 
   val oracle: Map[String, String] = Map(
+    // the two-segment KM lifetime frame; expectation/variance terms as
+    // exact HUGEINT integer divisions on the micro lattice, summed in
+    // BIGINT; chi-square is one division of exact integers
+    "q_log_rank" ->
+      """WITH per AS (
+        |  SELECT o.o_custkey, c.c_mktsegment AS seg,
+        |         min(epoch_us(o_orderdate)) AS mn,
+        |         max(epoch_us(o_orderdate)) AS mx
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  WHERE c.c_mktsegment IN ('AUTOMOBILE', 'BUILDING')
+        |  GROUP BY 1, 2
+        |), ext AS (SELECT min(mn) AS lo, max(mx) AS hi FROM per),
+        |life AS (
+        |  SELECT seg, (mx - mn) // 86400000000 AS dur,
+        |         CASE WHEN mx > lo + ((hi - lo) * 4) // 5 THEN 1 ELSE 0 END AS cens
+        |  FROM per, ext
+        |), bydurg AS (
+        |  SELECT dur, seg, CAST(count(*) AS BIGINT) AS all_at,
+        |         CAST(sum(1 - cens) AS BIGINT) AS dth
+        |  FROM life GROUP BY 1, 2
+        |), grid AS (
+        |  SELECT dd.dur, ss.seg,
+        |         COALESCE(b.all_at, 0) AS all_at, COALESCE(b.dth, 0) AS dth
+        |  FROM (SELECT DISTINCT dur FROM bydurg) dd
+        |  CROSS JOIN (VALUES ('AUTOMOBILE'), ('BUILDING')) ss(seg)
+        |  LEFT JOIN bydurg b ON b.dur = dd.dur AND b.seg = ss.seg
+        |), cum AS (
+        |  SELECT dur, seg, dth,
+        |    sum(all_at) OVER (PARTITION BY seg)
+        |      - COALESCE(sum(all_at) OVER (PARTITION BY seg ORDER BY dur
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+        |  FROM grid
+        |), bytime AS (
+        |  SELECT dur,
+        |    CAST(sum(CASE WHEN seg = 'AUTOMOBILE' THEN dth END) AS BIGINT) AS d1,
+        |    CAST(sum(CASE WHEN seg = 'AUTOMOBILE' THEN n_risk END) AS BIGINT) AS n1,
+        |    CAST(sum(dth) AS BIGINT) AS dt,
+        |    CAST(sum(n_risk) AS BIGINT) AS n
+        |  FROM cum GROUP BY dur
+        |), terms AS (
+        |  SELECT d1, (CAST(dt AS HUGEINT) * n1 * 1000000) // n AS e_term,
+        |    (CAST(dt AS HUGEINT) * n1 * (n - n1) * (n - dt) * 1000000)
+        |      // (CAST(n AS HUGEINT) * n * (n - 1)) AS v_term
+        |  FROM bytime WHERE dt > 0 AND n > 1
+        |), stat AS (
+        |  SELECT CAST(sum(d1) AS BIGINT) AS o_a,
+        |         CAST(sum(e_term) AS BIGINT) AS e_micro,
+        |         CAST(sum(v_term) AS BIGINT) AS v_micro
+        |  FROM terms
+        |), sizes AS (
+        |  SELECT CAST(sum(CASE WHEN seg = 'AUTOMOBILE' THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS n_a,
+        |         CAST(sum(CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS n_b
+        |  FROM life
+        |)
+        |SELECT 'AUTOMOBILE' AS seg_a, 'BUILDING' AS seg_b, n_a, n_b, o_a,
+        |  round(CAST(e_micro AS DOUBLE) / 1000000.0, 6) AS e_a,
+        |  round(CAST(v_micro AS DOUBLE) / 1000000.0, 6) AS v,
+        |  CASE WHEN v_micro = 0 THEN NULL
+        |       ELSE round(CAST((CAST(o_a AS HUGEINT) * 1000000 - e_micro)
+        |                       * (CAST(o_a AS HUGEINT) * 1000000 - e_micro)
+        |                       AS DOUBLE)
+        |                  / CAST(CAST(v_micro AS HUGEINT) * 1000000 AS DOUBLE), 6)
+        |  END AS chi2
+        |FROM stat, sizes""".stripMargin,
+    // paired daily click/view micro totals; 2x midranks on the integer
+    // lattice; z as a fixed IEEE tree on exact integers
+    "q_wilcoxon" ->
+      """WITH daily AS (
+        |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    CAST(COALESCE(sum(CASE WHEN event_type = 'click'
+        |      THEN CAST(floor(value * 1000000 + 0.5) AS BIGINT) END), 0)
+        |      AS BIGINT) AS sc,
+        |    CAST(COALESCE(sum(CASE WHEN event_type = 'view'
+        |      THEN CAST(floor(value * 1000000 + 0.5) AS BIGINT) END), 0)
+        |      AS BIGINT) AS sv
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IN ('click', 'view')
+        |  GROUP BY 1
+        |), diffs AS (
+        |  SELECT sc - sv AS diff FROM daily WHERE sc - sv <> 0
+        |), ties AS (
+        |  SELECT abs(diff) AS adiff, CAST(count(*) AS BIGINT) AS c,
+        |         CAST(sum(CASE WHEN diff > 0 THEN 1 ELSE 0 END) AS BIGINT) AS cpos
+        |  FROM diffs GROUP BY 1
+        |), ranked AS (
+        |  SELECT c, cpos,
+        |    2 * COALESCE(sum(c) OVER (ORDER BY adiff
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1 AS r2
+        |  FROM ties
+        |), agg AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS n,
+        |         CAST(sum(cpos * r2) AS BIGINT) AS w2p,
+        |         CAST(sum((c - cpos) * r2) AS BIGINT) AS w2m,
+        |         CAST(sum(c * c * c - c) AS BIGINT) AS tie3
+        |  FROM ranked
+        |)
+        |SELECT n AS n_pairs,
+        |  CAST(w2p AS DOUBLE) / 2.0 AS w_plus,
+        |  CAST(w2m AS DOUBLE) / 2.0 AS w_minus,
+        |  floor((w2p - n * (n + 1) / 2.0)
+        |        / sqrt((2 * n * (n + 1) * (2 * n + 1) - tie3) / 12.0)
+        |        * 1000000 + 0.5) / 1000000 AS z
+        |FROM agg
+        |WHERE n > 0 AND 2 * n * (n + 1) * (2 * n + 1) - tie3 > 0""".stripMargin,
     // the KM lifetime frame; 9-dp-quantized hazard increments summed in
     // DECIMAL(18,9) — exact and order-independent
     "q_nelson_aalen" ->

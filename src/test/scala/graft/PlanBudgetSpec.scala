@@ -549,6 +549,12 @@ class PlanBudgetSpec extends AnyFunSuite {
     ("q_fleiss_kappa", 17, 5),        // same shared rater-stats row
     ("q_mcnemar", 17, 5),             // = q_dedup_kappa's shape: compare
                                       // row + a 15-row generator
+    ("q_log_rank", 12, 2),            // per-customer agg + duration-bounded
+                                      // (dur x 2 seg) grid windows; extent
+                                      // + sizes broadcast
+    ("q_wilcoxon", 4, 0),             // (day) agg + tie-group agg + one
+                                      // calendar-bounded rank window
+                                      // (audited 3; +1 headroom)
   )
 
   budgets.foreach { case (name, maxShuffles, minBcasts) =>

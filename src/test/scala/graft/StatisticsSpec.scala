@@ -815,4 +815,86 @@ class StatisticsSpec extends AnyFunSuite {
     assert(row.getDouble(3) >= 0.0)
     assert(row.getInt(4) === (if (best.toDouble > nd.toDouble * 1e6 * 5.0) 1 else 0))
   }
+
+  test("log-rank: exact integer replay of O/E/V on the two-segment frame") {
+    val row = ops.Statistics.logRank(spark, sf).collect().head
+    // brute-force the lifetime frame from the raw tables
+    val segs = Tables.customer(spark, sf)
+      .filter(col("c_mktsegment").isin("AUTOMOBILE", "BUILDING"))
+      .select(col("c_custkey"), col("c_mktsegment")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val per = Tables.orders(spark, sf)
+      .filter(col("o_custkey").isin(segs.keys.toSeq: _*))
+      .groupBy("o_custkey")
+      .agg(min(unix_micros(col("o_orderdate").cast("timestamp"))).as("mn"),
+        max(unix_micros(col("o_orderdate").cast("timestamp"))).as("mx"))
+      .collect().map(r => (segs(r.getLong(0)), r.getLong(1), r.getLong(2)))
+    val lo = per.map(_._2).min; val hi = per.map(_._3).max
+    val cut = lo + (hi - lo) * 4 / 5
+    val life = per.map { case (seg, mn, mx) =>
+      (seg, (mx - mn) / 86400000000L, mx > cut) }
+    assert(row.getAs[Long]("n_a") === life.count(_._1 == "AUTOMOBILE"))
+    assert(row.getAs[Long]("n_b") === life.count(_._1 == "BUILDING"))
+    val times = life.filter(!_._3).map(_._2).distinct.sorted
+    var oA = 0L; var eMicro = BigInt(0); var vMicro = BigInt(0)
+    times.foreach { t =>
+      val atRisk = life.filter(_._2 >= t)
+      val n = atRisk.length.toLong
+      val n1 = atRisk.count(_._1 == "AUTOMOBILE").toLong
+      val d1 = life.count(x => x._1 == "AUTOMOBILE" && x._2 == t && !x._3).toLong
+      val dt = life.count(x => x._2 == t && !x._3).toLong
+      if (dt > 0 && n > 1) {
+        oA += d1
+        eMicro += BigInt(dt) * n1 * 1000000 / n
+        vMicro += BigInt(dt) * n1 * (n - n1) * (n - dt) * 1000000 /
+          (BigInt(n) * n * (n - 1))
+      }
+    }
+    assert(row.getAs[Long]("o_a") === oA)
+    assert(math.abs(row.getAs[Double]("e_a") - eMicro.toDouble / 1e6) < 1e-5)
+    assert(math.abs(row.getAs[Double]("v") - vMicro.toDouble / 1e6) < 1e-5)
+    if (vMicro != 0) {
+      val num = (BigInt(oA) * 1000000 - eMicro).pow(2)
+      val brute = num.toDouble / (vMicro * 1000000).toDouble
+      assert(math.abs(row.getAs[Double]("chi2") - brute) < 1e-4, "chi2 replay")
+      assert(row.getAs[Double]("chi2") >= 0.0)
+    } else assert(row.isNullAt(row.fieldIndex("chi2")))
+  }
+
+  test("wilcoxon signed-rank: midrank lattice replay, rank-sum identity") {
+    val rows = ops.Statistics.wilcoxonSignedRank(spark, sf).collect()
+    val daily = Tables.events(spark, sf)
+      .filter(col("value").isNotNull && col("event_type").isin("click", "view"))
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(
+        coalesce(sum(when(col("event_type") === "click",
+          floor(col("value") * 1000000 + lit(0.5)).cast("long"))), lit(0L)).as("sc"),
+        coalesce(sum(when(col("event_type") === "view",
+          floor(col("value") * 1000000 + lit(0.5)).cast("long"))), lit(0L)).as("sv"))
+      .collect().map(r => r.getLong(1) - r.getLong(2)).filter(_ != 0L)
+    if (daily.isEmpty) assert(rows.isEmpty)
+    else {
+      val row = rows.head
+      val n = daily.length.toLong
+      assert(row.getAs[Long]("n_pairs") === n)
+      // 2x midranks by |diff| tie groups
+      val groups = daily.groupBy(math.abs).toSeq.sortBy(_._1)
+      var cumBefore = 0L; var w2p = 0L; var w2m = 0L; var tie3 = 0L
+      groups.foreach { case (_, ds) =>
+        val c = ds.length.toLong
+        val r2 = 2 * cumBefore + c + 1
+        w2p += ds.count(_ > 0) * r2
+        w2m += ds.count(_ < 0) * r2
+        tie3 += c * c * c - c
+        cumBefore += c
+      }
+      assert(row.getAs[Double]("w_plus") === w2p.toDouble / 2.0)
+      assert(row.getAs[Double]("w_minus") === w2m.toDouble / 2.0)
+      // rank-sum identity: W+ + W- = n(n+1)/2
+      assert(w2p + w2m === n * (n + 1))
+      val var12 = 2 * n * (n + 1) * (2 * n + 1) - tie3
+      val z = (w2p - n * (n + 1) / 2.0) / math.sqrt(var12 / 12.0)
+      assert(math.abs(row.getAs[Double]("z") - z) < 1e-5, "z replay")
+    }
+  }
 }
