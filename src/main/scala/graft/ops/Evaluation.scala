@@ -81,7 +81,12 @@ object Evaluation {
     * here per the unpartitioned-window rule), everything after is keyed
     * aggregation. Overflow: Σ c·prev ≤ n², (n−1)·n_bin ≤ n² — BIGINT-safe
     * to n ≈ 3·10⁹ docs. */
-  def calibrationBins(s: SparkSession, d: String): DataFrame = {
+  /** The rank-percentile scored frame (c, c1, prev, nt, bin) shared by
+    * [[calibrationBins]], [[woeIv]], and [[cumulativeGains]] —
+    * expressions byte-moved from the original calibration body. The
+    * window runs over the DISTINCT n_chars frame (value domain —
+    * bounded; see [[calibrationBins]]'s scaladoc). */
+  private def scoredFrame(s: SparkSession, d: String): DataFrame = {
     val vc = Tables.documents(s, d)
       .groupBy(col("n_chars").as("v"))
       .agg(count(lit(1)).as("c"),
@@ -91,10 +96,13 @@ object Evaluation {
     val w = Window.orderBy("v")
     val r = vc.withColumn("prev", sum("c").over(w) - col("c"))
       .crossJoin(broadcast(n))
-    val scored = r.withColumn("score",
+    r.withColumn("score",
         col("prev").cast("double") / (col("nt") - 1).cast("double"))
       .withColumn("bin", least(lit(9L), floor(col("score") * lit(10)).cast("long")))
-    scored.groupBy("bin")
+  }
+
+  def calibrationBins(s: SparkSession, d: String): DataFrame = {
+    scoredFrame(s, d).groupBy("bin")
       .agg(sum("c").as("n_bin"), sum("c1").as("n_pos"),
         sum(col("c") * col("prev")).as("sp"), first("nt").as("nt"))
       .withColumn("pos_rate", q6(col("n_pos").cast("double") / col("n_bin").cast("double")))
@@ -390,7 +398,83 @@ object Evaluation {
       .orderBy("source")
   }
 
+  /** Weight-of-evidence / information value of the rank-percentile score
+    * against the `lang='en'` label, per decile bin — the credit-scoring
+    * feature-strength dashboard ([[qualityAuc]] gives one global number;
+    * WOE says WHERE in the score range the separation lives, and IV
+    * ≈ 0.02/0.1/0.3 are the weak/medium/strong thresholds every
+    * feature-selection checklist quotes): WOE_i = ln((g_i/G)/(b_i/B)),
+    * IV = Σ (g_i/G − b_i/B)·WOE_i, bins with either class empty excluded
+    * (standard practice — their WOE is ±∞).
+    *
+    * Determinism: counts are exact BIGINTs; WOE expands to ln(g) − ln(G)
+    * − ln(b) + ln(B) — logs of exact INTEGERS only, each 6-dp-rounded
+    * (the [[Statistics.kaplanMeier]] log discipline), combined by three
+    * elementary IEEE ops. Each IV term multiplies ONE exact-integer
+    * division (g·B − b·G)/(G·B) by that woe, is 6-dp-quantized into
+    * DECIMAL(18,6), and the total is an exact decimal sum — order-
+    * independent (never a raw double sum).
+    *
+    * Scale shape: the [[scoredFrame]] value-domain window, a ≤10-row bin
+    * aggregate, a 1-row totals broadcast, and a ≤10-row window for the
+    * total. */
+  def woeIv(s: SparkSession, d: String): DataFrame = {
+    val qln = (c: Column) => round(log(c.cast("double")), 6)
+    val b = scoredFrame(s, d).groupBy("bin")
+      .agg(sum("c").as("n_bin"), sum("c1").as("g"),
+        sum(col("c") - col("c1")).as("b"))
+    val tot = b.agg(sum("g").as("gt"), sum("b").as("bt"))
+    val woe = qln(col("g")) - qln(col("gt")) - qln(col("b")) + qln(col("bt"))
+    val ivTerm = q6(((col("g") * col("bt") - col("b") * col("gt"))).cast("double") /
+      (col("gt") * col("bt")).cast("double") * col("woe"))
+      .cast(org.apache.spark.sql.types.DecimalType(18, 6))
+    b.crossJoin(broadcast(tot))
+      .filter(col("g") > 0 && col("b") > 0)
+      .withColumn("woe", woe)
+      .withColumn("iv_term", ivTerm.cast("double"))
+      .withColumn("iv",
+        sum(ivTerm).over(Window.partitionBy()).cast("double"))
+      .select(col("bin"), col("n_bin"), col("g").as("n_pos"),
+        col("b").as("n_neg"), col("woe"), col("iv_term"), col("iv"))
+      .orderBy("bin")
+  }
+
+  /** Cumulative gains / lift by score decile (top decile first) — the
+    * campaign-targeting readout of the same ranking [[qualityAuc]]
+    * scores: "reading the top k deciles of the score captures what share
+    * of all positives, at what multiple of random?" gain_k = cumpos/G,
+    * lift_k = (cumpos·N)/(cumn·G); lift at decile 1 is the headline
+    * precision multiple, gain's curve shape IS the Lorenz view of the
+    * ranking.
+    *
+    * Determinism: cumulative counts are exact BIGINT window sums over
+    * the ≤10-row decile frame; gain divides exact integers once; lift's
+    * numerator/denominator are exact BIGINT products (≤ N² — safe to
+    * ~3·10⁹ docs) with one division; both 6-dp-quantized.
+    *
+    * Scale shape: the [[scoredFrame]] value-domain window, a ≤10-row
+    * aggregate, ≤10-row cumulative windows. */
+  def cumulativeGains(s: SparkSession, d: String): DataFrame = {
+    val b = scoredFrame(s, d).groupBy("bin")
+      .agg(sum("c").as("n_bin"), sum("c1").as("g"))
+    val tot = b.agg(sum("g").as("gt"), sum("n_bin").as("nt"))
+    val wd = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    b.crossJoin(broadcast(tot))
+      .withColumn("decile", lit(10L) - col("bin"))
+      .withColumn("cum_n", sum("n_bin").over(wd))
+      .withColumn("cum_pos", sum("g").over(wd))
+      .select(col("decile"), col("n_bin"), col("cum_n"), col("cum_pos"),
+        q6(col("cum_pos").cast("double") / col("gt").cast("double")).as("gain"),
+        when(col("cum_n") * col("gt") === 0, lit(null).cast("double"))
+          .otherwise(q6((col("cum_pos") * col("nt")).cast("double") /
+            (col("cum_n") * col("gt")).cast("double"))).as("lift"))
+      .orderBy("decile")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_woe_iv" -> (woeIv _),
+    "q_gains" -> (cumulativeGains _),
     "q_zorder_pruning" -> (zorderPruning _),
     "q_quality_auc" -> (qualityAuc _),
     "q_calibration" -> (calibrationBins _),
@@ -431,6 +515,55 @@ object Evaluation {
       |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // logs of exact integers 6-dp-rounded; IV terms quantized into
+    // DECIMAL(18,6) so the total is an exact order-independent sum
+    "q_woe_iv" ->
+      s"""WITH $CalibrationCtes,
+         |tot AS (SELECT CAST(sum(n_pos) AS BIGINT) AS gt,
+         |               CAST(sum(n_bin - n_pos) AS BIGINT) AS bt FROM b),
+         |wx AS (
+         |  SELECT bin, n_bin, n_pos AS g, n_bin - n_pos AS b_cnt, gt, bt
+         |  FROM b, tot WHERE n_pos > 0 AND n_bin - n_pos > 0
+         |), wy AS (
+         |  SELECT bin, n_bin, g, b_cnt, gt, bt,
+         |    round(ln(CAST(g AS DOUBLE)), 6) - round(ln(CAST(gt AS DOUBLE)), 6)
+         |      - round(ln(CAST(b_cnt AS DOUBLE)), 6)
+         |      + round(ln(CAST(bt AS DOUBLE)), 6) AS woe
+         |  FROM wx
+         |), wz AS (
+         |  SELECT bin, n_bin, g, b_cnt, woe,
+         |    CAST(floor(CAST(g * bt - b_cnt * gt AS DOUBLE)
+         |               / CAST(gt * bt AS DOUBLE) * woe * 1000000 + 0.5)
+         |         / 1000000 AS DECIMAL(18,6)) AS ivq
+         |  FROM wy
+         |)
+         |SELECT bin, n_bin, g AS n_pos, b_cnt AS n_neg, woe,
+         |  CAST(ivq AS DOUBLE) AS iv_term,
+         |  CAST(SUM(ivq) OVER () AS DOUBLE) AS iv
+         |FROM wz ORDER BY bin""".stripMargin,
+    // exact BIGINT cumulative counts over the decile frame; gain and
+    // lift are single divisions of exact integers
+    "q_gains" ->
+      s"""WITH $CalibrationCtes,
+         |tot AS (SELECT CAST(sum(n_pos) AS BIGINT) AS gt,
+         |               CAST(sum(n_bin) AS BIGINT) AS ntot FROM b),
+         |cx AS (
+         |  SELECT 10 - bin AS decile, n_bin,
+         |    CAST(sum(n_bin) OVER (ORDER BY bin DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n,
+         |    CAST(sum(n_pos) OVER (ORDER BY bin DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_pos,
+         |    gt, ntot
+         |  FROM b, tot
+         |)
+         |SELECT decile, n_bin, cum_n, cum_pos,
+         |  floor(CAST(cum_pos AS DOUBLE) / CAST(gt AS DOUBLE)
+         |        * 1000000 + 0.5) / 1000000 AS gain,
+         |  CASE WHEN cum_n * gt = 0 THEN NULL
+         |       ELSE floor(CAST(cum_pos * ntot AS DOUBLE)
+         |                  / CAST(cum_n * gt AS DOUBLE) * 1000000 + 0.5) / 1000000
+         |  END AS lift
+         |FROM cx ORDER BY decile""".stripMargin,
     "q_quality_auc" ->
       """WITH vc AS (
         |  SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS c,

@@ -2153,7 +2153,12 @@ object Statistics {
     * totals broadcast back; the three lag windows share one
     * calendar-bounded sort partition per type. Events stream through
     * once. */
-  def ljungBox(s: SparkSession, d: String): DataFrame = {
+  /** (event_type, n_days, r1, r2, r3) — the 6-dp-quantized lag-1..3
+    * autocorrelations of the per-type daily value series, shared by
+    * [[ljungBox]] (joint whiteness) and [[pacf]] (Durbin–Levinson
+    * partials). Expressions are byte-identical to the original
+    * q_ljung_box body — the refactor moved, not changed, them. */
+  private def lagCorr(s: SparkSession, d: String): DataFrame = {
     val dec0 = DecimalType(38, 0)
     val daily = graft.util.Ckpt.stage(Tables.events(s, d)
       .filter(col("value").isNotNull)
@@ -2170,7 +2175,6 @@ object Statistics {
       .withColumn("y2", lead("y", 2).over(w))
       .withColumn("y3", lead("y", 3).over(w))
     val rk = (k: Int) => q6(col(s"num$k").cast("double") / col("den").cast("double"))
-    val nd = col("n_days").cast("double")
     lagged.groupBy("event_type")
       .agg(first("nd").as("n_days"),
         sum(col("y") * col("y")).as("den"),
@@ -2180,10 +2184,98 @@ object Statistics {
       .filter(col("n_days") > 3 && col("den") > 0)
       .select(col("event_type"), col("n_days"),
         rk(1).as("r1"), rk(2).as("r2"), rk(3).as("r3"))
+  }
+
+  def ljungBox(s: SparkSession, d: String): DataFrame = {
+    val q6 = (c: Column) => floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val nd = col("n_days").cast("double")
+    lagCorr(s, d)
       .withColumn("q_lb", q6(nd * (nd + lit(2.0)) *
         (col("r1") * col("r1") / (nd - lit(1.0)) +
          col("r2") * col("r2") / (nd - lit(2.0)) +
          col("r3") * col("r3") / (nd - lit(3.0)))))
+      .orderBy("event_type")
+  }
+
+  /** Partial autocorrelations at lags 1–3 via the Durbin–Levinson
+    * recursion over the shared [[lagCorr]] frame — the model-order
+    * diagnostic [[ljungBox]] motivates: r_k says "lag-k correlation
+    * exists", φ_kk says "lag k carries signal BEYOND what lags < k
+    * explain" (an AR(1) series has r2 ≠ 0 but φ22 ≈ 0), so the largest k
+    * with |φ_kk| ≫ 2/√n is the AR order a forecasting monitor should
+    * fit. φ11 = r1; φ22 = (r2 − r1²)/(1 − r1²); φ21 = φ11 − φ22·φ11;
+    * φ33 = (r3 − φ21·r2 − φ22·r1)/(1 − φ21·r1 − φ22·r2).
+    *
+    * Determinism: the r_k are the 6-dp-quantized exact-integer ratios of
+    * [[lagCorr]]; every Durbin–Levinson level quantizes its output
+    * before the next level consumes it (the iterated-pipeline rule —
+    * PARITY §3), so each level is a fixed tree of elementary IEEE ops on
+    * identical 6-dp doubles. Zero denominators (|r1| = 1 exactly, or a
+    * degenerate level-3 pivot) pin φ to NULL via the same CASE both
+    * sides.
+    *
+    * Scale shape: identical to [[ljungBox]] — one map-side-combined
+    * (type, day) aggregate, calendar-bounded lag windows, then ≤5-row
+    * scalar algebra. */
+  def pacf(s: SparkSession, d: String): DataFrame = {
+    val q6 = (c: Column) => floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val base = lagCorr(s, d)
+      .withColumn("den2", lit(1.0) - col("r1") * col("r1"))
+      .withColumn("p2", when(col("den2") === lit(0.0), lit(null).cast("double"))
+        .otherwise(q6((col("r2") - col("r1") * col("r1")) / col("den2"))))
+      .withColumn("p21", q6(col("r1") - col("p2") * col("r1")))
+      .withColumn("den3",
+        lit(1.0) - col("p21") * col("r1") - col("p2") * col("r2"))
+    base
+      .withColumn("p3",
+        when(col("p2").isNull || col("den3") === lit(0.0),
+          lit(null).cast("double"))
+          .otherwise(q6((col("r3") - col("p21") * col("r2") -
+            col("p2") * col("r1")) / col("den3"))))
+      .select(col("event_type"), col("n_days"),
+        col("r1"), col("r2"), col("r3"),
+        col("r1").as("pacf1"), col("p2").as("pacf2"), col("p3").as("pacf3"))
+      .orderBy("event_type")
+  }
+
+  /** Grubbs' statistic per event type — the PARAMETRIC single-outlier
+    * companion to [[outlierMad]]'s robust gate: G = max|x − x̄|/s asks
+    * "how many sample standard deviations out is the worst point?", the
+    * test of record when the base distribution is near-Gaussian (which
+    * [[jarqueBera]] checks first — the two compose into a monitor
+    * pre-flight). G beyond ~3–4 at these n flags a recording error
+    * rather than a heavy tail.
+    *
+    * Determinism — the [[jarqueBera]] quantized-central-moment recipe:
+    * 6-dp-quantized exact-decimal mean, ONE IEEE subtraction per
+    * deviation, milli-unit floor-quantize to exact BIGINTs, Σd² in
+    * DECIMAL(38,0), and max|d| an integer max; G = maxd/√(Σd²/(n−1)) is
+    * a fixed tree of elementary ops on identical inputs (sqrt correctly
+    * rounded by spec), 6-dp-quantized. n > 1 and Σd² > 0 guard the
+    * degenerate constants both sides.
+    *
+    * Scale shape: two events scans (mean pass + deviation pass), both
+    * map-side-combined to 5 rows; the mean frame broadcasts — byte-
+    * identical shape to [[jarqueBera]]. */
+  def grubbs(s: SparkSession, d: String): DataFrame = {
+    val dec0 = DecimalType(38, 0)
+    val ev = Tables.events(s, d).filter(col("value").isNotNull)
+      .select(col("event_type"), col("value"))
+    val mu = ev.groupBy(col("event_type").as("t"))
+      .agg((floor(davg(col("value")) * 1000000 + lit(0.5)) / 1000000).as("mu"))
+    val dq = floor((col("value") - col("mu")) * 1000 + lit(0.5)).cast(dec0)
+    val q6 = (c: Column) => floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    ev.join(broadcast(mu), col("event_type") === col("t"))
+      .select(col("event_type"), dq.as("dq"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("dq") * col("dq")).as("s2"),
+        max(abs(col("dq"))).cast("long").as("max_dev_milli"))
+      .filter(col("n") > 1 && col("s2") > 0)
+      .select(col("event_type"), col("n"), col("max_dev_milli"),
+        q6(col("max_dev_milli").cast("double") /
+          sqrt(col("s2").cast("double") / (col("n") - 1).cast("double")))
+          .as("g_stat"))
       .orderBy("event_type")
   }
 
@@ -2450,6 +2542,8 @@ object Statistics {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_log_rank" -> (logRank _),
     "q_wilcoxon" -> (wilcoxonSignedRank _),
+    "q_pacf" -> (pacf _),
+    "q_grubbs" -> (grubbs _),
     "q_nelson_aalen" -> (nelsonAalen _),
     "q_jarque_bera" -> (jarqueBera _),
     "q_ljung_box" -> (ljungBox _),
@@ -2497,7 +2591,98 @@ object Statistics {
     "q_winsorize" -> (winsorize _),
   )
 
+  /** The [[lagCorr]] oracle body through CTE `r(event_type, n_days, r1,
+    * r2, r3)` — shared by the q_ljung_box and q_pacf oracles (byte-moved
+    * from the original q_ljung_box SQL). */
+  // lazy: interpolated by `oracle` entries during object initialization
+  private lazy val LagCorrCtes: String =
+    """daily AS (
+      |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+      |         CAST(SUM(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS x
+      |  FROM events WHERE value IS NOT NULL
+      |  GROUP BY 1, 2
+      |), tt AS (
+      |  SELECT event_type, CAST(SUM(x) AS BIGINT) AS tot, CAST(COUNT(*) AS BIGINT) AS nd
+      |  FROM daily GROUP BY 1
+      |), y AS (
+      |  SELECT d.event_type, tt.nd,
+      |         CAST(tt.nd AS HUGEINT) * d.x - tt.tot AS y,
+      |         LEAD(CAST(tt.nd AS HUGEINT) * d.x - tt.tot, 1)
+      |           OVER (PARTITION BY d.event_type ORDER BY d.day) AS y1,
+      |         LEAD(CAST(tt.nd AS HUGEINT) * d.x - tt.tot, 2)
+      |           OVER (PARTITION BY d.event_type ORDER BY d.day) AS y2,
+      |         LEAD(CAST(tt.nd AS HUGEINT) * d.x - tt.tot, 3)
+      |           OVER (PARTITION BY d.event_type ORDER BY d.day) AS y3
+      |  FROM daily d JOIN tt ON d.event_type = tt.event_type
+      |), sums AS (
+      |  SELECT event_type, CAST(MIN(nd) AS BIGINT) AS n_days,
+      |         SUM(y * y) AS den,
+      |         SUM(CASE WHEN y1 IS NOT NULL THEN y * y1 END) AS num1,
+      |         SUM(CASE WHEN y2 IS NOT NULL THEN y * y2 END) AS num2,
+      |         SUM(CASE WHEN y3 IS NOT NULL THEN y * y3 END) AS num3
+      |  FROM y GROUP BY event_type
+      |), r AS (
+      |  SELECT event_type, n_days,
+      |         floor(CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE) * 1000000 + 0.5) / 1000000 AS r1,
+      |         floor(CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE) * 1000000 + 0.5) / 1000000 AS r2,
+      |         floor(CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE) * 1000000 + 0.5) / 1000000 AS r3
+      |  FROM sums WHERE n_days > 3 AND den > 0
+      |)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    // the shared lag frame; each Durbin-Levinson level quantized before
+    // the next consumes it, zero pivots pinned to NULL
+    "q_pacf" ->
+      s"""WITH $LagCorrCtes,
+        |l2 AS (
+        |  SELECT event_type, n_days, r1, r2, r3,
+        |    CASE WHEN 1.0e0 - r1 * r1 = 0 THEN NULL
+        |         ELSE floor((r2 - r1 * r1) / (1.0e0 - r1 * r1)
+        |                    * 1000000 + 0.5) / 1000000
+        |    END AS p2
+        |  FROM r
+        |), l2b AS (
+        |  SELECT event_type, n_days, r1, r2, r3, p2,
+        |    floor((r1 - p2 * r1) * 1000000 + 0.5) / 1000000 AS p21
+        |  FROM l2
+        |), l3 AS (
+        |  SELECT event_type, n_days, r1, r2, r3, p2, p21,
+        |    CASE WHEN p2 IS NULL
+        |           OR 1.0e0 - p21 * r1 - p2 * r2 = 0 THEN NULL
+        |         ELSE floor((r3 - p21 * r2 - p2 * r1)
+        |                    / (1.0e0 - p21 * r1 - p2 * r2)
+        |                    * 1000000 + 0.5) / 1000000
+        |    END AS p3
+        |  FROM l2b
+        |)
+        |SELECT event_type, n_days, r1, r2, r3,
+        |       r1 AS pacf1, p2 AS pacf2, p3 AS pacf3
+        |FROM l3 ORDER BY event_type""".stripMargin,
+    // the q_jarque_bera quantized-central-moment recipe: milli-unit
+    // integer deviations, HUGEINT power sum, one fixed IEEE tree
+    "q_grubbs" ->
+      """WITH mu AS (
+        |  SELECT event_type AS t,
+        |         floor(CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE)
+        |               / COUNT(value) * 1000000 + 0.5) / 1000000 AS mu
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1
+        |), dv AS (
+        |  SELECT e.event_type,
+        |         CAST(floor((e.value - mu.mu) * 1000 + 0.5) AS HUGEINT) AS dq
+        |  FROM events e JOIN mu ON e.event_type = mu.t
+        |  WHERE e.value IS NOT NULL
+        |), agg AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |         SUM(dq * dq) AS s2,
+        |         CAST(MAX(abs(dq)) AS BIGINT) AS max_dev_milli
+        |  FROM dv GROUP BY event_type
+        |)
+        |SELECT event_type, n, max_dev_milli,
+        |  floor(CAST(max_dev_milli AS DOUBLE)
+        |        / sqrt(CAST(s2 AS DOUBLE) / CAST(n - 1 AS DOUBLE))
+        |        * 1000000 + 0.5) / 1000000 AS g_stat
+        |FROM agg WHERE n > 1 AND s2 > 0
+        |ORDER BY event_type""".stripMargin,
     // the two-segment KM lifetime frame; expectation/variance terms as
     // exact HUGEINT integer divisions on the micro lattice, summed in
     // BIGINT; chi-square is one division of exact integers
@@ -2677,38 +2862,7 @@ object Statistics {
     // the q_autocorr scaled-deviation discipline at lags 1-3; Q from the
     // 6-dp-quantized r_k with the identical fixed tree
     "q_ljung_box" ->
-      """WITH daily AS (
-        |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
-        |         CAST(SUM(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS x
-        |  FROM events WHERE value IS NOT NULL
-        |  GROUP BY 1, 2
-        |), tt AS (
-        |  SELECT event_type, CAST(SUM(x) AS BIGINT) AS tot, CAST(COUNT(*) AS BIGINT) AS nd
-        |  FROM daily GROUP BY 1
-        |), y AS (
-        |  SELECT d.event_type, tt.nd,
-        |         CAST(tt.nd AS HUGEINT) * d.x - tt.tot AS y,
-        |         LEAD(CAST(tt.nd AS HUGEINT) * d.x - tt.tot, 1)
-        |           OVER (PARTITION BY d.event_type ORDER BY d.day) AS y1,
-        |         LEAD(CAST(tt.nd AS HUGEINT) * d.x - tt.tot, 2)
-        |           OVER (PARTITION BY d.event_type ORDER BY d.day) AS y2,
-        |         LEAD(CAST(tt.nd AS HUGEINT) * d.x - tt.tot, 3)
-        |           OVER (PARTITION BY d.event_type ORDER BY d.day) AS y3
-        |  FROM daily d JOIN tt ON d.event_type = tt.event_type
-        |), sums AS (
-        |  SELECT event_type, CAST(MIN(nd) AS BIGINT) AS n_days,
-        |         SUM(y * y) AS den,
-        |         SUM(CASE WHEN y1 IS NOT NULL THEN y * y1 END) AS num1,
-        |         SUM(CASE WHEN y2 IS NOT NULL THEN y * y2 END) AS num2,
-        |         SUM(CASE WHEN y3 IS NOT NULL THEN y * y3 END) AS num3
-        |  FROM y GROUP BY event_type
-        |), r AS (
-        |  SELECT event_type, n_days,
-        |         floor(CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE) * 1000000 + 0.5) / 1000000 AS r1,
-        |         floor(CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE) * 1000000 + 0.5) / 1000000 AS r2,
-        |         floor(CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE) * 1000000 + 0.5) / 1000000 AS r3
-        |  FROM sums WHERE n_days > 3 AND den > 0
-        |)
+      s"""WITH $LagCorrCtes
         |SELECT event_type, n_days, r1, r2, r3,
         |       floor(CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) + 2.0e0) *
         |             (r1 * r1 / (CAST(n_days AS DOUBLE) - 1.0e0) +

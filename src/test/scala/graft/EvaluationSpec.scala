@@ -695,4 +695,48 @@ class EvaluationSpec extends AnyFunSuite {
       } else assert(!got.contains(src))
     }
   }
+
+  test("woe/iv: sign law, total is the exact sum of quantized terms") {
+    val rows = ops.Evaluation.woeIv(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val iv = rows.head.getAs[Double]("iv")
+    rows.foreach(r => assert(r.getAs[Double]("iv") === iv, "iv constant"))
+    var sum = BigDecimal(0)
+    rows.foreach { r =>
+      val (g, b) = (r.getAs[Long]("n_pos"), r.getAs[Long]("n_neg"))
+      assert(g > 0 && b > 0, "degenerate bins excluded")
+      val woe = r.getAs[Double]("woe")
+      val term = r.getAs[Double]("iv_term")
+      // same-sign law: woe and (g/G - b/B) share a sign, so terms are >= 0
+      assert(term >= -1e-12, s"bin ${r.getLong(0)}: IV term $term negative")
+      sum += BigDecimal(term)
+    }
+    assert((sum - BigDecimal(iv)).abs < BigDecimal("1e-9"),
+      "iv = exact sum of quantized terms")
+    assert(iv >= 0.0)
+  }
+
+  test("gains: cumulative laws, anchors, lift identity") {
+    val rows = ops.Evaluation.cumulativeGains(spark, sf).collect()
+      .sortBy(_.getAs[Long]("decile"))
+    assert(rows.nonEmpty && rows.length <= 10)
+    val nt = rows.map(_.getAs[Long]("n_bin")).sum
+    val last = rows.last
+    assert(last.getAs[Long]("cum_n") === nt, "full read reaches the corpus")
+    assert(math.abs(last.getAs[Double]("gain") - 1.0) < 1e-6,
+      "full read captures all positives")
+    var prevGain = 0.0; var prevCum = 0L
+    rows.foreach { r =>
+      val g = r.getAs[Double]("gain")
+      assert(g >= prevGain - 1e-12 && g <= 1.0 + 1e-9, "gain monotone in [0,1]")
+      assert(r.getAs[Long]("cum_n") === prevCum + r.getAs[Long]("n_bin"))
+      prevGain = g; prevCum = r.getAs[Long]("cum_n")
+      if (!r.isNullAt(r.fieldIndex("lift"))) {
+        val gt = math.round(last.getAs[Long]("cum_pos").toDouble)
+        val brute = r.getAs[Long]("cum_pos").toDouble * nt /
+          (r.getAs[Long]("cum_n").toDouble * gt)
+        assert(math.abs(r.getAs[Double]("lift") - brute) < 1e-5, "lift identity")
+      }
+    }
+  }
 }

@@ -555,6 +555,15 @@ class PlanBudgetSpec extends AnyFunSuite {
     ("q_wilcoxon", 4, 0),             // (day) agg + tie-group agg + one
                                       // calendar-bounded rank window
                                       // (audited 3; +1 headroom)
+    ("q_pacf", 5, 1),                 // = q_ljung_box's lag frame + scalar
+                                      // algebra; per-type totals broadcast
+    ("q_grubbs", 4, 1),               // = q_jarque_bera's two-pass moment
+                                      // shape; mean frame broadcasts
+    ("q_woe_iv", 5, 2),               // value-domain window + 10-row bin
+                                      // agg; totals broadcast, 10-row
+                                      // window for the IV total
+    ("q_gains", 5, 2),                // same scored frame + cumulative
+                                      // windows over the decile rows
   )
 
   budgets.foreach { case (name, maxShuffles, minBcasts) =>

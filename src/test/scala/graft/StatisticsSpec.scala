@@ -816,6 +816,57 @@ class StatisticsSpec extends AnyFunSuite {
     assert(row.getInt(4) === (if (best.toDouble > nd.toDouble * 1e6 * 5.0) 1 else 0))
   }
 
+  test("pacf: Durbin-Levinson replay from ljung-box's quantized lags") {
+    val lb = ops.Statistics.ljungBox(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Double]("r1"), r.getAs[Double]("r2"), r.getAs[Double]("r3")))
+      .toMap
+    val rows = ops.Statistics.pacf(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSet === lb.keySet, "same type frame")
+    val q6 = (x: Double) => math.floor(x * 1e6 + 0.5) / 1e6
+    rows.foreach { r =>
+      val (r1, r2, r3) = lb(r.getString(0))
+      assert(r.getAs[Double]("r1") === r1 && r.getAs[Double]("r2") === r2 &&
+        r.getAs[Double]("r3") === r3, "shared lag frame")
+      assert(r.getAs[Double]("pacf1") === r1, "level 1 is r1")
+      val den2 = 1.0 - r1 * r1
+      if (den2 != 0.0) {
+        val p2 = q6((r2 - r1 * r1) / den2)
+        assert(r.getAs[Double]("pacf2") === p2, "level 2 replay")
+        val p21 = q6(r1 - p2 * r1)
+        val den3 = 1.0 - p21 * r1 - p2 * r2
+        if (den3 != 0.0)
+          assert(r.getAs[Double]("pacf3") === q6((r3 - p21 * r2 - p2 * r1) / den3),
+            "level 3 replay")
+        else assert(r.isNullAt(r.fieldIndex("pacf3")))
+      } else assert(r.isNullAt(r.fieldIndex("pacf2")))
+    }
+  }
+
+  test("grubbs: quantized-moment replay, statistic positive and bounded") {
+    val rows = ops.Statistics.grubbs(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val raw = Tables.events(spark, sf).filter(col("value").isNotNull)
+      .select("event_type", "value").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).groupBy(_._1)
+    rows.foreach { r =>
+      val xs = raw(r.getString(0)).map(_._2)
+      val n = xs.length.toLong
+      assert(r.getAs[Long]("n") === n)
+      val mu = math.floor((xs.map(x => BigDecimal(x.toString)).sum.toDouble / n)
+        * 1e6 + 0.5) / 1e6
+      val dq = xs.map(x => math.floor((x - mu) * 1000 + 0.5).toLong)
+      assert(r.getAs[Long]("max_dev_milli") === dq.map(math.abs).max)
+      val s2 = dq.map(d => BigInt(d) * d).sum
+      val g = math.floor(dq.map(math.abs).max.toDouble /
+        math.sqrt(s2.toDouble / (n - 1)) * 1e6 + 0.5) / 1e6
+      assert(r.getAs[Double]("g_stat") === g, "G replay")
+      assert(g > 0.0)
+      // G is bounded by (n-1)/sqrt(n): the one-outlier extremal config
+      assert(g <= (n - 1).toDouble / math.sqrt(n.toDouble) + 1e-6)
+    }
+  }
+
   test("log-rank: exact integer replay of O/E/V on the two-segment frame") {
     val row = ops.Statistics.logRank(spark, sf).collect().head
     // brute-force the lifetime frame from the raw tables
