@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Graph analytics over a derived relational graph (north-star extension:
@@ -378,7 +379,58 @@ object Graph {
     trace.reduce(_.union(_)).orderBy("pass")
   }
 
+  private[ops] val LpaRounds = 3
+
+  /** Weighted label-propagation communities over the undirected trade
+    * graph, [[LpaRounds]] SYNCHRONOUS rounds — the community-detection
+    * leg of the graph family (components say "connected at all"; LPA
+    * says "more tied to each other than to the rest", splitting a
+    * connected graph into trade blocs): every node simultaneously adopts
+    * the label with the largest total incident edge weight among its
+    * neighbors (ties → smallest label, the deterministic LPA variant);
+    * isolated nodes keep their own label.
+    *
+    * Determinism: edge weights and vote sums are exact BIGINTs; the
+    * adopt decision is a row_number over (vote weight DESC, label ASC) —
+    * pure integer ordering, no arithmetic freedom. The oracle unrolls
+    * the same [[LpaRounds]] rounds as generated CTEs (the [[pagerank]]
+    * discipline); synchronous updates make the unroll exact.
+    *
+    * Scale shape: the [[tradeEdges]] derivation dominates; each round is
+    * one join + one keyed aggregate + one per-node top-1 window over the
+    * staged ≤|nations|² edge list, with per-round state one (node,
+    * label) row per node. At a billion-node graph the top-1 window
+    * becomes the [[graft.plans.TopKPerGroup]] bounded-heap operator;
+    * at the nation grain the window is the right plan. */
+  def labelProp(s: SparkSession, d: String): DataFrame = {
+    val e = graft.util.Ckpt.stage(tradeEdges(s, d))
+    val und = graft.util.Ckpt.stage(
+      e.select(col("src"), col("dst"), col("w"))
+        .unionAll(e.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+        .filter(col("src") =!= col("dst"))
+        .groupBy("src", "dst").agg(sum("w").as("w")))
+    val nodes = Tables.nation(s, d)
+      .select(col("n_nationkey").as("node"), col("n_name").as("nation"))
+    var labs = nodes.select(col("node"), col("node").as("lab"))
+    for (_ <- 1 to LpaRounds) {
+      val votes = und.join(labs.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"), col("lab")).agg(sum("w").as("vw"))
+      val pick = votes.withColumn("rn", row_number().over(
+          Window.partitionBy("node").orderBy(col("vw").desc, col("lab").asc)))
+        .filter(col("rn") === 1).select(col("node"), col("lab").as("newlab"))
+      labs = labs.join(pick, Seq("node"), "left")
+        .select(col("node"), coalesce(col("newlab"), col("lab")).as("lab"))
+    }
+    nodes.join(labs, "node")
+      .withColumn("community_size",
+        count(lit(1)).over(Window.partitionBy("lab")))
+      .select(col("node"), col("nation"), col("lab").as("label"),
+        col("community_size"))
+      .orderBy("node")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_label_prop" -> (labelProp _),
     "q_kcore_peel" -> (kcorePeel _),
     "q_assoc_rules" -> (assocRules _),
     "q_copurchase_pairs" -> (copurchasePairs _),
@@ -432,7 +484,44 @@ object Graph {
        |ORDER BY n.node""".stripMargin
   }
 
+  /** The [[labelProp]] oracle unrolls [[LpaRounds]] synchronous rounds
+    * as generated CTEs over the same undirected weighted edge list. */
+  private def labelPropOracle: String = {
+    val rounds = (1 to LpaRounds).map { i =>
+      s"""v$i AS (
+         |  SELECT u.dst AS node, l.lab, CAST(sum(u.w) AS BIGINT) AS vw
+         |  FROM und u JOIN l${i - 1} l ON u.src = l.node
+         |  GROUP BY 1, 2
+         |), p$i AS (
+         |  SELECT node, lab FROM (
+         |    SELECT node, lab,
+         |           row_number() OVER (PARTITION BY node
+         |                              ORDER BY vw DESC, lab ASC) AS rn
+         |    FROM v$i) t WHERE rn = 1
+         |), l$i AS (
+         |  SELECT l.node, COALESCE(p.lab, l.lab) AS lab
+         |  FROM l${i - 1} l LEFT JOIN p$i p ON l.node = p.node
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH $EdgeCte, und AS (
+       |  SELECT src, dst, CAST(sum(w) AS BIGINT) AS w FROM (
+       |    SELECT src, dst, w FROM e
+       |    UNION ALL SELECT dst AS src, src AS dst, w FROM e
+       |  ) b WHERE src <> dst GROUP BY 1, 2
+       |), n AS (
+       |  SELECT n_nationkey AS node, n_name AS nation FROM nation
+       |), l0 AS (
+       |  SELECT node, node AS lab FROM n
+       |), $rounds
+       |SELECT n.node, n.nation, l.lab AS label,
+       |       CAST(count(*) OVER (PARTITION BY l.lab) AS BIGINT)
+       |         AS community_size
+       |FROM n JOIN l$LpaRounds l USING (node)
+       |ORDER BY n.node""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_label_prop" -> labelPropOracle,
     "q_kcore_peel" -> {
       val passes = (1 to CorePasses).map { p =>
         s"""d$p AS MATERIALIZED (

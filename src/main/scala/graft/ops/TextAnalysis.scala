@@ -217,6 +217,102 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Decontamination ENFORCEMENT — the twin of [[contamination]] in the
+    * same audit/enforce pattern as q_k_anonymity/q_k_anon_enforce: that
+    * query flags eval (`src0`) docs whose 5-grams leak from training;
+    * this one removes the leak from the TRAINING side (what a pipeline
+    * actually ships: the eval set is fixed, the corpus is cleaned) and
+    * reports the per-source cost — docs and tokens dropped, drop rate in
+    * ppm — the budget sheet a data owner signs off before a training
+    * run.
+    *
+    * Determinism: pure set joins on exact grams and BIGINT count/token
+    * sums; the ppm share is integer division. Scale shape: gram sets
+    * deduplicate BEFORE the membership join (the [[contamination]]
+    * shape — distinct grams ride the shuffle, never the corpus), flagged
+    * doc_ids are a narrow frame joined back to row-local token counts,
+    * then one ≤|sources|-row aggregate. */
+  def decontaminate(s: SparkSession, d: String): DataFrame = {
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        explode(StringNgrams.ngrams(words(col("text")), 5)).as("gram"))
+      .transform(graft.util.Ckpt.stage)
+    val evalG = grams.filter(col("source") === "src0")
+      .select("gram").distinct()
+    val flagged = grams.filter(col("source") =!= "src0")
+      .join(evalG, Seq("gram"), "left_semi")
+      .select("doc_id").distinct()
+      .withColumn("dropped", lit(1L))
+    Tables.documents(s, d).filter(col("source") =!= "src0")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("t"))
+      .join(flagged, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("dropped"), lit(0L))).as("n_dropped"),
+        sum(col("t")).as("tokens_total"),
+        sum(coalesce(col("dropped"), lit(0L)) * col("t")).as("tokens_dropped"))
+      .withColumn("drop_ppm",
+        expr("tokens_dropped * 1000000 div tokens_total"))
+      .orderBy("source")
+  }
+
+  /** ROUGE-2 contamination attribution: for every eval (`src0`) doc that
+    * shares at least one 5-gram with training, find the single training
+    * doc that best explains the leak — argmax clipped-bigram overlap —
+    * and report the ROUGE-2 recall of the eval doc against it (the
+    * memorization-audit number: rouge2 ≈ 1 means the eval doc exists
+    * nearly verbatim in training; a low rouge2 with high n_shared5 means
+    * scattered phrase reuse, a different mitigation). [[contamination]]
+    * says THAT a doc leaks; this says FROM WHERE and HOW MUCH.
+    *
+    * Determinism: candidate pairs, clipped counts Σ min(c_eval, c_train)
+    * (integer least — PARITY §5's decimal-promotion hazard doesn't apply
+    * to BIGINT args), and the argmax ordering (clip DESC, n_shared5
+    * DESC, train doc ASC) are all exact integers; rouge2 is ONE division
+    * of exact integers, 6-dp floor-quantized.
+    *
+    * Scale shape: candidates meet through the DISTINCT-5-gram equi-join
+    * (vocabulary-bounded, the [[contamination]] shape — never eval ×
+    * train); bigram multisets join only on candidate pairs; the per-doc
+    * argmax is a top-1 window over the candidate frame. */
+  def rougeOverlap(s: SparkSession, d: String): DataFrame = {
+    val q6 = (c: Column) => floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        explode(StringNgrams.ngrams(words(col("text")), 5)).as("gram"))
+      .transform(graft.util.Ckpt.stage)
+    val evalG = grams.filter(col("source") === "src0")
+      .select(col("doc_id").as("ed"), col("gram")).distinct()
+    val trainG = grams.filter(col("source") =!= "src0")
+      .select(col("doc_id").as("td"), col("gram")).distinct()
+    val cand = evalG.join(trainG, "gram")
+      .groupBy("ed", "td").agg(count(lit(1)).as("n_shared5"))
+    val bg = Tables.documents(s, d)
+      .select(col("doc_id"), explode(bigrams(words(col("text")))).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
+      .transform(graft.util.Ckpt.stage)
+    val refTot = bg.groupBy(col("doc_id").as("ed"))
+      .agg(sum("cnt").as("ref_bigrams"))
+    val clip = cand
+      .join(bg.select(col("doc_id").as("ed"), col("g"), col("cnt").as("ce")), "ed")
+      .join(bg.select(col("doc_id").as("td2"), col("g").as("g2"),
+        col("cnt").as("ct")), col("td") === col("td2") && col("g") === col("g2"))
+      .groupBy("ed", "td", "n_shared5")
+      .agg(sum(least(col("ce"), col("ct"))).as("clip"))
+    clip
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("ed").orderBy(col("clip").desc,
+          col("n_shared5").desc, col("td").asc)))
+      .filter(col("rn") === 1)
+      .join(refTot, "ed")
+      .select(col("ed").as("doc_id"), col("td").as("match_doc"),
+        col("n_shared5"), col("clip"), col("ref_bigrams"),
+        q6(col("clip").cast("double") / col("ref_bigrams").cast("double"))
+          .as("rouge2"))
+      .orderBy("doc_id")
+  }
+
   /** Gopher-style repetition signal: the fraction of a document's word
     * bigrams that are repeats (1 − distinct/total). One explode + two
     * partial-aggregating shuffles, both on (doc_id[, gram]) keys — fully
@@ -1218,6 +1314,8 @@ object TextAnalysis {
     "q_lang_confusion"  -> (langConfusion _),
     "q_vocab_coverage"  -> (vocabCoverage _),
     "q_contamination"   -> (contamination _),
+    "q_decontaminate"   -> (decontaminate _),
+    "q_rouge_overlap"   -> (rougeOverlap _),
     "q_repetition_ratio" -> (repetitionRatio _),
     "q_ngram_stats"     -> (ngramStats _),
     "q_tfidf"           -> (tfidf _),
@@ -1876,6 +1974,75 @@ object TextAnalysis {
          |FROM (SELECT doc_id FROM documents WHERE source = 'src0') d
          |LEFT JOIN cnt c USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    // the contamination gram sets; flagged training docs left-join back
+    // to row-local token counts; ppm is integer division
+    "q_decontaminate" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, source, unnest(
+         |    list_transform(range(1, len($WordsSql) - 3),
+         |      i -> $WordsSql[i] || ' ' || $WordsSql[i+1] || ' ' || $WordsSql[i+2]
+         |           || ' ' || $WordsSql[i+3] || ' ' || $WordsSql[i+4])) AS gram
+         |  FROM documents
+         |), eg AS (
+         |  SELECT DISTINCT gram FROM g WHERE source = 'src0'
+         |), fl AS (
+         |  SELECT DISTINCT doc_id, 1 AS dropped
+         |  FROM g WHERE source <> 'src0' AND gram IN (SELECT gram FROM eg)
+         |), toks AS (
+         |  SELECT doc_id, source, CAST(len($WordsSql) AS BIGINT) AS t
+         |  FROM documents WHERE source <> 'src0'
+         |)
+         |SELECT source,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(coalesce(dropped, 0)) AS BIGINT) AS n_dropped,
+         |  CAST(sum(t) AS BIGINT) AS tokens_total,
+         |  CAST(sum(coalesce(dropped, 0) * t) AS BIGINT) AS tokens_dropped,
+         |  CAST(sum(coalesce(dropped, 0) * t) * 1000000 // sum(t) AS BIGINT)
+         |    AS drop_ppm
+         |FROM toks LEFT JOIN fl USING (doc_id)
+         |GROUP BY source ORDER BY source""".stripMargin,
+    // candidates through the distinct-5-gram join; clipped bigram counts
+    // with integer least; argmax on exact integer ordering
+    "q_rouge_overlap" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, source, unnest(
+         |    list_transform(range(1, len($WordsSql) - 3),
+         |      i -> $WordsSql[i] || ' ' || $WordsSql[i+1] || ' ' || $WordsSql[i+2]
+         |           || ' ' || $WordsSql[i+3] || ' ' || $WordsSql[i+4])) AS gram
+         |  FROM documents
+         |), eg AS (
+         |  SELECT DISTINCT doc_id AS ed, gram FROM g WHERE source = 'src0'
+         |), tg AS (
+         |  SELECT DISTINCT doc_id AS td, gram FROM g WHERE source <> 'src0'
+         |), cand AS (
+         |  SELECT ed, td, CAST(count(*) AS BIGINT) AS n_shared5
+         |  FROM eg JOIN tg USING (gram) GROUP BY 1, 2
+         |), bg AS (
+         |  SELECT doc_id, bgr AS bg2, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM (SELECT doc_id, unnest($BigramsSql) AS bgr FROM documents) x
+         |  GROUP BY 1, 2
+         |), ref AS (
+         |  SELECT doc_id AS ed, CAST(sum(cnt) AS BIGINT) AS ref_bigrams
+         |  FROM bg GROUP BY 1
+         |), cl AS (
+         |  SELECT c.ed, c.td, c.n_shared5,
+         |         CAST(sum(least(be.cnt, bt.cnt)) AS BIGINT) AS clip
+         |  FROM cand c
+         |  JOIN bg be ON be.doc_id = c.ed
+         |  JOIN bg bt ON bt.doc_id = c.td AND bt.bg2 = be.bg2
+         |  GROUP BY 1, 2, 3
+         |), rk AS (
+         |  SELECT ed, td, n_shared5, clip,
+         |    row_number() OVER (PARTITION BY ed
+         |      ORDER BY clip DESC, n_shared5 DESC, td ASC) AS rn
+         |  FROM cl
+         |)
+         |SELECT r.ed AS doc_id, r.td AS match_doc, r.n_shared5, r.clip,
+         |  f.ref_bigrams,
+         |  floor(CAST(r.clip AS DOUBLE) / CAST(f.ref_bigrams AS DOUBLE)
+         |        * 1000000 + 0.5) / 1000000 AS rouge2
+         |FROM rk r JOIN ref f ON f.ed = r.ed
+         |WHERE r.rn = 1 ORDER BY doc_id""".stripMargin,
     "q_repetition_ratio" ->
       s"""WITH bg AS (
          |  SELECT doc_id, unnest($BigramsSql) AS g FROM documents

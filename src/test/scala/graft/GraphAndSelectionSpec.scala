@@ -227,4 +227,41 @@ class GraphAndSelectionSpec extends AnyFunSuite {
       assert(math.abs(s - brute(lab)) < 5e-3, s"label $lab: $s vs ${brute(lab)}")
     }
   }
+
+  test("label propagation: synchronous weighted-LPA replay, size partition") {
+    val rows = Graph.labelProp(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(2), r.getLong(3)))
+    assert(rows.length == 25)
+    // brute-force the undirected weighted edge list from the raw tables
+    val e = Tables.lineitem(spark, sf).select("l_orderkey", "l_suppkey")
+      .join(Tables.orders(spark, sf).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.supplier(spark, sf).select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.customer(spark, sf).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("s_nationkey").as("src"), col("c_nationkey").as("dst"))
+      .agg(count(lit(1)).as("w")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    val und = (e ++ e.map(x => (x._2, x._1, x._3))).filter(x => x._1 != x._2)
+      .groupBy(x => (x._1, x._2)).map { case ((a, b), xs) =>
+        (a, b, xs.map(_._3).sum) }.toSeq
+    var lab = (0 until 25).map(n => n -> n).toMap
+    (1 to 3).foreach { _ =>
+      val votes = und.groupBy(_._2).map { case (node, es) =>
+        val byLab = es.groupBy(x => lab(x._1)).map { case (l, ys) =>
+          (l, ys.map(_._3).sum) }
+        // max weight, tie -> smallest label
+        node -> byLab.toSeq.sortBy(x => (-x._2, x._1)).head._1
+      }
+      lab = lab.map { case (n, l) => n -> votes.getOrElse(n, l) }
+    }
+    rows.foreach { case (node, label, size) =>
+      assert(label === lab(node), s"node $node")
+      assert(size === lab.values.count(_ == lab(node)), s"size at $node")
+    }
+    assert(rows.map(_._3).sum ===
+      rows.groupBy(_._2).map { case (_, g) => g.length.toLong * g.length }.sum,
+      "sizes partition: sum of size over nodes = sum of size^2 over groups")
+  }
 }

@@ -564,6 +564,15 @@ class PlanBudgetSpec extends AnyFunSuite {
                                       // window for the IV total
     ("q_gains", 5, 2),                // same scored frame + cumulative
                                       // windows over the decile rows
+    ("q_label_prop", 12, 2),          // audit mode unrolls 3 LPA rounds
+                                      // over the staged edge list (join +
+                                      // vote agg + top-1 window each);
+                                      // dims broadcast in the derivation
+    ("q_decontaminate", 5, 0),        // gram explode staged; distinct
+                                      // gram semi-join; one source agg
+    ("q_rouge_overlap", 8, 0),       // audit mode recomputes the staged
+                                      // gram/bigram frames per consumer;
+                                      // candidate join + clip agg + top-1
   )
 
   budgets.foreach { case (name, maxShuffles, minBcasts) =>

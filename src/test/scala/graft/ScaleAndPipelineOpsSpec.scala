@@ -138,4 +138,71 @@ class ScaleAndPipelineOpsSpec extends AnyFunSuite {
         assert(r.getDouble(8) > 0.5 && r.getDouble(8) < 2.0, s"ndv ${r.getString(0)}")
     }
   }
+
+  test("decontaminate: brute 5-gram membership replay, token laws") {
+    val rows = ops.TextAnalysis.decontaminate(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def grams5(t: String): Set[String] =
+      t.split(" ", -1).sliding(5).filter(_.length == 5).map(_.mkString(" ")).toSet
+    val evalGrams = docs.filter(_._2 == "src0").flatMap(x => grams5(x._3)).toSet
+    val train = docs.filter(_._2 != "src0")
+    val bySource = train.groupBy(_._2)
+    assert(rows.keySet === bySource.keySet, "every training source reported")
+    bySource.foreach { case (src, xs) =>
+      val (nDocs, nDropped, tokTot, tokDrop, ppm) = rows(src)
+      assert(nDocs === xs.length.toLong)
+      val dropped = xs.filter(x => grams5(x._3).exists(evalGrams))
+      assert(nDropped === dropped.length.toLong, s"$src dropped")
+      val tok = (t: String) => t.split(" ", -1).length.toLong
+      assert(tokTot === xs.map(x => tok(x._3)).sum, s"$src tokens")
+      assert(tokDrop === dropped.map(x => tok(x._3)).sum, s"$src dropped tokens")
+      assert(ppm === tokDrop * 1000000L / tokTot, s"$src ppm")
+    }
+  }
+
+  test("rouge attribution: argmax clip replay, recall bounds") {
+    val rows = ops.TextAnalysis.rougeOverlap(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def grams5(t: String): Set[String] =
+      t.split(" ", -1).sliding(5).filter(_.length == 5).map(_.mkString(" ")).toSet
+    def bigs(t: String): Map[String, Long] = {
+      val w = t.split(" ", -1)
+      w.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+        .groupBy(identity).map { case (g, xs) => g -> xs.length.toLong }
+    }
+    val evals = docs.filter(_._2 == "src0")
+    val train = docs.filter(_._2 != "src0")
+    val expect = evals.flatMap { case (ed, _, et) =>
+      val eg = grams5(et)
+      val cands = train.map { case (td, _, tt) =>
+        (td, grams5(tt).count(eg), tt) }.filter(_._2 > 0)
+      if (cands.isEmpty) None
+      else {
+        val eb = bigs(et)
+        val scored = cands.map { case (td, sh, tt) =>
+          val tb = bigs(tt)
+          val clip = eb.map { case (g, c) => math.min(c, tb.getOrElse(g, 0L)) }.sum
+          (td, sh.toLong, clip)
+        }
+        val best = scored.sortBy(x => (-x._3, -x._2, x._1)).head
+        Some(ed -> (best._1, best._2, best._3, eb.values.sum))
+      }
+    }.toMap
+    assert(rows.length === expect.size, "one row per contaminated eval doc")
+    rows.foreach { r =>
+      val (md, sh, clip, ref) = expect(r.getLong(0))
+      assert(r.getLong(1) === md, s"match for ${r.getLong(0)}")
+      assert(r.getLong(2) === sh && r.getLong(3) === clip && r.getLong(4) === ref)
+      val rouge = r.getDouble(5)
+      assert(rouge >= 0.0 && rouge <= 1.0 + 1e-9)
+      assert(math.abs(rouge - math.floor(clip.toDouble / ref * 1e6 + 0.5) / 1e6)
+        < 1e-12, "rouge2 quantized division")
+    }
+  }
 }
