@@ -1105,7 +1105,98 @@ object EventTime {
       .orderBy("event_type", "day")
   }
 
+  /** Hampel filter over the per-type daily value series: each interior
+    * day is judged against the MEDIAN and MAD of its centered 5-day
+    * window — the rolling ROBUST outlier gate ([[Statistics.outlierMad]]
+    * applies one global gate; Hampel localizes it, so a level shift
+    * doesn't poison the threshold for the whole series). Flag when
+    * |x − med| > 3·1.4826·mad; days without a full 5-day window abstain
+    * (the standard boundary rule).
+    *
+    * Determinism: daily totals are exact micro BIGINTs; med and mad are
+    * order STATISTICS of 5 integers (sorted-array element 3 — selection,
+    * never interpolation: the q_outlier_mad lesson); the gate
+    * dev > 3·1.4826·mad is stated as the integer comparison
+    * dev·10⁴ > 44478·mad (3·1.4826 = 4.4478 exactly at 4 dp). No
+    * floating-point anywhere — nothing to diverge.
+    *
+    * Scale shape: one map-side-combined (type, day) aggregate, then a
+    * calendar-bounded per-type window carrying a 5-element array. */
+  def hampelFilter(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d).filter(col("value").isNotNull)
+      .groupBy(col("event_type"), fmtDate(col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 1000000 + lit(0.5)).cast("long")).as("x"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-2, 2)
+    daily
+      .withColumn("win", collect_list("x").over(w))
+      .filter(size(col("win")) === 5)
+      .withColumn("med", element_at(sort_array(col("win")), 3))
+      .withColumn("mad", element_at(sort_array(
+        expr("transform(win, v -> abs(v - med))")), 3))
+      .withColumn("dev", abs(col("x") - col("med")))
+      .select(col("event_type"), col("day"), col("x"), col("med"),
+        col("mad"), col("dev"),
+        (col("dev") * lit(10000L) > lit(44478L) * col("mad")).cast("int")
+          .as("is_outlier"))
+      .orderBy("event_type", "day")
+  }
+
+  /** Holt linear (double-exponential) smoothing of daily event volume,
+    * α = β = ½ — [[ewmaSmooth]] tracks LEVEL only and lags any steady
+    * growth; Holt carries an explicit trend term, so `forecast = l + b`
+    * is the one-step prediction a capacity dashboard actually plots:
+    * lₜ = (xₜ + lₜ₋₁ + bₜ₋₁)/2, bₜ = ((lₜ − lₜ₋₁) + bₜ₋₁)/2, seeded
+    * l₁ = x₁, b₁ = 0, over the same CAUSALLY ZERO-FILLED grid as the
+    * EWMA (a silent day decays level and trend).
+    *
+    * Determinism: with α = β = ½ every update is additions of dyadic
+    * rationals and one exact ·0.5 — the same closed-to-exact-IEEE trick
+    * as [[ewmaSmooth]] — and even past the 53-bit dyadic bound the fold
+    * is a FIXED sequence of correctly-rounded ops on identical operands,
+    * so both engines stay bit-equal unconditionally. The Spark side
+    * folds with the codegen'd `aggregate` higher-order function over the
+    * per-type day-sorted array (calendar-bounded — ≤31 cells per type on
+    * the fixture's one-month window; month-shard beyond); the oracle
+    * replays the identical op sequence as a recursive CTE.
+    *
+    * Scale shape: one map-side-combined (type, day) aggregate, the
+    * calendar-bounded grid fill, one per-type fold, one explode. */
+  def holtLinear(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), fmtDate(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val firstDay = daily.groupBy("event_type").agg(min("day").as("d0"))
+    val days = daily.select("day").distinct()
+    val grid = days.crossJoin(broadcast(firstDay))
+      .filter(col("day") >= col("d0"))
+      .join(daily, Seq("event_type", "day"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+    grid.groupBy("event_type")
+      .agg(array_sort(collect_list(struct(col("day"), col("n")))).as("xs"))
+      .withColumn("st", expr(
+        """aggregate(xs,
+          |  cast(array() as array<struct<day:string,n:bigint,l:double,b:double>>),
+          |  (acc, e) -> if(size(acc) = 0,
+          |    array(named_struct('day', e.day, 'n', e.n,
+          |                       'l', cast(e.n as double), 'b', 0.0d)),
+          |    array_append(acc, named_struct('day', e.day, 'n', e.n,
+          |      'l', (cast(e.n as double) + element_at(acc, -1).l
+          |            + element_at(acc, -1).b) * 0.5d,
+          |      'b', (((cast(e.n as double) + element_at(acc, -1).l
+          |              + element_at(acc, -1).b) * 0.5d)
+          |            - element_at(acc, -1).l + element_at(acc, -1).b) * 0.5d))))
+          |""".stripMargin))
+      .select(col("event_type"), explode(col("st")).as("e"))
+      .select(col("event_type"), col("e.day").as("day"), col("e.n").as("n"),
+        col("e.l").as("level"), col("e.b").as("trend"),
+        (col("e.l") + col("e.b")).as("forecast_next"))
+      .orderBy("event_type", "day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hampel" -> (hampelFilter _),
+    "q_holt_linear" -> (holtLinear _),
     "q_ewma_smooth" -> (ewmaSmooth _),
     "q_interval_union" -> (intervalUnion _),
     "q_lateness_audit" -> (latenessAudit _),
@@ -1219,6 +1310,60 @@ object EventTime {
   }
 
   val oracle: Map[String, String] = Map(
+    // pure integer order statistics over the 5-day window; the gate is
+    // an exact integer comparison
+    "q_hampel" ->
+      """WITH daily AS (
+        |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |         CAST(SUM(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+        |              AS BIGINT) AS x
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+        |), wf AS (
+        |  SELECT event_type, day, x,
+        |    list(x) OVER (PARTITION BY event_type ORDER BY day
+        |                  ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS win
+        |  FROM daily
+        |), m AS (
+        |  SELECT event_type, day, x, win, list_sort(win)[3] AS med
+        |  FROM wf WHERE len(win) = 5
+        |), mm AS (
+        |  SELECT event_type, day, x, med,
+        |         list_sort(list_transform(win, v -> abs(v - med)))[3] AS mad
+        |  FROM m
+        |)
+        |SELECT event_type, day, x, med, mad, abs(x - med) AS dev,
+        |  CAST(abs(x - med) * 10000 > 44478 * mad AS INTEGER) AS is_outlier
+        |FROM mm ORDER BY event_type, day""".stripMargin,
+    // the EWMA causal grid; the recursion replays the identical fixed
+    // op sequence (adds of dyadic rationals + exact *0.5) step by step
+    "q_holt_linear" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2
+        |), days AS (SELECT DISTINCT day FROM daily),
+        |f AS (SELECT event_type, min(day) AS d0 FROM daily GROUP BY 1),
+        |grid AS (
+        |  SELECT f.event_type, days.day, CAST(COALESCE(daily.n, 0) AS BIGINT) AS n
+        |  FROM f JOIN days ON days.day >= f.d0
+        |  LEFT JOIN daily ON daily.event_type = f.event_type
+        |                 AND daily.day = days.day
+        |), g AS (
+        |  SELECT event_type, day, n,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS dn
+        |  FROM grid
+        |), rec AS (
+        |  SELECT event_type, day, n, dn, CAST(n AS DOUBLE) AS l, 0.0e0 AS b
+        |  FROM g WHERE dn = 1
+        |  UNION ALL
+        |  SELECT g.event_type, g.day, g.n, g.dn,
+        |    (CAST(g.n AS DOUBLE) + r.l + r.b) * 0.5e0 AS l,
+        |    (((CAST(g.n AS DOUBLE) + r.l + r.b) * 0.5e0) - r.l + r.b) * 0.5e0 AS b
+        |  FROM rec r JOIN g ON g.event_type = r.event_type AND g.dn = r.dn + 1
+        |)
+        |SELECT event_type, day, n, l AS level, b AS trend,
+        |       l + b AS forecast_next
+        |FROM rec ORDER BY event_type, day""".stripMargin,
     "q_ewma_smooth" ->
       """WITH daily AS (
         |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,

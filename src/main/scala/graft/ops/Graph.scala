@@ -429,7 +429,63 @@ object Graph {
       .orderBy("node")
   }
 
+  private[ops] val HitsIters = 2
+
+  /** Weighted HITS (hubs & authorities) over the DIRECTED trade graph,
+    * [[HitsIters]] mutual-reinforcement rounds — the directed complement
+    * to [[pagerank]]'s single score: an authority nation is IMPORTED
+    * into by strong exporters, a hub nation EXPORTS to strong importers;
+    * the two scores split "trade influence" into its two directions
+    * (a(v) = Σ_{u→v} h(u)·w, then h(u) = Σ_{u→v} a(v)·w).
+    *
+    * Determinism — integer fixed-point like [[pagerank]], with MAX
+    * normalization instead of HITS' usual L2 (an L2 norm is a sqrt of a
+    * float sum — engine freedom; max-normalize keeps every score an
+    * exact integer in [0, Scale]): products promote to DECIMAL(38,0)/
+    * HUGEINT (score·w ≤ 10¹²·|lineitem| wraps BIGINT), each round's
+    * scores rescale by `(x·Scale) div max` — exact integer division —
+    * and the oracle unrolls the identical rounds as generated CTEs.
+    * Ranking ties break on the node key in the consumer, never needed
+    * here (scores are exact).
+    *
+    * Scale shape: the [[tradeEdges]] derivation dominates; each round is
+    * two joins + two keyed aggregates over the staged ≤|nations|² edge
+    * list with a 1-row max broadcast back — per-round state is one row
+    * per nation. */
+  def hits(s: SparkSession, d: String): DataFrame = {
+    val e = graft.util.Ckpt.stage(tradeEdges(s, d))
+    val nodes = Tables.nation(s, d)
+      .select(col("n_nationkey").as("node"), col("n_name").as("nation"))
+    val dec0 = "DECIMAL(38,0)"
+    var hub = nodes.select(col("node"), lit(Scale).as("sc"))
+    var auth = hub
+    for (_ <- 1 to HitsIters) {
+      val a = e.join(hub.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(expr(s"sum(CAST(sc AS $dec0) * CAST(w AS $dec0))").as("raw"))
+      val am = a.agg(max("raw").as("mx"))
+      auth = nodes.join(a, Seq("node"), "left").crossJoin(broadcast(am))
+        .select(col("node"), expr(
+          s"coalesce((raw * CAST($Scale AS $dec0)) div mx, CAST(0 AS BIGINT))")
+          .as("sc"))
+      val h = e.join(auth.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node"))
+        .agg(expr(s"sum(CAST(sc AS $dec0) * CAST(w AS $dec0))").as("raw"))
+      val hm = h.agg(max("raw").as("mx"))
+      hub = nodes.join(h, Seq("node"), "left").crossJoin(broadcast(hm))
+        .select(col("node"), expr(
+          s"coalesce((raw * CAST($Scale AS $dec0)) div mx, CAST(0 AS BIGINT))")
+          .as("sc"))
+    }
+    nodes
+      .join(hub.withColumnRenamed("sc", "hub"), "node")
+      .join(auth.withColumnRenamed("sc", "authority"), "node")
+      .select(col("node"), col("nation"), col("hub"), col("authority"))
+      .orderBy("node")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hits" -> (hits _),
     "q_label_prop" -> (labelProp _),
     "q_kcore_peel" -> (kcorePeel _),
     "q_assoc_rules" -> (assocRules _),
@@ -520,7 +576,40 @@ object Graph {
        |ORDER BY n.node""".stripMargin
   }
 
+  /** The [[hits]] oracle unrolls [[HitsIters]] rounds as generated CTEs
+    * with the same Scale constant and max-normalization. */
+  private def hitsOracle: String = {
+    val rounds = (1 to HitsIters).map { i =>
+      s"""ar$i AS (
+         |  SELECT e.dst AS node, sum(CAST(h${i - 1}.sc AS HUGEINT) * e.w) AS raw
+         |  FROM e JOIN h${i - 1} ON e.src = h${i - 1}.node GROUP BY 1
+         |), am$i AS (SELECT max(raw) AS mx FROM ar$i),
+         |a$i AS (
+         |  SELECT n.node,
+         |    CAST(COALESCE((ar$i.raw * $Scale) // am$i.mx, 0) AS BIGINT) AS sc
+         |  FROM n LEFT JOIN ar$i ON n.node = ar$i.node CROSS JOIN am$i
+         |), hr$i AS (
+         |  SELECT e.src AS node, sum(CAST(a$i.sc AS HUGEINT) * e.w) AS raw
+         |  FROM e JOIN a$i ON e.dst = a$i.node GROUP BY 1
+         |), hm$i AS (SELECT max(raw) AS mx FROM hr$i),
+         |h$i AS (
+         |  SELECT n.node,
+         |    CAST(COALESCE((hr$i.raw * $Scale) // hm$i.mx, 0) AS BIGINT) AS sc
+         |  FROM n LEFT JOIN hr$i ON n.node = hr$i.node CROSS JOIN hm$i
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH $EdgeCte, n AS (
+       |  SELECT n_nationkey AS node, n_name AS nation FROM nation
+       |), h0 AS (
+       |  SELECT node, CAST($Scale AS BIGINT) AS sc FROM n
+       |), $rounds
+       |SELECT n.node, n.nation, h.sc AS hub, a.sc AS authority
+       |FROM n JOIN h$HitsIters h USING (node) JOIN a$HitsIters a USING (node)
+       |ORDER BY n.node""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_hits" -> hitsOracle,
     "q_label_prop" -> labelPropOracle,
     "q_kcore_peel" -> {
       val passes = (1 to CorePasses).map { p =>

@@ -560,6 +560,53 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Interpolated Kneser–Ney bigram probabilities (absolute discount
+    * d = 0.75) for the corpus's 20 most frequent bigrams — the smoothing
+    * every serious n-gram LM uses where [[bigramLm]] stops at add-one:
+    * KN backs off to CONTINUATION probability (in how many distinct
+    * contexts does w₂ appear?) rather than raw frequency, the fix for
+    * "San Francisco" inflating P(francisco | anything):
+    * P(w₂|w₁) = (c(w₁w₂) − d)/c(w₁·) + d·N₁₊(w₁•)/c(w₁·) ·
+    * N₁₊(•w₂)/N₁₊(••).
+    *
+    * Determinism: every count is an exact BIGINT off the staged corpus
+    * bigram table; d = 0.75 is exactly representable, c₁₂ ≥ 1 > d so the
+    * discount never clamps; p_kn is a fixed tree of 8 elementary IEEE
+    * ops on identical operands (two subtractions/multiplies, three
+    * single divisions of exact integers, one add), 6-dp floor-quantized
+    * with the display columns. The top-20 cut orders by (c₁₂ DESC,
+    * bigram ASC) — integer + string, no float ordering.
+    *
+    * Scale shape: occurrences reduce to the corpus bigram table first
+    * (vocabulary-bounded); history/continuation rollups aggregate that
+    * table, broadcast back; one TakeOrdered(20). */
+  def kneserNey(s: SparkSession, d: String): DataFrame = {
+    val q6 = (c: Column) => floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val wf = filter(words(col("text")), x => x =!= "")
+    val c12 = graft.util.Ckpt.stage(Tables.documents(s, d)
+      .select(explode(StringNgrams.ngrams(wf, 2)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c12"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1)))
+    val hist = c12.groupBy("w1")
+      .agg(sum("c12").as("c1"), count(lit(1)).as("nfw"))
+    val pred = c12.groupBy("w2").agg(count(lit(1)).as("nbw"))
+    val tot = c12.agg(count(lit(1)).as("ntypes"))
+    val c1d = col("c1").cast("double")
+    val pCont = col("nbw").cast("double") / col("ntypes").cast("double")
+    val lam = lit(0.75) * col("nfw").cast("double") / c1d
+    c12.join(broadcast(hist), "w1")
+      .join(broadcast(pred), "w2")
+      .crossJoin(broadcast(tot))
+      .select(col("bg").as("bigram"), col("c12"), col("c1"),
+        col("nfw").as("n_followers"), col("nbw").as("n_contexts"),
+        q6(pCont).as("p_cont"), q6(lam).as("lambda"),
+        q6((col("c12").cast("double") - lit(0.75)) / c1d + lam * pCont)
+          .as("p_kn"))
+      .orderBy(col("c12").desc, col("bigram").asc)
+      .limit(20)
+  }
+
   /** Support threshold and per-source cut for [[pmiTerms]]: a term needs
     * ≥ 5 occurrences in a source to score (PMI of rare pairs is noise),
     * and each source reports its top 3. Mirrored in the oracle. */
@@ -1316,6 +1363,7 @@ object TextAnalysis {
     "q_contamination"   -> (contamination _),
     "q_decontaminate"   -> (decontaminate _),
     "q_rouge_overlap"   -> (rougeOverlap _),
+    "q_kneser_ney"      -> (kneserNey _),
     "q_repetition_ratio" -> (repetitionRatio _),
     "q_ngram_stats"     -> (ngramStats _),
     "q_tfidf"           -> (tfidf _),
@@ -1594,6 +1642,36 @@ object TextAnalysis {
          |SELECT source, rnk, term, c_ts, CAST(pmi AS DOUBLE) AS pmi
          |FROM r WHERE rnk <= 3
          |ORDER BY source, rnk""".stripMargin,
+    // exact BIGINT count tables; p_kn is the same fixed 8-op IEEE tree;
+    // the top-20 cut is an integer+string ordering
+    "q_kneser_ney" ->
+      s"""WITH bgr AS (
+         |  SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bg
+         |  FROM (SELECT $FWordsSql AS w FROM documents) ws
+         |), c AS (
+         |  SELECT bg, CAST(count(*) AS BIGINT) AS c12,
+         |         string_split(bg, ' ')[1] AS w1,
+         |         string_split(bg, ' ')[-1] AS w2
+         |  FROM bgr GROUP BY bg
+         |), h AS (
+         |  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+         |         CAST(count(*) AS BIGINT) AS nfw
+         |  FROM c GROUP BY w1
+         |), p AS (
+         |  SELECT w2, CAST(count(*) AS BIGINT) AS nbw FROM c GROUP BY w2
+         |), t AS (SELECT CAST(count(*) AS BIGINT) AS ntypes FROM c)
+         |SELECT c.bg AS bigram, c.c12, h.c1,
+         |  h.nfw AS n_followers, p.nbw AS n_contexts,
+         |  floor(CAST(p.nbw AS DOUBLE) / CAST(t.ntypes AS DOUBLE)
+         |        * 1000000 + 0.5) / 1000000 AS p_cont,
+         |  floor(0.75e0 * CAST(h.nfw AS DOUBLE) / CAST(h.c1 AS DOUBLE)
+         |        * 1000000 + 0.5) / 1000000 AS lambda,
+         |  floor(((CAST(c.c12 AS DOUBLE) - 0.75e0) / CAST(h.c1 AS DOUBLE)
+         |         + (0.75e0 * CAST(h.nfw AS DOUBLE) / CAST(h.c1 AS DOUBLE))
+         |           * (CAST(p.nbw AS DOUBLE) / CAST(t.ntypes AS DOUBLE)))
+         |        * 1000000 + 0.5) / 1000000 AS p_kn
+         |FROM c JOIN h USING (w1) JOIN p USING (w2), t
+         |ORDER BY c.c12 DESC, bigram ASC LIMIT 20""".stripMargin,
     "q_bigram_lm" ->
       s"""WITH ws AS (
          |  SELECT doc_id, $FWordsSql AS w FROM documents

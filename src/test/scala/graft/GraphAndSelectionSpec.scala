@@ -228,6 +228,45 @@ class GraphAndSelectionSpec extends AnyFunSuite {
     }
   }
 
+  test("hits: integer fixed-point replay, max-normalized bounds") {
+    val rows = Graph.hits(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 25)
+    // brute-force the directed weighted edge list
+    val e = Tables.lineitem(spark, sf).select("l_orderkey", "l_suppkey")
+      .join(Tables.orders(spark, sf).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.supplier(spark, sf).select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.customer(spark, sf).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("s_nationkey").as("src"), col("c_nationkey").as("dst"))
+      .agg(count(lit(1)).as("w")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    var hub = (0 until 25).map(n => n -> BigInt(Scale)).toMap
+    var auth = hub
+    (1 to 2).foreach { _ =>
+      val araw = e.groupBy(_._2).map { case (v, es) =>
+        v -> es.map(x => hub(x._1) * x._3).sum }
+      val am = araw.values.max
+      auth = (0 until 25).map(n =>
+        n -> araw.get(n).map(_ * Scale / am).getOrElse(BigInt(0))).toMap
+      val hraw = e.groupBy(_._1).map { case (u, es) =>
+        u -> es.map(x => auth(x._2) * x._3).sum }
+      val hm = hraw.values.max
+      hub = (0 until 25).map(n =>
+        n -> hraw.get(n).map(_ * Scale / hm).getOrElse(BigInt(0))).toMap
+    }
+    rows.foreach { case (node, h, a) =>
+      assert(BigInt(h) === hub(node), s"hub at $node")
+      assert(BigInt(a) === auth(node), s"auth at $node")
+      assert(h >= 0 && h <= Scale && a >= 0 && a <= Scale)
+    }
+    // max normalization pins the best hub and best authority at Scale
+    assert(rows.map(_._2).max === Scale)
+    assert(rows.map(_._3).max === Scale)
+  }
+
   test("label propagation: synchronous weighted-LPA replay, size partition") {
     val rows = Graph.labelProp(spark, sf).collect()
       .map(r => (r.getInt(0), r.getInt(2), r.getLong(3)))

@@ -573,6 +573,16 @@ class PlanBudgetSpec extends AnyFunSuite {
     ("q_rouge_overlap", 8, 0),       // audit mode recomputes the staged
                                       // gram/bigram frames per consumer;
                                       // candidate join + clip agg + top-1
+    ("q_hampel", 4, 0),               // (type, day) agg + one calendar-
+                                      // bounded 5-row array window
+    ("q_holt_linear", 6, 1),          // (type, day) agg + grid fill + one
+                                      // per-type fold; first-day broadcast
+    ("q_kneser_ney", 6, 3),           // bigram table + two rollups; hist/
+                                      // pred/types broadcast; TakeOrdered
+    ("q_hits", 18, 2),                // audit mode unrolls 2 rounds x
+                                      // (2 joins + 2 aggs + max reduce)
+                                      // over the staged edge list
+                                      // (audited 17; +1 headroom)
   )
 
   budgets.foreach { case (name, maxShuffles, minBcasts) =>

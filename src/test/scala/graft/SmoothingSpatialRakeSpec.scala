@@ -25,6 +25,89 @@ class SmoothingSpatialRakeSpec extends AnyFunSuite {
     }
   }
 
+  test("Holt linear alpha=beta=1/2: the fold replays the recurrence bit-exactly") {
+    val rows = ops.EventTime.holtLinear(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (t, xs) =>
+      val ordered = xs.sortBy(_._2)
+      var l = ordered.head._3.toDouble; var b = 0.0
+      assert(ordered.head._4 === l && ordered.head._5 === 0.0,
+        s"$t seeds (l, b) = (x1, 0)")
+      ordered.tail.foreach { case (_, day, n, level, trend, fc) =>
+        val nl = (n.toDouble + l + b) * 0.5
+        b = ((nl - l) + b) * 0.5
+        l = nl
+        assert(level === l, s"$t $day level (must be bit-exact)")
+        assert(trend === b, s"$t $day trend (must be bit-exact)")
+        assert(fc === l + b, s"$t $day forecast")
+      }
+      // the zero-filled grid is contiguous per type
+      assert(ordered.map(_._2).distinct.length === ordered.length)
+    }
+  }
+
+  test("Hampel: 5-window order statistics replay, gate is the integer rule") {
+    val daily = Tables.events(spark, sf).filter(col("value").isNotNull)
+      .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(sum(floor(col("value") * 1000000 + lit(0.5)).cast("long")).as("x"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val rows = ops.EventTime.hampelFilter(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byType = daily.groupBy(_._1).map { case (t, xs) =>
+      t -> xs.sortBy(_._2) }
+    val expected = byType.flatMap { case (t, xs) =>
+      xs.indices.filter(i => i >= 2 && i <= xs.length - 3).map { i =>
+        val win = (i - 2 to i + 2).map(j => xs(j)._3).sorted
+        val med = win(2)
+        val mad = (i - 2 to i + 2).map(j => math.abs(xs(j)._3 - med)).sorted.apply(2)
+        (t, xs(i)._2) -> (xs(i)._3, med, mad)
+      }
+    }
+    assert(rows.length === expected.size, "interior days only")
+    rows.foreach { r =>
+      val (x, med, mad) = expected((r.getString(0), r.getString(1)))
+      assert(r.getLong(2) === x && r.getLong(3) === med && r.getLong(4) === mad)
+      val dev = math.abs(x - med)
+      assert(r.getLong(5) === dev)
+      assert(r.getInt(6) === (if (dev * 10000L > 44478L * mad) 1 else 0))
+    }
+  }
+
+  test("Kneser-Ney: count replay, probability component bounds") {
+    val rows = ops.TextAnalysis.kneserNey(spark, sf).collect()
+    assert(rows.length === 20)
+    // brute counts from the corpus
+    val words = Tables.documents(spark, sf).select("text").collect()
+      .map(_.getString(0).split(" ", -1).filter(_.nonEmpty).toSeq)
+    val bigrams = words.flatMap(w => w.sliding(2).filter(_.length == 2)
+      .map(_.mkString(" ")))
+    val c12 = bigrams.groupBy(identity).map { case (g, xs) => g -> xs.length.toLong }
+    val c1 = c12.toSeq.groupBy(_._1.split(" ")(0))
+      .map { case (w1, xs) => w1 -> (xs.map(_._2).sum, xs.length.toLong) }
+    val nbw = c12.keys.toSeq.groupBy(_.split(" ")(1))
+      .map { case (w2, xs) => w2 -> xs.length.toLong }
+    val ntypes = c12.size.toLong
+    var prev = Long.MaxValue
+    rows.foreach { r =>
+      val bg = r.getString(0)
+      assert(r.getLong(1) === c12(bg), s"$bg c12")
+      assert(r.getLong(1) <= prev, "sorted by count desc"); prev = r.getLong(1)
+      val (cc1, nfw) = c1(bg.split(" ")(0))
+      assert(r.getLong(2) === cc1 && r.getLong(3) === nfw)
+      assert(r.getLong(4) === nbw(bg.split(" ")(1)))
+      val q6 = (x: Double) => math.floor(x * 1e6 + 0.5) / 1e6
+      val pc = r.getLong(4).toDouble / ntypes
+      val lam = 0.75 * nfw / cc1
+      assert(r.getDouble(5) === q6(pc) && r.getDouble(6) === q6(lam))
+      assert(r.getDouble(7) ===
+        q6((c12(bg) - 0.75) / cc1 + (0.75 * nfw / cc1) * (r.getLong(4).toDouble / ntypes)))
+      assert(r.getDouble(7) > 0.0 && r.getDouble(7) <= 1.0 + 1e-9)
+      assert(r.getDouble(6) <= 0.75 + 1e-12, "lambda <= d")
+    }
+  }
+
   test("RAKE: phrases are stopword-free, scores replay from corpus word stats") {
     val stops = Set("the", "a", "of")
     val got = ops.TextAnalysis.rakeKeywords(spark, sf).collect()
