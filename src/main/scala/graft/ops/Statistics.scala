@@ -377,6 +377,37 @@ object Statistics {
       round(z, 6).as("z"))
   }
 
+  /** Cliff's delta effect size between the click and view value
+    * distributions — the number [[mannWhitney]]'s z deliberately is not:
+    * z says "the shift is not chance" (and grows with n even for a
+    * trivial shift); δ = P(X>Y) − P(X<Y) ∈ [−1, 1] says how BIG the
+    * dominance is, sample-size-free — the gate a dashboard puts next to
+    * every significant rank test before anyone acts on it. Reported
+    * with the standard Romano magnitude bands (negligible < 0.147 ≤
+    * small < 0.33 ≤ medium < 0.474 ≤ large).
+    *
+    * Determinism: δ = (2·U₁ − n₁n₂)/(n₁n₂) comes straight off
+    * [[mannWhitney]]'s doubled-rank integers (ties count ½ in U₁ and
+    * cancel in δ) — ONE division of exact BIGINTs, 6-dp-quantized; the
+    * band CASE compares the quantized value against exact literals in
+    * both engines. Scale shape: identical to [[mannWhitney]] — the
+    * shared two-phase bucketed rank aggregate, one final row. */
+  def cliffDelta(s: SparkSession, d: String): DataFrame = {
+    val q6 = (c: Column) => floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val base = mannWhitney(s, d)
+      .select(col("n1"), col("n2"),
+        (col("u1_x2") - col("n1") * col("n2")).as("num"))
+    val delta = q6(col("num").cast("double") /
+      (col("n1") * col("n2")).cast("double"))
+    base.filter(col("n1") > 0 && col("n2") > 0)
+      .select(col("n1"), col("n2"),
+        delta.as("delta"),
+        when(abs(delta) < 0.147, lit("negligible"))
+          .when(abs(delta) < 0.33, lit("small"))
+          .when(abs(delta) < 0.474, lit("medium"))
+          .otherwise(lit("large")).as("magnitude"))
+  }
+
   /** r×c contingency-table association between document source and
     * language — chi-square independence plus Cramér's V, the corpus
     * audit that answers "is language mix independent of source?" before
@@ -1106,6 +1137,58 @@ object Statistics {
         (floor(col("wsum").cast("double") / (col("n").cast(dec0) * col("sx")).cast("double")
           * lit(1000000.0) + lit(0.5)) / lit(1000000.0)).as("gini"))
       .orderBy("event_type")
+  }
+
+  /** Lorenz curve (decile points) of the per-type value distribution —
+    * the CURVE whose area [[gini]] compresses to one number: at each
+    * population decile k, what share of total value do the bottom k/10
+    * of rows hold? The plot a revenue-concentration or token-budget
+    * review actually reads ("the bottom half of events carries 9% of
+    * value") — and the decile grid is the standard x-axis.
+    *
+    * Determinism — rank selection, never interpolation (the
+    * q_outlier_mad rule): decile k's point is the FIRST distinct value
+    * whose cumulative row count reaches k·n/10, found by pure integer
+    * interval cover (a row covers k iff 10·(cum−c) < k·n ≤ 10·cum —
+    * the covering row is unique because the intervals partition
+    * (0, 10n]); pop/value shares are exact integer ppm divisions plus
+    * one quantized double division. Value sums ride DECIMAL(38,0)/
+    * HUGEINT.
+    *
+    * Scale shape: the [[gini]] frame — one map-side-combined
+    * (type, value) aggregate, windows over the per-type DISTINCT-value
+    * domain, a ≤10-row explode per type. */
+  def lorenzCurve(s: SparkSession, d: String): DataFrame = {
+    val dec0 = DecimalType(38, 0)
+    val q6 = (c: Column) => floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val ev = Tables.events(s, d)
+      .filter(col("value").isNotNull && col("value") >= 0)
+      .select(col("event_type"),
+        (col("value").cast(DecimalType(24, 6)) * lit(1000000)).cast("long").as("micro"))
+    val byVal = ev.groupBy("event_type", "micro").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("event_type").orderBy("micro")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wp = Window.partitionBy("event_type")
+    byVal
+      .withColumn("cum", sum("c").over(w))
+      .withColumn("cumv",
+        sum(col("micro").cast(dec0) * col("c").cast(dec0)).over(w))
+      .withColumn("n", sum("c").over(wp))
+      .withColumn("tv",
+        sum(col("micro").cast(dec0) * col("c").cast(dec0)).over(wp))
+      .withColumn("klo", expr("(10 * (cum - c)) div n + 1"))
+      .withColumn("khi", expr("least((10 * cum) div n, CAST(10 AS BIGINT))"))
+      .filter(col("khi") >= col("klo"))
+      .select(col("event_type"),
+        explode(sequence(col("klo").cast("int"), col("khi").cast("int")))
+          .as("decile"),
+        col("cum"), col("cumv"), col("n"), col("tv"))
+      .select(col("event_type"), col("decile"), col("cum").as("cum_rows"),
+        expr("cum * 1000000 div n").as("pop_ppm"),
+        expr("(cumv * 1000000) div tv").as("value_ppm"),
+        q6(col("cumv").cast("double") / col("tv").cast("double"))
+          .as("value_share"))
+      .orderBy("event_type", "decile")
   }
 
   /** Kaplan–Meier survival estimate of customer relationship lifetime —
@@ -2544,6 +2627,8 @@ object Statistics {
     "q_wilcoxon" -> (wilcoxonSignedRank _),
     "q_pacf" -> (pacf _),
     "q_grubbs" -> (grubbs _),
+    "q_cliff_delta" -> (cliffDelta _),
+    "q_lorenz" -> (lorenzCurve _),
     "q_nelson_aalen" -> (nelsonAalen _),
     "q_jarque_bera" -> (jarqueBera _),
     "q_ljung_box" -> (ljungBox _),
@@ -2658,6 +2743,74 @@ object Statistics {
         |SELECT event_type, n_days, r1, r2, r3,
         |       r1 AS pacf1, p2 AS pacf2, p3 AS pacf3
         |FROM l3 ORDER BY event_type""".stripMargin,
+    // the mannwhitney rank prefix; delta is one division of exact
+    // integers; bands compare the quantized value to double literals
+    "q_cliff_delta" ->
+      """WITH ev AS (
+        |  SELECT value,
+        |         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
+        |         SUM(CASE WHEN event_type = 'view'  THEN 1 ELSE 0 END) AS c2
+        |  FROM events
+        |  WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+        |  GROUP BY value
+        |), r AS (
+        |  SELECT c1, c2,
+        |         SUM(c1 + c2) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           - (c1 + c2) AS prev
+        |  FROM ev
+        |), t AS (
+        |  SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+        |         CAST(SUM(c2) AS BIGINT) AS n2,
+        |         CAST(SUM(c1 * (2 * prev + c1 + c2 + 1)) AS BIGINT) AS r1_x2
+        |  FROM r
+        |), dx AS (
+        |  SELECT n1, n2,
+        |    floor(CAST((r1_x2 - n1 * (n1 + 1)) - n1 * n2 AS DOUBLE)
+        |          / CAST(n1 * n2 AS DOUBLE) * 1000000 + 0.5) / 1000000 AS delta
+        |  FROM t WHERE n1 > 0 AND n2 > 0
+        |)
+        |SELECT n1, n2, delta,
+        |  CASE WHEN abs(delta) < 0.147e0 THEN 'negligible'
+        |       WHEN abs(delta) < 0.33e0  THEN 'small'
+        |       WHEN abs(delta) < 0.474e0 THEN 'medium'
+        |       ELSE 'large' END AS magnitude
+        |FROM dx""".stripMargin,
+    // the gini value frame; decile cover by exact integer intervals;
+    // shares are integer ppm divisions + one quantized double division
+    "q_lorenz" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |         CAST(CAST(value AS DECIMAL(24,6)) * 1000000 AS BIGINT) AS micro
+        |  FROM events WHERE value IS NOT NULL AND value >= 0
+        |), bv AS (
+        |  SELECT event_type, micro, CAST(count(*) AS BIGINT) AS c
+        |  FROM ev GROUP BY 1, 2
+        |), cw AS (
+        |  SELECT event_type, c,
+        |    SUM(c) OVER (PARTITION BY event_type ORDER BY micro
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(CAST(micro AS HUGEINT) * c) OVER (PARTITION BY event_type
+        |      ORDER BY micro
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumv,
+        |    SUM(c) OVER (PARTITION BY event_type) AS n,
+        |    SUM(CAST(micro AS HUGEINT) * c) OVER (PARTITION BY event_type) AS tv
+        |  FROM bv
+        |), ex AS (
+        |  SELECT event_type,
+        |    unnest(generate_series(CAST((10 * (cum - c)) // n + 1 AS BIGINT),
+        |                           CAST(least((10 * cum) // n, 10) AS BIGINT)))
+        |      AS decile,
+        |    cum, cumv, n, tv
+        |  FROM cw
+        |  WHERE least((10 * cum) // n, 10) >= (10 * (cum - c)) // n + 1
+        |)
+        |SELECT event_type, CAST(decile AS INTEGER) AS decile,
+        |  CAST(cum AS BIGINT) AS cum_rows,
+        |  CAST(cum * 1000000 // n AS BIGINT) AS pop_ppm,
+        |  CAST(cumv * 1000000 // tv AS BIGINT) AS value_ppm,
+        |  floor(CAST(cumv AS DOUBLE) / CAST(tv AS DOUBLE) * 1000000 + 0.5)
+        |    / 1000000 AS value_share
+        |FROM ex ORDER BY event_type, decile""".stripMargin,
     // the q_jarque_bera quantized-central-moment recipe: milli-unit
     // integer deviations, HUGEINT power sum, one fixed IEEE tree
     "q_grubbs" ->

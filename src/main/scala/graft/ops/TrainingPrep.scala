@@ -427,6 +427,52 @@ object TrainingPrep {
           .as("top_share"))
   }
 
+  /** ABC (Pareto) classification of parts by line-item revenue — the
+    * inventory-side completion of [[concentration]]: HHI says revenue is
+    * concentrated; ABC names the members — class A = the head parts
+    * covering the first 80% of cumulative revenue, B = the next 15%,
+    * C = the long tail — the standard split behind stocking policy and,
+    * in the data-curation reading, behind per-source curation effort
+    * (polish the A sources by hand, automate the C tail).
+    *
+    * Determinism: revenue enters the integer domain as micro-units via
+    * the rounding-mode-independent DECIMAL(24,6) cast (scale 6 > the
+    * data's 2 dp — never the knife-edge DECIMAL(18,2) cast, PARITY §4);
+    * the cumulative order is (revenue DESC, partkey ASC) — exact
+    * integers; the 80/95 boundaries are stated as the integer
+    * comparisons cum·5 ≤ tot·4 and cum·20 ≤ tot·19 in DECIMAL(38,0)/
+    * HUGEINT; shares are integer ppm divisions. Nothing floats.
+    *
+    * Scale shape: one map-side-combined part aggregate over lineitem
+    * (the only pass over the fact table), then a window over the PART
+    * domain — a dimension-sized frame (documented bound: |part|, ~1/30
+    * of lineitem rows; past broadcast scale the prefix sum becomes the
+    * ksDrift two-phase bucketed form), and a 3-row class aggregate. */
+  def abcClass(s: SparkSession, d: String): DataFrame = {
+    val dec0 = DecimalType(38, 0)
+    val rev = Tables.lineitem(s, d)
+      .select(col("l_partkey"),
+        (col("l_extendedprice").cast(DecimalType(24, 6)) * lit(1000000))
+          .cast("long").as("micro"))
+      .groupBy("l_partkey").agg(sum(col("micro").cast(dec0)).as("r"))
+    val tot = rev.agg(sum("r").as("tot"))
+    val w = Window.orderBy(col("r").desc, col("l_partkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rev
+      .withColumn("cum", sum("r").over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("cls",
+        when(col("cum") * lit(5) <= col("tot") * lit(4), lit("A"))
+          .when(col("cum") * lit(20) <= col("tot") * lit(19), lit("B"))
+          .otherwise(lit("C")))
+      .groupBy("cls")
+      .agg(count(lit(1)).as("n_parts"),
+        sum("r").cast("long").as("revenue_micro"),
+        expr("CAST((sum(r) * 1000000) div first(tot) AS BIGINT)")
+          .as("revenue_ppm"))
+      .orderBy("cls")
+  }
+
   /** Neyman-optimal stratified sample allocation over event types: a
     * fixed audit budget of [[NeymanBudget]] rows is split across strata
     * ∝ N_h·S_h (stratum size × stratum standard deviation) — the
@@ -547,6 +593,7 @@ object TrainingPrep {
     "q_target_encode" -> (targetEncode _),
     "q_neyman_alloc" -> (neymanAlloc _),
     "q_concentration" -> (concentration _),
+    "q_abc_class" -> (abcClass _),
     "q_source_mix" -> (sourceMix _),
     "q_token_pack" -> (tokenPack _),
     "q_pack_greedy" -> (binPack _),
@@ -745,6 +792,32 @@ object TrainingPrep {
          |       CAST(sum(lr) > 0 AS INTEGER) AS selected
          |FROM fb JOIN lr USING (bucket)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // micro-unit revenue via the scale-6 decimal cast; Pareto boundaries
+    // as exact HUGEINT comparisons; shares as integer ppm divisions
+    "q_abc_class" ->
+      """WITH rev AS (
+        |  SELECT l_partkey,
+        |         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(24,6)) * 1000000
+        |                       AS BIGINT)) AS HUGEINT) AS r
+        |  FROM lineitem GROUP BY 1
+        |), tot AS (SELECT SUM(r) AS tot FROM rev),
+        |cw AS (
+        |  SELECT r,
+        |    SUM(r) OVER (ORDER BY r DESC, l_partkey ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    tot
+        |  FROM rev, tot
+        |), cls AS (
+        |  SELECT r, tot,
+        |    CASE WHEN cum * 5 <= tot * 4 THEN 'A'
+        |         WHEN cum * 20 <= tot * 19 THEN 'B'
+        |         ELSE 'C' END AS cls
+        |  FROM cw
+        |)
+        |SELECT cls, CAST(count(*) AS BIGINT) AS n_parts,
+        |  CAST(SUM(r) AS BIGINT) AS revenue_micro,
+        |  CAST((SUM(r) * 1000000) // MIN(tot) AS BIGINT) AS revenue_ppm
+        |FROM cls GROUP BY cls ORDER BY cls""".stripMargin,
     "q_concentration" ->
       s"""WITH per AS (
          |  SELECT source, CAST(sum(len($WordsSql)) AS BIGINT) AS t

@@ -583,6 +583,13 @@ class PlanBudgetSpec extends AnyFunSuite {
                                       // (2 joins + 2 aggs + max reduce)
                                       // over the staged edge list
                                       // (audited 17; +1 headroom)
+    ("q_cliff_delta", 7, 2),         // = q_mannwhitney's two-phase rank
+                                      // machinery + a 1-row select
+    ("q_lorenz", 4, 0),               // (type, value) agg + per-type
+                                      // value-domain windows + explode
+    ("q_abc_class", 4, 1),            // part revenue agg + part-domain
+                                      // prefix window + 3-row class agg;
+                                      // total broadcasts
   )
 
   budgets.foreach { case (name, maxShuffles, minBcasts) =>

@@ -816,6 +816,45 @@ class StatisticsSpec extends AnyFunSuite {
     assert(row.getInt(4) === (if (best.toDouble > nd.toDouble * 1e6 * 5.0) 1 else 0))
   }
 
+  test("cliff's delta: ties to mann-whitney's U, bounded, banded") {
+    val mw = ops.Statistics.mannWhitney(spark, sf).collect().head
+    val (n1, n2, u1x2) = (mw.getAs[Long]("n1"), mw.getAs[Long]("n2"),
+      mw.getAs[Long]("u1_x2"))
+    val row = ops.Statistics.cliffDelta(spark, sf).collect().head
+    assert(row.getAs[Long]("n1") === n1 && row.getAs[Long]("n2") === n2)
+    val brute = math.floor((u1x2 - n1 * n2).toDouble / (n1 * n2) * 1e6 + 0.5) / 1e6
+    val delta = row.getAs[Double]("delta")
+    assert(delta === brute, "delta = (2U1 - n1n2)/(n1n2) off the same frame")
+    assert(delta >= -1.0 && delta <= 1.0)
+    val expectBand =
+      if (math.abs(delta) < 0.147) "negligible"
+      else if (math.abs(delta) < 0.33) "small"
+      else if (math.abs(delta) < 0.474) "medium" else "large"
+    assert(row.getAs[String]("magnitude") === expectBand)
+  }
+
+  test("lorenz: full decile grid, below the diagonal, anchored at 1") {
+    val rows = ops.Statistics.lorenzCurve(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (t, xs) =>
+      val sorted = xs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1 to 10), s"$t: every decile present")
+      // Lorenz curve of an ascending-value sort is convex and below the
+      // diagonal: value share never exceeds population share
+      sorted.foreach { case (_, k, _, popPpm, valPpm, share) =>
+        assert(valPpm <= popPpm, s"$t decile $k above the diagonal")
+        assert(share >= 0.0 && share <= 1.0 + 1e-9)
+        assert(popPpm >= k * 100000L, s"$t decile $k reached its row mass")
+      }
+      // monotone in value share, anchored at the full corpus
+      assert(sorted.map(_._6).sliding(2).forall(p => p.head <= p.last + 1e-12))
+      assert(math.abs(sorted.last._6 - 1.0) < 1e-6, s"$t decile 10 = all value")
+      assert(sorted.last._4 === 1000000L)
+    }
+  }
+
   test("pacf: Durbin-Levinson replay from ljung-box's quantized lags") {
     val lb = ops.Statistics.ljungBox(spark, sf).collect()
       .map(r => r.getString(0) ->

@@ -168,4 +168,38 @@ class TrainingPrepSpec extends AnyFunSuite {
       .count(r => lab(r.getLong(0)) != lab(r.getLong(1)))
     assert(spanning === 0, "a candidate pair spans two clusters — propagation not converged")
   }
+
+  test("abc class: Pareto boundaries replay, classes partition the parts") {
+    val rows = ops.TrainingPrep.abcClass(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // brute force from lineitem micro revenue
+    val rev = Tables.lineitem(spark, sf)
+      .select(col("l_partkey"),
+        (col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(24, 6))
+          * lit(1000000)).cast("long").as("m"))
+      .groupBy("l_partkey").agg(sum("m").as("r")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val tot = rev.map(x => BigInt(x._2)).sum
+    var cum = BigInt(0)
+    val classed = rev.sortBy(x => (-x._2, x._1)).map { case (_, r) =>
+      cum += r
+      val cls = if (cum * 5 <= tot * 4) "A"
+      else if (cum * 20 <= tot * 19) "B" else "C"
+      (cls, r)
+    }
+    val brute = classed.groupBy(_._1).map { case (c, xs) =>
+      c -> (xs.length.toLong, xs.map(x => BigInt(x._2)).sum) }
+    assert(rows.keySet === brute.keySet)
+    brute.foreach { case (c, (n, r)) =>
+      val (gn, gr, ppm) = rows(c)
+      assert(gn === n, s"class $c count")
+      assert(BigInt(gr) === r, s"class $c revenue")
+      assert(ppm === (r * 1000000 / tot).toLong, s"class $c ppm")
+    }
+    assert(rows.values.map(_._1).sum === rev.length.toLong, "classes partition")
+    // the ppm shares respect the Pareto boundaries by construction
+    if (rows.contains("A")) assert(rows("A")._3 <= 800000L)
+    assert(rows.values.map(_._3).sum <= 1000000L, "floor divisions only lose")
+  }
 }
