@@ -270,6 +270,37 @@ object Streams {
       .withColumn("ewma", col("w").cast("double") /
         expr("shiftleft(cast(1 as bigint), t + 1)").cast("double"))
 
+  /** One micro-batch (one day) advance of the Holt linear smoother per
+    * event type — the in-flight twin of
+    * [[graft.ops.EventTime.holtLinear]]: state (l, b) seeds at (x, 0) on
+    * a type's FIRST sight (matching the batch grid, which starts at each
+    * type's first observed day) and advances by the same two dyadic
+    * half-steps lₜ = (x + l + b)·0.5, bₜ = ((lₜ − l) + b)·0.5; a type
+    * in state but absent from a day advances with x = 0 (the batch
+    * query's causal zero-fill — a silent day decays level AND trend). A
+    * type with neither state nor events emits nothing (it does not exist
+    * yet). Every step is the identical fixed op sequence the batch fold
+    * performs, so fold-vs-batch is BIT-exact forever (`StreamingSpec`).
+    *
+    * Shape: state is ≤ |event types| rows, carried by a `foreachBatch`
+    * loop; each batch touches its own rows once. */
+  def holtAdvance(state: DataFrame, day: DataFrame): DataFrame =
+    state.select(col("event_type"), col("l"), col("b"))
+      .join(day.select(col("event_type"), col("n")), Seq("event_type"), "full")
+      .select(col("event_type"),
+        col("l").as("l0"), col("b").as("b0"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .filter(col("l0").isNotNull || col("n") > 0)
+      .select(col("event_type"), col("n"),
+        when(col("l0").isNull, col("n").cast("double"))
+          .otherwise((col("n").cast("double") + col("l0") + col("b0")) * lit(0.5))
+          .as("l"),
+        when(col("l0").isNull, lit(0.0))
+          .otherwise((((col("n").cast("double") + col("l0") + col("b0")) * lit(0.5))
+            - col("l0") + col("b0")) * lit(0.5))
+          .as("b"))
+      .withColumn("forecast_next", col("l") + col("b"))
+
   /** One micro-batch (one day) advance of the ONLINE Page–Hinkley
     * detector per event type — the monitoring-in-flight twin of
     * [[graft.ops.Statistics.pageHinkley]]. The batch query is

@@ -616,6 +616,38 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("Holt advance: folding daily micro-batches is BIT-exact vs the batch query") {
+    val spark = TestSpark.session
+    import spark.implicits._
+    val sf = TestSpark.Sf
+    val daily = graft.Tables.events(spark, sf)
+      .groupBy(col("event_type"), graft.util.Det.fmtDate(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val days = daily.map(_._2).distinct.sorted
+    var state = Seq.empty[(String, Double, Double)].toDF("event_type", "l", "b")
+    val perDay = scala.collection.mutable.Map.empty[(String, String), (Double, Double)]
+    days.foreach { d =>
+      val batch = daily.filter(_._2 == d).map(x => (x._1, x._3))
+        .toSeq.toDF("event_type", "n")
+      state = Streams.holtAdvance(state, batch)
+        .select("event_type", "l", "b").as[(String, Double, Double)]
+        .collect().toSeq.toDF("event_type", "l", "b") // materialize the fold
+      state.as[(String, Double, Double)].collect()
+        .foreach { case (t, l, b) => perDay((t, d)) = (l, b) }
+    }
+    val batchRows = ops.EventTime.holtLinear(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(3), r.getDouble(4))).toMap
+    assert(batchRows.keySet === perDay.keySet.toSet,
+      "fold visits exactly the batch grid cells")
+    batchRows.foreach { case (k, (l, b)) =>
+      val (fl, fb) = perDay(k)
+      assert(fl === l && fb === b,
+        s"$k: folded ($fl, $fb) != batch ($l, $b) (must be bit-exact)")
+    }
+  }
+
   test("Page-Hinkley advance: fold over daily batches is BIT-exact vs windowed replay") {
     val spark = TestSpark.session
     import spark.implicits._
