@@ -187,6 +187,94 @@ object Statistics {
       .orderBy("event_type")
   }
 
+  /** Mood's median test between the click and view value distributions —
+    * the nonparametric "same center?" question asked in its bluntest,
+    * most assumption-free form ([[mannWhitney]] tests stochastic
+    * dominance; Mood's test only asks which side of the POOLED median
+    * each observation falls on, so heavy tails and weird shapes cannot
+    * mislead it): a 2×2 table of (group × above/not-above pooled
+    * median), χ²₁ = n(ad−bc)²/((a+b)(c+d)(a+c)(b+d)).
+    *
+    * Determinism — the [[outlierMad]] raw-double median discipline: the
+    * pooled median rank-selects the two middle order statistics of the
+    * exact doubles ([[medianX2]] — no interpolation, no decimal cast),
+    * med = (m₁+m₂)·0.5 is one IEEE op, the above-median comparisons are
+    * bit-identical, and χ² promotes its products to DECIMAL(38,0)/
+    * HUGEINT (n·(ad−bc)² ~ n⁵ wraps BIGINT fast) with ONE final
+    * division. A zero margin (all rows on one side) pins χ² to NULL on
+    * both sides.
+    *
+    * Scale shape: rank selection over the pooled distinct-value domain;
+    * the 1-row median broadcasts back; one 2-row group aggregate. */
+  def moodMedian(s: SparkSession, d: String): DataFrame = {
+    val dec0 = DecimalType(38, 0)
+    val ev = Tables.events(s, d)
+      .filter(col("event_type").isin("click", "view") && col("value").isNotNull)
+      .select(col("event_type").as("grp"), col("value").as("v"))
+    val med = medianX2(ev.withColumn("k", lit(1)), "k", "v", "med2")
+      .select((col("med2") * lit(0.5)).as("med"))
+    val row = ev.crossJoin(broadcast(med))
+      .groupBy()
+      .agg(
+        sum(when(col("grp") === "click", 1L).otherwise(0L)).as("n_click"),
+        sum(when(col("grp") === "click" && col("v") > col("med"), 1L)
+          .otherwise(0L)).as("gt_click"),
+        sum(when(col("grp") === "view", 1L).otherwise(0L)).as("n_view"),
+        sum(when(col("grp") === "view" && col("v") > col("med"), 1L)
+          .otherwise(0L)).as("gt_view"),
+        first("med").as("median"))
+    val a = col("gt_click"); val b = col("n_click") - col("gt_click")
+    val c = col("gt_view"); val dd = col("n_view") - col("gt_view")
+    val n = col("n_click") + col("n_view")
+    val det = a.cast(dec0) * dd.cast(dec0) - b.cast(dec0) * c.cast(dec0)
+    val denom = col("n_click").cast(dec0) * col("n_view").cast(dec0) *
+      (a + c).cast(dec0) * (b + dd).cast(dec0)
+    row.select(col("n_click"), col("gt_click"), col("n_view"), col("gt_view"),
+      col("median"),
+      when(denom === lit(0), lit(null).cast("double"))
+        .otherwise(round((n.cast(dec0) * det * det).cast("double") /
+          denom.cast("double"), 6)).as("chi2"))
+  }
+
+  /** Two-proportion z-test on user conversion (fired ≥1 'purchase'
+    * event) between the user_id-parity A/B arms — the missing leg of
+    * the A/B pre-flight ([[abSrm]] validates the split, [[abTtest]]
+    * compares metric MEANS; this compares conversion RATES, the readout
+    * most experiments actually ship): z = (p₀−p₁)/√(p̂(1−p̂)(1/n₀+1/n₁)).
+    *
+    * Determinism: with c = c₀+c₁, n = n₀+n₁, the algebra collapses to
+    * z = [(c₀n₁ − c₁n₀)/(n₀n₁)] / √(c(n−c)/(n·n₀·n₁)) — two single
+    * divisions of exact DECIMAL(38,0) integers, one sqrt, one final
+    * division: a fixed tree of correctly-rounded ops, 6-dp-quantized.
+    * Degenerate conversion (c = 0 or c = n) pins z to NULL both sides.
+    *
+    * Scale shape: one per-user conversion aggregate (map-side
+    * combined), one 1-row arm reduce. */
+  def twoPropZ(s: SparkSession, d: String): DataFrame = {
+    val dec0 = DecimalType(38, 0)
+    val q6 = (c: Column) => floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val per = Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(max((col("event_type") === "purchase").cast("long")).as("conv"))
+      .withColumn("arm", pmod(col("user_id"), lit(2)))
+    val row = per.groupBy().agg(
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+      sum(when(col("arm") === 0, col("conv")).otherwise(0L)).as("c0"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("arm") === 1, col("conv")).otherwise(0L)).as("c1"))
+    val c = col("c0") + col("c1"); val n = col("n0") + col("n1")
+    val num = (col("c0").cast(dec0) * col("n1").cast(dec0) -
+      col("c1").cast(dec0) * col("n0").cast(dec0)).cast("double") /
+      (col("n0").cast(dec0) * col("n1").cast(dec0)).cast("double")
+    val varr = (c.cast(dec0) * (n - c).cast(dec0)).cast("double") /
+      (n.cast(dec0) * col("n0").cast(dec0) * col("n1").cast(dec0)).cast("double")
+    row.select(col("n0"), col("c0"), col("n1"), col("c1"),
+      q6(col("c0").cast("double") / col("n0").cast("double")).as("p0"),
+      q6(col("c1").cast("double") / col("n1").cast("double")).as("p1"),
+      when(c === lit(0L) || c === n, lit(null).cast("double"))
+        .otherwise(q6(num / sqrt(varr))).as("z"))
+  }
+
   /** Tukey-fence (IQR) outlier gate per event type — the boxplot
     * companion to [[outlierMad]]: quartiles instead of the median/MAD
     * pair, fences at Q1 − 1.5·IQR and Q3 + 1.5·IQR. Two robust gates
@@ -2622,13 +2710,59 @@ object Statistics {
           sqrt(var12 / lit(12.0))).as("z"))
   }
 
+  /** Median survival time and curve tail off the [[kaplanMeier]] curve —
+    * the two numbers a retention review quotes from the whole plot: the
+    * first duration where S(t) drops to ≤ 0.5 (NULL when the curve never
+    * reaches it — the standard "median not reached" readout under heavy
+    * censoring), and the final surviving share.
+    *
+    * Determinism: a rank selection (min over a CASE) and a min over the
+    * already-quantized monotone curve — no new arithmetic at all.
+    * Scale shape: the KM lineage + a 1-row reduce. */
+  def survMedian(s: SparkSession, d: String): DataFrame =
+    kaplanMeier(s, d).agg(
+      count(lit(1)).as("n_times"),
+      sum("n_death").as("n_deaths"),
+      min(when(col("surv") <= 0.5, col("dur_days"))).as("median_days"),
+      min("surv").as("final_surv"))
+
+  /** Restricted mean survival time (RMST) up to the last event time —
+    * the AREA under the [[kaplanMeier]] step curve: the average
+    * event-free days per customer inside the observation window, the
+    * survival summary that stays defined when [[survMedian]]'s median is
+    * never reached and the difference-in-RMST is the effect measure
+    * survival comparisons report when hazards aren't proportional.
+    *
+    * Determinism: S(t) is constant between event times, so RMST is an
+    * exact step sum Σ S(tᵢ₋₁)·(tᵢ − tᵢ₋₁) with S(t₀) = 1: each segment
+    * is ONE multiply of the already-quantized surv by an exact BIGINT
+    * day span, 6-dp-quantized into DECIMAL(18,6), summed exactly.
+    * Scale shape: the KM lineage + one lag window over the
+    * duration-bounded curve + a 1-row reduce. */
+  def rmst(s: SparkSession, d: String): DataFrame = {
+    val q6 = (c: Column) => floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val w = Window.orderBy("dur_days")
+    kaplanMeier(s, d)
+      .withColumn("prev_surv", lag("surv", 1, 1.0).over(w))
+      .withColumn("prev_dur", lag("dur_days", 1, 0).over(w))
+      .withColumn("seg",
+        q6(col("prev_surv") * (col("dur_days") - col("prev_dur")))
+          .cast(DecimalType(18, 6)))
+      .agg(max("dur_days").as("t_max"),
+        sum("seg").cast("double").as("rmst_days"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_surv_median" -> (survMedian _),
+    "q_rmst" -> (rmst _),
     "q_log_rank" -> (logRank _),
     "q_wilcoxon" -> (wilcoxonSignedRank _),
     "q_pacf" -> (pacf _),
     "q_grubbs" -> (grubbs _),
     "q_cliff_delta" -> (cliffDelta _),
     "q_lorenz" -> (lorenzCurve _),
+    "q_mood_median" -> (moodMedian _),
+    "q_two_prop_z" -> (twoPropZ _),
     "q_nelson_aalen" -> (nelsonAalen _),
     "q_jarque_bera" -> (jarqueBera _),
     "q_ljung_box" -> (ljungBox _),
@@ -2714,6 +2848,52 @@ object Statistics {
       |  FROM sums WHERE n_days > 3 AND den > 0
       |)""".stripMargin
 
+  /** The full [[kaplanMeier]] oracle SQL (byte-moved from the original
+    * q_kaplan_meier entry) — shared by q_kaplan_meier itself and the
+    * q_surv_median / q_rmst reductions over the same curve. */
+  // lazy: interpolated by `oracle` entries during object initialization
+  private lazy val KmOracleSql: String =
+    """WITH per AS (
+      |  SELECT o_custkey, min(epoch_us(o_orderdate)) AS mn,
+      |         max(epoch_us(o_orderdate)) AS mx
+      |  FROM orders GROUP BY o_custkey
+      |), ext AS (SELECT min(mn) AS lo, max(mx) AS hi FROM per),
+      |life AS (
+      |  SELECT (mx - mn) // 86400000000 AS dur,
+      |         CASE WHEN mx > lo + ((hi - lo) * 4) // 5 THEN 1 ELSE 0 END AS cens
+      |  FROM per, ext
+      |), bd AS (
+      |  SELECT dur, CAST(count(*) AS BIGINT) AS all_at,
+      |         CAST(sum(1 - cens) AS BIGINT) AS d,
+      |         CAST(sum(cens) AS BIGINT) AS cens
+      |  FROM life GROUP BY dur
+      |), rk AS (
+      |  SELECT dur, d, cens,
+      |         CAST(sum(all_at) OVER () -
+      |         COALESCE(sum(all_at) OVER (ORDER BY dur
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+      |  FROM bd
+      |), lt AS (
+      |  SELECT dur, n_risk, d, cens,
+      |    CASE WHEN n_risk > d THEN
+      |      CAST(round(ln(n_risk - d), 6) AS DECIMAL(18,6))
+      |      - CAST(round(ln(n_risk), 6) AS DECIMAL(18,6)) END AS lterm
+      |  FROM rk WHERE d > 0
+      |), c AS (
+      |  SELECT dur, n_risk, d, cens,
+      |    min(CASE WHEN n_risk = d THEN dur END) OVER (ORDER BY dur
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead_at,
+      |    sum(lterm) OVER (ORDER BY dur
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM lt
+      |)
+      |SELECT dur AS dur_days, n_risk, d AS n_death, cens AS n_censor,
+      |  CASE WHEN dead_at IS NULL THEN CAST(cum AS DOUBLE) END AS log_surv,
+      |  CASE WHEN dead_at IS NOT NULL THEN 0.0
+      |       ELSE floor(exp(CAST(cum AS DOUBLE)) * 10000.0 + 0.5) / 10000.0
+      |  END AS surv
+      |FROM c ORDER BY dur_days""".stripMargin
+
   val oracle: Map[String, String] = Map(
     // the shared lag frame; each Durbin-Levinson level quantized before
     // the next consumes it, zero pivots pinned to NULL
@@ -2743,6 +2923,85 @@ object Statistics {
         |SELECT event_type, n_days, r1, r2, r3,
         |       r1 AS pacf1, p2 AS pacf2, p3 AS pacf3
         |FROM l3 ORDER BY event_type""".stripMargin,
+    // the outlierMad raw-double rank-selected pooled median; 2x2 chi2
+    // in HUGEINT with one final division
+    "q_mood_median" ->
+      """WITH ev AS (
+        |  SELECT event_type AS grp, value AS v FROM events
+        |  WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+        |), bv AS (
+        |  SELECT v, CAST(count(*) AS BIGINT) AS cnt FROM ev GROUP BY v
+        |), rk AS (
+        |  SELECT v, cnt,
+        |    SUM(cnt) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(cnt) OVER () AS n
+        |  FROM bv
+        |), m AS (
+        |  SELECT (SUM(CASE WHEN cum - cnt < (n + 1) // 2
+        |                    AND (n + 1) // 2 <= cum THEN v END)
+        |        + SUM(CASE WHEN cum - cnt < (n + 2) // 2
+        |                    AND (n + 2) // 2 <= cum THEN v END)) * 0.5e0 AS med
+        |  FROM rk
+        |), t AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN grp = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_click,
+        |    CAST(SUM(CASE WHEN grp = 'click' AND v > med THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS gt_click,
+        |    CAST(SUM(CASE WHEN grp = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_view,
+        |    CAST(SUM(CASE WHEN grp = 'view' AND v > med THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS gt_view,
+        |    MIN(med) AS median
+        |  FROM ev, m
+        |), x AS (
+        |  SELECT n_click, gt_click, n_view, gt_view, median,
+        |    CAST(gt_click AS HUGEINT) * (n_view - gt_view)
+        |      - CAST(n_click - gt_click AS HUGEINT) * gt_view AS det,
+        |    CAST(n_click AS HUGEINT) * n_view
+        |      * (gt_click + gt_view)
+        |      * ((n_click - gt_click) + (n_view - gt_view)) AS denom
+        |  FROM t
+        |)
+        |SELECT n_click, gt_click, n_view, gt_view, median,
+        |  CASE WHEN denom = 0 THEN NULL
+        |       ELSE round(CAST(CAST(n_click + n_view AS HUGEINT) * det * det
+        |                       AS DOUBLE) / CAST(denom AS DOUBLE), 6)
+        |  END AS chi2
+        |FROM x""".stripMargin,
+    // per-user conversion flags; z as two exact-integer divisions, one
+    // sqrt, one final division
+    "q_two_prop_z" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |    CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS conv
+        |  FROM events GROUP BY user_id
+        |), t AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN conv ELSE 0 END) AS BIGINT) AS c0,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN conv ELSE 0 END) AS BIGINT) AS c1
+        |  FROM per
+        |)
+        |SELECT n0, c0, n1, c1,
+        |  floor(CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE) * 1000000 + 0.5)
+        |    / 1000000 AS p0,
+        |  floor(CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) * 1000000 + 0.5)
+        |    / 1000000 AS p1,
+        |  CASE WHEN c0 + c1 = 0 OR c0 + c1 = n0 + n1 THEN NULL
+        |       ELSE floor((CAST(CAST(c0 AS HUGEINT) * n1
+        |                        - CAST(c1 AS HUGEINT) * n0 AS DOUBLE)
+        |                   / CAST(CAST(n0 AS HUGEINT) * n1 AS DOUBLE))
+        |                  / sqrt(CAST(CAST(c0 + c1 AS HUGEINT)
+        |                              * (n0 + n1 - c0 - c1) AS DOUBLE)
+        |                         / CAST(CAST(n0 + n1 AS HUGEINT) * n0 * n1
+        |                                AS DOUBLE))
+        |                  * 1000000 + 0.5) / 1000000
+        |  END AS z
+        |FROM t""".stripMargin,
     // the mannwhitney rank prefix; delta is one division of exact
     // integers; bands compare the quantized value to double literals
     "q_cliff_delta" ->
@@ -3646,47 +3905,37 @@ object Statistics {
         |  floor(CAST(wsum AS DOUBLE) / CAST(n * sx AS DOUBLE)
         |        * 1000000.0 + 0.5) / 1000000.0 AS gini
         |FROM a ORDER BY event_type""".stripMargin,
-    "q_kaplan_meier" ->
-      """WITH per AS (
-        |  SELECT o_custkey, min(epoch_us(o_orderdate)) AS mn,
-        |         max(epoch_us(o_orderdate)) AS mx
-        |  FROM orders GROUP BY o_custkey
-        |), ext AS (SELECT min(mn) AS lo, max(mx) AS hi FROM per),
-        |life AS (
-        |  SELECT (mx - mn) // 86400000000 AS dur,
-        |         CASE WHEN mx > lo + ((hi - lo) * 4) // 5 THEN 1 ELSE 0 END AS cens
-        |  FROM per, ext
-        |), bd AS (
-        |  SELECT dur, CAST(count(*) AS BIGINT) AS all_at,
-        |         CAST(sum(1 - cens) AS BIGINT) AS d,
-        |         CAST(sum(cens) AS BIGINT) AS cens
-        |  FROM life GROUP BY dur
-        |), rk AS (
-        |  SELECT dur, d, cens,
-        |         CAST(sum(all_at) OVER () -
-        |         COALESCE(sum(all_at) OVER (ORDER BY dur
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
-        |  FROM bd
-        |), lt AS (
-        |  SELECT dur, n_risk, d, cens,
-        |    CASE WHEN n_risk > d THEN
-        |      CAST(round(ln(n_risk - d), 6) AS DECIMAL(18,6))
-        |      - CAST(round(ln(n_risk), 6) AS DECIMAL(18,6)) END AS lterm
-        |  FROM rk WHERE d > 0
-        |), c AS (
-        |  SELECT dur, n_risk, d, cens,
-        |    min(CASE WHEN n_risk = d THEN dur END) OVER (ORDER BY dur
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead_at,
-        |    sum(lterm) OVER (ORDER BY dur
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-        |  FROM lt
-        |)
-        |SELECT dur AS dur_days, n_risk, d AS n_death, cens AS n_censor,
-        |  CASE WHEN dead_at IS NULL THEN CAST(cum AS DOUBLE) END AS log_surv,
-        |  CASE WHEN dead_at IS NOT NULL THEN 0.0
-        |       ELSE floor(exp(CAST(cum AS DOUBLE)) * 10000.0 + 0.5) / 10000.0
-        |  END AS surv
-        |FROM c ORDER BY dur_days""".stripMargin,
+    "q_kaplan_meier" -> KmOracleSql,
+    // the KM curve reduced to its two headline scalars; median survival
+    // is a rank selection over the already-quantized monotone curve
+    "q_surv_median" ->
+      s"""WITH kmr AS (
+         |$KmOracleSql
+         |)
+         |SELECT CAST(count(*) AS BIGINT) AS n_times,
+         |  CAST(sum(n_death) AS BIGINT) AS n_deaths,
+         |  min(CASE WHEN surv <= 0.5e0 THEN dur_days END) AS median_days,
+         |  min(surv) AS final_surv
+         |FROM kmr""".stripMargin,
+    // step-function area under the KM curve: per-interval products
+    // quantized into DECIMAL(18,6), exact order-independent sum
+    "q_rmst" ->
+      s"""WITH kmr AS (
+         |$KmOracleSql
+         |), sg AS (
+         |  SELECT dur_days, surv,
+         |    lag(surv, 1, 1.0e0) OVER (ORDER BY dur_days) AS prev_surv,
+         |    lag(dur_days, 1, 0) OVER (ORDER BY dur_days) AS prev_dur
+         |  FROM kmr
+         |), q AS (
+         |  SELECT dur_days,
+         |    CAST(floor(prev_surv * (dur_days - prev_dur) * 1000000 + 0.5)
+         |         / 1000000 AS DECIMAL(18,6)) AS seg
+         |  FROM sg
+         |)
+         |SELECT CAST(max(dur_days) AS BIGINT) AS t_max,
+         |       CAST(sum(seg) AS DOUBLE) AS rmst_days
+         |FROM q""".stripMargin,
     "q_cuped" ->
       """WITH ev AS (
         |  SELECT user_id, epoch_us(ts) AS tsl, CAST(value AS DECIMAL(24,6)) AS v

@@ -590,6 +590,13 @@ class PlanBudgetSpec extends AnyFunSuite {
     ("q_abc_class", 4, 1),            // part revenue agg + part-domain
                                       // prefix window + 3-row class agg;
                                       // total broadcasts
+    ("q_mood_median", 4, 1),          // pooled rank selection + the split
+                                      // aggregate; 1-row median broadcast
+    ("q_two_prop_z", 3, 0),           // per-user conversion agg + 1-row
+                                      // arm reduce
+    ("q_surv_median", 5, 1),          // = the KM lineage + a 1-row reduce
+    ("q_rmst", 5, 1),                 // KM lineage + one duration-bounded
+                                      // lag window + 1-row reduce
   )
 
   budgets.foreach { case (name, maxShuffles, minBcasts) =>

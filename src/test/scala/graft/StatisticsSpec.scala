@@ -816,6 +816,83 @@ class StatisticsSpec extends AnyFunSuite {
     assert(row.getInt(4) === (if (best.toDouble > nd.toDouble * 1e6 * 5.0) 1 else 0))
   }
 
+  test("mood median: pooled-median split replay, 2x2 chi2 algebra") {
+    val row = ops.Statistics.moodMedian(spark, sf).collect().head
+    val vals = Tables.events(spark, sf)
+      .filter(col("event_type").isin("click", "view") && col("value").isNotNull)
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val sorted = vals.map(_._2).sorted
+    val n = sorted.length
+    val med = (sorted((n + 1) / 2 - 1) + sorted((n + 2) / 2 - 1)) * 0.5
+    assert(row.getAs[Double]("median") === med, "rank-selected pooled median")
+    val a = vals.count(x => x._1 == "click" && x._2 > med).toLong
+    val nc = vals.count(_._1 == "click").toLong
+    val c = vals.count(x => x._1 == "view" && x._2 > med).toLong
+    val nv = vals.count(_._1 == "view").toLong
+    assert(row.getAs[Long]("n_click") === nc && row.getAs[Long]("gt_click") === a)
+    assert(row.getAs[Long]("n_view") === nv && row.getAs[Long]("gt_view") === c)
+    val b = nc - a; val dd = nv - c
+    val det = BigInt(a) * dd - BigInt(b) * c
+    val den = BigInt(nc) * nv * (a + c) * (b + dd)
+    if (den != 0) {
+      val brute = (BigInt(nc + nv) * det * det).toDouble / den.toDouble
+      assert(math.abs(row.getAs[Double]("chi2") - brute) < 1e-5, "chi2 algebra")
+      // median split bounds: at most half strictly above the pooled median
+      assert(a + c <= (n + 1) / 2)
+    } else assert(row.isNullAt(row.fieldIndex("chi2")))
+  }
+
+  test("two-proportion z: conversion replay, z sign matches the rate gap") {
+    val row = ops.Statistics.twoPropZ(spark, sf).collect().head
+    val conv = Tables.events(spark, sf)
+      .groupBy("user_id")
+      .agg(max((col("event_type") === "purchase").cast("long")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val n0 = conv.count(_._1 % 2 == 0).toLong
+    val c0 = conv.filter(_._1 % 2 == 0).map(_._2).sum
+    val n1 = conv.count(_._1 % 2 == 1).toLong
+    val c1 = conv.filter(_._1 % 2 == 1).map(_._2).sum
+    assert(row.getAs[Long]("n0") === n0 && row.getAs[Long]("c0") === c0)
+    assert(row.getAs[Long]("n1") === n1 && row.getAs[Long]("c1") === c1)
+    if (c0 + c1 > 0 && c0 + c1 < n0 + n1) {
+      val z = row.getAs[Double]("z")
+      val gap = c0.toDouble / n0 - c1.toDouble / n1
+      assert(z.sign === gap.sign || gap == 0.0, "z sign follows the rate gap")
+      val c = c0 + c1; val n = n0 + n1
+      val brute = ((BigInt(c0) * n1 - BigInt(c1) * n0).toDouble /
+        (BigInt(n0) * n1).toDouble) /
+        math.sqrt((BigInt(c) * (n - c)).toDouble / (BigInt(n) * n0 * n1).toDouble)
+      assert(math.abs(z - brute) < 1e-5, "z algebra")
+    } else assert(row.isNullAt(row.fieldIndex("z")))
+  }
+
+  test("survival reductions: median/tail/RMST tie to the KM curve") {
+    val km = ops.Statistics.kaplanMeier(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(5))).sortBy(_._1)
+    val sm = ops.Statistics.survMedian(spark, sf).collect().head
+    assert(sm.getAs[Long]("n_times") === km.length.toLong)
+    assert(sm.getAs[Long]("n_deaths") === km.map(_._2).sum)
+    val medBrute = km.find(_._3 <= 0.5).map(_._1)
+    if (medBrute.isDefined)
+      assert(sm.getAs[Long]("median_days") === medBrute.get)
+    else assert(sm.isNullAt(sm.fieldIndex("median_days")))
+    assert(sm.getAs[Double]("final_surv") === km.map(_._3).min)
+    val rm = ops.Statistics.rmst(spark, sf).collect().head
+    assert(rm.getAs[Long]("t_max") === km.map(_._1).max)
+    // step-sum replay with the same per-segment quantization
+    var prevS = 1.0; var prevT = 0L; var acc = BigDecimal(0)
+    km.foreach { case (t, _, s) =>
+      acc += BigDecimal(math.floor(prevS * (t - prevT) * 1e6 + 0.5) / 1e6)
+      prevS = s; prevT = t
+    }
+    assert(math.abs(rm.getAs[Double]("rmst_days") - acc.toDouble) < 1e-9,
+      "RMST step-sum replay")
+    // bounds: 0 <= RMST <= t_max
+    assert(rm.getAs[Double]("rmst_days") >= 0.0 &&
+      rm.getAs[Double]("rmst_days") <= rm.getAs[Long]("t_max").toDouble + 1e-9)
+  }
+
   test("cliff's delta: ties to mann-whitney's U, bounded, banded") {
     val mw = ops.Statistics.mannWhitney(spark, sf).collect().head
     val (n1, n2, u1x2) = (mw.getAs[Long]("n1"), mw.getAs[Long]("n2"),
