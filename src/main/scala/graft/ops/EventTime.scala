@@ -1194,7 +1194,98 @@ object EventTime {
       .orderBy("event_type", "day")
   }
 
+  /** Inter-arrival gap statistics per event type — the latency-side view
+    * of [[Statistics]]'s burstiness scalar: the distribution of the gap
+    * between a user's consecutive events (assigned to the LATER event's
+    * type — "how long since this user last did anything before this
+    * click?"), summarized by rank-selected median / p90 / max. The
+    * numbers that size session timeouts and watermark windows.
+    *
+    * Determinism: gaps are exact BIGINT µs differences within the
+    * per-user (ts, event_id) order; median is the [[Statistics.medianX2]]
+    * raw rank selection (×2 then one exact ·0.5), p90 is a DISCRETE
+    * rank selection at ⌈0.9n⌉ = (9n+9) div 10 — no interpolation, no
+    * float arithmetic beyond the one half.
+    *
+    * Scale shape: one user-keyed exchange for the lag window, then all
+    * statistics on (type, distinct-gap) aggregates — bounded by the gap
+    * domain; per-type stats broadcast nothing back (single pass). */
+  def interarrival(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("tsl", "event_id")
+    val gaps = graft.util.Ckpt.stage(Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("tsl"))
+      .withColumn("prev", lag("tsl", 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("event_type"), (col("tsl") - col("prev")).as("gap")))
+    val med = Statistics.medianX2(gaps, "event_type", "gap", "med2")
+    val wg = Window.partitionBy("event_type").orderBy("gap")
+    val ranked = gaps.groupBy("event_type", "gap").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(wg))
+      .withColumn("prev", col("cum") - col("cnt"))
+      .withColumn("n", sum("cnt").over(Window.partitionBy("event_type")))
+      .withColumn("r90", expr("(9 * n + 9) div 10"))
+    val p90 = ranked.groupBy("event_type")
+      .agg(sum(when(col("prev") < col("r90") && col("r90") <= col("cum"),
+        col("gap"))).as("p90_us"))
+    val base = gaps.groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"), max("gap").as("max_us"))
+    base.join(med, "event_type").join(p90, "event_type")
+      .select(col("event_type"), col("n_gaps"),
+        (col("med2").cast("double") * lit(0.5)).as("median_us"),
+        col("p90_us"), col("max_us"))
+      .orderBy("event_type")
+  }
+
+  /** Synchronous power-iteration passes for [[markovSteady]]; unrolled
+    * identically in the oracle. */
+  private val SteadyIters = 4
+
+  /** Stationary distribution of the [[markovTransition]] chain by
+    * [[SteadyIters]] synchronous power-iteration passes from the uniform
+    * start — the long-run attention share the one-step matrix implies
+    * ("if users keep behaving like this, what fraction of events is each
+    * type eventually?"), the reference point a funnel redesign is
+    * measured against.
+    *
+    * Determinism: the transition probabilities are the 6-dp-quantized
+    * one-division values of [[markovTransition]]; each pass's products
+    * π(i)·p(i,j) are single multiplies quantized to 9 dp into
+    * DECIMAL(18,9) BEFORE the per-state sum (a raw float sum over
+    * in-edges would be order-dependent), and the new π is the exact
+    * decimal sum 6-dp-quantized — the [[graft.ops.Similarity]] k-means
+    * iterated-quantization rule. The oracle unrolls the same passes.
+    *
+    * Scale shape: the one lag-window pass of [[markovTransition]]
+    * dominates; each iteration is a join + keyed aggregate over the
+    * ≤|types|² probability grid with one ≤|types|-row state frame. */
+  def markovSteady(s: SparkSession, d: String): DataFrame = {
+    val q6 = (c: Column) => floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val q9d = (c: Column) => (floor(c * lit(1000000000.0) + lit(0.5)) /
+      lit(1000000000.0)).cast(org.apache.spark.sql.types.DecimalType(18, 9))
+    val mt = graft.util.Ckpt.stage(
+      markovTransition(s, d).select("from_type", "to_type", "p"))
+    val types = Tables.events(s, d).select(col("event_type")).distinct()
+    val nT = lit(0.2) // 5 event types in the fixture schema (asserted in spec)
+    var pi = types.select(col("event_type"), nT.as("pi"))
+    for (_ <- 1 to SteadyIters) {
+      val terms = mt.join(pi.withColumnRenamed("event_type", "from_type"),
+          "from_type")
+        .select(col("to_type"), q9d(col("pi") * col("p")).as("term"))
+        .groupBy("to_type").agg(sum("term").as("acc"))
+      pi = types.join(terms, col("event_type") === col("to_type"), "left")
+        .select(col("event_type"),
+          q6(coalesce(col("acc"), lit(0).cast(
+            org.apache.spark.sql.types.DecimalType(18, 9))).cast("double"))
+            .as("pi"))
+    }
+    pi.select(col("event_type"), col("pi").as("steady_p"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_interarrival" -> (interarrival _),
+    "q_markov_steady" -> (markovSteady _),
     "q_hampel" -> (hampelFilter _),
     "q_holt_linear" -> (holtLinear _),
     "q_ewma_smooth" -> (ewmaSmooth _),
@@ -1309,7 +1400,84 @@ object EventTime {
        |FROM r, rs ORDER BY channel""".stripMargin
   }
 
+  /** The [[markovSteady]] oracle unrolls [[SteadyIters]] passes with the
+    * identical per-pass quantizers over the transition CTEs. */
+  private def markovSteadyOracle: String = {
+    val iters = (1 to SteadyIters).map { i =>
+      s"""t$i AS (
+         |  SELECT g.to_type,
+         |    SUM(CAST(floor(pi${i - 1}.pi * g.p * 1000000000 + 0.5)
+         |             / 1000000000 AS DECIMAL(18,9))) AS acc
+         |  FROM g JOIN pi${i - 1} ON g.from_type = pi${i - 1}.event_type
+         |  GROUP BY 1
+         |), pi$i AS (
+         |  SELECT ty.event_type,
+         |    floor(CAST(COALESCE(t$i.acc, 0) AS DOUBLE) * 1000000 + 0.5)
+         |      / 1000000 AS pi
+         |  FROM ty LEFT JOIN t$i ON ty.event_type = t$i.to_type
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH pr AS (
+       |  SELECT event_type AS from_type,
+       |         LEAD(event_type) OVER (PARTITION BY user_id
+       |           ORDER BY CAST(ts AS TIMESTAMP), event_id) AS to_type
+       |  FROM events
+       |), c AS (
+       |  SELECT from_type, to_type, count(*) AS n
+       |  FROM pr WHERE to_type IS NOT NULL GROUP BY 1, 2
+       |), f AS (
+       |  SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from FROM c GROUP BY 1
+       |), g AS (
+       |  SELECT c.from_type, c.to_type,
+       |         round(CAST(c.n AS DOUBLE) / CAST(f.n_from AS DOUBLE), 6) AS p
+       |  FROM c JOIN f USING (from_type)
+       |), ty AS (SELECT DISTINCT event_type FROM events),
+       |pi0 AS (SELECT event_type, 0.2e0 AS pi FROM ty),
+       |$iters
+       |SELECT event_type, pi AS steady_p FROM pi$SteadyIters
+       |ORDER BY event_type""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_markov_steady" -> markovSteadyOracle,
+    // exact BIGINT microsecond gaps; median and p90 by discrete rank
+    // selection over the per-type distinct-gap frame
+    "q_interarrival" ->
+      """WITH g0 AS (
+        |  SELECT event_type,
+        |    epoch_us(ts) - LAG(epoch_us(ts), 1) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS gap
+        |  FROM events
+        |), gg AS (SELECT event_type, gap FROM g0 WHERE gap IS NOT NULL),
+        |bv AS (
+        |  SELECT event_type, gap, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM gg GROUP BY 1, 2
+        |), rk AS (
+        |  SELECT event_type, gap, cnt,
+        |    SUM(cnt) OVER (PARTITION BY event_type ORDER BY gap
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(cnt) OVER (PARTITION BY event_type) AS n
+        |  FROM bv
+        |), st AS (
+        |  SELECT event_type,
+        |    CAST(SUM(CASE WHEN cum - cnt < (n + 1) // 2
+        |                   AND (n + 1) // 2 <= cum THEN gap END)
+        |       + SUM(CASE WHEN cum - cnt < (n + 2) // 2
+        |                   AND (n + 2) // 2 <= cum THEN gap END) AS BIGINT) AS med2,
+        |    CAST(SUM(CASE WHEN cum - cnt < (9 * n + 9) // 10
+        |                   AND (9 * n + 9) // 10 <= cum THEN gap END)
+        |         AS BIGINT) AS p90_us
+        |  FROM rk GROUP BY event_type
+        |), base AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+        |         CAST(max(gap) AS BIGINT) AS max_us
+        |  FROM gg GROUP BY 1
+        |)
+        |SELECT b.event_type, b.n_gaps,
+        |       CAST(st.med2 AS DOUBLE) * 0.5e0 AS median_us,
+        |       st.p90_us, b.max_us
+        |FROM base b JOIN st USING (event_type)
+        |ORDER BY event_type""".stripMargin,
     // pure integer order statistics over the 5-day window; the gate is
     // an exact integer comparison
     "q_hampel" ->

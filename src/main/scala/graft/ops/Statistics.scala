@@ -236,6 +236,92 @@ object Statistics {
           denom.cast("double"), 6)).as("chi2"))
   }
 
+  /** SPRT hypothesis band: H₀ p = 0.18 vs H₁ p = 0.22 purchase share,
+    * α = β = 0.05 → log-boundaries ±ln(19). The three log constants are
+    * pinned 6-dp literals (identical doubles both engines). */
+  private val SprtLa = 0.200671   // ln(p1/p0)
+  private val SprtLb = -0.05001   // ln((1-p1)/(1-p0))
+  private val SprtBound = 2.944439 // ln((1-beta)/alpha) = ln(19)
+
+  /** Sequential probability ratio test on the daily purchase share —
+    * Wald's always-valid sequential monitor, the form an experimentation
+    * platform runs DAILY where [[twoPropZ]] is the one-shot end-of-test
+    * readout (peeking at a fixed-horizon z inflates false positives;
+    * the SPRT's ±ln(19) band is valid at every look): each day adds
+    * LLR = x·ln(p₁/p₀) + (m−x)·ln((1−p₁)/(1−p₀)) for x purchases out of
+    * m events, and the first day the running LLR leaves the band decides.
+    *
+    * Determinism: daily (x, m) are exact BIGINTs; each day's LLR term is
+    * two multiplies by PINNED 6-dp double literals and one add —
+    * elementary ops on identical operands — 6-dp-quantized into
+    * DECIMAL(18,6) so the running sum is exact and order-independent;
+    * the decision CASE compares the exact decimal-backed cumulative
+    * against the pinned boundary literals.
+    *
+    * Scale shape: one map-side-combined (day) aggregate, then a
+    * calendar-bounded cumulative window. */
+  def sprt(s: SparkSession, d: String): DataFrame = {
+    val q6d = (c: Column) => (floor(c * lit(1000000.0) + lit(0.5)) /
+      lit(1000000.0)).cast(DecimalType(18, 6))
+    val daily = Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum((col("event_type") === "purchase").cast("long")).as("x"),
+        count(lit(1)).as("m"))
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("llr_day", q6d(col("x").cast("double") * lit(SprtLa) +
+        (col("m") - col("x")).cast("double") * lit(SprtLb)))
+      .withColumn("llr_cum", sum("llr_day").over(w))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("x"), col("m"),
+        col("llr_day").cast("double").as("llr_day"),
+        col("llr_cum").cast("double").as("llr_cum"),
+        when(col("llr_cum") >= lit(SprtBound), lit("accept_h1"))
+          .when(col("llr_cum") <= lit(-SprtBound), lit("accept_h0"))
+          .otherwise(lit("continue")).as("decision"))
+      .orderBy("day")
+  }
+
+  /** Q–Q plot points (deciles 1–9) of the click vs view value
+    * distributions — the SHAPE diagnostic behind the drift family's
+    * scalars ([[ksDrift]] says "the ECDFs differ by D"; the Q–Q table
+    * says WHERE: parallel-off-diagonal = location shift, fanning =
+    * scale change, bent tail = tail divergence — the plot an analyst
+    * reads before choosing a correction).
+    *
+    * Determinism: each quantile is a DISCRETE rank selection over the
+    * per-group distinct-value frame (value at rank ⌈k·n/10⌉ =
+    * (k·n + 9) div 10 — the [[iqrOutlier]] percentile_disc rule; no
+    * interpolation anywhere), so every output cell is a raw parquet
+    * double; the gap is ONE IEEE subtraction.
+    *
+    * Scale shape: one map-side-combined (group, value) aggregate,
+    * per-group cumulative windows over the distinct-value domain, a
+    * 9-row decile join. */
+  def qqPlot(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .filter(col("event_type").isin("click", "view") && col("value").isNotNull)
+      .select(col("event_type").as("grp"), col("value").as("v"))
+    val w = Window.partitionBy("grp").orderBy("v")
+    val ranked = ev.groupBy("grp", "v").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(w))
+      .withColumn("prev", col("cum") - col("cnt"))
+      .withColumn("n", sum("cnt").over(Window.partitionBy("grp")))
+    val ks = { import s.implicits._; (1 to 9).toDF("decile") }
+    val picked = ranked.join(broadcast(ks),
+        col("prev") < expr("(decile * n + 9) div 10") &&
+          expr("(decile * n + 9) div 10") <= col("cum"))
+      .groupBy("decile")
+      .agg(
+        min(when(col("grp") === "click", col("v"))).as("q_click"),
+        min(when(col("grp") === "view", col("v"))).as("q_view"))
+    picked
+      .select(col("decile"), col("q_click"), col("q_view"),
+        (col("q_click") - col("q_view")).as("gap"))
+      .orderBy("decile")
+  }
+
   /** Two-proportion z-test on user conversion (fired ≥1 'purchase'
     * event) between the user_id-parity A/B arms — the missing leg of
     * the A/B pre-flight ([[abSrm]] validates the split, [[abTtest]]
@@ -2763,6 +2849,8 @@ object Statistics {
     "q_lorenz" -> (lorenzCurve _),
     "q_mood_median" -> (moodMedian _),
     "q_two_prop_z" -> (twoPropZ _),
+    "q_sprt" -> (sprt _),
+    "q_qq_plot" -> (qqPlot _),
     "q_nelson_aalen" -> (nelsonAalen _),
     "q_jarque_bera" -> (jarqueBera _),
     "q_ljung_box" -> (ljungBox _),
@@ -2923,6 +3011,61 @@ object Statistics {
         |SELECT event_type, n_days, r1, r2, r3,
         |       r1 AS pacf1, p2 AS pacf2, p3 AS pacf3
         |FROM l3 ORDER BY event_type""".stripMargin,
+    // pinned 6-dp log constants; per-day LLR quantized into DECIMAL so
+    // the running sum is exact; decisions compare cumulative to pinned
+    // boundary literals
+    "q_sprt" ->
+      """WITH daily AS (
+        |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS x,
+        |    CAST(count(*) AS BIGINT) AS m
+        |  FROM events GROUP BY 1
+        |), t AS (
+        |  SELECT day, x, m,
+        |    CAST(floor((CAST(x AS DOUBLE) * 0.200671e0
+        |                + CAST(m - x AS DOUBLE) * -0.05001e0)
+        |               * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS llr_day
+        |  FROM daily
+        |), c AS (
+        |  SELECT day, x, m, llr_day,
+        |    SUM(llr_day) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS llr_cum
+        |  FROM t
+        |)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, x, m,
+        |  CAST(llr_day AS DOUBLE) AS llr_day,
+        |  CAST(llr_cum AS DOUBLE) AS llr_cum,
+        |  CASE WHEN llr_cum >= 2.944439e0 THEN 'accept_h1'
+        |       WHEN llr_cum <= -2.944439e0 THEN 'accept_h0'
+        |       ELSE 'continue' END AS decision
+        |FROM c ORDER BY day""".stripMargin,
+    // discrete rank selection at ranks ceil(k*n/10) per group — raw
+    // parquet doubles out, one IEEE subtraction for the gap
+    "q_qq_plot" ->
+      """WITH ev AS (
+        |  SELECT event_type AS grp, value AS v FROM events
+        |  WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+        |), bv AS (
+        |  SELECT grp, v, CAST(count(*) AS BIGINT) AS cnt FROM ev GROUP BY 1, 2
+        |), rk AS (
+        |  SELECT grp, v, cnt,
+        |    SUM(cnt) OVER (PARTITION BY grp ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(cnt) OVER (PARTITION BY grp) AS n
+        |  FROM bv
+        |), ks AS (SELECT unnest(range(1, 10)) AS decile),
+        |p AS (
+        |  SELECT ks.decile,
+        |    MIN(CASE WHEN grp = 'click' THEN v END) AS q_click,
+        |    MIN(CASE WHEN grp = 'view' THEN v END) AS q_view
+        |  FROM rk JOIN ks ON cum - cnt < (ks.decile * n + 9) // 10
+        |                  AND (ks.decile * n + 9) // 10 <= cum
+        |  GROUP BY ks.decile
+        |)
+        |SELECT CAST(decile AS INTEGER) AS decile, q_click, q_view,
+        |       q_click - q_view AS gap
+        |FROM p ORDER BY decile""".stripMargin,
     // the outlierMad raw-double rank-selected pooled median; 2x2 chi2
     // in HUGEINT with one final division
     "q_mood_median" ->

@@ -597,6 +597,16 @@ class PlanBudgetSpec extends AnyFunSuite {
     ("q_surv_median", 5, 1),          // = the KM lineage + a 1-row reduce
     ("q_rmst", 5, 1),                 // KM lineage + one duration-bounded
                                       // lag window + 1-row reduce
+    ("q_sprt", 3, 0),                 // (day) agg + calendar-bounded
+                                      // cumulative window
+    ("q_qq_plot", 5, 1),              // (grp, value) agg + per-group
+                                      // cumulative windows; decile grid
+                                      // broadcast
+    ("q_interarrival", 6, 0),         // user-keyed lag window staged;
+                                      // audit mode recomputes it per
+                                      // consumer (median/p90/base arms)
+    ("q_markov_steady", 11, 3),       // audit mode unrolls 4 passes over
+                                      // the staged transition grid
   )
 
   budgets.foreach { case (name, maxShuffles, minBcasts) =>

@@ -474,4 +474,51 @@ class RulesAndRecallSpec extends AnyFunSuite {
       assert(rs.forall(_.getLong(3) == rs.length), s"group $h size mismatch")
     }
   }
+
+  test("markov steady state: quantized power-iteration replay, mass ~ 1") {
+    val p = ops.EventTime.markovTransition(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(4)))
+    val types = p.flatMap(x => Seq(x._1, x._2)).distinct.sorted
+    val q6 = (x: Double) => math.floor(x * 1e6 + 0.5) / 1e6
+    val q9 = (x: Double) => math.floor(x * 1e9 + 0.5) / 1e9
+    var pi = types.map(_ -> 0.2).toMap
+    (1 to 4).foreach { _ =>
+      val acc = scala.collection.mutable.Map.empty[String, BigDecimal]
+        .withDefaultValue(BigDecimal(0))
+      p.foreach { case (f, t, pr) => acc(t) += BigDecimal(q9(pi(f) * pr)) }
+      pi = types.map(t => t -> q6(acc(t).toDouble)).toMap
+    }
+    val rows = ops.EventTime.markovSteady(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rows.keySet === types.toSet)
+    types.foreach(t => assert(rows(t) === pi(t), s"$t steady replay"))
+    val mass = rows.values.sum
+    assert(mass > 0.98 && mass < 1.02, s"stochastic mass ~1, got $mass")
+  }
+
+  test("interarrival: per-user gap replay, median/p90/max rank laws") {
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("tsl")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val gaps = ev.groupBy(_._1).toSeq.flatMap { case (_, xs) =>
+      val sorted = xs.sortBy(x => (x._4, x._2))
+      sorted.sliding(2).filter(_.length == 2).map(p =>
+        (p(1)._3, p(1)._4 - p(0)._4)).toSeq
+    }
+    val byType = gaps.groupBy(_._1).map { case (t, xs) =>
+      t -> xs.map(_._2).sorted }
+    val rows = ops.EventTime.interarrival(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSet === byType.keySet)
+    rows.foreach { r =>
+      val g = byType(r.getString(0)); val n = g.length
+      assert(r.getLong(1) === n.toLong)
+      val med = (g((n + 1) / 2 - 1) + g((n + 2) / 2 - 1)).toDouble * 0.5
+      assert(r.getDouble(2) === med, "rank-selected median")
+      assert(r.getLong(3) === g((9 * n + 9) / 10 - 1), "p90 rank selection")
+      assert(r.getLong(4) === g.last, "max")
+      assert(r.getDouble(2) <= r.getLong(3).toDouble &&
+        r.getLong(3) <= r.getLong(4), "median <= p90 <= max")
+    }
+  }
 }

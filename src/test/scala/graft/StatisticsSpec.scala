@@ -816,6 +816,46 @@ class StatisticsSpec extends AnyFunSuite {
     assert(row.getInt(4) === (if (best.toDouble > nd.toDouble * 1e6 * 5.0) 1 else 0))
   }
 
+  test("sprt: daily LLR replay with pinned constants, exact running sum") {
+    val rows = ops.Statistics.sprt(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getString(5))).sortBy(_._1)
+    assert(rows.nonEmpty)
+    var cum = BigDecimal(0)
+    rows.foreach { case (_, x, m, llrDay, llrCum, decision) =>
+      val brute = math.floor((x.toDouble * 0.200671 +
+        (m - x).toDouble * -0.05001) * 1e6 + 0.5) / 1e6
+      assert(llrDay === brute, "per-day LLR with pinned constants")
+      cum += BigDecimal(llrDay)
+      assert(math.abs(llrCum - cum.toDouble) < 1e-9, "exact running sum")
+      val expect = if (llrCum >= 2.944439) "accept_h1"
+      else if (llrCum <= -2.944439) "accept_h0" else "continue"
+      assert(decision === expect)
+      assert(x <= m)
+    }
+  }
+
+  test("qq plot: discrete rank-selection replay, monotone per group") {
+    val rows = ops.Statistics.qqPlot(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq === (1 to 9))
+    val vals = Tables.events(spark, sf)
+      .filter(col("event_type").isin("click", "view") && col("value").isNotNull)
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).groupBy(_._1)
+      .map { case (g, xs) => g -> xs.map(_._2).sorted }
+    rows.foreach { case (k, qc, qv, gap) =>
+      val bc = vals("click")((k * vals("click").length + 9) / 10 - 1)
+      val bv = vals("view")((k * vals("view").length + 9) / 10 - 1)
+      assert(qc === bc && qv === bv, s"decile $k rank selection")
+      assert(gap === qc - qv)
+    }
+    // quantiles are non-decreasing in the decile
+    assert(rows.map(_._2).sliding(2).forall(p => p.head <= p.last))
+    assert(rows.map(_._3).sliding(2).forall(p => p.head <= p.last))
+  }
+
   test("mood median: pooled-median split replay, 2x2 chi2 algebra") {
     val row = ops.Statistics.moodMedian(spark, sf).collect().head
     val vals = Tables.events(spark, sf)
