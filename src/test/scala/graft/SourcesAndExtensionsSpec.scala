@@ -173,4 +173,37 @@ class SourcesAndExtensionsSpec extends AnyFunSuite {
       .head.getSeq[String](0)
     assert(tri.nonEmpty && tri.head.split(" ").length === 3)
   }
+
+  test("Observation API: pipeline metrics ride the action, no second scan") {
+    // the Spark-native way to collect row counts / sums for a run
+    // manifest WITHOUT a separate count() pass over the data (the
+    // reference's job metrics re-scan; Observation piggybacks the write)
+    val spark = TestSpark.session
+    val obs = new org.apache.spark.sql.Observation("ingest_metrics")
+    val df = Tables.documents(spark, TestSpark.Sf)
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(length(col("text"))).as("n_chars"),
+        count(when(col("lang") === "en", 1)).as("n_en"))
+    val n = df.count() // the one action; metrics are a side product
+    val m = obs.get
+    assert(m("n_rows") === n)
+    assert(m("n_chars").asInstanceOf[Long] > 0L)
+    assert(m("n_en").asInstanceOf[Long] <= n)
+  }
+
+  test("parameterized spark.sql: named args bind without string splicing") {
+    // Spark 4 parameterized SQL — the injection-safe form of the
+    // reference's string-built job parameters (reqdef.yaml's
+    // parameterized queries surface)
+    val spark = TestSpark.session
+    Tables.documents(spark, TestSpark.Sf).createOrReplaceTempView("docs_param")
+    val rows = spark.sql(
+      "SELECT count(*) AS n FROM docs_param WHERE lang = :lang AND n_chars >= :minLen",
+      Map("lang" -> "en", "minLen" -> 10))
+      .collect()
+    val brute = Tables.documents(spark, TestSpark.Sf)
+      .filter(col("lang") === "en" && col("n_chars") >= 10).count()
+    assert(rows.head.getLong(0) === brute)
+  }
 }
