@@ -472,7 +472,62 @@ object Evaluation {
       .orderBy("decile")
   }
 
+  /** Empirical-Bayes (Beta–binomial, method-of-moments) shrinkage of the
+    * per-source `lang='en'` rate — the James–Stein move every per-segment
+    * rate dashboard needs: a source with 3/4 English docs should NOT
+    * outrank one with 290/400; shrinking each rate toward the corpus
+    * prior by its own sample size ((c+α)/(n+α+β)) is the standard fix,
+    * with (α, β) fit from the across-source mean/variance of the raw
+    * rates.
+    *
+    * Determinism: raw rates enter the integer domain as EXACT micro
+    * rates rµ = (c·10⁶) div n; the prior moments mµ = Σrµ div k and
+    * A = k·Σrµ² − (Σrµ)² are exact DECIMAL(38,0) integers; m, v, α+β,
+    * α, β are a fixed tree of single IEEE ops on those integers with α
+    * and β 6-dp-quantized BEFORE the per-source shrink (the iterated
+    * rule), and each shrunk rate is one more fixed tree. Degenerate
+    * priors (zero variance, or v ≥ m(1−m) where the Beta fit fails) fall
+    * back to the raw rate via the same CASE both sides.
+    *
+    * Scale shape: one map-side-combined source aggregate, a 1-row prior
+    * reduce broadcast back, row-local shrink. */
+  def ebShrink(s: SparkSession, d: String): DataFrame = {
+    val dec0 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val per = Tables.documents(s, d)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c"))
+      .withColumn("r", expr("(c * 1000000) div n"))
+    val prior0 = per.agg(
+      count(lit(1)).as("k"),
+      sum("r").as("sr"),
+      sum(col("r").cast(dec0) * col("r").cast(dec0)).as("sr2"))
+    val m = expr("(sr div k)").cast("double") / lit(1000000.0)
+    val aNum = (col("k").cast(dec0) * col("sr2") -
+      col("sr").cast(dec0) * col("sr").cast(dec0)).cast("double")
+    val vDen = (col("k") * col("k") * (col("k") - 1)).cast("double") *
+      lit(1000000000000.0)
+    val v = aNum / vDen
+    val ab = m * (lit(1.0) - m) / v - lit(1.0)
+    val fitOk = v > 0.0 && ab > 0.0
+    val prior = prior0.select(col("k"),
+      when(fitOk, q6(m * ab)).as("alpha"),
+      when(fitOk, q6((lit(1.0) - m) * ab)).as("beta"),
+      fitOk.as("fit_ok"))
+    per.crossJoin(broadcast(prior))
+      .select(col("source"), col("n"), col("c").as("n_en"),
+        q6(col("c").cast("double") / col("n").cast("double")).as("raw_rate"),
+        col("alpha"), col("beta"),
+        when(!col("fit_ok"),
+          q6(col("c").cast("double") / col("n").cast("double")))
+          .otherwise(q6((col("c").cast("double") + col("alpha")) /
+            (col("n").cast("double") + col("alpha") + col("beta"))))
+          .as("shrunk_rate"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_eb_shrink" -> (ebShrink _),
     "q_woe_iv" -> (woeIv _),
     "q_gains" -> (cumulativeGains _),
     "q_zorder_pruning" -> (zorderPruning _),
@@ -515,6 +570,50 @@ object Evaluation {
       |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // exact micro rates; prior moments in HUGEINT; alpha/beta quantized
+    // before the row-local shrink; degenerate fit falls back to raw
+    "q_eb_shrink" ->
+      """WITH per AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS c
+        |  FROM documents GROUP BY source
+        |), pr AS (
+        |  SELECT source, n, c, (c * 1000000) // n AS r FROM per
+        |), p0 AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k,
+        |         CAST(sum(r) AS BIGINT) AS sr,
+        |         sum(CAST(r AS HUGEINT) * r) AS sr2
+        |  FROM pr
+        |), p1 AS (
+        |  SELECT k,
+        |    CAST(sr // k AS DOUBLE) / 1000000.0 AS m,
+        |    CAST(CAST(k AS HUGEINT) * sr2 - CAST(sr AS HUGEINT) * sr AS DOUBLE)
+        |      / (CAST(k * k * (k - 1) AS DOUBLE) * 1000000000000.0) AS v
+        |  FROM p0
+        |), p2 AS (
+        |  SELECT k, m, v, m * (1.0e0 - m) / v - 1.0e0 AS ab FROM p1
+        |), prior AS (
+        |  SELECT k,
+        |    CASE WHEN v > 0.0e0 AND ab > 0.0e0
+        |         THEN floor(m * ab * 1000000 + 0.5) / 1000000 END AS alpha,
+        |    CASE WHEN v > 0.0e0 AND ab > 0.0e0
+        |         THEN floor((1.0e0 - m) * ab * 1000000 + 0.5) / 1000000 END AS beta,
+        |    (v > 0.0e0 AND ab > 0.0e0) AS fit_ok
+        |  FROM p2
+        |)
+        |SELECT source, n, c AS n_en,
+        |  floor(CAST(c AS DOUBLE) / CAST(n AS DOUBLE) * 1000000 + 0.5)
+        |    / 1000000 AS raw_rate,
+        |  alpha, beta,
+        |  CASE WHEN NOT fit_ok
+        |       THEN floor(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+        |                  * 1000000 + 0.5) / 1000000
+        |       ELSE floor((CAST(c AS DOUBLE) + alpha)
+        |                  / (CAST(n AS DOUBLE) + alpha + beta)
+        |                  * 1000000 + 0.5) / 1000000
+        |  END AS shrunk_rate
+        |FROM pr, prior
+        |ORDER BY source""".stripMargin,
     // logs of exact integers 6-dp-rounded; IV terms quantized into
     // DECIMAL(18,6) so the total is an exact order-independent sum
     "q_woe_iv" ->

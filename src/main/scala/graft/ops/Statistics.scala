@@ -2670,7 +2670,7 @@ object Statistics {
     * duration-bounded (dur × 2 segments) grid — windows over ≤2·|durs|
     * rows, one final 1-row reduce. Customer count never enters a
     * window. */
-  def logRank(s: SparkSession, d: String): DataFrame = {
+  private def logRankStat(s: SparkSession, d: String): DataFrame = {
     val segA = "AUTOMOBILE"; val segB = "BUILDING"
     val per = Tables.orders(s, d)
       .join(Tables.customer(s, d).filter(col("c_mktsegment").isin(segA, segB))
@@ -2709,6 +2709,8 @@ object Statistics {
       .filter(col("dt") > 0 && col("n") > 1)
       .withColumn("e_term",
         expr("CAST(dt AS DECIMAL(38,0)) * n1 * 1000000 div n"))
+      .withColumn("e_term_b",
+        expr("CAST(dt AS DECIMAL(38,0)) * (n - n1) * 1000000 div n"))
       .withColumn("v_term",
         expr("""CAST(dt AS DECIMAL(38,0)) * n1 * (n - n1) * (n - dt) * 1000000
                | div (CAST(n AS DECIMAL(38,0)) * n * (n - 1))""".stripMargin))
@@ -2717,14 +2719,22 @@ object Statistics {
       .select(col(segA).as("n_a"), col(segB).as("n_b"))
     val stat = byTime.agg(
       sum("d1").as("o_a_long"),
+      sum(col("dt") - col("d1")).as("o_b_long"),
       sum("e_term").as("e_micro"),
+      sum("e_term_b").as("eb_micro"),
       sum("v_term").as("v_micro"))
+    stat.crossJoin(broadcast(sizes))
+  }
+
+  /** The two-sample log-rank test — see [[logRankStat]] for the shared
+    * O/E/V machinery; this emits the χ² readout. */
+  def logRank(s: SparkSession, d: String): DataFrame = {
     val dec0 = DecimalType(38, 0)
     val num = (col("o_a_long").cast(dec0) * lit(1000000L).cast(dec0) -
       col("e_micro").cast(dec0))
-    stat.crossJoin(broadcast(sizes))
+    logRankStat(s, d)
       .select(
-        lit(segA).as("seg_a"), lit(segB).as("seg_b"),
+        lit("AUTOMOBILE").as("seg_a"), lit("BUILDING").as("seg_b"),
         col("n_a"), col("n_b"), col("o_a_long").as("o_a"),
         round(col("e_micro").cast("double") / lit(1000000.0), 6).as("e_a"),
         round(col("v_micro").cast("double") / lit(1000000.0), 6).as("v"),
@@ -2732,6 +2742,38 @@ object Statistics {
           .otherwise(round((num * num).cast("double") /
             (col("v_micro").cast(dec0) * lit(1000000L).cast(dec0)).cast("double"),
             6)).as("chi2"))
+  }
+
+  /** Hazard ratio between the two [[logRank]] segments, estimated the
+    * O/E way: HR = (O_A/E_A)/(O_B/E_B) — the EFFECT SIZE the log-rank
+    * χ² deliberately is not (χ² says "hazards differ"; HR says "segment
+    * A churns 1.3× faster", the number a retention owner budgets
+    * against). Reported with both groups' observed/expected so the
+    * direction is auditable.
+    *
+    * Determinism: O and the micro-lattice E integers come from the
+    * SHARED [[logRankStat]] aggregate (E_B uses the same exact integer
+    * division with n−n₁); the E_A + E_B ≈ D identity is a spec law. HR
+    * cross-multiplies to (O_A·E_Bµ)/(O_B·E_Aµ) — exact DECIMAL(38,0)
+    * products, ONE division, 6-dp-rounded; a zero denominator (no B
+    * deaths, or E_A = 0) pins NULL both sides.
+    *
+    * Scale shape: identical to [[logRank]] — the duration-bounded grid,
+    * one extra integer column through the same aggregate. */
+  def hazardRatio(s: SparkSession, d: String): DataFrame = {
+    val dec0 = DecimalType(38, 0)
+    val num = col("o_a_long").cast(dec0) * col("eb_micro").cast(dec0)
+    val den = col("o_b_long").cast(dec0) * col("e_micro").cast(dec0)
+    logRankStat(s, d)
+      .select(
+        lit("AUTOMOBILE").as("seg_a"), lit("BUILDING").as("seg_b"),
+        col("o_a_long").as("o_a"),
+        round(col("e_micro").cast("double") / lit(1000000.0), 6).as("e_a"),
+        col("o_b_long").as("o_b"),
+        round(col("eb_micro").cast("double") / lit(1000000.0), 6).as("e_b"),
+        when(den === lit(0), lit(null).cast("double"))
+          .otherwise(round(num.cast("double") / den.cast("double"), 6))
+          .as("hazard_ratio"))
   }
 
   /** Wilcoxon signed-rank test on paired daily totals of the 'click' vs
@@ -2851,6 +2893,7 @@ object Statistics {
     "q_two_prop_z" -> (twoPropZ _),
     "q_sprt" -> (sprt _),
     "q_qq_plot" -> (qqPlot _),
+    "q_hazard_ratio" -> (hazardRatio _),
     "q_nelson_aalen" -> (nelsonAalen _),
     "q_jarque_bera" -> (jarqueBera _),
     "q_ljung_box" -> (ljungBox _),
@@ -2934,6 +2977,68 @@ object Statistics {
       |         floor(CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE) * 1000000 + 0.5) / 1000000 AS r2,
       |         floor(CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE) * 1000000 + 0.5) / 1000000 AS r3
       |  FROM sums WHERE n_days > 3 AND den > 0
+      |)""".stripMargin
+
+  /** The shared two-segment log-rank oracle body through `stat` and
+    * `sizes` (byte-moved from the original q_log_rank entry, plus the
+    * group-B observed/expected columns) — used by q_log_rank and
+    * q_hazard_ratio. */
+  // lazy: interpolated by `oracle` entries during object initialization
+  private lazy val LogRankCtes: String =
+    """per AS (
+      |  SELECT o.o_custkey, c.c_mktsegment AS seg,
+      |         min(epoch_us(o_orderdate)) AS mn,
+      |         max(epoch_us(o_orderdate)) AS mx
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  WHERE c.c_mktsegment IN ('AUTOMOBILE', 'BUILDING')
+      |  GROUP BY 1, 2
+      |), ext AS (SELECT min(mn) AS lo, max(mx) AS hi FROM per),
+      |life AS (
+      |  SELECT seg, (mx - mn) // 86400000000 AS dur,
+      |         CASE WHEN mx > lo + ((hi - lo) * 4) // 5 THEN 1 ELSE 0 END AS cens
+      |  FROM per, ext
+      |), bydurg AS (
+      |  SELECT dur, seg, CAST(count(*) AS BIGINT) AS all_at,
+      |         CAST(sum(1 - cens) AS BIGINT) AS dth
+      |  FROM life GROUP BY 1, 2
+      |), grid AS (
+      |  SELECT dd.dur, ss.seg,
+      |         COALESCE(b.all_at, 0) AS all_at, COALESCE(b.dth, 0) AS dth
+      |  FROM (SELECT DISTINCT dur FROM bydurg) dd
+      |  CROSS JOIN (VALUES ('AUTOMOBILE'), ('BUILDING')) ss(seg)
+      |  LEFT JOIN bydurg b ON b.dur = dd.dur AND b.seg = ss.seg
+      |), cum AS (
+      |  SELECT dur, seg, dth,
+      |    sum(all_at) OVER (PARTITION BY seg)
+      |      - COALESCE(sum(all_at) OVER (PARTITION BY seg ORDER BY dur
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+      |  FROM grid
+      |), bytime AS (
+      |  SELECT dur,
+      |    CAST(sum(CASE WHEN seg = 'AUTOMOBILE' THEN dth END) AS BIGINT) AS d1,
+      |    CAST(sum(CASE WHEN seg = 'AUTOMOBILE' THEN n_risk END) AS BIGINT) AS n1,
+      |    CAST(sum(dth) AS BIGINT) AS dt,
+      |    CAST(sum(n_risk) AS BIGINT) AS n
+      |  FROM cum GROUP BY dur
+      |), terms AS (
+      |  SELECT d1, dt, (CAST(dt AS HUGEINT) * n1 * 1000000) // n AS e_term,
+      |    (CAST(dt AS HUGEINT) * (n - n1) * 1000000) // n AS e_term_b,
+      |    (CAST(dt AS HUGEINT) * n1 * (n - n1) * (n - dt) * 1000000)
+      |      // (CAST(n AS HUGEINT) * n * (n - 1)) AS v_term
+      |  FROM bytime WHERE dt > 0 AND n > 1
+      |), stat AS (
+      |  SELECT CAST(sum(d1) AS BIGINT) AS o_a,
+      |         CAST(sum(dt - d1) AS BIGINT) AS o_b,
+      |         CAST(sum(e_term) AS BIGINT) AS e_micro,
+      |         CAST(sum(e_term_b) AS BIGINT) AS eb_micro,
+      |         CAST(sum(v_term) AS BIGINT) AS v_micro
+      |  FROM terms
+      |), sizes AS (
+      |  SELECT CAST(sum(CASE WHEN seg = 'AUTOMOBILE' THEN 1 ELSE 0 END)
+      |              AS BIGINT) AS n_a,
+      |         CAST(sum(CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END)
+      |              AS BIGINT) AS n_b
+      |  FROM life
       |)""".stripMargin
 
   /** The full [[kaplanMeier]] oracle SQL (byte-moved from the original
@@ -3242,58 +3347,7 @@ object Statistics {
     // exact HUGEINT integer divisions on the micro lattice, summed in
     // BIGINT; chi-square is one division of exact integers
     "q_log_rank" ->
-      """WITH per AS (
-        |  SELECT o.o_custkey, c.c_mktsegment AS seg,
-        |         min(epoch_us(o_orderdate)) AS mn,
-        |         max(epoch_us(o_orderdate)) AS mx
-        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-        |  WHERE c.c_mktsegment IN ('AUTOMOBILE', 'BUILDING')
-        |  GROUP BY 1, 2
-        |), ext AS (SELECT min(mn) AS lo, max(mx) AS hi FROM per),
-        |life AS (
-        |  SELECT seg, (mx - mn) // 86400000000 AS dur,
-        |         CASE WHEN mx > lo + ((hi - lo) * 4) // 5 THEN 1 ELSE 0 END AS cens
-        |  FROM per, ext
-        |), bydurg AS (
-        |  SELECT dur, seg, CAST(count(*) AS BIGINT) AS all_at,
-        |         CAST(sum(1 - cens) AS BIGINT) AS dth
-        |  FROM life GROUP BY 1, 2
-        |), grid AS (
-        |  SELECT dd.dur, ss.seg,
-        |         COALESCE(b.all_at, 0) AS all_at, COALESCE(b.dth, 0) AS dth
-        |  FROM (SELECT DISTINCT dur FROM bydurg) dd
-        |  CROSS JOIN (VALUES ('AUTOMOBILE'), ('BUILDING')) ss(seg)
-        |  LEFT JOIN bydurg b ON b.dur = dd.dur AND b.seg = ss.seg
-        |), cum AS (
-        |  SELECT dur, seg, dth,
-        |    sum(all_at) OVER (PARTITION BY seg)
-        |      - COALESCE(sum(all_at) OVER (PARTITION BY seg ORDER BY dur
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
-        |  FROM grid
-        |), bytime AS (
-        |  SELECT dur,
-        |    CAST(sum(CASE WHEN seg = 'AUTOMOBILE' THEN dth END) AS BIGINT) AS d1,
-        |    CAST(sum(CASE WHEN seg = 'AUTOMOBILE' THEN n_risk END) AS BIGINT) AS n1,
-        |    CAST(sum(dth) AS BIGINT) AS dt,
-        |    CAST(sum(n_risk) AS BIGINT) AS n
-        |  FROM cum GROUP BY dur
-        |), terms AS (
-        |  SELECT d1, (CAST(dt AS HUGEINT) * n1 * 1000000) // n AS e_term,
-        |    (CAST(dt AS HUGEINT) * n1 * (n - n1) * (n - dt) * 1000000)
-        |      // (CAST(n AS HUGEINT) * n * (n - 1)) AS v_term
-        |  FROM bytime WHERE dt > 0 AND n > 1
-        |), stat AS (
-        |  SELECT CAST(sum(d1) AS BIGINT) AS o_a,
-        |         CAST(sum(e_term) AS BIGINT) AS e_micro,
-        |         CAST(sum(v_term) AS BIGINT) AS v_micro
-        |  FROM terms
-        |), sizes AS (
-        |  SELECT CAST(sum(CASE WHEN seg = 'AUTOMOBILE' THEN 1 ELSE 0 END)
-        |              AS BIGINT) AS n_a,
-        |         CAST(sum(CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END)
-        |              AS BIGINT) AS n_b
-        |  FROM life
-        |)
+      s"""WITH $LogRankCtes
         |SELECT 'AUTOMOBILE' AS seg_a, 'BUILDING' AS seg_b, n_a, n_b, o_a,
         |  round(CAST(e_micro AS DOUBLE) / 1000000.0, 6) AS e_a,
         |  round(CAST(v_micro AS DOUBLE) / 1000000.0, 6) AS v,
@@ -3303,6 +3357,18 @@ object Statistics {
         |                       AS DOUBLE)
         |                  / CAST(CAST(v_micro AS HUGEINT) * 1000000 AS DOUBLE), 6)
         |  END AS chi2
+        |FROM stat, sizes""".stripMargin,
+    // the shared O/E frame; HR cross-multiplies to one exact division
+    "q_hazard_ratio" ->
+      s"""WITH $LogRankCtes
+        |SELECT 'AUTOMOBILE' AS seg_a, 'BUILDING' AS seg_b, o_a,
+        |  round(CAST(e_micro AS DOUBLE) / 1000000.0, 6) AS e_a,
+        |  o_b,
+        |  round(CAST(eb_micro AS DOUBLE) / 1000000.0, 6) AS e_b,
+        |  CASE WHEN CAST(o_b AS HUGEINT) * e_micro = 0 THEN NULL
+        |       ELSE round(CAST(CAST(o_a AS HUGEINT) * eb_micro AS DOUBLE)
+        |                  / CAST(CAST(o_b AS HUGEINT) * e_micro AS DOUBLE), 6)
+        |  END AS hazard_ratio
         |FROM stat, sizes""".stripMargin,
     // paired daily click/view micro totals; 2x midranks on the integer
     // lattice; z as a fixed IEEE tree on exact integers

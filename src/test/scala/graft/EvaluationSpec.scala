@@ -696,6 +696,41 @@ class EvaluationSpec extends AnyFunSuite {
     }
   }
 
+  test("eb shrink: prior replay from integer moments, shrinkage laws") {
+    val rows = ops.Evaluation.ebShrink(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val per = rows.map(r => (r.getLong(1), r.getLong(2)))
+    val k = per.length.toLong
+    val rs = per.map { case (n, c) => c * 1000000L / n }
+    val sr = rs.sum; val sr2 = rs.map(r => BigInt(r) * r).sum
+    val m = (sr / k).toDouble / 1e6
+    val v = (BigInt(k) * sr2 - BigInt(sr) * sr).toDouble /
+      ((k * k * (k - 1)).toDouble * 1e12)
+    val q6 = (x: Double) => math.floor(x * 1e6 + 0.5) / 1e6
+    val fitOk = v > 0.0 && (m * (1 - m) / v - 1.0) > 0.0
+    rows.foreach { r =>
+      val (n, c) = (r.getLong(1), r.getLong(2))
+      val raw = q6(c.toDouble / n)
+      assert(r.getDouble(3) === raw)
+      if (fitOk) {
+        val ab = m * (1 - m) / v - 1.0
+        val alpha = q6(m * ab); val beta = q6((1 - m) * ab)
+        assert(r.getDouble(4) === alpha && r.getDouble(5) === beta)
+        val shrunk = r.getDouble(6)
+        assert(shrunk === q6((c + alpha) / (n + alpha + beta)), "shrink replay")
+        // shrinkage pulls TOWARD the prior mean alpha/(alpha+beta)
+        val priorMean = alpha / (alpha + beta)
+        val lo = math.min(raw, priorMean) - 1e-6
+        val hi = math.max(raw, priorMean) + 1e-6
+        assert(shrunk >= lo && shrunk <= hi,
+          s"${r.getString(0)}: $shrunk outside [$lo, $hi]")
+      } else {
+        assert(r.isNullAt(4) && r.isNullAt(5))
+        assert(r.getDouble(6) === raw, "degenerate prior falls back to raw")
+      }
+    }
+  }
+
   test("woe/iv: sign law, total is the exact sum of quantized terms") {
     val rows = ops.Evaluation.woeIv(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -607,6 +607,9 @@ class PlanBudgetSpec extends AnyFunSuite {
                                       // consumer (median/p90/base arms)
     ("q_markov_steady", 11, 3),       // audit mode unrolls 4 passes over
                                       // the staged transition grid
+    ("q_hazard_ratio", 12, 2),        // = q_log_rank's shared O/E frame
+    ("q_eb_shrink", 4, 1),            // source agg + 1-row prior
+                                      // broadcast + row-local shrink
   )
 
   budgets.foreach { case (name, maxShuffles, minBcasts) =>

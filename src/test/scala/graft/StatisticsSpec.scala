@@ -1068,6 +1068,25 @@ class StatisticsSpec extends AnyFunSuite {
     } else assert(row.isNullAt(row.fieldIndex("chi2")))
   }
 
+  test("hazard ratio: O/E identities vs the log-rank frame") {
+    val lr = ops.Statistics.logRank(spark, sf).collect().head
+    val hr = ops.Statistics.hazardRatio(spark, sf).collect().head
+    assert(hr.getAs[Long]("o_a") === lr.getAs[Long]("o_a"))
+    assert(hr.getAs[Double]("e_a") === lr.getAs[Double]("e_a"))
+    val oA = hr.getAs[Long]("o_a"); val oB = hr.getAs[Long]("o_b")
+    val eA = hr.getAs[Double]("e_a"); val eB = hr.getAs[Double]("e_b")
+    // per time: e_a + e_b = dt - (floor slack < 2/1e6 per time), so the
+    // totals agree with total deaths up to the accumulated floor slack
+    assert(math.abs((eA + eB) - (oA + oB)) < 0.01,
+      s"E_A + E_B ~ total deaths: $eA + $eB vs ${oA + oB}")
+    if (!hr.isNullAt(hr.fieldIndex("hazard_ratio"))) {
+      val ratio = hr.getAs[Double]("hazard_ratio")
+      val brute = (oA * eB) / (oB * eA)
+      assert(math.abs(ratio - brute) < 1e-3, s"HR $ratio vs O/E brute $brute")
+      assert(ratio > 0.0)
+    } else assert(oB == 0L || eA == 0.0)
+  }
+
   test("wilcoxon signed-rank: midrank lattice replay, rank-sum identity") {
     val rows = ops.Statistics.wilcoxonSignedRank(spark, sf).collect()
     val daily = Tables.events(spark, sf)
