@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -484,7 +484,67 @@ object Graph {
       .orderBy("node")
   }
 
+  /** Closeness centrality over the UNDIRECTED trade graph by all-pairs
+    * hop relaxation — the fourth centrality leg (PageRank = recursive
+    * influence, HITS = directed hub/authority, triangles = local
+    * cohesion; closeness = "how few hops to everyone?", the score that
+    * ranks distribution hubs): C(u) = (r−1)/Σd over the r−1 nodes u
+    * reaches, with the reach count reported so disconnected graphs stay
+    * honest.
+    *
+    * Determinism: pure integer min-distance relaxation to a fixpoint
+    * ([[bfsHops]] multi-sourced — same convergence-scalar loop, same
+    * exact integer state); closeness is ONE division of exact integers,
+    * 6-dp floor-quantized. The oracle reaches the same fixpoint with a
+    * depth-bounded recursive closure + min().
+    *
+    * Scale shape: the [[tradeEdges]] derivation dominates; the
+    * relaxation state is |nations|² (src, node, dist) rows over the
+    * staged edge list, `Ckpt`-staged per round with a 1-row convergence
+    * scalar — the established iterative shape. At a million-node graph
+    * closeness switches to sampled sources or HyperBall sketches; at
+    * the nation grain the exact loop is the right plan. */
+  def closeness(s: SparkSession, d: String): DataFrame = {
+    val e = graft.util.Ckpt.stage(tradeEdges(s, d).select(col("src"), col("dst")))
+    val und = graft.util.Ckpt.stage(
+      e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+        .filter(col("src") =!= col("dst")).distinct())
+    val nodes = Tables.nation(s, d)
+      .select(col("n_nationkey").as("node"), col("n_name").as("nation"))
+    var dist = nodes.select(col("node").as("s0"), col("node"), lit(0L).as("dist"))
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 30) {
+      val relaxed = und.join(dist.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("s0"), col("dst").as("node"))
+        .agg(min(col("dist") + 1).as("nd"))
+      val next = dist.join(relaxed, Seq("s0", "node"), "full")
+        .select(col("s0"), col("node"),
+          least(coalesce(col("dist"), lit(Long.MaxValue)),
+            coalesce(col("nd"), lit(Long.MaxValue))).as("dist2"),
+          (coalesce(col("nd"), lit(Long.MaxValue)) <
+            coalesce(col("dist"), lit(Long.MaxValue))).cast("int").as("chg"))
+        .transform(graft.util.Ckpt.stage)
+      changed = next.agg(coalesce(sum("chg"), lit(0L))).collect()(0).getLong(0)
+      dist = next.select(col("s0"), col("node"), col("dist2").as("dist"))
+      rounds += 1
+    }
+    val q6 = (c: Column) => floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val per = dist.filter(col("s0") =!= col("node"))
+      .groupBy(col("s0").as("node"))
+      .agg(count(lit(1)).as("n_reach"), sum("dist").as("sum_dist"))
+    nodes.join(per, Seq("node"), "left")
+      .select(col("node"), col("nation"),
+        coalesce(col("n_reach"), lit(0L)).as("n_reach"),
+        coalesce(col("sum_dist"), lit(0L)).as("sum_dist"),
+        when(coalesce(col("sum_dist"), lit(0L)) === 0L, lit(null).cast("double"))
+          .otherwise(q6(col("n_reach").cast("double") /
+            col("sum_dist").cast("double"))).as("closeness"))
+      .orderBy("node")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_closeness" -> (closeness _),
     "q_hits" -> (hits _),
     "q_label_prop" -> (labelProp _),
     "q_kcore_peel" -> (kcorePeel _),
@@ -609,6 +669,39 @@ object Graph {
   }
 
   val oracle: Map[String, String] = Map(
+    // depth-bounded recursive closure + min() reaches the same integer
+    // fixpoint as the engine's relaxation loop
+    "q_closeness" ->
+      s"""WITH RECURSIVE $EdgeCte, und AS (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT src, dst FROM e
+         |    UNION ALL SELECT dst AS src, src AS dst FROM e) b
+         |  WHERE src <> dst
+         |), n AS (
+         |  SELECT n_nationkey AS node, n_name AS nation FROM nation
+         |), walk(s0, node, d) AS (
+         |  SELECT node, node, 0 FROM n
+         |  UNION
+         |  SELECT w.s0, u.dst, w.d + 1
+         |  FROM walk w JOIN und u ON u.src = w.node WHERE w.d < 24
+         |), sp AS (
+         |  SELECT s0, node, CAST(min(d) AS BIGINT) AS dist
+         |  FROM walk GROUP BY 1, 2
+         |), per AS (
+         |  SELECT s0 AS node, CAST(count(*) AS BIGINT) AS n_reach,
+         |         CAST(sum(dist) AS BIGINT) AS sum_dist
+         |  FROM sp WHERE s0 <> node GROUP BY 1
+         |)
+         |SELECT n.node, n.nation,
+         |  COALESCE(per.n_reach, 0) AS n_reach,
+         |  COALESCE(per.sum_dist, 0) AS sum_dist,
+         |  CASE WHEN COALESCE(per.sum_dist, 0) = 0 THEN NULL
+         |       ELSE floor(CAST(per.n_reach AS DOUBLE)
+         |                  / CAST(per.sum_dist AS DOUBLE) * 1000000 + 0.5)
+         |            / 1000000
+         |  END AS closeness
+         |FROM n LEFT JOIN per USING (node)
+         |ORDER BY n.node""".stripMargin,
     "q_hits" -> hitsOracle,
     "q_label_prop" -> labelPropOracle,
     "q_kcore_peel" -> {

@@ -607,6 +607,45 @@ object TextAnalysis {
       .limit(20)
   }
 
+  /** Conditional entropy H(W₂|W₁) of the corpus bigram model, in nats,
+    * with its perplexity — the one-number summary of how much the
+    * previous word helps ([[entropy]] gives H(W) per source; the
+    * conditional version is the quantity a context-aware model's
+    * headroom is measured by, and exp(H) is the branching factor a
+    * bigram LM like [[kneserNey]] actually faces):
+    * H(W₂|W₁) = Σ c₁₂·(ln c₁ − ln c₁₂) / N.
+    *
+    * Determinism: both logs are over BARE integer counts, 6-dp-rounded
+    * into DECIMAL (the [[unigramLm]] contract); each term multiplies the
+    * exact decimal difference by the integer c₁₂ — exact — and the total
+    * is an exact decimal sum with ONE final division by N; perplexity is
+    * one exp() on the identical quantized scalar, 4-dp floor-quantized
+    * (the [[graft.ops.Statistics]] KM surv recipe).
+    *
+    * Scale shape: the corpus bigram table + its history rollup
+    * (vocabulary-bounded, broadcast back), one 1-row reduce. */
+  def condEntropy(s: SparkSession, d: String): DataFrame = {
+    val qln = (c: Column) =>
+      round(log(c.cast("double")), 6)
+        .cast(org.apache.spark.sql.types.DecimalType(18, 6))
+    val q6 = (c: Column) => floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val wf = filter(words(col("text")), x => x =!= "")
+    val c12 = Tables.documents(s, d)
+      .select(explode(StringNgrams.ngrams(wf, 2)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c12"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
+    val agg = c12.join(broadcast(c1), "w1")
+      .select(col("c12"),
+        (col("c12") * (qln(col("c1")) - qln(col("c12")))).as("term"))
+      .agg(sum("c12").as("n_bigrams"), sum("term").as("hsum"))
+    agg.select(col("n_bigrams"),
+        q6(col("hsum").cast("double") / col("n_bigrams").cast("double"))
+          .as("h_cond_nats"))
+      .withColumn("perplexity",
+        floor(exp(col("h_cond_nats")) * lit(10000.0) + lit(0.5)) / lit(10000.0))
+  }
+
   /** Support threshold and per-source cut for [[pmiTerms]]: a term needs
     * ≥ 5 occurrences in a source to score (PMI of rare pairs is noise),
     * and each source reports its top 3. Mirrored in the oracle. */
@@ -1364,6 +1403,7 @@ object TextAnalysis {
     "q_decontaminate"   -> (decontaminate _),
     "q_rouge_overlap"   -> (rougeOverlap _),
     "q_kneser_ney"      -> (kneserNey _),
+    "q_cond_entropy"    -> (condEntropy _),
     "q_repetition_ratio" -> (repetitionRatio _),
     "q_ngram_stats"     -> (ngramStats _),
     "q_tfidf"           -> (tfidf _),
@@ -1642,6 +1682,32 @@ object TextAnalysis {
          |SELECT source, rnk, term, c_ts, CAST(pmi AS DOUBLE) AS pmi
          |FROM r WHERE rnk <= 3
          |ORDER BY source, rnk""".stripMargin,
+    // logs of bare integer counts quantized into DECIMAL; exact decimal
+    // sum; one division + one exp
+    "q_cond_entropy" ->
+      s"""WITH bgr AS (
+         |  SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bg
+         |  FROM (SELECT $FWordsSql AS w FROM documents) ws
+         |), c AS (
+         |  SELECT bg, CAST(count(*) AS BIGINT) AS c12,
+         |         string_split(bg, ' ')[1] AS w1
+         |  FROM bgr GROUP BY bg
+         |), h AS (
+         |  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c GROUP BY w1
+         |), agg AS (
+         |  SELECT CAST(sum(c.c12) AS BIGINT) AS n_bigrams,
+         |    SUM(c.c12 * (CAST(round(ln(h.c1), 6) AS DECIMAL(18,6))
+         |                 - CAST(round(ln(c.c12), 6) AS DECIMAL(18,6)))) AS hsum
+         |  FROM c JOIN h USING (w1)
+         |), fin AS (
+         |  SELECT n_bigrams,
+         |    floor(CAST(hsum AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+         |          * 1000000 + 0.5) / 1000000 AS h_cond_nats
+         |  FROM agg
+         |)
+         |SELECT n_bigrams, h_cond_nats,
+         |       floor(exp(h_cond_nats) * 10000.0 + 0.5) / 10000.0 AS perplexity
+         |FROM fin""".stripMargin,
     // exact BIGINT count tables; p_kn is the same fixed 8-op IEEE tree;
     // the top-20 cut is an integer+string ordering
     "q_kneser_ney" ->

@@ -228,6 +228,41 @@ class GraphAndSelectionSpec extends AnyFunSuite {
     }
   }
 
+  test("closeness: brute all-pairs BFS replay") {
+    val rows = Graph.closeness(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+    assert(rows.length == 25)
+    val e = Tables.lineitem(spark, sf).select("l_orderkey", "l_suppkey")
+      .join(Tables.orders(spark, sf).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.supplier(spark, sf).select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.customer(spark, sf).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("s_nationkey").as("src"), col("c_nationkey").as("dst"))
+      .distinct().collect().map(r => (r.getInt(0), r.getInt(1)))
+    val adj = (e ++ e.map(x => (x._2, x._1))).filter(x => x._1 != x._2)
+      .groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2).toSet }
+      .withDefaultValue(Set.empty[Int])
+    rows.foreach { case (u, nReach, sumDist, cl) =>
+      // BFS from u
+      var frontier = Set(u); var seen = Set(u); var d = 0L; var sd = 0L
+      while (frontier.nonEmpty) {
+        d += 1
+        frontier = frontier.flatMap(adj).diff(seen)
+        seen ++= frontier
+        sd += d * frontier.size
+      }
+      assert(nReach === (seen.size - 1).toLong, s"reach at $u")
+      assert(sumDist === sd, s"sum dist at $u")
+      if (sd > 0) {
+        assert(cl.get === math.floor(nReach.toDouble / sd * 1e6 + 0.5) / 1e6)
+        assert(cl.get > 0.0 && cl.get <= 1.0 + 1e-9, "closeness in (0,1]")
+      } else assert(cl.isEmpty)
+    }
+  }
+
   test("hits: integer fixed-point replay, max-normalized bounds") {
     val rows = Graph.hits(spark, sf).collect()
       .map(r => (r.getInt(0), r.getLong(2), r.getLong(3)))

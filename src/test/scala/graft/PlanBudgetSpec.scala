@@ -610,6 +610,8 @@ class PlanBudgetSpec extends AnyFunSuite {
     ("q_hazard_ratio", 12, 2),        // = q_log_rank's shared O/E frame
     ("q_eb_shrink", 4, 1),            // source agg + 1-row prior
                                       // broadcast + row-local shrink
+    ("q_cond_entropy", 4, 1),         // bigram table + history rollup
+                                      // broadcast + 1-row reduce
   )
 
   budgets.foreach { case (name, maxShuffles, minBcasts) =>

@@ -108,6 +108,35 @@ class SmoothingSpatialRakeSpec extends AnyFunSuite {
     }
   }
 
+  test("conditional entropy: decimal-log replay, conditioning reduces entropy") {
+    val row = ops.TextAnalysis.condEntropy(spark, sf).collect().head
+    val bigrams = Tables.documents(spark, sf).select("text").collect()
+      .flatMap(_.getString(0).split(" ", -1).filter(_.nonEmpty)
+        .sliding(2).filter(_.length == 2).map(_.mkString(" ")))
+    val c12 = bigrams.groupBy(identity).map { case (g, xs) => g -> xs.length.toLong }
+    val c1 = c12.toSeq.groupBy(_._1.split(" ")(0))
+      .map { case (w, xs) => w -> xs.map(_._2).sum }
+    val n = bigrams.length.toLong
+    assert(row.getLong(0) === n)
+    val qln = (x: Long) =>
+      BigDecimal(math.round(math.log(x.toDouble) * 1e6)) / BigDecimal(1000000)
+    val hsum = c12.map { case (g, c) =>
+      BigDecimal(c) * (qln(c1(g.split(" ")(0))) - qln(c))
+    }.sum
+    val h = math.floor(hsum.toDouble / n * 1e6 + 0.5) / 1e6
+    assert(row.getDouble(1) === h, "quantized-log entropy replay")
+    // conditioning reduces entropy: H(W2|W1) <= H(W2) (same estimator)
+    val c2 = c12.toSeq.groupBy(_._1.split(" ")(1))
+      .map { case (w, xs) => w -> xs.map(_._2).sum }
+    val hw2 = c12.map { case (g, c) =>
+      BigDecimal(c) * (qln(n) - qln(c2(g.split(" ")(1))))
+    }.sum.toDouble / n
+    assert(h <= hw2 + 1e-6, s"H(W2|W1)=$h > H(W2)=$hw2")
+    assert(row.getDouble(2) ===
+      math.floor(math.exp(h) * 1e4 + 0.5) / 1e4, "perplexity = exp(H)")
+    assert(row.getDouble(2) >= 1.0)
+  }
+
   test("RAKE: phrases are stopword-free, scores replay from corpus word stats") {
     val stops = Set("the", "a", "of")
     val got = ops.TextAnalysis.rakeKeywords(spark, sf).collect()
