@@ -526,7 +526,43 @@ object Evaluation {
       .orderBy("source")
   }
 
+  /** Brier score of the rank-percentile score against the `lang='en'`
+    * label, with its calibration/refinement split — the PROPER scoring
+    * rule the reliability table ([[calibrationBins]]/[[ece]]) motivates:
+    * Brier = mean (s − y)² penalizes both miscalibration and lack of
+    * sharpness at once, and the reported reference Brier of the
+    * constant base-rate forecast says whether the score beats "always
+    * predict the prevalence" (skill = 1 − BS/BS_ref).
+    *
+    * Determinism: on the [[scoredFrame]] distinct-value rows the per-row
+    * contribution closes over exact integers — Σ(s−y)² for a value with
+    * c rows (c₁ positive) is c₁·(s−1)² + (c−c₁)·s² with s = prev/(n−1)
+    * ONE division — a fixed tree of elementary ops, 9-dp-quantized into
+    * DECIMAL(18,9) before the exact sum (micro² contributions need the
+    * finer quantum), one final division by n; BS_ref = p̄(1−p̄) is a
+    * fixed tree on two exact-integer divisions.
+    *
+    * Scale shape: the [[scoredFrame]] value-domain window + a 1-row
+    * reduce. */
+  def brier(s: SparkSession, d: String): DataFrame = {
+    val q9d = (c: Column) => (floor(c * lit(1000000000.0) + lit(0.5)) /
+      lit(1000000000.0)).cast(org.apache.spark.sql.types.DecimalType(18, 9))
+    val sc = col("prev").cast("double") / (col("nt") - 1).cast("double")
+    val term = q9d(col("c1").cast("double") * (sc - lit(1.0)) * (sc - lit(1.0)) +
+      (col("c") - col("c1")).cast("double") * sc * sc)
+    val agg = scoredFrame(s, d)
+      .select(col("c"), col("c1"), term.as("t"))
+      .agg(sum("c").as("n"), sum("c1").as("n_pos"), sum("t").as("se"))
+    val pbar = col("n_pos").cast("double") / col("n").cast("double")
+    agg.select(col("n"), col("n_pos"),
+      q6(col("se").cast("double") / col("n").cast("double")).as("brier"),
+      q6(pbar * (lit(1.0) - pbar)).as("brier_ref"),
+      q6(lit(1.0) - (col("se").cast("double") / col("n").cast("double")) /
+        (pbar * (lit(1.0) - pbar))).as("skill"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_brier" -> (brier _),
     "q_eb_shrink" -> (ebShrink _),
     "q_woe_iv" -> (woeIv _),
     "q_gains" -> (cumulativeGains _),
@@ -570,6 +606,36 @@ object Evaluation {
       |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // per-value squared-error contributions close over exact integers,
+    // 9-dp-quantized into DECIMAL before the exact sum; one division
+    "q_brier" ->
+      s"""WITH $CalibrationCtes,
+         |tx AS (
+         |  SELECT c, c1,
+         |    CAST(floor((CAST(c1 AS DOUBLE) * (sc - 1.0e0) * (sc - 1.0e0)
+         |                + CAST(c - c1 AS DOUBLE) * sc * sc)
+         |               * 1000000000 + 0.5) / 1000000000
+         |         AS DECIMAL(18,9)) AS t
+         |  FROM (SELECT c, c1,
+         |          CAST(prev AS DOUBLE) / CAST(nt - 1 AS DOUBLE) AS sc
+         |        FROM scored) x
+         |), a AS (
+         |  SELECT CAST(sum(c) AS BIGINT) AS n,
+         |         CAST(sum(c1) AS BIGINT) AS n_pos,
+         |         SUM(t) AS se
+         |  FROM tx
+         |)
+         |SELECT n, n_pos,
+         |  floor(CAST(se AS DOUBLE) / CAST(n AS DOUBLE) * 1000000 + 0.5)
+         |    / 1000000 AS brier,
+         |  floor((CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+         |        * (1.0e0 - CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+         |        * 1000000 + 0.5) / 1000000 AS brier_ref,
+         |  floor((1.0e0 - (CAST(se AS DOUBLE) / CAST(n AS DOUBLE))
+         |                 / ((CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+         |                    * (1.0e0 - CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))))
+         |        * 1000000 + 0.5) / 1000000 AS skill
+         |FROM a""".stripMargin,
     // exact micro rates; prior moments in HUGEINT; alpha/beta quantized
     // before the row-local shrink; degenerate fit falls back to raw
     "q_eb_shrink" ->

@@ -696,6 +696,33 @@ class EvaluationSpec extends AnyFunSuite {
     }
   }
 
+  test("brier: per-doc squared-error replay, proper-score bounds") {
+    val row = ops.Evaluation.brier(spark, sf).collect().head
+    val docs = Tables.documents(spark, sf).select("n_chars", "lang").collect()
+      .map(r => (r.getLong(0), if (r.getString(1) == "en") 1.0 else 0.0))
+    val n = docs.length
+    // min-rank percent scores: prev = count of strictly smaller values
+    val counts = docs.groupBy(_._1).map { case (v, xs) => v -> xs.length }
+    var acc = 0L
+    val prevBy = counts.keys.toSeq.sorted.map { v =>
+      val p = acc; acc += counts(v); v -> p }.toMap
+    val bruteSe = docs.map { case (v, y) =>
+      val s = prevBy(v).toDouble / (n - 1)
+      (s - y) * (s - y)
+    }.sum
+    assert(row.getLong(0) === n.toLong)
+    assert(row.getLong(1) === docs.count(_._2 == 1.0).toLong)
+    // the quantized decimal sum tracks the raw double sum to ~1e-6
+    assert(math.abs(row.getDouble(2) - bruteSe / n) < 1e-5, "brier replay")
+    val p = row.getLong(1).toDouble / n
+    assert(math.abs(row.getDouble(3) - math.floor(p * (1 - p) * 1e6 + 0.5) / 1e6)
+      < 1e-12)
+    assert(row.getDouble(2) >= 0.0 && row.getDouble(2) <= 1.0 + 1e-9)
+    // skill = 1 - BS/BS_ref consistency
+    assert(math.abs(row.getDouble(4) -
+      (1.0 - (bruteSe / n) / (p * (1 - p)))) < 1e-4, "skill consistency")
+  }
+
   test("eb shrink: prior replay from integer moments, shrinkage laws") {
     val rows = ops.Evaluation.ebShrink(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -612,6 +612,8 @@ class PlanBudgetSpec extends AnyFunSuite {
                                       // broadcast + row-local shrink
     ("q_cond_entropy", 4, 1),         // bigram table + history rollup
                                       // broadcast + 1-row reduce
+    ("q_brier", 4, 1),                // the scored value-domain window
+                                      // + a 1-row reduce
   )
 
   budgets.foreach { case (name, maxShuffles, minBcasts) =>
