@@ -361,6 +361,52 @@ object Statistics {
         .otherwise(q6(num / sqrt(varr))).as("z"))
   }
 
+  /** Shewhart x̄ control chart over the daily event-value means — the
+    * classic SPC readout the drift family converges to in production
+    * ("is today's mean inside the ±3σ band of the process?"), with σ
+    * estimated from the day-to-day spread of the daily means themselves
+    * (the x̄-chart convention — between-day variation is the process
+    * noise a monitor should tolerate).
+    *
+    * Determinism: daily means are ONE division of exact micro/count
+    * integers each; the center line is one division of the exact
+    * totals; deviations milli-quantize to exact BIGINTs (the
+    * [[jarqueBera]] recipe, over the calendar-bounded daily frame) and
+    * the out-of-control gate is the PURE INTEGER comparison
+    * dq²·(m−1) > 9·Σdq² ⟺ |x̄_d − C| > 3σ̂ — no sqrt, no float
+    * comparison anywhere on the decision path; display columns are
+    * 6-dp-quantized single trees.
+    *
+    * Scale shape: one map-side-combined (day) aggregate; everything
+    * after runs on the ≤|days| frame with 1-row broadcasts. */
+  def spcXbar(s: SparkSession, d: String): DataFrame = {
+    val dec0 = DecimalType(38, 0)
+    val q6 = (c: Column) => floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val daily = Tables.events(s, d).filter(col("value").isNotNull)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(q6micro(col("value"))).as("tot"), count(lit(1)).as("n"))
+    val center = daily.agg(
+      (floor(sum("tot").cast("double") / sum("n").cast("double") *
+        lit(1000000.0) + lit(0.5)) / lit(1000000.0)).as("c"),
+      count(lit(1)).as("m"))
+    val dq = floor((col("tot").cast("double") / col("n").cast("double") /
+      lit(1000000.0) - col("c")) * 1000 + lit(0.5)).cast("long")
+    val dev = graft.util.Ckpt.stage(daily.crossJoin(broadcast(center))
+      .withColumn("dq", dq))
+    val s2 = dev.agg(sum(col("dq").cast(dec0) * col("dq").cast(dec0)).as("s2"))
+    dev.crossJoin(broadcast(s2))
+      .filter(col("m") > 1)
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n"), col("c").as("center"),
+        q6(col("tot").cast("double") / col("n").cast("double") /
+          lit(1000000.0)).as("xbar"),
+        col("dq").as("dev_milli"),
+        (col("dq").cast(dec0) * col("dq").cast(dec0) *
+          (col("m") - 1).cast(dec0) > lit(9).cast(dec0) * col("s2"))
+          .cast("int").as("out_of_control"))
+      .orderBy("day")
+  }
+
   /** Tukey-fence (IQR) outlier gate per event type — the boxplot
     * companion to [[outlierMad]]: quartiles instead of the median/MAD
     * pair, fences at Q1 − 1.5·IQR and Q3 + 1.5·IQR. Two robust gates
@@ -2894,6 +2940,7 @@ object Statistics {
     "q_sprt" -> (sprt _),
     "q_qq_plot" -> (qqPlot _),
     "q_hazard_ratio" -> (hazardRatio _),
+    "q_spc_xbar" -> (spcXbar _),
     "q_nelson_aalen" -> (nelsonAalen _),
     "q_jarque_bera" -> (jarqueBera _),
     "q_ljung_box" -> (ljungBox _),
@@ -3116,6 +3163,32 @@ object Statistics {
         |SELECT event_type, n_days, r1, r2, r3,
         |       r1 AS pacf1, p2 AS pacf2, p3 AS pacf3
         |FROM l3 ORDER BY event_type""".stripMargin,
+    // exact integer daily means; the +-3 sigma gate is the pure integer
+    // comparison dq^2*(m-1) > 9*sum(dq^2)
+    "q_spc_xbar" ->
+      """WITH daily AS (
+        |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    CAST(SUM(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS tot,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1
+        |), ctr AS (
+        |  SELECT floor(CAST(SUM(tot) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)
+        |               * 1000000 + 0.5) / 1000000 AS c,
+        |         CAST(count(*) AS BIGINT) AS m
+        |  FROM daily
+        |), dev AS (
+        |  SELECT day, n, tot, c, m,
+        |    CAST(floor((CAST(tot AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0 - c)
+        |               * 1000 + 0.5) AS HUGEINT) AS dq
+        |  FROM daily, ctr
+        |), s2 AS (SELECT SUM(dq * dq) AS s2 FROM dev)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, n, c AS center,
+        |  floor(CAST(tot AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0
+        |        * 1000000 + 0.5) / 1000000 AS xbar,
+        |  CAST(dq AS BIGINT) AS dev_milli,
+        |  CAST(dq * dq * (m - 1) > 9 * s2 AS INTEGER) AS out_of_control
+        |FROM dev, s2 WHERE m > 1
+        |ORDER BY day""".stripMargin,
     // pinned 6-dp log constants; per-day LLR quantized into DECIMAL so
     // the running sum is exact; decisions compare cumulative to pinned
     // boundary literals

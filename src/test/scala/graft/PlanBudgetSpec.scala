@@ -614,6 +614,8 @@ class PlanBudgetSpec extends AnyFunSuite {
                                       // broadcast + 1-row reduce
     ("q_brier", 4, 1),                // the scored value-domain window
                                       // + a 1-row reduce
+    ("q_spc_xbar", 6, 2),             // (day) agg staged; center + s2
+                                      // 1-row broadcasts
   )
 
   budgets.foreach { case (name, maxShuffles, minBcasts) =>

@@ -816,6 +816,27 @@ class StatisticsSpec extends AnyFunSuite {
     assert(row.getInt(4) === (if (best.toDouble > nd.toDouble * 1e6 * 5.0) 1 else 0))
   }
 
+  test("spc xbar: integer gate replay, at most a fraction out of control") {
+    val rows = ops.Statistics.spcXbar(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getLong(4), r.getInt(5)))
+    assert(rows.nonEmpty)
+    val m = rows.length.toLong
+    val s2 = rows.map(r => BigInt(r._5) * r._5).sum
+    val center = rows.head._3
+    rows.foreach { case (day, _, c, xbar, dq, oob) =>
+      assert(c === center, "one center line")
+      // the milli deviation tracks the displayed (6-dp) mean to the
+      // half-milli quantization slack
+      assert(math.abs(dq - (xbar - c) * 1000.0) <= 1.0, s"$day deviation")
+      assert(oob === (if (BigInt(dq) * dq * (m - 1) > s2 * 9) 1 else 0),
+        s"$day gate replay")
+    }
+    // the 3-sigma gate can flag at most (m-1)/9 points (Chebyshev-like
+    // bound from the gate algebra: each flagged dq^2 > 9*s2/(m-1))
+    assert(rows.count(_._6 == 1) <= (m - 1) / 9 + 1)
+  }
+
   test("sprt: daily LLR replay with pinned constants, exact running sum") {
     val rows = ops.Statistics.sprt(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
