@@ -779,8 +779,9 @@ object Dedup {
   /** Cochran's Q across all SIX dedup families jointly — the k-rater
     * completion of the pairwise [[dedupKappa]] dashboard: do the six
     * binary duplicate verdicts have the SAME marginal rate, or does at
-    * least one family systematically flag more? Q = k(k−1)·(k·ΣG_j² −
-    * T²) / (k·T − ΣL_i²) is χ²_{k−1} under exchangeable raters, so
+    * least one family systematically flag more? Q = (k−1)·(k·ΣG_j² −
+    * T²) / (k·T − ΣL_i²) is χ²_{k−1} under exchangeable raters (at k=2
+    * it reduces exactly to McNemar's (b−c)²/(b+c)), so
     * Q ≫ 11 (df=5) ⇒ the families are calibrated differently and their
     * flag counts cannot be compared without rate-normalizing first —
     * the test a pipeline owner runs BEFORE reading the κ matrix.
@@ -799,7 +800,7 @@ object Dedup {
     val k = lit(6L)
     val sumG2 = CompareFams.map { case (_, _, nm) =>
       col(nm).cast(dec0) * col(nm).cast(dec0) }.reduce(_ + _)
-    val num = (k * (k - lit(1L))).cast(dec0) *
+    val num = (k - lit(1L)).cast(dec0) *
       (k.cast(dec0) * sumG2 - col("t").cast(dec0) * col("t").cast(dec0))
     val den = (k * col("t") - col("sum_l2")).cast(dec0)
     raterStats(s, d).select(
@@ -1302,7 +1303,7 @@ object Dedup {
        |$raterStatsCte
        |SELECT n_docs, 6 AS k_raters, t AS n_flags, sum_l2,
        |  CASE WHEN 6 * t - sum_l2 = 0 THEN NULL
-       |       ELSE round(CAST(30 * (6 * ($sumG2) - CAST(t AS HUGEINT) * t)
+       |       ELSE round(CAST(5 * (6 * ($sumG2) - CAST(t AS HUGEINT) * t)
        |                       AS DOUBLE)
        |                  / CAST(CAST(6 * t - sum_l2 AS HUGEINT) AS DOUBLE), 6)
        |  END AS q_stat

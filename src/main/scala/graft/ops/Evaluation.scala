@@ -505,7 +505,7 @@ object Evaluation {
     val m = expr("(sr div k)").cast("double") / lit(1000000.0)
     val aNum = (col("k").cast(dec0) * col("sr2") -
       col("sr").cast(dec0) * col("sr").cast(dec0)).cast("double")
-    val vDen = (col("k") * col("k") * (col("k") - 1)).cast("double") *
+    val vDen = (col("k") * (col("k") - 1)).cast("double") *
       lit(1000000000000.0)
     val v = aNum / vDen
     val ab = m * (lit(1.0) - m) / v - lit(1.0)
@@ -654,7 +654,7 @@ object Evaluation {
         |  SELECT k,
         |    CAST(sr // k AS DOUBLE) / 1000000.0 AS m,
         |    CAST(CAST(k AS HUGEINT) * sr2 - CAST(sr AS HUGEINT) * sr AS DOUBLE)
-        |      / (CAST(k * k * (k - 1) AS DOUBLE) * 1000000000000.0) AS v
+        |      / (CAST(k * (k - 1) AS DOUBLE) * 1000000000000.0) AS v
         |  FROM p0
         |), p2 AS (
         |  SELECT k, m, v, m * (1.0e0 - m) / v - 1.0e0 AS ab FROM p1

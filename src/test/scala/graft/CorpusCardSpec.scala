@@ -157,7 +157,7 @@ class CorpusCardSpec extends AnyFunSuite {
     assert(t === totals.sum, "T = sum of column totals")
     // L ∈ [0,6] ⇒ T ≤ ΣL² ≤ 6T (each L ≤ L² when L ≥ 1, L² ≤ 6L)
     assert(sumL2 >= t && sumL2 <= 6 * t, "row-sum square bounds")
-    val num = BigInt(30) * (BigInt(6) * totals.map(g => BigInt(g) * g).sum -
+    val num = BigInt(5) * (BigInt(6) * totals.map(g => BigInt(g) * g).sum -
       BigInt(t) * t)
     val den = BigInt(6) * t - sumL2
     if (den != 0) {
@@ -180,6 +180,29 @@ class CorpusCardSpec extends AnyFunSuite {
         < 1e-5, "Fleiss kappa algebra")
       assert(kap <= 1.0 + 1e-9, "kappa bounded above by 1")
     } else assert(fk.isNullAt(fk.fieldIndex("kappa")))
+  }
+
+  test("cochran Q at k=2 reduces exactly to McNemar's (b-c)^2/(b+c)") {
+    // Algebraic reduction on real pair stats: with two raters,
+    // T = n_a + n_b, sumL2 = n_a + n_b + 2*n_both, sumG2 = n_a^2 + n_b^2,
+    // Q = (2-1)*(2*sumG2 - T^2)/(2*T - sumL2) = (n_a-n_b)^2/(b+c)
+    // = (b-c)^2/(b+c) since b = n_a - n_both, c = n_b - n_both.
+    val kap = Dedup.dedupKappa(spark, sf).collect()
+    assert(kap.nonEmpty)
+    kap.foreach { r =>
+      val na = r.getAs[Long]("n_a"); val nb = r.getAs[Long]("n_b")
+      val both = r.getAs[Long]("n_both")
+      val t = na + nb; val sumL2 = na + nb + 2 * both
+      val sumG2 = BigInt(na) * na + BigInt(nb) * nb
+      val den = 2 * t - sumL2
+      val b = na - both; val c = nb - both
+      if (den != 0) {
+        val q2 = (BigInt(2) * sumG2 - BigInt(t) * t).toDouble / den.toDouble
+        val mcnemar = (b - c).toDouble * (b - c) / (b + c)
+        assert(math.abs(q2 - mcnemar) < 1e-9,
+          s"${r.getString(0)}/${r.getString(1)}: Q2 $q2 vs McNemar $mcnemar")
+      } else assert(b + c == 0)
+    }
   }
 
   test("mcnemar: discordant counts tie to the kappa frame, chi2 laws") {

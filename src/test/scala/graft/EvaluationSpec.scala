@@ -732,7 +732,7 @@ class EvaluationSpec extends AnyFunSuite {
     val sr = rs.sum; val sr2 = rs.map(r => BigInt(r) * r).sum
     val m = (sr / k).toDouble / 1e6
     val v = (BigInt(k) * sr2 - BigInt(sr) * sr).toDouble /
-      ((k * k * (k - 1)).toDouble * 1e12)
+      ((k * (k - 1)).toDouble * 1e12)
     val q6 = (x: Double) => math.floor(x * 1e6 + 0.5) / 1e6
     val fitOk = v > 0.0 && (m * (1 - m) / v - 1.0) > 0.0
     rows.foreach { r =>
