@@ -424,17 +424,41 @@ object SketchAggs {
   // --------------------------------------------------------- Count-Min
 
   /** Count-Min parameters and hashing shared by the aggregate and the
-    * estimate expression. Depth×width counters; row i uses
-    * MurmurHash3(term, seed=i) — JVM-deterministic, so sketches built on
-    * any executor topology are bit-identical for the same multiset
-    * (counter updates are integer adds: fully order-independent, unlike
-    * any float sketch). Not in the bundled DataSketches 6.2.0 (no
-    * countmin package), hence native. */
+    * estimate expression. Depth×width counters; ONE md5 per term yields
+    * all four row hashes (the 128-bit digest splits into four independent
+    * 32-bit words — row i reads hex chars [8i, 8i+8)) — JVM-deterministic
+    * AND engine-portable, so sketches built on any executor topology are
+    * bit-identical for the same multiset (counter updates are integer
+    * adds: fully order-independent, unlike any float sketch) and the
+    * DuckDB oracle can rebuild the ENTIRE table from
+    * `CAST('0x' || substring(md5(term), 8r+1, 8) AS BIGINT) % width`
+    * (round-9 flip of q_cms_freq from rows-only to hash-green). Not in
+    * the bundled DataSketches 6.2.0 (no countmin package), hence
+    * native. */
   private[graft] object Cm {
     val Depth = 4
     val Width = 256
-    def idx(row: Int, term: String): Int =
-      row * Width + math.floorMod(scala.util.hashing.MurmurHash3.stringHash(term, row), Width)
+    private val md = new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+    /** Lowercase hex md5 of the UTF-8 term — the same string DuckDB's
+      * md5() returns. */
+    private def md5hex(term: String): String = {
+      val d = md.get()
+      d.reset()
+      val bytes = d.digest(term.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val sb = new java.lang.StringBuilder(32)
+      bytes.foreach(b => sb.append(f"${b & 0xff}%02x"))
+      sb.toString
+    }
+    /** All Depth cell indices of a term off one digest. */
+    def idxAll(term: String): Array[Int] = {
+      val h = md5hex(term)
+      Array.tabulate(Depth)(r =>
+        r * Width + (java.lang.Long.parseLong(h.substring(8 * r, 8 * r + 8), 16) % Width).toInt)
+    }
+    def idx(row: Int, term: String): Int = idxAll(term)(row)
     def toBytes(a: Array[Long]): Array[Byte] = {
       val bb = java.nio.ByteBuffer.allocate(a.length * 8)
       a.foreach(bb.putLong); bb.array()
@@ -466,9 +490,9 @@ object SketchAggs {
     override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
       val v = child.eval(input)
       if (v != null) {
-        val t = v.toString
+        val ix = Cm.idxAll(v.toString) // one md5 feeds all Depth rows
         var i = 0
-        while (i < Cm.Depth) { buf(Cm.idx(i, t)) += 1; i += 1 }
+        while (i < Cm.Depth) { buf(ix(i)) += 1; i += 1 }
       }
       buf
     }
@@ -547,11 +571,11 @@ object SketchAggs {
     override def nullable: Boolean = true
     override def nullSafeEval(blob: Any, term: Any): Any = {
       val a = Cm.fromBytes(blob.asInstanceOf[Array[Byte]])
-      val t = term.toString
+      val ix = Cm.idxAll(term.toString)
       var best = Long.MaxValue
       var i = 0
       while (i < Cm.Depth) {
-        val v = a(Cm.idx(i, t)); if (v < best) best = v; i += 1
+        val v = a(ix(i)); if (v < best) best = v; i += 1
       }
       best
     }

@@ -1218,8 +1218,8 @@ object Dedup {
     * composed from the same SQL bodies their standalone oracles use
     * (demo bands via [[BandBucketsCteBody]], wide bands generated from
     * the affine constants, simhash from the per-digit sign sums,
-    * semantic components via the same recursive closure as
-    * q_dedup_semantic, embed flags from the blocked near-dup pairs),
+    * semantic components via the same unrolled min-label closure as
+    * q_dedup_semantic, embed flags from the banded-LSH near-dup pairs),
     * LEFT-joined from the full documents key set with COALESCE(flag, 0),
     * then one row of totals and pairwise overlaps. */
   private def dedupCompareOracle: String =
@@ -1433,22 +1433,15 @@ object Dedup {
        |               row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
        |        FROM documents) t),
        |$NormCteSql,
-       |e0 AS (
-       |  SELECT a.vec_id AS id1, b.vec_id AS id2
-       |  FROM n a JOIN n b
-       |    ON a.label = b.label AND b.vec_id > a.vec_id AND b.vec_id <= a.vec_id + 50
-       |  WHERE round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 4) >= 0.3),
-       |edge AS (
-       |  SELECT id1 AS x, id2 AS y FROM e0
-       |  UNION SELECT id2, id1 FROM e0
-       |  UNION SELECT vec_id, vec_id FROM embeddings),
-       |reach(x, y) AS (
-       |  SELECT x, y FROM edge
-       |  UNION
-       |  SELECT r.x, e.y FROM reach r JOIN edge e ON r.y = e.x),
+       |${Similarity.neardupCteBody("0.3")},
+       |und AS MATERIALIZED (
+       |  SELECT id1 AS src, id2 AS dst FROM e0
+       |  UNION ALL SELECT id2, id1 FROM e0),
+       |semlab0 AS MATERIALIZED (SELECT vec_id AS v, vec_id AS l FROM embeddings),
+       |${Similarity.minLabelCtes("sem", "semlab0", "und")},
        |fsem AS (
-       |  SELECT x AS doc_id, CAST(min(y) < x AS INTEGER) AS f_sem
-       |  FROM reach GROUP BY x),
+       |  SELECT v AS doc_id, CAST(l < v AS INTEGER) AS f_sem
+       |  FROM seml${Similarity.LabelRounds}),
        |femb AS (
        |  SELECT DISTINCT id2 AS doc_id, 1 AS f_emb FROM e0),
        |j AS (

@@ -253,15 +253,21 @@ object Evaluation {
     * matched-row counts across layouts per predicate).
     *
     * Determinism: integer bx/by from [[zorderLayout]]'s keyed frame;
-    * file assignment by row_number over the TOTAL order
+    * file assignment by global rank over the TOTAL order
     * (layout key, event_id); zone maps and the skip test are exact
-    * integer min/max algebra.
+    * integer min/max algebra. The global rank is range-partitioned
+    * (VERDICT round-8 item 3): `repartitionByRange` on the layout key +
+    * an in-partition sort + `monotonically_increasing_id`, with
+    * per-partition (count, min id) — a ≤32-row metadata frame —
+    * broadcast back to turn partition-local offsets into global ranks.
+    * The rank depends only on the total order, never on where the range
+    * boundaries fall, so the output is invariant to partitioning.
     *
-    * Scale shape: the global row_number mirrors the one-time global
-    * range sort the z-order WRITER performs (Delta OPTIMIZE ZORDER is
-    * exactly this shuffle) — it simulates a write-path layout decision,
-    * not a per-query pattern; everything downstream is a ≤⌈n/256⌉-row
-    * zone-map aggregate and a 2-row reduce. */
+    * Scale shape: ONE range shuffle, exactly the one-time global range
+    * sort the z-order WRITER performs (Delta OPTIMIZE ZORDER is exactly
+    * this shuffle) — never a single-partition window; everything
+    * downstream is a ≤⌈n/256⌉-row zone-map aggregate and a 2-row
+    * reduce. */
   def zorderPruning(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d).filter(col("value").isNotNull)
       .select(col("value"), col("ts"), col("event_id"))
@@ -279,9 +285,29 @@ object Evaluation {
     val preds = Seq(("bx_8_15", 8L, 15L, 0L, 23L), ("by_8_11", 0L, 31L, 8L, 11L))
       .toDF("pred", "x_lo", "x_hi", "y_lo", "y_hi")
     def layout(name: String, key: Column): DataFrame = {
-      val w = Window.orderBy(key, col("event_id"))
-      keyed
-        .withColumn("f", ((row_number().over(w) - 1) / lit(256)).cast("long"))
+      // staged so monotonically_increasing_id is computed ONCE — the
+      // offsets aggregate and the main branch must see identical ids
+      val parted = graft.util.Ckpt.stage(keyed
+        .repartitionByRange(32, key, col("event_id"))
+        .sortWithinPartitions(key, col("event_id"))
+        .withColumn("pid", spark_partition_id())
+        .withColumn("mid", monotonically_increasing_id()))
+      // per-partition row counts + min id → global offset of each range
+      // partition (≤32-row metadata frame; the cumulative sum is a
+      // triangular self-join so the bench tail carries NO unpartitioned
+      // window from this query)
+      val cnts = parted.groupBy("pid")
+        .agg(count(lit(1)).as("cnt"), min("mid").as("mid0"))
+      val offs = cnts
+        .join(broadcast(cnts.select(col("pid").as("p2"), col("cnt").as("c2"))),
+          col("p2") < col("pid"), "left")
+        .groupBy(col("pid"), col("mid0"))
+        .agg(coalesce(sum("c2"), lit(0L)).as("off"))
+        .select("pid", "mid0", "off")
+      parted
+        .join(broadcast(offs), "pid")
+        .withColumn("f", ((col("off") + col("mid") - col("mid0")) / lit(256))
+          .cast("long"))
         .withColumn("hit_bx", col("bx").between(8, 15).cast("long"))
         .withColumn("hit_by", col("by").between(8, 11).cast("long"))
         .groupBy("f")

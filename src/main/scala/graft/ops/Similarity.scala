@@ -159,53 +159,91 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
-  /** Id-window width for [[embedNeardup]] — also the bin width of its
-    * range-join rewrite, so a window spans at most two bins. */
-  private[ops] val NeardupWindow = 50
+  /** Banding parameters for [[bandedPairs]]: L = [[NeardupBands]] hash
+    * tables of b = [[NeardupBandBits]] sign bits each. The S-curve is
+    * P(collide) = 1 − (1 − p^b)^L with p = 1 − θ/π per hyperplane: at
+    * cosine 0.95 a pair collides with p ≈ 0.9999, at 0.9 ≈ 0.998, at
+    * 0.77 ≈ 0.95 — true near-duplicates meet with near-certainty at ANY
+    * id distance, the property the old id-window front end lacked. At
+    * 100 TB, b scales with log₂(corpus) to keep per-bucket occupancy
+    * (and thus candidate volume) bounded; L buys recall back. */
+  private[graft] val NeardupBands = 12
+  private[graft] val NeardupBandBits = 6
 
-  /** Embedding near-dup: same-label pairs inside a sliding id-window whose
-    * cosine exceeds 0.3 (the fixture corpus has no planted vector dups —
-    * max pairwise cosine ≈ 0.51 — so the threshold is calibrated to flag
-    * the heavy tail).
-    *
-    * Scale shape: joining on label alone generates every intra-block pair
-    * before the id-window residual can cut — quadratic in block size
-    * (measured 12.5× on 10× data at sf1). Rewritten with the same
-    * binned-range-join trick as `EventTime.joinRangeBinned`: id2 ∈
-    * (id1, id1+W] spans at most two W-wide id bins, so the left side
-    * claims bins (b, b+1) and the join is EQUI on (label, bin) —
-    * candidate volume per row is two bins' occupancy (≈ 2W rows),
-    * linear in corpus size at any scale. */
+  /** Seeded hyperplanes for [[bandedPairs]]: NeardupBands·NeardupBandBits
+    * planes of RpDim small-integer coordinates, exact in float and double
+    * (the [[rpPlanes]] recipe, independent seed). The DuckDB oracle
+    * states the identical literal matrix. */
+  private[graft] val neardupPlanes: Array[Array[Int]] = {
+    val rng = new scala.util.Random(2027)
+    Array.fill(NeardupBands * NeardupBandBits)(Array.fill(RpDim)(rng.nextInt(9) - 4))
+  }
+
+  /** Embedding near-dup: pairs whose cosine exceeds 0.3, candidates from
+    * the banded RP-LSH front end of [[bandedPairs]] — GEOMETRY-driven
+    * recall (the fixture corpus has no planted vector dups — max pairwise
+    * cosine ≈ 0.51 — so the threshold is calibrated to flag the heavy
+    * tail; on real corpora the interesting regime is cosine ≥ 0.9 where
+    * the band S-curve is ≈ 1). */
   def embedNeardup(s: SparkSession, d: String): DataFrame =
-    neardupPairs(s, d, 0.3)
-      .select(col("id1"), col("id2"), col("lb").as("label"), col("cos"))
+    bandedPairs(once(withNorm(Tables.embeddings(s, d))), 0.3)
       .orderBy("id1", "id2")
 
-  /** The blocked similarity-pair frame behind [[embedNeardup]] (threshold
-    * 0.3) and [[dbscan]] (threshold [[DbEps]]): label-blocked,
-    * id-window-banded candidate pairs with the 4-dp-rounded cosine,
-    * id1 < id2. Linear at scale — candidates come from bounded bins,
-    * never an all-pairs product. */
-  private def neardupPairs(s: SparkSession, d: String, thresh: Double): DataFrame = {
-    val W = NeardupWindow
-    val n = once(withNorm(Tables.embeddings(s, d)))
-    val a = n.select(col("vec_id").as("id1"), col("label").as("lb"), col("v").as("v1"), col("norm").as("n1"))
-      .withColumn("bin", explode(array(floor(col("id1") / W), floor(col("id1") / W) + 1)))
-    val b = n.select(col("vec_id").as("id2"), col("label").as("lb2"), col("v").as("v2"), col("norm").as("n2"))
-      .withColumn("bin2", floor(col("id2") / W))
-    a.join(b,
-        col("lb") === col("lb2") && col("bin") === col("bin2") &&
-        col("id2") > col("id1") && col("id2") <= col("id1") + W)
+  /** The banded-LSH similarity-pair frame behind [[embedNeardup]]
+    * (threshold 0.3), [[dbscan]] ([[DbEps]]) and [[semanticDedup]]:
+    * every vector hashes to [[NeardupBands]] band keys (the sign pattern
+    * of [[NeardupBandBits]] seeded hyperplane projections per band); a
+    * pair is a candidate iff it collides in ≥ 1 band, then the exact
+    * 4-dp-rounded cosine verifies against the threshold. Takes the
+    * (vec_id, label, v, norm) frame as input so the recall harness
+    * ([[graft.DedupRecallSpec]]) can plant duplicates at arbitrary id
+    * distance.
+    *
+    * Scale shape: the corpus shuffles once on (band, bkey) — L narrow
+    * replicas of each row ride the exchange, never an all-pairs product;
+    * candidate volume per bucket is bounded by bucket occupancy (2^b
+    * buckets per band, b tuned to log₂ N). The cosine is computed per
+    * colliding band-pair (≤ L redundant codegen'd dot products for a
+    * pair colliding in every band — cheaper than the two corpus-wide
+    * joins a dedup-then-fetch would cost) and duplicates collapse in one
+    * DISTINCT over the already-thresholded output. */
+  private[graft] def bandedPairs(n: DataFrame, thresh: Double): DataFrame = {
+    val nb = NeardupBands * NeardupBandBits
+    // same loud dimension guard as rpFeatures: FloatVectorDot silently
+    // truncates on a length mismatch, the DuckDB oracle hard-errors
+    val guarded = n.withColumn("v",
+      when(size(col("v")) === RpDim, col("v")).otherwise(raise_error(concat(
+        lit(s"banded LSH expects $RpDim-dim embeddings, got "),
+        size(col("v")).cast("string")))))
+    val withP = guarded.select(Seq(col("vec_id"), col("label"), col("v"), col("norm")) ++
+      (0 until nb).map(i =>
+        round(dot(col("v"), array(neardupPlanes(i).map(x => lit(x.toFloat)): _*)), 4)
+          .as(s"p$i")): _*)
+    val keys = (0 until NeardupBands).map { j =>
+      concat((0 until NeardupBandBits).map(t =>
+        when(col(s"p${j * NeardupBandBits + t}") >= 0, lit("1")).otherwise(lit("0"))): _*)
+    }
+    val banded = once(withP.select(col("vec_id"), col("label"), col("v"), col("norm"),
+      posexplode(array(keys: _*)).as(Seq("band", "bkey"))))
+    val a = banded.select(col("vec_id").as("id1"), col("label").as("label1"),
+      col("v").as("v1"), col("norm").as("n1"), col("band"), col("bkey"))
+    val b = banded.select(col("vec_id").as("id2"), col("label").as("label2"),
+      col("v").as("v2"), col("norm").as("n2"),
+      col("band").as("band2"), col("bkey").as("bkey2"))
+    a.join(b, col("band") === col("band2") && col("bkey") === col("bkey2") &&
+        col("id2") > col("id1"))
       .withColumn("cos", round(dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 4))
       .filter(col("cos") >= thresh)
-      .select(col("id1"), col("id2"), col("lb"), col("cos"))
+      .select(col("id1"), col("id2"), col("label1"), col("label2"), col("cos"))
+      .distinct()
   }
 
   /** DBSCAN neighborhood threshold (cosine similarity ≥ DbEps = within
     * ε) and core-point minimum neighbor count. Chosen against the
-    * fixture's blocked-pair cosine distribution so all three roles
-    * (core / border / noise) are populated. */
-  private val DbEps = 0.1
+    * fixture's banded-candidate cosine distribution so all three roles
+    * (core / border / noise) are populated (at sf0.01: 148 core, 185
+    * border, 167 noise over 19 clusters). */
+  private val DbEps = 0.3
   private val DbMinPts = 3L
 
   /** DBSCAN over the blocked embedding-similarity graph — density-based
@@ -219,12 +257,13 @@ object Similarity {
     * (assigned the MIN neighboring cluster label — deterministic, where
     * textbook DBSCAN is order-dependent), noise = the rest.
     *
-    * Scale shape: the ε-graph comes from the bounded [[neardupPairs]]
-    * blocks (never all-pairs); degrees and the label loop move only
+    * Scale shape: the ε-graph comes from the banded [[bandedPairs]]
+    * candidates (never all-pairs); degrees and the label loop move only
     * (id, label) pairs; rounds = core-subgraph diameter with the
     * [[semanticDedup]] checkpoint discipline. */
   def dbscan(s: SparkSession, d: String): DataFrame = {
-    val pairs = once(neardupPairs(s, d, DbEps).select("id1", "id2"))
+    val pairs = once(bandedPairs(once(withNorm(Tables.embeddings(s, d))), DbEps)
+      .select("id1", "id2"))
     val und = once(pairs.select(col("id1").as("src"), col("id2").as("dst"))
       .unionAll(pairs.select(col("id2").as("src"), col("id1").as("dst"))))
     val deg = und.groupBy("src").agg(count(lit(1)).as("n_neighbors"))
@@ -285,19 +324,40 @@ object Similarity {
     * the label structure is recoverable from the geometry (so
     * label-blocked dedup and semantic clustering are trustworthy).
     *
-    * Scale shape: probes broadcast; the corpus is scanned once; the
-    * top-k window and the vote aggregate run per probe over ≤ corpus
-    * candidates / ≤ k vote rows. The brute-force scan is the oracle
-    * shape — swap the candidate source for [[annIvf]] cells at serving
-    * scale. */
+    * Scale shape: the [[annIvf]] serve shape end-to-end (VERDICT round-8
+    * item 2 — the previous revision broadcast the probe set, which grows
+    * WITH the corpus and OOMs executors at real scale): only the
+    * centroid set broadcasts (k centroids, fixed by the quantizer, not
+    * corpus-proportional); voters shuffle once on their assigned cell;
+    * probes rank their 2 nearest cells and meet candidates through an
+    * EQUI-join on the cell id. The top-k window and the vote aggregate
+    * run per probe over ≤ 2 cells' occupancy. */
   def knnClassify(s: SparkSession, d: String): DataFrame = {
     val n = once(withNorm(Tables.embeddings(s, d)))
-    val q = n.filter(col("vec_id") % 50 === 0)
+    val cents = n.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("norm").as("cn"))
+    // voters (probes held out) assigned to their single best cell — the
+    // same narrow map-side-combinable argmax as annIvf
+    val voters = n.filter(col("vec_id") % 50 =!= 0)
+    val best = voters.crossJoin(broadcast(cents))
+      .select(col("vec_id"),
+        round(dot(col("v"), col("cv")) / (col("norm") * col("cn")), 4).as("ccos"),
+        col("cid"))
+      .groupBy("vec_id")
+      .agg(max(struct(col("ccos"), (-col("cid")).as("negcid"))).as("b"))
+      .select(col("vec_id"), (-col("b.negcid")).as("cid"))
+    val assigned = voters.join(best, "vec_id")
+    val wCell = Window.partitionBy("qid").orderBy(col("pcos").desc, col("cid").asc)
+    val pr = n.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("qid"), col("label").as("true_label"),
         col("v").as("qv"), col("norm").as("qn"))
+      .crossJoin(broadcast(cents))
+      .withColumn("pcos", round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 4))
+      .withColumn("crn", row_number().over(wCell))
+      .filter(col("crn") <= 2)
+      .select(col("qid"), col("true_label"), col("qv"), col("qn"), col("cid"))
     val wTop = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
-    val votes = n.filter(col("vec_id") % 50 =!= 0)
-      .crossJoin(broadcast(q))
+    val votes = assigned.join(pr, "cid")
       .withColumn("cos", round(dot(col("v"), col("qv")) / (col("norm") * col("qn")), 4))
       .withColumn("rn", row_number().over(wTop))
       .filter(col("rn") <= 5)
@@ -1612,6 +1672,72 @@ object Similarity {
     .map(i => s"(CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END)")
     .mkString(" || ")
 
+  /** CTE chain for the banded-LSH candidate pairs, GENERATED from the
+    * same plane matrix as [[bandedPairs]] (integer literals are exact in
+    * both engines): n → pp (band-bit projections) → bd (band keys,
+    * parallel-unnest zipped) → e0 (DISTINCT colliding pairs with the
+    * rounded cosine ≥ thresh). Shared by the neardup-family oracles here
+    * and the six-family flag prefix in [[Dedup]]. */
+  private[ops] def neardupCteBody(thresh: String): String = {
+    val planes = neardupPlanes.zipWithIndex.map { case (p, i) =>
+      s"round(list_dot_product(v, CAST(${p.mkString("[", ", ", "]")} AS DOUBLE[])), 4) AS p$i"
+    }.mkString(",\n       ")
+    val keys = (0 until NeardupBands).map { j =>
+      (0 until NeardupBandBits)
+        .map(t => s"(CASE WHEN p${j * NeardupBandBits + t} >= 0 THEN '1' ELSE '0' END)")
+        .mkString(" || ")
+    }
+    s"""pp AS (
+       |  SELECT vec_id, label, v, norm,
+       |       $planes
+       |  FROM n),
+       |bd AS MATERIALIZED (
+       |  SELECT vec_id, label, v, norm,
+       |         unnest(range(0, $NeardupBands)) AS band,
+       |         unnest([${keys.mkString(",\n                 ")}]) AS bkey
+       |  FROM pp),
+       |e0 AS MATERIALIZED (
+       |  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2,
+       |         a.label AS label1, b.label AS label2,
+       |         round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 4) AS cos
+       |  FROM bd a JOIN bd b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND b.vec_id > a.vec_id
+       |  WHERE round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 4) >= $thresh)""".stripMargin
+  }
+
+  /** Pointer-jumping rounds for the unrolled min-label closures below:
+    * enough for component diameters up to ~2^[[LabelRounds]] (converged
+    * rounds are exact no-ops, the kmeans-unroll argument). */
+  private[ops] val LabelRounds = 12
+
+  /** Unrolled min-label propagation with pointer jumping, the oracle
+    * twin of the Spark label loops in [[semanticDedup]]/[[dbscan]]: from
+    * base labels `$l0`(v, l) over undirected edges `$edges`(src, dst),
+    * each round takes the min over neighbors' labels then jumps l ←
+    * min(l, l(l)). Converges to the component minimum in ≤
+    * log₂(diameter)+O(1) rounds and costs |edges| rows per round —
+    * replacing the recursive all-pairs `reach` closure whose Σ comp²
+    * rows are quadratic in component size (the actual oracle scale
+    * bottleneck once geometry-driven candidates produce big
+    * components). Requires every label in `$l0` to be a vertex of `$l0`
+    * (vec_ids), so the jump join always resolves. Every CTE in the chain
+    * is MATERIALIZED — each is referenced twice, so default inlining
+    * would expand the unroll into a 2^rounds plan tree. Ends with CTE
+    * `${p}l[[LabelRounds]]`(v, l). */
+  private[ops] def minLabelCtes(p: String, l0: String, edges: String): String =
+    (1 to LabelRounds).map { i =>
+      val prev = if (i == 1) l0 else s"${p}l${i - 1}"
+      s"""${p}s$i AS MATERIALIZED (
+         |  SELECT p.v, least(p.l, coalesce(min(q.l), p.l)) AS l
+         |  FROM $prev p
+         |  LEFT JOIN $edges e ON p.v = e.src
+         |  LEFT JOIN $prev q ON e.dst = q.v
+         |  GROUP BY p.v, p.l),
+         |${p}l$i AS MATERIALIZED (
+         |  SELECT s.v, least(s.l, t.l) AS l
+         |  FROM ${p}s$i s JOIN ${p}s$i t ON s.l = t.v)""".stripMargin
+    }.mkString(",\n")
+
   /** RP-LSH oracle, generated from the same seeded plane matrix as the
     * Spark plan (integer literals are exact in both engines). */
   private def rpOracle: String = {
@@ -1834,15 +1960,13 @@ object Similarity {
          |)
          |SELECT * FROM pos UNION ALL SELECT * FROM neg
          |ORDER BY qid, role, rnk""".stripMargin,
-    // the neardup pair recipe at DbEps; degrees, core threshold, the
-    // recursive closure over the core-core subgraph, min-label borders
+    // the banded neardup pair recipe at DbEps; degrees, core threshold,
+    // unrolled min-label closure over the core-core subgraph, min-label
+    // borders
     "q_dbscan" ->
-      s"""WITH RECURSIVE $NormCte, e0 AS (
-         |  SELECT a.vec_id AS id1, b.vec_id AS id2
-         |  FROM n a JOIN n b
-         |    ON a.label = b.label AND b.vec_id > a.vec_id AND b.vec_id <= a.vec_id + 50
-         |  WHERE round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 4) >= 0.1
-         |), und AS (
+      s"""WITH $NormCte,
+         |${neardupCteBody("0.3")},
+         |und AS MATERIALIZED (
          |  SELECT id1 AS src, id2 AS dst FROM e0
          |  UNION ALL SELECT id2, id1 FROM e0
          |), deg AS (
@@ -1850,18 +1974,17 @@ object Similarity {
          |), base AS (
          |  SELECT e.vec_id, COALESCE(deg.nn, 0) AS n_neighbors
          |  FROM embeddings e LEFT JOIN deg ON e.vec_id = deg.src
-         |), core AS (
+         |), core AS MATERIALIZED (
          |  SELECT vec_id FROM base WHERE n_neighbors >= 3
-         |), cedge AS (
-         |  SELECT u.src AS x, u.dst AS y
+         |), cedge AS MATERIALIZED (
+         |  SELECT u.src, u.dst
          |  FROM und u JOIN core a ON u.src = a.vec_id JOIN core b ON u.dst = b.vec_id
-         |  UNION SELECT vec_id, vec_id FROM core
-         |), reach(x, y) AS (
-         |  SELECT x, y FROM cedge
-         |  UNION
-         |  SELECT r.x, e.y FROM reach r JOIN cedge e ON r.y = e.x
-         |), clab AS (
-         |  SELECT x AS vec_id, min(y) AS core_cluster FROM reach GROUP BY x
+         |), clab0 AS MATERIALIZED (
+         |  SELECT vec_id AS v, vec_id AS l FROM core
+         |),
+         |${minLabelCtes("c", "clab0", "cedge")},
+         |clab AS (
+         |  SELECT v AS vec_id, l AS core_cluster FROM cl$LabelRounds
          |), blab AS (
          |  SELECT u.src AS vec_id, min(c.core_cluster) AS border_cluster
          |  FROM und u JOIN clab c ON u.dst = c.vec_id
@@ -1876,16 +1999,30 @@ object Similarity {
          |LEFT JOIN clab cl ON b.vec_id = cl.vec_id
          |LEFT JOIN blab bl ON b.vec_id = bl.vec_id
          |ORDER BY b.vec_id""".stripMargin,
-    // brute-force 5-NN over held-out probes, vote by (count desc,
-    // label asc) — the same rank rules as the Spark windows
+    // IVF-cell 5-NN over held-out probes (the q_ann_ivf candidate
+    // recipe), vote by (count desc, label asc) — the same rank rules as
+    // the Spark windows
     "q_knn_classify" ->
       s"""WITH $NormCte,
-         |q AS (SELECT vec_id AS qid, label AS true_label, v AS qv, norm AS qn
-         |      FROM n WHERE vec_id % 50 = 0),
+         |c AS (SELECT vec_id AS cid, v AS cv, norm AS cn FROM n WHERE vec_id % 100 = 0),
+         |asg AS (
+         |  SELECT vec_id, label, v, norm, cid FROM (
+         |    SELECT n.vec_id, n.label, n.v, n.norm, c.cid,
+         |           row_number() OVER (PARTITION BY n.vec_id
+         |             ORDER BY round(list_dot_product(n.v, c.cv) / (n.norm * c.cn), 4) DESC, c.cid ASC) AS crn
+         |    FROM n, c WHERE n.vec_id % 50 <> 0) t
+         |  WHERE crn = 1),
+         |pr AS (
+         |  SELECT qid, true_label, qv, qn, cid FROM (
+         |    SELECT n.vec_id AS qid, n.label AS true_label, n.v AS qv, n.norm AS qn, c.cid,
+         |           row_number() OVER (PARTITION BY n.vec_id
+         |             ORDER BY round(list_dot_product(n.v, c.cv) / (n.norm * c.cn), 4) DESC, c.cid ASC) AS crn
+         |    FROM n, c WHERE n.vec_id % 50 = 0) t
+         |  WHERE crn <= 2),
          |sc AS (
-         |  SELECT q.qid, q.true_label, n.vec_id, n.label,
-         |         round(list_dot_product(n.v, q.qv) / (n.norm * q.qn), 4) AS cos
-         |  FROM n, q WHERE n.vec_id % 50 <> 0
+         |  SELECT pr.qid, pr.true_label, asg.vec_id, asg.label,
+         |         round(list_dot_product(asg.v, pr.qv) / (asg.norm * pr.qn), 4) AS cos
+         |  FROM asg JOIN pr USING (cid)
          |), top AS (
          |  SELECT qid, true_label, label FROM (
          |    SELECT qid, true_label, vec_id, label,
@@ -2383,34 +2520,23 @@ object Similarity {
          |SELECT qid, rn, vec_id, cos FROM r WHERE rn <= 5
          |ORDER BY qid, rn""".stripMargin,
     "q_embed_neardup" ->
-      s"""WITH $NormCte
-         |SELECT a.vec_id AS id1, b.vec_id AS id2, a.label AS label,
-         |       round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 4) AS cos
-         |FROM n a JOIN n b
-         |  ON a.label = b.label AND b.vec_id > a.vec_id AND b.vec_id <= a.vec_id + 50
-         |WHERE round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 4) >= 0.3
+      s"""WITH $NormCte,
+         |${neardupCteBody("0.3")}
+         |SELECT id1, id2, label1, label2, cos FROM e0
          |ORDER BY id1, id2""".stripMargin,
-    // the transitive closure over the same similarity pairs the
-    // q_embed_neardup oracle produces; undirected + reflexive edges so
-    // every vector gets a component label
+    // min-label propagation to the component minimum over the same
+    // similarity pairs the q_embed_neardup oracle produces; reflexive
+    // base labels so every vector gets a component label
     "q_dedup_semantic" ->
-      s"""WITH RECURSIVE $NormCte, e0 AS (
-         |  SELECT a.vec_id AS id1, b.vec_id AS id2
-         |  FROM n a JOIN n b
-         |    ON a.label = b.label AND b.vec_id > a.vec_id AND b.vec_id <= a.vec_id + 50
-         |  WHERE round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 4) >= 0.3
-         |), edge AS (
-         |  SELECT id1 AS x, id2 AS y FROM e0
-         |  UNION SELECT id2, id1 FROM e0
-         |  UNION SELECT vec_id, vec_id FROM embeddings
-         |), reach(x, y) AS (
-         |  SELECT x, y FROM edge
-         |  UNION
-         |  SELECT r.x, e.y FROM reach r JOIN edge e ON r.y = e.x
-         |)
-         |SELECT x AS vec_id, min(y) AS cluster,
-         |       CAST(min(y) < x AS INTEGER) AS is_dup
-         |FROM reach GROUP BY x
+      s"""WITH $NormCte,
+         |${neardupCteBody("0.3")},
+         |und AS MATERIALIZED (
+         |  SELECT id1 AS src, id2 AS dst FROM e0
+         |  UNION ALL SELECT id2, id1 FROM e0),
+         |lab0 AS MATERIALIZED (SELECT vec_id AS v, vec_id AS l FROM embeddings),
+         |${minLabelCtes("", "lab0", "und")}
+         |SELECT v AS vec_id, l AS cluster, CAST(l < v AS INTEGER) AS is_dup
+         |FROM l$LabelRounds
          |ORDER BY vec_id""".stripMargin,
     "q_kmeans_step" ->
       s"""WITH $NormCte,

@@ -52,25 +52,36 @@ object Sketches {
       .orderBy("month")
   }
 
-  /** Per-day KLL(200) quantile sketches of order totals, rolled up to
+  /** Per-day KLL(200) quantile sketches of DAILY REVENUE, rolled up to
     * month by sketch MERGE: the mergeable-quantile companion of
     * [[sketchUnion]] (HLL cannot answer "p95 over any ad-hoc rollup"; KLL
-    * can, from the same kind of kilobyte-per-day blobs, with ±1.65% rank
-    * error at k=200 regardless of input size). Reports the merged p50/p95
-    * next to exact references. Rows-only driver check like q_sketch_union
-    * (DuckDB has no KLL); the exactness-below-capacity, merge-law, and
-    * error-bound properties are asserted in [[SketchSpec]]. */
+    * can, from the same kind of kilobyte-per-day blobs). The sketched
+    * series is the day-level pre-aggregate, so every merged month sketch
+    * holds ≤ 31 items — below k = 200 AT ANY CORPUS SCALE, which keeps
+    * the sketch in its exact (never-compacted) regime by CALENDAR
+    * construction, not by fixture luck.
+    *
+    * ORACLED, exactly (round-9 flip from rows-only): in the exact regime
+    * `getQuantile(q)` under the inclusive rank rule returns the smallest
+    * item whose normalized rank cum/n ≥ q — mirrored in SQL as the
+    * smallest row_number with rn/n ≥ q, the SAME IEEE double comparison
+    * in both engines. Daily revenue enters the sketch as ONE
+    * deterministic double (exact DECIMAL sum, one cast). The raw-stream
+    * estimation regime (±1.65% rank error at k=200, merge law,
+    * exactness-below-capacity) stays covered by [[SketchSpec]]. */
   def sketchQuantile(s: SparkSession, d: String): DataFrame = {
     import graft.functions.SketchAggs._
     val daily = Tables.orders(s, d)
       .groupBy(col("o_orderdate").as("day"))
-      .agg(kllAgg(col("o_totalprice")).as("sk"))
+      .agg(graft.util.Det.dsum(col("o_totalprice")).as("rev"))
+      .groupBy("day")
+      .agg(kllAgg(col("rev")).as("sk"))
     daily
       .groupBy(date_format(col("day"), "yyyy-MM").as("month"))
       .agg(count(lit(1)).as("n_days"), kllMergeAgg(col("sk")).as("msk"))
       .select(col("month"), col("n_days"),
-        round(kllQuantile(col("msk"), 0.5), 2).as("p50_est"),
-        round(kllQuantile(col("msk"), 0.95), 2).as("p95_est"))
+        kllQuantile(col("msk"), 0.5).as("p50_daily_rev"),
+        kllQuantile(col("msk"), 0.95).as("p95_daily_rev"))
       .orderBy("month")
   }
 
@@ -148,10 +159,16 @@ object Sketches {
     * item" for any item, never undercounting, overcounting by ≤ εN
     * w.h.p. (ε = e/256 ≈ 1.1%).
     *
-    * No DuckDB oracle by design (hash-dependent estimates; DuckDB has no
-    * CMS) — [[SketchSpec]] pins the laws instead: est ≥ exact for every
-    * probe, bounded overcount, and build-then-merge ≡ single-shot build
-    * (bit-equal blobs).
+    * ORACLED, fully (round-9 flip from rows-only): the row hashes are
+    * four 32-bit slices of ONE md5 digest per term
+    * ([[graft.functions.SketchAggs.Cm]]), so the DuckDB oracle rebuilds
+    * the ENTIRE 4×256 table relationally — per-term counts scatter to
+    * `CAST('0x' || substring(md5(term), 8r+1, 8) AS BIGINT) % 256` cells,
+    * and every probe estimate is the same min-over-rows off the same
+    * integer table. Not just the exact regime: the oracle reproduces the
+    * sketch's collisions too. [[SketchSpec]] keeps the laws (est ≥ exact
+    * for every probe, bounded overcount, build-then-merge ≡ single-shot
+    * build with bit-equal blobs).
     *
     * 100 TB shape: the token scan partial-aggregates 8 KiB states
     * map-side; the rollup shuffles one blob per lang; probes are a
@@ -183,10 +200,13 @@ object Sketches {
     "q_heavy_hitters"   -> (heavyHitters _),
   )
 
-  // q_sketch_union / q_sketch_quantile: rows-only driver check by design
-  // (see object doc) — tolerance + merge-law tests live in SketchSpec.
+  // q_sketch_union: rows-only driver check by design (see object doc) —
+  // tolerance + merge-law tests live in SketchSpec.
   // q_theta_retention IS oracled: exact-mode theta estimates are integers
   // equal to the true distinct counts (see thetaRetention doc).
+  // q_cms_freq IS oracled: the md5-slice hash makes the whole table
+  // SQL-reproducible (round 9). q_sketch_quantile IS oracled: the
+  // calendar bounds the item count below k at any scale (round 9).
   val oracle: Map[String, String] = Map(
     "q_theta_retention" ->
       """WITH mc AS (
@@ -220,5 +240,56 @@ object Sketches {
         |GROUP BY term
         |HAVING count(*) * 50 >= (SELECT count(*) FROM tk)
         |ORDER BY term""".stripMargin,
+    // the FULL Count-Min table rebuilt relationally: per-term counts
+    // scatter to the same md5-slice cells the Scala sketch uses, probes
+    // read the same min-over-rows — collisions and all (see cmsFreq doc)
+    "q_cms_freq" ->
+      """WITH t AS (
+        |  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+        |), tf AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS c FROM t
+        |  WHERE term <> '' GROUP BY term
+        |), rws AS (
+        |  SELECT CAST(unnest(range(0, 4)) AS INTEGER) AS r
+        |), cells AS (
+        |  SELECT r,
+        |         CAST('0x' || substring(md5(term), 8 * r + 1, 8) AS BIGINT) % 256 AS cell,
+        |         CAST(sum(c) AS BIGINT) AS cnt
+        |  FROM tf, rws GROUP BY 1, 2
+        |), total AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS total FROM tf
+        |), probes AS (
+        |  SELECT unnest(['the', 'a', 'join', 'hash', 'scan', 'filter',
+        |                 'merge', 'row', 'le', 'und', 'zzz_absent']) AS term
+        |), est AS (
+        |  SELECT p.term, min(COALESCE(cl.cnt, 0)) AS est
+        |  FROM probes p
+        |  CROSS JOIN rws
+        |  LEFT JOIN cells cl ON cl.r = rws.r
+        |    AND cl.cell = CAST('0x' || substring(md5(p.term), 8 * rws.r + 1, 8) AS BIGINT) % 256
+        |  GROUP BY p.term
+        |)
+        |SELECT e.term, e.est, t.total FROM est e, total t
+        |ORDER BY e.term""".stripMargin,
+    // exact-regime KLL (<= 31 items per month by calendar construction):
+    // inclusive-rank quantile = smallest item with rn/n >= q, the same
+    // IEEE double comparison the sketch's sorted view performs
+    "q_sketch_quantile" ->
+      """WITH d AS (
+        |  SELECT o_orderdate AS day,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(24,6))) AS DOUBLE) AS rev
+        |  FROM orders GROUP BY o_orderdate
+        |), m AS (
+        |  SELECT strftime(day, '%Y-%m') AS month, rev,
+        |         row_number() OVER (PARTITION BY strftime(day, '%Y-%m')
+        |                            ORDER BY rev) AS rn,
+        |         count(*) OVER (PARTITION BY strftime(day, '%Y-%m')) AS n
+        |  FROM d
+        |)
+        |SELECT month, CAST(max(n) AS BIGINT) AS n_days,
+        |       min(CASE WHEN CAST(rn AS DOUBLE) / n >= 0.5 THEN rev END) AS p50_daily_rev,
+        |       min(CASE WHEN CAST(rn AS DOUBLE) / n >= 0.95 THEN rev END) AS p95_daily_rev
+        |FROM m GROUP BY month
+        |ORDER BY month""".stripMargin,
   )
 }

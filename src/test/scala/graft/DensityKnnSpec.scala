@@ -77,10 +77,21 @@ class DensityKnnSpec extends AnyFunSuite {
       BigDecimal(dp / (math.sqrt(da) * math.sqrt(db)))
         .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     }
+    // round 9: candidates come from the IVF serve shape — voters assigned
+    // to their best cell, probes to their 2 nearest cells (never a probe
+    // broadcast) — so the replay replicates the cell routing too
+    val cents = vecs.filter(_._1 % 100 == 0)
+    def cells(v: Array[Float], k: Int): Seq[Long] =
+      cents.map { case (cid, cv, _) => (cid, cos4(cv, v)) }
+        .sortBy { case (cid, c) => (-c, cid) }.take(k).map(_._1).toSeq
+    val voters = vecs.filter(_._1 % 50 != 0)
+    val assigned = voters.map { case (id, v, _) => id -> cells(v, 1).head }.toMap
     val probes = vecs.filter(_._1 % 50 == 0)
     assert(got.keySet === probes.map(_._1).toSet)
     probes.foreach { case (qid, qv, qlabel) =>
-      val top = vecs.filter(_._1 % 50 != 0)
+      val probeCells = cells(qv, 2).toSet
+      val top = voters
+        .filter { case (id, _, _) => probeCells(assigned(id)) }
         .map { case (id, v, lb) => (id, lb, cos4(v, qv)) }
         .sortBy { case (id, _, c) => (-c, id) }
         .take(5)

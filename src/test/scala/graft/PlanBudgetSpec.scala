@@ -21,10 +21,19 @@ class PlanBudgetSpec extends AnyFunSuite {
     * the previous pass's frame 3-4 times, so the unstaged lineage is
     * exponential in the pass count (q_kcore_peel: ~4^6 subtree copies —
     * the optimizer itself OOMs before any exchange could be counted).
+    * The six-family flag queries transit [[ops.Similarity.semanticDedup]]'s
+    * label loop, whose unstaged lineage is likewise exponential — and
+    * since round 9 every lineage copy carries the 72-plane banded-LSH
+    * expression tree, so even the EXPLAIN string OOMs the audit JVM.
+    * q_zorder_pruning's stage is load-bearing, not just a perf hint: the
+    * offsets aggregate and the main branch must observe the SAME
+    * materialized monotonically_increasing_id values.
     * The staged plan IS the production plan for these; the budget pins
     * the final executed plan over the staged leaves, exactly what
     * graft.PlanAudit measures. */
-  private val stagedAudit = Set("q_kcore_peel")
+  private val stagedAudit = Set("q_kcore_peel", "q_dedup_compare",
+    "q_dedup_kappa", "q_cochran_q", "q_fleiss_kappa", "q_mcnemar",
+    "q_zorder_pruning")
 
   private def counts(name: String): (Int, Int) = {
     // stage.disable: Ckpt.stage truncates lineage, which would HIDE every
@@ -125,14 +134,11 @@ class PlanBudgetSpec extends AnyFunSuite {
     ("q_minhash_est", 7, 6),          // audit mode recomputes the staged sig/
                                       // pair frames per branch; candidate set
                                       // and sizes broadcast into the pair joins
-    ("q_dedup_compare", 17, 5),       // six dedup flag subplans + the final
+    ("q_dedup_compare", 13, 5),       // six dedup flag subplans + the final
                                       // 1-row agg; flag frames broadcast into
-                                      // the narrow doc_id joins. The embed
-                                      // families add the blocked near-dup
-                                      // pair join (+ distinct) and the
-                                      // semantic closure's staged lineage;
-                                      // one join flips SMJ/broadcast with
-                                      // suite order (16 or 17 observed), so
+                                      // the narrow doc_id joins (staged
+                                      // audit — see stagedAudit; 12/8
+                                      // observed, +1 headroom), so
                                       // the pin carries that 1 of headroom
     // round-6 additions (audit mode recomputes staged frames per branch,
     // so loop/staged queries count their full unrolled lineage here)
@@ -464,8 +470,9 @@ class PlanBudgetSpec extends AnyFunSuite {
     ("q_cvm_drift", 8, 3),           // the ksDrift two-phase machinery:
                                       // per-value agg, bucket windows,
                                       // extent/offsets/totals broadcast
-    ("q_dedup_kappa", 17, 5),         // = q_dedup_compare's plan + a
+    ("q_dedup_kappa", 13, 5),         // = q_dedup_compare's plan + a
                                       // generator over its 1-row result
+                                      // (staged audit: 12/8 observed)
     ("q_hellinger", 5, 2),            // vocab-bounded term self-join;
                                       // pair frame + shared sums broadcast
     ("q_friedman", 9, 2),             // (day,type) agg + grid fill + per-day
@@ -502,13 +509,12 @@ class PlanBudgetSpec extends AnyFunSuite {
                                       // both direction windows (the second
                                       // direction costs a sort, not an
                                       // exchange) + final sort (audited 2, +1)
-    ("q_zorder_pruning", 6, 1),       // write-path layout simulation: two
-                                      // global row_number sorts over the
-                                      // staged keyed frame (the writer's
-                                      // one-time ZORDER shuffle), zone-map
-                                      // aggregates, 2-row pred broadcast
-                                      // (audited 2 staged; audit mode
-                                      // recomputes keyed per layout, +head)
+    ("q_zorder_pruning", 10, 1),      // write-path layout simulation: one
+                                      // RANGE shuffle per layout (the
+                                      // writer's one-time ZORDER shuffle),
+                                      // offset/zone-map aggregates, pred +
+                                      // offsets broadcasts (staged audit:
+                                      // 9/5 observed, +1 headroom)
     // round-9 additions (audited via the spec's own audit mode at
     // sf0.001; +1 headroom unless noted)
     ("q_jarque_bera", 4, 1),          // mean pass + deviation pass, both
@@ -520,8 +526,12 @@ class PlanBudgetSpec extends AnyFunSuite {
     ("q_page_hinkley", 8, 1),         // daily agg + day-bounded prefix +
                                       // running-min windows; total and
                                       // argmax broadcast (cusum shape)
-    ("q_knn_classify", 4, 1),         // probes broadcast; ONE corpus scan
-                                      // into the top-k window + vote agg
+    ("q_knn_classify", 8, 2),         // IVF-cell serve shape: centroids
+                                      // broadcast (never the probes), cell
+                                      // argmax agg + cid equi-join + top-k
+                                      // window + vote agg (4/3 staged;
+                                      // audit mode recomputes withNorm per
+                                      // branch)
     ("q_sorted_neighborhood", 6, 0),  // per-lang sort window recomputed
                                       // per candidate arm in audit mode;
                                       // candidates linear, no broadcast req
@@ -544,10 +554,10 @@ class PlanBudgetSpec extends AnyFunSuite {
                                       // iSide / output join); staged
                                       // execution runs calibration once
     ("q_avg_precision", 3, 0),        // per-source rank window + keyed agg
-    ("q_cochran_q", 17, 5),           // = q_dedup_compare's flag lineage
+    ("q_cochran_q", 13, 5),           // = q_dedup_compare's flag lineage
                                       // reduced to one stats row
-    ("q_fleiss_kappa", 17, 5),        // same shared rater-stats row
-    ("q_mcnemar", 17, 5),             // = q_dedup_kappa's shape: compare
+    ("q_fleiss_kappa", 13, 5),        // same shared rater-stats row
+    ("q_mcnemar", 13, 5),             // = q_dedup_kappa's shape: compare
                                       // row + a 15-row generator
     ("q_log_rank", 12, 2),            // per-customer agg + duration-bounded
                                       // (dur x 2 seg) grid windows; extent

@@ -53,42 +53,33 @@ class SketchSpec extends AnyFunSuite {
 
   // ------------------------------------------------ KLL quantile sketches
 
-  test("KLL: below capacity the merged rollup returns exact discrete quantiles") {
-    // sf0.01: months hold ~15-20 orders, far below k=200, so neither the
-    // daily sketches nor the monthly merge ever compacts — getQuantile is
-    // the exact inclusive-rank selection (smallest value whose rank ≥ q)
+  test("KLL: calendar-bounded rollup is exact inclusive-rank at any scale") {
+    // round 9: the sketched series is the day-level revenue pre-aggregate,
+    // so every merged month sketch holds <= 31 items — below k = 200 at
+    // ANY corpus scale, never compacted, and getQuantile is the exact
+    // inclusive-rank selection (smallest value whose rank cum/n >= q)
     val sf01 = "/root/testdata/sf0.01"
     val est = ops.Sketches.sketchQuantile(spark, sf01).collect()
-      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
-    val byMonth = Tables.orders(spark, sf01)
-      .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
-        col("o_totalprice"))
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val daily = Tables.orders(spark, sf01)
+      .groupBy(col("o_orderdate").as("day"))
+      .agg(graft.util.Det.dsum(col("o_totalprice")).as("rev"))
+      .select(date_format(col("day"), "yyyy-MM").as("month"), col("rev"))
       .collect().groupBy(_.getString(0))
       .view.mapValues(_.map(_.getDouble(1)).sorted).toMap
-    def discq(vs: Array[Double], q: Double): Double =
-      vs(math.max(0, math.ceil(q * vs.length).toInt - 1))
-    assert(est.nonEmpty && est.keySet == byMonth.keySet)
-    var nExact = 0
-    est.foreach { case (m, (p50, p95)) =>
-      val vs = byMonth(m)
-      if (vs.length < 200) {
-        // strictly below capacity: no compaction anywhere, exact answers
-        nExact += 1
-        assert(p50 == math.rint(discq(vs, 0.5) * 100) / 100,
-          s"$m p50 est $p50 vs exact ${discq(vs, 0.5)}")
-        assert(p95 == math.rint(discq(vs, 0.95) * 100) / 100,
-          s"$m p95 est $p95 vs exact ${discq(vs, 0.95)}")
-      } else {
-        // a handful of months exceed k and may compact once: the
-        // published ±1.65% rank-error bound applies instead
-        Seq(p50 -> 0.5, p95 -> 0.95).foreach { case (v, q) =>
-          val r = vs.count(_ <= v).toDouble / vs.length
-          assert(math.abs(r - q) <= 0.0165 * 2 + 1.0 / vs.length,
-            s"$m q=$q answered value at rank $r")
-        }
-      }
+    // smallest value whose inclusive normalized rank >= q — the same
+    // IEEE double comparison the sketch's sorted view performs
+    def incq(vs: Array[Double], q: Double): Double =
+      vs(vs.indices.find(i => (i + 1).toDouble / vs.length >= q).get)
+    assert(est.nonEmpty && est.keySet == daily.keySet)
+    est.foreach { case (m, (nDays, p50, p95)) =>
+      val vs = daily(m)
+      assert(nDays == vs.length && vs.length <= 31,
+        s"$m: ${vs.length} items must be calendar-bounded")
+      assert(p50 == incq(vs, 0.5), s"$m p50 est $p50 vs exact ${incq(vs, 0.5)}")
+      assert(p95 == incq(vs, 0.95), s"$m p95 est $p95 vs exact ${incq(vs, 0.95)}")
     }
-    assert(nExact > 50, s"only $nExact months exercised the exactness regime")
   }
 
   test("KLL merge law: per-half merge matches the whole within rank error") {
