@@ -547,13 +547,19 @@ object Dedup {
       .join(dedupExact(s, d).select(col("doc_id"), lit(1).as("surv")),
         Seq("doc_id"), "left")
       .select(col("doc_id"), col("surv").isNull.cast("int").as("f_exact"))
+    // ONE banded-LSH pair generation feeds BOTH embedding flags: the
+    // semantic components and the direct near-dup endpoint flag derive
+    // from the same staged frame (round 9 — the unshared version ran
+    // bandedPairs twice per flag query)
+    val embPairs = graft.util.Ckpt.stage(
+      Similarity.embedNeardup(s, d).select("id1", "id2"))
     val flagFrames = Seq(
       dedupMinhash(s, d).select(col("doc_id"), col("is_dup").as("f_mh")),
       dedupMinhashWide(s, d).select(col("doc_id"), col("is_dup").as("f_mhw")),
       dedupSimhash(s, d).select(col("doc_id"), col("is_dup").as("f_sh")),
-      Similarity.semanticDedup(s, d)
+      Similarity.semanticComponents(s, d, embPairs)
         .select(col("vec_id").as("doc_id"), col("is_dup").as("f_sem")),
-      Similarity.embedNeardup(s, d)
+      embPairs
         .select(col("id2").as("doc_id")).distinct()
         .withColumn("f_emb", lit(1)))
     flagFrames.foldLeft(fe)((acc, f) => acc.join(f, Seq("doc_id"), "left"))

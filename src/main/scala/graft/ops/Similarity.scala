@@ -981,8 +981,16 @@ object Similarity {
     * (id, label) pairs — vectors never ride the loop's exchanges; edges
     * come from the blocked similarity join (never all-pairs). Rounds =
     * component diameter; `Ckpt.stage` truncates lineage per round. */
-  def semanticDedup(s: SparkSession, d: String): DataFrame = {
-    val pairs = once(embedNeardup(s, d).select("id1", "id2"))
+  def semanticDedup(s: SparkSession, d: String): DataFrame =
+    semanticComponents(s, d, once(embedNeardup(s, d).select("id1", "id2")))
+
+  /** The component-label loop behind [[semanticDedup]], over an
+    * already-STAGED (id1, id2) pair frame — shared with
+    * [[Dedup.familyFlags]] so a flag query generates the banded
+    * candidate pairs ONCE and derives both the semantic components and
+    * the direct near-dup flag from the same materialized frame. */
+  private[ops] def semanticComponents(
+      s: SparkSession, d: String, pairs: DataFrame): DataFrame = {
     val edges = pairs
       .unionAll(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
       .toDF("src", "dst")
@@ -993,10 +1001,18 @@ object Similarity {
     while (changed > 0 && rounds < 30) {
       val nbrMin = edges.join(labels, edges("dst") === labels("vec_id"))
         .groupBy("src").agg(min("label").as("nl"))
-      val next = labels.join(nbrMin, labels("vec_id") === nbrMin("src"), "left")
-        .select(labels("vec_id"),
-          least(col("label"), coalesce(col("nl"), col("label"))).as("label"),
-          (coalesce(col("nl"), col("label")) < col("label")).cast("int").as("chg"))
+      val stepped = labels.join(nbrMin, labels("vec_id") === nbrMin("src"), "left")
+        .select(labels("vec_id"), col("label").as("old"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("l1"))
+      // path halving (the dbscan loop's recipe): l ← min(l, l(l)). Every
+      // label is a real vertex id (reflexive base), so the self-join
+      // resolves; rounds drop from component DIAMETER to ~log(diameter),
+      // and `stepped` recomputes only one narrow join off the STAGED
+      // previous labels
+      val ptr = stepped.select(col("vec_id").as("pv"), col("l1").as("pl"))
+      val next = stepped.join(ptr, stepped("l1") === ptr("pv"))
+        .select(stepped("vec_id"), least(col("l1"), col("pl")).as("label"),
+          (least(col("l1"), col("pl")) < col("old")).cast("int").as("chg"))
         .transform(once)
       changed = next.agg(coalesce(sum("chg"), lit(0L))).collect()(0).getLong(0)
       labels = next.select("vec_id", "label")

@@ -351,6 +351,48 @@ object Streams {
         (col("ph") > lit(lambda) * lit(1000000.0)).cast("int").as("alarm"))
   }
 
+  /** One day's advance of the ONLINE x̄ control chart — the
+    * monitoring-in-flight twin of [[graft.ops.Statistics.spcXbar]]. The
+    * batch chart is retrospective (Phase I: every day tested against the
+    * WHOLE series' center and sigma); the deployable online form is the
+    * Phase-II chart: day t's milli-quantized mean md_t is tested against
+    * the center and sigma of days 1..t−1 only — history judges the new
+    * point, the new point never moves its own limits.
+    *
+    * Determinism — the [[ewmaAdvance]] fold discipline: state is ONE row
+    * of exact integers (t days seen, Σmd, Σmd²); the 3σ gate is the
+    * batch chart's pure-integer comparison — with s = Σmd, s2 = Σmd²
+    * over the t₀ = t−1 historical days,
+    * (t₀·md − s)²·(t₀−1) > 9·(t₀·s2 − s²)·t₀ ⟺ (md − m̄)² > 9·σ̂²
+    * — every quantity DECIMAL(38,0)-exact, so fold-vs-batch-replay is
+    * BIT-exact forever (`StreamingSpec`). Days with t₀ < 2 cannot be
+    * judged (no sigma yet) and emit 0.
+    *
+    * Shape: state is ONE narrow row regardless of stream length; each
+    * micro-batch folds in one multiply-add. */
+  def spcXbarAdvance(state: DataFrame, day: DataFrame): DataFrame = {
+    val dec0 = org.apache.spark.sql.types.DecimalType(38, 0)
+    state.select(col("t"), col("smd"), col("smd2"))
+      .join(day.select(col("day"), col("md")), lit(true), "full")
+      .select(col("day"), col("md"),
+        coalesce(col("t"), lit(0L)).as("t0"),
+        coalesce(col("smd"), lit(0L)).as("s"),
+        coalesce(col("smd2"), lit(0L).cast(dec0)).as("s2"))
+      .select(col("day"), col("md"),
+        (col("t0") + 1).as("t"),
+        (col("s") + col("md")).as("smd"),
+        (col("s2") + col("md").cast(dec0) * col("md").cast(dec0)).as("smd2"),
+        when(col("t0") < 2, lit(0)).otherwise(
+          ((col("t0").cast(dec0) * col("md").cast(dec0) - col("s").cast(dec0)) *
+            (col("t0").cast(dec0) * col("md").cast(dec0) - col("s").cast(dec0)) *
+            (col("t0") - 1).cast(dec0) >
+            lit(9).cast(dec0) *
+              (col("t0").cast(dec0) * col("s2") -
+                col("s").cast(dec0) * col("s").cast(dec0)) *
+              col("t0").cast(dec0)).cast("int"))
+          .as("out_of_control"))
+  }
+
   /** Stream-static enrichment join: each micro-batch of events joins the
     * static customer dimension (broadcast per batch — the dimension never
     * shuffles the stream). The standard streaming join shape; stream-stream

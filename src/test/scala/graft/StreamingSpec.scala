@@ -648,6 +648,69 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("SPC x-bar advance: fold over daily batches is BIT-exact vs windowed replay") {
+    val spark = TestSpark.session
+    import spark.implicits._
+    val sf = TestSpark.Sf
+    // the batch chart's own daily milli-quantized means, replayed one day
+    // at a time (Phase II: each day judged by the history before it)
+    val daily = graft.Tables.events(spark, sf)
+      .filter(col("value").isNotNull)
+      .groupBy(graft.util.Det.fmtDate(col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 1000000 + lit(0.5)).cast("long")).as("tot"),
+        count(lit(1)).as("n"))
+      .select(col("day"),
+        floor(col("tot").cast("double") / col("n").cast("double") /
+          lit(1000000.0) * 1000 + lit(0.5)).cast("long").as("md"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    assert(daily.length >= 5, "needs enough days to exercise the gate")
+    var state = spark.emptyDataFrame
+      .select(lit(0L).as("t"), lit(0L).as("smd"),
+        lit(java.math.BigDecimal.ZERO).cast(
+          org.apache.spark.sql.types.DecimalType(38, 0)).as("smd2"))
+      .limit(0)
+    val perDay = scala.collection.mutable.Map.empty[String, Int]
+    daily.foreach { case (d, md) =>
+      val out = Streams.spcXbarAdvance(state, Seq((d, md)).toDF("day", "md"))
+      val row = out.select("day", "md", "t", "smd", "smd2", "out_of_control")
+        .collect().head
+      perDay(d) = row.getInt(5)
+      state = Seq((row.getLong(2), row.getLong(3),
+          row.getDecimal(4).toBigInteger.toString))
+        .toDF("t", "smd", "s2s")
+        .select(col("t"), col("smd"),
+          col("s2s").cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("smd2"))
+    }
+    // batch replay: running prefix sums via ordered windows, the identical
+    // pure-integer 3-sigma gate on the PRECEDING days
+    val w = org.apache.spark.sql.expressions.Window.orderBy("day")
+    val prev = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val dec0 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val replay = daily.toSeq.toDF("day", "md")
+      .withColumn("t0", (row_number().over(w) - 1).cast("long"))
+      .withColumn("s", coalesce(sum("md").over(prev), lit(0L)))
+      .withColumn("s2", coalesce(
+        sum(col("md").cast(dec0) * col("md").cast(dec0)).over(prev),
+        lit(0L).cast(dec0)))
+      .withColumn("oob", when(col("t0") < 2, lit(0)).otherwise(
+        ((col("t0").cast(dec0) * col("md").cast(dec0) - col("s").cast(dec0)) *
+          (col("t0").cast(dec0) * col("md").cast(dec0) - col("s").cast(dec0)) *
+          (col("t0") - 1).cast(dec0) >
+          lit(9).cast(dec0) *
+            (col("t0").cast(dec0) * col("s2") -
+              col("s").cast(dec0) * col("s").cast(dec0)) *
+            col("t0").cast(dec0)).cast("int")))
+      .select("day", "oob").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(perDay.keySet === replay.keySet)
+    perDay.foreach { case (d, f) =>
+      assert(f === replay(d), s"$d: folded oob $f != replay ${replay(d)}")
+    }
+    // the gate engages somewhere (otherwise the test is vacuous) — at
+    // least one judged day and at least one in-control day
+    assert(perDay.values.toSeq.contains(0))
+  }
+
   test("Page-Hinkley advance: fold over daily batches is BIT-exact vs windowed replay") {
     val spark = TestSpark.session
     import spark.implicits._
