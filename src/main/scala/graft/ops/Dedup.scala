@@ -1057,7 +1057,42 @@ object Dedup {
       .orderBy("r", "s")
   }
 
+  /** Cross-document repeated 8-gram spans — the EXACT-SUBSTRING dedup
+    * primitive (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better"): long verbatim word spans shared across
+    * documents are the memorization signal a suffix-array dedup removes.
+    * The scalable Spark formulation counts every 8-word span across the
+    * corpus and reports the spans recurring in ≥ 2 DISTINCT documents —
+    * top-50 by occurrence with a deterministic (n_occ DESC, gram ASC)
+    * total order.
+    *
+    * Determinism: grams are byte-exact space joins
+    * ([[graft.functions.StringNgrams]] ≡ DuckDB's
+    * list_slice/array_to_string); counts exact BIGINTs; (n_occ, gram)
+    * is a total order (gram is the group key).
+    *
+    * Scale shape: the gram explode is scan-local; the count is ONE
+    * map-side-combined aggregate keyed by gram (a hot span
+    * partial-aggregates before the shuffle — the word-count shape); the
+    * report is a TakeOrdered over the aggregate. No joins, no windows —
+    * at 100 TB this is the first pass of an exact-substring dedup, whose
+    * reported spans seed the span-removal pass. */
+  def repeatedSpans(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextFeatures.words
+    import graft.functions.StringNgrams
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(StringNgrams.ngrams(words(col("text")), 8)).as("gram"))
+      .groupBy("gram")
+      .agg(countDistinct("doc_id").as("n_docs"), count(lit(1)).as("n_occ"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_occ").desc, col("gram").asc)
+      .limit(50)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_repeated_spans" -> (repeatedSpans _),
     "q_lsh_tuning" -> (lshTuning _),
     "q_sorted_neighborhood" -> (sortedNeighborhood _),
     "q_cdc_chunks" -> (cdcChunks _),
@@ -1478,6 +1513,22 @@ object Dedup {
     .mkString(" || ")
 
   val oracle: Map[String, String] = Map(
+    // byte-exact 8-gram space joins, one grouped count, the same
+    // (n_occ DESC, gram ASC) total order
+    "q_repeated_spans" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(1, len(string_split(text, ' ')) - 6),
+        |           i -> array_to_string(list_slice(string_split(text, ' '), i, i + 7), ' '))) AS gram
+        |  FROM documents
+        |)
+        |SELECT gram, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |       CAST(count(*) AS BIGINT) AS n_occ,
+        |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM g GROUP BY gram
+        |HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY n_occ DESC, gram ASC
+        |LIMIT 50""".stripMargin,
     // the same squaring chains (s2=s*s, ..., u64=u32*u32) CASE-selected
     // per config; grid s = i/20; threshold = min grid s with p >= 0.5
     "q_lsh_tuning" ->

@@ -587,7 +587,65 @@ object Evaluation {
         (pbar * (lit(1.0) - pbar))).as("skill"))
   }
 
+  /** Split-conformal prediction intervals per event type — the
+    * DISTRIBUTION-FREE calibration layer over any point predictor (here
+    * the train-split per-type mean): nonconformity s = |x − µ̂| on a
+    * held-out calibration split, q̂ = the ⌈0.9·(n+1)⌉-th smallest
+    * calibration score, interval µ̂ ± q̂ — guaranteed ≥ 90% coverage on
+    * exchangeable data with NO distributional assumption, the model-card
+    * number a quality-score or reward-model pipeline reports beside ECE.
+    *
+    * Determinism: values enter as exact micro BIGINTs; µ̂ is one integer
+    * division (positive operands — `div` ≡ `//`); scores are exact
+    * integer |differences|; q̂ is a DISCRETE rank selection at
+    * k = ⌈0.9(n+1)⌉ computed in pure integers ((9(n+1)+9) div 10) over
+    * (type, score) distinct-value tie blocks — never interpolated; the
+    * empirical coverage is the selected row's own cumulative count, one
+    * quantized division.
+    *
+    * Scale shape: two map-side-combined aggregates (train stats; score
+    * tie blocks), the 5-row train frame broadcast onto the calibration
+    * scan, rank windows over the VALUE DOMAIN per type, a ≤|types|-row
+    * result. */
+  def conformal(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).filter(col("value").isNotNull)
+      .select(col("event_type"), col("event_id"),
+        floor(col("value") * 1000000 + lit(0.5)).cast("long").as("m"))
+    val tr = ev.filter(col("event_id") % 5 =!= 0)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_train"), expr("sum(m) div count(1)").as("mu"))
+    val cal = ev.filter(col("event_id") % 5 === 0)
+      .join(broadcast(tr), "event_type")
+      .select(col("event_type"), col("n_train"), col("mu"),
+        abs(col("m") - col("mu")).as("sc"))
+    val byScore = cal
+      .groupBy(col("event_type"), col("n_train"), col("mu"), col("sc"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("event_type").orderBy("sc")
+    val ranked = byScore
+      .withColumn("cum", sum("cnt").over(w))
+      .withColumn("n_cal", sum("cnt").over(Window.partitionBy("event_type")))
+      .withColumn("prev", col("cum") - col("cnt"))
+      .withColumn("k", least(expr("(9 * (n_cal + 1) + 9) div 10"), col("n_cal")))
+    ranked
+      .groupBy(col("event_type"), col("n_train"), col("mu"), col("n_cal"))
+      .agg(
+        sum(when(col("prev") < col("k") && col("k") <= col("cum"), col("sc")))
+          .as("qhat"),
+        sum(when(col("prev") < col("k") && col("k") <= col("cum"), col("cum")))
+          .as("n_cover"))
+      .select(col("event_type"), col("n_train"), col("n_cal").as("n_calib"),
+        (col("mu").cast("double") / lit(1000000.0)).as("mu"),
+        col("qhat").as("qhat_micro"),
+        ((col("mu") - col("qhat")).cast("double") / lit(1000000.0)).as("lo"),
+        ((col("mu") + col("qhat")).cast("double") / lit(1000000.0)).as("hi"),
+        (floor(col("n_cover").cast("double") / col("n_cal").cast("double") *
+          lit(1000000.0) + lit(0.5)) / lit(1000000.0)).as("coverage"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_conformal" -> (conformal _),
     "q_brier" -> (brier _),
     "q_eb_shrink" -> (ebShrink _),
     "q_woe_iv" -> (woeIv _),
@@ -632,6 +690,42 @@ object Evaluation {
       |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // same integer micro scores, the same pure-integer rank k, the same
+    // tie-block selection and quantized coverage division
+    "q_conformal" ->
+      """WITH ev AS (
+        |  SELECT event_type, event_id,
+        |         CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS m
+        |  FROM events WHERE value IS NOT NULL
+        |), tr AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_train,
+        |         CAST(sum(m) // count(*) AS BIGINT) AS mu
+        |  FROM ev WHERE event_id % 5 <> 0 GROUP BY event_type
+        |), cal AS (
+        |  SELECT e.event_type, tr.n_train, tr.mu, abs(e.m - tr.mu) AS sc
+        |  FROM ev e JOIN tr USING (event_type) WHERE e.event_id % 5 = 0
+        |), bs AS (
+        |  SELECT event_type, n_train, mu, sc, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM cal GROUP BY 1, 2, 3, 4
+        |), rk AS (
+        |  SELECT *, CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY sc) AS BIGINT) AS cum,
+        |         CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n_cal
+        |  FROM bs
+        |), sel AS (
+        |  SELECT event_type, n_train, mu, n_cal,
+        |         CAST(sum(CASE WHEN cum - cnt < k AND k <= cum THEN sc END) AS BIGINT) AS qhat,
+        |         CAST(sum(CASE WHEN cum - cnt < k AND k <= cum THEN cum END) AS BIGINT) AS n_cover
+        |  FROM (SELECT *, least((9 * (n_cal + 1) + 9) // 10, n_cal) AS k FROM rk) t
+        |  GROUP BY 1, 2, 3, 4
+        |)
+        |SELECT event_type, n_train, n_cal AS n_calib,
+        |       CAST(mu AS DOUBLE) / 1000000.0 AS mu,
+        |       qhat AS qhat_micro,
+        |       CAST(mu - qhat AS DOUBLE) / 1000000.0 AS lo,
+        |       CAST(mu + qhat AS DOUBLE) / 1000000.0 AS hi,
+        |       floor(CAST(n_cover AS DOUBLE) / CAST(n_cal AS DOUBLE) * 1000000.0 + 0.5)
+        |         / 1000000.0 AS coverage
+        |FROM sel ORDER BY event_type""".stripMargin,
     // per-value squared-error contributions close over exact integers,
     // 9-dp-quantized into DECIMAL before the exact sum; one division
     "q_brier" ->

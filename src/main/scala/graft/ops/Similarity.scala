@@ -159,6 +159,54 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
+  private val JlDim = 16
+
+  /** Seeded projection planes for [[jlTransform]]: JlDim planes of RpDim
+    * small-integer coordinates (the [[rpPlanes]] recipe, independent
+    * seed) — exact in float and double, stated as a literal matrix in
+    * the oracle. */
+  private[graft] val jlPlanes: Array[Array[Int]] = {
+    val rng = new scala.util.Random(2028)
+    Array.fill(JlDim)(Array.fill(RpDim)(rng.nextInt(9) - 4))
+  }
+
+  /** Johnson–Lindenstrauss random projection 64 → 16 dims with its
+    * distance-preservation audit — the embedding-compression primitive
+    * between full vectors and PQ codes (`q_embed_pq`): a seeded
+    * small-integer projection matrix maps every vector row-locally to 16
+    * components, and the audit compares full-dimension cosine against
+    * projected cosine on a FIXED 50-vector panel (vec_id < 50 — bounded
+    * by construction, so the pairwise audit is ≤ 1225 rows at any corpus
+    * scale; the transform itself is a scan-local codegen projection over
+    * the whole corpus).
+    *
+    * Determinism: each projected component is one [[FloatVectorDot]]
+    * against exact-integer planes, 4-dp-rounded; the projected cosine is
+    * a fixed left-to-right 16-term product sum over those rounded
+    * components, one division, 4-dp-rounded — the same tree in the
+    * DuckDB oracle's literal-matrix SQL. */
+  def jlTransform(s: SparkSession, d: String): DataFrame = {
+    val n = once(withNorm(Tables.embeddings(s, d))
+      .filter(col("vec_id") < 50).select("vec_id", "v", "norm"))
+    val proj = (0 until JlDim).map(i =>
+      round(dot(col("v"), array(jlPlanes(i).map(x => lit(x.toFloat)): _*)), 4)
+        .as(s"p$i"))
+    val p = once(n.select(Seq(col("vec_id"), col("v"), col("norm")) ++ proj: _*))
+    val a = p.select(p.columns.map(c => col(c).as(s"a_$c")): _*)
+    val b = p.select(p.columns.map(c => col(c).as(s"b_$c")): _*)
+    val dotP = (0 until JlDim).map(i => col(s"a_p$i") * col(s"b_p$i")).reduce(_ + _)
+    val ssqA = (0 until JlDim).map(i => col(s"a_p$i") * col(s"a_p$i")).reduce(_ + _)
+    val ssqB = (0 until JlDim).map(i => col(s"b_p$i") * col(s"b_p$i")).reduce(_ + _)
+    a.join(broadcast(b), col("b_vec_id") > col("a_vec_id"))
+      .select(col("a_vec_id").as("id1"), col("b_vec_id").as("id2"),
+        round(dot(col("a_v"), col("b_v")) / (col("a_norm") * col("b_norm")), 4)
+          .as("cos_full"),
+        round(dotP / (sqrt(ssqA) * sqrt(ssqB)), 4).as("cos_proj"))
+      .withColumn("abs_err",
+        floor(abs(col("cos_full") - col("cos_proj")) * 10000 + lit(0.5)) / 10000)
+      .orderBy("id1", "id2")
+  }
+
   /** Banding parameters for [[bandedPairs]]: L = [[NeardupBands]] hash
     * tables of b = [[NeardupBandBits]] sign bits each. The S-curve is
     * P(collide) = 1 − (1 − p^b)^L with p = 1 − θ/π per hyperplane: at
@@ -1561,6 +1609,7 @@ object Similarity {
     "q_mmr_select"    -> (mmrSelect _),
     "q_cosine_topk"   -> (cosineTopk _),
     "q_ann_lsh_rp"    -> (annLshRp _),
+    "q_jl_transform"  -> (jlTransform _),
     "q_embed_quantize" -> (embedQuantize _),
     "q_ann_lsh"       -> (annLsh _),
     "q_ann_ivf"       -> (annIvf _),
@@ -1753,6 +1802,33 @@ object Similarity {
          |  SELECT s.v, least(s.l, t.l) AS l
          |  FROM ${p}s$i s JOIN ${p}s$i t ON s.l = t.v)""".stripMargin
     }.mkString(",\n")
+
+  /** [[jlTransform]]'s oracle: the literal projection matrix, the same
+    * rounded components, the same left-to-right 16-term cosine tree. */
+  private def jlOracle: String = {
+    val planes = jlPlanes.zipWithIndex.map { case (p, i) =>
+      s"round(list_dot_product(v, CAST(${p.mkString("[", ", ", "]")} AS DOUBLE[])), 4) AS p$i"
+    }.mkString(",\n       ")
+    val dotP = (0 until JlDim).map(i => s"a.p$i * b.p$i").mkString(" + ")
+    val ssqA = (0 until JlDim).map(i => s"a.p$i * a.p$i").mkString(" + ")
+    val ssqB = (0 until JlDim).map(i => s"b.p$i * b.p$i").mkString(" + ")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS norm
+       |  FROM embeddings WHERE vec_id < 50
+       |), p AS (
+       |  SELECT vec_id, v, norm,
+       |       $planes
+       |  FROM e
+       |)
+       |SELECT a.vec_id AS id1, b.vec_id AS id2,
+       |       round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 4) AS cos_full,
+       |       round(($dotP) / (sqrt($ssqA) * sqrt($ssqB)), 4) AS cos_proj,
+       |       floor(abs(round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 4)
+       |                 - round(($dotP) / (sqrt($ssqA) * sqrt($ssqB)), 4)) * 10000 + 0.5) / 10000 AS abs_err
+       |FROM p a JOIN p b ON b.vec_id > a.vec_id
+       |ORDER BY id1, id2""".stripMargin
+  }
 
   /** RP-LSH oracle, generated from the same seeded plane matrix as the
     * Spark plan (integer literals are exact in both engines). */
@@ -2396,6 +2472,7 @@ object Similarity {
         |FROM e GROUP BY vec_id
         |ORDER BY vec_id""".stripMargin,
     "q_cosine_topk" -> cosineTopkOracle,
+    "q_jl_transform" -> jlOracle,
     "q_cluster_purity" ->
       s"""WITH $NormCte,
          |c AS (SELECT vec_id AS cid, v AS cv, norm AS cn FROM n WHERE vec_id % 100 = 0),

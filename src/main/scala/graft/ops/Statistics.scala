@@ -2926,7 +2926,56 @@ object Statistics {
         sum("seg").cast("double").as("rmst_days"))
   }
 
+  /** Cohen's d and Hedges' g between every pair of event types — the
+    * EFFECT-SIZE completion of the A/B and rank-test families (the
+    * t/Mann–Whitney/ANOVA rows say whether a difference exists; d says
+    * whether it is big enough to matter — the number a data-mixing or
+    * filter-threshold decision actually needs): d = (x̄₁ − x̄₂)/s_pooled,
+    * g = d·(1 − 3/(4(n₁+n₂) − 9)) (the small-sample bias correction).
+    *
+    * Determinism: per-type sufficient statistics are exact (n, Σm, Σm²)
+    * with m the micro BIGINT; (n·Σm² − (Σm)²) is DECIMAL(38,0)-exact;
+    * means, the pooled variance ((a₁/n₁ + a₂/n₂)/(n₁+n₂−2) — a = the
+    * exact decimal, each division one IEEE op), d and g are one fixed
+    * tree each, 6-dp floor-quantized.
+    *
+    * Scale shape: ONE map-side-combined per-type aggregate (≤|types|
+    * rows), a broadcast self-join over the ≤|types|² pair grid —
+    * the events table is scanned once and never shuffled. */
+  def cohensD(s: SparkSession, d: String): DataFrame = {
+    val dec0 = DecimalType(38, 0)
+    val q6 = (c: Column) => floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val st = Tables.events(s, d).filter(col("value").isNotNull)
+      .select(col("event_type"), q6micro(col("value")).as("m"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("m").as("sm"),
+        sum(col("m").cast(dec0) * col("m").cast(dec0)).as("sm2"))
+    val a = st.select(col("event_type").as("type_a"), col("n").as("n_a"),
+      col("sm").as("sm_a"), col("sm2").as("sm2_a"))
+    val b = st.select(col("event_type").as("type_b"), col("n").as("n_b"),
+      col("sm").as("sm_b"), col("sm2").as("sm2_b"))
+    val meanA = col("sm_a").cast("double") / col("n_a").cast("double")
+    val meanB = col("sm_b").cast("double") / col("n_b").cast("double")
+    val aA = (col("n_a").cast(dec0) * col("sm2_a") -
+      col("sm_a").cast(dec0) * col("sm_a").cast(dec0)).cast("double")
+    val aB = (col("n_b").cast(dec0) * col("sm2_b") -
+      col("sm_b").cast(dec0) * col("sm_b").cast(dec0)).cast("double")
+    val sp = sqrt((aA / col("n_a").cast("double") + aB / col("n_b").cast("double")) /
+      (col("n_a") + col("n_b") - 2).cast("double"))
+    val dEff = (meanA - meanB) / sp
+    val corr = lit(1.0) - lit(3.0) /
+      (lit(4.0) * (col("n_a") + col("n_b")).cast("double") - lit(9.0))
+    a.join(broadcast(b), col("type_b") > col("type_a"))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        q6(meanA / lit(1000000.0)).as("mean_a"),
+        q6(meanB / lit(1000000.0)).as("mean_b"),
+        q6(dEff).as("cohens_d"),
+        q6(dEff * corr).as("hedges_g"))
+      .orderBy("type_a", "type_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cohens_d" -> (cohensD _),
     "q_surv_median" -> (survMedian _),
     "q_rmst" -> (rmst _),
     "q_log_rank" -> (logRank _),
@@ -3135,6 +3184,37 @@ object Statistics {
       |FROM c ORDER BY dur_days""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // exact HUGEINT sufficient stats per type, the same fixed IEEE tree
+    // for d and the Hedges correction, 6-dp floor-quantized
+    "q_cohens_d" ->
+      """WITH st AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sm,
+        |         sum(CAST(CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS HUGEINT)
+        |             * CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS sm2
+        |  FROM events WHERE value IS NOT NULL GROUP BY event_type
+        |)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |       a.n AS n_a, b.n AS n_b,
+        |       floor(CAST(a.sm AS DOUBLE) / CAST(a.n AS DOUBLE) / 1000000.0
+        |             * 1000000.0 + 0.5) / 1000000.0 AS mean_a,
+        |       floor(CAST(b.sm AS DOUBLE) / CAST(b.n AS DOUBLE) / 1000000.0
+        |             * 1000000.0 + 0.5) / 1000000.0 AS mean_b,
+        |       floor((CAST(a.sm AS DOUBLE) / CAST(a.n AS DOUBLE)
+        |              - CAST(b.sm AS DOUBLE) / CAST(b.n AS DOUBLE))
+        |             / sqrt((CAST(a.n * a.sm2 - CAST(a.sm AS HUGEINT) * a.sm AS DOUBLE) / CAST(a.n AS DOUBLE)
+        |                     + CAST(b.n * b.sm2 - CAST(b.sm AS HUGEINT) * b.sm AS DOUBLE) / CAST(b.n AS DOUBLE))
+        |                    / CAST(a.n + b.n - 2 AS DOUBLE))
+        |             * 1000000.0 + 0.5) / 1000000.0 AS cohens_d,
+        |       floor((CAST(a.sm AS DOUBLE) / CAST(a.n AS DOUBLE)
+        |              - CAST(b.sm AS DOUBLE) / CAST(b.n AS DOUBLE))
+        |             / sqrt((CAST(a.n * a.sm2 - CAST(a.sm AS HUGEINT) * a.sm AS DOUBLE) / CAST(a.n AS DOUBLE)
+        |                     + CAST(b.n * b.sm2 - CAST(b.sm AS HUGEINT) * b.sm AS DOUBLE) / CAST(b.n AS DOUBLE))
+        |                    / CAST(a.n + b.n - 2 AS DOUBLE))
+        |             * (1.0 - 3.0 / (4.0 * CAST(a.n + b.n AS DOUBLE) - 9.0))
+        |             * 1000000.0 + 0.5) / 1000000.0 AS hedges_g
+        |FROM st a JOIN st b ON b.event_type > a.event_type
+        |ORDER BY type_a, type_b""".stripMargin,
     // the shared lag frame; each Durbin-Levinson level quantized before
     // the next consumes it, zero pivots pinned to NULL
     "q_pacf" ->
