@@ -1823,6 +1823,100 @@ object Statistics {
             .cast("double") * lit(1000000.0) + lit(0.5)) / lit(1000000.0)).as("emd"))
   }
 
+  /** Energy distance between the click and view value distributions —
+    * the KERNEL two-sample test completing the drift family
+    * (KS/χ²/PSI/EMD/CvM compare CDFs or bins; energy distance
+    * D² = 2E|X−Y| − E|X−X'| − E|Y−Y'| is zero iff the distributions are
+    * EQUAL and is rotation/translation-consistent, the Székely–Rizzo
+    * statistic behind distance correlation). Reported with the scaled
+    * test statistic n₁n₂/(n₁+n₂)·D².
+    *
+    * Determinism: all three pair sums close over EXACT integers — with
+    * micro values m and per-distinct-value counts (a, b), the ordered
+    * pair sum Σ|mᵢ−mⱼ| is Σ_k cnt_k·[(m_k·less − sumless) + (sumgreater
+    * − m_k·greater)] over strictly-less/greater prefix integers, every
+    * product DECIMAL(38,0); D² and the statistic are one fixed IEEE
+    * tree on the three exact sums, 6-dp floor-quantized. V-statistic
+    * convention (denominators n₁n₂, n₁², n₂² — self-pairs contribute 0).
+    *
+    * Scale shape: the [[emdDrift]] two-phase recipe — distinct-value
+    * tie blocks, broadcast (min, max), per-bucket prefix offsets
+    * (KsBuckets rows) turn the global cumsum into bucket-PARTITIONED
+    * windows; one ≤3-integer reduce at the end. No global sort, no
+    * unpartitioned window. */
+  def energyDistance(s: SparkSession, d: String): DataFrame = {
+    val nb = KsBuckets
+    val dec0 = DecimalType(38, 0)
+    val q6 = (c: Column) => floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val ev = graft.util.Ckpt.stage(Tables.events(s, d)
+      .filter(col("event_type").isin("click", "view") && col("value").isNotNull)
+      .groupBy("value")
+      .agg(
+        sum((col("event_type") === "click").cast("long")).as("c1"),
+        sum((col("event_type") === "view").cast("long")).as("c2"))
+      .withColumn("m", q6micro(col("value"))))
+    val ext = ev.agg(min("value").as("lo"), max("value").as("hi"))
+    val bucketed = graft.util.Ckpt.stage(ev.crossJoin(broadcast(ext))
+      .withColumn("bkt",
+        when(col("hi") === col("lo"), lit(0)).otherwise(
+          least(lit(nb - 1),
+            floor((col("value") - col("lo")) * nb / (col("hi") - col("lo"))).cast("int"))))
+      .drop("lo", "hi"))
+    val cm1 = col("c1").cast(dec0) * col("m").cast(dec0)
+    val cm2 = col("c2").cast(dec0) * col("m").cast(dec0)
+    val wb = Window.orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offs = bucketed.groupBy("bkt")
+      .agg(sum("c1").as("s1"), sum("c2").as("s2"),
+        sum(cm1).as("sm1"), sum(cm2).as("sm2"))
+      .select(col("bkt"),
+        (sum("s1").over(wb) - col("s1")).as("off1"),
+        (sum("s2").over(wb) - col("s2")).as("off2"),
+        (sum("sm1").over(wb) - col("sm1")).as("offm1"),
+        (sum("sm2").over(wb) - col("sm2")).as("offm2"))
+    val tot = bucketed.agg(sum("c1").as("n1"), sum("c2").as("n2"),
+      sum(cm1).as("t1"), sum(cm2).as("t2"))
+    val w = Window.partitionBy("bkt").orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val seg = bucketed
+      .join(broadcast(offs), "bkt")
+      .crossJoin(broadcast(tot))
+      .withColumn("cum1", col("off1") + sum("c1").over(w))
+      .withColumn("cum2", col("off2") + sum("c2").over(w))
+      .withColumn("cms1", col("offm1") + sum(cm1).over(w))
+      .withColumn("cms2", col("offm2") + sum(cm2).over(w))
+    val md = col("m").cast(dec0)
+    // strictly-below / strictly-above integers per side (ties at the
+    // row's own value contribute |m - m| = 0 and are excluded exactly)
+    def bracket(less: Column, sumLess: Column, greater: Column, sumGr: Column) =
+      (md * less.cast(dec0) - sumLess) + (sumGr - md * greater.cast(dec0))
+    val terms = seg.select(
+      (col("c1").cast(dec0) * bracket(
+        col("cum2") - col("c2"), col("cms2") - cm2,
+        col("n2") - col("cum2"), col("t2") - col("cms2"))).as("xy"),
+      (col("c1").cast(dec0) * bracket(
+        col("cum1") - col("c1"), col("cms1") - cm1,
+        col("n1") - col("cum1"), col("t1") - col("cms1"))).as("xx"),
+      (col("c2").cast(dec0) * bracket(
+        col("cum2") - col("c2"), col("cms2") - cm2,
+        col("n2") - col("cum2"), col("t2") - col("cms2"))).as("yy"),
+      col("n1"), col("n2"))
+    val exy = col("sxy").cast("double") /
+      (col("n1").cast(dec0) * col("n2").cast(dec0)).cast("double") / lit(1000000.0)
+    val exx = col("sxx").cast("double") /
+      (col("n1").cast(dec0) * col("n1").cast(dec0)).cast("double") / lit(1000000.0)
+    val eyy = col("syy").cast("double") /
+      (col("n2").cast(dec0) * col("n2").cast(dec0)).cast("double") / lit(1000000.0)
+    val d2 = lit(2.0) * exy - exx - eyy
+    terms.groupBy("n1", "n2")
+      .agg(sum("xy").as("sxy"), sum("xx").as("sxx"), sum("yy").as("syy"))
+      .select(col("n1"), col("n2"),
+        q6(exy).as("e_xy"), q6(exx).as("e_xx"), q6(eyy).as("e_yy"),
+        q6(d2).as("energy_dist"),
+        q6((col("n1").cast(dec0) * col("n2").cast(dec0)).cast("double") /
+          (col("n1") + col("n2")).cast("double") * d2).as("e_stat"))
+  }
+
   /** Theil T inequality index of customer lifetime spend per market
     * segment — the decomposable companion to [[gini]]: T = Σ pᵢ·ln(n·pᵢ)
     * over spend shares pᵢ, the index whose between/within-group split is
@@ -2976,6 +3070,7 @@ object Statistics {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cohens_d" -> (cohensD _),
+    "q_energy_dist" -> (energyDistance _),
     "q_surv_median" -> (survMedian _),
     "q_rmst" -> (rmst _),
     "q_log_rank" -> (logRank _),
@@ -3184,6 +3279,54 @@ object Statistics {
       |FROM c ORDER BY dur_days""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // the same exact ordered-pair sums off strictly-less/greater prefix
+    // integers (plain windows here — the oracle needs no bucket phase),
+    // the same fixed final tree
+    "q_energy_dist" ->
+      """WITH ev AS (
+        |  SELECT value, CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS m,
+        |         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        |  FROM events
+        |  WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+        |  GROUP BY value
+        |), cums AS (
+        |  SELECT m, c1, c2,
+        |         sum(c1) OVER (ORDER BY value) AS cum1,
+        |         sum(c2) OVER (ORDER BY value) AS cum2,
+        |         sum(CAST(c1 AS HUGEINT) * m) OVER (ORDER BY value) AS cms1,
+        |         sum(CAST(c2 AS HUGEINT) * m) OVER (ORDER BY value) AS cms2,
+        |         sum(c1) OVER () AS n1, sum(c2) OVER () AS n2,
+        |         sum(CAST(c1 AS HUGEINT) * m) OVER () AS t1,
+        |         sum(CAST(c2 AS HUGEINT) * m) OVER () AS t2
+        |  FROM ev
+        |), terms AS (
+        |  SELECT n1, n2,
+        |    sum(c1 * (CAST(m AS HUGEINT) * (cum2 - c2) - (cms2 - CAST(c2 AS HUGEINT) * m)
+        |            + (t2 - cms2) - CAST(m AS HUGEINT) * (n2 - cum2))) AS sxy,
+        |    sum(c1 * (CAST(m AS HUGEINT) * (cum1 - c1) - (cms1 - CAST(c1 AS HUGEINT) * m)
+        |            + (t1 - cms1) - CAST(m AS HUGEINT) * (n1 - cum1))) AS sxx,
+        |    sum(c2 * (CAST(m AS HUGEINT) * (cum2 - c2) - (cms2 - CAST(c2 AS HUGEINT) * m)
+        |            + (t2 - cms2) - CAST(m AS HUGEINT) * (n2 - cum2))) AS syy
+        |  FROM cums GROUP BY n1, n2
+        |)
+        |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+        |  floor(CAST(sxy AS DOUBLE) / CAST(n1 * n2 AS DOUBLE) / 1000000.0
+        |        * 1000000.0 + 0.5) / 1000000.0 AS e_xy,
+        |  floor(CAST(sxx AS DOUBLE) / CAST(n1 * n1 AS DOUBLE) / 1000000.0
+        |        * 1000000.0 + 0.5) / 1000000.0 AS e_xx,
+        |  floor(CAST(syy AS DOUBLE) / CAST(n2 * n2 AS DOUBLE) / 1000000.0
+        |        * 1000000.0 + 0.5) / 1000000.0 AS e_yy,
+        |  floor((2.0 * (CAST(sxy AS DOUBLE) / CAST(n1 * n2 AS DOUBLE) / 1000000.0)
+        |         - CAST(sxx AS DOUBLE) / CAST(n1 * n1 AS DOUBLE) / 1000000.0
+        |         - CAST(syy AS DOUBLE) / CAST(n2 * n2 AS DOUBLE) / 1000000.0)
+        |        * 1000000.0 + 0.5) / 1000000.0 AS energy_dist,
+        |  floor(CAST(n1 * n2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)
+        |        * (2.0 * (CAST(sxy AS DOUBLE) / CAST(n1 * n2 AS DOUBLE) / 1000000.0)
+        |           - CAST(sxx AS DOUBLE) / CAST(n1 * n1 AS DOUBLE) / 1000000.0
+        |           - CAST(syy AS DOUBLE) / CAST(n2 * n2 AS DOUBLE) / 1000000.0)
+        |        * 1000000.0 + 0.5) / 1000000.0 AS e_stat
+        |FROM terms""".stripMargin,
     // exact HUGEINT sufficient stats per type, the same fixed IEEE tree
     // for d and the Hedges correction, 6-dp floor-quantized
     "q_cohens_d" ->

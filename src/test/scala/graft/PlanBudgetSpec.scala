@@ -554,6 +554,19 @@ class PlanBudgetSpec extends AnyFunSuite {
                                       // iSide / output join); staged
                                       // execution runs calibration once
     ("q_avg_precision", 3, 0),        // per-source rank window + keyed agg
+    // round-9 additions (audited via graft.PlanAudit at sf0.001, +1
+    // headroom on the staged-vs-audit-mode recompute)
+    ("q_cohens_d", 3, 1),             // one per-type stats agg; the 5-row
+                                      // pair grid broadcast-self-joins
+    ("q_conformal", 6, 1),            // train agg broadcast onto the calib
+                                      // scan + score tie-block rank windows
+    ("q_energy_dist", 8, 3),          // the emdDrift two-phase machinery:
+                                      // tie blocks, bucket offsets/totals
+                                      // broadcast, partitioned cumsums
+    ("q_jl_transform", 2, 2),         // 50-row panel; projections scan-local,
+                                      // the pair grid broadcast
+    ("q_repeated_spans", 2, 0),       // ONE map-side-combined gram count +
+                                      // TakeOrdered; no joins, no windows
     ("q_cochran_q", 13, 5),           // = q_dedup_compare's flag lineage
                                       // reduced to one stats row
     ("q_fleiss_kappa", 13, 5),        // same shared rater-stats row

@@ -92,6 +92,33 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(corr > 0.3, s"projection lost the geometry: corr $corr")
   }
 
+  test("energy distance: brute pair-sum replay, metric laws") {
+    val row = ops.Statistics.energyDistance(spark, sf).collect().head
+    val ev = Tables.events(spark, sf)
+      .filter(col("event_type").isin("click", "view") && col("value").isNotNull)
+      .select(col("event_type"),
+        floor(col("value") * 1000000 + lit(0.5)).cast("long").as("m"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val x = ev.filter(_._1 == "click").map(_._2)
+    val y = ev.filter(_._1 == "view").map(_._2)
+    assert(row.getLong(0) == x.length && row.getLong(1) == y.length)
+    def pairSum(a: Array[Long], b: Array[Long]): BigInt =
+      a.foldLeft(BigInt(0))((acc, xi) =>
+        acc + b.foldLeft(BigInt(0))((s, yj) => s + BigInt(math.abs(xi - yj))))
+    val q6 = (v: Double) => math.floor(v * 1e6 + 0.5) / 1e6
+    val exy = pairSum(x, y).toDouble / (x.length.toDouble * y.length) / 1e6
+    val exx = pairSum(x, x).toDouble / (x.length.toDouble * x.length) / 1e6
+    val eyy = pairSum(y, y).toDouble / (y.length.toDouble * y.length) / 1e6
+    assert(math.abs(row.getDouble(2) - q6(exy)) < 1e-5, "E|X-Y| replay")
+    assert(math.abs(row.getDouble(3) - q6(exx)) < 1e-5, "E|X-X'| replay")
+    assert(math.abs(row.getDouble(4) - q6(eyy)) < 1e-5, "E|Y-Y'| replay")
+    val d2 = 2 * exy - exx - eyy
+    assert(math.abs(row.getDouble(5) - q6(d2)) < 1e-5, "D2 replay")
+    // energy distance is nonnegative and zero iff equal distributions
+    assert(row.getDouble(5) >= -1e-9)
+    assert(row.getDouble(6) >= -1e-9, "scaled statistic nonnegative")
+  }
+
   test("repeated spans: every reported span recounts across >= 2 docs") {
     val rows = ops.Dedup.repeatedSpans(spark, sf).collect()
     assert(rows.length <= 50)
