@@ -1006,6 +1006,54 @@ object Statistics {
         .as("df"))
   }
 
+  /** Equivalence margin for [[tost]] in value units — the click/view
+    * means differ by ~tens on the fixture, so ±5 exercises both
+    * rejection and non-rejection across fixture scales. */
+  private val TostMargin = 5.0
+
+  /** TOST equivalence test (two one-sided tests) between the click and
+    * view value means — the INVERSE question of [[abTtest]]: a
+    * non-significant t does NOT show equivalence; TOST does, by
+    * rejecting BOTH "diff ≤ −δ" and "diff ≥ +δ" — the schuirmann
+    * procedure every "the new data mix changes nothing" claim actually
+    * needs. t_lower = (d̄+δ)/se, t_upper = (δ−d̄)/se; equivalent ⟺ both
+    * clear the one-sided 5% normal critical value 1.645 (df is in the
+    * thousands here, where t ≈ z — the constant is pinned, not computed).
+    *
+    * Determinism: the [[abTtest]] sufficient statistics (exact DECIMAL
+    * sums cast once), the same Welch se tree, both t's one fixed tree
+    * each, 6-dp-rounded; the flag compares the UNROUNDED doubles — the
+    * identical tree in both engines.
+    *
+    * Scale shape: ONE map-side-combined aggregate to a single row. */
+  def tost(s: SparkSession, d: String): DataFrame = {
+    val dec = (c: Column) => c.cast(DecimalType(30, 8))
+    val base = Tables.events(s, d)
+      .filter(col("event_type").isin("click", "view") && col("value").isNotNull)
+      .agg(
+        sum((col("event_type") === "click").cast("long")).as("n1"),
+        sum((col("event_type") === "view").cast("long")).as("n2"),
+        sum(when(col("event_type") === "click", dec(col("value")))).cast("double").as("s1"),
+        sum(when(col("event_type") === "view", dec(col("value")))).cast("double").as("s2"),
+        sum(when(col("event_type") === "click", dec(col("value") * col("value")))).cast("double").as("q1"),
+        sum(when(col("event_type") === "view", dec(col("value") * col("value")))).cast("double").as("q2"))
+    val n1d = col("n1").cast("double")
+    val n2d = col("n2").cast("double")
+    val m1 = col("s1") / n1d
+    val m2 = col("s2") / n2d
+    val se1 = ((col("q1") - col("s1") * col("s1") / n1d) / (n1d - lit(1.0))) / n1d
+    val se2 = ((col("q2") - col("s2") * col("s2") / n2d) / (n2d - lit(1.0))) / n2d
+    val se = sqrt(se1 + se2)
+    val tLo = (m1 - m2 + lit(TostMargin)) / se
+    val tHi = (lit(TostMargin) - (m1 - m2)) / se
+    base.select(col("n1"), col("n2"),
+      round(m1 - m2, 6).as("mean_diff"),
+      round(se, 6).as("se"),
+      round(tLo, 6).as("t_lower"),
+      round(tHi, 6).as("t_upper"),
+      (tLo > lit(1.645) && tHi > lit(1.645)).cast("int").as("equivalent"))
+  }
+
   /** Benford first-significant-digit audit of `l_extendedprice` — the
     * fraud/synthetic-data forensic: organically-generated magnitudes
     * follow log₁₀(1+1/d); fabricated or truncated feeds don't. Reports
@@ -3071,6 +3119,7 @@ object Statistics {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cohens_d" -> (cohensD _),
     "q_energy_dist" -> (energyDistance _),
+    "q_tost" -> (tost _),
     "q_surv_median" -> (survMedian _),
     "q_rmst" -> (rmst _),
     "q_log_rank" -> (logRank _),
@@ -4837,6 +4886,34 @@ object Statistics {
         |ORDER BY monitor""".stripMargin,
     // every division/sqrt below acts on the SAME decimal-exact power sums
     // with an identical parse tree to the Spark Column expression
+    // the abTtest sufficient-statistic CTE, the two one-sided t trees,
+    // the pinned 1.645 critical value compared on the UNROUNDED doubles
+    "q_tost" ->
+      """WITH a AS (
+        |  SELECT CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |         CAST(SUM(CASE WHEN event_type = 'view'  THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |         CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(30,8)) END) AS DOUBLE) AS s1,
+        |         CAST(SUM(CASE WHEN event_type = 'view'  THEN CAST(value AS DECIMAL(30,8)) END) AS DOUBLE) AS s2,
+        |         CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value * value AS DECIMAL(30,8)) END) AS DOUBLE) AS q1,
+        |         CAST(SUM(CASE WHEN event_type = 'view'  THEN CAST(value * value AS DECIMAL(30,8)) END) AS DOUBLE) AS q2
+        |  FROM events
+        |  WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+        |), b AS (
+        |  SELECT n1, n2,
+        |         s1 / CAST(n1 AS DOUBLE) AS m1,
+        |         s2 / CAST(n2 AS DOUBLE) AS m2,
+        |         sqrt(((q1 - s1 * s1 / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0e0)) / CAST(n1 AS DOUBLE)
+        |              + ((q2 - s2 * s2 / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0e0)) / CAST(n2 AS DOUBLE)) AS se
+        |  FROM a
+        |)
+        |SELECT n1, n2,
+        |       round(m1 - m2, 6) AS mean_diff,
+        |       round(se, 6) AS se,
+        |       round((m1 - m2 + 5.0e0) / se, 6) AS t_lower,
+        |       round((5.0e0 - (m1 - m2)) / se, 6) AS t_upper,
+        |       CAST((m1 - m2 + 5.0e0) / se > 1.645e0
+        |            AND (5.0e0 - (m1 - m2)) / se > 1.645e0 AS INTEGER) AS equivalent
+        |FROM b""".stripMargin,
     "q_ab_ttest" ->
       """WITH a AS (
         |  SELECT CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n1,

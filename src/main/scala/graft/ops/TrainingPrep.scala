@@ -588,7 +588,52 @@ object TrainingPrep {
       .orderBy("bucket")
   }
 
+  /** Curriculum data ordering — the TRAINING-ORDER layer between the
+    * split and the packer: documents are phased easy → hard (short →
+    * long by n_chars, the standard length curriculum) and SHUFFLED
+    * within each phase by a keyed hash (a sorted-by-difficulty stream
+    * would feed the model pathological mini-batches; the curriculum
+    * literature shuffles within stages). The emitted `position` is the
+    * global training order a loader consumes.
+    *
+    * Determinism: phases are fixed-threshold buckets of n_chars against
+    * the broadcast (min, max) extent — scan-local, no rank windows; the
+    * within-phase shuffle key is md5(doc_id) with a doc_id tie-break (a
+    * total order); global positions come from per-phase local ranks +
+    * broadcast phase offsets (the 3-row triangular cumsum — the
+    * q_zorder_pruning offsets recipe, never an unpartitioned window).
+    *
+    * Scale shape: one extent broadcast, ONE phase-partitioned rank
+    * window (3 partitions spanning the corpus — at 100 TB each phase
+    * sorts in parallel across its executors), a 3-row offsets frame
+    * broadcast back. */
+  def curriculum(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+    val ext = docs.agg(min("n_chars").as("lo"), max("n_chars").as("hi"))
+    val phased = graft.util.Ckpt.stage(docs.crossJoin(broadcast(ext))
+      .withColumn("phase",
+        when(col("hi") === col("lo"), lit(0)).otherwise(
+          least(lit(2), floor((col("n_chars") - col("lo")) * 3 /
+            (col("hi") - col("lo") + 1)).cast("int"))))
+      .withColumn("h", md5(col("doc_id").cast("string")))
+      .drop("lo", "hi"))
+    val cnts = phased.groupBy("phase").agg(count(lit(1)).as("cnt"))
+    val offs = cnts
+      .join(broadcast(cnts.select(col("phase").as("p2"), col("cnt").as("c2"))),
+        col("p2") < col("phase"), "left")
+      .groupBy("phase")
+      .agg(coalesce(sum("c2"), lit(0L)).as("off"))
+    val w = Window.partitionBy("phase").orderBy("h", "doc_id")
+    phased
+      .withColumn("lrn", row_number().over(w).cast("long"))
+      .join(broadcast(offs), "phase")
+      .select(col("doc_id"), col("n_chars"), col("phase"),
+        (col("off") + col("lrn")).as("position"))
+      .orderBy("position")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_curriculum" -> (curriculum _),
     "q_feature_hash" -> (featureHash _),
     "q_target_encode" -> (targetEncode _),
     "q_neyman_alloc" -> (neymanAlloc _),
@@ -610,6 +655,30 @@ object TrainingPrep {
     s"list_transform(range(1, len($WordsSql)), i -> $WordsSql[i] || ' ' || $WordsSql[i+1])"
 
   val oracle: Map[String, String] = Map(
+    // fixed-threshold phases against the extent, md5 shuffle key,
+    // per-phase row_number + offsets — the same total order
+    "q_curriculum" ->
+      """WITH ext AS (
+        |  SELECT min(n_chars) AS lo, max(n_chars) AS hi FROM documents
+        |), ph AS (
+        |  SELECT doc_id, n_chars,
+        |         CASE WHEN e.hi = e.lo THEN 0
+        |              ELSE least(2, CAST(floor(CAST((n_chars - e.lo) * 3 AS DOUBLE)
+        |                                       / (e.hi - e.lo + 1)) AS INTEGER)) END AS phase,
+        |         md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents, ext e
+        |), offs AS (
+        |  SELECT a.phase, CAST(coalesce(sum(b.cnt), 0) AS BIGINT) AS off
+        |  FROM (SELECT phase, count(*) AS cnt FROM ph GROUP BY phase) a
+        |  LEFT JOIN (SELECT phase, count(*) AS cnt FROM ph GROUP BY phase) b
+        |    ON b.phase < a.phase
+        |  GROUP BY a.phase
+        |)
+        |SELECT ph.doc_id, ph.n_chars, ph.phase,
+        |       offs.off + row_number() OVER (PARTITION BY ph.phase
+        |                                     ORDER BY ph.h, ph.doc_id) AS position
+        |FROM ph JOIN offs USING (phase)
+        |ORDER BY position""".stripMargin,
     "q_feature_hash" ->
       """WITH toks AS (
         |  SELECT word,

@@ -567,6 +567,9 @@ class PlanBudgetSpec extends AnyFunSuite {
                                       // the pair grid broadcast
     ("q_repeated_spans", 2, 0),       // ONE map-side-combined gram count +
                                       // TakeOrdered; no joins, no windows
+    ("q_tost", 2, 0),                 // one 1-row sufficient-stat aggregate
+    ("q_curriculum", 5, 2),           // extent + 3-row offsets broadcast,
+                                      // ONE phase-partitioned rank window
     ("q_cochran_q", 13, 5),           // = q_dedup_compare's flag lineage
                                       // reduced to one stats row
     ("q_fleiss_kappa", 13, 5),        // same shared rater-stats row

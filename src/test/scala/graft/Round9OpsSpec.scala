@@ -119,6 +119,60 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(row.getDouble(6) >= -1e-9, "scaled statistic nonnegative")
   }
 
+  test("tost: one-sided t identity, flag consistency, Welch replay") {
+    val r = ops.Statistics.tost(spark, sf).collect().head
+    val se = r.getDouble(3)
+    val (tLo, tHi) = (r.getDouble(4), r.getDouble(5))
+    // identity: t_lower + t_upper = 2*delta/se regardless of the data
+    assert(math.abs((tLo + tHi) - 2 * 5.0 / se) < 1e-3, "TOST t identity")
+    val eq = r.getInt(6)
+    assert(eq == (if (tLo > 1.645 && tHi > 1.645) 1 else 0), "flag consistency")
+    // Welch se replay from raw values
+    val ev = Tables.events(spark, sf)
+      .filter(col("event_type").isin("click", "view") && col("value").isNotNull)
+      .select("event_type", "value").collect()
+      .map(x => (x.getString(0), x.getDouble(1)))
+    def stats(t: String) = {
+      val v = ev.filter(_._1 == t).map(_._2)
+      val m = v.sum / v.length
+      (v.length, m, v.map(x => (x - m) * (x - m)).sum / (v.length - 1))
+    }
+    val (n1, m1, v1) = stats("click"); val (n2, m2, v2) = stats("view")
+    assert(r.getLong(0) == n1 && r.getLong(1) == n2)
+    assert(math.abs(r.getDouble(2) - (m1 - m2)) < 1e-4, "mean diff replay")
+    assert(math.abs(se - math.sqrt(v1 / n1 + v2 / n2)) < 1e-4, "Welch se replay")
+  }
+
+  test("curriculum: positions are a permutation, phases ordered, shuffled within") {
+    val out = ops.TrainingPrep.curriculum(spark, sf).collect()
+    val n = Tables.documents(spark, sf).count()
+    assert(out.length.toLong == n)
+    // positions are exactly 1..N
+    assert(out.map(_.getLong(3)).sorted.toSeq == (1L to n).toSeq)
+    // phase blocks are contiguous in position order: max pos of phase p
+    // < min pos of phase p+1
+    val byPhase = out.groupBy(_.getInt(2)).view
+      .mapValues(rs => (rs.map(_.getLong(3)).min, rs.map(_.getLong(3)).max)).toMap
+    byPhase.keys.toSeq.sorted.sliding(2).foreach {
+      case Seq(a, b) => assert(byPhase(a)._2 < byPhase(b)._1, s"phases $a/$b overlap")
+      case _ =>
+    }
+    // easy -> hard: mean n_chars strictly increases across phases
+    val meansByPhase = out.groupBy(_.getInt(2)).view
+      .mapValues(rs => rs.map(_.getLong(1).toDouble).sum / rs.length).toMap
+    meansByPhase.keys.toSeq.sorted.sliding(2).foreach {
+      case Seq(a, b) => assert(meansByPhase(a) < meansByPhase(b), "length curriculum")
+      case _ =>
+    }
+    // the within-phase shuffle actually shuffles: in at least one phase
+    // the doc_id sequence in position order is not monotone
+    val shuffled = out.groupBy(_.getInt(2)).values.exists { rs =>
+      val ids = rs.sortBy(_.getLong(3)).map(_.getLong(0))
+      ids.zip(ids.drop(1)).exists { case (a, b) => a > b }
+    }
+    assert(shuffled, "md5 key must break doc_id order inside phases")
+  }
+
   test("repeated spans: every reported span recounts across >= 2 docs") {
     val rows = ops.Dedup.repeatedSpans(spark, sf).collect()
     assert(rows.length <= 50)
