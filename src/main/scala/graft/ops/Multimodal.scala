@@ -230,6 +230,62 @@ object Multimodal {
           "aggregate(sequence(32, 63), 0L, (acc, i) -> acc + IF(i < len AND len * ascii(substring(text, i + 1, 1)) > bsum, shiftleft(1L, i - 32), 0L))"))
         .select(col("doc_id"), col("ahash_hi"), col("ahash_lo")))
 
+  /** Integer-quantized DCT-II basis for [[mediaPhash]]: entry [k][i] =
+    * round(cos(π(2i+1)(k+1)/128)·10⁶) — computed ONCE here and
+    * interpolated verbatim into the oracle, so both engines consume the
+    * IDENTICAL integer matrix and no libm cos ever runs on the data
+    * path (the Benford discipline, applied to a whole basis). Values
+    * ≤ 10⁶ are exact in float AND double. */
+  private[graft] val phashCos: Array[Array[Int]] =
+    Array.tabulate(64)(k0 => Array.tabulate(64)(i =>
+      math.round(math.cos(math.Pi * (2 * i + 1) * (k0 + 1) / 128.0) * 1000000).toInt))
+
+  /** Shared (doc_id, phash_hi, phash_lo) frame for [[mediaPhash]]: the
+    * 64-bit DCT perceptual hash over the first 64 media stream bytes —
+    * bit k is the SIGN of the k-th (DC-skipped) DCT-II coefficient
+    * c_k = Σ xᵢ·icos[k][i], an exact integer-valued double (bytes ≤ 255,
+    * basis entries ≤ 10⁶, 64 terms ≪ 2⁵³ — every product and the sum are
+    * exact, so the sum order cannot matter and the two engines agree
+    * bit-for-bit). */
+  private def phashFrame(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.VectorExpressions.floatDot
+    val lenC = least(octet_length(col("text")), lit(64))
+    val xv = array((0 until 64).map(i =>
+      when(lit(i) < lenC,
+        expr(s"CAST(ascii(substring(text, ${i + 1}, 1)) AS FLOAT)"))
+        .otherwise(lit(0f))): _*)
+    val coeffs = graft.util.Ckpt.stage(
+      Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .withColumn("xv", xv)
+        .select(Seq(col("doc_id")) ++ (0 until 64).map(k =>
+          floatDot(col("xv"), array(phashCos(k).map(v => lit(v.toFloat)): _*))
+            .as(s"c$k")): _*))
+    val hi = (0 until 32).map(k =>
+      when(col(s"c$k") > 0, lit(1L << k)).otherwise(lit(0L))).reduce(_ + _)
+    val lo = (32 until 64).map(k =>
+      when(col(s"c$k") > 0, lit(1L << (k - 32))).otherwise(lit(0L))).reduce(_ + _)
+    coeffs.select(col("doc_id"), hi.as("phash_hi"), lo.as("phash_lo"))
+  }
+
+  /** DCT perceptual hash (pHash) dedup groups — the FREQUENCY-domain
+    * companion to [[mediaAhash]] (aHash thresholds raw bytes, so a
+    * uniform brightness shift flips many bits; pHash signs low-frequency
+    * DCT coefficients, which survive smooth global changes — the
+    * standard second-pass perceptual fingerprint). Same collision-group
+    * output shape as aHash: exact 64-bit matches with their group size.
+    *
+    * Scale shape: hashing is row-local codegen (64 dot products against
+    * broadcast-literal basis rows); the group aggregate and join key on
+    * the 16-byte hash — bodies never exchanged. */
+  def mediaPhash(s: SparkSession, d: String): DataFrame = {
+    val hashed = phashFrame(s, d)
+    val groups = hashed.groupBy("phash_hi", "phash_lo")
+      .agg(count(lit(1)).as("n_dupes"))
+    hashed.join(groups, Seq("phash_hi", "phash_lo"))
+      .select(col("doc_id"), col("phash_hi"), col("phash_lo"), col("n_dupes"))
+      .orderBy("doc_id")
+  }
+
   def mediaAhash(s: SparkSession, d: String): DataFrame = {
     val hashed = ahashFrame(s, d)
     val groups = hashed.groupBy("ahash_hi", "ahash_lo")
@@ -309,6 +365,7 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_media_neardup"   -> (mediaNeardup _),
     "q_media_ahash"     -> (mediaAhash _),
+    "q_media_phash"     -> (mediaPhash _),
     "q_multimodal_meta" -> (multimodalMeta _),
     "q_media_decode"    -> (mediaDecode _),
     "q_frame_sample"    -> (frameSample _),
@@ -353,6 +410,43 @@ object Multimodal {
       |  GROUP BY b.doc_id
       |)""".stripMargin
 
+  /** [[mediaPhash]]'s oracle: the identical integer basis interpolated
+    * as 64 literal DOUBLE[] rows; every coefficient is an exact
+    * integer-valued double (sum order provably irrelevant), the sign
+    * bits pack into the same hi/lo halves. */
+  private def phashOracle: String = {
+    val coeffs = phashCos.zipWithIndex.map { case (row, k) =>
+      s"list_dot_product(xv, CAST(${row.mkString("[", ", ", "]")} AS DOUBLE[])) AS c$k"
+    }.mkString(",\n       ")
+    val hi = (0 until 32).map(k =>
+      s"(CASE WHEN c$k > 0 THEN ${1L << k} ELSE 0 END)").mkString(" + ")
+    val lo = (32 until 64).map(k =>
+      s"(CASE WHEN c$k > 0 THEN ${1L << (k - 32)} ELSE 0 END)").mkString(" + ")
+    s"""WITH x AS (
+       |  SELECT doc_id,
+       |         CAST(list_transform(range(0, 64),
+       |           i -> CASE WHEN i < least(octet_length(encode(text)), 64)
+       |                     THEN ascii(substring(text, CAST(i + 1 AS INTEGER), 1))
+       |                     ELSE 0 END) AS DOUBLE[]) AS xv
+       |  FROM documents
+       |), c AS (
+       |  SELECT doc_id,
+       |       $coeffs
+       |  FROM x
+       |), h AS (
+       |  SELECT doc_id,
+       |         CAST($hi AS BIGINT) AS phash_hi,
+       |         CAST($lo AS BIGINT) AS phash_lo
+       |  FROM c
+       |), g AS (
+       |  SELECT phash_hi, phash_lo, CAST(count(*) AS BIGINT) AS n_dupes
+       |  FROM h GROUP BY 1, 2
+       |)
+       |SELECT h.doc_id, h.phash_hi, h.phash_lo, g.n_dupes
+       |FROM h JOIN g USING (phash_hi, phash_lo)
+       |ORDER BY h.doc_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q_media_neardup" ->
       s"""WITH $AhashCte, keys AS (
@@ -375,6 +469,7 @@ object Multimodal {
          |FROM cand
          |WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 2
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_media_phash" -> phashOracle,
     "q_media_ahash" ->
       s"""WITH $AhashCte, g AS (
         |  SELECT ahash_hi, ahash_lo, CAST(count(*) AS BIGINT) AS n_dupes

@@ -50,6 +50,46 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.filter(col("byte_offset") =!= col("frame_idx") * 100).count() === 0)
   }
 
+  test("pHash: exact-dup docs collide, brightness shift flips few bits") {
+    import org.apache.spark.sql.functions._
+    val ph = ops.Multimodal.mediaPhash(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(ph.nonEmpty)
+    // identical texts must share the hash and be counted in one group
+    val byText = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    byText.groupBy(_._2).values.filter(_.length >= 2).foreach { grp =>
+      val hs = grp.map(g => (ph(g._1)._1, ph(g._1)._2)).distinct
+      assert(hs.length == 1, "exact duplicates must collide")
+      grp.foreach(g => assert(ph(g._1)._3 >= grp.length))
+    }
+    // non-constant across the corpus
+    assert(ph.values.map(v => (v._1, v._2)).toSet.size > 1)
+    // frequency-domain robustness: a uniform +10 brightness shift on the
+    // byte signal flips almost no sign bits (the DC-free basis rows sum
+    // to ~0, so the shift barely moves any coefficient)
+    def phashOf(bytes: Array[Int]): (Long, Long) = {
+      val x = Array.tabulate(64)(i => if (i < bytes.length) bytes(i).toDouble else 0.0)
+      var hi = 0L; var lo = 0L
+      for (k <- 0 until 64) {
+        var c = 0.0
+        for (i <- 0 until 64) c += x(i) * ops.Multimodal.phashCos(k)(i)
+        if (c > 0) { if (k < 32) hi |= 1L << k else lo |= 1L << (k - 32) }
+      }
+      (hi, lo)
+    }
+    val sample = byText.take(20)
+    val flips = sample.map { case (_, t) =>
+      val raw = t.getBytes("UTF-8").take(64).map(_ & 0xff)
+      val (h1, l1) = phashOf(raw)
+      val (h2, l2) = phashOf(raw.map(b => math.min(255, b + 10)))
+      java.lang.Long.bitCount(h1 ^ h2) + java.lang.Long.bitCount(l1 ^ l2)
+    }
+    val meanFlips = flips.sum.toDouble / flips.length
+    assert(meanFlips <= 8.0,
+      s"pHash must survive a global brightness shift (mean $meanFlips/64 bits flipped)")
+  }
+
   test("aHash near-dup finds exactly the brute-force Hamming<=2 pairs") {
     import org.apache.spark.sql.functions._
     val got = ops.Multimodal.mediaNeardup(spark, sf).collect()
