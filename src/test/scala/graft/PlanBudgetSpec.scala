@@ -563,8 +563,9 @@ class PlanBudgetSpec extends AnyFunSuite {
     ("q_energy_dist", 8, 3),          // the emdDrift two-phase machinery:
                                       // tie blocks, bucket offsets/totals
                                       // broadcast, partitioned cumsums
-    ("q_jl_transform", 2, 2),         // 50-row panel; projections scan-local,
-                                      // the pair grid broadcast
+    ("q_jl_transform", 2, 1),         // 50-row panel; projections scan-local,
+                                      // the pair grid broadcast (audit mode
+                                      // inlines the staged panel: 1/1)
     ("q_repeated_spans", 2, 0),       // ONE map-side-combined gram count +
                                       // TakeOrdered; no joins, no windows
     ("q_tost", 2, 0),                 // one 1-row sufficient-stat aggregate

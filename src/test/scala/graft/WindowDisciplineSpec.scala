@@ -50,7 +50,9 @@ class WindowDisciplineSpec extends AnyFunSuite {
     ("graft/ops/Statistics.scala", """val wo = Window.orderBy("dur")"""),
     ("graft/ops/Statistics.scala", """Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)))"""),
     ("graft/ops/Statistics.scala", """Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)))"""),
-    // two-phase rank-selection bucket grids (<= 1024 buckets)
+    // two-phase rank-selection bucket grids (<= 1024 buckets); the sixth
+    // site is q_energy_dist's bucket-offset prefix (round 9)
+    ("graft/ops/Statistics.scala", """val wb = Window.orderBy("bkt")"""),
     ("graft/ops/Statistics.scala", """val wb = Window.orderBy("bkt")"""),
     ("graft/ops/Statistics.scala", """val wb = Window.orderBy("bkt")"""),
     ("graft/ops/Statistics.scala", """val wb = Window.orderBy("bkt")"""),
