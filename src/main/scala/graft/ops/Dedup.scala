@@ -1091,8 +1091,62 @@ object Dedup {
       .limit(50)
   }
 
+  /** Per-document repeated-span coverage — the SECOND pass of the
+    * exact-substring dedup [[repeatedSpans]] seeds: for every document,
+    * the fraction of its tokens lying inside an 8-gram span that recurs
+    * in ≥ 2 distinct documents. Overlapping/adjacent spans merge into
+    * islands (interval union), so `covered_tokens` is the true union
+    * length — the "how much of this document is verbatim-duplicated
+    * elsewhere" number the drop/trim decision reads.
+    *
+    * Determinism: positions are 0-based gram offsets (unique per doc);
+    * island detection is the gaps-and-islands recipe over a doc-
+    * PARTITIONED window (new island ⟺ pos > running max end of the
+    * PRECEDING rows); counts exact BIGINTs; the share one quantized
+    * division.
+    *
+    * Scale shape: the gram explode is scan-local; the repeated-gram set
+    * is ONE map-side-combined aggregate; hits meet it through an
+    * equi-join on the gram (never broadcast — the set is
+    * corpus-proportional); island windows partition by doc_id. */
+  def spanCoverage(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextFeatures.words
+    import graft.functions.StringNgrams
+    val q6 = (c: org.apache.spark.sql.Column) =>
+      floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val grams = graft.util.Ckpt.stage(Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(StringNgrams.ngrams(words(col("text")), 8)).as(Seq("pos", "gram"))))
+    val repeated = grams.groupBy("gram")
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= 2).select("gram")
+    val hits = grams.join(repeated, "gram").select("doc_id", "pos")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val prevEnd = max(col("pos") + 8)
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val spans = hits
+      .withColumn("ni", (coalesce(prevEnd, lit(-1)) < col("pos")).cast("int"))
+      .withColumn("isl",
+        sum("ni").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "isl")
+      .agg(min("pos").as("st"), max(col("pos") + 8).as("en"))
+    val cov = spans.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("en") - col("st")).cast("long").as("covered"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), size(words(col("text"))).cast("long").as("n_tokens"))
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("covered"), lit(0L)).as("covered_tokens"),
+        q6(coalesce(col("covered"), lit(0L)).cast("double") /
+          col("n_tokens").cast("double")).as("share"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_repeated_spans" -> (repeatedSpans _),
+    "q_span_coverage" -> (spanCoverage _),
     "q_lsh_tuning" -> (lshTuning _),
     "q_sorted_neighborhood" -> (sortedNeighborhood _),
     "q_cdc_chunks" -> (cdcChunks _),
@@ -1529,6 +1583,45 @@ object Dedup {
         |HAVING count(DISTINCT doc_id) >= 2
         |ORDER BY n_occ DESC, gram ASC
         |LIMIT 50""".stripMargin,
+    // the same 0-based gram positions, gaps-and-islands interval union
+    // per doc, quantized share
+    "q_span_coverage" ->
+      """WITH g AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) - 1 AS pos,
+        |         array_to_string(list_slice(ws, CAST(i AS INTEGER), CAST(i AS INTEGER) + 7), ' ') AS gram
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |       unnest(range(1, greatest(len(ws) - 6, 1))) AS t(i)
+        |), rep AS (
+        |  SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+        |), h AS (
+        |  SELECT g.doc_id, g.pos FROM g JOIN rep USING (gram)
+        |), i1 AS (
+        |  SELECT doc_id, pos,
+        |         CASE WHEN coalesce(max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) < pos
+        |              THEN 1 ELSE 0 END AS ni
+        |  FROM h
+        |), i2 AS (
+        |  SELECT doc_id, pos,
+        |         sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+        |  FROM i1
+        |), sp AS (
+        |  SELECT doc_id, isl, min(pos) AS st, max(pos + 8) AS en
+        |  FROM i2 GROUP BY 1, 2
+        |), cv AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |         CAST(sum(en - st) AS BIGINT) AS covered
+        |  FROM sp GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+        |       coalesce(cv.n_spans, 0) AS n_spans,
+        |       coalesce(cv.covered, 0) AS covered_tokens,
+        |       floor(CAST(coalesce(cv.covered, 0) AS DOUBLE)
+        |             / CAST(len(string_split(d.text, ' ')) AS DOUBLE)
+        |             * 1000000.0 + 0.5) / 1000000.0 AS share
+        |FROM documents d LEFT JOIN cv USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     // the same squaring chains (s2=s*s, ..., u64=u32*u32) CASE-selected
     // per config; grid s = i/20; threshold = min grid s with p >= 0.5
     "q_lsh_tuning" ->

@@ -568,6 +568,10 @@ class PlanBudgetSpec extends AnyFunSuite {
                                       // inlines the staged panel: 1/1)
     ("q_repeated_spans", 2, 0),       // ONE map-side-combined gram count +
                                       // TakeOrdered; no joins, no windows
+    ("q_span_coverage", 7, 0),        // gram agg + gram equi-join + doc-
+                                      // partitioned island windows (audit
+                                      // mode recomputes the staged gram
+                                      // frame per branch; 4/2 staged)
     ("q_tost", 2, 0),                 // one 1-row sufficient-stat aggregate
     ("q_curriculum", 5, 2),           // extent + 3-row offsets broadcast,
                                       // ONE phase-partitioned rank window

@@ -173,6 +173,40 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(shuffled, "md5 key must break doc_id order inside phases")
   }
 
+  test("span coverage: brute interval-union replay per document") {
+    val out = ops.Dedup.spanCoverage(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def grams8(t: String): Seq[(String, Int)] = {
+      val w = t.split(" ", -1)
+      if (w.length < 8) Seq.empty
+      else w.sliding(8).zipWithIndex.map { case (g, i) => (g.mkString(" "), i) }.toSeq
+    }
+    val all = docs.flatMap { case (id, t) => grams8(t).map { case (g, p) => (g, id, p) } }
+    val repeated = all.groupBy(_._1).filter(_._2.map(_._2).distinct.length >= 2).keySet
+    assert(out.size == docs.length)
+    docs.foreach { case (id, t) =>
+      val (nTok, nSpans, covered, share) = out(id)
+      assert(nTok == t.split(" ", -1).length)
+      val hits = grams8(t).filter(g => repeated(g._1)).map(_._2).sorted
+      // brute interval union of [p, p+8)
+      var spans = 0L; var cov = 0L; var end = -1
+      hits.foreach { p =>
+        if (p > end) { spans += 1; cov += 8; end = p + 8 }
+        else { cov += (p + 8 - end).max(0); end = math.max(end, p + 8) }
+      }
+      assert(nSpans == spans, s"doc $id spans")
+      assert(covered == cov, s"doc $id covered")
+      assert(covered <= nTok, s"doc $id union cannot exceed the doc")
+      assert(math.abs(share - math.floor(cov.toDouble / nTok * 1e6 + 0.5) / 1e6) < 1e-12)
+    }
+    // the fixture's planted dups must make coverage non-trivial somewhere
+    assert(out.values.exists(_._3 > 0), "planted dups must produce covered spans")
+    assert(out.values.exists(_._3 == 0), "and clean docs must exist")
+  }
+
   test("repeated spans: every reported span recounts across >= 2 docs") {
     val rows = ops.Dedup.repeatedSpans(spark, sf).collect()
     assert(rows.length <= 50)
