@@ -85,9 +85,128 @@ def castscan(sfdirs):
           " the driver's build can differ even when this one agrees)")
     sys.exit(1 if total_bad else 0)
 
+def benchdiff(old_path, new_path, ratio=2.5, floor_sec=0.5):
+    """Bench-regression gate (VERDICT r9 item 3): diff two BENCH_FULL
+    per-query minima maps and fail on any query regressing more than
+    `ratio`x while costing over `floor_sec` in the new run. Catches the
+    r8 q_kmeans_step / r9 q_kmeans_train class at build time instead of
+    judge time. Usage: dev/check.py --benchdiff OLD.json NEW.json
+    (OLD is typically the committed BENCH_FULL.json of the last round:
+     `git show HEAD:BENCH_FULL.json > /tmp/old.json`).
+    """
+    old = json.load(open(old_path)).get("queries", {})
+    new = json.load(open(new_path)).get("queries", {})
+    bad = []
+    for q, t_new in sorted(new.items()):
+        t_old = old.get(q)
+        if t_old is None or t_old <= 0:
+            continue  # new query this round — no baseline to regress from
+        if t_new > floor_sec and t_new > ratio * t_old:
+            bad.append((q, t_old, t_new))
+    for q, a, b in bad:
+        print(f"BENCHDIFF REGRESSION {q}: {a:.2f}s -> {b:.2f}s ({b/a:.1f}x)")
+    kept = [q for q in new if q in old]
+    print(f"== benchdiff: {len(bad)} regressions over {ratio}x "
+          f"(>{floor_sec}s) across {len(kept)} shared queries ==")
+    sys.exit(1 if bad else 0)
+
+def _rewrite_rounds(sql):
+    """Replace every 2-arg round(EXPR, N) with knife_round(EXPR, N)
+    (balanced-paren parse — round() sites nest arbitrarily deep in
+    generated CTE chains)."""
+    out, i, n_hits = [], 0, 0
+    while True:
+        j = sql.find("round(", i)
+        # skip identifiers ending in 'round(' (e.g. knife_round itself)
+        while j > 0 and (sql[j-1].isalnum() or sql[j-1] == "_"):
+            j = sql.find("round(", j + 1)
+        if j < 0:
+            out.append(sql[i:])
+            return "".join(out), n_hits
+        k, depth = j + len("round("), 1
+        while depth:
+            c = sql[k]
+            depth += (c == "(") - (c == ")")
+            k += 1
+        inner = sql[j + len("round("):k - 1]
+        d, lastc = 0, -1
+        for t, c in enumerate(inner):
+            d += (c == "(") - (c == ")")
+            if c == "," and d == 0:
+                lastc = t
+        scale = inner[lastc + 1:].strip() if lastc >= 0 else ""
+        if scale.isdigit():
+            out.append(sql[i:j])
+            out.append(f"knife_round({inner})")
+            n_hits += 1
+        else:
+            out.append(sql[i:k])  # 1-arg round: integer target, no 4-dp knife
+        i = k
+
+def knifescan(sfdir, outdir, names):
+    """Half-way-proximity scan (VERDICT r9 item 4): re-run every oracle
+    with round(x, n) replaced by a tripwire macro that ERRORS when its
+    input sits within 1e-5 grid units (1e-9 absolute at 4 dp) of a
+    *.xxx5 half-way point — the exact inputs on which Spark's BigDecimal
+    HALF_UP and DuckDB's C-double round() can disagree across builds
+    (PARITY.md section 3; the r9 q_jl_transform driver-red). A flagged
+    query is a LATENT driver-red even if today's compare passes: migrate
+    that site to the floor-quantize recipe (Det.q4).
+    """
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sfdir, f"{t}.parquet")
+        if not os.path.exists(p):
+            continue
+        if os.path.isdir(p):
+            p = os.path.join(p, "*.parquet")
+        src = f"read_parquet('{p}')"
+        if t == "events":
+            (ty,) = con.execute(f"SELECT typeof(ts) FROM {src} LIMIT 1").fetchone()
+            if ty == "BIGINT":
+                src = f"(SELECT * REPLACE (make_timestamp(ts // 1000) AS ts) FROM {src})"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
+    con.execute("""
+        CREATE MACRO knife_round(x, n) AS
+          CASE WHEN x IS NOT NULL
+                AND abs(CAST(x AS DOUBLE) * power(10, n)
+                        - floor(CAST(x AS DOUBLE) * power(10, n)) - 0.5) < 1e-5
+               THEN CAST(error(concat('knife-edge round() input: ',
+                                      CAST(x AS VARCHAR), ' at scale ',
+                                      CAST(n AS VARCHAR))) AS DOUBLE)
+               ELSE round(x, n) END""")
+    oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
+    names = names or sorted(oracle)
+    n_flag = n_ok = n_skip = 0
+    for name in names:
+        sql, hits = _rewrite_rounds(oracle[name])
+        if not hits:
+            n_skip += 1
+            continue
+        try:
+            con.execute(sql).fetchall()
+            print(f"KNIFE OK {name} ({hits} round sites clear)")
+            n_ok += 1
+        except Exception as e:
+            msg = str(e)
+            if "knife-edge" in msg:
+                print(f"KNIFE FLAG {name}: {msg.splitlines()[0][:160]}")
+                n_flag += 1
+            else:
+                print(f"KNIFE ERROR {name}: rewrite broke the SQL: {msg.splitlines()[0][:160]}")
+                n_flag += 1
+    print(f"== knifescan: {n_flag} flagged, {n_ok} clear, {n_skip} round-free ==")
+    sys.exit(1 if n_flag else 0)
+
 def main():
     if sys.argv[1] == "--castscan":
         castscan(sys.argv[2:] or sorted(glob.glob("/root/testdata/sf*")))
+        return
+    if sys.argv[1] == "--benchdiff":
+        benchdiff(sys.argv[2], sys.argv[3])
+        return
+    if sys.argv[1] == "--knifescan":
+        knifescan(sys.argv[2], sys.argv[3], sys.argv[4:])
         return
     sfdir, outdir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()

@@ -1528,7 +1528,7 @@ object Dedup {
        |               row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
        |        FROM documents) t),
        |$NormCteSql,
-       |${Similarity.neardupCteBody("0.3")},
+       |${Similarity.neardupCteBody(Similarity.NeardupThresh.toString)},
        |und AS MATERIALIZED (
        |  SELECT id1 AS src, id2 AS dst FROM e0
        |  UNION ALL SELECT id2, id1 FROM e0),

@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Tables
 import graft.functions.VectorExpressions.floatDot
+import graft.util.Det
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -31,6 +32,13 @@ object Similarity {
     * left-to-right accumulation) but stays inside WholeStageCodegen. */
   private def dot(a: Column, b: Column): Column = floatDot(a, b)
 
+  /** DuckDB mirror of [[Det.q4]]: `floor(x·10⁴+0.5)/10⁴` — the same IEEE
+    * op sequence in both engines (PARITY.md §3). Every oracle string in
+    * this file quantizes with this, never `round(x, 4)` (whose half-way
+    * tie-break is Spark BigDecimal HALF_UP vs DuckDB C-double — the r9
+    * q_jl_transform driver-red class). */
+  private[ops] def q4s(e: String): String = s"floor(($e) * 10000 + 0.5) / 10000"
+
   private def withNorm(df: DataFrame): DataFrame =
     df.select(col("vec_id"), col("label"), col("embedding").as("v"))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
@@ -50,7 +58,7 @@ object Similarity {
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
     n.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("qid"))
-      .withColumn("cos", round(dot(col("v"), col("qv")) / (col("norm") * col("qn")), 4))
+      .withColumn("cos", Det.q4(dot(col("v"), col("qv")) / (col("norm") * col("qn"))))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 10)
       .select(col("qid"), col("rn"), col("vec_id"), col("cos"))
@@ -72,7 +80,7 @@ object Similarity {
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qn"), col("bucket").as("qb"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
     base.join(broadcast(q), col("bucket") === col("qb") && col("vec_id") =!= col("qid"))
-      .withColumn("cos", round(dot(col("v"), col("qv")) / (col("norm") * col("qn")), 4))
+      .withColumn("cos", Det.q4(dot(col("v"), col("qv")) / (col("norm") * col("qn"))))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5)
       .select(col("qid"), col("rn"), col("vec_id"), col("cos"))
@@ -95,7 +103,7 @@ object Similarity {
   }
 
   private def rpProj(v: Column, i: Int): Column =
-    round(dot(v, array(rpPlanes(i).map(x => lit(x.toFloat)): _*)), 4)
+    Det.q4(dot(v, array(rpPlanes(i).map(x => lit(x.toFloat)): _*)))
 
   /** `bucket` with the bit at 1-based `pos` flipped. */
   private def flipAt(bucket: Column, pos: Column): Column =
@@ -152,7 +160,7 @@ object Similarity {
         explode(array(col("bucket"), col("flip_wi"))).as("qb"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
     base.join(broadcast(q), col("bucket") === col("qb") && col("vec_id") =!= col("qid"))
-      .withColumn("cos", round(dot(col("v"), col("qv")) / (col("norm") * col("qn")), 4))
+      .withColumn("cos", Det.q4(dot(col("v"), col("qv")) / (col("norm") * col("qn"))))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5)
       .select(col("qid"), col("rn"), col("vec_id"), col("cos"))
@@ -181,15 +189,18 @@ object Similarity {
     * the whole corpus).
     *
     * Determinism: each projected component is one [[FloatVectorDot]]
-    * against exact-integer planes, 4-dp-rounded; the projected cosine is
-    * a fixed left-to-right 16-term product sum over those rounded
-    * components, one division, 4-dp-rounded — the same tree in the
-    * DuckDB oracle's literal-matrix SQL. */
+    * against exact-integer planes, floor-quantized to 4 dp ([[Det.q4]] —
+    * NOT `round(x,4)`, whose half-way tie-break diverges between Spark's
+    * BigDecimal HALF_UP and DuckDB's C-double round, PARITY.md §3; this
+    * was round 9's one driver-red row); the projected cosine is a fixed
+    * left-to-right 16-term product sum over those quantized components,
+    * one division, floor-quantized — the same tree in the DuckDB
+    * oracle's literal-matrix SQL. */
   def jlTransform(s: SparkSession, d: String): DataFrame = {
     val n = once(withNorm(Tables.embeddings(s, d))
       .filter(col("vec_id") < 50).select("vec_id", "v", "norm"))
     val proj = (0 until JlDim).map(i =>
-      round(dot(col("v"), array(jlPlanes(i).map(x => lit(x.toFloat)): _*)), 4)
+      Det.q4(dot(col("v"), array(jlPlanes(i).map(x => lit(x.toFloat)): _*)))
         .as(s"p$i"))
     val p = once(n.select(Seq(col("vec_id"), col("v"), col("norm")) ++ proj: _*))
     val a = p.select(p.columns.map(c => col(c).as(s"a_$c")): _*)
@@ -199,9 +210,9 @@ object Similarity {
     val ssqB = (0 until JlDim).map(i => col(s"b_p$i") * col(s"b_p$i")).reduce(_ + _)
     a.join(broadcast(b), col("b_vec_id") > col("a_vec_id"))
       .select(col("a_vec_id").as("id1"), col("b_vec_id").as("id2"),
-        round(dot(col("a_v"), col("b_v")) / (col("a_norm") * col("b_norm")), 4)
+        Det.q4(dot(col("a_v"), col("b_v")) / (col("a_norm") * col("b_norm")))
           .as("cos_full"),
-        round(dotP / (sqrt(ssqA) * sqrt(ssqB)), 4).as("cos_proj"))
+        Det.q4(dotP / (sqrt(ssqA) * sqrt(ssqB))).as("cos_proj"))
       .withColumn("abs_err",
         floor(abs(col("cos_full") - col("cos_proj")) * 10000 + lit(0.5)) / 10000)
       .orderBy("id1", "id2")
@@ -227,14 +238,19 @@ object Similarity {
     Array.fill(NeardupBands * NeardupBandBits)(Array.fill(RpDim)(rng.nextInt(9) - 4))
   }
 
-  /** Embedding near-dup: pairs whose cosine exceeds 0.3, candidates from
+  /** Cosine threshold for [[embedNeardup]] and the [[graft.ops.Dedup]]
+    * family's embedding flag — interpolated into every generated oracle
+    * (never restated as a literal, so Spark and DuckDB cannot desync). */
+  private[ops] val NeardupThresh = 0.3
+
+  /** Embedding near-dup: pairs whose cosine exceeds [[NeardupThresh]], candidates from
     * the banded RP-LSH front end of [[bandedPairs]] — GEOMETRY-driven
     * recall (the fixture corpus has no planted vector dups — max pairwise
     * cosine ≈ 0.51 — so the threshold is calibrated to flag the heavy
     * tail; on real corpora the interesting regime is cosine ≥ 0.9 where
     * the band S-curve is ≈ 1). */
   def embedNeardup(s: SparkSession, d: String): DataFrame =
-    bandedPairs(once(withNorm(Tables.embeddings(s, d))), 0.3)
+    bandedPairs(once(withNorm(Tables.embeddings(s, d))), NeardupThresh)
       .orderBy("id1", "id2")
 
   /** The banded-LSH similarity-pair frame behind [[embedNeardup]]
@@ -265,7 +281,7 @@ object Similarity {
         size(col("v")).cast("string")))))
     val withP = guarded.select(Seq(col("vec_id"), col("label"), col("v"), col("norm")) ++
       (0 until nb).map(i =>
-        round(dot(col("v"), array(neardupPlanes(i).map(x => lit(x.toFloat)): _*)), 4)
+        Det.q4(dot(col("v"), array(neardupPlanes(i).map(x => lit(x.toFloat)): _*)))
           .as(s"p$i")): _*)
     val keys = (0 until NeardupBands).map { j =>
       concat((0 until NeardupBandBits).map(t =>
@@ -280,7 +296,7 @@ object Similarity {
       col("band").as("band2"), col("bkey").as("bkey2"))
     a.join(b, col("band") === col("band2") && col("bkey") === col("bkey2") &&
         col("id2") > col("id1"))
-      .withColumn("cos", round(dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 4))
+      .withColumn("cos", Det.q4(dot(col("v1"), col("v2")) / (col("n1") * col("n2"))))
       .filter(col("cos") >= thresh)
       .select(col("id1"), col("id2"), col("label1"), col("label2"), col("cos"))
       .distinct()
@@ -291,7 +307,7 @@ object Similarity {
     * fixture's banded-candidate cosine distribution so all three roles
     * (core / border / noise) are populated (at sf0.01: 148 core, 185
     * border, 167 noise over 19 clusters). */
-  private val DbEps = 0.3
+  private[ops] val DbEps = 0.3
   private val DbMinPts = 3L
 
   /** DBSCAN over the blocked embedding-similarity graph — density-based
@@ -389,7 +405,7 @@ object Similarity {
     val voters = n.filter(col("vec_id") % 50 =!= 0)
     val best = voters.crossJoin(broadcast(cents))
       .select(col("vec_id"),
-        round(dot(col("v"), col("cv")) / (col("norm") * col("cn")), 4).as("ccos"),
+        Det.q4(dot(col("v"), col("cv")) / (col("norm") * col("cn"))).as("ccos"),
         col("cid"))
       .groupBy("vec_id")
       .agg(max(struct(col("ccos"), (-col("cid")).as("negcid"))).as("b"))
@@ -400,13 +416,13 @@ object Similarity {
       .select(col("vec_id").as("qid"), col("label").as("true_label"),
         col("v").as("qv"), col("norm").as("qn"))
       .crossJoin(broadcast(cents))
-      .withColumn("pcos", round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 4))
+      .withColumn("pcos", Det.q4(dot(col("qv"), col("cv")) / (col("qn") * col("cn"))))
       .withColumn("crn", row_number().over(wCell))
       .filter(col("crn") <= 2)
       .select(col("qid"), col("true_label"), col("qv"), col("qn"), col("cid"))
     val wTop = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
     val votes = assigned.join(pr, "cid")
-      .withColumn("cos", round(dot(col("v"), col("qv")) / (col("norm") * col("qn")), 4))
+      .withColumn("cos", Det.q4(dot(col("v"), col("qv")) / (col("norm") * col("qn"))))
       .withColumn("rn", row_number().over(wTop))
       .filter(col("rn") <= 5)
     val wVote = Window.partitionBy("qid")
@@ -440,7 +456,7 @@ object Similarity {
     // row_number()=1 rank would.
     val best = n.crossJoin(broadcast(cents))
       .select(col("vec_id"),
-        round(dot(col("v"), col("cv")) / (col("norm") * col("cn")), 4).as("ccos"),
+        Det.q4(dot(col("v"), col("cv")) / (col("norm") * col("cn"))).as("ccos"),
         col("cid"))
       .groupBy("vec_id")
       .agg(max(struct(col("ccos"), (-col("cid")).as("negcid"))).as("b"))
@@ -451,14 +467,14 @@ object Similarity {
     val probes = n.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qn"))
       .crossJoin(broadcast(cents))
-      .withColumn("ccos", round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 4))
+      .withColumn("ccos", Det.q4(dot(col("qv"), col("cv")) / (col("qn") * col("cn"))))
       .withColumn("crn", row_number().over(wProbe))
       .filter(col("crn") <= 2)
       .select(col("qid"), col("qv"), col("qn"), col("cid"))
     val wTop = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
     assigned.join(broadcast(probes), Seq("cid"))
       .filter(col("vec_id") =!= col("qid"))
-      .withColumn("cos", round(dot(col("v"), col("qv")) / (col("norm") * col("qn")), 4))
+      .withColumn("cos", Det.q4(dot(col("v"), col("qv")) / (col("norm") * col("qn"))))
       .withColumn("rn", row_number().over(wTop))
       .filter(col("rn") <= 5)
       .select(col("qid"), col("rn"), col("vec_id"), col("cos"))
@@ -482,10 +498,10 @@ object Similarity {
       .withColumn("err", col("x") - col("q") * col("maxabs") / 127.0)
       .groupBy("vec_id")
       .agg(
-        round(max(col("maxabs")), 4).as("maxabs"),
-        round(sum((col("err") * col("err"))
+        Det.q4(max(col("maxabs"))).as("maxabs"),
+        Det.q8(sum((col("err") * col("err"))
           .cast(org.apache.spark.sql.types.DecimalType(30, 12))).cast("double")
-          / count(lit(1)), 8).as("mse"),
+          / count(lit(1))).as("mse"),
         countDistinct(col("q")).as("n_levels"))
       .orderBy("vec_id")
   }
@@ -651,8 +667,8 @@ object Similarity {
         sum((col("nq") === 0.0).cast("long")).as("n_zero"),
         min("nq").as("min_norm"),
         max("nq").as("max_norm"),
-        round(sum(col("nq").cast(DecimalType(18, 4))).cast("double") /
-          count(lit(1)).cast("double"), 6).as("mean_norm"))
+        Det.q6(sum(col("nq").cast(DecimalType(18, 4))).cast("double") /
+          count(lit(1)).cast("double")).as("mean_norm"))
       .orderBy("label")
   }
 
@@ -713,7 +729,7 @@ object Similarity {
     vk.crossJoin(broadcast(lastNrm))
       .select(col("dim"),
         (col("vq").cast("double") / lit(10000.0)).as("loading"),
-        round(col("nrm") / lit(1000000.0), 6).as("lambda"))
+        Det.q6(col("nrm") / lit(1000000.0)).as("lambda"))
       .orderBy("dim")
   }
 
@@ -760,7 +776,7 @@ object Similarity {
     val wTop = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
     n.join(broadcast(short), "vec_id")
       .join(broadcast(q), col("qid") === col("pqid"))
-      .withColumn("cos", round(dot(col("v"), col("qv")) / (col("norm") * col("qn")), 4))
+      .withColumn("cos", Det.q4(dot(col("v"), col("qv")) / (col("norm") * col("qn"))))
       .withColumn("rn", row_number().over(wTop))
       .filter(col("rn") <= 5)
       .select(col("qid"), col("rn"), col("vec_id"), col("cos"))
@@ -838,7 +854,7 @@ object Similarity {
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("norm").as("cn"))
     val asg = n.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("label"),
-        round(dot(col("v"), col("cv")) / (col("norm") * col("cn")), 4).as("ccos"),
+        Det.q4(dot(col("v"), col("cv")) / (col("norm") * col("cn"))).as("ccos"),
         col("cid"))
       .groupBy("vec_id", "label")
       .agg(max(struct(col("ccos"), (-col("cid")).as("negcid"))).as("b"))
@@ -920,7 +936,7 @@ object Similarity {
   private def ivfPqCellsOf(n: DataFrame, cents: DataFrame): DataFrame =
     n.crossJoin(broadcast(cents))
       .select(col("vec_id"),
-        round(dot(col("v"), col("ccv")) / (col("norm") * col("ccn")), 4).as("ccos"),
+        Det.q4(dot(col("v"), col("ccv")) / (col("norm") * col("ccn"))).as("ccos"),
         col("ccid"))
       .groupBy("vec_id")
       .agg(max(struct(col("ccos"), (-col("ccid")).as("negcid"))).as("b"))
@@ -933,7 +949,7 @@ object Similarity {
     n.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qn"))
       .crossJoin(broadcast(cents))
-      .withColumn("ccos", round(dot(col("qv"), col("ccv")) / (col("qn") * col("ccn")), 4))
+      .withColumn("ccos", Det.q4(dot(col("qv"), col("ccv")) / (col("qn") * col("ccn"))))
       .withColumn("crn", row_number().over(wProbe))
       .filter(col("crn") <= 2)
       .select(col("qid"), col("ccid").as("cell"))
@@ -1089,7 +1105,7 @@ object Similarity {
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("norm").as("cn"))
     val best = n.crossJoin(broadcast(cents))
       .select(col("vec_id"),
-        round(dot(col("v"), col("cv")) / (col("norm") * col("cn")), 4).as("ccos"),
+        Det.q4(dot(col("v"), col("cv")) / (col("norm") * col("cn"))).as("ccos"),
         col("cid"))
       .groupBy("vec_id")
       .agg(max(struct(col("ccos"), (-col("cid")).as("negcid"))).as("b"))
@@ -1099,7 +1115,7 @@ object Similarity {
     members
       .groupBy("cid", "dim")
       .agg(count(lit(1)).as("n_members"),
-        round(graft.util.Det.davg(col("x")), 4).as("dim_mean"))
+        Det.q4(graft.util.Det.davg(col("x"))).as("dim_mean"))
       .select(col("cid"), col("dim"), col("dim_mean"), col("n_members"))
       .orderBy("cid", "dim")
   }
@@ -1370,7 +1386,7 @@ object Similarity {
     */
   def mmrSelect(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    def q4d(c: Column) = round(c, 4).cast(DecimalType(8, 4))
+    def q4d(c: Column) = Det.q4(c).cast(DecimalType(8, 4))
     val base = once(withNorm(Tables.embeddings(s, d)))
     val probes = base.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qn"))
@@ -1431,7 +1447,7 @@ object Similarity {
   def kcenterInit(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     def distTo(v: Column, n: Column, pv: Column, pn: Column): Column =
-      (lit(1.0) - round(dot(v, pv) / (n * pn), 4)).cast(DecimalType(8, 4))
+      (lit(1.0) - Det.q4(dot(v, pv) / (n * pn))).cast(DecimalType(8, 4))
     val base = once(withNorm(Tables.embeddings(s, d)))
     val seed = base.filter(col("vec_id") === 0)
       .select(col("vec_id").as("pid"), col("v").as("pv"), col("norm").as("pn"))
@@ -1541,8 +1557,8 @@ object Similarity {
         col("norm").as("qn"), col("pnorm").as("qpn"))
     val j = once(base.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("qid"))
-      .withColumn("cosf", round(dot(col("v"), col("qv")) / (col("norm") * col("qn")), 4))
-      .withColumn("cosp", round(dot(col("p"), col("qp")) / (col("pnorm") * col("qpn")), 4))
+      .withColumn("cosf", Det.q4(dot(col("v"), col("qv")) / (col("norm") * col("qn"))))
+      .withColumn("cosp", Det.q4(dot(col("p"), col("qp")) / (col("pnorm") * col("qpn"))))
       .select("qid", "vec_id", "cosf", "cosp"))
     val wf = Window.partitionBy("qid").orderBy(col("cosf").desc, col("vec_id").asc)
     val wp = Window.partitionBy("qid").orderBy(col("cosp").desc, col("vec_id").asc)
@@ -1581,7 +1597,7 @@ object Similarity {
     val wTop = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
     val scored = once(n.filter(col("vec_id") % 50 =!= 0)
       .crossJoin(broadcast(q))
-      .withColumn("cos", round(dot(col("v"), col("qv")) / (col("norm") * col("qn")), 4))
+      .withColumn("cos", Det.q4(dot(col("v"), col("qv")) / (col("norm") * col("qn"))))
       .withColumn("rn", row_number().over(wTop))
       .select(col("qid"), col("vec_id"), col("cos"), col("rn")))
     val pos = scored.filter(col("rn") <= 5)
@@ -1745,7 +1761,7 @@ object Similarity {
     * and the six-family flag prefix in [[Dedup]]. */
   private[ops] def neardupCteBody(thresh: String): String = {
     val planes = neardupPlanes.zipWithIndex.map { case (p, i) =>
-      s"round(list_dot_product(v, CAST(${p.mkString("[", ", ", "]")} AS DOUBLE[])), 4) AS p$i"
+      s"floor((list_dot_product(v, CAST(${p.mkString("[", ", ", "]")} AS DOUBLE[]))) * 10000 + 0.5) / 10000 AS p$i"
     }.mkString(",\n       ")
     val keys = (0 until NeardupBands).map { j =>
       (0 until NeardupBandBits)
@@ -1764,10 +1780,10 @@ object Similarity {
        |e0 AS MATERIALIZED (
        |  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2,
        |         a.label AS label1, b.label AS label2,
-       |         round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 4) AS cos
+       |         floor((list_dot_product(a.v, b.v) / (a.norm * b.norm)) * 10000 + 0.5) / 10000 AS cos
        |  FROM bd a JOIN bd b
        |    ON a.band = b.band AND a.bkey = b.bkey AND b.vec_id > a.vec_id
-       |  WHERE round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 4) >= $thresh)""".stripMargin
+       |  WHERE floor((list_dot_product(a.v, b.v) / (a.norm * b.norm)) * 10000 + 0.5) / 10000 >= $thresh)""".stripMargin
   }
 
   /** Pointer-jumping rounds for the unrolled min-label closures below:
@@ -1804,14 +1820,17 @@ object Similarity {
     }.mkString(",\n")
 
   /** [[jlTransform]]'s oracle: the literal projection matrix, the same
-    * rounded components, the same left-to-right 16-term cosine tree. */
+    * floor-quantized components (PARITY.md §3 — `round()` is the r9
+    * driver-red class), the same left-to-right 16-term cosine tree. */
   private def jlOracle: String = {
     val planes = jlPlanes.zipWithIndex.map { case (p, i) =>
-      s"round(list_dot_product(v, CAST(${p.mkString("[", ", ", "]")} AS DOUBLE[])), 4) AS p$i"
+      s"${q4s(s"list_dot_product(v, CAST(${p.mkString("[", ", ", "]")} AS DOUBLE[]))")} AS p$i"
     }.mkString(",\n       ")
     val dotP = (0 until JlDim).map(i => s"a.p$i * b.p$i").mkString(" + ")
     val ssqA = (0 until JlDim).map(i => s"a.p$i * a.p$i").mkString(" + ")
     val ssqB = (0 until JlDim).map(i => s"b.p$i * b.p$i").mkString(" + ")
+    val cosFull = q4s("list_dot_product(a.v, b.v) / (a.norm * b.norm)")
+    val cosProj = q4s(s"($dotP) / (sqrt($ssqA) * sqrt($ssqB))")
     s"""WITH e AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
        |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS norm
@@ -1822,10 +1841,9 @@ object Similarity {
        |  FROM e
        |)
        |SELECT a.vec_id AS id1, b.vec_id AS id2,
-       |       round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 4) AS cos_full,
-       |       round(($dotP) / (sqrt($ssqA) * sqrt($ssqB)), 4) AS cos_proj,
-       |       floor(abs(round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 4)
-       |                 - round(($dotP) / (sqrt($ssqA) * sqrt($ssqB)), 4)) * 10000 + 0.5) / 10000 AS abs_err
+       |       $cosFull AS cos_full,
+       |       $cosProj AS cos_proj,
+       |       floor(abs($cosFull - $cosProj) * 10000 + 0.5) / 10000 AS abs_err
        |FROM p a JOIN p b ON b.vec_id > a.vec_id
        |ORDER BY id1, id2""".stripMargin
   }
@@ -1834,7 +1852,7 @@ object Similarity {
     * Spark plan (integer literals are exact in both engines). */
   private def rpOracle: String = {
     val planes = rpPlanes.zipWithIndex.map { case (p, i) =>
-      s"round(list_dot_product(v, CAST(${p.mkString("[", ", ", "]")} AS DOUBLE[])), 4) AS p$i"
+      s"floor((list_dot_product(v, CAST(${p.mkString("[", ", ", "]")} AS DOUBLE[]))) * 10000 + 0.5) / 10000 AS p$i"
     }.mkString(",\n         ")
     val bucketSql = (0 until RpBits).map(i => s"(CASE WHEN p$i >= 0 THEN '1' ELSE '0' END)").mkString(" || ")
     val absList = (0 until RpBits).map(i => s"abs(p$i)").mkString("[", ", ", "]")
@@ -1860,7 +1878,7 @@ object Similarity {
        |  SELECT vec_id AS qid, v AS qv, norm AS qn, unnest([bucket, probe]) AS qb
        |  FROM pb WHERE vec_id % 50 = 0
        |), sc AS (
-       |  SELECT qid, vec_id, round(list_dot_product(v, qv) / (norm * qn), 4) AS cos
+       |  SELECT qid, vec_id, floor((list_dot_product(v, qv) / (norm * qn)) * 10000 + 0.5) / 10000 AS cos
        |  FROM pb JOIN q ON bucket = qb AND vec_id <> qid
        |), r AS (
        |  SELECT qid, vec_id, cos,
@@ -1968,7 +1986,7 @@ object Similarity {
     // CASE, not greatest(): DuckDB's greatest() promotes DECIMAL args to
     // DOUBLE, which would leak the running max-sim (and so the score
     // arithmetic) out of the exact decimal domain
-    val newSim = "CAST(round(list_dot_product(c.v, p.v) / (c.norm * p.norm), 4) AS DECIMAL(8,4))"
+    val newSim = "CAST(floor((list_dot_product(c.v, p.v) / (c.norm * p.norm)) * 10000 + 0.5) / 10000 AS DECIMAL(8,4))"
     def step(i: Int) =
       s"""s${i + 1} AS (SELECT c.qid, c.vec_id, c.v, c.norm, c.rel,
          |  CASE WHEN $newSim > c.ms THEN $newSim ELSE c.ms END AS ms
@@ -1982,7 +2000,7 @@ object Similarity {
     s"""WITH $NormCte,
        |q AS (SELECT vec_id AS qid, v AS qv, norm AS qn FROM n WHERE vec_id % 50 = 0),
        |s0 AS (SELECT qid, n.vec_id,
-       |       CAST(round(list_dot_product(n.v, qv) / (n.norm * qn), 4) AS DECIMAL(8,4)) AS rel
+       |       CAST(floor((list_dot_product(n.v, qv) / (n.norm * qn)) * 10000 + 0.5) / 10000 AS DECIMAL(8,4)) AS rel
        |       FROM n, q WHERE n.vec_id <> qid),
        |top AS (SELECT qid, vec_id, rel FROM (
        |       SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, vec_id ASC) AS rr
@@ -1999,7 +2017,7 @@ object Similarity {
     * promotes DECIMAL args to DOUBLE. */
   private def kcenterOracle: String = {
     def d(cv: String, cn: String, pv: String, pn: String) =
-      s"CAST(1 - round(list_dot_product($cv, $pv) / ($cn * $pn), 4) AS DECIMAL(8,4))"
+      s"CAST(1 - floor((list_dot_product($cv, $pv) / ($cn * $pn)) * 10000 + 0.5) / 10000 AS DECIMAL(8,4))"
     def pick(i: Int) =
       s"p$i AS (SELECT * FROM s$i ORDER BY mind DESC, vec_id ASC LIMIT 1)"
     def step(i: Int) = {
@@ -2031,7 +2049,7 @@ object Similarity {
          |q AS (SELECT vec_id AS qid, v AS qv, norm AS qn FROM n WHERE vec_id % 50 = 0),
          |sc AS (
          |  SELECT q.qid, n.vec_id,
-         |         round(list_dot_product(n.v, q.qv) / (n.norm * q.qn), 4) AS cos
+         |         floor((list_dot_product(n.v, q.qv) / (n.norm * q.qn)) * 10000 + 0.5) / 10000 AS cos
          |  FROM n, q WHERE n.vec_id % 50 <> 0
          |), rk AS (
          |  SELECT qid, vec_id, cos,
@@ -2057,7 +2075,7 @@ object Similarity {
     // borders
     "q_dbscan" ->
       s"""WITH $NormCte,
-         |${neardupCteBody("0.3")},
+         |${neardupCteBody(DbEps.toString)},
          |und AS MATERIALIZED (
          |  SELECT id1 AS src, id2 AS dst FROM e0
          |  UNION ALL SELECT id2, id1 FROM e0
@@ -2101,19 +2119,19 @@ object Similarity {
          |  SELECT vec_id, label, v, norm, cid FROM (
          |    SELECT n.vec_id, n.label, n.v, n.norm, c.cid,
          |           row_number() OVER (PARTITION BY n.vec_id
-         |             ORDER BY round(list_dot_product(n.v, c.cv) / (n.norm * c.cn), 4) DESC, c.cid ASC) AS crn
+         |             ORDER BY floor((list_dot_product(n.v, c.cv) / (n.norm * c.cn)) * 10000 + 0.5) / 10000 DESC, c.cid ASC) AS crn
          |    FROM n, c WHERE n.vec_id % 50 <> 0) t
          |  WHERE crn = 1),
          |pr AS (
          |  SELECT qid, true_label, qv, qn, cid FROM (
          |    SELECT n.vec_id AS qid, n.label AS true_label, n.v AS qv, n.norm AS qn, c.cid,
          |           row_number() OVER (PARTITION BY n.vec_id
-         |             ORDER BY round(list_dot_product(n.v, c.cv) / (n.norm * c.cn), 4) DESC, c.cid ASC) AS crn
+         |             ORDER BY floor((list_dot_product(n.v, c.cv) / (n.norm * c.cn)) * 10000 + 0.5) / 10000 DESC, c.cid ASC) AS crn
          |    FROM n, c WHERE n.vec_id % 50 = 0) t
          |  WHERE crn <= 2),
          |sc AS (
          |  SELECT pr.qid, pr.true_label, asg.vec_id, asg.label,
-         |         round(list_dot_product(asg.v, pr.qv) / (asg.norm * pr.qn), 4) AS cos
+         |         floor((list_dot_product(asg.v, pr.qv) / (asg.norm * pr.qn)) * 10000 + 0.5) / 10000 AS cos
          |  FROM asg JOIN pr USING (cid)
          |), top AS (
          |  SELECT qid, true_label, label FROM (
@@ -2146,8 +2164,8 @@ object Similarity {
         |  FROM m WHERE vec_id % 50 = 0
         |), j AS (
         |  SELECT m.vec_id, q.qid,
-        |    round(list_dot_product(m.v, q.qv) / (m.norm * q.qn), 4) AS cosf,
-        |    round(list_dot_product(m.p, q.qp) / (m.pnorm * q.qpn), 4) AS cosp
+        |    floor((list_dot_product(m.v, q.qv) / (m.norm * q.qn)) * 10000 + 0.5) / 10000 AS cosf,
+        |    floor((list_dot_product(m.p, q.qp) / (m.pnorm * q.qpn)) * 10000 + 0.5) / 10000 AS cosp
         |  FROM m, q WHERE m.vec_id <> q.qid
         |), f AS (
         |  SELECT qid, vec_id FROM (
@@ -2208,7 +2226,7 @@ object Similarity {
         |       CAST(SUM(CASE WHEN nq = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
         |       min(nq) AS min_norm,
         |       max(nq) AS max_norm,
-        |       round(CAST(SUM(CAST(nq AS DECIMAL(18,4))) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mean_norm
+        |       floor((CAST(SUM(CAST(nq AS DECIMAL(18,4))) AS DOUBLE) / CAST(count(*) AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS mean_norm
         |FROM n GROUP BY label ORDER BY label""".stripMargin,
     "q_kcenter_init" -> kcenterOracle,
     "q_mmr_select" -> mmrOracle,
@@ -2256,7 +2274,7 @@ object Similarity {
       s"""WITH $NormCte,
          |q AS (SELECT vec_id AS qid, v AS qv, norm AS qn FROM n WHERE vec_id % 50 = 0),
          |sc AS (SELECT qid, vec_id,
-         |              round(list_dot_product(v, qv) / (norm * qn), 4) AS cos
+         |              floor((list_dot_product(v, qv) / (norm * qn)) * 10000 + 0.5) / 10000 AS cos
          |       FROM n, q WHERE vec_id <> qid),
          |r AS (SELECT qid, vec_id, cos,
          |             CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rn
@@ -2336,7 +2354,7 @@ object Similarity {
        |), $passes
        |SELECT v$PcaIters.dim,
        |       CAST(v$PcaIters.vq AS DOUBLE) / 10000.0e0 AS loading,
-       |       round(n$PcaIters.nrm / 1000000.0e0, 6) AS lambda
+       |       floor((n$PcaIters.nrm / 1000000.0e0) * 1000000 + 0.5) / 1000000 AS lambda
        |FROM v$PcaIters, n$PcaIters
        |ORDER BY dim""".stripMargin
   }
@@ -2367,7 +2385,7 @@ object Similarity {
         |  SELECT vec_id AS pqid, v AS qv, norm AS qn FROM n WHERE vec_id % 50 = 0
         |), rr AS (
         |  SELECT short.qid, short.vec_id,
-        |         round(list_dot_product(n.v, q.qv) / (n.norm * q.qn), 4) AS cos
+        |         floor((list_dot_product(n.v, q.qv) / (n.norm * q.qn)) * 10000 + 0.5) / 10000 AS cos
         |  FROM short
         |  JOIN n ON short.vec_id = n.vec_id
         |  JOIN q ON short.qid = q.pqid
@@ -2397,14 +2415,14 @@ object Similarity {
          |  SELECT vec_id, cid FROM (
          |    SELECT n.vec_id, c.cid,
          |           row_number() OVER (PARTITION BY n.vec_id
-         |             ORDER BY round(list_dot_product(n.v, c.cv) / (n.norm * c.cn), 4) DESC, c.cid ASC) AS crn
+         |             ORDER BY floor((list_dot_product(n.v, c.cv) / (n.norm * c.cn)) * 10000 + 0.5) / 10000 DESC, c.cid ASC) AS crn
          |    FROM n, c) t
          |  WHERE crn = 1),
          |pr AS (
          |  SELECT qid, cid FROM (
          |    SELECT n.vec_id AS qid, c.cid,
          |           row_number() OVER (PARTITION BY n.vec_id
-         |             ORDER BY round(list_dot_product(n.v, c.cv) / (n.norm * c.cn), 4) DESC, c.cid ASC) AS crn
+         |             ORDER BY floor((list_dot_product(n.v, c.cv) / (n.norm * c.cn)) * 10000 + 0.5) / 10000 DESC, c.cid ASC) AS crn
          |    FROM n, c WHERE n.vec_id % 50 = 0) t
          |  WHERE crn <= 2),
          |sv AS (
@@ -2465,9 +2483,9 @@ object Similarity {
         |  FROM m
         |)
         |SELECT vec_id,
-        |       round(max(maxabs), 4) AS maxabs,
-        |       round(CAST(SUM(CAST(err * err AS DECIMAL(30,12))) AS DOUBLE)
-        |             / count(*), 8) AS mse,
+        |       floor((max(maxabs)) * 10000 + 0.5) / 10000 AS maxabs,
+        |       floor((CAST(SUM(CAST(err * err AS DECIMAL(30,12))) AS DOUBLE)
+        |             / count(*)) * 100000000 + 0.5) / 100000000 AS mse,
         |       count(DISTINCT q) AS n_levels
         |FROM e GROUP BY vec_id
         |ORDER BY vec_id""".stripMargin,
@@ -2480,7 +2498,7 @@ object Similarity {
          |  SELECT vec_id, label, cid FROM (
          |    SELECT n.vec_id, n.label, c.cid,
          |           row_number() OVER (PARTITION BY n.vec_id
-         |             ORDER BY round(list_dot_product(n.v, c.cv) / (n.norm * c.cn), 4) DESC, c.cid ASC) AS crn
+         |             ORDER BY floor((list_dot_product(n.v, c.cv) / (n.norm * c.cn)) * 10000 + 0.5) / 10000 DESC, c.cid ASC) AS crn
          |    FROM n, c) t
          |  WHERE crn = 1),
          |cl AS (SELECT cid, label, count(*) AS cnt FROM asg GROUP BY cid, label),
@@ -2578,7 +2596,7 @@ object Similarity {
          |     FROM embeddings),
          |q AS (SELECT vec_id AS qid, v AS qv, norm AS qn, bucket AS qb FROM nb WHERE vec_id % 50 = 0),
          |sc AS (SELECT qid, vec_id,
-         |              round(list_dot_product(v, qv) / (norm * qn), 4) AS cos
+         |              floor((list_dot_product(v, qv) / (norm * qn)) * 10000 + 0.5) / 10000 AS cos
          |       FROM nb JOIN q ON bucket = qb AND vec_id <> qid),
          |r AS (SELECT qid, vec_id, cos,
          |             CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rn
@@ -2592,19 +2610,19 @@ object Similarity {
          |  SELECT vec_id, v, norm, cid FROM (
          |    SELECT n.vec_id, n.v, n.norm, c.cid,
          |           row_number() OVER (PARTITION BY n.vec_id
-         |             ORDER BY round(list_dot_product(n.v, c.cv) / (n.norm * c.cn), 4) DESC, c.cid ASC) AS crn
+         |             ORDER BY floor((list_dot_product(n.v, c.cv) / (n.norm * c.cn)) * 10000 + 0.5) / 10000 DESC, c.cid ASC) AS crn
          |    FROM n, c) t
          |  WHERE crn = 1),
          |pr AS (
          |  SELECT qid, qv, qn, cid FROM (
          |    SELECT n.vec_id AS qid, n.v AS qv, n.norm AS qn, c.cid,
          |           row_number() OVER (PARTITION BY n.vec_id
-         |             ORDER BY round(list_dot_product(n.v, c.cv) / (n.norm * c.cn), 4) DESC, c.cid ASC) AS crn
+         |             ORDER BY floor((list_dot_product(n.v, c.cv) / (n.norm * c.cn)) * 10000 + 0.5) / 10000 DESC, c.cid ASC) AS crn
          |    FROM n, c WHERE n.vec_id % 50 = 0) t
          |  WHERE crn <= 2),
          |sc AS (
          |  SELECT pr.qid, asg.vec_id,
-         |         round(list_dot_product(asg.v, pr.qv) / (asg.norm * pr.qn), 4) AS cos
+         |         floor((list_dot_product(asg.v, pr.qv) / (asg.norm * pr.qn)) * 10000 + 0.5) / 10000 AS cos
          |  FROM asg JOIN pr USING (cid)
          |  WHERE asg.vec_id <> pr.qid),
          |r AS (SELECT qid, vec_id, cos,
@@ -2614,7 +2632,7 @@ object Similarity {
          |ORDER BY qid, rn""".stripMargin,
     "q_embed_neardup" ->
       s"""WITH $NormCte,
-         |${neardupCteBody("0.3")}
+         |${neardupCteBody(NeardupThresh.toString)}
          |SELECT id1, id2, label1, label2, cos FROM e0
          |ORDER BY id1, id2""".stripMargin,
     // min-label propagation to the component minimum over the same
@@ -2622,7 +2640,7 @@ object Similarity {
     // base labels so every vector gets a component label
     "q_dedup_semantic" ->
       s"""WITH $NormCte,
-         |${neardupCteBody("0.3")},
+         |${neardupCteBody(NeardupThresh.toString)},
          |und AS MATERIALIZED (
          |  SELECT id1 AS src, id2 AS dst FROM e0
          |  UNION ALL SELECT id2, id1 FROM e0),
@@ -2638,7 +2656,7 @@ object Similarity {
          |  SELECT vec_id, v, cid FROM (
          |    SELECT n.vec_id, n.v, c.cid,
          |           row_number() OVER (PARTITION BY n.vec_id
-         |             ORDER BY round(list_dot_product(n.v, c.cv) / (n.norm * c.cn), 4) DESC, c.cid ASC) AS crn
+         |             ORDER BY floor((list_dot_product(n.v, c.cv) / (n.norm * c.cn)) * 10000 + 0.5) / 10000 DESC, c.cid ASC) AS crn
          |    FROM n, c) t
          |  WHERE crn = 1),
          |m AS (
@@ -2646,7 +2664,7 @@ object Similarity {
          |  SELECT cid, unnest(range(1, len(v) + 1)) - 1 AS dim, unnest(v) AS x FROM asg
          |)
          |SELECT cid, CAST(dim AS INTEGER) AS dim,
-         |       round(CAST(sum(CAST(x AS DECIMAL(24,6))) AS DOUBLE) / count(*), 4) AS dim_mean,
+         |       floor((CAST(sum(CAST(x AS DECIMAL(24,6))) AS DOUBLE) / count(*)) * 10000 + 0.5) / 10000 AS dim_mean,
          |       count(*) AS n_members
          |FROM m GROUP BY cid, dim
          |ORDER BY cid, dim""".stripMargin,

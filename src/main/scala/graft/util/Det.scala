@@ -31,6 +31,12 @@ object Det {
     * SQL mirror: `floor(x * 10000 + 0.5) / 10000`. */
   def q4(c: Column): Column = floor(c * 10000 + lit(0.5)) / 10000
 
+  /** [[q4]] at 6 dp. SQL mirror: `floor(x * 1000000 + 0.5) / 1000000`. */
+  def q6(c: Column): Column = floor(c * 1000000 + lit(0.5)) / 1000000
+
+  /** [[q4]] at 8 dp. SQL mirror: `floor(x * 100000000 + 0.5) / 100000000`. */
+  def q8(c: Column): Column = floor(c * 100000000 + lit(0.5)) / 100000000
+
   /** Timestamp → second-precision string. SQL mirror:
     * `strftime(ts, '%Y-%m-%d %H:%M:%S')`. */
   def fmtTs(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")

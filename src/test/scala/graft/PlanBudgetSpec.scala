@@ -563,9 +563,9 @@ class PlanBudgetSpec extends AnyFunSuite {
     ("q_energy_dist", 8, 3),          // the emdDrift two-phase machinery:
                                       // tie blocks, bucket offsets/totals
                                       // broadcast, partitioned cumsums
-    ("q_jl_transform", 2, 1),         // 50-row panel; projections scan-local,
-                                      // the pair grid broadcast (audit mode
-                                      // inlines the staged panel: 1/1)
+    ("q_jl_transform", 1, 1),         // 50-row panel; projections scan-local,
+                                      // the pair grid broadcast (re-audited
+                                      // r10 after the q4 quantize fix: 1/1)
     ("q_repeated_spans", 2, 0),       // ONE map-side-combined gram count +
                                       // TakeOrdered; no joins, no windows
     ("q_span_coverage", 7, 0),        // gram agg + gram equi-join + doc-
