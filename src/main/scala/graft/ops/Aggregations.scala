@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.util.Det
 import graft.Tables
 import graft.util.Det._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -131,9 +132,9 @@ object Aggregations {
     Tables.orders(s, d)
       .groupBy("o_orderstatus")
       .agg(
-        round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
-        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
-        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"))
+        Det.q4(expr("percentile(o_totalprice, 0.25)")).as("p25"),
+        Det.q4(expr("percentile(o_totalprice, 0.5)")).as("p50"),
+        Det.q4(expr("percentile(o_totalprice, 0.9)")).as("p90"))
       .orderBy("o_orderstatus")
 
   /** Mean/variance/stddev from decimal-exact power sums — the built-in
@@ -150,9 +151,9 @@ object Aggregations {
       .groupBy("event_type")
       .agg(
         n.as("n"),
-        round(sx / n, 4).as("mean"),
-        round(variance, 4).as("var_samp"),
-        round(sqrt(variance), 4).as("stddev_samp"))
+        Det.q4(sx / n).as("mean"),
+        Det.q4(variance).as("var_samp"),
+        Det.q4(sqrt(variance)).as("stddev_samp"))
       .orderBy("event_type")
   }
 
@@ -596,24 +597,24 @@ object Aggregations {
         |ORDER BY o_orderpriority""".stripMargin,
     "q_percentiles" ->
       """SELECT o_orderstatus,
-        |       round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
-        |       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
-        |       round(quantile_cont(o_totalprice, 0.9), 4) AS p90
+        |       floor((quantile_cont(o_totalprice, 0.25)) * 10000 + 0.5) / 10000 AS p25,
+        |       floor((quantile_cont(o_totalprice, 0.5)) * 10000 + 0.5) / 10000 AS p50,
+        |       floor((quantile_cont(o_totalprice, 0.9)) * 10000 + 0.5) / 10000 AS p90
         |FROM orders
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
     "q_stats_moments" ->
       """SELECT event_type,
         |       COUNT(value) AS n,
-        |       round(CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE) / COUNT(value), 4) AS mean,
-        |       round((CAST(SUM(CAST(value * value AS DECIMAL(30,8))) AS DOUBLE)
+        |       floor((CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE) / COUNT(value)) * 10000 + 0.5) / 10000 AS mean,
+        |       floor(((CAST(SUM(CAST(value * value AS DECIMAL(30,8))) AS DOUBLE)
         |              - CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE)
         |                * CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE) / COUNT(value))
-        |             / (COUNT(value) - 1), 4) AS var_samp,
-        |       round(sqrt((CAST(SUM(CAST(value * value AS DECIMAL(30,8))) AS DOUBLE)
+        |             / (COUNT(value) - 1)) * 10000 + 0.5) / 10000 AS var_samp,
+        |       floor((sqrt((CAST(SUM(CAST(value * value AS DECIMAL(30,8))) AS DOUBLE)
         |              - CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE)
         |                * CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE) / COUNT(value))
-        |             / (COUNT(value) - 1)), 4) AS stddev_samp
+        |             / (COUNT(value) - 1))) * 10000 + 0.5) / 10000 AS stddev_samp
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,

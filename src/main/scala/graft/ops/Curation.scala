@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.util.Det
 import graft.Tables
 import graft.functions.TextFeatures.words
 import graft.util.Det.{dsum, q4}
@@ -93,7 +94,7 @@ object Curation {
         count(lit(1)).as("n_spans"),
         sum((col("occ") > 1).cast("long")).as("n_dup_spans"))
       .withColumn("retained",
-        round((col("n_spans") - col("n_dup_spans")) / col("n_spans"), 4))
+        Det.q4((col("n_spans") - col("n_dup_spans")) / col("n_spans")))
       .orderBy("doc_id")
   }
 
@@ -249,7 +250,7 @@ object Curation {
       .join(fin.groupBy("source").agg(
           count(lit(1)).as("n_final"),
           sum(size(words(col("text")))).as("tokens_final"),
-          round(graft.util.Det.davg(col("quality")), 4).as("avg_q_final")),
+          Det.q4(graft.util.Det.davg(col("quality"))).as("avg_q_final")),
         Seq("source"), "left")
       .select(col("source"), col("n_raw"),
         coalesce(col("n_exact"), lit(0L)).as("n_exact"),
@@ -288,7 +289,7 @@ object Curation {
       .join(broadcast(sizes.select(col("source").as("s1"), col("n").as("n1"))), "s1")
       .join(broadcast(sizes.select(col("source").as("s2"), col("n").as("n2"))), "s2")
       .withColumn("jaccard",
-        round(col("shared") / (col("n1") + col("n2") - col("shared")), 4))
+        Det.q4(col("shared") / (col("n1") + col("n2") - col("shared"))))
       .select(col("s1"), col("s2"), col("shared"), col("n1"), col("n2"), col("jaccard"))
       .orderBy("s1", "s2")
   }
@@ -380,7 +381,7 @@ object Curation {
       .withColumn("n_src", count(lit(1)).over(Window.partitionBy("source")))
       .withColumn("qnorm",
         when(col("n_src") === 1, lit(0.0)).otherwise(
-          round((col("rank") - 1).cast("double") / (col("n_src") - 1).cast("double"), 6)))
+          Det.q6((col("rank") - 1).cast("double") / (col("n_src") - 1).cast("double"))))
       .select(col("doc_id"), col("source"), col("quality"), col("rank"), col("qnorm"))
       .orderBy("source", "rank")
   }
@@ -650,9 +651,9 @@ object Curation {
   /** [[TextAnalysis.qualityExpr]] in DuckDB SQL (kept in sync with the
     * q_quality_score oracle). */
   private val QualitySql =
-    s"""round(0.4 * (len(list_filter($WordsSql, w -> w IN ('the','a','of'))) / len($WordsSql))
+    s"""floor((0.4 * (len(list_filter($WordsSql, w -> w IN ('the','a','of'))) / len($WordsSql))
        |    + 0.3 / (1.0 + abs(length(replace(text, ' ', '')) / len($WordsSql) - 5.0))
-       |    + 0.3 * least(1.0, len($WordsSql) / 100.0), 4)""".stripMargin
+       |    + 0.3 * least(1.0, len($WordsSql) / 100.0)) * 10000 + 0.5) / 10000""".stripMargin
 
   private val SpansSql =
     s"""list_transform(range(0, CAST(ceil(len($WordsSql) / ${SpanWords}.0) AS INT)),
@@ -800,7 +801,7 @@ object Curation {
          |)
          |SELECT doc_id, source, quality, rank,
          |       CASE WHEN n_src = 1 THEN 0.0
-         |            ELSE round(CAST(rank - 1 AS DOUBLE) / CAST(n_src - 1 AS DOUBLE), 6) END AS qnorm
+         |            ELSE floor((CAST(rank - 1 AS DOUBLE) / CAST(n_src - 1 AS DOUBLE)) * 1000000 + 0.5) / 1000000 END AS qnorm
          |FROM r
          |ORDER BY source, rank""".stripMargin,
     "q_k_anonymity" ->
@@ -849,7 +850,7 @@ object Curation {
          |  GROUP BY 1, 2
          |)
          |SELECT s1, s2, shared, sa.n AS n1, sb.n AS n2,
-         |       round(shared / (sa.n + sb.n - shared), 4) AS jaccard
+         |       floor((shared / (sa.n + sb.n - shared)) * 10000 + 0.5) / 10000 AS jaccard
          |FROM p JOIN sz sa ON p.s1 = sa.source JOIN sz sb ON p.s2 = sb.source
          |ORDER BY s1, s2""".stripMargin,
     "q_curation_pipeline" ->
@@ -882,7 +883,7 @@ object Curation {
          |LEFT JOIN (SELECT source, count(*) AS n_quality FROM gd GROUP BY 1) g USING (source)
          |LEFT JOIN (SELECT source, count(*) AS n_final,
          |                  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens_final,
-         |                  round(CAST(SUM(CAST(quality AS DECIMAL(24,6))) AS DOUBLE) / count(*), 4) AS avg_q_final
+         |                  floor((CAST(SUM(CAST(quality AS DECIMAL(24,6))) AS DOUBLE) / count(*)) * 10000 + 0.5) / 10000 AS avg_q_final
          |           FROM fin GROUP BY 1) f USING (source)
          |ORDER BY r.source""".stripMargin,
     "q_cluster_rep" ->
@@ -907,7 +908,7 @@ object Curation {
          |)
          |SELECT doc_id, count(*) AS n_spans,
          |       CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
-         |       round((count(*) - sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)) / count(*), 4) AS retained
+         |       floor(((count(*) - sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)) / count(*)) * 10000 + 0.5) / 10000 AS retained
          |FROM occ GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin,
     "q_quality_quantile" ->
@@ -963,7 +964,7 @@ object Curation {
          |), t AS (SELECT sum(ws) AS tot FROM per
          |), tgt AS (
          |  SELECT source, n_docs,
-         |         CAST(floor(round(CAST(ws AS DOUBLE) / CAST(tot AS DOUBLE), 6) * $EpochDocs) AS BIGINT) AS target
+         |         CAST(floor(floor((CAST(ws AS DOUBLE) / CAST(tot AS DOUBLE)) * 1000000 + 0.5) / 1000000 * $EpochDocs) AS BIGINT) AS target
          |  FROM per, t
          |), pos AS (
          |  SELECT d.doc_id, d.source, g.target, g.n_docs,

@@ -1,8 +1,9 @@
 package graft.ops
 
+import graft.util.Det
 import graft.Tables
 import graft.functions.TextFeatures._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -398,7 +399,7 @@ object Dedup {
 
   private[graft] def ngramJaccardCapped(s: SparkSession, d: String, dfCap: Int): DataFrame =
     pairsWithSizes(s, d, dfCap)
-      .withColumn("jaccard", round(col("inter") / (col("n1") + col("n2") - col("inter")), 4))
+      .withColumn("jaccard", Det.q4(col("inter") / (col("n1") + col("n2") - col("inter"))))
       .filter(col("jaccard") >= 0.05)
       .select(col("d1"), col("d2"), col("inter"), col("jaccard"))
       .orderBy("d1", "d2")
@@ -415,8 +416,8 @@ object Dedup {
 
   private[graft] def containmentCapped(s: SparkSession, d: String, dfCap: Int): DataFrame =
     pairsWithSizes(s, d, dfCap)
-      .withColumn("cont_a_in_b", round(col("inter") / col("n1"), 4))
-      .withColumn("cont_b_in_a", round(col("inter") / col("n2"), 4))
+      .withColumn("cont_a_in_b", Det.q4(col("inter") / col("n1")))
+      .withColumn("cont_b_in_a", Det.q4(col("inter") / col("n2")))
       .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= 0.5)
       .select(col("d1"), col("d2"), col("inter"), col("n1"), col("n2"),
         col("cont_a_in_b"), col("cont_b_in_a"))
@@ -567,9 +568,14 @@ object Dedup {
         coalesce(col(c), lit(0)).as(c) }: _*)
   }
 
-  def dedupMethodCompare(s: SparkSession, d: String): DataFrame = {
+  def dedupMethodCompare(s: SparkSession, d: String): DataFrame =
+    compareFrom(familyFlags(s, d))
+
+  /** [[dedupMethodCompare]]'s aggregation over an already-built flags
+    * frame — shared with [[dedupReport]], which stages ONE familyFlags
+    * and derives every agreement statistic from it. */
+  private def compareFrom(joined: DataFrame): DataFrame = {
     val fams = CompareFams
-    val joined = familyFlags(s, d)
     val totals = fams.map { case (_, c, nm) => sum(col(c)).as(nm) }
     val overlaps = for {
       i <- fams.indices; j <- fams.indices if i < j
@@ -590,11 +596,16 @@ object Dedup {
     * doc_id (narrow), then stack() unpivots row-locally to 6 rows per
     * doc and one ≤6-row aggregate — nothing beyond the matrix's own
     * bucket-bounded inputs. */
-  def dedupSavings(s: SparkSession, d: String): DataFrame = {
+  def dedupSavings(s: SparkSession, d: String): DataFrame =
+    savingsFrom(s, d, familyFlags(s, d))
+
+  /** [[dedupSavings]] over an already-built flags frame (the
+    * [[dedupReport]] sharing seam). */
+  private def savingsFrom(s: SparkSession, d: String, ff: DataFrame): DataFrame = {
     val toks = Tables.documents(s, d).select(col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("t"))
     val tot = toks.agg(sum("t").as("tot"))
-    familyFlags(s, d).join(toks, "doc_id")
+    ff.join(toks, "doc_id")
       .select(col("t"), expr(
         """stack(6,
           |  'exact', f_exact, 'minhash', f_mh, 'wide', f_mhw,
@@ -740,7 +751,12 @@ object Dedup {
     * Scale shape: zero work beyond [[dedupMethodCompare]] — the 15 pair
     * rows explode from its single aggregated row on the driver-side-free
     * path (one generator over a 1-row frame). */
-  def dedupKappa(s: SparkSession, d: String): DataFrame = {
+  def dedupKappa(s: SparkSession, d: String): DataFrame =
+    kappaFrom(dedupMethodCompare(s, d))
+
+  /** [[dedupKappa]] off an already-aggregated compare row (the
+    * [[dedupReport]] sharing seam). */
+  private def kappaFrom(cmp: DataFrame): DataFrame = {
     val dec0 = org.apache.spark.sql.types.DecimalType(38, 0)
     val prs = for {
       i <- CompareFams.indices; j <- CompareFams.indices if i < j
@@ -748,7 +764,7 @@ object Dedup {
       lit(CompareFams(i)._1).as("fa"), lit(CompareFams(j)._1).as("fb"),
       col(CompareFams(i)._3).as("na"), col(CompareFams(j)._3).as("nb"),
       col(s"${CompareFams(i)._1}_and_${CompareFams(j)._1}").as("bt"))
-    val px = dedupMethodCompare(s, d)
+    val px = cmp
       .select(col("n_docs"), explode(array(prs: _*)).as("p"))
       .select(col("p.fa").as("family_a"), col("p.fb").as("family_b"),
         col("n_docs"), col("p.na").as("n_a"), col("p.nb").as("n_b"),
@@ -761,9 +777,8 @@ object Dedup {
     px.select(col("family_a"), col("family_b"), col("n_docs"),
         col("n_a"), col("n_b"), col("n_both"), agree.as("n_agree"),
         when(denom === lit(0), lit(null).cast("double"))
-          .otherwise(round(
-            (n.cast(dec0) * agree.cast(dec0) - peNum).cast("double") /
-              denom.cast("double"), 6)).as("kappa"))
+          .otherwise(Det.q6((n.cast(dec0) * agree.cast(dec0) - peNum).cast("double") /
+              denom.cast("double"))).as("kappa"))
       .orderBy("family_a", "family_b")
   }
 
@@ -772,14 +787,19 @@ object Dedup {
     * L_i over the six flags reduce to N, T = ΣL_i, ΣL_i², plus the six
     * column totals — everything both tests need, in one pass over
     * [[familyFlags]]. */
-  private def raterStats(s: SparkSession, d: String): DataFrame = {
+  private def raterStats(s: SparkSession, d: String): DataFrame =
+    raterStatsFrom(familyFlags(s, d))
+
+  /** [[raterStats]] over an already-built flags frame (the
+    * [[dedupReport]] sharing seam). */
+  private def raterStatsFrom(ff: DataFrame): DataFrame = {
     val l = CompareFams.map(f => col(f._2)).reduce(_ + _).cast("long")
     val aggs = Seq(
       count(lit(1)).as("n_docs"),
       sum(l).as("t"),
       sum(l * l).as("sum_l2")) ++
       CompareFams.map { case (_, c, nm) => sum(col(c).cast("long")).as(nm) }
-    familyFlags(s, d).agg(aggs.head, aggs.tail: _*)
+    ff.agg(aggs.head, aggs.tail: _*)
   }
 
   /** Cochran's Q across all SIX dedup families jointly — the k-rater
@@ -801,7 +821,12 @@ object Dedup {
     *
     * Scale shape: zero work beyond [[familyFlags]] — one
     * map-side-combined aggregate to a single row. */
-  def cochranQ(s: SparkSession, d: String): DataFrame = {
+  def cochranQ(s: SparkSession, d: String): DataFrame =
+    cochranFrom(raterStats(s, d))
+
+  /** [[cochranQ]] off an already-aggregated rater-stats row (the
+    * [[dedupReport]] sharing seam). */
+  private def cochranFrom(rs: DataFrame): DataFrame = {
     val dec0 = org.apache.spark.sql.types.DecimalType(38, 0)
     val k = lit(6L)
     val sumG2 = CompareFams.map { case (_, _, nm) =>
@@ -809,11 +834,11 @@ object Dedup {
     val num = (k - lit(1L)).cast(dec0) *
       (k.cast(dec0) * sumG2 - col("t").cast(dec0) * col("t").cast(dec0))
     val den = (k * col("t") - col("sum_l2")).cast(dec0)
-    raterStats(s, d).select(
+    rs.select(
       col("n_docs"), lit(6).as("k_raters"), col("t").as("n_flags"),
       col("sum_l2"),
       when(den === lit(0), lit(null).cast("double"))
-        .otherwise(round(num.cast("double") / den.cast("double"), 6))
+        .otherwise(Det.q6(num.cast("double") / den.cast("double")))
         .as("q_stat"))
   }
 
@@ -835,7 +860,12 @@ object Dedup {
     *
     * Scale shape: identical to [[cochranQ]] — one map-side-combined
     * aggregate over [[familyFlags]] to a single row. */
-  def fleissKappa(s: SparkSession, d: String): DataFrame = {
+  def fleissKappa(s: SparkSession, d: String): DataFrame =
+    fleissFrom(raterStats(s, d))
+
+  /** [[fleissKappa]] off an already-aggregated rater-stats row (the
+    * [[dedupReport]] sharing seam). */
+  private def fleissFrom(rs: DataFrame): DataFrame = {
     val dec0 = org.apache.spark.sql.types.DecimalType(38, 0)
     val n = col("n_docs").cast(dec0)
     val t = col("t").cast(dec0)
@@ -845,13 +875,13 @@ object Dedup {
     val dd = n * k * (k - lit(1L).cast(dec0))
     val e = t * t + (n * k - t) * (n * k - t)
     val m = (n * k) * (n * k)
-    raterStats(s, d).select(
+    rs.select(
       col("n_docs"), lit(6).as("k_raters"),
-      round(a.cast("double") / dd.cast("double"), 6).as("p_bar"),
-      round(e.cast("double") / m.cast("double"), 6).as("p_e"),
+      Det.q6(a.cast("double") / dd.cast("double")).as("p_bar"),
+      Det.q6(e.cast("double") / m.cast("double")).as("p_e"),
       when(m - e === lit(0), lit(null).cast("double"))
-        .otherwise(round((a * m - e * dd).cast("double") /
-          (dd * (m - e)).cast("double"), 6)).as("kappa"))
+        .otherwise(Det.q6((a * m - e * dd).cast("double") /
+          (dd * (m - e)).cast("double"))).as("kappa"))
   }
 
   /** McNemar's test between every pair of dedup families — the
@@ -875,14 +905,19 @@ object Dedup {
     *
     * Scale shape: zero work beyond [[dedupMethodCompare]] — 15 pair
     * rows explode from its single aggregated row. */
-  def mcnemarPairs(s: SparkSession, d: String): DataFrame = {
+  def mcnemarPairs(s: SparkSession, d: String): DataFrame =
+    mcnemarFrom(dedupMethodCompare(s, d))
+
+  /** [[mcnemarPairs]] off an already-aggregated compare row (the
+    * [[dedupReport]] sharing seam). */
+  private def mcnemarFrom(cmp: DataFrame): DataFrame = {
     val prs = for {
       i <- CompareFams.indices; j <- CompareFams.indices if i < j
     } yield struct(
       lit(CompareFams(i)._1).as("fa"), lit(CompareFams(j)._1).as("fb"),
       col(CompareFams(i)._3).as("na"), col(CompareFams(j)._3).as("nb"),
       col(s"${CompareFams(i)._1}_and_${CompareFams(j)._1}").as("bt"))
-    val px = dedupMethodCompare(s, d)
+    val px = cmp
       .select(explode(array(prs: _*)).as("p"))
       .select(col("p.fa").as("family_a"), col("p.fb").as("family_b"),
         (col("p.na") - col("p.bt")).cast("long").as("n_only_a"),
@@ -892,12 +927,71 @@ object Dedup {
     val ccNum = greatest(abs(diff) - lit(1L), lit(0L))
     px.select(col("family_a"), col("family_b"), b, c,
         when(b + c === lit(0L), lit(null).cast("double"))
-          .otherwise(round((diff * diff).cast("double") /
-            (b + c).cast("double"), 6)).as("chi2"),
+          .otherwise(Det.q6((diff * diff).cast("double") /
+            (b + c).cast("double"))).as("chi2"),
         when(b + c === lit(0L), lit(null).cast("double"))
-          .otherwise(round((ccNum * ccNum).cast("double") /
-            (b + c).cast("double"), 6)).as("chi2_cc"))
+          .otherwise(Det.q6((ccNum * ccNum).cast("double") /
+            (b + c).cast("double"))).as("chi2_cc"))
       .orderBy("family_a", "family_b")
+  }
+
+  /** The composed dedup dashboard (VERDICT r9 item 6): ONE staged
+    * [[familyFlags]] frame feeds every agreement statistic the six
+    * standalone queries compute — compare totals/overlaps, token
+    * savings, pairwise Cohen's κ, Cochran's Q, McNemar's χ², Fleiss' κ —
+    * emitted long-form as (section, family_a, family_b, metric, value).
+    * This is what the real curation dashboard runs nightly: the flags
+    * frame (the expensive part — six LSH/banded candidate generations)
+    * is generated ONCE, and every number derives from it or from the
+    * single aggregated compare/rater-stats rows, so the report costs
+    * ≈ one family member instead of six.
+    *
+    * Determinism: every value is the standalone query's own audited
+    * expression (same guards, same HUGEINT/DECIMAL promotions, same
+    * floor-quantize), CAST to DOUBLE in both engines (counts are exact
+    * in double far past any feasible corpus); total order over all four
+    * key columns. */
+  def dedupReport(s: SparkSession, d: String): DataFrame = {
+    val ff = graft.util.Ckpt.stage(familyFlags(s, d))
+    val cmp = graft.util.Ckpt.stage(compareFrom(ff))
+    val rs = graft.util.Ckpt.stage(raterStatsFrom(ff))
+    def row(sec: String, fa: Column, fb: Column, met: String, v: Column) =
+      struct(lit(sec).as("section"), fa.as("family_a"), fb.as("family_b"),
+        lit(met).as("metric"), v.cast("double").as("value"))
+    val compareRows = cmp.select(explode(array(
+      row("compare", lit("all"), lit(""), "n_docs", col("n_docs")) +:
+      (CompareFams.map { case (la, _, nm) =>
+        row("compare", lit(la), lit(""), "n_flagged", col(nm)) } ++
+      (for {
+        i <- CompareFams.indices; j <- CompareFams.indices if i < j
+      } yield row("compare", lit(CompareFams(i)._1), lit(CompareFams(j)._1),
+        "n_both", col(s"${CompareFams(i)._1}_and_${CompareFams(j)._1}")))): _*))
+      .as("r")).select("r.*")
+    val savings = savingsFrom(s, d, ff)
+      .select(explode(array(
+        row("savings", col("family"), lit(""), "tokens_flagged",
+          col("tokens_flagged")),
+        row("savings", col("family"), lit(""), "token_share_ppm",
+          col("token_share_ppm")))).as("r")).select("r.*")
+    val kappa = kappaFrom(cmp).select(
+      lit("kappa").as("section"), col("family_a"), col("family_b"),
+      lit("kappa").as("metric"), col("kappa").cast("double").as("value"))
+    val mcn = mcnemarFrom(cmp).select(explode(array(
+      row("mcnemar", col("family_a"), col("family_b"), "chi2", col("chi2")),
+      row("mcnemar", col("family_a"), col("family_b"), "chi2_cc",
+        col("chi2_cc")))).as("r")).select("r.*")
+    val q = cochranFrom(rs).select(
+      lit("cochran_q").as("section"), lit("all").as("family_a"),
+      lit("").as("family_b"), lit("q_stat").as("metric"),
+      col("q_stat").cast("double").as("value"))
+    val fl = fleissFrom(rs).select(explode(array(
+      row("fleiss", lit("all"), lit(""), "p_bar", col("p_bar")),
+      row("fleiss", lit("all"), lit(""), "p_e", col("p_e")),
+      row("fleiss", lit("all"), lit(""), "kappa", col("kappa")))).as("r"))
+      .select("r.*")
+    compareRows.unionByName(savings).unionByName(kappa).unionByName(mcn)
+      .unionByName(q).unionByName(fl)
+      .orderBy("section", "family_a", "family_b", "metric")
   }
 
   /** Sorted-neighborhood blocking window: each doc is compared to its 2
@@ -941,8 +1035,8 @@ object Dedup {
       .withColumn("n1", size(col("b1")))
       .withColumn("n2", size(col("b2")))
       .select(col("d1"), col("d2"), col("inter").cast("long").as("inter"),
-        round(col("inter").cast("double") /
-          (col("n1") + col("n2") - col("inter")).cast("double"), 4).as("jaccard"))
+        Det.q4(col("inter").cast("double") /
+          (col("n1") + col("n2") - col("inter")).cast("double")).as("jaccard"))
       .withColumn("is_dup", (col("jaccard") >= 0.5).cast("int"))
       .orderBy("d1", "d2")
   }
@@ -1160,6 +1254,7 @@ object Dedup {
     "q_dedup_norm"     -> (dedupNorm _),
     "q_dedup_exact"    -> (dedupExact _),
     "q_dedup_compare"  -> (dedupMethodCompare _),
+    "q_dedup_report"   -> (dedupReport _),
     "q_dedup_savings"  -> (dedupSavings _),
     "q_dedup_survivor" -> (dedupSurvivor _),
     "q_dedup_fuzzy"    -> (dedupFuzzy _),
@@ -1319,7 +1414,12 @@ object Dedup {
     * then one row of totals and pairwise overlaps. */
   private def dedupCompareOracle: String =
     s"""$compareFlagsCtePrefix
-       |SELECT count(*) AS n_docs,
+       |$dedupCompareSelect""".stripMargin
+
+  /** The compare SELECT over flags CTE `j` — shared by
+    * [[dedupCompareOracle]] and [[dedupReportOracle]]'s cx CTE. */
+  private def dedupCompareSelect: String =
+    s"""SELECT count(*) AS n_docs,
        |       CAST(sum(f_exact) AS BIGINT) AS n_exact,
        |       CAST(sum(f_mh) AS BIGINT) AS n_minhash,
        |       CAST(sum(f_mhw) AS BIGINT) AS n_minhash_wide,
@@ -1369,8 +1469,8 @@ object Dedup {
        |)
        |SELECT family_a, family_b, n_docs, n_a, n_b, n_both, n_agree,
        |  CASE WHEN CAST(n_docs AS HUGEINT) * n_docs - pe_num = 0 THEN NULL
-       |       ELSE round(CAST(CAST(n_docs AS HUGEINT) * n_agree - pe_num AS DOUBLE) /
-       |                  CAST(CAST(n_docs AS HUGEINT) * n_docs - pe_num AS DOUBLE), 6)
+       |       ELSE floor((CAST(CAST(n_docs AS HUGEINT) * n_agree - pe_num AS DOUBLE) /
+       |                  CAST(CAST(n_docs AS HUGEINT) * n_docs - pe_num AS DOUBLE)) * 1000000 + 0.5) / 1000000
        |  END AS kappa
        |FROM kx ORDER BY family_a, family_b""".stripMargin
   }
@@ -1398,9 +1498,9 @@ object Dedup {
        |$raterStatsCte
        |SELECT n_docs, 6 AS k_raters, t AS n_flags, sum_l2,
        |  CASE WHEN 6 * t - sum_l2 = 0 THEN NULL
-       |       ELSE round(CAST(5 * (6 * ($sumG2) - CAST(t AS HUGEINT) * t)
+       |       ELSE floor((CAST(5 * (6 * ($sumG2) - CAST(t AS HUGEINT) * t)
        |                       AS DOUBLE)
-       |                  / CAST(CAST(6 * t - sum_l2 AS HUGEINT) AS DOUBLE), 6)
+       |                  / CAST(CAST(6 * t - sum_l2 AS HUGEINT) AS DOUBLE)) * 1000000 + 0.5) / 1000000
        |  END AS q_stat
        |FROM rs""".stripMargin
   }
@@ -1421,11 +1521,11 @@ object Dedup {
        |    36 * CAST(n_docs AS HUGEINT) * n_docs AS m
        |  FROM rs)
        |SELECT n_docs, 6 AS k_raters,
-       |  round(CAST(a AS DOUBLE) / CAST(dd AS DOUBLE), 6) AS p_bar,
-       |  round(CAST(e AS DOUBLE) / CAST(m AS DOUBLE), 6) AS p_e,
+       |  floor((CAST(a AS DOUBLE) / CAST(dd AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS p_bar,
+       |  floor((CAST(e AS DOUBLE) / CAST(m AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS p_e,
        |  CASE WHEN m - e = 0 THEN NULL
-       |       ELSE round(CAST(a * m - e * dd AS DOUBLE)
-       |                  / CAST(dd * (m - e) AS DOUBLE), 6)
+       |       ELSE floor((CAST(a * m - e * dd AS DOUBLE)
+       |                  / CAST(dd * (m - e) AS DOUBLE)) * 1000000 + 0.5) / 1000000
        |  END AS kappa
        |FROM fx""".stripMargin
 
@@ -1448,15 +1548,15 @@ object Dedup {
        |)
        |SELECT family_a, family_b, n_only_a, n_only_b,
        |  CASE WHEN n_only_a + n_only_b = 0 THEN NULL
-       |       ELSE round(CAST((n_only_a - n_only_b) * (n_only_a - n_only_b)
+       |       ELSE floor((CAST((n_only_a - n_only_b) * (n_only_a - n_only_b)
        |                       AS DOUBLE)
-       |                  / CAST(n_only_a + n_only_b AS DOUBLE), 6)
+       |                  / CAST(n_only_a + n_only_b AS DOUBLE)) * 1000000 + 0.5) / 1000000
        |  END AS chi2,
        |  CASE WHEN n_only_a + n_only_b = 0 THEN NULL
-       |       ELSE round(CAST(greatest(abs(n_only_a - n_only_b) - 1, 0)
+       |       ELSE floor((CAST(greatest(abs(n_only_a - n_only_b) - 1, 0)
        |                       * greatest(abs(n_only_a - n_only_b) - 1, 0)
        |                       AS DOUBLE)
-       |                  / CAST(n_only_a + n_only_b AS DOUBLE), 6)
+       |                  / CAST(n_only_a + n_only_b AS DOUBLE)) * 1000000 + 0.5) / 1000000
        |  END AS chi2_cc
        |FROM u
        |ORDER BY family_a, family_b""".stripMargin
@@ -1481,6 +1581,112 @@ object Dedup {
        |       CAST(sum(flag * t) AS BIGINT) AS tokens_flagged,
        |       CAST(sum(flag * t) * 1000000 // tot AS BIGINT) AS token_share_ppm
        |FROM u, tt GROUP BY family, tot ORDER BY family""".stripMargin
+  }
+
+  /** [[dedupReport]]'s oracle: the shared flags prefix once, then every
+    * section's rows as UNION ALL arms off the SAME aggregated cx / rs
+    * CTEs — each value expression copied verbatim from the standalone
+    * oracle it mirrors, CAST to DOUBLE. */
+  private def dedupReportOracle: String = {
+    val famCols = CompareFams.map { case (la, _, nm) => (la, nm) }
+    val compareArms =
+      Seq("SELECT 'compare' AS section, 'all' AS family_a, '' AS family_b, " +
+        "'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value FROM cx") ++
+      famCols.map { case (la, nm) =>
+        s"SELECT 'compare', '$la', '', 'n_flagged', CAST($nm AS DOUBLE) FROM cx" } ++
+      (for {
+        i <- CompareFams.indices; j <- CompareFams.indices if i < j
+      } yield s"SELECT 'compare', '${CompareFams(i)._1}', '${CompareFams(j)._1}', " +
+        s"'n_both', CAST(${CompareFams(i)._1}_and_${CompareFams(j)._1} AS DOUBLE) FROM cx")
+    val savingsArms = Seq(
+      "SELECT 'savings', family, '', 'tokens_flagged', CAST(tokens_flagged AS DOUBLE) FROM sv",
+      "SELECT 'savings', family, '', 'token_share_ppm', CAST(token_share_ppm AS DOUBLE) FROM sv")
+    val kappaArms = for {
+      i <- CompareFams.indices; j <- CompareFams.indices if i < j
+    } yield {
+      val (la, _, na) = CompareFams(i); val (lb, _, nb) = CompareFams(j)
+      val bt = s"${la}_and_${lb}"
+      s"""SELECT 'kappa', '$la', '$lb', 'kappa', CAST(
+         |  CASE WHEN CAST(n_docs AS HUGEINT) * n_docs
+         |            - (CAST($na AS HUGEINT) * $nb
+         |               + CAST(n_docs - $na AS HUGEINT) * (n_docs - $nb)) = 0 THEN NULL
+         |       ELSE floor((CAST(CAST(n_docs AS HUGEINT) * (n_docs - $na - $nb + 2 * $bt)
+         |                        - (CAST($na AS HUGEINT) * $nb
+         |                           + CAST(n_docs - $na AS HUGEINT) * (n_docs - $nb)) AS DOUBLE) /
+         |                   CAST(CAST(n_docs AS HUGEINT) * n_docs
+         |                        - (CAST($na AS HUGEINT) * $nb
+         |                           + CAST(n_docs - $na AS HUGEINT) * (n_docs - $nb)) AS DOUBLE)) * 1000000 + 0.5) / 1000000
+         |  END AS DOUBLE) FROM cx""".stripMargin
+    }
+    val mcnArms = (for {
+      i <- CompareFams.indices; j <- CompareFams.indices if i < j
+    } yield {
+      val (la, _, na) = CompareFams(i); val (lb, _, nb) = CompareFams(j)
+      val bt = s"${la}_and_${lb}"
+      val b = s"($na - $bt)"; val c = s"($nb - $bt)"
+      Seq(
+        s"""SELECT 'mcnemar', '$la', '$lb', 'chi2', CAST(
+           |  CASE WHEN $b + $c = 0 THEN NULL
+           |       ELSE floor((CAST(($b - $c) * ($b - $c) AS DOUBLE)
+           |                  / CAST($b + $c AS DOUBLE)) * 1000000 + 0.5) / 1000000
+           |  END AS DOUBLE) FROM cx""".stripMargin,
+        s"""SELECT 'mcnemar', '$la', '$lb', 'chi2_cc', CAST(
+           |  CASE WHEN $b + $c = 0 THEN NULL
+           |       ELSE floor((CAST(greatest(abs($b - $c) - 1, 0)
+           |                       * greatest(abs($b - $c) - 1, 0) AS DOUBLE)
+           |                  / CAST($b + $c AS DOUBLE)) * 1000000 + 0.5) / 1000000
+           |  END AS DOUBLE) FROM cx""".stripMargin)
+    }).flatten
+    val sumG2 = (1 to 6).map(i => s"CAST(g$i AS HUGEINT) * g$i").mkString(" + ")
+    val qArm =
+      s"""SELECT 'cochran_q', 'all', '', 'q_stat', CAST(
+         |  CASE WHEN 6 * t - sum_l2 = 0 THEN NULL
+         |       ELSE floor((CAST(5 * (6 * ($sumG2) - CAST(t AS HUGEINT) * t)
+         |                       AS DOUBLE)
+         |                  / CAST(CAST(6 * t - sum_l2 AS HUGEINT) AS DOUBLE)) * 1000000 + 0.5) / 1000000
+         |  END AS DOUBLE) FROM rs""".stripMargin
+    val flArms = Seq(
+      "SELECT 'fleiss', 'all', '', 'p_bar', CAST(floor((CAST(a AS DOUBLE) / CAST(dd AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS DOUBLE) FROM fx",
+      "SELECT 'fleiss', 'all', '', 'p_e', CAST(floor((CAST(e AS DOUBLE) / CAST(m AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS DOUBLE) FROM fx",
+      """SELECT 'fleiss', 'all', '', 'kappa', CAST(
+        |  CASE WHEN m - e = 0 THEN NULL
+        |       ELSE floor((CAST(a * m - e * dd AS DOUBLE)
+        |                  / CAST(dd * (m - e) AS DOUBLE)) * 1000000 + 0.5) / 1000000
+        |  END AS DOUBLE) FROM fx""".stripMargin)
+    val allArms = (compareArms ++ savingsArms ++ kappaArms ++ mcnArms ++
+      Seq(qArm) ++ flArms).mkString("\n  UNION ALL ")
+    val savingsU = CompareFams.map { case (label, c, _) =>
+      s"SELECT '$label' AS family, $c AS flag, t FROM jt"
+    }.mkString("\n  UNION ALL ")
+    s"""$compareFlagsCtePrefix,
+       |toks AS (
+       |  SELECT doc_id, CAST(len($WordsSql) AS BIGINT) AS t FROM documents),
+       |jt AS (SELECT j.*, toks.t FROM j JOIN toks USING (doc_id)),
+       |tt AS (SELECT CAST(sum(t) AS BIGINT) AS tot FROM toks),
+       |su AS (
+       |  $savingsU
+       |),
+       |sv AS (
+       |  SELECT family, CAST(sum(flag) AS BIGINT) AS n_flagged,
+       |         CAST(sum(flag * t) AS BIGINT) AS tokens_flagged,
+       |         CAST(sum(flag * t) * 1000000 // tot AS BIGINT) AS token_share_ppm
+       |  FROM su, tt GROUP BY family, tot),
+       |cx AS ($dedupCompareSelect),
+       |$raterStatsCte,
+       |fx AS (
+       |  SELECT n_docs,
+       |    2 * CAST(sum_l2 AS HUGEINT) + 36 * CAST(n_docs AS HUGEINT)
+       |      - 12 * CAST(t AS HUGEINT) - 6 * CAST(n_docs AS HUGEINT) AS a,
+       |    30 * CAST(n_docs AS HUGEINT) AS dd,
+       |    CAST(t AS HUGEINT) * t
+       |      + (6 * CAST(n_docs AS HUGEINT) - t)
+       |        * (6 * CAST(n_docs AS HUGEINT) - t) AS e,
+       |    36 * CAST(n_docs AS HUGEINT) * n_docs AS m
+       |  FROM rs)
+       |SELECT * FROM (
+       |  $allArms
+       |) rep
+       |ORDER BY section, family_a, family_b, metric""".stripMargin
   }
 
   /** Everything through the per-doc flags CTE `j` — the shared prefix of
@@ -1682,8 +1888,8 @@ object Dedup {
          |  FROM pairs
          |)
          |SELECT d1, d2, inter,
-         |       round(CAST(inter AS DOUBLE) / CAST(n1 + n2 - inter AS DOUBLE), 4) AS jaccard,
-         |       CAST(round(CAST(inter AS DOUBLE) / CAST(n1 + n2 - inter AS DOUBLE), 4) >= 0.5
+         |       floor((CAST(inter AS DOUBLE) / CAST(n1 + n2 - inter AS DOUBLE)) * 10000 + 0.5) / 10000 AS jaccard,
+         |       CAST(floor((CAST(inter AS DOUBLE) / CAST(n1 + n2 - inter AS DOUBLE)) * 10000 + 0.5) / 10000 >= 0.5
          |            AS INTEGER) AS is_dup
          |FROM j
          |ORDER BY d1, d2""".stripMargin,
@@ -1793,6 +1999,7 @@ object Dedup {
     "q_dedup_minhash_wide" -> wideMinhashOracle,
     "q_minhash_est" -> minhashEstOracle,
     "q_dedup_compare" -> dedupCompareOracle,
+    "q_dedup_report" -> dedupReportOracle,
     "q_dedup_savings" -> dedupSavingsOracle,
     "q_dedup_kappa" -> dedupKappaOracle,
     "q_cochran_q" -> cochranQOracle,
@@ -1886,8 +2093,8 @@ object Dedup {
       s"""WITH $PairCtesSql
          |SELECT d1, d2, inter, n1, n2, cont_a_in_b, cont_b_in_a FROM (
          |  SELECT d1, d2, inter, sa.n AS n1, sb.n AS n2,
-         |         round(inter / sa.n, 4) AS cont_a_in_b,
-         |         round(inter / sb.n, 4) AS cont_b_in_a
+         |         floor((inter / sa.n) * 10000 + 0.5) / 10000 AS cont_a_in_b,
+         |         floor((inter / sb.n) * 10000 + 0.5) / 10000 AS cont_b_in_a
          |  FROM p JOIN sz sa ON p.d1 = sa.doc_id JOIN sz sb ON p.d2 = sb.doc_id) t
          |WHERE greatest(cont_a_in_b, cont_b_in_a) >= 0.5
          |ORDER BY d1, d2""".stripMargin,
@@ -1904,7 +2111,7 @@ object Dedup {
     s"""WITH $PairCtesSql
        |SELECT d1, d2, inter, jaccard FROM (
        |  SELECT d1, d2, inter,
-       |         round(inter / (sa.n + sb.n - inter), 4) AS jaccard
+       |         floor((inter / (sa.n + sb.n - inter)) * 10000 + 0.5) / 10000 AS jaccard
        |  FROM p JOIN sz sa ON p.d1 = sa.doc_id JOIN sz sb ON p.d2 = sb.doc_id) t
        |WHERE jaccard >= 0.05
        |ORDER BY d1, d2""".stripMargin

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.util.Det
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -445,7 +446,7 @@ object Evaluation {
     * aggregate, a 1-row totals broadcast, and a ≤10-row window for the
     * total. */
   def woeIv(s: SparkSession, d: String): DataFrame = {
-    val qln = (c: Column) => round(log(c.cast("double")), 6)
+    val qln = (c: Column) => Det.q6(log(c.cast("double")))
     val b = scoredFrame(s, d).groupBy("bin")
       .agg(sum("c").as("n_bin"), sum("c1").as("g"),
         sum(col("c") - col("c1")).as("b"))
@@ -613,7 +614,14 @@ object Evaluation {
         floor(col("value") * 1000000 + lit(0.5)).cast("long").as("m"))
     val tr = ev.filter(col("event_id") % 5 =!= 0)
       .groupBy("event_type")
-      .agg(count(lit(1)).as("n_train"), expr("sum(m) div count(1)").as("mu"))
+      // loud guard (ADVICE r9): Spark `div` truncates toward zero, DuckDB
+      // `//` floors — identical ONLY for non-negative operands. The
+      // events.value domain is non-negative; if that ever changes this
+      // must fail, not silently desync from the oracle.
+      .agg(count(lit(1)).as("n_train"), expr(
+        "CASE WHEN sum(m) < 0 THEN raise_error(" +
+          "'conformal: negative micro sum — div/floor-division diverge') " +
+        "ELSE sum(m) div count(1) END").as("mu"))
     val cal = ev.filter(col("event_id") % 5 === 0)
       .join(broadcast(tr), "event_type")
       .select(col("event_type"), col("n_train"), col("mu"),
@@ -811,9 +819,9 @@ object Evaluation {
          |  FROM b, tot WHERE n_pos > 0 AND n_bin - n_pos > 0
          |), wy AS (
          |  SELECT bin, n_bin, g, b_cnt, gt, bt,
-         |    round(ln(CAST(g AS DOUBLE)), 6) - round(ln(CAST(gt AS DOUBLE)), 6)
-         |      - round(ln(CAST(b_cnt AS DOUBLE)), 6)
-         |      + round(ln(CAST(bt AS DOUBLE)), 6) AS woe
+         |    floor((ln(CAST(g AS DOUBLE))) * 1000000 + 0.5) / 1000000 - floor((ln(CAST(gt AS DOUBLE))) * 1000000 + 0.5) / 1000000
+         |      - floor((ln(CAST(b_cnt AS DOUBLE))) * 1000000 + 0.5) / 1000000
+         |      + floor((ln(CAST(bt AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS woe
          |  FROM wx
          |), wz AS (
          |  SELECT bin, n_bin, g, b_cnt, woe,

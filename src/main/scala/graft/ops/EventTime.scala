@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.util.Det
 import graft.Tables
 import graft.util.Det._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -169,7 +170,7 @@ object EventTime {
     Tables.events(s, d)
       .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
       .agg(count(lit(1)).as("cnt"),
-        round(graft.util.Det.dsum(col("value")), 4).as("sum_value"))
+        Det.q4(graft.util.Det.dsum(col("value"))).as("sum_value"))
       .select(fmtTs(col("window.start")).as("win_start"), col("event_type"),
         col("cnt"), col("sum_value"))
       .orderBy("win_start", "event_type")
@@ -364,9 +365,9 @@ object EventTime {
     val ctr = p + za / (lit(2.0) * nd)
     val den = lit(1.0) + za / nd
     daily.select(fmtDate(col("day")).as("day"), col("n"), col("c").as("clicks"),
-      round(p, 6).as("p"),
-      round((ctr - z * rad) / den, 6).as("wilson_lo"),
-      round((ctr + z * rad) / den, 6).as("wilson_hi"))
+      Det.q6(p).as("p"),
+      Det.q6((ctr - z * rad) / den).as("wilson_lo"),
+      Det.q6((ctr + z * rad) / den).as("wilson_hi"))
       .orderBy("day")
   }
 
@@ -438,9 +439,9 @@ object EventTime {
     val avg = col("vs").cast("double") / col("n_events").cast("double")
     per.crossJoin(broadcast(tot))
       .select(col("dow"), col("n_events"),
-        round(col("vs").cast("double"), 4).as("sum_value"),
-        round(avg, 6).as("avg_value"),
-        round(avg / (col("tv").cast("double") / col("tn").cast("double")), 6).as("idx"))
+        Det.q4(col("vs").cast("double")).as("sum_value"),
+        Det.q6(avg).as("avg_value"),
+        Det.q6(avg / (col("tv").cast("double") / col("tn").cast("double"))).as("idx"))
       .orderBy("dow")
   }
 
@@ -589,7 +590,7 @@ object EventTime {
         max("value").as("high"),
         min("value").as("low"),
         max(when(col("rd") === 1, col("value"))).as("close"),
-        round(sum(col("value").cast(DecimalType(24, 6))).cast("double"), 4).as("volume"))
+        Det.q4(sum(col("value").cast(DecimalType(24, 6))).cast("double")).as("volume"))
       .orderBy("day", "event_type")
   }
 
@@ -793,7 +794,7 @@ object EventTime {
     val fromTot = counts.groupBy("from_type").agg(sum("n").as("n_from"))
     counts.join(broadcast(fromTot), "from_type")
       .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
-        round(col("n").cast("double") / col("n_from").cast("double"), 6).as("p"))
+        Det.q6(col("n").cast("double") / col("n_from").cast("double")).as("p"))
       .orderBy("from_type", "to_type")
   }
 
@@ -1429,7 +1430,7 @@ object EventTime {
        |  SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from FROM c GROUP BY 1
        |), g AS (
        |  SELECT c.from_type, c.to_type,
-       |         round(CAST(c.n AS DOUBLE) / CAST(f.n_from AS DOUBLE), 6) AS p
+       |         floor((CAST(c.n AS DOUBLE) / CAST(f.n_from AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS p
        |  FROM c JOIN f USING (from_type)
        |), ty AS (SELECT DISTINCT event_type FROM events),
        |pi0 AS (SELECT event_type, 0.2e0 AS pi FROM ty),
@@ -1718,7 +1719,7 @@ object EventTime {
         |  max(CASE WHEN ra = 1 THEN value END) AS open,
         |  max(value) AS high, min(value) AS low,
         |  max(CASE WHEN rd = 1 THEN value END) AS close,
-        |  round(CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE), 4) AS volume
+        |  floor((CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE)) * 10000 + 0.5) / 10000 AS volume
         |FROM r GROUP BY day, event_type
         |ORDER BY day, event_type""".stripMargin,
     "q_lag_features" ->
@@ -1869,9 +1870,9 @@ object EventTime {
         |  FROM b
         |)
         |SELECT strftime(day, '%Y-%m-%d') AS day, n, c AS clicks,
-        |       round(p, 6) AS p,
-        |       round((ctr - 1.96e0 * rad) / den, 6) AS wilson_lo,
-        |       round((ctr + 1.96e0 * rad) / den, 6) AS wilson_hi
+        |       floor((p) * 1000000 + 0.5) / 1000000 AS p,
+        |       floor(((ctr - 1.96e0 * rad) / den) * 1000000 + 0.5) / 1000000 AS wilson_lo,
+        |       floor(((ctr + 1.96e0 * rad) / den) * 1000000 + 0.5) / 1000000 AS wilson_hi
         |FROM w
         |ORDER BY day""".stripMargin,
     "q_rolling_median" ->
@@ -1913,10 +1914,10 @@ object EventTime {
         |)
         |SELECT CAST(per.dow AS INTEGER) AS dow,
         |       CAST(per.n_events AS BIGINT) AS n_events,
-        |       round(CAST(per.vs AS DOUBLE), 4) AS sum_value,
-        |       round(CAST(per.vs AS DOUBLE) / CAST(per.n_events AS DOUBLE), 6) AS avg_value,
-        |       round((CAST(per.vs AS DOUBLE) / CAST(per.n_events AS DOUBLE))
-        |             / (CAST(tot.tv AS DOUBLE) / CAST(tot.tn AS DOUBLE)), 6) AS idx
+        |       floor((CAST(per.vs AS DOUBLE)) * 10000 + 0.5) / 10000 AS sum_value,
+        |       floor((CAST(per.vs AS DOUBLE) / CAST(per.n_events AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS avg_value,
+        |       floor(((CAST(per.vs AS DOUBLE) / CAST(per.n_events AS DOUBLE))
+        |             / (CAST(tot.tv AS DOUBLE) / CAST(tot.tn AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS idx
         |FROM per, tot
         |ORDER BY dow""".stripMargin,
     "q_markov_transition" ->
@@ -1931,7 +1932,7 @@ object EventTime {
         |  SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from FROM c GROUP BY 1
         |)
         |SELECT c.from_type, c.to_type, CAST(c.n AS BIGINT) AS n, f.n_from,
-        |       round(CAST(c.n AS DOUBLE) / CAST(f.n_from AS DOUBLE), 6) AS p
+        |       floor((CAST(c.n AS DOUBLE) / CAST(f.n_from AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS p
         |FROM c JOIN f USING (from_type)
         |ORDER BY from_type, to_type""".stripMargin,
     "q_time_decay" ->
@@ -2048,7 +2049,7 @@ object EventTime {
         |)
         |SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
         |       count(*) AS cnt,
-        |       round(CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE), 4) AS sum_value
+        |       floor((CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE)) * 10000 + 0.5) / 10000 AS sum_value
         |FROM x
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.util.Det
 import graft.Tables
 import graft.util.Det._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -274,7 +275,7 @@ object Joins {
       .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("o_orderkey"), col("o_orderpriority"))
       .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
-      .withColumn("revenue", round(col("revenue"), 4))
+      .withColumn("revenue", Det.q4(col("revenue")))
       .orderBy(col("revenue").desc, col("o_orderkey").asc)
       .limit(10)
 
@@ -299,7 +300,7 @@ object Joins {
       .agg(
         dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
         count(lit(1)).as("n_items"))
-      .withColumn("revenue", round(col("revenue"), 4))
+      .withColumn("revenue", Det.q4(col("revenue")))
       .orderBy("n_name")
 
   /** Grid-bucketed spatial k-nearest-neighbors — the join pattern Spark
@@ -416,7 +417,7 @@ object Joins {
         |FROM rk WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
     "q_join_pipeline_top" ->
       """SELECT o_orderkey, o_orderpriority,
-        |       round(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))) AS DOUBLE), 4) AS revenue
+        |       floor((CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))) AS DOUBLE)) * 10000 + 0.5) / 10000 AS revenue
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
         |JOIN lineitem ON o_orderkey = l_orderkey
@@ -427,7 +428,7 @@ object Joins {
         |LIMIT 10""".stripMargin,
     "q_join_star" ->
       """SELECT n_name,
-        |       round(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))) AS DOUBLE), 4) AS revenue,
+        |       floor((CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))) AS DOUBLE)) * 10000 + 0.5) / 10000 AS revenue,
         |       COUNT(*) AS n_items
         |FROM orders
         |JOIN lineitem ON o_orderkey = l_orderkey

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.util.Det
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
@@ -139,7 +140,7 @@ object Multimodal {
       lit(maxSide).cast("double") / longest).otherwise(lit(1.0))
     meta.select(
       col("doc_id"), col("width"), col("height"),
-      round(scale, 4).as("scale"),
+      Det.q4(scale).as("scale"),
       floor(col("width") * scale).cast("int").as("out_w"),
       floor(col("height") * scale).cast("int").as("out_h"))
   }
@@ -504,7 +505,7 @@ object Multimodal {
         |  FROM m
         |)
         |SELECT doc_id, width, height,
-        |       round(raw_scale, 4) AS scale,
+        |       floor((raw_scale) * 10000 + 0.5) / 10000 AS scale,
         |       CAST(floor(width * raw_scale) AS INTEGER) AS out_w,
         |       CAST(floor(height * raw_scale) AS INTEGER) AS out_h
         |FROM sc

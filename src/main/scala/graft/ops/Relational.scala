@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.util.Det
 import graft.Tables
 import graft.util.Det._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -213,7 +214,7 @@ object Relational {
     s.sql(
       s"""SELECT p.p_brand,
         |       count(*) AS n_small,
-        |       round(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(24,6))) AS DOUBLE), 4) AS revenue
+        |       floor((CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(24,6))) AS DOUBLE)) * 10000 + 0.5) / 10000 AS revenue
         |FROM $lineitem l JOIN $part p ON l.l_partkey = p.p_partkey
         |WHERE l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
         |                      FROM $lineitem l2
@@ -231,8 +232,8 @@ object Relational {
         count(lit(1)).as("n_rows"),
         countDistinct(col("l_orderkey")).as("n_orders"),
         dsum(col("l_quantity")).as("total_qty"),
-        round(min(col("l_extendedprice")), 4).as("min_price"),
-        round(max(col("l_extendedprice")), 4).as("max_price"))
+        Det.q4(min(col("l_extendedprice"))).as("min_price"),
+        Det.q4(max(col("l_extendedprice"))).as("max_price"))
 
   /** Multi-column DISTINCT (projection-level dedup — `q_dedup_exact` is the
     * row-level variant with survivor control). */
@@ -267,7 +268,7 @@ object Relational {
     "q_correlated_agg" ->
       """SELECT p.p_brand,
         |       count(*) AS n_small,
-        |       round(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(24,6))) AS DOUBLE), 4) AS revenue
+        |       floor((CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(24,6))) AS DOUBLE)) * 10000 + 0.5) / 10000 AS revenue
         |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         |WHERE l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
         |                      FROM lineitem l2
@@ -295,8 +296,8 @@ object Relational {
       """SELECT count(*) AS n_rows,
         |       count(DISTINCT l_orderkey) AS n_orders,
         |       CAST(SUM(CAST(l_quantity AS DECIMAL(24,6))) AS DOUBLE) AS total_qty,
-        |       round(min(l_extendedprice), 4) AS min_price,
-        |       round(max(l_extendedprice), 4) AS max_price
+        |       floor((min(l_extendedprice)) * 10000 + 0.5) / 10000 AS min_price,
+        |       floor((max(l_extendedprice)) * 10000 + 0.5) / 10000 AS max_price
         |FROM lineitem""".stripMargin,
     "q_distinct_rows" ->
       """SELECT DISTINCT lang, source FROM documents

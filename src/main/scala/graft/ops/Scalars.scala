@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.util.Det
 import graft.Tables
 import graft.util.Det._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -54,12 +55,12 @@ object Scalars {
     Tables.lineitem(s, d)
       .select(
         col("l_orderkey"), col("l_linenumber"),
-        round(col("l_extendedprice"), 1).as("r1"),
+        Det.q(col("l_extendedprice"), 1).as("r1"),
         abs(col("l_discount") - 0.05).as("absd"),
         ceil(col("l_quantity")).as("cl"),
         floor(col("l_tax") * 100).as("fl"),
-        round(pow(col("l_quantity"), 2.0), 4).as("q2"),
-        round(log(col("l_extendedprice")), 4).as("lnp"))
+        Det.q4(pow(col("l_quantity"), 2.0)).as("q2"),
+        Det.q4(log(col("l_extendedprice"))).as("lnp"))
       .orderBy("l_orderkey", "l_linenumber", "r1", "absd", "cl", "fl", "q2", "lnp")
 
   def jsonFuncs(s: SparkSession, d: String): DataFrame =
@@ -76,13 +77,11 @@ object Scalars {
       .select(
         col("vec_id"),
         size(col("embedding")).as("dim"),
-        round(element_at(col("embedding"), 1).cast("double"), 4).as("e1"),
-        round(
-          aggregate(
+        Det.q4(element_at(col("embedding"), 1).cast("double")).as("e1"),
+        Det.q4(aggregate(
             transform(col("embedding"), x => x.cast("double")),
-            lit(0.0), (acc, x) => acc + x),
-          4).as("ssum"),
-        round(array_max(col("embedding")).cast("double"), 4).as("emax"),
+            lit(0.0), (acc, x) => acc + x)).as("ssum"),
+        Det.q4(array_max(col("embedding")).cast("double")).as("emax"),
         size(slice(col("embedding"), 1, 8)).as("first8"))
       .orderBy("vec_id")
 
@@ -150,8 +149,8 @@ object Scalars {
         dayofweek(col("o_orderdate")).as("dow"),
         weekofyear(col("o_orderdate")).as("iso_week"),
         quarter(col("o_orderdate")).as("qtr"),
-        round(months_between(lit("2000-01-01").cast("timestamp"),
-          col("o_orderdate")), 4).as("mo_to_2000"))
+        Det.q4(months_between(lit("2000-01-01").cast("timestamp"),
+          col("o_orderdate"))).as("mo_to_2000"))
       .orderBy("o_orderkey")
 
   /** Generator variants beyond plain explode: posexplode (element +
@@ -260,9 +259,9 @@ object Scalars {
         |       CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
         |       CAST(weekofyear(o_orderdate) AS INTEGER) AS iso_week,
         |       CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
-        |       round((2000 - year(o_orderdate)) * 12 + (1 - month(o_orderdate))
+        |       floor(((2000 - year(o_orderdate)) * 12 + (1 - month(o_orderdate))
         |             + CASE WHEN day(o_orderdate) = 1 THEN 0.0
-        |                    ELSE (1 - day(o_orderdate)) / 31.0 END, 4) AS mo_to_2000
+        |                    ELSE (1 - day(o_orderdate)) / 31.0 END) * 10000 + 0.5) / 10000 AS mo_to_2000
         |FROM orders
         |ORDER BY o_orderkey""".stripMargin,
     "q_collation" ->
@@ -327,12 +326,12 @@ object Scalars {
         |ORDER BY o_orderkey""".stripMargin,
     "q_math_funcs" ->
       """SELECT l_orderkey, l_linenumber,
-        |       round(l_extendedprice, 1) AS r1,
+        |       floor((l_extendedprice) * 10 + 0.5) / 10 AS r1,
         |       abs(l_discount - 0.05) AS absd,
         |       CAST(ceil(l_quantity) AS BIGINT) AS cl,
         |       CAST(floor(l_tax * 100) AS BIGINT) AS fl,
-        |       round(pow(l_quantity, 2.0), 4) AS q2,
-        |       round(ln(l_extendedprice), 4) AS lnp
+        |       floor((pow(l_quantity, 2.0)) * 10000 + 0.5) / 10000 AS q2,
+        |       floor((ln(l_extendedprice)) * 10000 + 0.5) / 10000 AS lnp
         |FROM lineitem
         |ORDER BY l_orderkey, l_linenumber, r1, absd, cl, fl, q2, lnp""".stripMargin,
     "q_json_funcs" ->
@@ -344,9 +343,9 @@ object Scalars {
     "q_array_funcs" ->
       """SELECT vec_id,
         |       CAST(len(embedding) AS INTEGER) AS dim,
-        |       round(CAST(embedding[1] AS DOUBLE), 4) AS e1,
-        |       round(list_sum(CAST(embedding AS DOUBLE[])), 4) AS ssum,
-        |       round(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 4) AS emax,
+        |       floor((CAST(embedding[1] AS DOUBLE)) * 10000 + 0.5) / 10000 AS e1,
+        |       floor((list_sum(CAST(embedding AS DOUBLE[]))) * 10000 + 0.5) / 10000 AS ssum,
+        |       floor((CAST(list_aggregate(embedding, 'max') AS DOUBLE)) * 10000 + 0.5) / 10000 AS emax,
         |       CAST(len(embedding[1:8]) AS INTEGER) AS first8
         |FROM embeddings
         |ORDER BY vec_id""".stripMargin,

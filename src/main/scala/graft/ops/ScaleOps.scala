@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.util.Det
 import graft.Tables
 import graft.util.Det.dsum
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -58,7 +59,7 @@ object ScaleOps {
       .agg(
         sum(col("pn")).as("n_events"),
         sum(col("pv")).cast("double").as("total_value"))
-      .withColumn("total_value", round(col("total_value"), 4))
+      .withColumn("total_value", Det.q4(col("total_value")))
       .orderBy("event_type")
 
   /** `mightContain` over a driver-built key sketch, as a native codegen'd
@@ -93,7 +94,7 @@ object ScaleOps {
       .groupBy(col("o_orderpriority"))
       .agg(
         count(lit(1)).as("n_items"),
-        round(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
+        Det.q4(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"))
       .orderBy("o_orderpriority")
   }
 
@@ -108,12 +109,12 @@ object ScaleOps {
     val totals = perKey.agg(
       sum(col("cnt")).as("total"), count(lit(1)).as("n_keys"))
     perKey.crossJoin(broadcast(totals))
-      .withColumn("share", round(col("cnt") / col("total"), 6))
+      .withColumn("share", Det.q6(col("cnt") / col("total")))
       // divide by the mean key load rather than multiplying cnt * n_keys:
       // the integer product can exceed Long range at the very scales this
       // diagnostic exists for (Spark would wrap silently in non-ANSI mode)
       .withColumn("skew",
-        round(col("cnt") / (col("total") / col("n_keys").cast("double")), 4))
+        Det.q4(col("cnt") / (col("total") / col("n_keys").cast("double"))))
       .select(col("o_custkey"), col("cnt"), col("share"), col("skew"))
       .orderBy(col("cnt").desc, col("o_custkey").asc)
       .limit(10)
@@ -286,7 +287,7 @@ object ScaleOps {
     "q_agg_salted" ->
       """SELECT event_type,
         |       count(*) AS n_events,
-        |       round(CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE), 4) AS total_value
+        |       floor((CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE)) * 10000 + 0.5) / 10000 AS total_value
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
@@ -297,8 +298,8 @@ object ScaleOps {
         |  SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS n_keys FROM k
         |)
         |SELECT o_custkey, cnt,
-        |       round(cnt / CAST(total AS DOUBLE), 6) AS share,
-        |       round(cnt / (CAST(total AS DOUBLE) / n_keys), 4) AS skew
+        |       floor((cnt / CAST(total AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS share,
+        |       floor((cnt / (CAST(total AS DOUBLE) / n_keys)) * 10000 + 0.5) / 10000 AS skew
         |FROM k, t
         |ORDER BY cnt DESC, o_custkey ASC
         |LIMIT 10""".stripMargin,
@@ -306,7 +307,7 @@ object ScaleOps {
     "q_bloom_prejoin" ->
       """SELECT o_orderpriority,
         |       count(*) AS n_items,
-        |       round(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))) AS DOUBLE), 4) AS revenue
+        |       floor((CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))) AS DOUBLE)) * 10000 + 0.5) / 10000 AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_totalprice > 480000.0
         |GROUP BY o_orderpriority

@@ -1183,6 +1183,19 @@ object Similarity {
   private def lloydRun(n: DataFrame): (DataFrame, Seq[(Int, Long)]) = {
     import graft.functions.VectorExpressions.doubleDot
     val q4 = graft.util.Det.q4 _
+    // The means recompute reads the corpus EXPLODED to narrow (vec_id,
+    // dim, x) rows, staged ONCE for every pass and hash-partitioned on
+    // vec_id (the embedPca layout). The old shape carried the 64-double
+    // array through the corpus × k assignment crossJoin — k× the corpus
+    // bytes materialized per pass, the cost that made q_kmeans_train the
+    // bench's most memory-pressure-sensitive query (r9: 2.7 s → 16 s
+    // under a loaded storage manager). Now the crossJoin is 3 scalar
+    // columns, and the per-pass (asg ⋈ ex) means join is co-partitioned
+    // (asg exits its vec_id groupBy with the same HashPartitioning the
+    // staged ex carries), so the vector payload never rides a per-pass
+    // exchange at any corpus scale.
+    val ex = once(n.repartition(col("vec_id"))
+      .select(col("vec_id"), posexplode(col("v")).as(Seq("dim", "x"))))
     var cents = n.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("norm").as("cn"))
     var prevAsg: DataFrame = null
@@ -1193,18 +1206,13 @@ object Similarity {
       if (converged) {
         changes += ((i, 0L))
       } else {
-        // v rides the aggregation (first(v) — constant within a vec_id
-        // group, so deterministic) so the means pass needs no re-join
-        // with the corpus: one shuffle saved per pass, and the argmax
-        // struct stays 2 scalar fields
         val asg = once(n.crossJoin(broadcast(cents))
-          .select(col("vec_id"), col("v"),
+          .select(col("vec_id"),
             q4(doubleDot(col("v"), col("cv")) / (col("norm") * col("cn"))).as("ccos"),
             col("cid"))
           .groupBy("vec_id")
-          .agg(max(struct(col("ccos"), (-col("cid")).as("negcid"))).as("b"),
-            first("v").as("v"))
-          .select(col("vec_id"), (-col("b.negcid")).as("cid"), col("v")))
+          .agg(max(struct(col("ccos"), (-col("cid")).as("negcid"))).as("b"))
+          .select(col("vec_id"), (-col("b.negcid")).as("cid")))
         if (prevAsg != null) {
           val chg = asg.join(prevAsg.withColumnRenamed("cid", "pcid"), "vec_id")
             .filter(col("cid") =!= col("pcid")).count()
@@ -1213,10 +1221,9 @@ object Similarity {
         }
         if (!converged) {
           // not staged: one consumer per pass (cents) — the final pass's
-          // output re-derives from the STAGED asg, so nothing recomputes
-          // the corpus scan either way
-          means = asg
-            .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+          // output re-derives from the STAGED asg and ex, so nothing
+          // recomputes the corpus scan either way
+          means = ex.join(asg, "vec_id")
             .groupBy("cid", "dim")
             .agg(count(lit(1)).as("n_members"),
               q4(graft.util.Det.davg(col("x"))).as("dim_mean"))

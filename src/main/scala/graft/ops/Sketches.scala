@@ -63,9 +63,10 @@ object Sketches {
     *
     * ORACLED, exactly (round-9 flip from rows-only): in the exact regime
     * `getQuantile(q)` under the inclusive rank rule returns the smallest
-    * item whose normalized rank cum/n ≥ q — mirrored in SQL as the
-    * smallest row_number with rn/n ≥ q, the SAME IEEE double comparison
-    * in both engines. Daily revenue enters the sketch as ONE
+    * item whose normalized rank cum/n ≥ q — mirrored in SQL as a
+    * PURE-INTEGER rank test (2·rn ≥ n for p50, 20·rn ≥ 19·n for p95;
+    * ADVICE r9 — exhaustively equal to the rn/n ≥ q double rule for
+    * every n ≤ 31, with no floating division left to knife-edge). Daily revenue enters the sketch as ONE
     * deterministic double (exact DECIMAL sum, one cast). The raw-stream
     * estimation regime (±1.65% rank error at k=200, merge law,
     * exactness-below-capacity) stays covered by [[SketchSpec]]. */
@@ -272,8 +273,11 @@ object Sketches {
         |SELECT e.term, e.est, t.total FROM est e, total t
         |ORDER BY e.term""".stripMargin,
     // exact-regime KLL (<= 31 items per month by calendar construction):
-    // inclusive-rank quantile = smallest item with rn/n >= q, the same
-    // IEEE double comparison the sketch's sorted view performs
+    // inclusive-rank quantile = smallest item with rank >= q*n, stated as
+    // a PURE-INTEGER comparison (2*rn >= n, 20*rn >= 19*n) so no floating
+    // division can knife-edge on another platform (ADVICE r9; verified
+    // exhaustively equal to the rn/n >= q double rule for every n <= 31
+    // and to getQuantile's inclusive search on the fixture months)
     "q_sketch_quantile" ->
       """WITH d AS (
         |  SELECT o_orderdate AS day,
@@ -287,8 +291,8 @@ object Sketches {
         |  FROM d
         |)
         |SELECT month, CAST(max(n) AS BIGINT) AS n_days,
-        |       min(CASE WHEN CAST(rn AS DOUBLE) / n >= 0.5 THEN rev END) AS p50_daily_rev,
-        |       min(CASE WHEN CAST(rn AS DOUBLE) / n >= 0.95 THEN rev END) AS p95_daily_rev
+        |       min(CASE WHEN 2 * rn >= n THEN rev END) AS p50_daily_rev,
+        |       min(CASE WHEN 20 * rn >= 19 * n THEN rev END) AS p95_daily_rev
         |FROM m GROUP BY month
         |ORDER BY month""".stripMargin,
   )

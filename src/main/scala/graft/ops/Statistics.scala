@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.util.Det
 import graft.Tables
 import graft.util.Det._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -41,10 +42,10 @@ object Statistics {
       .groupBy("l_returnflag")
       .agg(
         n.cast("long").as("n"),
-        round(r, 4).as("corr_qty_price"),
-        round(covS, 4).as("covar_samp"),
-        round(slope, 4).as("slope"),
-        round(icept, 4).as("intercept"))
+        Det.q4(r).as("corr_qty_price"),
+        Det.q4(covS).as("covar_samp"),
+        Det.q4(slope).as("slope"),
+        Det.q4(icept).as("intercept"))
       .orderBy("l_returnflag")
   }
 
@@ -56,8 +57,8 @@ object Statistics {
       .groupBy(floor(col("l_extendedprice") / 5000).cast("int").as("bucket"))
       .agg(
         count(lit(1)).as("n"),
-        round(min(col("l_extendedprice")), 4).as("lo"),
-        round(max(col("l_extendedprice")), 4).as("hi"))
+        Det.q4(min(col("l_extendedprice"))).as("lo"),
+        Det.q4(max(col("l_extendedprice"))).as("hi"))
       .orderBy("bucket")
 
   /** Equi-width bucketing via `width_bucket` (PostgreSQL semantics:
@@ -70,7 +71,7 @@ object Statistics {
       .select(col("l_quantity"), col("l_extendedprice"))
       .withColumn("bucket", expr("width_bucket(l_quantity, 1.0, 51.0, 10)"))
       .groupBy("bucket")
-      .agg(count(lit(1)).as("n"), round(dsum(col("l_extendedprice")), 4).as("sum_price"))
+      .agg(count(lit(1)).as("n"), Det.q4(dsum(col("l_extendedprice"))).as("sum_price"))
       .orderBy("bucket")
 
   /** Custom typed-Aggregator UDAF (graft.functions.WeightedAvg): quantity-
@@ -86,7 +87,7 @@ object Statistics {
         round(col("l_extendedprice") * 100).cast("long").as("pc"),
         floor(col("l_quantity")).cast("long").as("q"))
       .groupBy("l_returnflag")
-      .agg(round(wavg(col("pc"), col("q")), 4).as("w_unit_price"))
+      .agg(Det.q4(wavg(col("pc"), col("q"))).as("w_unit_price"))
       .orderBy("l_returnflag")
   }
 
@@ -232,8 +233,8 @@ object Statistics {
     row.select(col("n_click"), col("gt_click"), col("n_view"), col("gt_view"),
       col("median"),
       when(denom === lit(0), lit(null).cast("double"))
-        .otherwise(round((n.cast(dec0) * det * det).cast("double") /
-          denom.cast("double"), 6)).as("chi2"))
+        .otherwise(Det.q6((n.cast(dec0) * det * det).cast("double") /
+          denom.cast("double"))).as("chi2"))
   }
 
   /** SPRT hypothesis band: H₀ p = 0.18 vs H₁ p = 0.22 purchase share,
@@ -517,7 +518,7 @@ object Statistics {
       .groupBy("n1", "n2", "d_scaled")
       .agg(min("value").as("at_value"))
       .select(col("n1"), col("n2"), col("d_scaled"), col("at_value"),
-        round(col("d_scaled").cast("double") / (col("n1") * col("n2")).cast("double"), 6)
+        Det.q6(col("d_scaled").cast("double") / (col("n1") * col("n2")).cast("double"))
           .as("ks"))
   }
 
@@ -594,7 +595,7 @@ object Statistics {
       u1.as("u1_x2"),
       (lit(2) * col("n1") * col("n2") - u1).as("u2_x2"),
       col("tie_t"),
-      round(z, 6).as("z"))
+      Det.q6(z).as("z"))
   }
 
   /** Cliff's delta effect size between the click and view value
@@ -662,7 +663,7 @@ object Statistics {
     val num = (col("o") * col("n") - col("r") * col("c")).cast(dec0)
     val den = col("n").cast(dec0) * col("r").cast(dec0) * col("c").cast(dec0)
     val per = grid.withColumn("contrib",
-      round((num * num).cast("double") / den.cast("double"), 6)
+      Det.q6((num * num).cast("double") / den.cast("double"))
         .cast(DecimalType(18, 6)))
     per.groupBy("n", "nr", "nc")
       .agg(sum("contrib").as("chi2_d"))
@@ -670,8 +671,8 @@ object Statistics {
         col("nr").as("r"), col("nc").as("c"),
         ((col("nr") - 1) * (col("nc") - 1)).as("df"),
         col("chi2_d").cast("double").as("chi2"),
-        round(sqrt(col("chi2_d").cast("double") /
-          (col("n") * (least(col("nr"), col("nc")) - 1)).cast("double")), 6)
+        Det.q6(sqrt(col("chi2_d").cast("double") /
+          (col("n") * (least(col("nr"), col("nc")) - 1)).cast("double")))
           .as("cramers_v"))
   }
 
@@ -685,8 +686,8 @@ object Statistics {
     val docs = Tables.documents(s, d).select(col("source"), col("n_chars"))
     val bounds = docs.groupBy(col("source").as("src"))
       .agg(
-        round(expr("percentile(n_chars, 0.05)"), 4).as("p05"),
-        round(expr("percentile(n_chars, 0.95)"), 4).as("p95"))
+        Det.q4(expr("percentile(n_chars, 0.05)")).as("p05"),
+        Det.q4(expr("percentile(n_chars, 0.95)")).as("p95"))
     docs.join(broadcast(bounds), col("source") === col("src"))
       .withColumn("w",
         greatest(col("p05"), least(col("p95"), col("n_chars").cast("double"))))
@@ -695,8 +696,8 @@ object Statistics {
         count(lit(1)).as("n"),
         first("p05").as("p05"),
         first("p95").as("p95"),
-        round(davg(col("n_chars")), 4).as("mean_raw"),
-        round(davg(col("w")), 4).as("mean_wins"))
+        Det.q4(davg(col("n_chars"))).as("mean_raw"),
+        Det.q4(davg(col("w"))).as("mean_wins"))
       .orderBy("source")
   }
 
@@ -761,7 +762,7 @@ object Statistics {
       // stays exact — the decimal product keeps both engines exact and
       // loud at any input scale
       val den = n.cast(dec0) * r.cast(dec0) * c.cast(dec0)
-      round((num * num).cast("double") / den.cast("double"), 6)
+      Det.q6((num * num).cast("double") / den.cast("double"))
         .cast(DecimalType(18, 6))
     }
     cells.crossJoin(broadcast(tot))
@@ -835,11 +836,11 @@ object Statistics {
     val perBin = binned.crossJoin(broadcast(tot))
       .withColumn("diff", col("o1") * col("n2") - col("o2") * col("n1"))
       .withColumn("lq",
-        round(log((col("o1") * col("n2")).cast("double") /
-          (col("o2") * col("n1")).cast("double")), 6).cast(DecimalType(18, 6)))
+        Det.q6(log((col("o1") * col("n2")).cast("double") /
+          (col("o2") * col("n1")).cast("double"))).cast(DecimalType(18, 6)))
       .withColumn("contrib",
-        round((col("diff").cast(DecimalType(38, 6)) * col("lq")).cast("double") /
-          (col("n1") * col("n2")).cast("double"), 6).cast(DecimalType(18, 6)))
+        Det.q6((col("diff").cast(DecimalType(38, 6)) * col("lq")).cast("double") /
+          (col("n1") * col("n2")).cast("double")).cast(DecimalType(18, 6)))
     val psi = perBin.agg(sum("contrib").as("psi_d"))
     perBin.crossJoin(broadcast(psi))
   }
@@ -1000,9 +1001,9 @@ object Statistics {
     val se2 = v2 / n2d
     val se = se1 + se2
     base.select(col("n1"), col("n2"),
-      round(m1 - m2, 6).as("mean_diff"),
-      round((m1 - m2) / sqrt(se), 6).as("t"),
-      round(se * se / (se1 * se1 / (n1d - lit(1.0)) + se2 * se2 / (n2d - lit(1.0))), 6)
+      Det.q6(m1 - m2).as("mean_diff"),
+      Det.q6((m1 - m2) / sqrt(se)).as("t"),
+      Det.q6(se * se / (se1 * se1 / (n1d - lit(1.0)) + se2 * se2 / (n2d - lit(1.0))))
         .as("df"))
   }
 
@@ -1047,10 +1048,10 @@ object Statistics {
     val tLo = (m1 - m2 + lit(TostMargin)) / se
     val tHi = (lit(TostMargin) - (m1 - m2)) / se
     base.select(col("n1"), col("n2"),
-      round(m1 - m2, 6).as("mean_diff"),
-      round(se, 6).as("se"),
-      round(tLo, 6).as("t_lower"),
-      round(tHi, 6).as("t_upper"),
+      Det.q6(m1 - m2).as("mean_diff"),
+      Det.q6(se).as("se"),
+      Det.q6(tLo).as("t_lower"),
+      Det.q6(tHi).as("t_upper"),
       (tLo > lit(1.645) && tHi > lit(1.645)).cast("int").as("equivalent"))
   }
 
@@ -1078,11 +1079,11 @@ object Statistics {
       .groupBy("digit").agg(count(lit(1)).as("n")))
     val tot = counts.agg(sum("n").as("tt"))
     counts.crossJoin(broadcast(tot))
-      .withColumn("obs_p", round(col("n").cast("double") / col("tt").cast("double"), 6))
+      .withColumn("obs_p", Det.q6(col("n").cast("double") / col("tt").cast("double")))
       .withColumn("benford_p",
-        round(log(lit(1.0) + lit(1.0) / col("digit").cast("double")) / log(lit(10.0)), 6))
+        Det.q6(log(lit(1.0) + lit(1.0) / col("digit").cast("double")) / log(lit(10.0))))
       .select(col("digit"), col("n"), col("obs_p"), col("benford_p"),
-        round(col("obs_p") - col("benford_p"), 6).as("dev"))
+        Det.q6(col("obs_p") - col("benford_p")).as("dev"))
       .orderBy("digit")
   }
 
@@ -1125,8 +1126,8 @@ object Statistics {
         col("nd").as("n_days"),
         date_format(col("m.day"), "yyyy-MM-dd").as("cp_day"),
         col("m.s").as("s_scaled"),
-        round(abs(col("m.s")).cast("double") /
-          (col("nd").cast("double") * lit(1000000.0)), 6).as("s_max"))
+        Det.q6(abs(col("m.s")).cast("double") /
+          (col("nd").cast("double") * lit(1000000.0))).as("s_max"))
   }
 
   /** Lag-1 autocorrelation of the daily value series per event type —
@@ -1164,7 +1165,7 @@ object Statistics {
         sum(col("y") * col("y")).as("den"),
         sum(when(col("ynext").isNotNull, col("y") * col("ynext"))).as("num"))
       .select(col("event_type"), col("n_days"),
-        round(col("num").cast("double") / col("den").cast("double"), 6).as("r1"))
+        Det.q6(col("num").cast("double") / col("den").cast("double")).as("r1"))
       .orderBy("event_type")
   }
 
@@ -1174,7 +1175,7 @@ object Statistics {
     * DuckDB (verified there for counts ≤ 2M), and DECIMAL sums of the
     * quantized logs are order-independent and exact. */
   private def qlog2(c: Column): Column =
-    round(log(2.0, c.cast("double")), 6).cast(DecimalType(18, 6))
+    Det.q6(log(2.0, c.cast("double"))).cast(DecimalType(18, 6))
 
   /** Mutual information between `lang` and `source` on documents — the
     * dependence audit behind stratification decisions: MI ≈ 0 means the
@@ -1490,7 +1491,7 @@ object Statistics {
     * windows run over DISTINCT lifetimes — bounded by the study length
     * in days, never the customer count. */
   def kaplanMeier(s: SparkSession, d: String): DataFrame = {
-    val qlnL = (c: Column) => round(log(c.cast("double")), 6).cast(DecimalType(18, 6))
+    val qlnL = (c: Column) => Det.q6(log(c.cast("double"))).cast(DecimalType(18, 6))
     val per = Tables.orders(s, d)
       .groupBy("o_custkey")
       .agg(min(unix_micros(col("o_orderdate").cast("timestamp"))).as("mn"),
@@ -1999,8 +2000,8 @@ object Statistics {
     x.join(broadcast(t), "seg")
       .withColumn("pm", expr("CAST((CAST(x AS DECIMAL(38,0)) * 1000000) div stot AS BIGINT)"))
       .withColumn("l",
-        round(log((col("x").cast(dec0) * col("n").cast(dec0)).cast("double") /
-          col("stot").cast("double")), 6).cast(DecimalType(18, 6)))
+        Det.q6(log((col("x").cast(dec0) * col("n").cast(dec0)).cast("double") /
+          col("stot").cast("double"))).cast(DecimalType(18, 6)))
       .groupBy("seg")
       .agg(max("n").as("n_cust"), sum(col("pm") * col("l")).as("tsum"))
       .select(col("seg").as("c_mktsegment"), col("n_cust"),
@@ -2174,7 +2175,7 @@ object Statistics {
       .agg(sum("cnt").as("nt"), count(lit(1)).as("n_patterns"))
     cnts.join(broadcast(tot), "event_type")
       .withColumn("l",
-        round(log(col("cnt").cast("double") / col("nt").cast("double")), 6)
+        Det.q6(log(col("cnt").cast("double") / col("nt").cast("double")))
           .cast(DecimalType(18, 6)))
       .groupBy("event_type")
       .agg(max("nt").as("n_triples"), max("n_patterns").as("n_patterns"),
@@ -2242,8 +2243,8 @@ object Statistics {
         sum(col("c"))).cast("long").as("tie_t"))
     val terms = perType.crossJoin(broadcast(glob))
       .withColumn("term",
-        round((col("r2").cast(dec0) * col("r2").cast(dec0)).cast("double") /
-          (lit(4.0) * col("nt").cast("double")), 6).cast(DecimalType(38, 6)))
+        Det.q6((col("r2").cast(dec0) * col("r2").cast(dec0)).cast("double") /
+          (lit(4.0) * col("nt").cast("double"))).cast(DecimalType(38, 6)))
     val agg = terms.groupBy("n", "tie_t")
       .agg(count(lit(1)).as("k"), sum("term").as("sq"))
     val nD = col("n").cast("double")
@@ -2253,7 +2254,7 @@ object Statistics {
       (col("n").cast(dec0) * col("n").cast(dec0) * col("n").cast(dec0) -
         col("n").cast(dec0)).cast("double")
     agg.select(col("k"), col("n"), col("tie_t"), (col("k") - 1).as("df"),
-      round(h0 / corr, 6).as("h"))
+      Det.q6(h0 / corr).as("h"))
   }
 
   /** Mann–Kendall trend test + Theil–Sen slope per event type over the
@@ -2307,9 +2308,9 @@ object Statistics {
     val sd = sqrt(var18.cast("double") / lit(18.0))
     j.select(col("event_type"), col("nd").as("n_days"), col("s_stat"),
       var18.as("var18"),
-      round(when(col("s_stat") > 0, (col("s_stat") - 1).cast("double") / sd)
+      Det.q6(when(col("s_stat") > 0, (col("s_stat") - 1).cast("double") / sd)
         .when(col("s_stat") < 0, (col("s_stat") + 1).cast("double") / sd)
-        .otherwise(lit(0.0)), 6).as("z"),
+        .otherwise(lit(0.0))).as("z"),
       col("sen_slope"))
       .orderBy("event_type")
   }
@@ -2372,7 +2373,7 @@ object Statistics {
     val den = n.cast(dec0) * n.cast(dec0) *
       col("n1").cast(dec0) * col("n2").cast(dec0)
     t.select(col("n1"), col("n2"), col("n_values"),
-      round(col("t_scaled").cast("double") / den.cast("double"), 6).as("cvm"))
+      Det.q6(col("t_scaled").cast("double") / den.cast("double")).as("cvm"))
   }
 
   /** Friedman test + Kendall's W over the day × event-type volume grid —
@@ -2424,11 +2425,11 @@ object Statistics {
     val denom = col("ssq2") - col("nd") * col("k") * (col("k") + 1) * (col("k") + 1)
     agg.select(col("k"), col("nd").as("n_days"), (col("k") - 1).as("df"),
       when(denom === 0, lit(0.0)).otherwise(
-        round((col("k") - 1).cast("double") * col("sdev2").cast("double") /
-          denom.cast("double"), 6)).as("chi2_f"),
+        Det.q6((col("k") - 1).cast("double") * col("sdev2").cast("double") /
+          denom.cast("double"))).as("chi2_f"),
       when(denom === 0, lit(0.0)).otherwise(
-        round(col("sdev2").cast("double") /
-          (denom.cast("double") * col("nd").cast("double")), 6)).as("kendall_w"))
+        Det.q6(col("sdev2").cast("double") /
+          (denom.cast("double") * col("nd").cast("double")))).as("kendall_w"))
   }
 
   /** Cumulative Poisson(1) inverse-CDF thresholds for [[bootstrapCi]]:
@@ -2924,12 +2925,11 @@ object Statistics {
       .select(
         lit("AUTOMOBILE").as("seg_a"), lit("BUILDING").as("seg_b"),
         col("n_a"), col("n_b"), col("o_a_long").as("o_a"),
-        round(col("e_micro").cast("double") / lit(1000000.0), 6).as("e_a"),
-        round(col("v_micro").cast("double") / lit(1000000.0), 6).as("v"),
+        Det.q6(col("e_micro").cast("double") / lit(1000000.0)).as("e_a"),
+        Det.q6(col("v_micro").cast("double") / lit(1000000.0)).as("v"),
         when(col("v_micro") === lit(0L), lit(null).cast("double"))
-          .otherwise(round((num * num).cast("double") /
-            (col("v_micro").cast(dec0) * lit(1000000L).cast(dec0)).cast("double"),
-            6)).as("chi2"))
+          .otherwise(Det.q6((num * num).cast("double") /
+            (col("v_micro").cast(dec0) * lit(1000000L).cast(dec0)).cast("double"))).as("chi2"))
   }
 
   /** Hazard ratio between the two [[logRank]] segments, estimated the
@@ -2956,11 +2956,11 @@ object Statistics {
       .select(
         lit("AUTOMOBILE").as("seg_a"), lit("BUILDING").as("seg_b"),
         col("o_a_long").as("o_a"),
-        round(col("e_micro").cast("double") / lit(1000000.0), 6).as("e_a"),
+        Det.q6(col("e_micro").cast("double") / lit(1000000.0)).as("e_a"),
         col("o_b_long").as("o_b"),
-        round(col("eb_micro").cast("double") / lit(1000000.0), 6).as("e_b"),
+        Det.q6(col("eb_micro").cast("double") / lit(1000000.0)).as("e_b"),
         when(den === lit(0), lit(null).cast("double"))
-          .otherwise(round(num.cast("double") / den.cast("double"), 6))
+          .otherwise(Det.q6(num.cast("double") / den.cast("double")))
           .as("hazard_ratio"))
   }
 
@@ -3309,8 +3309,8 @@ object Statistics {
       |), lt AS (
       |  SELECT dur, n_risk, d, cens,
       |    CASE WHEN n_risk > d THEN
-      |      CAST(round(ln(n_risk - d), 6) AS DECIMAL(18,6))
-      |      - CAST(round(ln(n_risk), 6) AS DECIMAL(18,6)) END AS lterm
+      |      CAST(floor((ln(n_risk - d)) * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6))
+      |      - CAST(floor((ln(n_risk)) * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) END AS lterm
       |  FROM rk WHERE d > 0
       |), c AS (
       |  SELECT dur, n_risk, d, cens,
@@ -3559,8 +3559,8 @@ object Statistics {
         |)
         |SELECT n_click, gt_click, n_view, gt_view, median,
         |  CASE WHEN denom = 0 THEN NULL
-        |       ELSE round(CAST(CAST(n_click + n_view AS HUGEINT) * det * det
-        |                       AS DOUBLE) / CAST(denom AS DOUBLE), 6)
+        |       ELSE floor((CAST(CAST(n_click + n_view AS HUGEINT) * det * det
+        |                       AS DOUBLE) / CAST(denom AS DOUBLE)) * 1000000 + 0.5) / 1000000
         |  END AS chi2
         |FROM x""".stripMargin,
     // per-user conversion flags; z as two exact-integer divisions, one
@@ -3694,25 +3694,25 @@ object Statistics {
     "q_log_rank" ->
       s"""WITH $LogRankCtes
         |SELECT 'AUTOMOBILE' AS seg_a, 'BUILDING' AS seg_b, n_a, n_b, o_a,
-        |  round(CAST(e_micro AS DOUBLE) / 1000000.0, 6) AS e_a,
-        |  round(CAST(v_micro AS DOUBLE) / 1000000.0, 6) AS v,
+        |  floor((CAST(e_micro AS DOUBLE) / 1000000.0) * 1000000 + 0.5) / 1000000 AS e_a,
+        |  floor((CAST(v_micro AS DOUBLE) / 1000000.0) * 1000000 + 0.5) / 1000000 AS v,
         |  CASE WHEN v_micro = 0 THEN NULL
-        |       ELSE round(CAST((CAST(o_a AS HUGEINT) * 1000000 - e_micro)
+        |       ELSE floor((CAST((CAST(o_a AS HUGEINT) * 1000000 - e_micro)
         |                       * (CAST(o_a AS HUGEINT) * 1000000 - e_micro)
         |                       AS DOUBLE)
-        |                  / CAST(CAST(v_micro AS HUGEINT) * 1000000 AS DOUBLE), 6)
+        |                  / CAST(CAST(v_micro AS HUGEINT) * 1000000 AS DOUBLE)) * 1000000 + 0.5) / 1000000
         |  END AS chi2
         |FROM stat, sizes""".stripMargin,
     // the shared O/E frame; HR cross-multiplies to one exact division
     "q_hazard_ratio" ->
       s"""WITH $LogRankCtes
         |SELECT 'AUTOMOBILE' AS seg_a, 'BUILDING' AS seg_b, o_a,
-        |  round(CAST(e_micro AS DOUBLE) / 1000000.0, 6) AS e_a,
+        |  floor((CAST(e_micro AS DOUBLE) / 1000000.0) * 1000000 + 0.5) / 1000000 AS e_a,
         |  o_b,
-        |  round(CAST(eb_micro AS DOUBLE) / 1000000.0, 6) AS e_b,
+        |  floor((CAST(eb_micro AS DOUBLE) / 1000000.0) * 1000000 + 0.5) / 1000000 AS e_b,
         |  CASE WHEN CAST(o_b AS HUGEINT) * e_micro = 0 THEN NULL
-        |       ELSE round(CAST(CAST(o_a AS HUGEINT) * eb_micro AS DOUBLE)
-        |                  / CAST(CAST(o_b AS HUGEINT) * e_micro AS DOUBLE), 6)
+        |       ELSE floor((CAST(CAST(o_a AS HUGEINT) * eb_micro AS DOUBLE)
+        |                  / CAST(CAST(o_b AS HUGEINT) * e_micro AS DOUBLE)) * 1000000 + 0.5) / 1000000
         |  END AS hazard_ratio
         |FROM stat, sizes""".stripMargin,
     // paired daily click/view micro totals; 2x midranks on the integer
@@ -3948,13 +3948,13 @@ object Statistics {
         |)
         |SELECT k, nd AS n_days, k - 1 AS df,
         |  CASE WHEN ssq2 - nd * k * (k + 1) * (k + 1) = 0 THEN 0.0e0
-        |       ELSE round(CAST(k - 1 AS DOUBLE) * CAST(sdev2 AS DOUBLE)
-        |                  / CAST(ssq2 - nd * k * (k + 1) * (k + 1) AS DOUBLE), 6)
+        |       ELSE floor((CAST(k - 1 AS DOUBLE) * CAST(sdev2 AS DOUBLE)
+        |                  / CAST(ssq2 - nd * k * (k + 1) * (k + 1) AS DOUBLE)) * 1000000 + 0.5) / 1000000
         |  END AS chi2_f,
         |  CASE WHEN ssq2 - nd * k * (k + 1) * (k + 1) = 0 THEN 0.0e0
-        |       ELSE round(CAST(sdev2 AS DOUBLE)
+        |       ELSE floor((CAST(sdev2 AS DOUBLE)
         |                  / (CAST(ssq2 - nd * k * (k + 1) * (k + 1) AS DOUBLE)
-        |                     * CAST(nd AS DOUBLE)), 6)
+        |                     * CAST(nd AS DOUBLE))) * 1000000 + 0.5) / 1000000
         |  END AS kendall_w
         |FROM a""".stripMargin,
     "q_kruskal_wallis" ->
@@ -3978,18 +3978,18 @@ object Statistics {
         |  FROM r
         |), terms AS (
         |  SELECT n, tie_t,
-        |    CAST(round(CAST(CAST(r2 AS HUGEINT) * r2 AS DOUBLE)
-        |               / (4.0e0 * CAST(nt AS DOUBLE)), 6) AS DECIMAL(38,6)) AS term
+        |    CAST(floor((CAST(CAST(r2 AS HUGEINT) * r2 AS DOUBLE)
+        |               / (4.0e0 * CAST(nt AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS DECIMAL(38,6)) AS term
         |  FROM pt CROSS JOIN g
         |), a AS (
         |  SELECT n, tie_t, CAST(count(*) AS BIGINT) AS k, SUM(term) AS sq
         |  FROM terms GROUP BY n, tie_t
         |)
         |SELECT k, n, tie_t, k - 1 AS df,
-        |  round((12.0e0 * CAST(sq AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE))
+        |  floor(((12.0e0 * CAST(sq AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE))
         |         - 3.0e0 * CAST(n + 1 AS DOUBLE))
         |        / (1.0e0 - CAST(tie_t AS DOUBLE)
-        |           / CAST(CAST(n AS HUGEINT) * n * n - n AS DOUBLE)), 6) AS h
+        |           / CAST(CAST(n AS HUGEINT) * n * n - n AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS h
         |FROM a""".stripMargin,
     "q_mann_kendall" ->
       """WITH daily AS (
@@ -4037,10 +4037,10 @@ object Statistics {
         |  FROM s JOIN ties USING (event_type)
         |)
         |SELECT vz.event_type, nd AS n_days, s_stat, var18,
-        |  round(CASE
+        |  floor((CASE
         |    WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE) / sqrt(CAST(var18 AS DOUBLE) / 18.0e0)
         |    WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE) / sqrt(CAST(var18 AS DOUBLE) / 18.0e0)
-        |    ELSE 0.0e0 END, 6) AS z,
+        |    ELSE 0.0e0 END) * 1000000 + 0.5) / 1000000 AS z,
         |  sen_slope
         |FROM vz JOIN sen USING (event_type) ORDER BY event_type""".stripMargin,
     "q_cvm_drift" ->
@@ -4065,8 +4065,8 @@ object Statistics {
         |  FROM r CROSS JOIN tot GROUP BY n1, n2
         |)
         |SELECT n1, n2, n_values,
-        |  round(CAST(t_scaled AS DOUBLE) /
-        |        CAST(CAST(n1 + n2 AS HUGEINT) * (n1 + n2) * n1 * n2 AS DOUBLE), 6) AS cvm
+        |  floor((CAST(t_scaled AS DOUBLE) /
+        |        CAST(CAST(n1 + n2 AS HUGEINT) * (n1 + n2) * n1 * n2 AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS cvm
         |FROM t""".stripMargin,
     "q_kendall_tau" ->
       """WITH daily AS (
@@ -4154,7 +4154,7 @@ object Statistics {
         |  FROM cnts GROUP BY event_type
         |), terms AS (
         |  SELECT c.event_type, t.nt, t.n_patterns,
-        |    c.cnt * CAST(round(ln(CAST(c.cnt AS DOUBLE) / CAST(t.nt AS DOUBLE)), 6)
+        |    c.cnt * CAST(floor((ln(CAST(c.cnt AS DOUBLE) / CAST(t.nt AS DOUBLE))) * 1000000 + 0.5) / 1000000
         |                 AS DECIMAL(18,6)) AS term
         |  FROM cnts c JOIN tot t ON c.event_type = t.event_type
         |)
@@ -4285,8 +4285,8 @@ object Statistics {
         |), p AS (
         |  SELECT xs.seg, t.n,
         |    CAST((CAST(xs.x AS HUGEINT) * 1000000) // t.stot AS BIGINT) AS pm,
-        |    CAST(round(ln(CAST(CAST(xs.x AS HUGEINT) * CAST(t.n AS HUGEINT) AS DOUBLE)
-        |           / CAST(t.stot AS DOUBLE)), 6) AS DECIMAL(18,6)) AS l
+        |    CAST(floor((ln(CAST(CAST(xs.x AS HUGEINT) * CAST(t.n AS HUGEINT) AS DOUBLE)
+        |           / CAST(t.stot AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS l
         |  FROM xs JOIN t ON xs.seg = t.seg
         |)
         |SELECT seg AS c_mktsegment, CAST(max(n) AS BIGINT) AS n_cust,
@@ -4544,22 +4544,22 @@ object Statistics {
         |  SELECT lang, source, CAST(count(*) AS BIGINT) AS c
         |  FROM documents GROUP BY lang, source
         |), sc AS (
-        |  SELECT sum(CAST(round(log2(c), 6) AS DECIMAL(18,6)) * c) AS scc,
+        |  SELECT sum(CAST(floor((log2(c)) * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) * c) AS scc,
         |         CAST(sum(c) AS BIGINT) AS n
         |  FROM cells
         |), sr AS (
-        |  SELECT sum(CAST(round(log2(r), 6) AS DECIMAL(18,6)) * r) AS srr,
+        |  SELECT sum(CAST(floor((log2(r)) * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) * r) AS srr,
         |         CAST(count(*) AS BIGINT) AS n_lang
         |  FROM (SELECT CAST(sum(c) AS BIGINT) AS r FROM cells GROUP BY lang) t
         |), ss AS (
-        |  SELECT sum(CAST(round(log2(m), 6) AS DECIMAL(18,6)) * m) AS sss,
+        |  SELECT sum(CAST(floor((log2(m)) * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) * m) AS sss,
         |         CAST(count(*) AS BIGINT) AS n_source
         |  FROM (SELECT CAST(sum(c) AS BIGINT) AS m FROM cells GROUP BY source) t
         |), u AS (
         |  SELECT n, n_lang, n_source,
-        |         scc - srr - sss + CAST(round(log2(n), 6) AS DECIMAL(18,6)) * n AS t2,
-        |         CAST(round(log2(n), 6) AS DECIMAL(18,6)) * n - srr AS tr,
-        |         CAST(round(log2(n), 6) AS DECIMAL(18,6)) * n - sss AS ts
+        |         scc - srr - sss + CAST(floor((log2(n)) * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) * n AS t2,
+        |         CAST(floor((log2(n)) * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) * n - srr AS tr,
+        |         CAST(floor((log2(n)) * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) * n - sss AS ts
         |  FROM sc, sr, ss
         |)
         |SELECT n AS n_docs, n_lang, n_source,
@@ -4631,31 +4631,31 @@ object Statistics {
         |)
         |SELECT l_returnflag,
         |       CAST(n AS BIGINT) AS n,
-        |       round((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS corr_qty_price,
-        |       round((sxy - sx * sy / n) / (n - 1.0), 4) AS covar_samp,
-        |       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS slope,
-        |       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 4) AS intercept
+        |       floor(((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))) * 10000 + 0.5) / 10000 AS corr_qty_price,
+        |       floor(((sxy - sx * sy / n) / (n - 1.0)) * 10000 + 0.5) / 10000 AS covar_samp,
+        |       floor(((n * sxy - sx * sy) / (n * sxx - sx * sx)) * 10000 + 0.5) / 10000 AS slope,
+        |       floor(((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n) * 10000 + 0.5) / 10000 AS intercept
         |FROM s
         |ORDER BY l_returnflag""".stripMargin,
     "q_width_bucket" ->
       """SELECT CAST(floor((l_quantity - 1.0) / 5.0) AS BIGINT) + 1 AS bucket,
         |       count(*) AS n,
-        |       round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,6))) AS DOUBLE), 4) AS sum_price
+        |       floor((CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,6))) AS DOUBLE)) * 10000 + 0.5) / 10000 AS sum_price
         |FROM lineitem
         |GROUP BY 1
         |ORDER BY 1""".stripMargin,
     "q_weighted_avg_udaf" ->
       """SELECT l_returnflag,
-        |       round((SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0)
-        |             / SUM(CAST(floor(l_quantity) AS BIGINT)), 4) AS w_unit_price
+        |       floor(((SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0)
+        |             / SUM(CAST(floor(l_quantity) AS BIGINT))) * 10000 + 0.5) / 10000 AS w_unit_price
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
     "q_histogram" ->
       """SELECT CAST(floor(l_extendedprice / 5000) AS INTEGER) AS bucket,
         |       count(*) AS n,
-        |       round(min(l_extendedprice), 4) AS lo,
-        |       round(max(l_extendedprice), 4) AS hi
+        |       floor((min(l_extendedprice)) * 10000 + 0.5) / 10000 AS lo,
+        |       floor((max(l_extendedprice)) * 10000 + 0.5) / 10000 AS hi
         |FROM lineitem
         |GROUP BY 1
         |ORDER BY bucket""".stripMargin,
@@ -4759,7 +4759,7 @@ object Statistics {
         |       CAST(gg.n2 AS BIGINT) AS n2,
         |       CAST(d.d_scaled AS BIGINT) AS d_scaled,
         |       min(gg.value) AS at_value,
-        |       round(CAST(d.d_scaled AS DOUBLE) / CAST(gg.n1 * gg.n2 AS DOUBLE), 6) AS ks
+        |       floor((CAST(d.d_scaled AS DOUBLE) / CAST(gg.n1 * gg.n2 AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS ks
         |FROM gg JOIN d ON gg.n1 = d.n1 AND gg.n2 = d.n2 AND gg.gap = d.d_scaled
         |GROUP BY gg.n1, gg.n2, d.d_scaled""".stripMargin,
     "q_chisq_drift" ->
@@ -4772,10 +4772,10 @@ object Statistics {
         |  SELECT SUM(o1) AS c1, SUM(o2) AS c2, SUM(o1 + o2) AS n, COUNT(*) AS k FROM cells
         |), per AS (
         |  SELECT event_type, o1, o2, k,
-        |         CAST(round(CAST(CAST(o1*n - (o1+o2)*c1 AS HUGEINT) * CAST(o1*n - (o1+o2)*c1 AS HUGEINT) AS DOUBLE)
-        |                    / CAST(CAST(n AS HUGEINT) * (o1+o2) * c1 AS DOUBLE), 6) AS DECIMAL(18,6))
-        |       + CAST(round(CAST(CAST(o2*n - (o1+o2)*c2 AS HUGEINT) * CAST(o2*n - (o1+o2)*c2 AS HUGEINT) AS DOUBLE)
-        |                    / CAST(CAST(n AS HUGEINT) * (o1+o2) * c2 AS DOUBLE), 6) AS DECIMAL(18,6)) AS contrib
+        |         CAST(floor((CAST(CAST(o1*n - (o1+o2)*c1 AS HUGEINT) * CAST(o1*n - (o1+o2)*c1 AS HUGEINT) AS DOUBLE)
+        |                    / CAST(CAST(n AS HUGEINT) * (o1+o2) * c1 AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6))
+        |       + CAST(floor((CAST(CAST(o2*n - (o1+o2)*c2 AS HUGEINT) * CAST(o2*n - (o1+o2)*c2 AS HUGEINT) AS DOUBLE)
+        |                    / CAST(CAST(n AS HUGEINT) * (o1+o2) * c2 AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS contrib
         |  FROM cells, tot
         |), t2 AS (SELECT SUM(contrib) AS chi2_d, min(k) AS kk FROM per)
         |SELECT per.event_type,
@@ -4804,9 +4804,9 @@ object Statistics {
         |), tot AS (SELECT SUM(o1) AS n1, SUM(o2) AS n2 FROM sm
         |), per AS (
         |  SELECT bkt, o1, o2,
-        |         CAST(round(CAST(CAST(o1*n2 - o2*n1 AS DECIMAL(38,6))
-        |                         * CAST(round(ln(CAST(o1*n2 AS DOUBLE) / CAST(o2*n1 AS DOUBLE)), 6) AS DECIMAL(18,6)) AS DOUBLE)
-        |                    / CAST(n1 * n2 AS DOUBLE), 6) AS DECIMAL(18,6)) AS contrib
+        |         CAST(floor((CAST(CAST(o1*n2 - o2*n1 AS DECIMAL(38,6))
+        |                         * CAST(floor((ln(CAST(o1*n2 AS DOUBLE) / CAST(o2*n1 AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS DOUBLE)
+        |                    / CAST(n1 * n2 AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS contrib
         |  FROM sm, tot
         |), t AS (SELECT SUM(contrib) AS psi_d FROM per)
         |SELECT per.bkt,
@@ -4829,10 +4829,10 @@ object Statistics {
         |  SELECT SUM(o1) AS c1, SUM(o2) AS c2, SUM(o1 + o2) AS n FROM cells
         |), cper AS (
         |  SELECT o1, o2,
-        |         CAST(round(CAST(CAST(o1*n - (o1+o2)*c1 AS HUGEINT) * CAST(o1*n - (o1+o2)*c1 AS HUGEINT) AS DOUBLE)
-        |                    / CAST(CAST(n AS HUGEINT) * (o1+o2) * c1 AS DOUBLE), 6) AS DECIMAL(18,6))
-        |       + CAST(round(CAST(CAST(o2*n - (o1+o2)*c2 AS HUGEINT) * CAST(o2*n - (o1+o2)*c2 AS HUGEINT) AS DOUBLE)
-        |                    / CAST(CAST(n AS HUGEINT) * (o1+o2) * c2 AS DOUBLE), 6) AS DECIMAL(18,6)) AS contrib
+        |         CAST(floor((CAST(CAST(o1*n - (o1+o2)*c1 AS HUGEINT) * CAST(o1*n - (o1+o2)*c1 AS HUGEINT) AS DOUBLE)
+        |                    / CAST(CAST(n AS HUGEINT) * (o1+o2) * c1 AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6))
+        |       + CAST(floor((CAST(CAST(o2*n - (o1+o2)*c2 AS HUGEINT) * CAST(o2*n - (o1+o2)*c2 AS HUGEINT) AS DOUBLE)
+        |                    / CAST(CAST(n AS HUGEINT) * (o1+o2) * c2 AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS contrib
         |  FROM cells, ctot
         |), c_row AS (
         |  SELECT CAST(SUM(o1) AS BIGINT) AS n_a, CAST(SUM(o2) AS BIGINT) AS n_b,
@@ -4851,8 +4851,8 @@ object Statistics {
         |  FROM kev
         |), k_row AS (
         |  SELECT CAST(min(n1) AS BIGINT) AS n_a, CAST(min(n2) AS BIGINT) AS n_b,
-        |         round(CAST(max(abs(cum1 * n2 - cum2 * n1)) AS DOUBLE)
-        |               / CAST(min(n1) * min(n2) AS DOUBLE), 6) AS stat
+        |         floor((CAST(max(abs(cum1 * n2 - cum2 * n1)) AS DOUBLE)
+        |               / CAST(min(n1) * min(n2) AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS stat
         |  FROM kg
         |), pev AS (
         |  SELECT value,
@@ -4871,9 +4871,9 @@ object Statistics {
         |), ptot AS (SELECT SUM(o1) AS n1, SUM(o2) AS n2 FROM psm
         |), pper AS (
         |  SELECT o1, o2,
-        |         CAST(round(CAST(CAST(o1*n2 - o2*n1 AS DECIMAL(38,6))
-        |                         * CAST(round(ln(CAST(o1*n2 AS DOUBLE) / CAST(o2*n1 AS DOUBLE)), 6) AS DECIMAL(18,6)) AS DOUBLE)
-        |                    / CAST(n1 * n2 AS DOUBLE), 6) AS DECIMAL(18,6)) AS contrib
+        |         CAST(floor((CAST(CAST(o1*n2 - o2*n1 AS DECIMAL(38,6))
+        |                         * CAST(floor((ln(CAST(o1*n2 AS DOUBLE) / CAST(o2*n1 AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS DOUBLE)
+        |                    / CAST(n1 * n2 AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS contrib
         |  FROM psm, ptot
         |), p_row AS (
         |  SELECT CAST(SUM(o1 - 1) AS BIGINT) AS n_a, CAST(SUM(o2 - 1) AS BIGINT) AS n_b,
@@ -4907,10 +4907,10 @@ object Statistics {
         |  FROM a
         |)
         |SELECT n1, n2,
-        |       round(m1 - m2, 6) AS mean_diff,
-        |       round(se, 6) AS se,
-        |       round((m1 - m2 + 5.0e0) / se, 6) AS t_lower,
-        |       round((5.0e0 - (m1 - m2)) / se, 6) AS t_upper,
+        |       floor((m1 - m2) * 1000000 + 0.5) / 1000000 AS mean_diff,
+        |       floor((se) * 1000000 + 0.5) / 1000000 AS se,
+        |       floor(((m1 - m2 + 5.0e0) / se) * 1000000 + 0.5) / 1000000 AS t_lower,
+        |       floor(((5.0e0 - (m1 - m2)) / se) * 1000000 + 0.5) / 1000000 AS t_upper,
         |       CAST((m1 - m2 + 5.0e0) / se > 1.645e0
         |            AND (5.0e0 - (m1 - m2)) / se > 1.645e0 AS INTEGER) AS equivalent
         |FROM b""".stripMargin,
@@ -4933,11 +4933,11 @@ object Statistics {
         |  FROM a
         |)
         |SELECT n1, n2,
-        |       round(m1 - m2, 6) AS mean_diff,
-        |       round((m1 - m2) / sqrt(se1 + se2), 6) AS t,
-        |       round((se1 + se2) * (se1 + se2)
+        |       floor((m1 - m2) * 1000000 + 0.5) / 1000000 AS mean_diff,
+        |       floor(((m1 - m2) / sqrt(se1 + se2)) * 1000000 + 0.5) / 1000000 AS t,
+        |       floor(((se1 + se2) * (se1 + se2)
         |             / (se1 * se1 / (CAST(n1 AS DOUBLE) - 1.0e0)
-        |                + se2 * se2 / (CAST(n2 AS DOUBLE) - 1.0e0)), 6) AS df
+        |                + se2 * se2 / (CAST(n2 AS DOUBLE) - 1.0e0))) * 1000000 + 0.5) / 1000000 AS df
         |FROM b""".stripMargin,
     // leading digit from exact integer cents as STRING — no log10 on the
     // data path; the only logs are over the nine digit constants
@@ -4950,10 +4950,10 @@ object Statistics {
         |  SELECT digit, count(*) AS n FROM dg GROUP BY digit
         |), t AS (SELECT CAST(SUM(n) AS BIGINT) AS tt FROM c)
         |SELECT c.digit, CAST(c.n AS BIGINT) AS n,
-        |       round(CAST(c.n AS DOUBLE) / CAST(t.tt AS DOUBLE), 6) AS obs_p,
-        |       round(ln(1.0e0 + 1.0e0 / CAST(c.digit AS DOUBLE)) / ln(10.0e0), 6) AS benford_p,
-        |       round(round(CAST(c.n AS DOUBLE) / CAST(t.tt AS DOUBLE), 6)
-        |             - round(ln(1.0e0 + 1.0e0 / CAST(c.digit AS DOUBLE)) / ln(10.0e0), 6), 6) AS dev
+        |       floor((CAST(c.n AS DOUBLE) / CAST(t.tt AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS obs_p,
+        |       floor((ln(1.0e0 + 1.0e0 / CAST(c.digit AS DOUBLE)) / ln(10.0e0)) * 1000000 + 0.5) / 1000000 AS benford_p,
+        |       floor((floor((CAST(c.n AS DOUBLE) / CAST(t.tt AS DOUBLE)) * 1000000 + 0.5) / 1000000
+        |             - floor((ln(1.0e0 + 1.0e0 / CAST(c.digit AS DOUBLE)) / ln(10.0e0)) * 1000000 + 0.5) / 1000000) * 1000000 + 0.5) / 1000000 AS dev
         |FROM c, t
         |ORDER BY c.digit""".stripMargin,
     "q_cusum_drift" ->
@@ -4977,7 +4977,7 @@ object Statistics {
         |SELECT c.nd AS n_days,
         |       strftime(am.cp, '%Y-%m-%d') AS cp_day,
         |       CAST(c.s AS BIGINT) AS s_scaled,
-        |       round(CAST(abs(c.s) AS DOUBLE) / (CAST(c.nd AS DOUBLE) * 1000000.0e0), 6) AS s_max
+        |       floor((CAST(abs(c.s) AS DOUBLE) / (CAST(c.nd AS DOUBLE) * 1000000.0e0)) * 1000000 + 0.5) / 1000000 AS s_max
         |FROM curve c, am, mx
         |WHERE c.day = am.cp""".stripMargin,
     "q_autocorr" ->
@@ -4998,8 +4998,8 @@ object Statistics {
         |)
         |SELECT event_type,
         |       CAST(MIN(nd) AS BIGINT) AS n_days,
-        |       round(CAST(SUM(CASE WHEN ynext IS NOT NULL THEN y * ynext END) AS DOUBLE)
-        |             / CAST(SUM(y * y) AS DOUBLE), 6) AS r1
+        |       floor((CAST(SUM(CASE WHEN ynext IS NOT NULL THEN y * ynext END) AS DOUBLE)
+        |             / CAST(SUM(y * y) AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS r1
         |FROM y
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
@@ -5029,10 +5029,10 @@ object Statistics {
         |       r1_x2 - n1 * (n1 + 1) AS u1_x2,
         |       2 * n1 * n2 - (r1_x2 - n1 * (n1 + 1)) AS u2_x2,
         |       tie_t,
-        |       round(CAST((r1_x2 - n1 * (n1 + 1)) - n1 * n2 AS DOUBLE) /
+        |       floor((CAST((r1_x2 - n1 * (n1 + 1)) - n1 * n2 AS DOUBLE) /
         |             (2.0e0 * sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0e0 *
         |               (CAST(n1 + n2 + 1 AS DOUBLE)
-        |                - CAST(tie_t AS DOUBLE) / CAST((n1 + n2) * (n1 + n2 - 1) AS DOUBLE)))), 6) AS z
+        |                - CAST(tie_t AS DOUBLE) / CAST((n1 + n2) * (n1 + n2 - 1) AS DOUBLE))))) * 1000000 + 0.5) / 1000000 AS z
         |FROM t""".stripMargin,
     "q_contingency_assoc" ->
       """WITH cells AS (
@@ -5051,30 +5051,30 @@ object Statistics {
         |  FROM rw CROSS JOIN cl
         |  LEFT JOIN cells ON rw.source = cells.source AND cl.lang = cells.lang
         |), per AS (
-        |  SELECT CAST(round(CAST(CAST(o*n - r*c AS HUGEINT) * CAST(o*n - r*c AS HUGEINT) AS DOUBLE)
-        |                    / CAST(CAST(n AS HUGEINT) * r * c AS DOUBLE), 6) AS DECIMAL(18,6)) AS contrib
+        |  SELECT CAST(floor((CAST(CAST(o*n - r*c AS HUGEINT) * CAST(o*n - r*c AS HUGEINT) AS DOUBLE)
+        |                    / CAST(CAST(n AS HUGEINT) * r * c AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS contrib
         |  FROM grid, tot
         |)
         |SELECT tot.n, tot.nr AS r, tot.nc AS c,
         |       (tot.nr - 1) * (tot.nc - 1) AS df,
         |       CAST(SUM(contrib) AS DOUBLE) AS chi2,
-        |       round(sqrt(CAST(SUM(contrib) AS DOUBLE)
-        |                  / CAST(tot.n * (least(tot.nr, tot.nc) - 1) AS DOUBLE)), 6) AS cramers_v
+        |       floor((sqrt(CAST(SUM(contrib) AS DOUBLE)
+        |                  / CAST(tot.n * (least(tot.nr, tot.nc) - 1) AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS cramers_v
         |FROM per, tot
         |GROUP BY tot.n, tot.nr, tot.nc""".stripMargin,
     "q_winsorize" ->
       """WITH b AS (
         |  SELECT source AS src,
-        |         round(quantile_cont(n_chars, 0.05), 4) AS p05,
-        |         round(quantile_cont(n_chars, 0.95), 4) AS p95
+        |         floor((quantile_cont(n_chars, 0.05)) * 10000 + 0.5) / 10000 AS p05,
+        |         floor((quantile_cont(n_chars, 0.95)) * 10000 + 0.5) / 10000 AS p95
         |  FROM documents GROUP BY 1
         |)
         |SELECT d.source,
         |       count(*) AS n,
         |       min(b.p05) AS p05,
         |       min(b.p95) AS p95,
-        |       round(CAST(SUM(CAST(d.n_chars AS DECIMAL(24,6))) AS DOUBLE) / count(*), 4) AS mean_raw,
-        |       round(CAST(SUM(CAST(greatest(b.p05, least(b.p95, CAST(d.n_chars AS DOUBLE))) AS DECIMAL(24,6))) AS DOUBLE) / count(*), 4) AS mean_wins
+        |       floor((CAST(SUM(CAST(d.n_chars AS DECIMAL(24,6))) AS DOUBLE) / count(*)) * 10000 + 0.5) / 10000 AS mean_raw,
+        |       floor((CAST(SUM(CAST(greatest(b.p05, least(b.p95, CAST(d.n_chars AS DOUBLE))) AS DECIMAL(24,6))) AS DOUBLE) / count(*)) * 10000 + 0.5) / 10000 AS mean_wins
         |FROM documents d JOIN b ON d.source = b.src
         |GROUP BY d.source
         |ORDER BY d.source""".stripMargin,

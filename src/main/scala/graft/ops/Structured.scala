@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.util.Det
 import graft.Tables
 import graft.util.Det._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -53,7 +54,7 @@ object Structured {
         col("o_orderkey"),
         col("info.status").as("status"),
         col("info.detail.pri").as("pri"),
-        round(col("info.detail.total"), 2).as("total"))
+        Det.q(col("info.detail.total"), 2).as("total"))
       .orderBy("o_orderkey")
 
   /** Wide aggregate → long (measure, value) rows via Dataset.unpivot —
@@ -69,7 +70,7 @@ object Structured {
         Array(col("l_returnflag")),
         Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
         "measure", "value")
-      .withColumn("value", round(col("value"), 4))
+      .withColumn("value", Det.q4(col("value")))
       .orderBy("l_returnflag", "measure")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -120,7 +121,7 @@ object Structured {
       """SELECT o_orderkey,
         |       o_orderstatus AS status,
         |       o_orderpriority AS pri,
-        |       round(o_totalprice, 2) AS total
+        |       floor((o_totalprice) * 100 + 0.5) / 100 AS total
         |FROM orders
         |ORDER BY o_orderkey""".stripMargin,
     "q_unpivot" ->
@@ -131,11 +132,11 @@ object Structured {
         |         CAST(SUM(CAST(l_discount AS DECIMAL(24,6))) AS DOUBLE) AS sum_disc
         |  FROM lineitem GROUP BY l_returnflag
         |)
-        |SELECT l_returnflag, 'sum_qty' AS measure, round(sum_qty, 4) AS value FROM a
+        |SELECT l_returnflag, 'sum_qty' AS measure, floor((sum_qty) * 10000 + 0.5) / 10000 AS value FROM a
         |UNION ALL
-        |SELECT l_returnflag, 'sum_price', round(sum_price, 4) FROM a
+        |SELECT l_returnflag, 'sum_price', floor((sum_price) * 10000 + 0.5) / 10000 FROM a
         |UNION ALL
-        |SELECT l_returnflag, 'sum_disc', round(sum_disc, 4) FROM a
+        |SELECT l_returnflag, 'sum_disc', floor((sum_disc) * 10000 + 0.5) / 10000 FROM a
         |ORDER BY l_returnflag, measure""".stripMargin,
   )
 }

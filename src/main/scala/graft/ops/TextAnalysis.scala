@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.util.Det
 import graft.Tables
 import graft.functions.StringNgrams
 import graft.functions.TextFeatures._
@@ -73,11 +74,9 @@ object TextAnalysis {
     val stopCnt = size(filter(w, x => x.isin(Stopwords.map(m => m: Any): _*)))
     val avgWl = nCharsNoSpace / nWords
     val stopRatio = stopCnt / nWords
-    round(
-      lit(0.4) * stopRatio
+    Det.q4(lit(0.4) * stopRatio
         + lit(0.3) / (lit(1.0) + abs(avgWl - lit(5.0)))
-        + lit(0.3) * least(lit(1.0), nWords / lit(100.0)),
-      4)
+        + lit(0.3) * least(lit(1.0), nWords / lit(100.0)))
   }
 
   /** Quality scoring: stopword ratio, avg word length, length saturation —
@@ -93,8 +92,8 @@ object TextAnalysis {
       col("doc_id"),
       nWords.as("n_words"),
       stopCnt.as("stop_cnt"),
-      round(avgWl, 4).as("avg_word_len"),
-      round(stopRatio, 4).as("stop_ratio"),
+      Det.q4(avgWl).as("avg_word_len"),
+      Det.q4(stopRatio).as("stop_ratio"),
       qualityExpr.as("quality"))
       .orderBy("doc_id")
   }
@@ -175,7 +174,7 @@ object TextAnalysis {
     val scored = tf.withColumn("df", count(lit(1)).over(wDf))
       .crossJoin(broadcast(nd))
       .withColumn("tfidf",
-        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
+        Det.q4(col("tf") * log(col("n_docs").cast("double") / col("df"))))
       .select(col("doc_id"), col("term"), col("tf"), col("tfidf"))
     // top-3 terms per doc through the native bounded-selection operator
     // (graft.plans.TopKPerGroup): same result as the row_number window, but
@@ -326,7 +325,7 @@ object TextAnalysis {
         sum(col("cnt")).as("n_bigrams"),
         count(lit(1)).as("n_distinct"),
         max(col("cnt")).as("top_cnt"))
-      .withColumn("rep_ratio", round(lit(1.0) - col("n_distinct") / col("n_bigrams"), 4))
+      .withColumn("rep_ratio", Det.q4(lit(1.0) - col("n_distinct") / col("n_bigrams")))
       .withColumn("repetitive", col("rep_ratio") >= 0.05)
       .orderBy("doc_id")
 
@@ -369,7 +368,7 @@ object TextAnalysis {
     val rowTot = cells.groupBy(col("lang").as("l")).agg(sum("n").as("n_lang"))
     cells.join(broadcast(rowTot), col("lang") === col("l"))
       .select(col("lang"), col("pred"), col("n"), col("n_lang"),
-        round(col("n").cast("double") / col("n_lang").cast("double"), 6).as("share"))
+        Det.q6(col("n").cast("double") / col("n_lang").cast("double")).as("share"))
       .orderBy("lang", "pred")
   }
 
@@ -405,7 +404,7 @@ object TextAnalysis {
     }.reduce(_.unionByName(_))
       .crossJoin(broadcast(tot))
       .select(col("k"), col("covered"),
-        round(col("covered").cast("double") / col("tt").cast("double"), 6).as("share"))
+        Det.q6(col("covered").cast("double") / col("tt").cast("double")).as("share"))
       .orderBy("k")
   }
 
@@ -457,7 +456,7 @@ object TextAnalysis {
     // 10/19k cells at sf1); ln over the integer count domain is verified
     // bit-identical at 6 dp across Spark and DuckDB for counts ≤ 2M
     val qln = (c: org.apache.spark.sql.Column) =>
-      round(log(c.cast("double")), 6)
+      Det.q6(log(c.cast("double")))
         .cast(org.apache.spark.sql.types.DecimalType(18, 6))
     tf.join(broadcast(vocab), "term")
       .crossJoin(broadcast(n))
@@ -473,7 +472,7 @@ object TextAnalysis {
         // boundaries are common — round in DECIMAL (exact, identical in
         // both engines), never through double; the avg (a double
         // division) floor-quantizes like every computed-double output
-        round(col("ssum"), 4).cast("double").as("sum_nats"),
+        Det.q4(col("ssum")).cast("double").as("sum_nats"),
         (floor(col("ssum").cast("double") / col("n_tokens") * 10000 + lit(0.5)) / 10000)
           .as("avg_nats"))
       .orderBy("doc_id")
@@ -510,8 +509,8 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"),
         sum("keep").as("n_kept"),
         (count(lit(1)) - sum("keep")).as("n_dropped"),
-        round(sum(when(col("keep") === 1, col("avgq"))).cast("double") /
-          sum("keep").cast("double") / lit(10000.0), 6).as("kept_avg_nats"))
+        Det.q6(sum(when(col("keep") === 1, col("avgq"))).cast("double") /
+          sum("keep").cast("double") / lit(10000.0)).as("kept_avg_nats"))
       .orderBy("source")
   }
 
@@ -544,7 +543,7 @@ object TextAnalysis {
       .select(explode(wf).as("term"))
       .agg(countDistinct("term").as("v"))
     val qln = (c: Column) =>
-      round(log(c.cast("double")), 6)
+      Det.q6(log(c.cast("double")))
         .cast(org.apache.spark.sql.types.DecimalType(18, 6))
     tf.join(broadcast(c12), "bg")
       .withColumn("w1", substring_index(col("bg"), " ", 1))
@@ -554,7 +553,7 @@ object TextAnalysis {
       .groupBy("doc_id")
       .agg(sum("tf").as("n_bigrams"), sum(col("sur") * col("tf")).as("ssum"))
       .select(col("doc_id"), col("n_bigrams"),
-        round(col("ssum"), 4).cast("double").as("sum_nats"),
+        Det.q4(col("ssum")).cast("double").as("sum_nats"),
         (floor(col("ssum").cast("double") / col("n_bigrams") * 10000 + lit(0.5)) / 10000)
           .as("avg_nats"))
       .orderBy("doc_id")
@@ -626,7 +625,7 @@ object TextAnalysis {
     * (vocabulary-bounded, broadcast back), one 1-row reduce. */
   def condEntropy(s: SparkSession, d: String): DataFrame = {
     val qln = (c: Column) =>
-      round(log(c.cast("double")), 6)
+      Det.q6(log(c.cast("double")))
         .cast(org.apache.spark.sql.types.DecimalType(18, 6))
     val q6 = (c: Column) => floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
     val wf = filter(words(col("text")), x => x =!= "")
@@ -677,7 +676,7 @@ object TextAnalysis {
     val cs = cts.groupBy("source").agg(sum("c_ts").as("c_s"))
     val n = cts.agg(sum("c_ts").as("n_tot"))
     val qln = (c: Column) =>
-      round(log(c.cast("double")), 6)
+      Det.q6(log(c.cast("double")))
         .cast(org.apache.spark.sql.types.DecimalType(18, 6))
     val w = Window.partitionBy("source").orderBy(col("pmi").desc, col("term").asc)
     cts.filter(col("c_ts") >= PmiMinCount)
@@ -764,7 +763,7 @@ object TextAnalysis {
       .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
     val wDf = org.apache.spark.sql.expressions.Window.partitionBy("term")
     val qln = (c: Column) =>
-      round(log(c.cast("double")), 6)
+      Det.q6(log(c.cast("double")))
         .cast(org.apache.spark.sql.types.DecimalType(18, 6))
     val idf = (qln(lit(2) * col("nd") + lit(2)) - qln(lit(2) * col("df") + lit(1)))
       .cast("double")
@@ -844,7 +843,7 @@ object TextAnalysis {
       .filter(col("term") =!= "")
       .groupBy("source", "term").agg(count(lit(1)).as("c"))
     tc.withColumn("lq",
-        round(log(2.0, col("c")), 6)
+        Det.q6(log(2.0, col("c")))
           .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
       .groupBy("source")
       .agg(
@@ -852,8 +851,8 @@ object TextAnalysis {
         sum("c").as("n_tokens"),
         sum(col("lq") * col("c")).as("ssum"))
       .select(col("source"), col("n_tokens"), col("vocab"),
-        round(log(2.0, col("n_tokens").cast("double"))
-          - col("ssum").cast("double") / col("n_tokens"), 4).as("entropy_bits"))
+        Det.q4(log(2.0, col("n_tokens").cast("double"))
+          - col("ssum").cast("double") / col("n_tokens")).as("entropy_bits"))
       .orderBy("source")
   }
 
@@ -875,7 +874,7 @@ object TextAnalysis {
   def zipfSlope(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val qln = (c: Column) =>
-      round(log(c.cast("double")), 6).cast(DecimalType(18, 6))
+      Det.q6(log(c.cast("double"))).cast(DecimalType(18, 6))
     val q4 = graft.util.Det.q4 _
     def dsum(c: Column) = sum(c.cast(DecimalType(30, 12))).cast("double")
     val tc = Tables.documents(s, d)
@@ -940,7 +939,7 @@ object TextAnalysis {
     val a = tc.select(col("source").as("sa"), col("term"), col("c").as("ca"))
     val b = tc.select(col("source").as("sb"), col("term"), col("c").as("cb"))
     def qlog2(num: Column, den: Column) =
-      round(log(2.0, num.cast("double") / den.cast("double")), 6)
+      Det.q6(log(2.0, num.cast("double") / den.cast("double")))
         .cast(DecimalType(18, 6))
     val mix = col("ca") * col("nb") + col("cb") * col("na")
     val shared = a.join(b, Seq("term")).filter(col("sa") < col("sb"))
@@ -960,13 +959,13 @@ object TextAnalysis {
     pairFrame.join(broadcast(shared), Seq("sa", "sb"), "left")
       .select(col("sa").as("src_a"), col("sb").as("src_b"),
         coalesce(col("shared_terms"), lit(0L)).as("shared_terms"),
-        round((
+        Det.q6((
           (coalesce(col("sla"), lit(0).cast(DecimalType(18, 6))) +
             (col("na") - coalesce(col("ca_sh"), lit(0L))).cast(DecimalType(38, 6)))
             .cast("double") / col("na").cast("double") +
           (coalesce(col("slb"), lit(0).cast(DecimalType(18, 6))) +
             (col("nb") - coalesce(col("cb_sh"), lit(0L))).cast(DecimalType(38, 6)))
-            .cast("double") / col("nb").cast("double")) / 2, 6).as("jsd_bits"))
+            .cast("double") / col("nb").cast("double")) / 2).as("jsd_bits"))
       .orderBy("src_a", "src_b")
   }
 
@@ -1012,19 +1011,19 @@ object TextAnalysis {
     val shared = a.join(b, Seq("term")).filter(col("sa") < col("sb"))
       .groupBy("sa", "sb")
       .agg(count(lit(1)).as("shared_terms"),
-        sum(round(sqrt((col("ca") * col("cb")).cast("double")), 6)
+        sum(Det.q6(sqrt((col("ca") * col("cb")).cast("double")))
           .cast(DecimalType(28, 6))).as("sroot"))
     val pairFrame = tot.select(col("source").as("sa"), col("n").as("na"))
       .crossJoin(tot.select(col("source").as("sb"), col("n").as("nb")))
       .filter(col("sa") < col("sb"))
     pairFrame.join(broadcast(shared), Seq("sa", "sb"), "left")
       .withColumn("bc",
-        round(coalesce(col("sroot"), lit(0).cast(DecimalType(28, 6))).cast("double") /
-          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))), 6))
+        Det.q6(coalesce(col("sroot"), lit(0).cast(DecimalType(28, 6))).cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double")))))
       .select(col("sa").as("src_a"), col("sb").as("src_b"),
         coalesce(col("shared_terms"), lit(0L)).as("shared_terms"),
         col("bc"),
-        round(sqrt(greatest(lit(0.0), lit(1.0) - col("bc"))), 6).as("hellinger"))
+        Det.q6(sqrt(greatest(lit(0.0), lit(1.0) - col("bc")))).as("hellinger"))
       .orderBy("src_a", "src_b")
   }
 
@@ -1151,7 +1150,7 @@ object TextAnalysis {
   def heapsFit(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val qln = (c: Column) =>
-      round(log(c.cast("double")), 6).cast(DecimalType(18, 6))
+      Det.q6(log(c.cast("double"))).cast(DecimalType(18, 6))
     val q4 = graft.util.Det.q4 _
     def dsum2(c: Column) = sum(c.cast(DecimalType(30, 12))).cast("double")
     val per = Tables.documents(s, d)
@@ -1345,7 +1344,7 @@ object TextAnalysis {
     * the [[termChi2]] shape, reusing its staged token frame logic. */
   def llrTerms(s: SparkSession, d: String): DataFrame = {
     val qln = (c: Column) =>
-      round(log(c.cast("double")), 6)
+      Det.q6(log(c.cast("double")))
         .cast(org.apache.spark.sql.types.DecimalType(18, 6))
     def term(k: Column): Column =
       when(k > 0, k * qln(k)).otherwise(lit(0).cast(
@@ -1453,20 +1452,20 @@ object TextAnalysis {
         |  WHERE c.k11 * tt.nn > wt.nw * lt.nl
         |), llr AS (
         |  SELECT lang, word, k11, nw,
-        |    (k11 * CAST(round(ln(k11), 6) AS DECIMAL(18,6))
-        |     + CASE WHEN k12 > 0 THEN k12 * CAST(round(ln(k12), 6) AS DECIMAL(18,6))
+        |    (k11 * CAST(floor((ln(k11)) * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6))
+        |     + CASE WHEN k12 > 0 THEN k12 * CAST(floor((ln(k12)) * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6))
         |            ELSE CAST(0 AS DECIMAL(38,6)) END
-        |     + CASE WHEN k21 > 0 THEN k21 * CAST(round(ln(k21), 6) AS DECIMAL(18,6))
+        |     + CASE WHEN k21 > 0 THEN k21 * CAST(floor((ln(k21)) * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6))
         |            ELSE CAST(0 AS DECIMAL(38,6)) END
-        |     + CASE WHEN k22 > 0 THEN k22 * CAST(round(ln(k22), 6) AS DECIMAL(18,6))
+        |     + CASE WHEN k22 > 0 THEN k22 * CAST(floor((ln(k22)) * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6))
         |            ELSE CAST(0 AS DECIMAL(38,6)) END
-        |     - nl * CAST(round(ln(nl), 6) AS DECIMAL(18,6))
-        |     - CASE WHEN nn > nl THEN (nn - nl) * CAST(round(ln(nn - nl), 6) AS DECIMAL(18,6))
+        |     - nl * CAST(floor((ln(nl)) * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6))
+        |     - CASE WHEN nn > nl THEN (nn - nl) * CAST(floor((ln(nn - nl)) * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6))
         |            ELSE CAST(0 AS DECIMAL(38,6)) END
-        |     - nw * CAST(round(ln(nw), 6) AS DECIMAL(18,6))
-        |     - CASE WHEN nn > nw THEN (nn - nw) * CAST(round(ln(nn - nw), 6) AS DECIMAL(18,6))
+        |     - nw * CAST(floor((ln(nw)) * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6))
+        |     - CASE WHEN nn > nw THEN (nn - nw) * CAST(floor((ln(nn - nw)) * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6))
         |            ELSE CAST(0 AS DECIMAL(38,6)) END
-        |     + nn * CAST(round(ln(nn), 6) AS DECIMAL(18,6))) * 2 AS llr_d
+        |     + nn * CAST(floor((ln(nn)) * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6))) * 2 AS llr_d
         |  FROM sc
         |), rk AS (
         |  SELECT lang, word, k11, nw, llr_d,
@@ -1582,8 +1581,8 @@ object TextAnalysis {
          |  FROM (SELECT source, unnest($WordsSql) AS term FROM documents)
          |  WHERE term <> '' GROUP BY source, term
          |), per AS (
-         |  SELECT CAST(round(ln(CAST(sum(c) AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
-         |         CAST(round(ln(CAST(count(*) AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y
+         |  SELECT CAST(floor((ln(CAST(sum(c) AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS x,
+         |         CAST(floor((ln(CAST(count(*) AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS y
          |  FROM tc GROUP BY source
          |), a AS (
          |  SELECT CAST(count(*) AS BIGINT) AS n_sources,
@@ -1667,10 +1666,10 @@ object TextAnalysis {
          |  SELECT CAST(sum(c_ts) AS BIGINT) AS n_tot FROM cts
          |), p AS (
          |  SELECT cts.source, cts.term, cts.c_ts,
-         |           CAST(round(ln(CAST(c_ts AS DOUBLE)), 6) AS DECIMAL(18,6))
-         |         + CAST(round(ln(CAST(n_tot AS DOUBLE)), 6) AS DECIMAL(18,6))
-         |         - CAST(round(ln(CAST(c_t AS DOUBLE)), 6) AS DECIMAL(18,6))
-         |         - CAST(round(ln(CAST(c_s AS DOUBLE)), 6) AS DECIMAL(18,6)) AS pmi
+         |           CAST(floor((ln(CAST(c_ts AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6))
+         |         + CAST(floor((ln(CAST(n_tot AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6))
+         |         - CAST(floor((ln(CAST(c_t AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6))
+         |         - CAST(floor((ln(CAST(c_s AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS pmi
          |  FROM cts JOIN ct USING (term) JOIN cs USING (source), n
          |  WHERE c_ts >= 5
          |), r AS (
@@ -1696,8 +1695,8 @@ object TextAnalysis {
          |  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c GROUP BY w1
          |), agg AS (
          |  SELECT CAST(sum(c.c12) AS BIGINT) AS n_bigrams,
-         |    SUM(c.c12 * (CAST(round(ln(h.c1), 6) AS DECIMAL(18,6))
-         |                 - CAST(round(ln(c.c12), 6) AS DECIMAL(18,6)))) AS hsum
+         |    SUM(c.c12 * (CAST(floor((ln(h.c1)) * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6))
+         |                 - CAST(floor((ln(c.c12)) * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)))) AS hsum
          |  FROM c JOIN h USING (w1)
          |), fin AS (
          |  SELECT n_bigrams,
@@ -1757,14 +1756,14 @@ object TextAnalysis {
          |  FROM (SELECT unnest($FWordsSql) AS term FROM documents)
          |), sur AS (
          |  SELECT tf.doc_id, tf.tf,
-         |         CAST(round(ln(CAST(c1.c1 + v.v AS DOUBLE)), 6) AS DECIMAL(18,6))
-         |       - CAST(round(ln(CAST(c12.c12 + 1 AS DOUBLE)), 6) AS DECIMAL(18,6)) AS sur
+         |         CAST(floor((ln(CAST(c1.c1 + v.v AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6))
+         |       - CAST(floor((ln(CAST(c12.c12 + 1 AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS sur
          |  FROM tf
          |  JOIN c12 USING (bg)
          |  JOIN c1 ON string_split(tf.bg, ' ')[1] = c1.w1, v
          |)
          |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
-         |       CAST(round(sum(sur * tf), 4) AS DOUBLE) AS sum_nats,
+         |       CAST(floor((sum(sur * tf)) * 10000 + 0.5) / 10000 AS DOUBLE) AS sum_nats,
          |       floor(CAST(sum(sur * tf) AS DOUBLE) / sum(tf) * 10000 + 0.5) / 10000 AS avg_nats
          |FROM sur GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_boilerplate" ->
@@ -1795,7 +1794,7 @@ object TextAnalysis {
          |), sh AS (
          |  SELECT a.source AS sa, b.source AS sb,
          |         CAST(count(*) AS BIGINT) AS shared_terms,
-         |         SUM(CAST(round(sqrt(CAST(a.c * b.c AS DOUBLE)), 6)
+         |         SUM(CAST(floor((sqrt(CAST(a.c * b.c AS DOUBLE))) * 1000000 + 0.5) / 1000000
          |             AS DECIMAL(28,6))) AS sroot
          |  FROM tc a JOIN tc b ON a.term = b.term AND a.source < b.source
          |  GROUP BY 1, 2
@@ -1805,12 +1804,12 @@ object TextAnalysis {
          |), px AS (
          |  SELECT p.sa, p.sb,
          |    CAST(COALESCE(sh.shared_terms, 0) AS BIGINT) AS shared_terms,
-         |    round(CAST(COALESCE(sh.sroot, 0) AS DOUBLE) /
-         |          (sqrt(CAST(p.na AS DOUBLE)) * sqrt(CAST(p.nb AS DOUBLE))), 6) AS bc
+         |    floor((CAST(COALESCE(sh.sroot, 0) AS DOUBLE) /
+         |          (sqrt(CAST(p.na AS DOUBLE)) * sqrt(CAST(p.nb AS DOUBLE)))) * 1000000 + 0.5) / 1000000 AS bc
          |  FROM pairs p LEFT JOIN sh ON p.sa = sh.sa AND p.sb = sh.sb
          |)
          |SELECT sa AS src_a, sb AS src_b, shared_terms, bc,
-         |  round(sqrt(greatest(0.0e0, 1.0e0 - bc)), 6) AS hellinger
+         |  floor((sqrt(greatest(0.0e0, 1.0e0 - bc))) * 1000000 + 0.5) / 1000000 AS hellinger
          |FROM px ORDER BY src_a, src_b""".stripMargin,
     "q_js_divergence" ->
       s"""WITH tc AS (
@@ -1825,11 +1824,11 @@ object TextAnalysis {
          |         count(*) AS shared_terms,
          |         SUM(a.c) AS ca_sh, SUM(b.c) AS cb_sh,
          |         SUM(CAST(a.c AS DECIMAL(18,0))
-         |             * CAST(round(log2(CAST(a.c * tb.n * 2 AS DOUBLE)
-         |                               / CAST(a.c * tb.n + b.c * ta.n AS DOUBLE)), 6) AS DECIMAL(18,6))) AS sla,
+         |             * CAST(floor((log2(CAST(a.c * tb.n * 2 AS DOUBLE)
+         |                               / CAST(a.c * tb.n + b.c * ta.n AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6))) AS sla,
          |         SUM(CAST(b.c AS DECIMAL(18,0))
-         |             * CAST(round(log2(CAST(b.c * ta.n * 2 AS DOUBLE)
-         |                               / CAST(a.c * tb.n + b.c * ta.n AS DOUBLE)), 6) AS DECIMAL(18,6))) AS slb
+         |             * CAST(floor((log2(CAST(b.c * ta.n * 2 AS DOUBLE)
+         |                               / CAST(a.c * tb.n + b.c * ta.n AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6))) AS slb
          |  FROM tc a
          |  JOIN tc b ON a.term = b.term AND a.source < b.source
          |  JOIN tot ta ON ta.source = a.source
@@ -1841,8 +1840,8 @@ object TextAnalysis {
          |)
          |SELECT p.sa AS src_a, p.sb AS src_b,
          |       CAST(COALESCE(sh.shared_terms, 0) AS BIGINT) AS shared_terms,
-         |       round((CAST(COALESCE(sh.sla, 0) + (p.na - COALESCE(sh.ca_sh, 0)) AS DOUBLE) / CAST(p.na AS DOUBLE)
-         |            + CAST(COALESCE(sh.slb, 0) + (p.nb - COALESCE(sh.cb_sh, 0)) AS DOUBLE) / CAST(p.nb AS DOUBLE)) / 2, 6) AS jsd_bits
+         |       floor(((CAST(COALESCE(sh.sla, 0) + (p.na - COALESCE(sh.ca_sh, 0)) AS DOUBLE) / CAST(p.na AS DOUBLE)
+         |            + CAST(COALESCE(sh.slb, 0) + (p.nb - COALESCE(sh.cb_sh, 0)) AS DOUBLE) / CAST(p.nb AS DOUBLE)) / 2) * 1000000 + 0.5) / 1000000 AS jsd_bits
          |FROM pairs p LEFT JOIN sh ON p.sa = sh.sa AND p.sb = sh.sb
          |ORDER BY src_a, src_b""".stripMargin,
     "q_zipf_slope" ->
@@ -1852,8 +1851,8 @@ object TextAnalysis {
          |  WHERE term <> '' GROUP BY source, term
          |), r AS (
          |  SELECT source,
-         |         CAST(round(ln(CAST(rnk AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
-         |         CAST(round(ln(CAST(c AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y
+         |         CAST(floor((ln(CAST(rnk AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS x,
+         |         CAST(floor((ln(CAST(c AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS y
          |  FROM (SELECT source, term, c,
          |               row_number() OVER (PARTITION BY source
          |                                  ORDER BY c DESC, term ASC) AS rnk
@@ -1891,8 +1890,8 @@ object TextAnalysis {
          |), sc AS (
          |  SELECT w.doc_id, dl.dl,
          |    CAST(floor(
-         |      CAST(CAST(round(ln(CAST(2 * nd + 2 AS DOUBLE)), 6) AS DECIMAL(18,6))
-         |           - CAST(round(ln(CAST(2 * df + 1 AS DOUBLE)), 6) AS DECIMAL(18,6)) AS DOUBLE)
+         |      CAST(CAST(floor((ln(CAST(2 * nd + 2 AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6))
+         |           - CAST(floor((ln(CAST(2 * df + 1 AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS DOUBLE)
          |      * ((22e0 * tf * total) / (10 * tf * total + 3 * total + 9 * dl.dl * nd))
          |      * 10000 + 0.5) / 10000 AS DECIMAL(18,4)) AS s
          |  FROM wdf w JOIN dl ON w.doc_id = dl.doc_id, n
@@ -1911,9 +1910,9 @@ object TextAnalysis {
          |SELECT source,
          |       CAST(SUM(c) AS BIGINT) AS n_tokens,
          |       count(*) AS vocab,
-         |       round(log2(CAST(SUM(c) AS DOUBLE))
+         |       floor((log2(CAST(SUM(c) AS DOUBLE))
          |             - CAST(SUM(CAST(round(log2(c), 6) AS DECIMAL(18,6)) * c) AS DOUBLE)
-         |               / CAST(SUM(c) AS DOUBLE), 4) AS entropy_bits
+         |               / CAST(SUM(c) AS DOUBLE)) * 10000 + 0.5) / 10000 AS entropy_bits
          |FROM tc
          |GROUP BY source
          |ORDER BY source""".stripMargin,
@@ -1950,12 +1949,12 @@ object TextAnalysis {
          |  SELECT count(*) AS n_total FROM tk
          |), sur AS (
          |  SELECT doc_id,
-         |         CAST(round(ln(CAST(n_total AS DOUBLE)), 6) AS DECIMAL(18,6))
-         |           - CAST(round(ln(CAST(ct AS DOUBLE)), 6) AS DECIMAL(18,6)) AS sur
+         |         CAST(floor((ln(CAST(n_total AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6))
+         |           - CAST(floor((ln(CAST(ct AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS sur
          |  FROM wct, n
          |)
          |SELECT doc_id, count(*) AS n_tokens,
-         |       CAST(round(sum(sur), 4) AS DOUBLE) AS sum_nats,
+         |       CAST(floor((sum(sur)) * 10000 + 0.5) / 10000 AS DOUBLE) AS sum_nats,
          |       floor(CAST(sum(sur) AS DOUBLE) / count(*) * 10000 + 0.5) / 10000 AS avg_nats
          |FROM sur GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // the sc/pred CTE restates q_lang_id's oracle verbatim (same marker
@@ -1983,7 +1982,7 @@ object TextAnalysis {
          |  SELECT lang, CAST(SUM(n) AS BIGINT) AS n_lang FROM cells GROUP BY 1
          |)
          |SELECT cells.lang, cells.pred, CAST(cells.n AS BIGINT) AS n, rt.n_lang,
-         |       round(CAST(cells.n AS DOUBLE) / CAST(rt.n_lang AS DOUBLE), 6) AS share
+         |       floor((CAST(cells.n AS DOUBLE) / CAST(rt.n_lang AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS share
          |FROM cells JOIN rt USING (lang)
          |ORDER BY lang, pred""".stripMargin,
     "q_vocab_coverage" ->
@@ -1997,8 +1996,8 @@ object TextAnalysis {
          |), ks AS (SELECT CAST(unnest([10, 100, 1000]) AS INTEGER) AS k)
          |SELECT ks.k,
          |       CAST(COALESCE(SUM(CASE WHEN r.r <= ks.k THEN r.ct END), 0) AS BIGINT) AS covered,
-         |       round(CAST(COALESCE(SUM(CASE WHEN r.r <= ks.k THEN r.ct END), 0) AS DOUBLE)
-         |             / CAST(t.tt AS DOUBLE), 6) AS share
+         |       floor((CAST(COALESCE(SUM(CASE WHEN r.r <= ks.k THEN r.ct END), 0) AS DOUBLE)
+         |             / CAST(t.tt AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS share
          |FROM ks, r, t
          |GROUP BY ks.k, t.tt
          |ORDER BY ks.k""".stripMargin,
@@ -2032,8 +2031,8 @@ object TextAnalysis {
          |  SELECT count(*) AS n_total FROM tk
          |), sur AS (
          |  SELECT doc_id,
-         |         CAST(round(ln(CAST(n_total AS DOUBLE)), 6) AS DECIMAL(18,6))
-         |           - CAST(round(ln(CAST(ct AS DOUBLE)), 6) AS DECIMAL(18,6)) AS sur
+         |         CAST(floor((ln(CAST(n_total AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6))
+         |           - CAST(floor((ln(CAST(ct AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS sur
          |  FROM wct, n
          |), doc AS (
          |  SELECT doc_id,
@@ -2050,8 +2049,8 @@ object TextAnalysis {
          |       count(*) AS n_docs,
          |       CAST(SUM(g.keep) AS BIGINT) AS n_kept,
          |       count(*) - CAST(SUM(g.keep) AS BIGINT) AS n_dropped,
-         |       round(CAST(SUM(CASE WHEN g.keep = 1 THEN g.avgq END) AS DOUBLE)
-         |             / CAST(SUM(g.keep) AS DOUBLE) / 10000.0e0, 6) AS kept_avg_nats
+         |       floor((CAST(SUM(CASE WHEN g.keep = 1 THEN g.avgq END) AS DOUBLE)
+         |             / CAST(SUM(g.keep) AS DOUBLE) / 10000.0e0) * 1000000 + 0.5) / 1000000 AS kept_avg_nats
          |FROM gated g JOIN documents d ON g.doc_id = d.doc_id
          |GROUP BY d.source
          |ORDER BY d.source""".stripMargin,
@@ -2066,7 +2065,7 @@ object TextAnalysis {
          |  SELECT count(*) AS n_docs FROM documents
          |), x AS (
          |  SELECT doc_id, term, tf,
-         |         round(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS tfidf
+         |         floor((tf * ln(CAST(n_docs AS DOUBLE) / df)) * 10000 + 0.5) / 10000 AS tfidf
          |  FROM tf JOIN df USING (term), nd
          |), r AS (
          |  SELECT *, CAST(row_number() OVER (
@@ -2197,8 +2196,8 @@ object TextAnalysis {
          |       CAST(sum(cnt) AS BIGINT) AS n_bigrams,
          |       count(*) AS n_distinct,
          |       CAST(max(cnt) AS BIGINT) AS top_cnt,
-         |       round(1.0 - count(*) / CAST(sum(cnt) AS DOUBLE), 4) AS rep_ratio,
-         |       round(1.0 - count(*) / CAST(sum(cnt) AS DOUBLE), 4) >= 0.05 AS repetitive
+         |       floor((1.0 - count(*) / CAST(sum(cnt) AS DOUBLE)) * 10000 + 0.5) / 10000 AS rep_ratio,
+         |       floor((1.0 - count(*) / CAST(sum(cnt) AS DOUBLE)) * 10000 + 0.5) / 10000 >= 0.05 AS repetitive
          |FROM c GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin,
     "q_ngram_stats" ->
@@ -2232,11 +2231,11 @@ object TextAnalysis {
       s"""SELECT doc_id,
          |  CAST(len($WordsSql) AS INTEGER) AS n_words,
          |  CAST(len(list_filter($WordsSql, w -> w IN ('the','a','of'))) AS INTEGER) AS stop_cnt,
-         |  round(length(replace(text, ' ', '')) / len($WordsSql), 4) AS avg_word_len,
-         |  round(len(list_filter($WordsSql, w -> w IN ('the','a','of'))) / len($WordsSql), 4) AS stop_ratio,
-         |  round(0.4 * (len(list_filter($WordsSql, w -> w IN ('the','a','of'))) / len($WordsSql))
+         |  floor((length(replace(text, ' ', '')) / len($WordsSql)) * 10000 + 0.5) / 10000 AS avg_word_len,
+         |  floor((len(list_filter($WordsSql, w -> w IN ('the','a','of'))) / len($WordsSql)) * 10000 + 0.5) / 10000 AS stop_ratio,
+         |  floor((0.4 * (len(list_filter($WordsSql, w -> w IN ('the','a','of'))) / len($WordsSql))
          |      + 0.3 / (1.0 + abs(length(replace(text, ' ', '')) / len($WordsSql) - 5.0))
-         |      + 0.3 * least(1.0, len($WordsSql) / 100.0), 4) AS quality
+         |      + 0.3 * least(1.0, len($WordsSql) / 100.0)) * 10000 + 0.5) / 10000 AS quality
          |FROM documents
          |ORDER BY doc_id""".stripMargin,
     "q_token_count" ->

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.util.Det
 import graft.Tables
 import graft.functions.TextFeatures.{bigrams, words}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -47,7 +48,7 @@ object TrainingPrep {
       .withColumn("ws", sqrt(col("n_docs")).cast(DecimalType(24, 6)))
     val tot = per.agg(sum(col("ws")).as("tot"))
     per.crossJoin(broadcast(tot))
-      .withColumn("weight", round(col("ws").cast("double") / col("tot").cast("double"), 6))
+      .withColumn("weight", Det.q6(col("ws").cast("double") / col("tot").cast("double")))
       .withColumn("epoch_docs", floor(col("weight") * 10000).cast("long"))
       .select(col("source"), col("n_docs"), col("n_tokens"), col("weight"), col("epoch_docs"))
       .orderBy("source")
@@ -158,7 +159,7 @@ object TrainingPrep {
     // at corpus scale (observed at sf1); integer-domain ln is verified
     // bit-identical at 6 dp across Spark and DuckDB for counts ≤ 2M
     def qln(c: org.apache.spark.sql.Column) =
-      round(log(c.cast("double")), 6).cast(DecimalType(18, 6))
+      Det.q6(log(c.cast("double"))).cast(DecimalType(18, 6))
     val ratio =
       (qln(col("ct_t") + 1) - qln(col("n_t") + DsirBuckets)) -
         (qln(col("ct_r") + 1) - qln(col("n_r") + DsirBuckets))
@@ -171,7 +172,7 @@ object TrainingPrep {
         // lsum is an exact multiple of 1e-6 — round in DECIMAL (identical
         // in both engines), never through double (x.xxxx50 boundaries are
         // common for quantized-log sums)
-        round(col("lsum"), 4).cast("double").as("log_w"),
+        Det.q4(col("lsum")).cast("double").as("log_w"),
         (col("lsum") > 0).cast("int").as("selected"))
       .orderBy("doc_id")
   }
@@ -198,7 +199,7 @@ object TrainingPrep {
     val hv = conv(substring(md5(concat(lit("ws:"), col("doc_id"))), 1, 8), 16, 10)
       .cast("long")
     def qln(c: org.apache.spark.sql.Column) =
-      round(log(c.cast("double")), 6).cast(DecimalType(18, 6))
+      Det.q6(log(c.cast("double"))).cast(DecimalType(18, 6))
     // n_chars > 0 guard (ADVICE round 4): a zero-length document would
     // divide by zero — NULL under Spark non-ANSI, version-dependent in
     // DuckDB. Weight-0 docs are never sampled under A-Res anyway, so the
@@ -300,7 +301,7 @@ object TrainingPrep {
       .agg(sum("n_docs").as("n_src"))
     split.join(broadcast(per), col("source") === col("src"))
       .select(col("source"), col("split"), col("n_docs"), col("n_chars"),
-        round(col("n_docs").cast("double") / col("n_src").cast("double"), 4)
+        Det.q4(col("n_docs").cast("double") / col("n_src").cast("double"))
           .as("frac"))
       .orderBy("source", "split")
   }
@@ -416,14 +417,14 @@ object TrainingPrep {
       sum(col("i").cast(dec0) * col("t").cast(dec0)).as("sum_it"))
       .select(
         col("n_sources"), col("total_tokens"),
-        round(col("sum_sq").cast("double") /
-          (col("total_tokens").cast("double") * col("total_tokens").cast("double")), 6)
+        Det.q6(col("sum_sq").cast("double") /
+          (col("total_tokens").cast("double") * col("total_tokens").cast("double")))
           .as("hhi"),
-        round((lit(2) * col("sum_it") -
+        Det.q6((lit(2) * col("sum_it") -
           (col("n_sources") + 1).cast(dec0) * col("total_tokens").cast(dec0)).cast("double") /
-          (col("n_sources").cast("double") * col("total_tokens").cast("double")), 6)
+          (col("n_sources").cast("double") * col("total_tokens").cast("double")))
           .as("gini"),
-        round(col("t_max").cast("double") / col("total_tokens").cast("double"), 6)
+        Det.q6(col("t_max").cast("double") / col("total_tokens").cast("double"))
           .as("top_share"))
   }
 
@@ -792,7 +793,7 @@ object TrainingPrep {
         |  FROM g GROUP BY 1
         |)
         |SELECT g.source, g.split, g.n_docs, g.n_chars,
-        |       round(CAST(g.n_docs AS DOUBLE) / CAST(per.n_src AS DOUBLE), 4) AS frac
+        |       floor((CAST(g.n_docs AS DOUBLE) / CAST(per.n_src AS DOUBLE)) * 10000 + 0.5) / 10000 AS frac
         |FROM g JOIN per ON g.source = per.src
         |ORDER BY g.source, g.split""".stripMargin,
     "q_token_apportion" ->
@@ -822,8 +823,8 @@ object TrainingPrep {
          |  FROM documents WHERE n_chars > 0
          |), k AS (
          |  SELECT source, doc_id, n_chars,
-         |         CAST(CAST(round(ln(CAST(2 * hv + 1 AS DOUBLE)), 6) AS DECIMAL(18,6))
-         |            - CAST(round(ln(CAST(${1L << 33} AS DOUBLE)), 6) AS DECIMAL(18,6)) AS DOUBLE)
+         |         CAST(CAST(floor((ln(CAST(2 * hv + 1 AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6))
+         |            - CAST(floor((ln(CAST(${1L << 33} AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS DOUBLE)
          |           / n_chars AS skey
          |  FROM h
          |), r AS (
@@ -850,14 +851,14 @@ object TrainingPrep {
          |         CAST(sum(ct_r) AS BIGINT) AS n_r FROM st
          |), lr AS (
          |  SELECT bucket,
-         |         (CAST(round(ln(CAST(ct_t + 1 AS DOUBLE)), 6) AS DECIMAL(18,6))
-         |           - CAST(round(ln(CAST(n_t + $DsirBuckets AS DOUBLE)), 6) AS DECIMAL(18,6)))
-         |         - (CAST(round(ln(CAST(ct_r + 1 AS DOUBLE)), 6) AS DECIMAL(18,6))
-         |           - CAST(round(ln(CAST(n_r + $DsirBuckets AS DOUBLE)), 6) AS DECIMAL(18,6))) AS lr
+         |         (CAST(floor((ln(CAST(ct_t + 1 AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6))
+         |           - CAST(floor((ln(CAST(n_t + $DsirBuckets AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)))
+         |         - (CAST(floor((ln(CAST(ct_r + 1 AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6))
+         |           - CAST(floor((ln(CAST(n_r + $DsirBuckets AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6))) AS lr
          |  FROM st, tot
          |)
          |SELECT doc_id, count(*) AS n_feats,
-         |       CAST(round(sum(lr), 4) AS DOUBLE) AS log_w,
+         |       CAST(floor((sum(lr)) * 10000 + 0.5) / 10000 AS DOUBLE) AS log_w,
          |       CAST(sum(lr) > 0 AS INTEGER) AS selected
          |FROM fb JOIN lr USING (bucket)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
@@ -902,11 +903,11 @@ object TrainingPrep {
          |  FROM r
          |)
          |SELECT n_sources, total_tokens,
-         |       round(CAST(sum_sq AS DOUBLE)
-         |             / (CAST(total_tokens AS DOUBLE) * CAST(total_tokens AS DOUBLE)), 6) AS hhi,
-         |       round(CAST(2 * sum_it - CAST(n_sources + 1 AS HUGEINT) * total_tokens AS DOUBLE)
-         |             / (CAST(n_sources AS DOUBLE) * CAST(total_tokens AS DOUBLE)), 6) AS gini,
-         |       round(CAST(t_max AS DOUBLE) / CAST(total_tokens AS DOUBLE), 6) AS top_share
+         |       floor((CAST(sum_sq AS DOUBLE)
+         |             / (CAST(total_tokens AS DOUBLE) * CAST(total_tokens AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS hhi,
+         |       floor((CAST(2 * sum_it - CAST(n_sources + 1 AS HUGEINT) * total_tokens AS DOUBLE)
+         |             / (CAST(n_sources AS DOUBLE) * CAST(total_tokens AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS gini,
+         |       floor((CAST(t_max AS DOUBLE) / CAST(total_tokens AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS top_share
          |FROM a""".stripMargin,
     "q_source_mix" ->
       s"""WITH per AS (
@@ -916,8 +917,8 @@ object TrainingPrep {
          |  FROM documents GROUP BY source
          |), t AS (SELECT sum(ws) AS tot FROM per)
          |SELECT source, n_docs, n_tokens,
-         |       round(CAST(ws AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS weight,
-         |       CAST(floor(round(CAST(ws AS DOUBLE) / CAST(tot AS DOUBLE), 6) * 10000) AS BIGINT) AS epoch_docs
+         |       floor((CAST(ws AS DOUBLE) / CAST(tot AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS weight,
+         |       CAST(floor(floor((CAST(ws AS DOUBLE) / CAST(tot AS DOUBLE)) * 1000000 + 0.5) / 1000000 * 10000) AS BIGINT) AS epoch_docs
          |FROM per, t
          |ORDER BY source""".stripMargin,
     "q_pack_greedy" ->

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.util.Det
 import java.math.{BigDecimal => JBigDecimal, RoundingMode}
 
 import graft.Tables
@@ -72,7 +73,7 @@ object TypedOps {
     "q_cogroup_reconcile" ->
       """SELECT o_orderkey, o_totalprice,
         |       count(l_orderkey) AS n_items,
-        |       round(CAST(coalesce(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))), 0) AS DOUBLE), 4) AS revenue
+        |       floor((CAST(coalesce(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))), 0) AS DOUBLE)) * 10000 + 0.5) / 10000 AS revenue
         |FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderkey, o_totalprice
         |ORDER BY o_orderkey""".stripMargin,

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.util.Det
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -90,8 +91,8 @@ object Windows {
       .select(
         col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
         ntile(4).over(w).as("quartile"),
-        round(percent_rank().over(w), 4).as("pct_rank"),
-        round(cume_dist().over(w), 4).as("cdist"),
+        Det.q4(percent_rank().over(w)).as("pct_rank"),
+        Det.q4(cume_dist().over(w)).as("cdist"),
         first(col("o_totalprice")).over(w).as("first_price"),
         last(col("o_totalprice")).over(wf).as("last_price"),
         nth_value(col("o_orderkey"), 2).over(wf).as("second_key"))
@@ -184,8 +185,8 @@ object Windows {
     "q_window_distribution" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice,
         |       CAST(ntile(4) OVER w AS INTEGER) AS quartile,
-        |       round(percent_rank() OVER w, 4) AS pct_rank,
-        |       round(cume_dist() OVER w, 4) AS cdist,
+        |       floor((percent_rank() OVER w) * 10000 + 0.5) / 10000 AS pct_rank,
+        |       floor((cume_dist() OVER w) * 10000 + 0.5) / 10000 AS cdist,
         |       first_value(o_totalprice) OVER w AS first_price,
         |       last_value(o_totalprice) OVER wf AS last_price,
         |       nth_value(o_orderkey, 2) OVER wf AS second_key

@@ -37,6 +37,17 @@ object Det {
   /** [[q4]] at 8 dp. SQL mirror: `floor(x * 100000000 + 0.5) / 100000000`. */
   def q8(c: Column): Column = floor(c * 100000000 + lit(0.5)) / 100000000
 
+  /** [[q4]] at an arbitrary decimal scale (1..9 — powers of ten up to 1e9
+    * are exact doubles; Spark's floor returns LONG, so the argument must
+    * stay well under 2^63/10^digits, PARITY.md §4). SQL mirror:
+    * `floor(x * 10^digits + 0.5) / 10^digits` with the power written as a
+    * literal. */
+  def q(c: Column, digits: Int): Column = {
+    require(digits >= 1 && digits <= 9, s"q: unsupported scale $digits")
+    val m = math.pow(10, digits)
+    floor(c * m + lit(0.5)) / m
+  }
+
   /** Timestamp → second-precision string. SQL mirror:
     * `strftime(ts, '%Y-%m-%d %H:%M:%S')`. */
   def fmtTs(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")

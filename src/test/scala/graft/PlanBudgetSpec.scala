@@ -33,7 +33,7 @@ class PlanBudgetSpec extends AnyFunSuite {
     * graft.PlanAudit measures. */
   private val stagedAudit = Set("q_kcore_peel", "q_dedup_compare",
     "q_dedup_kappa", "q_cochran_q", "q_fleiss_kappa", "q_mcnemar",
-    "q_zorder_pruning")
+    "q_dedup_report", "q_zorder_pruning")
 
   private def counts(name: String): (Int, Int) = {
     // stage.disable: Ckpt.stage truncates lineage, which would HIDE every
@@ -111,7 +111,12 @@ class PlanBudgetSpec extends AnyFunSuite {
                                       // incidence per branch (3x distinct);
                                       // per-source totals must broadcast
     // round-5 additions: audit mode unrolls the full 6-pass Lloyd lineage
-    ("q_kmeans_train", 18, 6),        // 3 shuffles/pass (argmax, means, rebuild)
+    ("q_kmeans_train", 19, 6),        // r10 re-audit (19/7) after the narrow-
+                                      // argmax + co-partitioned means rework:
+                                      // audit mode recomputes the staged
+                                      // exploded corpus per pass; staged
+                                      // execution runs argmax + means + rebuild
+                                      // per pass with the ex exchange paid ONCE
                                       // x6 passes; centroids broadcast each pass
     ("q_ann_ivfpq", 6, 5),            // composed IVF probe + ADC scoring:
                                       // centroids/probes/LUT broadcast,
@@ -577,6 +582,12 @@ class PlanBudgetSpec extends AnyFunSuite {
                                       // ONE phase-partitioned rank window
     ("q_cochran_q", 13, 5),           // = q_dedup_compare's flag lineage
                                       // reduced to one stats row
+    ("q_dedup_report", 6, 2),         // the composed dashboard: final union
+                                      // reads ONLY the staged flag/compare/
+                                      // rater frames + the savings token join
+                                      // — the six families' generation cost
+                                      // sits behind the stage boundary, paid
+                                      // once (audited r10: 6/2)
     ("q_fleiss_kappa", 13, 5),        // same shared rater-stats row
     ("q_mcnemar", 13, 5),             // = q_dedup_kappa's shape: compare
                                       // row + a 15-row generator
