@@ -263,14 +263,30 @@ object Similarity {
     * ([[graft.DedupRecallSpec]]) can plant duplicates at arbitrary id
     * distance.
     *
-    * Scale shape: the corpus shuffles once on (band, bkey) — L narrow
-    * replicas of each row ride the exchange, never an all-pairs product;
+    * Scale shape: the corpus shuffles once on (band, bkey) — L replicas
+    * of each row ride the exchange, never an all-pairs product;
     * candidate volume per bucket is bounded by bucket occupancy (2^b
     * buckets per band, b tuned to log₂ N). The cosine is computed per
     * colliding band-pair (≤ L redundant codegen'd dot products for a
-    * pair colliding in every band — cheaper than the two corpus-wide
-    * joins a dedup-then-fetch would cost) and duplicates collapse in one
-    * DISTINCT over the already-thresholded output. */
+    * pair colliding in every band) and duplicates collapse in one
+    * DISTINCT over the already-thresholded output.
+    *
+    * MEASURED against the dedup-then-fetch alternative (r10, VERDICT r9
+    * item 5: emit (vec_id, packed-int band key) only — 12 B/replica vs
+    * ~3 KB — DISTINCT the colliding id pairs, then fetch vectors with
+    * two narrow joins): the slim exchange was SLOWER at both measured
+    * scales — sf0.1 {neardup 1.58→1.77 s, dbscan 3.97→5.90, semantic
+    * 3.83→4.10, compare 3.83→4.96} and sf1 {7.3→45.7, 13.7→54.1,
+    * 10.6→48.0, 12.0→51.7 s} — because at the fixture's fixed b=6 the
+    * mean bucket occupancy is ~N/64 (≈312 at sf1 ⇒ ~37 M collision
+    * rows), so the pre-threshold DISTINCT plus two corpus-wide fetch
+    * joins on tens of millions of pair rows cost far more than the
+    * payload they save, while this shape streams each collision through
+    * one whole-stage-codegen dot and thresholds BEFORE any exchange-
+    * heavy dedup. The slim variant wins only when b is scaled so bucket
+    * occupancy is O(1–10) (the 100 TB configuration); at that point the
+    * exchange payload dominates and the same measurement should be
+    * repeated before flipping this implementation. */
   private[graft] def bandedPairs(n: DataFrame, thresh: Double): DataFrame = {
     val nb = NeardupBands * NeardupBandBits
     // same loud dimension guard as rpFeatures: FloatVectorDot silently
