@@ -1,0 +1,37 @@
+#!/bin/bash
+# Round-close bench protocol (VERDICT r9 item 3): run the driver-protocol
+# bench at sf0.1, gate it against the LAST COMMITTED per-query map with
+# dev/check.py --benchdiff (>2.5x regression on any >0.5s query fails),
+# and only then install the new BENCH_FULL.json / BENCH_SUMMARY.json.
+#
+#   dev/bench.sh            # full suite, 3 passes, min-of-3
+#
+# A failed gate leaves the committed maps untouched and the candidate run
+# at /tmp/bench_candidate.json for diagnosis.
+set -e
+cd "$(dirname "$0")/.."
+
+sbt -batch compile < /dev/null
+
+CAND=/tmp/bench_candidate.json
+CANDSUM=/tmp/bench_candidate_summary.json
+PREV=/tmp/bench_prev_committed.json
+
+SPARK_GRAFT_SF_DIR=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1} \
+SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} \
+SPARK_GRAFT_BENCH_OUT=$CAND \
+SPARK_GRAFT_BENCH_SUMMARY=$CANDSUM \
+  dev/run.sh graft.Bench
+
+git show HEAD:BENCH_FULL.json > "$PREV" 2>/dev/null || { echo "no committed BENCH_FULL.json; installing without gate"; cp "$CAND" BENCH_FULL.json; cp "$CANDSUM" BENCH_SUMMARY.json; exit 0; }
+
+echo "== benchdiff vs committed BENCH_FULL.json =="
+if python3 dev/check.py --benchdiff "$PREV" "$CAND"; then
+  cp "$CAND" BENCH_FULL.json
+  cp "$CANDSUM" BENCH_SUMMARY.json
+  echo "== gate green: BENCH_FULL.json / BENCH_SUMMARY.json updated =="
+else
+  echo "== GATE RED: regressions above — committed maps left untouched =="
+  echo "   (candidate kept at $CAND; fix or justify in SCALE.md, then re-run)"
+  exit 1
+fi

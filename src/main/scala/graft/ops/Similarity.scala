@@ -94,7 +94,7 @@ object Similarity {
     * small-integer coordinates. Integer entries are exact in both float and
     * double, so each projection term is an exact IEEE product in BOTH
     * engines and the only cross-engine freedom is summation rounding —
-    * removed by the 4-dp round before the sign is taken (the same recipe
+    * removed by the 4-dp floor-quantize before the sign is taken (the same recipe
     * every cosine query uses). Generated once from a fixed seed; the DuckDB
     * oracle states the identical literal matrix. */
   private[graft] val rpPlanes: Array[Array[Int]] = {
@@ -258,7 +258,7 @@ object Similarity {
     * every vector hashes to [[NeardupBands]] band keys (the sign pattern
     * of [[NeardupBandBits]] seeded hyperplane projections per band); a
     * pair is a candidate iff it collides in ≥ 1 band, then the exact
-    * 4-dp-rounded cosine verifies against the threshold. Takes the
+    * 4-dp floor-quantized cosine verifies against the threshold. Takes the
     * (vec_id, label, v, norm) frame as input so the recall harness
     * ([[graft.DedupRecallSpec]]) can plant duplicates at arbitrary id
     * distance.
@@ -399,7 +399,7 @@ object Similarity {
     * supervised read on the embedding space the retrieval family audits
     * geometrically ([[annRecall]]/[[ndcgAt5]]): every 50th vector is a
     * probe, excluded from the voter corpus; its 5 nearest corpus
-    * neighbors by rounded cosine vote on its label; majority wins with
+    * neighbors by quantized cosine vote on its label; majority wins with
     * a deterministic (count desc, label asc) tie-break. High accuracy =
     * the label structure is recoverable from the geometry (so
     * label-blocked dedup and semantic clustering are trustworthy).
@@ -468,7 +468,7 @@ object Similarity {
     // (vec_id, ccos, cid): the argmax is map-side combinable and the
     // vectors never ride the shuffle — the window formulation would carry
     // the 64-float payload once per centroid. max(struct(ccos, -cid))
-    // picks the same (highest rounded cosine, lowest cid) cell the
+    // picks the same (highest quantized cosine, lowest cid) cell the
     // row_number()=1 rank would.
     val best = n.crossJoin(broadcast(cents))
       .select(col("vec_id"),
@@ -766,7 +766,7 @@ object Similarity {
     *
     * Determinism inherits both parents: the shortlist is the exact
     * integer ADC arithmetic with (ad, vec_id) tie-break; the re-rank is
-    * the 4-dp rounded cosine with (cos desc, vec_id) tie-break; the
+    * the 4-dp floor-quantized cosine with (cos desc, vec_id) tie-break; the
     * oracle composes the two queries' own oracle CTEs verbatim.
     *
     * Scale shape: the corpus is scanned once as CODES (the 32×
@@ -1561,7 +1561,7 @@ object Similarity {
     * ADC for PQ.
     *
     * Determinism: both rankings use the engine's cosine recipe (double
-    * left-to-right dot = DuckDB's list_dot_product, 4-dp round,
+    * left-to-right dot = DuckDB's list_dot_product, 4-dp floor-quantize,
     * (cos desc, vec_id asc) total order); overlap is a count over the
     * two exact top-5 id sets.
     *
@@ -1604,7 +1604,7 @@ object Similarity {
     * non-positive corpus, and independent per probe so no negative is
     * globally over-sampled).
     *
-    * Determinism: positives rank by the established (rounded cosine,
+    * Determinism: positives rank by the established (quantized cosine,
     * vec_id) order; negatives rank by the hex digest string with a
     * vec_id tie-break — pure string/integer comparisons.
     *
@@ -1780,7 +1780,7 @@ object Similarity {
     * same plane matrix as [[bandedPairs]] (integer literals are exact in
     * both engines): n → pp (band-bit projections) → bd (band keys,
     * parallel-unnest zipped) → e0 (DISTINCT colliding pairs with the
-    * rounded cosine ≥ thresh). Shared by the neardup-family oracles here
+    * quantized cosine ≥ thresh). Shared by the neardup-family oracles here
     * and the six-family flag prefix in [[Dedup]]. */
   private[ops] def neardupCteBody(thresh: String): String = {
     val planes = neardupPlanes.zipWithIndex.map { case (p, i) =>

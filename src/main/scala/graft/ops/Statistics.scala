@@ -2241,9 +2241,12 @@ object Statistics {
     val glob = ranked.agg(sum("c").as("n"),
       (sum(col("c").cast(dec0) * col("c").cast(dec0) * col("c").cast(dec0)) -
         sum(col("c"))).cast("long").as("tie_t"))
+    // q6big, not q6: term ≈ r2²/(4·nt) grows with n² — past |x| ≥ 1e12
+    // Spark's LONG floor would wrap (the r10 sf1 failure; PARITY §4)
+    // while the 10⁻⁶ quantum is below the double's own ulp anyway
     val terms = perType.crossJoin(broadcast(glob))
       .withColumn("term",
-        Det.q6((col("r2").cast(dec0) * col("r2").cast(dec0)).cast("double") /
+        Det.q6big((col("r2").cast(dec0) * col("r2").cast(dec0)).cast("double") /
           (lit(4.0) * col("nt").cast("double"))).cast(DecimalType(38, 6)))
     val agg = terms.groupBy("n", "tie_t")
       .agg(count(lit(1)).as("k"), sum("term").as("sq"))
@@ -3978,8 +3981,13 @@ object Statistics {
         |  FROM r
         |), terms AS (
         |  SELECT n, tie_t,
-        |    CAST(floor((CAST(CAST(r2 AS HUGEINT) * r2 AS DOUBLE)
-        |               / (4.0e0 * CAST(nt AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS DECIMAL(38,6)) AS term
+        |    CAST(CASE WHEN abs(CAST(CAST(r2 AS HUGEINT) * r2 AS DOUBLE)
+        |                       / (4.0e0 * CAST(nt AS DOUBLE))) < 1e12
+        |              THEN floor((CAST(CAST(r2 AS HUGEINT) * r2 AS DOUBLE)
+        |                         / (4.0e0 * CAST(nt AS DOUBLE))) * 1000000 + 0.5) / 1000000
+        |              ELSE CAST(CAST(r2 AS HUGEINT) * r2 AS DOUBLE)
+        |                   / (4.0e0 * CAST(nt AS DOUBLE))
+        |         END AS DECIMAL(38,6)) AS term
         |  FROM pt CROSS JOIN g
         |), a AS (
         |  SELECT n, tie_t, CAST(count(*) AS BIGINT) AS k, SUM(term) AS sq

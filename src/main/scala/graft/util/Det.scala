@@ -37,6 +37,17 @@ object Det {
   /** [[q4]] at 8 dp. SQL mirror: `floor(x * 100000000 + 0.5) / 100000000`. */
   def q8(c: Column): Column = floor(c * 100000000 + lit(0.5)) / 100000000
 
+  /** [[q6]] guarded for magnitude: at |x| ≥ 1e12 the 10⁻⁶ quantum is
+    * already below the double's own ulp (≥ 2.4·10⁻⁴), AND Spark's
+    * LONG-returning floor would silently wrap at x·10⁶ ≥ 2⁶³
+    * (PARITY.md §4 — the r10 sf1 q_kruskal_wallis failure), so the
+    * value passes through unquantized. The branch condition compares a
+    * bit-identical double, so both engines take the same arm. SQL
+    * mirror: `CASE WHEN abs(x) < 1e12 THEN floor(x * 1000000 + 0.5) /
+    * 1000000 ELSE x END`. */
+  def q6big(c: Column): Column =
+    when(abs(c) < 1e12, floor(c * 1000000 + lit(0.5)) / 1000000).otherwise(c)
+
   /** [[q4]] at an arbitrary decimal scale (1..9 — powers of ten up to 1e9
     * are exact doubles; Spark's floor returns LONG, so the argument must
     * stay well under 2^63/10^digits, PARITY.md §4). SQL mirror:

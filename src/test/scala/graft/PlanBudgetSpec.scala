@@ -134,8 +134,11 @@ class PlanBudgetSpec extends AnyFunSuite {
                                       // (centroids/cells/codebook/codes as
                                       // scans); only the query's own probe
                                       // cosines + LUT touch raw vectors
-    ("q_ann_ivf_trained", 23, 9),     // training lineage + IVF serve (assign/
-                                      // probe/search broadcasts, cell shuffle)
+    ("q_ann_ivf_trained", 24, 9),     // training lineage + IVF serve (assign/
+                                      // probe/search broadcasts, cell shuffle);
+                                      // r10 +1: audit mode recomputes the
+                                      // Lloyd rework's staged vec_id-
+                                      // repartitioned exploded corpus inline
     ("q_minhash_est", 7, 6),          // audit mode recomputes the staged sig/
                                       // pair frames per branch; candidate set
                                       // and sizes broadcast into the pair joins
