@@ -1222,6 +1222,7 @@ object Similarity {
       if (converged) {
         changes += ((i, 0L))
       } else {
+        val t0 = System.nanoTime()
         val asg = once(n.crossJoin(broadcast(cents))
           .select(col("vec_id"),
             q4(doubleDot(col("v"), col("cv")) / (col("norm") * col("cn"))).as("ccos"),
@@ -1234,6 +1235,14 @@ object Similarity {
             .filter(col("cid") =!= col("pcid")).count()
           changes += ((i, chg))
           converged = chg == 0
+          // per-pass evidence on stderr (VERDICT r9 item 2): if a bench
+          // environment ever slows this loop again, the pass count,
+          // convergence trajectory, and per-pass wall are in its log
+          System.err.println(f"[kmeans] pass $i%d changed=$chg%d " +
+            f"wall=${(System.nanoTime() - t0) / 1e9}%.2fs")
+        } else {
+          System.err.println(f"[kmeans] pass $i%d (initial) " +
+            f"wall=${(System.nanoTime() - t0) / 1e9}%.2fs")
         }
         if (!converged) {
           // not staged: one consumer per pass (cents) — the final pass's

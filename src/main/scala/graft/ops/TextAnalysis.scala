@@ -1911,7 +1911,7 @@ object TextAnalysis {
          |       CAST(SUM(c) AS BIGINT) AS n_tokens,
          |       count(*) AS vocab,
          |       floor((log2(CAST(SUM(c) AS DOUBLE))
-         |             - CAST(SUM(CAST(round(log2(c), 6) AS DECIMAL(18,6)) * c) AS DOUBLE)
+         |             - CAST(SUM(CAST(floor((log2(c)) * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) * c) AS DOUBLE)
          |               / CAST(SUM(c) AS DOUBLE)) * 10000 + 0.5) / 10000 AS entropy_bits
          |FROM tc
          |GROUP BY source
