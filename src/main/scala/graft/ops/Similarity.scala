@@ -1278,6 +1278,111 @@ object Similarity {
       .toDF("pass", "n_changed").orderBy("pass")
   }
 
+  /** Total sample budget for [[clusterSample]]. */
+  private val ClusterSampleK = 200
+
+  /** Cluster-balanced corpus sampling — stratified selection where the
+    * strata are LEARNED (the quantizer's cells) instead of a metadata
+    * column: the diversity-balancing step a curation pipeline runs when
+    * one topic dominates the crawl (proportional sampling reproduces the
+    * imbalance; equal-per-cell sampling flattens it). Each vector is
+    * assigned to its max-cosine centroid (the [[kmeansStep]]/[[annIvf]]
+    * assignment rule), the total budget K = [[ClusterSampleK]] is split
+    * into EQUAL per-cell quotas by largest remainder (extras to the
+    * largest cells first, cid tie-break; a cell smaller than its quota
+    * yields all members), and each cell fills its quota in deterministic
+    * md5 order — the [[graft.ops.TrainingPrep]] split-hash discipline, so
+    * the sample is stable across runs, partitionings, and appends.
+    *
+    * Determinism: assignment ranks by the floor-quantized cosine with a
+    * cid tie-break; quotas are pure BIGINT largest-remainder arithmetic;
+    * within-cell order is (md5(salt‖vec_id), vec_id) — all engine-free.
+    *
+    * Scale shape: centroids broadcast onto one corpus scan (the IVF
+    * assignment layout); per-cell ranking partitions by cid; the quota
+    * frame is one row per quantizer CELL — model state, k ≪ corpus —
+    * broadcast back onto the ranked scan. The only unpartitioned window
+    * ranks that k-row model frame, never corpus rows. */
+  def clusterSample(s: SparkSession, d: String): DataFrame = {
+    val n = once(withNorm(Tables.embeddings(s, d)).select("vec_id", "v", "norm"))
+    val cents = n.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("norm").as("cn"))
+    val asg = once(n.crossJoin(broadcast(cents))
+      .select(col("vec_id"),
+        Det.q4(dot(col("v"), col("cv")) / (col("norm") * col("cn"))).as("ccos"),
+        col("cid"))
+      .groupBy("vec_id")
+      .agg(max(struct(col("ccos"), (-col("cid")).as("negcid"))).as("b"))
+      .select(col("vec_id"), (-col("b.negcid")).as("cid")))
+    val sizes = asg.groupBy("cid").agg(count(lit(1)).as("n_members"))
+    val nc = sizes.agg(count(lit(1)).as("nc"))
+    // one row per quantizer cell (model state, k << corpus)
+    val wq = Window.orderBy(col("n_members").desc, col("cid").asc)
+    val quotas = sizes.crossJoin(broadcast(nc))
+      .withColumn("rr", row_number().over(wq))
+      .withColumn("quota", least(
+        expr(s"$ClusterSampleK div nc") +
+          (col("rr") <= expr(s"$ClusterSampleK % nc")).cast("long"),
+        col("n_members")))
+      .select("cid", "n_members", "quota")
+    val wr = Window.partitionBy("cid")
+      .orderBy(md5(concat(lit("csample:"), col("vec_id").cast("string"))),
+        col("vec_id"))
+    asg.withColumn("pick_rank", row_number().over(wr))
+      .join(broadcast(quotas), "cid")
+      .filter(col("pick_rank") <= col("quota"))
+      .select(col("cid"), col("n_members"), col("quota"),
+        col("pick_rank"), col("vec_id"))
+      .orderBy("cid", "pick_rank")
+  }
+
+  /** Outlier margin for [[embedOutliers]], in 10⁻⁴ cosine units: a
+    * vector is flagged when its assigned-centroid cosine sits more than
+    * this far below its cell's mean. */
+  private val OutlierMarginQ4 = 1000L
+
+  /** Embedding-space outlier gate — the vector-side data-cleaning pass a
+    * curation pipeline runs before clustering-based selection: a
+    * mis-embedded / off-manifold document sits unusually FAR from even
+    * its best-matching quantizer centroid, so it is flagged when its
+    * assigned-cell cosine falls more than [[OutlierMarginQ4]]·10⁻⁴ below
+    * the cell mean. The scalar-column twin is `q_anomaly_filter`; this
+    * one watches the embedding column, where scalar monitors are blind.
+    *
+    * Determinism: the assigned cosine is the floor-quantized argmax
+    * (cid tie-break); each quantized cosine recovers its exact integer
+    * c = cos·10⁴; the flag test `c·n < Σc − margin·n` is pure BIGINT (no
+    * mean is ever materialized as a rounded double); the reported cell
+    * mean is ONE IEEE division of exact integers.
+    *
+    * Scale shape: centroids broadcast onto one corpus scan (the IVF
+    * assignment layout); cell stats are a k-row map-side-combined
+    * aggregate broadcast back onto the assignment frame. No window, no
+    * self-join; the corpus is scanned once. */
+  def embedOutliers(s: SparkSession, d: String): DataFrame = {
+    val n = once(withNorm(Tables.embeddings(s, d)).select("vec_id", "v", "norm"))
+    val cents = n.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("norm").as("cn"))
+    val asg = once(n.crossJoin(broadcast(cents))
+      .select(col("vec_id"),
+        Det.q4(dot(col("v"), col("cv")) / (col("norm") * col("cn"))).as("ccos"),
+        col("cid"))
+      .groupBy("vec_id")
+      .agg(max(struct(col("ccos"), (-col("cid")).as("negcid"))).as("b"))
+      .select(col("vec_id"), (-col("b.negcid")).as("cid"), col("b.ccos").as("ccos"))
+      .withColumn("ci", floor(col("ccos") * 10000 + lit(0.5)).cast("long")))
+    val stats = asg.groupBy("cid")
+      .agg(count(lit(1)).as("n_members"), sum("ci").as("sc"))
+    asg.join(broadcast(stats), "cid")
+      .filter(col("ci") * col("n_members") <
+        col("sc") - lit(OutlierMarginQ4) * col("n_members"))
+      .select(col("vec_id"), col("cid"), col("ccos").as("cos"),
+        col("n_members"),
+        (col("sc").cast("double") / (col("n_members") * 10000).cast("double"))
+          .as("cell_mean"))
+      .orderBy("vec_id")
+  }
+
   /** IVF search served from the TRAINED quantizer — the train→serve
     * composition a real ANN deployment runs ([[kmeansTrain]] produces the
     * coarse centroids, then the [[annIvf]] search shape probes them).
@@ -1668,6 +1773,8 @@ object Similarity {
     "q_ann_ivf_trained" -> (annIvfTrained _),
     "q_ann_ivf_served" -> (annIvfServed _),
     "q_kmeans_convergence" -> (kmeansConvergence _),
+    "q_cluster_sample" -> (clusterSample _),
+    "q_embed_outliers" -> (embedOutliers _),
     "q_embed_pq" -> (embedPq _),
     "q_pq_adc" -> (pqAdc _),
     "q_pq_adc_served" -> (pqAdcServed _),
@@ -2700,5 +2807,60 @@ object Similarity {
          |       count(*) AS n_members
          |FROM m GROUP BY cid, dim
          |ORDER BY cid, dim""".stripMargin,
+    // the kmeans_step assignment, equal-share largest-remainder quotas
+    // (extras to the largest cells, cid tie-break, capped at cell size),
+    // md5-ordered within-cell pick — pure integer quota arithmetic
+    "q_cluster_sample" ->
+      s"""WITH $NormCte,
+         |c AS (SELECT vec_id AS cid, v AS cv, norm AS cn FROM n WHERE vec_id % 100 = 0),
+         |asg AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT n.vec_id, c.cid,
+         |           row_number() OVER (PARTITION BY n.vec_id
+         |             ORDER BY floor((list_dot_product(n.v, c.cv) / (n.norm * c.cn)) * 10000 + 0.5) / 10000 DESC, c.cid ASC) AS crn
+         |    FROM n, c) t
+         |  WHERE crn = 1),
+         |sizes AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_members FROM asg GROUP BY cid),
+         |ncl AS (SELECT CAST(count(*) AS BIGINT) AS nc FROM sizes),
+         |q AS (
+         |  SELECT cid, n_members,
+         |         least($ClusterSampleK // nc
+         |               + CASE WHEN row_number() OVER (ORDER BY n_members DESC, cid ASC)
+         |                           <= $ClusterSampleK % nc THEN 1 ELSE 0 END,
+         |               n_members) AS quota
+         |  FROM sizes, ncl),
+         |r AS (
+         |  SELECT vec_id, cid,
+         |         CAST(row_number() OVER (PARTITION BY cid
+         |           ORDER BY md5('csample:' || CAST(vec_id AS VARCHAR)), vec_id) AS INTEGER) AS pick_rank
+         |  FROM asg)
+         |SELECT r.cid, q.n_members, CAST(q.quota AS BIGINT) AS quota, r.pick_rank, r.vec_id
+         |FROM r JOIN q USING (cid)
+         |WHERE r.pick_rank <= q.quota
+         |ORDER BY cid, pick_rank""".stripMargin,
+    // the same argmax assignment keeping the winning quantized cosine;
+    // integer flag test c*n < sum(c) - margin*n; cell mean is one IEEE
+    // division of exact integers
+    "q_embed_outliers" ->
+      s"""WITH $NormCte,
+         |c AS (SELECT vec_id AS cid, v AS cv, norm AS cn FROM n WHERE vec_id % 100 = 0),
+         |asg AS (
+         |  SELECT vec_id, cid, ccos,
+         |         CAST(floor(ccos * 10000 + 0.5) AS BIGINT) AS ci
+         |  FROM (
+         |    SELECT n.vec_id, c.cid,
+         |           floor((list_dot_product(n.v, c.cv) / (n.norm * c.cn)) * 10000 + 0.5) / 10000 AS ccos,
+         |           row_number() OVER (PARTITION BY n.vec_id
+         |             ORDER BY floor((list_dot_product(n.v, c.cv) / (n.norm * c.cn)) * 10000 + 0.5) / 10000 DESC, c.cid ASC) AS crn
+         |    FROM n, c) t
+         |  WHERE crn = 1),
+         |st AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
+         |              CAST(sum(ci) AS BIGINT) AS sc
+         |       FROM asg GROUP BY cid)
+         |SELECT asg.vec_id, asg.cid, asg.ccos AS cos, st.n_members,
+         |       CAST(st.sc AS DOUBLE) / CAST(st.n_members * 10000 AS DOUBLE) AS cell_mean
+         |FROM asg JOIN st USING (cid)
+         |WHERE asg.ci * st.n_members < st.sc - $OutlierMarginQ4 * st.n_members
+         |ORDER BY vec_id""".stripMargin,
   )
 }

@@ -585,6 +585,15 @@ class PlanBudgetSpec extends AnyFunSuite {
                                       // ONE phase-partitioned rank window
     ("q_cochran_q", 13, 5),           // = q_dedup_compare's flag lineage
                                       // reduced to one stats row
+    ("q_embed_outliers", 4, 2),       // centroids broadcast + argmax agg +
+                                      // k-row cell stats broadcast back
+                                      // (audited 2/1 staged; audit-mode
+                                      // headroom for the inlined stage)
+    ("q_cluster_sample", 8, 2),       // centroids broadcast onto one corpus
+                                      // scan; argmax agg + per-cell rank;
+                                      // the k-row quota frame broadcast back
+                                      // (audited 6/2 at sf0.001 via PlanAudit
+                                      // staged; +2 headroom for audit mode)
     ("q_dedup_report", 6, 2),         // the composed dashboard: final union
                                       // reads ONLY the staged flag/compare/
                                       // rater frames + the savings token join

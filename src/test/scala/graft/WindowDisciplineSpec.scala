@@ -39,6 +39,9 @@ class WindowDisciplineSpec extends AnyFunSuite {
     ("graft/ops/EventTime.scala", """val w = Window.orderBy("hour").rowsBetween(Window.unboundedPreceding, Window.currentRow)"""),
     // top paths of a bounded trigram summary
     ("graft/ops/EventTime.scala", """val wr = Window.orderBy(col("n").desc, col("path").asc)"""),
+    // one row per quantizer CELL (model-state frame: k centroids,
+    // k << corpus by construction — the IVF broadcastable-state bound)
+    ("graft/ops/Similarity.scala", """val wq = Window.orderBy(col("n_members").desc, col("cid").asc)"""),
     // one kilobyte-blob row per MONTH (calendar-bounded)
     ("graft/ops/Sketches.scala", """val w = org.apache.spark.sql.expressions.Window.orderBy("month")"""),
     // daily aggregates (calendar-bounded)
