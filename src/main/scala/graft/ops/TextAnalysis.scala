@@ -423,6 +423,55 @@ object TextAnalysis {
     * Scale shape: vocabulary aggregate (map-side, |vocab| rows out),
     * pair explosion bounded by word length, pair aggregate (≤ charset²
     * rows), bounded rank window. The corpus streams through once. */
+  /** Tokenizer ENCODE — applies [[bpeMergeStep]]'s learned top-20
+    * adjacent-character merges to the corpus and reports per-source
+    * token counts and the chars→tokens compression ratio: the
+    * train→apply composition a tokenizer pipeline actually runs (the
+    * merge step alone never tells you what the vocabulary BUYS). Each
+    * distinct word becomes its character sequence joined by '·', the
+    * merges apply in rank order as plain replace-all folds (merge "ab" ⇒
+    * replace "a·b" → "ab"), and tokens-per-word is recovered from
+    * length arithmetic — the fold runs over the VOCABULARY (distinct
+    * words, weighted by frequency), never the corpus rows.
+    *
+    * Determinism: the merge list is the audited [[bpeMergeStep]] output
+    * (exact integer counts, rank tie-break on pair); replace-all is
+    * left-to-right non-overlapping in both engines; token counts are
+    * pure length arithmetic on identical strings; the ratio is one
+    * integer ppm division.
+    *
+    * Scale shape: the merge table is model state (20 rows, broadcast);
+    * the fold is row-local over the (source, word) vocabulary aggregate
+    * (map-side combinable); the final rollup is ≤|sources| rows. The
+    * corpus streams through once to build the vocabulary. */
+  def bpeApply(s: SparkSession, d: String): DataFrame = {
+    val merges = bpeMergeStep(s, d)
+      .select(struct(col("rank"), col("pair")).as("m"))
+      .agg(array_sort(collect_list(col("m"))).as("ms"))
+    val wf = Tables.documents(s, d)
+      .select(col("source"), explode(words(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("source", "w").agg(count(lit(1)).as("n"))
+    wf.crossJoin(broadcast(merges))
+      // '(.)' + '$1·' inserts a separator after EVERY char (Java regex);
+      // rtrim drops the trailing one — the oracle mirrors with RE2 '\1·'
+      // NB Spark SQL's 2-arg rtrim is rtrim(trimStr, str) — reversed vs
+      // the DataFrame API (and vs DuckDB's rtrim(str, chars))
+      .withColumn("tok", expr(
+        "aggregate(ms, rtrim('·', regexp_replace(w, '(.)', '$1·')), " +
+          "(acc, m) -> replace(acc, " +
+          "concat(substring(m.pair, 1, 1), '·', substring(m.pair, 2, 1)), m.pair))"))
+      .withColumn("n_tok",
+        (length(col("tok")) - length(regexp_replace(col("tok"), "·", "")) + 1)
+          .cast("long"))
+      .groupBy("source")
+      .agg(sum(col("n")).as("n_words"),
+        sum(length(col("w")).cast("long") * col("n")).as("n_chars"),
+        sum(col("n_tok") * col("n")).as("n_tokens"))
+      .withColumn("compression_ppm", expr("n_tokens * 1000000 div n_chars"))
+      .orderBy("source")
+  }
+
   def bpeMergeStep(s: SparkSession, d: String): DataFrame = {
     val wf = Tables.documents(s, d)
       .select(explode(words(col("text"))).as("w"))
@@ -1396,6 +1445,7 @@ object TextAnalysis {
     "q_unigram_lm"      -> (unigramLm _),
     "q_ppl_filter"      -> (pplFilter _),
     "q_bpe_merge"       -> (bpeMergeStep _),
+    "q_bpe_apply"       -> (bpeApply _),
     "q_lang_confusion"  -> (langConfusion _),
     "q_vocab_coverage"  -> (vocabCoverage _),
     "q_contamination"   -> (contamination _),
@@ -2001,6 +2051,142 @@ object TextAnalysis {
          |FROM ks, r, t
          |GROUP BY ks.k, t.tt
          |ORDER BY ks.k""".stripMargin,
+    // the q_bpe_merge CTEs learn the top-20 pairs; 20 unrolled
+    // replace steps apply them in rank order (absent ranks no-op via a
+    // never-occurring sentinel); token counts by length arithmetic
+    "q_bpe_apply" ->
+      s"""WITH cf AS (
+        |  SELECT w, count(*) AS wf
+        |  FROM (SELECT unnest($WordsSql) AS w FROM documents)
+        |  WHERE w <> '' GROUP BY w
+        |), p AS (
+        |  SELECT pair, CAST(SUM(wf) AS BIGINT) AS n FROM (
+        |    SELECT substring(w, CAST(i AS INTEGER), 2) AS pair, wf
+        |    FROM cf, unnest(range(1, length(w))) AS t(i)
+        |    WHERE length(w) >= 2)
+        |  GROUP BY pair
+        |), m AS (
+        |  SELECT pair,
+        |         CAST(row_number() OVER (ORDER BY n DESC, pair ASC) AS INTEGER) AS rank
+        |  FROM p QUALIFY rank <= 20
+        |), wf AS (
+        |  SELECT source, w, CAST(count(*) AS BIGINT) AS n
+        |  FROM (SELECT source, unnest($WordsSql) AS w FROM documents)
+        |  WHERE w <> '' GROUP BY source, w
+        |), w0 AS (
+        |  SELECT source, w, n,
+        |         rtrim(regexp_replace(w, '(.)', '\\1·', 'g'), '·') AS tok
+        |  FROM wf),
+        |w1 AS (
+        |  SELECT source, w, n, replace(tok,
+        |    coalesce((SELECT substring(pair, 1, 1) || '·' || substring(pair, 2, 1) FROM m WHERE rank = 1), '§none§'),
+        |    coalesce((SELECT pair FROM m WHERE rank = 1), '§none§')) AS tok
+        |  FROM w0),
+        |w2 AS (
+        |  SELECT source, w, n, replace(tok,
+        |    coalesce((SELECT substring(pair, 1, 1) || '·' || substring(pair, 2, 1) FROM m WHERE rank = 2), '§none§'),
+        |    coalesce((SELECT pair FROM m WHERE rank = 2), '§none§')) AS tok
+        |  FROM w1),
+        |w3 AS (
+        |  SELECT source, w, n, replace(tok,
+        |    coalesce((SELECT substring(pair, 1, 1) || '·' || substring(pair, 2, 1) FROM m WHERE rank = 3), '§none§'),
+        |    coalesce((SELECT pair FROM m WHERE rank = 3), '§none§')) AS tok
+        |  FROM w2),
+        |w4 AS (
+        |  SELECT source, w, n, replace(tok,
+        |    coalesce((SELECT substring(pair, 1, 1) || '·' || substring(pair, 2, 1) FROM m WHERE rank = 4), '§none§'),
+        |    coalesce((SELECT pair FROM m WHERE rank = 4), '§none§')) AS tok
+        |  FROM w3),
+        |w5 AS (
+        |  SELECT source, w, n, replace(tok,
+        |    coalesce((SELECT substring(pair, 1, 1) || '·' || substring(pair, 2, 1) FROM m WHERE rank = 5), '§none§'),
+        |    coalesce((SELECT pair FROM m WHERE rank = 5), '§none§')) AS tok
+        |  FROM w4),
+        |w6 AS (
+        |  SELECT source, w, n, replace(tok,
+        |    coalesce((SELECT substring(pair, 1, 1) || '·' || substring(pair, 2, 1) FROM m WHERE rank = 6), '§none§'),
+        |    coalesce((SELECT pair FROM m WHERE rank = 6), '§none§')) AS tok
+        |  FROM w5),
+        |w7 AS (
+        |  SELECT source, w, n, replace(tok,
+        |    coalesce((SELECT substring(pair, 1, 1) || '·' || substring(pair, 2, 1) FROM m WHERE rank = 7), '§none§'),
+        |    coalesce((SELECT pair FROM m WHERE rank = 7), '§none§')) AS tok
+        |  FROM w6),
+        |w8 AS (
+        |  SELECT source, w, n, replace(tok,
+        |    coalesce((SELECT substring(pair, 1, 1) || '·' || substring(pair, 2, 1) FROM m WHERE rank = 8), '§none§'),
+        |    coalesce((SELECT pair FROM m WHERE rank = 8), '§none§')) AS tok
+        |  FROM w7),
+        |w9 AS (
+        |  SELECT source, w, n, replace(tok,
+        |    coalesce((SELECT substring(pair, 1, 1) || '·' || substring(pair, 2, 1) FROM m WHERE rank = 9), '§none§'),
+        |    coalesce((SELECT pair FROM m WHERE rank = 9), '§none§')) AS tok
+        |  FROM w8),
+        |w10 AS (
+        |  SELECT source, w, n, replace(tok,
+        |    coalesce((SELECT substring(pair, 1, 1) || '·' || substring(pair, 2, 1) FROM m WHERE rank = 10), '§none§'),
+        |    coalesce((SELECT pair FROM m WHERE rank = 10), '§none§')) AS tok
+        |  FROM w9),
+        |w11 AS (
+        |  SELECT source, w, n, replace(tok,
+        |    coalesce((SELECT substring(pair, 1, 1) || '·' || substring(pair, 2, 1) FROM m WHERE rank = 11), '§none§'),
+        |    coalesce((SELECT pair FROM m WHERE rank = 11), '§none§')) AS tok
+        |  FROM w10),
+        |w12 AS (
+        |  SELECT source, w, n, replace(tok,
+        |    coalesce((SELECT substring(pair, 1, 1) || '·' || substring(pair, 2, 1) FROM m WHERE rank = 12), '§none§'),
+        |    coalesce((SELECT pair FROM m WHERE rank = 12), '§none§')) AS tok
+        |  FROM w11),
+        |w13 AS (
+        |  SELECT source, w, n, replace(tok,
+        |    coalesce((SELECT substring(pair, 1, 1) || '·' || substring(pair, 2, 1) FROM m WHERE rank = 13), '§none§'),
+        |    coalesce((SELECT pair FROM m WHERE rank = 13), '§none§')) AS tok
+        |  FROM w12),
+        |w14 AS (
+        |  SELECT source, w, n, replace(tok,
+        |    coalesce((SELECT substring(pair, 1, 1) || '·' || substring(pair, 2, 1) FROM m WHERE rank = 14), '§none§'),
+        |    coalesce((SELECT pair FROM m WHERE rank = 14), '§none§')) AS tok
+        |  FROM w13),
+        |w15 AS (
+        |  SELECT source, w, n, replace(tok,
+        |    coalesce((SELECT substring(pair, 1, 1) || '·' || substring(pair, 2, 1) FROM m WHERE rank = 15), '§none§'),
+        |    coalesce((SELECT pair FROM m WHERE rank = 15), '§none§')) AS tok
+        |  FROM w14),
+        |w16 AS (
+        |  SELECT source, w, n, replace(tok,
+        |    coalesce((SELECT substring(pair, 1, 1) || '·' || substring(pair, 2, 1) FROM m WHERE rank = 16), '§none§'),
+        |    coalesce((SELECT pair FROM m WHERE rank = 16), '§none§')) AS tok
+        |  FROM w15),
+        |w17 AS (
+        |  SELECT source, w, n, replace(tok,
+        |    coalesce((SELECT substring(pair, 1, 1) || '·' || substring(pair, 2, 1) FROM m WHERE rank = 17), '§none§'),
+        |    coalesce((SELECT pair FROM m WHERE rank = 17), '§none§')) AS tok
+        |  FROM w16),
+        |w18 AS (
+        |  SELECT source, w, n, replace(tok,
+        |    coalesce((SELECT substring(pair, 1, 1) || '·' || substring(pair, 2, 1) FROM m WHERE rank = 18), '§none§'),
+        |    coalesce((SELECT pair FROM m WHERE rank = 18), '§none§')) AS tok
+        |  FROM w17),
+        |w19 AS (
+        |  SELECT source, w, n, replace(tok,
+        |    coalesce((SELECT substring(pair, 1, 1) || '·' || substring(pair, 2, 1) FROM m WHERE rank = 19), '§none§'),
+        |    coalesce((SELECT pair FROM m WHERE rank = 19), '§none§')) AS tok
+        |  FROM w18),
+        |w20 AS (
+        |  SELECT source, w, n, replace(tok,
+        |    coalesce((SELECT substring(pair, 1, 1) || '·' || substring(pair, 2, 1) FROM m WHERE rank = 20), '§none§'),
+        |    coalesce((SELECT pair FROM m WHERE rank = 20), '§none§')) AS tok
+        |  FROM w19),
+        |a AS (
+        |  SELECT source,
+        |         CAST(sum(n) AS BIGINT) AS n_words,
+        |         CAST(sum(length(w) * n) AS BIGINT) AS n_chars,
+        |         CAST(sum((length(tok) - length(replace(tok, '·', '')) + 1) * n) AS BIGINT) AS n_tokens
+        |  FROM w20 GROUP BY source)
+        |SELECT source, n_words, n_chars, n_tokens,
+        |       CAST(n_tokens * 1000000 // n_chars AS BIGINT) AS compression_ppm
+        |FROM a
+        |ORDER BY source""".stripMargin,
     "q_bpe_merge" ->
       s"""WITH wf AS (
          |  SELECT w, count(*) AS wf

@@ -585,6 +585,10 @@ class PlanBudgetSpec extends AnyFunSuite {
                                       // ONE phase-partitioned rank window
     ("q_cochran_q", 13, 5),           // = q_dedup_compare's flag lineage
                                       // reduced to one stats row
+    ("q_bpe_apply", 6, 1),            // pair-count agg + rank + the 20-row
+                                      // merge table broadcast onto the
+                                      // (source, word) vocab agg; rollup
+                                      // (audited 5/1 at sf0.001)
     ("q_embed_outliers", 4, 2),       // centroids broadcast + argmax agg +
                                       // k-row cell stats broadcast back
                                       // (audited 2/1 staged; audit-mode
