@@ -381,6 +381,35 @@ object Graph {
 
   private[ops] val LpaRounds = 3
 
+  /** Shared LPA machinery for [[labelProp]] and [[modularity]]: the node
+    * frame, the staged undirected weighted edge list (self-loops dropped,
+    * parallel lanes merged), and the label frame after [[LpaRounds]]
+    * synchronous rounds. Both consumers and both oracles derive from the
+    * SAME rounds, so the community partition [[modularity]] scores is by
+    * construction the one [[labelProp]] reports. */
+  private def lpaState(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val e = graft.util.Ckpt.stage(tradeEdges(s, d))
+    val und = graft.util.Ckpt.stage(
+      e.select(col("src"), col("dst"), col("w"))
+        .unionAll(e.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+        .filter(col("src") =!= col("dst"))
+        .groupBy("src", "dst").agg(sum("w").as("w")))
+    val nodes = Tables.nation(s, d)
+      .select(col("n_nationkey").as("node"), col("n_name").as("nation"))
+    var labs = nodes.select(col("node"), col("node").as("lab"))
+    for (_ <- 1 to LpaRounds) {
+      val votes = und.join(labs.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"), col("lab")).agg(sum("w").as("vw"))
+      val pick = votes.withColumn("rn", row_number().over(
+          Window.partitionBy("node").orderBy(col("vw").desc, col("lab").asc)))
+        .filter(col("rn") === 1).select(col("node"), col("lab").as("newlab"))
+      labs = labs.join(pick, Seq("node"), "left")
+        .select(col("node"), coalesce(col("newlab"), col("lab")).as("lab"))
+    }
+    (nodes, und, graft.util.Ckpt.stage(labs))
+  }
+
   /** Weighted label-propagation communities over the undirected trade
     * graph, [[LpaRounds]] SYNCHRONOUS rounds — the community-detection
     * leg of the graph family (components say "connected at all"; LPA
@@ -403,29 +432,158 @@ object Graph {
     * becomes the [[graft.plans.TopKPerGroup]] bounded-heap operator;
     * at the nation grain the window is the right plan. */
   def labelProp(s: SparkSession, d: String): DataFrame = {
-    val e = graft.util.Ckpt.stage(tradeEdges(s, d))
-    val und = graft.util.Ckpt.stage(
-      e.select(col("src"), col("dst"), col("w"))
-        .unionAll(e.select(col("dst").as("src"), col("src").as("dst"), col("w")))
-        .filter(col("src") =!= col("dst"))
-        .groupBy("src", "dst").agg(sum("w").as("w")))
-    val nodes = Tables.nation(s, d)
-      .select(col("n_nationkey").as("node"), col("n_name").as("nation"))
-    var labs = nodes.select(col("node"), col("node").as("lab"))
-    for (_ <- 1 to LpaRounds) {
-      val votes = und.join(labs.withColumnRenamed("node", "src"), "src")
-        .groupBy(col("dst").as("node"), col("lab")).agg(sum("w").as("vw"))
-      val pick = votes.withColumn("rn", row_number().over(
-          Window.partitionBy("node").orderBy(col("vw").desc, col("lab").asc)))
-        .filter(col("rn") === 1).select(col("node"), col("lab").as("newlab"))
-      labs = labs.join(pick, Seq("node"), "left")
-        .select(col("node"), coalesce(col("newlab"), col("lab")).as("lab"))
-    }
+    val (nodes, _, labs) = lpaState(s, d)
     nodes.join(labs, "node")
       .withColumn("community_size",
         count(lit(1)).over(Window.partitionBy("lab")))
       .select(col("node"), col("nation"), col("lab").as("label"),
         col("community_size"))
+      .orderBy("node")
+  }
+
+  /** Newman modularity of the [[labelProp]] partition over the undirected
+    * weighted trade graph — the quality score for the communities the LPA
+    * leg reports (community detection without a quality metric is
+    * unfalsifiable; Q ≈ 0 says "no better than random given the degree
+    * sequence", Q > 0.3 says real bloc structure): per community c,
+    * contrib(c) = w_in(c)/m2 − (w_tot(c)/m2)², with w_in the weight inside
+    * c, w_tot the total degree-weight of c's nodes, and m2 the total
+    * directed-both-ways weight (= 2m); Q = Σ_c contrib(c), emitted as a
+    * label = −1 total row after the per-community rows.
+    *
+    * Determinism: w_in/w_tot/m2 are exact BIGINT sums over the SAME
+    * [[lpaState]] rounds the LPA query runs (the oracle chains the
+    * identical unrolled CTEs); each contribution is a fixed sequence of
+    * IEEE divisions/products on exact integers, 8-dp floor-quantized; the
+    * total sums the quantized contributions in DECIMAL(20,8) — exact and
+    * order-free — so Q is bit-identical in both engines.
+    *
+    * Scale shape: the [[tradeEdges]] derivation dominates; everything
+    * after it is three keyed aggregates over the staged ≤|nations|² edge
+    * list with the ≤|nations|-row label frame joined in, plus a 1-row m2
+    * broadcast. At a billion-node graph the same three aggregates shuffle
+    * on community id — modularity stays one-pass whatever the scale. */
+  def modularity(s: SparkSession, d: String): DataFrame = {
+    val (_, und, labs) = lpaState(s, d)
+    val m2 = und.agg(sum("w").as("m2"))
+    val win = und
+      .join(labs.select(col("node").as("src"), col("lab").as("lab_s")), "src")
+      .join(labs.select(col("node").as("dst"), col("lab").as("lab_d")), "dst")
+      .filter(col("lab_s") === col("lab_d"))
+      .groupBy(col("lab_s").as("label")).agg(sum("w").as("w_in"))
+    val wtot = und.groupBy("src").agg(sum("w").as("dw"))
+      .join(labs.withColumnRenamed("node", "src"), "src")
+      .groupBy(col("lab").as("label")).agg(sum("dw").as("w_tot"))
+    val nsz = labs.groupBy(col("lab").as("label")).agg(count(lit(1)).as("n_nodes"))
+    val per = nsz
+      .join(wtot, Seq("label"), "left")
+      .join(win, Seq("label"), "left")
+      .crossJoin(broadcast(m2))
+      .select(col("label"), col("n_nodes"),
+        coalesce(col("w_in"), lit(0L)).as("w_in"),
+        coalesce(col("w_tot"), lit(0L)).as("w_tot"), col("m2"))
+      .withColumn("contrib",
+        when(col("m2") === 0L, lit(0.0)).otherwise(graft.util.Det.q8(
+          col("w_in").cast("double") / col("m2").cast("double")
+            - (col("w_tot").cast("double") / col("m2").cast("double"))
+              * (col("w_tot").cast("double") / col("m2").cast("double")))))
+      .transform(graft.util.Ckpt.stage)
+    val total = per.agg(sum("n_nodes").as("n_nodes"), sum("w_in").as("w_in"),
+        sum("w_tot").as("w_tot"),
+        sum(expr("CAST(contrib AS DECIMAL(20,8))")).cast("double").as("contrib"))
+      .select(lit(-1).as("label"), col("n_nodes"), col("w_in"), col("w_tot"),
+        col("contrib"))
+    per.select("label", "n_nodes", "w_in", "w_tot", "contrib")
+      .unionByName(total)
+      .orderBy("label")
+  }
+
+  /** Degree assortativity of the undirected trade graph (distinct lanes,
+    * self-loops dropped): the Pearson correlation of the FULL degrees at
+    * the two ends of each edge, computed over the directed-both-ways
+    * endpoint list (the standard estimator; each undirected edge
+    * contributes both orientations, making the coefficient symmetric).
+    * r > 0 = hubs trade with hubs (assortative), r < 0 = hub-and-spoke
+    * (disassortative — the shape that concentrates shuffle skew on the
+    * hub keys and motivates salting).
+    *
+    * Determinism: every moment (m, Σx, Σxy, Σx²) is an exact BIGINT sum
+    * of bounded integers (degree ≤ |nations|, m ≤ |nations|² — the
+    * products stay ≲ 10¹⁷ ≪ 2⁶³ at ANY scale factor since the nation
+    * grain is fixed); r is one integer-exact numerator divided by one
+    * sqrt of an integer-exact product, 6-dp floor-quantized. A
+    * degree-regular graph has zero variance → null, stated rather than
+    * NaN.
+    *
+    * Scale shape: the [[tradeEdges]] derivation dominates; degrees are
+    * one keyed count over the staged edge list, joined back broadcast;
+    * the moments are a single 1-row reduce. */
+  def assortativity(s: SparkSession, d: String): DataFrame = {
+    val e = graft.util.Ckpt.stage(tradeEdges(s, d).select(col("src"), col("dst")))
+    val und = graft.util.Ckpt.stage(
+      e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+        .filter(col("src") =!= col("dst")).distinct())
+    val deg = und.groupBy("src").agg(count(lit(1)).as("deg"))
+    val ends = und
+      .join(broadcast(deg.select(col("src"), col("deg").as("dx"))), "src")
+      .join(broadcast(deg.select(col("src").as("dst"), col("deg").as("dy"))), "dst")
+    ends.agg(count(lit(1)).as("m_ends"), sum("dx").as("sum_deg"),
+        sum(col("dx") * col("dy")).as("sum_prod"),
+        sum(col("dx") * col("dx")).as("sum_sq"),
+        sum(col("dy") * col("dy")).as("sum_sq_y"))
+      .select(col("m_ends"), col("sum_deg"), col("sum_prod"), col("sum_sq"),
+        when((col("m_ends") * col("sum_sq") - col("sum_deg") * col("sum_deg")) === 0L
+          || (col("m_ends") * col("sum_sq_y") - col("sum_deg") * col("sum_deg")) === 0L,
+          lit(null).cast("double"))
+          .otherwise(graft.util.Det.q6(
+            (col("m_ends") * col("sum_prod") - col("sum_deg") * col("sum_deg"))
+              .cast("double") /
+            sqrt(((col("m_ends") * col("sum_sq") - col("sum_deg") * col("sum_deg"))
+              * (col("m_ends") * col("sum_sq_y") - col("sum_deg") * col("sum_deg")))
+              .cast("double"))))
+          .as("assortativity"))
+  }
+
+  /** Reciprocity of the DIRECTED trade graph (distinct lanes, self-loops
+    * dropped): per exporter nation, the fraction of its outgoing lanes
+    * whose reverse lane also exists, plus a node = −1 'ALL' total — the
+    * directed-structure audit that tells a partitioner whether a
+    * bidirectional edge representation (half the exchange volume for
+    * symmetric graphs) is worth it.
+    *
+    * Determinism: lane sets are DISTINCT integer pairs; reciprocated
+    * lanes come from an exact self semi-join; the ratio is ONE IEEE
+    * division of exact BIGINTs, 6-dp floor-quantized. Nations with no
+    * outgoing lane report null, stated rather than NaN.
+    *
+    * Scale shape: the [[tradeEdges]] derivation dominates; the semi-join
+    * runs on the staged ≤|nations|² lane list against its own reversal,
+    * both keyed aggregates are node-bounded. */
+  def reciprocity(s: SparkSession, d: String): DataFrame = {
+    val e = graft.util.Ckpt.stage(tradeEdges(s, d)
+      .select(col("src"), col("dst")).filter(col("src") =!= col("dst")).distinct())
+    val rec = e.join(e.select(col("dst").as("r_src"), col("src").as("r_dst")),
+      col("src") === col("r_src") && col("dst") === col("r_dst"), "left_semi")
+    val nodes = Tables.nation(s, d)
+      .select(col("n_nationkey").as("node"), col("n_name").as("nation"))
+    val nOut = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("n_out"))
+    val nRec = rec.groupBy(col("src").as("node")).agg(count(lit(1)).as("n_rec"))
+    val per = nodes
+      .join(nOut, Seq("node"), "left")
+      .join(nRec, Seq("node"), "left")
+      .select(col("node"), col("nation"),
+        coalesce(col("n_out"), lit(0L)).as("n_out"),
+        coalesce(col("n_rec"), lit(0L)).as("n_rec"))
+      .transform(graft.util.Ckpt.stage)
+    val total = per.agg(sum("n_out").as("n_out"), sum("n_rec").as("n_rec"))
+      .select(lit(-1).as("node"), lit("ALL").as("nation"), col("n_out"),
+        col("n_rec"))
+    per.select("node", "nation", "n_out", "n_rec")
+      .unionByName(total)
+      .withColumn("reciprocity",
+        when(col("n_out") === 0L, lit(null).cast("double"))
+          .otherwise(graft.util.Det.q6(
+            col("n_rec").cast("double") / col("n_out").cast("double"))))
       .orderBy("node")
   }
 
@@ -504,7 +662,11 @@ object Graph {
     * scalar — the established iterative shape. At a million-node graph
     * closeness switches to sampled sources or HyperBall sketches; at
     * the nation grain the exact loop is the right plan. */
-  def closeness(s: SparkSession, d: String): DataFrame = {
+  /** All-pairs hop distances over the undirected trade graph at the
+    * relaxation fixpoint — the shared front end of [[closeness]] and
+    * [[hopHistogram]]: (nodes, dist) with dist = (s0, node, dist) for
+    * every reachable ordered pair (self-pairs included at dist 0). */
+  private def apspDist(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val e = graft.util.Ckpt.stage(tradeEdges(s, d).select(col("src"), col("dst")))
     val und = graft.util.Ckpt.stage(
       e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
@@ -529,6 +691,11 @@ object Graph {
       dist = next.select(col("s0"), col("node"), col("dist2").as("dist"))
       rounds += 1
     }
+    (nodes, dist)
+  }
+
+  def closeness(s: SparkSession, d: String): DataFrame = {
+    val (nodes, dist) = apspDist(s, d)
     val q6 = (c: Column) => floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
     val per = dist.filter(col("s0") =!= col("node"))
       .groupBy(col("s0").as("node"))
@@ -544,6 +711,9 @@ object Graph {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_modularity" -> (modularity _),
+    "q_assortativity" -> (assortativity _),
+    "q_reciprocity" -> (reciprocity _),
     "q_closeness" -> (closeness _),
     "q_hits" -> (hits _),
     "q_label_prop" -> (labelProp _),
@@ -600,9 +770,11 @@ object Graph {
        |ORDER BY n.node""".stripMargin
   }
 
-  /** The [[labelProp]] oracle unrolls [[LpaRounds]] synchronous rounds
-    * as generated CTEs over the same undirected weighted edge list. */
-  private def labelPropOracle: String = {
+  /** Shared oracle CTE chain for the LPA rounds (the SQL twin of
+    * [[lpaState]]): edges → und → n → l0 → unrolled rounds ending at
+    * `l{LpaRounds}`. [[labelPropOracle]] and the [[modularity]] oracle
+    * both chain from it, mirroring the shared Spark machinery. */
+  private def lpaCtes: String = {
     val rounds = (1 to LpaRounds).map { i =>
       s"""v$i AS (
          |  SELECT u.dst AS node, l.lab, CAST(sum(u.w) AS BIGINT) AS vw
@@ -619,7 +791,7 @@ object Graph {
          |  FROM l${i - 1} l LEFT JOIN p$i p ON l.node = p.node
          |)""".stripMargin
     }.mkString(", ")
-    s"""WITH $EdgeCte, und AS (
+    s"""$EdgeCte, und AS (
        |  SELECT src, dst, CAST(sum(w) AS BIGINT) AS w FROM (
        |    SELECT src, dst, w FROM e
        |    UNION ALL SELECT dst AS src, src AS dst, w FROM e
@@ -628,13 +800,60 @@ object Graph {
        |  SELECT n_nationkey AS node, n_name AS nation FROM nation
        |), l0 AS (
        |  SELECT node, node AS lab FROM n
-       |), $rounds
+       |), $rounds""".stripMargin
+  }
+
+  /** The [[labelProp]] oracle unrolls [[LpaRounds]] synchronous rounds
+    * as generated CTEs over the same undirected weighted edge list. */
+  private def labelPropOracle: String =
+    s"""WITH $lpaCtes
        |SELECT n.node, n.nation, l.lab AS label,
        |       CAST(count(*) OVER (PARTITION BY l.lab) AS BIGINT)
        |         AS community_size
        |FROM n JOIN l$LpaRounds l USING (node)
        |ORDER BY n.node""".stripMargin
-  }
+
+  /** The [[modularity]] oracle chains [[lpaCtes]] (the identical unrolled
+    * LPA rounds) into the three community aggregates, quantizing each
+    * contribution to 8 dp and totalling in DECIMAL(20,8) exactly as the
+    * Spark plan does. */
+  private def modularityOracle: String =
+    s"""WITH $lpaCtes, labf AS (
+       |  SELECT node, lab FROM l$LpaRounds
+       |), m2 AS (
+       |  SELECT CAST(sum(w) AS BIGINT) AS m2 FROM und
+       |), wi AS (
+       |  SELECT ls.lab AS label, CAST(sum(u.w) AS BIGINT) AS w_in
+       |  FROM und u
+       |  JOIN labf ls ON u.src = ls.node
+       |  JOIN labf ld ON u.dst = ld.node
+       |  WHERE ls.lab = ld.lab GROUP BY 1
+       |), wt AS (
+       |  SELECT l.lab AS label, CAST(sum(dw) AS BIGINT) AS w_tot
+       |  FROM (SELECT src, CAST(sum(w) AS BIGINT) AS dw FROM und GROUP BY src) dg
+       |  JOIN labf l ON dg.src = l.node GROUP BY 1
+       |), ns AS (
+       |  SELECT lab AS label, CAST(count(*) AS BIGINT) AS n_nodes
+       |  FROM labf GROUP BY 1
+       |), per AS (
+       |  SELECT ns.label, ns.n_nodes,
+       |         COALESCE(wi.w_in, 0) AS w_in,
+       |         COALESCE(wt.w_tot, 0) AS w_tot,
+       |         CASE WHEN m2.m2 = 0 THEN 0.0 ELSE
+       |           floor((CAST(COALESCE(wi.w_in, 0) AS DOUBLE) / CAST(m2.m2 AS DOUBLE)
+       |                  - (CAST(COALESCE(wt.w_tot, 0) AS DOUBLE) / CAST(m2.m2 AS DOUBLE))
+       |                    * (CAST(COALESCE(wt.w_tot, 0) AS DOUBLE) / CAST(m2.m2 AS DOUBLE)))
+       |                 * 100000000 + 0.5) / 100000000
+       |         END AS contrib
+       |  FROM ns LEFT JOIN wt USING (label) LEFT JOIN wi USING (label), m2
+       |)
+       |SELECT label, n_nodes, w_in, w_tot, contrib FROM per
+       |UNION ALL
+       |SELECT CAST(-1 AS INTEGER), CAST(sum(n_nodes) AS BIGINT),
+       |       CAST(sum(w_in) AS BIGINT), CAST(sum(w_tot) AS BIGINT),
+       |       CAST(sum(CAST(contrib AS DECIMAL(20,8))) AS DOUBLE)
+       |FROM per
+       |ORDER BY label""".stripMargin
 
   /** The [[hits]] oracle unrolls [[HitsIters]] rounds as generated CTEs
     * with the same Scale constant and max-normalization. */
@@ -669,6 +888,69 @@ object Graph {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_modularity" -> modularityOracle,
+    "q_assortativity" ->
+      s"""WITH $EdgeCte, und AS (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT src, dst FROM e
+         |    UNION ALL SELECT dst AS src, src AS dst FROM e) b
+         |  WHERE src <> dst
+         |), deg AS (
+         |  SELECT src, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY src
+         |), ends AS (
+         |  SELECT dx.deg AS dx, dy.deg AS dy
+         |  FROM und
+         |  JOIN deg dx ON und.src = dx.src
+         |  JOIN deg dy ON und.dst = dy.src
+         |), m AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS m_ends,
+         |         CAST(sum(dx) AS BIGINT) AS sum_deg,
+         |         CAST(sum(dx * dy) AS BIGINT) AS sum_prod,
+         |         CAST(sum(dx * dx) AS BIGINT) AS sum_sq,
+         |         CAST(sum(dy * dy) AS BIGINT) AS sum_sq_y
+         |  FROM ends
+         |)
+         |SELECT m_ends, sum_deg, sum_prod, sum_sq,
+         |  CASE WHEN (m_ends * sum_sq - sum_deg * sum_deg) = 0
+         |         OR (m_ends * sum_sq_y - sum_deg * sum_deg) = 0 THEN NULL
+         |       ELSE floor(CAST(m_ends * sum_prod - sum_deg * sum_deg AS DOUBLE)
+         |                  / sqrt(CAST((m_ends * sum_sq - sum_deg * sum_deg)
+         |                              * (m_ends * sum_sq_y - sum_deg * sum_deg)
+         |                              AS DOUBLE))
+         |                  * 1000000 + 0.5) / 1000000
+         |  END AS assortativity
+         |FROM m""".stripMargin,
+    "q_reciprocity" ->
+      s"""WITH $EdgeCte, e2 AS (
+         |  SELECT DISTINCT src, dst FROM e WHERE src <> dst
+         |), r AS (
+         |  SELECT a.src, a.dst
+         |  FROM e2 a JOIN e2 b ON a.src = b.dst AND a.dst = b.src
+         |), n AS (
+         |  SELECT n_nationkey AS node, n_name AS nation FROM nation
+         |), no AS (
+         |  SELECT src AS node, CAST(count(*) AS BIGINT) AS n_out
+         |  FROM e2 GROUP BY 1
+         |), nr AS (
+         |  SELECT src AS node, CAST(count(*) AS BIGINT) AS n_rec
+         |  FROM r GROUP BY 1
+         |), per AS (
+         |  SELECT n.node, n.nation,
+         |         COALESCE(no.n_out, 0) AS n_out, COALESCE(nr.n_rec, 0) AS n_rec
+         |  FROM n LEFT JOIN no USING (node) LEFT JOIN nr USING (node)
+         |), u AS (
+         |  SELECT node, nation, n_out, n_rec FROM per
+         |  UNION ALL
+         |  SELECT CAST(-1 AS INTEGER), 'ALL',
+         |         CAST(sum(n_out) AS BIGINT), CAST(sum(n_rec) AS BIGINT)
+         |  FROM per
+         |)
+         |SELECT node, nation, n_out, n_rec,
+         |  CASE WHEN n_out = 0 THEN NULL
+         |       ELSE floor(CAST(n_rec AS DOUBLE) / CAST(n_out AS DOUBLE)
+         |                  * 1000000 + 0.5) / 1000000
+         |  END AS reciprocity
+         |FROM u ORDER BY node""".stripMargin,
     // depth-bounded recursive closure + min() reaches the same integer
     // fixpoint as the engine's relaxation loop
     "q_closeness" ->

@@ -65,6 +65,74 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
+  private[ops] val MaxSimSubs = 8
+  private[ops] val MaxSimSubDim = 8
+  private[ops] val MaxSimStride = 200
+  private[ops] val MaxSimTopK = 5
+
+  /** Multi-vector late-interaction retrieval (ColBERT-style MaxSim): each
+    * 64-dim embedding is treated as [[MaxSimSubs]] token-level sub-vectors
+    * of [[MaxSimSubDim]] dims, and the query–document score is
+    * Σᵢ maxⱼ cos(qᵢ, dⱼ) — every query token finds its best-matching
+    * document token, the interaction single-vector cosine collapses away.
+    * Every [[MaxSimStride]]-th vector is a query; top-[[MaxSimTopK]] per
+    * query. The fixture's flat vectors stand in for true per-token
+    * matrices; the operator shape (sub-vector slicing, per-(i,j) cosine,
+    * row-local max-then-sum, per-query top-k) is the production one.
+    *
+    * Determinism: each sub-cosine is the FloatVectorDot fold (floats
+    * widened to double, left-to-right — DuckDB's `list_dot_product` order)
+    * over row-local slices, divided by two sqrt-exact sub-norms; each
+    * per-i max is over bit-identical doubles, 6-dp floor-quantized; the
+    * sum over i is a left-to-right fold of the quantized terms, mirrored
+    * in the oracle as explicit left-associative addition. Zero sub-norms
+    * raise loudly (the [[rpFeatures]] guard discipline) rather than emit
+    * NaN rankings.
+    *
+    * Scale shape: identical to [[cosineTopk]] — the query set broadcasts,
+    * the corpus is scanned ONCE and never exchanged (all 64 sub-cosines
+    * are row-local array math inside the scan projection), and the only
+    * shuffle is the per-query top-k window over candidates. The
+    * production scale path composes this scorer behind an ANN shortlist
+    * ([[annIvf]]/[[pqRerank]]): retrieve coarse, re-score MaxSim. */
+  def maxsim(s: SparkSession, d: String): DataFrame = {
+    val subNorms = expr(
+      s"""transform(sequence(0, ${MaxSimSubs - 1}), i ->
+         |  sqrt(aggregate(slice(v, i * $MaxSimSubDim + 1, $MaxSimSubDim),
+         |    CAST(0.0 AS DOUBLE),
+         |    (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))""".stripMargin)
+    val base = Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("v",
+        when(size(col("v")) === RpDim, col("v")).otherwise(raise_error(concat(
+          lit(s"maxsim expects $RpDim-dim embeddings, got "),
+          size(col("v")).cast("string")))))
+      .withColumn("sn", subNorms)
+      .withColumn("sn",
+        when(array_min(col("sn")) > 0.0, col("sn")).otherwise(
+          raise_error(lit("maxsim: zero sub-vector norm"))))
+    val n = once(base)
+    val q = n.filter(col("vec_id") % MaxSimStride === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("sn").as("qsn"))
+    val score = expr(
+      s"""aggregate(sequence(0, ${MaxSimSubs - 1}), CAST(0.0 AS DOUBLE),
+         |  (acc, i) -> acc +
+         |    floor(array_max(transform(sequence(0, ${MaxSimSubs - 1}), j ->
+         |      aggregate(zip_with(slice(qv, i * $MaxSimSubDim + 1, $MaxSimSubDim),
+         |                         slice(v,  j * $MaxSimSubDim + 1, $MaxSimSubDim),
+         |                         (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+         |                CAST(0.0 AS DOUBLE), (a, t) -> a + t)
+         |      / (element_at(qsn, i + 1) * element_at(sn, j + 1))))
+         |    * 1000000 + 0.5) / 1000000)""".stripMargin)
+    val w = Window.partitionBy("qid").orderBy(col("maxsim").desc, col("vec_id").asc)
+    n.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("maxsim", score)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= MaxSimTopK)
+      .select(col("qid"), col("rn"), col("vec_id"), col("maxsim"))
+      .orderBy("qid", "rn")
+  }
+
   private val LshBits = 8
 
   /** Sign-bit LSH bucketing (random-hyperplane LSH specialized to axis
@@ -1752,6 +1820,7 @@ object Similarity {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_maxsim" -> (maxsim _),
     "q_contrastive_pairs" -> (contrastivePairs _),
     "q_matryoshka"    -> (matryoshkaAudit _),
     "q_silhouette"    -> (silhouette _),
@@ -2181,6 +2250,7 @@ object Similarity {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_maxsim" -> maxsimOracle,
     // positives by (cos desc, vec_id) rank; negatives by the keyed-hash
     // order over the non-positive corpus
     "q_contrastive_pairs" ->
@@ -2408,6 +2478,47 @@ object Similarity {
     // pattern
     "q_pq_adc_served" -> pqAdcOracle,
   ) ++ oracle2
+
+  /** The [[maxsim]] oracle: the same sub-vector slices, sub-norms, per-i
+    * max (8-way `greatest`), 6-dp floor-quantize, and EXPLICIT
+    * left-associative addition mirroring the Spark fold's order. */
+  private def maxsimOracle: String = {
+    def slc(t: String, k: Int) =
+      s"list_slice($t.v, ${k * MaxSimSubDim + 1}, ${k * MaxSimSubDim + MaxSimSubDim})"
+    val snTerms = (0 until MaxSimSubs).map { k =>
+      val sl = s"list_slice(v, ${k * MaxSimSubDim + 1}, ${k * MaxSimSubDim + MaxSimSubDim})"
+      s"sqrt(list_dot_product($sl, $sl))"
+    }.mkString(",\n          ")
+    val score = (0 until MaxSimSubs).map { i =>
+      val cos = (0 until MaxSimSubs).map { j =>
+        s"list_dot_product(${slc("q", i)}, ${slc("n", j)}) / (q.sn[${i + 1}] * n.sn[${j + 1}])"
+      }.mkString(",\n            ")
+      s"""floor(greatest(
+         |            $cos) * 1000000 + 0.5) / 1000000""".stripMargin
+    }.mkString("\n        + ")
+    s"""WITH v0 AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, v,
+       |         [$snTerms] AS sn
+       |  FROM v0
+       |), q AS (
+       |  SELECT vec_id AS qid, v, sn FROM n WHERE vec_id % $MaxSimStride = 0
+       |), sc AS (
+       |  SELECT q.qid, n.vec_id,
+       |        $score
+       |        AS maxsim
+       |  FROM n, q WHERE n.vec_id <> q.qid
+       |), r AS (
+       |  SELECT qid, vec_id, maxsim,
+       |         CAST(row_number() OVER (PARTITION BY qid
+       |                                 ORDER BY maxsim DESC, vec_id ASC)
+       |              AS INTEGER) AS rn
+       |  FROM sc
+       |)
+       |SELECT qid, rn, vec_id, maxsim FROM r WHERE rn <= $MaxSimTopK
+       |ORDER BY qid, rn""".stripMargin
+  }
 
   private def cosineTopkOracle: String =
       s"""WITH $NormCte,

@@ -633,7 +633,59 @@ object TrainingPrep {
       .orderBy("position")
   }
 
+  /** Epochs audited by [[epochOrder]]. */
+  private[ops] val EpochCount = 3
+  /** Sample stride: positions are audited for doc_id ≡ 0 (mod 97). */
+  private[ops] val EpochSampleMod = 97L
+
+  /** Deterministic per-epoch training order — the REPRODUCIBILITY
+    * contract of the data loader: epoch e presents the corpus ordered
+    * by h = md5("ep" ‖ e ‖ ":" ‖ doc_id), a keyed hash, so (a) every
+    * epoch is a different pseudo-random permutation (no order
+    * memorization), (b) any worker can recompute any document's
+    * position from the key alone — no shuffle files, no seed state, and
+    * re-ingesting the corpus reproduces the exact order (the
+    * q_train_split stability argument applied to ordering). The query
+    * audits the contract: for the deterministic sample
+    * doc_id ≡ 0 (mod [[EpochSampleMod]]), the 1-based global position in
+    * each of [[EpochCount]] epochs — the positions visibly differ across
+    * epochs while each is exactly reproducible.
+    *
+    * Determinism: position = 1 + |{(h', id') < (h, id)}| in the same
+    * epoch — a pure count over a total order on (hex string, id); no
+    * rank window, no arithmetic freedom.
+    *
+    * Scale shape: the sample (≤ n/97 keys, tiny) broadcasts; the count
+    * is ONE pass over the keyed corpus per epoch (broadcast
+    * nested-loop against the sample, then a sample-keyed aggregate) —
+    * the corpus is never sorted or exchanged. MATERIALIZING the full
+    * order at 100 TB would instead use the q_zorder_pruning recipe
+    * (repartitionByRange on h + in-partition sort + broadcast
+    * offsets); the position FUNCTION audited here is what makes that
+    * order well-defined before any such layout job runs. */
+  def epochOrder(s: SparkSession, d: String): DataFrame = {
+    val epochs = explode(sequence(lit(0), lit(EpochCount - 1))).as("epoch")
+    val keyed = graft.util.Ckpt.stage(Tables.documents(s, d)
+      .select(col("doc_id"), epochs)
+      .withColumn("h", md5(concat(lit("ep"), col("epoch").cast("string"),
+        lit(":"), col("doc_id").cast("string")))))
+    val samp = keyed.filter(col("doc_id") % EpochSampleMod === 0)
+      .select(col("epoch").as("e2"), col("doc_id").as("sid"), col("h").as("sh"))
+    val before = keyed
+      .join(broadcast(samp), col("epoch") === col("e2") &&
+        (col("h") < col("sh") ||
+          (col("h") === col("sh") && col("doc_id") < col("sid"))))
+      .groupBy(col("e2").as("epoch"), col("sid").as("doc_id"))
+      .agg(count(lit(1)).as("n_before"))
+    samp.select(col("e2").as("epoch"), col("sid").as("doc_id"), col("sh").as("h"))
+      .join(before, Seq("epoch", "doc_id"), "left")
+      .select(col("epoch"), col("doc_id"), col("h"),
+        (coalesce(col("n_before"), lit(0L)) + lit(1L)).as("pos"))
+      .orderBy("epoch", "pos")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_epoch_order" -> (epochOrder _),
     "q_curriculum" -> (curriculum _),
     "q_feature_hash" -> (featureHash _),
     "q_target_encode" -> (targetEncode _),
@@ -656,6 +708,27 @@ object TrainingPrep {
     s"list_transform(range(1, len($WordsSql)), i -> $WordsSql[i] || ' ' || $WordsSql[i+1])"
 
   val oracle: Map[String, String] = Map(
+    // the same keyed hash and the same strict (h, doc_id) total order;
+    // the join-count form mirrors the engine's broadcast count exactly
+    "q_epoch_order" ->
+      s"""WITH ep AS (
+         |  SELECT CAST(unnest(range(0, $EpochCount)) AS INTEGER) AS epoch
+         |), k AS (
+         |  SELECT epoch, doc_id,
+         |         md5('ep' || epoch || ':' || doc_id) AS h
+         |  FROM documents, ep
+         |), s AS (
+         |  SELECT epoch, doc_id, h FROM k WHERE doc_id % $EpochSampleMod = 0
+         |), b AS (
+         |  SELECT s.epoch, s.doc_id, CAST(count(*) AS BIGINT) AS nb
+         |  FROM s JOIN k ON k.epoch = s.epoch
+         |    AND (k.h < s.h OR (k.h = s.h AND k.doc_id < s.doc_id))
+         |  GROUP BY 1, 2
+         |)
+         |SELECT s.epoch, s.doc_id, s.h,
+         |       COALESCE(b.nb, 0) + 1 AS pos
+         |FROM s LEFT JOIN b USING (epoch, doc_id)
+         |ORDER BY epoch, pos""".stripMargin,
     // fixed-threshold phases against the extent, md5 shuffle key,
     // per-phase row_number + offsets — the same total order
     "q_curriculum" ->

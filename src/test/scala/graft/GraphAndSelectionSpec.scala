@@ -338,4 +338,104 @@ class GraphAndSelectionSpec extends AnyFunSuite {
       rows.groupBy(_._2).map { case (_, g) => g.length.toLong * g.length }.sum,
       "sizes partition: sum of size over nodes = sum of size^2 over groups")
   }
+
+  /** The undirected weighted trade edge list, brute-forced from the raw
+    * tables (the [[Graph]] derivation replayed independently). */
+  private def bruteUnd(): Seq[(Int, Int, Long)] = {
+    val e = Tables.lineitem(spark, sf).select("l_orderkey", "l_suppkey")
+      .join(Tables.orders(spark, sf).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.supplier(spark, sf).select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.customer(spark, sf).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("s_nationkey").as("src"), col("c_nationkey").as("dst"))
+      .agg(count(lit(1)).as("w")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
+    (e ++ e.map(x => (x._2, x._1, x._3))).filter(x => x._1 != x._2)
+      .groupBy(x => (x._1, x._2)).map { case ((a, b), xs) =>
+        (a, b, xs.map(_._3).sum) }.toSeq
+  }
+
+  test("modularity: identities, bounds, and a Q replay from LPA labels") {
+    val rows = Graph.modularity(spark, sf).collect()
+    val per = rows.filter(_.getInt(0) >= 0)
+    val tot = rows.filter(_.getInt(0) == -1)
+    assert(tot.length == 1 && per.nonEmpty)
+    // structural identities: communities partition the 25 nations; the
+    // degree-weights sum to m2 = the total row's w_tot; w_in <= w_tot
+    assert(per.map(_.getLong(1)).sum == 25L && tot(0).getLong(1) == 25L)
+    assert(per.map(_.getLong(2)).sum == tot(0).getLong(2))
+    assert(per.map(_.getLong(3)).sum == tot(0).getLong(3))
+    per.foreach(r => assert(r.getLong(2) <= r.getLong(3), s"w_in>w_tot at $r"))
+    val q = tot(0).getDouble(4)
+    assert(q >= -0.5 && q < 1.0, s"Q=$q out of range")
+    // total = exact decimal sum of the per-community contributions
+    val decSum = per.map(r => BigDecimal(r.getDouble(4))
+      .setScale(8, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+    assert(math.abs(q - decSum) < 1e-12, s"total $q vs decimal sum $decSum")
+    // replay Q from the labelProp labels and the brute edge list
+    val lab = Graph.labelProp(spark, sf).collect()
+      .map(r => r.getInt(0) -> r.getInt(2)).toMap
+    val und = bruteUnd()
+    val m2 = und.map(_._3).sum.toDouble
+    val qRef = lab.values.toSeq.distinct.map { c =>
+      val win = und.filter(x => lab(x._1) == c && lab(x._2) == c).map(_._3).sum
+      val wtot = und.filter(x => lab(x._1) == c).map(_._3).sum
+      win / m2 - (wtot / m2) * (wtot / m2)
+    }.sum
+    assert(math.abs(q - qRef) < 1e-6, s"Q=$q vs replay $qRef")
+  }
+
+  test("assortativity: Pearson replay over endpoint degrees, in [-1,1]") {
+    val row = Graph.assortativity(spark, sf).collect()
+    assert(row.length == 1)
+    val und = bruteUnd().map(x => (x._1, x._2)).distinct
+    val deg = und.groupBy(_._1).map { case (n, xs) => n -> xs.length.toLong }
+    val ends = und.map { case (u, v) => (deg(u), deg(v)) }
+    val m = ends.length.toLong
+    assert(row(0).getLong(0) == m && row(0).getLong(1) == ends.map(_._1).sum)
+    assert(row(0).getLong(2) == ends.map(x => x._1 * x._2).sum)
+    assert(row(0).getLong(3) == ends.map(x => x._1 * x._1).sum)
+    if (!row(0).isNullAt(4)) {
+      val r = row(0).getDouble(4)
+      assert(r >= -1.0 && r <= 1.0, s"r=$r out of range")
+      val sx = ends.map(_._1).sum.toDouble
+      val sxy = ends.map(x => x._1 * x._2).sum.toDouble
+      val sx2 = ends.map(x => x._1 * x._1).sum.toDouble
+      val rRef = (m * sxy - sx * sx) / math.sqrt((m * sx2 - sx * sx) * (m * sx2 - sx * sx))
+      assert(math.abs(r - rRef) < 1e-6, s"r=$r vs replay $rRef")
+    }
+  }
+
+  test("reciprocity: per-nation replay, ALL row sums, ratios in [0,1]") {
+    val rows = Graph.reciprocity(spark, sf).collect()
+    val per = rows.filter(_.getInt(0) >= 0)
+    val all = rows.filter(_.getInt(0) == -1)
+    assert(per.length == 25 && all.length == 1 && all(0).getString(1) == "ALL")
+    assert(per.map(_.getLong(2)).sum == all(0).getLong(2))
+    assert(per.map(_.getLong(3)).sum == all(0).getLong(3))
+    val lanes = bruteUnd().map(x => (x._1, x._2)).distinct.toSet
+    // bruteUnd is already both-directions, so recompute directed lanes
+    val e = Tables.lineitem(spark, sf).select("l_orderkey", "l_suppkey")
+      .join(Tables.orders(spark, sf).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.supplier(spark, sf).select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.customer(spark, sf).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("s_nationkey"), col("c_nationkey")).distinct().collect()
+      .map(r => (r.getInt(0), r.getInt(1))).filter(x => x._1 != x._2).toSet
+    per.foreach { r =>
+      val node = r.getInt(0)
+      val out = e.filter(_._1 == node)
+      val rec = out.filter(x => e.contains((x._2, x._1)))
+      assert(r.getLong(2) == out.size.toLong, s"n_out at $node")
+      assert(r.getLong(3) == rec.size.toLong, s"n_rec at $node")
+      assert(r.getLong(3) <= r.getLong(2))
+      if (!r.isNullAt(4))
+        assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+    }
+    assert(lanes.nonEmpty)
+  }
 }

@@ -33,7 +33,11 @@ class PlanBudgetSpec extends AnyFunSuite {
     * graft.PlanAudit measures. */
   private val stagedAudit = Set("q_kcore_peel", "q_dedup_compare",
     "q_dedup_kappa", "q_cochran_q", "q_fleiss_kappa", "q_mcnemar",
-    "q_dedup_report", "q_zorder_pruning")
+    "q_dedup_report", "q_zorder_pruning",
+    // consumes the staged LPA label frame from three aggregate branches
+    // (the familyFlags class: unstaged lineage re-derives the 3-round
+    // loop per branch)
+    "q_modularity")
 
   private def counts(name: String): (Int, Int) = {
     // stage.disable: Ckpt.stage truncates lineage, which would HIDE every
@@ -74,6 +78,17 @@ class PlanBudgetSpec extends AnyFunSuite {
     ("q_join_star", 1, 5),            // TPC-H Q5: all five dims must broadcast
     // round-4 additions (audit-mode = staged subtrees recomputed inline)
     ("q_pagerank", 10, 1),            // 5 unrolled iterations over the staged edge list
+    // round-10 wave: graph metrics + late-interaction + epoch order
+    ("q_modularity", 2, 0),           // staged audit: three community aggregates
+                                      // over the staged LPA labels + edge list
+    ("q_assortativity", 4, 2),        // audit mode re-derives und per branch;
+                                      // degrees broadcast onto the endpoint list
+    ("q_reciprocity", 7, 2),          // audit mode re-derives the lane list per
+                                      // branch (semi-join + two keyed counts + total)
+    ("q_maxsim", 2, 1),               // the cosineTopk shape: query set broadcast,
+                                      // corpus scanned once, top-k window shuffle
+    ("q_epoch_order", 3, 2),          // sample broadcast twice (BNLJ + count join);
+                                      // corpus never sorted
                                       // (10 at sf0.001 where AQE skips some reuse; 8 at sf0.01)
     ("q_dsir_weights", 5, 2),         // feature log-ratios broadcast, tf pre-reduced
     ("q_unigram_lm", 5, 2),           // vocabulary + total broadcast, tf pre-reduced
