@@ -673,6 +673,13 @@ object Graph {
         .filter(col("src") =!= col("dst")).distinct())
     val nodes = Tables.nation(s, d)
       .select(col("n_nationkey").as("node"), col("n_name").as("nation"))
+    (nodes, relaxAll(nodes, und))
+  }
+
+  /** Min-hop relaxation to the fixpoint from every source over the given
+    * undirected edge list — the loop body shared by [[apspDist]] (full
+    * graph) and [[hopHistogram]] (strong-lane graph). */
+  private def relaxAll(nodes: DataFrame, und: DataFrame): DataFrame = {
     var dist = nodes.select(col("node").as("s0"), col("node"), lit(0L).as("dist"))
     var changed = 1L
     var rounds = 0
@@ -691,7 +698,7 @@ object Graph {
       dist = next.select(col("s0"), col("node"), col("dist2").as("dist"))
       rounds += 1
     }
-    (nodes, dist)
+    dist
   }
 
   def closeness(s: SparkSession, d: String): DataFrame = {
@@ -710,7 +717,61 @@ object Graph {
       .orderBy("node")
   }
 
+  /** Pairwise hop-distance distribution + effective diameter over the
+    * STRONG-lane trade graph — the neighborhood-function audit behind
+    * "how many rounds does an iterative graph algorithm need?". The raw
+    * trade graph is complete at every fixture scale (25 nations, every
+    * pair trades), so the distribution runs on the backbone that has
+    * actual structure: lanes carrying MORE than the mean lane weight
+    * (`w · n_lanes > total_w` — a pure integer test, no division).
+    * For each hop count d ≥ 1: the number of reachable ordered pairs at
+    * exactly d hops, the running total, and the p90 flag whose FIRST
+    * true row is the effective diameter (the standard 90th-percentile
+    * definition — robust to a few stragglers, unlike the max).
+    *
+    * Determinism: distances come from the [[relaxAll]] integer
+    * relaxation fixpoint (the [[closeness]] loop, shared); the strong
+    * filter, the histogram, the cumulative count (a triangular
+    * self-join over the ≤diameter-row histogram — never an
+    * unpartitioned running-sum window), and the p90 test
+    * `10·cum ≥ 9·total` are all exact integer algebra.
+    *
+    * Scale shape: the [[tradeEdges]] derivation dominates; the strong
+    * threshold is a 1-row broadcast against the aggregated lane list;
+    * the relaxation is the established per-round staged loop; the
+    * histogram is domain-bounded (≤ graph diameter rows), so the
+    * cumulative join and the 1-row total broadcast are metadata-sized.
+    * On a billion-node graph the exact APSP front end gives way to
+    * HyperANF/HyperBall sketches; the distribution-then-percentile
+    * shape is unchanged. */
+  def hopHistogram(s: SparkSession, d: String): DataFrame = {
+    val e = graft.util.Ckpt.stage(tradeEdges(s, d))
+    val tw = e.agg(sum("w").as("tw"), count(lit(1)).as("nl"))
+    val strong = e.crossJoin(broadcast(tw))
+      .filter(col("w") * col("nl") > col("tw"))
+      .select(col("src"), col("dst"))
+    val und = graft.util.Ckpt.stage(
+      strong.unionAll(strong.select(col("dst").as("src"), col("src").as("dst")))
+        .filter(col("src") =!= col("dst")).distinct())
+    val nodes = Tables.nation(s, d)
+      .select(col("n_nationkey").as("node"), col("n_name").as("nation"))
+    val dist = relaxAll(nodes, und)
+    val hist = graft.util.Ckpt.stage(
+      dist.filter(col("s0") =!= col("node"))
+        .groupBy("dist").agg(count(lit(1)).as("n_pairs")))
+    val tot = hist.agg(sum("n_pairs").as("total"))
+    hist
+      .join(broadcast(hist.select(col("dist").as("d2"), col("n_pairs").as("c2"))),
+        col("d2") <= col("dist"))
+      .groupBy("dist", "n_pairs").agg(sum("c2").as("cum_pairs"))
+      .crossJoin(broadcast(tot))
+      .select(col("dist"), col("n_pairs"), col("cum_pairs"),
+        (col("cum_pairs") * 10 >= col("total") * 9).as("reached_p90"))
+      .orderBy("dist")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hop_histogram" -> (hopHistogram _),
     "q_modularity" -> (modularity _),
     "q_assortativity" -> (assortativity _),
     "q_reciprocity" -> (reciprocity _),
@@ -888,6 +949,43 @@ object Graph {
   }
 
   val oracle: Map[String, String] = Map(
+    // the [[closeness]] oracle's depth-bounded recursive closure reaches
+    // the same integer fixpoint; histogram, triangular cumsum, and the
+    // 10·cum ≥ 9·total p90 rule are pure integer algebra
+    "q_hop_histogram" ->
+      s"""WITH RECURSIVE $EdgeCte, thr AS (
+         |  SELECT CAST(sum(w) AS BIGINT) AS tw, CAST(count(*) AS BIGINT) AS nl
+         |  FROM e
+         |), strong AS (
+         |  SELECT src, dst FROM e, thr WHERE w * nl > tw
+         |), und AS (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT src, dst FROM strong
+         |    UNION ALL SELECT dst AS src, src AS dst FROM strong) b
+         |  WHERE src <> dst
+         |), n AS (
+         |  SELECT n_nationkey AS node FROM nation
+         |), walk(s0, node, d) AS (
+         |  SELECT node, node, 0 FROM n
+         |  UNION
+         |  SELECT w.s0, u.dst, w.d + 1
+         |  FROM walk w JOIN und u ON u.src = w.node WHERE w.d < 24
+         |), sp AS (
+         |  SELECT s0, node, CAST(min(d) AS BIGINT) AS dist
+         |  FROM walk GROUP BY 1, 2
+         |), h AS (
+         |  SELECT dist, CAST(count(*) AS BIGINT) AS n_pairs
+         |  FROM sp WHERE s0 <> node GROUP BY 1
+         |), t AS (
+         |  SELECT CAST(sum(n_pairs) AS BIGINT) AS total FROM h
+         |), c AS (
+         |  SELECT a.dist, a.n_pairs, CAST(sum(b.n_pairs) AS BIGINT) AS cum_pairs
+         |  FROM h a JOIN h b ON b.dist <= a.dist
+         |  GROUP BY 1, 2
+         |)
+         |SELECT c.dist, c.n_pairs, c.cum_pairs,
+         |       (c.cum_pairs * 10 >= t.total * 9) AS reached_p90
+         |FROM c, t ORDER BY c.dist""".stripMargin,
     "q_modularity" -> modularityOracle,
     "q_assortativity" ->
       s"""WITH $EdgeCte, und AS (

@@ -95,13 +95,15 @@ object Similarity {
     * shuffle is the per-query top-k window over candidates. The
     * production scale path composes this scorer behind an ANN shortlist
     * ([[annIvf]]/[[pqRerank]]): retrieve coarse, re-score MaxSim. */
-  def maxsim(s: SparkSession, d: String): DataFrame = {
+  /** (vec_id, v, sn) with the dimension guard and per-row sub-vector
+    * norms — the shared front end of [[maxsim]] and [[maxsimRerank]]. */
+  private def maxsimFeatures(s: SparkSession, d: String): DataFrame = {
     val subNorms = expr(
       s"""transform(sequence(0, ${MaxSimSubs - 1}), i ->
          |  sqrt(aggregate(slice(v, i * $MaxSimSubDim + 1, $MaxSimSubDim),
          |    CAST(0.0 AS DOUBLE),
          |    (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))""".stripMargin)
-    val base = Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
+    Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
       .withColumn("v",
         when(size(col("v")) === RpDim, col("v")).otherwise(raise_error(concat(
           lit(s"maxsim expects $RpDim-dim embeddings, got "),
@@ -110,23 +112,93 @@ object Similarity {
       .withColumn("sn",
         when(array_min(col("sn")) > 0.0, col("sn")).otherwise(
           raise_error(lit("maxsim: zero sub-vector norm"))))
-    val n = once(base)
+  }
+
+  /** The row-local MaxSim score over (qv, qsn) × (v, sn): left-to-right
+    * fold over i of the 6-dp-quantized max-over-j sub-cosine. */
+  private def maxsimScoreExpr: Column = expr(
+    s"""aggregate(sequence(0, ${MaxSimSubs - 1}), CAST(0.0 AS DOUBLE),
+       |  (acc, i) -> acc +
+       |    floor(array_max(transform(sequence(0, ${MaxSimSubs - 1}), j ->
+       |      aggregate(zip_with(slice(qv, i * $MaxSimSubDim + 1, $MaxSimSubDim),
+       |                         slice(v,  j * $MaxSimSubDim + 1, $MaxSimSubDim),
+       |                         (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+       |                CAST(0.0 AS DOUBLE), (a, t) -> a + t)
+       |      / (element_at(qsn, i + 1) * element_at(sn, j + 1))))
+       |    * 1000000 + 0.5) / 1000000)""".stripMargin)
+
+  def maxsim(s: SparkSession, d: String): DataFrame = {
+    val n = once(maxsimFeatures(s, d))
     val q = n.filter(col("vec_id") % MaxSimStride === 0)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("sn").as("qsn"))
-    val score = expr(
-      s"""aggregate(sequence(0, ${MaxSimSubs - 1}), CAST(0.0 AS DOUBLE),
-         |  (acc, i) -> acc +
-         |    floor(array_max(transform(sequence(0, ${MaxSimSubs - 1}), j ->
-         |      aggregate(zip_with(slice(qv, i * $MaxSimSubDim + 1, $MaxSimSubDim),
-         |                         slice(v,  j * $MaxSimSubDim + 1, $MaxSimSubDim),
-         |                         (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-         |                CAST(0.0 AS DOUBLE), (a, t) -> a + t)
-         |      / (element_at(qsn, i + 1) * element_at(sn, j + 1))))
-         |    * 1000000 + 0.5) / 1000000)""".stripMargin)
     val w = Window.partitionBy("qid").orderBy(col("maxsim").desc, col("vec_id").asc)
     n.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("qid"))
-      .withColumn("maxsim", score)
+      .withColumn("maxsim", maxsimScoreExpr)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= MaxSimTopK)
+      .select(col("qid"), col("rn"), col("vec_id"), col("maxsim"))
+      .orderBy("qid", "rn")
+  }
+
+  /** Bucket bits for [[maxsimRerank]]'s coarse retrieval stage — 4 sign
+    * bits (16 buckets): coarser than [[annLsh]]'s 8 so the shortlist the
+    * precise scorer re-ranks stays populated. */
+  private[ops] val MaxSimRerankBits = 4
+
+  /** Retrieve-then-re-rank with late interaction — the production
+    * composition [[maxsim]]'s scaladoc promises: a cheap sign-bit LSH
+    * stage ([[annLsh]]'s recipe at [[MaxSimRerankBits]] bits) shortlists
+    * candidates, and ONLY the shortlist pays the 64-sub-cosine MaxSim
+    * score. This is the two-tower → late-interaction serving ladder
+    * (coarse ANN recall, precise re-rank precision) in one query.
+    *
+    * Determinism: bucket bits are sign tests on raw float components
+    * (exact in both engines); the score, quantize, fold order, and
+    * (score DESC, vec_id) ranking are [[maxsim]]'s.
+    *
+    * Scale shape: the corpus is scanned once and never exchanged — the
+    * bucket is scan-local, the query set broadcasts, candidates
+    * materialize through the bucket equi-join (never all-pairs), and the
+    * expensive MaxSim expression evaluates on the shortlist only. At
+    * 100 TB the bucket join replaces this query's broadcast with the
+    * banded-LSH shuffle — the [[bandedPairs]] shape — unchanged
+    * downstream. */
+  /** Recall@[[MaxSimTopK]] of [[maxsimRerank]] against the brute
+    * [[maxsim]] ranking — the audit that makes the retrieve-then-re-rank
+    * rung falsifiable (the [[annRecall]] pattern applied to the late-
+    * interaction ladder): per query, how many of the true MaxSim top-k
+    * survive the coarse bucket stage. A query whose shortlist came up
+    * empty is absent — stated by absence, mirrored in the oracle.
+    *
+    * Determinism: hit counts are exact integer joins of the two (already
+    * deterministic) rankings; recall is ONE IEEE division by the
+    * constant k. Scale shape: both legs are the audited queries
+    * themselves; the exact top-k (≤ 5·|queries| rows) broadcasts. */
+  def maxsimRecall(s: SparkSession, d: String): DataFrame = {
+    val exact = maxsim(s, d)
+      .select(col("qid").as("eqid"), col("vec_id").as("evid"), lit(1L).as("hit"))
+    maxsimRerank(s, d).select(col("qid"), col("vec_id"))
+      .join(broadcast(exact),
+        col("qid") === col("eqid") && col("vec_id") === col("evid"), "left")
+      .groupBy("qid")
+      .agg(count(lit(1)).as("n_cand"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("qid"), col("n_cand"), col("n_hits"),
+        (col("n_hits").cast("double") / lit(MaxSimTopK.toDouble)).as("recall"))
+      .orderBy("qid")
+  }
+
+  def maxsimRerank(s: SparkSession, d: String): DataFrame = {
+    val bucket = concat((1 to MaxSimRerankBits).map(i =>
+      when(element_at(col("v"), i) >= 0f, lit("1")).otherwise(lit("0"))): _*)
+    val n = once(maxsimFeatures(s, d).withColumn("bucket", bucket))
+    val q = n.filter(col("vec_id") % MaxSimStride === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("sn").as("qsn"),
+        col("bucket").as("qb"))
+    val w = Window.partitionBy("qid").orderBy(col("maxsim").desc, col("vec_id").asc)
+    n.join(broadcast(q), col("bucket") === col("qb") && col("vec_id") =!= col("qid"))
+      .withColumn("maxsim", maxsimScoreExpr)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= MaxSimTopK)
       .select(col("qid"), col("rn"), col("vec_id"), col("maxsim"))
@@ -1821,6 +1893,8 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_maxsim" -> (maxsim _),
+    "q_maxsim_rerank" -> (maxsimRerank _),
+    "q_maxsim_recall" -> (maxsimRecall _),
     "q_contrastive_pairs" -> (contrastivePairs _),
     "q_matryoshka"    -> (matryoshkaAudit _),
     "q_silhouette"    -> (silhouette _),
@@ -2251,6 +2325,24 @@ object Similarity {
 
   val oracle: Map[String, String] = Map(
     "q_maxsim" -> maxsimOracle,
+    "q_maxsim_rerank" -> maxsimRerankOracle,
+    // both legs ARE the audited queries' own oracles, embedded verbatim
+    // as CTEs (the q_ndcg composition discipline)
+    "q_maxsim_recall" ->
+      s"""WITH exact_t AS (
+         |$maxsimOracle
+         |), rr AS (
+         |$maxsimRerankOracle
+         |), j AS (
+         |  SELECT rr.qid, rr.vec_id,
+         |         CASE WHEN e.vec_id IS NULL THEN 0 ELSE 1 END AS hit
+         |  FROM rr LEFT JOIN (SELECT qid, vec_id FROM exact_t) e
+         |    ON rr.qid = e.qid AND rr.vec_id = e.vec_id
+         |)
+         |SELECT qid, CAST(count(*) AS BIGINT) AS n_cand,
+         |       CAST(sum(hit) AS BIGINT) AS n_hits,
+         |       CAST(sum(hit) AS DOUBLE) / $MaxSimTopK.0 AS recall
+         |FROM j GROUP BY qid ORDER BY qid""".stripMargin,
     // positives by (cos desc, vec_id) rank; negatives by the keyed-hash
     // order over the non-positive corpus
     "q_contrastive_pairs" ->
@@ -2479,36 +2571,73 @@ object Similarity {
     "q_pq_adc_served" -> pqAdcOracle,
   ) ++ oracle2
 
-  /** The [[maxsim]] oracle: the same sub-vector slices, sub-norms, per-i
-    * max (8-way `greatest`), 6-dp floor-quantize, and EXPLICIT
-    * left-associative addition mirroring the Spark fold's order. */
-  private def maxsimOracle: String = {
-    def slc(t: String, k: Int) =
-      s"list_slice($t.v, ${k * MaxSimSubDim + 1}, ${k * MaxSimSubDim + MaxSimSubDim})"
+  /** Shared oracle text for the MaxSim family: the v0 → n CTE chain
+    * (cast vectors + sub-norm lists). */
+  private def maxsimNormCtes: String = {
     val snTerms = (0 until MaxSimSubs).map { k =>
       val sl = s"list_slice(v, ${k * MaxSimSubDim + 1}, ${k * MaxSimSubDim + MaxSimSubDim})"
       s"sqrt(list_dot_product($sl, $sl))"
     }.mkString(",\n          ")
-    val score = (0 until MaxSimSubs).map { i =>
+    s"""v0 AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, v,
+       |         [$snTerms] AS sn
+       |  FROM v0
+       |)""".stripMargin
+  }
+
+  /** The MaxSim score between table aliases `q` and `n`: per-i 8-way
+    * `greatest`, 6-dp floor-quantize, EXPLICIT left-associative addition
+    * mirroring the Spark fold's order. */
+  private def maxsimScoreSql: String = {
+    def slc(t: String, k: Int) =
+      s"list_slice($t.v, ${k * MaxSimSubDim + 1}, ${k * MaxSimSubDim + MaxSimSubDim})"
+    (0 until MaxSimSubs).map { i =>
       val cos = (0 until MaxSimSubs).map { j =>
         s"list_dot_product(${slc("q", i)}, ${slc("n", j)}) / (q.sn[${i + 1}] * n.sn[${j + 1}])"
       }.mkString(",\n            ")
       s"""floor(greatest(
          |            $cos) * 1000000 + 0.5) / 1000000""".stripMargin
     }.mkString("\n        + ")
-    s"""WITH v0 AS (
-       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-       |), n AS (
-       |  SELECT vec_id, v,
-       |         [$snTerms] AS sn
-       |  FROM v0
-       |), q AS (
+  }
+
+  /** The [[maxsim]] oracle: the same sub-vector slices, sub-norms, and
+    * fold-order-exact scoring over the brute query × corpus product. */
+  private def maxsimOracle: String =
+    s"""WITH $maxsimNormCtes, q AS (
        |  SELECT vec_id AS qid, v, sn FROM n WHERE vec_id % $MaxSimStride = 0
        |), sc AS (
        |  SELECT q.qid, n.vec_id,
-       |        $score
+       |        $maxsimScoreSql
        |        AS maxsim
        |  FROM n, q WHERE n.vec_id <> q.qid
+       |), r AS (
+       |  SELECT qid, vec_id, maxsim,
+       |         CAST(row_number() OVER (PARTITION BY qid
+       |                                 ORDER BY maxsim DESC, vec_id ASC)
+       |              AS INTEGER) AS rn
+       |  FROM sc
+       |)
+       |SELECT qid, rn, vec_id, maxsim FROM r WHERE rn <= $MaxSimTopK
+       |ORDER BY qid, rn""".stripMargin
+
+  /** The [[maxsimRerank]] oracle: the identical score text over the
+    * sign-bit-bucket equi-join instead of the brute product. */
+  private def maxsimRerankOracle: String = {
+    val bucket = (1 to MaxSimRerankBits)
+      .map(i => s"(CASE WHEN v[$i] >= 0 THEN '1' ELSE '0' END)")
+      .mkString(" || ")
+    s"""WITH $maxsimNormCtes, nb AS (
+       |  SELECT vec_id, v, sn, $bucket AS bucket FROM n
+       |), q AS (
+       |  SELECT vec_id AS qid, v, sn, bucket
+       |  FROM nb WHERE vec_id % $MaxSimStride = 0
+       |), sc AS (
+       |  SELECT q.qid, n.vec_id,
+       |        $maxsimScoreSql
+       |        AS maxsim
+       |  FROM nb n JOIN q ON n.bucket = q.bucket AND n.vec_id <> q.qid
        |), r AS (
        |  SELECT qid, vec_id, maxsim,
        |         CAST(row_number() OVER (PARTITION BY qid

@@ -684,8 +684,41 @@ object TrainingPrep {
       .orderBy("epoch", "pos")
   }
 
+  /** Spearman-footrule displacement between CONSECUTIVE epochs'
+    * positions of the [[epochOrder]] sample — the audit that the
+    * per-epoch permutations are actually independent-looking, not
+    * near-identical (a buggy loader that reuses one seed shows
+    * ratio_random ≈ 0): per epoch pair (e, e+1), the summed |Δpos|, the
+    * mean displacement, and its ratio to the ≈ n/3 expectation for two
+    * independent uniform permutations (Diaconis–Graham). Ratios near 1
+    * say "as shuffled as random"; near 0 say "orders are correlated".
+    *
+    * Determinism: positions are [[epochOrder]]'s exact ranks; footrule
+    * is an exact BIGINT sum; each reported double is ONE IEEE division
+    * of exact integers. Scale shape: rides [[epochOrder]] (sample
+    * broadcast counts), one sample-sized self-join, one 1-row corpus
+    * count broadcast. */
+  def epochShift(s: SparkSession, d: String): DataFrame = {
+    val ord = graft.util.Ckpt.stage(
+      epochOrder(s, d).select(col("epoch"), col("doc_id"), col("pos")))
+    val nxt = ord.select((col("epoch") - 1).as("epoch"), col("doc_id"),
+      col("pos").as("pos_next"))
+    val n = Tables.documents(s, d).agg(count(lit(1)).as("n"))
+    ord.join(nxt, Seq("epoch", "doc_id"))
+      .groupBy("epoch")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(abs(col("pos") - col("pos_next"))).as("footrule"))
+      .crossJoin(broadcast(n))
+      .select(col("epoch"), col("n_docs"), col("footrule"),
+        (col("footrule").cast("double") / col("n_docs")).as("mean_disp"),
+        ((col("footrule") * 3).cast("double")
+          / (col("n_docs") * col("n")).cast("double")).as("ratio_random"))
+      .orderBy("epoch")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_epoch_order" -> (epochOrder _),
+    "q_epoch_shift" -> (epochShift _),
     "q_curriculum" -> (curriculum _),
     "q_feature_hash" -> (featureHash _),
     "q_target_encode" -> (targetEncode _),
@@ -707,10 +740,11 @@ object TrainingPrep {
   private val BigramsSql =
     s"list_transform(range(1, len($WordsSql)), i -> $WordsSql[i] || ' ' || $WordsSql[i+1])"
 
-  val oracle: Map[String, String] = Map(
-    // the same keyed hash and the same strict (h, doc_id) total order;
-    // the join-count form mirrors the engine's broadcast count exactly
-    "q_epoch_order" ->
+  /** The [[epochOrder]] oracle: the same keyed hash and the same strict
+    * (h, doc_id) total order; the join-count form mirrors the engine's
+    * broadcast count exactly. A def so [[epochShift]]'s oracle can embed
+    * it verbatim (the q_ndcg composition discipline). */
+  private def epochOrderOracle: String =
       s"""WITH ep AS (
          |  SELECT CAST(unnest(range(0, $EpochCount)) AS INTEGER) AS epoch
          |), k AS (
@@ -728,7 +762,29 @@ object TrainingPrep {
          |SELECT s.epoch, s.doc_id, s.h,
          |       COALESCE(b.nb, 0) + 1 AS pos
          |FROM s LEFT JOIN b USING (epoch, doc_id)
-         |ORDER BY epoch, pos""".stripMargin,
+         |ORDER BY epoch, pos""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q_epoch_order" -> epochOrderOracle,
+    // footrule over consecutive-epoch positions of the SAME sample; both
+    // position frames are the epoch-order oracle embedded verbatim
+    "q_epoch_shift" ->
+      s"""WITH eo AS (
+         |$epochOrderOracle
+         |), p AS (
+         |  SELECT a.epoch, a.doc_id, a.pos, b.pos AS pos_next
+         |  FROM eo a JOIN eo b
+         |    ON b.epoch = a.epoch + 1 AND b.doc_id = a.doc_id
+         |), n AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+         |)
+         |SELECT p.epoch, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(abs(p.pos - p.pos_next)) AS BIGINT) AS footrule,
+         |       CAST(sum(abs(p.pos - p.pos_next)) AS DOUBLE) / count(*)
+         |         AS mean_disp,
+         |       CAST(3 * sum(abs(p.pos - p.pos_next)) AS DOUBLE)
+         |         / CAST(count(*) * n.n AS DOUBLE) AS ratio_random
+         |FROM p, n GROUP BY p.epoch, n.n ORDER BY p.epoch""".stripMargin,
     // fixed-threshold phases against the extent, md5 shuffle key,
     // per-phase row_number + offsets — the same total order
     "q_curriculum" ->

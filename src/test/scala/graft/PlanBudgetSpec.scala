@@ -87,6 +87,13 @@ class PlanBudgetSpec extends AnyFunSuite {
                                       // branch (semi-join + two keyed counts + total)
     ("q_maxsim", 2, 1),               // the cosineTopk shape: query set broadcast,
                                       // corpus scanned once, top-k window shuffle
+    ("q_maxsim_rerank", 2, 1),        // same, with the bucket equi-join shortlist
+                                      // (q_hop_histogram: runtime-round loop, no
+                                      // pin — the q_closeness/q_graph_bfs class)
+    ("q_maxsim_recall", 3, 3),        // both audited rankings + the hit join;
+                                      // exact top-k broadcast
+    ("q_epoch_shift", 5, 4),          // audit mode re-derives the position frame
+                                      // per self-join leg; corpus count broadcast
     ("q_epoch_order", 3, 2),          // sample broadcast twice (BNLJ + count join);
                                       // corpus never sorted
                                       // (10 at sf0.001 where AQE skips some reuse; 8 at sf0.01)

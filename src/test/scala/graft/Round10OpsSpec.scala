@@ -60,6 +60,133 @@ class Round10OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("maxsim rerank: bucket-filtered shortlist, scores replay maxsim's") {
+    val rows = Similarity.maxsimRerank(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def bucket(v: Array[Float]): String =
+      (0 until 4).map(i => if (v(i) >= 0) '1' else '0').mkString
+    def subs(v: Array[Float]): Array[Array[Double]] =
+      (0 until 8).map(i => v.slice(i * 8, i * 8 + 8).map(_.toDouble)).toArray
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var k = 0
+      while (k < a.length) { acc += a(k) * b(k); k += 1 }
+      acc
+    }
+    def nrm(a: Array[Double]): Double = math.sqrt(dot(a, a))
+    def score(q: Long, c: Long): Double = {
+      val qs = subs(emb(q)); val qn = qs.map(nrm)
+      val ds = subs(emb(c)); val dn = ds.map(nrm)
+      (0 until 8).map { i =>
+        val mx = (0 until 8).map(j => dot(qs(i), ds(j)) / (qn(i) * dn(j))).max
+        math.floor(mx * 1000000 + 0.5) / 1000000
+      }.sum
+    }
+    rows.groupBy(_.getLong(0)).foreach { case (qid, rs) =>
+      assert(qid % 200 == 0)
+      // full shortlist replay: bucket-mates ranked by (score desc, id)
+      val mates = emb.keys.filter(c => c != qid &&
+        bucket(emb(c)) == bucket(emb(qid))).toSeq
+      val want = mates.map(c => (c, score(qid, c)))
+        .sortBy(x => (-x._2, x._1)).take(5)
+      val got = rs.sortBy(_.getInt(1)).map(r => (r.getLong(2), r.getDouble(3)))
+      assert(got.map(_._1).toSeq == want.map(_._1), s"shortlist at $qid")
+      got.zip(want).foreach { case ((_, a), (_, b)) =>
+        assert(math.abs(a - b) < 1e-9) }
+    }
+  }
+
+  test("maxsim recall: hit counts replay the two rankings' intersection") {
+    val exact = Similarity.maxsim(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val rerank = Similarity.maxsimRerank(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    val rows = Similarity.maxsimRecall(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byQ = rerank.groupBy(_._1)
+    rows.foreach { r =>
+      val qid = r.getLong(0)
+      val cand = byQ(qid)
+      assert(r.getLong(1) == cand.length.toLong, s"n_cand at $qid")
+      val hits = cand.count(exact.contains)
+      assert(r.getLong(2) == hits.toLong, s"n_hits at $qid")
+      assert(math.abs(r.getDouble(3) - hits / 5.0) < 1e-15)
+      assert(r.getLong(2) <= r.getLong(1))
+    }
+    // every rerank query is accounted for
+    assert(rows.map(_.getLong(0)).toSet == byQ.keySet)
+  }
+
+  test("epoch shift: footrule replay, ratio sane for independent permutations") {
+    val ord = TrainingPrep.epochOrder(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(3)))
+    val n = Tables.documents(spark, sf).count()
+    val rows = TrainingPrep.epochShift(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).toSeq.sorted == Seq(0, 1))
+    val byEp = ord.groupBy(_._1).map { case (e, xs) =>
+      e -> xs.map(x => x._2 -> x._3).toMap }
+    rows.foreach { r =>
+      val e = r.getInt(0)
+      val fr = byEp(e).map { case (id, p) => math.abs(p - byEp(e + 1)(id)) }.sum
+      assert(r.getLong(1) == byEp(e).size.toLong)
+      assert(r.getLong(2) == fr, s"footrule at $e")
+      assert(math.abs(r.getDouble(3) - fr.toDouble / byEp(e).size) < 1e-12)
+      assert(math.abs(r.getDouble(4) -
+        3.0 * fr / (byEp(e).size.toLong * n)) < 1e-12)
+      // two independent permutations: mean displacement well above 0 and
+      // below the n bound (the ≈ n/3 expectation sits in the middle)
+      assert(r.getDouble(4) > 0.1 && r.getDouble(4) < 3.0, s"ratio ${r.getDouble(4)}")
+    }
+  }
+
+  test("hop histogram: strong-backbone BFS replay, monotone cum, p90 rule") {
+    import graft.ops.Graph
+    val rows = Graph.hopHistogram(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .sortBy(_._1)
+    assert(rows.nonEmpty)
+    val total = rows.map(_._2).sum
+    // cum is the running sum; p90 flag is exactly the 10·cum >= 9·total rule
+    var run = 0L
+    rows.foreach { case (_, n, cum, p90) =>
+      run += n
+      assert(cum == run, "cumulative mismatch")
+      assert(p90 == (10 * cum >= 9 * total), "p90 rule mismatch")
+    }
+    // replay: strong lanes (w·nl > tw), undirected BFS from every node
+    val e = Tables.lineitem(spark, sf).select("l_orderkey", "l_suppkey")
+      .join(Tables.orders(spark, sf).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.supplier(spark, sf).select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.customer(spark, sf).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("s_nationkey").as("src"), col("c_nationkey").as("dst"))
+      .agg(count(lit(1)).as("w")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
+    val tw = e.map(_._3).sum; val nl = e.length.toLong
+    val strong = e.filter(x => x._3 * nl > tw).map(x => (x._1, x._2))
+    val adj = (strong ++ strong.map(x => (x._2, x._1))).filter(x => x._1 != x._2)
+      .distinct.groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2) }
+    val hist = scala.collection.mutable.Map[Long, Long]()
+    (0 until 25).foreach { s0 =>
+      val dist = scala.collection.mutable.Map(s0 -> 0)
+      var q = scala.collection.immutable.Queue(s0)
+      while (q.nonEmpty) {
+        val (u, rest) = q.dequeue
+        q = rest
+        adj.getOrElse(u, Nil).foreach { v =>
+          if (!dist.contains(v)) { dist(v) = dist(u) + 1; q = q.enqueue(v) }
+        }
+      }
+      dist.foreach { case (v, dd) =>
+        if (v != s0) hist(dd.toLong) = hist.getOrElse(dd.toLong, 0L) + 1 }
+    }
+    assert(rows.map(r => r._1 -> r._2).toMap == hist.toMap, "histogram replay")
+  }
+
   test("epoch order: positions are exact ranks, reproducible, epoch-distinct") {
     val rows = TrainingPrep.epochOrder(spark, sf).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getLong(3)))
