@@ -189,6 +189,74 @@ object Similarity {
       .orderBy("qid")
   }
 
+  /** Top terms per learned embedding cell — the CROSS-MODAL curation op
+    * (cluster labeling): documents are assigned to quantizer cells
+    * through the fixture's 1:1 vec_id = doc_id bridge (the familyFlags
+    * correspondence, `ops/Dedup.scala`), and each cell is labeled by the
+    * χ² keyness of its doc-presence terms — the human-readable answer to
+    * "what IS this embedding cluster?" that semantic-dedup and
+    * cluster-sampling reports need before anyone trusts them. Cells are
+    * [[clusterSample]]'s quantizer (every 100th vector as a centroid,
+    * argmax quantized cosine, tie → smallest cid); scoring is
+    * [[TextAnalysis.termChi2]]'s 2×2 presence χ², keyed by cell instead
+    * of language; top-3 terms per cell.
+    *
+    * Determinism: the assignment is the established argmax-over-
+    * quantized-cosine struct-max; all margins are exact BIGINTs; the χ²
+    * value is the termChi2 expression verbatim (DECIMAL(38,0) cross
+    * products, one IEEE division, 6-dp floor-quantize, undiscriminating
+    * margins defined as exactly 0).
+    *
+    * Scale shape: centroids broadcast (model state, k ≪ corpus); the
+    * corpus is scanned once for assignment; the word explode is
+    * scan-local with a distinct on (doc, word); margins are keyed
+    * aggregates; the per-cell top-3 is a cell-partitioned window. */
+  def clusterTopics(s: SparkSession, d: String): DataFrame = {
+    val dec0 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val n = once(withNorm(Tables.embeddings(s, d)).select("vec_id", "v", "norm"))
+    val cents = n.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("norm").as("cn"))
+    val asg = once(n.crossJoin(broadcast(cents))
+      .select(col("vec_id"),
+        Det.q4(dot(col("v"), col("cv")) / (col("norm") * col("cn"))).as("ccos"),
+        col("cid"))
+      .groupBy("vec_id")
+      .agg(max(struct(col("ccos"), (-col("cid")).as("negcid"))).as("b"))
+      .select(col("vec_id"), (-col("b.negcid")).as("cid")))
+    val dw = once(Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0).distinct()
+      .join(asg, col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("cid"), col("word")))
+    val cellTot = asg.groupBy("cid").agg(count(lit(1)).as("nc"))
+    val tot = asg.agg(count(lit(1)).as("nn"))
+    val wordTot = dw.groupBy("word").agg(count(lit(1)).as("nw"))
+    val cell = dw.groupBy("word", "cid").agg(count(lit(1)).as("n11"))
+    val scored = cell
+      .join(broadcast(cellTot), "cid")
+      .join(wordTot, "word")
+      .crossJoin(broadcast(tot))
+      .withColumn("det",
+        (col("n11") * (col("nn") - col("nc") - (col("nw") - col("n11")))
+          - (col("nc") - col("n11")) * (col("nw") - col("n11"))).cast(dec0))
+      .withColumn("chi2",
+        // the termChi2 margin guards: an everywhere-term or a
+        // single-cell corpus is undiscriminating — exactly 0
+        when(col("nw") < col("nn") && col("nc") < col("nn"),
+          floor((col("nn").cast(dec0) * col("det") * col("det")).cast("double") /
+            (col("nw").cast(dec0) * (col("nn") - col("nw")).cast(dec0) *
+              col("nc").cast(dec0) * (col("nn") - col("nc")).cast(dec0)).cast("double")
+            * lit(1000000.0) + lit(0.5)) / lit(1000000.0))
+          .otherwise(lit(0.0)))
+    val w = Window.partitionBy("cid")
+      .orderBy(col("chi2").desc, col("word").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("cid"), col("rn"), col("word"), col("n11"),
+        col("nw").as("n_word"), col("nc").as("n_cell"), col("chi2"))
+      .orderBy("cid", "rn")
+  }
+
   def maxsimRerank(s: SparkSession, d: String): DataFrame = {
     val bucket = concat((1 to MaxSimRerankBits).map(i =>
       when(element_at(col("v"), i) >= 0f, lit("1")).otherwise(lit("0"))): _*)
@@ -1895,6 +1963,7 @@ object Similarity {
     "q_maxsim" -> (maxsim _),
     "q_maxsim_rerank" -> (maxsimRerank _),
     "q_maxsim_recall" -> (maxsimRecall _),
+    "q_cluster_topics" -> (clusterTopics _),
     "q_contrastive_pairs" -> (contrastivePairs _),
     "q_matryoshka"    -> (matryoshkaAudit _),
     "q_silhouette"    -> (silhouette _),
@@ -2343,6 +2412,57 @@ object Similarity {
          |       CAST(sum(hit) AS BIGINT) AS n_hits,
          |       CAST(sum(hit) AS DOUBLE) / $MaxSimTopK.0 AS recall
          |FROM j GROUP BY qid ORDER BY qid""".stripMargin,
+    // the cluster_sample assignment CTEs + the term_chi2 scoring CTEs,
+    // bridged on the fixture's 1:1 doc_id = vec_id correspondence
+    "q_cluster_topics" ->
+      s"""WITH $NormCte,
+         |c AS (SELECT vec_id AS cid, v AS cv, norm AS cn FROM n WHERE vec_id % 100 = 0),
+         |asg AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT n.vec_id, c.cid,
+         |           row_number() OVER (PARTITION BY n.vec_id
+         |             ORDER BY floor((list_dot_product(n.v, c.cv) / (n.norm * c.cn)) * 10000 + 0.5) / 10000 DESC, c.cid ASC) AS crn
+         |    FROM n, c) t
+         |  WHERE crn = 1),
+         |dw AS (
+         |  SELECT DISTINCT w.doc_id, asg.cid, w.word FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |    FROM documents) w
+         |  JOIN asg ON w.doc_id = asg.vec_id
+         |  WHERE len(w.word) > 0
+         |), ct AS (
+         |  SELECT cid, CAST(count(*) AS BIGINT) AS nc FROM asg GROUP BY cid
+         |), tt AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS nn FROM asg
+         |), wt AS (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS nw FROM dw GROUP BY word
+         |), cell AS (
+         |  SELECT word, cid, CAST(count(*) AS BIGINT) AS n11
+         |  FROM dw GROUP BY 1, 2
+         |), sc AS (
+         |  SELECT cl.cid, cl.word, cl.n11, wt.nw, ct.nc, tt.nn,
+         |    CAST(cl.n11 * (tt.nn - ct.nc - (wt.nw - cl.n11))
+         |         - (ct.nc - cl.n11) * (wt.nw - cl.n11) AS HUGEINT) AS det
+         |  FROM cell cl JOIN ct ON cl.cid = ct.cid
+         |  JOIN wt ON cl.word = wt.word, tt
+         |), chi AS (
+         |  SELECT cid, word, n11, nw, nc,
+         |    CASE WHEN nw < nn AND nc < nn THEN
+         |      floor(CAST(CAST(nn AS HUGEINT) * det * det AS DOUBLE)
+         |            / CAST(CAST(nw AS HUGEINT) * CAST(nn - nw AS HUGEINT)
+         |                   * CAST(nc AS HUGEINT) * CAST(nn - nc AS HUGEINT) AS DOUBLE)
+         |            * 1000000.0 + 0.5) / 1000000.0
+         |    ELSE CAST(0.0 AS DOUBLE) END AS chi2
+         |  FROM sc
+         |), rk AS (
+         |  SELECT cid, word, n11, nw, nc, chi2,
+         |    row_number() OVER (PARTITION BY cid
+         |                       ORDER BY chi2 DESC, word ASC) AS rn
+         |  FROM chi
+         |)
+         |SELECT cid, CAST(rn AS INTEGER) AS rn, word, n11,
+         |  nw AS n_word, nc AS n_cell, chi2
+         |FROM rk WHERE rn <= 3 ORDER BY cid, rn""".stripMargin,
     // positives by (cos desc, vec_id) rank; negatives by the keyed-hash
     // order over the non-positive corpus
     "q_contrastive_pairs" ->

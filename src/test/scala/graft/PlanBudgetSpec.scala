@@ -94,6 +94,9 @@ class PlanBudgetSpec extends AnyFunSuite {
                                       // exact top-k broadcast
     ("q_epoch_shift", 5, 4),          // audit mode re-derives the position frame
                                       // per self-join leg; corpus count broadcast
+    ("q_cluster_topics", 11, 6),      // audit mode re-derives assignment + the
+                                      // (doc, word) frame per margin branch;
+                                      // centroids/margins broadcast
     ("q_epoch_order", 3, 2),          // sample broadcast twice (BNLJ + count join);
                                       // corpus never sorted
                                       // (10 at sf0.001 where AQE skips some reuse; 8 at sf0.01)

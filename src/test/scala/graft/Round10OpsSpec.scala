@@ -187,6 +187,57 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(rows.map(r => r._1 -> r._2).toMap == hist.toMap, "histogram replay")
   }
 
+  test("cluster topics: cell partition, chi2 replay for every reported term") {
+    val rows = Similarity.clusterTopics(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) % 100 == 0, "cid is a centroid id")
+      assert(r.getInt(1) >= 1 && r.getInt(1) <= 3)
+      assert(r.getDouble(6) >= 0.0)
+      assert(r.getLong(3) <= r.getLong(5) && r.getLong(3) <= r.getLong(4))
+    }
+    // replay the assignment (argmax quantized cosine, tie -> smallest cid)
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble))
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var k = 0
+      while (k < a.length) { acc += a(k) * b(k); k += 1 }
+      acc
+    }
+    val cents = emb.filter(_._1 % 100 == 0)
+    val asg = emb.map { case (id, v) =>
+      val nv = math.sqrt(dot(v, v))
+      id -> cents.map { case (cid, cv) =>
+        val c = math.floor(dot(v, cv) / (nv * math.sqrt(dot(cv, cv)))
+          * 10000 + 0.5) / 10000
+        (c, -cid)
+      }.max._2 * -1
+    }.toMap
+    // cell sizes reported = replayed partition sizes
+    val sizes = asg.values.groupBy(identity).map { case (c, xs) => c -> xs.size.toLong }
+    rows.foreach(r => assert(r.getLong(5) == sizes(r.getLong(0)), s"n_cell at $r"))
+    // chi2 replay from doc-presence sets
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty).toSet)
+    val nn = asg.size.toLong
+    rows.foreach { r =>
+      val (cid, word) = (r.getLong(0), r.getString(2))
+      val n11 = docs.count { case (id, ws) => asg(id) == cid && ws(word) }.toLong
+      val nw = docs.count { case (id, ws) => ws(word) }.toLong
+      val nc = sizes(cid)
+      assert(r.getLong(3) == n11 && r.getLong(4) == nw)
+      val det = BigDecimal(n11) * BigDecimal(nn - nc - (nw - n11)) -
+        BigDecimal(nc - n11) * BigDecimal(nw - n11)
+      val chi = if (nw < nn && nc < nn)
+        math.floor((BigDecimal(nn) * det * det).toDouble /
+          (BigDecimal(nw) * BigDecimal(nn - nw) * BigDecimal(nc) *
+            BigDecimal(nn - nc)).toDouble * 1000000.0 + 0.5) / 1000000.0
+      else 0.0
+      assert(math.abs(r.getDouble(6) - chi) < 1e-9, s"chi2 at ($cid, $word)")
+    }
+  }
+
   test("epoch order: positions are exact ranks, reproducible, epoch-distinct") {
     val rows = TrainingPrep.epochOrder(spark, sf).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getLong(3)))
