@@ -363,7 +363,55 @@ object Multimodal {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Media dedup-method agreement report — the q_dedup_compare
+    * composition applied to the MEDIA families: per document, four dup
+    * flags (exact md5 payload digest; aHash 64-bit collision; pHash
+    * 64-bit collision; aHash Hamming ≤ 2 near-dup membership), crossed
+    * into the 2×2 agreement table for each of the 6 method pairs — the
+    * dashboard row that says whether the cheap first-pass filters and
+    * the perceptual pass see the same duplicates (exact ⊆ ahash ⊆ near
+    * should hold by construction; phash disagreements are the
+    * frequency-domain signal).
+    *
+    * Determinism: all four flags are exact integer group/membership
+    * tests on the established hash frames; the agreement cells are
+    * integer sums. Scale shape: each hash is row-local; every join keys
+    * on digest or doc id (bodies never exchanged); the pair long-form is
+    * a row-local 6-struct explode into ONE map-side-combined aggregate
+    * over 12 output groups. */
+  def mediaCompare(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), md5(col("text")).as("dg"))
+    val ex = docs.groupBy("dg").agg(count(lit(1)).as("n_ex"))
+    val nd = mediaNeardup(s, d)
+    val ndd = nd.select(col("doc_a").as("doc_id"))
+      .unionAll(nd.select(col("doc_b").as("doc_id"))).distinct()
+      .withColumn("hit", lit(1L))
+    val flags = graft.util.Ckpt.stage(docs
+      .join(ex, "dg")
+      .join(mediaAhash(s, d).select(col("doc_id"), col("n_dupes").as("n_ah")), "doc_id")
+      .join(mediaPhash(s, d).select(col("doc_id"), col("n_dupes").as("n_ph")), "doc_id")
+      .join(ndd, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("n_ex") > 1).cast("long").as("f_exact"),
+        (col("n_ah") > 1).cast("long").as("f_ahash"),
+        (col("n_ph") > 1).cast("long").as("f_phash"),
+        coalesce(col("hit"), lit(0L)).as("f_near")))
+    val pairs = Seq(("ahash", "exact"), ("ahash", "near"), ("ahash", "phash"),
+      ("exact", "near"), ("exact", "phash"), ("near", "phash"))
+    def f(m: String) = col(s"f_$m")
+    flags.select(explode(array(pairs.map { case (a, b) =>
+        struct(lit(a).as("ma"), lit(b).as("mb"), f(a).as("fa"), f(b).as("fb"))
+      }: _*)).as("p"))
+      .groupBy(col("p.ma").as("method_a"), col("p.mb").as("method_b"))
+      .agg(sum(col("p.fa") * col("p.fb")).as("n_both"),
+        sum(col("p.fa") * (lit(1L) - col("p.fb"))).as("n_only_a"),
+        sum((lit(1L) - col("p.fa")) * col("p.fb")).as("n_only_b"),
+        sum((lit(1L) - col("p.fa")) * (lit(1L) - col("p.fb"))).as("n_neither"))
+      .orderBy("method_a", "method_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_media_compare"   -> (mediaCompare _),
     "q_media_neardup"   -> (mediaNeardup _),
     "q_media_ahash"     -> (mediaAhash _),
     "q_media_phash"     -> (mediaPhash _),
@@ -415,6 +463,40 @@ object Multimodal {
     * as 64 literal DOUBLE[] rows; every coefficient is an exact
     * integer-valued double (sum order provably irrelevant), the sign
     * bits pack into the same hi/lo halves. */
+  /** The q_media_ahash oracle (a def so the [[mediaCompare]] oracle can
+    * embed it verbatim — the q_ndcg composition discipline). */
+  private def ahashOracle: String =
+    s"""WITH $AhashCte, g AS (
+       |  SELECT ahash_hi, ahash_lo, CAST(count(*) AS BIGINT) AS n_dupes
+       |  FROM h GROUP BY 1, 2
+       |)
+       |SELECT h.doc_id, h.ahash_hi, h.ahash_lo, g.n_dupes
+       |FROM h JOIN g USING (ahash_hi, ahash_lo)
+       |ORDER BY h.doc_id""".stripMargin
+
+  /** The q_media_neardup oracle (a def for the same embedding reuse). */
+  private def neardupOracle: String =
+    s"""WITH $AhashCte, keys AS (
+       |  SELECT doc_id, ahash_hi, ahash_lo, 1 AS blk, ahash_hi & 4194303 AS bval FROM h
+       |  UNION ALL
+       |  SELECT doc_id, ahash_hi, ahash_lo, 2,
+       |         (ahash_hi >> 22) | ((ahash_lo & 4095) << 10) FROM h
+       |  UNION ALL
+       |  SELECT doc_id, ahash_hi, ahash_lo, 3, ahash_lo >> 12 FROM h
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         a.ahash_hi AS hi_a, a.ahash_lo AS lo_a,
+       |         b.ahash_hi AS hi_b, b.ahash_lo AS lo_b
+       |  FROM keys a JOIN keys b
+       |    ON a.blk = b.blk AND a.bval = b.bval AND a.doc_id < b.doc_id
+       |)
+       |SELECT doc_a, doc_b,
+       |       CAST(bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) AS BIGINT)
+       |         AS hamming
+       |FROM cand
+       |WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 2
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   private def phashOracle: String = {
     val coeffs = phashCos.zipWithIndex.map { case (row, k) =>
       s"list_dot_product(xv, CAST(${row.mkString("[", ", ", "]")} AS DOUBLE[])) AS c$k"
@@ -449,36 +531,54 @@ object Multimodal {
   }
 
   val oracle: Map[String, String] = Map(
-    "q_media_neardup" ->
-      s"""WITH $AhashCte, keys AS (
-         |  SELECT doc_id, ahash_hi, ahash_lo, 1 AS blk, ahash_hi & 4194303 AS bval FROM h
-         |  UNION ALL
-         |  SELECT doc_id, ahash_hi, ahash_lo, 2,
-         |         (ahash_hi >> 22) | ((ahash_lo & 4095) << 10) FROM h
-         |  UNION ALL
-         |  SELECT doc_id, ahash_hi, ahash_lo, 3, ahash_lo >> 12 FROM h
-         |), cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |         a.ahash_hi AS hi_a, a.ahash_lo AS lo_a,
-         |         b.ahash_hi AS hi_b, b.ahash_lo AS lo_b
-         |  FROM keys a JOIN keys b
-         |    ON a.blk = b.blk AND a.bval = b.bval AND a.doc_id < b.doc_id
-         |)
-         |SELECT doc_a, doc_b,
-         |       CAST(bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) AS BIGINT)
-         |         AS hamming
-         |FROM cand
-         |WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 2
-         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_media_neardup" -> neardupOracle,
     "q_media_phash" -> phashOracle,
-    "q_media_ahash" ->
-      s"""WITH $AhashCte, g AS (
-        |  SELECT ahash_hi, ahash_lo, CAST(count(*) AS BIGINT) AS n_dupes
-        |  FROM h GROUP BY 1, 2
-        |)
-        |SELECT h.doc_id, h.ahash_hi, h.ahash_lo, g.n_dupes
-        |FROM h JOIN g USING (ahash_hi, ahash_lo)
-        |ORDER BY h.doc_id""".stripMargin,
+    "q_media_ahash" -> ahashOracle,
+    // the three hash-family oracles embedded verbatim + the md5-keyed
+    // exact-digest groups, crossed into the 2x2 agreement table per
+    // method pair (the q_dedup_compare shape on the media families)
+    "q_media_compare" ->
+      s"""WITH ah AS (
+         |$ahashOracle
+         |), ph AS (
+         |$phashOracle
+         |), nd AS (
+         |$neardupOracle
+         |), ex AS (
+         |  SELECT md5(text) AS dg, CAST(count(*) AS BIGINT) AS n_ex
+         |  FROM documents GROUP BY 1
+         |), ndd AS (
+         |  SELECT DISTINCT doc_id FROM (
+         |    SELECT doc_a AS doc_id FROM nd
+         |    UNION ALL SELECT doc_b FROM nd) u
+         |), flags AS (
+         |  SELECT d.doc_id,
+         |         CASE WHEN ex.n_ex > 1 THEN 1 ELSE 0 END AS f_exact,
+         |         CASE WHEN ah.n_dupes > 1 THEN 1 ELSE 0 END AS f_ahash,
+         |         CASE WHEN ph.n_dupes > 1 THEN 1 ELSE 0 END AS f_phash,
+         |         CASE WHEN ndd.doc_id IS NOT NULL THEN 1 ELSE 0 END AS f_near
+         |  FROM documents d
+         |  JOIN ex ON md5(d.text) = ex.dg
+         |  JOIN ah ON d.doc_id = ah.doc_id
+         |  JOIN ph ON d.doc_id = ph.doc_id
+         |  LEFT JOIN ndd ON d.doc_id = ndd.doc_id
+         |), pr(ma, mb) AS (
+         |  VALUES ('ahash', 'exact'), ('ahash', 'near'), ('ahash', 'phash'),
+         |         ('exact', 'near'), ('exact', 'phash'), ('near', 'phash')
+         |), lg AS (
+         |  SELECT pr.ma, pr.mb,
+         |         CASE pr.ma WHEN 'ahash' THEN f_ahash WHEN 'exact' THEN f_exact
+         |                    WHEN 'near' THEN f_near ELSE f_phash END AS fa,
+         |         CASE pr.mb WHEN 'ahash' THEN f_ahash WHEN 'exact' THEN f_exact
+         |                    WHEN 'near' THEN f_near ELSE f_phash END AS fb
+         |  FROM flags, pr
+         |)
+         |SELECT ma AS method_a, mb AS method_b,
+         |       CAST(sum(fa * fb) AS BIGINT) AS n_both,
+         |       CAST(sum(fa * (1 - fb)) AS BIGINT) AS n_only_a,
+         |       CAST(sum((1 - fa) * fb) AS BIGINT) AS n_only_b,
+         |       CAST(sum((1 - fa) * (1 - fb)) AS BIGINT) AS n_neither
+         |FROM lg GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_multimodal_meta" -> MetaSql,
     "q_media_decode"    -> MetaSql,
     // ASCII fixture text ⇒ byte slicing == char slicing, so the frame md5s

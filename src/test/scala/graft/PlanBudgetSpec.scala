@@ -97,6 +97,8 @@ class PlanBudgetSpec extends AnyFunSuite {
     ("q_cluster_topics", 11, 6),      // audit mode re-derives assignment + the
                                       // (doc, word) frame per margin branch;
                                       // centroids/margins broadcast
+    ("q_media_compare", 9, 7),        // four hash families re-derived per flag
+                                      // branch in audit mode; digest-keyed joins
     ("q_epoch_order", 3, 2),          // sample broadcast twice (BNLJ + count join);
                                       // corpus never sorted
                                       // (10 at sf0.001 where AQE skips some reuse; 8 at sf0.01)

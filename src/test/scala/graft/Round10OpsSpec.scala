@@ -187,6 +187,44 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(rows.map(r => r._1 -> r._2).toMap == hist.toMap, "histogram replay")
   }
 
+  test("media compare: flag replay, containment laws, constant row total") {
+    import graft.ops.Multimodal
+    val rows = Multimodal.mediaCompare(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(rows.size == 6)
+    val n = Tables.documents(spark, sf).count()
+    rows.values.foreach { case (b, oa, ob, ne) => assert(b + oa + ob + ne == n) }
+    // exact digest collision implies ahash collision implies near membership
+    assert(rows(("ahash", "exact"))._3 == 0, "exact dup without ahash dup")
+    assert(rows(("ahash", "near"))._2 == 0, "ahash dup without near membership")
+    assert(rows(("exact", "near"))._2 == 0, "exact dup without near membership")
+    // replay the four flags from the standalone queries' own outputs
+    val ah = Multimodal.mediaAhash(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3) > 1)).toMap
+    val ph = Multimodal.mediaPhash(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3) > 1)).toMap
+    val nd = Multimodal.mediaNeardup(spark, sf).collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    val ex = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val exN = ex.groupBy(_._2).iterator
+      .flatMap { case (_, xs) => xs.map(x => x._1 -> (xs.length > 1)) }.toMap
+    def flag(m: String, id: Long): Long = m match {
+      case "exact" => if (exN(id)) 1L else 0L
+      case "ahash" => if (ah(id)) 1L else 0L
+      case "phash" => if (ph(id)) 1L else 0L
+      case "near"  => if (nd(id)) 1L else 0L
+    }
+    rows.foreach { case ((a, b), (nb, noa, nob, nn)) =>
+      val ids = ex.map(_._1)
+      assert(nb == ids.count(i => flag(a, i) == 1 && flag(b, i) == 1).toLong)
+      assert(noa == ids.count(i => flag(a, i) == 1 && flag(b, i) == 0).toLong)
+      assert(nob == ids.count(i => flag(a, i) == 0 && flag(b, i) == 1).toLong)
+      assert(nn == ids.count(i => flag(a, i) == 0 && flag(b, i) == 0).toLong)
+    }
+  }
+
   test("cluster topics: cell partition, chi2 replay for every reported term") {
     val rows = Similarity.clusterTopics(spark, sf).collect()
     assert(rows.nonEmpty)
