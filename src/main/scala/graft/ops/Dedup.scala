@@ -515,6 +515,52 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
+  /** Thresholds swept by [[minhashPr]] — the working range of a dedup
+    * similarity cutoff. */
+  private[ops] val MinhashPrTaus = Seq(0.2, 0.4, 0.6, 0.8)
+
+  /** Precision/recall of the MinHash Jaccard ESTIMATE against the exact
+    * shingle Jaccard at each candidate threshold — the step between
+    * [[minhashEstimate]]'s per-pair audit and actually PICKING the dedup
+    * cutoff: per τ, the confusion counts of (est ≥ τ) vs (exact ≥ τ)
+    * over the LSH candidate pairs, with precision ("flagged pairs that
+    * are really ≥ τ") and recall ("really-≥ τ candidates we flag"). Read
+    * with [[lshTuning]]'s S-curves: that query says which pairs reach
+    * the table, this one says how trustworthy the signature is once
+    * they do.
+    *
+    * Determinism: est_j/exact_j are [[minhashEstimate]]'s quantized
+    * values (bit-identical cross-engine), compared against shared double
+    * constants; confusion cells are integer sums; precision/recall are
+    * ONE division each, 6-dp floor-quantized, null on empty denominators
+    * (stated, never NaN).
+    *
+    * Scale shape: rides the staged [[minhashEstimate]] frame (never
+    * all-pairs); the τ sweep is a row-local 4-struct explode into one
+    * map-side-combined aggregate over 4 groups. */
+  def minhashPr(s: SparkSession, d: String): DataFrame = {
+    val est = graft.util.Ckpt.stage(
+      minhashEstimate(s, d).select(col("est_j"), col("exact_j")))
+    est.select(explode(array(MinhashPrTaus.map(t => struct(lit(t).as("tau"),
+        (col("est_j") >= t).cast("long").as("p"),
+        (col("exact_j") >= t).cast("long").as("a"))): _*)).as("x"))
+      .groupBy(col("x.tau").as("tau"))
+      .agg(count(lit(1)).as("n_cand"),
+        sum(col("x.p") * col("x.a")).as("tp"),
+        sum(col("x.p") * (lit(1L) - col("x.a"))).as("fp"),
+        sum((lit(1L) - col("x.p")) * col("x.a")).as("fn"),
+        sum((lit(1L) - col("x.p")) * (lit(1L) - col("x.a"))).as("tn"))
+      .select(col("tau"), col("n_cand"), col("tp"), col("fp"), col("fn"),
+        col("tn"),
+        when(col("tp") + col("fp") === 0L, lit(null).cast("double"))
+          .otherwise(graft.util.Det.q6(col("tp").cast("double")
+            / (col("tp") + col("fp")).cast("double"))).as("precision"),
+        when(col("tp") + col("fn") === 0L, lit(null).cast("double"))
+          .otherwise(graft.util.Det.q6(col("tp").cast("double")
+            / (col("tp") + col("fn")).cast("double"))).as("recall"))
+      .orderBy("tau")
+  }
+
   /** Dedup method-agreement matrix: per-document duplicate flags from
     * all SIX families — exact text, demo MinHash r=2·b=2, production
     * MinHash r=4·b=16, SimHash exact-collision, SemDeDup semantic
@@ -1267,6 +1313,7 @@ object Dedup {
     "q_containment"    -> (containment _),
     "q_dedup_incremental" -> (incrementalDedup _),
     "q_minhash_est"    -> (minhashEstimate _),
+    "q_minhash_pr"     -> (minhashPr _),
   )
 
   /** The [[dedupClusters]] transitive closure as a reusable CTE prefix
@@ -1998,6 +2045,32 @@ object Dedup {
          |ORDER BY doc_id""".stripMargin,
     "q_dedup_minhash_wide" -> wideMinhashOracle,
     "q_minhash_est" -> minhashEstOracle,
+    // the estimate-audit oracle embedded verbatim, swept over the same
+    // shared double thresholds (quantized values vs shared constants —
+    // both engines compare identical doubles)
+    "q_minhash_pr" ->
+      s"""WITH me AS (
+         |$minhashEstOracle
+         |), taus(tau) AS (
+         |  VALUES ${MinhashPrTaus.map(t => s"(CAST($t AS DOUBLE))").mkString(", ")}
+         |), lg AS (
+         |  SELECT t.tau,
+         |         CASE WHEN me.est_j >= t.tau THEN 1 ELSE 0 END AS p,
+         |         CASE WHEN me.exact_j >= t.tau THEN 1 ELSE 0 END AS a
+         |  FROM me, taus t
+         |)
+         |SELECT tau, CAST(count(*) AS BIGINT) AS n_cand,
+         |       CAST(sum(p * a) AS BIGINT) AS tp,
+         |       CAST(sum(p * (1 - a)) AS BIGINT) AS fp,
+         |       CAST(sum((1 - p) * a) AS BIGINT) AS fn,
+         |       CAST(sum((1 - p) * (1 - a)) AS BIGINT) AS tn,
+         |       CASE WHEN sum(p) = 0 THEN NULL
+         |            ELSE floor(CAST(sum(p * a) AS DOUBLE) / CAST(sum(p) AS DOUBLE)
+         |                       * 1000000 + 0.5) / 1000000 END AS precision,
+         |       CASE WHEN sum(a) = 0 THEN NULL
+         |            ELSE floor(CAST(sum(p * a) AS DOUBLE) / CAST(sum(a) AS DOUBLE)
+         |                       * 1000000 + 0.5) / 1000000 END AS recall
+         |FROM lg GROUP BY tau ORDER BY tau""".stripMargin,
     "q_dedup_compare" -> dedupCompareOracle,
     "q_dedup_report" -> dedupReportOracle,
     "q_dedup_savings" -> dedupSavingsOracle,

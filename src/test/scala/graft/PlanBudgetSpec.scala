@@ -99,6 +99,9 @@ class PlanBudgetSpec extends AnyFunSuite {
                                       // centroids/margins broadcast
     ("q_media_compare", 9, 7),        // four hash families re-derived per flag
                                       // branch in audit mode; digest-keyed joins
+    ("q_minhash_pr", 9, 6),           // audit mode re-derives the estimate frame
+                                      // per confusion branch; the sweep itself is
+                                      // one row-local explode + aggregate
     ("q_epoch_order", 3, 2),          // sample broadcast twice (BNLJ + count join);
                                       // corpus never sorted
                                       // (10 at sf0.001 where AQE skips some reuse; 8 at sf0.01)

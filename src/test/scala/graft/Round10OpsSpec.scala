@@ -187,6 +187,35 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(rows.map(r => r._1 -> r._2).toMap == hist.toMap, "histogram replay")
   }
 
+  test("minhash PR sweep: confusion replay from the estimate audit") {
+    import graft.ops.Dedup
+    val est = Dedup.minhashEstimate(spark, sf).collect()
+      .map(r => (r.getDouble(3), r.getDouble(4)))
+    val rows = Dedup.minhashPr(spark, sf).collect()
+    assert(rows.map(_.getDouble(0)).toSeq == Seq(0.2, 0.4, 0.6, 0.8))
+    rows.foreach { r =>
+      val t = r.getDouble(0)
+      val tp = est.count { case (e, x) => e >= t && x >= t }.toLong
+      val fp = est.count { case (e, x) => e >= t && x < t }.toLong
+      val fn = est.count { case (e, x) => e < t && x >= t }.toLong
+      assert(r.getLong(1) == est.length.toLong)
+      assert(r.getLong(2) == tp && r.getLong(3) == fp && r.getLong(4) == fn)
+      assert(r.getLong(2) + r.getLong(3) + r.getLong(4) + r.getLong(5)
+        == est.length.toLong)
+      if (!r.isNullAt(6)) {
+        val p = r.getDouble(6)
+        assert(p >= 0.0 && p <= 1.0)
+        assert(math.abs(p - math.floor(tp.toDouble / (tp + fp) * 1e6 + 0.5) / 1e6)
+          < 1e-12)
+      }
+      if (!r.isNullAt(7)) {
+        val rec = r.getDouble(7)
+        assert(math.abs(rec - math.floor(tp.toDouble / (tp + fn) * 1e6 + 0.5) / 1e6)
+          < 1e-12)
+      }
+    }
+  }
+
   test("media compare: flag replay, containment laws, constant row total") {
     import graft.ops.Multimodal
     val rows = Multimodal.mediaCompare(spark, sf).collect()
