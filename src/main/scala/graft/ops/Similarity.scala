@@ -141,6 +141,51 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
+  /** RBO weights (1−p)·p^(d−1) at p = 0.9, scaled ×10⁶ — exact integers
+    * by repeated ·9/10 (each step divides a multiple of 10). */
+  private[ops] val RboW: Seq[Long] = Seq(100000L, 90000L, 81000L, 72900L, 65610L)
+  /** Per-first-common-depth contribution: an id pair whose LATER rank is
+    * m contributes to every prefix depth d ≥ m, so its total scaled
+    * weight is C(m) = Σ_{d=m..5} W(d)·(60/d) — the 60 = lcm(1..5) clears
+    * the 1/d prefix-overlap denominators, keeping the whole score in
+    * exact BIGINT. */
+  private[ops] val RboC: Seq[Long] =
+    (1 to 5).map(m => (m to 5).map(d => RboW(d - 1) * (60 / d)).sum)
+  /** Perfect-agreement score (identical top-5 rankings) = Σ C(m). */
+  private[ops] val RboMax: Long = RboC.sum
+
+  /** Rank-biased overlap (Webber et al. 2010) between the [[maxsim]]
+    * late-interaction top-5 and the single-vector [[cosineTopk]] top-5,
+    * per query — the label-free ranking-agreement audit that says HOW
+    * MUCH the multi-vector interaction changes retrieval (NDCG/recall
+    * need a ground truth; RBO compares two rankings directly, weighting
+    * agreement at the top). Truncated RBO@5 at p = 0.9, normalized by
+    * its own perfect-agreement mass so identical rankings score 1.0.
+    *
+    * Determinism: the per-pair contribution table [[RboC]] is exact
+    * integers (the q_ndcg scaled-weight discipline — no p^d float pow on
+    * the data path); the score is one BIGINT sum over the rank join; the
+    * normalized RBO is ONE IEEE division by the integer maximum.
+    *
+    * Scale shape: both legs are the audited queries themselves
+    * (≤ 5·|queries| rows each); the rank join keys on (qid, vec_id). */
+  def rboRankings(s: SparkSession, d: String): DataFrame = {
+    val a = maxsim(s, d).select(col("qid"), col("vec_id"), col("rn").as("ra"))
+    val b = cosineTopk(s, d)
+      .filter(col("rn") <= MaxSimTopK && col("qid") % MaxSimStride === 0)
+      .select(col("qid"), col("vec_id"), col("rn").as("rb"))
+    a.join(b, Seq("qid", "vec_id"), "left")
+      .withColumn("contrib", when(col("rb").isNull, lit(0L))
+        .otherwise(element_at(array(RboC.map(lit): _*),
+          greatest(col("ra"), col("rb")))))
+      .groupBy("qid")
+      .agg(sum(col("rb").isNotNull.cast("long")).as("n_common"),
+        sum("contrib").as("score_scaled"))
+      .withColumn("rbo",
+        col("score_scaled").cast("double") / lit(RboMax.toDouble))
+      .orderBy("qid")
+  }
+
   /** Bucket bits for [[maxsimRerank]]'s coarse retrieval stage — 4 sign
     * bits (16 buckets): coarser than [[annLsh]]'s 8 so the shortlist the
     * precise scorer re-ranks stays populated. */
@@ -1964,6 +2009,7 @@ object Similarity {
     "q_maxsim_rerank" -> (maxsimRerank _),
     "q_maxsim_recall" -> (maxsimRecall _),
     "q_cluster_topics" -> (clusterTopics _),
+    "q_rbo" -> (rboRankings _),
     "q_contrastive_pairs" -> (contrastivePairs _),
     "q_matryoshka"    -> (matryoshkaAudit _),
     "q_silhouette"    -> (silhouette _),
@@ -2412,6 +2458,32 @@ object Similarity {
          |       CAST(sum(hit) AS BIGINT) AS n_hits,
          |       CAST(sum(hit) AS DOUBLE) / $MaxSimTopK.0 AS recall
          |FROM j GROUP BY qid ORDER BY qid""".stripMargin,
+    // both rankings' oracles embedded verbatim; the contribution table is
+    // the same exact-integer C(m) sequence the Spark plan looks up
+    "q_rbo" -> {
+      val cases = RboC.zipWithIndex
+        .map { case (c, i) => s"WHEN ${i + 1} THEN $c" }.mkString(" ")
+      s"""WITH msq AS (
+         |$maxsimOracle
+         |), ctq AS (
+         |$cosineTopkOracle
+         |), j AS (
+         |  SELECT msq.qid, cc.rn AS rb,
+         |         -- greatest() ignores NULLs in both engines, so the
+         |         -- no-match case must be zeroed BEFORE the lookup
+         |         CASE WHEN cc.rn IS NULL THEN 0
+         |              ELSE CASE greatest(msq.rn, cc.rn) $cases END
+         |         END AS contrib
+         |  FROM msq LEFT JOIN (
+         |    SELECT qid, vec_id, rn FROM ctq
+         |    WHERE rn <= $MaxSimTopK AND qid % $MaxSimStride = 0) cc
+         |  ON msq.qid = cc.qid AND msq.vec_id = cc.vec_id
+         |)
+         |SELECT qid, CAST(count(rb) AS BIGINT) AS n_common,
+         |       CAST(sum(contrib) AS BIGINT) AS score_scaled,
+         |       CAST(sum(contrib) AS DOUBLE) / $RboMax.0 AS rbo
+         |FROM j GROUP BY qid ORDER BY qid""".stripMargin
+    },
     // the cluster_sample assignment CTEs + the term_chi2 scoring CTEs,
     // bridged on the fixture's 1:1 doc_id = vec_id correspondence
     "q_cluster_topics" ->

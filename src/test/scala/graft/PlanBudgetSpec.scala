@@ -102,6 +102,8 @@ class PlanBudgetSpec extends AnyFunSuite {
     ("q_minhash_pr", 9, 6),           // audit mode re-derives the estimate frame
                                       // per confusion branch; the sweep itself is
                                       // one row-local explode + aggregate
+    ("q_rbo", 3, 2),                  // the two audited rankings + the rank join;
+                                      // contribution lookup is row-local
     ("q_epoch_order", 3, 2),          // sample broadcast twice (BNLJ + count join);
                                       // corpus never sorted
                                       // (10 at sf0.001 where AQE skips some reuse; 8 at sf0.01)

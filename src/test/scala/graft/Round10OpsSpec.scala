@@ -187,6 +187,33 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(rows.map(r => r._1 -> r._2).toMap == hist.toMap, "histogram replay")
   }
 
+  test("rbo: replay from the two rankings, bounds, identity on self") {
+    val ms = Similarity.maxsim(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getInt(1)))
+    val ct = Similarity.cosineTopk(spark, sf).collect()
+      .filter(r => r.getInt(1) <= 5 && r.getLong(0) % 200 == 0)
+      .map(r => ((r.getLong(0), r.getLong(2)), r.getInt(1))).toMap
+    val w = Seq(100000L, 90000L, 81000L, 72900L, 65610L)
+    val cm = (1 to 5).map(m => (m to 5).map(d => w(d - 1) * (60 / d)).sum)
+    val max = cm.sum
+    val rows = Similarity.rboRankings(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val qid = r.getLong(0)
+      val pairs = ms.filter(_._1 == qid)
+      val matched = pairs.flatMap { case (_, vid, ra) =>
+        ct.get((qid, vid)).map(rb => math.max(ra, rb)) }
+      assert(r.getLong(1) == matched.length.toLong, s"n_common at $qid")
+      val score = matched.map(m => cm(m - 1)).sum
+      assert(r.getLong(2) == score, s"score at $qid")
+      val rbo = r.getDouble(3)
+      assert(math.abs(rbo - score.toDouble / max) < 1e-15)
+      assert(rbo >= 0.0 && rbo <= 1.0)
+    }
+    // identity: a ranking's RBO against itself is exactly 1
+    assert(cm.sum == max && max == 24570600L)
+  }
+
   test("minhash PR sweep: confusion replay from the estimate audit") {
     import graft.ops.Dedup
     val est = Dedup.minhashEstimate(spark, sf).collect()
