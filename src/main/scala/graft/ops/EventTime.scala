@@ -840,6 +840,62 @@ object EventTime {
       .orderBy("event_type")
   }
 
+  /** Forecast-error scorecard for the [[seasonalNaive]] forecaster — the
+    * monitoring row that turns "we have a forecast" into "should we trust
+    * it": per event type, WAPE (weighted absolute percentage error —
+    * Σ|c−f|/Σc, the volume-weighted accuracy), mean sMAPE (symmetric
+    * MAPE, 2|c−f|/(c+f) per hour, both-zero hours defined as exactly 0),
+    * and MASE (Hyndman–Koehler: the seasonal forecast's absolute error
+    * against the in-sample naive-1 baseline — MASE < 1 means the
+    * seasonal model beats "predict the previous hour").
+    *
+    * Determinism: all error masses are exact BIGINT sums over the same
+    * lag-aligned series as the forecaster; WAPE and MASE are ONE IEEE
+    * division each of exact integers, 6-dp floor-quantized, null on zero
+    * denominators (stated, never NaN/inf); each sMAPE term is one exact
+    * division 6-dp-quantized, summed in DECIMAL(24,6) (order-free), then
+    * one division by the hour count.
+    *
+    * Scale shape: the [[seasonalNaive]] plan — one hour-grain aggregate,
+    * the type-partitioned lag windows (each type's series sorts in
+    * parallel), one keyed reduce; the spine is time-extent-bounded. */
+  def forecastError(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+    val ext = ev.agg(min("h").as("lo"), max("h").as("hi"))
+    val spine = ext.select(
+      explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("h"))
+    val types = ev.select("event_type").distinct()
+    val counts = ev.groupBy("h", "event_type").agg(count(lit(1)).as("c"))
+    val series = spine.crossJoin(broadcast(types))
+      .join(counts, Seq("h", "event_type"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    val w = Window.partitionBy("event_type").orderBy("h")
+    val fc = series
+      .withColumn("f", lag("c", 168).over(w))
+      .withColumn("f1", lag("c", 1).over(w))
+      .filter(col("f").isNotNull)
+    val smTerm = when(col("c") + col("f") === 0L, lit(0.0))
+      .otherwise(q6((abs(col("c") - col("f")) * 2).cast("double")
+        / (col("c") + col("f")).cast("double")))
+    fc.groupBy("event_type")
+      .agg(count(lit(1)).as("n_hours"),
+        sum("c").as("n_actual"),
+        sum(abs(col("c") - col("f"))).as("sae"),
+        sum(abs(col("c") - col("f1"))).as("sae1"),
+        sum(smTerm.cast(DecimalType(24, 6))).as("sm"))
+      .select(col("event_type"), col("n_hours"), col("n_actual"), col("sae"),
+        when(col("n_actual") === 0L, lit(null).cast("double"))
+          .otherwise(q6(col("sae").cast("double")
+            / col("n_actual").cast("double"))).as("wape"),
+        q6(col("sm").cast("double") / col("n_hours").cast("double"))
+          .as("smape"),
+        when(col("sae1") === 0L, lit(null).cast("double"))
+          .otherwise(q6(col("sae").cast("double")
+            / col("sae1").cast("double"))).as("mase"))
+      .orderBy("event_type")
+  }
+
   /** SAX (Symbolic Aggregate approXimation) of each event type's
     * hour-of-day value profile: the 24 hourly value totals become a
     * 24-character string over the alphabet a..d, each hour's symbol its
@@ -1303,6 +1359,7 @@ object EventTime {
     "q_rate_limit" -> (rateLimit _),
     "q_attribution" -> (attribution _),
     "q_seasonal_naive" -> (seasonalNaive _),
+    "q_forecast_error" -> (forecastError _),
     "q_sax_symbols" -> (saxSymbols _),
     "q_dow_profile" -> (dowProfile _),
     "q_rolling_median" -> (rollingMedian _),
@@ -1802,6 +1859,52 @@ object EventTime {
         |)
         |SELECT first_touch, last_touch, CAST(count(*) AS BIGINT) AS n_purchases
         |FROM a GROUP BY 1, 2 ORDER BY first_touch, last_touch""".stripMargin,
+    // the seasonal-naive series CTEs + the naive-1 baseline lag; error
+    // masses are exact integer sums, each ratio one quantized division,
+    // sMAPE terms quantized then DECIMAL-summed (order-free)
+    "q_forecast_error" ->
+      """WITH ev AS (
+        |  SELECT date_trunc('hour', ts) AS h, event_type FROM events
+        |), ext AS (SELECT min(h) AS lo, max(h) AS hi FROM ev),
+        |spine AS (
+        |  SELECT unnest(generate_series(ext.lo, ext.hi, INTERVAL '1 hour')) AS h FROM ext
+        |), types AS (SELECT DISTINCT event_type FROM ev),
+        |counts AS (
+        |  SELECT h, event_type, CAST(count(*) AS BIGINT) AS c
+        |  FROM ev GROUP BY h, event_type
+        |), series AS (
+        |  SELECT s.h, t.event_type, COALESCE(c.c, 0) AS c
+        |  FROM spine s CROSS JOIN types t
+        |  LEFT JOIN counts c ON c.h = s.h AND c.event_type = t.event_type
+        |), fc AS (
+        |  SELECT event_type, c,
+        |         lag(c, 168) OVER (PARTITION BY event_type ORDER BY h) AS f,
+        |         lag(c, 1) OVER (PARTITION BY event_type ORDER BY h) AS f1
+        |  FROM series
+        |), g AS (
+        |  SELECT event_type,
+        |    CAST(count(*) AS BIGINT) AS n_hours,
+        |    CAST(sum(c) AS BIGINT) AS n_actual,
+        |    CAST(sum(abs(c - f)) AS BIGINT) AS sae,
+        |    CAST(sum(abs(c - f1)) AS BIGINT) AS sae1,
+        |    sum(CAST(CASE WHEN c + f = 0 THEN 0.0
+        |             ELSE floor(CAST(abs(c - f) * 2 AS DOUBLE)
+        |                        / CAST(c + f AS DOUBLE)
+        |                        * 1000000 + 0.5) / 1000000
+        |             END AS DECIMAL(24,6))) AS sm
+        |  FROM fc WHERE f IS NOT NULL
+        |  GROUP BY event_type
+        |)
+        |SELECT event_type, n_hours, n_actual, sae,
+        |  CASE WHEN n_actual = 0 THEN NULL
+        |       ELSE floor(CAST(sae AS DOUBLE) / CAST(n_actual AS DOUBLE)
+        |                  * 1000000 + 0.5) / 1000000 END AS wape,
+        |  floor(CAST(sm AS DOUBLE) / CAST(n_hours AS DOUBLE)
+        |        * 1000000 + 0.5) / 1000000 AS smape,
+        |  CASE WHEN sae1 = 0 THEN NULL
+        |       ELSE floor(CAST(sae AS DOUBLE) / CAST(sae1 AS DOUBLE)
+        |                  * 1000000 + 0.5) / 1000000 END AS mase
+        |FROM g ORDER BY event_type""".stripMargin,
     "q_seasonal_naive" ->
       """WITH ev AS (
         |  SELECT date_trunc('hour', ts) AS h, event_type FROM events

@@ -104,6 +104,8 @@ class PlanBudgetSpec extends AnyFunSuite {
                                       // one row-local explode + aggregate
     ("q_rbo", 3, 2),                  // the two audited rankings + the rank join;
                                       // contribution lookup is row-local
+    ("q_forecast_error", 3, 2),       // the seasonal-naive series plan: hour
+                                      // aggregate + type-partitioned lags + reduce
     ("q_epoch_order", 3, 2),          // sample broadcast twice (BNLJ + count join);
                                       // corpus never sorted
                                       // (10 at sf0.001 where AQE skips some reuse; 8 at sf0.01)

@@ -187,6 +187,29 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(rows.map(r => r._1 -> r._2).toMap == hist.toMap, "histogram replay")
   }
 
+  test("forecast error: agrees with seasonal-naive masses, metric laws") {
+    import graft.ops.EventTime
+    val sn = EventTime.seasonalNaive(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val rows = EventTime.forecastError(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length == sn.size)
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val (nh, na, sae) = sn(t)
+      // the error masses are the forecaster's own
+      assert(r.getLong(1) == nh && r.getLong(2) == na && r.getLong(3) == sae)
+      if (!r.isNullAt(4)) {
+        val wape = r.getDouble(4)
+        assert(math.abs(wape -
+          math.floor(sae.toDouble / na * 1e6 + 0.5) / 1e6) < 1e-15)
+        assert(wape >= 0.0)
+      }
+      val smape = r.getDouble(5)
+      assert(smape >= 0.0 && smape <= 2.0, s"smape $smape out of [0,2]")
+      if (!r.isNullAt(6)) assert(r.getDouble(6) > 0.0 || sae == 0L)
+    }
+  }
+
   test("rbo: replay from the two rankings, bounds, identity on self") {
     val ms = Similarity.maxsim(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2), r.getInt(1)))
