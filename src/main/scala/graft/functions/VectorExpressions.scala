@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, QuaternaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
@@ -101,6 +101,101 @@ case class DoubleVectorDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native codegen MaxSim score (ColBERT-style late interaction):
+  * Σᵢ q6(maxⱼ cos(qᵢ, dⱼ)) over `subs` sub-vectors of `subDim` dims each —
+  * the compiled subs×subs double loop replacing the interpreted
+  * `aggregate(transform(zip_with(slice…)))` tree (HOF lambdas are
+  * CodegenFallback; VERDICT r10 item 1 measured the family at ~18.6 s).
+  *
+  * Bit-identical to the HOF formulation it replaces, term by term:
+  *  - each sub-dot is the [[FloatVectorDot]] fold (floats widened to
+  *    double, left-to-right over k);
+  *  - each sub-cosine divides by the PRODUCT `qsn[i] * sn[j]` (one
+  *    multiply, then one divide — the oracle's association);
+  *  - the max over j replicates `array_max`'s nanSafeCompareDoubles
+  *    semantics via strict `>` with first-wins ties (inputs are finite
+  *    and non-NaN by the caller's zero-sub-norm guard);
+  *  - each max is 6-dp floor-quantized `floor(m·10⁶ + 0.5) / 10⁶` (the
+  *    SQL path floors to BIGINT then true-divides; scores are ≪ 2⁵³ so
+  *    the double↔long round-trip is exact);
+  *  - the sum over i is a left-to-right fold of the quantized terms.
+  * Swapping it in changes plans, not results — `q_maxsim` family hashes
+  * are pinned unchanged in CORRECTNESS_r11.
+  *
+  * Children: qv `array<float>`, qsn `array<double>`, v `array<float>`,
+  * sn `array<double>`. Null if any input is null; arrays are expected to
+  * hold `subs·subDim` floats / `subs` norms (guarded upstream). */
+case class MaxSimScore(first: Expression, second: Expression,
+    third: Expression, fourth: Expression, subs: Int, subDim: Int)
+    extends QuaternaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(ArrayType(FloatType), ArrayType(DoubleType),
+    ArrayType(FloatType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any, c: Any, e: Any): Any = {
+    val qv = a.asInstanceOf[ArrayData]
+    val qsn = b.asInstanceOf[ArrayData]
+    val v = c.asInstanceOf[ArrayData]
+    val sn = e.asInstanceOf[ArrayData]
+    var acc = 0.0
+    var i = 0
+    while (i < subs) {
+      var best = 0.0
+      var j = 0
+      while (j < subs) {
+        var dot = 0.0
+        var k = 0
+        while (k < subDim) {
+          dot += qv.getFloat(i * subDim + k).toDouble *
+            v.getFloat(j * subDim + k).toDouble
+          k += 1
+        }
+        val cur = dot / (qsn.getDouble(i) * sn.getDouble(j))
+        if (j == 0 || cur > best) best = cur
+        j += 1
+      }
+      acc += math.floor(best * 1000000.0 + 0.5) / 1000000.0
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (qv, qsn, v, sn) => {
+      val acc = ctx.freshName("acc")
+      val best = ctx.freshName("best")
+      val dot = ctx.freshName("dot")
+      val cur = ctx.freshName("cur")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val k = ctx.freshName("k")
+      s"""
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $subs; $i++) {
+         |  double $best = 0.0;
+         |  for (int $j = 0; $j < $subs; $j++) {
+         |    double $dot = 0.0;
+         |    for (int $k = 0; $k < $subDim; $k++) {
+         |      $dot += (double) $qv.getFloat($i * $subDim + $k)
+         |            * (double) $v.getFloat($j * $subDim + $k);
+         |    }
+         |    double $cur = $dot / ($qsn.getDouble($i) * $sn.getDouble($j));
+         |    if ($j == 0 || $cur > $best) $best = $cur;
+         |  }
+         |  $acc += java.lang.Math.floor($best * 1000000.0 + 0.5) / 1000000.0;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression,
+      newFourth: Expression): MaxSimScore =
+    copy(first = newFirst, second = newSecond, third = newThird,
+      fourth = newFourth)
+}
+
 object VectorExpressions {
   /** Dot product of two `array<float>` columns, accumulated in double. */
   def floatDot(a: Column, b: Column): Column =
@@ -109,4 +204,10 @@ object VectorExpressions {
   /** Dot product of two `array<double>` columns. */
   def doubleDot(a: Column, b: Column): Column =
     Bridge.column(DoubleVectorDot(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Compiled MaxSim late-interaction score of (qv, qsn) × (v, sn). */
+  def maxsimScore(qv: Column, qsn: Column, v: Column, sn: Column,
+      subs: Int, subDim: Int): Column =
+    Bridge.column(MaxSimScore(Bridge.expression(qv), Bridge.expression(qsn),
+      Bridge.expression(v), Bridge.expression(sn), subs, subDim))
 }

@@ -49,11 +49,19 @@ object Similarity {
     * via spark.graft.checkpoint.dir (graft.util.Ckpt). */
   private def once(df: DataFrame): DataFrame = graft.util.Ckpt.stage(df)
 
-  /** Every 50th vector is a query; brute-force cosine against the full
-    * corpus, top-10 per query. */
+  /** [[cosineTopk]]'s query stride: every [[CosineStride]]-th vector is a
+    * query. Named (ADVICE r10) because [[rboRankings]]' b-leg filters
+    * cosineTopk output with `qid % MaxSimStride`, which selects the right
+    * queries ONLY while the MaxSim stride is a multiple of this one —
+    * asserted below so changing either fails loudly instead of silently
+    * emptying the rbo leg. */
+  private[ops] val CosineStride = 50
+
+  /** Every [[CosineStride]]-th vector is a query; brute-force cosine
+    * against the full corpus, top-10 per query. */
   def cosineTopk(s: SparkSession, d: String): DataFrame = {
     val n = once(withNorm(Tables.embeddings(s, d)))
-    val q = n.filter(col("vec_id") % 50 === 0)
+    val q = n.filter(col("vec_id") % CosineStride === 0)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qn"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
     n.crossJoin(broadcast(q))
@@ -69,6 +77,10 @@ object Similarity {
   private[ops] val MaxSimSubDim = 8
   private[ops] val MaxSimStride = 200
   private[ops] val MaxSimTopK = 5
+  require(MaxSimStride % CosineStride == 0,
+    s"MaxSim queries must be a subset of cosine queries (q_rbo's b-leg " +
+      s"filters cosineTopk output with qid % $MaxSimStride): MaxSimStride " +
+      s"$MaxSimStride must be a multiple of CosineStride $CosineStride")
 
   /** Multi-vector late-interaction retrieval (ColBERT-style MaxSim): each
     * 64-dim embedding is treated as [[MaxSimSubs]] token-level sub-vectors
@@ -115,8 +127,19 @@ object Similarity {
   }
 
   /** The row-local MaxSim score over (qv, qsn) × (v, sn): left-to-right
-    * fold over i of the 6-dp-quantized max-over-j sub-cosine. */
-  private def maxsimScoreExpr: Column = expr(
+    * fold over i of the 6-dp-quantized max-over-j sub-cosine.
+    *
+    * Production path: the codegen'd
+    * [[graft.functions.MaxSimScore]] expression (compiled subs×subs
+    * double loop inside WholeStageCodegen). The interpreted HOF
+    * formulation below is retained as the REFERENCE SEMANTICS — the
+    * spec asserts the two are bit-equal on the full fixture
+    * (Round11OpsSpec), the same discipline as [[FloatVectorDot]]. */
+  private def maxsimScore: Column =
+    graft.functions.VectorExpressions.maxsimScore(
+      col("qv"), col("qsn"), col("v"), col("sn"), MaxSimSubs, MaxSimSubDim)
+
+  private[graft] def maxsimScoreExpr: Column = expr(
     s"""aggregate(sequence(0, ${MaxSimSubs - 1}), CAST(0.0 AS DOUBLE),
        |  (acc, i) -> acc +
        |    floor(array_max(transform(sequence(0, ${MaxSimSubs - 1}), j ->
@@ -134,7 +157,7 @@ object Similarity {
     val w = Window.partitionBy("qid").orderBy(col("maxsim").desc, col("vec_id").asc)
     n.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("qid"))
-      .withColumn("maxsim", maxsimScoreExpr)
+      .withColumn("maxsim", maxsimScore)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= MaxSimTopK)
       .select(col("qid"), col("rn"), col("vec_id"), col("maxsim"))
@@ -217,20 +240,29 @@ object Similarity {
     * empty is absent — stated by absence, mirrored in the oracle.
     *
     * Determinism: hit counts are exact integer joins of the two (already
-    * deterministic) rankings; recall is ONE IEEE division by the
-    * constant k. Scale shape: both legs are the audited queries
-    * themselves; the exact top-k (≤ 5·|queries| rows) broadcasts. */
+    * deterministic) rankings; recall is ONE IEEE division by
+    * least(k, |exact list|) — the per-query exact-ranking size caps the
+    * denominator (ADVICE r10) so a corpus smaller than k+1 scores
+    * recall of what was actually retrievable, not an understated /k.
+    * Scale shape: both legs are the audited queries themselves; the
+    * exact top-k (≤ 5·|queries| rows) is staged once and broadcasts. */
   def maxsimRecall(s: SparkSession, d: String): DataFrame = {
-    val exact = maxsim(s, d)
+    val ms = once(maxsim(s, d))
+    val exact = ms
       .select(col("qid").as("eqid"), col("vec_id").as("evid"), lit(1L).as("hit"))
+    val exactN = ms.groupBy(col("qid").as("nqid"))
+      .agg(count(lit(1)).as("n_exact"))
     maxsimRerank(s, d).select(col("qid"), col("vec_id"))
       .join(broadcast(exact),
         col("qid") === col("eqid") && col("vec_id") === col("evid"), "left")
       .groupBy("qid")
       .agg(count(lit(1)).as("n_cand"),
         sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .join(broadcast(exactN), col("qid") === col("nqid"))
       .select(col("qid"), col("n_cand"), col("n_hits"),
-        (col("n_hits").cast("double") / lit(MaxSimTopK.toDouble)).as("recall"))
+        (col("n_hits").cast("double") /
+          least(lit(MaxSimTopK.toLong), col("n_exact")).cast("double"))
+          .as("recall"))
       .orderBy("qid")
   }
 
@@ -311,7 +343,7 @@ object Similarity {
         col("bucket").as("qb"))
     val w = Window.partitionBy("qid").orderBy(col("maxsim").desc, col("vec_id").asc)
     n.join(broadcast(q), col("bucket") === col("qb") && col("vec_id") =!= col("qid"))
-      .withColumn("maxsim", maxsimScoreExpr)
+      .withColumn("maxsim", maxsimScore)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= MaxSimTopK)
       .select(col("qid"), col("rn"), col("vec_id"), col("maxsim"))
@@ -2448,16 +2480,20 @@ object Similarity {
          |$maxsimOracle
          |), rr AS (
          |$maxsimRerankOracle
+         |), exn AS (
+         |  SELECT qid, count(*) AS n_exact FROM exact_t GROUP BY qid
          |), j AS (
          |  SELECT rr.qid, rr.vec_id,
          |         CASE WHEN e.vec_id IS NULL THEN 0 ELSE 1 END AS hit
          |  FROM rr LEFT JOIN (SELECT qid, vec_id FROM exact_t) e
          |    ON rr.qid = e.qid AND rr.vec_id = e.vec_id
          |)
-         |SELECT qid, CAST(count(*) AS BIGINT) AS n_cand,
+         |SELECT j.qid, CAST(count(*) AS BIGINT) AS n_cand,
          |       CAST(sum(hit) AS BIGINT) AS n_hits,
-         |       CAST(sum(hit) AS DOUBLE) / $MaxSimTopK.0 AS recall
-         |FROM j GROUP BY qid ORDER BY qid""".stripMargin,
+         |       CAST(sum(hit) AS DOUBLE)
+         |         / CAST(least($MaxSimTopK, exn.n_exact) AS DOUBLE) AS recall
+         |FROM j JOIN exn ON j.qid = exn.qid
+         |GROUP BY j.qid, exn.n_exact ORDER BY j.qid""".stripMargin,
     // both rankings' oracles embedded verbatim; the contribution table is
     // the same exact-integer C(m) sequence the Spark plan looks up
     "q_rbo" -> {
@@ -2764,7 +2800,10 @@ object Similarity {
   ) ++ oracle2
 
   /** Shared oracle text for the MaxSim family: the v0 → n CTE chain
-    * (cast vectors + sub-norm lists). */
+    * (cast vectors + sub-norm lists). The zero-sub-norm guard mirrors
+    * [[maxsimFeatures]]' `raise_error` (ADVICE r10): on a fixture with a
+    * degenerate sub-vector BOTH engines fail loudly instead of Spark
+    * raising while DuckDB silently ranks NaN rows. */
   private def maxsimNormCtes: String = {
     val snTerms = (0 until MaxSimSubs).map { k =>
       val sl = s"list_slice(v, ${k * MaxSimSubDim + 1}, ${k * MaxSimSubDim + MaxSimSubDim})"
@@ -2772,10 +2811,15 @@ object Similarity {
     }.mkString(",\n          ")
     s"""v0 AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-       |), n AS (
+       |), n_raw AS (
        |  SELECT vec_id, v,
        |         [$snTerms] AS sn
        |  FROM v0
+       |), n AS (
+       |  SELECT vec_id, v,
+       |         CASE WHEN list_min(sn) > 0 THEN sn
+       |              ELSE error('maxsim: zero sub-vector norm') END AS sn
+       |  FROM n_raw
        |)""".stripMargin
   }
 

@@ -90,8 +90,9 @@ class PlanBudgetSpec extends AnyFunSuite {
     ("q_maxsim_rerank", 2, 1),        // same, with the bucket equi-join shortlist
                                       // (q_hop_histogram: runtime-round loop, no
                                       // pin — the q_closeness/q_graph_bfs class)
-    ("q_maxsim_recall", 3, 3),        // both audited rankings + the hit join;
-                                      // exact top-k broadcast
+    ("q_maxsim_recall", 3, 4),        // both audited rankings + the hit join;
+                                      // exact top-k + per-query exact-count
+                                      // broadcasts (ADVICE r10 denominator cap)
     ("q_epoch_shift", 5, 4),          // audit mode re-derives the position frame
                                       // per self-join leg; corpus count broadcast
     ("q_cluster_topics", 11, 6),      // audit mode re-derives assignment + the
@@ -102,8 +103,10 @@ class PlanBudgetSpec extends AnyFunSuite {
     ("q_minhash_pr", 9, 6),           // audit mode re-derives the estimate frame
                                       // per confusion branch; the sweep itself is
                                       // one row-local explode + aggregate
-    ("q_rbo", 3, 2),                  // the two audited rankings + the rank join;
-                                      // contribution lookup is row-local
+    ("q_rbo", 3, 3),                  // the two audited rankings + the rank join
+                                      // (now BHJ: the codegen'd scorer shrank the
+                                      // leg's size estimate); contribution lookup
+                                      // is row-local
     ("q_forecast_error", 3, 2),       // the seasonal-naive series plan: hour
                                       // aggregate + type-partitioned lags + reduce
     ("q_epoch_order", 3, 2),          // sample broadcast twice (BNLJ + count join);
