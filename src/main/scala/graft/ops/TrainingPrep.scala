@@ -652,35 +652,38 @@ object TrainingPrep {
     * epochs while each is exactly reproducible.
     *
     * Determinism: position = 1 + |{(h', id') < (h, id)}| in the same
-    * epoch — a pure count over a total order on (hex string, id); no
-    * rank window, no arithmetic freedom.
+    * epoch — a total order on (hex string, id) realized as a two-phase
+    * bucketed rank; no arithmetic freedom (the bucket key is a string
+    * PREFIX of h, so (bkt, h, id) order IS (h, id) order).
     *
-    * Scale shape: the sample (≤ n/97 keys, tiny) broadcasts; the count
-    * is ONE pass over the keyed corpus per epoch (broadcast
-    * nested-loop against the sample, then a sample-keyed aggregate) —
-    * the corpus is never sorted or exchanged. MATERIALIZING the full
-    * order at 100 TB would instead use the q_zorder_pruning recipe
-    * (repartitionByRange on h + in-partition sort + broadcast
-    * offsets); the position FUNCTION audited here is what makes that
-    * order well-defined before any such layout job runs. */
+    * Scale shape: the two-phase global-rank discipline of
+    * [[Aggregations.ltvDecile]] (VERDICT r10 item 2 — the previous
+    * broadcast-nested-loop against the sample was O(n) broadcast and
+    * O(n²/97) comparisons per epoch): rows bucket by the first two hex
+    * chars of h (256 uniform buckets), per-(epoch, bucket) windows rank
+    * locally (largest sort partition = one bucket = n/256), and a
+    * 256·epochs-row cumulative offset table — partition-count-sized,
+    * never corpus-sized — broadcasts back; pos = offset + local
+    * row_number. This IS the q_zorder_pruning materialization recipe,
+    * so the audited position function and the 100 TB layout job now
+    * share one plan shape. */
   def epochOrder(s: SparkSession, d: String): DataFrame = {
     val epochs = explode(sequence(lit(0), lit(EpochCount - 1))).as("epoch")
     val keyed = graft.util.Ckpt.stage(Tables.documents(s, d)
       .select(col("doc_id"), epochs)
       .withColumn("h", md5(concat(lit("ep"), col("epoch").cast("string"),
-        lit(":"), col("doc_id").cast("string")))))
-    val samp = keyed.filter(col("doc_id") % EpochSampleMod === 0)
-      .select(col("epoch").as("e2"), col("doc_id").as("sid"), col("h").as("sh"))
-    val before = keyed
-      .join(broadcast(samp), col("epoch") === col("e2") &&
-        (col("h") < col("sh") ||
-          (col("h") === col("sh") && col("doc_id") < col("sid"))))
-      .groupBy(col("e2").as("epoch"), col("sid").as("doc_id"))
-      .agg(count(lit(1)).as("n_before"))
-    samp.select(col("e2").as("epoch"), col("sid").as("doc_id"), col("sh").as("h"))
-      .join(before, Seq("epoch", "doc_id"), "left")
-      .select(col("epoch"), col("doc_id"), col("h"),
-        (coalesce(col("n_before"), lit(0L)) + lit(1L)).as("pos"))
+        lit(":"), col("doc_id").cast("string"))))
+      .withColumn("bkt", substring(col("h"), 1, 2)))
+    val wb = Window.partitionBy("epoch").orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offs = keyed.groupBy(col("epoch"), col("bkt"))
+      .agg(count(lit(1)).as("s"))
+      .select(col("epoch"), col("bkt"), (sum("s").over(wb) - col("s")).as("off"))
+    val w = Window.partitionBy("epoch", "bkt").orderBy(col("h"), col("doc_id"))
+    keyed.join(broadcast(offs), Seq("epoch", "bkt"))
+      .withColumn("pos", col("off") + row_number().over(w))
+      .filter(col("doc_id") % EpochSampleMod === 0)
+      .select(col("epoch"), col("doc_id"), col("h"), col("pos"))
       .orderBy("epoch", "pos")
   }
 

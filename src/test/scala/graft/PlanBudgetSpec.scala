@@ -93,7 +93,7 @@ class PlanBudgetSpec extends AnyFunSuite {
     ("q_maxsim_recall", 3, 4),        // both audited rankings + the hit join;
                                       // exact top-k + per-query exact-count
                                       // broadcasts (ADVICE r10 denominator cap)
-    ("q_epoch_shift", 5, 4),          // audit mode re-derives the position frame
+    ("q_epoch_shift", 6, 3),          // audit mode re-derives the position frame
                                       // per self-join leg; corpus count broadcast
     ("q_cluster_topics", 11, 6),      // audit mode re-derives assignment + the
                                       // (doc, word) frame per margin branch;
@@ -109,8 +109,9 @@ class PlanBudgetSpec extends AnyFunSuite {
                                       // is row-local
     ("q_forecast_error", 3, 2),       // the seasonal-naive series plan: hour
                                       // aggregate + type-partitioned lags + reduce
-    ("q_epoch_order", 3, 2),          // sample broadcast twice (BNLJ + count join);
-                                      // corpus never sorted
+    ("q_epoch_order", 4, 1),          // two-phase bucketed rank (r10 item 2): the
+                                      // bucket aggregate + the bucketed sort; ONE
+                                      // broadcast, the 256*epochs offset table
                                       // (10 at sf0.001 where AQE skips some reuse; 8 at sf0.01)
     ("q_dsir_weights", 5, 2),         // feature log-ratios broadcast, tf pre-reduced
     ("q_unigram_lm", 5, 2),           // vocabulary + total broadcast, tf pre-reduced

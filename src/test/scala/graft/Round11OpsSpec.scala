@@ -72,4 +72,30 @@ class Round11OpsSpec extends AnyFunSuite {
     assert("""\*\(\d+\) Project \[maxsimscore""".r.findFirstIn(rendered).nonEmpty,
       s"MaxSimScore projection not in any WholeStageCodegen span:\n$rendered")
   }
+
+  test("epochOrder ranks without a quadratic broadcast-nested-loop join") {
+    // VERDICT r10 item 2: the old sample-position count broadcast O(n)
+    // rows and compared O(n²/97) pairs per epoch; the two-phase bucketed
+    // rank must plan as aggregates + a bucketed window + ONE bounded
+    // offset broadcast — never a BroadcastNestedLoopJoin
+    val df = graft.ops.TrainingPrep.epochOrder(spark, sf)
+    val rows = df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop"), plan)
+    // brute replay on one epoch: global 1-based rank of each sampled
+    // doc under the (md5 key, doc_id) total order
+    val ids = Tables.documents(spark, sf).select("doc_id")
+      .collect().map(_.getLong(0))
+    def h(e: Int, id: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s"ep$e:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    }
+    val keyed = ids.map(id => (h(0, id), id)).sortBy(identity)
+    val expect = keyed.zipWithIndex
+      .collect { case ((_, id), i) if id % 97 == 0 => id -> (i + 1L) }.toMap
+    val got = rows.filter(_.getInt(0) == 0)
+      .map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(got == expect, "epoch-0 sampled positions diverge from brute rank")
+  }
 }
