@@ -31,9 +31,7 @@ class PlanBudgetSpec extends AnyFunSuite {
     * The staged plan IS the production plan for these; the budget pins
     * the final executed plan over the staged leaves, exactly what
     * graft.PlanAudit measures. */
-  private val stagedAudit = Set("q_kcore_peel", "q_dedup_compare",
-    "q_dedup_kappa", "q_cochran_q", "q_fleiss_kappa", "q_mcnemar",
-    "q_dedup_report", "q_zorder_pruning",
+  private val stagedAudit = Set("q_kcore_peel", "q_zorder_pruning",
     // consumes the staged LPA label frame from three aggregate branches
     // (the familyFlags class: unstaged lineage re-derives the 3-round
     // loop per branch)
@@ -180,10 +178,10 @@ class PlanBudgetSpec extends AnyFunSuite {
     ("q_minhash_est", 7, 6),          // audit mode recomputes the staged sig/
                                       // pair frames per branch; candidate set
                                       // and sizes broadcast into the pair joins
-    ("q_dedup_compare", 13, 5),       // six dedup flag subplans + the final
-                                      // 1-row agg; flag frames broadcast into
-                                      // the narrow doc_id joins (staged
-                                      // audit — see stagedAudit; 12/8
+    ("q_dedup_compare", 1, 0),        // served flags artifact (r11): a bare
+                                      // parquet scan + ONE map-side-combined
+                                      // 1-row aggregate — the six families'
+                                      // generation cost lives in the build job
                                       // observed, +1 headroom), so
                                       // the pin carries that 1 of headroom
     // round-6 additions (audit mode recomputes staged frames per branch,
@@ -516,9 +514,8 @@ class PlanBudgetSpec extends AnyFunSuite {
     ("q_cvm_drift", 8, 3),           // the ksDrift two-phase machinery:
                                       // per-value agg, bucket windows,
                                       // extent/offsets/totals broadcast
-    ("q_dedup_kappa", 13, 5),         // = q_dedup_compare's plan + a
+    ("q_dedup_kappa", 1, 0),          // = q_dedup_compare's served plan + a
                                       // generator over its 1-row result
-                                      // (staged audit: 12/8 observed)
     ("q_hellinger", 5, 2),            // vocab-bounded term self-join;
                                       // pair frame + shared sums broadcast
     ("q_friedman", 9, 2),             // (day,type) agg + grid fill + per-day
@@ -621,8 +618,10 @@ class PlanBudgetSpec extends AnyFunSuite {
     ("q_tost", 2, 0),                 // one 1-row sufficient-stat aggregate
     ("q_curriculum", 5, 2),           // extent + 3-row offsets broadcast,
                                       // ONE phase-partitioned rank window
-    ("q_cochran_q", 13, 5),           // = q_dedup_compare's flag lineage
-                                      // reduced to one stats row
+    ("q_cochran_q", 1, 0),            // served flags scan reduced to one
+                                      // stats row
+    ("q_dedup_savings", 3, 2),        // served flags x token-count join +
+                                      // the 1-row total broadcast
     ("q_bpe_apply", 6, 1),            // pair-count agg + rank + the 20-row
                                       // merge table broadcast onto the
                                       // (source, word) vocab agg; rollup
@@ -636,14 +635,14 @@ class PlanBudgetSpec extends AnyFunSuite {
                                       // the k-row quota frame broadcast back
                                       // (audited 6/2 at sf0.001 via PlanAudit
                                       // staged; +2 headroom for audit mode)
-    ("q_dedup_report", 6, 2),         // the composed dashboard: final union
-                                      // reads ONLY the staged flag/compare/
-                                      // rater frames + the savings token join
+    ("q_dedup_report", 8, 2),         // the composed dashboard over the
+                                      // SERVED flags scan: compare/rater/
+                                      // savings branches re-read the artifact
                                       // — the six families' generation cost
-                                      // sits behind the stage boundary, paid
-                                      // once (audited r10: 6/2)
-    ("q_fleiss_kappa", 13, 5),        // same shared rater-stats row
-    ("q_mcnemar", 13, 5),             // = q_dedup_kappa's shape: compare
+                                      // lives in the build job (audited r11:
+                                      // 8/2 with stage.disable)
+    ("q_fleiss_kappa", 1, 0),         // same shared rater-stats row
+    ("q_mcnemar", 1, 0),              // = q_dedup_kappa's shape: compare
                                       // row + a 15-row generator
     ("q_log_rank", 12, 2),            // per-customer agg + duration-bounded
                                       // (dur x 2 seg) grid windows; extent
