@@ -30,24 +30,41 @@ import org.apache.spark.sql.functions._
   */
 object Sketches {
 
-  /** Per-day HLL sketches of the ordering customer set, rolled up to
+  /** Per-day theta sketches of the ordering customer set, rolled up to
     * month by sketch UNION — never re-reading orders. Emits, per month:
     * the number of daily sketches merged, the unioned estimate, the sum
     * of the daily estimates (which OVERCOUNTS repeat customers — the
     * error the mergeable sketch exists to avoid), and the exact distinct
     * count for reference. At 100 TB the `daily` aggregate is the only
-    * pass over the fact table; the rollup shuffles one ~KB blob per day. */
+    * pass over the fact table; the rollup shuffles one ~KB blob per day.
+    *
+    * ORACLED, exactly (round-11 flip from rows-only): below the nominal
+    * entry count (lgK=16 → 65,536, four times the sf1 sweep's ~16k
+    * distinct customers per month) a theta sketch retains every distinct
+    * 64-bit hash and the union estimate IS the exact distinct count —
+    * the [[thetaRetention]] exact-mode argument applied to the union
+    * operation (this is the set-op twin: retention demonstrates
+    * INTERSECT, this rung UNION). The sketch family is theta rather
+    * than HLL for a MEASURED reason (round 11): Spark's DataSketches
+    * HLL estimate applies a coupon-collision correction (cubic
+    * interpolation over the coupon space) even in its "exact" LIST/SET
+    * regime — at 16k coupons per month it answers exact+1, so no HLL
+    * configuration survives the 10× sweep cell-exact. Theta's exact
+    * mode has no such correction. HLL stays in the suite as
+    * [[Aggregations.approxDistinct]] (documented estimation-only) and
+    * in [[SketchSpec]]'s law tests. */
   def sketchUnion(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.SketchAggs._
     val daily = Tables.orders(s, d)
       .groupBy(col("o_orderdate").as("day"))
       .agg(
-        hll_sketch_agg(col("o_custkey"), 12).as("sk"),
+        thetaAgg(col("o_custkey")).as("sk"),
         countDistinct(col("o_custkey")).as("exact_day"))
     daily
       .groupBy(date_format(col("day"), "yyyy-MM").as("month"))
       .agg(
         count(lit(1)).as("n_days"),
-        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_union"),
+        round(thetaEstimate(thetaUnionAgg(col("sk")))).cast("long").as("est_union"),
         sum(col("exact_day")).as("sum_daily"))
       .orderBy("month")
   }
@@ -201,14 +218,33 @@ object Sketches {
     "q_heavy_hitters"   -> (heavyHitters _),
   )
 
-  // q_sketch_union: rows-only driver check by design (see object doc) —
-  // tolerance + merge-law tests live in SketchSpec.
-  // q_theta_retention IS oracled: exact-mode theta estimates are integers
-  // equal to the true distinct counts (see thetaRetention doc).
-  // q_cms_freq IS oracled: the md5-slice hash makes the whole table
-  // SQL-reproducible (round 9). q_sketch_quantile IS oracled: the
+  // Every sketch rung IS oracled in its exact regime:
+  // q_theta_retention — exact-mode theta estimates are integers equal to
+  // the true distinct counts. q_cms_freq — the md5-slice hash makes the
+  // whole table SQL-reproducible (round 9). q_sketch_quantile — the
   // calendar bounds the item count below k at any scale (round 9).
+  // q_sketch_union — coupon-exact at lgK=21 far past the sf1 sweep
+  // (round 11; see HllLgK). The estimation regimes stay law-tested in
+  // SketchSpec.
   val oracle: Map[String, String] = Map(
+    "q_sketch_union" ->
+      """WITH dc AS (
+        |  SELECT o_orderdate AS day, count(DISTINCT o_custkey) AS exact_day
+        |  FROM orders GROUP BY o_orderdate
+        |), mc AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |         count(DISTINCT o_custkey) AS n_month
+        |  FROM orders GROUP BY 1
+        |), md AS (
+        |  SELECT strftime(day, '%Y-%m') AS month,
+        |         count(*) AS n_days, sum(exact_day) AS sum_daily
+        |  FROM dc GROUP BY 1
+        |)
+        |SELECT mc.month, CAST(md.n_days AS BIGINT) AS n_days,
+        |       CAST(mc.n_month AS BIGINT) AS est_union,
+        |       CAST(md.sum_daily AS BIGINT) AS sum_daily
+        |FROM mc JOIN md ON mc.month = md.month
+        |ORDER BY mc.month""".stripMargin,
     "q_theta_retention" ->
       """WITH mc AS (
         |  SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS month, o_custkey

@@ -114,6 +114,9 @@ class PlanBudgetSpec extends AnyFunSuite {
     ("q_dsir_weights", 5, 2),         // feature log-ratios broadcast, tf pre-reduced
     ("q_unigram_lm", 5, 2),           // vocabulary + total broadcast, tf pre-reduced
     ("q_heavy_hitters", 2, 0),        // per-lang sketches -> 1-row merge
+    ("q_sketch_union", 4, 0),         // day sketch agg -> month union rollup
+                                      // + ordered output (oracled r11)
+    ("q_approx_quantile", 2, 0),      // one GK aggregate + the ordered output
     ("q_scd2_dim", 2, 0),             // one customer-key exchange + final sort
     ("q_inverted_index", 3, 1),       // term shuffle + corpus-size broadcast
     ("q_chunk_overlap", 1, 0),        // pure flatMap; the sort is the only exchange

@@ -231,7 +231,7 @@ class PropertiesSpec extends AnyFunSuite {
     assert(viaSql.sameElements(viaApi))
   }
 
-  test("approx_count_distinct within 5% of exact") {
+  test("approx_count_distinct: within 5% of exact, and partition-invariant") {
     val approx = ops.Aggregations.approxDistinct(spark, sf)
       .select("event_type", "approx_users").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -242,6 +242,15 @@ class PropertiesSpec extends AnyFunSuite {
       val a = approx(t)
       assert(math.abs(a - n).toDouble / n <= 0.05, s"$t: approx $a vs exact $n")
     }
+    // the law that replaces an oracle (round 11 — Spark's HLL++ is
+    // dense-only, so NO cardinality makes the estimate exact; see
+    // approxDistinct's scaladoc): register-wise max is layout-independent,
+    // so the estimate must be bit-stable under any repartitioning
+    val reparted = Tables.events(spark, sf).repartition(7, col("ts"))
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(reparted == approx, "HLL++ estimate changed under repartitioning")
   }
 
   test("percentile_approx within 5% of the exact median") {
