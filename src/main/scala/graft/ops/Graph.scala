@@ -948,6 +948,15 @@ object Graph {
        |ORDER BY n.node""".stripMargin
   }
 
+  /** Depth bound for the oracle-side recursive shortest-path walks:
+    * |nation nodes| − 1 = 24, the longest possible shortest path on a
+    * 25-node graph (ADVICE r10 — previously a magic 24 that would
+    * silently truncate long paths if the node grain ever changed; the
+    * Spark side iterates relaxAll to the fixpoint, so only the oracle
+    * needed the bound made structural). */
+  private val NationNodes = 25
+  private def WalkDepthBound: Int = NationNodes - 1
+
   val oracle: Map[String, String] = Map(
     // the [[closeness]] oracle's depth-bounded recursive closure reaches
     // the same integer fixpoint; histogram, triangular cumsum, and the
@@ -969,7 +978,7 @@ object Graph {
          |  SELECT node, node, 0 FROM n
          |  UNION
          |  SELECT w.s0, u.dst, w.d + 1
-         |  FROM walk w JOIN und u ON u.src = w.node WHERE w.d < 24
+         |  FROM walk w JOIN und u ON u.src = w.node WHERE w.d < $WalkDepthBound
          |), sp AS (
          |  SELECT s0, node, CAST(min(d) AS BIGINT) AS dist
          |  FROM walk GROUP BY 1, 2
@@ -1063,7 +1072,7 @@ object Graph {
          |  SELECT node, node, 0 FROM n
          |  UNION
          |  SELECT w.s0, u.dst, w.d + 1
-         |  FROM walk w JOIN und u ON u.src = w.node WHERE w.d < 24
+         |  FROM walk w JOIN und u ON u.src = w.node WHERE w.d < $WalkDepthBound
          |), sp AS (
          |  SELECT s0, node, CAST(min(d) AS BIGINT) AS dist
          |  FROM walk GROUP BY 1, 2
