@@ -34,6 +34,7 @@ object SparkEntry {
       (ops.TrainingPrep.queries, ops.TrainingPrep.oracle),
       (ops.Curation.queries, ops.Curation.oracle),
       (ops.Graph.queries, ops.Graph.oracle),
+      (ops.SuffixOps.queries, ops.SuffixOps.oracle),
       (ops.TypedOps.queries, ops.TypedOps.oracle),
       (ops.Evaluation.queries, ops.Evaluation.oracle),
     )

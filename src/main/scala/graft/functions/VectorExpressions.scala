@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInput
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, StringType}
 
 /** Native Catalyst expression for float-vector dot products (builder-prompt
   * preference order (b): a codegen'd `Expression` beats the interpreted
@@ -196,6 +196,65 @@ case class MaxSimScore(first: Expression, second: Expression,
       fourth = newFourth)
 }
 
+/** Compiled common-prefix length of two string-array suffixes:
+  * `TokenLcp(a, b, pa, pb)` = the number of matching tokens of
+  * `a[pa..]` vs `b[pb..]` (0-based starts) — the per-adjacent-pair LCP
+  * of the suffix-array dedup rung (`ops.SuffixOps`). A HOF formulation
+  * (`transform(sequence(0, m-1), …)` + `array_position`) would evaluate
+  * interpreted lambdas per token per pair — the cost class
+  * [[MaxSimScore]]/[[FloatVectorDot]] exist to avoid; this is the same
+  * compiled-loop discipline on UTF8String equality.
+  *
+  * Null if any input is null. Out-of-range starts yield 0. Null array
+  * ELEMENTS terminate the match (tokens are non-null by construction —
+  * split() output). */
+case class TokenLcp(first: Expression, second: Expression,
+    third: Expression, fourth: Expression)
+    extends QuaternaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(ArrayType(StringType), ArrayType(StringType),
+    IntegerType, IntegerType)
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(a: Any, b: Any, pa: Any, pb: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val i0 = pa.asInstanceOf[Int]
+    val j0 = pb.asInstanceOf[Int]
+    val n = math.min(x.numElements() - i0, y.numElements() - j0)
+    var c = 0
+    while (c < n &&
+        !x.isNullAt(i0 + c) && !y.isNullAt(j0 + c) &&
+        x.getUTF8String(i0 + c) == y.getUTF8String(j0 + c)) {
+      c += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, pa, pb) => {
+      val n = ctx.freshName("n")
+      val c = ctx.freshName("c")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements() - $pa,
+         |                            $b.numElements() - $pb);
+         |int $c = 0;
+         |while ($c < $n &&
+         |    !$a.isNullAt($pa + $c) && !$b.isNullAt($pb + $c) &&
+         |    $a.getUTF8String($pa + $c).equals($b.getUTF8String($pb + $c))) {
+         |  $c++;
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression,
+      newFourth: Expression): TokenLcp =
+    copy(first = newFirst, second = newSecond, third = newThird,
+      fourth = newFourth)
+}
+
 object VectorExpressions {
   /** Dot product of two `array<float>` columns, accumulated in double. */
   def floatDot(a: Column, b: Column): Column =
@@ -204,6 +263,11 @@ object VectorExpressions {
   /** Dot product of two `array<double>` columns. */
   def doubleDot(a: Column, b: Column): Column =
     Bridge.column(DoubleVectorDot(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Common-prefix token count of a[pa..] vs b[pb..] (0-based starts). */
+  def tokenLcp(a: Column, b: Column, pa: Column, pb: Column): Column =
+    Bridge.column(TokenLcp(Bridge.expression(a), Bridge.expression(b),
+      Bridge.expression(pa), Bridge.expression(pb)))
 
   /** Compiled MaxSim late-interaction score of (qv, qsn) × (v, sn). */
   def maxsimScore(qv: Column, qsn: Column, v: Column, sn: Column,

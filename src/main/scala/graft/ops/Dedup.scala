@@ -1255,6 +1255,10 @@ object Dedup {
     * primitive (Lee et al. 2022, "Deduplicating Training Data Makes
     * Language Models Better"): long verbatim word spans shared across
     * documents are the memorization signal a suffix-array dedup removes.
+    * Since round 11 the TRUE arbitrary-length suffix-array formulation
+    * exists as [[SuffixOps.exactSubstrings]] (adjacent-SA LCP); this
+    * fixed-grain pass remains as the cheaper streaming-friendly screen,
+    * and the two agree at the 8-token grain (Round11OpsSpec replay).
     * The scalable Spark formulation counts every 8-word span across the
     * corpus and reports the spans recurring in ≥ 2 DISTINCT documents —
     * top-50 by occurrence with a deterministic (n_occ DESC, gram ASC)

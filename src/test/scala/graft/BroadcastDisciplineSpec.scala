@@ -168,6 +168,12 @@ class BroadcastDisciplineSpec extends AnyFunSuite {
     (("graft/ops/Similarity.scala", "var cand = once(base.crossJoin(broadcast(seed))"), 1),
     (("graft/ops/Similarity.scala", "vk = graft.util.Ckpt.stage(sd.crossJoin(broadcast(nrm))"), 1),
     (("graft/ops/Similarity.scala", "vk.crossJoin(broadcast(lastNrm))"), 1),
+    // ---- graft/ops/SuffixOps.scala — all bounded state: the 1-row
+    // position total, the <=256-row bucket-offset tables (x2 phases),
+    // and the value-domain-bounded token vocabulary ranks
+    (("graft/ops/SuffixOps.scala", ".crossJoin(broadcast(tot))"), 1),
+    (("graft/ops/SuffixOps.scala", "ranked.join(broadcast(offs), \"bkt\")"), 2),
+    (("graft/ops/SuffixOps.scala", "var r = once(t.join(broadcast(vocab), \"tok\")"), 1),
     // ---- graft/ops/Statistics.scala
     (("graft/ops/Statistics.scala", ".crossJoin(broadcast(ev.agg(sum(\"c1\").as(\"n1\"), sum(\"c2\").as(\"n2\"))))"), 1),
     (("graft/ops/Statistics.scala", ".crossJoin(broadcast(pooled))"), 1),

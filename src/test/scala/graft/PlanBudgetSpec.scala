@@ -114,6 +114,12 @@ class PlanBudgetSpec extends AnyFunSuite {
     ("q_dsir_weights", 5, 2),         // feature log-ratios broadcast, tf pre-reduced
     ("q_unigram_lm", 5, 2),           // vocabulary + total broadcast, tf pre-reduced
     ("q_heavy_hitters", 2, 0),        // per-lang sketches -> 1-row merge
+    ("q_suffix_array", 1, 1),         // SERVED suffix-array scan + the head
+                                      // join; the log(maxlen)-round build
+                                      // lives in the artifact job (r11)
+    ("q_exact_substrings", 6, 8),     // served SA scan + consecutive-rank
+                                      // self-join + two doc-words joins +
+                                      // threshold aggregate + 1-row total
     ("q_sketch_union", 4, 0),         // day sketch agg -> month union rollup
                                       // + ordered output (oracled r11)
     ("q_approx_quantile", 2, 0),      // one GK aggregate + the ordered output

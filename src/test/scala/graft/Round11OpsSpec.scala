@@ -98,4 +98,34 @@ class Round11OpsSpec extends AnyFunSuite {
       .map(r => r.getLong(1) -> r.getLong(3)).toMap
     assert(got == expect, "epoch-0 sampled positions diverge from brute rank")
   }
+
+  test("suffix array: distributed prefix doubling matches brute suffix sort") {
+    val sfs = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, sfs).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).split(" ").filter(_.nonEmpty).toSeq).toMap
+    // brute: all within-doc suffixes ordered by (token seq, doc_id, pos)
+    implicit val ord: Ordering[(Seq[String], Long, Int)] =
+      Ordering.Tuple3(Ordering.Implicits.seqOrdering[Seq, String],
+        Ordering.Long, Ordering.Int)
+    val suffixes = docs.toSeq.flatMap { case (id, ws) =>
+      ws.indices.map(p => (ws.drop(p), id, p))
+    }.sorted
+    // the stride-sampled SA must be exactly the brute order's stride rows
+    val got = ops.SuffixOps.suffixArray(spark, sfs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getString(3)))
+    val expect = suffixes.zipWithIndex.collect {
+      case ((ws, id, p), i) if i % 250 == 0 =>
+        (i.toLong, id, p, ws.take(3).mkString(" "))
+    }
+    assert(got.toSeq == expect, "SA stride sample diverges from brute sort")
+    // repeated positions at L=8 == brute 8-gram repetition set
+    val rep8 = suffixes.map(_._1.take(8)).filter(_.length == 8)
+      .groupBy(identity).filter(_._2.length >= 2).keySet
+    val expectN8 = suffixes.count(s => s._1.length >= 8 && rep8(s._1.take(8)))
+    val gotRows = ops.SuffixOps.exactSubstrings(spark, sfs).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(gotRows(8) == expectN8.toLong,
+      s"L=8 repeated positions: got ${gotRows(8)}, brute $expectN8")
+  }
 }

@@ -76,7 +76,12 @@ class WindowDisciplineSpec extends AnyFunSuite {
     // <= 50 candidate parts (bounded reservoir)
     ("graft/ops/TrainingPrep.scala", """val w = Window.orderBy(col("r").desc, col("l_partkey").asc)"""),
     // <= |event types| rows
-    ("graft/ops/TrainingPrep.scala", """val wr = Window.orderBy(col("rem").desc, col("event_type").asc)""")
+    ("graft/ops/TrainingPrep.scala", """val wr = Window.orderBy(col("rem").desc, col("event_type").asc)"""),
+    // distinct-token vocabulary rank (value-domain bounded lexicon)
+    ("graft/ops/SuffixOps.scala", """.withColumn("vr", row_number().over(Window.orderBy("tok")) - 1)"""),
+    // two-phase rank bucket-offset prefixes (<= 256 bucket rows each)
+    ("graft/ops/SuffixOps.scala", """val wb = Window.orderBy("bkt")"""),
+    ("graft/ops/SuffixOps.scala", """val wb = Window.orderBy("bkt")""")
   )
 
   test("every unpartitioned Window.orderBy site is enumerated with a domain bound") {
