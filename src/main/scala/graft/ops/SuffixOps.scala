@@ -168,16 +168,7 @@ object SuffixOps {
     * keyed join (never broadcast), a 5×-exploded threshold aggregate,
     * and the 1-row total broadcast. */
   def exactSubstrings(s: SparkSession, d: String): DataFrame = {
-    val sa = saServed(s, d)
-    val dw = once(docWords(s, d))
-    val b = sa.select((col("sa") - 1).as("sa"), col("doc_id").as("db"),
-      col("pos").as("pb"))
-    val pairs = sa.join(b, "sa")
-      .join(dw, "doc_id")
-      .join(dw.select(col("doc_id").as("db"), col("ws").as("wb")), "db")
-      .withColumn("lcp", graft.functions.VectorExpressions.tokenLcp(
-        col("ws"), col("wb"), col("pos"), col("pb")))
-      .select(col("doc_id"), col("pos"), col("db"), col("pb"), col("lcp"))
+    val pairs = lcpPairs(s, d)
     val rep = pairs.select(col("doc_id"), col("pos"), col("lcp"))
       .union(pairs.select(col("db"), col("pb"), col("lcp")))
       .groupBy("doc_id", "pos").agg(max("lcp").as("rep"))
@@ -193,9 +184,104 @@ object SuffixOps {
       .orderBy("l")
   }
 
+  /** Adjacent-SA pairs with their LCPs — the shared back end of
+    * [[exactSubstrings]], [[longestRepeat]] and [[spanMask]]. */
+  private def lcpPairs(s: SparkSession, d: String): DataFrame = {
+    val sa = saServed(s, d)
+    val dw = once(docWords(s, d))
+    val b = sa.select((col("sa") - 1).as("sa"), col("doc_id").as("db"),
+      col("pos").as("pb"))
+    sa.join(b, "sa")
+      .join(dw, "doc_id")
+      .join(dw.select(col("doc_id").as("db"), col("ws").as("wb")), "db")
+      .withColumn("lcp", graft.functions.VectorExpressions.tokenLcp(
+        col("ws"), col("wb"), col("pos"), col("pb")))
+      .select(col("doc_id"), col("pos"), col("db"), col("pb"), col("lcp"))
+  }
+
+  /** The longest repeated token span in the corpus (the LRS witness the
+    * suffix array makes computable at all — max adjacent LCP): its
+    * length, how many SA-adjacent pairs attain it, the earliest
+    * (doc_id, pos) occurrence, and the span text itself — the artifact
+    * a curation owner actually eyeballs ("what IS the most-duplicated
+    * passage?").
+    *
+    * Determinism: the max is an exact integer; the witness is the
+    * minimum (doc_id, pos) among attaining pairs' LEFT elements; the
+    * text is a byte-exact space join. Scale shape: rides [[lcpPairs]]
+    * (one consecutive-rank self-join) + a 1-row max broadcast; the
+    * witness text is one doc-bounded slice. */
+  def longestRepeat(s: SparkSession, d: String): DataFrame = {
+    val pairs = once(lcpPairs(s, d))
+    val mx = pairs.agg(max("lcp").as("lcp"))
+    val attain = pairs.join(broadcast(mx), "lcp")
+    val wit = attain
+      .groupBy("lcp")
+      .agg(count(lit(1)).as("n_pairs"),
+        min(struct(col("doc_id"), col("pos"))).as("w"))
+      .select(col("lcp"), col("n_pairs"),
+        col("w.doc_id").as("doc_id"), col("w.pos").as("pos"))
+    wit.join(docWords(s, d), "doc_id")
+      .select(col("lcp"), col("n_pairs"), col("doc_id"), col("pos"),
+        concat_ws(" ", slice(col("ws"), col("pos") + 1, col("lcp"))).as("span"))
+  }
+
+  /** Span-length threshold for [[spanMask]]: repeats of ≥ 16 tokens are
+    * the "long verbatim passage" grain Lee et al. cut (their 50-BPE ≈
+    * a few dozen words; 16 keeps the fixture populated while clearly
+    * above the idiom/collocation range the 4/8 rows of
+    * [[exactSubstrings]] report). */
+  private val MaskL = 16
+
+  /** The ENFORCEMENT rung of exact-substring dedup — what to actually
+    * cut: every position covered by some repeated span of length ≥
+    * [[MaskL]] (start p has neighbor-LCP ≥ MaskL ⇒ positions
+    * [p, p+lcp) are covered), merged into per-doc intervals by interval
+    * union, reported as the corpus masking bill: affected docs, merged
+    * intervals, masked tokens, total tokens, masked ppm. The
+    * detection → enforcement split mirrors q_k_anonymity →
+    * q_k_anon_enforce.
+    *
+    * Determinism: starts and extents are exact integers; interval union
+    * is the running-max islands recipe (per-doc window over positions —
+    * partitioned, doc-bounded); ppm one integer division. Scale shape:
+    * rides [[lcpPairs]]; the union window partitions by doc_id; one
+    * ≤5-row reduce + the 1-row token total broadcast. */
+  def spanMask(s: SparkSession, d: String): DataFrame = {
+    val pairs = lcpPairs(s, d)
+    val starts = pairs.select(col("doc_id"), col("pos"), col("lcp"))
+      .union(pairs.select(col("db"), col("pb"), col("lcp")))
+      .groupBy("doc_id", "pos").agg(max("lcp").as("rep"))
+      .filter(col("rep") >= MaskL)
+      .select(col("doc_id"), col("pos").as("lo"),
+        (col("pos") + col("rep")).as("hi"))
+    val w = Window.partitionBy("doc_id").orderBy("lo", "hi")
+    val islands = starts
+      .withColumn("runhi", max("hi").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("newisl",
+        (col("runhi").isNull || col("lo") > col("runhi")).cast("int"))
+      .withColumn("isl", sum("newisl").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "isl")
+      .agg(min("lo").as("lo"), max("hi").as("hi"))
+    val tot = docWords(s, d)
+      .agg(sum(size(col("ws"))).as("total_tokens"))
+    islands
+      .agg(countDistinct("doc_id").as("n_docs"),
+        count(lit(1)).as("n_intervals"),
+        sum(col("hi") - col("lo")).as("masked_tokens"))
+      .crossJoin(broadcast(tot))
+      .select(col("n_docs"), col("n_intervals"), col("masked_tokens"),
+        col("total_tokens"),
+        expr("masked_tokens * 1000000 div total_tokens").as("masked_ppm"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_suffix_array" -> (suffixArray _),
     "q_exact_substrings" -> (exactSubstrings _),
+    "q_longest_repeat" -> (longestRepeat _),
+    "q_span_mask" -> (spanMask _),
   )
 
   /** Shared oracle prefix: filtered word lists → one row per suffix with
@@ -217,29 +303,76 @@ object SuffixOps {
       |  FROM s
       |)""".stripMargin
 
+  /** The pr → lc CTE pair (adjacent-SA pairs + exact LCPs) shared by the
+    * three LCP-consuming oracles. */
+  private def lcpCtes: String =
+    """pr AS (
+      |  SELECT a.doc_id AS da, a.pos AS pa, a.slen AS la, a.ws AS wa,
+      |         b.doc_id AS db, b.pos AS pb, b.slen AS lb, b.ws AS wb
+      |  FROM r a JOIN r b ON b.sa = a.sa + 1
+      |), lc AS (
+      |  SELECT da, pa, db, pb,
+      |         -- list_position yields 0 (this build) when no mismatch
+      |         -- exists: nullif routes the fully-matching case to the
+      |         -- min-suffix-length arm
+      |         coalesce(nullif(list_position(
+      |             list_transform(range(1, least(la, lb) + 1),
+      |               i -> wa[pa + i] IS NOT DISTINCT FROM wb[pb + i]),
+      |             false), 0) - 1,
+      |           least(la, lb)) AS lcp
+      |  FROM pr
+      |)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_longest_repeat" ->
+      s"""WITH $suffixCtes, $lcpCtes,
+         |mx AS (SELECT max(lcp) AS lcp FROM lc),
+         |at AS (SELECT lc.* FROM lc JOIN mx ON lc.lcp = mx.lcp),
+         |wit AS (SELECT lcp, da, pa FROM at ORDER BY da, pa LIMIT 1),
+         |np AS (SELECT count(*) AS n_pairs FROM at)
+         |SELECT wit.lcp, CAST(np.n_pairs AS BIGINT) AS n_pairs,
+         |       wit.da AS doc_id, CAST(wit.pa AS INTEGER) AS pos,
+         |       array_to_string(w.ws[wit.pa + 1:wit.pa + wit.lcp], ' ') AS span
+         |FROM wit, np JOIN w ON w.doc_id = wit.da""".stripMargin,
+    "q_span_mask" ->
+      s"""WITH $suffixCtes, $lcpCtes,
+         |rp AS (
+         |  SELECT doc_id, pos, max(lcp) AS rep FROM (
+         |    SELECT da AS doc_id, pa AS pos, lcp FROM lc
+         |    UNION ALL SELECT db, pb, lcp FROM lc) u
+         |  GROUP BY 1, 2
+         |), st AS (
+         |  SELECT doc_id, pos AS lo, pos + rep AS hi FROM rp WHERE rep >= 16
+         |), g AS (
+         |  SELECT doc_id, lo, hi,
+         |         CASE WHEN lo > coalesce(max(hi) OVER (
+         |                PARTITION BY doc_id ORDER BY lo, hi
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |              -1) THEN 1 ELSE 0 END AS newisl
+         |  FROM st
+         |), gi AS (
+         |  SELECT doc_id, lo, hi,
+         |         sum(newisl) OVER (PARTITION BY doc_id ORDER BY lo, hi
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+         |  FROM g
+         |), iv AS (
+         |  SELECT doc_id, isl, min(lo) AS lo, max(hi) AS hi
+         |  FROM gi GROUP BY 1, 2
+         |), tot AS (SELECT sum(len(ws)) AS total_tokens FROM w)
+         |SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |       CAST(count(*) AS BIGINT) AS n_intervals,
+         |       CAST(sum(hi - lo) AS BIGINT) AS masked_tokens,
+         |       CAST(tot.total_tokens AS BIGINT) AS total_tokens,
+         |       CAST(sum(hi - lo) * 1000000 // tot.total_tokens AS BIGINT)
+         |         AS masked_ppm
+         |FROM iv, tot GROUP BY tot.total_tokens""".stripMargin,
     "q_suffix_array" ->
       s"""WITH $suffixCtes
          |SELECT CAST(sa AS BIGINT) AS sa, doc_id, CAST(pos AS INTEGER) AS pos,
          |       array_to_string(ws[pos + 1:pos + 3], ' ') AS head
          |FROM r WHERE sa % $SaStride = 0 ORDER BY sa""".stripMargin,
     "q_exact_substrings" ->
-      s"""WITH $suffixCtes, pr AS (
-         |  SELECT a.doc_id AS da, a.pos AS pa, a.slen AS la, a.ws AS wa,
-         |         b.doc_id AS db, b.pos AS pb, b.slen AS lb, b.ws AS wb
-         |  FROM r a JOIN r b ON b.sa = a.sa + 1
-         |), lc AS (
-         |  SELECT da, pa, db, pb,
-         |         -- list_position yields 0 (this build) when no mismatch
-         |         -- exists: nullif routes the fully-matching case to the
-         |         -- min-suffix-length arm
-         |         coalesce(nullif(list_position(
-         |             list_transform(range(1, least(la, lb) + 1),
-         |               i -> wa[pa + i] IS NOT DISTINCT FROM wb[pb + i]),
-         |             false), 0) - 1,
-         |           least(la, lb)) AS lcp
-         |  FROM pr
-         |), rep AS (
+      s"""WITH $suffixCtes, $lcpCtes, rep AS (
          |  SELECT doc_id, pos, max(lcp) AS rep FROM (
          |    SELECT da AS doc_id, pa AS pos, lcp FROM lc
          |    UNION ALL SELECT db, pb, lcp FROM lc) u

@@ -171,7 +171,8 @@ class BroadcastDisciplineSpec extends AnyFunSuite {
     // ---- graft/ops/SuffixOps.scala — all bounded state: the 1-row
     // position total, the <=256-row bucket-offset tables (x2 phases),
     // and the value-domain-bounded token vocabulary ranks
-    (("graft/ops/SuffixOps.scala", ".crossJoin(broadcast(tot))"), 1),
+    (("graft/ops/SuffixOps.scala", ".crossJoin(broadcast(tot))"), 2),
+    (("graft/ops/SuffixOps.scala", "val attain = pairs.join(broadcast(mx), \"lcp\")"), 1),
     (("graft/ops/SuffixOps.scala", "ranked.join(broadcast(offs), \"bkt\")"), 2),
     (("graft/ops/SuffixOps.scala", "var r = once(t.join(broadcast(vocab), \"tok\")"), 1),
     // ---- graft/ops/Statistics.scala

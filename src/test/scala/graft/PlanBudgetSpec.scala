@@ -120,6 +120,10 @@ class PlanBudgetSpec extends AnyFunSuite {
     ("q_exact_substrings", 6, 8),     // served SA scan + consecutive-rank
                                       // self-join + two doc-words joins +
                                       // threshold aggregate + 1-row total
+    ("q_longest_repeat", 2, 4),       // LCP pairs off the served SA + the
+                                      // 1-row max broadcast + witness slice
+    ("q_span_mask", 4, 4),            // LCP pairs + per-doc interval-union
+                                      // windows + 1-row token total
     ("q_sketch_union", 4, 0),         // day sketch agg -> month union rollup
                                       // + ordered output (oracled r11)
     ("q_approx_quantile", 2, 0),      // one GK aggregate + the ordered output
