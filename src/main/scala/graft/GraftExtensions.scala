@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{FloatVectorDot, StringNgrams}
+import graft.functions.{FloatVectorDot, MaxSimScore, StringNgrams, TokenLcp}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -33,6 +33,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("ngrams_ws"),
       GraftExtensions.info("ngrams_ws", "ngrams_ws(words, n) - space-joined word n-grams"),
       GraftExtensions.ngramsBuilder))
+    e.injectFunction((FunctionIdentifier("maxsim_score"),
+      GraftExtensions.info("maxsim_score", "maxsim_score(qv, qsn, v, sn, subs, subdim) - compiled late-interaction MaxSim score"),
+      GraftExtensions.maxsimBuilder))
+    e.injectFunction((FunctionIdentifier("token_lcp"),
+      GraftExtensions.info("token_lcp", "token_lcp(a, b, pa, pb) - common-prefix token count of two array suffixes"),
+      GraftExtensions.tokenLcpBuilder))
   }
 }
 
@@ -43,6 +49,19 @@ object GraftExtensions {
   private val floatDotBuilder: Seq[Expression] => Expression =
     args => FloatVectorDot(args(0), args(1))
 
+  private def litInt(e: Expression, what: String): Int = e.eval() match {
+    case i: Int => i
+    case l: Long => l.toInt
+    case other => sys.error(s"$what must be a literal integer, got $other")
+  }
+
+  private val maxsimBuilder: Seq[Expression] => Expression = args =>
+    MaxSimScore(args(0), args(1), args(2), args(3),
+      litInt(args(4), "maxsim_score: subs"), litInt(args(5), "maxsim_score: subdim"))
+
+  private val tokenLcpBuilder: Seq[Expression] => Expression = args =>
+    TokenLcp(args(0), args(1), args(2), args(3))
+
   private val ngramsBuilder: Seq[Expression] => Expression = args => {
     val n = args(1).eval() match {
       case i: Int => i
@@ -52,9 +71,11 @@ object GraftExtensions {
     StringNgrams(args(0), n)
   }
 
-  /** Register both functions on an already-built session. */
+  /** Register the engine's SQL functions on an already-built session. */
   def register(spark: SparkSession): Unit = {
     Bridge.registerFunction(spark, "float_dot", floatDotBuilder)
     Bridge.registerFunction(spark, "ngrams_ws", ngramsBuilder)
+    Bridge.registerFunction(spark, "maxsim_score", maxsimBuilder)
+    Bridge.registerFunction(spark, "token_lcp", tokenLcpBuilder)
   }
 }

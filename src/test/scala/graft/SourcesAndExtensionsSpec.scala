@@ -172,6 +172,27 @@ class SourcesAndExtensionsSpec extends AnyFunSuite {
       "SELECT ngrams_ws(split(text, ' '), 3) AS g FROM docs_ext WHERE doc_id = 0")
       .head.getSeq[String](0)
     assert(tri.nonEmpty && tri.head.split(" ").length === 3)
+
+    // r11 expressions: self-MaxSim of a unit-structured vector is subs
+    // (8), and a suffix's LCP with itself is its remaining length
+    val ms = spark.sql(
+      """SELECT maxsim_score(embedding,
+        |  transform(sequence(0, 7), i ->
+        |    sqrt(aggregate(slice(embedding, i * 8 + 1, 8), CAST(0.0 AS DOUBLE),
+        |      (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))),
+        |  embedding,
+        |  transform(sequence(0, 7), i ->
+        |    sqrt(aggregate(slice(embedding, i * 8 + 1, 8), CAST(0.0 AS DOUBLE),
+        |      (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))),
+        |  8, 8) AS s
+        |FROM emb_ext ORDER BY vec_id LIMIT 3""".stripMargin)
+      .collect().map(_.getDouble(0))
+    assert(ms.nonEmpty && ms.forall(v => math.abs(v - 8.0) < 1e-9))
+    val lcp = spark.sql(
+      "SELECT token_lcp(split(text, ' '), split(text, ' '), 2, 2) AS l, " +
+        "size(split(text, ' ')) - 2 AS want FROM docs_ext WHERE doc_id = 0")
+      .head
+    assert(lcp.getInt(0) === lcp.getInt(1))
   }
 
   test("Observation API: pipeline metrics ride the action, no second scan") {
