@@ -13,11 +13,13 @@ import org.apache.spark.sql.functions._
   * PREFIX DOUBLING (Manber–Myers; the standard MapReduce/Spark SA
   * construction): round k knows each suffix's rank by its first k tokens,
   * and one equi-join on (doc_id, pos+k) + one dense re-rank doubles that
-  * to 2k — ⌈log₂ maxDocLen⌉ rounds total, each a keyed join plus the
-  * two-phase bucketed rank (NEVER an unpartitioned window over the
-  * corpus: bucket by the previous rank's range, rank within bucket,
-  * broadcast the ≤[[RankBuckets]]-row offset table — the ltvDecile /
-  * q_epoch_order discipline). Suffixes never cross documents (each stops
+  * to 2k — ⌈log₂ maxDocLen⌉ rounds total (early-exited once every rank
+  * is distinct), each a keyed join plus a SAMPLED-BOUNDS bucketed rank
+  * (NEVER an unpartitioned window over the corpus, and never a window
+  * whose partition can exceed the sampled-quantile grain: rank within
+  * each bounds bucket, broadcast the ≤[[RankBuckets]]-row offset
+  * table — see [[denseRank2]]). Suffixes never cross documents (each
+  * stops
   * at its doc's end, the Lee et al. "Deduplicating Training Data"
   * setting), so the only row payload wider than three integers — the
   * doc's token array, needed once at the final LCP step — is bounded by
@@ -41,7 +43,8 @@ import org.apache.spark.sql.functions._
   */
 object SuffixOps {
 
-  /** Bucket count for the two-phase dense rank / row_number phases. */
+  /** Range-partition count for the split-key dense rank / row_number
+    * phases ([[denseRank2]], [[saTotal]]). */
   private val RankBuckets = 256
   /** Every [[SaStride]]-th suffix rank is emitted by [[suffixArray]]
     * (the audit is a deterministic sample; the FULL order exists and is
@@ -66,13 +69,85 @@ object SuffixOps {
     docWords(s, d).select(col("doc_id"), posexplode(col("ws")))
       .toDF("doc_id", "pos", "tok")
 
-  /** Two-phase dense rank of (r1, r2) pairs, 0-based: bucket by r1's
-    * position in [0, n) — r1 IS a prior dense rank, so equal keys can
-    * never straddle buckets — dense_rank within each bucket, and add
-    * back the cumulative per-bucket distinct-key offsets (≤
-    * [[RankBuckets]] rows, broadcast). */
-  private def denseRank2(df: DataFrame, n: Long): DataFrame = {
-    val b = df.withColumn("bkt", expr(s"r1 * $RankBuckets div $n").cast("int"))
+  /** Sample size per output bucket for [[sampleBounds]] — the
+    * RangePartitioner convention (~100 sample points per partition
+    * bound the max-bucket/ideal ratio to a small constant whp). */
+  private val SamplePerBucket = 100
+
+  /** Sampled range boundaries over `keyed` (the key columns only, all
+    * integral): a deterministic-seed Bernoulli sample collected to the
+    * driver (≤ [[RankBuckets]]·[[SamplePerBucket]] expected rows — a
+    * constant, never data-proportional), sorted lexicographically,
+    * thinned to the [[RankBuckets]]-quantile points. The caller must
+    * pass a STAGED frame (it is consumed once here and once by the
+    * rank pass). */
+  private def sampleBounds(keyed: DataFrame, n: Long): IndexedSeq[Seq[Long]] = {
+    val frac = math.min(1.0,
+      (RankBuckets.toDouble * SamplePerBucket) / math.max(n.toDouble, 1.0))
+    val s = keyed.sample(withReplacement = false, frac, seed = 42L)
+      .collect()
+      .map(r => r.toSeq.map(_.asInstanceOf[Number].longValue): Seq[Long])
+    if (s.isEmpty) IndexedSeq.empty
+    else {
+      val sorted = s.sortBy(k => k)(math.Ordering.Implicits.seqOrdering)
+      val L = sorted.length
+      (1 until RankBuckets).map { i =>
+        sorted(math.min(L - 1, math.max(0, (i.toLong * L / RankBuckets).toInt)))
+      }
+    }
+  }
+
+  /** Lexicographic `key <= bound` as a Column (bound is a literal). */
+  private def keyLeq(key: Seq[Column], bound: Seq[Long]): Column = {
+    def go(i: Int): Column =
+      if (i == key.length - 1) key(i) <= lit(bound(i))
+      else (key(i) < lit(bound(i))) ||
+        (key(i) === lit(bound(i)) && go(i + 1))
+    go(0)
+  }
+
+  /** Order-aligned bucket id from sampled bounds, as a PURE FUNCTION OF
+    * THE DATA: a balanced binary-search CASE tree over the ≤255 literal
+    * boundary keys — ⌈log₂ [[RankBuckets]]⌉ codegen'd comparisons per
+    * row, no physical-partitioning dependence. (The first cut of this
+    * fix used `repartitionByRange` + `spark_partition_id()`: under AQE
+    * the offs branch and the row branch of the downstream self-join
+    * each get their OWN shuffle read of the reused exchange, so the
+    * nondeterministic partition id mapped differently on the two
+    * branches and the assembled ranks drifted — caught by the sf1
+    * sweep. A bucket id computed from the row's own key cannot
+    * disagree with itself across branches.) Equal keys share a bucket
+    * by construction, so per-bucket ranks compose exactly; ranks
+    * depend only on the key ORDER, not on where the sampled bounds
+    * fall. */
+  private def withRangeBuckets(df: DataFrame, keys: Seq[String], n: Long): DataFrame = {
+    val key = keys.map(col)
+    val bounds = sampleBounds(df.select(key: _*), n)
+    def tree(lo: Int, hi: Int): Column =
+      if (lo >= hi) lit(lo)
+      else {
+        val mid = (lo + hi) / 2
+        when(keyLeq(key, bounds(mid)), tree(lo, mid)).otherwise(tree(mid + 1, hi))
+      }
+    val bkt = if (bounds.isEmpty) lit(0) else tree(0, bounds.length)
+    df.withColumn("bkt", bkt)
+  }
+
+  /** Two-phase dense rank of (r1, r2) pairs, 0-based, bucketed by
+    * SAMPLED RANGE BOUNDS (VERDICT r11 item 1 — the r11 bucket key
+    * `r1 * 256 div tokenCount` collapsed early doubling rounds into
+    * bucket 0 because round 1's rank domain is only the vocabulary;
+    * sampling the actual key distribution keeps every round's buckets
+    * ≈ rows/[[RankBuckets]] regardless of the rank domain): dense_rank
+    * within each bucket, plus the cumulative per-bucket distinct-key
+    * offsets (≤ [[RankBuckets]] rows, broadcast). Residual skew is
+    * value-inherent only: equal keys must co-locate, so a bucket is
+    * bounded by max(rows/[[RankBuckets]], hottest-key multiplicity) —
+    * for doubling round k the hottest 2k-token prefix count, which
+    * decays geometrically in k. `df` must be STAGED by the caller (it
+    * feeds both the bounds sample and the rank pass). */
+  private[graft] def denseRank2(df: DataFrame, n: Long): DataFrame = {
+    val b = withRangeBuckets(df, Seq("r1", "r2"), n)
     val w = Window.partitionBy("bkt").orderBy("r1", "r2")
     val ranked = b.withColumn("dr", dense_rank().over(w))
     // ≤256 bucket rows: the value-domain-bounded unpartitioned window class
@@ -84,9 +159,33 @@ object SuffixOps {
       .select(col("doc_id"), col("pos"), (col("off") + col("dr") - 1).as("rank"))
   }
 
+  /** Per-round construction telemetry for the partition-balance gate
+    * ([[graft.SuffixArrayBalanceSpec]]) and SCALE.md's round curve:
+    * doubling round, prefix length k entering the round, rank
+    * cardinality LEAVING the round, max rows any one rank bucket
+    * received, and wall ms (measurement path only — includes the
+    * histogram job's own cost). */
+  private[graft] final case class SaRound(
+      round: Int, k: Long, card: Long, rows: Long, maxBucketRows: Long,
+      wallMs: Long)
+
   /** The suffix-rank frame (doc_id, pos, rank): rank compares full
     * within-doc token suffixes; equal ranks ⇔ identical suffixes. */
-  private def suffixRanks(s: SparkSession, d: String): DataFrame = {
+  private def suffixRanks(s: SparkSession, d: String): DataFrame =
+    suffixRanksImpl(s, d, None)
+
+  /** Measurement twin of [[suffixRanks]]: same construction, plus a
+    * per-round bucket histogram — the evidence that no doubling round
+    * concentrates the corpus in one task (VERDICT r11 items 1+8).
+    * Bypasses [[saServed]] deliberately: it must measure the BUILD. */
+  private[graft] def suffixRoundStats(s: SparkSession, d: String): Seq[SaRound] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[SaRound]
+    suffixRanksImpl(s, d, Some(buf)).count()
+    buf.toSeq
+  }
+
+  private def suffixRanksImpl(s: SparkSession, d: String,
+      statsTo: Option[scala.collection.mutable.ArrayBuffer[SaRound]]): DataFrame = {
     val t = once(tokens(s, d))
     val stats = t.groupBy("doc_id").agg(count(lit(1)).as("len"))
       .agg(sum("len").as("n"), max("len").as("maxlen")).head()
@@ -94,19 +193,39 @@ object SuffixOps {
     val maxLen = stats.getLong(1)
     // round 0: rank by first token — the vocabulary is value-domain
     // bounded, so the distinct-token rank is a safe unpartitioned window
-    val vocab = t.select("tok").distinct()
-      .withColumn("vr", row_number().over(Window.orderBy("tok")) - 1)
+    val vocab = once(t.select("tok").distinct()
+      .withColumn("vr", row_number().over(Window.orderBy("tok")) - 1))
+    // rank cardinality carried round to round: it is the bucket key's
+    // denominator (round 1: the vocabulary size), and card == n means
+    // every suffix already has a distinct rank — the order is final and
+    // the remaining doubling rounds are identity re-ranks, so stop
+    var card = vocab.count()
     var r = once(t.join(broadcast(vocab), "tok")
       .select(col("doc_id"), col("pos"), col("vr").cast("long").as("rank")))
     var k = 1L
-    while (k < maxLen) {
+    var round = 1
+    while (k < maxLen && card < n) {
+      val t0 = System.nanoTime()
       val nxt = r.select(col("doc_id"), (col("pos") - lit(k)).as("pos"),
         col("rank").as("r2n"))
-      val paired = r.join(nxt, Seq("doc_id", "pos"), "left")
+      // staged: consumed by the bounds sample AND the rank pass (and by
+      // the stats histogram in measurement mode)
+      val paired = once(r.join(nxt, Seq("doc_id", "pos"), "left")
         .select(col("doc_id"), col("pos"), col("rank").as("r1"),
-          coalesce(col("r2n"), lit(-1L)).as("r2"))
+          coalesce(col("r2n"), lit(-1L)).as("r2")))
+      val mxRows = statsTo.map { _ =>
+        // same staged frame + same fixed seed ⇒ the histogram measures
+        // exactly the bucket assignment the build uses
+        withRangeBuckets(paired, Seq("r1", "r2"), n)
+          .groupBy("bkt").agg(count(lit(1)).as("c"))
+          .agg(max("c")).head().getLong(0)
+      }
       r = once(denseRank2(paired, n))
+      card = r.agg(max("rank")).head().getLong(0) + 1
+      statsTo.foreach(_ += SaRound(round, k, card, n, mxRows.get,
+        (System.nanoTime() - t0) / 1000000L))
       k *= 2
+      round += 1
     }
     r
   }
@@ -124,12 +243,17 @@ object SuffixOps {
     }
 
   /** Total SA order (doc_id, pos, sa 0-based): the [[suffixRanks]] frame
-    * row_numbered by (rank, doc_id, pos) with the same two-phase bucket
-    * discipline (row_number instead of dense_rank; n = token count). */
+    * row_numbered by (rank, doc_id, pos) under the same sampled-bounds
+    * bucket discipline as [[denseRank2]] — the full key is UNIQUE
+    * ((doc_id, pos) is a tiebreak), so a dup-heavy corpus (many equal
+    * full suffixes ⇒ hot rank values) still spreads across buckets:
+    * balance comes from the sampled key distribution, not from
+    * rank-value spread. Plain cumulative per-bucket counts are the
+    * exact offsets (≤ [[RankBuckets]] rows, broadcast). */
   private def saTotal(s: SparkSession, d: String): DataFrame = {
     val r = once(suffixRanks(s, d))
     val n = math.max(r.count(), 1L)
-    val b = r.withColumn("bkt", expr(s"rank * $RankBuckets div $n").cast("int"))
+    val b = withRangeBuckets(r, Seq("rank", "doc_id", "pos"), n)
     val w = Window.partitionBy("bkt").orderBy("rank", "doc_id", "pos")
     val ranked = b.withColumn("rn", row_number().over(w))
     val wb = Window.orderBy("bkt")
@@ -180,7 +304,11 @@ object SuffixOps {
         countDistinct(when(col("rep") >= col("l"), col("doc_id"))).as("n_docs"))
       .crossJoin(broadcast(tot))
       .select(col("l"), col("n_pos"), col("n_docs"),
-        expr("n_pos * 1000000 div total").as("pos_ppm"))
+        // total>0 guard (ADVICE r11): on a ≤1-suffix corpus the rep
+        // frame is empty — no row reaches this projection today, but
+        // the contract must not depend on that
+        expr("case when total > 0 then n_pos * 1000000 div total else 0 end")
+          .as("pos_ppm"))
       .orderBy("l")
   }
 
@@ -248,6 +376,29 @@ object SuffixOps {
     * rides [[lcpPairs]]; the union window partitions by doc_id; one
     * ≤5-row reduce + the 1-row token total broadcast. */
   def spanMask(s: SparkSession, d: String): DataFrame = {
+    val tot = docWords(s, d)
+      .agg(sum(size(col("ws"))).as("total_tokens"))
+    maskIslands(s, d)
+      // coalesce + the total>0 guard: on a corpus with NO repeat ≥
+      // [[MaskL]] the global aggregate must emit an explicit zero row
+      // (not NULLs), matching the oracle's agg-subquery cross join —
+      // fixture-independence of the contract (ADVICE r11)
+      .agg(countDistinct("doc_id").as("n_docs"),
+        count(lit(1)).as("n_intervals"),
+        coalesce(sum(col("hi") - col("lo")), lit(0L)).as("masked_tokens"))
+      .crossJoin(broadcast(tot))
+      .select(col("n_docs"), col("n_intervals"), col("masked_tokens"),
+        col("total_tokens"),
+        expr("case when total_tokens > 0 then masked_tokens * 1000000 div total_tokens else 0 end")
+          .as("masked_ppm"))
+  }
+
+  /** The merged per-doc masked intervals [lo, hi) — [[spanMask]]'s
+    * islands frame, shared with [[spanEnforce]]: every position whose
+    * neighbor-LCP is ≥ [[MaskL]] opens a covered extent, extents union
+    * into disjoint intervals by the running-max islands recipe (per-doc
+    * window over positions — partitioned, doc-bounded). */
+  private def maskIslands(s: SparkSession, d: String): DataFrame = {
     val pairs = lcpPairs(s, d)
     val starts = pairs.select(col("doc_id"), col("pos"), col("lcp"))
       .union(pairs.select(col("db"), col("pb"), col("lcp")))
@@ -256,7 +407,7 @@ object SuffixOps {
       .select(col("doc_id"), col("pos").as("lo"),
         (col("pos") + col("rep")).as("hi"))
     val w = Window.partitionBy("doc_id").orderBy("lo", "hi")
-    val islands = starts
+    starts
       .withColumn("runhi", max("hi").over(
         w.rowsBetween(Window.unboundedPreceding, -1)))
       .withColumn("newisl",
@@ -265,16 +416,39 @@ object SuffixOps {
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy("doc_id", "isl")
       .agg(min("lo").as("lo"), max("hi").as("hi"))
-    val tot = docWords(s, d)
-      .agg(sum(size(col("ws"))).as("total_tokens"))
-    islands
-      .agg(countDistinct("doc_id").as("n_docs"),
-        count(lit(1)).as("n_intervals"),
-        sum(col("hi") - col("lo")).as("masked_tokens"))
-      .crossJoin(broadcast(tot))
-      .select(col("n_docs"), col("n_intervals"), col("masked_tokens"),
-        col("total_tokens"),
-        expr("masked_tokens * 1000000 div total_tokens").as("masked_ppm"))
+  }
+
+  /** The enforcement twin of [[spanMask]] (VERDICT r11 item 5 — the
+    * q_k_anonymity → q_k_anon_enforce symmetry): MATERIALIZE the masked
+    * corpus. Every doc comes back with its repeated-span intervals cut
+    * (the Lee et al. pipeline's actual output): total/masked/kept token
+    * counts and the kept text. masked_tokens is computed from the
+    * INTERVAL SUM while the oracle derives it as total − kept from its
+    * position anti-join — the cross-engine hash is itself the
+    * reconciliation proof, and [[graft.Round12OpsSpec]] pins the
+    * masked + kept = total law per row.
+    *
+    * Determinism: interval algebra is exact integers; kept text is a
+    * byte-exact space join of the surviving tokens in position order.
+    * Scale shape: rides [[maskIslands]] (doc-bounded intervals,
+    * collect_list per doc bounded by doc length), one doc_id equi-join
+    * against the corpus, and a row-local indexed-filter HOF — no
+    * exchange beyond the islands frame's own; output is one row per
+    * document, the size of the corpus being curated. */
+  def spanEnforce(s: SparkSession, d: String): DataFrame = {
+    val ivs = maskIslands(s, d)
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("lo"), col("hi")))).as("ivs"),
+        sum(col("hi") - col("lo")).as("m"))
+    docWords(s, d).join(ivs, Seq("doc_id"), "left")
+      .withColumn("kept", when(col("ivs").isNull, col("ws")).otherwise(
+        expr("filter(ws, (x, i) -> NOT exists(ivs, v -> i >= v.lo AND i < v.hi))")))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("total_tokens"),
+        coalesce(col("m"), lit(0L)).as("masked_tokens"),
+        size(col("kept")).cast("long").as("kept_tokens"),
+        concat_ws(" ", col("kept")).as("kept_text"))
+      .orderBy("doc_id")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -282,6 +456,7 @@ object SuffixOps {
     "q_exact_substrings" -> (exactSubstrings _),
     "q_longest_repeat" -> (longestRepeat _),
     "q_span_mask" -> (spanMask _),
+    "q_span_enforce" -> (spanEnforce _),
   )
 
   /** Shared oracle prefix: filtered word lists → one row per suffix with
@@ -323,6 +498,34 @@ object SuffixOps {
       |  FROM pr
       |)""".stripMargin
 
+  /** The rp → iv CTE chain (repeat extents ≥ [[MaskL]] merged into
+    * per-doc disjoint intervals) shared by the [[spanMask]] /
+    * [[spanEnforce]] oracles — the SQL twin of [[maskIslands]]. */
+  private def maskCtes: String =
+    """rp AS (
+      |  SELECT doc_id, pos, max(lcp) AS rep FROM (
+      |    SELECT da AS doc_id, pa AS pos, lcp FROM lc
+      |    UNION ALL SELECT db, pb, lcp FROM lc) u
+      |  GROUP BY 1, 2
+      |), st AS (
+      |  SELECT doc_id, pos AS lo, pos + rep AS hi FROM rp WHERE rep >= 16
+      |), g AS (
+      |  SELECT doc_id, lo, hi,
+      |         CASE WHEN lo > coalesce(max(hi) OVER (
+      |                PARTITION BY doc_id ORDER BY lo, hi
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |              -1) THEN 1 ELSE 0 END AS newisl
+      |  FROM st
+      |), gi AS (
+      |  SELECT doc_id, lo, hi,
+      |         sum(newisl) OVER (PARTITION BY doc_id ORDER BY lo, hi
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+      |  FROM g
+      |), iv AS (
+      |  SELECT doc_id, isl, min(lo) AS lo, max(hi) AS hi
+      |  FROM gi GROUP BY 1, 2
+      |)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q_longest_repeat" ->
       s"""WITH $suffixCtes, $lcpCtes,
@@ -335,37 +538,48 @@ object SuffixOps {
          |       array_to_string(w.ws[wit.pa + 1:wit.pa + wit.lcp], ' ') AS span
          |FROM wit, np JOIN w ON w.doc_id = wit.da""".stripMargin,
     "q_span_mask" ->
-      s"""WITH $suffixCtes, $lcpCtes,
-         |rp AS (
-         |  SELECT doc_id, pos, max(lcp) AS rep FROM (
-         |    SELECT da AS doc_id, pa AS pos, lcp FROM lc
-         |    UNION ALL SELECT db, pb, lcp FROM lc) u
-         |  GROUP BY 1, 2
-         |), st AS (
-         |  SELECT doc_id, pos AS lo, pos + rep AS hi FROM rp WHERE rep >= 16
-         |), g AS (
-         |  SELECT doc_id, lo, hi,
-         |         CASE WHEN lo > coalesce(max(hi) OVER (
-         |                PARTITION BY doc_id ORDER BY lo, hi
-         |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-         |              -1) THEN 1 ELSE 0 END AS newisl
-         |  FROM st
-         |), gi AS (
-         |  SELECT doc_id, lo, hi,
-         |         sum(newisl) OVER (PARTITION BY doc_id ORDER BY lo, hi
-         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
-         |  FROM g
-         |), iv AS (
-         |  SELECT doc_id, isl, min(lo) AS lo, max(hi) AS hi
-         |  FROM gi GROUP BY 1, 2
-         |), tot AS (SELECT sum(len(ws)) AS total_tokens FROM w)
-         |SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
-         |       CAST(count(*) AS BIGINT) AS n_intervals,
-         |       CAST(sum(hi - lo) AS BIGINT) AS masked_tokens,
+      s"""WITH $suffixCtes, $lcpCtes, $maskCtes,
+         |tot AS (SELECT sum(len(ws)) AS total_tokens FROM w),
+         |agg AS (
+         |  -- aggregate subquery, NOT a GROUP BY over iv: a corpus with
+         |  -- no repeat >= 16 must still emit the one zero row the
+         |  -- Spark global aggregate emits (ADVICE r11)
+         |  SELECT count(DISTINCT doc_id) AS n_docs, count(*) AS n_intervals,
+         |         coalesce(sum(hi - lo), 0) AS masked_tokens
+         |  FROM iv
+         |)
+         |SELECT CAST(agg.n_docs AS BIGINT) AS n_docs,
+         |       CAST(agg.n_intervals AS BIGINT) AS n_intervals,
+         |       CAST(agg.masked_tokens AS BIGINT) AS masked_tokens,
          |       CAST(tot.total_tokens AS BIGINT) AS total_tokens,
-         |       CAST(sum(hi - lo) * 1000000 // tot.total_tokens AS BIGINT)
-         |         AS masked_ppm
-         |FROM iv, tot GROUP BY tot.total_tokens""".stripMargin,
+         |       CAST(CASE WHEN tot.total_tokens > 0
+         |            THEN agg.masked_tokens * 1000000 // tot.total_tokens
+         |            ELSE 0 END AS BIGINT) AS masked_ppm
+         |FROM agg, tot""".stripMargin,
+    "q_span_enforce" ->
+      s"""WITH $suffixCtes, $lcpCtes, $maskCtes,
+         |tk AS (
+         |  SELECT doc_id, i - 1 AS pos, ws[i] AS tok
+         |  FROM (SELECT doc_id, ws, generate_subscripts(ws, 1) AS i FROM w) z
+         |), km AS (
+         |  -- masked derivation by position ANTI-JOIN (the Spark side
+         |  -- sums interval extents): the hash compare IS the
+         |  -- reconciliation proof that the two derivations agree
+         |  SELECT tk.doc_id,
+         |         count(*) FILTER (WHERE iv.lo IS NULL) AS kept_tokens,
+         |         coalesce(string_agg(tk.tok, ' ' ORDER BY tk.pos)
+         |           FILTER (WHERE iv.lo IS NULL), '') AS kept_text
+         |  FROM tk LEFT JOIN iv
+         |    ON iv.doc_id = tk.doc_id AND tk.pos >= iv.lo AND tk.pos < iv.hi
+         |  GROUP BY tk.doc_id
+         |)
+         |SELECT w.doc_id, CAST(len(w.ws) AS BIGINT) AS total_tokens,
+         |       CAST(len(w.ws) - coalesce(km.kept_tokens, 0) AS BIGINT)
+         |         AS masked_tokens,
+         |       CAST(coalesce(km.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+         |       coalesce(km.kept_text, '') AS kept_text
+         |FROM w LEFT JOIN km ON km.doc_id = w.doc_id
+         |ORDER BY w.doc_id""".stripMargin,
     "q_suffix_array" ->
       s"""WITH $suffixCtes
          |SELECT CAST(sa AS BIGINT) AS sa, doc_id, CAST(pos AS INTEGER) AS pos,
@@ -382,8 +596,10 @@ object SuffixOps {
          |       CAST(count(*) FILTER (WHERE rep.rep >= th.l) AS BIGINT) AS n_pos,
          |       CAST(count(DISTINCT CASE WHEN rep.rep >= th.l
          |                                THEN rep.doc_id END) AS BIGINT) AS n_docs,
-         |       CAST(count(*) FILTER (WHERE rep.rep >= th.l) * 1000000
-         |            // (SELECT total FROM tot) AS BIGINT) AS pos_ppm
+         |       CAST(CASE WHEN (SELECT total FROM tot) > 0
+         |            THEN count(*) FILTER (WHERE rep.rep >= th.l) * 1000000
+         |                 // (SELECT total FROM tot)
+         |            ELSE 0 END AS BIGINT) AS pos_ppm
          |FROM (SELECT unnest([${RepThresholds.mkString(", ")}]) AS l) th
          |CROSS JOIN rep GROUP BY th.l ORDER BY th.l""".stripMargin,
   )
