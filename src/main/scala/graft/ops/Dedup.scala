@@ -618,55 +618,23 @@ object Dedup {
     * to [[familyFlags]] semantics to invalidate all cached runs. */
   private val FlagsVersion = "v1"
 
-  /** Artifact base dir for the served flags frame: keyed by version, the
-    * canonical fixture path, AND a content fingerprint of the two input
-    * tables (file names, sizes, mtimes) — a regenerated fixture at the
-    * same path can never serve stale flags. */
-  private def flagsBase(d: String): String = {
-    val canon = java.nio.file.Paths.get(d).toAbsolutePath.normalize.toString
-    val prints = Seq("documents.parquet", "embeddings.parquet").flatMap { t =>
-      val f = new java.io.File(s"$canon/$t")
-      val parts = if (f.isDirectory) f.listFiles().sortBy(_.getName) else Array(f)
-      parts.map(p => s"${p.getName}:${p.length}:${p.lastModified}")
-    }
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest((canon +: prints).mkString("|").getBytes("UTF-8"))
-      .map(b => f"$b%02x").mkString
-    s"${System.getProperty("java.io.tmpdir")}/graft_dedup_flags_$FlagsVersion/$key"
-  }
-
   /** Flag-once/audit-many (VERDICT r10 item 3): the six-family flag frame
     * is the shared front end of SEVEN queries (compare, savings, kappa,
     * Cochran Q, Fleiss kappa, McNemar, report) — ~45 s of the r10 driver
-    * bench was this one frame computed seven times. First consumer in a
-    * session materializes it as Parquet under the run-manifest layout
-    * (payload first, metadata.json last — the [[Similarity.ivfModelMaterialize]]
-    * discipline); every later consumer's plan is a bare parquet scan with
-    * ZERO flag-derivation lineage. [[familyFlags]] is deterministic and
-    * oracled green, and int/long columns round-trip Parquet exactly, so
-    * serving never changes results — only plans. */
-  private def familyFlagsServed(s: SparkSession, d: String): DataFrame = {
-    val base = flagsBase(d)
-    val runDir = graft.pipeline.Pipeline.latestRun(base) match {
-      case Some(p) => p.toString
-      case None =>
-        val r = s"$base/run_00000001"
-        // the artifact BUILD is a separate job, not the plan under audit:
-        // run it with Ckpt staging enabled even when plan-audit tooling
-        // set spark.graft.stage.disable (semanticComponents' iterative
-        // lineage is unbounded without truncation — the build would hang)
-        val saved = s.conf.getOption("spark.graft.stage.disable")
-        if (saved.contains("true")) s.conf.unset("spark.graft.stage.disable")
-        try {
-          familyFlags(s, d).write.mode("overwrite").parquet(s"$r/flags")
-          graft.pipeline.Pipeline.writeManifest(r,
-            graft.pipeline.Pipeline.RunManifest("00000001",
-              Seq(s"$d/documents.parquet", s"$d/embeddings.parquet")))
-        } finally saved.foreach(v => s.conf.set("spark.graft.stage.disable", v))
-        r
+    * bench was this one frame computed seven times. Rides
+    * [[graft.util.Served]] (VERDICT r11 item 4: this method used to
+    * re-implement the fingerprint-key/atomic-publish/stage-force
+    * plumbing verbatim): first consumer in a session materializes the
+    * flags as Parquet under the run-manifest layout; every later
+    * consumer's plan is a bare parquet scan with ZERO flag-derivation
+    * lineage. [[familyFlags]] is deterministic and oracled green, and
+    * int/long columns round-trip Parquet exactly, so serving never
+    * changes results — only plans. */
+  private def familyFlagsServed(s: SparkSession, d: String): DataFrame =
+    graft.util.Served.frame(s, "dedup_flags", FlagsVersion, d,
+      Seq("documents.parquet", "embeddings.parquet"), "flags") {
+      familyFlags(s, d)
     }
-    s.read.parquet(s"$runDir/flags")
-  }
 
   def dedupMethodCompare(s: SparkSession, d: String): DataFrame =
     compareFrom(familyFlagsServed(s, d))

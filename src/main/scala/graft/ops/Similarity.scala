@@ -1084,38 +1084,24 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
-  /** Version tag for [[pqModelBase]] — bump when the encode or the
+  /** Version tag for [[pqModelMaterialize]] — bump when the encode or the
     * materialized schema changes, so codes written by older code are
     * never served. */
   private val PqModelVersion = "v1"
 
-  /** Materialized-PQ base dir, keyed like [[ivfModelBase]]. */
-  private def pqModelBase(d: String): String = {
-    val canon = java.nio.file.Paths.get(d).toAbsolutePath.normalize.toString
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(canon.getBytes("UTF-8")).map(b => f"$b%02x").mkString
-    s"${System.getProperty("java.io.tmpdir")}/graft_pq_model_$PqModelVersion/$key"
-  }
-
   /** Encode-once: persist the PQ index artifacts — the codebook (M·k rows,
     * coalesced to one file) and the CODES table (M small ints per vector,
-    * the 32× payload compression) — under the R11 run-manifest convention,
+    * the 32× payload compression) — via [[graft.util.Served]] (VERDICT
+    * r11 item 4: one copy of the fingerprint/atomic-publish plumbing),
     * mirroring [[ivfModelMaterialize]]. */
-  def pqModelMaterialize(s: SparkSession, d: String): String = {
-    val base = pqModelBase(d)
-    graft.pipeline.Pipeline.latestRun(base) match {
-      case Some(p) => p.toString
-      case None =>
-        val runDir = s"$base/run_00000001"
-        val sv = pqSubvectors(s, d)
-        val cb = pqCodebook(sv)
-        cb.coalesce(1).write.mode("overwrite").parquet(s"$runDir/codebook")
-        pqCodesOf(sv, cb).write.mode("overwrite").parquet(s"$runDir/codes")
-        graft.pipeline.Pipeline.writeManifest(runDir,
-          graft.pipeline.Pipeline.RunManifest("00000001", Seq(s"$d/embeddings.parquet")))
-        runDir
+  def pqModelMaterialize(s: SparkSession, d: String): String =
+    graft.util.Served.dir(s, "pq_model", PqModelVersion, d,
+      Seq("embeddings.parquet")) { runDir =>
+      val sv = pqSubvectors(s, d)
+      val cb = pqCodebook(sv)
+      cb.coalesce(1).write.mode("overwrite").parquet(s"$runDir/codebook")
+      pqCodesOf(sv, cb).write.mode("overwrite").parquet(s"$runDir/codes")
     }
-  }
 
   /** ADC serve from the MATERIALIZED PQ index — the encode-once/serve-many
     * split of [[pqAdc]], completing the serving story [[annIvfServed]]
@@ -1283,39 +1269,25 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
-  /** Version tag for [[ivfPqModelBase]]. */
+  /** Version tag for [[ivfPqModelMaterialize]]. */
   private val IvfPqModelVersion = "v1"
-
-  private def ivfPqModelBase(d: String): String = {
-    val canon = java.nio.file.Paths.get(d).toAbsolutePath.normalize.toString
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(canon.getBytes("UTF-8")).map(b => f"$b%02x").mkString
-    s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_model_$IvfPqModelVersion/$key"
-  }
 
   /** Index-once: persist ALL FOUR IVF-PQ artifacts — centroids (k rows),
     * inverted lists (vec_id → cell), PQ codebook (M·k rows), and the
-    * CODES table — under the run-manifest convention. This is the full
-    * index build a 100 TB deployment runs once per corpus snapshot. */
-  def ivfPqModelMaterialize(s: SparkSession, d: String): String = {
-    val base = ivfPqModelBase(d)
-    graft.pipeline.Pipeline.latestRun(base) match {
-      case Some(p) => p.toString
-      case None =>
-        val runDir = s"$base/run_00000001"
-        val n = once(withNorm(Tables.embeddings(s, d)).select("vec_id", "v", "norm"))
-        val cents = ivfPqCentroidsOf(n)
-        val sv = pqSubvectors(s, d)
-        val cb = pqCodebook(sv)
-        cents.coalesce(1).write.mode("overwrite").parquet(s"$runDir/centroids")
-        ivfPqCellsOf(n, cents).write.mode("overwrite").parquet(s"$runDir/cells")
-        cb.coalesce(1).write.mode("overwrite").parquet(s"$runDir/codebook")
-        pqCodesOf(sv, cb).write.mode("overwrite").parquet(s"$runDir/codes")
-        graft.pipeline.Pipeline.writeManifest(runDir,
-          graft.pipeline.Pipeline.RunManifest("00000001", Seq(s"$d/embeddings.parquet")))
-        runDir
+    * CODES table — via [[graft.util.Served]]. This is the full index
+    * build a 100 TB deployment runs once per corpus snapshot. */
+  def ivfPqModelMaterialize(s: SparkSession, d: String): String =
+    graft.util.Served.dir(s, "ivfpq_model", IvfPqModelVersion, d,
+      Seq("embeddings.parquet")) { runDir =>
+      val n = once(withNorm(Tables.embeddings(s, d)).select("vec_id", "v", "norm"))
+      val cents = ivfPqCentroidsOf(n)
+      val sv = pqSubvectors(s, d)
+      val cb = pqCodebook(sv)
+      cents.coalesce(1).write.mode("overwrite").parquet(s"$runDir/centroids")
+      ivfPqCellsOf(n, cents).write.mode("overwrite").parquet(s"$runDir/cells")
+      cb.coalesce(1).write.mode("overwrite").parquet(s"$runDir/codebook")
+      pqCodesOf(sv, cb).write.mode("overwrite").parquet(s"$runDir/codes")
     }
-  }
 
   /** The composed IVF-PQ serve FROM ARTIFACTS — what the ANN service's
     * query path actually executes at 100 TB: centroids, inverted lists,
@@ -1717,43 +1689,26 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
-  /** Version tag baked into [[ivfModelBase]] — bump whenever the training
+  /** Version tag baked into [[ivfModelMaterialize]] — bump whenever the training
     * loop or the materialized schema changes, so a model written by older
     * code is never served. */
   private val IvfModelVersion = "v1"
 
-  /** Materialized-model base dir: keyed by version + the canonical fixture
-    * path, so each dataset trains its own quantizer and a code change
-    * (version bump) invalidates all of them at once. */
-  private def ivfModelBase(d: String): String = {
-    val canon = java.nio.file.Paths.get(d).toAbsolutePath.normalize.toString
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(canon.getBytes("UTF-8")).map(b => f"$b%02x").mkString
-    s"${System.getProperty("java.io.tmpdir")}/graft_ivf_model_$IvfModelVersion/$key"
-  }
-
   /** Train-once: if no completed model run exists for this dataset, run
     * the Lloyd loop and persist the trained coarse quantizer — list-form
-    * (cid, cv, cn) centroids, ready to broadcast — as Parquet under the
-    * run-manifest convention (R11: payload first, metadata.json last, so
-    * latest-run discovery never sees a half-written model). Returns the
-    * run dir to serve from. Training is deterministic (q_kmeans_train is
-    * oracled cell-exact), so WHICH run produced the model never changes
-    * served results. */
-  def ivfModelMaterialize(s: SparkSession, d: String): String = {
-    val base = ivfModelBase(d)
-    graft.pipeline.Pipeline.latestRun(base) match {
-      case Some(p) => p.toString
-      case None =>
-        val runDir = s"$base/run_00000001"
-        centroidList(kmeansTrainFrom(kmeansCorpus(s, d)))
-          .coalesce(1)
-          .write.mode("overwrite").parquet(s"$runDir/centroids")
-        graft.pipeline.Pipeline.writeManifest(runDir,
-          graft.pipeline.Pipeline.RunManifest("00000001", Seq(s"$d/embeddings.parquet")))
-        runDir
+    * (cid, cv, cn) centroids, ready to broadcast — via
+    * [[graft.util.Served]] (content-fingerprinted key, atomic publish;
+    * a version bump invalidates every dataset's model at once). Returns
+    * the run dir to serve from. Training is deterministic
+    * (q_kmeans_train is oracled cell-exact), so WHICH run produced the
+    * model never changes served results. */
+  def ivfModelMaterialize(s: SparkSession, d: String): String =
+    graft.util.Served.dir(s, "ivf_model", IvfModelVersion, d,
+      Seq("embeddings.parquet")) { runDir =>
+      centroidList(kmeansTrainFrom(kmeansCorpus(s, d)))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$runDir/centroids")
     }
-  }
 
   /** IVF search served from the MATERIALIZED quantizer — the
     * train-once/serve-many split [[annIvfTrained]]'s inline composition

@@ -223,9 +223,13 @@ object Sketches {
   // the true distinct counts. q_cms_freq — the md5-slice hash makes the
   // whole table SQL-reproducible (round 9). q_sketch_quantile — the
   // calendar bounds the item count below k at any scale (round 9).
-  // q_sketch_union — coupon-exact at lgK=21 far past the sf1 sweep
-  // (round 11; see HllLgK). The estimation regimes stay law-tested in
-  // SketchSpec.
+  // q_sketch_union — theta sketches at the thetaAgg default lgK=16
+  // (SketchAggs.scala) stay in their EXACT regime (no sampling until
+  // 2^16 retained hashes) far past the sf1 sweep's per-month distinct
+  // counts, so estimates are integer-equal to the true counts (round
+  // 11, measured: DataSketches-HLL's coupon-collision correction was
+  // already exact+1 at the sf1 regime, which is why this rung is theta).
+  // The estimation regimes stay law-tested in SketchSpec.
   val oracle: Map[String, String] = Map(
     "q_sketch_union" ->
       """WITH dc AS (

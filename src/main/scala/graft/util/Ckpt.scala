@@ -71,6 +71,25 @@ object Ckpt {
   private val stagedDirs =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** Thread-scoped override that force-enables [[stage]] regardless of
+    * `spark.graft.stage.disable` — see [[forceStaged]]. */
+  private val forceOn = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue: java.lang.Boolean = java.lang.Boolean.FALSE
+  }
+
+  /** Run `body` with [[stage]] force-enabled in the CALLING THREAD —
+    * the [[Served]] build-job scoping (ADVICE r11: the previous
+    * save/unset/restore of the session conf mutated shared state
+    * non-thread-safely; a plan-audit thread running concurrently with a
+    * build would have lost its disable flag). Staged-frame construction
+    * happens driver-side in the calling thread, so a ThreadLocal scopes
+    * exactly the build's own [[stage]] calls. */
+  def forceStaged[T](body: => T): T = {
+    val prev = forceOn.get
+    forceOn.set(true)
+    try body finally forceOn.set(prev)
+  }
+
   /** Materialize `df` once and truncate its lineage, in the
     * session-configured mode.
     *
@@ -78,10 +97,12 @@ object Ckpt {
     * recomputed per consumer) — set ONLY by plan-audit tooling
     * ([[graft.PlanBudgetSpec]], `graft.PlanAudit`) so exchanges upstream
     * of a stage boundary stay visible in the executed plan; checkpoint
-    * truncation would otherwise hide them from the audit. */
+    * truncation would otherwise hide them from the audit. An enclosing
+    * [[forceStaged]] (artifact builds) wins over the disable flag. */
   def stage(df: DataFrame): DataFrame = {
     val conf = df.sparkSession.conf
-    if (conf.getOption("spark.graft.stage.disable").contains("true")) df
+    if (!forceOn.get &&
+      conf.getOption("spark.graft.stage.disable").contains("true")) df
     else {
       val sc = df.sparkSession.sparkContext
       resetIfNewContext(sc)
