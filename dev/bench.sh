@@ -26,10 +26,19 @@ SPARK_GRAFT_BENCH_SUMMARY=$CANDSUM \
 git show HEAD:BENCH_FULL.json > "$PREV" 2>/dev/null || { echo "no committed BENCH_FULL.json; installing without gate"; cp "$CAND" BENCH_FULL.json; cp "$CANDSUM" BENCH_SUMMARY.json; exit 0; }
 
 echo "== benchdiff vs committed BENCH_FULL.json =="
-if python3 dev/check.py --benchdiff "$PREV" "$CAND"; then
+set +e
+python3 dev/check.py --benchdiff "$PREV" "$CAND"
+rc=$?
+set -e
+if [ $rc -eq 0 ]; then
   cp "$CAND" BENCH_FULL.json
   cp "$CANDSUM" BENCH_SUMMARY.json
   echo "== gate green: BENCH_FULL.json / BENCH_SUMMARY.json updated =="
+elif [ $rc -eq 3 ]; then
+  echo "== GATE NOT ADJUDICATED: environment drift (speed index above) =="
+  echo "   (no per-query verdicts; committed maps untouched; candidate kept"
+  echo "    at $CAND — re-run in a window whose speed index is within 1.5x)"
+  exit 1
 else
   echo "== GATE RED: regressions above — committed maps left untouched =="
   echo "   (candidate kept at $CAND; fix or justify in SCALE.md, then re-run)"

@@ -93,9 +93,40 @@ def benchdiff(old_path, new_path, ratio=2.5, floor_sec=0.5):
     judge time. Usage: dev/check.py --benchdiff OLD.json NEW.json
     (OLD is typically the committed BENCH_FULL.json of the last round:
      `git show HEAD:BENCH_FULL.json > /tmp/old.json`).
+
+    Box-speed self-adjudication (VERDICT r11 item 3): both maps carry a
+    `speed_controls` block (q_word_count / q_pagerank, min-of-5,
+    measured first by Bench). The geometric-mean ratio of the controls
+    is the environment index: uniform inflation of UNTOUCHED queries is
+    machine load, not a plan change — the exact isolation protocol that
+    adjudicated the r9-r11 red gates by hand. Index > 1.5x: exit 3
+    (refuse to adjudicate, re-run in a comparable window); 1x-1.5x:
+    the regression threshold scales by the index.
     """
-    old = json.load(open(old_path)).get("queries", {})
-    new = json.load(open(new_path)).get("queries", {})
+    old_full = json.load(open(old_path))
+    new_full = json.load(open(new_path))
+    old = old_full.get("queries", {})
+    new = new_full.get("queries", {})
+    oc = old_full.get("speed_controls", {}) or {}
+    nc = new_full.get("speed_controls", {}) or {}
+    shared_controls = [q for q in nc if q in oc and oc[q] > 0 and nc[q] > 0]
+    if shared_controls:
+        import math
+        index = math.exp(sum(math.log(nc[q] / oc[q]) for q in shared_controls)
+                         / len(shared_controls))
+        detail = ", ".join(f"{q} {oc[q]:.2f}s->{nc[q]:.2f}s" for q in shared_controls)
+        print(f"== box speed index {index:.2f}x vs committed run ({detail}) ==")
+        if index > 1.5:
+            print(f"BENCHDIFF ENVIRONMENT: box is {index:.2f}x slower than the "
+                  f"committed run on untouched controls — refusing to adjudicate "
+                  f"per-query regressions; re-run in a comparable window")
+            sys.exit(3)
+        if index > 1.0:
+            ratio *= index
+            print(f"== regression threshold scaled to {ratio:.2f}x ==")
+    else:
+        print("== no shared speed controls (first calibrated round?) — "
+              "unscaled threshold ==")
     bad = []
     for q, t_new in sorted(new.items()):
         t_old = old.get(q)
@@ -106,7 +137,7 @@ def benchdiff(old_path, new_path, ratio=2.5, floor_sec=0.5):
     for q, a, b in bad:
         print(f"BENCHDIFF REGRESSION {q}: {a:.2f}s -> {b:.2f}s ({b/a:.1f}x)")
     kept = [q for q in new if q in old]
-    print(f"== benchdiff: {len(bad)} regressions over {ratio}x "
+    print(f"== benchdiff: {len(bad)} regressions over {ratio:.2f}x "
           f"(>{floor_sec}s) across {len(kept)} shared queries ==")
     sys.exit(1 if bad else 0)
 

@@ -59,6 +59,29 @@ object Bench {
         System.err.println(s"[bench] warm-up failed for $t (cold scans ahead): $e")
       }
     }
+    // box-speed calibration (VERDICT r11 item 3): a fixed control pair,
+    // min-of-5, measured FIRST and recorded under `speed_controls` —
+    // check.py --benchdiff compares them against the committed run's
+    // controls and refuses to adjudicate (index > 1.5x) or scales its
+    // threshold when the BOX drifted rather than a plan: three straight
+    // rounds of red gates were environment, each adjudicated by hand
+    // with exactly this untouched-control isolation protocol
+    val controlNames = Seq("q_word_count", "q_pagerank")
+    val speedControls: Seq[(String, Double)] = controlNames.flatMap { n =>
+      SparkEntry.queries.get(n).map { fn =>
+        val ts = (1 to 5).map { _ =>
+          val t0 = System.nanoTime()
+          try fn(spark, sfDir).count()
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] speed control $n failed: $e")
+          }
+          val dt = (System.nanoTime() - t0) / 1e9
+          util.Ckpt.release(spark, blocking = true)
+          dt
+        }
+        n -> ts.min
+      }
+    }
     // dev-only subset filter (comma-separated names); driver leaves it unset
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     // repeated-measure protocol (VERDICT round-6 item 3): rounds 4/5 showed
@@ -128,6 +151,8 @@ object Bench {
       .mkString("{", ",", "}")
     val top5 = ok.sortBy(-_._2).take(5)
       .map { case (k, v) => s"\"$k\":${r3(v)}" }.mkString("{", ",", "}")
+    val controlsJson = speedControls
+      .map { case (k, v) => s"\"$k\":${r3(v)}" }.mkString("{", ",", "}")
     // full-precision timings + error messages → file (judge-readable even
     // when the driver's tail window drops stdout line 1)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
@@ -136,6 +161,7 @@ object Bench {
       .append(s""""n_queries":${results.size},"n_errors":${errors.size},""")
       .append(s""""protocol":"per-query min of $passes passes; raw pass times under runs","passes":$passes,""")
       .append(s""""release_sec":${r3(releaseSec)},""")
+      .append(s""""speed_controls":$controlsJson,""")
       .append(s""""queries":$fullQs,""")
       .append(s""""runs":$runs,""")
       .append(s""""failed":$failedQs,""")
@@ -150,7 +176,7 @@ object Bench {
     // rounds 3 AND 4 whichever end it printed from, so the full map now lives
     // exclusively in BENCH_FULL.json and the one stdout line always parses.
     val summary =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$top5,"sf":${jstr(sfDir)},"n_queries":${results.size},"n_errors":${errors.size},"full":${jstr(outPath)}}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$top5,"sf":${jstr(sfDir)},"n_queries":${results.size},"n_errors":${errors.size},"speed_controls":$controlsJson,"full":${jstr(outPath)}}"""
     // belt-and-braces for the driver's parsed field (null through round 5):
     // the identical summary line also lands in a conventional file, so a
     // driver that reads files instead of stdout finds it; the sbt-side

@@ -124,6 +124,10 @@ class PlanBudgetSpec extends AnyFunSuite {
                                       // 1-row max broadcast + witness slice
     ("q_span_mask", 4, 4),            // LCP pairs + per-doc interval-union
                                       // windows + 1-row token total
+    ("q_span_enforce", 4, 4),         // same islands front end as
+                                      // q_span_mask; the per-doc interval
+                                      // collect + indexed-filter cut is
+                                      // row-local on the doc_id join
     ("q_sketch_union", 4, 0),         // day sketch agg -> month union rollup
                                       // + ordered output (oracled r11)
     ("q_approx_quantile", 2, 0),      // one GK aggregate + the ordered output

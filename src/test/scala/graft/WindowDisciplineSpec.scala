@@ -77,8 +77,9 @@ class WindowDisciplineSpec extends AnyFunSuite {
     ("graft/ops/TrainingPrep.scala", """val w = Window.orderBy(col("r").desc, col("l_partkey").asc)"""),
     // <= |event types| rows
     ("graft/ops/TrainingPrep.scala", """val wr = Window.orderBy(col("rem").desc, col("event_type").asc)"""),
-    // distinct-token vocabulary rank (value-domain bounded lexicon)
-    ("graft/ops/SuffixOps.scala", """.withColumn("vr", row_number().over(Window.orderBy("tok")) - 1)"""),
+    // distinct-token vocabulary rank (value-domain bounded lexicon);
+    // staged since r12 (consumed by count + join)
+    ("graft/ops/SuffixOps.scala", """.withColumn("vr", row_number().over(Window.orderBy("tok")) - 1))"""),
     // two-phase rank bucket-offset prefixes (<= 256 bucket rows each)
     ("graft/ops/SuffixOps.scala", """val wb = Window.orderBy("bkt")"""),
     ("graft/ops/SuffixOps.scala", """val wb = Window.orderBy("bkt")""")
