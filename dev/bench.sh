@@ -23,6 +23,12 @@ SPARK_GRAFT_BENCH_OUT=$CAND \
 SPARK_GRAFT_BENCH_SUMMARY=$CANDSUM \
   dev/run.sh graft.Bench
 
+# archive every candidate before gating — consecutive runs overwrite
+# $CAND, and a red-gated map is often the adjudication evidence (r12:
+# two candidates were lost to exactly this before the gate went green)
+STAMP=$(date +%Y%m%d_%H%M%S)
+cp "$CAND" "/tmp/bench_candidate_${STAMP}.json"
+
 git show HEAD:BENCH_FULL.json > "$PREV" 2>/dev/null || { echo "no committed BENCH_FULL.json; installing without gate"; cp "$CAND" BENCH_FULL.json; cp "$CANDSUM" BENCH_SUMMARY.json; exit 0; }
 
 echo "== benchdiff vs committed BENCH_FULL.json =="
