@@ -136,6 +136,11 @@ def benchdiff(old_path, new_path, ratio=2.5, floor_sec=0.5):
             bad.append((q, t_old, t_new))
     for q, a, b in bad:
         print(f"BENCHDIFF REGRESSION {q}: {a:.2f}s -> {b:.2f}s ({b/a:.1f}x)")
+    # machine-readable flag list for bench.sh's isolation-retry path
+    flags_out = os.environ.get("BENCHDIFF_FLAGS_OUT")
+    if flags_out:
+        with open(flags_out, "w") as f:
+            f.write("\n".join(q for q, _, _ in bad))
     kept = [q for q in new if q in old]
     print(f"== benchdiff: {len(bad)} regressions over {ratio:.2f}x "
           f"(>{floor_sec}s) across {len(kept)} shared queries ==")
