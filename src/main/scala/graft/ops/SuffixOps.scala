@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -97,20 +97,15 @@ object SuffixOps {
     }
   }
 
-  /** Lexicographic `key <= bound` as a Column (bound is a literal). */
-  private def keyLeq(key: Seq[Column], bound: Seq[Long]): Column = {
-    def go(i: Int): Column =
-      if (i == key.length - 1) key(i) <= lit(bound(i))
-      else (key(i) < lit(bound(i))) ||
-        (key(i) === lit(bound(i)) && go(i + 1))
-    go(0)
-  }
-
   /** Order-aligned bucket id from sampled bounds, as a PURE FUNCTION OF
-    * THE DATA: a balanced binary-search CASE tree over the ≤255 literal
-    * boundary keys — ⌈log₂ [[RankBuckets]]⌉ codegen'd comparisons per
-    * row, no physical-partitioning dependence. (The first cut of this
-    * fix used `repartitionByRange` + `spark_partition_id()`: under AQE
+    * THE DATA: a lower-bound binary search over the ≤255 boundary keys,
+    * compiled by the [[graft.functions.SampledRangeBucket]] codegen
+    * expression — ⌈log₂ [[RankBuckets]]⌉ comparisons per row INSIDE
+    * WholeStageCodegen (the first shipped cut expanded the search into
+    * a 255-node literal CASE tree, which blew the janino method budget
+    * and dropped every rank phase's hot Project to interpreted
+    * evaluation), and no physical-partitioning dependence. (An earlier
+    * cut used `repartitionByRange` + `spark_partition_id()`: under AQE
     * the offs branch and the row branch of the downstream self-join
     * each get their OWN shuffle read of the reused exchange, so the
     * nondeterministic partition id mapped differently on the two
@@ -123,13 +118,10 @@ object SuffixOps {
   private def withRangeBuckets(df: DataFrame, keys: Seq[String], n: Long): DataFrame = {
     val key = keys.map(col)
     val bounds = sampleBounds(df.select(key: _*), n)
-    def tree(lo: Int, hi: Int): Column =
-      if (lo >= hi) lit(lo)
-      else {
-        val mid = (lo + hi) / 2
-        when(keyLeq(key, bounds(mid)), tree(lo, mid)).otherwise(tree(mid + 1, hi))
-      }
-    val bkt = if (bounds.isEmpty) lit(0) else tree(0, bounds.length)
+    val bkt =
+      if (bounds.isEmpty) lit(0)
+      else graft.functions.RangeBucket.sampledRangeBucket(
+        key.map(_.cast("long")), bounds)
     df.withColumn("bkt", bkt)
   }
 

@@ -86,4 +86,56 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(enf.head.getString(enf.head.fieldIndex("kept_text"))
       == (0 until 30).map(i => s"u$i").mkString(" "))
   }
+
+  test("SampledRangeBucket matches the lower-bound reference at arity 2 and 3") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(12L)
+    for (arity <- Seq(2, 3)) {
+      // duplicate bound rows on purpose: the thinned sample can repeat a
+      // quantile point, and lower-bound must still pick the FIRST index
+      val raw = Seq.fill(255)(Seq.fill(arity)(rnd.nextInt(40).toLong - 5L))
+      val bounds = (raw ++ raw.take(20))
+        .sortBy(identity)(math.Ordering.Implicits.seqOrdering)
+      // keys: random, plus every boundary key verbatim (exact-hit path)
+      val keys = Seq.fill(2000)(Seq.fill(arity)(rnd.nextInt(40).toLong - 5L)) ++
+        bounds.take(100)
+      def ref(k: Seq[Long]): Int = {
+        val i = bounds.indexWhere(b =>
+          math.Ordering.Implicits.seqOrdering[Seq, Long].lteq(k, b))
+        if (i < 0) bounds.length else i
+      }
+      val df = keys.map {
+        case Seq(a, b) => (a, b, 0L)
+        case Seq(a, b, c) => (a, b, c)
+      }.toDF("k0", "k1", "k2")
+      val cols = (0 until arity).map(i => col(s"k$i"))
+      val got = df
+        .withColumn("bkt",
+          graft.functions.RangeBucket.sampledRangeBucket(cols, bounds))
+        .select((cols :+ col("bkt")): _*)
+        .collect()
+        .map(r => (0 until arity).map(r.getLong) -> r.getInt(arity))
+      got.foreach { case (k, b) =>
+        assert(b == ref(k), s"arity $arity key $k: got $b want ${ref(k)}")
+      }
+    }
+  }
+
+  test("SampledRangeBucket stays inside WholeStageCodegen (no fallback)") {
+    // the CASE-tree formulation it replaces blew the janino method budget
+    // (255 nested whens) and dropped the whole Project to interpreted
+    // evaluation — the SA rank phases' hot pass
+    import spark.implicits._
+    val bounds = (1 to 255).map(i => Seq(i * 37L, i * 11L))
+    val df = spark.range(5000)
+      .select(col("id").as("r1"), (col("id") * 7 % 991).as("r2"))
+      .withColumn("bkt", graft.functions.RangeBucket.sampledRangeBucket(
+        Seq(col("r1"), col("r2")), bounds))
+    assert(df.agg(countDistinct(col("bkt"))).head().getLong(0) > 1L)
+    val rendered = df.queryExecution.executedPlan.toString
+    assert(
+      """\*\(\d+\) Project \[.*sampled_range_bucket""".r
+        .findFirstIn(rendered).nonEmpty,
+      s"sampled_range_bucket projection not in a WholeStageCodegen span:\n$rendered")
+  }
 }
