@@ -2,11 +2,11 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, QuaternaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, QuaternaryExpression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType}
 
 /** Native Catalyst expression for float-vector dot products (builder-prompt
   * preference order (b): a codegen'd `Expression` beats the interpreted
@@ -255,6 +255,81 @@ case class TokenLcp(first: Expression, second: Expression,
       fourth = newFourth)
 }
 
+/** Compiled interval-mask of a token array: `TokenMask(ws, los, his)`
+  * keeps `ws(i)` iff no interval `[los(j), his(j))` covers `i` — the
+  * materialization step of the exact-substring enforcement rung
+  * (`ops.SuffixOps.spanEnforce`). The HOF formulation it replaces
+  * (`filter(ws, (x, i) -> NOT exists(ivs, …))`) evaluates an
+  * interpreted lambda per token PER INTERVAL — O(T·I) in the cost
+  * class [[MaxSimScore]]/[[TokenLcp]] exist to avoid, on the one path
+  * that touches every token of the curated corpus. The intervals
+  * arrive SORTED AND DISJOINT (merged islands), so a single two-pointer
+  * walk is O(T+I) — compiled, order-preserving, and trivially
+  * equal-by-construction to the exists() predicate.
+  *
+  * Null if any input is null (the caller's `when(ivs.isNull, ws)`
+  * branch handles the no-interval docs). Token elements are non-null
+  * by construction (filtered split() output). */
+case class TokenMask(first: Expression, second: Expression,
+    third: Expression)
+    extends TernaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(ArrayType(StringType),
+    ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = ArrayType(StringType)
+
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any = {
+    val ws = a.asInstanceOf[ArrayData]
+    val los = b.asInstanceOf[ArrayData]
+    val his = c.asInstanceOf[ArrayData]
+    val n = ws.numElements()
+    val m = los.numElements()
+    val out = new Array[AnyRef](n)
+    var k = 0
+    var j = 0
+    var i = 0
+    while (i < n) {
+      while (j < m && his.getLong(j) <= i) j += 1
+      if (!(j < m && i >= los.getLong(j))) {
+        out(k) = ws.getUTF8String(i)
+        k += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(out, k))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (ws, los, his) => {
+      val n = ctx.freshName("n")
+      val m = ctx.freshName("m")
+      val out = ctx.freshName("out")
+      val k = ctx.freshName("k")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      s"""
+         |int $n = $ws.numElements();
+         |int $m = $los.numElements();
+         |Object[] $out = new Object[$n];
+         |int $k = 0;
+         |int $j = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  while ($j < $m && $his.getLong($j) <= (long) $i) $j++;
+         |  if (!($j < $m && (long) $i >= $los.getLong($j))) {
+         |    $out[$k++] = $ws.getUTF8String($i);
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  java.util.Arrays.copyOf($out, $k));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): TokenMask =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 object VectorExpressions {
   /** Dot product of two `array<float>` columns, accumulated in double. */
   def floatDot(a: Column, b: Column): Column =
@@ -274,4 +349,10 @@ object VectorExpressions {
       subs: Int, subDim: Int): Column =
     Bridge.column(MaxSimScore(Bridge.expression(qv), Bridge.expression(qsn),
       Bridge.expression(v), Bridge.expression(sn), subs, subDim))
+
+  /** Tokens of ws surviving the sorted disjoint mask intervals
+    * [los(j), his(j)) — compiled two-pointer walk. */
+  def tokenMask(ws: Column, los: Column, his: Column): Column =
+    Bridge.column(TokenMask(Bridge.expression(ws), Bridge.expression(los),
+      Bridge.expression(his)))
 }

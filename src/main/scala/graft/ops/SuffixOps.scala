@@ -58,11 +58,15 @@ object SuffixOps {
   private def once(df: DataFrame): DataFrame = graft.util.Ckpt.stage(df)
 
   /** (doc_id, ws) with empty tokens dropped (split(" ") emits "" on
-    * repeated separators; every other words() consumer filters them). */
+    * repeated separators; every other words() consumer filters them).
+    * `array_remove(…, '')` = `filter(…, x -> x <> '')` on split output
+    * (split never emits nulls), but ArrayRemove is codegen'd where the
+    * filter HOF is CodegenFallback — and this projection feeds every
+    * token of the corpus into the SA build and the enforcement cut. */
   private def docWords(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"),
-        expr("filter(split(text, ' '), x -> x <> '')").as("ws"))
+        array_remove(split(col("text"), " "), "").as("ws"))
 
   /** One row per token position: (doc_id, pos 0-based, tok). */
   private def tokens(s: SparkSession, d: String): DataFrame =
@@ -424,9 +428,14 @@ object SuffixOps {
     * byte-exact space join of the surviving tokens in position order.
     * Scale shape: rides [[maskIslands]] (doc-bounded intervals,
     * collect_list per doc bounded by doc length), one doc_id equi-join
-    * against the corpus, and a row-local indexed-filter HOF — no
-    * exchange beyond the islands frame's own; output is one row per
-    * document, the size of the corpus being curated. */
+    * against the corpus, and a row-local compiled interval cut
+    * ([[graft.functions.TokenMask]] — the indexed-filter HOF it
+    * replaces ran an interpreted lambda per token per interval, on the
+    * one pass that touches every token of the curated corpus; the
+    * sorted disjoint islands admit an O(tokens+intervals) two-pointer
+    * walk inside WholeStageCodegen) — no exchange beyond the islands
+    * frame's own; output is one row per document, the size of the
+    * corpus being curated. */
   def spanEnforce(s: SparkSession, d: String): DataFrame = {
     val ivs = maskIslands(s, d)
       .groupBy("doc_id")
@@ -434,7 +443,9 @@ object SuffixOps {
         sum(col("hi") - col("lo")).as("m"))
     docWords(s, d).join(ivs, Seq("doc_id"), "left")
       .withColumn("kept", when(col("ivs").isNull, col("ws")).otherwise(
-        expr("filter(ws, (x, i) -> NOT exists(ivs, v -> i >= v.lo AND i < v.hi))")))
+        graft.functions.VectorExpressions.tokenMask(col("ws"),
+          col("ivs.lo").cast("array<long>"),
+          col("ivs.hi").cast("array<long>"))))
       .select(col("doc_id"),
         size(col("ws")).cast("long").as("total_tokens"),
         coalesce(col("m"), lit(0L)).as("masked_tokens"),

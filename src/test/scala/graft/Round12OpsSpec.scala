@@ -121,6 +121,53 @@ class Round12OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("TokenMask equals the exists()-HOF filter on random sorted islands") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(12L)
+    // random docs; random DISJOINT sorted intervals (the maskIslands
+    // postcondition), incl. empty interval lists, full-cover, and
+    // intervals clipped at the doc edge
+    val rows = (0 until 300).map { id =>
+      val n = rnd.nextInt(40) + 1
+      val ws = (0 until n).map(i => s"t${rnd.nextInt(9)}_$i")
+      val ivs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var at = if (id % 7 == 0) n else rnd.nextInt(4)
+      while (at < n) {
+        val hi = math.min(n, at + 1 + rnd.nextInt(6))
+        ivs += ((at.toLong, hi.toLong))
+        at = hi + rnd.nextInt(5)
+      }
+      if (id % 11 == 0) { ivs.clear(); ivs += ((0L, n.toLong)) }
+      (id, ws, ivs.map(_._1).toSeq, ivs.map(_._2).toSeq)
+    }
+    val df = rows.toDF("id", "ws", "los", "his")
+      .withColumn("ivs", expr(
+        "zip_with(los, his, (l, h) -> named_struct('lo', l, 'hi', h))"))
+      .withColumn("hof", expr(
+        "filter(ws, (x, i) -> NOT exists(ivs, v -> i >= v.lo AND i < v.hi))"))
+      .withColumn("cmp", graft.functions.VectorExpressions.tokenMask(
+        col("ws"), col("los"), col("his")))
+    val bad = df.filter(not(col("hof") <=> col("cmp"))).count()
+    assert(bad == 0L, s"$bad docs diverge between TokenMask and the HOF")
+    // full-cover docs really empty; no-interval docs untouched
+    val empt = df.filter(col("id") % 11 === 0)
+      .agg(max(size(col("cmp")))).head().getInt(0)
+    assert(empt == 0)
+  }
+
+  test("TokenMask stays inside WholeStageCodegen (no fallback)") {
+    val df = spark.range(64)
+      .select(
+        split(concat(lit("a"), col("id"), lit(" b c d")), " ").as("ws"),
+        expr("array(1L)").as("los"), expr("array(3L)").as("his"))
+      .select(graft.functions.VectorExpressions.tokenMask(
+        col("ws"), col("los"), col("his")).as("kept"))
+    assert(df.head().getSeq[String](0) == Seq("a0", "d"))
+    val rendered = df.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Project \[.*tokenmask""".r.findFirstIn(rendered).nonEmpty,
+      s"tokenmask projection not in a WholeStageCodegen span:\n$rendered")
+  }
+
   test("SampledRangeBucket stays inside WholeStageCodegen (no fallback)") {
     // the CASE-tree formulation it replaces blew the janino method budget
     // (255 nested whens) and dropped the whole Project to interpreted
