@@ -350,6 +350,39 @@ object SuffixOps {
         concat_ws(" ", slice(col("ws"), col("pos") + 1, col("lcp"))).as("span"))
   }
 
+  /** Every occurrence of every MAXIMAL repeated span — the occurrence
+    * map between [[longestRepeat]] (one witness) and [[spanMask]] (the
+    * ≥[[MaskL]] masking bill): the drill-down a curation owner runs
+    * after the witness ("WHERE does the most-duplicated passage
+    * live?"). The k occurrences of a length-L maximal span are k
+    * consecutive SA entries whose k−1 adjacent LCPs all equal L (no
+    * adjacent LCP can exceed the corpus max), so the distinct union of
+    * BOTH sides of the max-attaining adjacent pairs enumerates every
+    * occurrence — of every tying span, when distinct token sequences
+    * attain the same maximal length. `lcp > 0` keeps the query
+    * fixture-independent: a corpus with no repeat at all emits zero
+    * rows on both engines instead of "the empty span, everywhere".
+    *
+    * Determinism: exact integer positions; span text is a byte-exact
+    * space join; output totally ordered by (doc_id, pos). Scale shape:
+    * rides [[lcpPairs]] (one consecutive-rank self-join off the served
+    * SA artifact) + the 1-row max broadcast; span text is a doc-bounded
+    * slice fetched by one keyed join — occurrences, not the corpus,
+    * ride the final exchanges. */
+  def spanLocate(s: SparkSession, d: String): DataFrame = {
+    val pairs = once(lcpPairs(s, d))
+    val mx = pairs.agg(max("lcp").as("lcp"))
+    val attain = pairs.join(broadcast(mx), "lcp").filter(col("lcp") > 0)
+    val occ = attain.select(col("lcp"), col("doc_id"), col("pos"))
+      .union(attain.select(col("lcp"), col("db").as("doc_id"),
+        col("pb").as("pos")))
+      .distinct()
+    occ.join(docWords(s, d), "doc_id")
+      .select(col("doc_id"), col("pos"), col("lcp"),
+        concat_ws(" ", slice(col("ws"), col("pos") + 1, col("lcp"))).as("span"))
+      .orderBy("doc_id", "pos")
+  }
+
   /** Span-length threshold for [[spanMask]]: repeats of ≥ 16 tokens are
     * the "long verbatim passage" grain Lee et al. cut (their 50-BPE ≈
     * a few dozen words; 16 keeps the fixture populated while clearly
@@ -458,6 +491,7 @@ object SuffixOps {
     "q_suffix_array" -> (suffixArray _),
     "q_exact_substrings" -> (exactSubstrings _),
     "q_longest_repeat" -> (longestRepeat _),
+    "q_span_locate" -> (spanLocate _),
     "q_span_mask" -> (spanMask _),
     "q_span_enforce" -> (spanEnforce _),
   )
@@ -540,6 +574,21 @@ object SuffixOps {
          |       wit.da AS doc_id, CAST(wit.pa AS INTEGER) AS pos,
          |       array_to_string(w.ws[wit.pa + 1:wit.pa + wit.lcp], ' ') AS span
          |FROM wit, np JOIN w ON w.doc_id = wit.da""".stripMargin,
+    "q_span_locate" ->
+      s"""WITH $suffixCtes, $lcpCtes,
+         |mx AS (SELECT max(lcp) AS lcp FROM lc),
+         |at AS (SELECT lc.* FROM lc JOIN mx ON lc.lcp = mx.lcp AND mx.lcp > 0),
+         |occ AS (
+         |  -- UNION (not UNION ALL) = the Spark distinct union of both
+         |  -- adjacency sides
+         |  SELECT lcp, da AS doc_id, pa AS pos FROM at
+         |  UNION
+         |  SELECT lcp, db AS doc_id, pb AS pos FROM at
+         |)
+         |SELECT occ.doc_id, CAST(occ.pos AS INTEGER) AS pos, occ.lcp,
+         |       array_to_string(w.ws[occ.pos + 1:occ.pos + occ.lcp], ' ') AS span
+         |FROM occ JOIN w ON w.doc_id = occ.doc_id
+         |ORDER BY occ.doc_id, occ.pos""".stripMargin,
     "q_span_mask" ->
       s"""WITH $suffixCtes, $lcpCtes, $maskCtes,
          |tot AS (SELECT sum(len(ws)) AS total_tokens FROM w),

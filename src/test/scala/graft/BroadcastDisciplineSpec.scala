@@ -173,6 +173,9 @@ class BroadcastDisciplineSpec extends AnyFunSuite {
     // and the value-domain-bounded token vocabulary ranks
     (("graft/ops/SuffixOps.scala", ".crossJoin(broadcast(tot))"), 2),
     (("graft/ops/SuffixOps.scala", "val attain = pairs.join(broadcast(mx), \"lcp\")"), 1),
+    // q_span_locate: the same 1-row corpus-max frame, with the
+    // fixture-independence guard inline
+    (("graft/ops/SuffixOps.scala", "val attain = pairs.join(broadcast(mx), \"lcp\").filter(col(\"lcp\") > 0)"), 1),
     (("graft/ops/SuffixOps.scala", "ranked.join(broadcast(offs), \"bkt\")"), 2),
     (("graft/ops/SuffixOps.scala", "var r = once(t.join(broadcast(vocab), \"tok\")"), 1),
     // ---- graft/ops/Statistics.scala

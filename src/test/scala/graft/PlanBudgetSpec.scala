@@ -122,6 +122,9 @@ class PlanBudgetSpec extends AnyFunSuite {
                                       // threshold aggregate + 1-row total
     ("q_longest_repeat", 2, 4),       // LCP pairs off the served SA + the
                                       // 1-row max broadcast + witness slice
+    ("q_span_locate", 3, 4),          // LCP pairs + 1-row max broadcast +
+                                      // the distinct union of both pair
+                                      // sides + one doc-words span join
     ("q_span_mask", 4, 4),            // LCP pairs + per-doc interval-union
                                       // windows + 1-row token total
     ("q_span_enforce", 4, 4),         // same islands front end as

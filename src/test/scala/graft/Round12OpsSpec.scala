@@ -121,6 +121,38 @@ class Round12OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_span_locate enumerates every occurrence of the planted maximal span") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("locfix").toString
+    val span = (0 until 6).map(i => s"s$i")
+    // globally-unique fillers: the ONLY repeat is the planted span, at
+    // doc 1 pos 3, doc 2 pos 0, and doc 2 pos 10 (same-doc non-overlap)
+    val d1 = (0 until 3).map(i => s"fa$i") ++ span ++ (0 until 5).map(i => s"fb$i")
+    val d2 = span ++ (0 until 4).map(i => s"fc$i") ++ span ++ Seq("fd0")
+    Seq((1L, d1.mkString(" "), "en", "syn", 0L),
+      (2L, d2.mkString(" "), "en", "syn", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = ops.SuffixOps.queries("q_span_locate")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      (1L, 3, 6, span.mkString(" ")),
+      (2L, 0, 6, span.mkString(" ")),
+      (2L, 10, 6, span.mkString(" "))))
+    // fixture laws: every located span has exactly lcp tokens, and the
+    // longestRepeat witness is one of the located occurrences
+    val sfRows = ops.SuffixOps.queries("q_span_locate")(spark, sf).collect()
+    assert(sfRows.nonEmpty)
+    sfRows.foreach { r =>
+      assert(r.getString(3).split(" ").length == r.getInt(2))
+    }
+    val wit = ops.SuffixOps.queries("q_longest_repeat")(spark, sf).head()
+    assert(sfRows.exists(r =>
+      r.getLong(0) == wit.getLong(wit.fieldIndex("doc_id")) &&
+        r.getInt(1) == wit.getInt(wit.fieldIndex("pos")) &&
+        r.getString(3) == wit.getString(wit.fieldIndex("span"))))
+  }
+
   test("TokenMask equals the exists()-HOF filter on random sorted islands") {
     import spark.implicits._
     val rnd = new scala.util.Random(12L)
