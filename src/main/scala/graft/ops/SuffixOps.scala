@@ -487,11 +487,86 @@ object SuffixOps {
       .orderBy("doc_id")
   }
 
+  /** Cross-source contamination at ARBITRARY span length — the SA twin
+    * of [[TextAnalysis.contamination]]'s fixed 5-gram screen, the same
+    * fixed-grain → exact upgrade [[exactSubstrings]] made over the
+    * 8-gram passes: an eval (`src0`) doc is contaminated when it shares
+    * an exact token span of ≥ [[MaskL]] with any TRAINING (non-`src0`)
+    * doc. SA islands make that exact: a maximal run of consecutive SA
+    * entries whose adjacent LCPs are all ≥ L shares ≥ L prefix tokens
+    * PAIRWISE (the min over the adjacency chain), so an island holding
+    * both an eval and a training suffix certifies the leak, and the
+    * eval positions in mixed islands are exactly the contaminated ones.
+    * Report: one row per eval doc — contaminated position count,
+    * distinct leaking islands, boolean flag — zero-rows kept via the
+    * doc-list left join (fixture-independent: a corpus with no ≥L
+    * cross-source span reports all-false, identically on both engines).
+    *
+    * Scale shape: the island id is a TWO-PHASE BUCKETED prefix sum in
+    * SA order — bucket = `sa·256 div n`, a pure function of the row's
+    * own dense rank (exactly balanced, no sampling needed; the AQE
+    * reused-exchange discipline of [[denseRank2]]), within-bucket
+    * running sums + one ≤[[RankBuckets]]-row cumulative offset
+    * broadcast — NEVER an unpartitioned window over the corpus. The
+    * per-entry previous-rank LCP is one consecutive-rank self-join off
+    * the served artifact with doc-bounded token arrays; island source
+    * flags are an island-keyed aggregate; only flagged eval positions
+    * ride the final exchanges. */
+  def contaminationExact(s: SparkSession, d: String): DataFrame = {
+    val sa = once(saServed(s, d))
+    val n = math.max(sa.count(), 1L)
+    val dw = once(docWords(s, d))
+    val prev = sa.select((col("sa") + 1).as("sa"), col("doc_id").as("pd"),
+      col("pos").as("pp"))
+    val lcpp = sa.join(prev, Seq("sa"), "left")
+      .join(dw, "doc_id")
+      .join(dw.select(col("doc_id").as("pd"), col("ws").as("wp")),
+        Seq("pd"), "left")
+      .select(col("sa"), col("doc_id"), col("pos"),
+        when(col("pd").isNull, lit(-1)).otherwise(
+          graft.functions.VectorExpressions.tokenLcp(
+            col("ws"), col("wp"), col("pos"), col("pp"))).as("lcpp"))
+    val marked = once(lcpp
+      .withColumn("newisl", (col("lcpp") < MaskL).cast("long"))
+      // SQL `div`: exact integer division (Column./ is double — loses
+      // precision past 2^53, i.e. at real corpus scale)
+      .withColumn("bkt", expr(s"cast((sa * $RankBuckets) div $n as int)")))
+    val w = Window.partitionBy("bkt").orderBy("sa")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val run = marked.withColumn("rs", sum("newisl").over(w))
+    // ≤256 bucket rows: the value-domain-bounded unpartitioned window class
+    val wb = Window.orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offs = marked.groupBy("bkt").agg(sum("newisl").as("cnt"))
+      .select(col("bkt"), (sum("cnt").over(wb) - col("cnt")).as("off"))
+    val isl = once(run.join(broadcast(offs), "bkt")
+      .select(col("doc_id"), col("pos"), (col("off") + col("rs")).as("isl")))
+    val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    val m = isl.join(src, "doc_id")
+    val mixed = m.groupBy("isl")
+      .agg(max((col("source") === "src0").cast("int")).as("has_eval"),
+        max((col("source") =!= "src0").cast("int")).as("has_train"))
+      .filter(col("has_eval") === 1 && col("has_train") === 1)
+      .select("isl")
+    val cont = m.filter(col("source") === "src0")
+      .join(mixed, "isl")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pos"), countDistinct("isl").as("n_islands"))
+    src.filter(col("source") === "src0").select("doc_id")
+      .join(cont, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_pos"), lit(0L)).as("n_pos"),
+        coalesce(col("n_islands"), lit(0L)).as("n_islands"))
+      .withColumn("contaminated", col("n_pos") > 0)
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_suffix_array" -> (suffixArray _),
     "q_exact_substrings" -> (exactSubstrings _),
     "q_longest_repeat" -> (longestRepeat _),
     "q_span_locate" -> (spanLocate _),
+    "q_contamination_exact" -> (contaminationExact _),
     "q_span_mask" -> (spanMask _),
     "q_span_enforce" -> (spanEnforce _),
   )
@@ -589,6 +664,51 @@ object SuffixOps {
          |       array_to_string(w.ws[occ.pos + 1:occ.pos + occ.lcp], ' ') AS span
          |FROM occ JOIN w ON w.doc_id = occ.doc_id
          |ORDER BY occ.doc_id, occ.pos""".stripMargin,
+    "q_contamination_exact" ->
+      s"""WITH $suffixCtes,
+         |le AS (
+         |  -- LCP with the PREVIOUS SA entry, keyed by the entry's rank
+         |  -- (the lc formula of the pair oracles, re-keyed by sa)
+         |  SELECT b.sa AS sa,
+         |         coalesce(nullif(list_position(
+         |             list_transform(range(1, least(a.slen, b.slen) + 1),
+         |               i -> a.ws[a.pos + i] IS NOT DISTINCT FROM b.ws[b.pos + i]),
+         |             false), 0) - 1,
+         |           least(a.slen, b.slen)) AS lcpp
+         |  FROM r a JOIN r b ON b.sa = a.sa + 1
+         |),
+         |er AS (
+         |  SELECT r.sa, r.doc_id, r.pos, coalesce(le.lcpp, -1) AS lcpp
+         |  FROM r LEFT JOIN le ON le.sa = r.sa
+         |),
+         |isl AS (
+         |  SELECT sa, doc_id, pos,
+         |         sum(CASE WHEN lcpp < 16 THEN 1 ELSE 0 END)
+         |           OVER (ORDER BY sa ROWS UNBOUNDED PRECEDING) AS isl
+         |  FROM er
+         |),
+         |m AS (
+         |  SELECT isl.isl, isl.doc_id, isl.pos, documents.source
+         |  FROM isl JOIN documents USING (doc_id)
+         |),
+         |mixed AS (
+         |  SELECT isl FROM m GROUP BY isl
+         |  HAVING bool_or(source = 'src0') AND bool_or(source <> 'src0')
+         |),
+         |cont AS (
+         |  SELECT m.doc_id, count(*) AS n_pos,
+         |         count(DISTINCT m.isl) AS n_islands
+         |  FROM m JOIN mixed USING (isl)
+         |  WHERE m.source = 'src0'
+         |  GROUP BY m.doc_id
+         |)
+         |SELECT d.doc_id,
+         |       CAST(coalesce(cont.n_pos, 0) AS BIGINT) AS n_pos,
+         |       CAST(coalesce(cont.n_islands, 0) AS BIGINT) AS n_islands,
+         |       coalesce(cont.n_pos, 0) > 0 AS contaminated
+         |FROM (SELECT doc_id FROM documents WHERE source = 'src0') d
+         |LEFT JOIN cont ON cont.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "q_span_mask" ->
       s"""WITH $suffixCtes, $lcpCtes, $maskCtes,
          |tot AS (SELECT sum(len(ws)) AS total_tokens FROM w),

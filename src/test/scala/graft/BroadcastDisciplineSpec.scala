@@ -177,6 +177,8 @@ class BroadcastDisciplineSpec extends AnyFunSuite {
     // fixture-independence guard inline
     (("graft/ops/SuffixOps.scala", "val attain = pairs.join(broadcast(mx), \"lcp\").filter(col(\"lcp\") > 0)"), 1),
     (("graft/ops/SuffixOps.scala", "ranked.join(broadcast(offs), \"bkt\")"), 2),
+    // q_contamination_exact's <=256-row island-offset table
+    (("graft/ops/SuffixOps.scala", "val isl = once(run.join(broadcast(offs), \"bkt\")"), 1),
     (("graft/ops/SuffixOps.scala", "var r = once(t.join(broadcast(vocab), \"tok\")"), 1),
     // ---- graft/ops/Statistics.scala
     (("graft/ops/Statistics.scala", ".crossJoin(broadcast(ev.agg(sum(\"c1\").as(\"n1\"), sum(\"c2\").as(\"n2\"))))"), 1),

@@ -125,6 +125,11 @@ class PlanBudgetSpec extends AnyFunSuite {
     ("q_span_locate", 3, 4),          // LCP pairs + 1-row max broadcast +
                                       // the distinct union of both pair
                                       // sides + one doc-words span join
+    ("q_contamination_exact", 8, 8),  // prev-rank LCP join off the served
+                                      // SA + bucketed island prefix sums
+                                      // (<=256-row offset broadcast) +
+                                      // island-source aggregate + the
+                                      // eval-doc-list left join
     ("q_span_mask", 4, 4),            // LCP pairs + per-doc interval-union
                                       // windows + 1-row token total
     ("q_span_enforce", 4, 4),         // same islands front end as

@@ -153,6 +153,38 @@ class Round12OpsSpec extends AnyFunSuite {
         r.getString(3) == wit.getString(wit.fieldIndex("span"))))
   }
 
+  test("q_contamination_exact flags exactly the eval<->train shared spans") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("contfix").toString
+    val S = (0 until 20).map(i => s"S$i")  // eval<->train leak, 20 tokens
+    val E = (0 until 16).map(i => s"E$i")  // eval<->eval dup (no train)
+    val T = (0 until 18).map(i => s"T$i")  // train<->train dup (no eval)
+    def u(p: String, n: Int) = (0 until n).map(i => s"$p$i")
+    val docs = Seq(
+      (1L, u("a", 3) ++ S ++ u("b", 3), "src0"),
+      (2L, u("c", 2) ++ S ++ u("d", 4), "src1"),
+      (3L, u("e", 8), "src0"),
+      (4L, E ++ u("f", 3), "src0"),
+      (5L, E ++ u("g", 3), "src0"),
+      (6L, T ++ u("h", 3), "src1"),
+      (7L, T ++ u("k", 3), "src2"))
+    docs.map { case (id, ws, src) => (id, ws.mkString(" "), "en", src, 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = ops.SuffixOps.queries("q_contamination_exact")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    // doc 1: suffixes at span offsets 0..4 still share 20-j >= 16 tokens
+    // with the train copy -> 5 positions in 5 two-member mixed islands;
+    // the eval<->eval dup (docs 4,5) and the train<->train dup (6,7)
+    // must NOT contaminate
+    assert(got.toSeq == Seq(
+      (1L, 5L, 5L, true),
+      (3L, 0L, 0L, false),
+      (4L, 0L, 0L, false),
+      (5L, 0L, 0L, false)))
+  }
+
   test("TokenMask equals the exists()-HOF filter on random sorted islands") {
     import spark.implicits._
     val rnd = new scala.util.Random(12L)

@@ -80,7 +80,9 @@ class WindowDisciplineSpec extends AnyFunSuite {
     // distinct-token vocabulary rank (value-domain bounded lexicon);
     // staged since r12 (consumed by count + join)
     ("graft/ops/SuffixOps.scala", """.withColumn("vr", row_number().over(Window.orderBy("tok")) - 1))"""),
-    // two-phase rank bucket-offset prefixes (<= 256 bucket rows each)
+    // two-phase rank bucket-offset prefixes (<= 256 bucket rows each);
+    // the third site is q_contamination_exact's island-offset prefix
+    ("graft/ops/SuffixOps.scala", """val wb = Window.orderBy("bkt")"""),
     ("graft/ops/SuffixOps.scala", """val wb = Window.orderBy("bkt")"""),
     ("graft/ops/SuffixOps.scala", """val wb = Window.orderBy("bkt")""")
   )
