@@ -146,7 +146,11 @@ object Dedup {
     * minhashes can never alias across slot boundaries. */
   private[ops] def bandBucketsParam(s: SparkSession, d: String, r: Int, b: Int): DataFrame = {
     val nPerms = r * b
-    val sh = Tables.documents(s, d)
+    // Spread before the shingle explode: the per-shingle md5 + r·b affine
+    // permutations are the dominant CPU and would otherwise run inside the
+    // one-task scan stage (single-row-group fixture files — see Spread)
+    val sh = graft.util.Spread(
+      Tables.documents(s, d).select(col("doc_id"), col("text")), col("doc_id"))
       .select(col("doc_id"),
         explode(shingles3(words(col("text")), col("text"))).as("shingle"))
     val h = conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast("long")
@@ -270,14 +274,27 @@ object Dedup {
 
   /** The doc→LSH-band-bucket incidence used by both the pairwise minhash
     * query and the cluster closure. */
-  private def bandBuckets(s: SparkSession, d: String): DataFrame =
-    bandBucketsOf(Tables.documents(s, d))
+  private def bandBuckets(s: SparkSession, d: String,
+      spreadInput: Boolean = true): DataFrame =
+    bandBucketsOf(Tables.documents(s, d), spreadInput)
 
   /** [[bandBuckets]] over an arbitrary (doc_id, text, …) frame — lets a
     * composed pipeline (e.g. `Curation.curationPipeline`) run LSH banding
-    * over an already-filtered survivor set instead of the raw table. */
-  private[graft] def bandBucketsOf(docs: DataFrame): DataFrame = {
-    val sh = docs
+    * over an already-filtered survivor set instead of the raw table.
+    *
+    * `spreadInput` parallelizes the per-shingle md5 pass off the one-task
+    * fixture scan ([[graft.util.Spread]]) — measured −0.3 s on the
+    * one-shot consumers (q_dedup_minhash, q_dedup_incremental). The CC
+    * LOOP consumers ([[dedupClusters]]) pass false: they re-read the
+    * staged incidence 2×/round, so a wide cached layout taxes every round
+    * for more than the one-time hash pass saves (+0.3 s measured). */
+  private[graft] def bandBucketsOf(docs: DataFrame,
+      spreadInput: Boolean = true): DataFrame = {
+    val in =
+      if (spreadInput)
+        graft.util.Spread(docs.select(col("doc_id"), col("text")), col("doc_id"))
+      else docs
+    val sh = in
       .select(col("doc_id"),
         explode(shingles3(words(col("text")), col("text"))).as("shingle"))
       .withColumn("h", md5(col("shingle")))
@@ -310,7 +327,7 @@ object Dedup {
     * converge in 2-3), with a hard cap as a safety net. The driver-side
     * loop holds only a changed-row COUNT, never data. */
   def dedupClusters(s: SparkSession, d: String): DataFrame = {
-    val buckets = graft.util.Ckpt.stage(bandBuckets(s, d))
+    val buckets = graft.util.Ckpt.stage(bandBuckets(s, d, spreadInput = false))
     // seed with one propagation round already applied: label(doc) = min
     // doc_id over the doc's buckets (each doc is in its own buckets, so the
     // seed is ≤ doc_id). Equivalent to initializing label=doc_id and
@@ -470,8 +487,10 @@ object Dedup {
   def minhashEstimate(s: SparkSession, d: String): DataFrame = {
     val q4 = graft.util.Det.q4 _
     val nPerms = WideR * WideB
-    val sh = Tables.documents(s, d).select(col("doc_id"),
-      explode(shingles3(words(col("text")), col("text"))).as("shingle"))
+    val sh = graft.util.Spread(
+      Tables.documents(s, d).select(col("doc_id"), col("text")), col("doc_id"))
+      .select(col("doc_id"),
+        explode(shingles3(words(col("text")), col("text"))).as("shingle"))
     val h = conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast("long")
     val mins = (0 until nPerms).map(p =>
       min((col("h") * affineA(p) + affineB(p)) % MinhashPrime).as(s"mh$p"))
@@ -1134,7 +1153,8 @@ object Dedup {
     * (doc, pos, h) rows), chunk frames shuffle on digest keys only; the
     * slice re-read joins the staged words array once. */
   def cdcChunks(s: SparkSession, d: String): DataFrame = {
-    val docs = graft.util.Ckpt.stage(Tables.documents(s, d)
+    val docs = graft.util.Ckpt.stage(graft.util.Spread(
+      Tables.documents(s, d).select(col("doc_id"), col("text")), col("doc_id"))
       .select(col("doc_id"), words(col("text")).as("ws")))
     val wd = Window.partitionBy("doc_id").orderBy("pos")
     val pos = docs.select(col("doc_id"), posexplode(col("ws")).as(Seq("p0", "wd")))

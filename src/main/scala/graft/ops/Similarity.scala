@@ -1467,7 +1467,11 @@ object Similarity {
     // (asg exits its vec_id groupBy with the same HashPartitioning the
     // staged ex carries), so the vector payload never rides a per-pass
     // exchange at any corpus scale.
-    val ex = once(n.repartition(col("vec_id"))
+    // explicit-N repartition (REPARTITION_BY_NUM): the keyed-only variant
+    // is AQE-coalescible, and this frame is byte-light but CPU-dense —
+    // the coalesce heuristic would fold it back to one task (see Spread)
+    val ex = once(n.repartition(n.sparkSession.sparkContext.defaultParallelism,
+        col("vec_id"))
       .select(col("vec_id"), posexplode(col("v")).as(Seq("dim", "x"))))
     var cents = n.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("norm").as("cn"))

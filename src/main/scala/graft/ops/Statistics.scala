@@ -2491,8 +2491,10 @@ object Statistics {
       }
     val h = md5(concat(lit("bs:"), col("event_id").cast("string"),
       lit(":"), col("g").cast("string")))
-    val rep = Tables.events(s, d)
-      .select(col("event_type"), col("event_id"), col("value"))
+    val rep = graft.util.Spread(
+      Tables.events(s, d)
+        .select(col("event_type"), col("event_id"), col("value")),
+      col("event_id"))
       .withColumn("g", explode(sequence(lit(0), lit(BootB / 4 - 1))))
       // u0..u3 are MATERIALIZED columns: the 6-rung CDF ladder must
       // reference a column, not inline the conv+md5 subtree into every
